@@ -1,0 +1,23 @@
+package graft.packs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** A bundle of named queries plus their DuckDB oracle SQL.
+  *
+  * Conventions that make the driver's hash-compare deterministic:
+  *   - Money/measure aggregates are computed in DECIMAL (exact, order-
+  *     independent) and cast to DOUBLE at the end, so Spark and DuckDB
+  *     produce bit-identical doubles regardless of aggregation order.
+  *   - Every query is deterministically ordered (full-column sort) and the
+  *     oracle carries the same ORDER BY.
+  *   - Column names are aliased identically on both sides.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+
+  /** Exact decimal view of a double measure column; scale 4 keeps the
+    * scale-2-ish synthetic money columns away from rounding ties. */
+  protected def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+}
