@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** Registered query packs; each contributes queries + oracle SQL. */
   private val packs: Seq[QueryPack] = Seq(
-    RelationalPack
+    RelationalPack,
+    MaterializationPack,
+    IncrementalPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

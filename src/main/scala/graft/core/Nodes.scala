@@ -1,0 +1,174 @@
+package graft.core
+
+/** Node graph data model — the Spark-native equivalent of the reference's
+  * typed node maps (crates/dbt-schemas/src/schemas/nodes.rs:2100).
+  *
+  * One sealed trait instead of nine structs: every node kind the engine
+  * schedules is a [[Node]]; `dependsOn` edges come from parse-phase
+  * ref/source harvesting (SURVEY §3.3).
+  */
+sealed trait NodeKind { def name: String }
+object NodeKind {
+  case object Model extends NodeKind { val name = "model" }
+  case object Seed extends NodeKind { val name = "seed" }
+  case object Snapshot extends NodeKind { val name = "snapshot" }
+  case object Test extends NodeKind { val name = "test" }
+  case object UnitTest extends NodeKind { val name = "unit_test" }
+  case object Source extends NodeKind { val name = "source" }
+  case object Function extends NodeKind { val name = "function" }
+  case object Exposure extends NodeKind { val name = "exposure" }
+  case object Analysis extends NodeKind { val name = "analysis" }
+}
+
+/** Incremental strategy enum (reference: `DbtIncrementalStrategy`,
+  * crates/dbt-schemas/src/schemas/common.rs:558-572). */
+sealed trait IncrementalStrategy { def name: String }
+object IncrementalStrategy {
+  case object Append extends IncrementalStrategy { val name = "append" }
+  case object Merge extends IncrementalStrategy { val name = "merge" }
+  case object DeleteInsert extends IncrementalStrategy { val name = "delete+insert" }
+  case object InsertOverwrite extends IncrementalStrategy { val name = "insert_overwrite" }
+  case object Microbatch extends IncrementalStrategy { val name = "microbatch" }
+
+  def parse(s: String): IncrementalStrategy = s match {
+    case "append" => Append
+    case "merge" => Merge
+    case "delete+insert" => DeleteInsert
+    case "insert_overwrite" => InsertOverwrite
+    case "microbatch" => Microbatch
+    case other => throw new IllegalArgumentException(
+      s"unknown incremental strategy: $other (valid: append, merge, " +
+        "delete+insert, insert_overwrite, microbatch)")
+  }
+}
+
+/** on_schema_change behavior (reference: common.rs:583-591). */
+sealed trait OnSchemaChange { def name: String }
+object OnSchemaChange {
+  case object Ignore extends OnSchemaChange { val name = "ignore" }
+  case object AppendNewColumns extends OnSchemaChange { val name = "append_new_columns" }
+  case object Fail extends OnSchemaChange { val name = "fail" }
+  case object SyncAllColumns extends OnSchemaChange { val name = "sync_all_columns" }
+
+  def parse(s: String): OnSchemaChange = s match {
+    case "ignore" => Ignore
+    case "append_new_columns" => AppendNewColumns
+    case "fail" => Fail
+    case "sync_all_columns" => SyncAllColumns
+    case other => throw new IllegalArgumentException(s"unknown on_schema_change: $other")
+  }
+}
+
+/** hard_deletes behavior for snapshots (reference: common.rs:613-620). */
+sealed trait HardDeletes { def name: String }
+object HardDeletes {
+  case object IgnoreDeletes extends HardDeletes { val name = "ignore" }
+  case object Invalidate extends HardDeletes { val name = "invalidate" }
+  case object NewRecord extends HardDeletes { val name = "new_record" }
+
+  def parse(s: String): HardDeletes = s match {
+    case "ignore" => IgnoreDeletes
+    case "invalidate" => Invalidate
+    case "new_record" => NewRecord
+    case other => throw new IllegalArgumentException(s"unknown hard_deletes: $other")
+  }
+}
+
+/** Microbatch batch granularity (reference: `DbtBatchSize`, common.rs:523-529). */
+sealed trait BatchSize { def name: String }
+object BatchSize {
+  case object Hour extends BatchSize { val name = "hour" }
+  case object Day extends BatchSize { val name = "day" }
+  case object Month extends BatchSize { val name = "month" }
+  case object Year extends BatchSize { val name = "year" }
+
+  def parse(s: String): BatchSize = s match {
+    case "hour" => Hour
+    case "day" => Day
+    case "month" => Month
+    case "year" => Year
+    case other => throw new IllegalArgumentException(s"unknown batch_size: $other")
+  }
+}
+
+/** Test severity (reference: `Severity`, common.rs:1016). */
+sealed trait Severity { def name: String }
+object Severity {
+  case object Warn extends Severity { val name = "warn" }
+  case object Error extends Severity { val name = "error" }
+  def parse(s: String): Severity =
+    if (s.equalsIgnoreCase("warn")) Warn else Error
+}
+
+/** Snapshot strategy config (reference: snapshots/strategies.sql). */
+final case class SnapshotConfig(
+    strategy: String = "timestamp", // timestamp | check
+    uniqueKey: Seq[String] = Nil,
+    updatedAt: Option[String] = None,
+    checkCols: Option[Seq[String]] = None, // None + strategy=check ⇒ "all"
+    hardDeletes: HardDeletes = HardDeletes.IgnoreDeletes,
+    dbtValidToCurrent: Option[String] = None)
+
+/** Per-node configuration — the union of the model/seed/snapshot/test config
+  * surfaces we support (reference: DbtModelAttr nodes.rs:3851,
+  * model_config.rs:79-210). Unknown keys are preserved in `extra`. */
+final case class NodeConfig(
+    materialized: String = "view",
+    enabled: Boolean = true,
+    schema: Option[String] = None,
+    alias: Option[String] = None,
+    tags: Seq[String] = Nil,
+    preHook: Seq[String] = Nil,
+    postHook: Seq[String] = Nil,
+    // incremental
+    incrementalStrategy: Option[IncrementalStrategy] = None,
+    uniqueKey: Seq[String] = Nil,
+    mergeUpdateColumns: Seq[String] = Nil,
+    mergeExcludeColumns: Seq[String] = Nil,
+    incrementalPredicates: Seq[String] = Nil,
+    onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
+    fullRefresh: Option[Boolean] = None,
+    // microbatch
+    eventTime: Option[String] = None,
+    batchSize: Option[BatchSize] = None,
+    lookback: Int = 1,
+    begin: Option[String] = None,
+    // storage layout
+    partitionBy: Seq[String] = Nil,
+    // snapshot
+    snapshot: Option[SnapshotConfig] = None,
+    // seed
+    columnTypes: Map[String, String] = Map.empty,
+    quoteColumns: Boolean = false,
+    // tests
+    severity: Severity = Severity.Error,
+    warnIf: String = "!= 0",
+    errorIf: String = "!= 0",
+    failCalc: String = "count(*)",
+    limit: Option[Int] = None,
+    where: Option[String] = None,
+    storeFailures: Boolean = false,
+    extra: Map[String, Any] = Map.empty)
+
+/** A node in the project graph. `rawSql` is the Jinja-templated body for
+  * models/snapshots/tests; seeds carry a csv path; sources a table path. */
+final case class Node(
+    uniqueId: String,
+    name: String,
+    packageName: String,
+    kind: NodeKind,
+    rawSql: String = "",
+    path: String = "",
+    config: NodeConfig = NodeConfig(),
+    dependsOn: Seq[String] = Nil,
+    relation: Option[Relation] = None,
+    description: String = "",
+    columns: Map[String, String] = Map.empty,
+    // unit tests: fixture rows per ref name + expected rows
+    givenFixtures: Map[String, Seq[Map[String, Any]]] = Map.empty,
+    expectRows: Seq[Map[String, Any]] = Nil,
+    // source freshness
+    loadedAtField: Option[String] = None,
+    checksum: String = "") {
+  def isEphemeral: Boolean = config.materialized == "ephemeral"
+}

@@ -1,0 +1,271 @@
+package graft.jinja
+
+import graft.adapter.{AgateTable, SparkAdapter}
+import graft.core._
+import Jinja._
+
+import scala.collection.mutable
+
+/** What parse-phase rendering harvested from a model body — the engine's
+  * `SqlResource` equivalents (reference:
+  * crates/dbt-jinja-utils/src/phases/parse/sql_resource.rs:12-36). */
+final case class ParseHarvest(
+    refs: Seq[(Option[String], String)],
+    sources: Seq[(String, String)],
+    configs: Map[String, Any])
+
+/** dbt context functions for the two Jinja phases.
+  *
+  * Parse phase (execute=false — reference
+  * crates/dbt-jinja-utils/src/phases/parse/): `ref`/`source` record
+  * dependency edges and return placeholder names; `config()` collects the
+  * inline config; `is_incremental()` is false.
+  *
+  * Run phase (reference run_node_context.rs:65-313): `ref`/`source` render
+  * target relation FQNs (validated against depends_on like
+  * compile_node_context.rs:190-205), `this`, `is_incremental`,
+  * `statement`/`run_query` execute against the adapter, `store_result`/
+  * `load_result` stash AgateTables, plus `exceptions`, `log`, `tojson`…
+  */
+object DbtContext {
+
+  final class Exceptions extends JObject {
+    def attr(name: String): Option[Any] = name match {
+      case "raise_compiler_error" => Some(JFunc { (a, _) =>
+        throw JinjaError(s"Compilation Error: ${a.headOption.getOrElse("")}")
+      })
+      case "raise_not_implemented" => Some(JFunc { (a, _) =>
+        throw JinjaError(s"Not Implemented: ${a.headOption.getOrElse("")}")
+      })
+      case "warn" => Some(JFunc { (a, _) =>
+        System.err.println(s"[warn] ${a.headOption.getOrElse("")}"); ""
+      })
+      case _ => None
+    }
+  }
+
+  final class AgateObj(t: AgateTable) extends JObject {
+    def attr(name: String): Option[Any] = name match {
+      case "column_names" => Some(t.columnNames)
+      case "column_types" => Some(t.columnTypes)
+      case "rows" => Some(t.rows.map(_.toVector: Vector[Any]))
+      case "dict_rows" => Some(t.dictRows)
+      case "num_rows" => Some(t.numRows.toLong)
+      case "columns" => Some(t.columnNames.map { n =>
+        val i = t.columnNames.indexOf(n)
+        Map("name" -> n, "values" -> JFunc((_, _) => t.rows.map(_(i))))
+      })
+      case "select" => Some(JFunc((a, _) =>
+        new AgateObj(t.select(a.map(_.toString)))))
+      case "rename" => Some(JFunc { (a, _) =>
+        new AgateObj(t.rename(a.headOption.map(_.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty)))
+      })
+      case "print_table" => Some(JFunc((_, _) => t.printTable()))
+      case _ => None
+    }
+  }
+
+  /** Shared base bindings for both phases. */
+  private def common(vars: Map[String, Any], env: Map[String, String],
+      flags: Map[String, Any]): Map[String, Any] = Map(
+    "var" -> JFunc { (a, _) =>
+      val key = a.head.toString
+      vars.getOrElse(key,
+        if (a.length > 1) a(1)
+        else throw JinjaError(s"Required var '$key' not found in config"))
+    },
+    "env_var" -> JFunc { (a, _) =>
+      val key = a.head.toString
+      env.getOrElse(key,
+        if (a.length > 1) a(1)
+        else throw JinjaError(s"Env var required but not provided: '$key'"))
+    },
+    "exceptions" -> new Exceptions,
+    "log" -> JFunc { (a, kw) =>
+      if (Jinja.truthy(kw.getOrElse("info", false)))
+        System.err.println(s"[log] ${a.headOption.getOrElse("")}")
+      ""
+    },
+    "print" -> JFunc { (a, _) => System.err.println(a.headOption.getOrElse("")); "" },
+    "tojson" -> JFunc((a, _) => Json.write(a.head)),
+    "fromjson" -> JFunc((a, _) => Json.parse(a.head.toString)),
+    "local_md5" -> JFunc((a, _) => Json.md5(a.head.toString)),
+    "zip" -> JFunc { (a, _) =>
+      val seqs = a.map(_.asInstanceOf[Seq[Any]])
+      seqs.head.indices.takeWhile(i => seqs.forall(_.length > i))
+        .map(i => seqs.map(_(i)).toVector).toVector
+    },
+    "set" -> JFunc((a, _) => a.head.asInstanceOf[Seq[Any]].distinct.toVector),
+    "dbt_version" -> "2.0.0-graft",
+    "invocation_id" -> flags.getOrElse("invocation_id", "00000000-0000-0000-0000-000000000000"),
+    "flags" -> flags,
+    "target" -> Map(
+      "name" -> flags.getOrElse("target_name", "dev"),
+      "type" -> "spark",
+      "schema" -> flags.getOrElse("schema", "analytics"),
+      "threads" -> flags.getOrElse("threads", 4L)),
+    "modules" -> Map("datetime" -> Map.empty[String, Any])
+  )
+
+  /** Parse-phase context: renders with side-effect collectors. */
+  def parseContext(vars: Map[String, Any] = Map.empty,
+      env: Map[String, String] = sys.env,
+      flags: Map[String, Any] = Map.empty):
+      (Map[String, Any], () => ParseHarvest) = {
+    val refs = mutable.ArrayBuffer.empty[(Option[String], String)]
+    val sources = mutable.ArrayBuffer.empty[(String, String)]
+    val configs = mutable.LinkedHashMap.empty[String, Any]
+    val bindings = common(vars, env, flags) ++ Map(
+      "ref" -> JFunc { (a, kw) =>
+        val (pkg, name) = a.map(_.toString) match {
+          case Seq(n) => (None, n)
+          case Seq(p, n) => (Some(p), n)
+          case _ => throw JinjaError("ref() takes 1 or 2 args")
+        }
+        refs += ((pkg, name))
+        s"__ref__${name}__"
+      },
+      "source" -> JFunc { (a, _) =>
+        val Seq(src, tbl) = a.map(_.toString)
+        sources += ((src, tbl))
+        s"__source__${src}__${tbl}__"
+      },
+      "this" -> "__this__",
+      "is_incremental" -> JFunc((_, _) => false),
+      "execute" -> false,
+      "run_query" -> JFunc((_, _) => new AgateObj(AgateTable.empty)),
+      "statement" -> JFunc((_, _) => ""),
+      "adapter" -> new JObject { def attr(n: String): Option[Any] = None }
+    )
+    // config(...) is also callable directly: {{ config(materialized='table') }}
+    val configHybrid = new ConfigHybrid(
+      JFunc { (_, kw) => kw.foreach { case (k, v) => configs(k) = v }; "" }, configs)
+    (bindings + ("config" -> configHybrid),
+      () => ParseHarvest(refs.toSeq, sources.toSeq, configs.toMap))
+  }
+
+  /** config is both callable ({{ config(k=v) }}) and an object
+    * (config.get('k')) — model Jinja uses both forms. */
+  final class ConfigHybrid(call: JFunc, store: mutable.Map[String, Any])
+      extends JObject with JCallable {
+    def invoke(args: Seq[Any], kwargs: Map[String, Any]): Any = call(args, kwargs)
+    def attr(name: String): Option[Any] = name match {
+      case "get" => Some(JFunc { (a, kw) =>
+        store.get(a.head.toString).orElse(a.lift(1)).orElse(kw.get("default")).orNull
+      })
+      case "require" => Some(JFunc { (a, _) =>
+        store.getOrElse(a.head.toString,
+          throw JinjaError(s"config '${a.head}' required"))
+      })
+      case _ => None
+    }
+  }
+
+  /** Run-phase context. `resolveRef` maps a (package, name) to the rendered
+    * relation text (FQN or CTE name); throws on undeclared edges. */
+  def runContext(
+      adapter: SparkAdapter,
+      thisRel: Relation,
+      resolveRef: (Option[String], String) => String,
+      resolveSource: (String, String) => String,
+      isIncremental: Boolean,
+      configValues: Map[String, Any],
+      vars: Map[String, Any] = Map.empty,
+      env: Map[String, String] = sys.env,
+      flags: Map[String, Any] = Map.empty): Map[String, Any] = {
+    val results = mutable.Map.empty[String, AgateObj]
+    val store = mutable.LinkedHashMap.empty[String, Any] ++ configValues
+    common(vars, env, flags) ++ Map(
+      "ref" -> JFunc { (a, _) =>
+        a.map(_.toString) match {
+          case Seq(n) => resolveRef(None, n)
+          case Seq(p, n) => resolveRef(Some(p), n)
+          case _ => throw JinjaError("ref() takes 1 or 2 args")
+        }
+      },
+      "source" -> JFunc { (a, _) =>
+        val Seq(src, tbl) = a.map(_.toString)
+        resolveSource(src, tbl)
+      },
+      "config" -> new ConfigHybrid(JFunc((_, kw) => {
+        kw.foreach { case (k, v) => store(k) = v }; ""
+      }), store),
+      "this" -> new JObject {
+        override def toString: String = thisRel.fqn
+        def attr(n: String): Option[Any] = n match {
+          case "schema" => Some(thisRel.schema)
+          case "identifier" | "name" | "table" => Some(thisRel.identifier)
+          case "database" => Some(thisRel.database.orNull)
+          case "is_table" => Some(thisRel.isTable)
+          case "is_view" => Some(thisRel.isView)
+          case _ => None
+        }
+      },
+      "is_incremental" -> JFunc((_, _) => isIncremental),
+      "execute" -> true,
+      "run_query" -> JFunc { (a, _) =>
+        val (_, table) = adapter.execute(a.head.toString)
+        new AgateObj(table)
+      },
+      "statement" -> JFunc { (a, _) =>
+        val name = a.headOption.map(_.toString).getOrElse("main")
+        val sql = a.lift(1).map(_.toString).getOrElse(
+          throw JinjaError("statement(name, sql) needs sql text"))
+        val (_, table) = adapter.execute(sql)
+        results(name) = new AgateObj(table)
+        ""
+      },
+      "store_result" -> JFunc { (a, kw) =>
+        results(a.head.toString) = new AgateObj(AgateTable.empty); ""
+      },
+      "load_result" -> JFunc { (a, _) =>
+        results.get(a.head.toString).map(t => Map(
+          "table" -> t, "data" -> t.attr("rows").orNull,
+          "response" -> "OK")).orNull
+      },
+      "adapter" -> new AdapterObj(adapter)
+    )
+  }
+
+  /** `adapter.*` surface exposed to Jinja (reference funcs.rs match table —
+    * the operations materializations and user macros actually call). */
+  final class AdapterObj(adapter: SparkAdapter) extends JObject {
+    def attr(name: String): Option[Any] = name match {
+      case "get_relation" => Some(JFunc { (a, kw) =>
+        val schema = kw.get("schema").map(_.toString)
+          .orElse(a.lift(1).map(_.toString)).getOrElse("")
+        val ident = kw.get("identifier").map(_.toString)
+          .orElse(a.lift(2).map(_.toString)).getOrElse("")
+        adapter.getRelation(schema, ident).map(_.fqn).orNull
+      })
+      case "get_columns_in_relation" => Some(JFunc { (a, _) =>
+        // takes an FQN string here
+        adapter.spark.table(a.head.toString).schema.fields.toVector.map(f =>
+          Map("name" -> f.name, "dtype" -> f.dataType.sql, "data_type" -> f.dataType.sql))
+      })
+      case "quote" => Some(JFunc((a, _) => adapter.quote(a.head.toString)))
+      case "execute" => Some(JFunc { (a, _) =>
+        val (status, t) = adapter.execute(a.head.toString)
+        Vector(status, new AgateObj(t))
+      })
+      case "create_schema" => Some(JFunc { (a, _) =>
+        adapter.createSchema(a.head.toString); ""
+      })
+      case "drop_schema" => Some(JFunc { (a, _) =>
+        adapter.dropSchema(a.head.toString); ""
+      })
+      case "list_schemas" => Some(JFunc((_, _) => adapter.listSchemas().toVector))
+      case "check_schema_exists" => Some(JFunc((a, _) =>
+        adapter.checkSchemaExists(a.head.toString)))
+      case "valid_incremental_strategies" => Some(JFunc((_, _) =>
+        adapter.validIncrementalStrategies.toVector))
+      case "dispatch" => Some(JFunc { (a, _) =>
+        throw JinjaError(s"adapter.dispatch('${a.headOption.getOrElse("")}') — " +
+          "macro dispatch resolves natively in this engine")
+      })
+      case "type" => Some(JFunc((_, _) => "spark"))
+      case _ => None
+    }
+  }
+}

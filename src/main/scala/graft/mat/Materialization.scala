@@ -1,0 +1,118 @@
+package graft.mat
+
+import graft.adapter.SparkAdapter
+import graft.core._
+import org.apache.spark.sql.DataFrame
+
+/** Result of materializing one node (reference: RunResultOutput,
+  * crates/dbt-schemas/src/schemas/run_results.rs:124). */
+final case class MatResult(
+    relation: Relation,
+    status: String, // success | error | skipped | pass | warn | fail
+    message: String = "",
+    rowsAffected: Long = -1L)
+
+/** One materialization strategy — the Spark-native equivalent of a dbt
+  * materialization macro program (reference registry:
+  * crates/dbt-schemas/src/materialization_resolver.rs:11-21). The engine
+  * resolves `config.materialized` to one of these and invokes it with the
+  * compiled relation input. */
+trait Materialization {
+  def name: String
+  def run(ctx: MatContext): MatResult
+}
+
+/** Everything a materialization needs: the adapter, the target relation,
+  * the compiled model as a DataFrame thunk (lazy so is_incremental-style
+  * double rendering can re-evaluate), and run flags. */
+final case class MatContext(
+    adapter: SparkAdapter,
+    node: Node,
+    target: Relation,
+    compiled: () => DataFrame,
+    fullRefresh: Boolean = false,
+    /** Injected "now" so snapshot/freshness runs are deterministic in
+      * tests; production passes the wall clock. */
+    now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())) {
+  def spark = adapter.spark
+  def config: NodeConfig = node.config
+}
+
+object Materializations {
+  /** Most-specific-wins resolution, like the reference's
+    * materialization_resolver.rs:96-120 (we have one adapter, so the table
+    * is flat). */
+  def resolve(name: String): Materialization = name match {
+    case "view" => ViewMat
+    case "table" => TableMat
+    case "materialized_view" => MaterializedViewMat
+    case "incremental" => IncrementalMat
+    case "snapshot" => SnapshotMat
+    case "seed" => SeedMat
+    case "ephemeral" => EphemeralMat
+    case "clone" => CloneMat
+    case other => throw new IllegalArgumentException(
+      s"unknown materialization: $other")
+  }
+}
+
+/** CREATE OR REPLACE VIEW of the compiled SQL
+  * (reference: MA/materializations/models/view.sql:1-72). The compiled SQL
+  * text is carried on the node; views need the text, not a DataFrame. */
+object ViewMat extends Materialization {
+  val name = "view"
+  def run(ctx: MatContext): MatResult = {
+    ctx.adapter.createView(ctx.target.withType(RelationType.View), ctx.node.rawSql)
+    MatResult(ctx.target.withType(RelationType.View), "success")
+  }
+}
+
+/** CTAS via the intermediate/backup/rename swap
+  * (reference: MA/materializations/models/table.sql:1-64; Spark override
+  * MS/materializations/table.sql). `partition_by` maps to
+  * df.write.partitionBy — at 100 TB the partition spec is the difference
+  * between full scans and partition-pruned reads downstream. */
+object TableMat extends Materialization {
+  val name = "table"
+  def run(ctx: MatContext): MatResult = {
+    ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
+      ctx.config.partitionBy)
+    MatResult(ctx.target, "success")
+  }
+}
+
+/** No Spark MV: emulated as a table plus a recorded refresh recipe — the
+  * reference's on_configuration_change paths (MA/materializations/models/
+  * materialized_view.sql:1-123) reduce to "re-run the CTAS". */
+object MaterializedViewMat extends Materialization {
+  val name = "materialized_view"
+  def run(ctx: MatContext): MatResult = {
+    ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
+      ctx.config.partitionBy)
+    MatResult(ctx.target, "success", "materialized_view emulated as table; refresh = re-run")
+  }
+}
+
+/** Ephemeral: no DDL — the model is inlined as a CTE into consumers at
+  * compile time (reference: DbtMaterialization::Ephemeral common.rs:226).
+  * Running one directly is a no-op. */
+object EphemeralMat extends Materialization {
+  val name = "ephemeral"
+  def run(ctx: MatContext): MatResult =
+    MatResult(ctx.target.withType(RelationType.Cte), "success", "ephemeral: inlined as CTE")
+}
+
+/** clone: no zero-copy on plain parquet, so fall back to the reference's
+  * view-of-target path (MA/materializations/models/clone/clone.sql:50-60
+  * "create_or_replace_view relation as select * from defer_relation"). */
+object CloneMat extends Materialization {
+  val name = "clone"
+  def run(ctx: MatContext): MatResult = {
+    val src = ctx.node.relation.getOrElse(
+      throw new IllegalArgumentException("clone requires a source relation"))
+    ctx.adapter.createView(ctx.target.withType(RelationType.View),
+      s"SELECT * FROM ${src.fqn}")
+    MatResult(ctx.target.withType(RelationType.View), "success",
+      s"cloned ${src.fqn} as view (no zero-copy on parquet)")
+  }
+}

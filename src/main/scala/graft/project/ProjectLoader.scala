@@ -1,0 +1,99 @@
+package graft.project
+
+import graft.core._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** A loaded (not yet resolved) dbt-style project — the engine's `DbtState`
+  * (reference: crates/dbt-loader/src/loader.rs:64 `load`, load_inner :409).
+  * Single project, local packages only: the package-hub/git resolution of
+  * crates/dbt-deps is out of scope (zero-egress anyway). */
+final case class Project(
+    name: String,
+    root: String,
+    vars: Map[String, Any],
+    modelPaths: Seq[String],
+    seedPaths: Seq[String],
+    snapshotPaths: Seq[String],
+    testPaths: Seq[String],
+    /** dbt_project.yml `models:` config tree (project-level configs). */
+    modelConfigs: Map[String, Any],
+    seedConfigs: Map[String, Any],
+    /** model name → raw Jinja-SQL */
+    models: Map[String, String],
+    /** model name → file path */
+    modelFiles: Map[String, String],
+    seeds: Map[String, String], // seed name → csv path
+    snapshots: Map[String, String], // snapshot name → raw body
+    /** parsed schema.yml property files, in file order */
+    properties: Seq[Map[String, Any]],
+    macroSources: Seq[String])
+
+object ProjectLoader {
+
+  def load(rootDir: String): Project = {
+    val root = Paths.get(rootDir)
+    val projYml = root.resolve("dbt_project.yml")
+    val cfg =
+      if (Files.exists(projYml)) Yaml.parseMap(Files.readString(projYml))
+      else Map.empty[String, Any]
+
+    val name = Yaml.dig(cfg, "name").map(Yaml.str).getOrElse("project")
+    val modelPaths = Yaml.dig(cfg, "model-paths").map(Yaml.strSeq)
+      .getOrElse(Seq("models"))
+    val seedPaths = Yaml.dig(cfg, "seed-paths").map(Yaml.strSeq)
+      .getOrElse(Seq("seeds"))
+    val snapshotPaths = Yaml.dig(cfg, "snapshot-paths").map(Yaml.strSeq)
+      .getOrElse(Seq("snapshots"))
+    val testPaths = Yaml.dig(cfg, "test-paths").map(Yaml.strSeq)
+      .getOrElse(Seq("tests"))
+    val macroPaths = Yaml.dig(cfg, "macro-paths").map(Yaml.strSeq)
+      .getOrElse(Seq("macros"))
+    val vars = Yaml.dig(cfg, "vars").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(Map.empty)
+
+    def files(paths: Seq[String], ext: String): Seq[Path] =
+      paths.map(root.resolve).filter(Files.isDirectory(_)).flatMap { dir =>
+        Files.walk(dir).iterator().asScala
+          .filter(p => p.toString.endsWith(ext) && Files.isRegularFile(p))
+          .toSeq.sortBy(_.toString)
+      }
+
+    def nameOf(p: Path): String = {
+      val f = p.getFileName.toString
+      f.substring(0, f.lastIndexOf('.'))
+    }
+
+    val modelFiles = files(modelPaths, ".sql").map(p => nameOf(p) -> p).toMap
+    val models = modelFiles.map { case (n, p) => n -> Files.readString(p) }
+    val seeds = files(seedPaths, ".csv").map(p => nameOf(p) -> p.toString).toMap
+    val snapshots = files(snapshotPaths, ".sql")
+      .map(p => nameOf(p) -> Files.readString(p)).toMap
+    val properties =
+      (files(modelPaths, ".yml") ++ files(modelPaths, ".yaml") ++
+        files(seedPaths, ".yml") ++ files(snapshotPaths, ".yml") ++
+        files(testPaths, ".yml"))
+        .map(p => Yaml.parseMap(Files.readString(p)))
+    val macroSources = files(macroPaths, ".sql").map(Files.readString(_))
+
+    Project(
+      name = name,
+      root = rootDir,
+      vars = vars,
+      modelPaths = modelPaths,
+      seedPaths = seedPaths,
+      snapshotPaths = snapshotPaths,
+      testPaths = testPaths,
+      modelConfigs = Yaml.dig(cfg, "models").map(_.asInstanceOf[Map[String, Any]])
+        .getOrElse(Map.empty),
+      seedConfigs = Yaml.dig(cfg, "seeds").map(_.asInstanceOf[Map[String, Any]])
+        .getOrElse(Map.empty),
+      models = models,
+      modelFiles = modelFiles.map { case (n, p) => n -> p.toString },
+      seeds = seeds,
+      snapshots = snapshots,
+      properties = properties,
+      macroSources = macroSources)
+  }
+}

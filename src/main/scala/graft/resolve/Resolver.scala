@@ -1,0 +1,285 @@
+package graft.resolve
+
+import graft.core._
+import graft.jinja.{DbtContext, Jinja}
+import graft.project.{Project, Yaml}
+
+/** Resolve phase: render every model with execute=false to harvest refs /
+  * sources / inline configs, merge config layers, and build the typed node
+  * graph (reference: crates/dbt-parser/src/resolver.rs:82 `resolve`,
+  * resolve_inner :431; harvesting via SqlResource
+  * crates/dbt-jinja-utils/src/phases/parse/sql_resource.rs:12-36).
+  *
+  * Config precedence: project tree < properties yml < inline config()
+  * (mirrors the reference's merged configs in resolve_models.rs).
+  */
+object Resolver {
+
+  final case class Resolved(
+      project: Project,
+      nodes: Map[String, Node],
+      /** source name → table name → relation */
+      sources: Map[String, Map[String, Relation]])
+
+  def resolve(project: Project, targetSchema: String = "analytics",
+      env: Map[String, String] = sys.env): Resolved = {
+    val macroPrelude = project.macroSources.mkString("\n")
+
+    // --- sources from properties files --------------------------------
+    val sources: Map[String, Map[String, Relation]] =
+      project.properties.flatMap { props =>
+        Yaml.dig(props, "sources").toSeq.flatMap {
+          case srcs: Seq[_] => srcs.collect { case s: Map[_, _] =>
+            val sm = s.asInstanceOf[Map[String, Any]]
+            val srcName = Yaml.str(sm("name"))
+            val schema = Yaml.dig(sm, "schema").map(Yaml.str).getOrElse(srcName)
+            val tables = Yaml.dig(sm, "tables").toSeq.flatMap {
+              case ts: Seq[_] => ts.collect { case t: Map[_, _] =>
+                val tm = t.asInstanceOf[Map[String, Any]]
+                val tname = Yaml.str(tm("name"))
+                val ident = Yaml.dig(tm, "identifier").map(Yaml.str).getOrElse(tname)
+                // `external.location` points a source at a parquet path.
+                val loc = Yaml.dig(tm, "external", "location").map(Yaml.str)
+                tname -> Relation(None, schema, loc.getOrElse(ident),
+                  RelationType.External)
+              }
+              case _ => Nil
+            }
+            srcName -> tables.toMap
+          }
+          case _ => Nil
+        }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toMap }
+
+    // --- property-file configs per model ------------------------------
+    val propConfigs: Map[String, Map[String, Any]] =
+      project.properties.flatMap { props =>
+        Yaml.dig(props, "models").toSeq.flatMap {
+          case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            Yaml.str(mm("name")) -> (
+              Yaml.dig(mm, "config").map(_.asInstanceOf[Map[String, Any]])
+                .getOrElse(Map.empty))
+          }
+          case _ => Nil
+        }
+      }.toMap
+
+    // --- models -------------------------------------------------------
+    val modelNodes = project.models.map { case (name, raw) =>
+      val (bindings, harvest) = DbtContext.parseContext(project.vars, env)
+      try Jinja.render(macroPrelude + raw, bindings)
+      catch {
+        case e: Jinja.JinjaError =>
+          throw new IllegalArgumentException(s"model $name: ${e.msg}", e)
+      }
+      val h = harvest()
+      val projCfg = projectTreeConfig(project.modelConfigs, name)
+      val merged = projCfg ++ propConfigs.getOrElse(name, Map.empty) ++ h.configs
+      val cfg = toNodeConfig(merged)
+      val schema = cfg.schema.getOrElse(targetSchema)
+      val ident = cfg.alias.getOrElse(name)
+      Node(
+        uniqueId = s"model.${project.name}.$name",
+        name = name,
+        packageName = project.name,
+        kind = NodeKind.Model,
+        rawSql = raw,
+        path = project.modelFiles.getOrElse(name, ""),
+        config = cfg,
+        dependsOn =
+          h.refs.map { case (_, n) => s"model.${project.name}.$n" } ++
+            h.sources.map { case (s, t) => s"source.$s.$t" },
+        relation = Some(Relation(schema, ident)),
+        checksum = graft.jinja.Json.md5(raw + Yaml.str(merged)))
+    }
+
+    // --- seeds --------------------------------------------------------
+    val seedNodes = project.seeds.map { case (name, csvPath) =>
+      val cfg = toNodeConfig(projectTreeConfig(project.seedConfigs, name) ++
+        propConfigs.getOrElse(name, Map.empty))
+      Node(
+        uniqueId = s"seed.${project.name}.$name",
+        name = name,
+        packageName = project.name,
+        kind = NodeKind.Seed,
+        path = csvPath,
+        config = cfg.copy(materialized = "seed"),
+        relation = Some(Relation(cfg.schema.getOrElse(targetSchema),
+          cfg.alias.getOrElse(name))))
+    }
+
+    // --- snapshots (config block inside the body) ---------------------
+    val snapshotNodes = project.snapshots.map { case (name, raw) =>
+      val (bindings, harvest) = DbtContext.parseContext(project.vars, env)
+      Jinja.render(macroPrelude + raw, bindings)
+      val h = harvest()
+      val merged = propConfigs.getOrElse(name, Map.empty) ++ h.configs
+      val cfg0 = toNodeConfig(merged)
+      val snapCfg = SnapshotConfig(
+        strategy = Yaml.dig(merged, "strategy").map(Yaml.str).getOrElse("timestamp"),
+        uniqueKey = Yaml.dig(merged, "unique_key").map(Yaml.strSeq).getOrElse(Nil),
+        updatedAt = Yaml.dig(merged, "updated_at").map(Yaml.str),
+        checkCols = Yaml.dig(merged, "check_cols").map {
+          case "all" => None
+          case v => Some(Yaml.strSeq(v))
+        }.getOrElse(Some(Nil)).filter(_.nonEmpty),
+        hardDeletes = Yaml.dig(merged, "hard_deletes").map(v => HardDeletes.parse(Yaml.str(v)))
+          .getOrElse(HardDeletes.IgnoreDeletes))
+      Node(
+        uniqueId = s"snapshot.${project.name}.$name",
+        name = name,
+        packageName = project.name,
+        kind = NodeKind.Snapshot,
+        rawSql = raw,
+        config = cfg0.copy(materialized = "snapshot", snapshot = Some(snapCfg)),
+        dependsOn =
+          h.refs.map { case (_, n) => s"model.${project.name}.$n" } ++
+            h.sources.map { case (s, t) => s"source.$s.$t" },
+        relation = Some(Relation(cfg0.schema.getOrElse(targetSchema),
+          cfg0.alias.getOrElse(name))))
+    }
+
+    // --- generic tests from properties --------------------------------
+    val testNodes = project.properties.flatMap { props =>
+      Yaml.dig(props, "models").toSeq.flatMap {
+        case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val modelName = Yaml.str(mm("name"))
+          Yaml.dig(mm, "columns").toSeq.flatMap {
+            case cols: Seq[_] => cols.collect { case c: Map[_, _] =>
+              val cm = c.asInstanceOf[Map[String, Any]]
+              val colName = Yaml.str(cm("name"))
+              (Yaml.dig(cm, "tests").orElse(Yaml.dig(cm, "data_tests")).toSeq).flatMap {
+                case ts: Seq[_] => ts.map { t =>
+                  buildTestNode(project.name, modelName, colName, t)
+                }
+                case _ => Nil
+              }
+            }.flatten
+            case _ => Nil
+          }
+        }.flatten
+        case _ => Nil
+      }
+    }
+
+    val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes)
+      .map(n => n.uniqueId -> n).toMap
+    checkRelationUniqueness(all)
+    Resolved(project, all, sources)
+  }
+
+  /** `unique`/`not_null`/`accepted_values`/`relationships` entries on a
+    * column → test node (reference resolve_tests dir). */
+  private def buildTestNode(pkg: String, model: String, column: String,
+      spec: Any): Node = {
+    val (testName, params) = spec match {
+      case s: String => (s, Map.empty[String, Any])
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        val k = mm.keys.head
+        (k, mm(k) match {
+          case p: Map[_, _] => p.asInstanceOf[Map[String, Any]]
+          case _ => Map.empty[String, Any]
+        })
+      case other => throw new IllegalArgumentException(s"bad test spec: $other")
+    }
+    val cfg0 = params.get("config").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(Map.empty)
+    val cfg = toNodeConfig(cfg0).copy(
+      materialized = "test",
+      severity = (params.get("severity").orElse(cfg0.get("severity")))
+        .map(v => Severity.parse(Yaml.str(v))).getOrElse(Severity.Error),
+      where = (params.get("where").orElse(cfg0.get("where"))).map(Yaml.str),
+      extra = params)
+    Node(
+      uniqueId = s"test.$pkg.${testName}_${model}_$column",
+      name = s"${testName}_${model}_$column",
+      packageName = pkg,
+      kind = NodeKind.Test,
+      rawSql = testName, // generic test id; params in config.extra
+      config = cfg,
+      dependsOn = Seq(s"model.$pkg.$model") ++
+        params.get("to").map(v => refToUniqueId(pkg, Yaml.str(v))).toSeq,
+      columns = Map("column_name" -> column, "model" -> model))
+  }
+
+  private def refToUniqueId(pkg: String, refText: String): String = {
+    // "ref('nation')" inside relationships `to:`
+    val m = raw"ref\('([^']+)'\)".r
+    refText match {
+      case m(name) => s"model.$pkg.$name"
+      case other => s"model.$pkg.$other"
+    }
+  }
+
+  /** Walk the dbt_project.yml models: tree collecting +key configs that
+    * apply to `modelName` (flattened: we apply all subtree defaults, most
+    * specific last). */
+  private[resolve] def projectTreeConfig(tree: Map[String, Any],
+      modelName: String): Map[String, Any] = {
+    def walk(t: Map[String, Any]): Map[String, Any] = {
+      val here = t.collect { case (k, v) if k.startsWith("+") => k.drop(1) -> v }
+      val below = t.collectFirst {
+        case (k, v: Map[_, _]) if !k.startsWith("+") =>
+          walk(v.asInstanceOf[Map[String, Any]])
+      }.getOrElse(Map.empty)
+      here ++ below
+    }
+    walk(tree)
+  }
+
+  /** Dynamic config map → typed NodeConfig. */
+  def toNodeConfig(m: Map[String, Any]): NodeConfig = {
+    def s(k: String): Option[String] = m.get(k).map(Yaml.str)
+    NodeConfig(
+      materialized = s("materialized").getOrElse("view"),
+      enabled = m.get("enabled").forall(v => Yaml.str(v).toBoolean),
+      schema = s("schema"),
+      alias = s("alias"),
+      tags = m.get("tags").map(Yaml.strSeq).getOrElse(Nil),
+      preHook = m.get("pre_hook").orElse(m.get("pre-hook")).map(Yaml.strSeq).getOrElse(Nil),
+      postHook = m.get("post_hook").orElse(m.get("post-hook")).map(Yaml.strSeq).getOrElse(Nil),
+      incrementalStrategy = s("incremental_strategy").map(IncrementalStrategy.parse),
+      uniqueKey = m.get("unique_key").map(Yaml.strSeq).getOrElse(Nil),
+      mergeUpdateColumns = m.get("merge_update_columns").map(Yaml.strSeq).getOrElse(Nil),
+      mergeExcludeColumns = m.get("merge_exclude_columns").map(Yaml.strSeq).getOrElse(Nil),
+      incrementalPredicates = m.get("incremental_predicates").map(Yaml.strSeq).getOrElse(Nil),
+      onSchemaChange = s("on_schema_change").map(OnSchemaChange.parse)
+        .getOrElse(OnSchemaChange.Ignore),
+      fullRefresh = m.get("full_refresh").map(v => Yaml.str(v).toBoolean),
+      eventTime = s("event_time"),
+      batchSize = s("batch_size").map(BatchSize.parse),
+      lookback = m.get("lookback").map(Yaml.str(_).toInt).getOrElse(1),
+      begin = s("begin"),
+      partitionBy = m.get("partition_by").map(Yaml.strSeq).getOrElse(Nil),
+      columnTypes = m.get("column_types").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> Yaml.str(v) }).getOrElse(Map.empty),
+      quoteColumns = m.get("quote_columns").exists(v => Yaml.str(v).toBoolean),
+      severity = s("severity").map(Severity.parse).getOrElse(Severity.Error),
+      warnIf = s("warn_if").getOrElse("!= 0"),
+      errorIf = s("error_if").getOrElse("!= 0"),
+      failCalc = s("fail_calc").getOrElse("count(*)"),
+      limit = m.get("limit").map(Yaml.str(_).toInt),
+      where = s("where"),
+      storeFailures = m.get("store_failures").exists(v => Yaml.str(v).toBoolean),
+      extra = m)
+  }
+
+  /** Two enabled nodes must not materialize into the same relation
+    * (reference resolver.rs:788 check_relation_uniqueness). */
+  private def checkRelationUniqueness(nodes: Map[String, Node]): Unit = {
+    val clashes = nodes.values
+      .filter(n => n.config.enabled && n.relation.isDefined &&
+        n.kind != NodeKind.Test)
+      .groupBy(_.relation.get.key)
+      .filter(_._2.size > 1)
+    if (clashes.nonEmpty)
+      throw new IllegalStateException("relation uniqueness violated: " +
+        clashes.map { case (k, ns) =>
+          s"$k ← ${ns.map(_.uniqueId).mkString(", ")}"
+        }.mkString("; "))
+  }
+
+}

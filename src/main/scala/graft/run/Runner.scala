@@ -1,0 +1,296 @@
+package graft.run
+
+import graft.adapter.SparkAdapter
+import graft.core._
+import graft.jinja.{DbtContext, Jinja, Json}
+import graft.mat._
+import graft.project.Project
+import graft.resolve.{Dag, Resolver, Selector}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+/** Compile + schedule + execute the node DAG (reference: dbt run lifecycle,
+  * SURVEY §3.2 — Schedule crates/dbt-dag/src/schedule.rs:22, level
+  * parallelism deps_mgmt.rs:553, node statuses crates/dbt-common/src/
+  * stats.rs:11-45).
+  *
+  * Parallelism: topological levels fan out to a bounded thread pool, all
+  * submitting to the one SparkSession — each node runs in its own FAIR
+  * scheduler pool so one long CTAS doesn't starve the wave. Smart reuse:
+  * nodes whose checksum (raw SQL + config) and upstream checksums are
+  * unchanged since the recorded state are skipped
+  * (NodeStatus::ReusedNoChanges, stats.rs:11-33).
+  */
+final class Runner(
+    spark: SparkSession,
+    project: Project,
+    targetSchema: String = "analytics",
+    warehouseLocation: Option[String] = None,
+    threads: Int = 4,
+    stateDir: Option[String] = None,
+    now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())) {
+
+  val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
+  val resolved: Resolver.Resolved = Resolver.resolve(project, targetSchema)
+  val graph: Dag.Graph = Dag.fromNodes(resolved.nodes)
+  private val macroPrelude = project.macroSources.mkString("\n")
+
+  final case class NodeResult(uniqueId: String, status: String,
+      message: String, executionTimeMs: Long, reused: Boolean = false)
+
+  // ---- compilation -----------------------------------------------------
+
+  /** Render a node's Jinja to executable Spark SQL. Ephemeral refs inline
+    * as CTEs (reference: compile_node_context.rs:190-208 ref validation +
+    * ephemeral CTE injection). */
+  def compileSql(node: Node, forUnitTest: Map[String, String] = Map.empty): String = {
+    val ctes = mutable.LinkedHashMap.empty[String, String]
+    def resolveRef(pkg: Option[String], name: String): String = {
+      val uid = s"model.${project.name}.$name"
+      if (!node.dependsOn.contains(uid))
+        throw new IllegalStateException(
+          s"node ${node.uniqueId} refs undeclared '$name' — not in depends_on")
+      forUnitTest.get(name) match {
+        case Some(fixture) => fixture
+        case None =>
+          val target = resolved.nodes(uid)
+          if (target.isEphemeral) {
+            val cteName = s"__dbt__cte__$name"
+            if (!ctes.contains(cteName))
+              ctes(cteName) = compileSql(target) // nested ephemerals recurse
+            cteName
+          } else target.relation.get.fqn
+      }
+    }
+    def resolveSource(src: String, tbl: String): String =
+      resolved.sources.get(src).flatMap(_.get(tbl)) match {
+        case Some(rel) if rel.relType == RelationType.External &&
+            rel.identifier.contains("/") =>
+          // external location → direct parquet scan
+          s"parquet.`${rel.identifier}`"
+        case Some(rel) => rel.fqn
+        case None => throw new IllegalStateException(s"unknown source $src.$tbl")
+      }
+
+    val isIncr = IncrementalMat.isIncremental(adapter, node.relation.get,
+      fullRefresh = false, node.config.materialized)
+    val bindings = DbtContext.runContext(
+      adapter, node.relation.get, resolveRef, resolveSource,
+      isIncr, node.config.extra, project.vars)
+    val body = Jinja.render(macroPrelude + node.rawSql, bindings).trim
+    if (ctes.isEmpty) body
+    else {
+      val cteSql = ctes.map { case (n, sql) => s"$n AS (\n$sql\n)" }.mkString(", ")
+      // Merge with an existing WITH clause if the body has one.
+      if (body.toLowerCase.startsWith("with "))
+        s"WITH $cteSql, ${body.substring(5)}"
+      else s"WITH $cteSql\n$body"
+    }
+  }
+
+  // ---- single-node execution -------------------------------------------
+
+  def runNode(node: Node, fullRefresh: Boolean = false): NodeResult = {
+    val t0 = System.nanoTime()
+    def done(status: String, msg: String = "") =
+      NodeResult(node.uniqueId, status, msg, (System.nanoTime() - t0) / 1000000)
+    Try {
+      node.config.preHook.foreach(h => adapter.execute(renderHook(h, node), fetch = false))
+      val r = node.kind match {
+        case NodeKind.Model =>
+          val sql = compileSql(node)
+          val ctx = MatContext(adapter, node.copy(rawSql = sql),
+            node.relation.get, () => spark.sql(sql), fullRefresh, now)
+          node.config.materialized match {
+            case "incremental" if node.config.incrementalStrategy
+                .contains(IncrementalStrategy.Microbatch) =>
+              MicrobatchRunner.run(ctx)
+            case m => Materializations.resolve(m).run(ctx)
+          }
+        case NodeKind.Seed =>
+          SeedMat.run(MatContext(adapter, node, node.relation.get,
+            () => SeedMat.load(spark, node.path, node.config), fullRefresh, now))
+        case NodeKind.Snapshot =>
+          val sql = compileSql(node)
+          SnapshotMat.run(MatContext(adapter, node.copy(rawSql = sql),
+            node.relation.get, () => spark.sql(sql), fullRefresh, now))
+        case NodeKind.Test => runTestNode(node)
+        case other => MatResult(node.relation.getOrElse(Relation("", node.name)),
+          "skipped", s"${other.name} nodes are not executable")
+      }
+      node.config.postHook.foreach(h => adapter.execute(renderHook(h, node), fetch = false))
+      r
+    } match {
+      case Success(r) => done(r.status, r.message)
+      case Failure(e) => done("error", Option(e.getMessage).getOrElse(e.toString))
+    }
+  }
+
+  private def renderHook(hook: String, node: Node): String =
+    Jinja.render(hook, DbtContext.runContext(adapter, node.relation.get,
+      (_, n) => resolved.nodes.get(s"model.${project.name}.$n")
+        .flatMap(_.relation).map(_.fqn).getOrElse(n),
+      (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
+      isIncremental = false, node.config.extra, project.vars))
+
+  private def runTestNode(node: Node): MatResult = {
+    val modelName = node.columns("model")
+    val column = node.columns("column_name")
+    val modelRel = resolved.nodes(s"model.${project.name}.$modelName").relation.get
+    val df0 = adapter.read(modelRel)
+    val df = node.config.where.map(df0.filter).getOrElse(df0)
+    val failing = node.rawSql match {
+      case "unique" => GenericTests.unique(df, column)
+      case "not_null" => GenericTests.notNull(df, column)
+      case "accepted_values" =>
+        val values = node.config.extra.get("values").map {
+          case s: Seq[_] => s.asInstanceOf[Seq[Any]]
+          case one => Seq(one)
+        }.getOrElse(Nil)
+        GenericTests.acceptedValues(df, column, values)
+      case "relationships" =>
+        val toUid = node.dependsOn.find(_ != s"model.${project.name}.$modelName")
+          .getOrElse(throw new IllegalStateException("relationships needs `to`"))
+        val parentRel = resolved.nodes(toUid).relation.get
+        val field = node.config.extra.get("field").map(_.toString).getOrElse("id")
+        GenericTests.relationships(df, column, adapter.read(parentRel), field)
+      case other =>
+        throw new IllegalArgumentException(s"unknown generic test: $other")
+    }
+    val res = TestMat.run(spark, failing, node.config,
+      Some(adapter),
+      Some(Relation(targetSchema + "_failures", node.name)))
+    MatResult(modelRel, res.status, s"failures=${res.failures}")
+  }
+
+  // ---- scheduling -------------------------------------------------------
+
+  /** Execute selected nodes in topological waves with bounded parallelism.
+    * Nodes whose upstream failed are skipped; unchanged nodes (per recorded
+    * state) are reused. */
+  def run(select: Option[String] = None, fullRefresh: Boolean = false,
+      enableReuse: Boolean = false): Seq[NodeResult] = {
+    val selected: Set[String] = select match {
+      case Some(s) =>
+        Selector.select(Selector.parse(s), resolved.nodes, graph, prevState())
+      case None => resolved.nodes.keySet
+    }
+    val runnable = resolved.nodes.view.filterKeys(selected).toMap
+      .filter { case (_, n) => n.config.enabled && !n.isEphemeral }
+    val sliced = graph.slice(runnable.keySet)
+    val prev = if (enableReuse) prevState() else Map.empty[String, String]
+
+    val pool = Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = new ConcurrentHashMap[String, NodeResult]()
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    try {
+      sliced.topologicalLevels().foreach { level =>
+        val futures = level.map { id =>
+          Future {
+            val node = runnable(id)
+            val upstreamFailed = sliced.deps.getOrElse(id, Nil).exists(failed.contains)
+            val result =
+              if (upstreamFailed)
+                NodeResult(id, "skipped", "upstream failure", 0)
+              else if (enableReuse && prev.get(id).contains(stateHash(node, prev)) &&
+                  node.relation.exists(adapter.relationExists))
+                NodeResult(id, "success", "reused: no changes", 0, reused = true)
+              else {
+                // Per-node FAIR pool so concurrent nodes share the cluster.
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", id)
+                try runNode(node, fullRefresh)
+                finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+              }
+            if (result.status == "error" || result.status == "fail")
+              failed.add(id)
+            results.put(id, result)
+          }
+        }
+        Await.result(Future.sequence(futures), Duration.Inf)
+      }
+    } finally pool.shutdown()
+
+    val out = results.values().asScala.toSeq.sortBy(_.uniqueId)
+    stateDir.foreach(saveState(out, _))
+    out
+  }
+
+  // ---- smart reuse state (reference: Changeset changeset.rs:10-18,
+  // DbtChecksum common.rs:672) --------------------------------------------
+
+  /** Hash covering the node AND its upstream state. */
+  private def stateHash(node: Node, prev: Map[String, String]): String =
+    Json.md5(node.checksum +
+      node.dependsOn.sorted.map(d => prev.getOrElse(d, "")).mkString("|"))
+
+  private def prevState(): Map[String, String] = stateDir match {
+    case Some(dir) =>
+      val p = Paths.get(dir, "state.json")
+      if (Files.exists(p))
+        Json.parse(Files.readString(p)).asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString }
+      else Map.empty
+    case None => Map.empty
+  }
+
+  private def saveState(results: Seq[NodeResult], dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val prev = prevState()
+    val state = resolved.nodes.collect {
+      case (id, n) if results.exists(r => r.uniqueId == id && r.status == "success") =>
+        id -> stateHash(n, prev)
+    }
+    Files.writeString(Paths.get(dir, "state.json"), Json.write(state))
+  }
+
+  // ---- artifacts (reference: RunResultsArtifact run_results.rs:169,
+  // manifest v12 schemas/manifest/manifest.rs) ----------------------------
+
+  def writeRunResults(results: Seq[NodeResult], outPath: String): Unit = {
+    val json = Map(
+      "metadata" -> Map(
+        "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/run-results/v6.json",
+        "generated_by" -> "graft"),
+      "elapsed_time" -> results.map(_.executionTimeMs).sum / 1000.0,
+      "results" -> results.map(r => Map(
+        "unique_id" -> r.uniqueId,
+        "status" -> r.status,
+        "message" -> r.message,
+        "execution_time" -> r.executionTimeMs / 1000.0,
+        "reused" -> r.reused)))
+    Files.writeString(Paths.get(outPath), Json.write(json))
+  }
+
+  def writeManifest(outPath: String): Unit = {
+    val json = Map(
+      "metadata" -> Map(
+        "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/manifest/v12.json",
+        "project_name" -> project.name),
+      "nodes" -> resolved.nodes.map { case (id, n) => id -> Map(
+        "unique_id" -> id,
+        "name" -> n.name,
+        "resource_type" -> n.kind.name,
+        "package_name" -> n.packageName,
+        "path" -> n.path,
+        "checksum" -> n.checksum,
+        "config" -> Map(
+          "materialized" -> n.config.materialized,
+          "tags" -> n.config.tags),
+        "depends_on" -> Map("nodes" -> n.dependsOn),
+        "relation_name" -> n.relation.map(_.fqn).orNull)
+      },
+      "sources" -> resolved.sources.map { case (s, ts) =>
+        s -> ts.map { case (t, rel) => t -> rel.key }
+      })
+    Files.writeString(Paths.get(outPath), Json.write(json))
+  }
+}
