@@ -14,7 +14,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalPack,
     MaterializationPack,
-    IncrementalPack
+    IncrementalPack,
+    FuncsPack,
+    EnginePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

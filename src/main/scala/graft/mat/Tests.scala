@@ -85,7 +85,7 @@ object TestMat {
 
   /** Evaluate "!= 0", "> 10", ">= 5" style threshold snippets against the
     * fail_calc result (helpers.sql:7-16). */
-  private[mat] def evalThreshold(value: Long, snippet: String): Boolean = {
+  private[graft] def evalThreshold(value: Long, snippet: String): Boolean = {
     val m = raw"\s*(!=|>=|<=|=|>|<)\s*(-?\d+)\s*".r
     snippet match {
       case m(op, n) =>

@@ -1,0 +1,114 @@
+package graft.packs
+
+import graft.project.ProjectLoader
+import graft.run.Runner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+
+/** The whole engine end-to-end (SURVEY §3): a dbt-style project is written
+  * to disk, loaded, Jinja-compiled (ref/source/config/var/is_incremental,
+  * user macro, ephemeral CTE inlining), resolved into a DAG and executed by
+  * the parallel runner — the oracle recomputes the final mart relationally.
+  * This is the engine's `dbt build` path, driven as one query. */
+object EnginePack extends QueryPack {
+
+  private def write(dir: Path, rel: String, content: String): Unit = {
+    val p = dir.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_engine_pipeline" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_proj")
+      write(proj, "dbt_project.yml",
+        """name: demo
+          |model-paths: ["models"]
+          |vars:
+          |  min_year: 1996
+          |models:
+          |  demo:
+          |    +materialized: view
+          |    marts:
+          |      +materialized: table
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    schema: tpch
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |      - name: customer
+           |        external:
+           |          location: "$dir/customer.parquet"
+           |""".stripMargin)
+      write(proj, "macros/money.sql",
+        """{% macro to_money(col) %}round({{ col }}, 2){% endmacro %}""")
+      write(proj, "models/staging/stg_orders.sql",
+        """select
+          |  o_orderkey as order_id,
+          |  o_custkey as customer_id,
+          |  o_orderstatus as status,
+          |  {{ to_money('o_totalprice') }} as amount,
+          |  o_orderdate as ordered_at
+          |from {{ source('tpch', 'orders') }}
+          |where year(o_orderdate) >= {{ var('min_year') }}
+          |""".stripMargin)
+      write(proj, "models/staging/stg_customers.sql",
+        """select c_custkey as customer_id, c_name as name,
+          |       c_mktsegment as segment
+          |from {{ source('tpch', 'customer') }}
+          |""".stripMargin)
+      write(proj, "models/staging/eph_open_orders.sql",
+        """{{ config(materialized='ephemeral') }}
+          |select * from {{ ref('stg_orders') }} where status = 'O'
+          |""".stripMargin)
+      write(proj, "models/marts/customer_revenue.sql",
+        """{{ config(materialized='table') }}
+          |select c.segment,
+          |       cast(sum(cast(o.amount as decimal(18,4))) as double) as open_revenue,
+          |       count(*) as n_orders
+          |from {{ ref('eph_open_orders') }} o
+          |join {{ ref('stg_customers') }} c on o.customer_id = c.customer_id
+          |group by c.segment
+          |""".stripMargin)
+
+      val schema = "g_engine_pipeline"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_engine_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc), threads = 4)
+      val results = runner.run()
+      val bad = results.filter(r => r.status != "success")
+      if (bad.nonEmpty)
+        throw new IllegalStateException("pipeline failures: " +
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "customer_revenue"))
+        .orderBy("segment")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_engine_pipeline" ->
+      """WITH stg_orders AS (
+        |  SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+        |         o_orderstatus AS status, round(o_totalprice, 2) AS amount,
+        |         o_orderdate AS ordered_at
+        |  FROM orders WHERE year(o_orderdate) >= 1996),
+        |stg_customers AS (
+        |  SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment
+        |  FROM customer),
+        |open_orders AS (SELECT * FROM stg_orders WHERE status = 'O')
+        |SELECT c.segment,
+        |  CAST(SUM(CAST(o.amount AS DECIMAL(18,4))) AS DOUBLE) AS open_revenue,
+        |  COUNT(*) AS n_orders
+        |FROM open_orders o JOIN stg_customers c ON o.customer_id = c.customer_id
+        |GROUP BY c.segment
+        |ORDER BY segment""".stripMargin
+  )
+}

@@ -74,7 +74,8 @@ object Resolver {
           throw new IllegalArgumentException(s"model $name: ${e.msg}", e)
       }
       val h = harvest()
-      val projCfg = projectTreeConfig(project.modelConfigs, name)
+      val projCfg = projectTreeConfig(project.modelConfigs,
+        pathSegments(project, name))
       val merged = projCfg ++ propConfigs.getOrElse(name, Map.empty) ++ h.configs
       val cfg = toNodeConfig(merged)
       val schema = cfg.schema.getOrElse(targetSchema)
@@ -96,8 +97,9 @@ object Resolver {
 
     // --- seeds --------------------------------------------------------
     val seedNodes = project.seeds.map { case (name, csvPath) =>
-      val cfg = toNodeConfig(projectTreeConfig(project.seedConfigs, name) ++
-        propConfigs.getOrElse(name, Map.empty))
+      val cfg = toNodeConfig(
+        projectTreeConfig(project.seedConfigs, Seq(project.name)) ++
+          propConfigs.getOrElse(name, Map.empty))
       Node(
         uniqueId = s"seed.${project.name}.$name",
         name = name,
@@ -214,20 +216,42 @@ object Resolver {
     }
   }
 
-  /** Walk the dbt_project.yml models: tree collecting +key configs that
-    * apply to `modelName` (flattened: we apply all subtree defaults, most
-    * specific last). */
-  private[resolve] def projectTreeConfig(tree: Map[String, Any],
-      modelName: String): Map[String, Any] = {
-    def walk(t: Map[String, Any]): Map[String, Any] = {
-      val here = t.collect { case (k, v) if k.startsWith("+") => k.drop(1) -> v }
-      val below = t.collectFirst {
-        case (k, v: Map[_, _]) if !k.startsWith("+") =>
-          walk(v.asInstanceOf[Map[String, Any]])
-      }.getOrElse(Map.empty)
-      here ++ below
+  /** The config-tree path of a model: project name + subdirectories of its
+    * file under the model path (dbt scopes dbt_project.yml configs by
+    * directory). */
+  private def pathSegments(project: Project, modelName: String): Seq[String] = {
+    val file = project.modelFiles.getOrElse(modelName, "")
+    val rel = project.modelPaths
+      .map(mp => java.nio.file.Paths.get(project.root, mp))
+      .collectFirst {
+        case mp if file.startsWith(mp.toString) =>
+          mp.relativize(java.nio.file.Paths.get(file))
+      }
+    val dirs = rel.toSeq.flatMap { p =>
+      (0 until math.max(0, p.getNameCount - 1)).map(i => p.getName(i).toString)
     }
-    walk(tree)
+    project.name +: dirs
+  }
+
+  /** Walk the dbt_project.yml models: tree along the model's directory
+    * path, collecting +key configs — outer scopes first so deeper (more
+    * specific) settings win. */
+  private[graft] def projectTreeConfig(tree: Map[String, Any],
+      segments: Seq[String]): Map[String, Any] = {
+    def plusKeys(t: Map[String, Any]): Map[String, Any] =
+      t.collect { case (k, v) if k.startsWith("+") => k.drop(1) -> v }
+    var acc = plusKeys(tree)
+    var cur: Map[String, Any] = tree
+    segments.foreach { seg =>
+      cur.get(seg) match {
+        case Some(sub: Map[_, _]) =>
+          cur = sub.asInstanceOf[Map[String, Any]]
+          acc = acc ++ plusKeys(cur)
+        case _ =>
+          cur = Map.empty
+      }
+    }
+    acc
   }
 
   /** Dynamic config map → typed NodeConfig. */

@@ -58,14 +58,17 @@ object Selector {
       specs.map(select(_, nodes, graph, prevChecksums)).reduce(_ intersect _)
     case a: Atom =>
       val base = matchAtom(a.raw, nodes, prevChecksums)
-      if (a.atOperator) base.flatMap(graph.atClosure)
-      else {
-        val up = a.parentsDepth
-          .map(d => base.flatMap(graph.upstream(_, d))).getOrElse(Set.empty)
-        val down = a.childrenDepth
-          .map(d => base.flatMap(graph.downstream(_, d))).getOrElse(Set.empty)
-        base ++ up ++ down
-      }
+      val expanded =
+        if (a.atOperator) base.flatMap(graph.atClosure)
+        else {
+          val up = a.parentsDepth
+            .map(d => base.flatMap(graph.upstream(_, d))).getOrElse(Set.empty)
+          val down = a.childrenDepth
+            .map(d => base.flatMap(graph.downstream(_, d))).getOrElse(Set.empty)
+          base ++ up ++ down
+        }
+      // graph closures may pull in source.* vertices — selection is nodes only
+      expanded.filter(nodes.contains)
   }
 
   private def matchAtom(raw: String, nodes: Map[String, Node],

@@ -1,0 +1,99 @@
+package graft
+
+import graft.core._
+import graft.mat.{MicrobatchRunner, TestMat}
+import graft.resolve.Resolver
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineUnitSpec extends AnyFunSuite {
+
+  test("relation fqn quoting") {
+    assert(Relation("analytics", "orders").fqn == "analytics.orders")
+    assert(Relation("an-schema", "my table").fqn == "`an-schema`.`my table`")
+    assert(Relation(Some("cat"), "s", "t").fqn == "cat.s.t")
+    assert(Relation("s", "t").intermediate.identifier == "t__dbt_tmp")
+    assert(Relation("s", "t").backup.identifier == "t__dbt_backup")
+  }
+
+  test("threshold expressions") {
+    assert(TestMat.evalThreshold(5, "!= 0"))
+    assert(!TestMat.evalThreshold(0, "!= 0"))
+    assert(TestMat.evalThreshold(11, "> 10"))
+    assert(!TestMat.evalThreshold(10, "> 10"))
+    assert(TestMat.evalThreshold(10, ">= 10"))
+    assert(TestMat.evalThreshold(3, "< 5"))
+    assert(TestMat.evalThreshold(7, "= 7"))
+    assertThrows[IllegalArgumentException](TestMat.evalThreshold(1, "bogus"))
+  }
+
+  test("enum parsing round-trips") {
+    assert(IncrementalStrategy.parse("delete+insert") == IncrementalStrategy.DeleteInsert)
+    assert(OnSchemaChange.parse("append_new_columns") == OnSchemaChange.AppendNewColumns)
+    assert(HardDeletes.parse("new_record") == HardDeletes.NewRecord)
+    assert(BatchSize.parse("month") == BatchSize.Month)
+    assertThrows[IllegalArgumentException](IncrementalStrategy.parse("upsert"))
+  }
+
+  test("microbatch window computation: first run from begin") {
+    val bs = MicrobatchRunner.batches(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-04 00:00:00"),
+      BatchSize.Day, lookback = 1, lastRunEnd = None)
+    assert(bs.map(_.start.toString.take(10)) == Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(bs.head.end == java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+  }
+
+  test("microbatch window computation: lookback reopens completed batches") {
+    val bs = MicrobatchRunner.batches(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-06 00:00:00"),
+      BatchSize.Day, lookback = 2,
+      lastRunEnd = Some(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
+    // restart 2 days before Jan 4 → Jan 2,3,4,5
+    assert(bs.map(_.start.toString.take(10)) ==
+      Seq("2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+  }
+
+  test("microbatch hour granularity truncates correctly") {
+    val bs = MicrobatchRunner.batches(
+      java.sql.Timestamp.valueOf("2024-01-01 05:30:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 08:00:00"),
+      BatchSize.Hour, lookback = 0, lastRunEnd = None)
+    assert(bs.map(_.start.toString.substring(11, 13)) == Seq("05", "06", "07"))
+  }
+
+  test("config tree walking scopes by directory path") {
+    val tree = Map(
+      "+materialized" -> "view",
+      "demo" -> Map(
+        "staging" -> Map("+tags" -> Vector("stg")),
+        "marts" -> Map("+materialized" -> "table")))
+    val stg = Resolver.projectTreeConfig(tree, Seq("demo", "staging"))
+    assert(stg("materialized") == "view")
+    assert(stg("tags") == Vector("stg"))
+    val mart = Resolver.projectTreeConfig(tree, Seq("demo", "marts"))
+    assert(mart("materialized") == "table")
+    assert(!mart.contains("tags"))
+  }
+
+  test("toNodeConfig maps the full surface") {
+    val cfg = Resolver.toNodeConfig(Map(
+      "materialized" -> "incremental",
+      "incremental_strategy" -> "merge",
+      "unique_key" -> Vector("id", "ts"),
+      "merge_exclude_columns" -> "created_at",
+      "on_schema_change" -> "sync_all_columns",
+      "partition_by" -> "event_date",
+      "tags" -> Vector("hourly"),
+      "severity" -> "warn",
+      "warn_if" -> "> 5"))
+    assert(cfg.materialized == "incremental")
+    assert(cfg.incrementalStrategy.contains(IncrementalStrategy.Merge))
+    assert(cfg.uniqueKey == Seq("id", "ts"))
+    assert(cfg.mergeExcludeColumns == Seq("created_at"))
+    assert(cfg.onSchemaChange == OnSchemaChange.SyncAllColumns)
+    assert(cfg.partitionBy == Seq("event_date"))
+    assert(cfg.severity == Severity.Warn)
+    assert(cfg.warnIf == "> 5")
+  }
+}

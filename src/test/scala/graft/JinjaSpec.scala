@@ -1,0 +1,109 @@
+package graft
+
+import graft.jinja.{DbtContext, Jinja}
+import org.scalatest.funsuite.AnyFunSuite
+
+class JinjaSpec extends AnyFunSuite {
+
+  private def r(tpl: String, vars: Map[String, Any] = Map.empty): String =
+    Jinja.render(tpl, vars)
+
+  test("literal text passes through") {
+    assert(r("select 1") == "select 1")
+  }
+
+  test("expression interpolation and arithmetic") {
+    assert(r("{{ 1 + 2 * 3 }}") == "7")
+    assert(r("{{ (1 + 2) * 3 }}") == "9")
+    assert(r("{{ 7 // 2 }}") == "3")
+    assert(r("{{ 'a' ~ 'b' ~ 1 }}") == "ab1")
+    assert(r("{{ x }}", Map("x" -> "hi")) == "hi")
+  }
+
+  test("if/elif/else with comparisons and logic") {
+    val t = "{% if n > 10 %}big{% elif n > 5 %}mid{% else %}small{% endif %}"
+    assert(r(t, Map("n" -> 20L)) == "big")
+    assert(r(t, Map("n" -> 7L)) == "mid")
+    assert(r(t, Map("n" -> 1L)) == "small")
+    assert(r("{% if a and not b %}y{% endif %}", Map("a" -> true, "b" -> false)) == "y")
+  }
+
+  test("for with loop variables and else") {
+    assert(r("{% for x in xs %}{{ loop.index }}:{{ x }}{% if not loop.last %},{% endif %}{% endfor %}",
+      Map("xs" -> Vector("a", "b", "c"))) == "1:a,2:b,3:c")
+    assert(r("{% for x in xs %}{{ x }}{% else %}none{% endfor %}",
+      Map("xs" -> Vector())) == "none")
+  }
+
+  test("set mutates enclosing scope") {
+    assert(r("{% set x = 1 %}{% if true %}{% set x = 2 %}{% endif %}{{ x }}") == "2")
+    assert(r("{% set parts %}a-b{% endset %}{{ parts }}") == "a-b")
+  }
+
+  test("macro definition and call with defaults and kwargs") {
+    val t = "{% macro greet(name, punct='!') %}hi {{ name }}{{ punct }}{% endmacro %}" +
+      "{{ greet('bob') }} {{ greet('eve', punct='?') }}"
+    assert(r(t) == "hi bob! hi eve?")
+  }
+
+  test("filters") {
+    assert(r("{{ 'AbC' | lower }}") == "abc")
+    assert(r("{{ xs | join(', ') }}", Map("xs" -> Vector("a", "b"))) == "a, b")
+    assert(r("{{ missing | default('dflt') }}") == "dflt")
+    assert(r("{{ xs | length }}", Map("xs" -> Vector(1L, 2L, 3L))) == "3")
+    assert(r("{{ xs | sort | first }}", Map("xs" -> Vector("b", "a"))) == "a")
+    assert(r("{{ m | tojson }}", Map("m" -> Map("k" -> 1L))) == "{\"k\": 1}")
+    assert(r("{{ xs | map(attribute='n') | join(',') }}",
+      Map("xs" -> Vector(Map("n" -> "x"), Map("n" -> "y")))) == "x,y")
+    assert(r("{{ xs | selectattr('ok', 'true') | length }}",
+      Map("xs" -> Vector(Map("ok" -> true), Map("ok" -> false)))) == "1")
+  }
+
+  test("tests and membership") {
+    assert(r("{% if x is defined %}y{% else %}n{% endif %}", Map("x" -> 1L)) == "y")
+    assert(r("{% if y is defined %}y{% else %}n{% endif %}") == "n")
+    assert(r("{% if v is none %}null{% endif %}", Map("v" -> null)) == "null")
+    assert(r("{% if 'a' in xs %}has{% endif %}", Map("xs" -> Vector("a"))) == "has")
+    assert(r("{% if 3 not in xs %}no{% endif %}", Map("xs" -> Vector(1L))) == "no")
+  }
+
+  test("dict and list literals, indexing, inline if") {
+    assert(r("{{ {'a': 1}['a'] }}") == "1")
+    assert(r("{{ [10, 20][1] }}") == "20")
+    assert(r("{{ [10, 20][-1] }}") == "20")
+    assert(r("{{ 'yes' if 2 > 1 else 'no' }}") == "yes")
+  }
+
+  test("comments and whitespace control") {
+    assert(r("a{# hidden #}b") == "ab")
+    assert(r("a  {{- 'x' -}}  b") == "axb")
+    assert(r("{% raw %}{{ not_evaluated }}{% endraw %}") == "{{ not_evaluated }}")
+  }
+
+  test("dbt parse context harvests refs, sources, configs") {
+    val (bindings, harvest) = DbtContext.parseContext(Map("v1" -> 42L))
+    val out = Jinja.render(
+      "{{ config(materialized='incremental', unique_key='id') }}" +
+        "select * from {{ ref('stg_orders') }} " +
+        "join {{ source('tpch', 'nation') }} where x = {{ var('v1') }}",
+      bindings)
+    val h = harvest()
+    assert(h.refs == Seq((None, "stg_orders")))
+    assert(h.sources == Seq(("tpch", "nation")))
+    assert(h.configs == Map("materialized" -> "incremental", "unique_key" -> "id"))
+    assert(out.contains("__ref__stg_orders__"))
+    assert(out.contains("where x = 42"))
+  }
+
+  test("is_incremental guard renders both branches correctly") {
+    val t = "select * from t{% if is_incremental() %} where ts > (select max(ts) from {{ this }}){% endif %}"
+    val (parseB, _) = DbtContext.parseContext()
+    assert(Jinja.render(t, parseB) == "select * from t")
+  }
+
+  test("string methods") {
+    assert(r("{{ 'a b'.replace(' ', '_') }}") == "a_b")
+    assert(r("{{ s.upper() }}", Map("s" -> "x")) == "X")
+    assert(r("{{ ', '.join(xs) }}", Map("xs" -> Vector("a", "b"))) == "a, b")
+  }
+}
