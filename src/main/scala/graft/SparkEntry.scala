@@ -16,7 +16,8 @@ object SparkEntry {
     MaterializationPack,
     IncrementalPack,
     FuncsPack,
-    EnginePack
+    EnginePack,
+    PipelinePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

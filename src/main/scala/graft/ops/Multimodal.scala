@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns traveling next to typed
+  * metadata — the layout used by large-scale multimodal training pipelines
+  * (and by Spark's own `binaryFile` source). The Spark-side machinery here
+  * is real and tested: schema, partition-friendly batch processing via
+  * mapPartitions over an iterator (the Scala analogue of the mapInPandas
+  * batch shape), and deterministic metadata extraction. The actual codec
+  * work is STUBBED — this container has no image/audio libraries — behind
+  * [[StubCodec]], which parses a tiny deterministic fake header instead of
+  * invoking a decoder. Swap `StubCodec.decode` for a real JNI/lib call and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** media row: payload + declared type; metadata struct filled by decode. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType)))
+
+  /** Deterministic fake codec. Header layout (all big-endian):
+    * bytes 0-3 magic "GRFT", 4-7 width, 8-11 height, 12-15 channels;
+    * the remainder is "pixel" data. A real implementation would call an
+    * image library here — the `???`-equivalent boundary is this object. */
+  object StubCodec {
+    final case class Meta(width: Int, height: Int, channels: Int,
+        nBytes: Long, checksum: Long, valid: Boolean)
+
+    def encode(width: Int, height: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + body.length)
+      bb.put("GRFT".getBytes("ASCII")).putInt(width).putInt(height)
+        .putInt(channels).put(body)
+      bb.array()
+    }
+
+    /** STUB decode: validates the fake header and derives metadata. */
+    def decode(payload: Array[Byte]): Meta = {
+      if (payload == null || payload.length < 16 ||
+          new String(payload.take(4), "ASCII") != "GRFT")
+        return Meta(0, 0, 0, if (payload == null) 0 else payload.length, 0L, valid = false)
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      bb.position(4)
+      val (w, h, c) = (bb.getInt, bb.getInt, bb.getInt)
+      // cheap deterministic checksum standing in for perceptual hashing
+      var sum = 1469598103934665603L
+      var i = 16
+      while (i < payload.length) { sum = (sum ^ payload(i)) * 1099511628211L; i += 1 }
+      Meta(w, h, c, payload.length.toLong, sum, valid = true)
+    }
+
+    /** STUB resize: a real implementation re-encodes pixels; the stub
+      * rewrites the header and truncates/pads the body proportionally so
+      * the plumbing (size changes, schema stays) is exercised. */
+    def resize(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      val m = decode(payload)
+      if (!m.valid) return payload
+      val scale = (newW.toLong * newH) / math.max(1L, m.width.toLong * m.height)
+      val body = payload.drop(16)
+      val newBody = Array.tabulate(
+        math.max(1, (body.length * math.max(1L, scale)).toInt min body.length))(
+        i => body(i % math.max(1, body.length)))
+      encode(newW, newH, m.channels, newBody)
+    }
+  }
+
+  /** Build a deterministic media table from the documents table: the text
+    * bytes become the "pixels". Stands in for `spark.read.format
+    * ("binaryFile")` against a real media lake. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val enc = udf { (docId: Long, text: String) =>
+      val body = text.getBytes("UTF-8")
+      StubCodec.encode((docId % 640).toInt + 1, (docId % 480).toInt + 1, 3, body)
+    }
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("media_type"),
+      enc(col("doc_id"), col("text")).as("payload"))
+  }
+
+  private val metaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", LongType),
+    StructField("valid", BooleanType)))
+
+  /** Batch decode via mapPartitions — one codec context per partition, rows
+    * streamed through it (the Scala shape of a pandas-batch UDF: amortized
+    * setup, iterator in / iterator out, no per-row driver work). */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "media_type", "payload").rdd
+      .mapPartitions { rows =>
+        // a real codec would init native handles here, once per partition
+        rows.map { r =>
+          val m = StubCodec.decode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), r.getString(1), m.width, m.height, m.channels,
+            m.nBytes, m.checksum, m.valid)
+        }
+      }
+    spark.createDataFrame(rdd, metaSchema)
+  }
+
+  /** Frame-sample stub: pick every `stride`-th byte offset as a "frame"
+    * marker — exercises the explode-to-frames shape (one media row → N
+    * frame rows) used by video pipelines. */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("frame_no", explode(expr(
+        s"sequence(0, greatest(cast((n_bytes - 16) / $stride AS INT) - 1, 0))")))
+      .select(col("doc_id"), col("media_type"), col("frame_no"),
+        (col("frame_no") * stride + 16).as("byte_offset"))
+}

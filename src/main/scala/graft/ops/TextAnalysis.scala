@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen'd, map-side, no shuffle) with DuckDB-reproducible
+  * arithmetic. */
+object TextAnalysis {
+
+  /** Tiny built-in marker lexicons (function words per language). A real
+    * deployment swaps in a trained n-gram model; the operator shape —
+    * score-per-language then argmax with deterministic tie-break — is the
+    * same. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def hitCount(tokensExpr: String, words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter($tokensExpr, t -> t IN ($list)))"
+  }
+
+  /** Predicted language: argmax marker-hit count, ties→lexicographic code,
+    * zero hits→'und'. */
+  def languageId(textCol: String): Column = {
+    val toks = s"split(lower($textCol), ' ')"
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"struct(${hitCount(toks, ws)} AS hits, '$lang' AS lang)"
+    }.mkString(", ")
+    // array_max on structs: (hits, lang) — max hits, then max lang; to get
+    // lexicographic-min tie-break we compare on (hits, negated rank) — use
+    // sort + last for total determinism instead.
+    expr(
+      s"""CASE WHEN array_max(array($scored)).hits = 0 THEN 'und'
+         |ELSE element_at(array_sort(array($scored),
+         |  (l, r) -> CASE WHEN l.hits < r.hits THEN -1
+         |                 WHEN l.hits > r.hits THEN 1
+         |                 WHEN l.lang > r.lang THEN -1
+         |                 WHEN l.lang < r.lang THEN 1 ELSE 0 END), -1).lang
+         |END""".stripMargin)
+  }
+
+  /** Whitespace token count (empty/blank → 0). */
+  def tokenCount(textCol: String): Column =
+    when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(split(trim(col(textCol)), " +")))
+
+  /** BPE-ish subword count: word-boundary pieces + digit runs + punct,
+    * approximated with a regex token pattern (length/4 fallback per piece
+    * mimics byte-pair splits of long words). */
+  def subwordCount(textCol: String): Column = expr(
+    s"""aggregate(split(trim($textCol), ' +'), 0L,
+       |  (acc, w) -> acc + CASE WHEN length(w) = 0 THEN 0
+       |                         ELSE cast(ceil(length(w) / 4.0) AS BIGINT) END)""".stripMargin)
+
+  /** Quality features + composite score. Deterministic double arithmetic:
+    * every engine computes the identical IEEE ops in the same order. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val stop = markers("en").map(w => s"'$w'").mkString(", ")
+    df.withColumn("n_chars_actual", length(col(textCol)))
+      .withColumn("n_tokens", tokenCount(textCol))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0,
+          (col("n_chars_actual") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          expr(s"size(filter(split(lower($textCol), ' '), t -> t IN ($stop)))")
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("n_chars_actual") > 0,
+          (col("n_chars_actual") -
+            length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast("double") /
+            col("n_chars_actual"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.4 +
+            col("stopword_ratio") * 0.3 +
+            (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.3, 6))
+  }
+
+  private val Mod = 1000000007L
+  private val Base = 131L
+
+  /** Polynomial rolling hash of a string expression (mod 1e9+7, base 131)
+    * — the Rabin-Karp primitive, expressed portably (sequence+substring,
+    * not split-on-empty, whose trailing-empty behavior varies by engine). */
+  def polyHash(strExpr: String): String =
+    s"""CASE WHEN length($strExpr) = 0 THEN 0L ELSE
+       |  aggregate(sequence(1, length($strExpr)), 0L,
+       |    (acc, i) -> (acc * $Base + ascii(substring($strExpr, i, 1))) % $Mod)
+       |END""".stripMargin
+
+  /** Document fingerprint: (content hash, winnowed min k-gram hash,
+    * distinct k-gram count). The k-gram pass is the rolling-hash window of
+    * winnowing; taking the global min is the 1-window degenerate case that
+    * stays SQL-portable. The normalized text is materialized once so the
+    * regex isn't re-evaluated per character. */
+  def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val grams =
+      s"""CASE WHEN length(__norm) >= $k THEN
+         |  transform(sequence(1, length(__norm) - $k + 1),
+         |    i -> substring(__norm, i, $k))
+         |ELSE array(__norm) END""".stripMargin
+    df.withColumn("__norm",
+        expr(s"lower(regexp_replace($textCol, '[^a-zA-Z0-9 ]', ''))"))
+      .withColumn("content_hash", expr(polyHash("__norm")))
+      .withColumn("gram_hashes", expr(
+        s"transform($grams, g -> ${polyHash("g")})"))
+      .withColumn("min_gram_hash", expr("array_min(gram_hashes)"))
+      .withColumn("n_distinct_grams", expr("size(array_distinct(gram_hashes))"))
+      .drop("gram_hashes", "__norm")
+  }
+}

@@ -1,0 +1,324 @@
+package graft.packs
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * Every deterministic operator carries a DuckDB oracle; the approximate
+  * ANN variant is rows-only by design. */
+object PipelinePack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup over a deliberately duplicated corpus
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val dup = docs.withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.exact(docs.unionByName(dup), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH banding, exact-Jaccard verified
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, perms = 128, bands = 32, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exact n-gram Jaccard (quadratic baseline, shingle-share pruned)
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccard(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash with pigeonhole banding
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding-cosine near-dup pairs
+    "q_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDups(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force exact cosine top-k
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (approximate → rows-only check)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 5, bits = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // language ID distribution
+    "q_text_langid" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("predicted_lang", TextAnalysis.languageId("text"))
+        .groupBy("predicted_lang").agg(count(lit(1)).as("n"))
+        .orderBy("predicted_lang")
+    }),
+
+    // quality features + composite score
+    "q_text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(
+        Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0), "text")
+        .select("doc_id", "n_chars_actual", "n_tokens", "mean_word_len",
+          "stopword_ratio", "punct_ratio", "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // token counting: whitespace + BPE-ish subword estimate
+    "q_text_tokens" -> ((s, dir) => {
+      Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount("text").as("n_tokens"),
+          TextAnalysis.subwordCount("text").as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // rolling-hash fingerprints
+    "q_text_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(
+        Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0), "text")
+        .select("doc_id", "content_hash", "min_gram_hash", "n_distinct_grams")
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: binary payloads + batch metadata decode (stub codec)
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        Tables(s, dir, "documents").filter(col("doc_id") % 7 === 0))
+      Multimodal.decodeMeta(media)
+        .select("doc_id", "media_type", "width", "height", "channels",
+          "n_bytes", "valid")
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: frame sampling (1 media row → N frame rows)
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        Tables(s, dir, "documents").filter(col("doc_id") % 31 === 0))
+      Multimodal.frameSample(media, stride = 64)
+        .orderBy("doc_id", "frame_no")
+    })
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  /** Shared shingle CTE (word 3-shingles, distinct) — byte-identical to
+    * Dedup.shingleExpr. */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 2),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS s
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.s, b.s)) * 1.0 /
+       |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+       |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Decimal-exact cosine pairs in DuckDB via ordinality join. */
+  private def cosineSql(filterA: String, filterB: String, pred: String,
+      select: String, order: String) =
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND $pred
+       |  WHERE $filterA AND $filterB
+       |  GROUP BY a.vec_id, b.vec_id),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+       |  FROM ex GROUP BY vec_id)
+       |$select
+       |$order""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_copies
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" -> jaccardPairsSql,
+    "q_dedup_ngram" -> jaccardPairsSql,
+
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |bitsum AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (((strpos('0123456789abcdef',
+        |          substr(md5(t), CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+        |          >> (3 - (j % 4))) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS w
+        |  FROM toks CROSS JOIN range(64) r(j)
+        |  GROUP BY doc_id, j),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 0 AND 15 THEN (1 << j) ELSE 0 END) AS INT) AS c0,
+        |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 16 AND 31 THEN (1 << (j - 16)) ELSE 0 END) AS INT) AS c1,
+        |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 32 AND 47 THEN (1 << (j - 32)) ELSE 0 END) AS INT) AS c2,
+        |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 48 AND 63 THEN (1 << (j - 48)) ELSE 0 END) AS INT) AS c3
+        |  FROM bitsum GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INT) AS hamming
+        |FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |      bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" -> cosineSql(
+      "TRUE", "TRUE", "a.vec_id < b.vec_id",
+      """SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+        |FROM dots d JOIN norms na ON na.vec_id = d.id_a
+        |            JOIN norms nb ON nb.vec_id = d.id_b
+        |WHERE d.dot / (na.nrm * nb.nrm) >= 0.45""".stripMargin,
+      "ORDER BY id_a, id_b"),
+
+    "q_ann_bruteforce" -> cosineSql(
+      "a.vec_id % 100 = 0", "TRUE", "a.vec_id <> b.vec_id",
+      """SELECT * FROM (
+        |  SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
+        |    round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.id_a
+        |      ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS INT) AS rank
+        |  FROM dots d JOIN norms na ON na.vec_id = d.id_a
+        |              JOIN norms nb ON nb.vec_id = d.id_b) t
+        |WHERE rank <= 5""".stripMargin,
+      "ORDER BY query_id, rank"),
+
+    // q_ann_lsh: intentionally no oracle — approximate by construction.
+
+    "q_text_langid" -> {
+      val langs = TextAnalysis.markers.toSeq.sortBy(_._1)
+      val hitCols = langs.map { case (l, ws) =>
+        val list = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($list))) AS h_$l"
+      }.mkString(",\n    ")
+      val maxExpr = langs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val argmax = langs.map { case (l, _) =>
+        s"WHEN h_$l = $maxExpr THEN '$l'"
+      }.mkString("\n      ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    $hitCols
+         |  FROM documents)
+         |SELECT predicted_lang, COUNT(*) AS n FROM (
+         |  SELECT CASE WHEN $maxExpr = 0 THEN 'und'
+         |      $argmax
+         |      END AS predicted_lang
+         |  FROM scored) t
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
+    },
+
+    "q_text_quality" -> {
+      val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+      """SELECT doc_id,
+        |  length(text) AS n_chars_actual,
+        |  n_tokens,
+        |  CASE WHEN n_tokens > 0
+        |       THEN (length(text) - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN n_tokens > 0 THEN sw * 1.0 / n_tokens ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN length(text) > 0
+        |       THEN (length(text) - length(replace(replace(replace(replace(replace(replace(text,'.',''),',',''),'!',''),'?',''),';',''),':',''))) * 1.0 / length(text)
+        |       ELSE 0.0 END AS punct_ratio,
+        |  round(
+        |    least(1.0, n_tokens / 50.0) * 0.4 +
+        |    (CASE WHEN n_tokens > 0 THEN sw * 1.0 / n_tokens ELSE 0.0 END) * 0.3 +
+        |    (1.0 - least(1.0,
+        |      (CASE WHEN length(text) > 0
+        |            THEN (length(text) - length(replace(replace(replace(replace(replace(replace(text,'.',''),',',''),'!',''),'?',''),';',''),':',''))) * 1.0 / length(text)
+        |            ELSE 0.0 END) * 10.0)) * 0.3, 6) AS quality_score
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN (STOPLIST))) AS sw
+        |  FROM documents WHERE doc_id % 23 = 0) b
+        |ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
+    },
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(text), ' +'),
+        |    w -> CASE WHEN length(w) = 0 THEN 0
+        |              ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)) AS BIGINT) AS n_subwords
+        |FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS t
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |grams AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN length(t) >= 8
+        |         THEN list_transform(range(1, length(t) - 8 + 2), i -> substr(t, i, 8))
+        |         ELSE [t] END AS gs
+        |  FROM norm),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) AS content_hash,
+        |    list_transform(gs, g ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 131 + c) % 1000000007)) AS gram_hashes,
+        |    gs
+        |  FROM grams)
+        |SELECT doc_id, content_hash,
+        |  list_min(gram_hashes) AS min_gram_hash,
+        |  len(list_distinct(gram_hashes)) AS n_distinct_grams
+        |FROM hashed ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(16 + length(text) AS BIGINT) AS n_bytes,
+        |  TRUE AS valid
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(f AS INT) AS frame_no,
+        |  CAST(f * 64 + 16 AS BIGINT) AS byte_offset
+        |FROM documents
+        |CROSS JOIN LATERAL (
+        |  SELECT unnest(range(0, greatest(CAST(floor(length(text) / 64) AS INT), 1))) AS f) t
+        |WHERE doc_id % 31 = 0 ORDER BY doc_id, frame_no""".stripMargin
+  )
+}
