@@ -1,0 +1,256 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the pipeline operators' hot loops.
+  *
+  * Spark's higher-order functions (transform/aggregate/filter) are never
+  * whole-stage-codegen'd — each lambda element evaluation goes through the
+  * interpreter, which costs ~µs/element and minutes of JIT warmup at scale.
+  * These expressions compute the same results in single tight JVM loops:
+  * one virtual call per row instead of per array element. Semantics are
+  * kept bit-identical to the SQL formulations used by the DuckDB oracles
+  * (see graft.ops.Dedup scaladoc).
+  */
+object PipelineExpressions {
+
+  /** Distinct word-k-shingle hashes of a text column: split on single
+    * spaces, join k consecutive words with ' ', xxhash64(seed 42 — same as
+    * Spark's SQL xxhash64) over the UTF-8 bytes. */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.split(' ')
+      if (words.length < k) return new GenericArrayData(Array.empty[Long])
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var n = 0
+      while (it.hasNext) { out(n) = it.next(); n += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature from shingle hashes: perm p is
+    * h ↦ ((2p+3)·(h & (2^31−1)) + 12582917·p) mod (2^31−1); signature entry
+    * p = min over shingles. Matches graft.ops.Dedup.minhashSignature. */
+  case class MinHashSig(child: Expression, perms: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private final val Mask = 2147483647L
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData].toLongArray()
+      val sig = new Array[Long](perms)
+      var p = 0
+      while (p < perms) {
+        val a = 2L * p + 3L
+        val b = 12582917L * p
+        var min = Long.MaxValue
+        var i = 0
+        while (i < hs.length) {
+          val v = (a * (hs(i) & Mask) + b) % Mask
+          if (v < min) min = v
+          i += 1
+        }
+        sig(p) = if (hs.isEmpty) 0L else min
+        p += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Jaccard similarity of two long-array sets (assumed distinct). */
+  case class JaccardSets(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toLongArray()
+      val b = r.asInstanceOf[ArrayData].toLongArray()
+      if (a.isEmpty && b.isEmpty) return 0.0
+      val set = new java.util.HashSet[java.lang.Long](a.length * 2)
+      var i = 0
+      while (i < a.length) { set.add(a(i)); i += 1 }
+      var inter = 0
+      i = 0
+      while (i < b.length) { if (set.contains(b(i))) inter += 1; i += 1 }
+      inter.toDouble / (a.length + b.length - inter)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 64-bit SimHash over md5-hex token bits, packed into 4×16-bit chunks.
+    * Exactly the scheme of graft.ops.Dedup.withSimhashChunks (and its
+    * DuckDB oracle): bit j of token t = bit (3 − j%4) of hex digit j/4 of
+    * md5(t); weight_j = Σ(±1); chunk c bit b = weight(16c+b) > 0. */
+  case class SimHashChunks(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[UTF8String].toString.split(' ')
+      val weights = new Array[Int](64)
+      var t = 0
+      while (t < tokens.length) {
+        val digest = md5.get()
+        digest.reset()
+        val d = digest.digest(
+          tokens(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // byte i holds hex digits 2i (high nibble) and 2i+1 (low nibble);
+        // bit j lives in digit j/4 at position 3 - j%4 from the digit's MSB
+        // → bit j of the 128-bit value = bit (7 - j%8) of byte j/8.
+        var j = 0
+        while (j < 64) {
+          val bit = (d(j >> 3) >> (7 - (j & 7))) & 1
+          weights(j) += (if (bit == 1) 1 else -1)
+          j += 1
+        }
+        t += 1
+      }
+      val chunks = new Array[Int](4)
+      var c = 0
+      while (c < 4) {
+        var v = 0
+        var b = 0
+        while (b < 16) {
+          if (weights(c * 16 + b) > 0) v |= (1 << b)
+          b += 1
+        }
+        chunks(c) = v
+        c += 1
+      }
+      new GenericArrayData(chunks)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Exact-decimal cosine pieces: dot product of two float vectors with
+    * each double product rounded to 18 decimal places and summed exactly —
+    * bit-identical to the DECIMAL(38,18) SQL accumulation the oracles use
+    * (float×float in double is exact; scaling by 10^18 with BigDecimal
+    * reproduces the decimal cast; the sum is exact). */
+  case class DotExact(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toFloatArray()
+      val b = r.asInstanceOf[ArrayData].toFloatArray()
+      var sum = java.math.BigDecimal.ZERO
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val prod = new java.math.BigDecimal(a(i).toDouble * b(i).toDouble)
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+        sum = sum.add(prod)
+        i += 1
+      }
+      sum.doubleValue()
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Exact-decimal vector norm (same accumulation as DotExact). */
+  case class NormExact(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData].toFloatArray()
+      var sum = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < a.length) {
+        val prod = new java.math.BigDecimal(a(i).toDouble * a(i).toDouble)
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+        sum = sum.add(prod)
+        i += 1
+      }
+      math.sqrt(sum.doubleValue())
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Marker-lexicon language ID (same contract as
+    * graft.ops.TextAnalysis.languageId and its oracle: argmax hit count,
+    * ties → lexicographically smallest code, zero hits → 'und'). */
+  case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    @transient private lazy val sets: Array[(String, java.util.HashSet[String])] =
+      markers.sortBy(_._1).map { case (l, ws) =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add)
+        (l, s)
+      }.toArray
+    override def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[UTF8String].toString
+        .toLowerCase.split(' ')
+      var bestLang = "und"
+      var bestHits = 0
+      var i = 0
+      while (i < sets.length) {
+        val (lang, set) = sets(i)
+        var hits = 0
+        var t = 0
+        while (t < tokens.length) {
+          if (set.contains(tokens(t))) hits += 1
+          t += 1
+        }
+        // sets are lang-sorted: strict > keeps the smallest code on ties
+        if (hits > bestHits) { bestHits = hits; bestLang = lang }
+        i += 1
+      }
+      UTF8String.fromString(bestLang)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column wrappers --------------------------------------------------
+
+  private def wrap(e: Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  def shingle_hashes(c: Column, k: Int): Column =
+    wrap(ShingleHashes(expression(c), k))
+  def minhash_sig(c: Column, perms: Int): Column =
+    wrap(MinHashSig(expression(c), perms))
+  def jaccard_sets(a: Column, b: Column): Column =
+    wrap(JaccardSets(expression(a), expression(b)))
+  def simhash_chunks(c: Column): Column =
+    wrap(SimHashChunks(expression(c)))
+  def lang_id(c: Column, markers: Seq[(String, Seq[String])]): Column =
+    wrap(LangId(expression(c), markers))
+  def dot_exact(a: Column, b: Column): Column =
+    wrap(DotExact(expression(a), expression(b)))
+  def norm_exact(c: Column): Column =
+    wrap(NormExact(expression(c)))
+
+  private def expression(c: Column): Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+}

@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Signature computation runs as interpreted higher-order expressions
+    * (Spark doesn't codegen lambda functions), so CPU per row is high —
+    * make sure the rows are spread across the cluster even when the input
+    * is one small file/split. The repartition alone is NOT enough: the
+    * ColumnPruning rule pushes deterministic projections below the
+    * exchange, putting the expensive lambdas back on the single input
+    * split — the cache() boundary (InMemoryRelation is a leaf) pins the
+    * downstream compute above the 2×parallelism partitioning. Payload
+    * cached is raw text — tiny relative to the per-row compute. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism * 2
+    df.repartition(target).cache()
+  }
+
   /** Word k-shingles, distinct, guarded for short docs. Shingle text is
     * space-joined so a DuckDB oracle can reproduce it byte-for-byte. */
   def shingleExpr(textCol: String, k: Int): Column = expr(
@@ -38,36 +52,51 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__h")
 
-  /** MinHash signature: for each of `perms` hash permutations, the min over
-    * shingles of xxhash64(shingle, permutation tag). Pure map-side array
-    * math — at cluster scale this is embarrassingly parallel. */
-  def minhashSignature(shinglesCol: String, perms: Int): Column = expr(
+  /** MinHash signature via affine permutations over precomputed shingle
+    * hashes: permutation p is h ↦ ((2p+3)·h + 12582917·p) mod (2^31−1) —
+    * pure integer math, no per-permutation string hashing (the naive form
+    * re-hashes every shingle per permutation and is ~50× slower
+    * interpreted). Map-side only; products stay < 2^40 so ANSI overflow
+    * checking never trips. */
+  def minhashSignature(hashesCol: String, perms: Int): Column = expr(
     s"""transform(sequence(0, ${perms - 1}),
-       |  p -> array_min(transform($shinglesCol,
-       |         s -> xxhash64(concat(s, '#', cast(p AS STRING))))))""".stripMargin)
+       |  p -> array_min(transform($hashesCol,
+       |         h -> ((2L * p + 3L) * (h & 2147483647L) + 12582917L * p) % 2147483647L)))""".stripMargin)
 
   /** LSH candidate pairs from banded minhash signatures, verified with
     * exact Jaccard ≥ `threshold` over the shingle sets. Output: (id_a,
     * id_b, jaccard) with id_a < id_b. */
+  /** Default banding r=6 × b=21 (126 of 128 perms): for this corpus's
+    * near-dup band (s ≥ 0.9) the per-pair miss probability is
+    * (1−0.9^6)^21 ≈ 1e-7, while background pairs (s ≤ 0.3) collide on a
+    * band with probability ≤ 21·0.3^6 ≈ 1.5% — candidate volume stays
+    * linear-ish. Verification is over xxhash64'd shingles (long arrays),
+    * not strings: same Jaccard modulo 2^-64 collisions, far cheaper
+    * set ops and join payloads. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, perms: Int = 128, bands: Int = 32,
+      k: Int = 3, perms: Int = 128, bands: Int = 21,
       threshold: Double = 0.8): DataFrame = {
+    import graft.expressions.PipelineExpressions._
     val r = perms / bands
-    val sigs = df
-      .select(col(idCol).as("id"), shingleExpr(textCol, k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature("sh", perms))
-    val banded = sigs.select(col("id"), col("sh"),
+    val sigs = spread(df)
+      .select(col(idCol).as("id"),
+        shingle_hashes(col(textCol), k).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .withColumn("sig", minhash_sig(col("shh"), perms))
+      .cache() // both sides of the band self-join reuse the signatures
+    val banded = sigs.select(col("id"), col("shh"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',',
            |  transform(slice(sig, b * $r + 1, $r), v -> cast(v AS STRING)))))""".stripMargin))
         .as(Seq("band", "bandhash")))
-    val a = banded.select(col("band"), col("bandhash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bandhash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    // distinct column names per side — a self-join on same-name columns
+    // silently resolves to a trivially-true predicate (cross join).
+    val a = banded.select(col("band").as("band_a"), col("bandhash").as("bh_a"),
+      col("id").as("id_a"), col("shh").as("sh_a"))
+    val b = banded.select(col("band").as("band_b"), col("bandhash").as("bh_b"),
+      col("id").as("id_b"), col("shh").as("sh_b"))
     val candidates = a.join(b,
-      a("band") === b("band") && a("bandhash") === b("bandhash") &&
+      col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
@@ -77,27 +106,30 @@ object Dedup {
   /** Exact all-pairs n-gram Jaccard ≥ threshold (quadratic baseline). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingleExpr(textCol, k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    import graft.expressions.PipelineExpressions._
+    val sh = spread(df)
+      .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .cache()
     // prune the quadratic join: pairs must share at least one shingle
-    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val ex = sh.select(col("id"), explode(col("shh")).as("s"))
     val pairIds = ex.as("x").join(ex.as("y"),
       col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val candidates = pairIds
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
     verifyJaccard(candidates, threshold)
   }
 
-  private def verifyJaccard(candidates: DataFrame, threshold: Double): DataFrame =
+  private def verifyJaccard(candidates: DataFrame, threshold: Double): DataFrame = {
+    import graft.expressions.PipelineExpressions._
     candidates
-      .withColumn("jaccard",
-        expr("size(array_intersect(sh_a, sh_b))").cast("double") /
-          expr("size(array_union(sh_a, sh_b))"))
+      .withColumn("jaccard", jaccard_sets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** 64-bit SimHash packed into 4×16-bit int chunks (columns c0..c3).
     * Bit j's weight = Σ over tokens of (bit_j(md5(token)) ? +1 : -1); the
@@ -105,21 +137,11 @@ object Dedup {
     * digits, so any engine with md5 computes the identical signature —
     * that is what makes the DuckDB oracle possible. Map-side only. */
   def withSimhashChunks(df: DataFrame, textCol: String): DataFrame = {
-    val weights =
-      s"""transform(sequence(0, 63), j ->
-         |  aggregate(split($textCol, ' '), 0L, (acc, t) ->
-         |    acc + CASE WHEN
-         |      (shiftright(cast(conv(substring(md5(t), cast(j / 4 AS INT) + 1, 1), 16, 10) AS INT),
-         |                  3 - cast(j % 4 AS INT)) & 1) = 1
-         |    THEN 1 ELSE -1 END))""".stripMargin
-    def chunk(c: Int) = expr(
-      s"""aggregate(sequence(0, 15), 0,
-         |  (acc, b) -> acc + CASE WHEN element_at(__w64, $c * 16 + b + 1) > 0
-         |                        THEN shiftleft(1, b) ELSE 0 END)""".stripMargin)
-    df.withColumn("__w64", expr(weights))
-      .withColumn("c0", chunk(0)).withColumn("c1", chunk(1))
-      .withColumn("c2", chunk(2)).withColumn("c3", chunk(3))
-      .drop("__w64")
+    import graft.expressions.PipelineExpressions._
+    df.withColumn("__chunks", simhash_chunks(col(textCol)))
+      .withColumn("c0", expr("__chunks[0]")).withColumn("c1", expr("__chunks[1]"))
+      .withColumn("c2", expr("__chunks[2]")).withColumn("c3", expr("__chunks[3]"))
+      .drop("__chunks")
   }
 
   /** SimHash near-dups: pairs with hamming distance ≤ maxHamming. With 4
@@ -130,7 +152,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val sigs = withSimhashChunks(
-      df.select(col(idCol).as("id"), col(textCol)), textCol)
+      spread(df).select(col(idCol).as("id"), col(textCol)), textCol)
       .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
       .cache()
     val right = sigs.select(col("id").as("id_b"), col("c0").as("d0"),
@@ -151,7 +173,7 @@ object Dedup {
     * engines; see Similarity.cosineExact for the scale discussion. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.normExact(vecCol).as("norm"))
     val a = v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))

@@ -20,25 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val DotDec = "DECIMAL(38,18)"
+  import graft.expressions.PipelineExpressions
 
-  /** Exact decimal dot product of two float vectors. */
-  def dotExact(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) ->
-       |  CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS $DotDec)),
-       |  CAST(0 AS $DotDec), (acc, v) -> CAST(acc + v AS $DotDec))""".stripMargin)
+  /** Exact decimal dot product of two float vectors (custom expression —
+    * a tight loop instead of interpreted HOF lambdas; see
+    * PipelineExpressions.DotExact for the numeric contract). */
+  def dotExact(a: String, b: String): Column =
+    PipelineExpressions.dot_exact(col(a), col(b))
 
   /** Exact decimal squared-norm → double sqrt. */
-  def normExact(v: String): Column =
-    sqrt(expr(
-      s"""aggregate(transform($v, x ->
-         |  CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS $DotDec)),
-         |  CAST(0 AS $DotDec), (acc, x) -> CAST(acc + x AS $DotDec))""".stripMargin)
-      .cast("double"))
+  def normExact(v: String): Column = PipelineExpressions.norm_exact(col(v))
 
   /** cosine = dot / (norm_a * norm_b), from precomputed norms. */
   def cosineFromParts(va: String, vb: String, na: String, nb: String): Column =
-    dotExact(va, vb).cast("double") / (col(na) * col(nb))
+    dotExact(va, vb) / (col(na) * col(nb))
 
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * Queries are broadcast (small side); ties broken by neighbor id so the
@@ -47,8 +42,9 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normExact(vecCol).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      normExact(vecCol).as("cn"))
+    val c = Dedup.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        normExact(vecCol).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFromParts("qv", "cv", "qn", "cn"))

@@ -20,30 +20,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  private def hitCount(tokensExpr: String, words: Seq[String]): String = {
-    val list = words.map(w => s"'$w'").mkString(", ")
-    s"size(filter($tokensExpr, t -> t IN ($list)))"
-  }
-
   /** Predicted language: argmax marker-hit count, ties→lexicographic code,
-    * zero hits→'und'. */
-  def languageId(textCol: String): Column = {
-    val toks = s"split(lower($textCol), ' ')"
-    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      s"struct(${hitCount(toks, ws)} AS hits, '$lang' AS lang)"
-    }.mkString(", ")
-    // array_max on structs: (hits, lang) — max hits, then max lang; to get
-    // lexicographic-min tie-break we compare on (hits, negated rank) — use
-    // sort + last for total determinism instead.
-    expr(
-      s"""CASE WHEN array_max(array($scored)).hits = 0 THEN 'und'
-         |ELSE element_at(array_sort(array($scored),
-         |  (l, r) -> CASE WHEN l.hits < r.hits THEN -1
-         |                 WHEN l.hits > r.hits THEN 1
-         |                 WHEN l.lang > r.lang THEN -1
-         |                 WHEN l.lang < r.lang THEN 1 ELSE 0 END), -1).lang
-         |END""".stripMargin)
-  }
+    * zero hits→'und'. Native expression — the equivalent SQL formulation
+    * (array_sort with a struct comparator) runs interpreted and ~20×
+    * slower; the DuckDB oracle keeps the SQL shape. */
+  def languageId(textCol: String): Column =
+    graft.expressions.PipelineExpressions.lang_id(col(textCol), markers.toSeq)
 
   /** Whitespace token count (empty/blank → 0). */
   def tokenCount(textCol: String): Column =
@@ -60,8 +42,9 @@ object TextAnalysis {
 
   /** Quality features + composite score. Deterministic double arithmetic:
     * every engine computes the identical IEEE ops in the same order. */
-  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+  def qualityFeatures(df0: DataFrame, textCol: String): DataFrame = {
     val stop = markers("en").map(w => s"'$w'").mkString(", ")
+    val df = Dedup.spread(df0)
     df.withColumn("n_chars_actual", length(col(textCol)))
       .withColumn("n_tokens", tokenCount(textCol))
       .withColumn("mean_word_len",
@@ -103,7 +86,8 @@ object TextAnalysis {
     * winnowing; taking the global min is the 1-window degenerate case that
     * stays SQL-portable. The normalized text is materialized once so the
     * regex isn't re-evaluated per character. */
-  def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+  def fingerprint(df0: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val df = Dedup.spread(df0)
     val grams =
       s"""CASE WHEN length(__norm) >= $k THEN
          |  transform(sequence(1, length(__norm) - $k + 1),

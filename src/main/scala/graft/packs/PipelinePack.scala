@@ -23,7 +23,7 @@ object PipelinePack extends QueryPack {
     // MinHash + LSH banding, exact-Jaccard verified
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 3, perms = 128, bands = 32, threshold = 0.8)
+        k = 3, perms = 128, bands = 21, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -66,7 +66,7 @@ object PipelinePack extends QueryPack {
 
     // language ID distribution
     "q_text_langid" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Dedup.spread(Tables(s, dir, "documents"))
         .withColumn("predicted_lang", TextAnalysis.languageId("text"))
         .groupBy("predicted_lang").agg(count(lit(1)).as("n"))
         .orderBy("predicted_lang")
