@@ -17,7 +17,8 @@ object SparkEntry {
     IncrementalPack,
     FuncsPack,
     EnginePack,
-    PipelinePack
+    PipelinePack,
+    StreamingPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,127 @@
+package graft.cli
+
+import graft.core.NodeKind
+import graft.project.ProjectLoader
+import graft.run.Runner
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** CLI — the engine's `dbt` commands (reference:
+  * crates/dbt-sa-cli/src/main.rs → execute_fs dbt_sa_lib.rs:45-72).
+  *
+  * Usage:
+  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list>
+  *     [--project-dir DIR] [--select SPEC] [--full-refresh]
+  *     [--threads N] [--schema NAME] [--target-path DIR] [--state DIR]
+  */
+object Main {
+
+  final case class Args(
+      command: String = "run",
+      projectDir: String = ".",
+      select: Option[String] = None,
+      fullRefresh: Boolean = false,
+      threads: Int = 4,
+      schema: String = "analytics",
+      targetPath: String = "target",
+      state: Option[String] = None)
+
+  def parseArgs(argv: Array[String]): Args = {
+    var a = Args(command = argv.headOption.getOrElse("run"))
+    var i = 1
+    while (i < argv.length) {
+      argv(i) match {
+        case "--project-dir" => a = a.copy(projectDir = argv(i + 1)); i += 2
+        case "--select" | "-s" => a = a.copy(select = Some(argv(i + 1))); i += 2
+        case "--full-refresh" => a = a.copy(fullRefresh = true); i += 1
+        case "--threads" => a = a.copy(threads = argv(i + 1).toInt); i += 2
+        case "--schema" => a = a.copy(schema = argv(i + 1)); i += 2
+        case "--target-path" => a = a.copy(targetPath = argv(i + 1)); i += 2
+        case "--state" => a = a.copy(state = Some(argv(i + 1))); i += 2
+        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+    }
+    a
+  }
+
+  /** Kind filter per command (dbt run/test/seed/snapshot semantics; build
+    * runs everything in DAG order). */
+  private def kindFilter(cmd: String): NodeKind => Boolean = cmd match {
+    case "run" => k => k == NodeKind.Model
+    case "test" => k => k == NodeKind.Test || k == NodeKind.UnitTest
+    case "seed" => _ == NodeKind.Seed
+    case "snapshot" => _ == NodeKind.Snapshot
+    case _ => _ => true
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Args): Int = {
+    val project = ProjectLoader.load(args.projectDir)
+    val runner = new Runner(spark, project, args.schema,
+      threads = args.threads, stateDir = args.state)
+    val targetDir = Paths.get(args.projectDir, args.targetPath)
+    Files.createDirectories(targetDir)
+
+    args.command match {
+      case "parse" =>
+        runner.writeManifest(targetDir.resolve("manifest.json").toString)
+        println(s"parsed ${runner.resolved.nodes.size} nodes → $targetDir/manifest.json")
+        0
+
+      case "compile" =>
+        val compiled = targetDir.resolve("compiled")
+        Files.createDirectories(compiled)
+        runner.resolved.nodes.values
+          .filter(n => n.kind == NodeKind.Model || n.kind == NodeKind.Snapshot)
+          .foreach { n =>
+            Files.writeString(compiled.resolve(s"${n.name}.sql"),
+              runner.compileSql(n))
+          }
+        runner.writeManifest(targetDir.resolve("manifest.json").toString)
+        println(s"compiled → $compiled")
+        0
+
+      case "list" | "ls" =>
+        val selected = args.select match {
+          case Some(sel) => graft.resolve.Selector.select(
+            graft.resolve.Selector.parse(sel), runner.resolved.nodes, runner.graph)
+          case None => runner.resolved.nodes.keySet
+        }
+        selected.toSeq.sorted.foreach(println)
+        0
+
+      case cmd @ ("run" | "test" | "seed" | "snapshot" | "build") =>
+        // the runner slices the DAG to the kind+selector subset, preserving
+        // transitive edges through excluded nodes
+        val results = runner.run(args.select, args.fullRefresh,
+          enableReuse = args.state.isDefined, kinds = kindFilter(cmd))
+        runner.writeRunResults(results,
+          targetDir.resolve("run_results.json").toString)
+        runner.writeManifest(targetDir.resolve("manifest.json").toString)
+        results.foreach { r =>
+          println(f"${r.status}%-8s ${r.uniqueId}%-50s ${r.executionTimeMs}%6d ms  ${r.message}")
+        }
+        val failed = results.count(r => r.status == "error" || r.status == "fail")
+        println(s"done: ${results.length} nodes, $failed failed")
+        if (failed > 0) 1 else 0
+
+      case other =>
+        System.err.println(s"unknown command: $other")
+        2
+    }
+  }
+}

@@ -90,6 +90,45 @@ object EnginePack extends QueryPack {
           bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
       runner.adapter.read(graft.core.Relation(schema, "customer_revenue"))
         .orderBy("segment")
+    }),
+
+    // pre/post hooks around a materialization (MA/materializations/
+    // hooks.sql): the pre-hook creates an audit table, the post-hook logs
+    // the build — both rendered with the run context ({{ this }}).
+    "q_engine_hooks" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_hooks")
+      write(proj, "dbt_project.yml",
+        """name: hooksdemo
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: nation
+           |        external:
+           |          location: "$dir/nation.parquet"
+           |""".stripMargin)
+      write(proj, "models/nations.sql",
+        """{{ config(materialized='table',
+          |   pre_hook="CREATE TABLE IF NOT EXISTS g_engine_hooks.audit (event STRING, target STRING) USING parquet",
+          |   post_hook="INSERT INTO g_engine_hooks.audit VALUES ('built', '{{ this }}')") }}
+          |select n_nationkey, n_name from {{ source('tpch', 'nation') }}
+          |""".stripMargin)
+      val schema = "g_engine_hooks"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_hooks_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      s.sql(
+        s"""SELECT a.event, a.target, n.n_rows
+           |FROM $schema.audit a CROSS JOIN
+           |  (SELECT count(*) AS n_rows FROM $schema.nations) n""".stripMargin)
     })
   )
 
@@ -109,6 +148,11 @@ object EnginePack extends QueryPack {
         |  COUNT(*) AS n_orders
         |FROM open_orders o JOIN stg_customers c ON o.customer_id = c.customer_id
         |GROUP BY c.segment
-        |ORDER BY segment""".stripMargin
+        |ORDER BY segment""".stripMargin,
+
+    "q_engine_hooks" ->
+      """SELECT 'built' AS event,
+        |  'g_engine_hooks.nations' AS target,
+        |  (SELECT COUNT(*) FROM nation) AS n_rows""".stripMargin
   )
 }

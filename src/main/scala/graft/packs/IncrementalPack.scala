@@ -154,6 +154,36 @@ object IncrementalPack extends QueryPack {
       a.read(rel).orderBy("o_orderkey")
     }),
 
+    // ---- on_schema_change: sync_all_columns (add AND drop) --------------
+    "q_incr_sync_columns" -> ((s, dir) => {
+      val a = freshAdapter(s, "incr_sync")
+      val cfg = NodeConfig(materialized = "incremental",
+        incrementalStrategy = Some(IncrementalStrategy.Merge),
+        uniqueKey = Seq("o_orderkey"),
+        onSchemaChange = OnSchemaChange.SyncAllColumns)
+      // run 1 has o_orderstatus; run 2 drops it and adds o_orderpriority —
+      // sync_all_columns must remove the old column and add the new one.
+      val rel = runIncremental(a, "orders_sync", cfg,
+        ordersBase(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ordersDelta(s, dir).select("o_orderkey", "o_totalprice", "o_orderpriority"))
+      a.read(rel).orderBy("o_orderkey")
+    }),
+
+    // ---- incremental_predicates restrict the rewritten slice ------------
+    "q_incr_predicates" -> ((s, dir) => {
+      val a = freshAdapter(s, "incr_pred")
+      val cfg = NodeConfig(materialized = "incremental",
+        incrementalStrategy = Some(IncrementalStrategy.Merge),
+        uniqueKey = Seq("o_orderkey"),
+        // only 1998+ target rows participate in the merge; older matched
+        // rows stay untouched (partition-pruning shape at scale)
+        incrementalPredicates = Seq(
+          "DBT_INTERNAL_DEST.o_orderdate >= timestamp'1998-01-01 00:00:00'"))
+      val rel = runIncremental(a, "orders_pred", cfg,
+        ordersBase(s, dir), ordersDelta(s, dir))
+      a.read(rel).orderBy("o_orderkey")
+    }),
+
     // ---- snapshot, timestamp strategy -----------------------------------
     "q_snapshot_timestamp" -> ((s, dir) => {
       val a = freshAdapter(s, "snap_ts")
@@ -199,6 +229,25 @@ object IncrementalPack extends QueryPack {
       SnapshotMat.run(MatContext(a, n, rel, () => v1, fullRefresh = false, t1))
       SnapshotMat.run(MatContext(a, n, rel, () => v2, fullRefresh = false, t2))
       a.read(rel).orderBy(col("p_partkey"), col("dbt_valid_from"))
+    }),
+
+    // ---- snapshot, hard_deletes=new_record ------------------------------
+    "q_snapshot_new_record" -> ((s, dir) => {
+      val a = freshAdapter(s, "snap_newrec")
+      val rel = Relation(a.defaultSchema, "supp_snap")
+      val snapCfg = SnapshotConfig(strategy = "check",
+        uniqueKey = Seq("s_suppkey"), checkCols = Some(Seq("s_acctbal")),
+        hardDeletes = HardDeletes.NewRecord)
+      val cfg = NodeConfig(materialized = "snapshot", snapshot = Some(snapCfg))
+      val n = node("supp_snap", cfg)
+      val v1 = Tables(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+      // v2: every 9th supplier vanishes → close + 'True' deletion record
+      val v2 = v1.filter(col("s_suppkey") % 9 =!= 0)
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+      SnapshotMat.run(MatContext(a, n, rel, () => v1, fullRefresh = false, t1))
+      SnapshotMat.run(MatContext(a, n, rel, () => v2, fullRefresh = false, t2))
+      a.read(rel).orderBy(col("s_suppkey"), col("dbt_valid_from"))
     })
   )
 
@@ -313,6 +362,58 @@ object IncrementalPack extends QueryPack {
          |SELECT * FROM closed
          |UNION ALL SELECT * FROM current_rows
          |ORDER BY o_orderkey, dbt_valid_from""".stripMargin,
+
+    "q_incr_sync_columns" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$Cut'),
+         |delta AS (
+         |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+         |         '0-UPDATED' AS o_orderpriority
+         |  FROM orders WHERE o_custkey % 10 = 0)
+         |SELECT o_orderkey, o_totalprice, o_orderpriority FROM delta
+         |UNION ALL
+         |SELECT b.o_orderkey, b.o_totalprice, NULL FROM base b
+         |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_incr_predicates" ->
+      s"""WITH base AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '$Cut'),
+         |delta AS ($deltaSql),
+         |inscope AS (SELECT * FROM base WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+         |outscope AS (SELECT * FROM base WHERE o_orderdate < TIMESTAMP '1998-01-01')
+         |-- out-of-scope target rows ride through even when their key is in
+         |-- the delta (the dbt incremental_predicates duplicate gotcha);
+         |-- every delta row lands exactly once (update or insert)
+         |SELECT * FROM outscope
+         |UNION ALL
+         |SELECT i.* FROM inscope i
+         |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = i.o_orderkey)
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM delta
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_snapshot_new_record" ->
+      """WITH v1 AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+        |deleted AS (SELECT s_suppkey FROM v1 WHERE s_suppkey % 9 = 0),
+        |t1 AS (SELECT TIMESTAMP '2026-01-01 00:00:00' AS ts),
+        |t2 AS (SELECT TIMESTAMP '2026-02-01 00:00:00' AS ts)
+        |-- original rows: closed at t2 when deleted, else still open
+        |SELECT v.s_suppkey, v.s_name, v.s_acctbal,
+        |  md5(concat_ws('|', CAST(v.s_suppkey AS VARCHAR), CAST((SELECT ts FROM t1) AS VARCHAR))) AS dbt_scd_id,
+        |  (SELECT ts FROM t1) AS dbt_updated_at,
+        |  (SELECT ts FROM t1) AS dbt_valid_from,
+        |  CASE WHEN v.s_suppkey IN (SELECT s_suppkey FROM deleted)
+        |       THEN (SELECT ts FROM t2) ELSE NULL END AS dbt_valid_to,
+        |  'False' AS dbt_is_deleted
+        |FROM v1 v
+        |UNION ALL
+        |-- deletion records: same data, open row flagged deleted at t2
+        |SELECT v.s_suppkey, v.s_name, v.s_acctbal,
+        |  md5(concat_ws('|', CAST(v.s_suppkey AS VARCHAR), CAST((SELECT ts FROM t2) AS VARCHAR))),
+        |  (SELECT ts FROM t2), (SELECT ts FROM t2), NULL, 'True'
+        |FROM v1 v WHERE v.s_suppkey IN (SELECT s_suppkey FROM deleted)
+        |ORDER BY s_suppkey, dbt_valid_from""".stripMargin,
 
     "q_snapshot_check" ->
       """WITH v1 AS (

@@ -176,14 +176,15 @@ final class Runner(
     * Nodes whose upstream failed are skipped; unchanged nodes (per recorded
     * state) are reused. */
   def run(select: Option[String] = None, fullRefresh: Boolean = false,
-      enableReuse: Boolean = false): Seq[NodeResult] = {
+      enableReuse: Boolean = false,
+      kinds: graft.core.NodeKind => Boolean = _ => true): Seq[NodeResult] = {
     val selected: Set[String] = select match {
       case Some(s) =>
         Selector.select(Selector.parse(s), resolved.nodes, graph, prevState())
       case None => resolved.nodes.keySet
     }
     val runnable = resolved.nodes.view.filterKeys(selected).toMap
-      .filter { case (_, n) => n.config.enabled && !n.isEphemeral }
+      .filter { case (_, n) => n.config.enabled && !n.isEphemeral && kinds(n.kind) }
     val sliced = graph.slice(runnable.keySet)
     val prev = if (enableReuse) prevState() else Map.empty[String, String]
 

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Structured Streaming materializations (SURVEY §2.A streaming_table /
+  * microbatch streaming mode, reference common.rs:231-232 + the
+  * `event_time`/`lookback` microbatch config family).
+  *
+  * The batch microbatch loop (graft.mat.MicrobatchRunner) is the primary
+  * path, exactly like the reference; this module is the additive streaming
+  * mode: `readStream` → watermark → tumbling-window agg →
+  * `writeStream` with Trigger.AvailableNow. The watermark delay plays the
+  * role of `lookback` — late rows inside the delay still land in their
+  * window; windows only emit (append mode) once the watermark passes, so
+  * results over a bounded input are deterministic.
+  */
+object StreamingOps {
+
+  /** Raw schema of events.parquet with nanos timestamps read as long
+    * (readStream needs a user schema; the nanos→µs truncation matches
+    * graft.Tables). */
+  val rawEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file stream source wants a DIRECTORY to monitor; stage the table
+    * file into one (in production the events lake already is a directory
+    * of arriving files). */
+  private def stageDir(sfDir: String): String = {
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  /** One-day tumbling-window aggregation over the events stream, emitted
+    * incrementally with a 1-day watermark. Returns the final sink contents
+    * (windows whose end the closing watermark passed — on bounded input:
+    * every day ≤ max(ts) − 2 days). */
+  def dailyWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = Files.createTempDirectory("graft_stream_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
+
+    val stream = spark.readStream
+      .schema(rawEventsSchema)
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
+  /** Streaming exact dedup by key with state: first occurrence wins, state
+    * keyed per event_id — the KeyValueGroupedDataset.flatMapGroupsWithState
+    * shape used for custom streaming state. Bounded input + AvailableNow ⇒
+    * deterministic output set. */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = Files.createTempDirectory("graft_dedup_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_dedup_cp").toString
+
+    val stream = spark.readStream
+      .schema(rawEventsSchema)
+      .parquet(stageDir(sfDir))
+      // duplicate the stream so the dedup has real work to do
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val doubled = stream.unionByName(stream)
+
+    val deduped = doubled
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+      .toDF("event_id", "user_id", "event_type")
+
+    val q = deduped.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+}
