@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.StructType
 
 import java.nio.file.{Files, Paths}
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 /** Warehouse adapter backed by Spark's session catalog.
@@ -41,6 +42,36 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   def createSchema(schema: String): Unit = {
     val loc = location.map(l => s" LOCATION '$l/$schema'").getOrElse("")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`$loc")
+    recoverTables(schema)
+  }
+
+  /** Cross-session recovery: the in-memory catalog forgets tables between
+    * JVMs while their parquet directories persist under the database
+    * location. Re-register any table directory the catalog doesn't know
+    * (as an external parquet table) so incremental runs and --defer work
+    * across engine invocations. Views are re-created by their own nodes on
+    * the next run (metadata-only, cheap). */
+  def recoverTables(schema: String): Unit = {
+    import scala.util.Try
+    val locUri = Try(spark.catalog.getDatabase(schema).locationUri).getOrElse(return)
+    val dir = Try(java.nio.file.Paths.get(new java.net.URI(locUri)))
+      .orElse(Try(java.nio.file.Paths.get(locUri))).getOrElse(return)
+    if (!Files.isDirectory(dir)) return
+    Files.list(dir).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_") ||
+        n.endsWith("__dbt_tmp") || n.endsWith("__dbt_backup"))
+      .foreach { name =>
+        val fqn = s"`$schema`.`$name`"
+        if (!spark.catalog.tableExists(s"$schema.$name")) {
+          Try {
+            spark.sql(s"CREATE TABLE $fqn USING parquet LOCATION '${dir.resolve(name)}'")
+            // restore partition metadata when the layout is partitioned
+            Try(spark.sql(s"MSCK REPAIR TABLE $fqn"))
+          }
+        }
+      }
   }
 
   def dropSchema(schema: String): Unit = {
@@ -196,6 +227,14 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       // reference's CTAS fast path when no existing relation).
       dropRelation(rel.intermediate)
       writer(rel)
+    } else if (isExternal(rel)) {
+      // Recovered (external) tables: RENAME moves only metadata, so the
+      // swap protocol would collide with the old files. Replace by delete:
+      // drop metadata, remove the directory, write managed in place.
+      val loc = tableLocation(rel)
+      dropRelation(rel)
+      loc.foreach(deleteRecursively)
+      writer(rel)
     } else {
       val tmp = rel.intermediate
       val bak = rel.backup
@@ -236,6 +275,24 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  private def tableMeta(rel: Relation) =
+    scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(rel.identifier, Some(rel.schema))))
+
+  private def isExternal(rel: Relation): Boolean =
+    tableMeta(rel).toOption.exists(_.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+
+  private def tableLocation(rel: Relation): Option[java.nio.file.Path] =
+    tableMeta(rel).toOption.flatMap(m =>
+      scala.util.Try(java.nio.file.Paths.get(m.location)).toOption)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
 
   def createView(rel: Relation, sql: String): Unit = {
     spark.sql(s"CREATE OR REPLACE VIEW ${rel.fqn} AS $sql")

@@ -25,7 +25,8 @@ object Main {
       threads: Int = 4,
       schema: String = "analytics",
       targetPath: String = "target",
-      state: Option[String] = None)
+      state: Option[String] = None,
+      defer: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -39,6 +40,7 @@ object Main {
         case "--schema" => a = a.copy(schema = argv(i + 1)); i += 2
         case "--target-path" => a = a.copy(targetPath = argv(i + 1)); i += 2
         case "--state" => a = a.copy(state = Some(argv(i + 1))); i += 2
+        case "--defer" => a = a.copy(defer = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -72,7 +74,9 @@ object Main {
   def run(spark: SparkSession, args: Args): Int = {
     val project = ProjectLoader.load(args.projectDir)
     val runner = new Runner(spark, project, args.schema,
-      threads = args.threads, stateDir = args.state)
+      threads = args.threads, stateDir = args.state,
+      deferManifest =
+        if (args.defer) args.state.map(s => s"$s/manifest.json") else None)
     val targetDir = Paths.get(args.projectDir, args.targetPath)
     Files.createDirectories(targetDir)
 

@@ -161,8 +161,11 @@ object PipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
-      """SELECT doc_id, CAST(2 AS BIGINT) AS n_copies
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" -> jaccardPairsSql,
     "q_dedup_ngram" -> jaccardPairsSql,

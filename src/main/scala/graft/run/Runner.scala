@@ -35,12 +35,31 @@ final class Runner(
     warehouseLocation: Option[String] = None,
     threads: Int = 4,
     stateDir: Option[String] = None,
+    /** --defer: manifest.json of a previous (prod) run; refs to nodes whose
+      * relation is not built here resolve to the recorded prod relations
+      * (reference: compile_node_context.rs:135-147 deferred_relation). */
+    deferManifest: Option[String] = None,
     now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())) {
 
   val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
   val resolved: Resolver.Resolved = Resolver.resolve(project, targetSchema)
   val graph: Dag.Graph = Dag.fromNodes(resolved.nodes)
   private val macroPrelude = project.macroSources.mkString("\n")
+
+  /** uniqueId → prod relation FQN from the defer manifest. */
+  private val deferRelations: Map[String, String] = deferManifest match {
+    case Some(path) if Files.exists(Paths.get(path)) =>
+      Json.parse(Files.readString(Paths.get(path)))
+        .asInstanceOf[Map[String, Any]]
+        .get("nodes").collect { case nodes: Map[_, _] =>
+          nodes.asInstanceOf[Map[String, Any]].collect {
+            case (id, n: Map[_, _])
+                if n.asInstanceOf[Map[String, Any]].get("relation_name").exists(_ != null) =>
+              id -> n.asInstanceOf[Map[String, Any]]("relation_name").toString
+          }
+        }.getOrElse(Map.empty)
+    case _ => Map.empty
+  }
 
   final case class NodeResult(uniqueId: String, status: String,
       message: String, executionTimeMs: Long, reused: Boolean = false)
@@ -66,7 +85,13 @@ final class Runner(
             if (!ctes.contains(cteName))
               ctes(cteName) = compileSql(target) // nested ephemerals recurse
             cteName
-          } else target.relation.get.fqn
+          } else {
+            val rel = target.relation.get
+            // deferral: unbuilt upstream → prod manifest relation
+            if (deferRelations.contains(uid) && !adapter.relationExists(rel))
+              deferRelations(uid)
+            else rel.fqn
+          }
       }
     }
     def resolveSource(src: String, tbl: String): String =
