@@ -231,6 +231,30 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Count of lowercase space-split tokens that appear in `words` — the
+    * stopword-hit primitive (same contract as
+    * `size(filter(split(lower(text),' '), t -> t IN (...)))`). */
+  case class TokenHitCount(child: Expression, words: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[UTF8String].toString.toLowerCase.split(' ')
+      var hits = 0
+      var i = 0
+      while (i < tokens.length) {
+        if (set.contains(tokens(i))) hits += 1
+        i += 1
+      }
+      hits
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column wrappers --------------------------------------------------
 
   private def wrap(e: Expression): Column =
@@ -246,6 +270,8 @@ object PipelineExpressions {
     wrap(SimHashChunks(expression(c)))
   def lang_id(c: Column, markers: Seq[(String, Seq[String])]): Column =
     wrap(LangId(expression(c), markers))
+  def token_hit_count(c: Column, words: Seq[String]): Column =
+    wrap(TokenHitCount(expression(c), words))
   def dot_exact(a: Column, b: Column): Column =
     wrap(DotExact(expression(a), expression(b)))
   def norm_exact(c: Column): Column =

@@ -43,7 +43,6 @@ object TextAnalysis {
   /** Quality features + composite score. Deterministic double arithmetic:
     * every engine computes the identical IEEE ops in the same order. */
   def qualityFeatures(df0: DataFrame, textCol: String): DataFrame = {
-    val stop = markers("en").map(w => s"'$w'").mkString(", ")
     val df = Dedup.spread(df0)
     df.withColumn("n_chars_actual", length(col(textCol)))
       .withColumn("n_tokens", tokenCount(textCol))
@@ -53,7 +52,8 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .withColumn("stopword_ratio",
         when(col("n_tokens") > 0,
-          expr(s"size(filter(split(lower($textCol), ' '), t -> t IN ($stop)))")
+          graft.expressions.PipelineExpressions
+            .token_hit_count(col(textCol), markers("en"))
             .cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
       .withColumn("punct_ratio",
