@@ -71,7 +71,7 @@ object EnginePack extends QueryPack {
       write(proj, "models/marts/customer_revenue.sql",
         """{{ config(materialized='table') }}
           |select c.segment,
-          |       sum(cast(o.amount as decimal(18,4))) as open_revenue,
+          |       cast(cast(sum(cast(o.amount as decimal(18,4))) as decimal(38,4)) as double) as open_revenue,
           |       count(*) as n_orders
           |from {{ ref('eph_open_orders') }} o
           |join {{ ref('stg_customers') }} c on o.customer_id = c.customer_id
@@ -144,7 +144,7 @@ object EnginePack extends QueryPack {
         |  FROM customer),
         |open_orders AS (SELECT * FROM stg_orders WHERE status = 'O')
         |SELECT c.segment,
-        |  SUM(CAST(o.amount AS DECIMAL(18,4))) AS open_revenue,
+        |  CAST(CAST(SUM(CAST(o.amount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS open_revenue,
         |  COUNT(*) AS n_orders
         |FROM open_orders o JOIN stg_customers c ON o.customer_id = c.customer_id
         |GROUP BY c.segment

@@ -47,7 +47,7 @@ object MaterializationPack extends QueryPack {
       val rel = Relation(a.defaultSchema, "order_mart")
       val df = Tables(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(sum(dec(col("o_totalprice"))).as("total"),
+        .agg(moneyOut(sum(dec(col("o_totalprice")))).as("total"),
           count(lit(1)).as("n"))
       // run twice: second run exercises the backup/rename swap path
       TableMat.run(MatContext(a, node("order_mart", NodeConfig(materialized = "table")),
@@ -182,7 +182,7 @@ object MaterializationPack extends QueryPack {
 
     "q_mat_table" ->
       """SELECT o_orderstatus,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 

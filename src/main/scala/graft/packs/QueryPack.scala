@@ -20,4 +20,15 @@ trait QueryPack {
   /** Exact decimal view of a double measure column; scale 4 keeps the
     * scale-2-ish synthetic money columns away from rounding ties. */
   protected def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Final projection for a decimal aggregate: round to scale 4, then emit
+    * DOUBLE. The driver's hash-compare mismatches on ANY decimal output
+    * column (r1: every decimal-emitting query hash-failed, including ones
+    * type-identical to the oracle at DECIMAL(38,8)), so final outputs must
+    * be double. The (38,4) hop keeps the unscaled value < 2^53 (money data
+    * has ≤2 fractional digits; sums ≤ ~4e10 at sf0.1), making the
+    * decimal→double conversion exactly rounded and identical in Spark and
+    * DuckDB. Oracles mirror it: CAST(CAST(agg AS DECIMAL(38,4)) AS DOUBLE). */
+  protected def moneyOut(c: Column): Column =
+    c.cast(DecimalType(38, 4)).cast("double")
 }

@@ -22,9 +22,9 @@ object RelationalPack extends QueryPack {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          moneyOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+          moneyOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          moneyOut(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -44,7 +44,7 @@ object RelationalPack extends QueryPack {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .agg(moneyOut(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
           .as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           col("o_orderdate").cast("date").as("o_orderdate"))
@@ -69,7 +69,7 @@ object RelationalPack extends QueryPack {
           .select(col("c_custkey"), col("n_name"))),
           ord("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .agg(moneyOut(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -80,7 +80,7 @@ object RelationalPack extends QueryPack {
       val li = Tables(s, dir, "lineitem").select("l_partkey", "l_quantity")
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        .agg(moneyOut(sum(dec(col("l_quantity")))).as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("p_brand"))
     }),
@@ -139,7 +139,7 @@ object RelationalPack extends QueryPack {
     "q_rollup" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(sum(dec(col("o_totalprice"))).as("sum_price"),
+        .agg(moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
@@ -162,9 +162,9 @@ object RelationalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -172,7 +172,7 @@ object RelationalPack extends QueryPack {
 
     "q3_topk" ->
       """SELECT l_orderkey,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -184,7 +184,7 @@ object RelationalPack extends QueryPack {
 
     "q5_star_join" ->
       """SELECT n_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |  JOIN customer ON c_nationkey = n_nationkey
         |  JOIN orders ON o_custkey = c_custkey
@@ -197,7 +197,7 @@ object RelationalPack extends QueryPack {
 
     "q_brand_agg" ->
       """SELECT p_brand,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -235,7 +235,7 @@ object RelationalPack extends QueryPack {
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
