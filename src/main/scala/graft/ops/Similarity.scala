@@ -58,21 +58,37 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where the
-    * hyperplane components are derived deterministically from
-    * xxhash64(i, dim) — no stored model, reproducible across runs. */
-  def hyperplaneSignature(vecCol: String, bits: Int): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-       |  acc + CASE WHEN
-       |    aggregate(zip_with($vecCol,
-       |        transform(sequence(0, size($vecCol) - 1),
-       |          d -> CAST(xxhash64(concat('hp', i, '_', d)) % 1000001 AS DOUBLE) / 1000001.0 - 0.5),
-       |      (x, h) -> CAST(x AS DOUBLE) * h),
-       |      CAST(0 AS DOUBLE), (a2, v2) -> a2 + v2) > 0
-       |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+  /** Hyperplane weight w(i, d) = (int64 of the first 15 hex chars of
+    * md5("hp{i}_{d}")) % 2001 - 1000 — standard MD5, so any engine can
+    * re-derive the model with no stored state. */
+  private[graft] def hyperplaneWeight(i: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp${i}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(q(v), w_i)) over
+    * INTEGER math — component quantized once (q(d) = round(v[d]·10^6) as
+    * long, a single deterministic double rounding, ties away from zero in
+    * both Spark and DuckDB) and integer hyperplane weights from
+    * [[hyperplaneWeight]]. No float-sum order or last-ulp sensitivity, so
+    * a SQL oracle reproduces buckets bit-for-bit (PipelinePack.sigSql is
+    * the DuckDB mirror). Weights depend only on (i, d) and are inlined as
+    * literals — no per-row hashing. */
+  def hyperplaneSignature(vecCol: String, bits: Int, dim: Int = 64): Column = {
+    val qv = s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    val sig = (0 until bits).map { i =>
+      val ws = (0 until dim).map(d => hyperplaneWeight(i, d))
+        .mkString("array(", "L, ", "L)")
+      s"(CASE WHEN aggregate(zip_with($qv, $ws, (x, h) -> x * h), 0L, (a, b) -> a + b) > 0 THEN ${1L << i}L ELSE 0L END)"
+    }.mkString(" + ")
+    expr(sig)
+  }
 
   /** Bucketed approximate top-k: queries only scan their signature bucket.
-    * Approximate by construction — no SQL oracle; checked rows-only. */
+    * Approximate in recall, but fully deterministic: the integer signature
+    * math is mirrored in DuckDB SQL, so the result is oracle-checkable. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
     val sig = (df: DataFrame) =>

@@ -139,6 +139,19 @@ object PipelinePack extends QueryPack {
        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB mirror of Similarity.hyperplaneSignature: integer quantization
+    * (round(x·10^6) as BIGINT, ties away from zero in both engines) dotted
+    * with md5-derived integer weights — bit-identical buckets. Inline
+    * derived-table form so it can sit in a JOIN clause. */
+  private def sigSql(bits: Int): String =
+    s"""(SELECT vec_id,
+       |   CAST(list_sum(list_transform(range(0, $bits), i ->
+       |     CASE WHEN CAST(list_sum(list_transform(range(0, len(embedding)), d ->
+       |         CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000000) AS BIGINT) *
+       |         (((('0x' || substr(md5('hp' || i || '_' || d), 1, 15))::BIGINT) % 2001) - 1000)
+       |     )) AS BIGINT) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS bucket
+       | FROM embeddings)""".stripMargin
+
   /** Decimal-exact cosine pairs in DuckDB via ordinality join. */
   private def cosineSql(filterA: String, filterB: String, pred: String,
       select: String, order: String) =
@@ -216,7 +229,23 @@ object PipelinePack extends QueryPack {
         |WHERE rank <= 5""".stripMargin,
       "ORDER BY query_id, rank"),
 
-    // q_ann_lsh: intentionally no oracle — approximate by construction.
+    // q_ann_lsh: approximate in recall yet fully deterministic — the
+    // integer signature math (Similarity.hyperplaneSignature) is
+    // reproduced here, so the bucketed result is oracle-checkable.
+    "q_ann_lsh" -> cosineSql(
+      "a.vec_id % 100 = 0", "TRUE", "a.vec_id <> b.vec_id",
+      s"""SELECT * FROM (
+         |  SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
+         |    round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY d.id_a
+         |      ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS INT) AS rank
+         |  FROM dots d JOIN norms na ON na.vec_id = d.id_a
+         |              JOIN norms nb ON nb.vec_id = d.id_b
+         |              JOIN ${sigSql(6)} sa ON sa.vec_id = d.id_a
+         |              JOIN ${sigSql(6)} sb ON sb.vec_id = d.id_b
+         |                AND sa.bucket = sb.bucket) t
+         |WHERE rank <= 5""".stripMargin,
+      "ORDER BY query_id, rank"),
 
     "q_text_langid" -> {
       val langs = TextAnalysis.markers.toSeq.sortBy(_._1)
