@@ -86,6 +86,24 @@ object Similarity {
     expr(sig)
   }
 
+  /** Per-band r-bit hyperplane signatures (array of `bands` longs), bit j
+    * of band b derived from global hyperplane index b·r+j — the same
+    * integer-exact math as [[hyperplaneSignature]], grouped for banded-LSH
+    * OR-construction (match in ANY band → candidate). */
+  def bandSignatures(vecCol: String, bands: Int, r: Int,
+      dim: Int = 64): Column = {
+    val qv = s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    val perBand = (0 until bands).map { bnd =>
+      val bits = (0 until r).map { j =>
+        val ws = (0 until dim).map(d => hyperplaneWeight(bnd * r + j, d))
+          .mkString("array(", "L, ", "L)")
+        s"(CASE WHEN aggregate(zip_with($qv, $ws, (x, h) -> x * h), 0L, (a, b) -> a + b) > 0 THEN ${1L << j}L ELSE 0L END)"
+      }.mkString(" + ")
+      s"($bits)"
+    }.mkString("array(", ", ", ")")
+    expr(perBand)
+  }
+
   /** Bucketed approximate top-k: queries only scan their signature bucket.
     * Approximate in recall, but fully deterministic: the integer signature
     * math is mirrored in DuckDB SQL, so the result is oracle-checkable. */

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operator shape + semantics tests: the blocked exact embedding
+  * join must produce identical pairs to a naive all-pairs pass without a
+  * nested-loop/cartesian physical join, and the banded-LSH variant must
+  * recover planted high-cosine near-dups from an equi-join plan. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Deterministic pseudo-random unit-ish vector from a seed. */
+  private def vec(seed: Int, dim: Int = 64): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)((r.nextDouble() - 0.5).toFloat)
+  }
+
+  /** v + small perturbation → cosine ≈ 0.99. */
+  private def nearDup(v: Array[Float], seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    v.map(x => (x + (r.nextDouble() - 0.5).toFloat * 0.02f))
+  }
+
+  private def corpus(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val planted = Seq((100L, nearDup(vec(7), 1001)), (101L, nearDup(vec(13), 1002)))
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("blocked exact embedding dedup matches naive all-pairs, no nested loop") {
+    val df = corpus()
+    val blocked = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      threshold = 0.9, blocks = 3)
+    // naive reference computed driver-side
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+      if dot / (na * nb) >= 0.9
+    } yield (ia, ib)).toSet
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.size == 2) // both planted pairs, nothing else
+    val physical = blocked.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(2000))
+    assert(!physical.contains("CartesianProduct"), physical.take(2000))
+  }
+
+  test("banded LSH embedding dedup recovers planted near-dups via equi-join") {
+    val df = corpus()
+    val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding",
+      threshold = 0.9)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 100L), (13L, 101L)))
+    val physical = lsh.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(2000))
+    assert(!physical.contains("CartesianProduct"), physical.take(2000))
+  }
+}
