@@ -255,6 +255,61 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** One-pass document fingerprint over pre-normalized text: polynomial
+    * rolling hash (base 131 mod 1e9+7 — Rabin-Karp) of the whole string
+    * plus all k-gram window hashes, emitting a struct of
+    * (content_hash, min_gram_hash, n_distinct_grams). Bit-identical to the
+    * SQL formulation in TextAnalysis.polyHash / its DuckDB oracle, but
+    * O(len) per row (each window hash derived from the previous in O(1))
+    * instead of O(len·k) interpreted lambda evaluations. */
+  case class FingerprintParts(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    private final val Mod = 1000000007L
+    private final val Base = 131L
+    // Base^(k-1) mod Mod, for sliding the leading character out
+    private val basePow: Long = {
+      var p = 1L
+      var i = 0
+      while (i < k - 1) { p = p * Base % Mod; i += 1 }
+      p
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("content_hash", LongType, nullable = false),
+      StructField("min_gram_hash", LongType, nullable = false),
+      StructField("n_distinct_grams", IntegerType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val n = s.length
+      var content = 0L
+      var i = 0
+      while (i < n) { content = (content * Base + s.charAt(i).toInt) % Mod; i += 1 }
+      var minGram = Long.MaxValue
+      val seen = new java.util.HashSet[java.lang.Long]()
+      if (n < k) {
+        // degenerate case: the whole string is the single gram
+        minGram = content
+        seen.add(content)
+      } else {
+        var h = 0L
+        i = 0
+        while (i < k) { h = (h * Base + s.charAt(i).toInt) % Mod; i += 1 }
+        seen.add(h)
+        if (h < minGram) minGram = h
+        while (i < n) {
+          // slide: drop s[i-k], append s[i]
+          h = (h - s.charAt(i - k).toInt * basePow % Mod + Mod) % Mod
+          h = (h * Base + s.charAt(i).toInt) % Mod
+          seen.add(h)
+          if (h < minGram) minGram = h
+          i += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](content, minGram, seen.size))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column wrappers --------------------------------------------------
 
   private def wrap(e: Expression): Column =
@@ -274,6 +329,8 @@ object PipelineExpressions {
     wrap(TokenHitCount(expression(c), words))
   def dot_exact(a: Column, b: Column): Column =
     wrap(DotExact(expression(a), expression(b)))
+  def fingerprint_parts(c: Column, k: Int): Column =
+    wrap(FingerprintParts(expression(c), k))
   def norm_exact(c: Column): Column =
     wrap(NormExact(expression(c)))
 

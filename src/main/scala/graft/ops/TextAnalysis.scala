@@ -84,22 +84,20 @@ object TextAnalysis {
   /** Document fingerprint: (content hash, winnowed min k-gram hash,
     * distinct k-gram count). The k-gram pass is the rolling-hash window of
     * winnowing; taking the global min is the 1-window degenerate case that
-    * stays SQL-portable. The normalized text is materialized once so the
-    * regex isn't re-evaluated per character. */
+    * stays SQL-portable. Hashing runs in one native O(len) pass
+    * (PipelineExpressions.FingerprintParts) — the interpreted HOF form of
+    * the same math ([[polyHash]]) is O(len·k) per row and was the 4th
+    * slowest bench entry; normalization stays in SQL where regexp_replace
+    * is codegen'd. */
   def fingerprint(df0: DataFrame, textCol: String, k: Int = 8): DataFrame = {
-    val df = Dedup.spread(df0)
-    val grams =
-      s"""CASE WHEN length(__norm) >= $k THEN
-         |  transform(sequence(1, length(__norm) - $k + 1),
-         |    i -> substring(__norm, i, $k))
-         |ELSE array(__norm) END""".stripMargin
-    df.withColumn("__norm",
+    import graft.expressions.PipelineExpressions
+    Dedup.spread(df0)
+      .withColumn("__norm",
         expr(s"lower(regexp_replace($textCol, '[^a-zA-Z0-9 ]', ''))"))
-      .withColumn("content_hash", expr(polyHash("__norm")))
-      .withColumn("gram_hashes", expr(
-        s"transform($grams, g -> ${polyHash("g")})"))
-      .withColumn("min_gram_hash", expr("array_min(gram_hashes)"))
-      .withColumn("n_distinct_grams", expr("size(array_distinct(gram_hashes))"))
-      .drop("gram_hashes", "__norm")
+      .withColumn("__fp", PipelineExpressions.fingerprint_parts(col("__norm"), k))
+      .withColumn("content_hash", col("__fp.content_hash"))
+      .withColumn("min_gram_hash", col("__fp.min_gram_hash"))
+      .withColumn("n_distinct_grams", col("__fp.n_distinct_grams"))
+      .drop("__fp", "__norm")
   }
 }
