@@ -61,6 +61,7 @@ object TestMat {
     // store_failures persists the failing rows (StoreFailuresAs common.rs:1007).
     (adapter, storeAs) match {
       case (Some(a), Some(rel)) if cfg.storeFailures =>
+        a.createSchema(rel.schema)
         a.writeTableAtomic(limited, rel)
       case _ =>
     }

@@ -92,6 +92,112 @@ object EnginePack extends QueryPack {
         .orderBy("segment")
     }),
 
+    // singular data test: tests/*.sql is itself the failing-rows query
+    // (reference: MA/materializations/tests/test.sql:1-66). The test warns
+    // (severity) and persists its failures (store_failures); the emitted
+    // table is the stored failures relation.
+    "q_test_singular" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_singular")
+      write(proj, "dbt_project.yml",
+        """name: singdemo
+          |model-paths: ["models"]
+          |test-paths: ["tests"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/stg_orders.sql",
+        """select o_orderkey as order_id, o_totalprice as amount,
+          |       o_orderstatus as status
+          |from {{ source('tpch', 'orders') }}
+          |""".stripMargin)
+      write(proj, "tests/low_value_orders.sql",
+        """{{ config(severity='warn', store_failures=true) }}
+          |select order_id, amount from {{ ref('stg_orders') }}
+          |where amount < 2000
+          |""".stripMargin)
+      val schema = "g_test_singular"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      s.sql(s"DROP DATABASE IF EXISTS `${schema}_failures` CASCADE")
+      val loc = Files.createTempDirectory("graft_singular_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(r => r.status == "error" || r.status == "fail")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      val warned = results.find(_.uniqueId == "test.singdemo.low_value_orders")
+      if (!warned.exists(_.status == "warn"))
+        throw new IllegalStateException(s"expected warn, got: $warned")
+      runner.adapter.read(graft.core.Relation(schema + "_failures",
+        "low_value_orders")).orderBy("order_id")
+    }),
+
+    // custom generic test: a {% test %} block referenced from schema.yml
+    // like a built-in (reference: SqlResource::Test,
+    // crates/dbt-jinja-utils/src/phases/parse/sql_resource.rs:27).
+    "q_test_custom_generic" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_custom_test")
+      write(proj, "dbt_project.yml",
+        """name: ctestdemo
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "macros/at_least.sql",
+        """{% test at_least(model, column_name, min_value) %}
+          |select {{ column_name }} as bad_value
+          |from {{ model }}
+          |where {{ column_name }} < {{ min_value }}
+          |{% endtest %}
+          |""".stripMargin)
+      write(proj, "models/stg_orders.sql",
+        """select o_orderkey as order_id, o_totalprice as amount
+          |from {{ source('tpch', 'orders') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: stg_orders
+          |    columns:
+          |      - name: amount
+          |        tests:
+          |          - at_least:
+          |              min_value: 2000
+          |              severity: warn
+          |              config:
+          |                store_failures: true
+          |""".stripMargin)
+      val schema = "g_test_custom"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      s.sql(s"DROP DATABASE IF EXISTS `${schema}_failures` CASCADE")
+      val loc = Files.createTempDirectory("graft_custom_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(r => r.status == "error" || r.status == "fail")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      val warned = results.find(_.uniqueId.startsWith("test.ctestdemo.at_least"))
+      if (!warned.exists(_.status == "warn"))
+        throw new IllegalStateException(s"expected warn, got: $warned")
+      runner.adapter.read(graft.core.Relation(schema + "_failures",
+        "at_least_stg_orders_amount")).orderBy("bad_value")
+    }),
+
     // pre/post hooks around a materialization (MA/materializations/
     // hooks.sql): the pre-hook creates an audit table, the post-hook logs
     // the build — both rendered with the run context ({{ this }}).
@@ -149,6 +255,14 @@ object EnginePack extends QueryPack {
         |FROM open_orders o JOIN stg_customers c ON o.customer_id = c.customer_id
         |GROUP BY c.segment
         |ORDER BY segment""".stripMargin,
+
+    "q_test_singular" ->
+      """SELECT o_orderkey AS order_id, o_totalprice AS amount
+        |FROM orders WHERE o_totalprice < 2000 ORDER BY order_id""".stripMargin,
+
+    "q_test_custom_generic" ->
+      """SELECT o_totalprice AS bad_value
+        |FROM orders WHERE o_totalprice < 2000 ORDER BY bad_value""".stripMargin,
 
     "q_engine_hooks" ->
       """SELECT 'built' AS event,

@@ -26,9 +26,17 @@ final case class Project(
     modelFiles: Map[String, String],
     seeds: Map[String, String], // seed name → csv path
     snapshots: Map[String, String], // snapshot name → raw body
+    /** singular data tests: name of a .sql file under test-paths → raw
+      * Jinja-SQL selecting failing rows (reference:
+      * MA/materializations/tests/test.sql:1-66) */
+    tests: Map[String, String],
     /** parsed schema.yml property files, in file order */
     properties: Seq[Map[String, Any]],
-    macroSources: Seq[String])
+    macroSources: Seq[String],
+    /** names of `{% test X %}` blocks found in macro files — referenced
+      * from schema.yml like built-in generic tests (reference:
+      * SqlResource::Test, dbt-jinja-utils/src/phases/parse/sql_resource.rs:27) */
+    customTests: Set[String] = Set.empty)
 
 object ProjectLoader {
 
@@ -70,12 +78,24 @@ object ProjectLoader {
     val seeds = files(seedPaths, ".csv").map(p => nameOf(p) -> p.toString).toMap
     val snapshots = files(snapshotPaths, ".sql")
       .map(p => nameOf(p) -> Files.readString(p)).toMap
+    val tests = files(testPaths, ".sql")
+      .map(p => nameOf(p) -> Files.readString(p)).toMap
     val properties =
       (files(modelPaths, ".yml") ++ files(modelPaths, ".yaml") ++
         files(seedPaths, ".yml") ++ files(snapshotPaths, ".yml") ++
         files(testPaths, ".yml"))
         .map(p => Yaml.parseMap(Files.readString(p)))
-    val macroSources = files(macroPaths, ".sql").map(Files.readString(_))
+    // dbt's {% test X(...) %} blocks are macros named test_X — rewrite the
+    // block syntax up front so the Jinja interpreter needs no new node type
+    // and both the resolver and the runner see the same prelude.
+    val testBlock = raw"\{%-?\s*test\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    val rawMacros = files(macroPaths, ".sql").map(Files.readString(_))
+    val customTests = rawMacros
+      .flatMap(src => testBlock.findAllMatchIn(src).map(_.group(1))).toSet
+    val macroSources = rawMacros.map { src =>
+      testBlock.replaceAllIn(src, m => s"{% macro test_${m.group(1)}")
+        .replaceAll(raw"\{%-?\s*endtest\s*-?%\}", "{% endmacro %}")
+    }
 
     Project(
       name = name,
@@ -93,7 +113,9 @@ object ProjectLoader {
       modelFiles = modelFiles.map { case (n, p) => n -> p.toString },
       seeds = seeds,
       snapshots = snapshots,
+      tests = tests,
       properties = properties,
-      macroSources = macroSources)
+      macroSources = macroSources,
+      customTests = customTests)
   }
 }

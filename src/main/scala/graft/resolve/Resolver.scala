@@ -154,7 +154,7 @@ object Resolver {
               val colName = Yaml.str(cm("name"))
               (Yaml.dig(cm, "tests").orElse(Yaml.dig(cm, "data_tests")).toSeq).flatMap {
                 case ts: Seq[_] => ts.map { t =>
-                  buildTestNode(project.name, modelName, colName, t)
+                  buildTestNode(project.name, modelName, colName, t, targetSchema)
                 }
                 case _ => Nil
               }
@@ -166,8 +166,34 @@ object Resolver {
       }
     }
 
-    val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes)
-      .map(n => n.uniqueId -> n).toMap
+    // --- singular tests: tests/*.sql select failing rows ----------------
+    val singularTestNodes = project.tests.map { case (name, raw) =>
+      val (bindings, harvest) = DbtContext.parseContext(project.vars, env)
+      try Jinja.render(macroPrelude + raw, bindings)
+      catch {
+        case e: Jinja.JinjaError =>
+          throw new IllegalArgumentException(s"test $name: ${e.msg}", e)
+      }
+      val h = harvest()
+      val cfg = toNodeConfig(h.configs).copy(materialized = "test",
+        severity = Yaml.dig(h.configs, "severity").map(v => Severity.parse(Yaml.str(v)))
+          .getOrElse(Severity.Error))
+      Node(
+        uniqueId = s"test.${project.name}.$name",
+        name = name,
+        packageName = project.name,
+        kind = NodeKind.Test,
+        rawSql = raw,
+        config = cfg,
+        dependsOn =
+          h.refs.map { case (_, n) => s"model.${project.name}.$n" } ++
+            h.sources.map { case (s, t) => s"source.$s.$t" },
+        relation = Some(Relation(targetSchema + "_failures", name)),
+        columns = Map("test_kind" -> "singular"))
+    }
+
+    val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
+      singularTestNodes).map(n => n.uniqueId -> n).toMap
     checkRelationUniqueness(all)
     Resolved(project, all, sources)
   }
@@ -175,7 +201,7 @@ object Resolver {
   /** `unique`/`not_null`/`accepted_values`/`relationships` entries on a
     * column → test node (reference resolve_tests dir). */
   private def buildTestNode(pkg: String, model: String, column: String,
-      spec: Any): Node = {
+      spec: Any, targetSchema: String = "analytics"): Node = {
     val (testName, params) = spec match {
       case s: String => (s, Map.empty[String, Any])
       case m: Map[_, _] =>
@@ -204,6 +230,8 @@ object Resolver {
       config = cfg,
       dependsOn = Seq(s"model.$pkg.$model") ++
         params.get("to").map(v => refToUniqueId(pkg, Yaml.str(v))).toSeq,
+      relation = Some(Relation(targetSchema + "_failures",
+        s"${testName}_${model}_$column")),
       columns = Map("column_name" -> column, "model" -> model))
   }
 

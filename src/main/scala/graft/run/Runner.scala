@@ -166,6 +166,14 @@ final class Runner(
       isIncremental = false, node.config.extra, project.vars))
 
   private def runTestNode(node: Node): MatResult = {
+    // singular test: the file body IS the failing-rows query
+    // (reference: MA/materializations/tests/test.sql:1-66)
+    if (node.columns.get("test_kind").contains("singular")) {
+      val failing = spark.sql(compileSql(node))
+      val res = TestMat.run(spark, failing, node.config, Some(adapter),
+        Some(Relation(targetSchema + "_failures", node.name)))
+      return MatResult(node.relation.get, res.status, s"failures=${res.failures}")
+    }
     val modelName = node.columns("model")
     val column = node.columns("column_name")
     val modelRel = resolved.nodes(s"model.${project.name}.$modelName").relation.get
@@ -186,6 +194,18 @@ final class Runner(
         val parentRel = resolved.nodes(toUid).relation.get
         val field = node.config.extra.get("field").map(_.toString).getOrElse("id")
         GenericTests.relationships(df, column, adapter.read(parentRel), field)
+      case custom if project.customTests.contains(custom) =>
+        // {% test custom(model, column_name, ...) %} — loaded as macro
+        // test_custom; call it with the model fqn, the column, and every
+        // non-config param as kwargs, then run the rendered SELECT.
+        val reserved = Set("config", "severity", "where", "limit",
+          "store_failures", "warn_if", "error_if", "fail_calc")
+        val kwargs = node.config.extra.collect {
+          case (k, v) if !reserved(k) => s", $k=${jinjaLit(v)}"
+        }.mkString
+        val call = s"{{ test_$custom(model=${jinjaLit(modelRel.fqn)}, " +
+          s"column_name=${jinjaLit(column)}$kwargs) }}"
+        spark.sql(compileSql(node.copy(rawSql = call)))
       case other =>
         throw new IllegalArgumentException(s"unknown generic test: $other")
     }
@@ -193,6 +213,15 @@ final class Runner(
       Some(adapter),
       Some(Relation(targetSchema + "_failures", node.name)))
     MatResult(modelRel, res.status, s"failures=${res.failures}")
+  }
+
+  /** Scala value → Jinja literal (for synthesized test-macro calls). */
+  private def jinjaLit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "\\'") + "'"
+    case seq: Seq[_] => seq.map(jinjaLit).mkString("[", ", ", "]")
+    case b: Boolean => if (b) "true" else "false"
+    case n @ (_: Int | _: Long | _: Double | _: Float | _: BigDecimal) => n.toString
+    case other => "'" + String.valueOf(other).replace("'", "\\'") + "'"
   }
 
   // ---- scheduling -------------------------------------------------------
