@@ -49,6 +49,27 @@ object EnginePack extends QueryPack {
            |""".stripMargin)
       write(proj, "macros/money.sql",
         """{% macro to_money(col) %}round({{ col }}, 2){% endmacro %}""")
+      // local package (packages.yml local:) providing a model the root
+      // project refs cross-package (reference: packages.rs:27-33,
+      // loader.rs:64). The package also ships a macro into the shared
+      // macro namespace.
+      write(proj, "packages.yml",
+        """packages:
+          |  - local: pkgs/seglib
+          |""".stripMargin)
+      write(proj, "pkgs/seglib/dbt_project.yml",
+        """name: seglib
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "pkgs/seglib/macros/upper_seg.sql",
+        """{% macro upper_seg(col) %}upper({{ col }}){% endmacro %}""")
+      write(proj, "pkgs/seglib/models/segment_tiers.sql",
+        """select 'AUTOMOBILE' as segment, 'retail' as tier
+          |union all select 'BUILDING', 'industrial'
+          |union all select 'FURNITURE', 'retail'
+          |union all select 'HOUSEHOLD', 'retail'
+          |union all select 'MACHINERY', 'industrial'
+          |""".stripMargin)
       write(proj, "models/staging/stg_orders.sql",
         """select
           |  o_orderkey as order_id,
@@ -70,12 +91,14 @@ object EnginePack extends QueryPack {
           |""".stripMargin)
       write(proj, "models/marts/customer_revenue.sql",
         """{{ config(materialized='table') }}
-          |select c.segment,
+          |select c.segment, t.tier,
           |       cast(cast(sum(cast(o.amount as decimal(18,4))) as decimal(38,4)) as double) as open_revenue,
           |       count(*) as n_orders
           |from {{ ref('eph_open_orders') }} o
           |join {{ ref('stg_customers') }} c on o.customer_id = c.customer_id
-          |group by c.segment
+          |join {{ ref('seglib', 'segment_tiers') }} t
+          |  on {{ upper_seg('c.segment') }} = t.segment
+          |group by c.segment, t.tier
           |""".stripMargin)
 
       val schema = "g_engine_pipeline"
@@ -248,13 +271,20 @@ object EnginePack extends QueryPack {
         |stg_customers AS (
         |  SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment
         |  FROM customer),
+        |segment_tiers AS (
+        |  SELECT 'AUTOMOBILE' AS segment, 'retail' AS tier
+        |  UNION ALL SELECT 'BUILDING', 'industrial'
+        |  UNION ALL SELECT 'FURNITURE', 'retail'
+        |  UNION ALL SELECT 'HOUSEHOLD', 'retail'
+        |  UNION ALL SELECT 'MACHINERY', 'industrial'),
         |open_orders AS (SELECT * FROM stg_orders WHERE status = 'O')
-        |SELECT c.segment,
+        |SELECT c.segment, t.tier,
         |  CAST(CAST(SUM(CAST(o.amount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS open_revenue,
         |  COUNT(*) AS n_orders
         |FROM open_orders o JOIN stg_customers c ON o.customer_id = c.customer_id
-        |GROUP BY c.segment
-        |ORDER BY segment""".stripMargin,
+        |JOIN segment_tiers t ON upper(c.segment) = t.segment
+        |GROUP BY c.segment, t.tier
+        |ORDER BY c.segment""".stripMargin,
 
     "q_test_singular" ->
       """SELECT o_orderkey AS order_id, o_totalprice AS amount

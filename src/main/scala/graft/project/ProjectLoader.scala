@@ -36,11 +36,22 @@ final case class Project(
     /** names of `{% test X %}` blocks found in macro files — referenced
       * from schema.yml like built-in generic tests (reference:
       * SqlResource::Test, dbt-jinja-utils/src/phases/parse/sql_resource.rs:27) */
-    customTests: Set[String] = Set.empty)
+    customTests: Set[String] = Set.empty,
+    /** dependency projects from packages.yml `local:` entries (reference:
+      * crates/dbt-schemas/src/schemas/packages.rs:27-33 LocalPackage,
+      * loader integration crates/dbt-loader/src/loader.rs:64). Hub/git
+      * resolution is out of scope (zero-egress); local paths cover the
+      * monorepo-package workflow. */
+    packages: Seq[Project] = Nil) {
+  /** Root project first, then its packages (transitively flattened). */
+  def allProjects: Seq[Project] = this +: packages
+}
 
 object ProjectLoader {
 
-  def load(rootDir: String): Project = {
+  def load(rootDir: String): Project = loadInner(rootDir, Set.empty)
+
+  private def loadInner(rootDir: String, seen: Set[String]): Project = {
     val root = Paths.get(rootDir)
     val projYml = root.resolve("dbt_project.yml")
     val cfg =
@@ -97,6 +108,24 @@ object ProjectLoader {
         .replaceAll(raw"\{%-?\s*endtest\s*-?%\}", "{% endmacro %}")
     }
 
+    // packages.yml local deps — loaded recursively, flattened, cycle-safe
+    val canonical = root.toAbsolutePath.normalize.toString
+    val pkgYml = root.resolve("packages.yml")
+    val packages: Seq[Project] =
+      if (!Files.exists(pkgYml) || seen.contains(canonical)) Nil
+      else Yaml.dig(Yaml.parseMap(Files.readString(pkgYml)), "packages")
+        .toSeq.flatMap {
+          case ps: Seq[_] => ps.collect { case p: Map[_, _] =>
+            p.asInstanceOf[Map[String, Any]].get("local").map(Yaml.str)
+          }.flatten
+          case _ => Nil
+        }
+        .map(rel => root.resolve(rel).normalize().toString)
+        .flatMap { dir =>
+          val sub = loadInner(dir, seen + canonical)
+          sub +: sub.packages // flatten transitive deps
+        }
+
     Project(
       name = name,
       root = rootDir,
@@ -116,6 +145,7 @@ object ProjectLoader {
       tests = tests,
       properties = properties,
       macroSources = macroSources,
-      customTests = customTests)
+      customTests = customTests,
+      packages = packages.distinctBy(_.name))
   }
 }

@@ -19,15 +19,41 @@ object Resolver {
       project: Project,
       nodes: Map[String, Node],
       /** source name → table name → relation */
-      sources: Map[String, Map[String, Relation]])
+      sources: Map[String, Map[String, Relation]],
+      /** model name → packages that define it (for unqualified refs) */
+      modelOwners: Map[String, Seq[String]] = Map.empty) {
+
+    /** `ref('x')` / `ref('pkg', 'x')` → unique id, with dbt's resolution
+      * order: explicit package wins; else the referencing node's own
+      * package; else a unique global match (reference:
+      * compile_node_context.rs ref resolution). */
+    def refUniqueId(currentPkg: String, pkg: Option[String],
+        name: String): String = pkg match {
+      case Some(p) => s"model.$p.$name"
+      case None =>
+        val owners = modelOwners.getOrElse(name, Nil)
+        if (owners.contains(currentPkg)) s"model.$currentPkg.$name"
+        else owners match {
+          case Seq(only) => s"model.$only.$name"
+          case Nil => s"model.$currentPkg.$name" // let downstream error
+          case many => throw new IllegalStateException(
+            s"ref('$name') is ambiguous across packages: ${many.mkString(", ")}")
+        }
+    }
+  }
 
   def resolve(project: Project, targetSchema: String = "analytics",
       env: Map[String, String] = sys.env): Resolved = {
-    val macroPrelude = project.macroSources.mkString("\n")
+    val projects = project.allProjects
+    val macroPrelude = projects.flatMap(_.macroSources).mkString("\n")
+    val modelOwners: Map[String, Seq[String]] =
+      projects.flatMap(p => p.models.keys.map(_ -> p.name))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val protoResolved = Resolved(project, Map.empty, Map.empty, modelOwners)
 
-    // --- sources from properties files --------------------------------
+    // --- sources from properties files (all packages) ------------------
     val sources: Map[String, Map[String, Relation]] =
-      project.properties.flatMap { props =>
+      projects.flatMap(_.properties).flatMap { props =>
         Yaml.dig(props, "sources").toSeq.flatMap {
           case srcs: Seq[_] => srcs.collect { case s: Map[_, _] =>
             val sm = s.asInstanceOf[Map[String, Any]]
@@ -51,9 +77,10 @@ object Resolver {
         }
       }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toMap }
 
-    // --- property-file configs per model ------------------------------
+    // --- property-file configs per model (all packages; names assumed
+    // unique enough across packages — dbt's own global model namespace) ---
     val propConfigs: Map[String, Map[String, Any]] =
-      project.properties.flatMap { props =>
+      projects.flatMap(_.properties).flatMap { props =>
         Yaml.dig(props, "models").toSeq.flatMap {
           case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
             val mm = m.asInstanceOf[Map[String, Any]]
@@ -65,137 +92,150 @@ object Resolver {
         }
       }.toMap
 
-    // --- models -------------------------------------------------------
-    val modelNodes = project.models.map { case (name, raw) =>
-      val (bindings, harvest) = DbtContext.parseContext(project.vars, env)
-      try Jinja.render(macroPrelude + raw, bindings)
-      catch {
-        case e: Jinja.JinjaError =>
-          throw new IllegalArgumentException(s"model $name: ${e.msg}", e)
+    // --- models (per package) -----------------------------------------
+    val modelNodes = projects.flatMap { proj =>
+      proj.models.map { case (name, raw) =>
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        try Jinja.render(macroPrelude + raw, bindings)
+        catch {
+          case e: Jinja.JinjaError =>
+            throw new IllegalArgumentException(s"model $name: ${e.msg}", e)
+        }
+        val h = harvest()
+        val projCfg = projectTreeConfig(proj.modelConfigs,
+          pathSegments(proj, name))
+        val merged = projCfg ++ propConfigs.getOrElse(name, Map.empty) ++ h.configs
+        val cfg = toNodeConfig(merged)
+        val schema = cfg.schema.getOrElse(targetSchema)
+        val ident = cfg.alias.getOrElse(name)
+        Node(
+          uniqueId = s"model.${proj.name}.$name",
+          name = name,
+          packageName = proj.name,
+          kind = NodeKind.Model,
+          rawSql = raw,
+          path = proj.modelFiles.getOrElse(name, ""),
+          config = cfg,
+          dependsOn =
+            h.refs.map { case (pk, n) =>
+              protoResolved.refUniqueId(proj.name, pk, n) } ++
+              h.sources.map { case (s, t) => s"source.$s.$t" },
+          relation = Some(Relation(schema, ident)),
+          checksum = graft.jinja.Json.md5(raw + Yaml.str(merged)))
       }
-      val h = harvest()
-      val projCfg = projectTreeConfig(project.modelConfigs,
-        pathSegments(project, name))
-      val merged = projCfg ++ propConfigs.getOrElse(name, Map.empty) ++ h.configs
-      val cfg = toNodeConfig(merged)
-      val schema = cfg.schema.getOrElse(targetSchema)
-      val ident = cfg.alias.getOrElse(name)
-      Node(
-        uniqueId = s"model.${project.name}.$name",
-        name = name,
-        packageName = project.name,
-        kind = NodeKind.Model,
-        rawSql = raw,
-        path = project.modelFiles.getOrElse(name, ""),
-        config = cfg,
-        dependsOn =
-          h.refs.map { case (_, n) => s"model.${project.name}.$n" } ++
-            h.sources.map { case (s, t) => s"source.$s.$t" },
-        relation = Some(Relation(schema, ident)),
-        checksum = graft.jinja.Json.md5(raw + Yaml.str(merged)))
     }
 
     // --- seeds --------------------------------------------------------
-    val seedNodes = project.seeds.map { case (name, csvPath) =>
-      val cfg = toNodeConfig(
-        projectTreeConfig(project.seedConfigs, Seq(project.name)) ++
-          propConfigs.getOrElse(name, Map.empty))
-      Node(
-        uniqueId = s"seed.${project.name}.$name",
-        name = name,
-        packageName = project.name,
-        kind = NodeKind.Seed,
-        path = csvPath,
-        config = cfg.copy(materialized = "seed"),
-        relation = Some(Relation(cfg.schema.getOrElse(targetSchema),
-          cfg.alias.getOrElse(name))))
+    val seedNodes = projects.flatMap { proj =>
+      proj.seeds.map { case (name, csvPath) =>
+        val cfg = toNodeConfig(
+          projectTreeConfig(proj.seedConfigs, Seq(proj.name)) ++
+            propConfigs.getOrElse(name, Map.empty))
+        Node(
+          uniqueId = s"seed.${proj.name}.$name",
+          name = name,
+          packageName = proj.name,
+          kind = NodeKind.Seed,
+          path = csvPath,
+          config = cfg.copy(materialized = "seed"),
+          relation = Some(Relation(cfg.schema.getOrElse(targetSchema),
+            cfg.alias.getOrElse(name))))
+      }
     }
 
     // --- snapshots (config block inside the body) ---------------------
-    val snapshotNodes = project.snapshots.map { case (name, raw) =>
-      val (bindings, harvest) = DbtContext.parseContext(project.vars, env)
-      Jinja.render(macroPrelude + raw, bindings)
-      val h = harvest()
-      val merged = propConfigs.getOrElse(name, Map.empty) ++ h.configs
-      val cfg0 = toNodeConfig(merged)
-      val snapCfg = SnapshotConfig(
-        strategy = Yaml.dig(merged, "strategy").map(Yaml.str).getOrElse("timestamp"),
-        uniqueKey = Yaml.dig(merged, "unique_key").map(Yaml.strSeq).getOrElse(Nil),
-        updatedAt = Yaml.dig(merged, "updated_at").map(Yaml.str),
-        checkCols = Yaml.dig(merged, "check_cols").map {
-          case "all" => None
-          case v => Some(Yaml.strSeq(v))
-        }.getOrElse(Some(Nil)).filter(_.nonEmpty),
-        hardDeletes = Yaml.dig(merged, "hard_deletes").map(v => HardDeletes.parse(Yaml.str(v)))
-          .getOrElse(HardDeletes.IgnoreDeletes))
-      Node(
-        uniqueId = s"snapshot.${project.name}.$name",
-        name = name,
-        packageName = project.name,
-        kind = NodeKind.Snapshot,
-        rawSql = raw,
-        config = cfg0.copy(materialized = "snapshot", snapshot = Some(snapCfg)),
-        dependsOn =
-          h.refs.map { case (_, n) => s"model.${project.name}.$n" } ++
-            h.sources.map { case (s, t) => s"source.$s.$t" },
-        relation = Some(Relation(cfg0.schema.getOrElse(targetSchema),
-          cfg0.alias.getOrElse(name))))
+    val snapshotNodes = projects.flatMap { proj =>
+      proj.snapshots.map { case (name, raw) =>
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        Jinja.render(macroPrelude + raw, bindings)
+        val h = harvest()
+        val merged = propConfigs.getOrElse(name, Map.empty) ++ h.configs
+        val cfg0 = toNodeConfig(merged)
+        val snapCfg = SnapshotConfig(
+          strategy = Yaml.dig(merged, "strategy").map(Yaml.str).getOrElse("timestamp"),
+          uniqueKey = Yaml.dig(merged, "unique_key").map(Yaml.strSeq).getOrElse(Nil),
+          updatedAt = Yaml.dig(merged, "updated_at").map(Yaml.str),
+          checkCols = Yaml.dig(merged, "check_cols").map {
+            case "all" => None
+            case v => Some(Yaml.strSeq(v))
+          }.getOrElse(Some(Nil)).filter(_.nonEmpty),
+          hardDeletes = Yaml.dig(merged, "hard_deletes").map(v => HardDeletes.parse(Yaml.str(v)))
+            .getOrElse(HardDeletes.IgnoreDeletes))
+        Node(
+          uniqueId = s"snapshot.${proj.name}.$name",
+          name = name,
+          packageName = proj.name,
+          kind = NodeKind.Snapshot,
+          rawSql = raw,
+          config = cfg0.copy(materialized = "snapshot", snapshot = Some(snapCfg)),
+          dependsOn =
+            h.refs.map { case (pk, n) =>
+              protoResolved.refUniqueId(proj.name, pk, n) } ++
+              h.sources.map { case (s, t) => s"source.$s.$t" },
+          relation = Some(Relation(cfg0.schema.getOrElse(targetSchema),
+            cfg0.alias.getOrElse(name))))
+      }
     }
 
     // --- generic tests from properties --------------------------------
-    val testNodes = project.properties.flatMap { props =>
-      Yaml.dig(props, "models").toSeq.flatMap {
-        case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
-          val mm = m.asInstanceOf[Map[String, Any]]
-          val modelName = Yaml.str(mm("name"))
-          Yaml.dig(mm, "columns").toSeq.flatMap {
-            case cols: Seq[_] => cols.collect { case c: Map[_, _] =>
-              val cm = c.asInstanceOf[Map[String, Any]]
-              val colName = Yaml.str(cm("name"))
-              (Yaml.dig(cm, "tests").orElse(Yaml.dig(cm, "data_tests")).toSeq).flatMap {
-                case ts: Seq[_] => ts.map { t =>
-                  buildTestNode(project.name, modelName, colName, t, targetSchema)
+    val testNodes = projects.flatMap { proj =>
+      proj.properties.flatMap { props =>
+        Yaml.dig(props, "models").toSeq.flatMap {
+          case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            val modelName = Yaml.str(mm("name"))
+            Yaml.dig(mm, "columns").toSeq.flatMap {
+              case cols: Seq[_] => cols.collect { case c: Map[_, _] =>
+                val cm = c.asInstanceOf[Map[String, Any]]
+                val colName = Yaml.str(cm("name"))
+                (Yaml.dig(cm, "tests").orElse(Yaml.dig(cm, "data_tests")).toSeq).flatMap {
+                  case ts: Seq[_] => ts.map { t =>
+                    buildTestNode(proj.name, modelName, colName, t, targetSchema)
+                  }
+                  case _ => Nil
                 }
-                case _ => Nil
-              }
-            }.flatten
-            case _ => Nil
-          }
-        }.flatten
-        case _ => Nil
+              }.flatten
+              case _ => Nil
+            }
+          }.flatten
+          case _ => Nil
+        }
       }
     }
 
-    // --- singular tests: tests/*.sql select failing rows ----------------
-    val singularTestNodes = project.tests.map { case (name, raw) =>
-      val (bindings, harvest) = DbtContext.parseContext(project.vars, env)
-      try Jinja.render(macroPrelude + raw, bindings)
-      catch {
-        case e: Jinja.JinjaError =>
-          throw new IllegalArgumentException(s"test $name: ${e.msg}", e)
+    // --- singular tests: .sql files under test-paths select failing rows
+    val singularTestNodes = projects.flatMap { proj =>
+      proj.tests.map { case (name, raw) =>
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        try Jinja.render(macroPrelude + raw, bindings)
+        catch {
+          case e: Jinja.JinjaError =>
+            throw new IllegalArgumentException(s"test $name: ${e.msg}", e)
+        }
+        val h = harvest()
+        val cfg = toNodeConfig(h.configs).copy(materialized = "test",
+          severity = Yaml.dig(h.configs, "severity").map(v => Severity.parse(Yaml.str(v)))
+            .getOrElse(Severity.Error))
+        Node(
+          uniqueId = s"test.${proj.name}.$name",
+          name = name,
+          packageName = proj.name,
+          kind = NodeKind.Test,
+          rawSql = raw,
+          config = cfg,
+          dependsOn =
+            h.refs.map { case (pk, n) =>
+              protoResolved.refUniqueId(proj.name, pk, n) } ++
+              h.sources.map { case (s, t) => s"source.$s.$t" },
+          relation = Some(Relation(targetSchema + "_failures", name)),
+          columns = Map("test_kind" -> "singular"))
       }
-      val h = harvest()
-      val cfg = toNodeConfig(h.configs).copy(materialized = "test",
-        severity = Yaml.dig(h.configs, "severity").map(v => Severity.parse(Yaml.str(v)))
-          .getOrElse(Severity.Error))
-      Node(
-        uniqueId = s"test.${project.name}.$name",
-        name = name,
-        packageName = project.name,
-        kind = NodeKind.Test,
-        rawSql = raw,
-        config = cfg,
-        dependsOn =
-          h.refs.map { case (_, n) => s"model.${project.name}.$n" } ++
-            h.sources.map { case (s, t) => s"source.$s.$t" },
-        relation = Some(Relation(targetSchema + "_failures", name)),
-        columns = Map("test_kind" -> "singular"))
     }
 
     val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
       singularTestNodes).map(n => n.uniqueId -> n).toMap
     checkRelationUniqueness(all)
-    Resolved(project, all, sources)
+    Resolved(project, all, sources, modelOwners)
   }
 
   /** `unique`/`not_null`/`accepted_values`/`relationships` entries on a

@@ -44,7 +44,10 @@ final class Runner(
   val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
   val resolved: Resolver.Resolved = Resolver.resolve(project, targetSchema)
   val graph: Dag.Graph = Dag.fromNodes(resolved.nodes)
-  private val macroPrelude = project.macroSources.mkString("\n")
+  private val macroPrelude =
+    project.allProjects.flatMap(_.macroSources).mkString("\n")
+  private val customTests: Set[String] =
+    project.allProjects.flatMap(_.customTests).toSet
 
   /** uniqueId → prod relation FQN from the defer manifest. */
   private val deferRelations: Map[String, String] = deferManifest match {
@@ -72,7 +75,7 @@ final class Runner(
   def compileSql(node: Node, forUnitTest: Map[String, String] = Map.empty): String = {
     val ctes = mutable.LinkedHashMap.empty[String, String]
     def resolveRef(pkg: Option[String], name: String): String = {
-      val uid = s"model.${project.name}.$name"
+      val uid = resolved.refUniqueId(node.packageName, pkg, name)
       if (!node.dependsOn.contains(uid))
         throw new IllegalStateException(
           s"node ${node.uniqueId} refs undeclared '$name' — not in depends_on")
@@ -160,7 +163,7 @@ final class Runner(
 
   private def renderHook(hook: String, node: Node): String =
     Jinja.render(hook, DbtContext.runContext(adapter, node.relation.get,
-      (_, n) => resolved.nodes.get(s"model.${project.name}.$n")
+      (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
       isIncremental = false, node.config.extra, project.vars))
@@ -176,7 +179,8 @@ final class Runner(
     }
     val modelName = node.columns("model")
     val column = node.columns("column_name")
-    val modelRel = resolved.nodes(s"model.${project.name}.$modelName").relation.get
+    val modelRel =
+      resolved.nodes(s"model.${node.packageName}.$modelName").relation.get
     val df0 = adapter.read(modelRel)
     val df = node.config.where.map(df0.filter).getOrElse(df0)
     val failing = node.rawSql match {
@@ -189,12 +193,12 @@ final class Runner(
         }.getOrElse(Nil)
         GenericTests.acceptedValues(df, column, values)
       case "relationships" =>
-        val toUid = node.dependsOn.find(_ != s"model.${project.name}.$modelName")
+        val toUid = node.dependsOn.find(_ != s"model.${node.packageName}.$modelName")
           .getOrElse(throw new IllegalStateException("relationships needs `to`"))
         val parentRel = resolved.nodes(toUid).relation.get
         val field = node.config.extra.get("field").map(_.toString).getOrElse("id")
         GenericTests.relationships(df, column, adapter.read(parentRel), field)
-      case custom if project.customTests.contains(custom) =>
+      case custom if customTests.contains(custom) =>
         // {% test custom(model, column_name, ...) %} — loaded as macro
         // test_custom; call it with the model fqn, the column, and every
         // non-config param as kwargs, then run the rendered SELECT.
