@@ -135,6 +135,11 @@ final case class NodeConfig(
     begin: Option[String] = None,
     // storage layout
     partitionBy: Seq[String] = Nil,
+    // contracts (reference: DbtContract common.rs:531; enforcement
+    // MA/relations/column/columns_spec_ddl.sql)
+    contractEnforced: Boolean = false,
+    /** declared (column name, data_type) pairs from the model's yml */
+    contractColumns: Seq[(String, String)] = Nil,
     // snapshot
     snapshot: Option[SnapshotConfig] = None,
     // seed

@@ -115,6 +115,71 @@ object EnginePack extends QueryPack {
         .orderBy("segment")
     }),
 
+    // model contracts (reference: DbtContract common.rs:531,
+    // columns_spec_ddl.sql): an enforced contract that matches builds
+    // normally; a declared-vs-actual type mismatch fails BEFORE any write.
+    "q_engine_contract" -> ((s, dir) => {
+      import s.implicits._
+      def mkProj(amountType: String): java.nio.file.Path = {
+        val proj = Files.createTempDirectory("graft_contract")
+        write(proj, "dbt_project.yml",
+          """name: contractdemo
+            |model-paths: ["models"]
+            |""".stripMargin)
+        write(proj, "models/sources.yml",
+          s"""version: 2
+             |sources:
+             |  - name: tpch
+             |    tables:
+             |      - name: orders
+             |        external:
+             |          location: "$dir/orders.parquet"
+             |""".stripMargin)
+        write(proj, "models/ordered_amounts.sql",
+          """{{ config(materialized='table') }}
+            |select o_orderkey as order_id, o_totalprice as amount
+            |from {{ source('tpch', 'orders') }}
+            |""".stripMargin)
+        write(proj, "models/schema.yml",
+          s"""version: 2
+             |models:
+             |  - name: ordered_amounts
+             |    config:
+             |      contract:
+             |        enforced: true
+             |    columns:
+             |      - name: order_id
+             |        data_type: bigint
+             |      - name: amount
+             |        data_type: $amountType
+             |""".stripMargin)
+        proj
+      }
+      val schema = "g_engine_contract"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_contract_wh").toString
+      val ok = new Runner(s, ProjectLoader.load(mkProj("double").toString),
+        targetSchema = schema, warehouseLocation = Some(loc)).run()
+      val okStatus = ok.find(_.uniqueId.endsWith("ordered_amounts"))
+        .map(_.status).getOrElse("missing")
+      // violation: declared string, actual double → must error pre-write
+      val bad = new Runner(s, ProjectLoader.load(mkProj("string").toString),
+        targetSchema = schema + "_bad",
+        warehouseLocation = Some(Files.createTempDirectory("graft_cwh2").toString))
+        .run()
+      val badResult = bad.find(_.uniqueId.endsWith("ordered_amounts"))
+      val badStatus = badResult.map(_.status).getOrElse("missing")
+      val badMentionsContract = badResult.exists(_.message.contains("contract"))
+      val nRows = new Runner(s, ProjectLoader.load(mkProj("double").toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+        .adapter.read(graft.core.Relation(schema, "ordered_amounts")).count()
+      Seq(
+        ("enforced_pass", okStatus, nRows),
+        ("violation_detected", badStatus, 0L),
+        ("violation_names_contract", if (badMentionsContract) "yes" else "no", 0L))
+        .toDF("case_name", "status", "n_rows").orderBy("case_name")
+    }),
+
     // singular data test: tests/*.sql is itself the failing-rows query
     // (reference: MA/materializations/tests/test.sql:1-66). The test warns
     // (severity) and persists its failures (store_failures); the emitted
@@ -285,6 +350,13 @@ object EnginePack extends QueryPack {
         |JOIN segment_tiers t ON upper(c.segment) = t.segment
         |GROUP BY c.segment, t.tier
         |ORDER BY c.segment""".stripMargin,
+
+    "q_engine_contract" ->
+      """SELECT 'enforced_pass' AS case_name, 'success' AS status,
+        |       (SELECT COUNT(*) FROM orders) AS n_rows
+        |UNION ALL SELECT 'violation_detected', 'error', 0
+        |UNION ALL SELECT 'violation_names_contract', 'yes', 0
+        |ORDER BY case_name""".stripMargin,
 
     "q_test_singular" ->
       """SELECT o_orderkey AS order_id, o_totalprice AS amount

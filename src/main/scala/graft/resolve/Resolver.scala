@@ -92,6 +92,26 @@ object Resolver {
         }
       }.toMap
 
+    // --- declared columns with data types (for contracts) ---------------
+    val propColumns: Map[String, Seq[(String, String)]] =
+      projects.flatMap(_.properties).flatMap { props =>
+        Yaml.dig(props, "models").toSeq.flatMap {
+          case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            val cols = Yaml.dig(mm, "columns").toSeq.flatMap {
+              case cs: Seq[_] => cs.collect { case c: Map[_, _] =>
+                val cm = c.asInstanceOf[Map[String, Any]]
+                Yaml.dig(cm, "data_type").map(dt =>
+                  Yaml.str(cm("name")) -> Yaml.str(dt))
+              }.flatten
+              case _ => Nil
+            }
+            Yaml.str(mm("name")) -> cols
+          }
+          case _ => Nil
+        }
+      }.toMap
+
     // --- models (per package) -----------------------------------------
     val modelNodes = projects.flatMap { proj =>
       proj.models.map { case (name, raw) =>
@@ -106,6 +126,7 @@ object Resolver {
           pathSegments(proj, name))
         val merged = projCfg ++ propConfigs.getOrElse(name, Map.empty) ++ h.configs
         val cfg = toNodeConfig(merged)
+          .copy(contractColumns = propColumns.getOrElse(name, Nil))
         val schema = cfg.schema.getOrElse(targetSchema)
         val ident = cfg.alias.getOrElse(name)
         Node(
@@ -349,6 +370,8 @@ object Resolver {
       columnTypes = m.get("column_types").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> Yaml.str(v) }).getOrElse(Map.empty),
       quoteColumns = m.get("quote_columns").exists(v => Yaml.str(v).toBoolean),
+      contractEnforced = Yaml.dig(m, "contract", "enforced")
+        .exists(v => Yaml.str(v).toBoolean),
       severity = s("severity").map(Severity.parse).getOrElse(Severity.Error),
       warnIf = s("warn_if").getOrElse("!= 0"),
       errorIf = s("error_if").getOrElse("!= 0"),

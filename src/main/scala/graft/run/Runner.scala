@@ -134,6 +134,7 @@ final class Runner(
       val r = node.kind match {
         case NodeKind.Model =>
           val sql = compileSql(node)
+          if (node.config.contractEnforced) Contracts.enforce(spark, node, sql)
           val ctx = MatContext(adapter, node.copy(rawSql = sql),
             node.relation.get, () => spark.sql(sql), fullRefresh, now)
           node.config.materialized match {
