@@ -124,10 +124,14 @@ object UnitTestMat {
       template: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val schema: StructType = template.map(_.schema).getOrElse {
-      val names = rows.flatMap(_.keys).distinct
-      StructType(names.map(n => StructField(n, StringType)))
-    }
+    // fixtures pad absent columns with null, so the template's nullability
+    // must not be trusted (a toDF-on-primitives template is non-nullable)
+    val schema: StructType = template
+      .map(t => StructType(t.schema.fields.map(_.copy(nullable = true))))
+      .getOrElse {
+        val names = rows.flatMap(_.keys).distinct
+        StructType(names.map(n => StructField(n, StringType)))
+      }
     val data = rows.map { m =>
       Row.fromSeq(schema.fields.map { f =>
         m.get(f.name).map(coerce(_, f.dataType)).orNull
@@ -136,6 +140,52 @@ object UnitTestMat {
     spark.createDataFrame(
       spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema)
   }
+
+  /** Fixture in `format: csv` — inline csv text with a header row
+    * (reference: Formats common.rs:759-765; csv parsing in
+    * MA/unit_test_sql/get_fixture_sql.sql:62-90). Empty cells → null;
+    * values are coerced to the template's column types like dict rows. */
+  def fixtureDfCsv(spark: SparkSession, csvText: String,
+      template: Option[DataFrame]): DataFrame = {
+    val lines = csvText.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty, "csv fixture needs a header row")
+    val header = splitCsvLine(lines.head)
+    val rows = lines.tail.map { line =>
+      header.zip(splitCsvLine(line))
+        .collect { case (k, v) if v.nonEmpty => k -> (v: Any) }.toMap
+    }
+    fixtureDf(spark, rows, template)
+  }
+
+  /** One csv line → fields; double quotes guard embedded commas, doubled
+    * quotes escape a literal quote. */
+  private[graft] def splitCsvLine(line: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuote) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          sb += '"'; i += 1
+        } else if (c == '"') inQuote = false
+        else sb += c
+      } else c match {
+        case '"' => inQuote = true
+        case ',' => out += sb.toString.trim; sb.clear()
+        case other => sb += other
+      }
+      i += 1
+    }
+    out += sb.toString.trim
+    out.result()
+  }
+
+  /** Fixture in `format: sql` — an arbitrary query supplies the rows
+    * (get_fixture_sql.sql:92-108). */
+  def fixtureDfSql(spark: SparkSession, sql: String): DataFrame =
+    spark.sql(sql)
 
   private def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
     import org.apache.spark.sql.types._

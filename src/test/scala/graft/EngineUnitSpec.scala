@@ -26,6 +26,15 @@ class EngineUnitSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TestMat.evalThreshold(1, "bogus"))
   }
 
+  test("csv fixture line splitting") {
+    import graft.mat.UnitTestMat.splitCsvLine
+    assert(splitCsvLine("a,b,c") == Seq("a", "b", "c"))
+    assert(splitCsvLine("1, two ,3") == Seq("1", "two", "3"))
+    assert(splitCsvLine("\"a,b\",c") == Seq("a,b", "c"))
+    assert(splitCsvLine("\"say \"\"hi\"\"\",x") == Seq("say \"hi\"", "x"))
+    assert(splitCsvLine("a,,c") == Seq("a", "", "c"))
+  }
+
   test("enum parsing round-trips") {
     assert(IncrementalStrategy.parse("delete+insert") == IncrementalStrategy.DeleteInsert)
     assert(OnSchemaChange.parse("append_new_columns") == OnSchemaChange.AppendNewColumns)
