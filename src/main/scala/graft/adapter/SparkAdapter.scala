@@ -276,6 +276,23 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     }
   }
 
+  /** ALTER TABLE … DROP PARTITION — used by the partition-pruned merge path
+    * to clear a touched partition whose rows all vanished (dynamic overwrite
+    * only rewrites partitions present in the incoming frame, so an emptied
+    * partition would otherwise keep its stale rows). */
+  def dropPartition(rel: Relation, spec: Seq[(String, Any)]): Unit = {
+    val specSql = spec.map { case (c, v) =>
+      val litSql = v match {
+        case null => "'__HIVE_DEFAULT_PARTITION__'"
+        case n: java.lang.Number => n.toString
+        case b: java.lang.Boolean => b.toString
+        case other => s"'${other.toString.replace("'", "''")}'"
+      }
+      s"`$c`=$litSql"
+    }.mkString(", ")
+    spark.sql(s"ALTER TABLE ${rel.fqn} DROP IF EXISTS PARTITION ($specSql)")
+  }
+
   private def tableMeta(rel: Relation) =
     scala.util.Try(spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(rel.identifier, Some(rel.schema))))

@@ -66,6 +66,71 @@ object IncrementalMat extends Materialization {
   private def keyCond(t: DataFrame, s: DataFrame, keys: Seq[String]): Column =
     keys.map(k => t(k) <=> s(k)).reduce(_ && _)
 
+  /** Above this many touched partitions the pruning filter (a DNF over
+    * partition tuples) stops being worth it — fall back to the full
+    * rewrite, which is then touching most of the table anyway. */
+  private[mat] val MaxTouchedPartitions = 1000
+
+  /** Partitions the merge/delete+insert must rewrite: partitions receiving
+    * source rows ∪ partitions holding target rows whose key matches an
+    * incoming key (an updated/deleted row's OLD partition must be rewritten
+    * even when the source row lands elsewhere). The second set comes from a
+    * narrow scan — key + partition columns only, so parquet reads two
+    * columns, not the row. Returns None (→ full-rewrite fallback) when the
+    * target is unpartitioned or the touched set exceeds
+    * [[MaxTouchedPartitions]]. */
+  private def touchedPartitionTuples(adapter: SparkAdapter, target: Relation,
+      source: DataFrame, cfg: NodeConfig): Option[Seq[Seq[Any]]] = {
+    val parts = cfg.partitionBy
+    if (parts.isEmpty) return None
+    val srcParts = source.select(parts.map(c => col(s"`$c`")): _*)
+      .distinct().limit(MaxTouchedPartitions + 1).collect()
+    if (srcParts.length > MaxTouchedPartitions) return None
+    val keys = cfg.uniqueKey
+    val scanCols = (keys ++ parts).distinct
+    val t = adapter.read(target)
+      .select(scanCols.map(c => col(s"`$c`")): _*).alias("T")
+    val sk = source.select(keys.map(c => col(s"`$c`")): _*).distinct().alias("S")
+    val cond = keys.map(k => col(s"T.`$k`") <=> col(s"S.`$k`")).reduce(_ && _)
+    val matched = t.join(sk, cond, "left_semi")
+      .select(parts.map(c => col(s"`$c`")): _*)
+      .distinct().limit(MaxTouchedPartitions + 1).collect()
+    if (matched.length > MaxTouchedPartitions) return None
+    val all = (srcParts ++ matched).map(_.toSeq).distinct
+    if (all.size > MaxTouchedPartitions) None else Some(all)
+  }
+
+  /** Partition-pruning predicate over the touched tuples; Catalyst turns
+    * the equality DNF into catalog partition pruning on the target scan. */
+  private def partitionFilter(parts: Seq[String], tuples: Seq[Seq[Any]]): Column =
+    if (tuples.isEmpty) lit(false)
+    else tuples.map { tup =>
+      parts.zip(tup).map { case (c, v) =>
+        if (v == null) col(s"`$c`").isNull else col(s"`$c`") === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** Write a merge/delete+insert result back: pruned targets rewrite ONLY
+    * their touched partitions (dynamic partition overwrite), dropping any
+    * touched partition whose rows all vanished; unpartitioned (or
+    * over-cap) targets keep the atomic full swap. */
+  private def writeKeyedResult(adapter: SparkAdapter, target: Relation,
+      result: DataFrame, cfg: NodeConfig, touched: Option[Seq[Seq[Any]]]): Unit =
+    touched match {
+      case Some(tuples) =>
+        val parts = cfg.partitionBy
+        val cached = result.persist() // touched slice only, reused twice
+        try {
+          val present = cached.select(parts.map(c => col(s"`$c`")): _*)
+            .distinct().collect().map(_.toSeq).toSet
+          adapter.insertOverwritePartitions(cached, target)
+          tuples.filterNot(present).foreach(tup =>
+            adapter.dropPartition(target, parts.zip(tup)))
+        } finally { cached.unpersist(); () }
+      case None =>
+        adapter.writeTableAtomic(result, target, cfg.partitionBy)
+    }
+
   /** MERGE semantics on parquet (default__get_merge_sql,
     * MA/.../merge.sql:9-56; spark__get_merge_sql MS/.../strategies.sql:28-68):
     * matched rows get `merge_update_columns` (or all minus
@@ -81,7 +146,12 @@ object IncrementalMat extends Materialization {
       if (cfg.mergeUpdateColumns.nonEmpty) cfg.mergeUpdateColumns
       else cols.filterNot(cfg.mergeExcludeColumns.contains).filterNot(cfg.uniqueKey.contains)
 
-    val (inScope, outOfScope) = splitByPredicates(tgtAll, cfg.incrementalPredicates)
+    // Partitioned target: restrict the whole merge to touched partitions —
+    // untouched partitions are never read or rewritten (the 100 TB path).
+    val touched = touchedPartitionTuples(adapter, target, source, cfg)
+    val scope = touched.fold(tgtAll)(ts =>
+      tgtAll.filter(partitionFilter(cfg.partitionBy, ts)))
+    val (inScope, outOfScope) = splitByPredicates(scope, cfg.incrementalPredicates)
 
     val t = inScope.alias("DBT_INTERNAL_DEST")
     val s = source.alias("DBT_INTERNAL_SOURCE")
@@ -103,7 +173,7 @@ object IncrementalMat extends Materialization {
 
     val result = outOfScope.select(cols.map(c => col(s"`$c`")): _*)
       .unionByName(untouched).unionByName(updated).unionByName(inserted)
-    adapter.writeTableAtomic(result, target, cfg.partitionBy)
+    writeKeyedResult(adapter, target, result, cfg, touched)
   }
 
   /** DELETE FROM target WHERE key IN (SELECT DISTINCT key FROM source);
@@ -115,7 +185,10 @@ object IncrementalMat extends Materialization {
     if (cfg.uniqueKey.isEmpty) { adapter.appendToTable(source, target); return }
     val tgtAll = adapter.read(target)
     val cols = tgtAll.columns.toSeq
-    val (inScope, outOfScope) = splitByPredicates(tgtAll, cfg.incrementalPredicates)
+    val touched = touchedPartitionTuples(adapter, target, source, cfg)
+    val scope = touched.fold(tgtAll)(ts =>
+      tgtAll.filter(partitionFilter(cfg.partitionBy, ts)))
+    val (inScope, outOfScope) = splitByPredicates(scope, cfg.incrementalPredicates)
     val srcKeys = source.select(cfg.uniqueKey.map(k => col(s"`$k`")): _*).distinct()
     val kept = inScope.join(srcKeys, keyCond(inScope, srcKeys, cfg.uniqueKey), "left_anti")
     val inserted = source.select(cols.map { c =>
@@ -124,7 +197,7 @@ object IncrementalMat extends Materialization {
     val result = outOfScope.select(cols.map(c => col(s"`$c`")): _*)
       .unionByName(kept.select(cols.map(c => col(s"`$c`")): _*))
       .unionByName(inserted)
-    adapter.writeTableAtomic(result, target, cfg.partitionBy)
+    writeKeyedResult(adapter, target, result, cfg, touched)
   }
 
   /** incremental_predicates limit which target rows participate in the

@@ -88,6 +88,21 @@ object IncrementalPack extends QueryPack {
       a.read(rel).orderBy("o_orderkey")
     }),
 
+    // ---- merge on a partitioned target (partition-pruned rewrite) --------
+    "q_incr_merge_partitioned" -> ((s, dir) => {
+      val a = freshAdapter(s, "incr_mergep")
+      def withYear(df: DataFrame) =
+        df.withColumn("o_year", year(col("o_orderdate")).cast("bigint"))
+      val cfg = NodeConfig(materialized = "incremental",
+        incrementalStrategy = Some(IncrementalStrategy.Merge),
+        uniqueKey = Seq("o_orderkey"), partitionBy = Seq("o_year"))
+      // second run must rewrite only partitions holding delta keys — the
+      // pruned path (touched partitions → dynamic overwrite), not a full swap
+      val rel = runIncremental(a, "orders_mergep", cfg,
+        withYear(ordersBase(s, dir)), withYear(ordersDelta(s, dir)))
+      a.read(rel).orderBy("o_orderkey")
+    }),
+
     // ---- delete+insert --------------------------------------------------
     "q_incr_delete_insert" -> ((s, dir) => {
       val a = freshAdapter(s, "incr_delins")
@@ -285,6 +300,20 @@ object IncrementalPack extends QueryPack {
          |       d.o_orderdate, d.o_orderpriority
          |FROM delta d WHERE NOT EXISTS
          |  (SELECT 1 FROM base b WHERE b.o_orderkey = d.o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_incr_merge_partitioned" ->
+      s"""WITH base AS (
+         |  SELECT *, CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$Cut'),
+         |delta AS (
+         |  SELECT *, CAST(year(o_orderdate) AS BIGINT) AS o_year FROM ($deltaSql))
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |       o_orderpriority, o_year
+         |FROM delta
+         |UNION ALL
+         |SELECT b.* FROM base b WHERE NOT EXISTS
+         |  (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
          |ORDER BY o_orderkey""".stripMargin,
 
     "q_incr_delete_insert" ->

@@ -1,0 +1,114 @@
+package graft
+
+import graft.adapter.SparkAdapter
+import graft.core._
+import graft.mat.{IncrementalMat, MatContext}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Partition-pruned merge/delete+insert: on a partitioned target only the
+  * partitions holding incoming rows or matched keys are rewritten; the
+  * untouched remainder keeps its exact files (no read, no rewrite) — the
+  * property that makes keyed incrementals viable at 100 TB. */
+class IncrementalPruneSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def freshAdapter(name: String): SparkAdapter = {
+    val loc = Files.createTempDirectory(s"graft_$name").toString
+    val schema = s"g_$name"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    new SparkAdapter(spark, schema, Some(loc))
+  }
+
+  private def node(name: String, cfg: NodeConfig): Node =
+    Node(uniqueId = s"model.spec.$name", name = name, packageName = "spec",
+      kind = NodeKind.Model, config = cfg)
+
+  private val T0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def run(a: SparkAdapter, rel: Relation, cfg: NodeConfig,
+      df: org.apache.spark.sql.DataFrame): Unit =
+    IncrementalMat.run(MatContext(a, node(rel.identifier, cfg), rel,
+      () => df, fullRefresh = false, T0))
+
+  private def filesOfPartition(a: SparkAdapter, rel: Relation, y: Int): Set[String] = {
+    import spark.implicits._
+    a.read(rel).filter(col("y") === y)
+      .select(input_file_name()).as[String].distinct().collect().toSet
+  }
+
+  test("merge rewrites only touched partitions") {
+    import spark.implicits._
+    val a = freshAdapter("prune_merge")
+    val rel = Relation(a.defaultSchema, "t_prune")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.Merge),
+      uniqueKey = Seq("id"), partitionBy = Seq("y"))
+    val base = Seq((1L, "a", 2000), (2L, "b", 2001), (3L, "c", 2002))
+      .toDF("id", "v", "y")
+    run(a, rel, cfg, base)
+
+    val before2000 = filesOfPartition(a, rel, 2000)
+    assert(before2000.nonEmpty)
+
+    // delta: update id=2 (partition 2001), insert id=4 into 2003
+    val delta = Seq((2L, "b2", 2001), (4L, "d", 2003)).toDF("id", "v", "y")
+    run(a, rel, cfg, delta)
+
+    val got = a.read(rel).orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "a", 2000), (2L, "b2", 2001), (3L, "c", 2002), (4L, "d", 2003)))
+    // untouched partition kept its exact files — proof it was not rewritten
+    assert(filesOfPartition(a, rel, 2000) == before2000)
+  }
+
+  test("merge drops a touched partition whose rows all moved away") {
+    import spark.implicits._
+    val a = freshAdapter("prune_empty")
+    val rel = Relation(a.defaultSchema, "t_empty")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.Merge),
+      uniqueKey = Seq("id"), partitionBy = Seq("y"))
+    run(a, rel, cfg, Seq((1L, "a", 2000), (2L, "b", 2001)).toDF("id", "v", "y"))
+    // id=1 moves from partition 2000 to 2002 — 2000 is emptied and must be
+    // dropped, or its stale row would survive the dynamic overwrite
+    run(a, rel, cfg, Seq((1L, "a2", 2002)).toDF("id", "v", "y"))
+    val got = a.read(rel).orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "a2", 2002), (2L, "b", 2001)))
+  }
+
+  test("delete+insert prunes to touched partitions") {
+    import spark.implicits._
+    val a = freshAdapter("prune_delins")
+    val rel = Relation(a.defaultSchema, "t_delins")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.DeleteInsert),
+      uniqueKey = Seq("id"), partitionBy = Seq("y"))
+    val base = Seq((1L, "a", 2000), (2L, "b", 2001), (3L, "c", 2001))
+      .toDF("id", "v", "y")
+    run(a, rel, cfg, base)
+    val before2000 = filesOfPartition(a, rel, 2000)
+
+    // delete+insert id=2 twice (dup-preserving) into 2001 only
+    val delta = Seq((2L, "x", 2001), (2L, "x", 2001)).toDF("id", "v", "y")
+    run(a, rel, cfg, delta)
+
+    val got = a.read(rel).orderBy(col("id"), col("v")).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "a", 2000), (2L, "x", 2001), (2L, "x", 2001), (3L, "c", 2001)))
+    assert(filesOfPartition(a, rel, 2000) == before2000)
+  }
+}
