@@ -341,7 +341,11 @@ object MicrobatchRunner {
     val bs = batches(begin, ctx.now, size, cfg.lookback, lastRunEnd)
     var n = 0
     bs.foreach { b =>
-      val batchDf = ctx.compiled()
+      // Prefer the window-compiled form: upstream scans prune to the batch.
+      // The output filter stays on as the semantic guard either way (cheap —
+      // it sits above already-pruned scans).
+      val compiled = ctx.compiledBatch.fold(ctx.compiled())(f => f(b.start, b.end))
+      val batchDf = compiled
         .filter(col(eventTime) >= lit(b.start) && col(eventTime) < lit(b.end))
       if (!adapter.relationExists(target)) {
         adapter.writeTableAtomic(batchDf, target, cfg.partitionBy)

@@ -33,7 +33,13 @@ final case class MatContext(
     fullRefresh: Boolean = false,
     /** Injected "now" so snapshot/freshness runs are deterministic in
       * tests; production passes the wall clock. */
-    now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())) {
+    now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis()),
+    /** Microbatch scan pruning: compiles the model with the batch window
+      * [start, end) pushed into every event_time-declaring upstream ref
+      * (dbt's microbatch input filter, model_config.rs:209-210) so each
+      * batch's source scans prune instead of re-reading the full input.
+      * None → the runner filters the compiled output only. */
+    compiledBatch: Option[(java.sql.Timestamp, java.sql.Timestamp) => DataFrame] = None) {
   def spark = adapter.spark
   def config: NodeConfig = node.config
 }

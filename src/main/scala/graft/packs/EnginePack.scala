@@ -286,6 +286,48 @@ object EnginePack extends QueryPack {
         "at_least_stg_orders_amount")).orderBy("bad_value")
     }),
 
+    // microbatch through the engine: the source declares event_time, so
+    // each batch compiles with the window pushed into the source scan
+    // (reference: model_config.rs:209-210 microbatch input filter) and the
+    // partitioned target takes per-batch dynamic partition overwrites.
+    "q_engine_microbatch" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_mb")
+      write(proj, "dbt_project.yml",
+        """name: mbdemo
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    schema: tpch
+           |    tables:
+           |      - name: orders
+           |        config:
+           |          event_time: o_orderdate
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/orders_mb.sql",
+        """{{ config(materialized='incremental', incremental_strategy='microbatch', event_time='o_orderdate', batch_size='month', begin='1995-01-01 00:00:00', partition_by='o_month') }}
+          |select o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+          |       date_format(o_orderdate, 'yyyy-MM') as o_month
+          |from {{ source('tpch', 'orders') }}
+          |""".stripMargin)
+      val schema = "g_engine_mb"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_mb_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc), threads = 2,
+        now = java.sql.Timestamp.valueOf("1995-04-01 00:00:00"))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "orders_mb"))
+        .orderBy("o_orderkey")
+    }),
+
     // pre/post hooks around a materialization (MA/materializations/
     // hooks.sql): the pre-hook creates an audit table, the post-hook logs
     // the build — both rendered with the run context ({{ this }}).
@@ -365,6 +407,14 @@ object EnginePack extends QueryPack {
     "q_test_custom_generic" ->
       """SELECT o_totalprice AS bad_value
         |FROM orders WHERE o_totalprice < 2000 ORDER BY bad_value""".stripMargin,
+
+    "q_engine_microbatch" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+        |       strftime(o_orderdate, '%Y-%m') AS o_month
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_engine_hooks" ->
       """SELECT 'built' AS event,

@@ -21,7 +21,10 @@ object Resolver {
       /** source name → table name → relation */
       sources: Map[String, Map[String, Relation]],
       /** model name → packages that define it (for unqualified refs) */
-      modelOwners: Map[String, Seq[String]] = Map.empty) {
+      modelOwners: Map[String, Seq[String]] = Map.empty,
+      /** (source, table) → event_time column — the microbatch input filter
+        * hook for sources (reference model_config.rs:209-210). */
+      sourceEventTimes: Map[(String, String), String] = Map.empty) {
 
     /** `ref('x')` / `ref('pkg', 'x')` → unique id, with dbt's resolution
       * order: explicit package wins; else the referencing node's own
@@ -52,30 +55,36 @@ object Resolver {
     val protoResolved = Resolved(project, Map.empty, Map.empty, modelOwners)
 
     // --- sources from properties files (all packages) ------------------
-    val sources: Map[String, Map[String, Relation]] =
+    val sourceTables: Seq[(String, String, Relation, Option[String])] =
       projects.flatMap(_.properties).flatMap { props =>
         Yaml.dig(props, "sources").toSeq.flatMap {
           case srcs: Seq[_] => srcs.collect { case s: Map[_, _] =>
             val sm = s.asInstanceOf[Map[String, Any]]
             val srcName = Yaml.str(sm("name"))
             val schema = Yaml.dig(sm, "schema").map(Yaml.str).getOrElse(srcName)
-            val tables = Yaml.dig(sm, "tables").toSeq.flatMap {
+            Yaml.dig(sm, "tables").toSeq.flatMap {
               case ts: Seq[_] => ts.collect { case t: Map[_, _] =>
                 val tm = t.asInstanceOf[Map[String, Any]]
                 val tname = Yaml.str(tm("name"))
                 val ident = Yaml.dig(tm, "identifier").map(Yaml.str).getOrElse(tname)
                 // `external.location` points a source at a parquet path.
                 val loc = Yaml.dig(tm, "external", "location").map(Yaml.str)
-                tname -> Relation(None, schema, loc.getOrElse(ident),
-                  RelationType.External)
+                val eventTime = Yaml.dig(tm, "config", "event_time")
+                  .orElse(Yaml.dig(tm, "event_time")).map(Yaml.str)
+                (srcName, tname, Relation(None, schema, loc.getOrElse(ident),
+                  RelationType.External), eventTime)
               }
               case _ => Nil
             }
-            srcName -> tables.toMap
-          }
+          }.flatten
           case _ => Nil
         }
-      }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toMap }
+      }
+    val sources: Map[String, Map[String, Relation]] =
+      sourceTables.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(v => v._2 -> v._3).toMap }
+    val sourceEventTimes: Map[(String, String), String] =
+      sourceTables.collect { case (s, t, _, Some(et)) => (s, t) -> et }.toMap
 
     // --- property-file configs per model (all packages; names assumed
     // unique enough across packages — dbt's own global model namespace) ---
@@ -256,7 +265,7 @@ object Resolver {
     val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
       singularTestNodes).map(n => n.uniqueId -> n).toMap
     checkRelationUniqueness(all)
-    Resolved(project, all, sources, modelOwners)
+    Resolved(project, all, sources, modelOwners, sourceEventTimes)
   }
 
   /** `unique`/`not_null`/`accepted_values`/`relationships` entries on a

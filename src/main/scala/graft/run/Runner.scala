@@ -71,9 +71,20 @@ final class Runner(
 
   /** Render a node's Jinja to executable Spark SQL. Ephemeral refs inline
     * as CTEs (reference: compile_node_context.rs:190-208 ref validation +
-    * ephemeral CTE injection). */
-  def compileSql(node: Node, forUnitTest: Map[String, String] = Map.empty): String = {
+    * ephemeral CTE injection). `batchWindow` is the microbatch input filter
+    * (reference model_config.rs:209-210): refs to event_time-declaring
+    * upstreams compile to a `[start, end)`-filtered subquery so the batch's
+    * scans prune at the source instead of re-reading the full input. */
+  def compileSql(node: Node, forUnitTest: Map[String, String] = Map.empty,
+      batchWindow: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): String = {
     val ctes = mutable.LinkedHashMap.empty[String, String]
+    def windowed(relSql: String, eventTime: Option[String]): String =
+      (batchWindow, eventTime) match {
+        case (Some((bs, be)), Some(et)) =>
+          s"(SELECT * FROM $relSql WHERE `$et` >= TIMESTAMP '$bs' " +
+            s"AND `$et` < TIMESTAMP '$be')"
+        case _ => relSql
+      }
     def resolveRef(pkg: Option[String], name: String): String = {
       val uid = resolved.refUniqueId(node.packageName, pkg, name)
       if (!node.dependsOn.contains(uid))
@@ -86,19 +97,21 @@ final class Runner(
           if (target.isEphemeral) {
             val cteName = s"__dbt__cte__$name"
             if (!ctes.contains(cteName))
-              ctes(cteName) = compileSql(target) // nested ephemerals recurse
+              ctes(cteName) = compileSql(target, Map.empty, batchWindow) // nested ephemerals recurse
             cteName
           } else {
             val rel = target.relation.get
             // deferral: unbuilt upstream → prod manifest relation
-            if (deferRelations.contains(uid) && !adapter.relationExists(rel))
-              deferRelations(uid)
-            else rel.fqn
+            val base =
+              if (deferRelations.contains(uid) && !adapter.relationExists(rel))
+                deferRelations(uid)
+              else rel.fqn
+            windowed(base, target.config.eventTime)
           }
       }
     }
-    def resolveSource(src: String, tbl: String): String =
-      resolved.sources.get(src).flatMap(_.get(tbl)) match {
+    def resolveSource(src: String, tbl: String): String = {
+      val base = resolved.sources.get(src).flatMap(_.get(tbl)) match {
         case Some(rel) if rel.relType == RelationType.External &&
             rel.identifier.contains("/") =>
           // external location → direct parquet scan
@@ -106,6 +119,8 @@ final class Runner(
         case Some(rel) => rel.fqn
         case None => throw new IllegalStateException(s"unknown source $src.$tbl")
       }
+      windowed(base, resolved.sourceEventTimes.get((src, tbl)))
+    }
 
     val isIncr = IncrementalMat.isIncremental(adapter, node.relation.get,
       fullRefresh = false, node.config.materialized)
@@ -140,7 +155,9 @@ final class Runner(
           node.config.materialized match {
             case "incremental" if node.config.incrementalStrategy
                 .contains(IncrementalStrategy.Microbatch) =>
-              MicrobatchRunner.run(ctx)
+              // per-batch compile with the window pushed into the scans
+              MicrobatchRunner.run(ctx.copy(compiledBatch = Some((bs, be) =>
+                spark.sql(compileSql(node, batchWindow = Some((bs, be)))))))
             case m => Materializations.resolve(m).run(ctx)
           }
         case NodeKind.Seed =>
