@@ -21,18 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Signature computation runs as interpreted higher-order expressions
-    * (Spark doesn't codegen lambda functions), so CPU per row is high —
-    * make sure the rows are spread across the cluster even when the input
-    * is one small file/split. The repartition alone is NOT enough: the
-    * ColumnPruning rule pushes deterministic projections below the
-    * exchange, putting the expensive lambdas back on the single input
-    * split — the cache() boundary (InMemoryRelation is a leaf) pins the
-    * downstream compute above the 2×parallelism partitioning. Payload
-    * cached is raw text — tiny relative to the per-row compute. */
+  /** Single-split inputs starve signature compute of parallelism, so by
+    * default the corpus is repartitioned to 2×parallelism. The repartition
+    * alone is NOT enough: the ColumnPruning rule pushes deterministic
+    * projections below the exchange, putting the expensive expressions back
+    * on the single input split — the cache() boundary (InMemoryRelation is
+    * a leaf) pins the downstream compute above the exchange.
+    *
+    * This is a SMALL-INPUT crutch: at cluster scale the parallelism comes
+    * from the input splits themselves and caching the corpus is not a
+    * 100 TB plan — set `spark.graft.spreadInput=false` there to make this
+    * a no-op (scans stay streaming, no materialization). */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism * 2
-    df.repartition(target).cache()
+    val spark = df.sparkSession
+    if (!spark.conf.get("spark.graft.spreadInput", "true").toBoolean) df
+    else {
+      val target = spark.sparkContext.defaultParallelism * 2
+      df.repartition(target).cache()
+    }
   }
 
   /** Word k-shingles, distinct, guarded for short docs. Shingle text is
