@@ -21,6 +21,7 @@ object Main {
       command: String = "run",
       projectDir: String = ".",
       select: Option[String] = None,
+      selector: Option[String] = None,
       fullRefresh: Boolean = false,
       threads: Int = 4,
       schema: String = "analytics",
@@ -35,6 +36,7 @@ object Main {
       argv(i) match {
         case "--project-dir" => a = a.copy(projectDir = argv(i + 1)); i += 2
         case "--select" | "-s" => a = a.copy(select = Some(argv(i + 1))); i += 2
+        case "--selector" => a = a.copy(selector = Some(argv(i + 1))); i += 2
         case "--full-refresh" => a = a.copy(fullRefresh = true); i += 1
         case "--threads" => a = a.copy(threads = argv(i + 1).toInt); i += 2
         case "--schema" => a = a.copy(schema = argv(i + 1)); i += 2
@@ -100,9 +102,12 @@ object Main {
         0
 
       case "list" | "ls" =>
-        val selected = args.select match {
-          case Some(sel) => graft.resolve.Selector.select(
-            graft.resolve.Selector.parse(sel), runner.resolved.nodes, runner.graph)
+        val spec = args.select.map(graft.resolve.Selector.parse)
+          .orElse(args.selector.map(runner.namedSelectors))
+        val selected = spec match {
+          case Some(sp) => graft.resolve.Selector.select(
+            sp, runner.resolved.nodes, runner.graph,
+            prevResults = runner.prevResults())
           case None => runner.resolved.nodes.keySet
         }
         selected.toSeq.sorted.foreach(println)
@@ -112,7 +117,8 @@ object Main {
         // the runner slices the DAG to the kind+selector subset, preserving
         // transitive edges through excluded nodes
         val results = runner.run(args.select, args.fullRefresh,
-          enableReuse = args.state.isDefined, kinds = kindFilter(cmd))
+          enableReuse = args.state.isDefined, kinds = kindFilter(cmd),
+          selectorName = args.selector)
         runner.writeRunResults(results,
           targetDir.resolve("run_results.json").toString)
         runner.writeManifest(targetDir.resolve("manifest.json").toString)

@@ -37,6 +37,10 @@ final case class Project(
       * from schema.yml like built-in generic tests (reference:
       * SqlResource::Test, dbt-jinja-utils/src/phases/parse/sql_resource.rs:27) */
     customTests: Set[String] = Set.empty,
+    /** parsed selectors.yml document (reference:
+      * crates/dbt-selector-parser/src/parser.rs) — named selector
+      * definitions; empty when the project has none. */
+    selectorsDoc: Map[String, Any] = Map.empty,
     /** dependency projects from packages.yml `local:` entries (reference:
       * crates/dbt-schemas/src/schemas/packages.rs:27-33 LocalPackage,
       * loader integration crates/dbt-loader/src/loader.rs:64). Hub/git
@@ -146,6 +150,11 @@ object ProjectLoader {
       properties = properties,
       macroSources = macroSources,
       customTests = customTests,
+      selectorsDoc = {
+        val selYml = root.resolve("selectors.yml")
+        if (Files.exists(selYml)) Yaml.parseMap(Files.readString(selYml))
+        else Map.empty
+      },
       packages = packages.distinctBy(_.name))
   }
 }

@@ -1,6 +1,7 @@
 package graft.resolve
 
 import graft.core.{Node, NodeKind}
+import graft.project.Yaml
 
 /** Node-selection DSL (reference: parse_single_selector,
   * crates/dbt-common/src/node_selector.rs:350-478; methods `MethodName`
@@ -12,7 +13,13 @@ import graft.core.{Node, NodeKind}
   *   intersect := atom (',' atom)*                          — comma = AND
   *   atom      := [N]['+'] method-or-name ['+' [N]] | '@'name
   *   method    := fqn: | tag: | path: | package: | config.materialized: |
-  *                resource_type: | source: | test_type: | state:modified
+  *                resource_type: | source: | test_type: | group: |
+  *                version: | result: | state:modified | state:new
+  *
+  * selectors.yml definitions (parser.rs:100-862) compose the same atoms as
+  * nested `union:` / `intersection:` lists with `exclude:` entries and
+  * `method:`/`value:` dicts; [[fromYamlDefinition]] maps them onto this
+  * Spec algebra (exclude → [[Difference]]).
   */
 object Selector {
 
@@ -24,6 +31,9 @@ object Selector {
       atOperator: Boolean) extends Spec
   final case class Union(specs: Seq[Spec]) extends Spec
   final case class Intersection(specs: Seq[Spec]) extends Spec
+  /** `exclude:` inside a YAML definition (parser.rs:240): select `base`,
+    * subtract `exclude`. */
+  final case class Difference(base: Spec, exclude: Spec) extends Spec
 
   def parse(s: String): Spec = {
     val unions = s.trim.split("\\s+").filter(_.nonEmpty).toSeq.map { part =>
@@ -47,17 +57,92 @@ object Selector {
     case other => Atom(other, None, None, atOperator = false)
   }
 
+  // ---- selectors.yml ------------------------------------------------------
+
+  /** Parse the `selectors:` document → name → Spec, plus the default
+    * selector name if one is flagged (parser.rs:60-99). */
+  def parseSelectorsYaml(doc: Map[String, Any]): (Map[String, Spec], Option[String]) = {
+    val entries = Yaml.dig(doc, "selectors").toSeq.flatMap {
+      case ss: Seq[_] => ss.collect { case m: Map[_, _] =>
+        val sm = m.asInstanceOf[Map[String, Any]]
+        val name = Yaml.str(sm("name"))
+        val isDefault = sm.get("default").exists(v => Yaml.str(v).toBoolean)
+        (name, fromYamlDefinition(sm("definition")), isDefault)
+      }
+      case _ => Nil
+    }
+    (entries.map(e => e._1 -> e._2).toMap,
+      entries.collectFirst { case (n, _, true) => n })
+  }
+
+  /** One YAML definition → Spec. Accepts a bare selector string, a
+    * method/value dict (with parents/children/…_depth modifiers), or
+    * `union:` / `intersection:` lists whose entries may be `exclude:`
+    * blocks (parser.rs:100-320). */
+  def fromYamlDefinition(defn: Any): Spec = defn match {
+    case s: String => parse(s)
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      (mm.get("union"), mm.get("intersection"), mm.get("method")) match {
+        case (Some(items: Seq[_]), _, _) => composite(items, Union(_))
+        case (_, Some(items: Seq[_]), _) => composite(items, Intersection(_))
+        case (_, _, Some(method)) =>
+          val value = mm.get("value").map(Yaml.str).getOrElse("")
+          val core = Yaml.str(method) match {
+            case "fqn" => value
+            case m0 => s"$m0:$value"
+          }
+          def depth(flagKey: String, depthKey: String): Option[Int] =
+            if (mm.get(flagKey).exists(v => Yaml.str(v).toBoolean))
+              Some(mm.get(depthKey).map(Yaml.str(_).toInt).getOrElse(Int.MaxValue))
+            else mm.get(depthKey).map(Yaml.str(_).toInt)
+          Atom(core,
+            parentsDepth = depth("parents", "parents_depth"),
+            childrenDepth = depth("children", "children_depth"),
+            atOperator = mm.get("childrens_parents").exists(v => Yaml.str(v).toBoolean))
+        case _ => throw new IllegalArgumentException(
+          s"selector definition needs union/intersection/method: $mm")
+      }
+    case other => throw new IllegalArgumentException(
+      s"unsupported selector definition: $other")
+  }
+
+  /** union/intersection items; `exclude:` entries subtract from the rest. */
+  private def composite(items: Seq[_], build: Seq[Spec] => Spec): Spec = {
+    val (excludes, includes) = items.partition {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].contains("exclude")
+      case _ => false
+    }
+    val base = build(includes.map(fromYamlDefinition))
+    val excluded = excludes.flatMap { case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]]("exclude") match {
+        case xs: Seq[_] => xs.map(fromYamlDefinition)
+        case x => Seq(fromYamlDefinition(x))
+      }
+    }
+    if (excluded.isEmpty) base
+    else Difference(base,
+      if (excluded.length == 1) excluded.head else Union(excluded.toSeq))
+  }
+
+  // ---- evaluation ---------------------------------------------------------
+
   /** Evaluate a selector against the node set; returns selected ids.
     * `prevChecksums` drives state:modified (reference
-    * schemas/prev_state/mod.rs). */
+    * schemas/prev_state/mod.rs); `prevResults` (unique id → last run
+    * status) drives result:<status> (node_selector.rs:80). */
   def select(spec: Spec, nodes: Map[String, Node], graph: Dag.Graph,
-      prevChecksums: Map[String, String] = Map.empty): Set[String] = spec match {
+      prevChecksums: Map[String, String] = Map.empty,
+      prevResults: Map[String, String] = Map.empty): Set[String] = spec match {
     case Union(specs) =>
-      specs.flatMap(select(_, nodes, graph, prevChecksums)).toSet
+      specs.flatMap(select(_, nodes, graph, prevChecksums, prevResults)).toSet
     case Intersection(specs) =>
-      specs.map(select(_, nodes, graph, prevChecksums)).reduce(_ intersect _)
+      specs.map(select(_, nodes, graph, prevChecksums, prevResults)).reduce(_ intersect _)
+    case Difference(base, exclude) =>
+      select(base, nodes, graph, prevChecksums, prevResults) --
+        select(exclude, nodes, graph, prevChecksums, prevResults)
     case a: Atom =>
-      val base = matchAtom(a.raw, nodes, prevChecksums)
+      val base = matchAtom(a.raw, nodes, prevChecksums, prevResults)
       val expanded =
         if (a.atOperator) base.flatMap(graph.atClosure)
         else {
@@ -72,7 +157,8 @@ object Selector {
   }
 
   private def matchAtom(raw: String, nodes: Map[String, Node],
-      prevChecksums: Map[String, String]): Set[String] = {
+      prevChecksums: Map[String, String],
+      prevResults: Map[String, String]): Set[String] = {
     val (method, value) = raw.split(":", 2) match {
       case Array(m, v) => (m, v)
       case Array(v) => ("", v)
@@ -82,6 +168,8 @@ object Selector {
         .compile(pattern.split("\\*", -1).map(java.util.regex.Pattern.quote)
           .mkString(".*"))
         .matcher(s).matches()
+    def extraStr(n: Node, key: String): Option[String] =
+      n.config.extra.get(key).map(Yaml.str)
 
     method match {
       case "" | "fqn" =>
@@ -104,10 +192,45 @@ object Selector {
           case (id, n) if n.dependsOn.exists(_.startsWith(s"source.$value")) => id
         }.toSet
       case "test_type" =>
+        // singular tests are loaded with columns.test_kind=singular
+        // (Resolver); everything else under Test is schema/generic
         nodes.collect {
-          case (id, n) if n.kind == NodeKind.Test &&
-            (value == "generic" || value == "singular") => id
+          case (id, n) if n.kind == NodeKind.Test && (value match {
+            case "singular" | "data" => n.columns.get("test_kind").contains("singular")
+            case "generic" | "schema" => !n.columns.get("test_kind").contains("singular")
+            case _ => false
+          }) => id
         }.toSet
+      case "group" =>
+        // model `group` config (node_selector.rs:67 MethodName::Group)
+        nodes.collect {
+          case (id, n) if extraStr(n, "group").contains(value) => id
+        }.toSet
+      case "version" =>
+        // versioned models carry version/latest_version configs
+        // (node_selector.rs:70 MethodName::Version)
+        nodes.collect {
+          case (id, n) if {
+            val v = extraStr(n, "version")
+            val latest = extraStr(n, "latest_version")
+            v.isDefined && (value match {
+              case "latest" => v == latest
+              case "old" => (v, latest) match {
+                case (Some(a), Some(b)) => a.toDouble < b.toDouble
+                case _ => false
+              }
+              case "prerelease" => (v, latest) match {
+                case (Some(a), Some(b)) => a.toDouble > b.toDouble
+                case _ => false
+              }
+              case exact => v.contains(exact)
+            })
+          } => id
+        }.toSet
+      case "result" =>
+        // status of the node in the previous run's results
+        // (node_selector.rs:80 MethodName::Result — powers `dbt retry`)
+        nodes.keySet.filter(id => prevResults.get(id).contains(value))
       case "state" if value == "modified" =>
         nodes.collect {
           case (id, n) if prevChecksums.get(id).forall(_ != n.checksum) => id

@@ -253,10 +253,11 @@ final class Runner(
     * state) are reused. */
   def run(select: Option[String] = None, fullRefresh: Boolean = false,
       enableReuse: Boolean = false,
-      kinds: graft.core.NodeKind => Boolean = _ => true): Seq[NodeResult] = {
-    val selected: Set[String] = select match {
-      case Some(s) =>
-        Selector.select(Selector.parse(s), resolved.nodes, graph, prevState())
+      kinds: graft.core.NodeKind => Boolean = _ => true,
+      selectorName: Option[String] = None): Seq[NodeResult] = {
+    val selected: Set[String] = selectionSpec(select, selectorName) match {
+      case Some(sp) =>
+        Selector.select(sp, resolved.nodes, graph, prevState(), prevResults())
       case None => resolved.nodes.keySet
     }
     val runnable = resolved.nodes.view.filterKeys(selected).toMap
@@ -309,6 +310,31 @@ final class Runner(
     Json.md5(node.checksum +
       node.dependsOn.sorted.map(d => prev.getOrElse(d, "")).mkString("|"))
 
+  /** selectors.yml named definitions; `--select` wins, then `--selector`,
+    * then the file's `default: true` entry (parser.rs:60-99). */
+  lazy val (namedSelectors, defaultSelector) =
+    Selector.parseSelectorsYaml(project.selectorsDoc)
+
+  private def selectionSpec(select: Option[String],
+      selectorName: Option[String]): Option[Selector.Spec] =
+    select.map(Selector.parse)
+      .orElse(selectorName.map(n => namedSelectors.getOrElse(n,
+        throw new IllegalArgumentException(
+          s"unknown selector '$n' (selectors.yml defines: ${namedSelectors.keys.mkString(", ")})"))))
+      .orElse(defaultSelector.flatMap(namedSelectors.get))
+
+  /** Last run's node statuses, for the result:<status> selector method
+    * (node_selector.rs:80 — powers retry workflows). */
+  def prevResults(): Map[String, String] = stateDir match {
+    case Some(dir) =>
+      val p = Paths.get(dir, "results.json")
+      if (Files.exists(p))
+        Json.parse(Files.readString(p)).asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString }
+      else Map.empty
+    case None => Map.empty
+  }
+
   private def prevState(): Map[String, String] = stateDir match {
     case Some(dir) =>
       val p = Paths.get(dir, "state.json")
@@ -327,6 +353,8 @@ final class Runner(
         id -> stateHash(n, prev)
     }
     Files.writeString(Paths.get(dir, "state.json"), Json.write(state))
+    Files.writeString(Paths.get(dir, "results.json"),
+      Json.write(results.map(r => r.uniqueId -> r.status).toMap))
   }
 
   // ---- artifacts (reference: RunResultsArtifact run_results.rs:169,

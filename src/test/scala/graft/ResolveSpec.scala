@@ -100,4 +100,64 @@ class ResolveSpec extends AnyFunSuite {
     def sel(s: String) = Selector.select(Selector.parse(s), nodes, ng)
     assert(sel("@stg") == Set("model.p.stg", "model.p.mart", "test.p.unique_mart_id"))
   }
+
+  test("selector: group / version / result methods") {
+    val withMeta = nodes ++ Map(
+      "model.p.stg" -> nodes("model.p.stg").copy(config =
+        NodeConfig(tags = Seq("daily"),
+          extra = Map("group" -> "finance", "version" -> "1", "latest_version" -> "2"))),
+      "model.p.mart" -> nodes("model.p.mart").copy(config =
+        NodeConfig(materialized = "table",
+          extra = Map("group" -> "finance", "version" -> "2", "latest_version" -> "2"))))
+    val ng2 = Dag.fromNodes(withMeta)
+    def sel(s: String, results: Map[String, String] = Map.empty) =
+      Selector.select(Selector.parse(s), withMeta, ng2, prevResults = results)
+    assert(sel("group:finance") == Set("model.p.stg", "model.p.mart"))
+    assert(sel("group:ops") == Set.empty)
+    assert(sel("version:latest") == Set("model.p.mart"))
+    assert(sel("version:old") == Set("model.p.stg"))
+    assert(sel("version:1") == Set("model.p.stg"))
+    val res = Map("model.p.stg" -> "error", "model.p.mart" -> "success")
+    assert(sel("result:error", res) == Set("model.p.stg"))
+    assert(sel("result:error+", res) == Set("model.p.stg", "model.p.mart",
+      "test.p.unique_mart_id")) // retry: failed node + children
+  }
+
+  test("selector: test_type distinguishes singular from generic") {
+    val withSingular = nodes +
+      ("test.p.assert_x" -> Node("test.p.assert_x", "assert_x", "p",
+        NodeKind.Test, dependsOn = Seq("model.p.mart"),
+        columns = Map("test_kind" -> "singular")))
+    val ng2 = Dag.fromNodes(withSingular)
+    def sel(s: String) = Selector.select(Selector.parse(s), withSingular, ng2)
+    assert(sel("test_type:singular") == Set("test.p.assert_x"))
+    assert(sel("test_type:generic") == Set("test.p.unique_mart_id"))
+  }
+
+  test("selectors.yml: definitions compose union/intersection/exclude") {
+    val doc = Map("selectors" -> Seq(
+      Map("name" -> "daily_no_mart", "default" -> "true",
+        "definition" -> Map("union" -> Seq(
+          Map("method" -> "tag", "value" -> "daily"),
+          Map("method" -> "fqn", "value" -> "mart"),
+          Map("exclude" -> Seq(
+            Map("method" -> "config.materialized", "value" -> "table")))))),
+      Map("name" -> "plain_string", "definition" -> "tag:daily")))
+    val (specs, default) = Selector.parseSelectorsYaml(doc)
+    assert(default.contains("daily_no_mart"))
+    assert(Selector.select(specs("daily_no_mart"), nodes, ng) == Set("model.p.stg"))
+    assert(Selector.select(specs("plain_string"), nodes, ng) == Set("model.p.stg"))
+  }
+
+  test("selectors.yml: method dict with graph modifiers") {
+    val spec = Selector.fromYamlDefinition(Map(
+      "method" -> "fqn", "value" -> "stg", "children" -> "true"))
+    assert(Selector.select(spec, nodes, ng) ==
+      Set("model.p.stg", "model.p.mart", "test.p.unique_mart_id"))
+    val depthSpec = Selector.fromYamlDefinition(Map(
+      "method" -> "fqn", "value" -> "stg",
+      "children" -> "true", "children_depth" -> "1"))
+    assert(Selector.select(depthSpec, nodes, ng) ==
+      Set("model.p.stg", "model.p.mart"))
+  }
 }
