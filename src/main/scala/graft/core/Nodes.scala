@@ -107,7 +107,12 @@ final case class SnapshotConfig(
     updatedAt: Option[String] = None,
     checkCols: Option[Seq[String]] = None, // None + strategy=check ⇒ "all"
     hardDeletes: HardDeletes = HardDeletes.IgnoreDeletes,
-    dbtValidToCurrent: Option[String] = None)
+    /** SQL literal for open rows' valid_to instead of NULL, e.g.
+      * "date('9999-12-31')" (reference: helpers.sql:272-276). */
+    dbtValidToCurrent: Option[String] = None,
+    /** dbt_scd_id/dbt_valid_from/… → custom column names (reference:
+      * snapshot_meta_column_names, helpers.sql:44). */
+    metaColumnNames: Map[String, String] = Map.empty)
 
 /** Per-node configuration — the union of the model/seed/snapshot/test config
   * surfaces we support (reference: DbtModelAttr nodes.rs:3851,

@@ -37,6 +37,32 @@ object SnapshotMat extends Materialization {
   val UpdatedAt = "dbt_updated_at"
   val IsDeleted = "dbt_is_deleted"
 
+  /** Resolved meta-column names: defaults overridable per snapshot via
+    * `snapshot_meta_column_names` (reference: helpers.sql:44
+    * get_snapshot_table_column_names). */
+  private[mat] final case class Meta(scdId: String, validFrom: String,
+      validTo: String, updatedAt: String, isDeleted: String)
+
+  private[mat] def metaOf(cfg: SnapshotConfig): Meta = {
+    def n(k: String, d: String) = cfg.metaColumnNames.getOrElse(k, d)
+    Meta(n(ScdId, ScdId), n(ValidFrom, ValidFrom), n(ValidTo, ValidTo),
+      n(UpdatedAt, UpdatedAt), n(IsDeleted, IsDeleted))
+  }
+
+  /** Open rows' valid_to: NULL unless `dbt_valid_to_current` supplies a
+    * far-future literal (helpers.sql:272-276). */
+  private def openValidTo(cfg: SnapshotConfig): Column =
+    cfg.dbtValidToCurrent.map(expr).getOrElse(lit(null)).cast("timestamp")
+
+  /** A row is current when valid_to is NULL — or equals the configured
+    * current-marker (both forms coexist after a config change,
+    * helpers.sql:120-128). */
+  private def isCurrent(cfg: SnapshotConfig, validTo: Column): Column =
+    cfg.dbtValidToCurrent match {
+      case Some(cur) => validTo.isNull || validTo <=> expr(cur).cast("timestamp")
+      case None => validTo.isNull
+    }
+
   def run(ctx: MatContext): MatResult = {
     val cfg = ctx.config.snapshot.getOrElse(
       throw new IllegalArgumentException("snapshot config required"))
@@ -69,14 +95,15 @@ object SnapshotMat extends Materialization {
 
   private[mat] def buildFirst(source: DataFrame, cfg: SnapshotConfig,
       now: java.sql.Timestamp): DataFrame = {
+    val m = metaOf(cfg)
     val upd = updatedAtCol(cfg, now)(source)
     val withMeta = source
-      .withColumn(ScdId, scdHash(cfg.uniqueKey.map(source(_)) :+ upd))
-      .withColumn(UpdatedAt, upd.cast("timestamp"))
-      .withColumn(ValidFrom, upd.cast("timestamp"))
-      .withColumn(ValidTo, lit(null).cast("timestamp"))
+      .withColumn(m.scdId, scdHash(cfg.uniqueKey.map(source(_)) :+ upd))
+      .withColumn(m.updatedAt, upd.cast("timestamp"))
+      .withColumn(m.validFrom, upd.cast("timestamp"))
+      .withColumn(m.validTo, openValidTo(cfg))
     if (cfg.hardDeletes == HardDeletes.NewRecord)
-      withMeta.withColumn(IsDeleted, lit("False"))
+      withMeta.withColumn(m.isDeleted, lit("False"))
     else withMeta
   }
 
@@ -86,7 +113,7 @@ object SnapshotMat extends Materialization {
       dataCols: Seq[String]): Column = cfg.strategy match {
     case "timestamp" =>
       val u = cfg.updatedAt.get
-      cur(ValidFrom) < src(u)
+      cur(metaOf(cfg).validFrom) < src(u)
     case "check" =>
       val cols = cfg.checkCols.getOrElse(dataCols) // None ⇒ check all
       cols.map(c => !(cur(c) <=> src(c))).reduce(_ || _)
@@ -96,12 +123,13 @@ object SnapshotMat extends Materialization {
 
   private[mat] def applyChanges(snap: DataFrame, source: DataFrame,
       cfg: SnapshotConfig, now: java.sql.Timestamp): DataFrame = {
-    val metaCols = Seq(ScdId, ValidFrom, ValidTo, UpdatedAt, IsDeleted)
+    val m = metaOf(cfg)
+    val metaCols = Seq(m.scdId, m.validFrom, m.validTo, m.updatedAt, m.isDeleted)
     val dataCols = snap.columns.filterNot(metaCols.contains).toSeq
-    val hasDeletedCol = snap.columns.contains(IsDeleted)
+    val hasDeletedCol = snap.columns.contains(m.isDeleted)
 
-    val closed = snap.filter(col(ValidTo).isNotNull)
-    val current = snap.filter(col(ValidTo).isNull).alias("c")
+    val closed = snap.filter(!isCurrent(cfg, col(m.validTo)))
+    val current = snap.filter(isCurrent(cfg, col(m.validTo))).alias("c")
     val src = source.alias("s")
 
     val kCond = cfg.uniqueKey.map(k => current(k) <=> src(k)).reduce(_ && _)
@@ -113,7 +141,7 @@ object SnapshotMat extends Materialization {
     val joined = current.join(src, kCond, "inner")
     val closedUpdates = joined.filter(changed)
       .select(snap.columns.map {
-        case ValidTo => srcUpd.cast("timestamp").as(ValidTo)
+        case c if c == m.validTo => srcUpd.cast("timestamp").as(m.validTo)
         case c => current(c).as(c)
       }.toIndexedSeq: _*)
     val keptCurrent = joined.filter(!changed)
@@ -137,22 +165,23 @@ object SnapshotMat extends Materialization {
         vanished.select(snap.columns.map(c => col(c)).toIndexedSeq: _*)
       case HardDeletes.Invalidate =>
         vanished.select(snap.columns.map {
-          case ValidTo => lit(now).cast("timestamp").as(ValidTo)
+          case c if c == m.validTo => lit(now).cast("timestamp").as(m.validTo)
           case c => col(c)
         }.toIndexedSeq: _*)
       case HardDeletes.NewRecord =>
         val closedRows = vanished.select(snap.columns.map {
-          case ValidTo => lit(now).cast("timestamp").as(ValidTo)
+          case c if c == m.validTo => lit(now).cast("timestamp").as(m.validTo)
           case c => col(c)
         }.toIndexedSeq: _*)
         // deletion record: same data, open row flagged deleted
         // (helpers.sql:166-186 deletion_records).
         val delRecords = vanished.select(snap.columns.map {
-          case ScdId => scdHash(cfg.uniqueKey.map(col) :+ lit(now)).as(ScdId)
-          case ValidFrom => lit(now).cast("timestamp").as(ValidFrom)
-          case ValidTo => lit(null).cast("timestamp").as(ValidTo)
-          case UpdatedAt => lit(now).cast("timestamp").as(UpdatedAt)
-          case IsDeleted => lit("True").as(IsDeleted)
+          case c if c == m.scdId =>
+            scdHash(cfg.uniqueKey.map(col) :+ lit(now)).as(m.scdId)
+          case c if c == m.validFrom => lit(now).cast("timestamp").as(m.validFrom)
+          case c if c == m.validTo => openValidTo(cfg).as(m.validTo)
+          case c if c == m.updatedAt => lit(now).cast("timestamp").as(m.updatedAt)
+          case c if c == m.isDeleted => lit("True").as(m.isDeleted)
           case c => col(c)
         }.toIndexedSeq: _*)
         closedRows.unionByName(delRecords)
@@ -166,13 +195,15 @@ object SnapshotMat extends Materialization {
   private def withMeta(srcRows: DataFrame, src: DataFrame, cfg: SnapshotConfig,
       now: java.sql.Timestamp, hasDeletedCol: Boolean,
       outCols: Seq[String]): DataFrame = {
+    val m = metaOf(cfg)
     val upd = updatedAtCol(cfg, now)(src)
     srcRows.select(outCols.map {
-      case ScdId => scdHash(cfg.uniqueKey.map(src(_)) :+ upd).as(ScdId)
-      case ValidFrom => upd.cast("timestamp").as(ValidFrom)
-      case ValidTo => lit(null).cast("timestamp").as(ValidTo)
-      case UpdatedAt => upd.cast("timestamp").as(UpdatedAt)
-      case IsDeleted if hasDeletedCol => lit("False").as(IsDeleted)
+      case c if c == m.scdId =>
+        scdHash(cfg.uniqueKey.map(src(_)) :+ upd).as(m.scdId)
+      case c if c == m.validFrom => upd.cast("timestamp").as(m.validFrom)
+      case c if c == m.validTo => openValidTo(cfg).as(m.validTo)
+      case c if c == m.updatedAt => upd.cast("timestamp").as(m.updatedAt)
+      case c if c == m.isDeleted && hasDeletedCol => lit("False").as(m.isDeleted)
       case c => src(c).as(c)
     }.toIndexedSeq: _*)
   }

@@ -190,7 +190,11 @@ object Resolver {
             case v => Some(Yaml.strSeq(v))
           }.getOrElse(Some(Nil)).filter(_.nonEmpty),
           hardDeletes = Yaml.dig(merged, "hard_deletes").map(v => HardDeletes.parse(Yaml.str(v)))
-            .getOrElse(HardDeletes.IgnoreDeletes))
+            .getOrElse(HardDeletes.IgnoreDeletes),
+          dbtValidToCurrent = Yaml.dig(merged, "dbt_valid_to_current").map(Yaml.str),
+          metaColumnNames = Yaml.dig(merged, "snapshot_meta_column_names")
+            .map(_.asInstanceOf[Map[String, Any]]
+              .map { case (k, v) => k -> Yaml.str(v) }).getOrElse(Map.empty))
         Node(
           uniqueId = s"snapshot.${proj.name}.$name",
           name = name,
