@@ -152,14 +152,58 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     getColumnsInRelation(source).fieldNames.filterNot(tgt).toSeq
   }
 
-  /** ALTER TABLE ADD COLUMNS for schema drift
-    * (reference base_adapter.rs:504 expand_target_column_types). */
+  /** ALTER TABLE ADD COLUMNS for schema drift. */
   def addColumns(rel: Relation, cols: StructType): Unit =
     if (cols.nonEmpty) {
       val ddl = cols.fields
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       spark.sql(s"ALTER TABLE ${rel.fqn} ADD COLUMNS ($ddl)")
     }
+
+  /** The type the target column must widen to so incoming values fit, or
+    * None when it already fits. Same-family widening only — integral chain,
+    * float→double, decimal precision/scale growth — never narrowing or
+    * cross-family (reference base_adapter.rs:504 expand_target_column_types;
+    * warehouses widen varchar sizes, Spark strings are unbounded). */
+  private[graft] def widerType(target: org.apache.spark.sql.types.DataType,
+      incoming: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    (target, incoming) match {
+      case (a, b) if a == b => None
+      case (a: DecimalType, b: DecimalType) =>
+        val intDigits = math.max(a.precision - a.scale, b.precision - b.scale)
+        val s = math.max(a.scale, b.scale)
+        val w = DecimalType(math.min(38, intDigits + s), s)
+        if (w == a) None else Some(w)
+      case (FloatType, DoubleType) => Some(DoubleType)
+      case (a, b) if integral.contains(a) && integral.contains(b) =>
+        if (integral.indexOf(b) > integral.indexOf(a)) Some(b) else None
+      case _ => None
+    }
+  }
+
+  /** Widen target column types so the incoming frame's values fit —
+    * dbt's expand_target_column_types, called before every incremental DML
+    * (MA/materializations/models/incremental/incremental.sql:37).
+    * Spark can't ALTER a parquet column's type in place, so a widen is a
+    * cast-rewrite of the target — acceptable because type expansion is a
+    * rare one-off schema migration, not a per-run cost. */
+  def expandTargetColumnTypes(incoming: StructType, rel: Relation,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val tgt = getColumnsInRelation(rel)
+    val widened = tgt.fields.map { f =>
+      incoming.fields.find(_.name == f.name)
+        .flatMap(s => widerType(f.dataType, s.dataType))
+        .map(w => f.copy(dataType = w)).getOrElse(f)
+    }
+    if (!widened.sameElements(tgt.fields)) {
+      val casted = read(rel).select(widened.map(f =>
+        org.apache.spark.sql.functions.col(s"`${f.name}`")
+          .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      writeTableAtomic(casted, rel, partitionBy)
+    }
+  }
 
   // ---- execution --------------------------------------------------------
 

@@ -42,6 +42,8 @@ object IncrementalMat extends Materialization {
     }
 
     val source0 = ctx.compiled()
+    // widen target column types so incoming values fit (incremental.sql:37)
+    adapter.expandTargetColumnTypes(source0.schema, target, cfg.partitionBy)
     val source = processSchemaChanges(adapter, target, source0, cfg.onSchemaChange)
 
     strategy match {
