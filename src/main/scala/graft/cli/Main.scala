@@ -92,7 +92,8 @@ object Main {
         val compiled = targetDir.resolve("compiled")
         Files.createDirectories(compiled)
         runner.resolved.nodes.values
-          .filter(n => n.kind == NodeKind.Model || n.kind == NodeKind.Snapshot)
+          .filter(n => n.kind == NodeKind.Model || n.kind == NodeKind.Snapshot ||
+            n.kind == NodeKind.Analysis)
           .foreach { n =>
             Files.writeString(compiled.resolve(s"${n.name}.sql"),
               runner.compileSql(n))

@@ -18,6 +18,8 @@ object NodeKind {
   case object Function extends NodeKind { val name = "function" }
   case object Exposure extends NodeKind { val name = "exposure" }
   case object Analysis extends NodeKind { val name = "analysis" }
+  case object Metric extends NodeKind { val name = "metric" }
+  case object SemanticModel extends NodeKind { val name = "semantic_model" }
 }
 
 /** Incremental strategy enum (reference: `DbtIncrementalStrategy`,

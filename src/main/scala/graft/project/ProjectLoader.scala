@@ -30,6 +30,9 @@ final case class Project(
       * Jinja-SQL selecting failing rows (reference:
       * MA/materializations/tests/test.sql:1-66) */
     tests: Map[String, String],
+    /** .sql files under analysis-paths — compiled, never executed
+      * (reference: nodes.rs:2100 DbtAnalysis) */
+    analyses: Map[String, String] = Map.empty,
     /** parsed schema.yml property files, in file order */
     properties: Seq[Map[String, Any]],
     macroSources: Seq[String],
@@ -71,6 +74,8 @@ object ProjectLoader {
       .getOrElse(Seq("snapshots"))
     val testPaths = Yaml.dig(cfg, "test-paths").map(Yaml.strSeq)
       .getOrElse(Seq("tests"))
+    val analysisPaths = Yaml.dig(cfg, "analysis-paths").map(Yaml.strSeq)
+      .getOrElse(Seq("analyses"))
     val macroPaths = Yaml.dig(cfg, "macro-paths").map(Yaml.strSeq)
       .getOrElse(Seq("macros"))
     val vars = Yaml.dig(cfg, "vars").map(_.asInstanceOf[Map[String, Any]])
@@ -94,6 +99,8 @@ object ProjectLoader {
     val snapshots = files(snapshotPaths, ".sql")
       .map(p => nameOf(p) -> Files.readString(p)).toMap
     val tests = files(testPaths, ".sql")
+      .map(p => nameOf(p) -> Files.readString(p)).toMap
+    val analyses = files(analysisPaths, ".sql")
       .map(p => nameOf(p) -> Files.readString(p)).toMap
     val properties =
       (files(modelPaths, ".yml") ++ files(modelPaths, ".yaml") ++
@@ -147,6 +154,7 @@ object ProjectLoader {
       seeds = seeds,
       snapshots = snapshots,
       tests = tests,
+      analyses = analyses,
       properties = properties,
       macroSources = macroSources,
       customTests = customTests,

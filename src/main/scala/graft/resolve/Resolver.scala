@@ -266,10 +266,86 @@ object Resolver {
       }
     }
 
+    // --- analyses: compiled, never executed (nodes.rs:2100 DbtAnalysis) --
+    val analysisNodes = projects.flatMap { proj =>
+      proj.analyses.map { case (name, raw) =>
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        Jinja.render(macroPrelude + raw, bindings)
+        val h = harvest()
+        Node(
+          uniqueId = s"analysis.${proj.name}.$name",
+          name = name,
+          packageName = proj.name,
+          kind = NodeKind.Analysis,
+          rawSql = raw,
+          dependsOn =
+            h.refs.map { case (pk, n) =>
+              protoResolved.refUniqueId(proj.name, pk, n) } ++
+              h.sources.map { case (s, t) => s"source.$s.$t" },
+          relation = Some(Relation(targetSchema, name)))
+      }
+    }
+
+    // --- exposures / metrics / semantic models: YAML-declared DAG leaves
+    // (nodes.rs:2100; selector methods node_selector.rs:59-88). They never
+    // execute; they give downstream-impact selection (+exposure:dash) and
+    // documentation surface. refs/sources are harvested from any string
+    // field ("ref('x')" in depends_on / model / expression entries). ---
+    def declaredNodes(key: String, kind: NodeKind): Seq[Node] =
+      projects.flatMap { proj =>
+        proj.properties.flatMap { props =>
+          Yaml.dig(props, key).toSeq.flatMap {
+            case es: Seq[_] => es.collect { case e: Map[_, _] =>
+              val em = e.asInstanceOf[Map[String, Any]]
+              val name = Yaml.str(em("name"))
+              Node(
+                uniqueId = s"${kind.name}.${proj.name}.$name",
+                name = name,
+                packageName = proj.name,
+                kind = kind,
+                dependsOn = harvestRefStrings(em, proj.name, protoResolved),
+                config = NodeConfig(extra = em))
+            }
+            case _ => Nil
+          }
+        }
+      }
+    val exposureNodes = declaredNodes("exposures", NodeKind.Exposure)
+    val metricNodes = declaredNodes("metrics", NodeKind.Metric)
+    val semanticModelNodes = declaredNodes("semantic_models", NodeKind.SemanticModel)
+
     val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
-      singularTestNodes).map(n => n.uniqueId -> n).toMap
+      singularTestNodes ++ analysisNodes ++ exposureNodes ++ metricNodes ++
+      semanticModelNodes).map(n => n.uniqueId -> n).toMap
     checkRelationUniqueness(all)
     Resolved(project, all, sources, modelOwners, sourceEventTimes)
+  }
+
+  private val refStrRe =
+    raw"ref\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)".r
+  private val srcStrRe =
+    raw"source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)".r
+
+  /** Harvest `ref('x')` / `ref('pkg','x')` / `source('s','t')` occurrences
+    * from every string value in a YAML entry (depends_on lists, `model:`
+    * fields, metric expressions). */
+  private def harvestRefStrings(entry: Map[String, Any], pkg: String,
+      resolved: Resolved): Seq[String] = {
+    def strings(v: Any): Seq[String] = v match {
+      case s: String => Seq(s)
+      case xs: Seq[_] => xs.flatMap(strings)
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].values.toSeq.flatMap(strings)
+      case _ => Nil
+    }
+    val texts = strings(entry)
+    val refs = texts.flatMap(t => refStrRe.findAllMatchIn(t).map { m =>
+      val (p, n) = if (m.group(2) != null) (Some(m.group(1)), m.group(2))
+        else (None, m.group(1))
+      resolved.refUniqueId(pkg, p, n)
+    })
+    val srcs = texts.flatMap(t => srcStrRe.findAllMatchIn(t).map(m =>
+      s"source.${m.group(1)}.${m.group(2)}"))
+    (refs ++ srcs).distinct
   }
 
   /** `unique`/`not_null`/`accepted_values`/`relationships` entries on a

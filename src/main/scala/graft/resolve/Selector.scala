@@ -184,6 +184,12 @@ object Selector {
         nodes.collect { case (id, n) if n.packageName == value => id }.toSet
       case "resource_type" =>
         nodes.collect { case (id, n) if n.kind.name == value => id }.toSet
+      case "exposure" | "metric" | "semantic_model" =>
+        // match declaration nodes by name glob (node_selector.rs:66,68);
+        // used as `+exposure:dash` for upstream-impact selection
+        nodes.collect {
+          case (id, n) if n.kind.name == method && glob(value, n.name) => id
+        }.toSet
       case "config.materialized" | "config" =>
         val v = value.stripPrefix("materialized:")
         nodes.collect { case (id, n) if n.config.materialized == v => id }.toSet

@@ -260,8 +260,14 @@ final class Runner(
         Selector.select(sp, resolved.nodes, graph, prevState(), prevResults())
       case None => resolved.nodes.keySet
     }
+    // exposures/metrics/semantic models/analyses are declaration-only —
+    // they select and document, but never execute
+    val declarationOnly: Set[graft.core.NodeKind] = Set(
+      graft.core.NodeKind.Exposure, graft.core.NodeKind.Metric,
+      graft.core.NodeKind.SemanticModel, graft.core.NodeKind.Analysis)
     val runnable = resolved.nodes.view.filterKeys(selected).toMap
-      .filter { case (_, n) => n.config.enabled && !n.isEphemeral && kinds(n.kind) }
+      .filter { case (_, n) => n.config.enabled && !n.isEphemeral &&
+        kinds(n.kind) && !declarationOnly(n.kind) }
     val sliced = graph.slice(runnable.keySet)
     val prev = if (enableReuse) prevState() else Map.empty[String, String]
 

@@ -1,0 +1,72 @@
+package graft
+
+import graft.core.NodeKind
+import graft.project.ProjectLoader
+import graft.resolve.{Dag, Resolver, Selector}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Exposures / metrics / semantic models / analyses as parsed nodes
+  * (reference: nodes.rs:2100; selector methods node_selector.rs:59-88):
+  * declaration-only DAG members whose refs resolve into edges, enabling
+  * `+exposure:dash`-style impact selection. */
+class DeclaredNodesSpec extends AnyFunSuite {
+
+  private def write(dir: Path, rel: String, content: String): Unit = {
+    val p = dir.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private lazy val resolved = {
+    val proj = Files.createTempDirectory("graft_decl")
+    write(proj, "dbt_project.yml",
+      """name: decl
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/orders.sql", "select 1 as id, 10 as amount")
+    write(proj, "models/props.yml",
+      """version: 2
+        |exposures:
+        |  - name: weekly_dash
+        |    type: dashboard
+        |    owner:
+        |      name: data team
+        |    depends_on:
+        |      - ref('orders')
+        |metrics:
+        |  - name: revenue
+        |    model: ref('orders')
+        |    expression: sum(amount)
+        |semantic_models:
+        |  - name: orders_sm
+        |    model: ref('orders')
+        |""".stripMargin)
+    write(proj, "analyses/orders_probe.sql",
+      "select count(*) from {{ ref('orders') }}")
+    Resolver.resolve(ProjectLoader.load(proj.toString), "an")
+  }
+
+  test("declaration nodes parse with resolved edges") {
+    val exp = resolved.nodes("exposure.decl.weekly_dash")
+    assert(exp.kind == NodeKind.Exposure)
+    assert(exp.dependsOn == Seq("model.decl.orders"))
+    assert(resolved.nodes("metric.decl.revenue").dependsOn == Seq("model.decl.orders"))
+    assert(resolved.nodes("semantic_model.decl.orders_sm").dependsOn ==
+      Seq("model.decl.orders"))
+    val an = resolved.nodes("analysis.decl.orders_probe")
+    assert(an.kind == NodeKind.Analysis)
+    assert(an.dependsOn == Seq("model.decl.orders"))
+  }
+
+  test("exposure/metric selector methods and upstream expansion") {
+    val g = Dag.fromNodes(resolved.nodes)
+    def sel(s: String) = Selector.select(Selector.parse(s), resolved.nodes, g)
+    assert(sel("exposure:weekly_dash") == Set("exposure.decl.weekly_dash"))
+    assert(sel("+exposure:weekly_dash") ==
+      Set("exposure.decl.weekly_dash", "model.decl.orders"))
+    assert(sel("metric:revenue") == Set("metric.decl.revenue"))
+    assert(sel("resource_type:semantic_model") == Set("semantic_model.decl.orders_sm"))
+  }
+}
