@@ -355,6 +355,11 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         .iterator().asScala.foreach(Files.delete)
     }
 
+  /** Table-level comment from the catalog (persist_docs / catalog.json). */
+  def tableComment(rel: Relation): Option[String] =
+    tableMeta(rel).toOption.flatMap(m =>
+      m.comment.orElse(m.properties.get("comment"))).filter(_.nonEmpty)
+
   def createView(rel: Relation, sql: String): Unit = {
     spark.sql(s"CREATE OR REPLACE VIEW ${rel.fqn} AS $sql")
     relationCache.put(rel.key, RelationType.View)

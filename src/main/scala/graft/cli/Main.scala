@@ -102,6 +102,12 @@ object Main {
         println(s"compiled → $compiled")
         0
 
+      case "docs" => // `docs generate`: manifest + catalog artifacts
+        runner.writeManifest(targetDir.resolve("manifest.json").toString)
+        runner.writeCatalog(targetDir.resolve("catalog.json").toString)
+        println(s"docs → $targetDir/catalog.json")
+        0
+
       case "list" | "ls" =>
         val spec = args.select.map(graft.resolve.Selector.parse)
           .orElse(args.selector.map(runner.namedSelectors))

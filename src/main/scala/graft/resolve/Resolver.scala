@@ -121,6 +121,27 @@ object Resolver {
         }
       }.toMap
 
+    // --- descriptions for docs/persist_docs (model + column level) ------
+    val propDescriptions: Map[String, (String, Map[String, String])] =
+      projects.flatMap(_.properties).flatMap { props =>
+        Yaml.dig(props, "models").toSeq.flatMap {
+          case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            val desc = Yaml.dig(mm, "description").map(Yaml.str).getOrElse("")
+            val cols = Yaml.dig(mm, "columns").toSeq.flatMap {
+              case cs: Seq[_] => cs.collect { case c: Map[_, _] =>
+                val cm = c.asInstanceOf[Map[String, Any]]
+                Yaml.dig(cm, "description")
+                  .map(d => Yaml.str(cm("name")) -> Yaml.str(d))
+              }.flatten
+              case _ => Nil
+            }.toMap
+            Yaml.str(mm("name")) -> ((desc, cols))
+          }
+          case _ => Nil
+        }
+      }.toMap
+
     // --- models (per package) -----------------------------------------
     val modelNodes = projects.flatMap { proj =>
       proj.models.map { case (name, raw) =>
@@ -151,6 +172,8 @@ object Resolver {
               protoResolved.refUniqueId(proj.name, pk, n) } ++
               h.sources.map { case (s, t) => s"source.$s.$t" },
           relation = Some(Relation(schema, ident)),
+          description = propDescriptions.get(name).map(_._1).getOrElse(""),
+          columns = propDescriptions.get(name).map(_._2).getOrElse(Map.empty),
           checksum = graft.jinja.Json.md5(raw + Yaml.str(merged)))
       }
     }

@@ -171,12 +171,74 @@ final class Runner(
         case other => MatResult(node.relation.getOrElse(Relation("", node.name)),
           "skipped", s"${other.name} nodes are not executable")
       }
+      if (r.status == "success") persistDocs(node)
       node.config.postHook.foreach(h => adapter.execute(renderHook(h, node), fetch = false))
       r
     } match {
       case Success(r) => done(r.status, r.message)
       case Failure(e) => done("error", Option(e.getMessage).getOrElse(e.toString))
     }
+  }
+
+  /** persist_docs (reference MA/adapters/persist_docs.sql): write the
+    * model's YAML description as the table comment and column descriptions
+    * as column comments, when `persist_docs: {relation: …, columns: …}`
+    * opts in. Views take only the relation comment (ALTER VIEW). */
+  private def persistDocs(node: Node): Unit = {
+    val pd = node.config.extra.get("persist_docs").collect {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    }.getOrElse(Map.empty[String, Any])
+    if (pd.isEmpty || node.relation.isEmpty) return
+    def on(k: String) = pd.get(k).exists(v =>
+      graft.project.Yaml.str(v).toBoolean)
+    val rel = node.relation.get
+    def esc(s: String) = s.replace("'", "''")
+    val isView = node.config.materialized == "view"
+    if (on("relation") && node.description.nonEmpty) {
+      val kw = if (isView) "VIEW" else "TABLE"
+      adapter.execute(
+        s"ALTER $kw ${rel.fqn} SET TBLPROPERTIES ('comment' = '${esc(node.description)}')",
+        fetch = false)
+    }
+    if (on("columns") && !isView) {
+      val present = adapter.getColumnsInRelation(rel).fieldNames.toSet
+      node.columns.filter(c => present(c._1)).foreach { case (c, d) =>
+        adapter.execute(
+          s"ALTER TABLE ${rel.fqn} ALTER COLUMN `$c` COMMENT '${esc(d)}'",
+          fetch = false)
+      }
+    }
+  }
+
+  /** catalog.json — `docs generate` (reference: dbt catalog artifact,
+    * schemas/catalog.rs): per built relation, its columns/types/comments
+    * from the live catalog. */
+  def writeCatalog(outPath: String): Unit = {
+    def entry(id: String, rel: graft.core.Relation,
+        description: String): (String, Map[String, Any]) = {
+      val schema = adapter.getColumnsInRelation(rel)
+      id -> Map(
+        "metadata" -> Map(
+          "schema" -> rel.schema,
+          "name" -> rel.identifier,
+          "comment" -> adapter.tableComment(rel).getOrElse(description)),
+        "columns" -> schema.fields.zipWithIndex.map { case (f, i) =>
+          f.name -> Map(
+            "type" -> f.dataType.sql,
+            "index" -> i,
+            "comment" -> f.getComment().getOrElse(""))
+        }.toMap)
+    }
+    val nodesCat = resolved.nodes.values.toSeq.flatMap { n =>
+      n.relation.filter(adapter.relationExists)
+        .map(rel => entry(n.uniqueId, rel, n.description))
+    }.toMap
+    val json = Map(
+      "metadata" -> Map(
+        "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/catalog/v1.json",
+        "generated_by" -> "graft"),
+      "nodes" -> nodesCat)
+    Files.writeString(Paths.get(outPath), Json.write(json))
   }
 
   private def renderHook(hook: String, node: Node): String =

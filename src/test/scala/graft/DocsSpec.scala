@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.Relation
+import graft.jinja.Json
+import graft.project.ProjectLoader
+import graft.run.Runner
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** persist_docs (MA/adapters/persist_docs.sql) + `docs generate`
+  * catalog.json: YAML descriptions land as table/column comments in the
+  * live catalog and round-trip into the catalog artifact. */
+class DocsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def write(dir: Path, rel: String, content: String): Unit = {
+    val p = dir.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  test("persist_docs writes comments; docs generate emits catalog.json") {
+    val proj = Files.createTempDirectory("graft_docs")
+    write(proj, "dbt_project.yml",
+      """name: docsdemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/orders.sql",
+      """{{ config(materialized='table', persist_docs={'relation': true, 'columns': true}) }}
+        |select 1 as id, 'x' as label
+        |""".stripMargin)
+    write(proj, "models/props.yml",
+      """version: 2
+        |models:
+        |  - name: orders
+        |    description: All orders, one row per order
+        |    columns:
+        |      - name: id
+        |        description: Primary key
+        |""".stripMargin)
+    val schema = "g_docs"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val loc = Files.createTempDirectory("graft_docs_wh").toString
+    val runner = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema, warehouseLocation = Some(loc))
+    val results = runner.run()
+    assert(results.forall(_.status == "success"), results.mkString(" | "))
+
+    val rel = Relation(schema, "orders")
+    assert(runner.adapter.tableComment(rel)
+      .contains("All orders, one row per order"))
+    val idField = runner.adapter.getColumnsInRelation(rel)("id")
+    assert(idField.getComment().contains("Primary key"))
+
+    val catPath = proj.resolve("catalog.json")
+    runner.writeCatalog(catPath.toString)
+    val cat = Json.parse(Files.readString(catPath)).asInstanceOf[Map[String, Any]]
+    val nodes = cat("nodes").asInstanceOf[Map[String, Any]]
+    val orders = nodes("model.docsdemo.orders").asInstanceOf[Map[String, Any]]
+    val meta = orders("metadata").asInstanceOf[Map[String, Any]]
+    assert(meta("comment") == "All orders, one row per order")
+    val cols = orders("columns").asInstanceOf[Map[String, Any]]
+    val idCol = cols("id").asInstanceOf[Map[String, Any]]
+    assert(idCol("comment") == "Primary key")
+    assert(idCol("type").toString.equalsIgnoreCase("INT"))
+  }
+}
