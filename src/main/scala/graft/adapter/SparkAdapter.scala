@@ -385,7 +385,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   }
 
   def validIncrementalStrategies: Seq[String] =
-    Seq("append", "merge", "delete+insert", "insert_overwrite", "microbatch")
+    Seq("append", "merge", "delete+insert", "insert_overwrite", "microbatch",
+      "replace_where")
 
   /** Local-filesystem fallback used by tests and freshness metadata. */
   def pathExists(p: String): Boolean = Files.exists(Paths.get(p))

@@ -31,6 +31,10 @@ object IncrementalStrategy {
   case object DeleteInsert extends IncrementalStrategy { val name = "delete+insert" }
   case object InsertOverwrite extends IncrementalStrategy { val name = "insert_overwrite" }
   case object Microbatch extends IncrementalStrategy { val name = "microbatch" }
+  /** Databricks replace_where (reference: crates/dbt-adapter/src/relation/
+    * databricks/configs/incremental.rs): atomically replace the
+    * predicate-matching slice with the incoming batch. */
+  case object ReplaceWhere extends IncrementalStrategy { val name = "replace_where" }
 
   def parse(s: String): IncrementalStrategy = s match {
     case "append" => Append
@@ -38,9 +42,10 @@ object IncrementalStrategy {
     case "delete+insert" => DeleteInsert
     case "insert_overwrite" => InsertOverwrite
     case "microbatch" => Microbatch
+    case "replace_where" => ReplaceWhere
     case other => throw new IllegalArgumentException(
       s"unknown incremental strategy: $other (valid: append, merge, " +
-        "delete+insert, insert_overwrite, microbatch)")
+        "delete+insert, insert_overwrite, microbatch, replace_where)")
   }
 }
 

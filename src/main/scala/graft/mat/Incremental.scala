@@ -56,6 +56,8 @@ object IncrementalMat extends Materialization {
       case IncrementalStrategy.InsertOverwrite =>
         if (cfg.partitionBy.nonEmpty) adapter.insertOverwritePartitions(source, target)
         else adapter.writeTableAtomic(source, target, Nil)
+      case IncrementalStrategy.ReplaceWhere =>
+        replaceWhere(adapter, target, source, cfg)
       case IncrementalStrategy.Microbatch =>
         throw new IllegalStateException(
           "microbatch runs through MicrobatchRunner, not a single-shot strategy")
@@ -199,6 +201,47 @@ object IncrementalMat extends Materialization {
     val result = outOfScope.select(cols.map(c => col(s"`$c`")): _*)
       .unionByName(kept.select(cols.map(c => col(s"`$c`")): _*))
       .unionByName(inserted)
+    writeKeyedResult(adapter, target, result, cfg, touched)
+  }
+
+  /** replace_where (Databricks `INSERT INTO … REPLACE WHERE`, reference
+    * databricks/configs/incremental.rs): target rows matching the
+    * predicate(s) are deleted, the incoming batch inserted — one atomic
+    * slice swap. On a partitioned target only partitions holding replaced
+    * rows or receiving new ones are rewritten (narrow partition-column
+    * scan finds them); NULL predicate rows are kept, matching SQL
+    * semantics. */
+  private[mat] def replaceWhere(adapter: SparkAdapter, target: Relation,
+      source: DataFrame, cfg: NodeConfig): Unit = {
+    if (cfg.incrementalPredicates.isEmpty)
+      throw new IllegalArgumentException(
+        "replace_where requires incremental_predicates")
+    val cond = cfg.incrementalPredicates.map(p => expr(p)).reduce(_ && _)
+    val tgtAll = adapter.read(target)
+    val cols = tgtAll.columns.toSeq
+    val parts = cfg.partitionBy
+
+    val touched: Option[Seq[Seq[Any]]] =
+      if (parts.isEmpty) None
+      else {
+        val srcParts = source.select(parts.map(c => col(s"`$c`")): _*)
+          .distinct().limit(MaxTouchedPartitions + 1).collect()
+        val matched = tgtAll.filter(coalesce(cond, lit(false)))
+          .select(parts.map(c => col(s"`$c`")): _*)
+          .distinct().limit(MaxTouchedPartitions + 1).collect()
+        if (srcParts.length > MaxTouchedPartitions ||
+            matched.length > MaxTouchedPartitions) None
+        else {
+          val all = (srcParts ++ matched).map(_.toSeq).distinct
+          if (all.size > MaxTouchedPartitions) None else Some(all)
+        }
+      }
+    val scope = touched.fold(tgtAll)(ts => tgtAll.filter(partitionFilter(parts, ts)))
+    val kept = scope.filter(!coalesce(cond, lit(false)))
+    val inserted = source.select(cols.map { c =>
+      if (source.columns.contains(c)) col(s"`$c`") else lit(null).as(c)
+    }: _*)
+    val result = kept.select(cols.map(c => col(s"`$c`")): _*).unionByName(inserted)
     writeKeyedResult(adapter, target, result, cfg, touched)
   }
 

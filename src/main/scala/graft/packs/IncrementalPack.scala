@@ -133,6 +133,27 @@ object IncrementalPack extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // ---- replace_where (predicate-scoped slice swap) --------------------
+    "q_incr_replace_where" -> ((s, dir) => {
+      val a = freshAdapter(s, "incr_replw")
+      def withYear(df: DataFrame) =
+        df.withColumn("o_year", year(col("o_orderdate")).cast("bigint"))
+      val cfg = NodeConfig(materialized = "incremental",
+        incrementalStrategy = Some(IncrementalStrategy.ReplaceWhere),
+        partitionBy = Seq("o_year"),
+        // narrower than the partition: 1996 'O' rows are replaced, 1996
+        // non-'O' rows must survive the partition rewrite
+        incrementalPredicates = Seq("o_year = 1996 AND o_orderstatus = 'O'"))
+      val rel = runIncremental(a, "orders_replw", cfg,
+        withYear(Tables(s, dir, "orders")),
+        withYear(Tables(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996 && col("o_orderstatus") === "O")
+          .withColumn("o_totalprice", col("o_totalprice") + 1)))
+      a.read(rel)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_year")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- microbatch (event_time windows + lookback) ---------------------
     "q_incr_microbatch" -> ((s, dir) => {
       val a = freshAdapter(s, "incr_microbatch")
@@ -357,6 +378,16 @@ object IncrementalPack extends QueryPack {
         |SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       CAST(year(o_orderdate) AS BIGINT) AS o_year
         |FROM orders WHERE year(o_orderdate) <> 1997
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_incr_replace_where" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice + 1 AS o_totalprice,
+        |       CAST(1996 AS BIGINT) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1996 AND o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year
+        |FROM orders WHERE NOT (year(o_orderdate) = 1996 AND o_orderstatus = 'O')
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_incr_microbatch" ->

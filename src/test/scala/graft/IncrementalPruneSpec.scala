@@ -90,6 +90,27 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a2", 2002), (2L, "b", 2001)))
   }
 
+  test("replace_where swaps only the predicate slice, prunes partitions") {
+    import spark.implicits._
+    val a = freshAdapter("prune_replw")
+    val rel = Relation(a.defaultSchema, "t_replw")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.ReplaceWhere),
+      partitionBy = Seq("y"),
+      incrementalPredicates = Seq("y = 2001 AND v = 'b'"))
+    val base = Seq((1L, "a", 2000), (2L, "b", 2001), (3L, "c", 2001))
+      .toDF("id", "v", "y")
+    run(a, rel, cfg, base)
+    val before2000 = filesOfPartition(a, rel, 2000)
+
+    // replaces only (2001,'b'); (2001,'c') survives the partition rewrite
+    run(a, rel, cfg, Seq((9L, "b", 2001)).toDF("id", "v", "y"))
+    val got = a.read(rel).orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "a", 2000), (3L, "c", 2001), (9L, "b", 2001)))
+    assert(filesOfPartition(a, rel, 2000) == before2000)
+  }
+
   test("delete+insert prunes to touched partitions") {
     import spark.implicits._
     val a = freshAdapter("prune_delins")
