@@ -44,6 +44,12 @@ final case class Project(
       * crates/dbt-selector-parser/src/parser.rs) — named selector
       * definitions; empty when the project has none. */
     selectorsDoc: Map[String, Any] = Map.empty,
+    /** query-comment from dbt_project.yml (reference:
+      * crates/dbt-adapter/src/query_comment.rs): Jinja template rendered
+      * per node and prepended (or appended) to executed SQL. None →
+      * default JSON comment. */
+    queryComment: Option[String] = None,
+    queryCommentAppend: Boolean = false,
     /** dependency projects from packages.yml `local:` entries (reference:
       * crates/dbt-schemas/src/schemas/packages.rs:27-33 LocalPackage,
       * loader integration crates/dbt-loader/src/loader.rs:64). Hub/git
@@ -162,6 +168,18 @@ object ProjectLoader {
         val selYml = root.resolve("selectors.yml")
         if (Files.exists(selYml)) Yaml.parseMap(Files.readString(selYml))
         else Map.empty
+      },
+      queryComment = Yaml.dig(cfg, "query-comment") match {
+        case Some(s: String) => Some(s)
+        case Some(m: Map[_, _]) =>
+          Yaml.dig(m.asInstanceOf[Map[String, Any]], "comment").map(Yaml.str)
+        case _ => None
+      },
+      queryCommentAppend = Yaml.dig(cfg, "query-comment") match {
+        case Some(m: Map[_, _]) =>
+          Yaml.dig(m.asInstanceOf[Map[String, Any]], "append")
+            .exists(v => Yaml.str(v).toBoolean)
+        case _ => false
       },
       packages = packages.distinctBy(_.name))
   }

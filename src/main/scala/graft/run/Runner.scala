@@ -148,7 +148,7 @@ final class Runner(
       node.config.preHook.foreach(h => adapter.execute(renderHook(h, node), fetch = false))
       val r = node.kind match {
         case NodeKind.Model =>
-          val sql = compileSql(node)
+          val sql = withQueryComment(node, compileSql(node))
           if (node.config.contractEnforced) Contracts.enforce(spark, node, sql)
           val ctx = MatContext(adapter, node.copy(rawSql = sql),
             node.relation.get, () => spark.sql(sql), fullRefresh, now)
@@ -178,6 +178,31 @@ final class Runner(
       case Success(r) => done(r.status, r.message)
       case Failure(e) => done("error", Option(e.getMessage).getOrElse(e.toString))
     }
+  }
+
+  /** Query comment (reference crates/dbt-adapter/src/query_comment.rs):
+    * a per-node comment attached to the executed SQL — the default is the
+    * dbt-style JSON envelope; `query-comment:` in dbt_project.yml supplies
+    * a Jinja template over `node`. Also set as the Spark job description so
+    * the comment shows in the UI/event log, the Spark-native place a
+    * warehouse would surface it. */
+  def renderQueryComment(node: Node): String =
+    project.queryComment match {
+      case Some(tpl) => Jinja.render(tpl, Map(
+        "node" -> Map(
+          "unique_id" -> node.uniqueId, "name" -> node.name,
+          "package_name" -> node.packageName,
+          "resource_type" -> node.kind.name))).trim
+      case None => Json.write(Map(
+        "app" -> "graft", "node_id" -> node.uniqueId))
+    }
+
+  private def withQueryComment(node: Node, sql: String): String = {
+    val c = renderQueryComment(node)
+    spark.sparkContext.setJobDescription(s"${node.uniqueId} $c")
+    if (c.isEmpty) sql
+    else if (project.queryCommentAppend) s"$sql\n/* $c */"
+    else s"/* $c */\n$sql"
   }
 
   /** persist_docs (reference MA/adapters/persist_docs.sql): write the
