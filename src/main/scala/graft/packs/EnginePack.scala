@@ -317,14 +317,23 @@ object EnginePack extends QueryPack {
       val schema = "g_engine_mb"
       s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
       val loc = Files.createTempDirectory("graft_mb_wh").toString
-      val runner = new Runner(s, ProjectLoader.load(proj.toString),
-        targetSchema = schema, warehouseLocation = Some(loc), threads = 2,
-        now = java.sql.Timestamp.valueOf("1995-04-01 00:00:00"))
-      val results = runner.run()
-      val bad = results.filter(_.status != "success")
-      if (bad.nonEmpty) throw new IllegalStateException(
-        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
-      runner.adapter.read(graft.core.Relation(schema, "orders_mb"))
+      val project = ProjectLoader.load(proj.toString)
+      def runAt(now: String): Unit = {
+        val runner = new Runner(s, project, targetSchema = schema,
+          warehouseLocation = Some(loc), threads = 2,
+          now = java.sql.Timestamp.valueOf(now))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      }
+      // run 1 processes Jan+Feb from `begin`; run 2 resumes from the
+      // target's max event_time (lookback reopens Feb) and adds Mar —
+      // NOT from begin, the dbt incremental microbatch semantics
+      runAt("1995-03-01 00:00:00")
+      runAt("1995-04-01 00:00:00")
+      new Runner(s, project, targetSchema = schema,
+        warehouseLocation = Some(loc))
+        .adapter.read(graft.core.Relation(schema, "orders_mb"))
         .orderBy("o_orderkey")
     }),
 

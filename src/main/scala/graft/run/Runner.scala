@@ -155,9 +155,22 @@ final class Runner(
           node.config.materialized match {
             case "incremental" if node.config.incrementalStrategy
                 .contains(IncrementalStrategy.Microbatch) =>
+              // Resume from the target's max event_time instead of `begin`:
+              // later runs process only new batches + `lookback` reopened
+              // ones (dbt's incremental microbatch run semantics) — without
+              // this every run reprocesses all history.
+              val lastEnd: Option[java.sql.Timestamp] = for {
+                et <- node.config.eventTime
+                rel <- node.relation if adapter.relationExists(rel)
+                ts <- Try(adapter.read(rel)
+                  .agg(org.apache.spark.sql.functions.max(
+                    org.apache.spark.sql.functions.col(s"`$et`")))
+                  .head.getTimestamp(0)).toOption.flatMap(Option(_))
+              } yield ts
               // per-batch compile with the window pushed into the scans
               MicrobatchRunner.run(ctx.copy(compiledBatch = Some((bs, be) =>
-                spark.sql(compileSql(node, batchWindow = Some((bs, be)))))))
+                spark.sql(compileSql(node, batchWindow = Some((bs, be)))))),
+                lastRunEnd = lastEnd)
             case m => Materializations.resolve(m).run(ctx)
           }
         case NodeKind.Seed =>
