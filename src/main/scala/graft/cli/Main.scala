@@ -11,9 +11,10 @@ import java.nio.file.{Files, Paths}
   * crates/dbt-sa-cli/src/main.rs → execute_fs dbt_sa_lib.rs:45-72).
   *
   * Usage:
-  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list>
-  *     [--project-dir DIR] [--select SPEC] [--full-refresh]
-  *     [--threads N] [--schema NAME] [--target-path DIR] [--state DIR]
+  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs>
+  *     [--project-dir DIR] [--select SPEC] [--selector NAME]
+  *     [--full-refresh] [--threads N] [--schema NAME] [--target-path DIR]
+  *     [--state DIR] [--defer]
   */
 object Main {
 
