@@ -35,6 +35,14 @@ object IncrementalStrategy {
     * databricks/configs/incremental.rs): atomically replace the
     * predicate-matching slice with the incoming batch. */
   case object ReplaceWhere extends IncrementalStrategy { val name = "replace_where" }
+  /** User-defined strategy — dispatched to the project's
+    * `get_incremental_<name>_sql` macro at run time (reference:
+    * DbtIncrementalStrategy::Custom common.rs:572, dispatch
+    * base_adapter.rs:339). Unknown names parse here, dbt-style; a missing
+    * macro errors when the strategy executes. */
+  final case class Custom(customName: String) extends IncrementalStrategy {
+    val name = customName
+  }
 
   def parse(s: String): IncrementalStrategy = s match {
     case "append" => Append
@@ -43,9 +51,7 @@ object IncrementalStrategy {
     case "insert_overwrite" => InsertOverwrite
     case "microbatch" => Microbatch
     case "replace_where" => ReplaceWhere
-    case other => throw new IllegalArgumentException(
-      s"unknown incremental strategy: $other (valid: append, merge, " +
-        "delete+insert, insert_overwrite, microbatch, replace_where)")
+    case other => Custom(other)
   }
 }
 

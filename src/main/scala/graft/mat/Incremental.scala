@@ -61,8 +61,38 @@ object IncrementalMat extends Materialization {
       case IncrementalStrategy.Microbatch =>
         throw new IllegalStateException(
           "microbatch runs through MicrobatchRunner, not a single-shot strategy")
+      case IncrementalStrategy.Custom(name) =>
+        customStrategy(ctx, name, source, cfg)
     }
     MatResult(target, "success", s"incremental ${strategy.name}")
+  }
+
+  /** Custom strategy: materialize the batch as the temp relation, render
+    * the project's `get_incremental_<name>_sql(arg_dict)` macro with dbt's
+    * arg dict, execute the SQL it returns, drop the temp (reference:
+    * base_adapter.rs:339 get_incremental_strategy_macro;
+    * MA/.../strategies.sql:79-92 custom dispatch). */
+  private def customStrategy(ctx: MatContext, name: String,
+      source: DataFrame, cfg: NodeConfig): Unit = {
+    val render = ctx.macroRenderer.getOrElse(
+      throw new IllegalArgumentException(
+        s"incremental strategy '$name' needs macro get_incremental_${name}_sql " +
+          "but no macro context is available"))
+    val adapter = ctx.adapter
+    val target = ctx.target
+    val tmp = target.intermediate
+    adapter.writeTableAtomic(source, tmp, cfg.partitionBy)
+    try {
+      val sql = render(s"get_incremental_${name}_sql", Map(
+        "target_relation" -> target.fqn,
+        "temp_relation" -> tmp.fqn,
+        "unique_key" -> cfg.uniqueKey,
+        "dest_columns" -> adapter.getColumnsInRelation(target).fieldNames.toSeq,
+        "incremental_predicates" -> cfg.incrementalPredicates)).trim
+      if (sql.isEmpty) throw new IllegalArgumentException(
+        s"macro get_incremental_${name}_sql returned no SQL")
+      adapter.execute(sql, fetch = false)
+    } finally adapter.dropRelation(tmp)
   }
 
   /** Null-safe equality on the unique key, dbt `equals` macro → `<=>`

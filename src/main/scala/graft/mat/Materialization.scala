@@ -39,7 +39,11 @@ final case class MatContext(
       * (dbt's microbatch input filter, model_config.rs:209-210) so each
       * batch's source scans prune instead of re-reading the full input.
       * None → the runner filters the compiled output only. */
-    compiledBatch: Option[(java.sql.Timestamp, java.sql.Timestamp) => DataFrame] = None) {
+    compiledBatch: Option[(java.sql.Timestamp, java.sql.Timestamp) => DataFrame] = None,
+    /** Render a project macro `name(arg_dict)` with the run context —
+      * custom incremental strategies dispatch through this
+      * (base_adapter.rs:339 get_incremental_strategy_macro). */
+    macroRenderer: Option[(String, Map[String, Any]) => String] = None) {
   def spark = adapter.spark
   def config: NodeConfig = node.config
 }

@@ -150,8 +150,19 @@ final class Runner(
         case NodeKind.Model =>
           val sql = withQueryComment(node, compileSql(node))
           if (node.config.contractEnforced) Contracts.enforce(spark, node, sql)
+          // custom incremental strategies render their project macro with
+          // the run context + the dbt arg dict (base_adapter.rs:339)
+          val macroRenderer = Some((macroName: String, args: Map[String, Any]) =>
+            Jinja.render(macroPrelude + s"{{ $macroName(arg_dict) }}",
+              DbtContext.runContext(adapter, node.relation.get,
+                (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
+                  .flatMap(_.relation).map(_.fqn).getOrElse(n),
+                (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
+                isIncremental = true, node.config.extra, project.vars) +
+                ("arg_dict" -> args)))
           val ctx = MatContext(adapter, node.copy(rawSql = sql),
-            node.relation.get, () => spark.sql(sql), fullRefresh, now)
+            node.relation.get, () => spark.sql(sql), fullRefresh, now,
+            macroRenderer = macroRenderer)
           node.config.materialized match {
             case "incremental" if node.config.incrementalStrategy
                 .contains(IncrementalStrategy.Microbatch) =>

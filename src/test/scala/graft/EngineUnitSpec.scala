@@ -40,7 +40,9 @@ class EngineUnitSpec extends AnyFunSuite {
     assert(OnSchemaChange.parse("append_new_columns") == OnSchemaChange.AppendNewColumns)
     assert(HardDeletes.parse("new_record") == HardDeletes.NewRecord)
     assert(BatchSize.parse("month") == BatchSize.Month)
-    assertThrows[IllegalArgumentException](IncrementalStrategy.parse("upsert"))
+    // unknown names parse as Custom (dbt-style: a user macro
+    // get_incremental_upsert_sql resolves them; missing macro errors at run)
+    assert(IncrementalStrategy.parse("upsert") == IncrementalStrategy.Custom("upsert"))
   }
 
   test("microbatch window computation: first run from begin") {
