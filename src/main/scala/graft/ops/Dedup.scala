@@ -152,22 +152,28 @@ object Dedup {
 
   /** SimHash near-dups: pairs with hamming distance ≤ maxHamming. With 4
     * chunks and maxHamming ≤ 3, every qualifying pair shares ≥1 chunk
-    * (pigeonhole), so candidates come from 4 narrow equi-joins instead of a
-    * cross join. */
+    * (pigeonhole), so candidates come from ONE banded equi-join on
+    * (chunk index, chunk value) — each doc explodes to 4 narrow rows and
+    * the whole candidate generation is a single shuffle, the same shape
+    * as the MinHash banding (4 separate per-chunk joins produce the same
+    * pairs with 4× the shuffle stages). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val sigs = withSimhashChunks(
       spread(df).select(col(idCol).as("id"), col(textCol)), textCol)
       .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
-      .cache()
-    val right = sigs.select(col("id").as("id_b"), col("c0").as("d0"),
-      col("c1").as("d1"), col("c2").as("d2"), col("c3").as("d3"))
-    val candidates = (0 to 3).map { c =>
-      sigs.join(right,
-        col(s"c$c") === col(s"d$c") && col("id") < col("id_b"))
-    }.reduce(_ unionByName _).dropDuplicates("id", "id_b")
-    candidates
+      .cache() // tiny (5 ints/doc); both join sides reuse the signatures
+    val banded = sigs.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("band", "bv")))
+    val a = banded
+    val b = banded.select(col("id").as("id_b"), col("c0").as("d0"),
+      col("c1").as("d1"), col("c2").as("d2"), col("c3").as("d3"),
+      col("band").as("band_b"), col("bv").as("bv_b"))
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("id") < col("id_b"))
+      .dropDuplicates("id", "id_b")
       .withColumn("hamming",
         expr("bit_count(c0 ^ d0) + bit_count(c1 ^ d1) + bit_count(c2 ^ d2) + bit_count(c3 ^ d3)"))
       .filter(col("hamming") <= maxHamming)
