@@ -24,8 +24,31 @@ object Bench {
   // the sub-quadratic embeddingNearDupsLsh scale path — benching it would
   // measure the oracle, not the engine.
 
+  /** 1-minute load average, or 0.0 if /proc/loadavg is unreadable. */
+  private def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+
+  /** Timings on a contended box are artifacts, not measurements (r2: the
+    * same harness recorded 984 s contended vs 28.7 s idle). Wait, bounded,
+    * for the 1-min load to drop below the threshold before timing. */
+  private def awaitIdle(threshold: Double = 2.0, maxWaitSec: Int = 300): Double = {
+    var load = loadAvg1m()
+    var waited = 0
+    while (load >= threshold && waited < maxWaitSec) {
+      System.err.println(f"[bench] load average $load%.2f >= $threshold%.1f — waiting for idle ($waited/$maxWaitSec s)")
+      Thread.sleep(15000); waited += 15
+      load = loadAvg1m()
+    }
+    if (load >= threshold)
+      System.err.println(f"[bench] WARNING: still contended (load $load%.2f) after $maxWaitSec s — timings may be inflated")
+    load
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val startLoad = awaitIdle()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +56,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -62,7 +86,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val endLoad = loadAvg1m()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$startLoad,"loadavg_end":$endLoad}""")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -15,14 +16,26 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Micros parquet output: Spark's default ns writer silently wraps
+      // int64 for timestamps ≥ 2262-04-11 (far-future SCD-2 markers).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Session TZ is UTC, so TIMESTAMP → TIMESTAMP_NTZ preserves the wall
+    // clock; combined with the micros pin above, parquet gets naive
+    // timestamp[us] — exactly what DuckDB produces for the oracle SQL.
+    // (Spark's tz-aware type writes isAdjustedToUTC=true, which the
+    // driver's hasher sees as tz-aware and mismatches DuckDB's naive.)
+    def naiveTs(df: DataFrame): DataFrame =
+      df.schema.fields.filter(_.dataType == TimestampType).foldLeft(df) {
+        (d, f) => d.withColumn(f.name, d.col(f.name).cast(TimestampNTZType))
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -273,7 +273,9 @@ object IncrementalPack extends QueryPack {
       val rel = Relation(a.defaultSchema, "cust_snap")
       val snapCfg = SnapshotConfig(strategy = "check",
         uniqueKey = Seq("c_custkey"), checkCols = Some(Seq("c_acctbal")),
-        dbtValidToCurrent = Some("timestamp'9999-12-31 00:00:00'"),
+        // In-ns-range open-row marker: 9999-12-31 overflows parquet's int64
+        // nanosecond epoch (max 2262-04-11) and silently wraps on write.
+        dbtValidToCurrent = Some("timestamp'2250-01-01 00:00:00'"),
         metaColumnNames = Map(
           "dbt_scd_id" -> "scd_id", "dbt_valid_from" -> "valid_from",
           "dbt_valid_to" -> "valid_to", "dbt_updated_at" -> "updated_ts"))
@@ -481,7 +483,7 @@ object IncrementalPack extends QueryPack {
       """WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |t1 AS (SELECT TIMESTAMP '2026-01-01 00:00:00' AS ts),
         |t2 AS (SELECT TIMESTAMP '2026-02-01 00:00:00' AS ts),
-        |cur AS (SELECT TIMESTAMP '9999-12-31 00:00:00' AS ts),
+        |cur AS (SELECT TIMESTAMP '2250-01-01 00:00:00' AS ts),
         |changed AS (SELECT c_custkey FROM v1 WHERE c_custkey % 3 = 0)
         |-- v1 rows: closed at t2 when the balance changed, else open (cur)
         |SELECT c.c_custkey, c.c_name, c.c_acctbal,
