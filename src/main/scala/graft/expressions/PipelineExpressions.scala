@@ -151,6 +151,85 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Integer quantization used by the hyperplane-LSH family:
+    * q(x) = round(x·10^6) as long, via the same decimal path as Spark's SQL
+    * `round(double)` (shortest-repr BigDecimal, HALF_UP — ties away from
+    * zero) so native and SQL formulations bucket bit-for-bit. */
+  private def quantizeVec(v: Array[Float]): Array[Long] = {
+    val q = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      q(i) = java.math.BigDecimal.valueOf(v(i).toDouble * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    q
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(q(v), w_i)) > 0,
+    * over integer math. Bit-identical to the SQL mega-expression it
+    * replaces (bits × aggregate(zip_with(...)) — interpreted per array
+    * element and re-quantizing the vector per bit) but one tight loop per
+    * row that quantizes once. `weights` is (bits × dim) from
+    * graft.ops.Similarity.hyperplaneWeight, precomputed driver-side.
+    * zip_with length-mismatch semantics preserved: a vector whose length
+    * differs from dim yields a null dot in SQL → bit 0. */
+  case class HyperplaneSig(child: Expression, weights: Array[Array[Long]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData].toFloatArray()
+      if (weights.length > 0 && v.length != weights(0).length) return 0L
+      val q = quantizeVec(v)
+      var sig = 0L
+      var i = 0
+      while (i < weights.length) {
+        val w = weights(i)
+        var dot = 0L
+        var d = 0
+        while (d < w.length) { dot += q(d) * w(d); d += 1 }
+        if (dot > 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Per-band r-bit hyperplane signatures (array of longs), band b bit j
+    * from weight row b·r+j — the banded-LSH OR-construction companion of
+    * [[HyperplaneSig]], same integer math and length-mismatch contract. */
+  case class HyperplaneBandSigs(child: Expression,
+      weights: Array[Array[Long]], r: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData].toFloatArray()
+      val bands = weights.length / r
+      val out = new Array[Long](bands)
+      if (weights.length > 0 && v.length != weights(0).length)
+        return new GenericArrayData(out)
+      val q = quantizeVec(v)
+      var b = 0
+      while (b < bands) {
+        var sig = 0L
+        var j = 0
+        while (j < r) {
+          val w = weights(b * r + j)
+          var dot = 0L
+          var d = 0
+          while (d < w.length) { dot += q(d) * w(d); d += 1 }
+          if (dot > 0) sig |= (1L << j)
+          j += 1
+        }
+        out(b) = sig
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Exact-decimal cosine pieces: dot product of two float vectors with
     * each double product rounded to 18 decimal places and summed exactly —
     * bit-identical to the DECIMAL(38,18) SQL accumulation the oracles use
@@ -333,6 +412,10 @@ object PipelineExpressions {
     wrap(FingerprintParts(expression(c), k))
   def norm_exact(c: Column): Column =
     wrap(NormExact(expression(c)))
+  def hyperplane_sig(c: Column, weights: Array[Array[Long]]): Column =
+    wrap(HyperplaneSig(expression(c), weights))
+  def hyperplane_band_sigs(c: Column, weights: Array[Array[Long]], r: Int): Column =
+    wrap(HyperplaneBandSigs(expression(c), weights, r))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)

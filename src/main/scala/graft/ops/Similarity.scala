@@ -68,41 +68,31 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
   }
 
+  /** Weight matrix rows i₀ … i₀+n−1 of the deterministic hyperplane model,
+    * precomputed driver-side once per query (n·dim MD5s — negligible). */
+  private def weightRows(from: Int, n: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(n, dim)((i, d) => hyperplaneWeight(from + i, d))
+
   /** Random-hyperplane LSH signature: bit i = sign(dot(q(v), w_i)) over
     * INTEGER math — component quantized once (q(d) = round(v[d]·10^6) as
     * long, a single deterministic double rounding, ties away from zero in
     * both Spark and DuckDB) and integer hyperplane weights from
     * [[hyperplaneWeight]]. No float-sum order or last-ulp sensitivity, so
     * a SQL oracle reproduces buckets bit-for-bit (PipelinePack.sigSql is
-    * the DuckDB mirror). Weights depend only on (i, d) and are inlined as
-    * literals — no per-row hashing. */
-  def hyperplaneSignature(vecCol: String, bits: Int, dim: Int = 64): Column = {
-    val qv = s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
-    val sig = (0 until bits).map { i =>
-      val ws = (0 until dim).map(d => hyperplaneWeight(i, d))
-        .mkString("array(", "L, ", "L)")
-      s"(CASE WHEN aggregate(zip_with($qv, $ws, (x, h) -> x * h), 0L, (a, b) -> a + b) > 0 THEN ${1L << i}L ELSE 0L END)"
-    }.mkString(" + ")
-    expr(sig)
-  }
+    * the DuckDB mirror). Evaluated by the native
+    * PipelineExpressions.HyperplaneSig tight loop (one quantization per
+    * row) — the SQL formulation survives only as the DuckDB oracle text. */
+  def hyperplaneSignature(vecCol: String, bits: Int, dim: Int = 64): Column =
+    PipelineExpressions.hyperplane_sig(col(vecCol), weightRows(0, bits, dim))
 
   /** Per-band r-bit hyperplane signatures (array of `bands` longs), bit j
     * of band b derived from global hyperplane index b·r+j — the same
     * integer-exact math as [[hyperplaneSignature]], grouped for banded-LSH
     * OR-construction (match in ANY band → candidate). */
   def bandSignatures(vecCol: String, bands: Int, r: Int,
-      dim: Int = 64): Column = {
-    val qv = s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
-    val perBand = (0 until bands).map { bnd =>
-      val bits = (0 until r).map { j =>
-        val ws = (0 until dim).map(d => hyperplaneWeight(bnd * r + j, d))
-          .mkString("array(", "L, ", "L)")
-        s"(CASE WHEN aggregate(zip_with($qv, $ws, (x, h) -> x * h), 0L, (a, b) -> a + b) > 0 THEN ${1L << j}L ELSE 0L END)"
-      }.mkString(" + ")
-      s"($bits)"
-    }.mkString("array(", ", ", ")")
-    expr(perBand)
-  }
+      dim: Int = 64): Column =
+    PipelineExpressions.hyperplane_band_sigs(col(vecCol),
+      weightRows(0, bands * r, dim), r)
 
   /** Bucketed approximate top-k: queries only scan their signature bucket.
     * Approximate in recall, but fully deterministic: the integer signature
