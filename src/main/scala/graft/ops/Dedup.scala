@@ -41,6 +41,15 @@ object Dedup {
     }
   }
 
+  /** Signature-reuse cache: both sides of a band self-join read the same
+    * signatures, so caching them halves the compute on a single box. Like
+    * [[spread]], materializing the corpus is not a 100 TB plan — the same
+    * `spark.graft.spreadInput=false` knob turns these into no-ops (the
+    * self-join then recomputes signatures per side, streaming). */
+  private[graft] def maybeCache(df: DataFrame): DataFrame =
+    if (!df.sparkSession.conf.get("spark.graft.spreadInput", "true").toBoolean) df
+    else df.cache()
+
   /** Word k-shingles, distinct, guarded for short docs. Shingle text is
     * space-joined so a DuckDB oracle can reproduce it byte-for-byte. */
   def shingleExpr(textCol: String, k: Int): Column = expr(
@@ -84,12 +93,11 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     import graft.expressions.PipelineExpressions._
     val r = perms / bands
-    val sigs = spread(df)
+    val sigs = maybeCache(spread(df)
       .select(col(idCol).as("id"),
         shingle_hashes(col(textCol), k).as("shh"))
       .filter(size(col("shh")) > 0)
-      .withColumn("sig", minhash_sig(col("shh"), perms))
-      .cache() // both sides of the band self-join reuse the signatures
+      .withColumn("sig", minhash_sig(col("shh"), perms)))
     val banded = sigs.select(col("id"), col("shh"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',',
@@ -113,10 +121,9 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     import graft.expressions.PipelineExpressions._
-    val sh = spread(df)
+    val sh = maybeCache(spread(df)
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
-      .filter(size(col("shh")) > 0)
-      .cache()
+      .filter(size(col("shh")) > 0))
     // prune the quadratic join: pairs must share at least one shingle
     val ex = sh.select(col("id"), explode(col("shh")).as("s"))
     val pairIds = ex.as("x").join(ex.as("y"),
@@ -160,10 +167,9 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val sigs = withSimhashChunks(
+    val sigs = maybeCache(withSimhashChunks(
       spread(df).select(col(idCol).as("id"), col(textCol)), textCol)
-      .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
-      .cache() // tiny (5 ints/doc); both join sides reuse the signatures
+      .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3")))
     val banded = sigs.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
         .as(Seq("band", "bv")))

@@ -61,6 +61,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!physical.contains("CartesianProduct"), physical.take(2000))
   }
 
+  test("spreadInput=false removes every cache boundary from dedup plans") {
+    import spark.implicits._
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta token$i tail"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.spreadInput", "false")
+    try {
+      for (df <- Seq(
+          Dedup.minhashNearDups(docs, "doc_id", "text"),
+          Dedup.simhashNearDups(docs, "doc_id", "text"),
+          Dedup.ngramJaccard(docs, "doc_id", "text"))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("InMemoryTableScan") &&
+          !plan.contains("InMemoryRelation"), plan.take(1500))
+        assert(df.count() >= 0) // still executes
+      }
+    } finally spark.conf.set("spark.graft.spreadInput", "true")
+  }
+
   test("banded LSH embedding dedup recovers planted near-dups via equi-join") {
     val df = corpus()
     val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding",
