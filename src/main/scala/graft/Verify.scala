@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType, TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -28,9 +28,23 @@ object Verify {
     // timestamp[us] — exactly what DuckDB produces for the oracle SQL.
     // (Spark's tz-aware type writes isAdjustedToUTC=true, which the
     // driver's hasher sees as tz-aware and mismatches DuckDB's naive.)
+    // Rewrites TimestampType anywhere in the type tree (incl. nested in
+    // struct/array/map — a cast recurses); column names are backtick-quoted
+    // so dots aren't parsed as struct access.
+    def dropTz(dt: DataType): DataType = dt match {
+      case TimestampType => TimestampNTZType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = dropTz(f.dataType))))
+      case a: ArrayType  => a.copy(elementType = dropTz(a.elementType))
+      case m: MapType    => m.copy(keyType = dropTz(m.keyType),
+        valueType = dropTz(m.valueType))
+      case other => other
+    }
     def naiveTs(df: DataFrame): DataFrame =
-      df.schema.fields.filter(_.dataType == TimestampType).foldLeft(df) {
-        (d, f) => d.withColumn(f.name, d.col(f.name).cast(TimestampNTZType))
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        val target = dropTz(f.dataType)
+        if (target == f.dataType) d
+        else d.withColumn(f.name, d.col(s"`${f.name}`").cast(target))
       }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -166,28 +166,54 @@ object PipelineExpressions {
     q
   }
 
+  /** Extract a float vector from ArrayData, or null if the input is null
+    * or any element is null — mirroring the SQL formulation where a null
+    * element nulls the zip_with product and hence every bit's dot. */
+  private def floatVecOrNull(value: Any): Array[Float] = {
+    if (value == null) return null
+    val arr = value.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      out(i) = arr.getFloat(i)
+      i += 1
+    }
+    out
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(dot(q(v), w_i)) > 0,
     * over integer math. Bit-identical to the SQL mega-expression it
     * replaces (bits × aggregate(zip_with(...)) — interpreted per array
     * element and re-quantizing the vector per bit) but one tight loop per
     * row that quantizes once. `weights` is (bits × dim) from
-    * graft.ops.Similarity.hyperplaneWeight, precomputed driver-side.
-    * zip_with length-mismatch semantics preserved: a vector whose length
-    * differs from dim yields a null dot in SQL → bit 0. */
-  case class HyperplaneSig(child: Expression, weights: Array[Array[Long]])
+    * graft.ops.Similarity.hyperplaneWeight, precomputed driver-side; held
+    * as IndexedSeq so two structurally identical instances are `==` (the
+    * case-class equality Catalyst canonicalization/subexpression
+    * elimination rely on), converted once to primitive arrays for eval.
+    * Null contract (same as the SQL CASE): a null vector, a vector with a
+    * null element (zip_with nulls the whole dot), or a length != dim all
+    * yield every-bit-0 → signature 0, never NULL — so null-embedding rows
+    * land in bucket 0 instead of dropping out of bucket equi-joins. */
+  case class HyperplaneSig(child: Expression, weights: IndexedSeq[IndexedSeq[Long]])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData].toFloatArray()
-      if (weights.length > 0 && v.length != weights(0).length) return 0L
+    override def nullable: Boolean = false
+    @transient private lazy val w: Array[Array[Long]] =
+      weights.map(_.toArray).toArray
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = floatVecOrNull(child.eval(input))
+      if (v == null) return 0L
+      if (w.length > 0 && v.length != w(0).length) return 0L
       val q = quantizeVec(v)
       var sig = 0L
       var i = 0
-      while (i < weights.length) {
-        val w = weights(i)
+      while (i < w.length) {
+        val wi = w(i)
         var dot = 0L
         var d = 0
-        while (d < w.length) { dot += q(d) * w(d); d += 1 }
+        while (d < wi.length) { dot += q(d) * wi(d); d += 1 }
         if (dot > 0) sig |= (1L << i)
         i += 1
       }
@@ -198,16 +224,21 @@ object PipelineExpressions {
 
   /** Per-band r-bit hyperplane signatures (array of longs), band b bit j
     * from weight row b·r+j — the banded-LSH OR-construction companion of
-    * [[HyperplaneSig]], same integer math and length-mismatch contract. */
+    * [[HyperplaneSig]], same integer math, length-mismatch and null
+    * contract (null/null-element/mismatched vector → all-zero band array,
+    * never NULL). */
   case class HyperplaneBandSigs(child: Expression,
-      weights: Array[Array[Long]], r: Int)
+      weights: IndexedSeq[IndexedSeq[Long]], r: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData].toFloatArray()
+    override def nullable: Boolean = false
+    @transient private lazy val w: Array[Array[Long]] =
+      weights.map(_.toArray).toArray
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val bands = weights.length / r
       val out = new Array[Long](bands)
-      if (weights.length > 0 && v.length != weights(0).length)
+      val v = floatVecOrNull(child.eval(input))
+      if (v == null || (w.length > 0 && v.length != w(0).length))
         return new GenericArrayData(out)
       val q = quantizeVec(v)
       var b = 0
@@ -215,10 +246,10 @@ object PipelineExpressions {
         var sig = 0L
         var j = 0
         while (j < r) {
-          val w = weights(b * r + j)
+          val wj = w(b * r + j)
           var dot = 0L
           var d = 0
-          while (d < w.length) { dot += q(d) * w(d); d += 1 }
+          while (d < wj.length) { dot += q(d) * wj(d); d += 1 }
           if (dot > 0) sig |= (1L << j)
           j += 1
         }
@@ -413,9 +444,9 @@ object PipelineExpressions {
   def norm_exact(c: Column): Column =
     wrap(NormExact(expression(c)))
   def hyperplane_sig(c: Column, weights: Array[Array[Long]]): Column =
-    wrap(HyperplaneSig(expression(c), weights))
+    wrap(HyperplaneSig(expression(c), weights.map(_.toIndexedSeq).toIndexedSeq))
   def hyperplane_band_sigs(c: Column, weights: Array[Array[Long]], r: Int): Column =
-    wrap(HyperplaneBandSigs(expression(c), weights, r))
+    wrap(HyperplaneBandSigs(expression(c), weights.map(_.toIndexedSeq).toIndexedSeq, r))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)

@@ -43,12 +43,18 @@ object Dedup {
 
   /** Signature-reuse cache: both sides of a band self-join read the same
     * signatures, so caching them halves the compute on a single box. Like
-    * [[spread]], materializing the corpus is not a 100 TB plan — the same
-    * `spark.graft.spreadInput=false` knob turns these into no-ops (the
-    * self-join then recomputes signatures per side, streaming). */
-  private[graft] def maybeCache(df: DataFrame): DataFrame =
-    if (!df.sparkSession.conf.get("spark.graft.spreadInput", "true").toBoolean) df
+    * [[spread]], materializing the corpus is not a 100 TB plan — controlled
+    * by `spark.graft.cacheSignatures`, which DEFAULTS to the
+    * `spark.graft.spreadInput` value (one knob disables both crutches) but
+    * can be set independently: a cluster job may want streaming scans
+    * (spreadInput=false) while still caching the — much narrower —
+    * signature projection (cacheSignatures=true). */
+  private[graft] def maybeCache(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val dflt = conf.get("spark.graft.spreadInput", "true")
+    if (!conf.get("spark.graft.cacheSignatures", dflt).toBoolean) df
     else df.cache()
+  }
 
   /** Word k-shingles, distinct, guarded for short docs. Shingle text is
     * space-joined so a DuckDB oracle can reproduce it byte-for-byte. */

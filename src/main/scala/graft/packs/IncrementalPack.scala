@@ -293,6 +293,30 @@ object IncrementalPack extends QueryPack {
       a.read(rel).orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // ---- snapshot, default far-future open-row marker --------------------
+    // Regression pin for the r2 int64-ns parquet overflow: 9999-12-31 only
+    // survives the write because the session pins TIMESTAMP_MICROS (micros
+    // max ~ year 294246). If that pin ever regresses, this query hash-reds.
+    "q_snapshot_far_future" -> ((s, dir) => {
+      val a = freshAdapter(s, "snap_farfuture")
+      val rel = Relation(a.defaultSchema, "cust_snap_ff")
+      val snapCfg = SnapshotConfig(strategy = "check",
+        uniqueKey = Seq("c_custkey"), checkCols = Some(Seq("c_acctbal")),
+        dbtValidToCurrent = Some("timestamp'9999-12-31 00:00:00'"))
+      val cfg = NodeConfig(materialized = "snapshot", snapshot = Some(snapCfg))
+      val n = node("cust_snap_ff", cfg)
+      val v1 = Tables(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      // v2: every 5th customer's balance bumped → close old + open new version
+      val v2 = v1.withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 7)
+          .otherwise(col("c_acctbal")))
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+      SnapshotMat.run(MatContext(a, n, rel, () => v1, fullRefresh = false, t1))
+      SnapshotMat.run(MatContext(a, n, rel, () => v2, fullRefresh = false, t2))
+      a.read(rel).orderBy(col("c_custkey"), col("dbt_valid_from"))
+    }),
+
     // ---- snapshot, hard_deletes=new_record ------------------------------
     "q_snapshot_new_record" -> ((s, dir) => {
       val a = freshAdapter(s, "snap_newrec")
@@ -500,6 +524,28 @@ object IncrementalPack extends QueryPack {
         |  (SELECT ts FROM t2), (SELECT ts FROM t2), (SELECT ts FROM cur)
         |FROM v1 c WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_snapshot_far_future" ->
+      """WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |t1 AS (SELECT TIMESTAMP '2026-01-01 00:00:00' AS ts),
+        |t2 AS (SELECT TIMESTAMP '2026-02-01 00:00:00' AS ts),
+        |cur AS (SELECT TIMESTAMP '9999-12-31 00:00:00' AS ts),
+        |changed AS (SELECT c_custkey FROM v1 WHERE c_custkey % 5 = 0)
+        |-- v1 rows: closed at t2 when the balance changed, else open (cur)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal,
+        |  md5(concat_ws('|', CAST(c.c_custkey AS VARCHAR), CAST((SELECT ts FROM t1) AS VARCHAR))) AS dbt_scd_id,
+        |  (SELECT ts FROM t1) AS dbt_updated_at,
+        |  (SELECT ts FROM t1) AS dbt_valid_from,
+        |  CASE WHEN c.c_custkey IN (SELECT c_custkey FROM changed)
+        |       THEN (SELECT ts FROM t2) ELSE (SELECT ts FROM cur) END AS dbt_valid_to
+        |FROM v1 c
+        |UNION ALL
+        |-- new open versions for changed keys (valid_from = t2, valid_to = cur)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal + 7,
+        |  md5(concat_ws('|', CAST(c.c_custkey AS VARCHAR), CAST((SELECT ts FROM t2) AS VARCHAR))),
+        |  (SELECT ts FROM t2), (SELECT ts FROM t2), (SELECT ts FROM cur)
+        |FROM v1 c WHERE c.c_custkey % 5 = 0
+        |ORDER BY c_custkey, dbt_valid_from""".stripMargin,
 
     "q_snapshot_new_record" ->
       """WITH v1 AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),

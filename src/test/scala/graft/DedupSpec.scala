@@ -80,6 +80,32 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.spreadInput", "true")
   }
 
+  test("cacheSignatures controls the signature cache independently of spreadInput") {
+    import spark.implicits._
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta token$i tail"))
+      .toDF("doc_id", "text")
+    // cacheSignatures=false alone strips the signature cache even with
+    // spreadInput left on (the spread() cache is on the raw input, below
+    // the signature projection — so an InMemoryRelation may remain from
+    // spread; assert on the narrower maybeCache by turning spread off too)
+    spark.conf.set("spark.graft.spreadInput", "false")
+    spark.conf.set("spark.graft.cacheSignatures", "false")
+    try {
+      val plan = Dedup.minhashNearDups(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("InMemoryRelation"), plan.take(1500))
+      // and the reverse split: signatures cached while scans stay streaming
+      spark.conf.set("spark.graft.cacheSignatures", "true")
+      val plan2 = Dedup.minhashNearDups(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(plan2.contains("InMemoryTableScan"), plan2.take(1500))
+    } finally {
+      spark.conf.set("spark.graft.spreadInput", "true")
+      spark.conf.unset("spark.graft.cacheSignatures")
+    }
+  }
+
   test("banded LSH embedding dedup recovers planted near-dups via equi-join") {
     val df = corpus()
     val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding",

@@ -70,6 +70,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatches.count() == 0)
   }
 
+  test("null vectors and null elements bucket to signature 0, matching SQL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, null.asInstanceOf[Array[java.lang.Float]]),          // null vector
+      (2L, Array.fill(64)(java.lang.Float.valueOf(0.5f))
+        .updated(7, null.asInstanceOf[java.lang.Float])),       // null element
+      (3L, Array.fill(3)(java.lang.Float.valueOf(0.5f))))       // dim mismatch
+    val df = rows.toDF("id", "v")
+    val out = df.select(col("id"),
+      Similarity.hyperplaneSignature("v", 12).as("sig"),
+      Similarity.bandSignatures("v", 2, 6).as("bands"))
+      .collect().sortBy(_.getLong(0))
+    // the SQL CASE yields bit 0 everywhere (null dot / length mismatch) —
+    // never NULL, so the rows still land in bucket 0 of an equi-join
+    out.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) == 0L, r.toString)
+      assert(r.getSeq[Long](2) == Seq(0L, 0L), r.toString)
+    }
+    // structural equality: two separately-built instances over the same
+    // child must be equal (case-class equality feeds semanticEquals →
+    // subexpression elimination / plan reuse); with Array weights these
+    // compared by reference and never matched
+    val child = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(Array(0.5f, 0.5f), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val w = IndexedSeq(IndexedSeq(1L, 2L), IndexedSeq(3L, 4L))
+    assert(graft.expressions.PipelineExpressions.HyperplaneSig(child, w) ==
+      graft.expressions.PipelineExpressions.HyperplaneSig(child,
+        IndexedSeq(IndexedSeq(1L, 2L), IndexedSeq(3L, 4L))))
+  }
+
   test("lshTopK plan has no interpreted HOF signature math") {
     import spark.implicits._
     // go through parquet: ConvertToLocalRelation would eagerly evaluate
