@@ -88,6 +88,8 @@ object DbtContext {
       ""
     },
     "print" -> JFunc { (a, _) => System.err.println(a.headOption.getOrElse("")); "" },
+    // dbt's {{ return(v) }} — unwound at the nearest macro boundary
+    "return" -> JFunc((a, _) => throw Jinja.ReturnValue(a.headOption.orNull)),
     "tojson" -> JFunc((a, _) => Json.write(a.head)),
     "fromjson" -> JFunc((a, _) => Json.parse(a.head.toString)),
     "local_md5" -> JFunc((a, _) => Json.md5(a.head.toString)),
@@ -136,7 +138,24 @@ object DbtContext {
       "execute" -> false,
       "run_query" -> JFunc((_, _) => new AgateObj(AgateTable.empty)),
       "statement" -> JFunc((_, _) => ""),
-      "adapter" -> new JObject { def attr(n: String): Option[Any] = None }
+      // parse-phase adapter: no warehouse, but dispatch must still resolve
+      // (models render at parse time to harvest refs/configs, and their
+      // macros may route through adapter.dispatch)
+      "adapter" -> new JObject {
+        def attr(n: String): Option[Any] = n match {
+          case "dispatch" => Some(JFunc { (a, _) =>
+            val name = a.headOption.map(_.toString).getOrElse("")
+            JCtxFunc { (ctx, args, kwargs) =>
+              Seq(s"spark__$name", s"default__$name").iterator.map(ctx.get)
+                .collectFirst { case Some(f: JFunc) => f }
+                .map(_(args, kwargs)).getOrElse("")
+            }
+          })
+          case "quote" => Some(JFunc((a, _) => s"`${a.head}`"))
+          case "type" => Some(JFunc((_, _) => "spark"))
+          case _ => None
+        }
+      }
     )
     // config(...) is also callable directly: {{ config(materialized='table') }}
     val configHybrid = new ConfigHybrid(
@@ -208,10 +227,16 @@ object DbtContext {
         val (_, table) = adapter.execute(a.head.toString)
         new AgateObj(table)
       },
-      "statement" -> JFunc { (a, _) =>
+      "statement" -> JFunc { (a, kw) =>
         val name = a.headOption.map(_.toString).getOrElse("main")
-        val sql = a.lift(1).map(_.toString).getOrElse(
-          throw JinjaError("statement(name, sql) needs sql text"))
+        // SQL text comes either inline (statement('main', sql)) or from a
+        // {% call statement('main') %}…{% endcall %} block's caller()
+        val sql = a.lift(1).map(_.toString)
+          .orElse(kw.get("caller").collect {
+            case c: JFunc => c(Nil, Map.empty).toString
+          })
+          .getOrElse(throw JinjaError(
+            "statement(name, sql) needs sql text or a call block"))
         val (_, table) = adapter.execute(sql)
         results(name) = new AgateObj(table)
         ""
@@ -260,9 +285,22 @@ object DbtContext {
         adapter.checkSchemaExists(a.head.toString)))
       case "valid_incremental_strategies" => Some(JFunc((_, _) =>
         adapter.validIncrementalStrategies.toVector))
-      case "dispatch" => Some(JFunc { (a, _) =>
-        throw JinjaError(s"adapter.dispatch('${a.headOption.getOrElse("")}') — " +
-          "macro dispatch resolves natively in this engine")
+      case "dispatch" => Some(JFunc { (a, kw) =>
+        // reference: dispatch_object.rs:320-334 + get_adapter_prefixes —
+        // resolve `<adapter>__name` → `default__name`. Our macro namespace
+        // is flat (prelude renders packages-then-root so Root locality wins
+        // on collision, matching MacroLocality precedence); the
+        // macro_namespace argument therefore only documents intent.
+        val name = a.headOption.map(_.toString).getOrElse(
+          throw JinjaError("dispatch(macro_name[, macro_namespace])"))
+        JCtxFunc { (ctx, args, kwargs) =>
+          val candidates = Seq(s"spark__$name", s"default__$name")
+          candidates.iterator.map(ctx.get).collectFirst {
+            case Some(f: JFunc) => f
+          }.getOrElse(throw JinjaError(
+            s"dispatch: no macro for '$name' (tried ${candidates.mkString(", ")})"))
+            .apply(args, kwargs)
+        }
       })
       case "type" => Some(JFunc((_, _) => "spark"))
       case _ => None

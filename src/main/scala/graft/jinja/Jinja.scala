@@ -34,6 +34,10 @@ object Jinja {
   final case class TMacroDef(name: String, params: Seq[(String, Option[Expr])],
       body: Seq[Tpl]) extends Tpl
   final case class TDo(e: Expr) extends Tpl
+  /** `{% call fn(args) %}body{% endcall %}` — invokes fn with a `caller`
+    * kwarg that renders the body (Jinja call blocks; dbt's
+    * `{% call statement('main') %}` uses caller() for the SQL text). */
+  final case class TCallBlock(call: Expr, body: Seq[Tpl]) extends Tpl
 
   sealed trait Expr
   final case class ELit(v: Any) extends Expr
@@ -53,6 +57,19 @@ object Jinja {
   /** A callable exposed to templates. kwargs arrive by name. */
   final case class JFunc(f: (Seq[Any], Map[String, Any]) => Any) {
     def apply(args: Seq[Any], kwargs: Map[String, Any]): Any = f(args, kwargs)
+  }
+  /** A callable that also sees the render context at the call site —
+    * `adapter.dispatch(...)` returns one so macro resolution happens
+    * against the macros registered in the calling template. */
+  final case class JCtxFunc(f: (Ctx, Seq[Any], Map[String, Any]) => Any) {
+    def apply(ctx: Ctx, args: Seq[Any], kwargs: Map[String, Any]): Any =
+      f(ctx, args, kwargs)
+  }
+  /** Control flow for dbt's `{{ return(v) }}` inside macros /
+    * materialization programs — unwound at the nearest macro boundary so
+    * the macro yields `value` instead of its rendered text. */
+  final case class ReturnValue(value: Any) extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
   }
   /** Objects exposing attributes/methods to templates (adapter, config…). */
   trait JObject { def attr(name: String): Option[Any] }
@@ -266,6 +283,10 @@ object Jinja {
                   i = k + 1
                 case _ => throw JinjaError(s"bad macro: $s")
               }
+            case "call" =>
+              val (body, k) = parseBlock(cs, i + 1, Set("endcall"))
+              out += TCallBlock(ExprParser.parse(s.stripPrefix("call").trim), body)
+              i = k + 1
             case "do" =>
               out += TDo(ExprParser.parse(s.stripPrefix("do").trim)); i += 1
             case other => throw JinjaError(s"unsupported statement: $other")
@@ -356,6 +377,27 @@ object Jinja {
             exec(body, c, sb)
           }
         }
+      case TCallBlock(call, body) =>
+        // the caller() closure renders the block body at invocation time
+        val caller = JFunc { (_, _) =>
+          val inner = new StringBuilder
+          exec(body, ctx.child, inner)
+          inner.toString
+        }
+        val r = call match {
+          case ECall(fnE, args, kwargs) =>
+            val a = args.map(eval(_, ctx))
+            val kw = kwargs.map { case (k, v) => k -> eval(v, ctx) }.toMap +
+              ("caller" -> caller)
+            eval(fnE, ctx) match {
+              case jf: JFunc => jf(a, kw)
+              case jc: JCallable => jc.invoke(a, kw)
+              case cf: JCtxFunc => cf(ctx, a, kw)
+              case other => throw JinjaError(s"not callable in call block: $other")
+            }
+          case other => throw JinjaError(s"call block needs a call: $other")
+        }
+        sb ++= stringify(r)
       case TMacroDef(name, params, body) =>
         ctx.set(name, JFunc { (args, kwargs) =>
           val c = ctx.child
@@ -367,9 +409,11 @@ object Jinja {
                   throw JinjaError(s"macro $name missing argument $pname")))
             c.set(pname, v)
           }
+          // call-block invocations pass caller() implicitly (Jinja2 {% call %})
+          kwargs.get("caller").foreach(c.set("caller", _))
           val inner = new StringBuilder
-          exec(body, c, inner)
-          inner.toString
+          try { exec(body, c, inner); inner.toString }
+          catch { case ReturnValue(v) => v } // {{ return(v) }} short-circuit
         })
     }
 
@@ -407,6 +451,7 @@ object Jinja {
       f match {
         case jf: JFunc => jf(a, kw)
         case jc: JCallable => jc.invoke(a, kw)
+        case cf: JCtxFunc => cf(ctx, a, kw)
         case u: Undefined => throw JinjaError(s"'${u.name}' is undefined (not callable)")
         case other => throw JinjaError(s"not callable: $other")
       }

@@ -337,6 +337,66 @@ object EnginePack extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // user {% materialization %} block + general adapter.dispatch
+    // (reference: materialization_resolver.rs:96-120 best_candidate,
+    // dispatch_object.rs:320-334 <adapter>__m → default__m chain): the
+    // project defines its own materialization that wraps the compiled SQL
+    // in an ordered LIMIT via a {% call statement('main') %} block, and a
+    // macro routed through adapter.dispatch where the spark__ variant must
+    // beat default__ on specificity.
+    "q_engine_custom_mat" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_custmat")
+      write(proj, "dbt_project.yml",
+        """name: custmat
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "macros/limited_table.sql",
+        """{% materialization limited_table, default %}
+          |  {%- set rows = config.get('row_limit', 10) -%}
+          |  {% call statement('drop') %}
+          |    drop table if exists {{ this }}
+          |  {% endcall %}
+          |  {% call statement('main') %}
+          |    create table {{ this }} using parquet as
+          |    select * from ({{ sql }}) q order by 1 limit {{ rows }}
+          |  {% endcall %}
+          |  {{ return({'relations': [this]}) }}
+          |{% endmaterialization %}
+          |""".stripMargin)
+      write(proj, "macros/status_label.sql",
+        """{% macro status_label(col) %}{{ return(adapter.dispatch('status_label')(col)) }}{% endmacro %}
+          |{% macro default__status_label(col) %}concat('st_', {{ col }}){% endmacro %}
+          |{% macro spark__status_label(col) %}concat('spark_', {{ col }}){% endmacro %}
+          |""".stripMargin)
+      write(proj, "models/top_orders.sql",
+        """{{ config(materialized='limited_table', row_limit=50) }}
+          |select o_orderkey as order_id,
+          |       {{ status_label('o_orderstatus') }} as status,
+          |       o_totalprice as amount
+          |from {{ source('tpch', 'orders') }}
+          |""".stripMargin)
+      val schema = "g_engine_custmat"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_custmat_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "top_orders"))
+        .orderBy("order_id")
+    }),
+
     // pre/post hooks around a materialization (MA/materializations/
     // hooks.sql): the pre-hook creates an audit table, the post-hook logs
     // the build — both rendered with the run context ({{ this }}).
@@ -424,6 +484,14 @@ object EnginePack extends QueryPack {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_engine_custom_mat" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS order_id,
+        |         concat('spark_', o_orderstatus) AS status,
+        |         o_totalprice AS amount
+        |  FROM orders ORDER BY 1 LIMIT 50) q
+        |ORDER BY order_id""".stripMargin,
 
     "q_engine_hooks" ->
       """SELECT 'built' AS event,

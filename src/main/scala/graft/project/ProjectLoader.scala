@@ -40,6 +40,13 @@ final case class Project(
       * from schema.yml like built-in generic tests (reference:
       * SqlResource::Test, dbt-jinja-utils/src/phases/parse/sql_resource.rs:27) */
     customTests: Set[String] = Set.empty,
+    /** `{% materialization name, adapter %}` blocks found in macro files:
+      * name → adapters it was defined for ('default', 'spark', …). Loaded
+      * as macros `materialization_<name>_<adapter>` (the reference's
+      * materialization_macro_name convention,
+      * materialization_resolver.rs:96-120); the runner invokes the
+      * most-specific one when `materialized:` names them. */
+    customMaterializations: Map[String, Set[String]] = Map.empty,
     /** parsed selectors.yml document (reference:
       * crates/dbt-selector-parser/src/parser.rs) — named selector
       * definitions; empty when the project has none. */
@@ -117,12 +124,24 @@ object ProjectLoader {
     // block syntax up front so the Jinja interpreter needs no new node type
     // and both the resolver and the runner see the same prelude.
     val testBlock = raw"\{%-?\s*test\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    // {% materialization name, default %} / {% materialization name,
+    // adapter='spark' %} → macro materialization_name_<adapter>() (the
+    // reference compiles the block to the same function name:
+    // minijinja materialization_macro_name + materialization_resolver.rs)
+    val matBlock =
+      raw"\{%-?\s*materialization\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?:adapter\s*=\s*)?['\x22]?([A-Za-z_]+)['\x22]?\s*-?%\}".r
     val rawMacros = files(macroPaths, ".sql").map(Files.readString(_))
     val customTests = rawMacros
       .flatMap(src => testBlock.findAllMatchIn(src).map(_.group(1))).toSet
+    val customMats = rawMacros
+      .flatMap(src => matBlock.findAllMatchIn(src).map(m => (m.group(1), m.group(2))))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
     val macroSources = rawMacros.map { src =>
-      testBlock.replaceAllIn(src, m => s"{% macro test_${m.group(1)}")
+      val t = testBlock.replaceAllIn(src, m => s"{% macro test_${m.group(1)}")
         .replaceAll(raw"\{%-?\s*endtest\s*-?%\}", "{% endmacro %}")
+      matBlock.replaceAllIn(t,
+          m => s"{% macro materialization_${m.group(1)}_${m.group(2)}() %}")
+        .replaceAll(raw"\{%-?\s*endmaterialization\s*-?%\}", "{% endmacro %}")
     }
 
     // packages.yml local deps — loaded recursively, flattened, cycle-safe
@@ -164,6 +183,7 @@ object ProjectLoader {
       properties = properties,
       macroSources = macroSources,
       customTests = customTests,
+      customMaterializations = customMats,
       selectorsDoc = {
         val selYml = root.resolve("selectors.yml")
         if (Files.exists(selYml)) Yaml.parseMap(Files.readString(selYml))

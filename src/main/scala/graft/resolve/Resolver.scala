@@ -48,7 +48,11 @@ object Resolver {
   def resolve(project: Project, targetSchema: String = "analytics",
       env: Map[String, String] = sys.env): Resolved = {
     val projects = project.allProjects
-    val macroPrelude = projects.flatMap(_.macroSources).mkString("\n")
+    // packages first, root last: a root macro overwrites a package's on
+    // name collision (dbt MacroLocality Root > Imported, same order the
+    // Runner uses for its prelude)
+    val macroPrelude =
+      (project.packages ++ Seq(project)).flatMap(_.macroSources).mkString("\n")
     val modelOwners: Map[String, Seq[String]] =
       projects.flatMap(p => p.models.keys.map(_ -> p.name))
         .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap

@@ -44,10 +44,19 @@ final class Runner(
   val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
   val resolved: Resolver.Resolved = Resolver.resolve(project, targetSchema)
   val graph: Dag.Graph = Dag.fromNodes(resolved.nodes)
+  /** Packages render first, root project last — so a root macro definition
+    * overwrites a package's on name collision, dbt's MacroLocality
+    * precedence (Root > Imported > Core, materialization_resolver.rs:27). */
   private val macroPrelude =
-    project.allProjects.flatMap(_.macroSources).mkString("\n")
+    (project.packages ++ Seq(project)).flatMap(_.macroSources).mkString("\n")
   private val customTests: Set[String] =
     project.allProjects.flatMap(_.customTests).toSet
+  /** materialization name → adapters with a user {% materialization %}
+    * block. Checked BEFORE the builtin table: Root/Imported locality beats
+    * Core, so a user block may override a builtin materialization. */
+  private val customMats: Map[String, Set[String]] =
+    (project.packages ++ Seq(project)).flatMap(_.customMaterializations)
+      .groupBy(_._1).map { case (n, xs) => n -> xs.flatMap(_._2).toSet }
 
   /** uniqueId → prod relation FQN from the defer manifest. */
   private val deferRelations: Map[String, String] = deferManifest match {
@@ -182,6 +191,8 @@ final class Runner(
               MicrobatchRunner.run(ctx.copy(compiledBatch = Some((bs, be) =>
                 spark.sql(compileSql(node, batchWindow = Some((bs, be)))))),
                 lastRunEnd = lastEnd)
+            case m if customMats.contains(m) =>
+              runCustomMaterialization(node, sql, m, fullRefresh)
             case m => Materializations.resolve(m).run(ctx)
           }
         case NodeKind.Seed =>
@@ -288,6 +299,57 @@ final class Runner(
         "generated_by" -> "graft"),
       "nodes" -> nodesCat)
     Files.writeString(Paths.get(outPath), Json.write(json))
+  }
+
+  /** Run a user `{% materialization %}` block as the node's
+    * materialization program (reference: materialization_resolver.rs
+    * best_candidate — most-specific adapter wins, so `spark` beats
+    * `default`; user blocks beat builtins on locality). The body runs with
+    * the full run context plus the materialization surface: `sql` /
+    * `compiled_code`, statement call blocks (execute via the adapter),
+    * make_temp_relation, should_full_refresh, existing/old relation, and
+    * `{{ return(...) }}`. The block owns the DDL — success means the
+    * program rendered without raising. */
+  private def runCustomMaterialization(node: Node, compiledSql: String,
+      mat: String, fullRefresh: Boolean): MatResult = {
+    val rel = node.relation.get
+    val adapterName =
+      if (customMats(mat).contains("spark")) "spark"
+      else if (customMats(mat).contains("default")) "default"
+      else throw new IllegalArgumentException(
+        s"materialization '$mat' defined for adapters ${customMats(mat)}, " +
+          "none of which match 'spark' or 'default'")
+    val existing = adapter.getRelation(rel.schema, rel.identifier)
+    val bindings = DbtContext.runContext(adapter, rel,
+      (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
+        .flatMap(_.relation).map(_.fqn).getOrElse(n),
+      (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
+      isIncremental = false, node.config.extra, project.vars) ++ Map(
+      "sql" -> compiledSql,
+      "compiled_code" -> compiledSql,
+      "model" -> Map(
+        "unique_id" -> node.uniqueId, "name" -> node.name,
+        "alias" -> rel.identifier, "schema" -> rel.schema,
+        "compiled_code" -> compiledSql),
+      "existing_relation" -> existing.map(_.fqn).orNull,
+      "old_relation" -> existing.map(_.fqn).orNull,
+      "should_full_refresh" -> Jinja.JFunc((_, _) => fullRefresh),
+      "make_temp_relation" -> Jinja.JFunc { (a, _) =>
+        val base = a.headOption.map(_.toString).getOrElse(rel.fqn)
+        base + "__dbt_tmp"
+      },
+      "pre_hooks" -> Vector.empty[Any],
+      "post_hooks" -> Vector.empty[Any],
+      "run_hooks" -> Jinja.JFunc((_, _) => ""))
+    try {
+      Jinja.render(
+        macroPrelude + s"{{ materialization_${mat}_$adapterName() }}", bindings)
+      MatResult(rel, "success", s"custom materialization $mat ($adapterName)")
+    } catch {
+      // a top-level return() (outside any macro) ends the program cleanly
+      case Jinja.ReturnValue(_) =>
+        MatResult(rel, "success", s"custom materialization $mat ($adapterName)")
+    }
   }
 
   private def renderHook(hook: String, node: Node): String =

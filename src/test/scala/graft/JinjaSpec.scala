@@ -106,4 +106,41 @@ class JinjaSpec extends AnyFunSuite {
     assert(r("{{ s.upper() }}", Map("s" -> "x")) == "X")
     assert(r("{{ ', '.join(xs) }}", Map("xs" -> Vector("a", "b"))) == "a, b")
   }
+
+  test("call blocks pass caller() into the callee") {
+    // callee reads the rendered block body through caller()
+    val capture = Jinja.JFunc { (a, kw) =>
+      val body = kw("caller").asInstanceOf[Jinja.JFunc](Nil, Map.empty)
+      s"<${a.head}:${body.toString.trim}>"
+    }
+    val out = r("{% call wrap('x') %} body {{ 1 + 1 }} {% endcall %}",
+      Map("wrap" -> capture))
+    assert(out == "<x:body 2>")
+    // a macro invoked via {% call %} can itself invoke caller()
+    val out2 = r(
+      "{% macro box(tag) %}[{{ tag }}|{{ caller() }}]{% endmacro %}" +
+        "{% call box('b') %}inner{% endcall %}")
+    assert(out2 == "[b|inner]")
+  }
+
+  test("return() short-circuits a macro with a non-string value") {
+    val ret = Jinja.JFunc((a, _) => throw Jinja.ReturnValue(a.headOption.orNull))
+    val out = r(
+      "{% macro pick() %}{{ return([1, 2]) }}ignored{% endmacro %}" +
+        "{{ pick()[1] }}", Map("return" -> ret))
+    assert(out == "2")
+  }
+
+  test("adapter.dispatch resolves spark__ before default__ at call time") {
+    val (bindings, _) = DbtContext.parseContext()
+    val src =
+      "{% macro default__greet(n) %}default-{{ n }}{% endmacro %}" +
+        "{% macro spark__greet(n) %}spark-{{ n }}{% endmacro %}" +
+        "{{ adapter.dispatch('greet')('x') }}"
+    assert(Jinja.render(src, bindings) == "spark-x")
+    // default__ only → falls through the chain
+    val src2 = "{% macro default__bye(n) %}bye-{{ n }}{% endmacro %}" +
+      "{{ adapter.dispatch('bye')('y') }}"
+    assert(Jinja.render(src2, bindings) == "bye-y")
+  }
 }
