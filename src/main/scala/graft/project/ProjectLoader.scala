@@ -71,6 +71,80 @@ object ProjectLoader {
 
   def load(rootDir: String): Project = loadInner(rootDir, Set.empty)
 
+  /** Unpack a local `.tar.gz` package archive (packages.yml `tarball:` —
+    * reference packages.rs:278 TarballPackage; dbt fetches a URL, we take
+    * a local file since this engine is zero-egress) into a temp dir and
+    * return the project root inside it: the extraction root if it holds
+    * dbt_project.yml directly, else the single archive top-level dir that
+    * does (the `<name>-<version>/` layout hub tarballs use). */
+  private[graft] def extractTarball(tarGz: Path): Path = {
+    if (!Files.exists(tarGz))
+      throw new IllegalArgumentException(s"tarball package not found: $tarGz")
+    val dest = Files.createTempDirectory("graft_tarball_pkg")
+    val gz = new java.util.zip.GZIPInputStream(
+      new java.io.BufferedInputStream(Files.newInputStream(tarGz)))
+    try {
+      val header = new Array[Byte](512)
+      val buf = new Array[Byte](8192)
+      def readFully(b: Array[Byte], len: Int): Boolean = {
+        var off = 0
+        while (off < len) {
+          val r = gz.read(b, off, len - off)
+          if (r < 0) return false
+          off += r
+        }
+        true
+      }
+      def skipBytes(n: Long): Unit = {
+        var remaining = n
+        while (remaining > 0) {
+          val r = gz.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          if (r < 0) throw new IllegalStateException(s"truncated tarball $tarGz")
+          remaining -= r
+        }
+      }
+      def str(off: Int, len: Int) =
+        new String(header, off, len, "UTF-8").takeWhile(_ != 0)
+      var done = false
+      while (!done) {
+        if (!readFully(header, 512) || header.forall(_ == 0)) done = true
+        else {
+          // ustar: name 0..100, size (octal) 124..136, typeflag 156,
+          // name prefix 345..500
+          val prefix = str(345, 155)
+          val name = if (prefix.nonEmpty) s"$prefix/${str(0, 100)}" else str(0, 100)
+          val sizeStr = str(124, 12).trim
+          val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
+          val typeFlag = header(156)
+          val target = dest.resolve(name).normalize()
+          if (!target.startsWith(dest))
+            throw new IllegalArgumentException(s"tarball entry escapes dest: $name")
+          if (typeFlag == '5'.toByte) Files.createDirectories(target)
+          else if (typeFlag == '0'.toByte || typeFlag == 0.toByte) {
+            Files.createDirectories(target.getParent)
+            val out = Files.newOutputStream(target)
+            try {
+              var remaining = size
+              while (remaining > 0) {
+                val r = gz.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+                if (r < 0) throw new IllegalStateException(s"truncated tarball $tarGz")
+                out.write(buf, 0, r)
+                remaining -= r
+              }
+            } finally out.close()
+          } else skipBytes(size) // links/pax headers: data skipped
+          skipBytes((512 - (size % 512)) % 512)
+        }
+      }
+    } finally gz.close()
+    if (Files.exists(dest.resolve("dbt_project.yml"))) dest
+    else Files.list(dest).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .find(d => Files.exists(d.resolve("dbt_project.yml")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"tarball $tarGz contains no dbt_project.yml"))
+  }
+
   private def loadInner(rootDir: String, seen: Set[String]): Project = {
     val root = Paths.get(rootDir)
     val projYml = root.resolve("dbt_project.yml")
@@ -144,7 +218,10 @@ object ProjectLoader {
         .replaceAll(raw"\{%-?\s*endmaterialization\s*-?%\}", "{% endmacro %}")
     }
 
-    // packages.yml local deps — loaded recursively, flattened, cycle-safe
+    // packages.yml deps — `local:` paths and `tarball:` local archives
+    // (reference: packages.rs:27-33 DbtPackageEntry::{Local,Tarball};
+    // Hub/Git/Private need egress and are out of scope). Loaded
+    // recursively, flattened, cycle-safe.
     val canonical = root.toAbsolutePath.normalize.toString
     val pkgYml = root.resolve("packages.yml")
     val packages: Seq[Project] =
@@ -152,11 +229,15 @@ object ProjectLoader {
       else Yaml.dig(Yaml.parseMap(Files.readString(pkgYml)), "packages")
         .toSeq.flatMap {
           case ps: Seq[_] => ps.collect { case p: Map[_, _] =>
-            p.asInstanceOf[Map[String, Any]].get("local").map(Yaml.str)
+            val entry = p.asInstanceOf[Map[String, Any]]
+            entry.get("local").map(Yaml.str)
+              .map(rel => root.resolve(rel).normalize().toString)
+              .orElse(entry.get("tarball").map(Yaml.str).map { t =>
+                extractTarball(root.resolve(t).normalize()).toString
+              })
           }.flatten
           case _ => Nil
         }
-        .map(rel => root.resolve(rel).normalize().toString)
         .flatMap { dir =>
           val sub = loadInner(dir, seen + canonical)
           sub +: sub.packages // flatten transitive deps
