@@ -250,6 +250,44 @@ object Freshness {
       else "pass"
     FreshnessResult(maxTs, age, status)
   }
+
+  /** Metadata-based freshness for sources WITHOUT a `loaded_at_field`
+    * (reference: crates/dbt-adapter/src/metadata/mod.rs:96
+    * MetadataFreshness.last_altered; dbt's "calculate freshness from
+    * warehouse metadata" path). On file-backed sources the warehouse
+    * last-altered timestamp is the storage layer's: the max mtime of the
+    * data files under the source location. Directory listing happens on
+    * the driver — it's one metadata walk, not a data scan, which is the
+    * entire point of the metadata path at 100 TB: freshness without
+    * reading a single row. */
+  def checkMetadata(location: String, now: java.sql.Timestamp,
+      warnAfter: Option[(Long, String)],
+      errorAfter: Option[(Long, String)]): FreshnessResult = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(location)
+    if (!Files.exists(root))
+      throw new IllegalArgumentException(s"freshness source not found: $location")
+    val files =
+      if (Files.isRegularFile(root)) Seq(root)
+      else Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+        .toSeq
+    val maxMtime = files.map(Files.getLastModifiedTime(_).toMillis) match {
+      case Nil => None
+      case ms => Some(new java.sql.Timestamp(ms.max))
+    }
+    val age = maxMtime.map(t => (now.getTime - t.getTime) / 1000.0)
+      .getOrElse(Double.MaxValue)
+    def breached(rule: Option[(Long, String)]): Boolean = rule.exists {
+      case (count, period) => age > count * periodSeconds(period)
+    }
+    val status =
+      if (breached(errorAfter)) "error"
+      else if (breached(warnAfter)) "warn"
+      else "pass"
+    FreshnessResult(maxMtime, age, status)
+  }
 }
 
 /** SQL-bodied scalar function (reference: MA/materializations/functions/

@@ -159,6 +159,26 @@ object MaterializationPack extends QueryPack {
         .toDF("max_loaded_at", "age_seconds", "status")
     }),
 
+    // ---- metadata-based source freshness --------------------------------
+    // No loaded_at_field: freshness = age of the newest file under the
+    // source location (reference metadata/mod.rs:96). Deterministic
+    // against the oracle by anchoring each probe's `now` to the observed
+    // mtime itself, so only the status thresholds are under test.
+    "q_freshness_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val loc = s"$dir/events.parquet"
+      val mtime = Freshness.checkMetadata(loc,
+        new java.sql.Timestamp(0), None, None).maxLoadedAt.get
+      def at(plusSeconds: Long) = Freshness.checkMetadata(loc,
+        new java.sql.Timestamp(mtime.getTime + plusSeconds * 1000L),
+        warnAfter = Some((12L, "hour")), errorAfter = Some((7L, "day")))
+      Seq(
+        ("age_1h", at(3600L).status),
+        ("age_13h", at(13L * 3600).status),
+        ("age_8d", at(8L * 86400).status))
+        .toDF("case_name", "status").orderBy("case_name")
+    }),
+
     // ---- clone (view-of-target fallback) --------------------------------
     "q_mat_clone" -> ((s, dir) => {
       val a = freshAdapter(s, "mat_clone")
@@ -240,6 +260,12 @@ object MaterializationPack extends QueryPack {
         |       WHEN date_diff('millisecond', max(ts), TIMESTAMP '2024-02-01 00:00:00') / 1000.0 > 12*3600 THEN 'warn'
         |       ELSE 'pass' END AS status
         |FROM events""".stripMargin,
+
+    "q_freshness_metadata" ->
+      """SELECT 'age_13h' AS case_name, 'warn' AS status
+        |UNION ALL SELECT 'age_1h', 'pass'
+        |UNION ALL SELECT 'age_8d', 'error'
+        |ORDER BY case_name""".stripMargin,
 
     "q_mat_clone" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"

@@ -35,6 +35,32 @@ class EngineUnitSpec extends AnyFunSuite {
     assert(splitCsvLine("a,,c") == Seq("a", "", "c"))
   }
 
+  test("metadata freshness: file mtime stands in for max(loaded_at)") {
+    import graft.mat.Freshness
+    import java.nio.file.{Files, attribute}
+    val dir = Files.createTempDirectory("graft_fresh")
+    val f1 = Files.writeString(dir.resolve("part-0.parquet"), "x")
+    val f2 = Files.writeString(dir.resolve("part-1.parquet"), "y")
+    val success = Files.writeString(dir.resolve("_SUCCESS"), "")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def setM(p: java.nio.file.Path, ts: String) = Files.setLastModifiedTime(p,
+      attribute.FileTime.fromMillis(java.sql.Timestamp.valueOf(ts).getTime))
+    setM(f1, "2023-12-31 00:00:00")
+    setM(f2, "2023-12-31 18:00:00") // newest data file → the loaded-at
+    setM(success, "2024-01-01 00:00:00") // marker files don't count
+    val r = Freshness.checkMetadata(dir.toString, t0,
+      warnAfter = Some((5L, "hour")), errorAfter = Some((2L, "day")))
+    assert(r.maxLoadedAt.contains(java.sql.Timestamp.valueOf("2023-12-31 18:00:00")))
+    assert(r.status == "warn") // 6h old: past warn (5h), inside error (2d)
+    assert(Freshness.checkMetadata(dir.toString, t0,
+      Some((12L, "hour")), Some((2L, "day"))).status == "pass")
+    assert(Freshness.checkMetadata(dir.toString,
+      java.sql.Timestamp.valueOf("2024-01-03 00:00:00"),
+      Some((12L, "hour")), Some((2L, "day"))).status == "error")
+    assertThrows[IllegalArgumentException](
+      Freshness.checkMetadata("/nonexistent/path", t0, None, None))
+  }
+
   test("enum parsing round-trips") {
     assert(IncrementalStrategy.parse("delete+insert") == IncrementalStrategy.DeleteInsert)
     assert(OnSchemaChange.parse("append_new_columns") == OnSchemaChange.AppendNewColumns)
