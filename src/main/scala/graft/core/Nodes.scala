@@ -153,6 +153,11 @@ final case class NodeConfig(
     begin: Option[String] = None,
     // storage layout
     partitionBy: Seq[String] = Nil,
+    /** grants: privilege → grantees (reference: funcs.rs:406
+      * standardize_grants_dict; MA/adapters/apply_grants.sql). Parsed and
+      * surfaced in the manifest; application is a structured-warning no-op
+      * locally — Spark's embedded catalog has no SQL authorization layer. */
+    grants: Map[String, Seq[String]] = Map.empty,
     // contracts (reference: DbtContract common.rs:531; enforcement
     // MA/relations/column/columns_spec_ddl.sql)
     contractEnforced: Boolean = false,

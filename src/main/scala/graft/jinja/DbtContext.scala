@@ -285,6 +285,23 @@ object DbtContext {
         adapter.checkSchemaExists(a.head.toString)))
       case "valid_incremental_strategies" => Some(JFunc((_, _) =>
         adapter.validIncrementalStrategies.toVector))
+      case "standardize_grants_dict" => Some(JFunc { (a, _) =>
+        // reference funcs.rs:406 — AgateTable (or a raw dict) to the
+        // canonical privilege → [grantees] shape apply_grants macros use
+        a.headOption match {
+          case Some(t: AgateObj) =>
+            val rows = t.attr("dict_rows").map(_.asInstanceOf[Seq[Map[String, Any]]])
+              .getOrElse(Nil)
+            rows.groupBy(r => r.getOrElse("privilege", "").toString.toLowerCase)
+              .filter(_._1.nonEmpty)
+              .map { case (p, rs) =>
+                p -> rs.map(_.getOrElse("grantee", "").toString).filter(_.nonEmpty).toVector
+              }
+          case Some(m: Map[_, _]) =>
+            graft.resolve.Resolver.standardizeGrants(m)
+          case _ => Map.empty[String, Any]
+        }
+      })
       case "dispatch" => Some(JFunc { (a, kw) =>
         // reference: dispatch_object.rs:320-334 + get_adapter_prefixes —
         // resolve `<adapter>__name` → `default__name`. Our macro namespace

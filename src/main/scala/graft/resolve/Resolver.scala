@@ -459,6 +459,20 @@ object Resolver {
     acc
   }
 
+  /** `grants:` config → privilege → grantee list, dbt's standardized
+    * shape (reference: funcs.rs:406 standardize_grants_dict — lowercase
+    * privileges, scalar grantees coerced to single-element lists). */
+  def standardizeGrants(v: Any): Map[String, Seq[String]] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map {
+      case (priv, gs) => priv.toLowerCase -> (gs match {
+        case xs: Seq[_] => xs.map(Yaml.str)
+        case one => Seq(Yaml.str(one))
+      })
+    }.filter(_._2.nonEmpty)
+    case other =>
+      throw new IllegalArgumentException(s"grants must be a mapping, got: $other")
+  }
+
   /** Dynamic config map → typed NodeConfig. */
   def toNodeConfig(m: Map[String, Any]): NodeConfig = {
     def s(k: String): Option[String] = m.get(k).map(Yaml.str)
@@ -483,6 +497,7 @@ object Resolver {
       lookback = m.get("lookback").map(Yaml.str(_).toInt).getOrElse(1),
       begin = s("begin"),
       partitionBy = m.get("partition_by").map(Yaml.strSeq).getOrElse(Nil),
+      grants = m.get("grants").map(standardizeGrants).getOrElse(Map.empty),
       columnTypes = m.get("column_types").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> Yaml.str(v) }).getOrElse(Map.empty),
       quoteColumns = m.get("quote_columns").exists(v => Yaml.str(v).toBoolean),

@@ -206,7 +206,7 @@ final class Runner(
         case other => MatResult(node.relation.getOrElse(Relation("", node.name)),
           "skipped", s"${other.name} nodes are not executable")
       }
-      if (r.status == "success") persistDocs(node)
+      if (r.status == "success") { persistDocs(node); applyGrants(node) }
       node.config.postHook.foreach(h => adapter.execute(renderHook(h, node), fetch = false))
       r
     } match {
@@ -238,6 +238,29 @@ final class Runner(
     if (c.isEmpty) sql
     else if (project.queryCommentAppend) s"$sql\n/* $c */"
     else s"/* $c */\n$sql"
+  }
+
+  /** apply_grants shim (reference MA/adapters/apply_grants.sql;
+    * spark__get_grant_sql in dbt-spark/macros/apply_grants.sql): the
+    * grants config is parsed/standardized and surfaced in the manifest,
+    * and the DCL statements are rendered — but NOT executed, as a
+    * structured warning: Spark's embedded catalog has no SQL
+    * authorization layer, so GRANT would fail. On a real cluster with
+    * ACLs this is the single place to flip to adapter.execute. Returns
+    * the rendered statements for inspection/specs. */
+  private[graft] def applyGrants(node: Node): Seq[String] = {
+    val grants = node.config.grants
+    if (grants.isEmpty || node.relation.isEmpty) return Nil
+    val rel = node.relation.get
+    // one grantee per DCL statement, like
+    // spark__support_multiple_grantees_per_dcl_statement() → False
+    val dcl = grants.toSeq.sortBy(_._1).flatMap { case (priv, grantees) =>
+      grantees.map(g => s"GRANT ${priv.toUpperCase} ON TABLE ${rel.fqn} TO ${adapter.quote(g)}")
+    }
+    System.err.println(
+      s"[grants] ${node.uniqueId}: no ACL catalog in local Spark — " +
+        s"recorded ${dcl.size} grant(s) as no-op: ${dcl.mkString("; ")}")
+    dcl
   }
 
   /** persist_docs (reference MA/adapters/persist_docs.sql): write the
@@ -568,7 +591,8 @@ final class Runner(
         "checksum" -> n.checksum,
         "config" -> Map(
           "materialized" -> n.config.materialized,
-          "tags" -> n.config.tags),
+          "tags" -> n.config.tags,
+          "grants" -> n.config.grants),
         "depends_on" -> Map("nodes" -> n.dependsOn),
         "relation_name" -> n.relation.map(_.fqn).orNull)
       },
