@@ -91,15 +91,67 @@ object TableMat extends Materialization {
   }
 }
 
-/** No Spark MV: emulated as a table plus a recorded refresh recipe — the
-  * reference's on_configuration_change paths (MA/materializations/models/
-  * materialized_view.sql:1-123) reduce to "re-run the CTAS". */
+/** No Spark MV: emulated as a table plus a recorded build recipe. The
+  * reference's scenario ladder (MA/materializations/models/
+  * materialized_view.sql:56-123 materialized_view_get_build_sql) is
+  * preserved: create when absent, replace on --full-refresh, plain data
+  * refresh when the recorded configuration matches, and the
+  * on_configuration_change modes (apply / continue / fail) when it
+  * doesn't. The recorded configuration rides on the table as a
+  * TBLPROPERTY; "refresh" re-runs the CTAS (our refresh recipe), which at
+  * 100 TB is exactly what a non-incremental MV refresh costs anyway. */
 object MaterializedViewMat extends Materialization {
   val name = "materialized_view"
-  def run(ctx: MatContext): MatResult = {
+  private val PropKey = "graft.mv.config"
+
+  /** The configuration whose drift triggers on_configuration_change: the
+    * storage-shape config Spark honors (partitioning). */
+  private def fingerprint(ctx: MatContext): String =
+    ctx.config.partitionBy.mkString(",")
+
+  private def recordedConfig(ctx: MatContext): Option[String] =
+    scala.util.Try {
+      ctx.spark.sql(
+        s"SHOW TBLPROPERTIES ${ctx.target.fqn} ('$PropKey')")
+        .collect().headOption.map(_.getString(1))
+        .filterNot(_.contains("does not have property"))
+    }.toOption.flatten
+
+  private def build(ctx: MatContext): Unit = {
     ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
       ctx.config.partitionBy)
-    MatResult(ctx.target, "success", "materialized_view emulated as table; refresh = re-run")
+    ctx.adapter.execute(
+      s"ALTER TABLE ${ctx.target.fqn} SET TBLPROPERTIES ('$PropKey' = '${fingerprint(ctx)}')",
+      fetch = false)
+  }
+
+  def run(ctx: MatContext): MatResult = {
+    val exists = ctx.adapter.relationExists(ctx.target)
+    if (!exists) {
+      build(ctx)
+      MatResult(ctx.target, "success", "materialized_view created")
+    } else if (ctx.fullRefresh) {
+      build(ctx)
+      MatResult(ctx.target, "success", "materialized_view replaced (--full-refresh)")
+    } else if (recordedConfig(ctx).forall(_ == fingerprint(ctx))) {
+      // no configuration drift → data refresh only
+      build(ctx)
+      MatResult(ctx.target, "success", "materialized_view refreshed")
+    } else ctx.config.extra.get("on_configuration_change")
+      .map(graft.project.Yaml.str).getOrElse("apply") match {
+      case "apply" =>
+        build(ctx)
+        MatResult(ctx.target, "success", "configuration changes applied")
+      case "continue" =>
+        System.err.println(s"[warn] Configuration changes were identified and " +
+          s"`on_configuration_change` was set to `continue` for `${ctx.target.fqn}`")
+        MatResult(ctx.target, "success", "configuration changes skipped (continue)")
+      case "fail" =>
+        MatResult(ctx.target, "error", "Configuration changes were identified and " +
+          s"`on_configuration_change` was set to `fail` for `${ctx.target.fqn}`")
+      case other =>
+        MatResult(ctx.target, "error", s"unknown on_configuration_change: $other")
+    }
   }
 }
 
