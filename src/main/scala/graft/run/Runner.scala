@@ -577,28 +577,90 @@ final class Runner(
     Files.writeString(Paths.get(outPath), Json.write(json))
   }
 
+  /** manifest.json in the reference's v12 shape (DbtManifestV12,
+    * crates/dbt-schemas/src/schemas/manifest/v12.rs:23-42): every v12
+    * top-level key is present; executable nodes carry the CommonAttributes
+    * + NodeBaseAttributes fields this engine tracks (nodes.rs:2781-2866).
+    * ManifestV12Spec enumerates the intentionally-omitted fields. */
   def writeManifest(outPath: String): Unit = {
+    val declaredKinds: Set[String] =
+      Set("exposure", "metric", "semantic_model", "unit_test")
+    def nodeJson(id: String, n: Node): Map[String, Any] = Map(
+      // CommonAttributes (nodes.rs:2781)
+      "unique_id" -> id,
+      "name" -> n.name,
+      "package_name" -> n.packageName,
+      "fqn" -> Seq(n.packageName, n.name),
+      "path" -> n.path,
+      "original_file_path" -> n.path,
+      "raw_code" -> n.rawSql,
+      "checksum" -> Map("name" -> "sha256", "checksum" -> n.checksum),
+      "language" -> (if (n.kind == NodeKind.Seed) null else "sql"),
+      "description" -> n.description,
+      "tags" -> n.config.tags,
+      "meta" -> Map.empty[String, Any],
+      // NodeBaseAttributes (nodes.rs:2821)
+      "database" -> n.relation.flatMap(_.database).orNull,
+      "schema" -> n.relation.map(_.schema).orNull,
+      "alias" -> n.relation.map(_.identifier).orNull,
+      "relation_name" -> n.relation.map(_.fqn).orNull,
+      "resource_type" -> n.kind.name,
+      "columns" -> n.columns.map { case (c, d) =>
+        c -> Map("name" -> c, "description" -> d) },
+      "depends_on" -> Map("nodes" -> n.dependsOn,
+        "macros" -> Seq.empty[String]),
+      "config" -> Map(
+        "enabled" -> n.config.enabled,
+        "materialized" -> n.config.materialized,
+        "tags" -> n.config.tags,
+        "grants" -> n.config.grants,
+        "pre_hook" -> n.config.preHook,
+        "post_hook" -> n.config.postHook,
+        "persist_docs" -> n.config.extra.getOrElse("persist_docs",
+          Map.empty[String, Any])))
+    val (declared, executable) =
+      resolved.nodes.partition { case (_, n) => declaredKinds(n.kind.name) }
+    def declaredOf(kind: String): Map[String, Any] =
+      declared.collect { case (id, n) if n.kind.name == kind =>
+        id -> nodeJson(id, n) }
+    // resolved dependency edges → parent/child maps (manifest child_map)
+    val parentMap = resolved.nodes.map { case (id, n) => id -> n.dependsOn }
+    val childMap = resolved.nodes.map { case (id, _) =>
+      id -> resolved.nodes.collect {
+        case (cid, c) if c.dependsOn.contains(id) => cid }.toSeq.sorted
+    }
+    val macroDef = raw"\{%-?\s*macro\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    val macros = project.allProjects.flatMap { p =>
+      p.macroSources.flatMap(src => macroDef.findAllMatchIn(src).map(_.group(1)))
+        .map(m => s"macro.${p.name}.$m" -> Map(
+          "unique_id" -> s"macro.${p.name}.$m",
+          "name" -> m, "package_name" -> p.name,
+          "resource_type" -> "macro"))
+    }.toMap
     val json = Map(
       "metadata" -> Map(
         "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/manifest/v12.json",
-        "project_name" -> project.name),
-      "nodes" -> resolved.nodes.map { case (id, n) => id -> Map(
-        "unique_id" -> id,
-        "name" -> n.name,
-        "resource_type" -> n.kind.name,
-        "package_name" -> n.packageName,
-        "path" -> n.path,
-        "checksum" -> n.checksum,
-        "config" -> Map(
-          "materialized" -> n.config.materialized,
-          "tags" -> n.config.tags,
-          "grants" -> n.config.grants),
-        "depends_on" -> Map("nodes" -> n.dependsOn),
-        "relation_name" -> n.relation.map(_.fqn).orNull)
-      },
+        "dbt_version" -> "2.0.0-graft",
+        "project_name" -> project.name,
+        "adapter_type" -> "spark"),
+      "nodes" -> executable.map { case (id, n) => id -> nodeJson(id, n) },
       "sources" -> resolved.sources.map { case (s, ts) =>
         s -> ts.map { case (t, rel) => t -> rel.key }
-      })
+      },
+      "macros" -> macros,
+      "unit_tests" -> declaredOf("unit_test"),
+      "docs" -> Map.empty[String, Any],
+      "semantic_models" -> declaredOf("semantic_model"),
+      "saved_queries" -> Map.empty[String, Any],
+      "exposures" -> declaredOf("exposure"),
+      "metrics" -> declaredOf("metric"),
+      "functions" -> Map.empty[String, Any],
+      "child_map" -> childMap,
+      "parent_map" -> parentMap,
+      "group_map" -> Map.empty[String, Any],
+      "disabled" -> Map.empty[String, Any],
+      "selectors" -> project.selectorsDoc,
+      "groups" -> Map.empty[String, Any])
     Files.writeString(Paths.get(outPath), Json.write(json))
   }
 }
