@@ -8,13 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * SparkSessionExtensions and exercised from SQL text. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("extensions-spec")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    // Suites share one forked JVM sequentially and getOrCreate returns any
+    // live session — but withExtensions only applies at session CREATION,
+    // so drop a session an earlier suite built without the extensions
+    // (suite order is not alphabetical and shifts as suites are added).
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("extensions-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   test("pipeline expressions are callable from SQL") {
     spark.sparkContext.setLogLevel("ERROR")
