@@ -216,13 +216,28 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     * `execute` → base_adapter.rs:367). */
   def execute(sql: String, fetch: Boolean = true): (String, AgateTable) = {
     val stmts = splitStatements(sql)
+    val cacheMode = QueryCache.mode(spark)
     var last: (String, AgateTable) = ("OK", AgateTable.empty)
     stmts.foreach { stmt =>
-      val df = spark.sql(stmt)
-      last =
-        if (fetch && df.schema.nonEmpty)
-          (s"OK", AgateTable.fromDataFrame(df))
-        else ("OK", AgateTable.empty)
+      // replay: serve recorded read-query results without executing
+      // (record_and_replay test infra, query_cache.rs:310-384); DDL/DML
+      // always runs live. A replay miss executes live with a warning.
+      val replayed =
+        if (cacheMode == "replay" && fetch) QueryCache.lookup(spark, stmt)
+        else None
+      last = replayed match {
+        case Some(t) => ("OK (replayed)", t)
+        case None =>
+          if (cacheMode == "replay" && fetch && QueryCache.cacheable(stmt))
+            System.err.println(s"[query-cache] replay MISS, executing live: " +
+              stmt.linesIterator.next().take(120))
+          val df = spark.sql(stmt)
+          if (fetch && df.schema.nonEmpty) {
+            val t = AgateTable.fromDataFrame(df)
+            if (cacheMode == "record") QueryCache.record(spark, stmt, t)
+            ("OK", t)
+          } else ("OK", AgateTable.empty)
+      }
     }
     last
   }
