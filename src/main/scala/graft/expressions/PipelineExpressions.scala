@@ -344,6 +344,31 @@ object PipelineExpressions {
   /** Count of lowercase space-split tokens that appear in `words` — the
     * stopword-hit primitive (same contract as
     * `size(filter(split(lower(text),' '), t -> t IN (...)))`). */
+  /** BPE-ish subword count: per space-delimited word, ceil(len/4)
+    * pieces. Bit-identical to the HOF formulation it replaces
+    * (`aggregate(split(trim(t), ' +'), ...)` — an interpreted lambda per
+    * word) and to the DuckDB oracle mirror, but one tight char pass per
+    * row. Boundaries are 0x20 runs only, matching split(' +'). */
+  case class SubwordCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var total = 0L
+      var wordLen = 0
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') {
+          if (wordLen > 0) { total += (wordLen + 3) / 4; wordLen = 0 }
+        } else wordLen += 1
+        i += 1
+      }
+      if (wordLen > 0) total += (wordLen + 3) / 4
+      total
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class TokenHitCount(child: Expression, words: Seq[String])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
@@ -437,6 +462,8 @@ object PipelineExpressions {
     wrap(LangId(expression(c), markers))
   def token_hit_count(c: Column, words: Seq[String]): Column =
     wrap(TokenHitCount(expression(c), words))
+  def subword_count(c: Column): Column =
+    wrap(SubwordCount(expression(c)))
   def dot_exact(a: Column, b: Column): Column =
     wrap(DotExact(expression(a), expression(b)))
   def fingerprint_parts(c: Column, k: Int): Column =

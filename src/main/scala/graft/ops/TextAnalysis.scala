@@ -32,13 +32,12 @@ object TextAnalysis {
     when(length(trim(col(textCol))) === 0, lit(0))
       .otherwise(size(split(trim(col(textCol)), " +")))
 
-  /** BPE-ish subword count: word-boundary pieces + digit runs + punct,
-    * approximated with a regex token pattern (length/4 fallback per piece
-    * mimics byte-pair splits of long words). */
-  def subwordCount(textCol: String): Column = expr(
-    s"""aggregate(split(trim($textCol), ' +'), 0L,
-       |  (acc, w) -> acc + CASE WHEN length(w) = 0 THEN 0
-       |                         ELSE cast(ceil(length(w) / 4.0) AS BIGINT) END)""".stripMargin)
+  /** BPE-ish subword count: word-boundary pieces, ceil(len/4) per word
+    * (mimics byte-pair splits of long words). Native one-pass expression;
+    * the equivalent `aggregate(split(...))` HOF runs an interpreted
+    * lambda per word and stays only as the DuckDB oracle mirror. */
+  def subwordCount(textCol: String): Column =
+    graft.expressions.PipelineExpressions.subword_count(col(textCol))
 
   /** Quality features + composite score. Deterministic double arithmetic:
     * every engine computes the identical IEEE ops in the same order. */
