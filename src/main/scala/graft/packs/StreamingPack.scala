@@ -20,6 +20,13 @@ object StreamingPack extends QueryPack {
     "q_stream_dedup" -> ((s, dir) => {
       StreamingOps.streamingDedup(s, dir)
         .orderBy("event_id")
+    }),
+
+    // flatMapGroupsWithState gap-based sessionization: closed sessions
+    // emit; each user's open tail session stays in state
+    "q_stream_sessionize" -> ((s, dir) => {
+      StreamingOps.sessionize(s, dir, gapMinutes = 30)
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -39,6 +46,34 @@ object StreamingPack extends QueryPack {
 
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // gaps-and-islands sessionization; CAST(ts AS TIMESTAMP) truncates the
+    // nanos column to micros exactly like the engine's `ts div 1000`. The
+    // last (still-open) session of each user is NOT emitted by the stream,
+    // so it is excluded here too.
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sess_no, MIN(ts) AS session_start,
+        |         MAX(ts) AS session_end, COUNT(*) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM agg
+        |WHERE sess_no < (SELECT MAX(a2.sess_no) FROM agg a2
+        |                 WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -113,4 +113,68 @@ object StreamingOps {
     q.awaitTermination()
     spark.read.parquet(sink)
   }
+
+  /** Gap-based sessionization per user — the custom-state streaming shape
+    * (KeyValueGroupedDataset.flatMapGroupsWithState) a training pipeline
+    * uses to group event/interaction logs into sessions. A session CLOSES
+    * when a later event from the same user arrives more than `gapMinutes`
+    * after the previous one; closed sessions emit immediately, the
+    * still-open tail session stays in state (and, on bounded input, is
+    * intentionally never emitted — exactly what the oracle mirrors).
+    * All gap arithmetic runs in Long microseconds (exact, no timestamp
+    * rounding); state is the open session (start_us, last_us, n).
+    * At scale the stream shuffles once on user_id and state is O(1) per
+    * user. Within a batch the group's rows are sorted by event time
+    * (bounded per user-batch); the single-file AvailableNow source here
+    * yields one batch, and a production multi-batch stream relies on the
+    * watermark ordering batches by event time. */
+  def sessionize(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = Files.createTempDirectory("graft_sess_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_sess_cp").toString
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    val stream = spark.readStream
+      .schema(rawEventsSchema)
+      .parquet(stageDir(sfDir))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)]
+
+    val closed = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long)]
+          ts.foreach { t =>
+            if (start < 0) { start = t; last = t; n = 1 }
+            else if (t - last > gapUs) {
+              out += ((user, start, last, n))
+              start = t; last = t; n = 1
+            } else { last = t; n += 1 }
+          }
+          if (start >= 0) state.update((start, last, n))
+          out.iterator
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        col("n_events"))
+
+    val q = closed.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
 }
