@@ -33,6 +33,10 @@ object Main {
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
     var i = 1
+    // dbt spells it `source freshness` (two tokens)
+    if (a.command == "source" && argv.lift(1).contains("freshness")) {
+      a = a.copy(command = "source-freshness"); i = 2
+    }
     while (i < argv.length) {
       argv(i) match {
         case "--project-dir" => a = a.copy(projectDir = argv(i + 1)); i += 2
@@ -109,6 +113,18 @@ object Main {
         runner.writeCatalog(targetDir.resolve("catalog.json").toString)
         println(s"docs → $targetDir/catalog.json")
         0
+
+      case "source-freshness" =>
+        val results = runner.sourceFreshness()
+        runner.writeSourceFreshness(
+          targetDir.resolve("sources.json").toString, results)
+        results.foreach { case (uid, r) =>
+          val line = r.fold(
+            skip => f"skipped $uid%-40s $skip",
+            res => f"${res.status}%-8s $uid%-40s max_loaded_at=${res.maxLoadedAt.orNull} age=${res.ageSeconds}%.0fs")
+          println(line)
+        }
+        if (results.exists(_._2.exists(_.status == "error"))) 1 else 0
 
       case "list" | "ls" =>
         val spec = args.select.map(graft.resolve.Selector.parse)

@@ -15,6 +15,15 @@ import graft.project.{Project, Yaml}
   */
 object Resolver {
 
+  /** Parsed source `freshness:` block + loaded_at_field (reference:
+    * FreshnessRules common.rs:26-180; table-level wins over source-level).
+    * Windows are (count, period). */
+  final case class SourceFreshness(
+      loadedAtField: Option[String],
+      filter: Option[String],
+      warnAfter: Option[(Long, String)],
+      errorAfter: Option[(Long, String)])
+
   final case class Resolved(
       project: Project,
       nodes: Map[String, Node],
@@ -24,7 +33,10 @@ object Resolver {
       modelOwners: Map[String, Seq[String]] = Map.empty,
       /** (source, table) → event_time column — the microbatch input filter
         * hook for sources (reference model_config.rs:209-210). */
-      sourceEventTimes: Map[(String, String), String] = Map.empty) {
+      sourceEventTimes: Map[(String, String), String] = Map.empty,
+      /** (source, table) → freshness rules, only for tables that declare
+        * (or inherit) a freshness block. */
+      sourceFreshness: Map[(String, String), SourceFreshness] = Map.empty) {
 
     /** `ref('x')` / `ref('pkg', 'x')` → unique id, with dbt's resolution
       * order: explicit package wins; else the referencing node's own
@@ -59,7 +71,13 @@ object Resolver {
     val protoResolved = Resolved(project, Map.empty, Map.empty, modelOwners)
 
     // --- sources from properties files (all packages) ------------------
-    val sourceTables: Seq[(String, String, Relation, Option[String])] =
+    def freshnessWindow(m: Map[String, Any], key: String): Option[(Long, String)] =
+      Yaml.dig(m, "freshness", key).collect { case w: Map[_, _] =>
+        val wm = w.asInstanceOf[Map[String, Any]]
+        (Yaml.str(wm.getOrElse("count", "0")).toLong,
+          Yaml.str(wm.getOrElse("period", "hour")))
+      }.filter(_._1 > 0)
+    val sourceTables: Seq[(String, String, Relation, Option[String], Option[SourceFreshness])] =
       projects.flatMap(_.properties).flatMap { props =>
         Yaml.dig(props, "sources").toSeq.flatMap {
           case srcs: Seq[_] => srcs.collect { case s: Map[_, _] =>
@@ -75,8 +93,29 @@ object Resolver {
                 val loc = Yaml.dig(tm, "external", "location").map(Yaml.str)
                 val eventTime = Yaml.dig(tm, "config", "event_time")
                   .orElse(Yaml.dig(tm, "event_time")).map(Yaml.str)
+                // freshness: table-level wins, source-level is the default
+                // (FreshnessRules common.rs:26-180)
+                val fresh: Option[SourceFreshness] = {
+                  // `freshness: null` at table level opts out of the
+                  // inherited source-level block (dbt semantics)
+                  val optsOut = tm.contains("freshness") &&
+                    (tm("freshness") == null || tm("freshness") == "null")
+                  val warn = freshnessWindow(tm, "warn_after")
+                    .orElse(freshnessWindow(sm, "warn_after"))
+                  val err = freshnessWindow(tm, "error_after")
+                    .orElse(freshnessWindow(sm, "error_after"))
+                  if (optsOut || (warn.isEmpty && err.isEmpty)) None
+                  else Some(SourceFreshness(
+                    // empty/null table-level value opts OUT of an inherited
+                    // source-level field (→ metadata fallback)
+                    Yaml.dig(tm, "loaded_at_field").map(Yaml.str)
+                      .orElse(Yaml.dig(sm, "loaded_at_field").map(Yaml.str))
+                      .filter(s => s.nonEmpty && s != "null"),
+                    Yaml.dig(tm, "freshness", "filter").map(Yaml.str),
+                    warn, err))
+                }
                 (srcName, tname, Relation(None, schema, loc.getOrElse(ident),
-                  RelationType.External), eventTime)
+                  RelationType.External), eventTime, fresh)
               }
               case _ => Nil
             }
@@ -88,7 +127,9 @@ object Resolver {
       sourceTables.groupBy(_._1).map { case (k, vs) =>
         k -> vs.map(v => v._2 -> v._3).toMap }
     val sourceEventTimes: Map[(String, String), String] =
-      sourceTables.collect { case (s, t, _, Some(et)) => (s, t) -> et }.toMap
+      sourceTables.collect { case (s, t, _, Some(et), _) => (s, t) -> et }.toMap
+    val sourceFreshness: Map[(String, String), SourceFreshness] =
+      sourceTables.collect { case (s, t, _, _, Some(f)) => (s, t) -> f }.toMap
 
     // --- property-file configs per model (all packages; names assumed
     // unique enough across packages — dbt's own global model namespace) ---
@@ -345,7 +386,8 @@ object Resolver {
       singularTestNodes ++ analysisNodes ++ exposureNodes ++ metricNodes ++
       semanticModelNodes).map(n => n.uniqueId -> n).toMap
     checkRelationUniqueness(all)
-    Resolved(project, all, sources, modelOwners, sourceEventTimes)
+    Resolved(project, all, sources, modelOwners, sourceEventTimes,
+      sourceFreshness)
   }
 
   private val refStrRe =

@@ -240,6 +240,53 @@ final class Runner(
     else s"/* $c */\n$sql"
   }
 
+  /** `dbt source freshness` (reference MA/adapters/freshness.sql +
+    * metadata/mod.rs:96): for every source table with a freshness config,
+    * check max(loaded_at_field) when declared, else fall back to the
+    * storage layer's last-altered (max file mtime of an external
+    * location). Returns (unique_id, result-or-skip-reason). */
+  def sourceFreshness(now: java.sql.Timestamp =
+      new java.sql.Timestamp(System.currentTimeMillis())):
+      Seq[(String, Either[String, Freshness.FreshnessResult])] =
+    resolved.sourceFreshness.toSeq.sortBy(_._1).map { case ((src, tbl), f) =>
+      val uid = s"source.$src.$tbl"
+      val rel = resolved.sources(src)(tbl)
+      val result: Either[String, Freshness.FreshnessResult] = f.loadedAtField match {
+        case Some(field) =>
+          val df = rel match {
+            case r if r.relType == RelationType.External && r.identifier.contains("/") =>
+              spark.read.parquet(r.identifier)
+            case r => adapter.read(r)
+          }
+          Right(Freshness.check(df, field, now, f.warnAfter, f.errorAfter,
+            f.filter))
+        case None if rel.relType == RelationType.External &&
+            rel.identifier.contains("/") =>
+          Right(Freshness.checkMetadata(rel.identifier, now, f.warnAfter,
+            f.errorAfter))
+        case None =>
+          Left("no loaded_at_field and no file-backed location — skipped")
+      }
+      uid -> result
+    }
+
+  /** sources.json artifact (dbt's freshness results, run_results-shaped). */
+  def writeSourceFreshness(outPath: String,
+      results: Seq[(String, Either[String, Freshness.FreshnessResult])]): Unit =
+    Files.writeString(Paths.get(outPath), Json.write(Map(
+      "metadata" -> Map(
+        "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/sources/v3.json",
+        "generated_by" -> "graft"),
+      "results" -> results.map { case (uid, r) => Map(
+        "unique_id" -> uid,
+        "status" -> r.fold(_ => "runtime error", _.status),
+        "max_loaded_at" -> r.toOption.flatMap(_.maxLoadedAt)
+          .map(_.toString).orNull,
+        "max_loaded_at_time_ago_in_s" -> r.toOption.map(_.ageSeconds)
+          .getOrElse(-1.0),
+        "message" -> r.left.toOption.orNull)
+      })))
+
   /** apply_grants shim (reference MA/adapters/apply_grants.sql;
     * spark__get_grant_sql in dbt-spark/macros/apply_grants.sql): the
     * grants config is parsed/standardized and surfaced in the manifest,
