@@ -28,7 +28,10 @@ object Main {
       schema: String = "analytics",
       targetPath: String = "target",
       state: Option[String] = None,
-      defer: Boolean = false)
+      defer: Boolean = false,
+      /** run-operation: macro name + --args JSON/YAML dict */
+      macroName: Option[String] = None,
+      macroArgs: Map[String, Any] = Map.empty)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -36,6 +39,11 @@ object Main {
     // dbt spells it `source freshness` (two tokens)
     if (a.command == "source" && argv.lift(1).contains("freshness")) {
       a = a.copy(command = "source-freshness"); i = 2
+    }
+    // run-operation <macro> [--args '{k: v}']
+    if (a.command == "run-operation" && argv.length > 1 &&
+        !argv(1).startsWith("--")) {
+      a = a.copy(macroName = Some(argv(1))); i = 2
     }
     while (i < argv.length) {
       argv(i) match {
@@ -47,6 +55,9 @@ object Main {
         case "--schema" => a = a.copy(schema = argv(i + 1)); i += 2
         case "--target-path" => a = a.copy(targetPath = argv(i + 1)); i += 2
         case "--state" => a = a.copy(state = Some(argv(i + 1))); i += 2
+        case "--args" =>
+          a = a.copy(macroArgs =
+            graft.project.Yaml.parseMap(argv(i + 1))); i += 2
         case "--defer" => a = a.copy(defer = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -113,6 +124,17 @@ object Main {
         runner.writeCatalog(targetDir.resolve("catalog.json").toString)
         println(s"docs → $targetDir/catalog.json")
         0
+
+      case "run-operation" =>
+        args.macroName match {
+          case None =>
+            System.err.println("usage: run-operation <macro> [--args '{k: v}']")
+            2
+          case Some(m) =>
+            val out = runner.runOperation(m, args.macroArgs)
+            if (out.nonEmpty) println(out)
+            0
+        }
 
       case "source-freshness" =>
         val results = runner.sourceFreshness()

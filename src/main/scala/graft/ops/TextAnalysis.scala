@@ -39,6 +39,26 @@ object TextAnalysis {
   def subwordCount(textCol: String): Column =
     graft.expressions.PipelineExpressions.subword_count(col(textCol))
 
+  /** PII scrubbing patterns — deliberately simple, RE2/Java-identical
+    * regexes (no backrefs/lookaround) so the same pattern string runs in
+    * Spark's codegen'd regexp_replace AND any warehouse-side validator.
+    * A production deployment extends the pattern set; the operator shape
+    * (mask + per-class counts, one map-side pass, no shuffle) is what
+    * matters at 100 TB. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+\\d{1,3}-\\d{3}-\\d{4,10}"
+
+  /** Mask emails then phones with typed placeholders. */
+  def maskPii(textCol: String): Column =
+    regexp_replace(
+      regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-class PII hit counts (codegen'd regexp_count). */
+  def piiCounts(textCol: String): Seq[Column] = Seq(
+    regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
+    regexp_count(col(textCol), lit(PhonePattern)).as("n_phones"))
+
   /** Quality features + composite score. Deterministic double arithmetic:
     * every engine computes the identical IEEE ops in the same order. */
   def qualityFeatures(df0: DataFrame, textCol: String): DataFrame = {

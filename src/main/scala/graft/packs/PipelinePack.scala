@@ -90,6 +90,25 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // PII masking: deterministic synthetic PII is injected into a slice of
+    // documents (same injection SQL on the oracle side), then masked and
+    // counted — one map-side pass, identical regexes in both engines
+    "q_text_pii" -> ((s, dir) => {
+      val counts = TextAnalysis.piiCounts("text")
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 23 === 0)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or +1-555-"),
+              lpad(col("doc_id").cast("string"), 6, "0")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          md5(TextAnalysis.maskPii("text")).as("masked_hash"),
+          counts(0), counts(1))
+        .orderBy("doc_id")
+    }),
+
     // rolling-hash fingerprints
     "q_text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(
@@ -304,6 +323,22 @@ object PipelinePack extends QueryPack {
         |    w -> CASE WHEN length(w) = 0 THEN 0
         |              ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)) AS BIGINT) AS n_subwords
         |FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |           '@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+        |      ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 23 = 0)
+        |SELECT doc_id,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,3}-\d{3}-\d{4,10}', '<PHONE>', 'g')) AS masked_hash,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+\d{1,3}-\d{3}-\d{4,10}')) AS INT) AS n_phones
+        |FROM injected ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH norm AS (

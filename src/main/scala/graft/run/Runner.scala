@@ -240,6 +240,26 @@ final class Runner(
     else s"/* $c */\n$sql"
   }
 
+  /** `dbt run-operation <macro>` (reference io_args.rs:88
+    * FsCommand::RunOperation): invoke a project macro with the full run
+    * context — statement/run_query execute against the adapter, so
+    * operational macros (vacuum jobs, grant sweeps, ad-hoc DDL) run
+    * outside any node build. Arguments are passed by reference through a
+    * context binding, so values of any shape (nested dicts/lists) arrive
+    * unquoted and intact. Returns the rendered output. */
+  def runOperation(macroName: String, args: Map[String, Any] = Map.empty): String = {
+    val rel = Relation(targetSchema, "__run_operation__")
+    val bindings = DbtContext.runContext(adapter, rel,
+      (pk, n) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n))
+        .flatMap(_.relation).map(_.fqn).getOrElse(n),
+      (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
+      isIncremental = false, Map.empty, project.vars) +
+      ("__op_args" -> args)
+    val kw = args.keys.map(k => s"$k=__op_args['$k']").mkString(", ")
+    try Jinja.render(macroPrelude + s"{{ $macroName($kw) }}", bindings).trim
+    catch { case Jinja.ReturnValue(v) => Jinja.stringify(v) }
+  }
+
   /** `dbt source freshness` (reference MA/adapters/freshness.sql +
     * metadata/mod.rs:96): for every source table with a freshness config,
     * check max(loaded_at_field) when declared, else fall back to the

@@ -1,0 +1,66 @@
+package graft
+
+import graft.project.ProjectLoader
+import graft.run.Runner
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** `dbt run-operation` (reference: io_args.rs:88): project macros invoked
+  * standalone with the full run context — statement/run_query hit the
+  * adapter, args of any shape pass through unquoted. */
+class RunOperationSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def write(dir: Path, rel: String, content: String): Unit = {
+    val p = dir.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private def runner(): Runner = {
+    val proj = Files.createTempDirectory("graft_runop")
+    write(proj, "dbt_project.yml",
+      """name: opdemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "macros/ops.sql",
+      """{% macro make_audit(schema_name, rows=[]) %}
+        |  {% do statement('create',
+        |       'create schema if not exists ' ~ schema_name) %}
+        |  {% do statement('ddl',
+        |       'create or replace view ' ~ schema_name ~ '.audit as select ' ~
+        |       (rows | join(' as n union all select ')) ~ ' as n') %}
+        |  {% set t = run_query('select count(*) as c from ' ~ schema_name ~ '.audit') %}
+        |  {{ return('rows=' ~ t.columns[0]['values']()[0]) }}
+        |{% endmacro %}
+        |""".stripMargin)
+    new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = "g_runop")
+  }
+
+  test("run-operation invokes a macro with adapter access and structured args") {
+    val out = runner().runOperation("make_audit",
+      Map("schema_name" -> "g_runop_audit", "rows" -> Vector(1L, 2L, 3L)))
+    assert(out == "rows=3")
+    assert(spark.sql("select * from g_runop_audit.audit").count() == 3)
+  }
+
+  test("CLI arg parsing: run-operation <macro> --args dict") {
+    val a = graft.cli.Main.parseArgs(Array(
+      "run-operation", "make_audit", "--args", "{schema_name: s1, n: 5}"))
+    assert(a.command == "run-operation")
+    assert(a.macroName.contains("make_audit"))
+    assert(a.macroArgs("schema_name") == "s1")
+  }
+}
