@@ -76,6 +76,21 @@ object IncrementalPack extends QueryPack {
       a.read(rel).orderBy("o_orderkey")
     }),
 
+    // ---- merge with hash_buckets (bounded rewrite on unpartitioned) -----
+    "q_incr_merge_bucketed" -> ((s, dir) => {
+      val a = freshAdapter(s, "incr_mergeb")
+      val cfg = NodeConfig(materialized = "incremental",
+        incrementalStrategy = Some(IncrementalStrategy.Merge),
+        uniqueKey = Seq("o_orderkey"),
+        extra = Map("hash_buckets" -> 16L))
+      val rel = runIncremental(a, "orders_mergeb", cfg,
+        ordersBase(s, dir), ordersDelta(s, dir))
+      // project away the derived _graft_bucket layout column
+      a.read(rel).select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- merge with merge_update_columns --------------------------------
     "q_incr_merge_update_cols" -> ((s, dir) => {
       val a = freshAdapter(s, "incr_mergeuc")
@@ -348,6 +363,15 @@ object IncrementalPack extends QueryPack {
       """SELECT * FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_incr_merge" ->
+      s"""WITH base AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '$Cut'),
+         |delta AS ($deltaSql)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM delta
+         |UNION ALL
+         |SELECT b.* FROM base b WHERE NOT EXISTS
+         |  (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_incr_merge_bucketed" ->
       s"""WITH base AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '$Cut'),
          |delta AS ($deltaSql)
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM delta

@@ -74,6 +74,44 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(filesOfPartition(a, rel, 2000) == before2000)
   }
 
+  test("hash_buckets merge rewrites only buckets holding incoming keys") {
+    import spark.implicits._
+    val a = freshAdapter("prune_bucket")
+    val rel = Relation(a.defaultSchema, "t_bucket")
+    // UNPARTITIONED keyed merge + hash_buckets: the materialization derives
+    // a _graft_bucket partition column from the key, so the existing
+    // touched-partition pruning bounds the rewrite
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.Merge),
+      uniqueKey = Seq("id"), extra = Map("hash_buckets" -> 8L))
+    val base = (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v")
+    run(a, rel, cfg, base)
+    // 8 bucket partitions exist
+    val buckets = a.read(rel).select(col(IncrementalMat.BucketCol))
+      .distinct().as[Long].collect().toSet
+    assert(buckets.size == 8, buckets)
+
+    def filesOfBucket(b: Long): Set[String] =
+      a.read(rel).filter(col(IncrementalMat.BucketCol) === b)
+        .select(input_file_name()).as[String].distinct().collect().toSet
+    val delta = Seq((7L, "v7-upd"), (200L, "new")).toDF("id", "v")
+    val touchedBuckets = delta
+      .withColumn("b", expr("pmod(xxhash64(id), 8)"))
+      .select("b").as[Long].collect().toSet
+    val untouched = (buckets -- touchedBuckets).head
+    val beforeFiles = filesOfBucket(untouched)
+
+    run(a, rel, cfg, delta)
+    // correctness: update landed, insert landed, rest intact
+    val got = a.read(rel).select("id", "v").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.length == 65)
+    assert(got.contains((7L, "v7-upd")) && got.contains((200L, "new")))
+    assert(got.contains((8L, "v8")))
+    // the untouched bucket kept its exact files — bounded rewrite proof
+    assert(filesOfBucket(untouched) == beforeFiles)
+  }
+
   test("merge drops a touched partition whose rows all moved away") {
     import spark.implicits._
     val a = freshAdapter("prune_empty")
