@@ -369,6 +369,43 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Repetition statistics for Gopher/C4-style quality filtering: one
+    * pass over the space-delimited tokens computing (n_words,
+    * n_distinct_words, top_bigram_count). Fractions (dup-word,
+    * top-bigram) are derived in SQL on both engines so the double math is
+    * identical. Tokenization matches split(trim(t), ' +'): 0x20 runs
+    * delimit, blank text → all zeros. */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_distinct_words", LongType, nullable = false),
+      StructField("top_bigram_count", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString.trim
+      if (s.isEmpty)
+        return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](0L, 0L, 0L))
+      val words = s.split(" +")
+      val distinct = new java.util.HashSet[String]()
+      val bigrams = new java.util.HashMap[String, Long]()
+      var top = 0L
+      var i = 0
+      while (i < words.length) {
+        distinct.add(words(i))
+        if (i > 0) {
+          val bg = words(i - 1) + " " + words(i)
+          val c = bigrams.merge(bg, 1L, (a, b) => a + b)
+          if (c > top) top = c
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](words.length.toLong, distinct.size.toLong, top))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class TokenHitCount(child: Expression, words: Seq[String])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
@@ -464,6 +501,8 @@ object PipelineExpressions {
     wrap(TokenHitCount(expression(c), words))
   def subword_count(c: Column): Column =
     wrap(SubwordCount(expression(c)))
+  def repetition_stats(c: Column): Column =
+    wrap(RepetitionStats(expression(c)))
   def dot_exact(a: Column, b: Column): Column =
     wrap(DotExact(expression(a), expression(b)))
   def fingerprint_parts(c: Column, k: Int): Column =

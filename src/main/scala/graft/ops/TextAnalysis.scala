@@ -59,6 +59,27 @@ object TextAnalysis {
     regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
     regexp_count(col(textCol), lit(PhonePattern)).as("n_phones"))
 
+  /** Gopher/C4-style repetition metrics: duplicate-word fraction and
+    * top-bigram fraction, the standard signals for filtering degenerate
+    * (looping/boilerplate) documents from training data. One native
+    * map-side pass per row; the fractions are plain double arithmetic so
+    * any SQL engine reproduces them bit-for-bit. */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__rep",
+        graft.expressions.PipelineExpressions.repetition_stats(col(textCol)))
+      .withColumn("n_words", col("__rep.n_words"))
+      .withColumn("n_distinct_words", col("__rep.n_distinct_words"))
+      .withColumn("top_bigram_count", col("__rep.top_bigram_count"))
+      .withColumn("dup_word_frac",
+        when(col("n_words") > 0,
+          lit(1.0) - col("n_distinct_words") * lit(1.0) / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac",
+        when(col("n_words") > 1,
+          col("top_bigram_count") * lit(1.0) / (col("n_words") - 1))
+          .otherwise(lit(0.0)))
+      .drop("__rep")
+
   /** Quality features + composite score. Deterministic double arithmetic:
     * every engine computes the identical IEEE ops in the same order. */
   def qualityFeatures(df0: DataFrame, textCol: String): DataFrame = {

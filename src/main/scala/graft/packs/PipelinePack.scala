@@ -90,6 +90,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // repetition metrics (Gopher/C4 quality filters): dup-word and
+    // top-bigram fractions from one native map-side pass
+    "q_text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionFeatures(
+        Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0), "text")
+        .select("doc_id", "n_words", "n_distinct_words", "top_bigram_count",
+          "dup_word_frac", "top_bigram_frac")
+        .orderBy("doc_id")
+    }),
+
     // PII masking: deterministic synthetic PII is injected into a slice of
     // documents (same injection SQL on the oracle side), then masked and
     // counted — one map-side pass, identical regexes in both engines
@@ -323,6 +333,40 @@ object PipelinePack extends QueryPack {
         |    w -> CASE WHEN length(w) = 0 THEN 0
         |              ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)) AS BIGINT) AS n_subwords
         |FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id % 23 = 0),
+        |docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(t, ' +') END AS w
+        |  FROM base),
+        |stats AS (
+        |  SELECT doc_id, len(w) AS n_words,
+        |    len(list_distinct(w)) AS n_distinct_words,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs
+        |  FROM docs),
+        |bg_counts AS (
+        |  SELECT doc_id, bg, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM stats)
+        |  GROUP BY 1, 2),
+        |tops AS (
+        |  SELECT s.doc_id, COALESCE(MAX(b.cnt), 0) AS top_bigram_count
+        |  FROM stats s LEFT JOIN bg_counts b ON s.doc_id = b.doc_id
+        |  GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(s.n_words AS BIGINT) AS n_words,
+        |  CAST(s.n_distinct_words AS BIGINT) AS n_distinct_words,
+        |  CAST(t.top_bigram_count AS BIGINT) AS top_bigram_count,
+        |  CASE WHEN s.n_words > 0
+        |       THEN 1.0 - s.n_distinct_words * 1.0 / s.n_words
+        |       ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN s.n_words > 1
+        |       THEN t.top_bigram_count * 1.0 / (s.n_words - 1)
+        |       ELSE 0.0 END AS top_bigram_frac
+        |FROM stats s JOIN tops t ON s.doc_id = t.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_text_pii" ->
       """WITH injected AS (
