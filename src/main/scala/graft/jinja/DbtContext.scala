@@ -92,13 +92,35 @@ object DbtContext {
     "return" -> JFunc((a, _) => throw Jinja.ReturnValue(a.headOption.orNull)),
     "tojson" -> JFunc((a, _) => Json.write(a.head)),
     "fromjson" -> JFunc((a, _) => Json.parse(a.head.toString)),
+    // JSON is valid YAML flow style, so toyaml reuses the JSON writer;
+    // fromyaml parses dbt-config-shaped documents (base.rs toyaml/fromyaml)
+    "toyaml" -> JFunc((a, _) => Json.write(a.head)),
+    "fromyaml" -> JFunc((a, _) =>
+      graft.project.Yaml.parseMap(a.head.toString)),
     "local_md5" -> JFunc((a, _) => Json.md5(a.head.toString)),
     "zip" -> JFunc { (a, _) =>
       val seqs = a.map(_.asInstanceOf[Seq[Any]])
       seqs.head.indices.takeWhile(i => seqs.forall(_.length > i))
         .map(i => seqs.map(_(i)).toVector).toVector
     },
+    "zip_strict" -> JFunc { (a, _) =>
+      val seqs = a.map(_.asInstanceOf[Seq[Any]])
+      if (seqs.map(_.length).distinct.length > 1)
+        throw JinjaError("zip_strict: unequal lengths")
+      seqs.head.indices.map(i => seqs.map(_(i)).toVector).toVector
+    },
     "set" -> JFunc((a, _) => a.head.asInstanceOf[Seq[Any]].distinct.toVector),
+    "set_strict" -> JFunc((a, _) => a.head match {
+      case s: Seq[_] => s.distinct.toVector
+      case other => throw JinjaError(s"set_strict: not iterable: $other")
+    }),
+    // base.rs diff_of_two_dicts: entries of dict1 whose key is absent from
+    // dict2 (or present with a different value list)
+    "diff_of_two_dicts" -> JFunc { (a, _) =>
+      val d1 = a(0).asInstanceOf[Map[String, Any]]
+      val d2 = a(1).asInstanceOf[Map[String, Any]]
+      d1.filter { case (k, v) => !d2.get(k).contains(v) }
+    },
     "dbt_version" -> "2.0.0-graft",
     "invocation_id" -> flags.getOrElse("invocation_id", "00000000-0000-0000-0000-000000000000"),
     "flags" -> flags,

@@ -47,6 +47,10 @@ final case class Project(
       * materialization_resolver.rs:96-120); the runner invokes the
       * most-specific one when `materialized:` names them. */
     customMaterializations: Map[String, Set[String]] = Map.empty,
+    /** `{% docs name %}…{% enddocs %}` blocks from .md files (reference:
+      * DbtDocsMacro; dbt's doc() function) — markdown bodies referenced
+      * from YAML descriptions via `{{ doc('name') }}`. */
+    docsBlocks: Map[String, String] = Map.empty,
     /** parsed selectors.yml document (reference:
       * crates/dbt-selector-parser/src/parser.rs) — named selector
       * definitions; empty when the project has none. */
@@ -218,6 +222,17 @@ object ProjectLoader {
         .replaceAll(raw"\{%-?\s*endmaterialization\s*-?%\}", "{% endmacro %}")
     }
 
+    // {% docs name %}…{% enddocs %} blocks from .md files under model +
+    // macro paths (dbt doc blocks; referenced as {{ doc('name') }})
+    val docsBlock =
+      raw"(?s)\{%-?\s*docs\s+([A-Za-z_][A-Za-z0-9_]*)\s*-?%\}(.*?)\{%-?\s*enddocs\s*-?%\}".r
+    val docsBlocks: Map[String, String] =
+      (files(modelPaths, ".md") ++ files(macroPaths, ".md"))
+        .map(Files.readString(_))
+        .flatMap(src => docsBlock.findAllMatchIn(src)
+          .map(m => m.group(1) -> m.group(2).trim))
+        .toMap
+
     // packages.yml deps — `local:` paths and `tarball:` local archives
     // (reference: packages.rs:27-33 DbtPackageEntry::{Local,Tarball};
     // Hub/Git/Private need egress and are out of scope). Loaded
@@ -265,6 +280,7 @@ object ProjectLoader {
       macroSources = macroSources,
       customTests = customTests,
       customMaterializations = customMats,
+      docsBlocks = docsBlocks,
       selectorsDoc = {
         val selYml = root.resolve("selectors.yml")
         if (Files.exists(selYml)) Yaml.parseMap(Files.readString(selYml))

@@ -167,17 +167,29 @@ object Resolver {
       }.toMap
 
     // --- descriptions for docs/persist_docs (model + column level) ------
+    // {{ doc('name') }} in a description resolves to the project's
+    // {% docs %} block body (reference: dbt doc blocks; DbtDocsMacro)
+    val docsBlocks: Map[String, String] =
+      projects.flatMap(_.docsBlocks).toMap
+    def renderDesc(d: String): String =
+      if (!d.contains("{{")) d
+      else Jinja.render(d, Map("doc" -> graft.jinja.Jinja.JFunc { (a, _) =>
+        val key = a.headOption.map(_.toString).getOrElse("")
+        docsBlocks.getOrElse(key,
+          throw new IllegalStateException(s"doc('$key') not found"))
+      }))
     val propDescriptions: Map[String, (String, Map[String, String])] =
       projects.flatMap(_.properties).flatMap { props =>
         Yaml.dig(props, "models").toSeq.flatMap {
           case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
             val mm = m.asInstanceOf[Map[String, Any]]
-            val desc = Yaml.dig(mm, "description").map(Yaml.str).getOrElse("")
+            val desc = Yaml.dig(mm, "description").map(Yaml.str)
+              .map(renderDesc).getOrElse("")
             val cols = Yaml.dig(mm, "columns").toSeq.flatMap {
               case cs: Seq[_] => cs.collect { case c: Map[_, _] =>
                 val cm = c.asInstanceOf[Map[String, Any]]
                 Yaml.dig(cm, "description")
-                  .map(d => Yaml.str(cm("name")) -> Yaml.str(d))
+                  .map(d => Yaml.str(cm("name")) -> renderDesc(Yaml.str(d)))
               }.flatten
               case _ => Nil
             }.toMap

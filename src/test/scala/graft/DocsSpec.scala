@@ -14,6 +14,51 @@ import java.nio.file.{Files, Path}
   * live catalog and round-trip into the catalog artifact. */
 class DocsSpec extends AnyFunSuite {
 
+  test("docs blocks resolve through doc() in descriptions") {
+    val proj = java.nio.file.Files.createTempDirectory("graft_docblocks")
+    def write(rel: String, content: String): Unit = {
+      val p = proj.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+    }
+    write("dbt_project.yml", "name: docdemo\nmodel-paths: [\"models\"]\n")
+    write("models/overview.md",
+      """{% docs orders_doc %}
+        |All **orders**, one row per order.
+        |{% enddocs %}
+        |{% docs id_doc %}Primary key.{% enddocs %}
+        |""".stripMargin)
+    write("models/m.sql", "select 1 as id\n")
+    write("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: m
+        |    description: "{{ doc('orders_doc') }}"
+        |    columns:
+        |      - name: id
+        |        description: "{{ doc('id_doc') }}"
+        |""".stripMargin)
+    val p = graft.project.ProjectLoader.load(proj.toString)
+    assert(p.docsBlocks("orders_doc").contains("one row per order"))
+    val resolved = graft.resolve.Resolver.resolve(p, "analytics")
+    val n = resolved.nodes("model.docdemo.m")
+    assert(n.description == "All **orders**, one row per order.")
+    assert(n.columns("id") == "Primary key.")
+  }
+
+  test("yaml/zip/set strict context functions") {
+    import graft.jinja.{DbtContext, Jinja}
+    val (b, _) = DbtContext.parseContext()
+    assert(Jinja.render("{{ fromyaml('a: 1')['a'] }}", b) == "1")
+    assert(Jinja.render("{{ toyaml({'k': [1]}) }}", b) == "{\"k\": [1]}")
+    assert(Jinja.render("{{ zip_strict([1, 2], ['a', 'b'])[1][1] }}", b) == "b")
+    assertThrows[Jinja.JinjaError](
+      Jinja.render("{{ zip_strict([1], ['a', 'b']) }}", b))
+    assert(Jinja.render("{{ set_strict([1, 1, 2]) | length }}", b) == "2")
+    assert(Jinja.render(
+      "{{ diff_of_two_dicts({'a': 1, 'b': 2}, {'a': 1}) }}", b) == "{'b': 2}")
+  }
+
   private lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[2]")
