@@ -31,7 +31,10 @@ object Main {
       defer: Boolean = false,
       /** run-operation: macro name + --args JSON/YAML dict */
       macroName: Option[String] = None,
-      macroArgs: Map[String, Any] = Map.empty)
+      macroArgs: Map[String, Any] = Map.empty,
+      /** show: ad-hoc Jinja-SQL via --inline; row cap via --limit */
+      inline: Option[String] = None,
+      limit: Int = 5)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -58,6 +61,8 @@ object Main {
         case "--args" =>
           a = a.copy(macroArgs =
             graft.project.Yaml.parseMap(argv(i + 1))); i += 2
+        case "--inline" => a = a.copy(inline = Some(argv(i + 1))); i += 2
+        case "--limit" => a = a.copy(limit = argv(i + 1).toInt); i += 2
         case "--defer" => a = a.copy(defer = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -123,6 +128,30 @@ object Main {
         runner.writeManifest(targetDir.resolve("manifest.json").toString)
         runner.writeCatalog(targetDir.resolve("catalog.json").toString)
         println(s"docs → $targetDir/catalog.json")
+        0
+
+      // dbt show: preview a model's (or --inline SQL's) first rows without
+      // materializing anything (reference FsCommand::Show)
+      case "show" =>
+        val sql = args.inline match {
+          case Some(raw) => runner.compileInline(raw)
+          case None =>
+            val name = args.select.getOrElse {
+              System.err.println("usage: show [--select model | --inline sql] [--limit n]")
+              return 2
+            }
+            val node = runner.resolved.nodes.values
+              .find(n => n.name == name.stripPrefix("+").stripSuffix("+") &&
+                n.kind == NodeKind.Model)
+              .getOrElse {
+                System.err.println(s"show: no model named '$name'")
+                return 2
+              }
+            runner.compileSql(node)
+        }
+        val (_, table) = runner.adapter.execute(
+          s"SELECT * FROM ($sql) __dbt_show LIMIT ${args.limit}")
+        println(table.printTable())
         0
 
       case "run-operation" =>

@@ -240,6 +240,24 @@ final class Runner(
     else s"/* $c */\n$sql"
   }
 
+  /** Compile ad-hoc Jinja-SQL outside any node (`dbt show --inline`):
+    * refs resolve to target relations, sources to their locations, the
+    * macro prelude is in scope. */
+  def compileInline(raw: String): String = {
+    val rel = Relation(targetSchema, "__inline__")
+    val bindings = DbtContext.runContext(adapter, rel,
+      (pk, n) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n))
+        .flatMap(_.relation).map(_.fqn).getOrElse(n),
+      (s, t) => resolved.sources.get(s).flatMap(_.get(t)) match {
+        case Some(r) if r.relType == RelationType.External &&
+            r.identifier.contains("/") => s"parquet.`${r.identifier}`"
+        case Some(r) => r.fqn
+        case None => s"$s.$t"
+      },
+      isIncremental = false, Map.empty, project.vars)
+    Jinja.render(macroPrelude + raw, bindings).trim
+  }
+
   /** `dbt run-operation <macro>` (reference io_args.rs:88
     * FsCommand::RunOperation): invoke a project macro with the full run
     * context — statement/run_query execute against the adapter, so

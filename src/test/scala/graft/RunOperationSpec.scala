@@ -56,6 +56,15 @@ class RunOperationSpec extends AnyFunSuite {
     assert(spark.sql("select * from g_runop_audit.audit").count() == 3)
   }
 
+  test("show --inline compiles ad-hoc Jinja-SQL with macros in scope") {
+    val r = runner()
+    val sql = r.compileInline(
+      "select {{ 1 + 1 }} as two, '{{ 'x' | upper }}' as ux")
+    assert(sql == "select 2 as two, 'X' as ux")
+    val (_, t) = r.adapter.execute(s"SELECT * FROM ($sql) q LIMIT 5")
+    assert(t.rows == Vector(Vector(2, "X")) || t.rows == Vector(Vector(2L, "X")))
+  }
+
   test("CLI arg parsing: run-operation <macro> --args dict") {
     val a = graft.cli.Main.parseArgs(Array(
       "run-operation", "make_audit", "--args", "{schema_name: s1, n: 5}"))
