@@ -268,6 +268,31 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
 
   def cancel(tag: String): Unit = spark.sparkContext.cancelJobGroup(tag)
 
+  /** Table compaction — the small-files maintenance op (Delta OPTIMIZE /
+    * Iceberg rewrite_data_files on plain parquet): rewrite each partition
+    * into ~ceil(rows/rowsPerFile) files via the atomic swap (or dynamic
+    * partition overwrite per partition for partitioned tables). Incremental
+    * appends and streaming sinks accrete small files; at 100 TB unbounded
+    * file counts dominate scan/listing cost, so compaction is a first-class
+    * maintenance op (exposed to projects via run-operation). Returns
+    * (filesBefore, filesAfter). */
+  def compact(rel: Relation, partitionBy: Seq[String] = Nil,
+      targetFiles: Int = 1): (Long, Long) = {
+    import org.apache.spark.sql.functions.input_file_name
+    def fileCount: Long =
+      read(rel).select(input_file_name()).distinct().count()
+    val before = fileCount
+    val df = read(rel)
+    val compacted =
+      if (partitionBy.nonEmpty)
+        // one file per partition-value combo × targetFiles
+        df.repartition(targetFiles, partitionBy.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`")): _*)
+      else df.repartition(targetFiles)
+    writeTableAtomic(compacted, rel, partitionBy)
+    (before, fileCount)
+  }
+
   // ---- writes (staged-swap protocol) ------------------------------------
 
   /** CTAS with the reference's intermediate/backup/rename swap

@@ -112,6 +112,23 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(filesOfBucket(untouched) == beforeFiles)
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val a = freshAdapter("compact")
+    val rel = Relation(a.defaultSchema, "t_compact")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.Append))
+    // 6 append runs → at least 6 files
+    (0 until 6).foreach { i =>
+      run(a, rel, cfg, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    }
+    val rows = a.read(rel).orderBy("id").collect().map(_.getLong(0)).toSeq
+    val (before, after) = a.compact(rel)
+    assert(before >= 6L)
+    assert(after == 1L)
+    assert(a.read(rel).orderBy("id").collect().map(_.getLong(0)).toSeq == rows)
+  }
+
   test("merge drops a touched partition whose rows all moved away") {
     import spark.implicits._
     val a = freshAdapter("prune_empty")
