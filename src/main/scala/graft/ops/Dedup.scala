@@ -65,6 +65,27 @@ object Dedup {
        |    i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $k))))
        |ELSE array() END""".stripMargin)
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * k-gram with a benchmark/eval set (the standard n-gram overlap test
+    * applied before training). Shape: explode corpus k-grams (map-side),
+    * semi-join against the benchmark's DISTINCT k-gram set — which is
+    * small and broadcastable, so at 100 TB this is a broadcast semi-join
+    * over a map-side explode, no corpus shuffle. Emits
+    * (id, n_hits = how many distinct k-grams of the doc appear in the
+    * benchmark). The oracle-checked form joins on shingle TEXT; for
+    * longer grams at scale, join on xxhash64(shingle)
+    * (`shingle_hashes`) to shrink the shuffle/broadcast width. */
+  def contaminated(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d = docs.select(col(idCol),
+      explode(shingleExpr(textCol, k)).as("__gram"))
+    val b = bench.select(explode(shingleExpr(textCol, k)).as("__gram")).distinct()
+    d.join(broadcast(b), "__gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__gram")).as("n_hits"))
+  }
+
   /** Exact dedup: keep the lowest id per identical content. The shuffle
     * key is md5(content) — constant width regardless of document size. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =

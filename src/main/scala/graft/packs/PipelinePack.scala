@@ -90,6 +90,17 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // benchmark decontamination: corpus docs sharing any word 5-gram with
+    // the benchmark slice; broadcast semi-join over a map-side explode
+    "q_dedup_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.contaminated(
+        docs.filter(col("doc_id") % 37 =!= 1),
+        docs.filter(col("doc_id") % 37 === 1),
+        "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
     // repetition metrics (Gopher/C4 quality filters): dup-word and
     // top-bigram fractions from one native map-side pass
     "q_text_repetition" -> ((s, dir) => {
@@ -333,6 +344,18 @@ object PipelinePack extends QueryPack {
         |    w -> CASE WHEN length(w) = 0 THEN 0
         |              ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)) AS BIGINT) AS n_subwords
         |FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_contamination" ->
+      """WITH grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(string_split(text, ' ')) - 4),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 5), ' '))) AS s
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM grams WHERE doc_id % 37 = 1),
+        |corpus AS (SELECT doc_id, unnest(s) AS g FROM grams WHERE doc_id % 37 <> 1)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_hits
+        |FROM corpus c JOIN bench b ON c.g = b.g
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH base AS (
