@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for dataset curation: every decision
+  * is a pure function of the row's key, so splits are reproducible across
+  * runs, engines, and cluster sizes — the property `df.sample()` (seeded
+  * per-partition RNG) does NOT have under repartitioning. At 100 TB these
+  * are map-side filters: no shuffle, no state, trivially parallel.
+  *
+  * The hash is md5-derived (first 12 hex digits → BIGINT) rather than
+  * xxhash64 so any SQL engine can reproduce the assignment bit-for-bit;
+  * 12 hex digits = 48 bits, uniform, and exactly representable. */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the key's md5. */
+  def hashBucket(keyCol: String, buckets: Int): Column =
+    pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** Keep a deterministic `rate` fraction of rows (0.0-1.0). */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate")
+    df.filter(hashBucket(keyCol, 10000) < math.round(rate * 10000))
+  }
+
+  /** Assign each row a named split by cumulative hash-bucket ranges, e.g.
+    * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. Fractions must
+    * sum to 1 (±1e-9); every row gets exactly one label. */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    val b = hashBucket(keyCol, 10000)
+    // nested when-chain checked in ascending bound order (foldRight makes
+    // the first fraction the outermost test); rounding can leave bucket
+    // 9999 past the last bound, so the last label is the default
+    val labeled = fractions.zip(bounds)
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((name, _), bound), acc) => when(b < bound, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, labeled)
+  }
+}

@@ -90,6 +90,17 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // deterministic hash split: reproducible train/val/test assignment as
+    // a pure function of the key (md5 buckets) — a map-side filter at scale
+    "q_sample_split" -> ((s, dir) => {
+      val split = graft.ops.Sampling.deterministicSplit(
+        Tables(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      split.groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }),
+
     // benchmark decontamination: corpus docs sharing any word 5-gram with
     // the benchmark slice; broadcast semi-join over a map-side explode
     "q_dedup_contamination" -> ((s, dir) => {
@@ -344,6 +355,20 @@ object PipelinePack extends QueryPack {
         |    w -> CASE WHEN length(w) = 0 THEN 0
         |              ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)) AS BIGINT) AS n_subwords
         |FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT) % 10000 AS bucket
+        |  FROM documents),
+        |labeled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 9000 THEN 'train'
+        |         WHEN bucket < 9500 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id
+        |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
 
     "q_dedup_contamination" ->
       """WITH grams AS (
