@@ -106,6 +106,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic sampling is repartition-stable") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val s1 = Sampling.sampleByHash(df, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(df.repartition(7), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2) // pure function of the key — layout-independent
+    assert(s1.size > 200 && s1.size < 400)
+    val counts = Sampling.deterministicSplit(df, "id",
+      Seq("a" -> 0.5, "b" -> 0.5))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("a", "b") && counts.values.sum == 1000L)
+    assertThrows[IllegalArgumentException](
+      Sampling.deterministicSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+    assertThrows[IllegalArgumentException](
+      Sampling.sampleByHash(df, "id", 1.5))
+  }
+
   test("banded LSH embedding dedup recovers planted near-dups via equi-join") {
     val df = corpus()
     val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding",
