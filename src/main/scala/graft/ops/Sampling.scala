@@ -12,6 +12,30 @@ import org.apache.spark.sql.functions._
   * The hash is md5-derived (first 12 hex digits → BIGINT) rather than
   * xxhash64 so any SQL engine can reproduce the assignment bit-for-bit;
   * 12 hex digits = 48 bits, uniform, and exactly representable. */
+object Skew {
+
+  /** Salted equi-join for skewed keys: the big (skewed) side gets a
+    * per-row salt in [0, saltFactor), the small side is exploded
+    * saltFactor× so every (key, salt) pair still matches — one hot key's
+    * rows spread over saltFactor reducers instead of one. The salt only
+    * changes row DISTRIBUTION, never the join result, so any salt source
+    * works; we derive it from a per-row random with a fixed seed. AQE's
+    * skew-join split handles moderate skew automatically; explicit salting
+    * is for the pathological keys AQE can't split (single key >> one
+    * executor's memory). Inner joins only (the salt would break outer
+    * semantics for unmatched small-side rows). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    val saltCol = "__graft_salt"
+    val b = big.withColumn(saltCol,
+      (rand(42) * saltFactor).cast("int"))
+    val s = small.withColumn(saltCol,
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    b.join(s, keys :+ saltCol).drop(saltCol)
+  }
+}
+
 object Sampling {
 
   /** Uniform bucket in [0, buckets) from the key's md5. */

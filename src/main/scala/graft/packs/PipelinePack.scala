@@ -90,6 +90,21 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // salted skew join: orders (big, skewed on status — only 3 values)
+    // joined to a tiny per-status dim through an 8-way salt; result must
+    // equal the plain join
+    "q_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+        .toDF("o_orderstatus", "status_name")
+      graft.ops.Skew.saltedJoin(
+        Tables(s, dir, "orders"), dim, Seq("o_orderstatus"), saltFactor = 8)
+        .groupBy("status_name")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(col("o_totalprice").cast("decimal(18,4)"))).as("total"))
+        .orderBy("status_name")
+    }),
+
     // deterministic hash split: reproducible train/val/test assignment as
     // a pure function of the key (md5 buckets) — a map-side filter at scale
     "q_sample_split" -> ((s, dir) => {
@@ -355,6 +370,13 @@ object PipelinePack extends QueryPack {
         |    w -> CASE WHEN length(w) = 0 THEN 0
         |              ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)) AS BIGINT) AS n_subwords
         |FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
+        |       WHEN 'O' THEN 'open' ELSE 'pending' END AS status_name,
+        |  count(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY status_name""".stripMargin,
 
     "q_sample_split" ->
       """WITH b AS (

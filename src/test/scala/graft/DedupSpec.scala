@@ -127,6 +127,21 @@ class DedupSpec extends AnyFunSuite {
       Sampling.sampleByHash(df, "id", 1.5))
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    import graft.ops.Skew
+    import spark.implicits._
+    // 900 of 1000 rows share one key — the pathological single hot key
+    val big = (0 until 1000)
+      .map(i => (if (i < 900) "HOT" else s"k$i", i.toLong)).toDF("k", "v")
+    val dim = Seq(("HOT", "h"), ("k950", "x")).toDF("k", "label")
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), saltFactor = 8)
+    val plain = big.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the small side really is exploded saltFactor ways
+    assert(salted.queryExecution.executedPlan.toString.contains("Generate explode"))
+  }
+
   test("banded LSH embedding dedup recovers planted near-dups via equi-join") {
     val df = corpus()
     val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding",
