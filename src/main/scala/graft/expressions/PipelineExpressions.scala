@@ -56,7 +56,11 @@ object PipelineExpressions {
 
   /** MinHash signature from shingle hashes: perm p is
     * h ↦ ((2p+3)·(h & (2^31−1)) + 12582917·p) mod (2^31−1); signature entry
-    * p = min over shingles. Matches graft.ops.Dedup.minhashSignature. */
+    * p = min over shingles. Matches graft.ops.Dedup.minhashSignature.
+    * CONTRACT: inputs must be uniformly-distributed hashes (xxhash64
+    * shingles) — the affine family is monotonic on small raw integers
+    * (no mod wraparound), which would collapse every permutation's min to
+    * the set's smallest element (ExpressionPropertySpec pins this). */
   case class MinHashSig(child: Expression, perms: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)

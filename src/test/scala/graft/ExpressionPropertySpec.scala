@@ -1,0 +1,117 @@
+package graft
+
+import graft.expressions.PipelineExpressions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests pinning the native expressions to the SQL formulations
+  * they replaced: for random inputs, both computations must agree
+  * bit-for-bit (the same contract the DuckDB oracles check on the fixed
+  * test tables, here over adversarial generated data). Evaluation is
+  * batched — one DataFrame pass per property with both formulations as
+  * columns — so hundreds of cases cost one Spark job. */
+class ExpressionPropertySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+  /** Texts with irregular spacing: runs of spaces, leading/trailing. */
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOfN(30, wordGen).map(_.take(30))
+    n <- Gen.chooseNum(0, 30)
+    seps <- Gen.listOfN(n + 1, Gen.chooseNum(1, 3).map(" " * _))
+  } yield seps.zipAll(words.take(n), "", "").flatMap(p => Seq(p._1, p._2)).mkString
+
+  test("SubwordCount matches the aggregate/split HOF formulation") {
+    import spark.implicits._
+    val texts = Gen.listOfN(300, textGen).sample.get
+    val df = texts.toDF("t")
+      .withColumn("native", PipelineExpressions.subword_count(col("t")))
+      .withColumn("hof", expr(
+        """aggregate(split(trim(t), ' +'), 0L,
+          |  (acc, w) -> acc + CASE WHEN length(w) = 0 THEN 0
+          |    ELSE cast(ceil(length(w) / 4.0) AS BIGINT) END)""".stripMargin))
+    val bad = df.filter(col("native") =!= col("hof")).collect()
+    assert(bad.isEmpty, bad.take(3).mkString(" | "))
+  }
+
+  test("RepetitionStats invariants and HOF cross-check") {
+    import spark.implicits._
+    val texts = Gen.listOfN(300, textGen).sample.get
+    val df = texts.toDF("t")
+      .withColumn("r", PipelineExpressions.repetition_stats(col("t")))
+      .withColumn("n_hof", expr(
+        "CASE WHEN length(trim(t)) = 0 THEN 0L ELSE cast(size(split(trim(t), ' +')) AS BIGINT) END"))
+      .withColumn("nd_hof", expr(
+        "CASE WHEN length(trim(t)) = 0 THEN 0L ELSE cast(size(array_distinct(split(trim(t), ' +'))) AS BIGINT) END"))
+    val bad = df.filter(
+      col("r.n_words") =!= col("n_hof") ||
+        col("r.n_distinct_words") =!= col("nd_hof") ||
+        col("r.n_distinct_words") > col("r.n_words") ||
+        (col("r.n_words") > 1 &&
+          col("r.top_bigram_count") > col("r.n_words") - 1) ||
+        (col("r.n_words") > 1 && col("r.top_bigram_count") < 1))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString(" | "))
+  }
+
+  test("HyperplaneSig agrees with the interpreted SQL mega-expression") {
+    import spark.implicits._
+    val dim = 16
+    val bits = 12
+    val weights = Array.tabulate(bits, dim)((b, d) =>
+      graft.ops.Similarity.hyperplaneWeight(b, d))
+    val vecGen = Gen.listOfN(dim,
+      Gen.chooseNum(-1000, 1000).map(_ / 317.0f)).map(_.toArray)
+    val vecs = Gen.listOfN(150, vecGen).sample.get
+    val df = vecs.map(v => Tuple1(v)).toDF("v")
+      .withColumn("native", PipelineExpressions.hyperplane_sig(col("v"), weights))
+    // the SQL formulation HyperplaneSig replaced (integer quantization ×
+    // integer weights, bit set when dot > 0)
+    val sqlBits = (0 until bits).map { b =>
+      val dot = (0 until dim).map { d =>
+        s"cast(round(cast(v[$d] AS DOUBLE) * 1000000) AS BIGINT) * ${weights(b)(d)}L"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) > 0 THEN ${1L << b}L ELSE 0L END"
+    }.mkString(" + ")
+    val out = df.withColumn("sql", expr(sqlBits))
+    val bad = out.filter(col("native") =!= col("sql")).collect()
+    assert(bad.isEmpty, bad.take(3).mkString(" | "))
+  }
+
+  test("MinHashSig estimates Jaccard within tolerance of exact") {
+    import spark.implicits._
+    // near-dup pairs: element sets sharing ~80% of their members. The
+    // elements are SPREAD over 64 bits first (Fibonacci hashing) — the
+    // affine permutation family is monotonic on small raw integers (no
+    // mod-wraparound), so MinHashSig's contract is uniformly-distributed
+    // input hashes, which xxhash64 shingle hashes are in production.
+    def spread(x: Long): Long = x * 0x9E3779B97F4A7C15L
+    val base = (0L until 200L).map(spread).toSet
+    val variants = (0 until 20).map { i =>
+      (i.toLong, base -- (i * 7 until i * 7 + 40).map(x => spread(x.toLong)))
+    }
+    val df = variants.map { case (id, s) => (id, s.toSeq.sorted) }
+      .toDF("id", "els")
+      .withColumn("sig", PipelineExpressions.minhash_sig(col("els"), 128))
+    val sigs = df.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (a <- variants; b <- variants if a._1 < b._1) {
+      val exact = (a._2 & b._2).size.toDouble / (a._2 | b._2).size
+      val est = sigs(a._1).zip(sigs(b._1)).count(p => p._1 == p._2) / 128.0
+      assert(math.abs(exact - est) < 0.2,
+        s"pair (${a._1},${b._1}): exact=$exact est=$est")
+    }
+  }
+}
