@@ -22,6 +22,7 @@ object Main {
       command: String = "run",
       projectDir: String = ".",
       select: Option[String] = None,
+      exclude: Option[String] = None,
       selector: Option[String] = None,
       fullRefresh: Boolean = false,
       threads: Int = 4,
@@ -52,6 +53,7 @@ object Main {
       argv(i) match {
         case "--project-dir" => a = a.copy(projectDir = argv(i + 1)); i += 2
         case "--select" | "-s" => a = a.copy(select = Some(argv(i + 1))); i += 2
+        case "--exclude" => a = a.copy(exclude = Some(argv(i + 1))); i += 2
         case "--selector" => a = a.copy(selector = Some(argv(i + 1))); i += 2
         case "--full-refresh" => a = a.copy(fullRefresh = true); i += 1
         case "--threads" => a = a.copy(threads = argv(i + 1).toInt); i += 2
@@ -178,8 +180,13 @@ object Main {
         if (results.exists(_._2.exists(_.status == "error"))) 1 else 0
 
       case "list" | "ls" =>
-        val spec = args.select.map(graft.resolve.Selector.parse)
+        val base = args.select.map(graft.resolve.Selector.parse)
           .orElse(args.selector.map(runner.namedSelectors))
+        val spec = args.exclude.map(graft.resolve.Selector.parse) match {
+          case None => base
+          case Some(ex) => Some(graft.resolve.Selector.Difference(
+            base.getOrElse(graft.resolve.Selector.parse("fqn:*")), ex))
+        }
         val selected = spec match {
           case Some(sp) => graft.resolve.Selector.select(
             sp, runner.resolved.nodes, runner.graph,
@@ -194,7 +201,7 @@ object Main {
         // transitive edges through excluded nodes
         val results = runner.run(args.select, args.fullRefresh,
           enableReuse = args.state.isDefined, kinds = kindFilter(cmd),
-          selectorName = args.selector)
+          selectorName = args.selector, exclude = args.exclude)
         runner.writeRunResults(results,
           targetDir.resolve("run_results.json").toString)
         runner.writeManifest(targetDir.resolve("manifest.json").toString)

@@ -535,8 +535,11 @@ final class Runner(
   def run(select: Option[String] = None, fullRefresh: Boolean = false,
       enableReuse: Boolean = false,
       kinds: graft.core.NodeKind => Boolean = _ => true,
-      selectorName: Option[String] = None): Seq[NodeResult] = {
-    val selected: Set[String] = selectionSpec(select, selectorName) match {
+      selectorName: Option[String] = None,
+      /** --exclude: subtracted from the selection (dbt CLI semantics —
+        * Difference over the whole select set, graph operators included). */
+      exclude: Option[String] = None): Seq[NodeResult] = {
+    val selected: Set[String] = selectionSpec(select, selectorName, exclude) match {
       case Some(sp) =>
         Selector.select(sp, resolved.nodes, graph, prevState(), prevResults())
       case None => resolved.nodes.keySet
@@ -603,12 +606,21 @@ final class Runner(
     Selector.parseSelectorsYaml(project.selectorsDoc)
 
   private def selectionSpec(select: Option[String],
-      selectorName: Option[String]): Option[Selector.Spec] =
-    select.map(Selector.parse)
+      selectorName: Option[String],
+      exclude: Option[String] = None): Option[Selector.Spec] = {
+    val base = select.map(Selector.parse)
       .orElse(selectorName.map(n => namedSelectors.getOrElse(n,
         throw new IllegalArgumentException(
           s"unknown selector '$n' (selectors.yml defines: ${namedSelectors.keys.mkString(", ")})"))))
       .orElse(defaultSelector.flatMap(namedSelectors.get))
+    exclude.map(Selector.parse) match {
+      case None => base
+      case Some(ex) =>
+        // --exclude with no --select subtracts from everything
+        Some(Selector.Difference(
+          base.getOrElse(Selector.parse("fqn:*")), ex))
+    }
+  }
 
   /** Last run's node statuses, for the result:<status> selector method
     * (node_selector.rs:80 — powers retry workflows). */

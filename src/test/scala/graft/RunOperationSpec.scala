@@ -65,6 +65,30 @@ class RunOperationSpec extends AnyFunSuite {
     assert(t.rows == Vector(Vector(2, "X")) || t.rows == Vector(Vector(2L, "X")))
   }
 
+  test("--exclude subtracts from the selection (with and without --select)") {
+    val proj = Files.createTempDirectory("graft_excl")
+    write(proj, "dbt_project.yml",
+      """name: excldemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/m1.sql", "select 1 as id\n")
+    write(proj, "models/m2.sql", "select 2 as id\n")
+    write(proj, "models/m3.sql", "select * from {{ ref('m1') }}\n")
+    val schema = "g_excl"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema,
+      warehouseLocation =
+        Some(Files.createTempDirectory("graft_excl_wh").toString))
+    // bare --exclude: everything except m2
+    val ran = r.run(exclude = Some("m2")).map(_.uniqueId).toSet
+    assert(ran == Set("model.excldemo.m1", "model.excldemo.m3"))
+    // --select graph op minus --exclude
+    val ran2 = r.run(select = Some("+m3"), exclude = Some("m1"))
+      .map(_.uniqueId).toSet
+    assert(ran2 == Set("model.excldemo.m3"))
+  }
+
   test("CLI arg parsing: run-operation <macro> --args dict") {
     val a = graft.cli.Main.parseArgs(Array(
       "run-operation", "make_audit", "--args", "{schema_name: s1, n: 5}"))
