@@ -196,6 +196,50 @@ object Main {
         selected.toSeq.sorted.foreach(println)
         0
 
+      // dbt retry: re-run everything that did not succeed last time (plus
+      // their skipped downstreams), from the recorded results.json
+      case "retry" =>
+        if (args.state.isEmpty) {
+          System.err.println("retry requires --state <dir> (a previous run's results.json)")
+          return 2
+        }
+        val failedish = runner.prevResults()
+          .filter { case (_, s) => s == "error" || s == "fail" || s == "skipped" }
+        if (failedish.isEmpty) { println("retry: nothing to retry"); return 0 }
+        val results = runner.run(
+          select = Some("result:error result:fail result:skipped"),
+          enableReuse = false)
+        runner.writeRunResults(results,
+          targetDir.resolve("run_results.json").toString)
+        results.foreach { r =>
+          println(f"${r.status}%-8s ${r.uniqueId}%-50s ${r.executionTimeMs}%6d ms  ${r.message}")
+        }
+        if (results.exists(r => r.status == "error" || r.status == "fail")) 1 else 0
+
+      // dbt clean: remove the target artifacts directory
+      case "clean" =>
+        def rm(p: java.nio.file.Path): Unit =
+          if (Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+          }
+        rm(targetDir)
+        println(s"cleaned $targetDir")
+        0
+
+      // dbt debug: environment + connection sanity
+      case "debug" =>
+        println(s"graft version: 2.0.0-graft")
+        println(s"project dir:   ${args.projectDir} (${project.name})")
+        println(s"spark:         ${spark.version} master=${spark.sparkContext.master}")
+        println(s"target schema: ${args.schema}")
+        val ok = scala.util.Try(spark.sql("SELECT 1").head.getInt(0) == 1)
+          .getOrElse(false)
+        println(s"connection:    ${if (ok) "OK" else "FAILED"}")
+        println(s"nodes parsed:  ${runner.resolved.nodes.size}")
+        if (ok) 0 else 1
+
       case cmd @ ("run" | "test" | "seed" | "snapshot" | "build") =>
         // the runner slices the DAG to the kind+selector subset, preserving
         // transitive edges through excluded nodes

@@ -89,6 +89,29 @@ class RunOperationSpec extends AnyFunSuite {
     assert(ran2 == Set("model.excldemo.m3"))
   }
 
+  test("retry re-runs only what failed, then reports nothing to retry") {
+    import graft.cli.Main
+    val proj = Files.createTempDirectory("graft_retry")
+    write(proj, "dbt_project.yml",
+      """name: retrydemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/m_ok.sql", "select 1 as id\n")
+    write(proj, "models/m_bad.sql", "select * from this_table_is_missing\n")
+    val schema = "g_retry"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val state = Files.createTempDirectory("graft_retry_state").toString
+    val args0 = Main.Args(command = "build", projectDir = proj.toString,
+      schema = schema, state = Some(state))
+    assert(Main.run(spark, args0) == 1) // m_bad errors
+    // fix the model, retry: only the failed node re-runs
+    write(proj, "models/m_bad.sql", "select 2 as id\n")
+    assert(Main.run(spark, args0.copy(command = "retry")) == 0)
+    assert(spark.table(s"$schema.m_bad").count() == 1)
+    // everything green now → nothing to retry
+    assert(Main.run(spark, args0.copy(command = "retry")) == 0)
+  }
+
   test("CLI arg parsing: run-operation <macro> --args dict") {
     val a = graft.cli.Main.parseArgs(Array(
       "run-operation", "make_audit", "--args", "{schema_name: s1, n: 5}"))
