@@ -49,16 +49,47 @@ object QueryCache {
     Set("select", "with", "show", "describe", "desc", "values")(head)
   }
 
+  /** Literal-aware normalization: string literals are lifted out before
+    * comment-stripping / volatile-name removal / lowercasing and restored
+    * verbatim afterwards — `'a--x'` and `'a--y'` must NOT collide onto
+    * one key, and literal content is part of the query's identity. */
   private[graft] def normalize(sql: String): String = {
-    val noComments = sql
-      .replaceAll("(?s)/\\*.*?\\*/", " ")
-      .replaceAll("(?m)--.*$", " ")
-    noComments
+    val literals = scala.collection.mutable.ArrayBuffer.empty[String]
+    val skeleton = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c
+        val lit = new StringBuilder
+        lit += q; i += 1
+        while (i < n && sql.charAt(i) != q) { lit += sql.charAt(i); i += 1 }
+        if (i < n) { lit += q; i += 1 }
+        skeleton ++= s" \u0001${literals.length}\u0001 "
+        literals += lit.toString
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+        skeleton += ' '
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+        skeleton += ' '
+      } else { skeleton += c; i += 1 }
+    }
+    val cleaned = skeleton.toString
       .replaceAll("(?i)dbt_tmp_[0-9a-f]{8}_[0-9a-f]{4}_[0-9a-f]{4}_[0-9a-f]{4}_[0-9a-f]{12}", "dbt_tmp_")
       .replaceAll("__dbt_tmp[0-9a-f_]*", "__dbt_tmp")
       .replaceAll("___\\d+___", "")
       .replaceAll("\\s+", " ")
-      .trim.toLowerCase
+      // regex trim, NOT String.trim: trim would strip a trailing \u0001
+      // placeholder sentinel (≤ 0x20) and orphan a query-final literal
+      .replaceAll("^ | $", "")
+      .toLowerCase
+    literals.zipWithIndex.foldLeft(cleaned) { case (s, (l, idx)) =>
+      s.replace(s"\u0001$idx\u0001", l)
+    }
   }
 
   private[graft] def key(sql: String): String = Json.md5(normalize(sql))
@@ -89,23 +120,34 @@ object QueryCache {
           cellIn(v, t) }.toVector).toVector))
   }
 
-  /** JSON-safe cell encoding: timestamps/dates as tagged strings so the
-    * round trip restores the exact JVM type AgateTable carried. */
+  /** JSON-safe cell encoding: non-JSON-native JVM types become tagged
+    * strings so the round trip restores the exact type AgateTable carried;
+    * real strings that happen to start with a tag are escaped. */
   private def cellOut(v: Any): Any = v match {
-    case t: java.sql.Timestamp => s"__ts__${t.toString}"
-    case d: java.sql.Date => s"__date__${d.toString}"
+    case t: java.sql.Timestamp => s"__ts__$t"
+    case d: java.sql.Date => s"__date__$d"
     case b: Array[Byte] => s"__hex__${b.map("%02x".format(_)).mkString}"
+    case d: java.math.BigDecimal => s"__dec__${d.toPlainString}"
+    case d: BigDecimal => s"__dec__${d.bigDecimal.toPlainString}"
+    case f: Float => s"__flt__$f"
+    case d: Double if d.isNaN || d.isInfinite => s"__dbl__$d"
+    case s: String if s.startsWith("__") => s"__str__$s"
     case other => other
   }
 
   private def cellIn(v: Any, sqlType: String): Any = v match {
     case null => null
+    case s: String if s.startsWith("__str__") => s.stripPrefix("__str__")
     case s: String if s.startsWith("__ts__") =>
       java.sql.Timestamp.valueOf(s.stripPrefix("__ts__"))
     case s: String if s.startsWith("__date__") =>
       java.sql.Date.valueOf(s.stripPrefix("__date__"))
     case s: String if s.startsWith("__hex__") =>
       s.stripPrefix("__hex__").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    case s: String if s.startsWith("__dec__") =>
+      new java.math.BigDecimal(s.stripPrefix("__dec__"))
+    case s: String if s.startsWith("__flt__") => s.stripPrefix("__flt__").toFloat
+    case s: String if s.startsWith("__dbl__") => s.stripPrefix("__dbl__").toDouble
     case d: Double if sqlType.toLowerCase.matches("bigint|int|smallint|tinyint") =>
       d.toLong // JSON numbers parse as Double; restore integral types
     case l: Long if sqlType.toLowerCase == "double" => l.toDouble

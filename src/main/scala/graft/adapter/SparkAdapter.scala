@@ -283,12 +283,20 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       read(rel).select(input_file_name()).distinct().count()
     val before = fileCount
     val df = read(rel)
+    import org.apache.spark.sql.functions.{col, rand}
     val compacted =
-      if (partitionBy.nonEmpty)
-        // one file per partition-value combo × targetFiles
-        df.repartition(targetFiles, partitionBy.map(c =>
-          org.apache.spark.sql.functions.col(s"`$c`")): _*)
-      else df.repartition(targetFiles)
+      if (partitionBy.nonEmpty) {
+        // repartition by (partition cols, salt): each partition-value's
+        // rows spread over ~targetFiles tasks → ~targetFiles files per
+        // partition, and the rewrite parallelizes across partitions
+        // (repartition(n, partCols) alone would funnel each whole
+        // partition-value through a single task)
+        val salted = df.withColumn("__graft_compact_salt",
+          (rand(42) * targetFiles).cast("int"))
+        salted.repartition((partitionBy.map(c => col(s"`$c`")) :+
+          col("__graft_compact_salt")): _*)
+          .drop("__graft_compact_salt")
+      } else df.repartition(targetFiles)
     writeTableAtomic(compacted, rel, partitionBy)
     (before, fileCount)
   }

@@ -221,8 +221,10 @@ object Main {
         def rm(p: java.nio.file.Path): Unit =
           if (Files.exists(p)) {
             import scala.jdk.CollectionConverters._
-            Files.walk(p).iterator().asScala.toSeq.reverse
+            val stream = Files.walk(p)
+            try stream.iterator().asScala.toSeq.reverse
               .foreach(Files.deleteIfExists(_))
+            finally stream.close()
           }
         rm(targetDir)
         println(s"cleaned $targetDir")

@@ -386,7 +386,15 @@ object PipelineExpressions {
       StructField("n_distinct_words", LongType, nullable = false),
       StructField("top_bigram_count", LongType, nullable = false)))
     override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString.trim
+      // space-only trim: SQL trim() strips 0x20 only, Java String.trim
+      // strips all control chars ≤ 0x20 — the difference would fork the
+      // tokenization from the oracle on texts with trailing newlines
+      val raw = input.asInstanceOf[UTF8String].toString
+      var from = 0
+      var to = raw.length
+      while (from < to && raw.charAt(from) == ' ') from += 1
+      while (to > from && raw.charAt(to - 1) == ' ') to -= 1
+      val s = raw.substring(from, to)
       if (s.isEmpty)
         return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](0L, 0L, 0L))

@@ -114,12 +114,29 @@ object DbtContext {
       case s: Seq[_] => s.distinct.toVector
       case other => throw JinjaError(s"set_strict: not iterable: $other")
     }),
-    // base.rs diff_of_two_dicts: entries of dict1 whose key is absent from
-    // dict2 (or present with a different value list)
-    "diff_of_two_dicts" -> JFunc { (a, _) =>
-      val d1 = a(0).asInstanceOf[Map[String, Any]]
-      val d2 = a(1).asInstanceOf[Map[String, Any]]
-      d1.filter { case (k, v) => !d2.get(k).contains(v) }
+    // base.rs:535 diff_of_two_dicts: dicts of lists; per key (compared
+    // case-insensitively), keep dict_a's elements absent from dict_b's
+    // list (element compare also case-insensitive); drop emptied keys
+    "diff_of_two_dicts" -> JFunc { (a, kw) =>
+      def dict(v: Any): Map[String, Seq[String]] =
+        v.asInstanceOf[Map[String, Any]].map { case (k, xs) =>
+          k -> (xs match {
+            case s: Seq[_] => s.map(x => String.valueOf(x))
+            case one => Seq(String.valueOf(one))
+          })
+        }
+      val d1 = dict(kw.getOrElse("dict_a", a(0)))
+      val d2 = dict(kw.getOrElse("dict_b", a(1)))
+      val d2Lower = d2.map { case (k, xs) =>
+        k.toLowerCase -> xs.map(_.toLowerCase) }
+      d1.flatMap { case (k, xs) =>
+        d2Lower.get(k.toLowerCase) match {
+          case None => Some(k -> xs.toVector)
+          case Some(bVals) =>
+            val diff = xs.filterNot(x => bVals.contains(x.toLowerCase))
+            if (diff.isEmpty) None else Some(k -> diff.toVector)
+        }
+      }
     },
     "dbt_version" -> "2.0.0-graft",
     "invocation_id" -> flags.getOrElse("invocation_id", "00000000-0000-0000-0000-000000000000"),

@@ -44,9 +44,17 @@ object IncrementalMat extends Materialization {
     // delete+insert then ride the existing touched-partition pruning, so
     // a batch touching k keys rewrites ~min(k, N)/N of the table instead
     // of all of it. Readers see one extra `_graft_bucket` column.
+    // ONLY the keyed rewrite strategies understand the bucket column.
+    // insert_overwrite in particular would treat buckets as user
+    // partitions and dynamically overwrite every bucket a batch row hashes
+    // into — silently deleting the other keys in those buckets.
+    val bucketableStrategy = strategy match {
+      case IncrementalStrategy.Merge | IncrementalStrategy.DeleteInsert => true
+      case _ => false
+    }
     val buckets: Option[Int] = cfg0.extra.get("hash_buckets")
       .map(v => graft.project.Yaml.str(v).toInt).filter(_ > 0)
-      .filter(_ => cfg0.uniqueKey.nonEmpty)
+      .filter(_ => cfg0.uniqueKey.nonEmpty && bucketableStrategy)
     def bucketize(df: DataFrame): DataFrame = buckets match {
       case Some(n) =>
         val keyExpr = cfg0.uniqueKey.map(k => s"`$k`").mkString(", ")

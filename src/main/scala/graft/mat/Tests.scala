@@ -270,9 +270,13 @@ object Freshness {
       throw new IllegalArgumentException(s"freshness source not found: $location")
     val files =
       if (Files.isRegularFile(root)) Seq(root)
-      else Files.walk(root).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
-        .toSeq
+      else {
+        val stream = Files.walk(root)
+        try stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+          .toSeq
+        finally stream.close()
+      }
     val maxMtime = files.map(Files.getLastModifiedTime(_).toMillis) match {
       case Nil => None
       case ms => Some(new java.sql.Timestamp(ms.max))

@@ -28,8 +28,11 @@ object EnginePack extends QueryPack {
     val gz = new GZIPOutputStream(Files.newOutputStream(out))
     try {
       import scala.jdk.CollectionConverters._
-      val files = Files.walk(srcDir).iterator().asScala
-        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      val walk = Files.walk(srcDir)
+      val files =
+        try walk.iterator().asScala
+          .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+        finally walk.close()
       files.foreach { f =>
         val name = srcDir.getParent.relativize(f).toString
         val data = Files.readAllBytes(f)
@@ -399,7 +402,7 @@ object EnginePack extends QueryPack {
            |          location: "$dir/orders.parquet"
            |""".stripMargin)
       write(proj, "macros/limited_table.sql",
-        """{% materialization limited_table, default %}
+        """{% materialization limited_table, default, supported_languages=['sql'] %}
           |  {%- set rows = config.get('row_limit', 10) -%}
           |  {% call statement('drop') %}
           |    drop table if exists {{ this }}

@@ -142,11 +142,15 @@ object ProjectLoader {
       }
     } finally gz.close()
     if (Files.exists(dest.resolve("dbt_project.yml"))) dest
-    else Files.list(dest).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .find(d => Files.exists(d.resolve("dbt_project.yml")))
-      .getOrElse(throw new IllegalArgumentException(
-        s"tarball $tarGz contains no dbt_project.yml"))
+    else {
+      val stream = Files.list(dest)
+      try stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .find(d => Files.exists(d.resolve("dbt_project.yml")))
+        .getOrElse(throw new IllegalArgumentException(
+          s"tarball $tarGz contains no dbt_project.yml"))
+      finally stream.close()
+    }
   }
 
   private def loadInner(rootDir: String, seen: Set[String]): Project = {
@@ -174,9 +178,11 @@ object ProjectLoader {
 
     def files(paths: Seq[String], ext: String): Seq[Path] =
       paths.map(root.resolve).filter(Files.isDirectory(_)).flatMap { dir =>
-        Files.walk(dir).iterator().asScala
+        val stream = Files.walk(dir)
+        try stream.iterator().asScala
           .filter(p => p.toString.endsWith(ext) && Files.isRegularFile(p))
           .toSeq.sortBy(_.toString)
+        finally stream.close()
       }
 
     def nameOf(p: Path): String = {
@@ -206,8 +212,11 @@ object ProjectLoader {
     // adapter='spark' %} → macro materialization_name_<adapter>() (the
     // reference compiles the block to the same function name:
     // minijinja materialization_macro_name + materialization_resolver.rs)
+    // header forms: `name, default` / `name, adapter='spark'` — possibly
+    // with trailing kwargs (`, supported_languages=['sql']`), which real
+    // dbt-adapters headers carry and we accept-and-ignore
     val matBlock =
-      raw"\{%-?\s*materialization\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?:adapter\s*=\s*)?['\x22]?([A-Za-z_]+)['\x22]?\s*-?%\}".r
+      raw"\{%-?\s*materialization\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?:adapter\s*=\s*)?['\x22]?([A-Za-z_]+)['\x22]?\s*(?:,[^%]*?)?-?%\}".r
     val rawMacros = files(macroPaths, ".sql").map(Files.readString(_))
     val customTests = rawMacros
       .flatMap(src => testBlock.findAllMatchIn(src).map(_.group(1))).toSet

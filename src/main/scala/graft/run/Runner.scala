@@ -166,7 +166,7 @@ final class Runner(
               DbtContext.runContext(adapter, node.relation.get,
                 (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
                   .flatMap(_.relation).map(_.fqn).getOrElse(n),
-                (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
+                sourceSql,
                 isIncremental = true, node.config.extra, project.vars) +
                 ("arg_dict" -> args)))
           val ctx = MatContext(adapter, node.copy(rawSql = sql),
@@ -240,6 +240,18 @@ final class Runner(
     else s"/* $c */\n$sql"
   }
 
+  /** source() → executable SQL name: external file-backed sources become
+    * direct parquet scans, catalog sources their fqn (shared by every
+    * out-of-node render: hooks, run-operation, custom materializations,
+    * inline compiles — same rule compileSql applies). */
+  private def sourceSql(s: String, t: String): String =
+    resolved.sources.get(s).flatMap(_.get(t)) match {
+      case Some(r) if r.relType == RelationType.External &&
+          r.identifier.contains("/") => s"parquet.`${r.identifier}`"
+      case Some(r) => r.fqn
+      case None => s"$s.$t"
+    }
+
   /** Compile ad-hoc Jinja-SQL outside any node (`dbt show --inline`):
     * refs resolve to target relations, sources to their locations, the
     * macro prelude is in scope. */
@@ -248,12 +260,7 @@ final class Runner(
     val bindings = DbtContext.runContext(adapter, rel,
       (pk, n) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
-      (s, t) => resolved.sources.get(s).flatMap(_.get(t)) match {
-        case Some(r) if r.relType == RelationType.External &&
-            r.identifier.contains("/") => s"parquet.`${r.identifier}`"
-        case Some(r) => r.fqn
-        case None => s"$s.$t"
-      },
+      sourceSql,
       isIncremental = false, Map.empty, project.vars)
     Jinja.render(macroPrelude + raw, bindings).trim
   }
@@ -270,7 +277,7 @@ final class Runner(
     val bindings = DbtContext.runContext(adapter, rel,
       (pk, n) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
-      (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
+      sourceSql,
       isIncremental = false, Map.empty, project.vars) +
       ("__op_args" -> args)
     val kw = args.keys.map(k => s"$k=__op_args['$k']").mkString(", ")
@@ -431,7 +438,7 @@ final class Runner(
     val bindings = DbtContext.runContext(adapter, rel,
       (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
-      (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
+      sourceSql,
       isIncremental = false, node.config.extra, project.vars) ++ Map(
       "sql" -> compiledSql,
       "compiled_code" -> compiledSql,
@@ -464,7 +471,7 @@ final class Runner(
     Jinja.render(hook, DbtContext.runContext(adapter, node.relation.get,
       (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
-      (s, t) => resolved.sources.get(s).flatMap(_.get(t)).map(_.fqn).getOrElse(s"$s.$t"),
+      sourceSql,
       isIncremental = false, node.config.extra, project.vars))
 
   private def runTestNode(node: Node): MatResult = {
@@ -651,9 +658,15 @@ final class Runner(
       case (id, n) if results.exists(r => r.uniqueId == id && r.status == "success") =>
         id -> stateHash(n, prev)
     }
-    Files.writeString(Paths.get(dir, "state.json"), Json.write(state))
-    Files.writeString(Paths.get(dir, "results.json"),
-      Json.write(results.map(r => r.uniqueId -> r.status).toMap))
+    // MERGE with the recorded state: a subset run (--select, retry) must
+    // not destroy the hashes/statuses of nodes it didn't touch — doing so
+    // made the next smart-reuse/state:modified/result: run rebuild the
+    // world. Entries for nodes this run DID touch are replaced.
+    val mergedState = prev ++ state
+    val mergedResults = prevResults() ++
+      results.map(r => r.uniqueId -> r.status).toMap
+    Files.writeString(Paths.get(dir, "state.json"), Json.write(mergedState))
+    Files.writeString(Paths.get(dir, "results.json"), Json.write(mergedResults))
   }
 
   // ---- artifacts (reference: RunResultsArtifact run_results.rs:169,

@@ -55,8 +55,11 @@ class DocsSpec extends AnyFunSuite {
     assertThrows[Jinja.JinjaError](
       Jinja.render("{{ zip_strict([1], ['a', 'b']) }}", b))
     assert(Jinja.render("{{ set_strict([1, 1, 2]) | length }}", b) == "2")
+    // dicts-of-lists, per-element case-insensitive diff, emptied keys drop
     assert(Jinja.render(
-      "{{ diff_of_two_dicts({'a': 1, 'b': 2}, {'a': 1}) }}", b) == "{'b': 2}")
+      "{{ diff_of_two_dicts({'select': ['A', 'b'], 'insert': ['x']}, " +
+        "{'SELECT': ['a'], 'insert': ['x', 'y']}) }}", b) ==
+      "{'select': ['b']}")
   }
 
   private lazy val spark: SparkSession = {

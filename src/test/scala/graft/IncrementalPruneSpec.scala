@@ -112,6 +112,24 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(filesOfBucket(untouched) == beforeFiles)
   }
 
+  test("hash_buckets is inert for insert_overwrite (no silent bucket overwrite)") {
+    import spark.implicits._
+    val a = freshAdapter("bucket_io")
+    val rel = Relation(a.defaultSchema, "t_bucket_io")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.InsertOverwrite),
+      uniqueKey = Seq("id"), extra = Map("hash_buckets" -> 8L))
+    run(a, rel, cfg, (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // insert_overwrite must NOT adopt the bucket layout: unpartitioned
+    // target → each run is a full atomic replace, never a per-bucket
+    // dynamic overwrite that would drop other keys in touched buckets
+    assert(!a.read(rel).columns.contains(IncrementalMat.BucketCol))
+    run(a, rel, cfg, Seq((1L, "v1b"), (100L, "new")).toDF("id", "v"))
+    val got = a.read(rel).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "v1b"), (100L, "new"))) // full replace semantics
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     import spark.implicits._
     val a = freshAdapter("compact")

@@ -35,6 +35,21 @@ class QueryCacheSpec extends AnyFunSuite {
       QueryCache.normalize("select * from schema.t"))
   }
 
+  test("string literals keep their identity and case under normalization") {
+    // comment-like sequences INSIDE literals must not be stripped — the
+    // two queries differ only in literal content and must not collide
+    assert(QueryCache.key("SELECT 'a--x' AS v") !=
+      QueryCache.key("SELECT 'a--y' AS v"))
+    assert(QueryCache.key("SELECT '/*not a comment*/' AS v") !=
+      QueryCache.key("SELECT '' AS v"))
+    // literal case is significant; keyword case is not
+    assert(QueryCache.key("SELECT 'ABC'") != QueryCache.key("SELECT 'abc'"))
+    assert(QueryCache.key("SELECT 'ABC'") == QueryCache.key("select   'ABC'"))
+    // volatile-name patterns inside literals survive
+    assert(QueryCache.key("SELECT '___123___'") !=
+      QueryCache.key("SELECT ''"))
+  }
+
   test("only read statements are cacheable") {
     assert(QueryCache.cacheable("SELECT 1"))
     assert(QueryCache.cacheable("  with x as (select 1) select * from x"))
