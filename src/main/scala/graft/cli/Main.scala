@@ -35,7 +35,10 @@ object Main {
       macroArgs: Map[String, Any] = Map.empty,
       /** show: ad-hoc Jinja-SQL via --inline; row cap via --limit */
       inline: Option[String] = None,
-      limit: Int = 5)
+      limit: Int = 5,
+      /** --vars 'YAML/JSON dict': highest-precedence var() overlay,
+        * global across packages (dbt CLI semantics). */
+      cliVars: Map[String, Any] = Map.empty)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -62,6 +65,9 @@ object Main {
         case "--state" => a = a.copy(state = Some(argv(i + 1))); i += 2
         case "--args" =>
           a = a.copy(macroArgs =
+            graft.project.Yaml.parseMap(argv(i + 1))); i += 2
+        case "--vars" =>
+          a = a.copy(cliVars =
             graft.project.Yaml.parseMap(argv(i + 1))); i += 2
         case "--inline" => a = a.copy(inline = Some(argv(i + 1))); i += 2
         case "--limit" => a = a.copy(limit = argv(i + 1).toInt); i += 2
@@ -98,7 +104,7 @@ object Main {
   }
 
   def run(spark: SparkSession, args: Args): Int = {
-    val project = ProjectLoader.load(args.projectDir)
+    val project = ProjectLoader.load(args.projectDir).withCliVars(args.cliVars)
     val runner = new Runner(spark, project, args.schema,
       threads = args.threads, stateDir = args.state,
       deferManifest =

@@ -248,6 +248,88 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Connected components over a near-dup pair graph: labels every node
+    * with the MINIMUM id reachable from it, so each duplicate cluster gets
+    * a stable canonical representative. Input is the (id_a, id_b) pair
+    * output of any near-dup operator; output is (id, component_id).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (label ← label(label) each round), the DataFrame form of the
+    * MapReduce CC algorithms of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC'14). Propagation alone needs O(diameter)
+    * rounds; the jumping step halves chain depth every round, giving
+    * O(log d) — and near-dup graphs are dense clusters with tiny diameter,
+    * so in practice this converges in 2-3 rounds.
+    *
+    * Scale shape: the graph holds only nodes that appear in some pair —
+    * at 100 TB that is a small fraction of the corpus, and every shuffle
+    * in the loop carries two longs per edge/node, never document content.
+    * Each round localCheckpoint()s the label frontier to truncate lineage
+    * (iterative joins otherwise grow the plan exponentially); on a real
+    * cluster prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()`
+    * so the frontier survives executor loss. Convergence is detected with
+    * a `limit(1)` existence probe, not a full count. */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val p = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    // init: label(v) = min(v, min direct neighbor)
+    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
+      .localCheckpoint()
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // candidate per node: min label among neighbors
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("v2"), col("label").as("nl")),
+          col("v") === col("v2"))
+        .groupBy(col("u").as("id2")).agg(min(col("nl")).as("nlabel"))
+      val propagated = labels
+        .join(viaNeighbors, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jumping: labels form a decreasing forest over node ids, so
+      // label(label) is always defined and never leaves the component
+      val jumped = propagated
+        .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
+          col("label") === col("pid"), "left")
+        .select(col("id"), coalesce(col("plabel"), col("label")).as("label"))
+        .localCheckpoint()
+      converged = jumped
+        .join(labels.select(col("id").as("oid"), col("label").as("old")),
+          col("id") === col("oid"))
+        .filter(col("label") =!= col("old")).limit(1).isEmpty
+      labels.unpersist()
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("component_id"))
+  }
+
+  /** Corpus-level near-dup removal: given the corpus and a near-dup pair
+    * set, keep ONE canonical document per duplicate cluster (the minimum
+    * id) and every unclustered document, annotated with the cluster size
+    * (`n_dups` = 1 for documents with no near-duplicate). The loser set
+    * (clustered non-canonical ids) is tiny relative to the corpus, so the
+    * final anti-join broadcasts at scale — the corpus itself never
+    * shuffles. */
+  def canonicalCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol)
+    val sizes = cc.groupBy("component_id").agg(count(lit(1)).as("__n"))
+    val canon = cc.filter(col("id") === col("component_id"))
+      .join(sizes, "component_id")
+      .select(col("id").as("__cid"), col("__n"))
+    val losers = cc.filter(col("id") =!= col("component_id"))
+      .select(col("id").as("__lid"))
+    docs.join(losers, docs(idCol) === col("__lid"), "left_anti")
+      .join(canon, docs(idCol) === col("__cid"), "left")
+      .withColumn("n_dups", coalesce(col("__n"), lit(1L)))
+      .drop("__cid", "__n")
+  }
+
   /** Banded-LSH embedding near-dups — the sub-quadratic scale path for
     * realistic thresholds (≥ ~0.8 cosine). Rows replicate once per band;
     * candidates come from an equi-join on (band, r-bit signature) and are

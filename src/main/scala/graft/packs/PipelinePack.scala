@@ -34,6 +34,24 @@ object PipelinePack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // connected components over the MinHash near-dup pair graph: every
+    // clustered doc labeled with its cluster's minimum id
+    "q_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 3, perms = 128, bands = 21, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
+    }),
+
+    // corpus-level dedup: drop non-canonical cluster members, annotate
+    // survivors with cluster size
+    "q_dedup_canonical" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 3, perms = 128, bands = 21, threshold = 0.8)
+      Dedup.canonicalCorpus(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("n_dups")).orderBy("doc_id")
+    }),
+
     // SimHash with pigeonhole banding
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
@@ -205,6 +223,25 @@ object PipelinePack extends QueryPack {
        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup pair graph → transitive closure, as a recursive CTE: the
+    * oracle for connectedComponents. `reach` enumerates, for every node,
+    * every id reachable from it (set semantics terminate the recursion);
+    * the component label is the minimum. Mirrors the same 0.8-Jaccard
+    * MinHash pair set the Spark side clusters. */
+  private val ccCtes =
+    s"""$shingleCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+       |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+       |cc AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id)""".stripMargin
+
   /** DuckDB mirror of Similarity.hyperplaneSignature: integer quantization
     * (round(x·10^6) as BIGINT, ties away from zero in both engines) dotted
     * with md5-derived integer weights — bit-identical buckets. Inline
@@ -248,6 +285,20 @@ object PipelinePack extends QueryPack {
 
     "q_dedup_minhash" -> jaccardPairsSql,
     "q_dedup_ngram" -> jaccardPairsSql,
+
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT id, component_id FROM cc ORDER BY id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |sizes AS (SELECT component_id, count(*) AS n FROM cc GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(s.n, CAST(1 AS BIGINT)) AS n_dups
+         |FROM documents d
+         |LEFT JOIN cc ON cc.id = d.doc_id
+         |LEFT JOIN sizes s ON s.component_id = d.doc_id
+         |WHERE cc.id IS NULL OR cc.id = cc.component_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH toks AS (

@@ -61,6 +61,13 @@ final case class Project(
       * default JSON comment. */
     queryComment: Option[String] = None,
     queryCommentAppend: Boolean = false,
+    /** dbt_project.yml `on-run-start:` / `on-run-end:` hooks (string or
+      * list of strings; reference: HooksConfig in
+      * crates/dbt-schemas/src/schemas/project/dbt_project.rs, rendered
+      * once per invocation — not per node). Only the ROOT project's hooks
+      * run (dbt ignores package-level on-run-* hooks since v1). */
+    onRunStart: Seq[String] = Nil,
+    onRunEnd: Seq[String] = Nil,
     /** dependency projects from packages.yml `local:` entries (reference:
       * crates/dbt-schemas/src/schemas/packages.rs:27-33 LocalPackage,
       * loader integration crates/dbt-loader/src/loader.rs:64). Hub/git
@@ -69,6 +76,14 @@ final case class Project(
     packages: Seq[Project] = Nil) {
   /** Root project first, then its packages (transitively flattened). */
   def allProjects: Seq[Project] = this +: packages
+
+  /** CLI `--vars` overlay (reference: io_args.rs `vars`, resolved with
+    * highest precedence in crates/dbt-jinja-utils/src/var_fn.rs): merged
+    * over every project's vars — dbt CLI vars are global, they override
+    * package vars too. */
+  def withCliVars(cli: Map[String, Any]): Project =
+    if (cli.isEmpty) this
+    else copy(vars = vars ++ cli, packages = packages.map(_.withCliVars(cli)))
 }
 
 object ProjectLoader {
@@ -307,6 +322,8 @@ object ProjectLoader {
             .exists(v => Yaml.str(v).toBoolean)
         case _ => false
       },
+      onRunStart = Yaml.dig(cfg, "on-run-start").map(Yaml.strSeq).getOrElse(Nil),
+      onRunEnd = Yaml.dig(cfg, "on-run-end").map(Yaml.strSeq).getOrElse(Nil),
       packages = packages.distinctBy(_.name))
   }
 }

@@ -567,6 +567,7 @@ final class Runner(
     val results = new ConcurrentHashMap[String, NodeResult]()
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+    runProjectHooks(project.onRunStart, "on-run-start", Nil)
     try {
       sliced.topologicalLevels().foreach { level =>
         val futures = level.map { id =>
@@ -595,8 +596,51 @@ final class Runner(
     } finally pool.shutdown()
 
     val out = results.values().asScala.toSeq.sortBy(_.uniqueId)
+    runProjectHooks(project.onRunEnd, "on-run-end", out)
     stateDir.foreach(saveState(out, _))
     out
+  }
+
+  /** Project-level `on-run-start` / `on-run-end` hooks (reference:
+    * MA/materializations/hooks.sql + the OnRunStartEnd node kind in
+    * crates/dbt-schemas/src/schemas/nodes.rs): each entry is Jinja-rendered
+    * with the run context — macros from the prelude ARE available — and
+    * executed as SQL; blank renders (macro-only hooks like
+    * `{{ log(...) }}`) are skipped. on-run-end additionally binds
+    * `results` (list of {node, status, execution_time, message}) and
+    * `schemas` (distinct schemas the run wrote to), matching dbt's
+    * on-run-end context. */
+  private def runProjectHooks(hooks: Seq[String], phase: String,
+      results: Seq[NodeResult]): Unit = {
+    if (hooks.isEmpty) return
+    val rel = Relation(targetSchema, s"__${phase.replace('-', '_')}__")
+    val schemas = results.flatMap(r => resolved.nodes.get(r.uniqueId))
+      .flatMap(_.relation).map(_.schema).distinct.sorted
+    val resultObjs: Vector[Any] = results.map { r =>
+      Map(
+        "node" -> resolved.nodes.get(r.uniqueId).map(n => Map(
+          "unique_id" -> n.uniqueId, "name" -> n.name,
+          "relation_name" -> n.relation.map(_.fqn).orNull)).getOrElse(Map.empty),
+        "status" -> r.status,
+        "message" -> r.message,
+        "execution_time" -> r.executionTimeMs / 1000.0): Any
+    }.toVector
+    val bindings = DbtContext.runContext(adapter, rel,
+      (pk, n) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n))
+        .flatMap(_.relation).map(_.fqn).getOrElse(n),
+      sourceSql,
+      isIncremental = false, Map.empty, project.vars) ++ Map(
+      "results" -> resultObjs,
+      "schemas" -> schemas.toVector,
+      "database_schemas" -> schemas.toVector)
+    hooks.zipWithIndex.foreach { case (hook, i) =>
+      val sql =
+        try Jinja.render(macroPrelude + hook, bindings).trim
+        catch { case Jinja.ReturnValue(v) => Jinja.stringify(v).trim }
+      if (sql.nonEmpty) adapter.execute(sql, fetch = false)
+      else System.err.println(
+        s"[$phase] hook ${i + 1} rendered empty — skipped execute")
+    }
   }
 
   // ---- smart reuse state (reference: Changeset changeset.rs:10-18,

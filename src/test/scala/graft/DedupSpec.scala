@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.Dedup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Dedup operator shape + semantics tests: the blocked exact embedding
@@ -140,6 +141,44 @@ class DedupSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     // the small side really is exploded saltFactor ways
     assert(salted.queryExecution.executedPlan.toString.contains("Generate explode"))
+  }
+
+  test("connected components label every cluster with its minimum id") {
+    import spark.implicits._
+    // two chains (multi-round propagation), one triangle, one isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),      // chain 1..5
+      (10L, 11L), (11L, 12L),                      // chain 10..12
+      (20L, 21L), (21L, 22L), (20L, 22L),          // triangle
+      (30L, 31L)                                   // pair
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("connected components handle a long chain within the iteration cap") {
+    import spark.implicits._
+    // a 64-node path: worst case for plain propagation (diameter 63);
+    // pointer jumping must converge it well inside maxIterations
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIterations = 12)
+    assert(cc.filter(col("component_id") =!= 0L).isEmpty)
+    assert(cc.count() == 64)
+  }
+
+  test("canonicalCorpus keeps one doc per cluster with cluster sizes") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.canonicalCorpus(docs, pairs, "doc_id")
+      .select("doc_id", "n_dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L, 8L -> 1L))
   }
 
   test("banded LSH embedding dedup recovers planted near-dups via equi-join") {

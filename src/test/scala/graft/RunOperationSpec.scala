@@ -112,11 +112,74 @@ class RunOperationSpec extends AnyFunSuite {
     assert(Main.run(spark, args0.copy(command = "retry")) == 0)
   }
 
+  test("on-run-start/on-run-end hooks run once per invocation with results") {
+    val proj = Files.createTempDirectory("graft_runhooks")
+    write(proj, "dbt_project.yml",
+      """name: hookdemo
+        |model-paths: ["models"]
+        |on-run-start:
+        |  - "create schema if not exists g_runhooks_audit"
+        |  - "create or replace view g_runhooks_audit.started as select 1 as ok"
+        |on-run-end:
+        |  - "{{ log_results(results, schemas) }}"
+        |""".stripMargin)
+    write(proj, "models/h1.sql", "select 1 as id\n")
+    write(proj, "models/h2.sql", "select * from {{ ref('h1') }}\n")
+    write(proj, "macros/log_results.sql",
+      """{% macro log_results(results, schemas) %}
+        |  {% set good = results | selectattr('status', 'equalto', 'success') | list %}
+        |  create or replace view g_runhooks_audit.summary as
+        |  select {{ good | length }} as n_success,
+        |         {{ results | length }} as n_total,
+        |         '{{ schemas | join(",") }}' as schemas
+        |{% endmacro %}
+        |""".stripMargin)
+    val schema = "g_runhooks"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS `${schema}_audit` CASCADE")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema)
+    r.run()
+    // on-run-start ran before the models (view exists)
+    assert(spark.sql("select ok from g_runhooks_audit.started").count() == 1)
+    // on-run-end saw both results and the schema set
+    val row = spark.sql(
+      "select n_success, n_total, schemas from g_runhooks_audit.summary")
+      .collect().head
+    assert(row.getInt(0) == 2 && row.getInt(1) == 2)
+    assert(row.getString(2) == schema)
+  }
+
   test("CLI arg parsing: run-operation <macro> --args dict") {
     val a = graft.cli.Main.parseArgs(Array(
       "run-operation", "make_audit", "--args", "{schema_name: s1, n: 5}"))
     assert(a.command == "run-operation")
     assert(a.macroName.contains("make_audit"))
     assert(a.macroArgs("schema_name") == "s1")
+  }
+
+  test("--vars overlays project and package vars with highest precedence") {
+    val a = graft.cli.Main.parseArgs(Array(
+      "run", "--vars", "{cutoff: 42, label: hot}"))
+    assert(a.cliVars == Map("cutoff" -> 42L, "label" -> "hot"))
+
+    val proj = Files.createTempDirectory("graft_vars")
+    write(proj, "dbt_project.yml",
+      """name: varsdemo
+        |model-paths: ["models"]
+        |vars:
+        |  cutoff: 1
+        |  keep: base
+        |""".stripMargin)
+    write(proj, "models/v1.sql",
+      "select {{ var('cutoff') }} as cutoff, '{{ var('keep') }}' as keep\n")
+    val schema = "g_vars"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val project = ProjectLoader.load(proj.toString)
+      .withCliVars(Map("cutoff" -> 42L))
+    new Runner(spark, project, targetSchema = schema).run()
+    val row = spark.sql(s"select cutoff, keep from $schema.v1").collect().head
+    // CLI wins on collision; untouched project vars survive
+    assert(row.get(0).toString == "42" && row.getString(1) == "base")
   }
 }
