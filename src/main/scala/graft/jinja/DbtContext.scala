@@ -10,7 +10,10 @@ import scala.collection.mutable
   * `SqlResource` equivalents (reference:
   * crates/dbt-jinja-utils/src/phases/parse/sql_resource.rs:12-36). */
 final case class ParseHarvest(
-    refs: Seq[(Option[String], String)],
+    /** (package, name, version) — version from the `v=`/`version=` kwarg
+      * of ref() (reference: versioned models, dbt-schemas nodes.rs
+      * DbtModel version/latest_version). */
+    refs: Seq[(Option[String], String, Option[String])],
     sources: Seq[(String, String)],
     configs: Map[String, Any])
 
@@ -154,7 +157,7 @@ object DbtContext {
       env: Map[String, String] = sys.env,
       flags: Map[String, Any] = Map.empty):
       (Map[String, Any], () => ParseHarvest) = {
-    val refs = mutable.ArrayBuffer.empty[(Option[String], String)]
+    val refs = mutable.ArrayBuffer.empty[(Option[String], String, Option[String])]
     val sources = mutable.ArrayBuffer.empty[(String, String)]
     val configs = mutable.LinkedHashMap.empty[String, Any]
     val bindings = common(vars, env, flags) ++ Map(
@@ -164,7 +167,7 @@ object DbtContext {
           case Seq(p, n) => (Some(p), n)
           case _ => throw JinjaError("ref() takes 1 or 2 args")
         }
-        refs += ((pkg, name))
+        refs += ((pkg, name, refVersion(kw)))
         s"__ref__${name}__"
       },
       "source" -> JFunc { (a, _) =>
@@ -220,12 +223,18 @@ object DbtContext {
     }
   }
 
-  /** Run-phase context. `resolveRef` maps a (package, name) to the rendered
-    * relation text (FQN or CTE name); throws on undeclared edges. */
+  /** `v=` / `version=` kwarg of ref(), normalized: dbt accepts int or
+    * string versions; "2" and 2 name the same version. */
+  private def refVersion(kw: Map[String, Any]): Option[String] =
+    kw.get("v").orElse(kw.get("version")).map(String.valueOf)
+
+  /** Run-phase context. `resolveRef` maps a (package, name, version) to
+    * the rendered relation text (FQN or CTE name); throws on undeclared
+    * edges. */
   def runContext(
       adapter: SparkAdapter,
       thisRel: Relation,
-      resolveRef: (Option[String], String) => String,
+      resolveRef: (Option[String], String, Option[String]) => String,
       resolveSource: (String, String) => String,
       isIncremental: Boolean,
       configValues: Map[String, Any],
@@ -235,10 +244,10 @@ object DbtContext {
     val results = mutable.Map.empty[String, AgateObj]
     val store = mutable.LinkedHashMap.empty[String, Any] ++ configValues
     common(vars, env, flags) ++ Map(
-      "ref" -> JFunc { (a, _) =>
+      "ref" -> JFunc { (a, kw) =>
         a.map(_.toString) match {
-          case Seq(n) => resolveRef(None, n)
-          case Seq(p, n) => resolveRef(Some(p), n)
+          case Seq(n) => resolveRef(None, n, refVersion(kw))
+          case Seq(p, n) => resolveRef(Some(p), n, refVersion(kw))
           case _ => throw JinjaError("ref() takes 1 or 2 args")
         }
       },

@@ -36,24 +36,43 @@ object Resolver {
       sourceEventTimes: Map[(String, String), String] = Map.empty,
       /** (source, table) → freshness rules, only for tables that declare
         * (or inherit) a freshness block. */
-      sourceFreshness: Map[(String, String), SourceFreshness] = Map.empty) {
+      sourceFreshness: Map[(String, String), SourceFreshness] = Map.empty,
+      /** Versioned models (reference: nodes.rs DbtModel version /
+        * latest_version; ref resolution dbt-jinja-utils ref with v=):
+        * (package, logical name) → (latest unique_id, version → unique_id). */
+      modelVersions: Map[(String, String), (String, Map[String, String])] =
+        Map.empty) {
 
-    /** `ref('x')` / `ref('pkg', 'x')` → unique id, with dbt's resolution
-      * order: explicit package wins; else the referencing node's own
-      * package; else a unique global match (reference:
-      * compile_node_context.rs ref resolution). */
+    /** `ref('x')` / `ref('pkg', 'x')` [/ `v=N`] → unique id, with dbt's
+      * resolution order: explicit package wins; else the referencing
+      * node's own package; else a unique global match (reference:
+      * compile_node_context.rs ref resolution). A versioned name resolves
+      * to its latest version unless `v=`/`version=` pins one. */
     def refUniqueId(currentPkg: String, pkg: Option[String],
-        name: String): String = pkg match {
-      case Some(p) => s"model.$p.$name"
-      case None =>
-        val owners = modelOwners.getOrElse(name, Nil)
-        if (owners.contains(currentPkg)) s"model.$currentPkg.$name"
-        else owners match {
-          case Seq(only) => s"model.$only.$name"
-          case Nil => s"model.$currentPkg.$name" // let downstream error
-          case many => throw new IllegalStateException(
-            s"ref('$name') is ambiguous across packages: ${many.mkString(", ")}")
+        name: String, version: Option[String] = None): String = {
+      val owner = pkg match {
+        case Some(p) => p
+        case None =>
+          val owners = modelOwners.getOrElse(name, Nil)
+          if (owners.contains(currentPkg)) currentPkg
+          else owners match {
+            case Seq(only) => only
+            case Nil => currentPkg // let downstream error
+            case many => throw new IllegalStateException(
+              s"ref('$name') is ambiguous across packages: ${many.mkString(", ")}")
+          }
+      }
+      modelVersions.get((owner, name)) match {
+        case Some((latestUid, byVersion)) => version match {
+          case None => latestUid
+          case Some(v) => byVersion.getOrElse(v, throw new IllegalStateException(
+            s"ref('$name', v=$v): unknown version (has: ${byVersion.keys.toSeq.sorted.mkString(", ")})"))
         }
+        case None =>
+          version.foreach(v => throw new IllegalStateException(
+            s"ref('$name', v=$v): model is not versioned"))
+          s"model.$owner.$name"
+      }
     }
   }
 
@@ -65,10 +84,64 @@ object Resolver {
     // Runner uses for its prelude)
     val macroPrelude =
       (project.packages ++ Seq(project)).flatMap(_.macroSources).mkString("\n")
+    // --- versioned models (reference: dbt model versions; nodes.rs
+    // version/latest_version, ref(..., v=N) resolution) ------------------
+    // (pkg, logical name) → (latest version, [(v, backing file, v-config)])
+    val versionDecls: Map[(String, String), (String, Seq[(String, String, Map[String, Any])])] =
+      projects.flatMap { proj =>
+        proj.properties.flatMap { props =>
+          Yaml.dig(props, "models").toSeq.flatMap {
+            case ms: Seq[_] => ms.flatMap {
+              case m: Map[_, _] =>
+                val mm = m.asInstanceOf[Map[String, Any]]
+                val name = Yaml.str(mm("name"))
+                Yaml.dig(mm, "versions") match {
+                  case Some(vs: Seq[_]) if vs.nonEmpty =>
+                    val versions = vs.collect { case vm: Map[_, _] =>
+                      val vmm = vm.asInstanceOf[Map[String, Any]]
+                      val v = Yaml.str(vmm("v"))
+                      // backing file: defined_in > <name>_v<N> > <name>
+                      val file = Yaml.dig(vmm, "defined_in").map(Yaml.str)
+                        .getOrElse {
+                          val cand = s"${name}_v$v"
+                          if (proj.models.contains(cand)) cand else name
+                        }
+                      val vcfg = Yaml.dig(vmm, "config")
+                        .map(_.asInstanceOf[Map[String, Any]])
+                        .getOrElse(Map.empty)
+                      (v, file, vcfg)
+                    }
+                    val latest = Yaml.dig(mm, "latest_version").map(Yaml.str)
+                      .getOrElse(versions.map(_._1).maxBy(v =>
+                        try v.toDouble catch { case _: NumberFormatException => 0.0 }))
+                    Seq((proj.name, name) -> ((latest, versions)))
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
+            case _ => Nil
+          }
+        }
+      }.toMap
+    val modelVersions: Map[(String, String), (String, Map[String, String])] =
+      versionDecls.map { case ((pkg, name), (latest, versions)) =>
+        val byV = versions.map { case (v, _, _) =>
+          v -> s"model.$pkg.$name.v$v" }.toMap
+        (pkg, name) -> ((byV.getOrElse(latest, byV.values.head), byV))
+      }
+    // files consumed by a version declaration don't also become plain nodes
+    val versionBackingFiles: Map[String, Set[String]] =
+      versionDecls.toSeq.groupBy(_._1._1).view
+        .mapValues(_.flatMap(_._2._2.map(_._2)).toSet).toMap
+
     val modelOwners: Map[String, Seq[String]] =
-      projects.flatMap(p => p.models.keys.map(_ -> p.name))
+      (projects.flatMap(p => p.models.keys
+        .filterNot(versionBackingFiles.getOrElse(p.name, Set.empty))
+        .map(_ -> p.name)) ++
+        versionDecls.keys.map { case (pkg, name) => name -> pkg })
         .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
-    val protoResolved = Resolved(project, Map.empty, Map.empty, modelOwners)
+    val protoResolved = Resolved(project, Map.empty, Map.empty, modelOwners,
+      modelVersions = modelVersions)
 
     // --- sources from properties files (all packages) ------------------
     def freshnessWindow(m: Map[String, Any], key: String): Option[(Long, String)] =
@@ -200,39 +273,67 @@ object Resolver {
       }.toMap
 
     // --- models (per package) -----------------------------------------
-    val modelNodes = projects.flatMap { proj =>
-      proj.models.map { case (name, raw) =>
-        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
-        try Jinja.render(macroPrelude + raw, bindings)
-        catch {
-          case e: Jinja.JinjaError =>
-            throw new IllegalArgumentException(s"model $name: ${e.msg}", e)
-        }
-        val h = harvest()
-        val projCfg = projectTreeConfig(proj.modelConfigs,
-          pathSegments(proj, name))
-        val merged = projCfg ++ propConfigs.getOrElse(name, Map.empty) ++ h.configs
-        val cfg = toNodeConfig(merged)
-          .copy(contractColumns = propColumns.getOrElse(name, Nil))
-        val schema = cfg.schema.getOrElse(targetSchema)
-        val ident = cfg.alias.getOrElse(name)
-        Node(
-          uniqueId = s"model.${proj.name}.$name",
-          name = name,
-          packageName = proj.name,
-          kind = NodeKind.Model,
-          rawSql = raw,
-          path = proj.modelFiles.getOrElse(name, ""),
-          config = cfg,
-          dependsOn =
-            h.refs.map { case (pk, n) =>
-              protoResolved.refUniqueId(proj.name, pk, n) } ++
-              h.sources.map { case (s, t) => s"source.$s.$t" },
-          relation = Some(Relation(schema, ident)),
-          description = propDescriptions.get(name).map(_._1).getOrElse(""),
-          columns = propDescriptions.get(name).map(_._2).getOrElse(Map.empty),
-          checksum = graft.jinja.Json.md5(raw + Yaml.str(merged)))
+    // One builder serves both plain and versioned nodes: a version is a
+    // plain model with its own unique_id suffix, `_v<N>` default alias,
+    // and version/latest_version surfaced in config.extra (where the
+    // `version:` selector method reads them).
+    def buildModelNode(proj: Project, name: String, fileKey: String,
+        raw: String, version: Option[String], latest: Option[String],
+        versionCfg: Map[String, Any]): Node = {
+      val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+      try Jinja.render(macroPrelude + raw, bindings)
+      catch {
+        case e: Jinja.JinjaError =>
+          throw new IllegalArgumentException(s"model $name: ${e.msg}", e)
       }
+      val h = harvest()
+      val projCfg = projectTreeConfig(proj.modelConfigs,
+        pathSegments(proj, fileKey))
+      val versionExtras: Map[String, Any] = version match {
+        case Some(v) => Map("version" -> v, "latest_version" -> latest.getOrElse(v))
+        case None => Map.empty
+      }
+      val merged = projCfg ++ propConfigs.getOrElse(name, Map.empty) ++
+        versionCfg ++ h.configs ++ versionExtras
+      val cfg = toNodeConfig(merged)
+        .copy(contractColumns = propColumns.getOrElse(name, Nil))
+      val schema = cfg.schema.getOrElse(targetSchema)
+      val ident = cfg.alias.getOrElse(version.fold(name)(v => s"${name}_v$v"))
+      Node(
+        uniqueId = version.fold(s"model.${proj.name}.$name")(v =>
+          s"model.${proj.name}.$name.v$v"),
+        name = name,
+        packageName = proj.name,
+        kind = NodeKind.Model,
+        rawSql = raw,
+        path = proj.modelFiles.getOrElse(fileKey, ""),
+        config = cfg,
+        dependsOn =
+          h.refs.map { case (pk, n, v) =>
+            protoResolved.refUniqueId(proj.name, pk, n, v) } ++
+            h.sources.map { case (s, t) => s"source.$s.$t" },
+        relation = Some(Relation(schema, ident)),
+        description = propDescriptions.get(name).map(_._1).getOrElse(""),
+        columns = propDescriptions.get(name).map(_._2).getOrElse(Map.empty),
+        checksum = graft.jinja.Json.md5(raw + Yaml.str(merged) +
+          version.getOrElse("")))
+    }
+    val modelNodes = projects.flatMap { proj =>
+      val backing = versionBackingFiles.getOrElse(proj.name, Set.empty)
+      val plain = proj.models.view.filterKeys(!backing(_)).map {
+        case (name, raw) =>
+          buildModelNode(proj, name, name, raw, None, None, Map.empty)
+      }
+      val versioned = versionDecls.collect {
+        case ((pkg, name), (latest, versions)) if pkg == proj.name =>
+          versions.map { case (v, file, vcfg) =>
+            val raw = proj.models.getOrElse(file,
+              throw new IllegalArgumentException(
+                s"versioned model $name v$v: no model file '$file'"))
+            buildModelNode(proj, name, file, raw, Some(v), Some(latest), vcfg)
+          }
+      }.flatten
+      plain ++ versioned
     }
 
     // --- seeds --------------------------------------------------------
@@ -283,8 +384,8 @@ object Resolver {
           rawSql = raw,
           config = cfg0.copy(materialized = "snapshot", snapshot = Some(snapCfg)),
           dependsOn =
-            h.refs.map { case (pk, n) =>
-              protoResolved.refUniqueId(proj.name, pk, n) } ++
+            h.refs.map { case (pk, n, v) =>
+              protoResolved.refUniqueId(proj.name, pk, n, v) } ++
               h.sources.map { case (s, t) => s"source.$s.$t" },
           relation = Some(Relation(cfg0.schema.getOrElse(targetSchema),
             cfg0.alias.getOrElse(name))))
@@ -338,8 +439,8 @@ object Resolver {
           rawSql = raw,
           config = cfg,
           dependsOn =
-            h.refs.map { case (pk, n) =>
-              protoResolved.refUniqueId(proj.name, pk, n) } ++
+            h.refs.map { case (pk, n, v) =>
+              protoResolved.refUniqueId(proj.name, pk, n, v) } ++
               h.sources.map { case (s, t) => s"source.$s.$t" },
           relation = Some(Relation(targetSchema + "_failures", name)),
           columns = Map("test_kind" -> "singular"))
@@ -359,8 +460,8 @@ object Resolver {
           kind = NodeKind.Analysis,
           rawSql = raw,
           dependsOn =
-            h.refs.map { case (pk, n) =>
-              protoResolved.refUniqueId(proj.name, pk, n) } ++
+            h.refs.map { case (pk, n, v) =>
+              protoResolved.refUniqueId(proj.name, pk, n, v) } ++
               h.sources.map { case (s, t) => s"source.$s.$t" },
           relation = Some(Relation(targetSchema, name)))
       }
@@ -399,7 +500,7 @@ object Resolver {
       semanticModelNodes).map(n => n.uniqueId -> n).toMap
     checkRelationUniqueness(all)
     Resolved(project, all, sources, modelOwners, sourceEventTimes,
-      sourceFreshness)
+      sourceFreshness, modelVersions)
   }
 
   private val refStrRe =

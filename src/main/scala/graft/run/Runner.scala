@@ -94,8 +94,9 @@ final class Runner(
             s"AND `$et` < TIMESTAMP '$be')"
         case _ => relSql
       }
-    def resolveRef(pkg: Option[String], name: String): String = {
-      val uid = resolved.refUniqueId(node.packageName, pkg, name)
+    def resolveRef(pkg: Option[String], name: String,
+        version: Option[String]): String = {
+      val uid = resolved.refUniqueId(node.packageName, pkg, name, version)
       if (!node.dependsOn.contains(uid))
         throw new IllegalStateException(
           s"node ${node.uniqueId} refs undeclared '$name' — not in depends_on")
@@ -164,7 +165,7 @@ final class Runner(
           val macroRenderer = Some((macroName: String, args: Map[String, Any]) =>
             Jinja.render(macroPrelude + s"{{ $macroName(arg_dict) }}",
               DbtContext.runContext(adapter, node.relation.get,
-                (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
+                (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n, v))
                   .flatMap(_.relation).map(_.fqn).getOrElse(n),
                 sourceSql,
                 isIncremental = true, node.config.extra, project.vars) +
@@ -258,7 +259,7 @@ final class Runner(
   def compileInline(raw: String): String = {
     val rel = Relation(targetSchema, "__inline__")
     val bindings = DbtContext.runContext(adapter, rel,
-      (pk, n) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n))
+      (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, Map.empty, project.vars)
@@ -275,7 +276,7 @@ final class Runner(
   def runOperation(macroName: String, args: Map[String, Any] = Map.empty): String = {
     val rel = Relation(targetSchema, "__run_operation__")
     val bindings = DbtContext.runContext(adapter, rel,
-      (pk, n) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n))
+      (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, Map.empty, project.vars) +
@@ -436,7 +437,7 @@ final class Runner(
           "none of which match 'spark' or 'default'")
     val existing = adapter.getRelation(rel.schema, rel.identifier)
     val bindings = DbtContext.runContext(adapter, rel,
-      (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
+      (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, node.config.extra, project.vars) ++ Map(
@@ -469,7 +470,7 @@ final class Runner(
 
   private def renderHook(hook: String, node: Node): String =
     Jinja.render(hook, DbtContext.runContext(adapter, node.relation.get,
-      (pk, n) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n))
+      (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, node.config.extra, project.vars))
@@ -626,7 +627,7 @@ final class Runner(
         "execution_time" -> r.executionTimeMs / 1000.0): Any
     }.toVector
     val bindings = DbtContext.runContext(adapter, rel,
-      (pk, n) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n))
+      (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, Map.empty, project.vars) ++ Map(

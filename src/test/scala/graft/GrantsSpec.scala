@@ -82,7 +82,7 @@ class GrantsSpec extends AnyFunSuite {
   test("standardize_grants_dict macro function mirrors show-grants output") {
     val a = new graft.adapter.SparkAdapter(spark, "g_grants_sgd")
     val bindings = DbtContext.runContext(a, graft.core.Relation("s", "t"),
-      (_, n) => n, (s, t) => s"$s.$t", isIncremental = false,
+      (_, n, _) => n, (s, t) => s"$s.$t", isIncremental = false,
       Map.empty, Map.empty)
     val out = Jinja.render(
       """{% set g = adapter.standardize_grants_dict({'SELECT': 'bob'}) %}{{ g['select'][0] }}""",

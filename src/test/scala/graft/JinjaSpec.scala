@@ -88,7 +88,7 @@ class JinjaSpec extends AnyFunSuite {
         "join {{ source('tpch', 'nation') }} where x = {{ var('v1') }}",
       bindings)
     val h = harvest()
-    assert(h.refs == Seq((None, "stg_orders")))
+    assert(h.refs == Seq((None, "stg_orders", None)))
     assert(h.sources == Seq(("tpch", "nation")))
     assert(h.configs == Map("materialized" -> "incremental", "unique_key" -> "id"))
     assert(out.contains("__ref__stg_orders__"))

@@ -158,6 +158,48 @@ class RunOperationSpec extends AnyFunSuite {
     assert(a.macroArgs("schema_name") == "s1")
   }
 
+  test("versioned models: ref() → latest, ref(v=N) pins, _vN aliases") {
+    val proj = Files.createTempDirectory("graft_mver")
+    write(proj, "dbt_project.yml",
+      """name: verdemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/dim_v1.sql", "select 1 as id, 'one' as label\n")
+    write(proj, "models/dim_v2.sql",
+      "select 1 as id, 'one' as label, 'x' as extra\n")
+    write(proj, "models/schema.yml",
+      """models:
+        |  - name: dim
+        |    latest_version: 2
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |""".stripMargin)
+    write(proj, "models/use_latest.sql",
+      "select count(*) as n, max(extra) as e from {{ ref('dim') }}\n")
+    write(proj, "models/use_pinned.sql",
+      "select count(*) as n from {{ ref('dim', v=1) }}\n")
+    val schema = "g_mver"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema)
+    // unique ids carry the version; both versions materialize as _vN
+    assert(r.resolved.nodes.contains("model.verdemo.dim.v1"))
+    assert(r.resolved.nodes.contains("model.verdemo.dim.v2"))
+    assert(!r.resolved.nodes.contains("model.verdemo.dim_v1"))
+    val results = r.run()
+    assert(results.forall(_.status == "success"), results.mkString("\n"))
+    assert(spark.table(s"$schema.dim_v1").columns.length == 2)
+    assert(spark.table(s"$schema.dim_v2").columns.length == 3)
+    // ref('dim') saw v2 (has `extra`); ref('dim', v=1) saw v1
+    assert(spark.table(s"$schema.use_latest").collect().head.getString(1) == "x")
+    assert(spark.table(s"$schema.use_pinned").collect().head.getLong(0) == 1L)
+    // version selector method reads config.extra
+    val v1 = r.resolved.nodes("model.verdemo.dim.v1")
+    assert(v1.config.extra("version") == "1")
+    assert(v1.config.extra("latest_version") == "2")
+  }
+
   test("--vars overlays project and package vars with highest precedence") {
     val a = graft.cli.Main.parseArgs(Array(
       "run", "--vars", "{cutoff: 42, label: hot}"))
