@@ -494,6 +494,51 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Indices of the `nprobe` nearest centroids by EXACT-decimal squared L2
+    * distance, ascending (ties → lower centroid index). One map-side pass
+    * per row against a driver-precomputed k×dim centroid matrix — the IVF
+    * coarse-quantizer shape: at scale this broadcasts k·dim doubles inside
+    * the expression and never shuffles the corpus.
+    *
+    * Numeric contract (same as DotExact, mirrored by the DuckDB oracle):
+    * per-dimension (CAST(x AS DOUBLE) − c)² is IEEE-exact up to one
+    * deterministic rounding, then CAST(… AS DECIMAL(38,18)) (HALF_UP) and
+    * exact decimal summation — no float-sum order sensitivity, so argmin
+    * is bit-identical across engines. `centroids` is IndexedSeq for the
+    * structural case-class equality Catalyst canonicalization needs. */
+  case class NearestCentroids(child: Expression,
+      centroids: IndexedSeq[IndexedSeq[Double]], nprobe: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val cs: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData].toFloatArray()
+      val dists = new Array[java.math.BigDecimal](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val cd = cs(c)
+        var sum = java.math.BigDecimal.ZERO
+        val n = math.min(v.length, cd.length)
+        var d = 0
+        while (d < n) {
+          val diff = v(d).toDouble - cd(d)
+          sum = sum.add(new java.math.BigDecimal(diff * diff)
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          d += 1
+        }
+        dists(c) = sum
+        c += 1
+      }
+      val order = (0 until cs.length).sortBy(i => (dists(i), i))(
+        Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal](identity),
+          Ordering.Int))
+      new GenericArrayData(order.take(nprobe).toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column wrappers --------------------------------------------------
 
   private def wrap(e: Expression): Column =
@@ -525,6 +570,10 @@ object PipelineExpressions {
     wrap(HyperplaneSig(expression(c), weights.map(_.toIndexedSeq).toIndexedSeq))
   def hyperplane_band_sigs(c: Column, weights: Array[Array[Long]], r: Int): Column =
     wrap(HyperplaneBandSigs(expression(c), weights.map(_.toIndexedSeq).toIndexedSeq, r))
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column =
+    wrap(NearestCentroids(expression(c),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)

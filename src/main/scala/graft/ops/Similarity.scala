@@ -125,4 +125,75 @@ object Similarity {
       nlist: Int): DataFrame =
     df.select(col(idCol).as("id"),
       (hyperplaneSignature(vecCol, 30) % nlist).as("centroid"))
+
+  /** Deterministic Lloyd's k-means over an embedding column — the real
+    * IVF coarse quantizer (FAISS IVF training, expressed Spark-first).
+    *
+    * Determinism (what makes the DuckDB oracle possible): init = the
+    * vectors of the k SMALLEST ids; assignment = exact-decimal squared-L2
+    * argmin (NearestCentroids numeric contract, ties → lower index);
+    * update = per-(cluster, dim) decimal-exact sum (order-independent)
+    * cast to double, divided by the cluster count (one IEEE division).
+    * Every step is bit-reproducible regardless of partitioning.
+    *
+    * Scale shape: assignment is one map-side pass against broadcast
+    * centroids (k·dim doubles ride inside the expression); the update
+    * shuffles only k×dim partial decimal sums per partition (posexplode +
+    * hash partial-agg on (cid, d)), never vectors; the driver holds k×dim
+    * doubles per round. Empty clusters keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        .select(PipelineExpressions
+          .nearest_centroids(col(vecCol), centroids, 1)(0).as("cid"),
+          posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val (cid, d) = (r.getInt(0), r.getInt(1))
+        next(cid)(d) = r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF top-k search: train `nlist` centroids on the corpus, assign each
+    * corpus vector to its nearest list map-side, probe the `nprobe`
+    * nearest lists per query, exact-cosine rerank within the probed lists.
+    * Approximate in recall (a true neighbor in an unprobed list is
+    * missed) but fully deterministic, so the whole pipeline — training
+    * included — is oracle-checkable. At 100 TB: no corpus shuffle beyond
+    * the k×dim-per-partition training sums; candidates flow through one
+    * broadcast hash join on the list id. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 8,
+      nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    val c = Dedup.spread(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), normExact(vecCol).as("cn"),
+      PipelineExpressions.nearest_centroids(col(vecCol), centroids, 1)(0)
+        .as("cid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      normExact(vecCol).as("qn"),
+      explode(PipelineExpressions.nearest_centroids(col(vecCol), centroids,
+        nprobe)).as("cid"))
+    val scored = c.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFromParts("qv", "cv", "qn", "cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
 }

@@ -82,6 +82,16 @@ object PipelinePack extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN: deterministic k-means training + nprobe search — the whole
+    // pipeline (training included) is oracle-checked
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 2, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // language ID distribution
     "q_text_langid" -> ((s, dir) => {
       Dedup.spread(Tables(s, dir, "documents"))
@@ -275,7 +285,79 @@ object PipelinePack extends QueryPack {
        |$select
        |$order""".stripMargin
 
+  /** DuckDB mirror of Similarity.kmeansCentroids + ivfTopK: Lloyd's
+    * iterations unrolled as CTE chains (c0 → dist_i/asg_i → c_{i+1}),
+    * every accumulation in DECIMAL(38,18) exactly as the Spark
+    * expressions do it, so centroids, assignments, probes, and the final
+    * rerank are bit-identical. */
+  private def ivfSql(nlist: Int, nprobe: Int, iters: Int, k: Int): String = {
+    def distCte(n: Int) =
+      s"""dist$n AS (
+         |  SELECT e.vec_id, c.cid,
+         |    SUM(CAST((e.xd - c.val) * (e.xd - c.val) AS DECIMAL(38,18))) AS d2
+         |  FROM exd e JOIN c$n c ON c.i = e.i
+         |  GROUP BY e.vec_id, c.cid)""".stripMargin
+    def asgCte(n: Int) =
+      s"""asg$n AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dist$n) t WHERE rn = 1)""".stripMargin
+    def nextCte(n: Int) =
+      s"""c${n + 1} AS (
+         |  SELECT p.cid, p.i, COALESCE(m.mean, p.val) AS val
+         |  FROM c$n p LEFT JOIN (
+         |    SELECT a.cid, e.i,
+         |      CAST(SUM(CAST(e.xd AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean
+         |    FROM asg$n a JOIN exd e ON e.vec_id = a.vec_id
+         |    GROUP BY a.cid, e.i) m ON m.cid = p.cid AND m.i = p.i)""".stripMargin
+    val iterCtes = (0 until iters)
+      .map(n => s"${distCte(n)},\n${asgCte(n)},\n${nextCte(n)}").mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |exd AS (SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
+       |c0 AS (
+       |  SELECT CAST(r.rn - 1 AS INT) AS cid, e.i, e.xd AS val
+       |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |        FROM embeddings ORDER BY vec_id LIMIT $nlist) r
+       |  JOIN exd e ON e.vec_id = r.vec_id),
+       |$iterCtes,
+       |${distCte(iters)},
+       |${asgCte(iters)},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dist$iters WHERE vec_id % 100 = 0) t WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg$iters a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |dots AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(SUM(CAST(qa.xd * qb.xd AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM cand c JOIN exd qa ON qa.vec_id = c.query_id
+       |              JOIN exd qb ON qb.vec_id = c.neighbor_id AND qb.i = qa.i
+       |  GROUP BY c.query_id, c.neighbor_id),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(xd * xd AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+       |  FROM exd GROUP BY vec_id)
+       |SELECT * FROM (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY d.query_id
+       |      ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.neighbor_id) AS INT) AS rank
+       |  FROM dots d JOIN norms na ON na.vec_id = d.query_id
+       |              JOIN norms nb ON nb.vec_id = d.neighbor_id) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_ann_ivf" -> ivfSql(nlist = 8, nprobe = 2, iters = 2, k = 5),
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

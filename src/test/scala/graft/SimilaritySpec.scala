@@ -101,6 +101,55 @@ class SimilaritySpec extends AnyFunSuite {
         IndexedSeq(IndexedSeq(1L, 2L), IndexedSeq(3L, 4L))))
   }
 
+  test("k-means centroids are partition-invariant and clusters converge") {
+    import spark.implicits._
+    // 3 planted blobs: base vectors 0/1/2, each with 20 small perturbations
+    def blob(base: Int, seed: Int): Array[Float] = {
+      val b = vec(base)
+      val r = new scala.util.Random(seed)
+      b.map(x => x + (r.nextDouble() - 0.5).toFloat * 0.05f)
+    }
+    val rows = (0 until 60).map(i => (i.toLong, blob(i % 3, 7000 + i)))
+    val df1 = rows.toDF("vec_id", "embedding")
+    val df2 = rows.reverse.toDF("vec_id", "embedding").repartition(7)
+    val c1 = Similarity.kmeansCentroids(df1, "vec_id", "embedding", 3, 2)
+    val c2 = Similarity.kmeansCentroids(df2, "vec_id", "embedding", 3, 2)
+    // decimal-exact accumulation ⇒ bit-identical centroids no matter the
+    // partitioning or row order
+    assert(c1.length == 3)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    // every blob member lands with its own blob's majority cluster
+    val asg = df1.select(col("vec_id"),
+      graft.expressions.PipelineExpressions
+        .nearest_centroids(col("embedding"), c1, 1)(0).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 3).foreach { blobId =>
+      val members = (0 until 60).filter(_ % 3 == blobId).map(i => asg(i.toLong))
+      assert(members.distinct.size == 1,
+        s"blob $blobId split across clusters: $members")
+    }
+  }
+
+  test("ivfTopK recall vs brute force on clustered data") {
+    import spark.implicits._
+    val rows = (0 until 120).map { i =>
+      val base = vec(i % 6)
+      val r = new scala.util.Random(9000 + i)
+      (i.toLong, base.map(x => x + (r.nextDouble() - 0.5).toFloat * 0.05f))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id",
+      "embedding", k = 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, nlist = 6, nprobe = 2, iters = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8 (got ${ivf.size} rows)")
+  }
+
   test("lshTopK plan has no interpreted HOF signature math") {
     import spark.implicits._
     // go through parquet: ConvertToLocalRelation would eagerly evaluate
