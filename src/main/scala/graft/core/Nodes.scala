@@ -197,6 +197,13 @@ final case class Node(
     expectRows: Seq[Map[String, Any]] = Nil,
     // source freshness
     loadedAtField: Option[String] = None,
-    checksum: String = "") {
+    checksum: String = "",
+    /** Split checksums for the state:modified.body / .configs selector
+      * sub-methods (reference: dbt state method modified.body/configs —
+      * node_selector.rs state handling): body covers only the raw SQL,
+      * config only the resolved config. `checksum` remains the combined
+      * hash smart reuse keys on. Filled centrally in Resolver.resolve. */
+    checksumBody: String = "",
+    checksumConfig: String = "") {
   def isEphemeral: Boolean = config.materialized == "ephemeral"
 }

@@ -27,6 +27,12 @@ object StreamingPack extends QueryPack {
     "q_stream_sessionize" -> ((s, dir) => {
       StreamingOps.sessionize(s, dir, gapMinutes = 30)
         .orderBy("user_id", "session_start")
+    }),
+
+    // stream–static broadcast enrichment (stateless, append-exact)
+    "q_stream_enrich" -> ((s, dir) => {
+      StreamingOps.enrichWithStatic(s, dir)
+        .orderBy("event_id")
     })
   )
 
@@ -47,6 +53,12 @@ object StreamingPack extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.event_type, n.n_name, e.value
+        |FROM events e
+        |JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |ORDER BY e.event_id""".stripMargin,
 
     // gaps-and-islands sessionization; CAST(ts AS TIMESTAMP) truncates the
     // nanos column to micros exactly like the engine's `ts div 1000`. The

@@ -497,7 +497,9 @@ object Resolver {
 
     val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
       singularTestNodes ++ analysisNodes ++ exposureNodes ++ metricNodes ++
-      semanticModelNodes).map(n => n.uniqueId -> n).toMap
+      semanticModelNodes).map(n => n.uniqueId -> n.copy(
+        checksumBody = graft.jinja.Json.md5(n.rawSql),
+        checksumConfig = graft.jinja.Json.md5(n.config.toString))).toMap
     checkRelationUniqueness(all)
     Resolved(project, all, sources, modelOwners, sourceEventTimes,
       sourceFreshness, modelVersions)

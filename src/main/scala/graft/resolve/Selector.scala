@@ -241,6 +241,19 @@ object Selector {
         nodes.collect {
           case (id, n) if prevChecksums.get(id).forall(_ != n.checksum) => id
         }.toSet
+      // sub-methods (dbt state:modified.body / .configs): compare ONLY the
+      // raw-SQL or resolved-config checksum, recorded in the state file
+      // under `<id>#body` / `<id>#config` (Runner.saveState)
+      case "state" if value == "modified.body" =>
+        nodes.collect {
+          case (id, n) if prevChecksums.get(s"$id#body")
+            .forall(_ != n.checksumBody) => id
+        }.toSet
+      case "state" if value == "modified.configs" =>
+        nodes.collect {
+          case (id, n) if prevChecksums.get(s"$id#config")
+            .forall(_ != n.checksumConfig) => id
+        }.toSet
       case "state" if value == "new" =>
         nodes.collect {
           case (id, _) if !prevChecksums.contains(id) => id

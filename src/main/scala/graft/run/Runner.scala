@@ -699,10 +699,15 @@ final class Runner(
   private def saveState(results: Seq[NodeResult], dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     val prev = prevState()
-    val state = resolved.nodes.collect {
+    val state = resolved.nodes.toSeq.collect {
       case (id, n) if results.exists(r => r.uniqueId == id && r.status == "success") =>
-        id -> stateHash(n, prev)
-    }
+        // `id` keys the combined (node + upstream) hash for smart reuse;
+        // the `#body`/`#config` suffixed keys record the split checksums
+        // that power state:modified.body / state:modified.configs
+        Seq(id -> stateHash(n, prev),
+          s"$id#body" -> n.checksumBody,
+          s"$id#config" -> n.checksumConfig)
+    }.flatten.toMap
     // MERGE with the recorded state: a subset run (--select, retry) must
     // not destroy the hashes/statuses of nodes it didn't touch — doing so
     // made the next smart-reuse/state:modified/result: run rebuild the

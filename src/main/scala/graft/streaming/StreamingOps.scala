@@ -177,4 +177,36 @@ object StreamingOps {
     q.awaitTermination()
     spark.read.parquet(sink)
   }
+
+  /** Stream–static enrichment join: the stateless streaming shape — each
+    * micro-batch of the events stream hash-joins against a STATIC
+    * dimension snapshot (read per batch, broadcast by Catalyst since the
+    * dim is small). No state store, no watermark: at scale this is the
+    * standard "decorate the firehose" pattern, and the only shuffle is
+    * whatever the static side's broadcast costs. Inner join ⇒ append mode
+    * is exact; bounded input + AvailableNow ⇒ deterministic output set. */
+  def enrichWithStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = Files.createTempDirectory("graft_enrich_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_enrich_cp").toString
+
+    val dim = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = spark.readStream
+      .schema(rawEventsSchema)
+      .parquet(stageDir(sfDir))
+      .withColumn("nation_key", pmod(col("user_id"), lit(25)).cast("int"))
+      .join(dim, col("nation_key") === col("n_nationkey"))
+      .select(col("event_id"), col("event_type"), col("n_name"),
+        col("value"))
+
+    val q = enriched.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
 }

@@ -96,6 +96,24 @@ class ResolveSpec extends AnyFunSuite {
     assert(sel.contains("test.p.unique_mart_id")) // absent from prev = modified
   }
 
+  test("selector: state:modified.body / .configs compare split checksums") {
+    val withSums = nodes.map { case (id, n) =>
+      id -> n.copy(checksumBody = s"b_$id", checksumConfig = s"c_$id") }
+    val prev = Map(
+      "model.p.stg#body" -> "b_model.p.stg",     // body unchanged
+      "model.p.stg#config" -> "OLD",             // config changed
+      "model.p.mart#body" -> "OLD",              // body changed
+      "model.p.mart#config" -> "c_model.p.mart") // config unchanged
+    def sel(s: String) = Selector.select(Selector.parse(s), withSums,
+      Dag.fromNodes(withSums), prev)
+    assert(sel("state:modified.body").contains("model.p.mart"))
+    assert(!sel("state:modified.body").contains("model.p.stg"))
+    assert(sel("state:modified.configs").contains("model.p.stg"))
+    assert(!sel("state:modified.configs").contains("model.p.mart"))
+    // absent from prev state = modified under every sub-method
+    assert(sel("state:modified.body").contains("test.p.unique_mart_id"))
+  }
+
   test("@ operator") {
     def sel(s: String) = Selector.select(Selector.parse(s), nodes, ng)
     assert(sel("@stg") == Set("model.p.stg", "model.p.mart", "test.p.unique_mart_id"))
