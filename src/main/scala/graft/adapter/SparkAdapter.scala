@@ -308,9 +308,21 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     * `__dbt_tmp`, move current to `__dbt_backup`, rename tmp into place,
     * drop backup. Readers of the current table see either old or new. */
   def writeTableAtomic(df: DataFrame, rel: Relation,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil): Unit = {
+    // sort_by clustering: range-repartition on the sort keys, then sort
+    // within each task — every output file covers a DISJOINT key range and
+    // is internally ordered, so parquet row-group min/max stats prune
+    // selective scans to a handful of files (the warehouse clustering-key
+    // layout). Costs one range shuffle per build; skipped when absent.
+    val sorted =
+      if (sortBy.isEmpty) df
+      else {
+        val keys = sortBy.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`"))
+        df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      }
     def writer(target: Relation) = {
-      val w0 = df.write.format("parquet")
+      val w0 = sorted.write.format("parquet")
       (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
         .saveAsTable(target.fqn)
     }

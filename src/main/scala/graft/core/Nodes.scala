@@ -153,6 +153,13 @@ final case class NodeConfig(
     begin: Option[String] = None,
     // storage layout
     partitionBy: Seq[String] = Nil,
+    /** `sort_by:` — order rows within each written file so parquet
+      * row-group min/max stats are narrow and selective scans skip data
+      * (the Spark-side analogue of warehouse clustering keys; at 100 TB
+      * this is what makes `WHERE sort_key = x` read a fraction of the
+      * files). Applied via sortWithinPartitions before every table /
+      * incremental write — a per-partition sort, no extra shuffle. */
+    sortBy: Seq[String] = Nil,
     /** grants: privilege → grantees (reference: funcs.rs:406
       * standardize_grants_dict; MA/adapters/apply_grants.sql). Parsed and
       * surfaced in the manifest; application is a structured-warning no-op

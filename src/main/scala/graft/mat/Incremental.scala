@@ -66,7 +66,8 @@ object IncrementalMat extends Materialization {
 
     if (!exists || ctx.fullRefresh) {
       // First run / full refresh: plain CTAS (incremental.sql:17-25).
-      adapter.writeTableAtomic(bucketize(ctx.compiled()), target, cfg.partitionBy)
+      adapter.writeTableAtomic(bucketize(ctx.compiled()), target,
+        cfg.partitionBy, cfg.sortBy)
       return MatResult(target, "success",
         if (exists) "full refresh" else "first run: create table as select")
     }
@@ -192,7 +193,7 @@ object IncrementalMat extends Materialization {
             adapter.dropPartition(target, parts.zip(tup)))
         } finally { cached.unpersist(); () }
       case None =>
-        adapter.writeTableAtomic(result, target, cfg.partitionBy)
+        adapter.writeTableAtomic(result, target, cfg.partitionBy, cfg.sortBy)
     }
 
   /** MERGE semantics on parquet (default__get_merge_sql,

@@ -86,7 +86,7 @@ object TableMat extends Materialization {
   val name = "table"
   def run(ctx: MatContext): MatResult = {
     ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
-      ctx.config.partitionBy)
+      ctx.config.partitionBy, ctx.config.sortBy)
     MatResult(ctx.target, "success")
   }
 }
@@ -119,7 +119,7 @@ object MaterializedViewMat extends Materialization {
 
   private def build(ctx: MatContext): Unit = {
     ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
-      ctx.config.partitionBy)
+      ctx.config.partitionBy, ctx.config.sortBy)
     ctx.adapter.execute(
       s"ALTER TABLE ${ctx.target.fqn} SET TBLPROPERTIES ('$PropKey' = '${fingerprint(ctx)}')",
       fetch = false)

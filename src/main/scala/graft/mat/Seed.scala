@@ -21,7 +21,8 @@ object SeedMat extends Materialization {
 
   def run(ctx: MatContext): MatResult = {
     val df = load(ctx.spark, ctx.node.path, ctx.config)
-    ctx.adapter.writeTableAtomic(df, ctx.target, ctx.config.partitionBy)
+    ctx.adapter.writeTableAtomic(df, ctx.target, ctx.config.partitionBy,
+      ctx.config.sortBy)
     MatResult(ctx.target, "success", s"seed loaded from ${ctx.node.path}")
   }
 

@@ -654,6 +654,7 @@ object Resolver {
       lookback = m.get("lookback").map(Yaml.str(_).toInt).getOrElse(1),
       begin = s("begin"),
       partitionBy = m.get("partition_by").map(Yaml.strSeq).getOrElse(Nil),
+      sortBy = m.get("sort_by").map(Yaml.strSeq).getOrElse(Nil),
       grants = m.get("grants").map(standardizeGrants).getOrElse(Map.empty),
       columnTypes = m.get("column_types").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> Yaml.str(v) }).getOrElse(Map.empty),

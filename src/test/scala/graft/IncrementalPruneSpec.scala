@@ -205,4 +205,37 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", 2000), (2L, "x", 2001), (2L, "x", 2001), (3L, "c", 2001)))
     assert(filesOfPartition(a, rel, 2000) == before2000)
   }
+
+  test("sort_by orders rows within every written file (data-skipping layout)") {
+    import spark.implicits._
+    val a = freshAdapter("sortby")
+    val rel = Relation(a.defaultSchema, "clustered")
+    // shuffled input across several tasks — without sort_by each file
+    // would interleave keys and row-group min/max stats would span the
+    // whole domain
+    val df = new scala.util.Random(7).shuffle((0 until 4000).toList)
+      .map(i => (i.toLong, i % 13, s"p$i"))
+      .toDF("k", "grp", "payload").repartition(4)
+    // AQE would coalesce this tiny range shuffle to one 64 MB-target
+    // partition (correct at scale, defeats the multi-file assertion here)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try a.writeTableAtomic(df, rel, sortBy = Seq("k"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val perFile = a.read(rel)
+      .select(input_file_name().as("f"), col("k"))
+      .as[(String, Long)].collect().groupBy(_._1).values
+    assert(perFile.size > 1) // really multiple files
+    perFile.foreach { rows =>
+      val ks = rows.map(_._2).toSeq
+      assert(ks == ks.sorted, "file not sorted on k")
+    }
+    // disjoint file key-ranges ⇒ a point lookup touches exactly one file
+    val ranges = perFile.map(rows => (rows.map(_._2).min, rows.map(_._2).max))
+      .toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"overlapping ranges $ranges")
+      case _ =>
+    }
+  }
 }
