@@ -38,7 +38,10 @@ object Main {
       limit: Int = 5,
       /** --vars 'YAML/JSON dict': highest-precedence var() overlay,
         * global across packages (dbt CLI semantics). */
-      cliVars: Map[String, Any] = Map.empty)
+      cliVars: Map[String, Any] = Map.empty,
+      /** --empty: compile every ref()/source() to LIMIT 0 (schema-only
+        * dry run). */
+      empty: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -72,6 +75,7 @@ object Main {
         case "--inline" => a = a.copy(inline = Some(argv(i + 1))); i += 2
         case "--limit" => a = a.copy(limit = argv(i + 1).toInt); i += 2
         case "--defer" => a = a.copy(defer = true); i += 1
+        case "--empty" => a = a.copy(empty = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -108,7 +112,8 @@ object Main {
     val runner = new Runner(spark, project, args.schema,
       threads = args.threads, stateDir = args.state,
       deferManifest =
-        if (args.defer) args.state.map(s => s"$s/manifest.json") else None)
+        if (args.defer) args.state.map(s => s"$s/manifest.json") else None,
+      emptyMode = args.empty)
     val targetDir = Paths.get(args.projectDir, args.targetPath)
     Files.createDirectories(targetDir)
 

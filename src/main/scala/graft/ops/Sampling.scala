@@ -70,4 +70,42 @@ object Sampling {
       }
     df.withColumn(splitCol, labeled)
   }
+
+  /** Stratified deterministic sampling: a different keep-rate per stratum
+    * (e.g. downsample boilerplate-heavy sources, keep all of a rare
+    * language). Rows whose stratum has no configured rate keep
+    * `defaultRate`. Same md5-bucket determinism as [[sampleByHash]] —
+    * a pure map-side filter, no shuffle, reproducible on any engine. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate out of range: $r"))
+    val b = hashBucket(keyCol, 10000)
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultRate * 10000)): Column) {
+        case (acc, (stratum, rate)) =>
+          when(col(stratumCol) === stratum,
+            lit(math.round(rate * 10000))).otherwise(acc)
+      }
+    df.filter(b < threshold)
+  }
+
+  /** Token-budget shard packing: assign documents to consecutive training
+    * shards so each shard holds ≈ `budget` tokens. Deterministic packing
+    * order = `orderCol`; shard id = floor(exclusive running token sum /
+    * budget) — one window pass, no driver loop. A document straddling a
+    * boundary belongs to the shard where its first token landed (shards
+    * overflow by at most one document, the standard pretraining-shard
+    * contract). At scale the single global window is the honest cost of a
+    * GLOBAL packing order; pack per partition-group instead (PARTITION BY
+    * source) when a global order isn't required. */
+  def packByTokenBudget(df: DataFrame, orderCol: String, tokensCol: String,
+      budget: Long, shardCol: String = "shard"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn(shardCol,
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
+  }
 }

@@ -144,6 +144,27 @@ object PipelinePack extends QueryPack {
         .orderBy("split")
     }),
 
+    // stratified sampling: per-language keep rates, md5-deterministic
+    "q_sample_stratified" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(
+        Tables(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 1.0), defaultRate = 0.25)
+        .groupBy("lang").agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("lang")
+    }),
+
+    // token-budget shard packing: running-sum window → shard id
+    "q_sample_shards" -> ((s, dir) => {
+      val withTokens = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount("text").as("n_tokens"))
+      graft.ops.Sampling.packByTokenBudget(
+        withTokens, "doc_id", "n_tokens", budget = 10000)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("shard")
+    }),
+
     // benchmark decontamination: corpus docs sharing any word 5-gram with
     // the benchmark slice; broadcast semi-join over a map-side explode
     "q_dedup_contamination" -> ((s, dir) => {
@@ -524,6 +545,34 @@ object PipelinePack extends QueryPack {
         |  FROM b)
         |SELECT split, count(*) AS n, min(doc_id) AS min_id
         |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT lang, count(*) AS n, min(doc_id) AS min_id
+        |FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 5000
+        |                         WHEN 'de' THEN 10000 ELSE 2500 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sample_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        |  FROM t)
+        |SELECT CAST(floor(run / 10000) AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_dedup_contamination" ->
       """WITH grams AS (

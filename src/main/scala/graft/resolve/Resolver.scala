@@ -447,6 +447,72 @@ object Resolver {
       }
     }
 
+    // --- YAML unit tests (reference: DbtUnitTest nodes.rs; unit_tests:
+    // properties block — model under test, given fixtures keyed by the
+    // ref()/source() they replace, expected rows, optional overrides) ----
+    val unitTestNodes = projects.flatMap { proj =>
+      proj.properties.flatMap { props =>
+        Yaml.dig(props, "unit_tests").toSeq.flatMap {
+          case uts: Seq[_] => uts.collect { case u: Map[_, _] =>
+            val um = u.asInstanceOf[Map[String, Any]]
+            val name = Yaml.str(um("name"))
+            val model = Yaml.str(um("model"))
+            val modelUid = protoResolved.refUniqueId(proj.name, None, model)
+            // fixture rows: dict rows directly, csv text → string-row maps
+            // (typed against the input's real schema at run time)
+            def rowsOf(m: Map[String, Any]): Seq[Map[String, Any]] =
+              (Yaml.str(m.getOrElse("format", "dict")), m.get("rows")) match {
+                case ("csv", Some(text: String)) =>
+                  val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+                  val header = graft.mat.UnitTestMat.splitCsvLine(lines.head)
+                  lines.tail.map(l => header.zip(graft.mat.UnitTestMat.splitCsvLine(l))
+                    .collect { case (k, v) if v.nonEmpty => k -> (v: Any) }.toMap)
+                case (_, Some(rows: Seq[_])) =>
+                  rows.collect { case r: Map[_, _] => r.asInstanceOf[Map[String, Any]] }
+                case _ => Nil
+              }
+            val given: Seq[(String, Seq[Map[String, Any]])] =
+              Yaml.dig(um, "given").toSeq.flatMap {
+                case gs: Seq[_] => gs.collect { case g: Map[_, _] =>
+                  val gm = g.asInstanceOf[Map[String, Any]]
+                  val input = Yaml.str(gm("input"))
+                  // "ref('x')" → x ; "source('s','t')" → s.t
+                  val key = refStrRe.findFirstMatchIn(input)
+                    .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+                    .orElse(srcStrRe.findFirstMatchIn(input)
+                      .map(m => s"${m.group(1)}.${m.group(2)}"))
+                    .getOrElse(input)
+                  key -> rowsOf(gm)
+                }
+                case _ => Nil
+              }
+            val expect = Yaml.dig(um, "expect")
+              .collect { case m: Map[_, _] => rowsOf(m.asInstanceOf[Map[String, Any]]) }
+              .getOrElse(Nil)
+            val overrides = Yaml.dig(um, "overrides")
+              .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+              .getOrElse(Map.empty)
+            val inputUids = given.map(_._1).map { k =>
+              if (k.contains(".")) s"source.$k"
+              else protoResolved.refUniqueId(proj.name, None, k)
+            }
+            Node(
+              uniqueId = s"unit_test.${proj.name}.$name",
+              name = name,
+              packageName = proj.name,
+              kind = NodeKind.UnitTest,
+              config = NodeConfig(materialized = "unit",
+                extra = Map("model" -> model, "overrides" -> overrides)),
+              dependsOn = (modelUid +: inputUids).distinct,
+              givenFixtures = given.toMap,
+              expectRows = expect,
+              columns = Map("test_kind" -> "unit"))
+          }
+          case _ => Nil
+        }
+      }
+    }
+
     // --- analyses: compiled, never executed (nodes.rs:2100 DbtAnalysis) --
     val analysisNodes = projects.flatMap { proj =>
       proj.analyses.map { case (name, raw) =>
@@ -496,8 +562,8 @@ object Resolver {
     val semanticModelNodes = declaredNodes("semantic_models", NodeKind.SemanticModel)
 
     val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
-      singularTestNodes ++ analysisNodes ++ exposureNodes ++ metricNodes ++
-      semanticModelNodes).map(n => n.uniqueId -> n.copy(
+      singularTestNodes ++ unitTestNodes ++ analysisNodes ++ exposureNodes ++
+      metricNodes ++ semanticModelNodes).map(n => n.uniqueId -> n.copy(
         checksumBody = graft.jinja.Json.md5(n.rawSql),
         checksumConfig = graft.jinja.Json.md5(n.config.toString))).toMap
     checkRelationUniqueness(all)

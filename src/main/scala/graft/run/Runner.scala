@@ -39,6 +39,11 @@ final class Runner(
       * relation is not built here resolve to the recorded prod relations
       * (reference: compile_node_context.rs:135-147 deferred_relation). */
     deferManifest: Option[String] = None,
+    /** --empty: schema-only dry run (dbt's empty flag) — every ref()/
+      * source() compiles to a LIMIT 0 subquery, so models build with the
+      * right schema but zero rows and zero input scan cost. The CI shape
+      * for validating SQL + contracts against production structure. */
+    emptyMode: Boolean = false,
     now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())) {
 
   val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
@@ -85,15 +90,24 @@ final class Runner(
     * upstreams compile to a `[start, end)`-filtered subquery so the batch's
     * scans prune at the source instead of re-reading the full input. */
   def compileSql(node: Node, forUnitTest: Map[String, String] = Map.empty,
-      batchWindow: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): String = {
+      batchWindow: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None,
+      /** unit-test overrides (reference: UnitTestOverrides nodes.rs):
+        * vars overlay project vars, envVars overlay the process env,
+        * macroValues bind a macro name to a constant-returning function
+        * (e.g. is_incremental: false). */
+      overrideVars: Map[String, Any] = Map.empty,
+      overrideEnv: Map[String, String] = Map.empty,
+      overrideMacros: Map[String, Any] = Map.empty): String = {
     val ctes = mutable.LinkedHashMap.empty[String, String]
-    def windowed(relSql: String, eventTime: Option[String]): String =
-      (batchWindow, eventTime) match {
+    def windowed(relSql: String, eventTime: Option[String]): String = {
+      val base = (batchWindow, eventTime) match {
         case (Some((bs, be)), Some(et)) =>
           s"(SELECT * FROM $relSql WHERE `$et` >= TIMESTAMP '$bs' " +
             s"AND `$et` < TIMESTAMP '$be')"
         case _ => relSql
       }
+      if (emptyMode) s"(SELECT * FROM $base LIMIT 0)" else base
+    }
     def resolveRef(pkg: Option[String], name: String,
         version: Option[String]): String = {
       val uid = resolved.refUniqueId(node.packageName, pkg, name, version)
@@ -121,6 +135,7 @@ final class Runner(
       }
     }
     def resolveSource(src: String, tbl: String): String = {
+      forUnitTest.get(s"$src.$tbl").foreach(fixture => return fixture)
       val base = resolved.sources.get(src).flatMap(_.get(tbl)) match {
         case Some(rel) if rel.relType == RelationType.External &&
             rel.identifier.contains("/") =>
@@ -136,7 +151,9 @@ final class Runner(
       fullRefresh = false, node.config.materialized)
     val bindings = DbtContext.runContext(
       adapter, node.relation.get, resolveRef, resolveSource,
-      isIncr, node.config.extra, project.vars)
+      isIncr, node.config.extra, project.vars ++ overrideVars,
+      sys.env ++ overrideEnv) ++
+      overrideMacros.view.mapValues(v => Jinja.JFunc((_, _) => v)).toMap
     val body = Jinja.render(macroPrelude + node.rawSql, bindings).trim
     if (ctes.isEmpty) body
     else {
@@ -204,6 +221,7 @@ final class Runner(
           SnapshotMat.run(MatContext(adapter, node.copy(rawSql = sql),
             node.relation.get, () => spark.sql(sql), fullRefresh, now))
         case NodeKind.Test => runTestNode(node)
+        case NodeKind.UnitTest => runUnitTestNode(node)
         case other => MatResult(node.relation.getOrElse(Relation("", node.name)),
           "skipped", s"${other.name} nodes are not executable")
       }
@@ -474,6 +492,56 @@ final class Runner(
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, node.config.extra, project.vars))
+
+  /** YAML `unit_tests:` execution (reference: unit materialization
+    * MA/materializations/tests/unit.sql + get_fixture_sql): each `given`
+    * fixture becomes a temp view substituted for its ref()/source() in the
+    * model's compiled SQL (typed against the real input's schema when that
+    * relation exists), overrides rebind vars/env_vars/macros for this one
+    * compile, and the result is diffed both ways against `expect`. */
+  private def runUnitTestNode(node: Node): MatResult = {
+    val model = node.config.extra.get("model").map(_.toString).getOrElse(
+      throw new IllegalStateException(s"unit test ${node.name}: no model"))
+    val modelNode = resolved.nodes(
+      resolved.refUniqueId(node.packageName, None, model))
+    val fixtures: Map[String, String] = node.givenFixtures.map {
+      case (inputKey, rows) =>
+        val template: Option[org.apache.spark.sql.DataFrame] =
+          if (inputKey.contains(".")) {
+            val Array(src, tbl) = inputKey.split("\\.", 2)
+            resolved.sources.get(src).flatMap(_.get(tbl)).flatMap {
+              case r if r.relType == RelationType.External &&
+                  r.identifier.contains("/") =>
+                Some(spark.read.parquet(r.identifier))
+              case r if adapter.relationExists(r) => Some(adapter.read(r))
+              case _ => None
+            }
+          } else resolved.nodes
+            .get(resolved.refUniqueId(node.packageName, None, inputKey))
+            .flatMap(_.relation).filter(adapter.relationExists)
+            .map(adapter.read)
+        val view = s"__unit_${node.name}_${inputKey.replace('.', '_')}"
+        UnitTestMat.fixtureDf(spark, rows, template)
+          .createOrReplaceTempView(view)
+        inputKey -> view
+    }
+    val ov = node.config.extra.get("overrides")
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty)
+    def ovMap(key: String): Map[String, Any] = ov.get(key)
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty)
+    val sql = compileSql(modelNode, forUnitTest = fixtures,
+      overrideVars = ovMap("vars"),
+      overrideEnv = ovMap("env_vars").map { case (k, v) => k -> v.toString },
+      overrideMacros = ovMap("macros"))
+    val actual = spark.sql(sql)
+    val expected = UnitTestMat.fixtureDf(spark, node.expectRows, Some(actual))
+    val res = UnitTestMat.run(actual, expected)
+    MatResult(node.relation.getOrElse(Relation(targetSchema, node.name)),
+      if (res.status == "pass") "success" else "fail",
+      s"unit test ${node.name}: ${res.status}")
+  }
 
   private def runTestNode(node: Node): MatResult = {
     // singular test: the file body IS the failing-rows query

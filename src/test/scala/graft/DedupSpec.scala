@@ -128,6 +128,42 @@ class DedupSpec extends AnyFunSuite {
       Sampling.sampleByHash(df, "id", 1.5))
   }
 
+  test("stratified sampling applies per-stratum rates deterministically") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = (0L until 900L).map(i =>
+      (i, Seq("en", "de", "fr")(i.toInt % 3))).toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.0, "de" -> 1.0), defaultRate = 0.5)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en"))         // rate 0 drops the stratum
+    assert(byLang("de") == 300L)           // rate 1 keeps everything
+    assert(byLang("fr") > 100 && byLang("fr") < 200) // ≈ half
+    // repartition-stable (pure function of the key)
+    val again = Sampling.stratifiedSample(df.repartition(7), "id", "lang",
+      Map("en" -> 0.0, "de" -> 1.0), defaultRate = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("token-budget packing fills shards, overflowing by at most one doc") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, 70L)).toDF("id", "n_tokens")
+    val assigned = Sampling.packByTokenBudget(df.repartition(5), "id",
+      "n_tokens", budget = 300)
+      .select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contract: shard = floor(exclusive running tokens / budget) in id order
+    val expected = (1L to 100L).map(i => i -> (i - 1) * 70 / 300).toMap
+    assert(assigned == expected)
+    // a doc whose first token fits stays in that shard (overflow ≤ 1 doc):
+    // no shard's token total short of the last exceeds budget + max doc
+    val totals = assigned.groupBy(_._2).view.mapValues(_.size * 70L).toMap
+    assert(totals.values.forall(_ <= 300 + 70))
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import graft.ops.Skew
     import spark.implicits._

@@ -200,6 +200,89 @@ class RunOperationSpec extends AnyFunSuite {
     assert(v1.config.extra("latest_version") == "2")
   }
 
+  test("YAML unit_tests: given fixtures, csv format, expect, overrides") {
+    val proj = Files.createTempDirectory("graft_unit")
+    write(proj, "dbt_project.yml",
+      """name: unitdemo
+        |model-paths: ["models"]
+        |vars:
+        |  cutoff: 999
+        |""".stripMargin)
+    write(proj, "models/base.sql", "select 1 as id, 10 as amount\n")
+    write(proj, "models/scored.sql",
+      """select id, amount * 2 as doubled
+        |from {{ ref('base') }}
+        |where amount >= {{ var('cutoff') }}
+        |""".stripMargin)
+    write(proj, "models/schema.yml",
+      """unit_tests:
+        |  - name: ut_scored_doubles
+        |    model: scored
+        |    given:
+        |      - input: ref('base')
+        |        format: csv
+        |        rows: |
+        |          id,amount
+        |          1,5
+        |          2,7
+        |          3,2
+        |    expect:
+        |      rows:
+        |        - {id: 1, doubled: 10}
+        |        - {id: 2, doubled: 14}
+        |    overrides:
+        |      vars:
+        |        cutoff: 5
+        |""".stripMargin)
+    val schema = "g_unit"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema)
+    val results = r.run()
+    val ut = results.find(_.uniqueId == "unit_test.unitdemo.ut_scored_doubles")
+    assert(ut.exists(_.status == "success"), results.mkString("\n"))
+    // a wrong expectation fails: run again with cutoff var NOT overridden
+    // (project cutoff=999 filters everything, expect is then wrong)
+    write(proj, "models/schema.yml",
+      """unit_tests:
+        |  - name: ut_scored_doubles
+        |    model: scored
+        |    given:
+        |      - input: ref('base')
+        |        rows:
+        |          - {id: 1, amount: 5}
+        |    expect:
+        |      rows:
+        |        - {id: 1, doubled: 10}
+        |""".stripMargin)
+    val r2 = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema)
+    val ut2 = r2.run().find(_.uniqueId == "unit_test.unitdemo.ut_scored_doubles")
+    assert(ut2.exists(_.status == "fail"), ut2.toString)
+  }
+
+  test("--empty builds models with the full schema and zero rows") {
+    val proj = Files.createTempDirectory("graft_empty")
+    write(proj, "dbt_project.yml",
+      """name: emptydemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/base.sql", "select 1 as id, 'x' as label\n")
+    write(proj, "models/agg.sql",
+      "select count(*) as n, max(label) as ml from {{ ref('base') }}\n")
+    val schema = "g_empty"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema, emptyMode = true)
+    val results = r.run()
+    assert(results.forall(_.status == "success"), results.mkString("\n"))
+    // base has no refs → still built (its own SELECT is untouched); agg
+    // read base through LIMIT 0, so count(*) ran over zero input rows
+    assert(spark.table(s"$schema.agg").columns.toSeq == Seq("n", "ml"))
+    val row = spark.table(s"$schema.agg").collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
+
   test("--vars overlays project and package vars with highest precedence") {
     val a = graft.cli.Main.parseArgs(Array(
       "run", "--vars", "{cutoff: 42, label: hot}"))
