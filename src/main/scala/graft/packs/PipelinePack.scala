@@ -260,13 +260,13 @@ object PipelinePack extends QueryPack {
     * the component label is the minimum. Mirrors the same 0.8-Jaccard
     * MinHash pair set the Spark side clusters. */
   private val ccCtes =
-    s"""$shingleCte,
-       |pairs AS (
+    s"""${shingleCte.replace("sh AS (", "sh AS MATERIALIZED (")},
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS u, b.doc_id AS v
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-       |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+       |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
        |reach(id, lab) AS (
        |  SELECT u, u FROM edges
        |  UNION
