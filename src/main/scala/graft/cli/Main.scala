@@ -41,7 +41,10 @@ object Main {
       cliVars: Map[String, Any] = Map.empty,
       /** --empty: compile every ref()/source() to LIMIT 0 (schema-only
         * dry run). */
-      empty: Boolean = false)
+      empty: Boolean = false,
+      /** list --output: "name" (unique ids, default) or "json" (one JSON
+        * object per node, dbt ls shape). */
+      output: String = "name")
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -76,6 +79,7 @@ object Main {
         case "--limit" => a = a.copy(limit = argv(i + 1).toInt); i += 2
         case "--defer" => a = a.copy(defer = true); i += 1
         case "--empty" => a = a.copy(empty = true); i += 1
+        case "--output" => a = a.copy(output = argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -204,7 +208,19 @@ object Main {
             prevResults = runner.prevResults())
           case None => runner.resolved.nodes.keySet
         }
-        selected.toSeq.sorted.foreach(println)
+        selected.toSeq.sorted.foreach { id =>
+          if (args.output == "json") {
+            val n = runner.resolved.nodes(id)
+            println(graft.jinja.Json.write(Map(
+              "unique_id" -> id,
+              "name" -> n.name,
+              "resource_type" -> n.kind.name,
+              "package_name" -> n.packageName,
+              "original_file_path" -> n.path,
+              "relation_name" -> n.relation.map(_.fqn).orNull,
+              "tags" -> n.config.tags)))
+          } else println(id)
+        }
         0
 
       // dbt retry: re-run everything that did not succeed last time (plus

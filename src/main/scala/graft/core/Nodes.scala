@@ -175,6 +175,8 @@ final case class NodeConfig(
     // seed
     columnTypes: Map[String, String] = Map.empty,
     quoteColumns: Boolean = false,
+    /** seed csv field delimiter (dbt seed `delimiter:` config). */
+    delimiter: Option[String] = None,
     // tests
     severity: Severity = Severity.Error,
     warnIf: String = "!= 0",

@@ -29,6 +29,7 @@ object SeedMat extends Materialization {
   def load(spark: SparkSession, csvPath: String, cfg: NodeConfig): DataFrame = {
     val raw = spark.read
       .option("header", "true")
+      .option("delimiter", cfg.delimiter.getOrElse(","))
       .option("inferSchema", "true")
       .option("nullValue", "")
       .option("emptyValue", "")

@@ -725,6 +725,7 @@ object Resolver {
       columnTypes = m.get("column_types").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> Yaml.str(v) }).getOrElse(Map.empty),
       quoteColumns = m.get("quote_columns").exists(v => Yaml.str(v).toBoolean),
+      delimiter = s("delimiter"),
       contractEnforced = Yaml.dig(m, "contract", "enforced")
         .exists(v => Yaml.str(v).toBoolean),
       severity = s("severity").map(Severity.parse).getOrElse(Severity.Error),

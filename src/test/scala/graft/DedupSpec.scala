@@ -207,6 +207,19 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.count() == 64)
   }
 
+  test("canonicalCorpus joins are hash joins — the corpus never nested-loops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("canonspec").toString
+    (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val plan = Dedup.canonicalCorpus(docs, pairs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("canonicalCorpus keeps one doc per cluster with cluster sizes") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")

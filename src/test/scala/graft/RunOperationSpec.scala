@@ -150,6 +150,20 @@ class RunOperationSpec extends AnyFunSuite {
     assert(row.getString(2) == schema)
   }
 
+  test("seed delimiter config loads non-comma csv") {
+    import graft.core.NodeConfig
+    val dir = Files.createTempDirectory("graft_seed_delim")
+    Files.writeString(dir.resolve("pipe.csv"),
+      "id|name|amount\n1|alpha|10.5\n2|beta|20.0\n")
+    val df = graft.mat.SeedMat.load(spark,
+      dir.resolve("pipe.csv").toString,
+      NodeConfig(delimiter = Some("|"),
+        columnTypes = Map("amount" -> "decimal(10,2)")))
+    assert(df.columns.toSeq == Seq("id", "name", "amount"))
+    assert(df.count() == 2)
+    assert(df.schema("amount").dataType.typeName.startsWith("decimal"))
+  }
+
   test("CLI arg parsing: run-operation <macro> --args dict") {
     val a = graft.cli.Main.parseArgs(Array(
       "run-operation", "make_audit", "--args", "{schema_name: s1, n: 5}"))

@@ -150,6 +150,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (got ${ivf.size} rows)")
   }
 
+  test("ivfTopK candidate join is a broadcast equi-join on the list id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfspec").toString
+    (0 until 80).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/c")
+    val corpus = spark.read.parquet(s"$dir/c")
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val plan = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("lshTopK plan has no interpreted HOF signature math") {
     import spark.implicits._
     // go through parquet: ConvertToLocalRelation would eagerly evaluate
