@@ -308,7 +308,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     * `__dbt_tmp`, move current to `__dbt_backup`, rename tmp into place,
     * drop backup. Readers of the current table see either old or new. */
   def writeTableAtomic(df: DataFrame, rel: Relation,
-      partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
+      clusteredBy: Seq[String] = Nil, buckets: Int = 0): Unit = {
     // sort_by clustering: range-repartition on the sort keys, then sort
     // within each task — every output file covers a DISJOINT key range and
     // is internally ordered, so parquet row-group min/max stats prune
@@ -323,8 +324,15 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       }
     def writer(target: Relation) = {
       val w0 = sorted.write.format("parquet")
-      (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
-        .saveAsTable(target.fqn)
+      val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+      // clustered_by + buckets → Spark bucketed table: same-key same-count
+      // bucketed sides join without exchanges (bucket spec survives the
+      // staged-swap rename — it lives in the catalog entry being renamed)
+      val w2 =
+        if (clusteredBy.nonEmpty && buckets > 0)
+          w1.bucketBy(buckets, clusteredBy.head, clusteredBy.tail: _*)
+        else w1
+      w2.saveAsTable(target.fqn)
     }
     if (!relationExists(rel)) {
       // First build: nothing to protect, create in place (same as the

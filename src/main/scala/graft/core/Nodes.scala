@@ -160,6 +160,13 @@ final case class NodeConfig(
       * files). Applied via sortWithinPartitions before every table /
       * incremental write — a per-partition sort, no extra shuffle. */
     sortBy: Seq[String] = Nil,
+    /** dbt-spark `clustered_by:` + `buckets:` (reference:
+      * MS adapter table config; SparkAdapter file_format/clustered_by) —
+      * hash-bucketed table layout. Two tables bucketed on the same key
+      * with the same bucket count join with NO exchange on either side:
+      * the co-located join layout for repeated big-big joins at 100 TB. */
+    clusteredBy: Seq[String] = Nil,
+    buckets: Int = 0,
     /** grants: privilege → grantees (reference: funcs.rs:406
       * standardize_grants_dict; MA/adapters/apply_grants.sql). Parsed and
       * surfaced in the manifest; application is a structured-warning no-op

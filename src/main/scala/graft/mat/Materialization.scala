@@ -86,7 +86,8 @@ object TableMat extends Materialization {
   val name = "table"
   def run(ctx: MatContext): MatResult = {
     ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
-      ctx.config.partitionBy, ctx.config.sortBy)
+      ctx.config.partitionBy, ctx.config.sortBy,
+      ctx.config.clusteredBy, ctx.config.buckets)
     MatResult(ctx.target, "success")
   }
 }

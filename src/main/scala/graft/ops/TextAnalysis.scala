@@ -32,6 +32,21 @@ object TextAnalysis {
     when(length(trim(col(textCol))) === 0, lit(0))
       .otherwise(size(split(trim(col(textCol)), " +")))
 
+  /** Flesch-style reading-ease score from codegen'd builtins (one
+    * map-side pass, no UDF): sentences = runs of [.!?], syllables =
+    * vowel-group runs (the standard cheap heuristic), words = whitespace
+    * tokens. Any SQL engine with regexp counting reproduces it exactly —
+    * every division is double/double (deterministic IEEE). */
+  def readingEase(textCol: String): Column = {
+    val words = tokenCount(textCol).cast("double")
+    val sentences = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")), lit(1)).cast("double")
+    val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+      .cast("double")
+    round(lit(206.835) - lit(1.015) * words / sentences -
+      lit(84.6) * syllables / greatest(words, lit(1.0)), 6)
+  }
+
   /** BPE-ish subword count: word-boundary pieces, ceil(len/4) per word
     * (mimics byte-pair splits of long words). Native one-pass expression;
     * the equivalent `aggregate(split(...))` HOF runs an interpreted

@@ -205,6 +205,19 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Flesch-style reading ease from codegen'd regexp builtins
+    "q_text_readability" -> ((s, dir) => {
+      Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount("text").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .as("n_sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .as("n_syllables"),
+          TextAnalysis.readingEase("text").as("reading_ease"))
+        .orderBy("doc_id")
+    }),
+
     // rolling-hash fingerprints
     "q_text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(
@@ -635,6 +648,23 @@ object PipelinePack extends QueryPack {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '\+\d{1,3}-\d{3}-\d{4,10}')) AS INT) AS n_phones
         |FROM injected ORDER BY doc_id""".stripMargin,
+
+    "q_text_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), ' +')) END AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        |  FROM documents WHERE doc_id % 23 = 0)
+        |SELECT doc_id,
+        |  CAST(n_words AS INT) AS n_words,
+        |  CAST(n_sentences AS INT) AS n_sentences,
+        |  CAST(n_syllables AS INT) AS n_syllables,
+        |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+        |        - 84.6 * CAST(n_syllables AS DOUBLE) / greatest(n_words, 1), 6)
+        |    AS reading_ease
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH norm AS (

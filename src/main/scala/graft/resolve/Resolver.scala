@@ -721,6 +721,8 @@ object Resolver {
       begin = s("begin"),
       partitionBy = m.get("partition_by").map(Yaml.strSeq).getOrElse(Nil),
       sortBy = m.get("sort_by").map(Yaml.strSeq).getOrElse(Nil),
+      clusteredBy = m.get("clustered_by").map(Yaml.strSeq).getOrElse(Nil),
+      buckets = m.get("buckets").map(Yaml.str(_).toInt).getOrElse(0),
       grants = m.get("grants").map(standardizeGrants).getOrElse(Map.empty),
       columnTypes = m.get("column_types").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> Yaml.str(v) }).getOrElse(Map.empty),

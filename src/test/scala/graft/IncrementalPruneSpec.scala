@@ -206,6 +206,27 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(filesOfPartition(a, rel, 2000) == before2000)
   }
 
+  test("clustered_by buckets co-locate same-key joins: no exchange") {
+    import spark.implicits._
+    val a = freshAdapter("buckets")
+    val left = Relation(a.defaultSchema, "fact")
+    val right = Relation(a.defaultSchema, "other")
+    val df1 = (0L until 2000L).map(i => (i % 97, i)).toDF("k", "v1")
+    val df2 = (0L until 1000L).map(i => (i % 97, i * 2)).toDF("k", "v2")
+    a.writeTableAtomic(df1, left, clusteredBy = Seq("k"), buckets = 8)
+    a.writeTableAtomic(df2, right, clusteredBy = Seq("k"), buckets = 8)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = a.read(left).join(a.read(right), "k")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"), plan.take(1500))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("sort_by orders rows within every written file (data-skipping layout)") {
     import spark.implicits._
     val a = freshAdapter("sortby")
