@@ -251,6 +251,35 @@ object Freshness {
     FreshnessResult(maxTs, age, status)
   }
 
+  /** Custom-SQL freshness (reference: loaded_at_query in nodes.rs /
+    * manifest_nodes.rs): run a user query returning ONE timestamp cell
+    * and evaluate the same warn/error windows. `{{ this }}` in the query
+    * is substituted with the source's scan SQL before execution. */
+  def checkQuery(spark: org.apache.spark.sql.SparkSession, query: String,
+      thisSql: String, now: java.sql.Timestamp,
+      warnAfter: Option[(Long, String)],
+      errorAfter: Option[(Long, String)]): FreshnessResult = {
+    val sql = query.replace("{{ this }}", thisSql).replace("{{this}}", thisSql)
+    val row = spark.sql(sql).collect().headOption
+    val maxTs = row.flatMap(r =>
+      if (r.isNullAt(0)) None
+      else Some(r.get(0) match {
+        case t: java.sql.Timestamp => t
+        case d: java.sql.Date => new java.sql.Timestamp(d.getTime)
+        case other => java.sql.Timestamp.valueOf(other.toString)
+      }))
+    val age = maxTs.map(t => (now.getTime - t.getTime) / 1000.0)
+      .getOrElse(Double.MaxValue)
+    def breached(rule: Option[(Long, String)]): Boolean = rule.exists {
+      case (count, period) => age > count * periodSeconds(period)
+    }
+    val status =
+      if (breached(errorAfter)) "error"
+      else if (breached(warnAfter)) "warn"
+      else "pass"
+    FreshnessResult(maxTs, age, status)
+  }
+
   /** Metadata-based freshness for sources WITHOUT a `loaded_at_field`
     * (reference: crates/dbt-adapter/src/metadata/mod.rs:96
     * MetadataFreshness.last_altered; dbt's "calculate freshness from

@@ -22,7 +22,12 @@ object Resolver {
       loadedAtField: Option[String],
       filter: Option[String],
       warnAfter: Option[(Long, String)],
-      errorAfter: Option[(Long, String)])
+      errorAfter: Option[(Long, String)],
+      /** custom freshness SQL (reference: loaded_at_query nodes.rs /
+        * manifest_nodes.rs) — a query returning one timestamp cell;
+        * `{{ this }}` resolves to the source relation. Wins over
+        * loaded_at_field when both are set. */
+      loadedAtQuery: Option[String] = None)
 
   final case class Resolved(
       project: Project,
@@ -185,7 +190,10 @@ object Resolver {
                       .orElse(Yaml.dig(sm, "loaded_at_field").map(Yaml.str))
                       .filter(s => s.nonEmpty && s != "null"),
                     Yaml.dig(tm, "freshness", "filter").map(Yaml.str),
-                    warn, err))
+                    warn, err,
+                    Yaml.dig(tm, "loaded_at_query").map(Yaml.str)
+                      .orElse(Yaml.dig(sm, "loaded_at_query").map(Yaml.str))
+                      .filter(s => s.nonEmpty && s != "null")))
                 }
                 (srcName, tname, Relation(None, schema, loc.getOrElse(ident),
                   RelationType.External), eventTime, fresh)

@@ -315,7 +315,16 @@ final class Runner(
     resolved.sourceFreshness.toSeq.sortBy(_._1).map { case ((src, tbl), f) =>
       val uid = s"source.$src.$tbl"
       val rel = resolved.sources(src)(tbl)
-      val result: Either[String, Freshness.FreshnessResult] = f.loadedAtField match {
+      def thisSql: String = rel match {
+        case r if r.relType == RelationType.External && r.identifier.contains("/") =>
+          s"parquet.`${r.identifier}`"
+        case r => r.fqn
+      }
+      val result: Either[String, Freshness.FreshnessResult] = f.loadedAtQuery match {
+        case Some(q) =>
+          Right(Freshness.checkQuery(spark, q, thisSql, now, f.warnAfter,
+            f.errorAfter))
+        case None => f.loadedAtField match {
         case Some(field) =>
           val df = rel match {
             case r if r.relType == RelationType.External && r.identifier.contains("/") =>
@@ -330,6 +339,7 @@ final class Runner(
             f.errorAfter))
         case None =>
           Left("no loaded_at_field and no file-backed location — skipped")
+        }
       }
       uid -> result
     }

@@ -99,4 +99,42 @@ class SourceFreshnessSpec extends AnyFunSuite {
     assert(rs.map(_("unique_id")).toSet ==
       Set("source.lake.with_field", "source.lake.by_mtime"))
   }
+
+  test("loaded_at_query runs custom freshness SQL with {{ this }}") {
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft_sfq_data")
+    Seq((1L, java.sql.Timestamp.valueOf("2026-02-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-02-02 06:00:00")))
+      .toDF("id", "etl_ts").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataDir/rows.parquet")
+    val proj = Files.createTempDirectory("graft_sfq_proj")
+    write(proj, "dbt_project.yml",
+      """name: freshq
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: lake
+         |    tables:
+         |      - name: custom
+         |        loaded_at_query: "select max(etl_ts) from {{ this }}"
+         |        freshness:
+         |          warn_after: {count: 12, period: hour}
+         |          error_after: {count: 7, period: day}
+         |        external:
+         |          location: "$dataDir/rows.parquet"
+         |""".stripMargin)
+    val runner = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = "g_sfq_spec")
+    assert(runner.resolved.sourceFreshness(("lake", "custom"))
+      .loadedAtQuery.contains("select max(etl_ts) from {{ this }}"))
+    // 19h after max(etl_ts): past warn (12h), inside error (7d)
+    val now = java.sql.Timestamp.valueOf("2026-02-03 01:00:00")
+    val r = runner.sourceFreshness(now).toMap
+      .apply("source.lake.custom").toOption.get
+    assert(r.maxLoadedAt
+      .contains(java.sql.Timestamp.valueOf("2026-02-02 06:00:00")))
+    assert(r.status == "warn")
+  }
 }
