@@ -243,6 +243,45 @@ object Main {
         }
         if (results.exists(r => r.status == "error" || r.status == "fail")) 1 else 0
 
+      // dbt clone: materialize selected nodes in THIS schema as pointers
+      // to the relations recorded in the --state manifest (reference: the
+      // clone command + MA/materializations/models/clone/clone.sql; on
+      // parquet with no Delta jars, "zero-copy" degrades to a view over
+      // the prod relation — same fallback as the clone materialization)
+      case "clone" =>
+        if (args.state.isEmpty) {
+          System.err.println("clone requires --state <dir> (a previous run's manifest.json)")
+          return 2
+        }
+        val stateRels = runner.stateRelations
+        if (stateRels.isEmpty) {
+          System.err.println(s"clone: no relations in ${args.state.get}/manifest.json")
+          return 2
+        }
+        val selected = args.select.map(graft.resolve.Selector.parse) match {
+          case Some(sp) => graft.resolve.Selector.select(
+            sp, runner.resolved.nodes, runner.graph)
+          case None => runner.resolved.nodes.keySet
+        }
+        var cloned = 0
+        selected.toSeq.sorted.foreach { id =>
+          for {
+            n <- runner.resolved.nodes.get(id)
+            if n.kind == NodeKind.Model && !n.isEphemeral
+            target <- n.relation
+            prod <- stateRels.get(id)
+            if prod != target.fqn // don't clone a relation onto itself
+          } {
+            runner.adapter.createView(
+              target.withType(graft.core.RelationType.View),
+              s"SELECT * FROM $prod")
+            println(s"cloned $prod -> ${target.fqn} (view)")
+            cloned += 1
+          }
+        }
+        println(s"clone: $cloned relations")
+        0
+
       // dbt clean: remove the target artifacts directory
       case "clean" =>
         def rm(p: java.nio.file.Path): Unit =

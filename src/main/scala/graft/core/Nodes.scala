@@ -151,6 +151,10 @@ final case class NodeConfig(
     batchSize: Option[BatchSize] = None,
     lookback: Int = 1,
     begin: Option[String] = None,
+    /** microbatch `concurrent_batches:` (reference model_config.rs:99) —
+      * run independent batches in parallel; honored only on partitioned
+      * targets where each batch overwrites its own partitions. */
+    concurrentBatches: Boolean = false,
     // storage layout
     partitionBy: Seq[String] = Nil,
     /** `sort_by:` — order rows within each written file so parquet

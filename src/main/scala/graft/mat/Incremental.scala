@@ -445,8 +445,7 @@ object MicrobatchRunner {
     val adapter = ctx.adapter
 
     val bs = batches(begin, ctx.now, size, cfg.lookback, lastRunEnd)
-    var n = 0
-    bs.foreach { b =>
+    def processBatch(b: Batch): Unit = {
       // Prefer the window-compiled form: upstream scans prune to the batch.
       // The output filter stays on as the semantic guard either way (cheap —
       // it sits above already-pruned scans).
@@ -462,10 +461,34 @@ object MicrobatchRunner {
         val kept = tgt.filter(!(col(eventTime) >= lit(b.start) && col(eventTime) < lit(b.end)))
         adapter.writeTableAtomic(kept.unionByName(batchDf), target, Nil)
       }
-      n += 1
+    }
+    // concurrent_batches (reference: model_config.rs:99-102): batches are
+    // independent when each lands in its own partitions via dynamic
+    // partition overwrite, so they may run in parallel. Only honored on a
+    // PARTITIONED target (the unpartitioned path is read-modify-write —
+    // racing it would lose batches); the first batch always runs alone so
+    // exactly one writer creates the table.
+    val concurrent = cfg.concurrentBatches && cfg.partitionBy.nonEmpty
+    if (!concurrent) bs.foreach(processBatch)
+    else {
+      val (head, rest) =
+        if (!adapter.relationExists(target)) (bs.take(1), bs.drop(1))
+        else (Seq.empty[Batch], bs)
+      head.foreach(processBatch)
+      if (rest.nonEmpty) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, rest.length))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(rest.map(b => Future(processBatch(b)))), Duration.Inf)
+        finally pool.shutdown()
+      }
     }
     MatResult(target, "success",
-      s"microbatch: $n batches of ${size.name}" +
+      s"microbatch: ${bs.length} batches of ${size.name}" +
+        (if (concurrent) " (concurrent)" else "") +
         (if (cfg.partitionBy.isEmpty && bs.nonEmpty)
           " (unpartitioned fallback: full rewrite per batch — set partition_by for scale)"
         else ""))

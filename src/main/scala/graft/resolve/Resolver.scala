@@ -726,6 +726,8 @@ object Resolver {
       eventTime = s("event_time"),
       batchSize = s("batch_size").map(BatchSize.parse),
       lookback = m.get("lookback").map(Yaml.str(_).toInt).getOrElse(1),
+      concurrentBatches = m.get("concurrent_batches")
+        .exists(v => Yaml.str(v).toBoolean),
       begin = s("begin"),
       partitionBy = m.get("partition_by").map(Yaml.strSeq).getOrElse(Nil),
       sortBy = m.get("sort_by").map(Yaml.strSeq).getOrElse(Nil),

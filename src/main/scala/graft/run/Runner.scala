@@ -63,20 +63,27 @@ final class Runner(
     (project.packages ++ Seq(project)).flatMap(_.customMaterializations)
       .groupBy(_._1).map { case (n, xs) => n -> xs.flatMap(_._2).toSet }
 
+  /** uniqueId → relation FQN recorded in a manifest.json. */
+  private def manifestRelations(path: String): Map[String, String] =
+    if (!Files.exists(Paths.get(path))) Map.empty
+    else Json.parse(Files.readString(Paths.get(path)))
+      .asInstanceOf[Map[String, Any]]
+      .get("nodes").collect { case nodes: Map[_, _] =>
+        nodes.asInstanceOf[Map[String, Any]].collect {
+          case (id, n: Map[_, _])
+              if n.asInstanceOf[Map[String, Any]].get("relation_name").exists(_ != null) =>
+            id -> n.asInstanceOf[Map[String, Any]]("relation_name").toString
+        }
+      }.getOrElse(Map.empty)
+
   /** uniqueId → prod relation FQN from the defer manifest. */
-  private val deferRelations: Map[String, String] = deferManifest match {
-    case Some(path) if Files.exists(Paths.get(path)) =>
-      Json.parse(Files.readString(Paths.get(path)))
-        .asInstanceOf[Map[String, Any]]
-        .get("nodes").collect { case nodes: Map[_, _] =>
-          nodes.asInstanceOf[Map[String, Any]].collect {
-            case (id, n: Map[_, _])
-                if n.asInstanceOf[Map[String, Any]].get("relation_name").exists(_ != null) =>
-              id -> n.asInstanceOf[Map[String, Any]]("relation_name").toString
-          }
-        }.getOrElse(Map.empty)
-    case _ => Map.empty
-  }
+  private val deferRelations: Map[String, String] =
+    deferManifest.map(manifestRelations).getOrElse(Map.empty)
+
+  /** Relations recorded in the --state dir's manifest (for `dbt clone`). */
+  def stateRelations: Map[String, String] =
+    stateDir.map(d => manifestRelations(s"$d/manifest.json"))
+      .getOrElse(Map.empty)
 
   final case class NodeResult(uniqueId: String, status: String,
       message: String, executionTimeMs: Long, reused: Boolean = false)

@@ -206,6 +206,36 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(filesOfPartition(a, rel, 2000) == before2000)
   }
 
+  test("concurrent_batches parallel microbatch equals the serial result") {
+    import spark.implicits._
+    import graft.mat.MicrobatchRunner
+    val events = (0 until 600).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-${i % 6 + 1}%02d 08:00:00"),
+        (i % 6 + 1) * 100 + i % 7)
+    }.toDF("id", "ts", "v").withColumn("day", to_date(col("ts")))
+    val a = freshAdapter("mbconc")
+    def cfg(conc: Boolean) = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.Microbatch),
+      eventTime = Some("ts"), batchSize = Some(BatchSize.Day),
+      begin = Some("2026-01-01 00:00:00"), partitionBy = Seq("day"),
+      concurrentBatches = conc)
+    def runTo(name: String, conc: Boolean): Relation = {
+      val rel = Relation(a.defaultSchema, name)
+      val r = MicrobatchRunner.run(MatContext(a, node(name, cfg(conc)), rel,
+        () => events, fullRefresh = false,
+        java.sql.Timestamp.valueOf("2026-01-08 00:00:00")))
+      assert(r.status == "success", r.message)
+      if (conc) assert(r.message.contains("(concurrent)"), r.message)
+      rel
+    }
+    val serial = runTo("mb_serial", conc = false)
+    val parallel = runTo("mb_conc", conc = true)
+    val s = a.read(serial).select("id", "ts", "v", "day")
+    val p = a.read(parallel).select("id", "ts", "v", "day")
+    assert(s.count() == 600 && p.count() == 600)
+    assert(s.exceptAll(p).isEmpty && p.exceptAll(s).isEmpty)
+  }
+
   test("clustered_by buckets co-locate same-key joins: no exchange") {
     import spark.implicits._
     val a = freshAdapter("buckets")

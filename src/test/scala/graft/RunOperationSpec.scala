@@ -150,6 +150,37 @@ class RunOperationSpec extends AnyFunSuite {
     assert(row.getString(2) == schema)
   }
 
+  test("dbt clone points this schema's models at --state relations") {
+    import graft.cli.Main
+    val proj = Files.createTempDirectory("graft_clone_cmd")
+    write(proj, "dbt_project.yml",
+      """name: clonedemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/m1.sql",
+      "{{ config(materialized='table') }}\nselect 42 as answer\n")
+    val prodSchema = "g_clone_prod"
+    val devSchema = "g_clone_dev"
+    Seq(prodSchema, devSchema).foreach(s =>
+      spark.sql(s"DROP DATABASE IF EXISTS `$s` CASCADE"))
+    val state = Files.createTempDirectory("graft_clone_state").toString
+    // prod run records its manifest in the state dir
+    assert(Main.run(spark, Main.Args(command = "run",
+      projectDir = proj.toString, schema = prodSchema,
+      state = Some(state))) == 0)
+    java.nio.file.Files.copy(
+      proj.resolve("target/manifest.json"),
+      java.nio.file.Paths.get(state, "manifest.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // clone into the dev schema: view over the prod table
+    assert(Main.run(spark, Main.Args(command = "clone",
+      projectDir = proj.toString, schema = devSchema,
+      state = Some(state))) == 0)
+    val row = spark.sql(s"select answer from $devSchema.m1").collect().head
+    assert(row.getInt(0) == 42 || row.getLong(0) == 42L)
+    assert(spark.catalog.getTable(devSchema, "m1").tableType == "VIEW")
+  }
+
   test("seed delimiter config loads non-comma csv") {
     import graft.core.NodeConfig
     val dir = Files.createTempDirectory("graft_seed_delim")
