@@ -219,9 +219,15 @@ object Resolver {
         Yaml.dig(props, "models").toSeq.flatMap {
           case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
             val mm = m.asInstanceOf[Map[String, Any]]
+            // `access:` and `group:` are top-level model properties in dbt
+            // (nodes.rs get_access / Access enum) — fold them into the
+            // config map so they land in config.extra for enforcement and
+            // the group:/access selector methods
+            val topLevel = Seq("access", "group")
+              .flatMap(k => Yaml.dig(mm, k).map(v => k -> (Yaml.str(v): Any)))
             Yaml.str(mm("name")) -> (
               Yaml.dig(mm, "config").map(_.asInstanceOf[Map[String, Any]])
-                .getOrElse(Map.empty))
+                .getOrElse(Map.empty) ++ topLevel)
           }
           case _ => Nil
         }
@@ -575,8 +581,39 @@ object Resolver {
         checksumBody = graft.jinja.Json.md5(n.rawSql),
         checksumConfig = graft.jinja.Json.md5(n.config.toString))).toMap
     checkRelationUniqueness(all)
+    checkAccess(all)
     Resolved(project, all, sources, modelOwners, sourceEventTimes,
       sourceFreshness, modelVersions)
+  }
+
+  /** Model `access:` enforcement (reference: Access enum nodes.rs;
+    * dbt Mesh semantics): a `private` model may only be referenced from
+    * nodes in the SAME group; a `protected` model only from the same
+    * package. Undeclared access (dbt's default) is not enforced — that
+    * keeps ordinary cross-package refs working, exactly like dbt before
+    * an access level is opted into. */
+  private def checkAccess(all: Map[String, Node]): Unit = {
+    def extraStr(n: Node, k: String): Option[String] =
+      n.config.extra.get(k).map(String.valueOf).filter(_.nonEmpty)
+    all.values.foreach { consumer =>
+      consumer.dependsOn.flatMap(all.get).foreach { target =>
+        extraStr(target, "access") match {
+          case Some("private") =>
+            val tg = extraStr(target, "group")
+            if (extraStr(consumer, "group") != tg)
+              throw new IllegalStateException(
+                s"${consumer.uniqueId} cannot ref private model " +
+                  s"${target.uniqueId} (group ${tg.getOrElse("<none>")})")
+          case Some("protected") =>
+            if (consumer.packageName != target.packageName)
+              throw new IllegalStateException(
+                s"${consumer.uniqueId} (package ${consumer.packageName}) " +
+                  s"cannot ref protected model ${target.uniqueId} " +
+                  s"(package ${target.packageName})")
+          case _ => // public or undeclared
+        }
+      }
+    }
   }
 
   private val refStrRe =

@@ -150,6 +150,48 @@ class RunOperationSpec extends AnyFunSuite {
     assert(row.getString(2) == schema)
   }
 
+  test("model access enforcement: private needs same group, protected same package") {
+    def project(consumersYml: String): java.nio.file.Path = {
+      val proj = Files.createTempDirectory("graft_access")
+      write(proj, "dbt_project.yml",
+        "name: accessdemo\nmodel-paths: [\"models\"]\n")
+      write(proj, "models/secret.sql", "select 1 as id\n")
+      write(proj, "models/reader.sql", "select * from {{ ref('secret') }}\n")
+      write(proj, "models/schema.yml", consumersYml)
+      proj
+    }
+    // private + different (absent) group on the consumer → resolve error
+    val p1 = project(
+      """models:
+        |  - name: secret
+        |    access: private
+        |    group: finance
+        |""".stripMargin)
+    assertThrows[IllegalStateException](
+      new Runner(spark, ProjectLoader.load(p1.toString),
+        targetSchema = "g_access1").resolved)
+    // same group on both sides → fine
+    val p2 = project(
+      """models:
+        |  - name: secret
+        |    access: private
+        |    group: finance
+        |  - name: reader
+        |    group: finance
+        |""".stripMargin)
+    val r2 = new Runner(spark, ProjectLoader.load(p2.toString),
+      targetSchema = "g_access2")
+    assert(r2.resolved.nodes.contains("model.accessdemo.reader"))
+    // protected within one package → fine (public too)
+    val p3 = project(
+      """models:
+        |  - name: secret
+        |    access: protected
+        |""".stripMargin)
+    assert(new Runner(spark, ProjectLoader.load(p3.toString),
+      targetSchema = "g_access3").resolved.nodes.size >= 2)
+  }
+
   test("dbt clone points this schema's models at --state relations") {
     import graft.cli.Main
     val proj = Files.createTempDirectory("graft_clone_cmd")
