@@ -44,7 +44,9 @@ object Main {
       empty: Boolean = false,
       /** list --output: "name" (unique ids, default) or "json" (one JSON
         * object per node, dbt ls shape). */
-      output: String = "name")
+      output: String = "name",
+      /** --fail-fast: stop scheduling after the first failed node. */
+      failFast: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -80,6 +82,7 @@ object Main {
         case "--defer" => a = a.copy(defer = true); i += 1
         case "--empty" => a = a.copy(empty = true); i += 1
         case "--output" => a = a.copy(output = argv(i + 1)); i += 2
+        case "--fail-fast" => a = a.copy(failFast = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -313,7 +316,8 @@ object Main {
         // transitive edges through excluded nodes
         val results = runner.run(args.select, args.fullRefresh,
           enableReuse = args.state.isDefined, kinds = kindFilter(cmd),
-          selectorName = args.selector, exclude = args.exclude)
+          selectorName = args.selector, exclude = args.exclude,
+          failFast = args.failFast)
         runner.writeRunResults(results,
           targetDir.resolve("run_results.json").toString)
         runner.writeManifest(targetDir.resolve("manifest.json").toString)

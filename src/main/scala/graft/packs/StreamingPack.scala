@@ -33,6 +33,12 @@ object StreamingPack extends QueryPack {
     "q_stream_enrich" -> ((s, dir) => {
       StreamingOps.enrichWithStatic(s, dir)
         .orderBy("event_id")
+    }),
+
+    // stream–stream interval join (watermarked, state-bounded)
+    "q_stream_join" -> ((s, dir) => {
+      StreamingOps.intervalJoin(s, dir, windowMinutes = 60)
+        .orderBy("user_id", "click_id", "purchase_id")
     })
   )
 
@@ -59,6 +65,19 @@ object StreamingPack extends QueryPack {
         |FROM events e
         |JOIN nation n ON n.n_nationkey = e.user_id % 25
         |ORDER BY e.event_id""".stripMargin,
+
+    // CAST(ts AS TIMESTAMP) truncates the nanos column to micros exactly
+    // like the engine's `ts div 1000`
+    "q_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     // gaps-and-islands sessionization; CAST(ts AS TIMESTAMP) truncates the
     // nanos column to micros exactly like the engine's `ts div 1000`. The

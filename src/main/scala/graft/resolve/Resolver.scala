@@ -46,7 +46,10 @@ object Resolver {
         * latest_version; ref resolution dbt-jinja-utils ref with v=):
         * (package, logical name) → (latest unique_id, version → unique_id). */
       modelVersions: Map[(String, String), (String, Map[String, String])] =
-        Map.empty) {
+        Map.empty,
+      /** `groups:` declarations (reference: DbtGroup dbt-schemas; dbt Mesh
+        * ownership): group name → {name, owner{...}}. */
+      groups: Map[String, Map[String, Any]] = Map.empty) {
 
     /** `ref('x')` / `ref('pkg', 'x')` [/ `v=N`] → unique id, with dbt's
       * resolution order: explicit package wins; else the referencing
@@ -582,8 +585,33 @@ object Resolver {
         checksumConfig = graft.jinja.Json.md5(n.config.toString))).toMap
     checkRelationUniqueness(all)
     checkAccess(all)
+
+    // --- groups (reference: DbtGroup; dbt Mesh ownership) ---------------
+    val groups: Map[String, Map[String, Any]] =
+      projects.flatMap(_.properties).flatMap { props =>
+        Yaml.dig(props, "groups").toSeq.flatMap {
+          case gs: Seq[_] => gs.collect { case g: Map[_, _] =>
+            val gm = g.asInstanceOf[Map[String, Any]]
+            Yaml.str(gm("name")) -> Map(
+              "name" -> Yaml.str(gm("name")),
+              "owner" -> Yaml.dig(gm, "owner").getOrElse(Map.empty))
+          }
+          case _ => Nil
+        }
+      }.toMap
+    // validate group references WHEN the project declares groups (dbt
+    // errors on unknown groups; projects that never declare any keep the
+    // config as a free-form selector tag)
+    if (groups.nonEmpty) all.values.foreach { n =>
+      n.config.extra.get("group").map(String.valueOf).filter(_.nonEmpty)
+        .foreach { g =>
+          if (!groups.contains(g)) throw new IllegalStateException(
+            s"${n.uniqueId}: unknown group '$g' (declared: ${groups.keys.toSeq.sorted.mkString(", ")})")
+        }
+    }
+
     Resolved(project, all, sources, modelOwners, sourceEventTimes,
-      sourceFreshness, modelVersions)
+      sourceFreshness, modelVersions, groups)
   }
 
   /** Model `access:` enforcement (reference: Access enum nodes.rs;

@@ -631,7 +631,11 @@ final class Runner(
       selectorName: Option[String] = None,
       /** --exclude: subtracted from the selection (dbt CLI semantics —
         * Difference over the whole select set, graph operators included). */
-      exclude: Option[String] = None): Seq[NodeResult] = {
+      exclude: Option[String] = None,
+      /** --fail-fast: stop scheduling new levels after the first error;
+        * in-flight nodes of the current level finish, the rest report
+        * skipped (dbt fail-fast semantics). */
+      failFast: Boolean = false): Seq[NodeResult] = {
     val selected: Set[String] = selectionSpec(select, selectorName, exclude) match {
       case Some(sp) =>
         Selector.select(sp, resolved.nodes, graph, prevState(), prevResults())
@@ -656,6 +660,11 @@ final class Runner(
     runProjectHooks(project.onRunStart, "on-run-start", Nil)
     try {
       sliced.topologicalLevels().foreach { level =>
+        if (failFast && !failed.isEmpty) {
+          // stop scheduling: everything not yet run reports skipped
+          level.foreach(id => results.put(id,
+            NodeResult(id, "skipped", "fail-fast: earlier node failed", 0)))
+        } else {
         val futures = level.map { id =>
           Future {
             val node = runnable(id)
@@ -678,6 +687,7 @@ final class Runner(
           }
         }
         Await.result(Future.sequence(futures), Duration.Inf)
+        }
       }
     } finally pool.shutdown()
 
@@ -902,10 +912,13 @@ final class Runner(
       "functions" -> Map.empty[String, Any],
       "child_map" -> childMap,
       "parent_map" -> parentMap,
-      "group_map" -> Map.empty[String, Any],
+      "group_map" -> resolved.nodes.toSeq
+        .flatMap { case (id, n) =>
+          n.config.extra.get("group").map(g => String.valueOf(g) -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted },
       "disabled" -> Map.empty[String, Any],
       "selectors" -> project.selectorsDoc,
-      "groups" -> Map.empty[String, Any])
+      "groups" -> resolved.groups)
     Files.writeString(Paths.get(outPath), Json.write(json))
   }
 }

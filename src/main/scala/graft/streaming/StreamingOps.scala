@@ -178,6 +178,50 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** Stream–stream interval join: the stateful two-stream shape — click
+    * events join purchase events of the SAME user within a bounded
+    * event-time window. Both sides carry watermarks and the join
+    * condition bounds purchase_ts ∈ [click_ts, click_ts + window], so
+    * Spark can expire join state (unbounded state is the classic
+    * stream-stream failure mode at scale; the time bound is what makes
+    * 100 TB/day streams joinable). Bounded input + AvailableNow +
+    * watermark ≥ the data's full span ⇒ the complete, deterministic
+    * batch-equivalent result. */
+  def intervalJoin(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 60): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = Files.createTempDirectory("graft_ssjoin_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_ssjoin_cp").toString
+    val staged = stageDir(sfDir)
+
+    def side(eventType: String, prefix: String) = spark.readStream
+      .schema(rawEventsSchema)
+      .parquet(staged)
+      .filter(col("event_type") === eventType)
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"),
+        expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"),
+        col("value").as(s"${prefix}_value"))
+      .withWatermark(s"${prefix}_ts", "30 days")
+
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"), col("c_ts").as("click_ts"),
+        col("p_ts").as("purchase_ts"))
+
+    val q = joined.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** Stream–static enrichment join: the stateless streaming shape — each
     * micro-batch of the events stream hash-joins against a STATIC
     * dimension snapshot (read per batch, broadcast by Catalyst since the

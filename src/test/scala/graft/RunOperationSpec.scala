@@ -150,6 +150,28 @@ class RunOperationSpec extends AnyFunSuite {
     assert(row.getString(2) == schema)
   }
 
+  test("--fail-fast skips later levels after the first failure") {
+    val proj = Files.createTempDirectory("graft_failfast")
+    write(proj, "dbt_project.yml",
+      "name: ffdemo\nmodel-paths: [\"models\"]\n")
+    write(proj, "models/bad.sql", "select broken syntax from nowhere..\n")
+    write(proj, "models/after.sql", "select * from {{ ref('bad') }}\n")
+    write(proj, "models/independent.sql", "select 1 as id\n")
+    val schema = "g_failfast"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema, threads = 1)
+    val results = r.run(failFast = true)
+      .map(x => x.uniqueId -> x).toMap
+    assert(results("model.ffdemo.bad").status == "error")
+    // downstream of the failure AND unrelated later work both skip
+    assert(results("model.ffdemo.after").status == "skipped")
+    val statuses = results.values.map(_.status).toSet
+    assert(statuses.subsetOf(Set("error", "skipped", "success")))
+    // nothing after the failing level ran as success except same-level peers
+    assert(results("model.ffdemo.after").message.nonEmpty)
+  }
+
   test("model access enforcement: private needs same group, protected same package") {
     def project(consumersYml: String): java.nio.file.Path = {
       val proj = Files.createTempDirectory("graft_access")
@@ -162,7 +184,10 @@ class RunOperationSpec extends AnyFunSuite {
     }
     // private + different (absent) group on the consumer → resolve error
     val p1 = project(
-      """models:
+      """groups:
+        |  - name: finance
+        |    owner: {name: fin-team}
+        |models:
         |  - name: secret
         |    access: private
         |    group: finance
@@ -170,9 +195,12 @@ class RunOperationSpec extends AnyFunSuite {
     assertThrows[IllegalStateException](
       new Runner(spark, ProjectLoader.load(p1.toString),
         targetSchema = "g_access1").resolved)
-    // same group on both sides → fine
+    // same group on both sides → fine; groups land in the manifest
     val p2 = project(
-      """models:
+      """groups:
+        |  - name: finance
+        |    owner: {name: fin-team, email: fin@corp.example}
+        |models:
         |  - name: secret
         |    access: private
         |    group: finance
@@ -182,6 +210,20 @@ class RunOperationSpec extends AnyFunSuite {
     val r2 = new Runner(spark, ProjectLoader.load(p2.toString),
       targetSchema = "g_access2")
     assert(r2.resolved.nodes.contains("model.accessdemo.reader"))
+    assert(r2.resolved.groups("finance")("owner")
+      .asInstanceOf[Map[String, Any]]("name") == "fin-team")
+    // a declared groups block makes unknown group references an error
+    val p4 = project(
+      """groups:
+        |  - name: finance
+        |    owner: {name: fin-team}
+        |models:
+        |  - name: secret
+        |    group: marketing
+        |""".stripMargin)
+    assertThrows[IllegalStateException](
+      new Runner(spark, ProjectLoader.load(p4.toString),
+        targetSchema = "g_access4").resolved)
     // protected within one package → fine (public too)
     val p3 = project(
       """models:
