@@ -513,14 +513,21 @@ object Resolver {
               if (k.contains(".")) s"source.$k"
               else protoResolved.refUniqueId(proj.name, None, k)
             }
+            // dbt build ordering: the unit test depends on the model's
+            // PARENTS (edges added in the gating post-pass below — mocked
+            // or not, un-mocked refs and fixture typing read the real
+            // upstream relations), and the model gains an edge on the
+            // unit test, so a failing unit test gates the model build
+            // (dbt's unit-tests-before-model rule).
             Node(
               uniqueId = s"unit_test.${proj.name}.$name",
               name = name,
               packageName = proj.name,
               kind = NodeKind.UnitTest,
               config = NodeConfig(materialized = "unit",
-                extra = Map("model" -> model, "overrides" -> overrides)),
-              dependsOn = (modelUid +: inputUids).distinct,
+                extra = Map("model" -> model, "model_uid" -> modelUid,
+                  "overrides" -> overrides)),
+              dependsOn = inputUids.distinct.filterNot(_ == modelUid),
               givenFixtures = given.toMap,
               expectRows = expect,
               columns = Map("test_kind" -> "unit"))
@@ -578,11 +585,32 @@ object Resolver {
     val metricNodes = declaredNodes("metrics", NodeKind.Metric)
     val semanticModelNodes = declaredNodes("semantic_models", NodeKind.SemanticModel)
 
-    val all = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
+    val all0 = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
       singularTestNodes ++ unitTestNodes ++ analysisNodes ++ exposureNodes ++
-      metricNodes ++ semanticModelNodes).map(n => n.uniqueId -> n.copy(
-        checksumBody = graft.jinja.Json.md5(n.rawSql),
-        checksumConfig = graft.jinja.Json.md5(n.config.toString))).toMap
+      metricNodes ++ semanticModelNodes).map(n => n.uniqueId -> n).toMap
+    // unit-test gating (dbt build rule): ut inherits the target model's
+    // parent edges; the model depends on its unit tests — a failing unit
+    // test skips the model build. `dbt run` filters UnitTest nodes out and
+    // the DAG slice drops the edges, so plain runs are unaffected.
+    val utByModel: Map[String, Seq[String]] = all0.values.toSeq
+      .filter(_.kind == NodeKind.UnitTest)
+      .flatMap(ut => ut.config.extra.get("model_uid")
+        .map(m => m.toString -> ut.uniqueId))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val all = all0.map { case (id, n) =>
+      val gated = n.kind match {
+        case NodeKind.UnitTest =>
+          val parents = n.config.extra.get("model_uid")
+            .flatMap(m => all0.get(m.toString)).map(_.dependsOn).getOrElse(Nil)
+          n.copy(dependsOn = (n.dependsOn ++ parents).distinct)
+        case NodeKind.Model if utByModel.contains(id) =>
+          n.copy(dependsOn = (n.dependsOn ++ utByModel(id)).distinct)
+        case _ => n
+      }
+      id -> gated.copy(
+        checksumBody = graft.jinja.Json.md5(gated.rawSql),
+        checksumConfig = graft.jinja.Json.md5(gated.config.toString))
+    }
     checkRelationUniqueness(all)
     checkAccess(all)
 

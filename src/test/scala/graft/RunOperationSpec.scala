@@ -386,8 +386,13 @@ class RunOperationSpec extends AnyFunSuite {
         |""".stripMargin)
     val r2 = new Runner(spark, ProjectLoader.load(proj.toString),
       targetSchema = schema)
-    val ut2 = r2.run().find(_.uniqueId == "unit_test.unitdemo.ut_scored_doubles")
+    val res2 = r2.run()
+    val ut2 = res2.find(_.uniqueId == "unit_test.unitdemo.ut_scored_doubles")
     assert(ut2.exists(_.status == "fail"), ut2.toString)
+    // dbt build gating: the unit test runs BEFORE the model; its failure
+    // skips the model build
+    assert(res2.find(_.uniqueId == "model.unitdemo.scored")
+      .exists(_.status == "skipped"), res2.mkString("\n"))
   }
 
   test("--empty builds models with the full schema and zero rows") {
