@@ -226,6 +226,35 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // corpus n-gram statistics: top bigrams by frequency (the vocabulary/
+    // stats step of a curation pipeline) — map-side explode, one count
+    // shuffle of (bigram, partial count) pairs, never documents
+    "q_text_topgrams" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(Dedup.shingleExpr("text", 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    }),
+
+    // int8 symmetric embedding quantization (4x smaller vectors for
+    // storage/transfer at scale): scale = 127/max|x| per vector, one
+    // explode + two narrow shuffles; checksum pins every quantized value
+    "q_embed_quantize" -> ((s, dir) => {
+      val ex = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val scales = ex.groupBy("vec_id")
+        .agg(max(abs(col("x"))).as("absmax"))
+        .withColumn("scale",
+          when(col("absmax") > 0, lit(127.0) / col("absmax")).otherwise(lit(0.0)))
+      ex.join(scales, "vec_id")
+        .withColumn("q", round(col("x") * col("scale")).cast("int"))
+        .groupBy("vec_id")
+        .agg(min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+          sum(col("q") * (col("d") + 1)).as("q_checksum"))
+        .orderBy("vec_id")
+    }),
+
     // multimodal: binary payloads + batch metadata decode (stub codec)
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(
@@ -691,6 +720,32 @@ object PipelinePack extends QueryPack {
         |  list_min(gram_hashes) AS min_gram_hash,
         |  len(list_distinct(gram_hashes)) AS n_distinct_grams
         |FROM hashed ORDER BY doc_id""".stripMargin,
+
+    "q_text_topgrams" ->
+      """WITH grams AS (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 2), ' ')))) AS bigram
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2)
+        |SELECT bigram, count(*) AS n FROM grams
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |scales AS (
+        |  SELECT vec_id, CASE WHEN max(abs(x)) > 0
+        |         THEN 127.0 / max(abs(x)) ELSE 0.0 END AS scale
+        |  FROM ex GROUP BY vec_id)
+        |SELECT e.vec_id,
+        |  CAST(min(round(e.x * s.scale)) AS INT) AS q_min,
+        |  CAST(max(round(e.x * s.scale)) AS INT) AS q_max,
+        |  CAST(SUM(CAST(round(e.x * s.scale) AS BIGINT) * e.d) AS BIGINT) AS q_checksum
+        |FROM ex e JOIN scales s ON s.vec_id = e.vec_id
+        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
