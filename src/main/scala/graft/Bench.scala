@@ -17,6 +17,7 @@ object Bench {
     "q1_agg", "q3_topk", "q5_star_join", "q_brand_agg", "q_window_topn",
     "q_window_running", "q_distinct", "q_above_avg", "q_anti_join",
     "q_rollup", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_exact",
+    "q_dedup_components",
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_text_langid",
     "q_text_quality", "q_text_fingerprint")
   // q_dedup_embedding stays oracle-only: it is the deliberately-exact
