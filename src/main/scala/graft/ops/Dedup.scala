@@ -31,7 +31,11 @@ object Dedup {
     * This is a SMALL-INPUT crutch: at cluster scale the parallelism comes
     * from the input splits themselves and caching the corpus is not a
     * 100 TB plan — set `spark.graft.spreadInput=false` there to make this
-    * a no-op (scans stay streaming, no materialization). */
+    * a no-op (scans stay streaming, no materialization).
+    *
+    * Callers must PROJECT before spreading: the cache boundary is a leaf
+    * Catalyst cannot prune columns through, so spread(df.select(needed))
+    * keeps both the parquet ReadSchema and the cached footprint narrow. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (!spark.conf.get("spark.graft.spreadInput", "true").toBoolean) df
@@ -120,7 +124,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     import graft.expressions.PipelineExpressions._
     val r = perms / bands
-    val sigs = maybeCache(spread(df)
+    val sigs = maybeCache(spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
         shingle_hashes(col(textCol), k).as("shh"))
       .filter(size(col("shh")) > 0)
@@ -148,7 +152,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     import graft.expressions.PipelineExpressions._
-    val sh = maybeCache(spread(df)
+    val sh = maybeCache(spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
       .filter(size(col("shh")) > 0))
     // prune the quadratic join: pairs must share at least one shingle
@@ -195,7 +199,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val sigs = maybeCache(withSimhashChunks(
-      spread(df).select(col(idCol).as("id"), col(textCol)), textCol)
+      spread(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"), col(textCol)), textCol)
       .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3")))
     val banded = sigs.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
@@ -230,8 +235,9 @@ object Dedup {
     val g = if (blocks > 0) blocks
       else math.max(2, math.ceil(math.sqrt(
         df.sparkSession.sparkContext.defaultParallelism * 2.0)).toInt)
-    val v = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.normExact(vecCol).as("norm"))
+    val v = spread(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.normExact(vecCol).as("norm"))
       .withColumn("blk", pmod(col("id"), lit(g)).cast("int"))
     val partners = array((0 until g).map(lit): _*)
     // ordered pair (a, b) lands in exactly one cell: (blk_a, blk_b)
@@ -340,9 +346,10 @@ object Dedup {
     * candidate volume stays near-linear. */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val v = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.normExact(vecCol).as("norm"),
-      Similarity.bandSignatures(vecCol, bands, rowsPerBand).as("sigs"))
+    val v = spread(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.normExact(vecCol).as("norm"),
+        Similarity.bandSignatures(vecCol, bands, rowsPerBand).as("sigs"))
     val banded = v.select(col("id"), col("v"), col("norm"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
     val a = banded.select(col("id").as("id_a"), col("v").as("va"),

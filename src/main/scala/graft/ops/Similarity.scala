@@ -42,7 +42,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normExact(vecCol).as("qn"))
-    val c = Dedup.spread(corpus)
+    val c = Dedup.spread(corpus.select(col(idCol), col(vecCol)))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         normExact(vecCol).as("cn"))
     val scored = c.crossJoin(broadcast(q))
@@ -145,7 +145,8 @@ object Similarity {
       k: Int, iters: Int): Array[Array[Double]] =
     // the decimal-exact distance loop is CPU-heavy (k×dim BigDecimal ops
     // per row) — spread a single-split input across the cluster first
-    kmeansOnSpread(Dedup.spread(corpus), idCol, vecCol, k, iters)
+    kmeansOnSpread(Dedup.spread(corpus.select(col(idCol), col(vecCol))),
+      idCol, vecCol, k, iters)
 
   private def kmeansOnSpread(c: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
@@ -194,7 +195,7 @@ object Similarity {
       nprobe: Int = 2, iters: Int = 2): DataFrame = {
     // spread once; training iterations and the final assignment all reuse
     // the cached, well-partitioned corpus
-    val spreadCorpus = Dedup.spread(corpus)
+    val spreadCorpus = Dedup.spread(corpus.select(col(idCol), col(vecCol)))
     val centroids = kmeansOnSpread(spreadCorpus, idCol, vecCol, nlist, iters)
     val c = spreadCorpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), normExact(vecCol).as("cn"),
