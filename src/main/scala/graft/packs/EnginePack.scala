@@ -519,6 +519,65 @@ object EnginePack extends QueryPack {
     // pre/post hooks around a materialization (MA/materializations/
     // hooks.sql): the pre-hook creates an audit table, the post-hook logs
     // the build — both rendered with the run context ({{ this }}).
+    // versioned models end-to-end: ref('m') routes to latest_version
+    // (which alone carries the price_band column), ref('m', v=1) pins the
+    // old shape — both edges resolve through the version registry and
+    // both tables materialize with their _vN aliases
+    "q_engine_versions" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_versions")
+      write(proj, "dbt_project.yml",
+        """name: verflow
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/order_flags_v1.sql",
+        """select o_orderkey, o_orderstatus
+          |from {{ source('tpch', 'orders') }}
+          |""".stripMargin)
+      write(proj, "models/order_flags_v2.sql",
+        """select o_orderkey, o_orderstatus,
+          |  case when o_totalprice > 100000 then 'big' else 'small' end as price_band
+          |from {{ source('tpch', 'orders') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """models:
+          |  - name: order_flags
+          |    latest_version: 2
+          |    versions:
+          |      - v: 1
+          |      - v: 2
+          |""".stripMargin)
+      write(proj, "models/version_report.sql",
+        """select
+          |  (select count(*) from {{ ref('order_flags') }}
+          |   where price_band = 'big') as n_latest_big,
+          |  (select count(*) from {{ ref('order_flags', v=1) }}) as n_v1
+          |""".stripMargin)
+      val schema = "g_engine_versions"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_versions_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      // both versions materialized under their _vN aliases
+      require(runner.adapter.relationExists(
+        graft.core.Relation(schema, "order_flags_v1")))
+      require(runner.adapter.relationExists(
+        graft.core.Relation(schema, "order_flags_v2")))
+      runner.adapter.read(graft.core.Relation(schema, "version_report"))
+    }),
+
     "q_engine_hooks" -> ((s, dir) => {
       val proj = Files.createTempDirectory("graft_hooks")
       write(proj, "dbt_project.yml",
@@ -620,6 +679,11 @@ object EnginePack extends QueryPack {
         |  count(*) AS n_total,
         |  (SELECT count(*) FROM orders WHERE o_totalprice > 100000) AS n_big
         |FROM orders""".stripMargin,
+
+    "q_engine_versions" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 100000) AS n_latest_big,
+        |  (SELECT count(*) FROM orders) AS n_v1""".stripMargin,
 
     "q_engine_hooks" ->
       """SELECT 'built' AS event,
