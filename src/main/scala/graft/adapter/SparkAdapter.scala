@@ -309,14 +309,17 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     * drop backup. Readers of the current table see either old or new. */
   def writeTableAtomic(df: DataFrame, rel: Relation,
       partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
-      clusteredBy: Seq[String] = Nil, buckets: Int = 0): Unit = {
-    // sort_by clustering: range-repartition on the sort keys, then sort
-    // within each task — every output file covers a DISJOINT key range and
-    // is internally ordered, so parquet row-group min/max stats prune
-    // selective scans to a handful of files (the warehouse clustering-key
-    // layout). Costs one range shuffle per build; skipped when absent.
+      clusteredBy: Seq[String] = Nil, buckets: Int = 0,
+      zorderBy: Seq[String] = Nil): Unit = {
+    // zorder_by: Morton-curve layout (multi-dimensional skipping) wins
+    // over sort_by; sort_by clustering: range-repartition on the sort
+    // keys, then sort within each task — every output file covers a
+    // DISJOINT key range and is internally ordered, so parquet row-group
+    // min/max stats prune selective scans to a handful of files (the
+    // warehouse clustering-key layout). One range shuffle per build.
     val sorted =
-      if (sortBy.isEmpty) df
+      if (zorderBy.nonEmpty) graft.ops.Zorder.layout(df, zorderBy)
+      else if (sortBy.isEmpty) df
       else {
         val keys = sortBy.map(c =>
           org.apache.spark.sql.functions.col(s"`$c`"))

@@ -164,6 +164,12 @@ final case class NodeConfig(
       * files). Applied via sortWithinPartitions before every table /
       * incremental write — a per-partition sort, no extra shuffle. */
     sortBy: Seq[String] = Nil,
+    /** `zorder_by:` — Morton-curve layout over 2-4 numeric columns
+      * (Delta OPTIMIZE ZORDER semantics on plain parquet): files become
+      * tight hyper-rectangles so selective predicates on ANY z-ordered
+      * column prune via min/max stats, where sort_by only serves its
+      * first key. Mutually exclusive with sort_by (zorder wins). */
+    zorderBy: Seq[String] = Nil,
     /** dbt-spark `clustered_by:` + `buckets:` (reference:
       * MS adapter table config; SparkAdapter file_format/clustered_by) —
       * hash-bucketed table layout. Two tables bucketed on the same key

@@ -87,7 +87,7 @@ object TableMat extends Materialization {
   def run(ctx: MatContext): MatResult = {
     ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
-      ctx.config.clusteredBy, ctx.config.buckets)
+      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy)
     MatResult(ctx.target, "success")
   }
 }

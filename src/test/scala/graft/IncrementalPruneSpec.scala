@@ -236,6 +236,49 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(s.exceptAll(p).isEmpty && p.exceptAll(s).isEmpty)
   }
 
+  test("zorder_by bounds BOTH dimensions per file where sort_by serves one") {
+    import spark.implicits._
+    val a = freshAdapter("zorder")
+    // 64×64 grid, shuffled: each (x, y) uniform over [0, 64)²
+    val rows = new scala.util.Random(11)
+      .shuffle((0 until 64).flatMap(x => (0 until 64).map(y => (x, y))).toList)
+    val df = rows.toDF("x", "y").repartition(4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // enough range partitions that the Morton prefix splits BOTH
+    // dimensions (2 files can only split the top bit's dimension)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val zrel = Relation(a.defaultSchema, "zordered")
+      a.writeTableAtomic(df, zrel, zorderBy = Seq("x", "y"))
+      val srel = Relation(a.defaultSchema, "sorted1d")
+      a.writeTableAtomic(df, srel, sortBy = Seq("x"))
+      def fileRanges(rel: Relation): Seq[((Int, Int), (Int, Int))] =
+        a.read(rel).select(input_file_name().as("f"), col("x"), col("y"))
+          .as[(String, Int, Int)].collect().groupBy(_._1).values.map { rs =>
+            ((rs.map(_._2).min, rs.map(_._2).max),
+              (rs.map(_._3).min, rs.map(_._3).max))
+          }.toSeq
+      val z = fileRanges(zrel)
+      val s = fileRanges(srel)
+      assert(z.size > 1 && s.size > 1)
+      // avg per-file span of the SECOND dimension: z-order keeps it a
+      // fraction of the domain; 1-d sort leaves it the whole domain
+      def avgYSpan(rs: Seq[((Int, Int), (Int, Int))]): Double =
+        rs.map { case (_, (lo, hi)) => (hi - lo + 1).toDouble }.sum / rs.size
+      assert(avgYSpan(s) > 60.0, s"sort_by y-span ${avgYSpan(s)}")
+      assert(avgYSpan(z) < 40.0, s"zorder y-span ${avgYSpan(z)}")
+      // and x stays bounded too (both layouts serve x)
+      def avgXSpan(rs: Seq[((Int, Int), (Int, Int))]): Double =
+        rs.map { case ((lo, hi), _) => (hi - lo + 1).toDouble }.sum / rs.size
+      assert(avgXSpan(z) < 40.0, s"zorder x-span ${avgXSpan(z)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("clustered_by buckets co-locate same-key joins: no exchange") {
     import spark.implicits._
     val a = freshAdapter("buckets")
