@@ -90,6 +90,58 @@ class ExpressionPropertySpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(3).mkString(" | "))
   }
 
+  test("NearestCentroids matches a reference decimal argmin, ties to lower index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val centroids: Array[Array[Double]] =
+      Array.fill(5)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+    def refNearest(v: Array[Float], nprobe: Int): Seq[Int] = {
+      // the documented contract, written independently: per-dim
+      // (double-exact diff)² → DECIMAL(38,18) HALF_UP → exact sum;
+      // ascending by (distance, index)
+      val dists = centroids.map { c =>
+        v.zip(c).map { case (x, cd) =>
+          val diff = x.toDouble - cd
+          new java.math.BigDecimal(diff * diff)
+            .setScale(18, java.math.RoundingMode.HALF_UP)
+        }.foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      }
+      dists.zipWithIndex.sortBy { case (d, i) => (d, i) }(
+        Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal](identity),
+          Ordering.Int)).map(_._2).take(nprobe).toSeq
+    }
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)))
+    // include exact-tie vectors: a point equidistant from duplicated
+    // centroids must pick the LOWER index
+    val tied = centroids(2).map(_.toFloat)
+    val all = vecs :+ (999L, tied)
+    val dupCentroids = centroids :+ centroids(2) // index 5 duplicates 2
+    val got = all.toDF("id", "v")
+      .withColumn("near",
+        PipelineExpressions.nearest_centroids(col("v"), dupCentroids, 3))
+      .select("id", "near").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    all.foreach { case (id, v) =>
+      val expect = {
+        val dists = dupCentroids.map { c =>
+          v.zip(c).map { case (x, cd) =>
+            val diff = x.toDouble - cd
+            new java.math.BigDecimal(diff * diff)
+              .setScale(18, java.math.RoundingMode.HALF_UP)
+          }.foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+        }
+        dists.zipWithIndex.sortBy { case (d, i) => (d, i) }(
+          Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal](identity),
+            Ordering.Int)).map(_._2).take(3).toSeq
+      }
+      assert(got(id) == expect, s"vec $id: got ${got(id)} expect $expect")
+    }
+    // the tied vector prefers centroid 2 over its duplicate at index 5
+    assert(got(999L).head == 2)
+  }
+
   test("MinHashSig estimates Jaccard within tolerance of exact") {
     import spark.implicits._
     // near-dup pairs: element sets sharing ~80% of their members. The
