@@ -379,16 +379,20 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   /** Dynamic-partition overwrite — Spark's native insert_overwrite
     * (dbt-spark strategies.sql:1-15 maps to exactly this). */
   def insertOverwritePartitions(df: DataFrame, rel: Relation): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Dynamic mode must come from the SESSION conf (insertInto's
+    // self-read/static-overwrite analysis ignores writer options), but a
+    // naive set/restore races under concurrent writers (microbatch
+    // concurrent_batches): one thread's restore could flip another's
+    // in-flight write back to STATIC overwrite — deleting every partition
+    // the incoming frame doesn't carry. The guard reference-counts
+    // writers: the first entering sets dynamic, only the last leaving
+    // restores the previous value.
+    SparkAdapter.DynamicOverwriteGuard.enter(spark)
     try {
       val cols = getColumnsInRelation(rel).fieldNames
       df.selectExpr(cols.map(c => s"`$c`").toIndexedSeq: _*)
         .write.mode("overwrite").insertInto(rel.fqn)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    } finally SparkAdapter.DynamicOverwriteGuard.exit(spark)
   }
 
   /** ALTER TABLE … DROP PARTITION — used by the partition-pruned merge path
@@ -461,4 +465,30 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
 
   /** Local-filesystem fallback used by tests and freshness metadata. */
   def pathExists(p: String): Boolean = Files.exists(Paths.get(p))
+}
+
+object SparkAdapter {
+  /** Reference-counted session-conf guard for dynamic partition
+    * overwrite: every concurrent writer wants the same value, so the
+    * first in sets it and the last out restores what preceded the whole
+    * burst. One guard per process — all adapters share the session. */
+  private[adapter] object DynamicOverwriteGuard {
+    private val Key = "spark.sql.sources.partitionOverwriteMode"
+    private var count = 0
+    private var saved: Option[String] = None
+    def enter(spark: SparkSession): Unit = synchronized {
+      if (count == 0) {
+        saved = spark.conf.getOption(Key)
+        spark.conf.set(Key, "dynamic")
+      }
+      count += 1
+    }
+    def exit(spark: SparkSession): Unit = synchronized {
+      count -= 1
+      if (count == 0) saved match {
+        case Some(v) => spark.conf.set(Key, v)
+        case None => spark.conf.unset(Key)
+      }
+    }
+  }
 }
