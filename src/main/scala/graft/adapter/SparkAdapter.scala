@@ -471,21 +471,31 @@ object SparkAdapter {
   /** Reference-counted session-conf guard for dynamic partition
     * overwrite: every concurrent writer wants the same value, so the
     * first in sets it and the last out restores what preceded the whole
-    * burst. One guard per process — all adapters share the session. */
+    * burst. State is PER SparkSession (spark.newSession() clones have
+    * separate SQLConfs — a global count would skip conf.set on the
+    * second session and leave its writes in static mode). */
   private[adapter] object DynamicOverwriteGuard {
     private val Key = "spark.sql.sources.partitionOverwriteMode"
-    private var count = 0
-    private var saved: Option[String] = None
+    private final class State { var count = 0; var saved: Option[String] = None }
+    private val states =
+      new java.util.WeakHashMap[SparkSession, State]()
+    private def stateOf(spark: SparkSession): State = {
+      val s = states.get(spark)
+      if (s != null) s
+      else { val n = new State; states.put(spark, n); n }
+    }
     def enter(spark: SparkSession): Unit = synchronized {
-      if (count == 0) {
-        saved = spark.conf.getOption(Key)
+      val st = stateOf(spark)
+      if (st.count == 0) {
+        st.saved = spark.conf.getOption(Key)
         spark.conf.set(Key, "dynamic")
       }
-      count += 1
+      st.count += 1
     }
     def exit(spark: SparkSession): Unit = synchronized {
-      count -= 1
-      if (count == 0) saved match {
+      val st = stateOf(spark)
+      st.count -= 1
+      if (st.count == 0) st.saved match {
         case Some(v) => spark.conf.set(Key, v)
         case None => spark.conf.unset(Key)
       }

@@ -160,9 +160,15 @@ object Main {
               System.err.println("usage: show [--select model | --inline sql] [--limit n]")
               return 2
             }
-            val node = runner.resolved.nodes.values
-              .find(n => n.name == name.stripPrefix("+").stripSuffix("+") &&
-                n.kind == NodeKind.Model)
+            val bare = name.stripPrefix("+").stripSuffix("+")
+            // versioned models share one logical name — route through the
+            // same resolution ref() uses so show previews latest_version
+            val byRef = scala.util.Try(runner.resolved.refUniqueId(
+              runner.resolved.project.name, None, bare)).toOption
+              .flatMap(runner.resolved.nodes.get)
+              .filter(_.kind == NodeKind.Model)
+            val node = byRef.orElse(runner.resolved.nodes.values
+              .find(n => n.name == bare && n.kind == NodeKind.Model))
               .getOrElse {
                 System.err.println(s"show: no model named '$name'")
                 return 2

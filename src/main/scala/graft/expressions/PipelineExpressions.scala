@@ -361,11 +361,15 @@ object PipelineExpressions {
       var total = 0L
       var wordLen = 0
       var i = 0
+      // word length in CODE POINTS: SQL length()/DuckDB length() count
+      // characters, not UTF-16 units — counting chars would over-split
+      // words containing supplementary-plane text (emoji, rare CJK)
       while (i < s.length) {
-        if (s.charAt(i) == ' ') {
+        val cp = s.codePointAt(i)
+        if (cp == ' ') {
           if (wordLen > 0) { total += (wordLen + 3) / 4; wordLen = 0 }
         } else wordLen += 1
-        i += 1
+        i += Character.charCount(cp)
       }
       if (wordLen > 0) total += (wordLen + 3) / 4
       total

@@ -71,6 +71,16 @@ object IncrementalMat extends Materialization {
       return MatResult(target, "success",
         if (exists) "full refresh" else "first run: create table as select")
     }
+    // hash_buckets added to an already-built unbucketed table: the target
+    // has neither the derived column nor the partitioning — fail with the
+    // migration step instead of an AnalysisException naming an internal
+    // column the user never wrote
+    if (buckets.isDefined &&
+        !adapter.getColumnsInRelation(target).fieldNames.contains(BucketCol))
+      throw new IllegalStateException(
+        s"${target.fqn}: hash_buckets was configured but the existing " +
+          "table is not bucketized — run once with --full-refresh to " +
+          "migrate the layout")
 
     val source0 = bucketize(ctx.compiled())
     // widen target column types so incoming values fit (incremental.sql:37)

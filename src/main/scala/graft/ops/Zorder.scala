@@ -23,21 +23,27 @@ object Zorder {
 
   private val Buckets = 256 // 8 bits per dimension
 
-  /** Per-column quantile boundaries (255 cut points → 256 buckets).
-    * Deterministic for a given dataset (relativeError 0 = exact
-    * Greenwald-Khanna), order-independent. */
-  private[graft] def boundaries(df: DataFrame, column: String): Array[Double] =
-    df.stat.approxQuantile(column,
-      (1 until Buckets).map(_.toDouble / Buckets).toArray, 0.0)
+  /** Per-column quantile boundaries (255 cut points → 256 buckets) for
+    * ALL columns from ONE sketch pass (the multi-column approxQuantile
+    * overload — per-column calls would rescan the input once per
+    * dimension). Deterministic for a given dataset (relativeError 0 =
+    * exact Greenwald-Khanna), order-independent. */
+  private[graft] def boundaries(df: DataFrame,
+      columns: Seq[String]): Seq[Array[Double]] =
+    df.stat.approxQuantile(columns.toArray,
+      (1 until Buckets).map(_.toDouble / Buckets).toArray, 0.0).toSeq
 
   /** Map-side bucket id in [0, 256): index of the first boundary ≥ value
     * — a chain of comparisons over a broadcast 255-element literal array
-    * (codegen'd; no join, no shuffle). */
-  private[graft] def bucketOf(column: String, bounds: Array[Double]): Column = {
-    // width_bucket semantics via SQL: count boundaries strictly below x
-    val arr = bounds.mkString("array(", "D, ", "D)")
-    expr(s"size(filter($arr, b -> b < CAST(`$column` AS DOUBLE)))")
-  }
+    * (codegen'd; no join, no shuffle). Empty boundaries (zero non-null
+    * rows — e.g. an --empty dry run) and null values land in bucket 0. */
+  private[graft] def bucketOf(column: String, bounds: Array[Double]): Column =
+    if (bounds.isEmpty) lit(0)
+    else {
+      // width_bucket semantics via SQL: count boundaries strictly below x
+      val arr = bounds.mkString("array(", "D, ", "D)")
+      expr(s"size(filter($arr, b -> b < CAST(`$column` AS DOUBLE)))")
+    }
 
   /** Interleave the low 8 bits of each dimension's bucket id into one
     * Morton key (bit j of dim d lands at j * ndims + d). */
@@ -56,7 +62,7 @@ object Zorder {
   def layout(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.size >= 2 && columns.size <= 4,
       s"zorder_by takes 2-4 columns, got ${columns.size}")
-    val bounds = columns.map(c => boundaries(df, c))
+    val bounds = boundaries(df, columns)
     val zkey = mortonKey(columns.zip(bounds).map {
       case (c, b) => bucketOf(c, b)
     })

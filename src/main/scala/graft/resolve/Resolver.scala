@@ -135,7 +135,11 @@ object Resolver {
       versionDecls.map { case ((pkg, name), (latest, versions)) =>
         val byV = versions.map { case (v, _, _) =>
           v -> s"model.$pkg.$name.v$v" }.toMap
-        (pkg, name) -> ((byV.getOrElse(latest, byV.values.head), byV))
+        val latestUid = byV.getOrElse(latest,
+          throw new IllegalArgumentException(
+            s"model $name: latest_version '$latest' matches no declared " +
+              s"version (has: ${byV.keys.toSeq.sorted.mkString(", ")})"))
+        (pkg, name) -> ((latestUid, byV))
       }
     // files consumed by a version declaration don't also become plain nodes
     val versionBackingFiles: Map[String, Set[String]] =
@@ -263,11 +267,19 @@ object Resolver {
       projects.flatMap(_.docsBlocks).toMap
     def renderDesc(d: String): String =
       if (!d.contains("{{")) d
-      else Jinja.render(d, Map("doc" -> graft.jinja.Jinja.JFunc { (a, _) =>
+      else try Jinja.render(d, Map("doc" -> graft.jinja.Jinja.JFunc { (a, _) =>
         val key = a.headOption.map(_.toString).getOrElse("")
         docsBlocks.getOrElse(key,
           throw new IllegalStateException(s"doc('$key') not found"))
       }))
+      catch {
+        // a missing doc() block is a real authoring error; any OTHER
+        // Jinja in a description (literal moustaches, var()/ref()
+        // examples in prose) passes through verbatim — docs must never
+        // abort project resolution
+        case e: IllegalStateException => throw e
+        case _: graft.jinja.Jinja.JinjaError => d
+      }
     val propDescriptions: Map[String, (String, Map[String, String])] =
       projects.flatMap(_.properties).flatMap { props =>
         Yaml.dig(props, "models").toSeq.flatMap {

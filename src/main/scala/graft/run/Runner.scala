@@ -160,8 +160,16 @@ final class Runner(
       adapter, node.relation.get, resolveRef, resolveSource,
       isIncr, node.config.extra, project.vars ++ overrideVars,
       sys.env ++ overrideEnv) ++
-      overrideMacros.view.mapValues(v => Jinja.JFunc((_, _) => v)).toMap
-    val body = Jinja.render(macroPrelude + node.rawSql, bindings).trim
+      overrideMacros.map { case (k, v) =>
+        s"__macro_override_$k" -> (Jinja.JFunc((_, _) => v): Any) }
+    // macro overrides must SHADOW the prelude's {% macro %} definitions,
+    // which rebind their names during render — so re-bind each overridden
+    // name AFTER the prelude via {% set %} to a constant-returning
+    // function (a root-context binding alone would be overwritten)
+    val overrideBlock = overrideMacros.keys.map(k =>
+      s"{% set $k = __macro_override_$k %}").mkString
+    val body = Jinja.render(macroPrelude + overrideBlock + node.rawSql,
+      bindings).trim
     if (ctes.isEmpty) body
     else {
       val cteSql = ctes.map { case (n, sql) => s"$n AS (\n$sql\n)" }.mkString(", ")

@@ -236,6 +236,16 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(s.exceptAll(p).isEmpty && p.exceptAll(s).isEmpty)
   }
 
+  test("zorder_by tolerates empty input (schema-only dry runs)") {
+    import spark.implicits._
+    val a = freshAdapter("zempty")
+    val rel = Relation(a.defaultSchema, "zempty_t")
+    val empty = Seq.empty[(Int, Int)].toDF("x", "y")
+    a.writeTableAtomic(empty, rel, zorderBy = Seq("x", "y"))
+    assert(a.read(rel).count() == 0)
+    assert(a.read(rel).columns.toSeq == Seq("x", "y"))
+  }
+
   test("zorder_by bounds BOTH dimensions per file where sort_by serves one") {
     import spark.implicits._
     val a = freshAdapter("zorder")

@@ -150,6 +150,72 @@ class RunOperationSpec extends AnyFunSuite {
     assert(row.getString(2) == schema)
   }
 
+  test("unit-test overrides.macros shadow prelude-defined macros") {
+    val proj = Files.createTempDirectory("graft_unit_macro")
+    write(proj, "dbt_project.yml",
+      "name: utmacro\nmodel-paths: [\"models\"]\n")
+    write(proj, "macros/bonus.sql",
+      "{% macro bonus() %}100{% endmacro %}\n")
+    write(proj, "models/base.sql", "select 1 as id\n")
+    write(proj, "models/pay.sql",
+      "select id, {{ bonus() }} as bonus from {{ ref('base') }}\n")
+    write(proj, "models/schema.yml",
+      """unit_tests:
+        |  - name: ut_bonus_overridden
+        |    model: pay
+        |    given:
+        |      - input: ref('base')
+        |        rows:
+        |          - {id: 7}
+        |    expect:
+        |      rows:
+        |        - {id: 7, bonus: 5}
+        |    overrides:
+        |      macros:
+        |        bonus: 5
+        |""".stripMargin)
+    val schema = "g_utmacro"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val results = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema).run()
+    val ut = results.find(_.uniqueId == "unit_test.utmacro.ut_bonus_overridden")
+    // passes ONLY if the override (5) shadowed the prelude macro (100)
+    assert(ut.exists(_.status == "success"), results.mkString("\n"))
+  }
+
+  test("latest_version matching no declared version errors at resolve") {
+    val proj = Files.createTempDirectory("graft_badlatest")
+    write(proj, "dbt_project.yml",
+      "name: badlatest\nmodel-paths: [\"models\"]\n")
+    write(proj, "models/m_v1.sql", "select 1 as id\n")
+    write(proj, "models/schema.yml",
+      """models:
+        |  - name: m
+        |    latest_version: 3
+        |    versions:
+        |      - v: 1
+        |""".stripMargin)
+    assertThrows[IllegalArgumentException](
+      new Runner(spark, ProjectLoader.load(proj.toString),
+        targetSchema = "g_badlatest").resolved)
+  }
+
+  test("descriptions with non-doc Jinja pass through instead of failing") {
+    val proj = Files.createTempDirectory("graft_descjinja")
+    write(proj, "dbt_project.yml",
+      "name: descdemo\nmodel-paths: [\"models\"]\n")
+    write(proj, "models/m1.sql", "select 1 as id\n")
+    write(proj, "models/schema.yml",
+      """models:
+        |  - name: m1
+        |    description: "filters at {{ var('cutoff') }} — template example"
+        |""".stripMargin)
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = "g_descjinja")
+    assert(r.resolved.nodes("model.descdemo.m1").description
+      .contains("{{ var('cutoff') }}"))
+  }
+
   test("--fail-fast skips later levels after the first failure") {
     val proj = Files.createTempDirectory("graft_failfast")
     write(proj, "dbt_project.yml",
