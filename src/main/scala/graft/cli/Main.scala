@@ -46,7 +46,16 @@ object Main {
         * object per node, dbt ls shape). */
       output: String = "name",
       /** --fail-fast: stop scheduling after the first failed node. */
-      failFast: Boolean = false)
+      failFast: Boolean = false,
+      /** --event-time-start/--event-time-end: explicit microbatch
+        * backfill window ("yyyy-MM-dd[ HH:mm:ss]"). */
+      eventTimeStart: Option[String] = None,
+      eventTimeEnd: Option[String] = None)
+
+  /** "yyyy-MM-dd" or "yyyy-MM-dd HH:mm:ss" → Timestamp. */
+  private def parseTs(s: String): java.sql.Timestamp =
+    if (s.contains(":")) java.sql.Timestamp.valueOf(s)
+    else java.sql.Timestamp.valueOf(s + " 00:00:00")
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -83,6 +92,10 @@ object Main {
         case "--empty" => a = a.copy(empty = true); i += 1
         case "--output" => a = a.copy(output = argv(i + 1)); i += 2
         case "--fail-fast" => a = a.copy(failFast = true); i += 1
+        case "--event-time-start" =>
+          a = a.copy(eventTimeStart = Some(argv(i + 1))); i += 2
+        case "--event-time-end" =>
+          a = a.copy(eventTimeEnd = Some(argv(i + 1))); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -120,7 +133,9 @@ object Main {
       threads = args.threads, stateDir = args.state,
       deferManifest =
         if (args.defer) args.state.map(s => s"$s/manifest.json") else None,
-      emptyMode = args.empty)
+      emptyMode = args.empty,
+      eventTimeStart = args.eventTimeStart.map(parseTs),
+      eventTimeEnd = args.eventTimeEnd.map(parseTs))
     val targetDir = Paths.get(args.projectDir, args.targetPath)
     Files.createDirectories(targetDir)
 
@@ -133,7 +148,12 @@ object Main {
       case "compile" =>
         val compiled = targetDir.resolve("compiled")
         Files.createDirectories(compiled)
+        val selectedIds: Set[String] = args.select.map(s =>
+          graft.resolve.Selector.select(graft.resolve.Selector.parse(s),
+            runner.resolved.nodes, runner.graph))
+          .getOrElse(runner.resolved.nodes.keySet)
         runner.resolved.nodes.values
+          .filter(n => selectedIds(n.uniqueId))
           .filter(n => n.kind == NodeKind.Model || n.kind == NodeKind.Snapshot ||
             n.kind == NodeKind.Analysis)
           .foreach { n =>

@@ -44,6 +44,12 @@ final class Runner(
       * right schema but zero rows and zero input scan cost. The CI shape
       * for validating SQL + contracts against production structure. */
     emptyMode: Boolean = false,
+    /** --event-time-start / --event-time-end (reference:
+      * event_time_start/end, resolve_model_context.rs:349): explicit
+      * microbatch backfill window — overrides begin/now AND the
+      * resume-from-target logic, reprocessing exactly these batches. */
+    eventTimeStart: Option[java.sql.Timestamp] = None,
+    eventTimeEnd: Option[java.sql.Timestamp] = None,
     now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())) {
 
   val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
@@ -212,18 +218,26 @@ final class Runner(
               // later runs process only new batches + `lookback` reopened
               // ones (dbt's incremental microbatch run semantics) — without
               // this every run reprocesses all history.
-              val lastEnd: Option[java.sql.Timestamp] = for {
-                et <- node.config.eventTime
-                rel <- node.relation if adapter.relationExists(rel)
-                ts <- Try(adapter.read(rel)
-                  .agg(org.apache.spark.sql.functions.max(
-                    org.apache.spark.sql.functions.col(s"`$et`")))
-                  .head.getTimestamp(0)).toOption.flatMap(Option(_))
-              } yield ts
-              // per-batch compile with the window pushed into the scans
-              MicrobatchRunner.run(ctx.copy(compiledBatch = Some((bs, be) =>
-                spark.sql(compileSql(node, batchWindow = Some((bs, be)))))),
-                lastRunEnd = lastEnd)
+              // an explicit --event-time-start backfill window suppresses
+              // the resume (dbt: the named window is reprocessed exactly)
+              val lastEnd: Option[java.sql.Timestamp] =
+                if (eventTimeStart.isDefined) None
+                else for {
+                  et <- node.config.eventTime
+                  rel <- node.relation if adapter.relationExists(rel)
+                  ts <- Try(adapter.read(rel)
+                    .agg(org.apache.spark.sql.functions.max(
+                      org.apache.spark.sql.functions.col(s"`$et`")))
+                    .head.getTimestamp(0)).toOption.flatMap(Option(_))
+                } yield ts
+              val winCtx = ctx.copy(
+                node = ctx.node.copy(config = ctx.node.config.copy(
+                  begin = eventTimeStart.map(_.toString)
+                    .orElse(ctx.node.config.begin))),
+                now = eventTimeEnd.getOrElse(ctx.now),
+                compiledBatch = Some((bs, be) =>
+                  spark.sql(compileSql(node, batchWindow = Some((bs, be))))))
+              MicrobatchRunner.run(winCtx, lastRunEnd = lastEnd)
             case m if customMats.contains(m) =>
               runCustomMaterialization(node, sql, m, fullRefresh)
             case m => Materializations.resolve(m).run(ctx)

@@ -150,6 +150,52 @@ class RunOperationSpec extends AnyFunSuite {
     assert(row.getString(2) == schema)
   }
 
+  test("--event-time-start/--event-time-end backfill exactly that window") {
+    import spark.implicits._
+    val a = graft.cli.Main.parseArgs(Array("run",
+      "--event-time-start", "2026-01-02",
+      "--event-time-end", "2026-01-04 00:00:00"))
+    assert(a.eventTimeStart.contains("2026-01-02"))
+
+    val proj = Files.createTempDirectory("graft_backfill")
+    val dataDir = Files.createTempDirectory("graft_backfill_src")
+    (1 to 6).map(d => (d.toLong,
+      java.sql.Timestamp.valueOf(f"2026-01-0$d%d 10:00:00"), d * 10))
+      .toDF("id", "ts", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataDir/events.parquet")
+    write(proj, "dbt_project.yml",
+      "name: backfill\nmodel-paths: [\"models\"]\n")
+    write(proj, "models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: lake
+         |    tables:
+         |      - name: events
+         |        config: {event_time: ts}
+         |        external:
+         |          location: "$dataDir/events.parquet"
+         |""".stripMargin)
+    write(proj, "models/daily.sql",
+      """{{ config(materialized='incremental', incremental_strategy='microbatch',
+        |   event_time='ts', batch_size='day', begin='2026-01-01 00:00:00',
+        |   partition_by=['day']) }}
+        |select id, ts, v, cast(ts as date) as day
+        |from {{ source('lake', 'events') }}
+        |""".stripMargin)
+    val schema = "g_backfill"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    // backfill run with an explicit window builds ONLY days 2-3
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema,
+      eventTimeStart = Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00")),
+      eventTimeEnd = Some(java.sql.Timestamp.valueOf("2026-01-04 00:00:00")))
+    val results = r.run()
+    assert(results.forall(_.status == "success"), results.mkString("\n"))
+    val days = spark.table(s"$schema.daily").select("day")
+      .collect().map(_.getDate(0).toString).toSet
+    assert(days == Set("2026-01-02", "2026-01-03"), days)
+  }
+
   test("unit-test overrides.macros shadow prelude-defined macros") {
     val proj = Files.createTempDirectory("graft_unit_macro")
     write(proj, "dbt_project.yml",
