@@ -164,10 +164,11 @@ object Main {
         println(s"compiled → $compiled")
         0
 
-      case "docs" => // `docs generate`: manifest + catalog artifacts
+      case "docs" => // `docs generate`: manifest + catalog + static page
         runner.writeManifest(targetDir.resolve("manifest.json").toString)
         runner.writeCatalog(targetDir.resolve("catalog.json").toString)
-        println(s"docs → $targetDir/catalog.json")
+        runner.writeDocsIndex(targetDir.resolve("index.html").toString)
+        println(s"docs → $targetDir/{manifest.json, catalog.json, index.html}")
         0
 
       // dbt show: preview a model's (or --inline SQL's) first rows without

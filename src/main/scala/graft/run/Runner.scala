@@ -446,6 +446,65 @@ final class Runner(
   /** catalog.json — `docs generate` (reference: dbt catalog artifact,
     * schemas/catalog.rs): per built relation, its columns/types/comments
     * from the live catalog. */
+  /** Self-contained static docs page (`docs generate` index.html): the
+    * manifest-shaped node inventory inlined as JSON and rendered with
+    * ~40 lines of vanilla JS — no assets, works offline from file://.
+    * (dbt ships a bundled SPA; the equivalent here is a minimal, honest
+    * browser over the same artifact data.) */
+  def writeDocsIndex(outPath: String): Unit = {
+    val nodes = resolved.nodes.toSeq.sortBy(_._1).map { case (id, n) =>
+      Map(
+        "unique_id" -> id,
+        "resource_type" -> n.kind.name,
+        "name" -> n.name,
+        "package" -> n.packageName,
+        "relation" -> n.relation.map(_.fqn).orNull,
+        "materialized" -> n.config.materialized,
+        "tags" -> n.config.tags,
+        "description" -> n.description,
+        "columns" -> n.columns.toSeq.sortBy(_._1)
+          .map { case (c, d) => Map("name" -> c, "description" -> d) },
+        "depends_on" -> n.dependsOn)
+    }
+    val data = Json.write(Map("project" -> project.name, "nodes" -> nodes))
+    val html =
+      s"""<!doctype html><html><head><meta charset="utf-8">
+         |<title>${project.name} — graft docs</title>
+         |<style>
+         |body{font:14px/1.5 system-ui,sans-serif;margin:2rem auto;max-width:60rem;padding:0 1rem}
+         |input{width:100%;padding:.5rem;font-size:1rem;margin-bottom:1rem}
+         |.node{border:1px solid #ddd;border-radius:6px;padding:.8rem 1rem;margin:.6rem 0}
+         |.kind{display:inline-block;background:#eef;border-radius:4px;padding:0 .4rem;margin-right:.5rem;font-size:.85em}
+         |.rel{color:#666;font-size:.9em}.desc{margin:.4rem 0}
+         |table{border-collapse:collapse;font-size:.9em}td,th{border:1px solid #eee;padding:.15rem .5rem;text-align:left}
+         |.deps{color:#888;font-size:.85em}
+         |</style></head><body>
+         |<h1 id="t"></h1>
+         |<input id="q" placeholder="filter by name, tag, type…">
+         |<div id="list"></div>
+         |<script>
+         |const D=$data;
+         |document.getElementById('t').textContent=D.project+' — '+D.nodes.length+' nodes';
+         |function render(f){
+         |  const el=document.getElementById('list');el.innerHTML='';
+         |  D.nodes.filter(n=>!f||JSON.stringify([n.name,n.unique_id,n.tags,n.resource_type]).toLowerCase().includes(f))
+         |   .forEach(n=>{
+         |    const d=document.createElement('div');d.className='node';
+         |    let h='<span class="kind">'+n.resource_type+'</span><b>'+n.name+'</b>';
+         |    if(n.relation)h+=' <span class="rel">'+n.relation+' ('+n.materialized+')</span>';
+         |    if(n.description)h+='<div class="desc">'+n.description+'</div>';
+         |    if(n.columns.length){h+='<table><tr><th>column</th><th>description</th></tr>'+
+         |      n.columns.map(c=>'<tr><td>'+c.name+'</td><td>'+(c.description||'')+'</td></tr>').join('')+'</table>';}
+         |    if(n.depends_on.length)h+='<div class="deps">depends on: '+n.depends_on.join(', ')+'</div>';
+         |    d.innerHTML=h;el.appendChild(d);});
+         |}
+         |document.getElementById('q').addEventListener('input',e=>render(e.target.value.toLowerCase()));
+         |render('');
+         |</script></body></html>
+         |""".stripMargin
+    Files.writeString(Paths.get(outPath), html)
+  }
+
   def writeCatalog(outPath: String): Unit = {
     def entry(id: String, rel: graft.core.Relation,
         description: String): (String, Map[String, Any]) = {

@@ -122,5 +122,14 @@ class DocsSpec extends AnyFunSuite {
     val idCol = cols("id").asInstanceOf[Map[String, Any]]
     assert(idCol("comment") == "Primary key")
     assert(idCol("type").toString.equalsIgnoreCase("INT"))
+
+    // static docs page: self-contained, carries the node inventory inline
+    val idxPath = proj.resolve("index.html")
+    runner.writeDocsIndex(idxPath.toString)
+    val html = Files.readString(idxPath)
+    assert(html.startsWith("<!doctype html>"))
+    assert(html.contains("model.docsdemo.orders"))
+    assert(html.contains("All orders, one row per order"))
+    assert(!html.contains("src=")) // no external assets — works offline
   }
 }
