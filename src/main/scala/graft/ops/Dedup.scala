@@ -254,6 +254,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Containment near-dups: pairs where the SMALLER document's shingle
+    * set is ≥ `threshold` contained in the other's —
+    * containment(A,B) = |A∩B| / min(|A|,|B|). Symmetric Jaccard misses
+    * subset duplication (a short doc quoted whole inside a long one
+    * scores low Jaccard but containment 1.0); this is the LSH-Ensemble
+    * notion of near-duplicate. Candidates come from the shared-shingle
+    * equi-join (map-side explode, narrow shuffle) and are verified
+    * exactly — same scale shape as [[ngramJaccard]], with the LSH banding
+    * path available upstream when the corpus is large. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.9): DataFrame = {
+    import graft.expressions.PipelineExpressions._
+    val sh = maybeCache(spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
+      .filter(size(col("shh")) > 0))
+    val ex = sh.select(col("id"), explode(col("shh")).as("s"))
+    val pairIds = ex.as("x").join(ex.as("y"),
+      col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    pairIds
+      .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        expr("size(array_intersect(sh_a, sh_b))").cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Connected components over a near-dup pair graph: labels every node
     * with the MINIMUM id reachable from it, so each duplicate cluster gets
     * a stable canonical representative. Input is the (id_a, id_b) pair

@@ -34,6 +34,23 @@ object PipelinePack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // containment (asymmetric Jaccard ≥ 0.6): catches subset duplication
+    // — a doc quoted whole inside a longer one — that symmetric Jaccard
+    // misses; verified over a corpus where short docs embed in long ones
+    "q_dedup_containment" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      // synthesize guaranteed subset-dups: every 41st doc also appears
+      // wrapped inside a longer synthetic host document
+      val hosts = docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("prefix words before the quoted body "), col("text"),
+            lit(" and trailing commentary after the quote")).as("text"))
+      Dedup.containmentPairs(
+        docs.select("doc_id", "text").unionByName(hosts),
+        "doc_id", "text", k = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
     // connected components over the MinHash near-dup pair graph: every
     // clustered doc labeled with its cluster's minimum id
     "q_dedup_components" -> ((s, dir) => {
@@ -430,6 +447,28 @@ object PipelinePack extends QueryPack {
 
     "q_dedup_minhash" -> jaccardPairsSql,
     "q_dedup_ngram" -> jaccardPairsSql,
+
+    "q_dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    'prefix words before the quoted body ' || text ||
+        |    ' and trailing commentary after the quote'
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS s
+        |  FROM corpus
+        |  WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |        least(len(a.s), len(b.s)), 6) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      least(len(a.s), len(b.s)) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_components" ->
       s"""WITH RECURSIVE $ccCtes
