@@ -52,10 +52,15 @@ object Main {
       eventTimeStart: Option[String] = None,
       eventTimeEnd: Option[String] = None)
 
-  /** "yyyy-MM-dd" or "yyyy-MM-dd HH:mm:ss" → Timestamp. */
-  private def parseTs(s: String): java.sql.Timestamp =
-    if (s.contains(":")) java.sql.Timestamp.valueOf(s)
-    else java.sql.Timestamp.valueOf(s + " 00:00:00")
+  /** "yyyy-MM-dd" or "yyyy-MM-dd HH:mm:ss" → Timestamp, interpreted at
+    * UTC — MicrobatchRunner truncates and windows batches at
+    * ZoneOffset.UTC, so a local-zone parse would shift the backfill by
+    * the host's UTC offset. */
+  private def parseTs(s: String): java.sql.Timestamp = {
+    val text = if (s.contains(":")) s else s + " 00:00:00"
+    val ldt = java.time.LocalDateTime.parse(text.replace(' ', 'T'))
+    java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+  }
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(command = argv.headOption.getOrElse("run"))
@@ -128,6 +133,18 @@ object Main {
   }
 
   def run(spark: SparkSession, args: Args): Int = {
+    // dbt rejects a backfill end without a start and an empty window —
+    // both would otherwise silently run zero batches and report success
+    if (args.eventTimeEnd.isDefined && args.eventTimeStart.isEmpty) {
+      System.err.println("--event-time-end requires --event-time-start")
+      return 2
+    }
+    for (s <- args.eventTimeStart; e <- args.eventTimeEnd
+         if !parseTs(s).before(parseTs(e))) {
+      System.err.println(
+        s"--event-time-start ($s) must be before --event-time-end ($e)")
+      return 2
+    }
     val project = ProjectLoader.load(args.projectDir).withCliVars(args.cliVars)
     val runner = new Runner(spark, project, args.schema,
       threads = args.threads, stateDir = args.state,
@@ -148,10 +165,8 @@ object Main {
       case "compile" =>
         val compiled = targetDir.resolve("compiled")
         Files.createDirectories(compiled)
-        val selectedIds: Set[String] = args.select.map(s =>
-          graft.resolve.Selector.select(graft.resolve.Selector.parse(s),
-            runner.resolved.nodes, runner.graph))
-          .getOrElse(runner.resolved.nodes.keySet)
+        val selectedIds: Set[String] =
+          runner.selectIds(args.select, args.selector, args.exclude)
         runner.resolved.nodes.values
           .filter(n => selectedIds(n.uniqueId))
           .filter(n => n.kind == NodeKind.Model || n.kind == NodeKind.Snapshot ||
@@ -225,19 +240,8 @@ object Main {
         if (results.exists(_._2.exists(_.status == "error"))) 1 else 0
 
       case "list" | "ls" =>
-        val base = args.select.map(graft.resolve.Selector.parse)
-          .orElse(args.selector.map(runner.namedSelectors))
-        val spec = args.exclude.map(graft.resolve.Selector.parse) match {
-          case None => base
-          case Some(ex) => Some(graft.resolve.Selector.Difference(
-            base.getOrElse(graft.resolve.Selector.parse("fqn:*")), ex))
-        }
-        val selected = spec match {
-          case Some(sp) => graft.resolve.Selector.select(
-            sp, runner.resolved.nodes, runner.graph,
-            prevResults = runner.prevResults())
-          case None => runner.resolved.nodes.keySet
-        }
+        val selected = runner.selectIds(args.select, args.selector,
+          args.exclude)
         selected.toSeq.sorted.foreach { id =>
           if (args.output == "json") {
             val n = runner.resolved.nodes(id)

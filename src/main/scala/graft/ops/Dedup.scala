@@ -148,24 +148,11 @@ object Dedup {
     verifyJaccard(candidates, threshold)
   }
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold (quadratic baseline). */
+  /** Exact all-pairs n-gram Jaccard ≥ threshold (quadratic baseline,
+    * shingle-share pruned via [[shingleCandidates]]). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    import graft.expressions.PipelineExpressions._
-    val sh = maybeCache(spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
-      .filter(size(col("shh")) > 0))
-    // prune the quadratic join: pairs must share at least one shingle
-    val ex = sh.select(col("id"), explode(col("shh")).as("s"))
-    val pairIds = ex.as("x").join(ex.as("y"),
-      col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val candidates = pairIds
-      .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
-    verifyJaccard(candidates, threshold)
-  }
+      k: Int = 3, threshold: Double = 0.8): DataFrame =
+    verifyJaccard(shingleCandidates(df, idCol, textCol, k), threshold)
 
   private def verifyJaccard(candidates: DataFrame, threshold: Double): DataFrame = {
     import graft.expressions.PipelineExpressions._
@@ -264,7 +251,21 @@ object Dedup {
     * exactly — same scale shape as [[ngramJaccard]], with the LSH banding
     * path available upstream when the corpus is large. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.9): DataFrame = {
+      k: Int = 3, threshold: Double = 0.9): DataFrame =
+    shingleCandidates(df, idCol, textCol, k)
+      .withColumn("containment",
+        expr("size(array_intersect(sh_a, sh_b))").cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+
+  /** Shared candidate generation for the exact-verification near-dup ops:
+    * shingle-hash each doc, prune the quadratic space to pairs sharing at
+    * least one shingle (map-side explode + narrow self-join), and join
+    * both sides' shingle sets back as sh_a/sh_b for the verifier. */
+  private def shingleCandidates(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     import graft.expressions.PipelineExpressions._
     val sh = maybeCache(spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
@@ -277,12 +278,6 @@ object Dedup {
     pairIds
       .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
-      .withColumn("containment",
-        expr("size(array_intersect(sh_a, sh_b))").cast("double") /
-          least(size(col("sh_a")), size(col("sh_b"))))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"),
-        round(col("containment"), 6).as("containment"))
   }
 
   /** Connected components over a near-dup pair graph: labels every node

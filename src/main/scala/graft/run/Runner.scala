@@ -443,14 +443,13 @@ final class Runner(
     }
   }
 
-  /** catalog.json — `docs generate` (reference: dbt catalog artifact,
-    * schemas/catalog.rs): per built relation, its columns/types/comments
-    * from the live catalog. */
   /** Self-contained static docs page (`docs generate` index.html): the
     * manifest-shaped node inventory inlined as JSON and rendered with
     * ~40 lines of vanilla JS — no assets, works offline from file://.
     * (dbt ships a bundled SPA; the equivalent here is a minimal, honest
-    * browser over the same artifact data.) */
+    * browser over the same artifact data.) All user-authored strings are
+    * HTML-escaped client-side, and the inlined JSON escapes `<` so a
+    * literal `</script>` in a description cannot terminate the script. */
   def writeDocsIndex(outPath: String): Unit = {
     val nodes = resolved.nodes.toSeq.sortBy(_._1).map { case (id, n) =>
       Map(
@@ -466,7 +465,10 @@ final class Runner(
           .map { case (c, d) => Map("name" -> c, "description" -> d) },
         "depends_on" -> n.dependsOn)
     }
+    // `<` → < inside the JSON: a description containing "</script>"
+    // must not terminate the inline script block
     val data = Json.write(Map("project" -> project.name, "nodes" -> nodes))
+      .replace("<", "\\u003c")
     val html =
       s"""<!doctype html><html><head><meta charset="utf-8">
          |<title>${project.name} — graft docs</title>
@@ -484,18 +486,20 @@ final class Runner(
          |<div id="list"></div>
          |<script>
          |const D=$data;
+         |const esc=s=>String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
+         |  .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
          |document.getElementById('t').textContent=D.project+' — '+D.nodes.length+' nodes';
          |function render(f){
          |  const el=document.getElementById('list');el.innerHTML='';
          |  D.nodes.filter(n=>!f||JSON.stringify([n.name,n.unique_id,n.tags,n.resource_type]).toLowerCase().includes(f))
          |   .forEach(n=>{
          |    const d=document.createElement('div');d.className='node';
-         |    let h='<span class="kind">'+n.resource_type+'</span><b>'+n.name+'</b>';
-         |    if(n.relation)h+=' <span class="rel">'+n.relation+' ('+n.materialized+')</span>';
-         |    if(n.description)h+='<div class="desc">'+n.description+'</div>';
+         |    let h='<span class="kind">'+esc(n.resource_type)+'</span><b>'+esc(n.name)+'</b>';
+         |    if(n.relation)h+=' <span class="rel">'+esc(n.relation)+' ('+esc(n.materialized)+')</span>';
+         |    if(n.description)h+='<div class="desc">'+esc(n.description)+'</div>';
          |    if(n.columns.length){h+='<table><tr><th>column</th><th>description</th></tr>'+
-         |      n.columns.map(c=>'<tr><td>'+c.name+'</td><td>'+(c.description||'')+'</td></tr>').join('')+'</table>';}
-         |    if(n.depends_on.length)h+='<div class="deps">depends on: '+n.depends_on.join(', ')+'</div>';
+         |      n.columns.map(c=>'<tr><td>'+esc(c.name)+'</td><td>'+esc(c.description||'')+'</td></tr>').join('')+'</table>';}
+         |    if(n.depends_on.length)h+='<div class="deps">depends on: '+n.depends_on.map(esc).join(', ')+'</div>';
          |    d.innerHTML=h;el.appendChild(d);});
          |}
          |document.getElementById('q').addEventListener('input',e=>render(e.target.value.toLowerCase()));
@@ -717,11 +721,7 @@ final class Runner(
         * in-flight nodes of the current level finish, the rest report
         * skipped (dbt fail-fast semantics). */
       failFast: Boolean = false): Seq[NodeResult] = {
-    val selected: Set[String] = selectionSpec(select, selectorName, exclude) match {
-      case Some(sp) =>
-        Selector.select(sp, resolved.nodes, graph, prevState(), prevResults())
-      case None => resolved.nodes.keySet
-    }
+    val selected: Set[String] = selectIds(select, selectorName, exclude)
     // exposures/metrics/semantic models/analyses are declaration-only —
     // they select and document, but never execute
     val declarationOnly: Set[graft.core.NodeKind] = Set(
@@ -827,6 +827,17 @@ final class Runner(
   private def stateHash(node: Node, prev: Map[String, String]): String =
     Json.md5(node.checksum +
       node.dependsOn.sorted.map(d => prev.getOrElse(d, "")).mkString("|"))
+
+  /** Full selection resolution — select/selector/exclude with the state
+    * and result context loaded, shared by run/compile/list so state: and
+    * result: methods behave identically everywhere. */
+  def selectIds(select: Option[String], selectorName: Option[String] = None,
+      exclude: Option[String] = None): Set[String] =
+    selectionSpec(select, selectorName, exclude) match {
+      case Some(sp) =>
+        Selector.select(sp, resolved.nodes, graph, prevState(), prevResults())
+      case None => resolved.nodes.keySet
+    }
 
   /** selectors.yml named definitions; `--select` wins, then `--selector`,
     * then the file's `default: true` entry (parser.rs:60-99). */
