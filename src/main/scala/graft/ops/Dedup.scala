@@ -263,14 +263,36 @@ object Dedup {
   /** Shared candidate generation for the exact-verification near-dup ops:
     * shingle-hash each doc, prune the quadratic space to pairs sharing at
     * least one shingle (map-side explode + narrow self-join), and join
-    * both sides' shingle sets back as sh_a/sh_b for the verifier. */
-  private def shingleCandidates(df: DataFrame, idCol: String,
+    * both sides' shingle sets back as sh_a/sh_b for the verifier.
+    *
+    * Hot-shingle guard: a shingle appearing in f documents emits f²
+    * candidate pairs from the self-join, so one viral boilerplate
+    * sentence at corpus scale is a job-killing skew explosion. Standard
+    * practice (e.g. Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better") is to drop shingles whose document
+    * frequency exceeds a cap before pairing — a shingle shared by
+    * thousands of documents carries no near-dup signal anyway. The df
+    * count rides a window over the same hash partitioning the self-join
+    * needs (no extra shuffle). `spark.graft.maxShingleDf` (default 1000)
+    * bounds per-shingle fan-out at cap² pairs; ≤ 0 disables the guard.
+    * Pairs that share ONLY above-cap shingles are not candidates — at a
+    * Jaccard/containment threshold worth verifying, real near-dups share
+    * many shingles, almost all below any sane cap. */
+  private[graft] def shingleCandidates(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     import graft.expressions.PipelineExpressions._
+    val maxDf = df.sparkSession.conf.get("spark.graft.maxShingleDf", "1000").toInt
     val sh = maybeCache(spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
       .filter(size(col("shh")) > 0))
-    val ex = sh.select(col("id"), explode(col("shh")).as("s"))
+    val exploded = sh.select(col("id"), explode(col("shh")).as("s"))
+    val ex =
+      if (maxDf <= 0) exploded
+      else {
+        val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        exploded.withColumn("__df", count(lit(1)).over(byShingle))
+          .filter(col("__df") <= maxDf).drop("__df")
+      }
     val pairIds = ex.as("x").join(ex.as("y"),
       col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -296,20 +318,28 @@ object Dedup {
     * Scale shape: the graph holds only nodes that appear in some pair —
     * at 100 TB that is a small fraction of the corpus, and every shuffle
     * in the loop carries two longs per edge/node, never document content.
-    * Each round localCheckpoint()s the label frontier to truncate lineage
-    * (iterative joins otherwise grow the plan exponentially); on a real
-    * cluster prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()`
-    * so the frontier survives executor loss. Convergence is detected with
-    * a `limit(1)` existence probe, not a full count. */
+    * Each round checkpoints the label frontier to truncate lineage
+    * (iterative joins otherwise grow the plan exponentially). Durability:
+    * when a checkpoint directory is configured — either
+    * `spark.graft.checkpointDir` or a prior `sc.setCheckpointDir` — the
+    * frontier uses RELIABLE `checkpoint()` (survives executor loss, the
+    * only safe mode mid-iteration on a real cluster); otherwise it falls
+    * back to `localCheckpoint()`, fine for single-JVM runs. Convergence
+    * is detected with a `limit(1)` existence probe, not a full count. */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
       maxIterations: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val confDir = pairs.sparkSession.conf.get("spark.graft.checkpointDir", "")
+    if (confDir.nonEmpty && sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(confDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val p = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
-    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+    val edges = save(p.union(p.select(col("v").as("u"), col("u").as("v")))
+      .distinct())
     // init: label(v) = min(v, min direct neighbor)
-    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
-      .localCheckpoint()
+    var labels = save(edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("label")))
     var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -324,11 +354,10 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jumping: labels form a decreasing forest over node ids, so
       // label(label) is always defined and never leaves the component
-      val jumped = propagated
+      val jumped = save(propagated
         .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
           col("label") === col("pid"), "left")
-        .select(col("id"), coalesce(col("plabel"), col("label")).as("label"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("plabel"), col("label")).as("label")))
       converged = jumped
         .join(labels.select(col("id").as("oid"), col("label").as("old")),
           col("id") === col("oid"))

@@ -179,6 +179,61 @@ class DedupSpec extends AnyFunSuite {
     assert(salted.queryExecution.executedPlan.toString.contains("Generate explode"))
   }
 
+  test("hot-shingle guard bounds candidate pairs under a viral shingle") {
+    import spark.implicits._
+    // every doc contains the same boilerplate 3-gram; without the df cap
+    // the self-join emits all C(40,2) = 780 pairs from that one shingle
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"common viral boilerplate unique$i filler$i tail$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.shingleCandidates(docs, "doc_id", "text", 3)
+    assert(uncapped.count() == 780) // default cap 1000 leaves sf-test corpora intact
+    spark.conf.set("spark.graft.maxShingleDf", "10")
+    try {
+      // the shared shingles all have df=40 > 10; per-doc uniqueN shingles
+      // have df=1 → zero candidates survive the guard
+      assert(Dedup.shingleCandidates(docs, "doc_id", "text", 3).isEmpty)
+      // docs that ALSO share below-cap shingles still pair up
+      val mixed = docs.union(Seq(
+        (100L, "alpha beta gamma delta epsilon"),
+        (101L, "alpha beta gamma delta zeta")).toDF("doc_id", "text"))
+      val got = Dedup.shingleCandidates(mixed, "doc_id", "text", 3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 101L)))
+    } finally spark.conf.unset("spark.graft.maxShingleDf")
+  }
+
+  test("maxShingleDf <= 0 disables the hot-shingle guard") {
+    import spark.implicits._
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"common viral boilerplate unique$i filler$i tail$i"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.maxShingleDf", "0")
+    try assert(Dedup.shingleCandidates(docs, "doc_id", "text", 3).count() == 190)
+    finally spark.conf.unset("spark.graft.maxShingleDf")
+  }
+
+  test("connected components use reliable checkpoint() when a dir is configured") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val plain = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == plain)
+      assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L))
+      // checkpoint files actually materialized under the configured dir
+      def fileCount(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(fileCount).sum else 1
+      assert(fileCount(new java.io.File(dir)) > 0)
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("connected components label every cluster with its minimum id") {
     import spark.implicits._
     // two chains (multi-round propagation), one triangle, one isolated pair
