@@ -131,6 +131,16 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
 
   def renameRelation(from: Relation, to: Relation): Unit = {
     spark.sql(s"ALTER TABLE ${from.fqn} RENAME TO ${to.fqn}")
+    // Renaming a managed PARTITIONED table moves the root directory but
+    // leaves per-partition catalog locations pointing at the old root.
+    // Left stale, a scan reads 0 rows — and worse, dropping this table
+    // later purges those stale locations, which by then may hold ANOTHER
+    // table's data (the staged-swap protocol renames tmp into the old
+    // root: dropping the backup then deleted the just-swapped-in data).
+    // SYNC drops entries whose directory vanished and discovers the
+    // moved ones under the new root.
+    if (tableMeta(to).toOption.exists(_.partitionColumnNames.nonEmpty))
+      spark.sql(s"MSCK REPAIR TABLE ${to.fqn} SYNC PARTITIONS")
     relationCache.remove(from.key)
     relationCache.remove(to.key)
   }
@@ -356,14 +366,9 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       dropRelation(tmp)
       writer(tmp)
       dropRelation(bak)
-      renameRelation(rel, bak)
+      renameRelation(rel, bak)   // partition sync happens inside the rename
       renameRelation(tmp, rel)
       dropRelation(bak)
-      // Catalog-tracked partition specs go stale across a rename; recover
-      // them so later dynamic-partition overwrites only touch their own
-      // partitions.
-      if (partitionBy.nonEmpty)
-        spark.sql(s"MSCK REPAIR TABLE ${rel.fqn}")
     }
     relationCache.put(rel.key, RelationType.Table)
   }

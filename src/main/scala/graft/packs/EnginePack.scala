@@ -578,6 +578,54 @@ object EnginePack extends QueryPack {
       runner.adapter.read(graft.core.Relation(schema, "version_report"))
     }),
 
+    // ---- custom incremental strategy, end-to-end through the runner -----
+    // DbtIncrementalStrategy::Custom (common.rs:572, dispatch
+    // base_adapter.rs:339): an unknown strategy name resolves to the
+    // project's `get_incremental_<name>_sql(arg_dict)` macro, whose
+    // returned DML runs against the materialized temp relation. The macro
+    // here only upserts the id<10 slice on incremental runs, so the final
+    // table proves the custom DML (not a built-in strategy) executed.
+    "q_incr_custom_strategy" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_custom_strat")
+      write(proj, "dbt_project.yml",
+        """name: custstrat
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "macros/low_ids.sql",
+        """{% macro get_incremental_low_ids_sql(arg_dict) %}
+          |INSERT INTO {{ arg_dict['target_relation'] }}
+          |SELECT * FROM {{ arg_dict['temp_relation'] }} WHERE id < 10
+          |{% endmacro %}
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: nation
+           |        external:
+           |          location: "$dir/nation.parquet"
+           |""".stripMargin)
+      write(proj, "models/nations_inc.sql",
+        """{{ config(materialized='incremental', incremental_strategy='low_ids') }}
+          |select n_nationkey as id, n_name as v from {{ source('tpch', 'nation') }}
+          |""".stripMargin)
+      val schema = "g_custom_strat_q"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_custom_strat_wh").toString
+      val project = ProjectLoader.load(proj.toString)
+      def runOnce(): Unit = {
+        val results = new Runner(s, project, targetSchema = schema,
+          warehouseLocation = Some(loc)).run()
+        val bad = results.filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      }
+      runOnce() // first run: plain CTAS (no strategy dispatch)
+      runOnce() // second run: the custom macro's INSERT ... WHERE id < 10
+      s.table(s"$schema.nations_inc").orderBy("id", "v")
+    }),
+
     "q_engine_hooks" -> ((s, dir) => {
       val proj = Files.createTempDirectory("graft_hooks")
       write(proj, "dbt_project.yml",
@@ -688,6 +736,12 @@ object EnginePack extends QueryPack {
     "q_engine_hooks" ->
       """SELECT 'built' AS event,
         |  'g_engine_hooks.nations' AS target,
-        |  (SELECT COUNT(*) FROM nation) AS n_rows""".stripMargin
+        |  (SELECT COUNT(*) FROM nation) AS n_rows""".stripMargin,
+
+    "q_incr_custom_strategy" ->
+      """SELECT n_nationkey AS id, n_name AS v FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+        |ORDER BY id, v""".stripMargin
   )
 }

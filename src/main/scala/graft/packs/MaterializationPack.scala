@@ -179,6 +179,67 @@ object MaterializationPack extends QueryPack {
         .toDF("case_name", "status").orderBy("case_name")
     }),
 
+    // ---- materialized_view scenario ladder ------------------------------
+    // The reference's materialized_view_get_build_sql ladder
+    // (MA/materializations/models/materialized_view.sql:56-123): create →
+    // refresh when the recorded configuration matches → the three
+    // on_configuration_change modes when it drifts → full-refresh replace.
+    // Each rung's observable outcome (status, message kind, row count,
+    // physical partitioning) becomes one output row.
+    "q_mat_mview" -> ((s, dir) => {
+      import s.implicits._
+      val a = freshAdapter(s, "mat_mview")
+      val rel = Relation(a.defaultSchema, "mv_region_counts")
+      def mk(partitionBy: Seq[String], extra: Map[String, Any] = Map.empty,
+          fullRefresh: Boolean = false): MatContext = {
+        val cfg = NodeConfig(materialized = "materialized_view",
+          partitionBy = partitionBy, extra = extra)
+        MatContext(a, node("mv_region_counts", cfg), rel,
+          () => Tables(s, dir, "nation")
+            .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n_nations")),
+          fullRefresh, T0)
+      }
+      def partitionCols: String = {
+        val rows = s.sql(s"DESCRIBE TABLE ${rel.fqn}").collect().map(_.getString(0))
+        val i = rows.indexOf("# Partition Information")
+        if (i < 0) "" else rows.drop(i + 2).takeWhile(_.nonEmpty).mkString(",")
+      }
+      def tag(m: String): String =
+        Seq("created", "full-refresh", "refreshed", "applied", "skipped", "fail")
+          .find(m.contains).getOrElse("other")
+      val steps = Seq(
+        "1_create" -> mk(Nil),
+        "2_refresh" -> mk(Nil),
+        "3_drift_fail" -> mk(Seq("n_regionkey"), Map("on_configuration_change" -> "fail")),
+        "4_drift_continue" -> mk(Seq("n_regionkey"), Map("on_configuration_change" -> "continue")),
+        "5_drift_apply" -> mk(Seq("n_regionkey")),
+        "6_refresh_new_config" -> mk(Seq("n_regionkey")),
+        "7_full_refresh" -> mk(Nil, fullRefresh = true))
+      steps.map { case (step, ctx) =>
+        val r = MaterializedViewMat.run(ctx)
+        (step, r.status, tag(r.message), a.read(rel).count(), partitionCols)
+      }.toDF("step", "status", "outcome", "n_rows", "partition_cols")
+        .orderBy("step")
+    }),
+
+    // ---- store_failures: the failing rows PERSIST as a table ------------
+    // (StoreFailuresAs common.rs:1007) — the query output is the stored
+    // table read back through the adapter, not the in-flight test result,
+    // so the persistence path itself is what the oracle checks.
+    "q_test_store_failures" -> ((s, dir) => {
+      val a = freshAdapter(s, "store_failures")
+      val failing = GenericTests.acceptedValues(
+        Tables(s, dir, "orders"), "o_orderstatus", Seq("O", "F"))
+      val rel = Relation(a.defaultSchema, "accepted_values_orders_status")
+      val res = TestMat.run(s, failing,
+        NodeConfig(severity = Severity.Error, errorIf = "!= 0",
+          storeFailures = true),
+        Some(a), Some(rel))
+      val stored = res.failuresRelation.getOrElse(
+        throw new IllegalStateException("store_failures did not persist"))
+      a.read(stored).orderBy("value_field")
+    }),
+
     // ---- clone (view-of-target fallback) --------------------------------
     "q_mat_clone" -> ((s, dir) => {
       val a = freshAdapter(s, "mat_clone")
@@ -268,6 +329,26 @@ object MaterializationPack extends QueryPack {
         |ORDER BY case_name""".stripMargin,
 
     "q_mat_clone" ->
-      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q_mat_mview" ->
+      """SELECT step, status, outcome,
+        |  (SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS n_rows,
+        |  partition_cols
+        |FROM (VALUES
+        |  ('1_create', 'success', 'created', ''),
+        |  ('2_refresh', 'success', 'refreshed', ''),
+        |  ('3_drift_fail', 'error', 'fail', ''),
+        |  ('4_drift_continue', 'success', 'skipped', ''),
+        |  ('5_drift_apply', 'success', 'applied', 'n_regionkey'),
+        |  ('6_refresh_new_config', 'success', 'refreshed', 'n_regionkey'),
+        |  ('7_full_refresh', 'success', 'full-refresh', ''))
+        |  AS t(step, status, outcome, partition_cols)
+        |ORDER BY step""".stripMargin,
+
+    "q_test_store_failures" ->
+      """SELECT o_orderstatus AS value_field, COUNT(*) AS n_records
+        |FROM orders GROUP BY o_orderstatus
+        |HAVING o_orderstatus NOT IN ('O','F') ORDER BY value_field""".stripMargin
   )
 }
