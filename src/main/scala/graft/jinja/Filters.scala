@@ -30,7 +30,7 @@ object Filters {
         asSeq(value).map(keyOf).mkString(sep)
       case "split" => keyOf(value)
         .split(java.util.regex.Pattern.quote(keyOf(args.head))).toVector
-      case "default" =>
+      case "default" | "d" =>
         val useDefault = value match {
           case null | _: Undefined => true
           case "" => args.length > 1 && Jinja.truthy(args(1))
@@ -86,10 +86,21 @@ object Filters {
       case "reverse" => asSeq(value).reverse.toVector
       case "unique" => asSeq(value).distinct.toVector
       case "batch" =>
+        // fill_with pads only the LAST batch up to `size` (filters.rs:1126)
         val size = numKey(args.head).toInt
-        asSeq(value).grouped(size).map(_.toVector).toVector
+        if (size == 0) throw JinjaError("batch count cannot be 0")
+        val fill = kwargs.get("fill_with").orElse(args.lift(1))
+        asSeq(value).grouped(size).map { g =>
+          fill match {
+            case Some(f) if g.length < size =>
+              (g ++ Seq.fill(size - g.length)(f)).toVector
+            case _ => g.toVector
+          }
+        }.toVector
       case "slice" =>
+        // n columns; fill_with pads the SHORT columns (filters.rs:1069)
         val n = numKey(args.head).toInt
+        val fill = kwargs.get("fill_with").orElse(args.lift(1))
         val xs = asSeq(value)
         val base = xs.length / n
         val extra = xs.length % n
@@ -98,7 +109,10 @@ object Filters {
           val len = base + (if (i < extra) 1 else 0)
           val out = xs.slice(idx, idx + len).toVector
           idx += len
-          out
+          fill match {
+            case Some(f) if extra > 0 && i >= extra => out :+ f
+            case _ => out
+          }
         }.toVector
       case "indent" =>
         val width = args.headOption.map(numKey(_).toInt).getOrElse(4)
@@ -151,9 +165,40 @@ object Filters {
       }
       case "tojson" => Json.write(value)
       case "fromjson" => Json.parse(keyOf(value))
-      case "urlencode" =>
-        java.net.URLEncoder.encode(keyOf(value), "UTF-8")
+      case "urlencode" => value match {
+        // maps render as a query string, skipping none/undefined values
+        // (filters.rs:1300-1330)
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].toSeq
+          .filter { case (_, v) => v != null && !v.isInstanceOf[Undefined] }
+          .map { case (k, v) => s"${pctEncode(k)}=${pctEncode(keyOf(v))}" }
+          .mkString("&")
+        case _ => pctEncode(keyOf(value))
+      }
       case "format" => keyOf(value).format(args: _*)
+      case "safe" => value // no auto-escaping in this engine: identity
+      case "dictsort" => value match {
+        // map → sorted [key, value] pairs; by="value", case_sensitive,
+        // reverse kwargs (filters.rs:444-480)
+        case m: Map[_, _] =>
+          val byValue = kwargs.get("by").map(keyOf)
+            .orElse(args.headOption.map(keyOf)).contains("value")
+          val caseSensitive = Jinja.truthy(kwargs.getOrElse("case_sensitive", false))
+          val rev = Jinja.truthy(kwargs.getOrElse("reverse", false))
+          def sortKey(v: Any): String = {
+            val s = keyOf(v)
+            if (caseSensitive) s else s.toLowerCase
+          }
+          val sorted = m.asInstanceOf[Map[String, Any]].toVector
+            .sortBy { case (k, v) => sortKey(if (byValue) v else k) }
+            .map { case (k, v) => Vector[Any](k, v) }
+          if (rev) sorted.reverse else sorted
+        case other => throw JinjaError(s"dictsort on non-mapping: $other")
+      }
+      case "lines" => keyOf(value).linesIterator.toVector
+      case "attr" => Jinja.attr(value, keyOf(args.head))
+      case "bool" => Jinja.truthy(value)
+      case "pprint" => keyOf(value)
+      case "is_list" => value.isInstanceOf[Seq[_]]
       case "escape" | "e" => keyOf(value)
         .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       case "md5" => Json.md5(keyOf(value))
@@ -166,6 +211,15 @@ object Filters {
       case "as_native" => value
       case other => throw JinjaError(s"unknown filter: $other")
     }
+
+  /** minijinja's urlencode set: every non-alphanumeric byte percent-encodes
+    * except `/ . - _` — space is %20, NOT `+` (filters.rs:1300-1306). */
+  private def pctEncode(s: String): String =
+    s.getBytes("UTF-8").flatMap { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || "/._-".contains(c)) c.toString
+      else f"%%${b & 0xff}%02X"
+    }.mkString
 
   private def numKey(v: Any): Double = v match {
     case l: Long => l.toDouble
@@ -205,17 +259,35 @@ object Tests {
       case l: Long => l % args.head.asInstanceOf[Long] == 0
       case _ => false
     }
-    case "equalto" | "eq" => value == args.head
+    case "equalto" | "eq" | "sameas" => value == args.head
     case "ne" => value != args.head
-    case "gt" | "greaterthan" => Filters.apply("float", value, Nil, Map.empty)
-      .asInstanceOf[Double] > Filters.apply("float", args.head, Nil, Map.empty).asInstanceOf[Double]
-    case "lt" | "lessthan" => Filters.apply("float", value, Nil, Map.empty)
-      .asInstanceOf[Double] < Filters.apply("float", args.head, Nil, Map.empty).asInstanceOf[Double]
+    case "gt" | "greaterthan" => cmpNum(value, args.head) > 0
+    case "lt" | "lessthan" => cmpNum(value, args.head) < 0
+    case "ge" => cmpNum(value, args.head) >= 0
+    case "le" => cmpNum(value, args.head) <= 0
+    case "integer" | "int" => value.isInstanceOf[Long] || value.isInstanceOf[Int]
+    case "float" => value.isInstanceOf[Double]
+    case "startingwith" =>
+      Jinja.stringify(value).startsWith(Jinja.stringify(args.head))
+    case "endingwith" =>
+      Jinja.stringify(value).endsWith(Jinja.stringify(args.head))
+    case "lower" => { val s = Jinja.stringify(value); s == s.toLowerCase }
+    case "upper" => { val s = Jinja.stringify(value); s == s.toUpperCase }
     case "in" => args.head match {
       case s: Seq[_] => s.contains(value)
+      case s: String => s.contains(Jinja.stringify(value))
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].contains(Jinja.stringify(value))
       case _ => false
     }
     case other => throw Jinja.JinjaError(s"unknown test: $other")
+  }
+
+  private def cmpNum(a: Any, b: Any): Int = {
+    def num(v: Any) = Filters.apply("float", v, Nil, Map.empty).asInstanceOf[Double]
+    (a, b) match {
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => java.lang.Double.compare(num(a), num(b))
+    }
   }
 }
 

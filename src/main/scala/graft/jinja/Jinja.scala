@@ -73,6 +73,19 @@ object Jinja {
   }
   /** Objects exposing attributes/methods to templates (adapter, config…). */
   trait JObject { def attr(name: String): Option[Any] }
+
+  /** Mutable attribute bag created by `namespace()` — the one Jinja value
+    * whose attribute writes survive loop/if scopes (minijinja
+    * functions.rs:442-455; `{% set ns.x = ... %}` rebinds the attribute
+    * on the shared object instead of shadowing a scope variable). */
+  final class Namespace(init: Map[String, Any]) extends JObject {
+    private val fields = mutable.LinkedHashMap.empty[String, Any]
+    init.foreach { case (k, v) => fields(k) = v }
+    def attr(name: String): Option[Any] = fields.get(name)
+    def put(name: String, v: Any): Unit = fields(name) = v
+    override def toString: String = fields.map { case (k, v) => s"$k: $v" }
+      .mkString("namespace(", ", ", ")")
+  }
   /** Objects that are ALSO directly callable, like dbt's `config(...)`. */
   trait JCallable { def invoke(args: Seq[Any], kwargs: Map[String, Any]): Any }
 
@@ -103,6 +116,13 @@ object Jinja {
       case Seq(n: Long) => (0L until n).toVector
       case Seq(s: Long, e: Long) => (s until e).toVector
       case _ => throw JinjaError("range(n) or range(s,e)")
+    }))
+    c.set("namespace", JFunc((a, kw) => {
+      val base = a.headOption.map {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case other => throw JinjaError(s"namespace() takes a mapping, got $other")
+      }.getOrElse(Map.empty[String, Any])
+      new Namespace(base ++ kw)
     }))
     c
   }
@@ -346,11 +366,11 @@ object Jinja {
       case TText(s) => sb ++= s
       case TExpr(e) => sb ++= stringify(eval(e, ctx))
       case TDo(e) => eval(e, ctx)
-      case TSet(name, v) => ctx.assign(name, eval(v, ctx))
+      case TSet(name, v) => assignTarget(ctx, name, eval(v, ctx))
       case TSetBlock(name, body) =>
         val inner = new StringBuilder
         exec(body, ctx, inner)
-        ctx.assign(name, inner.toString)
+        assignTarget(ctx, name, inner.toString)
       case TIf(branches, elseBody) =>
         branches.find { case (c, _) => truthy(eval(c, ctx)) } match {
           case Some((_, body)) => exec(body, ctx.child, sb)
@@ -500,6 +520,25 @@ object Jinja {
     case null => Nil
     case other => throw JinjaError(s"not iterable: $other")
   }
+
+  /** `{% set x = v %}` rebinds a scope variable; `{% set ns.x = v %}`
+    * mutates the namespace object's attribute (reachable through any
+    * scope that sees `ns`). */
+  private def assignTarget(ctx: Ctx, name: String, value: Any): Unit =
+    if (!name.contains('.')) ctx.assign(name, value)
+    else {
+      val parts = name.split('.')
+      val base = ctx.get(parts.head).getOrElse(
+        throw JinjaError(s"undefined variable: ${parts.head}"))
+      val target = parts.view.slice(1, parts.length - 1).foldLeft(base) {
+        (cur, p) => attr(cur, p)
+      }
+      target match {
+        case ns: Namespace => ns.put(parts.last, value)
+        case other => throw JinjaError(
+          s"cannot assign attribute '${parts.last}' on non-namespace: $other")
+      }
+    }
 
   def attr(obj: Any, name: String): Any = obj match {
     case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(name, Undefined(name))

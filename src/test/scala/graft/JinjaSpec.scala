@@ -59,6 +59,62 @@ class JinjaSpec extends AnyFunSuite {
       Map("xs" -> Vector(Map("ok" -> true), Map("ok" -> false)))) == "1")
   }
 
+  test("minijinja filter tail matches reference semantics") {
+    // batch: fill_with pads only the last group (filters.rs:1126)
+    assert(r("{{ xs | batch(3) | tojson }}", Map("xs" -> Vector(1L, 2L, 3L, 4L)))
+      == "[[1, 2, 3], [4]]")
+    assert(r("{{ xs | batch(3, 0) | tojson }}", Map("xs" -> Vector(1L, 2L, 3L, 4L)))
+      == "[[1, 2, 3], [4, 0, 0]]")
+    // slice: n columns, fill_with pads the short ones (filters.rs:1069)
+    assert(r("{{ xs | slice(3, 0) | tojson }}", Map("xs" -> Vector(1L, 2L, 3L, 4L, 5L)))
+      == "[[1, 2], [3, 4], [5, 0]]")
+    // groupby sorts groups by key
+    assert(r("{% for g in xs | groupby('k') %}{{ g[0] }}={{ g[1] | length }};{% endfor %}",
+      Map("xs" -> Vector(Map("k" -> "b"), Map("k" -> "a"), Map("k" -> "b"))))
+      == "a=1;b=2;")
+    // format is printf-style
+    assert(r("{{ 'Hello %s #%d' | format('World', 42) }}") == "Hello World #42")
+    // urlencode: %20 for space (never +), / . - _ unescaped; maps → query
+    assert(r("{{ 'a b/c.d-e_f&g' | urlencode }}") == "a%20b/c.d-e_f%26g")
+    assert(r("{{ m | urlencode }}", Map("m" -> Map("k 1" -> "v&2", "skip" -> null)))
+      == "k%201=v%262")
+    // dictsort: case-insensitive by key; by='value'; reverse
+    assert(r("{{ m | dictsort | tojson }}", Map("m" -> Map("b" -> 2L, "A" -> 1L)))
+      == "[[\"A\", 1], [\"b\", 2]]")
+    assert(r("{{ m | dictsort(by='value', reverse=true) | tojson }}",
+      Map("m" -> Map("a" -> "x", "b" -> "w"))) == "[[\"a\", \"x\"], [\"b\", \"w\"]]")
+    // lines / attr / bool / is_list / d alias / safe passthrough
+    assert(r("{{ s | lines | length }}", Map("s" -> "a\nb\nc")) == "3")
+    assert(r("{{ m | attr('x') }}", Map("m" -> Map("x" -> "ok"))) == "ok")
+    assert(r("{{ 0 | bool }}|{{ 'x' | bool }}") == "False|True")
+    assert(r("{{ xs | is_list }}|{{ 's' | is_list }}", Map("xs" -> Vector(1L))) == "True|False")
+    assert(r("{{ missing | d('dflt') }}") == "dflt")
+    assert(r("{{ '<b>' | safe }}") == "<b>")
+  }
+
+  test("minijinja test tail matches reference semantics") {
+    assert(r("{% if 3 is integer %}i{% endif %}{% if 3.5 is float %}f{% endif %}") == "if")
+    assert(r("{% if 'abc' is startingwith('ab') %}s{% endif %}" +
+      "{% if 'abc' is endingwith('bc') %}e{% endif %}") == "se")
+    assert(r("{% if 'abc' is lower %}l{% endif %}{% if 'ABC' is upper %}u{% endif %}") == "lu")
+    assert(r("{% if 2 is le(3) %}le{% endif %}{% if 3 is ge(3) %}ge{% endif %}") == "lege")
+    assert(r("{% if x is sameas(true) %}y{% endif %}", Map("x" -> true)) == "y")
+    assert(r("{% if 'a' in 'cat' %}instr{% endif %}{% if 'k' in m %}inmap{% endif %}",
+      Map("m" -> Map("k" -> 1L))) == "instrinmap")
+  }
+
+  test("namespace() attribute writes survive loop and if scopes") {
+    assert(r("{% set ns = namespace(total=0) %}{% for x in xs %}" +
+      "{% set ns.total = ns.total + x %}{% endfor %}{{ ns.total }}",
+      Map("xs" -> Vector(1L, 2L, 3L))) == "6")
+    assert(r("{% set ns = namespace(found=false) %}{% for x in xs %}" +
+      "{% if x == 2 %}{% set ns.found = true %}{% endif %}{% endfor %}{{ ns.found }}",
+      Map("xs" -> Vector(1L, 2L, 3L))) == "True")
+    // dict-argument + kwargs merge, and reading an unset attr is undefined
+    assert(r("{% set ns = namespace({'a': 1}, b=2) %}{{ ns.a }}{{ ns.b }}") == "12")
+    assert(r("{% set ns = namespace() %}{% if ns.x is undefined %}u{% endif %}") == "u")
+  }
+
   test("tests and membership") {
     assert(r("{% if x is defined %}y{% else %}n{% endif %}", Map("x" -> 1L)) == "y")
     assert(r("{% if y is defined %}y{% else %}n{% endif %}") == "n")
