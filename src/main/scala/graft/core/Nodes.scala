@@ -230,6 +230,12 @@ final case class Node(
       * config only the resolved config. `checksum` remains the combined
       * hash smart reuse keys on. Filled centrally in Resolver.resolve. */
     checksumBody: String = "",
-    checksumConfig: String = "") {
+    checksumConfig: String = "",
+    /** Parse-time failure carried into the manifest instead of aborting
+      * the load (reference surfaces these as node-level errors in
+      * run_results, e.g. Python models hitting an adapter without
+      * `submit_python_job`, funcs.rs:107). The runner reports the node
+      * as `error` without executing it. */
+    parseError: Option[String] = None) {
   def isEphemeral: Boolean = config.materialized == "ephemeral"
 }

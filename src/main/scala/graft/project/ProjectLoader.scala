@@ -24,6 +24,11 @@ final case class Project(
     models: Map[String, String],
     /** model name → file path */
     modelFiles: Map[String, String],
+    /** `.py` files under model-paths: name → path. Python models are NOT
+      * supported by this engine (reference: submit_python_job,
+      * crates/dbt-adapter/src/funcs.rs:107) — they load as error nodes so
+      * the gap is a structured run_results failure, never silence. */
+    pythonModels: Map[String, String] = Map.empty,
     seeds: Map[String, String], // seed name → csv path
     snapshots: Map[String, String], // snapshot name → raw body
     /** singular data tests: name of a .sql file under test-paths → raw
@@ -207,6 +212,8 @@ object ProjectLoader {
 
     val modelFiles = files(modelPaths, ".sql").map(p => nameOf(p) -> p).toMap
     val models = modelFiles.map { case (n, p) => n -> Files.readString(p) }
+    val pythonModels = files(modelPaths, ".py")
+      .map(p => nameOf(p) -> p.toString).toMap
     val seeds = files(seedPaths, ".csv").map(p => nameOf(p) -> p.toString).toMap
     val snapshots = files(snapshotPaths, ".sql")
       .map(p => nameOf(p) -> Files.readString(p)).toMap
@@ -296,6 +303,7 @@ object ProjectLoader {
         .getOrElse(Map.empty),
       models = models,
       modelFiles = modelFiles.map { case (n, p) => n -> p.toString },
+      pythonModels = pythonModels,
       seeds = seeds,
       snapshots = snapshots,
       tests = tests,

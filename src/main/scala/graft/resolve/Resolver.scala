@@ -597,9 +597,28 @@ object Resolver {
     val metricNodes = declaredNodes("metrics", NodeKind.Metric)
     val semanticModelNodes = declaredNodes("semantic_models", NodeKind.SemanticModel)
 
-    val all0 = (modelNodes ++ seedNodes ++ snapshotNodes ++ testNodes ++
-      singularTestNodes ++ unitTestNodes ++ analysisNodes ++ exposureNodes ++
-      metricNodes ++ semanticModelNodes).map(n => n.uniqueId -> n).toMap
+    // Python models: the engine has no submit_python_job (reference
+    // funcs.rs:107) — each .py file becomes a model node carrying a
+    // parseError, so `dbt run` reports a structured per-node error in
+    // run_results instead of silently ignoring the file.
+    val pythonModelNodes = projects.flatMap { proj =>
+      proj.pythonModels.map { case (name, path) =>
+        Node(
+          uniqueId = s"model.${proj.name}.$name",
+          name = name,
+          packageName = proj.name,
+          kind = NodeKind.Model,
+          path = path,
+          relation = Some(Relation(targetSchema, name)),
+          parseError = Some(s"Python models are not supported by this " +
+            s"adapter (no submit_python_job): $path — port the model to SQL"))
+      }
+    }
+
+    val all0 = (modelNodes ++ pythonModelNodes ++ seedNodes ++ snapshotNodes ++
+      testNodes ++ singularTestNodes ++ unitTestNodes ++ analysisNodes ++
+      exposureNodes ++ metricNodes ++ semanticModelNodes)
+      .map(n => n.uniqueId -> n).toMap
     // unit-test gating (dbt build rule): ut inherits the target model's
     // parent edges; the model depends on its unit tests — a failing unit
     // test skips the model build. `dbt run` filters UnitTest nodes out and

@@ -192,6 +192,8 @@ final class Runner(
     val t0 = System.nanoTime()
     def done(status: String, msg: String = "") =
       NodeResult(node.uniqueId, status, msg, (System.nanoTime() - t0) / 1000000)
+    // nodes that failed at parse (e.g. Python models) error without executing
+    node.parseError.foreach(msg => return done("error", msg))
     Try {
       node.config.preHook.foreach(h => adapter.execute(renderHook(h, node), fetch = false))
       val r = node.kind match {

@@ -49,6 +49,35 @@ class RunOperationSpec extends AnyFunSuite {
       targetSchema = "g_runop")
   }
 
+  test("python models surface a structured error node, not silence") {
+    val proj = Files.createTempDirectory("graft_pymodel")
+    write(proj, "dbt_project.yml",
+      """name: pydemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/ok_model.sql", "select 1 as id")
+    write(proj, "models/py_model.py",
+      """def model(dbt, session):
+        |    return session.createDataFrame([(1,)], ["id"])
+        |""".stripMargin)
+    val schema = "g_pymodel"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val loc = Files.createTempDirectory("graft_pymodel_wh").toString
+    val r = new graft.run.Runner(spark,
+      graft.project.ProjectLoader.load(proj.toString),
+      targetSchema = schema, warehouseLocation = Some(loc))
+    // the node exists in the manifest (not silently dropped)
+    assert(r.resolved.nodes.contains("model.pydemo.py_model"))
+    val results = r.run()
+    val py = results.find(_.uniqueId == "model.pydemo.py_model").get
+    assert(py.status == "error", py.message)
+    assert(py.message.contains("Python models are not supported"), py.message)
+    assert(py.message.contains("py_model.py"), py.message)
+    // the SQL sibling still builds
+    val ok = results.find(_.uniqueId == "model.pydemo.ok_model").get
+    assert(ok.status == "success", ok.message)
+  }
+
   test("run-operation invokes a macro with adapter access and structured args") {
     val out = runner().runOperation("make_audit",
       Map("schema_name" -> "g_runop_audit", "rows" -> Vector(1L, 2L, 3L)))
