@@ -231,6 +231,12 @@ final case class Node(
       * hash smart reuse keys on. Filled centrally in Resolver.resolve. */
     checksumBody: String = "",
     checksumConfig: String = "",
+    /** Further split checksums for state:modified sub-methods
+      * (node_selector.rs:59-88): contract covers enforcement + declared
+      * contract columns; relation covers where the node materializes
+      * (schema/alias — a move with identical SQL still modifies). */
+    checksumContract: String = "",
+    checksumRelation: String = "",
     /** Parse-time failure carried into the manifest instead of aborting
       * the load (reference surfaces these as node-level errors in
       * run_results, e.g. Python models hitting an adapter without

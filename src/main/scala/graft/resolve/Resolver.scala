@@ -640,7 +640,12 @@ object Resolver {
       }
       id -> gated.copy(
         checksumBody = graft.jinja.Json.md5(gated.rawSql),
-        checksumConfig = graft.jinja.Json.md5(gated.config.toString))
+        checksumConfig = graft.jinja.Json.md5(gated.config.toString),
+        checksumContract = graft.jinja.Json.md5(
+          gated.config.contractEnforced.toString +
+            gated.config.contractColumns.mkString("|")),
+        checksumRelation = graft.jinja.Json.md5(
+          gated.relation.map(_.fqn).getOrElse("")))
     }
     checkRelationUniqueness(all)
     checkAccess(all)

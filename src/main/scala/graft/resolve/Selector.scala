@@ -254,6 +254,19 @@ object Selector {
           case (id, n) if prevChecksums.get(s"$id#config")
             .forall(_ != n.checksumConfig) => id
         }.toSet
+      // modified.contract: enforcement flag or declared contract columns
+      // changed; modified.relation: the node materializes somewhere else
+      // (schema/alias) even with identical SQL (node_selector.rs:59-88)
+      case "state" if value == "modified.contract" =>
+        nodes.collect {
+          case (id, n) if prevChecksums.get(s"$id#contract")
+            .forall(_ != n.checksumContract) => id
+        }.toSet
+      case "state" if value == "modified.relation" =>
+        nodes.collect {
+          case (id, n) if prevChecksums.get(s"$id#relation")
+            .forall(_ != n.checksumRelation) => id
+        }.toSet
       case "state" if value == "new" =>
         nodes.collect {
           case (id, _) if !prevChecksums.contains(id) => id

@@ -895,7 +895,9 @@ final class Runner(
         // that power state:modified.body / state:modified.configs
         Seq(id -> stateHash(n, prev),
           s"$id#body" -> n.checksumBody,
-          s"$id#config" -> n.checksumConfig)
+          s"$id#config" -> n.checksumConfig,
+          s"$id#contract" -> n.checksumContract,
+          s"$id#relation" -> n.checksumRelation)
     }.flatten.toMap
     // MERGE with the recorded state: a subset run (--select, retry) must
     // not destroy the hashes/statuses of nodes it didn't touch — doing so

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Node, NodeConfig, NodeKind}
-import graft.resolve.{Dag, Selector}
+import graft.resolve.{Dag, Resolver, Selector}
 import org.scalatest.funsuite.AnyFunSuite
 
 class ResolveSpec extends AnyFunSuite {
@@ -112,6 +112,52 @@ class ResolveSpec extends AnyFunSuite {
     assert(!sel("state:modified.configs").contains("model.p.mart"))
     // absent from prev state = modified under every sub-method
     assert(sel("state:modified.body").contains("test.p.unique_mart_id"))
+  }
+
+  test("selector: state:modified.contract / .relation compare split checksums") {
+    val withSums = nodes.map { case (id, n) =>
+      id -> n.copy(checksumContract = s"k_$id", checksumRelation = s"r_$id") }
+    val prev = Map(
+      "model.p.stg#contract" -> "k_model.p.stg",   // contract unchanged
+      "model.p.stg#relation" -> "OLD",             // relation moved
+      "model.p.mart#contract" -> "OLD",            // contract changed
+      "model.p.mart#relation" -> "r_model.p.mart") // relation unchanged
+    def sel(s: String) = Selector.select(Selector.parse(s), withSums,
+      Dag.fromNodes(withSums), prev)
+    assert(sel("state:modified.contract").contains("model.p.mart"))
+    assert(!sel("state:modified.contract").contains("model.p.stg"))
+    assert(sel("state:modified.relation").contains("model.p.stg"))
+    assert(!sel("state:modified.relation").contains("model.p.mart"))
+    assert(sel("state:modified.relation").contains("test.p.unique_mart_id"))
+  }
+
+  test("resolver fills contract/relation checksums; alias move changes relation only") {
+    import graft.project.ProjectLoader
+    import java.nio.file.Files
+    def mkProj(alias: Option[String], enforced: Boolean): Resolver.Resolved = {
+      val proj = Files.createTempDirectory("graft_cksum")
+      val aliasCfg = alias.map(a => s"config(alias='$a')").getOrElse("config()")
+      Files.writeString(proj.resolve("dbt_project.yml"),
+        "name: ck\nmodel-paths: [\"models\"]\n")
+      Files.createDirectories(proj.resolve("models"))
+      Files.writeString(proj.resolve("models/m.sql"),
+        s"{{ $aliasCfg }}\nselect 1 as id")
+      if (enforced) Files.writeString(proj.resolve("models/schema.yml"),
+        """version: 2
+          |models:
+          |  - name: m
+          |    config: {contract: {enforced: true}}
+          |    columns: [{name: id, data_type: int}]
+          |""".stripMargin)
+      Resolver.resolve(ProjectLoader.load(proj.toString), "tgt")
+    }
+    val base = mkProj(None, enforced = false).nodes("model.ck.m")
+    val moved = mkProj(Some("m2"), enforced = false).nodes("model.ck.m")
+    val contracted = mkProj(None, enforced = true).nodes("model.ck.m")
+    assert(base.checksumRelation != moved.checksumRelation)
+    assert(base.checksumContract == moved.checksumContract)
+    assert(base.checksumContract != contracted.checksumContract)
+    assert(base.checksumRelation == contracted.checksumRelation)
   }
 
   test("@ operator") {
