@@ -95,9 +95,43 @@ object ProjectLoader {
 
   def load(rootDir: String): Project = loadInner(rootDir, Set.empty)
 
-  /** Unpack a local `.tar.gz` package archive (packages.yml `tarball:` —
-    * reference packages.rs:278 TarballPackage; dbt fetches a URL, we take
-    * a local file since this engine is zero-egress) into a temp dir and
+  /** `git:` package resolution (GitPackage packages.rs:76-86): clone the
+    * repo, check out the pinned `revision:` (tag / branch / commit sha),
+    * return the project root — `subdirectory:` deep when given. Clones
+    * cache per (url, revision, subdirectory) for the JVM's lifetime, the
+    * same dedup dbt's package-lock install gives a single invocation.
+    * Unpinned deps float to the clone's default HEAD and warn, matching
+    * dbt's warn-unpinned behavior. */
+  private val gitPkgCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Path]()
+  private[graft] def resolveGitPackage(url: String, revision: Option[String],
+      subdirectory: Option[String], warnUnpinned: Boolean = true): Path =
+    gitPkgCache.computeIfAbsent(
+      (url, revision.getOrElse(""), subdirectory.getOrElse("")), _ => {
+        if (revision.isEmpty && warnUnpinned)
+          System.err.println(s"[warn] git package $url is not pinned to a " +
+            "revision — add `revision:` (or `warn-unpinned: false`)")
+        val dest = Files.createTempDirectory("graft_git_pkg")
+        def git(args: String*): Unit = {
+          val pb = new ProcessBuilder(("git" +: args): _*)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          if (proc.waitFor() != 0) throw new IllegalArgumentException(
+            s"git ${args.mkString(" ")} failed:\n$out")
+        }
+        git("clone", "--quiet", url, dest.toString)
+        revision.foreach(r =>
+          git("-C", dest.toString, "checkout", "--quiet", r))
+        val rootDir = subdirectory.map(dest.resolve).getOrElse(dest)
+        if (!Files.exists(rootDir.resolve("dbt_project.yml")))
+          throw new IllegalArgumentException(
+            s"git package $url has no dbt_project.yml at " +
+              subdirectory.getOrElse("the repo root"))
+        rootDir
+      })
+
+  /** Extract a .tar.gz package (ustar layout, the hub archive format) and
     * return the project root inside it: the extraction root if it holds
     * dbt_project.yml directly, else the single archive top-level dir that
     * does (the `<name>-<version>/` layout hub tarballs use). */
@@ -264,10 +298,13 @@ object ProjectLoader {
           .map(m => m.group(1) -> m.group(2).trim))
         .toMap
 
-    // packages.yml deps — `local:` paths and `tarball:` local archives
-    // (reference: packages.rs:27-33 DbtPackageEntry::{Local,Tarball};
-    // Hub/Git/Private need egress and are out of scope). Loaded
-    // recursively, flattened, cycle-safe.
+    // packages.yml deps — `local:` paths, `tarball:` local archives, and
+    // `git:` repositories with `revision:` pinning + `subdirectory:`
+    // (reference: packages.rs:27-33 DbtPackageEntry::{Local,Tarball,Git};
+    // Hub/Private need a registry/egress and stay out of scope). Git URLs
+    // resolve through a real `git clone`, so local paths and file://
+    // remotes work offline while https remotes work where egress exists.
+    // Loaded recursively, flattened, cycle-safe.
     val canonical = root.toAbsolutePath.normalize.toString
     val pkgYml = root.resolve("packages.yml")
     val packages: Seq[Project] =
@@ -280,6 +317,13 @@ object ProjectLoader {
               .map(rel => root.resolve(rel).normalize().toString)
               .orElse(entry.get("tarball").map(Yaml.str).map { t =>
                 extractTarball(root.resolve(t).normalize()).toString
+              })
+              .orElse(entry.get("git").map(Yaml.str).map { url =>
+                resolveGitPackage(url,
+                  entry.get("revision").map(Yaml.str),
+                  entry.get("subdirectory").map(Yaml.str),
+                  warnUnpinned = entry.get("warn-unpinned")
+                    .forall(v => Yaml.str(v) != "false")).toString
               })
           }.flatten
           case _ => Nil
