@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Write-path benchmark main. Prints ONE JSON line with per-query wall
+  * seconds for queries that exercise the engine's WRITE machinery
+  * (incremental merge, streaming sessionization, partitioned staged-swap)
+  * — kept separate from [[Bench]] so write-path regressions are visible
+  * round-over-round without polluting the read-path headline (write
+  * timings include temp-table DDL and filesystem work by design).
+  * Reuses Bench's idle-gate + min-of-2-passes methodology. */
+object BenchWrite {
+  val headline: Seq[String] = Seq(
+    "q_incr_merge", "q_incr_merge_partitioned", "q_incr_insert_overwrite",
+    "q_stream_sessionize", "q_stream_window", "q_mat_table")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the write queries build their own schemas/tables; the noop sink only
+    // drains the returned verification frame
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    exec("q_incr_merge") // warmup: JIT + codegen + catalog init off the clock
+
+    def pass(): Seq[(String, Double)] =
+      headline.filter(SparkEntry.queries.contains).map { name =>
+        val t0 = System.nanoTime()
+        try exec(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[benchwrite] $name failed: ${e.getMessage}")
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[benchwrite] $name%-26s $secs%8.2f s")
+        spark.catalog.clearCache()
+        name -> secs
+      }
+
+    val p1 = pass()
+    System.err.println("[benchwrite] --- pass 2 ---")
+    val p2 = pass().toMap
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"write_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
