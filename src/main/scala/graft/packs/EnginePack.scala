@@ -626,6 +626,62 @@ object EnginePack extends QueryPack {
       s.table(s"$schema.nations_inc").orderBy("id", "v")
     }),
 
+    // ---- model access + groups enforcement ------------------------------
+    // (Access enum nodes.rs; dbt Mesh): private models are ref-able only
+    // within their group, protected ones only within their package. Each
+    // scenario resolves a fixture project and records whether the resolver
+    // accepted it or raised the access violation.
+    "q_engine_access" -> ((s, dir) => {
+      import s.implicits._
+      def scenario(consumerGroup: String, targetAccess: String): String = {
+        val proj = Files.createTempDirectory("graft_access")
+        write(proj, "dbt_project.yml",
+          """name: acc
+            |model-paths: ["models"]
+            |""".stripMargin)
+        write(proj, "models/groups.yml",
+          """version: 2
+            |groups:
+            |  - name: core
+            |    owner: {name: Core Team}
+            |  - name: other
+            |    owner: {name: Other Team}
+            |""".stripMargin)
+        write(proj, "models/guarded.sql",
+          s"{{ config(access='$targetAccess', group='core') }}\nselect 1 as id")
+        write(proj, "models/consumer.sql",
+          s"{{ config(group='$consumerGroup') }}\nselect * from {{ ref('guarded') }}")
+        try { graft.resolve.Resolver.resolve(
+          graft.project.ProjectLoader.load(proj.toString), "acc_schema"); "ok" }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("cannot ref") => "blocked" }
+      }
+      def crossPackageProtected(): String = {
+        val pkg = Files.createTempDirectory("graft_acc_pkg")
+        write(pkg, "dbt_project.yml", "name: lib\nmodel-paths: [\"models\"]\n")
+        write(pkg, "models/internal.sql",
+          "{{ config(access='protected') }}\nselect 1 as id")
+        val proj = Files.createTempDirectory("graft_acc_root")
+        write(proj, "dbt_project.yml",
+          """name: accroot
+            |model-paths: ["models"]
+            |""".stripMargin)
+        write(proj, "packages.yml", s"packages:\n  - local: ${pkg.toString}\n")
+        write(proj, "models/outside.sql",
+          "select * from {{ ref('lib', 'internal') }}")
+        try { graft.resolve.Resolver.resolve(
+          graft.project.ProjectLoader.load(proj.toString), "acc_schema"); "ok" }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("cannot ref") => "blocked" }
+      }
+      Seq(
+        ("private_same_group", scenario("core", "private")),
+        ("private_cross_group", scenario("other", "private")),
+        ("protected_same_package", scenario("other", "protected")),
+        ("protected_cross_package", crossPackageProtected()))
+        .toDF("case_name", "outcome").orderBy("case_name")
+    }),
+
     "q_engine_hooks" -> ((s, dir) => {
       val proj = Files.createTempDirectory("graft_hooks")
       write(proj, "dbt_project.yml",
@@ -742,6 +798,15 @@ object EnginePack extends QueryPack {
       """SELECT n_nationkey AS id, n_name AS v FROM nation
         |UNION ALL
         |SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
-        |ORDER BY id, v""".stripMargin
+        |ORDER BY id, v""".stripMargin,
+
+    "q_engine_access" ->
+      """SELECT case_name, outcome FROM (VALUES
+        |  ('private_same_group', 'ok'),
+        |  ('private_cross_group', 'blocked'),
+        |  ('protected_same_package', 'ok'),
+        |  ('protected_cross_package', 'blocked'))
+        |  AS t(case_name, outcome)
+        |ORDER BY case_name""".stripMargin
   )
 }

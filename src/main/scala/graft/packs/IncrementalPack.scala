@@ -65,6 +65,25 @@ object IncrementalPack extends QueryPack {
       a.read(rel).orderBy("o_orderkey")
     }),
 
+    // ---- column type expansion on append (expand_target_column_types) ---
+    // (reference base_adapter.rs:504 via MA/.../incremental.sql:37): the
+    // int target column widens to bigint when the incoming batch carries
+    // values past Int range; the widened type is emitted as a column so
+    // the oracle checks the CATALOG effect, not just the data.
+    "q_incr_expand_types" -> ((s, dir) => {
+      val a = freshAdapter(s, "incr_expand")
+      val cfg = NodeConfig(materialized = "incremental",
+        incrementalStrategy = Some(IncrementalStrategy.Append))
+      val first = Tables(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("k"), col("n_name").as("v"))
+      val second = Tables(s, dir, "nation")
+        .select((col("n_nationkey").cast("bigint") + 3000000000L).as("k"),
+          col("n_name").as("v"))
+      val rel = runIncremental(a, "nation_widen", cfg, first, second)
+      val kType = a.getColumnsInRelation(rel).apply("k").dataType.sql.toLowerCase
+      a.read(rel).withColumn("k_type", lit(kType)).orderBy("k")
+    }),
+
     // ---- merge (update all columns) ------------------------------------
     "q_incr_merge" -> ((s, dir) => {
       val a = freshAdapter(s, "incr_merge")
@@ -361,6 +380,14 @@ object IncrementalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_incr_append" ->
       """SELECT * FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_incr_expand_types" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v,
+        |  'bigint' AS k_type FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS BIGINT) + 3000000000, n_name, 'bigint'
+        |FROM nation
+        |ORDER BY k""".stripMargin,
 
     "q_incr_merge" ->
       s"""WITH base AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '$Cut'),

@@ -240,6 +240,32 @@ object MaterializationPack extends QueryPack {
       a.read(stored).orderBy("value_field")
     }),
 
+    // ---- agate table algebra over a run_query result --------------------
+    // The driver-side result-table ops (§2.G, adapter/AgateTable.scala;
+    // reference dbt's agate bridge): execute → select/rename/
+    // column_distinct/column_sorted/without_nulls/group_by/cell, each
+    // producing one observable stat the oracle recomputes relationally.
+    "q_agate_ops" -> ((s, dir) => {
+      import s.implicits._
+      val a = freshAdapter(s, "agate_ops")
+      Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("agate_nation")
+      val (_, t) = a.execute(
+        "SELECT n_nationkey, n_name, n_regionkey FROM agate_nation ORDER BY n_nationkey")
+      val projected = t.select(Seq("n_regionkey", "n_name"))
+        .rename(Map("n_name" -> "nation_name"))
+      val groupSizes = projected.groupBy("n_regionkey")
+        .map { case (_, g) => g.numRows }
+      Seq(
+        ("cell_0_name", String.valueOf(t.cell(0, "n_name"))),
+        ("distinct_regions", projected.columnDistinct("n_regionkey").length.toString),
+        ("first_sorted_name", String.valueOf(projected.columnSorted("nation_name").head)),
+        ("max_group_size", groupSizes.max.toString),
+        ("rows_without_nulls", projected.withoutNulls("nation_name").numRows.toString))
+        .toDF("stat", "value").orderBy("stat")
+    }),
+
     // ---- clone (view-of-target fallback) --------------------------------
     "q_mat_clone" -> ((s, dir) => {
       val a = freshAdapter(s, "mat_clone")
@@ -349,6 +375,20 @@ object MaterializationPack extends QueryPack {
     "q_test_store_failures" ->
       """SELECT o_orderstatus AS value_field, COUNT(*) AS n_records
         |FROM orders GROUP BY o_orderstatus
-        |HAVING o_orderstatus NOT IN ('O','F') ORDER BY value_field""".stripMargin
+        |HAVING o_orderstatus NOT IN ('O','F') ORDER BY value_field""".stripMargin,
+
+    "q_agate_ops" ->
+      """SELECT 'cell_0_name' AS stat,
+        |  (SELECT n_name FROM nation WHERE n_nationkey = 0) AS value
+        |UNION ALL SELECT 'distinct_regions',
+        |  CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS VARCHAR)
+        |UNION ALL SELECT 'first_sorted_name',
+        |  (SELECT min(n_name) FROM nation)
+        |UNION ALL SELECT 'max_group_size',
+        |  CAST((SELECT max(n) FROM (SELECT COUNT(*) AS n FROM nation
+        |        GROUP BY n_regionkey) g) AS VARCHAR)
+        |UNION ALL SELECT 'rows_without_nulls',
+        |  CAST((SELECT COUNT(*) FROM nation WHERE n_name IS NOT NULL) AS VARCHAR)
+        |ORDER BY stat""".stripMargin
   )
 }
