@@ -237,6 +237,10 @@ final case class Node(
       * (schema/alias — a move with identical SQL still modifies). */
     checksumContract: String = "",
     checksumRelation: String = "",
+    /** Hash of the SOURCES of every macro this node (transitively) calls —
+      * state:modified.macros: editing a macro re-selects exactly the nodes
+      * whose compiled SQL could change (dbt's depends_on.macros closure). */
+    checksumMacros: String = "",
     /** Parse-time failure carried into the manifest instead of aborting
       * the load (reference surfaces these as node-level errors in
       * run_results, e.g. Python models hitting an adapter without

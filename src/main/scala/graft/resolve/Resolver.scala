@@ -628,6 +628,35 @@ object Resolver {
       .flatMap(ut => ut.config.extra.get("model_uid")
         .map(m => m.toString -> ut.uniqueId))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // --- per-node macro dependency checksums (state:modified.macros) ----
+    // dbt records depends_on.macros per node; here the call graph comes
+    // from static analysis: each macro body and each node's raw SQL are
+    // scanned for `name(` call sites of known macros, and the node's
+    // checksum hashes the SOURCES of its transitive macro closure — so
+    // editing a macro re-selects exactly the nodes it can recompile.
+    val macroDefPat =
+      raw"(?s)\{%-?\s*macro\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(.*?\{%-?\s*endmacro\s*-?%\}".r
+    val macroBodies: Map[String, String] = projects.flatMap(_.macroSources)
+      .flatMap(src => macroDefPat.findAllMatchIn(src)
+        .map(m => m.group(1) -> m.matched)).toMap
+    val macroCallPats = macroBodies.keys.map(n => n ->
+      java.util.regex.Pattern.compile(
+        "\\b" + java.util.regex.Pattern.quote(n) + "\\s*\\(")).toMap
+    def macroCallsIn(text: String): Set[String] =
+      macroCallPats.collect { case (n, p) if p.matcher(text).find() => n }.toSet
+    val macroEdges: Map[String, Set[String]] =
+      macroBodies.map { case (n, body) => n -> (macroCallsIn(body) - n) }
+    def macroChecksum(rawSql: String): String = {
+      var used = macroCallsIn(rawSql)
+      var frontier = used
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(macroEdges.getOrElse(_, Set.empty)) -- used
+        used ++= next
+        frontier = next
+      }
+      graft.jinja.Json.md5(used.toSeq.sorted.map(macroBodies).mkString("\n"))
+    }
+
     val all = all0.map { case (id, n) =>
       val gated = n.kind match {
         case NodeKind.UnitTest =>
@@ -645,7 +674,8 @@ object Resolver {
           gated.config.contractEnforced.toString +
             gated.config.contractColumns.mkString("|")),
         checksumRelation = graft.jinja.Json.md5(
-          gated.relation.map(_.fqn).getOrElse("")))
+          gated.relation.map(_.fqn).getOrElse("")),
+        checksumMacros = macroChecksum(gated.rawSql))
     }
     checkRelationUniqueness(all)
     checkAccess(all)

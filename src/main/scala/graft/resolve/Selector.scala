@@ -267,6 +267,13 @@ object Selector {
           case (id, n) if prevChecksums.get(s"$id#relation")
             .forall(_ != n.checksumRelation) => id
         }.toSet
+      // modified.macros: a macro in the node's transitive call closure
+      // changed (dbt's depends_on.macros state comparison)
+      case "state" if value == "modified.macros" =>
+        nodes.collect {
+          case (id, n) if prevChecksums.get(s"$id#macros")
+            .forall(_ != n.checksumMacros) => id
+        }.toSet
       case "state" if value == "new" =>
         nodes.collect {
           case (id, _) if !prevChecksums.contains(id) => id

@@ -897,7 +897,8 @@ final class Runner(
           s"$id#body" -> n.checksumBody,
           s"$id#config" -> n.checksumConfig,
           s"$id#contract" -> n.checksumContract,
-          s"$id#relation" -> n.checksumRelation)
+          s"$id#relation" -> n.checksumRelation,
+          s"$id#macros" -> n.checksumMacros)
     }.flatten.toMap
     // MERGE with the recorded state: a subset run (--select, retry) must
     // not destroy the hashes/statuses of nodes it didn't touch — doing so

@@ -160,6 +160,48 @@ class ResolveSpec extends AnyFunSuite {
     assert(base.checksumRelation == contracted.checksumRelation)
   }
 
+  test("modified.macros hashes the node's transitive macro closure") {
+    import graft.project.ProjectLoader
+    import java.nio.file.Files
+    def resolveWith(helperBody: String, unrelatedBody: String) = {
+      val proj = Files.createTempDirectory("graft_mck")
+      Files.writeString(proj.resolve("dbt_project.yml"),
+        "name: mk\nmodel-paths: [\"models\"]\n")
+      Files.createDirectories(proj.resolve("models"))
+      Files.createDirectories(proj.resolve("macros"))
+      // wrapper calls helper: the model only calls wrapper, so helper is
+      // reachable TRANSITIVELY; unrelated is never reachable
+      Files.writeString(proj.resolve("macros/m.sql"),
+        s"""{% macro wrapper(c) %}{{ helper(c) }}{% endmacro %}
+           |{% macro helper(c) %}$helperBody{% endmacro %}
+           |{% macro unrelated() %}$unrelatedBody{% endmacro %}
+           |""".stripMargin)
+      Files.writeString(proj.resolve("models/m.sql"),
+        "select {{ wrapper('x') }} as v")
+      Files.writeString(proj.resolve("models/plain.sql"), "select 1 as id")
+      Resolver.resolve(ProjectLoader.load(proj.toString), "tgt").nodes
+    }
+    val base = resolveWith("upper({{ c }})", "1")
+    val helperChanged = resolveWith("lower({{ c }})", "1")
+    val unrelatedChanged = resolveWith("upper({{ c }})", "2")
+    // transitive dependency change flips the checksum...
+    assert(base("model.mk.m").checksumMacros
+      != helperChanged("model.mk.m").checksumMacros)
+    // ...an unreachable macro change does not
+    assert(base("model.mk.m").checksumMacros
+      == unrelatedChanged("model.mk.m").checksumMacros)
+    // a macro-free model has a stable empty-closure checksum
+    assert(base("model.mk.plain").checksumMacros
+      == helperChanged("model.mk.plain").checksumMacros)
+    // selector wiring: only the macro-calling model re-selects
+    val withPrev = helperChanged
+    val prev = base.map { case (id, n) => s"$id#macros" -> n.checksumMacros }
+    val sel = Selector.select(Selector.parse("state:modified.macros"),
+      withPrev, Dag.fromNodes(withPrev), prev)
+    assert(sel.contains("model.mk.m"))
+    assert(!sel.contains("model.mk.plain"))
+  }
+
   test("@ operator") {
     def sel(s: String) = Selector.select(Selector.parse(s), nodes, ng)
     assert(sel("@stg") == Set("model.p.stg", "model.p.mart", "test.p.unique_mart_id"))
