@@ -50,7 +50,9 @@ object Main {
       /** --event-time-start/--event-time-end: explicit microbatch
         * backfill window ("yyyy-MM-dd[ HH:mm:ss]"). */
       eventTimeStart: Option[String] = None,
-      eventTimeEnd: Option[String] = None)
+      eventTimeEnd: Option[String] = None,
+      /** init: the new project's name/directory. */
+      initName: Option[String] = None)
 
   /** "yyyy-MM-dd" or "yyyy-MM-dd HH:mm:ss" → Timestamp, interpreted at
     * UTC — MicrobatchRunner truncates and windows batches at
@@ -73,6 +75,10 @@ object Main {
     if (a.command == "run-operation" && argv.length > 1 &&
         !argv(1).startsWith("--")) {
       a = a.copy(macroName = Some(argv(1))); i = 2
+    }
+    // init <project_name>
+    if (a.command == "init" && argv.length > 1 && !argv(1).startsWith("--")) {
+      a = a.copy(initName = Some(argv(1))); i = 2
     }
     while (i < argv.length) {
       argv(i) match {
@@ -133,6 +139,8 @@ object Main {
   }
 
   def run(spark: SparkSession, args: Args): Int = {
+    // init runs before any project exists — handle it ahead of the load
+    if (args.command == "init") return runInit(args)
     // dbt rejects a backfill end without a start and an empty window —
     // both would otherwise silently run zero batches and report success
     if (args.eventTimeEnd.isDefined && args.eventTimeStart.isEmpty) {
@@ -363,5 +371,79 @@ object Main {
         System.err.println(s"unknown command: $other")
         2
     }
+  }
+
+  /** `init <name>`: scaffold a runnable starter project (reference:
+    * crates/dbt-init/assets — dbt-core's starter layout, Spark-flavored).
+    * Refuses to touch an existing directory. */
+  private def runInit(args: Args): Int = {
+    val name = args.initName.getOrElse {
+      System.err.println("usage: init <project_name>"); return 2
+    }
+    if (!name.matches("[A-Za-z_][A-Za-z0-9_]*")) {
+      System.err.println(
+        s"invalid project name '$name' (letters, digits, underscores)")
+      return 2
+    }
+    val root = Paths.get(args.projectDir).resolve(name)
+    if (Files.exists(root)) {
+      System.err.println(s"directory $root already exists — not overwriting")
+      return 1
+    }
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    put("dbt_project.yml",
+      s"""name: $name
+         |version: "1.0.0"
+         |model-paths: ["models"]
+         |seed-paths: ["seeds"]
+         |test-paths: ["tests"]
+         |macro-paths: ["macros"]
+         |snapshot-paths: ["snapshots"]
+         |models:
+         |  $name:
+         |    example:
+         |      +materialized: view
+         |""".stripMargin)
+    put(".gitignore", "target/\nlogs/\n")
+    put("README.md",
+      s"""# $name
+         |
+         |Starter project. Try:
+         |
+         |    graft run   --project-dir $name
+         |    graft test  --project-dir $name
+         |    graft build --project-dir $name
+         |""".stripMargin)
+    put("models/example/my_first_model.sql",
+      """{{ config(materialized='table') }}
+        |
+        |with source_data as (
+        |    select 1 as id union all select null
+        |)
+        |select * from source_data
+        |""".stripMargin)
+    put("models/example/my_second_model.sql",
+      "select * from {{ ref('my_first_model') }} where id = 1\n")
+    put("models/example/schema.yml",
+      """version: 2
+        |models:
+        |  - name: my_first_model
+        |    description: "A starter model"
+        |    columns:
+        |      - name: id
+        |        tests: [unique]
+        |  - name: my_second_model
+        |    columns:
+        |      - name: id
+        |        tests: [unique, not_null]
+        |""".stripMargin)
+    Seq("seeds", "tests", "macros", "snapshots")
+      .foreach(d => Files.createDirectories(root.resolve(d)))
+    println(s"created starter project at $root")
+    0
   }
 }

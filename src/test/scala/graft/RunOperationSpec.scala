@@ -49,6 +49,34 @@ class RunOperationSpec extends AnyFunSuite {
       targetSchema = "g_runop")
   }
 
+  test("init scaffolds a runnable starter project and refuses overwrite") {
+    import graft.cli.Main
+    val parent = Files.createTempDirectory("graft_init").toString
+    val rc = Main.run(spark, Main.parseArgs(
+      Array("init", "starterdemo", "--project-dir", parent)))
+    assert(rc == 0)
+    val root = java.nio.file.Path.of(parent, "starterdemo")
+    assert(Files.exists(root.resolve("dbt_project.yml")))
+    assert(Files.exists(root.resolve("models/example/schema.yml")))
+    // the scaffold must actually build + test green end-to-end
+    val schema = "g_init_demo"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val r = new graft.run.Runner(spark,
+      graft.project.ProjectLoader.load(root.toString),
+      targetSchema = schema,
+      warehouseLocation = Some(Files.createTempDirectory("graft_init_wh").toString))
+    val results = r.run()
+    assert(results.nonEmpty)
+    val bad = results.filter(x => x.status != "success" && x.status != "pass")
+    assert(bad.isEmpty, bad.mkString(" | "))
+    // second init into the same directory refuses
+    assert(Main.run(spark, Main.parseArgs(
+      Array("init", "starterdemo", "--project-dir", parent))) == 1)
+    // bad names rejected
+    assert(Main.run(spark, Main.parseArgs(
+      Array("init", "bad-name!", "--project-dir", parent))) == 2)
+  }
+
   test("python models surface a structured error node, not silence") {
     val proj = Files.createTempDirectory("graft_pymodel")
     write(proj, "dbt_project.yml",
