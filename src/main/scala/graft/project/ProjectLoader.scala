@@ -95,6 +95,78 @@ object ProjectLoader {
 
   def load(rootDir: String): Project = loadInner(rootDir, Set.empty)
 
+  /** Hub package resolution (HubPackage packages.rs:58-64). The reference
+    * resolves against hub.getdbt.com (hub_client.rs:15); this engine is
+    * zero-egress, so the registry is a LOCAL MIRROR directory —
+    * `$GRAFT_HUB_DIR` (or `-Dgraft.hub.dir`) laid out as
+    * `<org>/<name>/<version>.tar.gz`, the same archives the hub serves.
+    * `version:` accepts an exact version, a comparator string
+    * (">=1.0.0"), or a list of comparators ANDed together (dbt semver,
+    * semver.rs); absent → newest non-prerelease, with
+    * `install-prerelease: true` admitting prereleases (packages.rs:63). */
+  private[graft] def resolveHubPackage(pkg: String, version: Option[Any],
+      installPrerelease: Boolean = false): Path = {
+    val mirror = sys.env.get("GRAFT_HUB_DIR")
+      .orElse(sys.props.get("graft.hub.dir"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"hub package '$pkg' needs GRAFT_HUB_DIR (or -Dgraft.hub.dir) " +
+          "pointing at a local hub mirror — this environment has no egress " +
+          "to hub.getdbt.com"))
+    val dir = Paths.get(mirror).resolve(pkg)
+    if (!Files.isDirectory(dir)) throw new IllegalArgumentException(
+      s"hub package '$pkg' not found in mirror $mirror")
+    val available = {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".tar.gz")).map(_.stripSuffix(".tar.gz")).toSeq
+      finally stream.close()
+    }
+    val specs: Seq[String] = version match {
+      case None => Nil
+      case Some(vs: Seq[_]) => vs.map(Yaml.str)
+      case Some(v) => Seq(Yaml.str(v))
+    }
+    val exactRequested = specs.exists(s => !s.matches("(>=|<=|>|<|=).*"))
+    val candidates = available
+      .filter(v => specs.forall(semverMatches(v, _)))
+      .filter(v => installPrerelease || exactRequested || !v.contains("-"))
+    if (candidates.isEmpty) throw new IllegalArgumentException(
+      s"hub package '$pkg': no version in mirror satisfies " +
+        s"${if (specs.isEmpty) "(any)" else specs.mkString(", ")} " +
+        s"(available: ${available.sorted.mkString(", ")})")
+    val chosen = candidates.max(semverOrdering)
+    extractTarball(dir.resolve(s"$chosen.tar.gz"))
+  }
+
+  /** major.minor.patch[-prerelease]; release outranks its prereleases
+    * (semver.rs ordering). */
+  private def semverKey(v: String): (Long, Long, Long, Boolean, String) = {
+    val m = raw"(\d+)\.(\d+)\.(\d+)(?:-([0-9A-Za-z.-]+))?.*".r
+    v match {
+      case m(a, b, c, pre) =>
+        (a.toLong, b.toLong, c.toLong, pre == null, Option(pre).getOrElse(""))
+      case _ => throw new IllegalArgumentException(s"bad semver: $v")
+    }
+  }
+
+  private val semverOrdering: Ordering[String] = Ordering.by(semverKey)
+
+  private[graft] def semverMatches(v: String, spec: String): Boolean = {
+    val m = raw"(>=|<=|>|<|=)?\s*(\S+)".r
+    val (op, target) = spec.trim match {
+      case m(o, t) => (Option(o).getOrElse("="), t)
+      case other => throw new IllegalArgumentException(s"bad version spec: $other")
+    }
+    val c = semverOrdering.compare(v, target)
+    op match {
+      case "=" => c == 0
+      case ">=" => c >= 0
+      case "<=" => c <= 0
+      case ">" => c > 0
+      case "<" => c < 0
+    }
+  }
+
   /** `git:` package resolution (GitPackage packages.rs:76-86): clone the
     * repo, check out the pinned `revision:` (tag / branch / commit sha),
     * return the project root — `subdirectory:` deep when given. Clones
@@ -298,13 +370,14 @@ object ProjectLoader {
           .map(m => m.group(1) -> m.group(2).trim))
         .toMap
 
-    // packages.yml deps — `local:` paths, `tarball:` local archives, and
-    // `git:` repositories with `revision:` pinning + `subdirectory:`
-    // (reference: packages.rs:27-33 DbtPackageEntry::{Local,Tarball,Git};
-    // Hub/Private need a registry/egress and stay out of scope). Git URLs
-    // resolve through a real `git clone`, so local paths and file://
-    // remotes work offline while https remotes work where egress exists.
-    // Loaded recursively, flattened, cycle-safe.
+    // packages.yml deps — `local:` paths, `tarball:` local archives,
+    // `git:` repositories with `revision:` pinning + `subdirectory:`, and
+    // hub `package:`/`version:` entries resolved from a local mirror
+    // (reference: packages.rs:27-33 DbtPackageEntry::{Local,Tarball,Git,
+    // Hub}; Private needs a provider-auth registry and stays out of
+    // scope). Git URLs resolve through a real `git clone`, so local
+    // paths and file:// remotes work offline while https remotes work
+    // where egress exists. Loaded recursively, flattened, cycle-safe.
     val canonical = root.toAbsolutePath.normalize.toString
     val pkgYml = root.resolve("packages.yml")
     val packages: Seq[Project] =
@@ -324,6 +397,11 @@ object ProjectLoader {
                   entry.get("subdirectory").map(Yaml.str),
                   warnUnpinned = entry.get("warn-unpinned")
                     .forall(v => Yaml.str(v) != "false")).toString
+              })
+              .orElse(entry.get("package").map(Yaml.str).map { pkg =>
+                resolveHubPackage(pkg, entry.get("version"),
+                  installPrerelease = entry.get("install-prerelease")
+                    .exists(v => Yaml.str(v) == "true")).toString
               })
           }.flatten
           case _ => Nil
