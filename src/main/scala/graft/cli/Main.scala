@@ -154,6 +154,9 @@ object Main {
       return 2
     }
     val project = ProjectLoader.load(args.projectDir).withCliVars(args.cliVars)
+    // deps needs only the load (resolution happened in it) — handle it
+    // before the Runner spins up a Spark-backed adapter
+    if (args.command == "deps") return runDeps(project, args)
     val runner = new Runner(spark, project, args.schema,
       threads = args.threads, stateDir = args.state,
       deferManifest =
@@ -371,6 +374,37 @@ object Main {
         System.err.println(s"unknown command: $other")
         2
     }
+  }
+
+  /** `deps`: resolution already happened during the project load — write
+    * package-lock.yml pinning the float-y specs (hub ranges → exact
+    * version, git refs → commit sha) keyed to packages.yml's sha1, so
+    * later loads reproduce this resolution until packages.yml changes
+    * (reference: compute_package_lock.rs). */
+  private def runDeps(project: graft.project.Project, args: Args): Int = {
+    val entries = project.allProjects.flatMap(_.packageLock).distinct
+    if (entries.isEmpty) { println("no packages to resolve"); return 0 }
+    val pkgYml = Paths.get(args.projectDir, "packages.yml")
+    val sb = new StringBuilder("packages:\n")
+    entries.foreach { e =>
+      val fields = e.toSeq
+      sb ++= s"  - ${fields.head._1}: ${yamlScalar(fields.head._2)}\n"
+      fields.tail.foreach { case (k, v) =>
+        sb ++= s"    $k: ${yamlScalar(v)}\n" }
+    }
+    sb ++= s"sha1_hash: ${graft.project.ProjectLoader.sha1(Files.readString(pkgYml))}\n"
+    Files.writeString(Paths.get(args.projectDir, "package-lock.yml"), sb.toString)
+    entries.foreach(e => println(
+      s"resolved: ${e.map { case (k, v) => s"$k=$v" }.mkString(" ")}"))
+    println(s"wrote ${entries.size} entries → package-lock.yml")
+    0
+  }
+
+  /** Quote a YAML scalar only when needed (quoting keeps shas and paths
+    * literal). */
+  private def yamlScalar(v: Any): String = {
+    val s = String.valueOf(v)
+    if (s.matches("[A-Za-z0-9._/@-]+")) s else "\"" + s.replace("\"", "\\\"") + "\""
   }
 
   /** `init <name>`: scaffold a runnable starter project (reference:

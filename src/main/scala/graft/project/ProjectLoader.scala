@@ -78,7 +78,12 @@ final case class Project(
       * loader integration crates/dbt-loader/src/loader.rs:64). Hub/git
       * resolution is out of scope (zero-egress); local paths cover the
       * monorepo-package workflow. */
-    packages: Seq[Project] = Nil) {
+    packages: Seq[Project] = Nil,
+    /** This project's DIRECT packages.yml entries with float-y specs
+      * pinned to what resolution chose (hub version ranges → the exact
+      * version, git refs → the commit sha) — the rows `deps` writes to
+      * package-lock.yml (reference: DbtPackagesLock). */
+    packageLock: Seq[Map[String, Any]] = Nil) {
   /** Root project first, then its packages (transitively flattened). */
   def allProjects: Seq[Project] = this +: packages
 
@@ -104,8 +109,13 @@ object ProjectLoader {
     * (">=1.0.0"), or a list of comparators ANDed together (dbt semver,
     * semver.rs); absent → newest non-prerelease, with
     * `install-prerelease: true` admitting prereleases (packages.rs:63). */
+  private[graft] def sha1(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Returns (extracted project root, the exact version chosen). */
   private[graft] def resolveHubPackage(pkg: String, version: Option[Any],
-      installPrerelease: Boolean = false): Path = {
+      installPrerelease: Boolean = false): (Path, String) = {
     val mirror = sys.env.get("GRAFT_HUB_DIR")
       .orElse(sys.props.get("graft.hub.dir"))
       .getOrElse(throw new IllegalArgumentException(
@@ -135,7 +145,7 @@ object ProjectLoader {
         s"${if (specs.isEmpty) "(any)" else specs.mkString(", ")} " +
         s"(available: ${available.sorted.mkString(", ")})")
     val chosen = candidates.max(semverOrdering)
-    extractTarball(dir.resolve(s"$chosen.tar.gz"))
+    (extractTarball(dir.resolve(s"$chosen.tar.gz")), chosen)
   }
 
   /** major.minor.patch[-prerelease]; release outranks its prereleases
@@ -174,33 +184,37 @@ object ProjectLoader {
     * same dedup dbt's package-lock install gives a single invocation.
     * Unpinned deps float to the clone's default HEAD and warn, matching
     * dbt's warn-unpinned behavior. */
-  private val gitPkgCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Path]()
+  private val gitPkgCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (Path, String)]()
+  /** Returns (package project root, the resolved commit sha — the value a
+    * lock file pins). */
   private[graft] def resolveGitPackage(url: String, revision: Option[String],
-      subdirectory: Option[String], warnUnpinned: Boolean = true): Path =
+      subdirectory: Option[String], warnUnpinned: Boolean = true): (Path, String) =
     gitPkgCache.computeIfAbsent(
       (url, revision.getOrElse(""), subdirectory.getOrElse("")), _ => {
         if (revision.isEmpty && warnUnpinned)
           System.err.println(s"[warn] git package $url is not pinned to a " +
             "revision — add `revision:` (or `warn-unpinned: false`)")
         val dest = Files.createTempDirectory("graft_git_pkg")
-        def git(args: String*): Unit = {
+        def git(args: String*): String = {
           val pb = new ProcessBuilder(("git" +: args): _*)
           pb.redirectErrorStream(true)
           val proc = pb.start()
           val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
           if (proc.waitFor() != 0) throw new IllegalArgumentException(
             s"git ${args.mkString(" ")} failed:\n$out")
+          out.trim
         }
         git("clone", "--quiet", url, dest.toString)
         revision.foreach(r =>
           git("-C", dest.toString, "checkout", "--quiet", r))
+        val sha = git("-C", dest.toString, "rev-parse", "HEAD")
         val rootDir = subdirectory.map(dest.resolve).getOrElse(dest)
         if (!Files.exists(rootDir.resolve("dbt_project.yml")))
           throw new IllegalArgumentException(
             s"git package $url has no dbt_project.yml at " +
               subdirectory.getOrElse("the repo root"))
-        rootDir
+        (rootDir, sha)
       })
 
   /** Extract a .tar.gz package (ustar layout, the hub archive format) and
@@ -380,32 +394,78 @@ object ProjectLoader {
     // where egress exists. Loaded recursively, flattened, cycle-safe.
     val canonical = root.toAbsolutePath.normalize.toString
     val pkgYml = root.resolve("packages.yml")
-    val packages: Seq[Project] =
+    // package-lock.yml pins float-y entries (hub version ranges, unpinned
+    // git revisions) to what a previous `deps` resolved — honored only
+    // while its recorded sha1 still matches packages.yml (stale locks are
+    // ignored, like dbt's upgrade path). Reference: DbtPackagesLock,
+    // steps/load_package_lock.rs.
+    val lockFile = root.resolve("package-lock.yml")
+    val lockEntries: Seq[Map[String, Any]] =
+      if (!Files.exists(lockFile) || !Files.exists(pkgYml)) Nil
+      else {
+        val doc = Yaml.parseMap(Files.readString(lockFile))
+        val fresh = Yaml.dig(doc, "sha1_hash").map(Yaml.str)
+          .contains(sha1(Files.readString(pkgYml)))
+        if (!fresh) Nil
+        else Yaml.dig(doc, "packages").toSeq.flatMap {
+          case ps: Seq[_] => ps.collect { case m: Map[_, _] =>
+            m.asInstanceOf[Map[String, Any]] }
+          case _ => Nil
+        }
+      }
+    val lockedHub: Map[String, String] = lockEntries.flatMap(e =>
+      for (p <- e.get("package"); v <- e.get("version"))
+        yield Yaml.str(p) -> Yaml.str(v)).toMap
+    val lockedGit: Map[String, String] = lockEntries.flatMap(e =>
+      for (u <- e.get("git"); r <- e.get("revision"))
+        yield Yaml.str(u) -> Yaml.str(r)).toMap
+    val resolvedPkgs: Seq[(String, Map[String, Any])] =
       if (!Files.exists(pkgYml) || seen.contains(canonical)) Nil
       else Yaml.dig(Yaml.parseMap(Files.readString(pkgYml)), "packages")
         .toSeq.flatMap {
           case ps: Seq[_] => ps.collect { case p: Map[_, _] =>
             val entry = p.asInstanceOf[Map[String, Any]]
             entry.get("local").map(Yaml.str)
-              .map(rel => root.resolve(rel).normalize().toString)
+              .map(rel => (root.resolve(rel).normalize().toString,
+                Map[String, Any]("local" -> rel)))
               .orElse(entry.get("tarball").map(Yaml.str).map { t =>
-                extractTarball(root.resolve(t).normalize()).toString
+                (extractTarball(root.resolve(t).normalize()).toString,
+                  Map[String, Any]("tarball" -> t))
               })
               .orElse(entry.get("git").map(Yaml.str).map { url =>
-                resolveGitPackage(url,
-                  entry.get("revision").map(Yaml.str),
+                val (dir, sha) = resolveGitPackage(url,
+                  entry.get("revision").map(Yaml.str)
+                    .orElse(lockedGit.get(url)),
                   entry.get("subdirectory").map(Yaml.str),
                   warnUnpinned = entry.get("warn-unpinned")
-                    .forall(v => Yaml.str(v) != "false")).toString
+                    .forall(v => Yaml.str(v) != "false"))
+                (dir.toString, Map[String, Any]("git" -> url,
+                  "revision" -> sha) ++
+                  entry.get("subdirectory").map(s =>
+                    "subdirectory" -> Yaml.str(s)))
               })
               .orElse(entry.get("package").map(Yaml.str).map { pkg =>
-                resolveHubPackage(pkg, entry.get("version"),
+                // a fresh lock wins over a RANGE spec as long as its
+                // pinned version still satisfies it (dbt's no-upgrade
+                // deps path); a lock that violates the spec is ignored
+                val specStrs: Seq[String] = entry.get("version") match {
+                  case None => Nil
+                  case Some(vs: Seq[_]) => vs.map(Yaml.str)
+                  case Some(v) => Seq(Yaml.str(v))
+                }
+                val locked = lockedHub.get(pkg)
+                  .filter(lv => specStrs.forall(semverMatches(lv, _)))
+                val (dir, chosen) = resolveHubPackage(pkg,
+                  locked.orElse(entry.get("version")),
                   installPrerelease = entry.get("install-prerelease")
-                    .exists(v => Yaml.str(v) == "true")).toString
+                    .exists(v => Yaml.str(v) == "true"))
+                (dir.toString, Map[String, Any]("package" -> pkg,
+                  "version" -> chosen))
               })
           }.flatten
           case _ => Nil
         }
+    val packages: Seq[Project] = resolvedPkgs.map(_._1)
         .flatMap { dir =>
           val sub = loadInner(dir, seen + canonical)
           sub +: sub.packages // flatten transitive deps
@@ -454,6 +514,7 @@ object ProjectLoader {
       },
       onRunStart = Yaml.dig(cfg, "on-run-start").map(Yaml.strSeq).getOrElse(Nil),
       onRunEnd = Yaml.dig(cfg, "on-run-end").map(Yaml.strSeq).getOrElse(Nil),
-      packages = packages.distinctBy(_.name))
+      packages = packages.distinctBy(_.name),
+      packageLock = resolvedPkgs.map(_._2))
   }
 }

@@ -96,9 +96,10 @@ class GitPackageSpec extends AnyFunSuite {
     write(repo, "pkgs/sub/dbt_project.yml", "name: sublib\n")
     git(repo, "add", "-A")
     git(repo, "commit", "--quiet", "-m", "init")
-    val root = ProjectLoader.resolveGitPackage(
+    val (root, sha) = ProjectLoader.resolveGitPackage(
       repo.toString, None, Some("pkgs/sub"), warnUnpinned = false)
     assert(Files.exists(root.resolve("dbt_project.yml")))
+    assert(sha.matches("[0-9a-f]{40}"))
     // missing subdirectory project fails loudly
     assertThrows[IllegalArgumentException](
       ProjectLoader.resolveGitPackage(repo.toString, None, Some("nope"),

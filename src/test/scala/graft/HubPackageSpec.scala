@@ -105,6 +105,59 @@ class HubPackageSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("GRAFT_HUB_DIR"))
   }
 
+  test("deps writes package-lock.yml and later loads honor it until stale") {
+    // dedicated mirror so adding versions can't disturb other tests
+    val m = Files.createTempDirectory("graft_hub_lockmirror")
+    def publish(v: String): Unit = {
+      val src = Files.createTempDirectory("graft_hub_locksrc")
+      val top = src.resolve(s"gadgets-$v")
+      write(top, "dbt_project.yml", "name: gadgets\nmodel-paths: [\"models\"]\n")
+      write(top, "models/gadget_version.sql", s"select '$v' as v\n")
+      val out = m.resolve(s"acme/gadgets/$v.tar.gz")
+      Files.createDirectories(out.getParent)
+      assert(Process(Seq("tar", "czf", out.toString, "-C", src.toString,
+        s"gadgets-$v")).! == 0)
+    }
+    publish("1.0.0"); publish("1.1.0")
+    // a minimal git package for the sha-pinning half of the lock
+    val repo = Files.createTempDirectory("graft_lock_git")
+    def git(args: String*): Unit =
+      assert(Process(Seq("git", "-C", repo.toString) ++ args).! == 0)
+    git("init", "--quiet", "--initial-branch=main")
+    git("config", "user.email", "t@t"); git("config", "user.name", "t")
+    write(repo, "dbt_project.yml", "name: gitdep\n")
+    git("add", "-A"); git("commit", "--quiet", "-m", "init")
+    val proj = Files.createTempDirectory("graft_lock_root")
+    write(proj, "dbt_project.yml", "name: lockroot\nmodel-paths: [\"models\"]\n")
+    write(proj, "packages.yml",
+      s"""packages:
+         |  - package: acme/gadgets
+         |    version: ">=1.0.0"
+         |  - git: ${repo.toString}
+         |    warn-unpinned: false
+         |""".stripMargin)
+    sys.props("graft.hub.dir") = m.toString
+    try {
+      val rc = graft.cli.Main.run(null, graft.cli.Main.parseArgs(
+        Array("deps", "--project-dir", proj.toString)))
+      assert(rc == 0)
+      val lock = Files.readString(proj.resolve("package-lock.yml"))
+      assert(lock.contains("version: 1.1.0"), lock)     // range pinned exact
+      assert(lock.contains("revision: "), lock)         // git pinned to sha
+      assert(lock.contains("sha1_hash: "), lock)
+      // a newer version appears — the fresh lock still pins 1.1.0
+      publish("1.2.0")
+      def loadedVersion() = ProjectLoader.load(proj.toString)
+        .packages.find(_.name == "gadgets").get
+        .models("gadget_version").split("'")(1)
+      assert(loadedVersion() == "1.1.0")
+      // packages.yml changes → lock sha mismatch → float to newest again
+      Files.writeString(proj.resolve("packages.yml"),
+        Files.readString(proj.resolve("packages.yml")) + "# touched\n")
+      assert(loadedVersion() == "1.2.0")
+    } finally sys.props.remove("graft.hub.dir")
+  }
+
   test("semver ordering and matching corner cases") {
     assert(ProjectLoader.semverMatches("1.2.0", ">=1.2.0"))
     assert(!ProjectLoader.semverMatches("1.2.0", ">1.2.0"))
