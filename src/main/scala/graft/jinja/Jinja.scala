@@ -38,6 +38,12 @@ object Jinja {
     * kwarg that renders the body (Jinja call blocks; dbt's
     * `{% call statement('main') %}` uses caller() for the SQL text). */
   final case class TCallBlock(call: Expr, body: Seq[Tpl]) extends Tpl
+  /** `{% with a = 1, b = 2 %}…{% endwith %}` — scoped bindings that do
+    * NOT leak (minijinja parser.rs:890 WithBlock). */
+  final case class TWith(assigns: Seq[(String, Expr)], body: Seq[Tpl]) extends Tpl
+  /** `{% filter upper|trim %}…{% endfilter %}` — render the body, pipe it
+    * through the filter chain (minijinja parser.rs:896 FilterBlock). */
+  final case class TFilterBlock(chain: Expr, body: Seq[Tpl]) extends Tpl
 
   sealed trait Expr
   final case class ELit(v: Any) extends Expr
@@ -309,6 +315,24 @@ object Jinja {
               i = k + 1
             case "do" =>
               out += TDo(ExprParser.parse(s.stripPrefix("do").trim)); i += 1
+            case "with" =>
+              val assigns = splitTop(s.stripPrefix("with").trim)
+                .filter(_.nonEmpty).map { a =>
+                  val e = topLevelEq(a)
+                  if (e < 0) throw JinjaError(s"bad with binding: $a")
+                  (a.substring(0, e).trim, ExprParser.parse(a.substring(e + 1).trim))
+                }
+              val (body, k) = parseBlock(cs, i + 1, Set("endwith"))
+              out += TWith(assigns, body)
+              i = k + 1
+            case "filter" =>
+              // reuse the expression parser by piping a placeholder
+              // variable through the written chain
+              val chain = ExprParser.parse(
+                s"__filter_body__ | ${s.stripPrefix("filter").trim}")
+              val (body, k) = parseBlock(cs, i + 1, Set("endfilter"))
+              out += TFilterBlock(chain, body)
+              i = k + 1
             case other => throw JinjaError(s"unsupported statement: $other")
           }
       }
@@ -366,6 +390,16 @@ object Jinja {
       case TText(s) => sb ++= s
       case TExpr(e) => sb ++= stringify(eval(e, ctx))
       case TDo(e) => eval(e, ctx)
+      case TWith(assigns, body) =>
+        val child = ctx.child
+        assigns.foreach { case (n, e) => child.set(n, eval(e, child)) }
+        exec(body, child, sb)
+      case TFilterBlock(chain, body) =>
+        val inner = new StringBuilder
+        exec(body, ctx.child, inner)
+        val child = ctx.child
+        child.set("__filter_body__", inner.toString)
+        sb ++= stringify(eval(chain, child))
       case TSet(name, v) => assignTarget(ctx, name, eval(v, ctx))
       case TSetBlock(name, body) =>
         val inner = new StringBuilder

@@ -103,6 +103,20 @@ class JinjaSpec extends AnyFunSuite {
       Map("m" -> Map("k" -> 1L))) == "instrinmap")
   }
 
+  test("with and filter blocks") {
+    // with: scoped bindings that don't leak
+    assert(r("{% with a = 1, b = a + 1 %}{{ a }}-{{ b }}{% endwith %}") == "1-2")
+    assert(r("{% set a = 9 %}{% with a = 1 %}{{ a }}{% endwith %}{{ a }}") == "19")
+    assert(r("{% with x = 'q' %}{% endwith %}{% if x is undefined %}gone{% endif %}")
+      == "gone")
+    // filter block: body piped through the written chain
+    assert(r("{% filter upper %}hello {{ w }}{% endfilter %}",
+      Map("w" -> "world")) == "HELLO WORLD")
+    assert(r("{% filter trim | replace('l', 'L') %}  hello  {% endfilter %}")
+      == "heLLo")
+    assert(r("{% filter indent(2) %}a\nb{% endfilter %}") == "a\n  b")
+  }
+
   test("namespace() attribute writes survive loop and if scopes") {
     assert(r("{% set ns = namespace(total=0) %}{% for x in xs %}" +
       "{% set ns.total = ns.total + x %}{% endfor %}{{ ns.total }}",
