@@ -60,6 +60,31 @@ object Dedup {
     else df.cache()
   }
 
+  /** Band-bucket guard for the LSH candidate joins: a bucket holding f
+    * rows emits f² candidate pairs, so a corpus with a large cluster of
+    * IDENTICAL (or boilerplate-identical) documents turns every banded
+    * self-join quadratic in that cluster's size — the same skew vector
+    * the shingle-df cap closes for the exact paths. Buckets past
+    * `spark.graft.maxBandBucket` (default 100000 — far above anything a
+    * healthy corpus produces per 64-bit band key) are dropped before the
+    * join. Oversized buckets are exact-duplicate clusters in disguise:
+    * run [[exact]] dedup FIRST (the standard pipeline order) and they
+    * never form. Mechanism: aggregate per-key counts (map-side combined,
+    * narrow shuffle), keep only keys past the cap — at most rows/cap of
+    * them, almost always ZERO — and broadcast-anti-join them away. That
+    * costs one cheap aggregate instead of the full within-partition sort
+    * a window count would force on every banded row. ≤ 0 disables. */
+  private[graft] def capBuckets(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val cap = df.sparkSession.conf.get("spark.graft.maxBandBucket", "100000").toInt
+    if (cap <= 0) df
+    else {
+      val hot = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select(keyCols.map(col): _*)
+      df.join(broadcast(hot), keyCols, "left_anti")
+    }
+  }
+
   /** Word k-shingles, distinct, guarded for short docs. Shingle text is
     * space-joined so a DuckDB oracle can reproduce it byte-for-byte. */
   def shingleExpr(textCol: String, k: Int): Column = expr(
@@ -129,11 +154,11 @@ object Dedup {
         shingle_hashes(col(textCol), k).as("shh"))
       .filter(size(col("shh")) > 0)
       .withColumn("sig", minhash_sig(col("shh"), perms)))
-    val banded = sigs.select(col("id"), col("shh"),
+    val banded = capBuckets(sigs.select(col("id"), col("shh"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',',
            |  transform(slice(sig, b * $r + 1, $r), v -> cast(v AS STRING)))))""".stripMargin))
-        .as(Seq("band", "bandhash")))
+        .as(Seq("band", "bandhash"))), Seq("band", "bandhash"))
     // distinct column names per side — a self-join on same-name columns
     // silently resolves to a trivially-true predicate (cross join).
     val a = banded.select(col("band").as("band_a"), col("bandhash").as("bh_a"),
@@ -189,9 +214,10 @@ object Dedup {
       spread(df.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"), col(textCol)), textCol)
       .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3")))
-    val banded = sigs.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
-      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
-        .as(Seq("band", "bv")))
+    val banded = capBuckets(
+      sigs.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+          .as(Seq("band", "bv"))), Seq("band", "bv"))
     val a = banded
     val b = banded.select(col("id").as("id_b"), col("c0").as("d0"),
       col("c1").as("d1"), col("c2").as("d2"), col("c3").as("d3"),
@@ -405,8 +431,8 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.normExact(vecCol).as("norm"),
         Similarity.bandSignatures(vecCol, bands, rowsPerBand).as("sigs"))
-    val banded = v.select(col("id"), col("v"), col("norm"),
-      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val banded = capBuckets(v.select(col("id"), col("v"), col("norm"),
+      posexplode(col("sigs")).as(Seq("band", "sig"))), Seq("band", "sig"))
     val a = banded.select(col("id").as("id_a"), col("v").as("va"),
       col("norm").as("na"), col("band").as("band_a"), col("sig").as("sig_a"))
     val b = banded.select(col("id").as("id_b"), col("v").as("vb"),

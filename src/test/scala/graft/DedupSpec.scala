@@ -204,6 +204,32 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.maxShingleDf")
   }
 
+  test("band-bucket cap bounds candidates under a giant duplicate cluster") {
+    import spark.implicits._
+    // 30 IDENTICAL docs: every band bucket holds all 30 rows, so without
+    // the cap the banded self-join emits C(30,2)=435 pairs per band
+    val docs = (0 until 30)
+      .map(i => (i.toLong, "same words in every single document here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(docs, "doc_id", "text").count() == 435)
+    spark.conf.set("spark.graft.maxBandBucket", "10")
+    try {
+      // oversized buckets drop before the join in all three banded paths
+      assert(Dedup.minhashNearDups(docs, "doc_id", "text").isEmpty)
+      assert(Dedup.simhashNearDups(docs, "doc_id", "text").isEmpty)
+      // docs in small buckets are untouched: distinct docs + one dup pair
+      val mixed = (0 until 20)
+        .map(i => (i.toLong, s"totally unique document number $i with words $i"))
+        .toDF("doc_id", "text")
+        .union(Seq((100L, "twin text alpha beta gamma delta"),
+          (101L, "twin text alpha beta gamma delta")).toDF("doc_id", "text"))
+      val got = Dedup.minhashNearDups(mixed, "doc_id", "text")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 101L)))
+    } finally spark.conf.unset("spark.graft.maxBandBucket")
+  }
+
   test("maxShingleDf <= 0 disables the hot-shingle guard") {
     import spark.implicits._
     val docs = (0 until 20)
