@@ -44,6 +44,15 @@ object Jinja {
   /** `{% filter upper|trim %}…{% endfilter %}` — render the body, pipe it
     * through the filter chain (minijinja parser.rs:896 FilterBlock). */
   final case class TFilterBlock(chain: Expr, body: Seq[Tpl]) extends Tpl
+  /** `{% break %}` / `{% continue %}` (minijinja loop_controls,
+    * parser.rs:942-953) — thrown as stackless control signals the
+    * enclosing for-loop catches. */
+  case object TBreak extends Tpl
+  case object TContinue extends Tpl
+  private object BreakSignal
+    extends RuntimeException(null, null, false, false)
+  private object ContinueSignal
+    extends RuntimeException(null, null, false, false)
 
   sealed trait Expr
   final case class ELit(v: Any) extends Expr
@@ -140,7 +149,11 @@ object Jinja {
 
   def renderAst(nodes: Seq[Tpl], ctx: Ctx): String = {
     val sb = new StringBuilder
-    exec(nodes, ctx, sb)
+    try exec(nodes, ctx, sb)
+    catch {
+      case BreakSignal | ContinueSignal =>
+        throw JinjaError("break/continue outside of a for loop")
+    }
     sb.toString
   }
 
@@ -315,6 +328,8 @@ object Jinja {
               i = k + 1
             case "do" =>
               out += TDo(ExprParser.parse(s.stripPrefix("do").trim)); i += 1
+            case "break" => out += TBreak; i += 1
+            case "continue" => out += TContinue; i += 1
             case "with" =>
               val assigns = splitTop(s.stripPrefix("with").trim)
                 .filter(_.nonEmpty).map { a =>
@@ -410,12 +425,17 @@ object Jinja {
           case Some((_, body)) => exec(body, ctx.child, sb)
           case None => exec(elseBody, ctx.child, sb)
         }
+      case TBreak => throw BreakSignal
+      case TContinue => throw ContinueSignal
       case TFor(names, iterE, body, elseBody) =>
         val it = toIterable(eval(iterE, ctx))
         if (it.isEmpty) exec(elseBody, ctx.child, sb)
         else {
           val size = it.size
-          it.zipWithIndex.foreach { case (item, idx) =>
+          val iter = it.zipWithIndex.iterator
+          var broke = false
+          while (!broke && iter.hasNext) {
+            val (item, idx) = iter.next()
             val c = ctx.child
             if (names.length == 1) c.set(names.head, item)
             else item match {
@@ -428,7 +448,11 @@ object Jinja {
               "index" -> (idx + 1L), "index0" -> idx.toLong,
               "first" -> (idx == 0), "last" -> (idx == size - 1),
               "length" -> size.toLong))
-            exec(body, c, sb)
+            try exec(body, c, sb)
+            catch {
+              case ContinueSignal => // next iteration
+              case BreakSignal => broke = true
+            }
           }
         }
       case TCallBlock(call, body) =>

@@ -103,6 +103,18 @@ class JinjaSpec extends AnyFunSuite {
       Map("m" -> Map("k" -> 1L))) == "instrinmap")
   }
 
+  test("break and continue loop controls") {
+    assert(r("{% for x in xs %}{% if x == 3 %}{% break %}{% endif %}{{ x }}{% endfor %}",
+      Map("xs" -> Vector(1L, 2L, 3L, 4L))) == "12")
+    assert(r("{% for x in xs %}{% if x % 2 == 0 %}{% continue %}{% endif %}{{ x }}{% endfor %}",
+      Map("xs" -> Vector(1L, 2L, 3L, 4L, 5L))) == "135")
+    // break only exits the INNER loop
+    assert(r("{% for i in ab %}{% for j in ab %}{% break %}x{% endfor %}{{ i }}{% endfor %}",
+      Map("ab" -> Vector("a", "b"))) == "ab")
+    // outside a loop it is an error, not a silent no-op
+    assertThrows[Jinja.JinjaError](r("{% break %}"))
+  }
+
   test("with and filter blocks") {
     // with: scoped bindings that don't leak
     assert(r("{% with a = 1, b = a + 1 %}{{ a }}-{{ b }}{% endwith %}") == "1-2")
