@@ -69,21 +69,36 @@ object Dedup {
     * healthy corpus produces per 64-bit band key) are dropped before the
     * join. Oversized buckets are exact-duplicate clusters in disguise:
     * run [[exact]] dedup FIRST (the standard pipeline order) and they
-    * never form. Mechanism: aggregate per-key counts (map-side combined,
-    * narrow shuffle), keep only keys past the cap — at most rows/cap of
-    * them, almost always ZERO — and broadcast-anti-join them away. That
-    * costs one cheap aggregate instead of the full within-partition sort
-    * a window count would force on every banded row. ≤ 0 disables. */
-  private[graft] def capBuckets(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val cap = df.sparkSession.conf.get("spark.graft.maxBandBucket", "100000").toInt
-    if (cap <= 0) df
-    else {
-      val hot = df.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-        .select(keyCols.map(col): _*)
-      df.join(broadcast(hot), keyCols, "left_anti")
-    }
+    * never form.
+    *
+    * Mechanism: candidate pairs come from ONE shuffle — group rows by
+    * bucket key, collect each bucket's ids, emit its ordered pairs with
+    * a nested array transform — instead of a two-sided self-join (which
+    * shuffles the rows twice and would need a second counting pass to
+    * guard). The cap is then a free `size(ids)` filter on the
+    * already-materialized bucket. Memory note: a bucket materializes as
+    * one array (8 B/id) inside the aggregate before the cap filter can
+    * drop it, so a pathological bucket of 10⁸ identical docs would
+    * pressure an executor — exactly the corpus state exact-dedup-first
+    * removes. `cap` ≤ 0 disables the guard, never the pattern. */
+  private[graft] def bucketPairs(rows: DataFrame, keyCols: Seq[String],
+      cap: Int): DataFrame = {
+    val small =
+      if (cap <= 0) lit(true) else size(col("__ids")) <= cap
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("__ids"))
+      .filter(size(col("__ids")) >= 2 && small)
+      .select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids)),
+          |    y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
+
+  private[graft] def maxBandBucket(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.graft.maxBandBucket", "100000").toInt
 
   /** Word k-shingles, distinct, guarded for short docs. Shingle text is
     * space-joined so a DuckDB oracle can reproduce it byte-for-byte. */
@@ -154,22 +169,19 @@ object Dedup {
         shingle_hashes(col(textCol), k).as("shh"))
       .filter(size(col("shh")) > 0)
       .withColumn("sig", minhash_sig(col("shh"), perms)))
-    val banded = capBuckets(sigs.select(col("id"), col("shh"),
+    // Candidates come from the one-shuffle bucket-pairs aggregate over
+    // narrow (id, band, bandhash) rows; the heavy shingle-hash arrays
+    // join back ONLY for the deduplicated candidate pairs (the same
+    // narrow-then-rejoin shape as [[shingleCandidates]]).
+    val banded = sigs.select(col("id"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',',
            |  transform(slice(sig, b * $r + 1, $r), v -> cast(v AS STRING)))))""".stripMargin))
-        .as(Seq("band", "bandhash"))), Seq("band", "bandhash"))
-    // distinct column names per side — a self-join on same-name columns
-    // silently resolves to a trivially-true predicate (cross join).
-    val a = banded.select(col("band").as("band_a"), col("bandhash").as("bh_a"),
-      col("id").as("id_a"), col("shh").as("sh_a"))
-    val b = banded.select(col("band").as("band_b"), col("bandhash").as("bh_b"),
-      col("id").as("id_b"), col("shh").as("sh_b"))
-    val candidates = a.join(b,
-      col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+        .as(Seq("band", "bandhash")))
+    val pairIds = bucketPairs(banded, Seq("band", "bandhash"), maxBandBucket(df))
+    val candidates = pairIds
+      .join(sigs.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
     verifyJaccard(candidates, threshold)
   }
 
@@ -214,21 +226,21 @@ object Dedup {
       spread(df.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"), col(textCol)), textCol)
       .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3")))
-    val banded = capBuckets(
-      sigs.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
-          .as(Seq("band", "bv"))), Seq("band", "bv"))
-    val a = banded
-    val b = banded.select(col("id").as("id_b"), col("c0").as("d0"),
-      col("c1").as("d1"), col("c2").as("d2"), col("c3").as("d3"),
-      col("band").as("band_b"), col("bv").as("bv_b"))
-    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
-        col("id") < col("id_b"))
-      .dropDuplicates("id", "id_b")
+    // one-shuffle bucket-pairs over narrow (id, band, bv) rows; chunks
+    // join back only for the candidate pairs' hamming verification
+    val banded = sigs.select(col("id"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("band", "bv")))
+    val pairIds = bucketPairs(banded, Seq("band", "bv"), maxBandBucket(df))
+    pairIds
+      .join(sigs.select(col("id").as("id_a"), col("c0"), col("c1"),
+        col("c2"), col("c3")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("c0").as("d0"),
+        col("c1").as("d1"), col("c2").as("d2"), col("c3").as("d3")), "id_b")
       .withColumn("hamming",
         expr("bit_count(c0 ^ d0) + bit_count(c1 ^ d1) + bit_count(c2 ^ d2) + bit_count(c3 ^ d3)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id").as("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Embedding-cosine near-dup pairs ≥ threshold — exact, expressed as a
@@ -292,18 +304,17 @@ object Dedup {
     * both sides' shingle sets back as sh_a/sh_b for the verifier.
     *
     * Hot-shingle guard: a shingle appearing in f documents emits f²
-    * candidate pairs from the self-join, so one viral boilerplate
-    * sentence at corpus scale is a job-killing skew explosion. Standard
-    * practice (e.g. Lee et al., "Deduplicating Training Data Makes
-    * Language Models Better") is to drop shingles whose document
-    * frequency exceeds a cap before pairing — a shingle shared by
-    * thousands of documents carries no near-dup signal anyway. The df
-    * count rides a window over the same hash partitioning the self-join
-    * needs (no extra shuffle). `spark.graft.maxShingleDf` (default 1000)
-    * bounds per-shingle fan-out at cap² pairs; ≤ 0 disables the guard.
-    * Pairs that share ONLY above-cap shingles are not candidates — at a
-    * Jaccard/containment threshold worth verifying, real near-dups share
-    * many shingles, almost all below any sane cap. */
+    * candidate pairs, so one viral boilerplate sentence at corpus scale
+    * is a job-killing skew explosion. Standard practice (e.g. Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better") is
+    * to drop shingles whose document frequency exceeds a cap before
+    * pairing — a shingle shared by thousands of documents carries no
+    * near-dup signal anyway. Candidates come from the one-shuffle
+    * [[bucketPairs]] aggregate keyed on the shingle, where the cap
+    * (`spark.graft.maxShingleDf`, default 1000; ≤ 0 disables) is a free
+    * size filter. Pairs that share ONLY above-cap shingles are not
+    * candidates — at a Jaccard/containment threshold worth verifying,
+    * real near-dups share many shingles, almost all below any sane cap. */
   private[graft] def shingleCandidates(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     import graft.expressions.PipelineExpressions._
@@ -312,17 +323,7 @@ object Dedup {
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
       .filter(size(col("shh")) > 0))
     val exploded = sh.select(col("id"), explode(col("shh")).as("s"))
-    val ex =
-      if (maxDf <= 0) exploded
-      else {
-        val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("s")
-        exploded.withColumn("__df", count(lit(1)).over(byShingle))
-          .filter(col("__df") <= maxDf).drop("__df")
-      }
-    val pairIds = ex.as("x").join(ex.as("y"),
-      col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val pairIds = bucketPairs(exploded, Seq("s"), maxDf)
     pairIds
       .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
@@ -427,19 +428,20 @@ object Dedup {
     * candidate volume stays near-linear. */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val v = spread(df.select(col(idCol), col(vecCol)))
+    val v = maybeCache(spread(df.select(col(idCol), col(vecCol)))
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.normExact(vecCol).as("norm"),
-        Similarity.bandSignatures(vecCol, bands, rowsPerBand).as("sigs"))
-    val banded = capBuckets(v.select(col("id"), col("v"), col("norm"),
-      posexplode(col("sigs")).as(Seq("band", "sig"))), Seq("band", "sig"))
-    val a = banded.select(col("id").as("id_a"), col("v").as("va"),
-      col("norm").as("na"), col("band").as("band_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("id").as("id_b"), col("v").as("vb"),
-      col("norm").as("nb"), col("band").as("band_b"), col("sig").as("sig_b"))
-    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
-        col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+        Similarity.bandSignatures(vecCol, bands, rowsPerBand).as("sigs")))
+    // one-shuffle bucket-pairs over narrow (id, band, sig) rows; the
+    // dense vectors join back only for the exact-cosine verification
+    val banded = v.select(col("id"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val pairIds = bucketPairs(banded, Seq("band", "sig"), maxBandBucket(df))
+    pairIds
+      .join(v.select(col("id").as("id_a"), col("v").as("va"),
+        col("norm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"),
+        col("norm").as("nb")), "id_b")
       .withColumn("cosine", Similarity.cosineFromParts("va", "vb", "na", "nb"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
