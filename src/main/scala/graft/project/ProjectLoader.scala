@@ -419,6 +419,9 @@ object ProjectLoader {
     val lockedGit: Map[String, String] = lockEntries.flatMap(e =>
       for (u <- e.get("git"); r <- e.get("revision"))
         yield Yaml.str(u) -> Yaml.str(r)).toMap
+    val lockedPrivate: Map[String, String] = lockEntries.flatMap(e =>
+      for (p <- e.get("private"); r <- e.get("revision"))
+        yield Yaml.str(p) -> Yaml.str(r)).toMap
     val resolvedPkgs: Seq[(String, Map[String, Any])] =
       if (!Files.exists(pkgYml) || seen.contains(canonical)) Nil
       else Yaml.dig(Yaml.parseMap(Files.readString(pkgYml)), "packages")
@@ -440,6 +443,30 @@ object ProjectLoader {
                   warnUnpinned = entry.get("warn-unpinned")
                     .forall(v => Yaml.str(v) != "false"))
                 (dir.toString, Map[String, Any]("git" -> url,
+                  "revision" -> sha) ++
+                  entry.get("subdirectory").map(s =>
+                    "subdirectory" -> Yaml.str(s)))
+              })
+              .orElse(entry.get("private").map(Yaml.str).map { spec =>
+                // private = git whose URL comes from a provider base the
+                // credentials ride on (private_package.rs ProviderDetail
+                // resolved_url; dbt reads the provider config from env) —
+                // GRAFT_PRIVATE_GIT_BASE is that base, e.g.
+                // `https://<token>@github.com` or a local bare-repo root
+                val base = sys.env.get("GRAFT_PRIVATE_GIT_BASE")
+                  .orElse(sys.props.get("graft.private.git.base"))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"private package '$spec' needs GRAFT_PRIVATE_GIT_BASE " +
+                      "(or -Dgraft.private.git.base) — the provider base " +
+                      "URL its credentials ride on"))
+                val url = base.stripSuffix("/") + "/" + spec
+                val (dir, sha) = resolveGitPackage(url,
+                  entry.get("revision").map(Yaml.str)
+                    .orElse(lockedPrivate.get(spec)),
+                  entry.get("subdirectory").map(Yaml.str),
+                  warnUnpinned = entry.get("warn-unpinned")
+                    .forall(v => Yaml.str(v) != "false"))
+                (dir.toString, Map[String, Any]("private" -> spec,
                   "revision" -> sha) ++
                   entry.get("subdirectory").map(s =>
                     "subdirectory" -> Yaml.str(s)))

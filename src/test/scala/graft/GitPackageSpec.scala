@@ -106,6 +106,40 @@ class GitPackageSpec extends AnyFunSuite {
         warnUnpinned = false))
   }
 
+  test("private package resolves through the provider base URL") {
+    // provider base = a local root holding <org>/<repo> repos (the same
+    // clone an https base with embedded credentials would take)
+    val base = Files.createTempDirectory("graft_private_base")
+    val repo = base.resolve("acme/utilslib")
+    Files.createDirectories(repo)
+    git(repo, "init", "--quiet", "--initial-branch=main")
+    git(repo, "config", "user.email", "t@t")
+    git(repo, "config", "user.name", "t")
+    write(repo, "dbt_project.yml", "name: utilslib\nmodel-paths: [\"models\"]\n")
+    write(repo, "models/util_model.sql", "select 7 as lucky\n")
+    git(repo, "add", "-A")
+    git(repo, "commit", "--quiet", "-m", "init")
+    val proj = Files.createTempDirectory("graft_private_root")
+    write(proj, "dbt_project.yml", "name: privroot\n")
+    write(proj, "packages.yml",
+      """packages:
+        |  - private: acme/utilslib
+        |    warn-unpinned: false
+        |""".stripMargin)
+    // no base configured → names the knob
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(proj.toString))
+    assert(e.getMessage.contains("GRAFT_PRIVATE_GIT_BASE"))
+    sys.props("graft.private.git.base") = base.toString
+    try {
+      val p = ProjectLoader.load(proj.toString)
+      assert(p.packages.map(_.name) == Seq("utilslib"))
+      assert(p.packages.head.models("util_model").contains("lucky"))
+      // lock entry pins the private spec to the resolved sha
+      assert(p.packageLock.exists(l => l.get("private").contains("acme/utilslib")
+        && l.get("revision").exists(_.toString.matches("[0-9a-f]{40}"))))
+    } finally sys.props.remove("graft.private.git.base")
+  }
+
   test("bad revision fails loudly") {
     val repo = mkPackageRepo()
     assertThrows[IllegalArgumentException](
