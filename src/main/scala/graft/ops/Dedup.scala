@@ -1,7 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.slf4j.LoggerFactory
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -21,24 +26,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Single-split inputs starve signature compute of parallelism, so by
-    * default the corpus is repartitioned to 2×parallelism. The repartition
-    * alone is NOT enough: the ColumnPruning rule pushes deterministic
-    * projections below the exchange, putting the expensive expressions back
-    * on the single input split — the cache() boundary (InMemoryRelation is
-    * a leaf) pins the downstream compute above the exchange.
+  private val log = LoggerFactory.getLogger("graft.ops.Dedup")
+
+  /** Single-split inputs starve signature compute of parallelism, so in
+    * LOCAL mode the corpus is repartitioned to 2×parallelism. The
+    * repartition alone is NOT enough: the ColumnPruning rule pushes
+    * deterministic projections below the exchange, putting the expensive
+    * expressions back on the single input split — the cache() boundary
+    * (InMemoryRelation is a leaf) pins the downstream compute above the
+    * exchange.
     *
-    * This is a SMALL-INPUT crutch: at cluster scale the parallelism comes
-    * from the input splits themselves and caching the corpus is not a
-    * 100 TB plan — set `spark.graft.spreadInput=false` there to make this
-    * a no-op (scans stay streaming, no materialization).
+    * This is a SMALL-INPUT crutch, so the DEFAULT follows the master: in
+    * `local[*]` runs it is on (single parquet files arrive as one split);
+    * on a real cluster it is OFF automatically — parallelism comes from
+    * the input splits themselves and caching a 100 TB corpus is not a
+    * plan. `spark.graft.spreadInput` overrides either way.
     *
     * Callers must PROJECT before spreading: the cache boundary is a leaf
     * Catalyst cannot prune columns through, so spread(df.select(needed))
     * keeps both the parquet ReadSchema and the cached footprint narrow. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.conf.get("spark.graft.spreadInput", "true").toBoolean) df
+    val dflt = spark.sparkContext.isLocal.toString
+    if (!spark.conf.get("spark.graft.spreadInput", dflt).toBoolean) df
     else {
       val target = spark.sparkContext.defaultParallelism * 2
       df.repartition(target).cache()
@@ -49,14 +59,16 @@ object Dedup {
     * signatures, so caching them halves the compute on a single box. Like
     * [[spread]], materializing the corpus is not a 100 TB plan — controlled
     * by `spark.graft.cacheSignatures`, which DEFAULTS to the
-    * `spark.graft.spreadInput` value (one knob disables both crutches) but
-    * can be set independently: a cluster job may want streaming scans
+    * `spark.graft.spreadInput` value (itself defaulting to "is this a
+    * local master", so cluster runs get streaming scans automatically)
+    * but can be set independently: a cluster job may want streaming scans
     * (spreadInput=false) while still caching the — much narrower —
     * signature projection (cacheSignatures=true). */
   private[graft] def maybeCache(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
-    val dflt = conf.get("spark.graft.spreadInput", "true")
-    if (!conf.get("spark.graft.cacheSignatures", dflt).toBoolean) df
+    val spark = df.sparkSession
+    val dflt = spark.conf.get("spark.graft.spreadInput",
+      spark.sparkContext.isLocal.toString)
+    if (!spark.conf.get("spark.graft.cacheSignatures", dflt).toBoolean) df
     else df.cache()
   }
 
@@ -66,28 +78,51 @@ object Dedup {
     * self-join quadratic in that cluster's size — the same skew vector
     * the shingle-df cap closes for the exact paths. Buckets past
     * `spark.graft.maxBandBucket` (default 100000 — far above anything a
-    * healthy corpus produces per 64-bit band key) are dropped before the
-    * join. Oversized buckets are exact-duplicate clusters in disguise:
-    * run [[exact]] dedup FIRST (the standard pipeline order) and they
-    * never form.
+    * healthy corpus produces per 64-bit band key) are dropped before
+    * pairing. Oversized buckets are usually exact-duplicate clusters in
+    * disguise: run [[exact]] dedup FIRST (the standard pipeline order)
+    * and they rarely form.
     *
-    * Mechanism: candidate pairs come from ONE shuffle — group rows by
-    * bucket key, collect each bucket's ids, emit its ordered pairs with
-    * a nested array transform — instead of a two-sided self-join (which
-    * shuffles the rows twice and would need a second counting pass to
-    * guard). The cap is then a free `size(ids)` filter on the
-    * already-materialized bucket. Memory note: a bucket materializes as
-    * one array (8 B/id) inside the aggregate before the cap filter can
-    * drop it, so a pathological bucket of 10⁸ identical docs would
-    * pressure an executor — exactly the corpus state exact-dedup-first
-    * removes. `cap` ≤ 0 disables the guard, never the pattern. */
+    * Mechanism: candidate pairs come from ONE shuffle over the data —
+    * group rows by bucket key, collect each bucket's ids, emit its
+    * ordered pairs with a nested array transform — instead of a
+    * two-sided self-join (which shuffles the rows twice). The cap is
+    * enforced by a PRE-PASS, not a post-filter: a narrow count-per-key
+    * aggregation finds over-cap keys (partial aggregation makes this
+    * map-side cheap — the shuffle carries key+count, nothing else) and
+    * the rows anti-join against that — by construction tiny — hot-key
+    * set before `collect_list` ever runs, so an oversized bucket NEVER
+    * materializes as an array in an aggregation buffer: memory stays
+    * bounded even on a corpus with a 10⁸-row mega-cluster. The hot-key
+    * side is always broadcast (it is capped at total/cap keys and in
+    * practice near-empty).
+    *
+    * Observability: dropping a bucket silently loses near-dup recall for
+    * the docs inside it, so the guard attaches an `observe` metric to
+    * the hot-key stream and a session-wide [[QueryExecutionListener]]
+    * logs a WARN with the dropped-bucket count and the worst bucket's
+    * size whenever the guard filtered anything — no extra Spark job, the
+    * metric rides the main query. `cap` ≤ 0 disables the guard, never
+    * the pattern. */
   private[graft] def bucketPairs(rows: DataFrame, keyCols: Seq[String],
       cap: Int): DataFrame = {
-    val small =
-      if (cap <= 0) lit(true) else size(col("__ids")) <= cap
-    rows.groupBy(keyCols.map(col): _*)
+    val pruned =
+      if (cap <= 0) rows
+      else {
+        registerGuardListener(rows.sparkSession)
+        val hot = rows.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > cap)
+          .observe(s"graft_bucket_guard_${guardSeq.incrementAndGet()}" +
+              s"_cap${cap}_${keyCols.mkString("_")}",
+            count(lit(1)).as("dropped_buckets"),
+            max(col("__n")).as("largest_bucket"))
+          .select(keyCols.map(col): _*)
+        rows.join(broadcast(hot), keyCols, "left_anti")
+      }
+    pruned.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("__ids"))
-      .filter(size(col("__ids")) >= 2 && small)
+      .filter(size(col("__ids")) >= 2)
       .select(explode(expr(
         """flatten(transform(__ids, (x, i) ->
           |  transform(slice(__ids, i + 2, size(__ids)),
@@ -96,6 +131,37 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Unique observe-metric names: Catalyst rejects duplicate
+    * CollectMetrics names within one query, and a composed pipeline can
+    * route several near-dup ops into a single plan. */
+  private val guardSeq = new AtomicInteger(0)
+
+  /** Sessions that already carry the guard listener (weak keys — a
+    * retired session must not be pinned by the guard). */
+  private val guardListenerSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  private def registerGuardListener(spark: SparkSession): Unit =
+    if (guardListenerSessions.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_bucket_guard") &&
+                row.getAs[Long]("dropped_buckets") > 0L)
+              log.warn(s"$name: dropped ${row.getAs[Long]("dropped_buckets")} " +
+                s"oversized bucket(s), largest ${row.getAs[Long]("largest_bucket")} " +
+                "rows — candidate pairs inside them are NOT emitted (silent " +
+                "near-dup recall loss). Run exact dedup first, or raise " +
+                "spark.graft.maxBandBucket / spark.graft.maxShingleDf.")
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
 
   private[graft] def maxBandBucket(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.graft.maxBandBucket", "100000").toInt
@@ -310,11 +376,16 @@ object Dedup {
     * to drop shingles whose document frequency exceeds a cap before
     * pairing — a shingle shared by thousands of documents carries no
     * near-dup signal anyway. Candidates come from the one-shuffle
-    * [[bucketPairs]] aggregate keyed on the shingle, where the cap
-    * (`spark.graft.maxShingleDf`, default 1000; ≤ 0 disables) is a free
-    * size filter. Pairs that share ONLY above-cap shingles are not
-    * candidates — at a Jaccard/containment threshold worth verifying,
-    * real near-dups share many shingles, almost all below any sane cap. */
+    * [[bucketPairs]] aggregate keyed on the shingle; the cap
+    * (`spark.graft.maxShingleDf`, default 1000; ≤ 0 disables) is
+    * enforced by bucketPairs' bounded-memory pre-pass, and any drop is
+    * logged WARN with the dropped-shingle count (see bucketPairs —
+    * recall loss is observable, never silent). Pairs that share ONLY
+    * above-cap shingles are not candidates — at a Jaccard/containment
+    * threshold worth verifying, real near-dups share many shingles,
+    * almost all below any sane cap; but note a boilerplate cluster of
+    * >cap NEAR-identical (not byte-identical) docs has every shingle
+    * above cap, which is exactly the case the WARN surfaces. */
   private[graft] def shingleCandidates(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     import graft.expressions.PipelineExpressions._
