@@ -177,19 +177,37 @@ object Filters {
       case "format" => keyOf(value).format(args: _*)
       case "safe" => value // no auto-escaping in this engine: identity
       case "dictsort" => value match {
-        // map → sorted [key, value] pairs; by="value", case_sensitive,
-        // reverse kwargs (filters.rs:444-480)
+        // map → sorted [key, value] pairs; Jinja signature is
+        // dictsort(case_sensitive=false, by='key', reverse=false), so
+        // positional 0 is case_sensitive and positional 1 is by
+        // (filters.rs:444-480); numeric values sort numerically, matching
+        // minijinja's typed value ordering (10 after 2, not before)
         case m: Map[_, _] =>
+          val caseSensitive = Jinja.truthy(kwargs.getOrElse("case_sensitive",
+            args.headOption.getOrElse(false)))
           val byValue = kwargs.get("by").map(keyOf)
-            .orElse(args.headOption.map(keyOf)).contains("value")
-          val caseSensitive = Jinja.truthy(kwargs.getOrElse("case_sensitive", false))
+            .orElse(args.lift(1).map(keyOf)).contains("value")
           val rev = Jinja.truthy(kwargs.getOrElse("reverse", false))
-          def sortKey(v: Any): String = {
-            val s = keyOf(v)
-            if (caseSensitive) s else s.toLowerCase
+          def toNum(v: Any): Option[Double] = v match {
+            case n: Byte => Some(n.toDouble)
+            case n: Short => Some(n.toDouble)
+            case n: Int => Some(n.toDouble)
+            case n: Long => Some(n.toDouble)
+            case n: Float => Some(n.toDouble)
+            case n: Double => Some(n)
+            case n: BigDecimal => Some(n.toDouble)
+            case n: java.math.BigDecimal => Some(n.doubleValue)
+            case _ => None
+          }
+          def cmpVals(a: Any, b: Any): Int = (toNum(a), toNum(b)) match {
+            case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+            case _ =>
+              val (s, t) = (keyOf(a), keyOf(b))
+              if (caseSensitive) s.compareTo(t) else s.compareToIgnoreCase(t)
           }
           val sorted = m.asInstanceOf[Map[String, Any]].toVector
-            .sortBy { case (k, v) => sortKey(if (byValue) v else k) }
+            .sortWith { case ((ka, va), (kb, vb)) =>
+              cmpVals(if (byValue) va else ka, if (byValue) vb else kb) < 0 }
             .map { case (k, v) => Vector[Any](k, v) }
           if (rev) sorted.reverse else sorted
         case other => throw JinjaError(s"dictsort on non-mapping: $other")

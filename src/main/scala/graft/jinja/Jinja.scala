@@ -491,7 +491,13 @@ object Jinja {
           kwargs.get("caller").foreach(c.set("caller", _))
           val inner = new StringBuilder
           try { exec(body, c, inner); inner.toString }
-          catch { case ReturnValue(v) => v } // {{ return(v) }} short-circuit
+          catch {
+            case ReturnValue(v) => v // {{ return(v) }} short-circuit
+            // loop controls are bounded by the macro: a {% break %} in a
+            // macro body must not escape into a CALLER's for loop
+            case BreakSignal | ContinueSignal =>
+              throw JinjaError("break/continue outside of a for loop")
+          }
         })
     }
 

@@ -150,16 +150,51 @@ object ProjectLoader {
 
   /** major.minor.patch[-prerelease]; release outranks its prereleases
     * (semver.rs ordering). */
-  private def semverKey(v: String): (Long, Long, Long, Boolean, String) = {
+  private def semverKey(v: String): (Long, Long, Long, Option[String]) = {
     val m = raw"(\d+)\.(\d+)\.(\d+)(?:-([0-9A-Za-z.-]+))?.*".r
     v match {
-      case m(a, b, c, pre) =>
-        (a.toLong, b.toLong, c.toLong, pre == null, Option(pre).getOrElse(""))
+      case m(a, b, c, pre) => (a.toLong, b.toLong, c.toLong, Option(pre))
       case _ => throw new IllegalArgumentException(s"bad semver: $v")
     }
   }
 
-  private val semverOrdering: Ordering[String] = Ordering.by(semverKey)
+  /** Semver §11 prerelease precedence: compare dot-separated identifiers
+    * left to right — both numeric → numeric compare (rc.10 > rc.2),
+    * numeric < alphanumeric, otherwise ASCII compare; a shorter
+    * identifier list precedes a longer one with an equal prefix. */
+  private def cmpPrerelease(p: String, q: String): Int = {
+    val ps = p.split('.'); val qs = q.split('.')
+    var i = 0
+    while (i < math.min(ps.length, qs.length)) {
+      val (a, b) = (ps(i), qs(i))
+      val an = a.nonEmpty && a.forall(_.isDigit)
+      val bn = b.nonEmpty && b.forall(_.isDigit)
+      val c =
+        if (an && bn) java.lang.Long.compare(a.toLong, b.toLong)
+        else if (an) -1
+        else if (bn) 1
+        else a.compareTo(b)
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(ps.length, qs.length)
+  }
+
+  private val semverOrdering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val (xa, xb, xc, xp) = semverKey(x); val (ya, yb, yc, yp) = semverKey(y)
+      var c = java.lang.Long.compare(xa, ya)
+      if (c == 0) c = java.lang.Long.compare(xb, yb)
+      if (c == 0) c = java.lang.Long.compare(xc, yc)
+      if (c != 0) c
+      else (xp, yp) match {
+        case (None, None) => 0
+        case (None, Some(_)) => 1 // release outranks its prereleases
+        case (Some(_), None) => -1
+        case (Some(p), Some(q)) => cmpPrerelease(p, q)
+      }
+    }
+  }
 
   private[graft] def semverMatches(v: String, spec: String): Boolean = {
     val m = raw"(>=|<=|>|<|=)?\s*(\S+)".r

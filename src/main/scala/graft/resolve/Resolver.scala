@@ -614,6 +614,16 @@ object Resolver {
             s"adapter (no submit_python_job): $path — port the model to SQL"))
       }
     }
+    // dbt errors on duplicate model names: a project holding both foo.sql
+    // and foo.py would otherwise collide on uniqueId and the later map
+    // entry would silently replace the SQL model
+    locally {
+      val sqlIds = modelNodes.map(_.uniqueId).toSet
+      val dups = pythonModelNodes.map(_.uniqueId).filter(sqlIds)
+      if (dups.nonEmpty) throw new IllegalArgumentException(
+        s"duplicate model name(s) — both a .sql and a .py file exist for: " +
+          dups.sorted.mkString(", "))
+    }
 
     val all0 = (modelNodes ++ pythonModelNodes ++ seedNodes ++ snapshotNodes ++
       testNodes ++ singularTestNodes ++ unitTestNodes ++ analysisNodes ++

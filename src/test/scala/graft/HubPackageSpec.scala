@@ -164,5 +164,13 @@ class HubPackageSpec extends AnyFunSuite {
     assert(ProjectLoader.semverMatches("1.10.0", ">1.9.0")) // numeric, not lexical
     assert(ProjectLoader.semverMatches("2.0.0-b1", "<2.0.0")) // prerelease < release
     assert(ProjectLoader.semverMatches("1.0.0", "1.0.0")) // bare spec = exact
+    // semver §11 prerelease precedence: dot-separated identifiers compare
+    // segment-wise — numeric segments numerically (rc.10 > rc.2)…
+    assert(ProjectLoader.semverMatches("1.0.0-rc.10", ">1.0.0-rc.2"))
+    assert(!ProjectLoader.semverMatches("1.0.0-rc.2", ">1.0.0-rc.10"))
+    // …numeric < alphanumeric, and a shorter list precedes a longer one
+    assert(ProjectLoader.semverMatches("1.0.0-1", "<1.0.0-alpha"))
+    assert(ProjectLoader.semverMatches("1.0.0-rc", "<1.0.0-rc.1"))
+    assert(ProjectLoader.semverMatches("1.0.0-alpha.1", "<1.0.0-alpha.beta"))
   }
 }

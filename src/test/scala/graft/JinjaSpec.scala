@@ -83,6 +83,17 @@ class JinjaSpec extends AnyFunSuite {
       == "[[\"A\", 1], [\"b\", 2]]")
     assert(r("{{ m | dictsort(by='value', reverse=true) | tojson }}",
       Map("m" -> Map("a" -> "x", "b" -> "w"))) == "[[\"a\", \"x\"], [\"b\", \"w\"]]")
+    // numeric values sort numerically (10 after 2, not lexically before)
+    assert(r("{{ m | dictsort(by='value') | tojson }}",
+      Map("m" -> Map("a" -> 10L, "b" -> 2L)))
+      == "[[\"b\", 2], [\"a\", 10]]")
+    // Jinja signature dictsort(case_sensitive, by): positional 0 is
+    // case_sensitive — uppercase sorts before lowercase when true
+    assert(r("{{ m | dictsort(true) | tojson }}",
+      Map("m" -> Map("b" -> 1L, "A" -> 2L, "a" -> 3L)))
+      == "[[\"A\", 2], [\"a\", 3], [\"b\", 1]]")
+    assert(r("{{ m | dictsort(false, 'value') | tojson }}",
+      Map("m" -> Map("a" -> "B", "b" -> "a"))) == "[[\"b\", \"a\"], [\"a\", \"B\"]]")
     // lines / attr / bool / is_list / d alias / safe passthrough
     assert(r("{{ s | lines | length }}", Map("s" -> "a\nb\nc")) == "3")
     assert(r("{{ m | attr('x') }}", Map("m" -> Map("x" -> "ok"))) == "ok")
@@ -113,6 +124,15 @@ class JinjaSpec extends AnyFunSuite {
       Map("ab" -> Vector("a", "b"))) == "ab")
     // outside a loop it is an error, not a silent no-op
     assertThrows[Jinja.JinjaError](r("{% break %}"))
+    // loop controls are bounded at the macro boundary: a {% break %} in a
+    // macro body must error, not silently break the CALLER's for loop
+    assertThrows[Jinja.JinjaError](r(
+      "{% macro m() %}{% break %}{% endmacro %}" +
+        "{% for i in ab %}{{ m() }}{{ i }}{% endfor %}",
+      Map("ab" -> Vector("a", "b"))))
+    // but a loop INSIDE the macro still handles its own controls
+    assert(r("{% macro m() %}{% for j in ab %}{% break %}x{% endfor %}ok{% endmacro %}" +
+      "{{ m() }}", Map("ab" -> Vector("a", "b"))) == "ok")
   }
 
   test("with and filter blocks") {

@@ -106,6 +106,25 @@ class RunOperationSpec extends AnyFunSuite {
     assert(ok.status == "success", ok.message)
   }
 
+  test("a model name claimed by both .sql and .py is a duplicate error") {
+    val proj = Files.createTempDirectory("graft_pydup")
+    write(proj, "dbt_project.yml",
+      """name: pydup
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/twin.sql", "select 1 as id")
+    write(proj, "models/twin.py", "def model(dbt, session):\n    return None\n")
+    val e = intercept[IllegalArgumentException] {
+      new graft.run.Runner(spark,
+        graft.project.ProjectLoader.load(proj.toString),
+        targetSchema = "g_pydup",
+        warehouseLocation =
+          Some(Files.createTempDirectory("graft_pydup_wh").toString)).resolved
+    }
+    assert(e.getMessage.contains("duplicate model name"), e.getMessage)
+    assert(e.getMessage.contains("model.pydup.twin"), e.getMessage)
+  }
+
   test("run-operation invokes a macro with adapter access and structured args") {
     val out = runner().runOperation("make_audit",
       Map("schema_name" -> "g_runop_audit", "rows" -> Vector(1L, 2L, 3L)))
