@@ -11,10 +11,10 @@ import java.nio.file.{Files, Paths}
   * crates/dbt-sa-cli/src/main.rs → execute_fs dbt_sa_lib.rs:45-72).
   *
   * Usage:
-  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs>
+  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs|sample>
   *     [--project-dir DIR] [--select SPEC] [--selector NAME]
   *     [--full-refresh] [--threads N] [--schema NAME] [--target-path DIR]
-  *     [--state DIR] [--defer]
+  *     [--state DIR] [--defer] [--sample PLAN.yml] [--sample-suffix SFX]
   */
 object Main {
 
@@ -52,7 +52,13 @@ object Main {
       eventTimeStart: Option[String] = None,
       eventTimeEnd: Option[String] = None,
       /** init: the new project's name/directory. */
-      initName: Option[String] = None)
+      initName: Option[String] = None,
+      /** --sample <plan.yml>: sampler plan — `sample` materializes the
+        * plan's entries; `run --sample` remaps source() onto them
+        * (reference crates/dbt-sample/src/plan.rs). */
+      samplePlan: Option[String] = None,
+      /** --sample-suffix: sampled-namespace schema suffix. */
+      sampleSuffix: String = "__sample")
 
   /** "yyyy-MM-dd" or "yyyy-MM-dd HH:mm:ss" → Timestamp, interpreted at
     * UTC — MicrobatchRunner truncates and windows batches at
@@ -79,6 +85,10 @@ object Main {
     // init <project_name>
     if (a.command == "init" && argv.length > 1 && !argv(1).startsWith("--")) {
       a = a.copy(initName = Some(argv(1))); i = 2
+    }
+    // sample <plan.yml>
+    if (a.command == "sample" && argv.length > 1 && !argv(1).startsWith("--")) {
+      a = a.copy(samplePlan = Some(argv(1))); i = 2
     }
     while (i < argv.length) {
       argv(i) match {
@@ -107,6 +117,9 @@ object Main {
           a = a.copy(eventTimeStart = Some(argv(i + 1))); i += 2
         case "--event-time-end" =>
           a = a.copy(eventTimeEnd = Some(argv(i + 1))); i += 2
+        case "--sample" => a = a.copy(samplePlan = Some(argv(i + 1))); i += 2
+        case "--sample-suffix" =>
+          a = a.copy(sampleSuffix = argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -157,13 +170,18 @@ object Main {
     // deps needs only the load (resolution happened in it) — handle it
     // before the Runner spins up a Spark-backed adapter
     if (args.command == "deps") return runDeps(project, args)
+    val plan = args.samplePlan.map(graft.sample.SamplerPlan.parseFile)
     val runner = new Runner(spark, project, args.schema,
       threads = args.threads, stateDir = args.state,
       deferManifest =
         if (args.defer) args.state.map(s => s"$s/manifest.json") else None,
       emptyMode = args.empty,
       eventTimeStart = args.eventTimeStart.map(parseTs),
-      eventTimeEnd = args.eventTimeEnd.map(parseTs))
+      eventTimeEnd = args.eventTimeEnd.map(parseTs),
+      // `sample` itself reads the ORIGINAL sources; only run/build/etc.
+      // remap source() onto the sampled namespace
+      samplePlan = if (args.command == "sample") None else plan,
+      sampleSuffix = args.sampleSuffix)
     val targetDir = Paths.get(args.projectDir, args.targetPath)
     Files.createDirectories(targetDir)
 
@@ -352,6 +370,23 @@ object Main {
         println(s"connection:    ${if (ok) "OK" else "FAILED"}")
         println(s"nodes parsed:  ${runner.resolved.nodes.size}")
         if (ok) 0 else 1
+
+      // graft sample <plan.yml>: materialize the plan's sampled slice
+      // into `<schema><suffix>` (reference: the dbt-sample crate's
+      // execute path, plan.rs:127-218)
+      case "sample" =>
+        plan match {
+          case None =>
+            System.err.println("usage: sample <plan.yml> [--sample-suffix SFX]")
+            2
+          case Some(p) =>
+            val written = runner.runSample(p, args.sampleSuffix)
+            written.foreach { case (src, fqn, rows) =>
+              println(f"sampled $src%-40s -> $fqn ($rows rows)")
+            }
+            println(s"sample '${p.name}': ${written.size} relations")
+            0
+        }
 
       case cmd @ ("run" | "test" | "seed" | "snapshot" | "build") =>
         // the runner slices the DAG to the kind+selector subset, preserving

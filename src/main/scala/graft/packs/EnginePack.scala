@@ -682,6 +682,81 @@ object EnginePack extends QueryPack {
         .toDF("case_name", "outcome").orderBy("case_name")
     }),
 
+    // --sample sampler plans (reference: crates/dbt-sample/src/plan.rs:13-131
+    // SamplerPlan/Keyset/Entry/Strategy; sample_renaming_map plan.rs:494-516):
+    // `graft sample` materializes a referentially-consistent slice of the
+    // sources (hash-sample customers once; take exactly THOSE customers'
+    // orders via a keyset semi-join), then the DAG runs with source() calls
+    // remapped onto the slice. The oracle recomputes the identical sample —
+    // the md5-derived bucketing is engine-independent by construction.
+    "q_engine_sample" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_sample")
+      write(proj, "dbt_project.yml",
+        """name: sampledemo
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    schema: g_sample_src
+           |    tables:
+           |      - name: customer
+           |        external:
+           |          location: "$dir/customer.parquet"
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/slice_revenue.sql",
+        """{{ config(materialized='table') }}
+          |select c.c_mktsegment as segment,
+          |       count(*) as n_orders,
+          |       cast(cast(sum(cast(o.o_totalprice as decimal(18,4))) as decimal(38,4)) as double) as revenue
+          |from {{ source('tpch', 'orders') }} o
+          |join {{ source('tpch', 'customer') }} c on o.o_custkey = c.c_custkey
+          |group by c.c_mktsegment
+          |""".stripMargin)
+      write(proj, "dev_slice.yml",
+        """version: 1
+          |name: dev_slice
+          |keysets:
+          |  cust:
+          |    cols: [c_custkey]
+          |    from:
+          |      root: src.tpch.customer
+          |      strategy: {type: hash, args: {by: c_custkey, mod: 20, keep: 3, seed: 7}}
+          |entries:
+          |  - select: src.tpch.customer
+          |    strategy: {type: hash, args: {by: c_custkey, mod: 20, keep: 3, seed: 7}}
+          |  - select: src.tpch.orders
+          |    strategy: {type: clone}
+          |    filters:
+          |      - use: cust
+          |        on: o_custkey -> c_custkey
+          |""".stripMargin)
+      val schema = "g_engine_sample"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      s.sql("DROP DATABASE IF EXISTS `g_sample_src__sample` CASCADE")
+      val loc = Files.createTempDirectory("graft_sample_wh").toString
+      val plan = graft.sample.SamplerPlan.parseFile(
+        proj.resolve("dev_slice.yml").toString)
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc),
+        samplePlan = Some(plan))
+      // `graft sample`: materialize the slice (reads ORIGINAL sources) …
+      val written = runner.runSample(plan)
+      if (written.size != 2) throw new IllegalStateException(
+        s"expected 2 sampled relations, got $written")
+      // … then `run --sample`: the DAG executes against the slice
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "slice_revenue"))
+        .orderBy("segment")
+    }),
+
     "q_engine_hooks" -> ((s, dir) => {
       val proj = Files.createTempDirectory("graft_hooks")
       write(proj, "dbt_project.yml",
@@ -799,6 +874,18 @@ object EnginePack extends QueryPack {
         |UNION ALL
         |SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
         |ORDER BY id, v""".stripMargin,
+
+    "q_engine_sample" ->
+      """WITH cust AS (
+        |  SELECT * FROM customer
+        |  WHERE ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#7'), 1, 12))::BIGINT % 20 < 3),
+        |ord AS (
+        |  SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM cust))
+        |SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM ord o JOIN cust c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY segment""".stripMargin,
 
     "q_engine_access" ->
       """SELECT case_name, outcome FROM (VALUES

@@ -50,10 +50,21 @@ final class Runner(
       * resume-from-target logic, reprocessing exactly these batches. */
     eventTimeStart: Option[java.sql.Timestamp] = None,
     eventTimeEnd: Option[java.sql.Timestamp] = None,
+    /** --sample: a sampler plan (reference crates/dbt-sample/src/plan.rs)
+      * — source() calls to non-Pass entries remap to the sampled
+      * relations in `<schema><sampleSuffix>`, so the whole DAG runs
+      * against the dev slice with zero model changes
+      * (plan.rs:494-516 sample_renaming_map). */
+    samplePlan: Option[graft.sample.SamplerPlan.Plan] = None,
+    sampleSuffix: String = "__sample",
     now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())) {
 
   val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
   val resolved: Resolver.Resolved = Resolver.resolve(project, targetSchema)
+  /** Source map after --sample remapping (identity without a plan). */
+  private val effectiveSources: Map[String, Map[String, Relation]] =
+    samplePlan.map(p => graft.sample.Sampler.remapSources(
+      resolved.sources, p, sampleSuffix)).getOrElse(resolved.sources)
   val graph: Dag.Graph = Dag.fromNodes(resolved.nodes)
   /** Packages render first, root project last — so a root macro definition
     * overwrites a package's on name collision, dbt's MacroLocality
@@ -149,7 +160,7 @@ final class Runner(
     }
     def resolveSource(src: String, tbl: String): String = {
       forUnitTest.get(s"$src.$tbl").foreach(fixture => return fixture)
-      val base = resolved.sources.get(src).flatMap(_.get(tbl)) match {
+      val base = effectiveSources.get(src).flatMap(_.get(tbl)) match {
         case Some(rel) if rel.relType == RelationType.External &&
             rel.identifier.contains("/") =>
           // external location → direct parquet scan
@@ -391,6 +402,53 @@ final class Runner(
           .getOrElse(-1.0),
         "message" -> r.left.toOption.orNull)
       })))
+
+  /** `graft sample` — materialize a sampler plan's entries into the
+    * parallel `<schema><suffix>` namespace (reference:
+    * crates/dbt-sample/src/plan.rs:127-218 execute; SamplerRel write_as
+    * plan.rs:485-491). Keysets build first (they are the shared sample
+    * keys), then every non-Pass entry is keyset-filtered, strategy-sampled
+    * and written as a table. A later `run --sample <plan>` remaps
+    * source() calls onto these relations. Returns
+    * (source.table, written fqn, rows). */
+  def runSample(plan: graft.sample.SamplerPlan.Plan,
+      suffix: String = "__sample"): Seq[(String, String, Long)] = {
+    import graft.sample.{Sampler, SamplerPlan}
+    def readRel(rel: Relation): org.apache.spark.sql.DataFrame = rel match {
+      case r if r.relType == RelationType.External && r.identifier.contains("/") =>
+        spark.read.parquet(r.identifier)
+      case r => adapter.read(r)
+    }
+    def readSelect(sel: String): org.apache.spark.sql.DataFrame = {
+      val Array(_, src, tbl) = sel.split("\\.", 3)
+      val rel = resolved.sources.get(src).flatMap(_.get(tbl)).getOrElse(
+        throw new IllegalStateException(s"sample plan references unknown source $sel"))
+      readRel(rel)
+    }
+    def readSeed(name: String): org.apache.spark.sql.DataFrame =
+      resolved.nodes.values.find(n => n.kind == NodeKind.Seed && n.name == name) match {
+        case Some(n) if n.relation.exists(adapter.relationExists) =>
+          adapter.read(n.relation.get)
+        case Some(n) => // seed not built yet — load its CSV directly
+          SeedMat.load(spark, n.path, n.config)
+        case None => throw new IllegalStateException(
+          s"sample plan keyset references unknown seed '$name'")
+      }
+    val keysetDfs: Map[String, org.apache.spark.sql.DataFrame] =
+      plan.keysets.map { case (k, ks) =>
+        k -> Sampler.keysetDf(ks, readSeed, readSelect)
+      }
+    plan.entries.filter(_.strategy != SamplerPlan.Strategy.Pass).flatMap { e =>
+      Sampler.expandSelect(e.select, resolved.sources).map { case (src, tbl) =>
+        val readFrom = resolved.sources(src)(tbl)
+        val sampled = Sampler.applyEntry(readRel(readFrom), e, keysetDfs)
+        val target = Sampler.writeRel(readFrom, tbl, suffix)
+        adapter.createSchema(target.schema)
+        adapter.writeTableAtomic(sampled, target)
+        (s"$src.$tbl", target.fqn, adapter.read(target).count())
+      }
+    }
+  }
 
   /** apply_grants shim (reference MA/adapters/apply_grants.sql;
     * spark__get_grant_sql in dbt-spark/macros/apply_grants.sql): the
