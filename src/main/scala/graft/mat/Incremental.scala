@@ -221,6 +221,11 @@ object IncrementalMat extends Materialization {
       if (cfg.mergeUpdateColumns.nonEmpty) cfg.mergeUpdateColumns
       else cols.filterNot(cfg.mergeExcludeColumns.contains).filterNot(cfg.uniqueKey.contains)
 
+    // Delta target ⇒ native MERGE INTO (file-level rewrite only); absent
+    // Delta — this image — falls through to the relational rewrite below.
+    if (graft.adapter.DeltaSupport.nativeMerge(adapter.spark, target, source,
+        cfg.uniqueKey, updateCols, cfg.incrementalPredicates)) return
+
     // Partitioned target: restrict the whole merge to touched partitions —
     // untouched partitions are never read or rewritten (the 100 TB path).
     val touched = touchedPartitionTuples(adapter, target, source, cfg)

@@ -165,14 +165,19 @@ object EphemeralMat extends Materialization {
     MatResult(ctx.target.withType(RelationType.Cte), "success", "ephemeral: inlined as CTE")
 }
 
-/** clone: no zero-copy on plain parquet, so fall back to the reference's
-  * view-of-target path (MA/materializations/models/clone/clone.sql:50-60
-  * "create_or_replace_view relation as select * from defer_relation"). */
+/** clone: zero-copy `SHALLOW CLONE` when the source is a Delta table
+  * (MA/materializations/models/clone/clone.sql can_clone_table branch);
+  * on plain parquet fall back to the reference's view-of-target path
+  * (clone.sql:50-60 "create_or_replace_view relation as select * from
+  * defer_relation"). */
 object CloneMat extends Materialization {
   val name = "clone"
   def run(ctx: MatContext): MatResult = {
     val src = ctx.node.relation.getOrElse(
       throw new IllegalArgumentException("clone requires a source relation"))
+    if (graft.adapter.DeltaSupport.shallowClone(ctx.adapter.spark, src, ctx.target))
+      return MatResult(ctx.target, "success",
+        s"cloned ${src.fqn} via SHALLOW CLONE (zero-copy)")
     ctx.adapter.createView(ctx.target.withType(RelationType.View),
       s"SELECT * FROM ${src.fqn}")
     MatResult(ctx.target.withType(RelationType.View), "success",
