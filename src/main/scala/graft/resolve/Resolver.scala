@@ -597,21 +597,40 @@ object Resolver {
     val metricNodes = declaredNodes("metrics", NodeKind.Metric)
     val semanticModelNodes = declaredNodes("semantic_models", NodeKind.SemanticModel)
 
-    // Python models: the engine has no submit_python_job (reference
-    // funcs.rs:107) — each .py file becomes a model node carrying a
-    // parseError, so `dbt run` reports a structured per-node error in
-    // run_results instead of silently ignoring the file.
+    // Python models (reference funcs.rs:107 submit_python_job +
+    // python_ast ref/source extraction): dbt.ref()/dbt.source() call
+    // sites are harvested statically so the node takes its place in the
+    // DAG like any SQL model. Execution goes through the PythonJob
+    // bridge when an interpreter is configured
+    // (spark.graft.pythonInterpreter / GRAFT_PYTHON); otherwise the node
+    // reports a structured per-node error in run_results at run time.
+    val pyRefRe = raw"""dbt\s*\.\s*ref\(\s*['"]([^'"]+)['"]\s*\)""".r
+    val pySrcRe =
+      raw"""dbt\s*\.\s*source\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)""".r
     val pythonModelNodes = projects.flatMap { proj =>
       proj.pythonModels.map { case (name, path) =>
+        val src =
+          try java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+          catch { case _: Exception => "" }
+        val refs = pyRefRe.findAllMatchIn(src).map(_.group(1)).toSeq.distinct
+        val srcs = pySrcRe.findAllMatchIn(src)
+          .map(m => (m.group(1), m.group(2))).toSeq.distinct
         Node(
           uniqueId = s"model.${proj.name}.$name",
           name = name,
           packageName = proj.name,
           kind = NodeKind.Model,
+          rawSql = src,
           path = path,
+          // python models materialize as tables (dbt: python supports
+          // table/incremental only; view is impossible — there's no SQL)
+          config = NodeConfig(materialized = "table",
+            extra = Map("language" -> "python")),
+          dependsOn =
+            refs.map(n => protoResolved.refUniqueId(proj.name, None, n, None)) ++
+              srcs.map { case (s, t) => s"source.$s.$t" },
           relation = Some(Relation(targetSchema, name)),
-          parseError = Some(s"Python models are not supported by this " +
-            s"adapter (no submit_python_job): $path — port the model to SQL"))
+          checksum = graft.jinja.Json.md5(src))
       }
     }
     // dbt errors on duplicate model names: a project holding both foo.sql

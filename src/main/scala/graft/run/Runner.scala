@@ -203,8 +203,13 @@ final class Runner(
     val t0 = System.nanoTime()
     def done(status: String, msg: String = "") =
       NodeResult(node.uniqueId, status, msg, (System.nanoTime() - t0) / 1000000)
-    // nodes that failed at parse (e.g. Python models) error without executing
+    // nodes that failed at parse error without executing
     node.parseError.foreach(msg => return done("error", msg))
+    // python models route through the submit_python_job bridge (or error
+    // structurally when no interpreter is configured)
+    if (node.kind == NodeKind.Model &&
+        node.config.extra.get("language").contains("python"))
+      return runPythonNode(node, done)
     Try {
       node.config.preHook.foreach(h => adapter.execute(renderHook(h, node), fetch = false))
       val r = node.kind match {
@@ -402,6 +407,50 @@ final class Runner(
           .getOrElse(-1.0),
         "message" -> r.left.toOption.orNull)
       })))
+
+  /** Python model execution (reference funcs.rs:107 submit_python_job):
+    * with an interpreter configured (`spark.graft.pythonInterpreter` conf
+    * or `GRAFT_PYTHON` env) the node runs through [[PythonJob]]; without
+    * one it reports the structured "no submit_python_job" error dbt users
+    * expect from an adapter that cannot run python. */
+  private def runPythonNode(node: Node,
+      done: (String, String) => NodeResult): NodeResult = {
+    val interpreter = spark.conf.getOption("spark.graft.pythonInterpreter")
+      .filter(_.nonEmpty).orElse(sys.env.get("GRAFT_PYTHON").filter(_.nonEmpty))
+    interpreter match {
+      case None => done("error",
+        s"Python models are not supported without an interpreter " +
+          s"(no submit_python_job): ${node.path} — set " +
+          s"spark.graft.pythonInterpreter or GRAFT_PYTHON, or port the model to SQL")
+      case Some(py) =>
+        Try {
+          val inputs: Map[String, (org.apache.spark.sql.DataFrame, String)] =
+            node.dependsOn.map {
+              case uid if uid.startsWith("source.") =>
+                val Array(_, s, t) = uid.split("\\.", 3)
+                val rel = effectiveSources(s)(t)
+                val (df, loc) = rel match {
+                  case r if r.relType == RelationType.External &&
+                      r.identifier.contains("/") =>
+                    (spark.read.parquet(r.identifier), r.identifier)
+                  case r => (adapter.read(r), r.fqn)
+                }
+                s"$s.$t" -> (df, loc)
+              case uid =>
+                val n = resolved.nodes(uid)
+                val rel = n.relation.getOrElse(throw new IllegalStateException(
+                  s"python model ${node.name} refs relation-less node $uid"))
+                n.name -> (adapter.read(rel), rel.fqn)
+            }.toMap
+          PythonJob.run(spark, adapter, node, inputs, node.relation.get, py)
+        } match {
+          case Success(r) if r.success => done("success", r.message)
+          case Success(r) => done("error", r.message)
+          case Failure(e) => done("error",
+            s"python model ${node.name}: ${e.getMessage}")
+        }
+    }
+  }
 
   /** `graft sample` — materialize a sampler plan's entries into the
     * parallel `<schema><suffix>` namespace (reference:
