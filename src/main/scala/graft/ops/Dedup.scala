@@ -83,52 +83,105 @@ object Dedup {
     * disguise: run [[exact]] dedup FIRST (the standard pipeline order)
     * and they rarely form.
     *
-    * Mechanism: candidate pairs come from ONE shuffle over the data —
-    * group rows by bucket key, collect each bucket's ids, emit its
-    * ordered pairs with a nested array transform — instead of a
-    * two-sided self-join (which shuffles the rows twice). The cap is
-    * enforced by a PRE-PASS, not a post-filter: a narrow count-per-key
-    * aggregation finds over-cap keys (partial aggregation makes this
-    * map-side cheap — the shuffle carries key+count, nothing else) and
-    * the rows anti-join against that — by construction tiny — hot-key
-    * set before `collect_list` ever runs, so an oversized bucket NEVER
-    * materializes as an array in an aggregation buffer: memory stays
-    * bounded even on a corpus with a 10⁸-row mega-cluster. The hot-key
-    * side is always broadcast (it is capped at total/cap keys and in
-    * practice near-empty).
+    * Mechanism: candidate pairs come from ONE shuffle and ONE pass over
+    * the data — repartition on the bucket key, sort within partitions
+    * (external sort: spills, never OOMs), and stream each key run
+    * through a bounded emitter that buffers at most cap+1 ids. A run
+    * that exceeds the cap stops buffering (the buffer is released),
+    * keeps counting, and emits a single SENTINEL row carrying the
+    * bucket's size; a run within the cap lazily yields its C(n,2)
+    * ordered pairs without ever materializing them. Memory is O(cap)
+    * per bucket regardless of input skew — a 10⁸-row mega-cluster costs
+    * a straggling (narrow-row) sort partition, never an executor OOM.
+    * An earlier two-pass variant (count-per-key pre-pass, broadcast
+    * anti-join, then `collect_list`) had the same memory bound but paid
+    * a second full pass over the banded rows — measured 2-4× slower at
+    * sf0.1 — and `collect_list` itself falls back to sort-based
+    * aggregation past 128 distinct keys anyway, so the sort is not an
+    * added cost. For corpora known to hold mega-clusters where even
+    * shuffling the hot rows is unwanted, `spark.graft.bucketGuardPrepass
+    * =true` re-enables the anti-join pre-pass (drops hot keys map-side,
+    * before the shuffle) in front of the streaming emitter.
     *
     * Observability: dropping a bucket silently loses near-dup recall for
-    * the docs inside it, so the guard attaches an `observe` metric to
-    * the hot-key stream and a session-wide [[QueryExecutionListener]]
-    * logs a WARN with the dropped-bucket count and the worst bucket's
-    * size whenever the guard filtered anything — no extra Spark job, the
-    * metric rides the main query. `cap` ≤ 0 disables the guard, never
-    * the pattern. */
+    * the docs inside it, so the sentinel rows feed an `observe` metric
+    * and a session-wide [[QueryExecutionListener]] logs a WARN with the
+    * dropped-bucket count and the worst bucket's size whenever the guard
+    * filtered anything — no extra Spark job, the metric rides the main
+    * query. `cap` ≤ 0 disables the guard, never the pattern. */
   private[graft] def bucketPairs(rows: DataFrame, keyCols: Seq[String],
       cap: Int): DataFrame = {
-    val pruned =
-      if (cap <= 0) rows
-      else {
-        registerGuardListener(rows.sparkSession)
-        val hot = rows.groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > cap)
-          .observe(s"graft_bucket_guard_${guardSeq.incrementAndGet()}" +
-              s"_cap${cap}_${keyCols.mkString("_")}",
-            count(lit(1)).as("dropped_buckets"),
-            max(col("__n")).as("largest_bucket"))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = rows.sparkSession
+    val keyN = keyCols.length
+    val proj = rows.select(keyCols.map(col) :+ col("id"): _*)
+    val idType = proj.schema.last.dataType
+    val prepass = spark.conf.get("spark.graft.bucketGuardPrepass", "false").toBoolean
+    val input =
+      if (cap <= 0 || !prepass) proj
+      else { // optional pre-shuffle drop of hot keys (see scaladoc)
+        val hot = proj.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
           .select(keyCols.map(col): _*)
-        rows.join(broadcast(hot), keyCols, "left_anti")
+        proj.join(broadcast(hot), keyCols, "left_anti")
       }
-    pruned.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col("id")).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(__ids, (x, i) ->
-          |  transform(slice(__ids, i + 2, size(__ids)),
-          |    y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType, nullable = true),
+      StructField("id_b", idType, nullable = true),
+      StructField("__dropped", LongType, nullable = true)))
+    val emitted = input
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+      .mapPartitions { it =>
+        val bit = it.buffered
+        new Iterator[org.apache.spark.sql.Row] {
+          private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+          private def cmp(a: Any, b: Any): Int =
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+          private def advance(): Unit =
+            while (!pending.hasNext && bit.hasNext) {
+              val first = bit.next()
+              val buf = scala.collection.mutable.ArrayBuffer[Any](first.get(keyN))
+              var n = 1L
+              var overflow = false
+              def same(r: org.apache.spark.sql.Row): Boolean = {
+                var i = 0
+                while (i < keyN) { if (r.get(i) != first.get(i)) return false; i += 1 }
+                true
+              }
+              while (bit.hasNext && same(bit.head)) {
+                val r = bit.next(); n += 1
+                if (!overflow) {
+                  buf += r.get(keyN)
+                  if (cap > 0 && buf.length > cap) { overflow = true; buf.clear() }
+                }
+              }
+              pending =
+                if (overflow)
+                  Iterator.single(org.apache.spark.sql.Row(null, null, n))
+                else if (buf.length < 2) Iterator.empty
+                else {
+                  val ids = buf.sortWith(cmp(_, _) < 0)
+                  ids.indices.iterator.flatMap(i =>
+                    (i + 1 until ids.length).iterator.map(j =>
+                      org.apache.spark.sql.Row(ids(i), ids(j), null)))
+                }
+            }
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): org.apache.spark.sql.Row = { advance(); pending.next() }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    val observed =
+      if (cap <= 0) emitted
+      else {
+        registerGuardListener(spark)
+        emitted.observe(s"graft_bucket_guard_${guardSeq.incrementAndGet()}" +
+            s"_cap${cap}_${keyCols.mkString("_")}",
+          count(when(col("id_a").isNull, lit(1))).as("dropped_buckets"),
+          max(col("__dropped")).as("largest_bucket"))
+      }
+    observed.filter(col("id_a").isNotNull)
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

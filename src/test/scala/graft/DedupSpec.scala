@@ -230,17 +230,17 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.maxBandBucket")
   }
 
-  test("bucket guard is a pre-pass anti-join, not a post-collect filter") {
+  test("bucket guard streams bounded runs — no unbounded collect, drops observable") {
     import spark.implicits._
     val rows = (0 until 20).map(i => (i.toLong, i % 3)).toDF("id", "k")
-    // cap 6: k=0,1 (7 rows each) are hot and anti-joined out BEFORE
-    // collect_list — no oversized array ever materializes in an
-    // aggregation buffer; k=2 (6 rows) survives with C(6,2)=15 pairs
+    // cap 6: k=0,1 (7 rows each) overflow the cap-bounded buffer and emit
+    // only a sentinel; k=2 (6 rows) survives with C(6,2)=15 pairs. No
+    // collect_list aggregate anywhere — memory is O(cap) by construction.
     val capped = Dedup.bucketPairs(rows, Seq("k"), 6)
     assert(capped.count() == 15)
     val plan = capped.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"), s"expected pre-pass anti-join in:\n$plan")
-    assert(!plan.contains("<= 6"), "cap must not be a post-collect size filter")
+    assert(!plan.toLowerCase.contains("collect_list"),
+      s"bucket arrays must never materialize in an aggregation buffer:\n$plan")
     assert(plan.contains("CollectMetrics graft_bucket_guard"),
       "dropped buckets must be observable")
     // every key hot (cap 5) → nothing survives; cap 0 disables
@@ -248,6 +248,15 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.bucketPairs(rows, Seq("k"), 0).count() ==
       (21 + 21 + 15)) // C(7,2)+C(7,2)+C(6,2)
     assert(Dedup.bucketPairs(rows, Seq("k"), 7).count() == (21 + 21 + 15))
+    // opt-in pre-pass for mega-cluster corpora: hot keys drop BEFORE the
+    // shuffle via a broadcast anti-join, same output
+    spark.conf.set("spark.graft.bucketGuardPrepass", "true")
+    try {
+      val pre = Dedup.bucketPairs(rows, Seq("k"), 6)
+      assert(pre.count() == 15)
+      assert(pre.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "prepass mode must anti-join hot keys before the shuffle")
+    } finally spark.conf.unset("spark.graft.bucketGuardPrepass")
   }
 
   test("maxShingleDf <= 0 disables the hot-shingle guard") {
