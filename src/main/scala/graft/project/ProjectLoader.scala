@@ -113,24 +113,26 @@ object ProjectLoader {
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Returns (extracted project root, the exact version chosen). */
+  /** Returns (extracted project root, the exact version chosen). Backend
+    * order: `GRAFT_HUB_URL`/`-Dgraft.hub.url` (an HTTP registry speaking
+    * the hub API — off by default, this sandbox has no egress) wins over
+    * `GRAFT_HUB_DIR`/`-Dgraft.hub.dir` (a local mirror directory). Both
+    * share the same semver selection and lock semantics. */
   private[graft] def resolveHubPackage(pkg: String, version: Option[Any],
       installPrerelease: Boolean = false): (Path, String) = {
-    val mirror = sys.env.get("GRAFT_HUB_DIR")
-      .orElse(sys.props.get("graft.hub.dir"))
-      .getOrElse(throw new IllegalArgumentException(
-        s"hub package '$pkg' needs GRAFT_HUB_DIR (or -Dgraft.hub.dir) " +
-          "pointing at a local hub mirror — this environment has no egress " +
-          "to hub.getdbt.com"))
-    val dir = Paths.get(mirror).resolve(pkg)
-    if (!Files.isDirectory(dir)) throw new IllegalArgumentException(
-      s"hub package '$pkg' not found in mirror $mirror")
-    val available = {
-      val stream = Files.list(dir)
-      try stream.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".tar.gz")).map(_.stripSuffix(".tar.gz")).toSeq
-      finally stream.close()
+    val hubUrl = sys.env.get("GRAFT_HUB_URL").orElse(sys.props.get("graft.hub.url"))
+    hubUrl match {
+      case Some(base) => resolveHubHttp(base.stripSuffix("/"), pkg, version,
+        installPrerelease)
+      case None => resolveHubMirror(pkg, version, installPrerelease)
     }
+  }
+
+  /** dbt-style semver selection over the registry's available versions:
+    * every comparator must hold; prereleases are admitted only when
+    * requested exactly or via install-prerelease (packages.rs:63). */
+  private def chooseHubVersion(pkg: String, available: Seq[String],
+      version: Option[Any], installPrerelease: Boolean, origin: String): String = {
     val specs: Seq[String] = version match {
       case None => Nil
       case Some(vs: Seq[_]) => vs.map(Yaml.str)
@@ -141,11 +143,91 @@ object ProjectLoader {
       .filter(v => specs.forall(semverMatches(v, _)))
       .filter(v => installPrerelease || exactRequested || !v.contains("-"))
     if (candidates.isEmpty) throw new IllegalArgumentException(
-      s"hub package '$pkg': no version in mirror satisfies " +
+      s"hub package '$pkg': no version in $origin satisfies " +
         s"${if (specs.isEmpty) "(any)" else specs.mkString(", ")} " +
         s"(available: ${available.sorted.mkString(", ")})")
-    val chosen = candidates.max(semverOrdering)
+    candidates.max(semverOrdering)
+  }
+
+  private def resolveHubMirror(pkg: String, version: Option[Any],
+      installPrerelease: Boolean): (Path, String) = {
+    val mirror = sys.env.get("GRAFT_HUB_DIR")
+      .orElse(sys.props.get("graft.hub.dir"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"hub package '$pkg' needs GRAFT_HUB_DIR (or -Dgraft.hub.dir) " +
+          "pointing at a local hub mirror, or GRAFT_HUB_URL (or " +
+          "-Dgraft.hub.url) naming an HTTP registry — this environment " +
+          "has no egress to hub.getdbt.com"))
+    val dir = Paths.get(mirror).resolve(pkg)
+    if (!Files.isDirectory(dir)) throw new IllegalArgumentException(
+      s"hub package '$pkg' not found in mirror $mirror")
+    val available = {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".tar.gz")).map(_.stripSuffix(".tar.gz")).toSeq
+      finally stream.close()
+    }
+    val chosen = chooseHubVersion(pkg, available, version, installPrerelease,
+      "mirror")
     (extractTarball(dir.resolve(s"$chosen.tar.gz")), chosen)
+  }
+
+  /** HTTP hub registry (reference: hub_client.rs — `GET
+    * {base}/api/v1/{org}/{name}.json` returns a `versions` map whose
+    * entries carry `downloads.tarball`; one `redirectnamespace`/
+    * `redirectname` hop is followed like the hub client does). Downloads
+    * cache per (base, pkg, version) for the JVM's lifetime, mirroring the
+    * git-clone cache. */
+  private val hubHttpCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), Path]()
+
+  private def httpGet(url: String): Array[Byte] = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(120)).GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 != 2) throw new IllegalArgumentException(
+      s"hub registry GET $url failed: HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  private def resolveHubHttp(base: String, pkg: String, version: Option[Any],
+      installPrerelease: Boolean, redirectHops: Int = 1): (Path, String) = {
+    val doc = graft.jinja.Json.parse(
+      new String(httpGet(s"$base/api/v1/$pkg.json"), "UTF-8"))
+      .asInstanceOf[Map[String, Any]]
+    (doc.get("redirectnamespace"), doc.get("redirectname")) match {
+      case (ns, nm) if (ns.exists(_ != null) || nm.exists(_ != null)) &&
+          redirectHops > 0 =>
+        val Array(org, name) = pkg.split("/", 2)
+        val target = s"${ns.map(_.toString).getOrElse(org)}/" +
+          s"${nm.map(_.toString).getOrElse(name)}"
+        System.err.println(s"[warn] hub package $pkg redirects to $target")
+        resolveHubHttp(base, target, version, installPrerelease, redirectHops - 1)
+      case _ =>
+        val versions = doc.getOrElse("versions", Map.empty)
+          .asInstanceOf[Map[String, Any]]
+        val chosen = chooseHubVersion(pkg, versions.keys.toSeq, version,
+          installPrerelease, s"registry $base")
+        val dir = hubHttpCache.computeIfAbsent((base, pkg, chosen), _ => {
+          val tarballUrl = versions(chosen).asInstanceOf[Map[String, Any]]
+            .get("downloads").collect { case d: Map[_, _] =>
+              d.asInstanceOf[Map[String, Any]].get("tarball") }.flatten
+            .map(_.toString).getOrElse(throw new IllegalArgumentException(
+              s"hub package '$pkg' $chosen: registry entry has no " +
+                "downloads.tarball URL"))
+          val tmp = Files.createTempFile(s"graft_hub_${pkg.replace('/', '_')}",
+            ".tar.gz")
+          Files.write(tmp, httpGet(
+            if (tarballUrl.startsWith("http")) tarballUrl
+            else base + "/" + tarballUrl.stripPrefix("/")))
+          extractTarball(tmp)
+        })
+        (dir, chosen)
+    }
   }
 
   /** major.minor.patch[-prerelease]; release outranks its prereleases
