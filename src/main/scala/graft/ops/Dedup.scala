@@ -129,6 +129,9 @@ object Dedup {
       StructField("id_a", idType, nullable = true),
       StructField("id_b", idType, nullable = true),
       StructField("__dropped", LongType, nullable = true)))
+    // N-less repartition on purpose: AQE sizes the exchange adaptively —
+    // coalescing a small banded set to few tasks locally while a cluster
+    // run over 100 TB keeps thousands of partitions
     val emitted = input
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
@@ -499,22 +502,23 @@ object Dedup {
         .join(labels.select(col("id").as("v2"), col("label").as("nl")),
           col("v") === col("v2"))
         .groupBy(col("u").as("id2")).agg(min(col("nl")).as("nlabel"))
+      // carry the round's starting label through as __old: convergence
+      // then probes the checkpointed frontier with a filter + limit(1) —
+      // no per-round shuffle join just to detect quiescence
       val propagated = labels
         .join(viaNeighbors, col("id") === col("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jumping: labels form a decreasing forest over node ids, so
       // label(label) is always defined and never leaves the component
       val jumped = save(propagated
         .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
           col("label") === col("pid"), "left")
-        .select(col("id"), coalesce(col("plabel"), col("label")).as("label")))
-      converged = jumped
-        .join(labels.select(col("id").as("oid"), col("label").as("old")),
-          col("id") === col("oid"))
-        .filter(col("label") =!= col("old")).limit(1).isEmpty
+        .select(col("id"), col("__old"),
+          coalesce(col("plabel"), col("label")).as("label")))
+      converged = jumped.filter(col("label") =!= col("__old")).limit(1).isEmpty
       labels.unpersist()
-      labels = jumped
+      labels = jumped.select(col("id"), col("label"))
       iter += 1
     }
     labels.select(col("id"), col("label").as("component_id"))
