@@ -259,6 +259,23 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bucketGuardPrepass")
   }
 
+  test("bucket pairs order non-long ids correctly (string doc ids)") {
+    import spark.implicits._
+    // ops are generic over the id column type; the streaming emitter must
+    // order pairs with the value's own comparator, not assume long
+    val docs = Seq(
+      ("doc-b", "twin text alpha beta gamma delta"),
+      ("doc-a", "twin text alpha beta gamma delta"),
+      ("doc-c", "completely different words here entirely now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("doc-a", "doc-b"))) // lexicographic id_a < id_b
+    val ints = (0 until 10).map(i => (i, i % 2)).toDF("id", "k")
+    assert(Dedup.bucketPairs(ints, Seq("k"), 0).count() == 10 + 10) // C(5,2)×2
+  }
+
   test("maxShingleDf <= 0 disables the hot-shingle guard") {
     import spark.implicits._
     val docs = (0 until 20)
