@@ -604,7 +604,8 @@ object Resolver {
     // bridge when an interpreter is configured
     // (spark.graft.pythonInterpreter / GRAFT_PYTHON); otherwise the node
     // reports a structured per-node error in run_results at run time.
-    val pyRefRe = raw"""dbt\s*\.\s*ref\(\s*['"]([^'"]+)['"]\s*\)""".r
+    // one- and two-arg forms: dbt.ref('model') / dbt.ref('package', 'model')
+    val pyRefRe = raw"""dbt\s*\.\s*ref\(\s*['"]([^'"]+)['"](?:\s*,\s*['"]([^'"]+)['"])?\s*\)""".r
     val pySrcRe =
       raw"""dbt\s*\.\s*source\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)""".r
     val pythonModelNodes = projects.flatMap { proj =>
@@ -612,7 +613,11 @@ object Resolver {
         val src =
           try java.nio.file.Files.readString(java.nio.file.Paths.get(path))
           catch { case _: Exception => "" }
-        val refs = pyRefRe.findAllMatchIn(src).map(_.group(1)).toSeq.distinct
+        val refs = pyRefRe.findAllMatchIn(src)
+          .map(m => (Option(m.group(2)) match {
+            case Some(model) => Some(m.group(1)) -> model // ('pkg', 'model')
+            case None => None -> m.group(1)               // ('model')
+          })).toSeq.distinct
         val srcs = pySrcRe.findAllMatchIn(src)
           .map(m => (m.group(1), m.group(2))).toSeq.distinct
         Node(
@@ -627,8 +632,9 @@ object Resolver {
           config = NodeConfig(materialized = "table",
             extra = Map("language" -> "python")),
           dependsOn =
-            refs.map(n => protoResolved.refUniqueId(proj.name, None, n, None)) ++
-              srcs.map { case (s, t) => s"source.$s.$t" },
+            (refs.map { case (pkg, n) =>
+              protoResolved.refUniqueId(proj.name, pkg, n, None) } ++
+              srcs.map { case (s, t) => s"source.$s.$t" }).distinct,
           relation = Some(Relation(targetSchema, name)),
           checksum = graft.jinja.Json.md5(src))
       }

@@ -61,6 +61,7 @@ class PythonJobSpec extends AnyFunSuite {
       """def model(dbt, session):
         |    a = dbt.ref('base')
         |    b = dbt.source('raw', 'events')
+        |    c = dbt.ref('pydag', 'base')   # two-arg package-qualified form
         |    return a
         |""".stripMargin)
     val r = new Runner(spark, ProjectLoader.load(proj.toString),
@@ -70,6 +71,8 @@ class PythonJobSpec extends AnyFunSuite {
     assert(node.config.extra.get("language").contains("python"))
     assert(node.dependsOn.contains("model.pydag.base"), node.dependsOn)
     assert(node.dependsOn.contains("source.raw.events"), node.dependsOn)
+    // the one- and two-arg refs to the same model dedupe to one edge
+    assert(node.dependsOn.count(_ == "model.pydag.base") == 1, node.dependsOn)
     assert(node.parseError.isEmpty)
   }
 
