@@ -201,8 +201,13 @@ object Main {
           .filter(n => n.kind == NodeKind.Model || n.kind == NodeKind.Snapshot ||
             n.kind == NodeKind.Analysis)
           .foreach { n =>
-            Files.writeString(compiled.resolve(s"${n.name}.sql"),
-              runner.compileSql(n))
+            // python models have no SQL to render — copy the source as .py
+            // (Jinja-rendering python would trip on f-string braces)
+            if (n.config.extra.get("language").contains("python"))
+              Files.writeString(compiled.resolve(s"${n.name}.py"), n.rawSql)
+            else
+              Files.writeString(compiled.resolve(s"${n.name}.sql"),
+                runner.compileSql(n))
           }
         runner.writeManifest(targetDir.resolve("manifest.json").toString)
         println(s"compiled → $compiled")
@@ -238,7 +243,15 @@ object Main {
                 System.err.println(s"show: no model named '$name'")
                 return 2
               }
-            runner.compileSql(node)
+            if (node.config.extra.get("language").contains("python")) {
+              // no SQL body to preview; show the built relation instead
+              System.err.println(
+                s"show: '$name' is a python model — previewing its relation")
+              node.relation.map(r => s"SELECT * FROM ${r.fqn}").getOrElse {
+                System.err.println(s"show: python model '$name' has no relation")
+                return 2
+              }
+            } else runner.compileSql(node)
         }
         val (_, table) = runner.adapter.execute(
           s"SELECT * FROM ($sql) __dbt_show LIMIT ${args.limit}")

@@ -199,9 +199,14 @@ object Filters {
             case n: java.math.BigDecimal => Some(n.doubleValue)
             case _ => None
           }
+          // type-rank first (numbers before strings, minijinja's kind
+          // ordering) so the comparator stays transitive on mixed values —
+          // comparing 2 vs "10" numerically-sometimes breaks TimSort
           def cmpVals(a: Any, b: Any): Int = (toNum(a), toNum(b)) match {
             case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
-            case _ =>
+            case (Some(_), None) => -1
+            case (None, Some(_)) => 1
+            case (None, None) =>
               val (s, t) = (keyOf(a), keyOf(b))
               if (caseSensitive) s.compareTo(t) else s.compareToIgnoreCase(t)
           }

@@ -119,9 +119,16 @@ object Dedup {
     val prepass = spark.conf.get("spark.graft.bucketGuardPrepass", "false").toBoolean
     val input =
       if (cap <= 0 || !prepass) proj
-      else { // optional pre-shuffle drop of hot keys (see scaladoc)
+      else { // optional pre-shuffle drop of hot keys (see scaladoc) —
+        // observed like the sentinel path: a prepass drop must be as
+        // loud as a streaming drop
+        registerGuardListener(spark)
         val hot = proj.groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .observe(s"graft_bucket_guard_${guardSeq.incrementAndGet()}" +
+              s"_prepass_cap${cap}_${keyCols.mkString("_")}",
+            count(lit(1)).as("dropped_buckets"),
+            max(col("__n")).as("largest_bucket"))
           .select(keyCols.map(col): _*)
         proj.join(broadcast(hot), keyCols, "left_anti")
       }
@@ -144,7 +151,10 @@ object Dedup {
           private def advance(): Unit =
             while (!pending.hasNext && bit.hasNext) {
               val first = bit.next()
-              val buf = scala.collection.mutable.ArrayBuffer[Any](first.get(keyN))
+              // null ids never pair (collect_list semantics: the cap and
+              // the emitted pairs both see only non-null ids)
+              val buf = scala.collection.mutable.ArrayBuffer[Any]()
+              if (first.get(keyN) != null) buf += first.get(keyN)
               var n = 1L
               var overflow = false
               def same(r: org.apache.spark.sql.Row): Boolean = {
@@ -154,8 +164,9 @@ object Dedup {
               }
               while (bit.hasNext && same(bit.head)) {
                 val r = bit.next(); n += 1
-                if (!overflow) {
-                  buf += r.get(keyN)
+                val v = r.get(keyN)
+                if (!overflow && v != null) {
+                  buf += v
                   if (cap > 0 && buf.length > cap) { overflow = true; buf.clear() }
                 }
               }

@@ -199,9 +199,10 @@ object ProjectLoader {
     val doc = graft.jinja.Json.parse(
       new String(httpGet(s"$base/api/v1/$pkg.json"), "UTF-8"))
       .asInstanceOf[Map[String, Any]]
-    (doc.get("redirectnamespace"), doc.get("redirectname")) match {
-      case (ns, nm) if (ns.exists(_ != null) || nm.exists(_ != null)) &&
-          redirectHops > 0 =>
+    // the hub emits both keys with null when unused — treat null as absent
+    (doc.get("redirectnamespace").filter(_ != null),
+        doc.get("redirectname").filter(_ != null)) match {
+      case (ns, nm) if (ns.nonEmpty || nm.nonEmpty) && redirectHops > 0 =>
         val Array(org, name) = pkg.split("/", 2)
         val target = s"${ns.map(_.toString).getOrElse(org)}/" +
           s"${nm.map(_.toString).getOrElse(name)}"

@@ -150,6 +150,9 @@ object Resolver {
       (projects.flatMap(p => p.models.keys
         .filterNot(versionBackingFiles.getOrElse(p.name, Set.empty))
         .map(_ -> p.name)) ++
+        // python models are models too: unqualified refs must resolve to
+        // their owning package, and cross-package ambiguity must be caught
+        projects.flatMap(p => p.pythonModels.keys.map(_ -> p.name)) ++
         versionDecls.keys.map { case (pkg, name) => name -> pkg })
         .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val protoResolved = Resolved(project, Map.empty, Map.empty, modelOwners,
@@ -620,6 +623,29 @@ object Resolver {
           })).toSeq.distinct
         val srcs = pySrcRe.findAllMatchIn(src)
           .map(m => (m.group(1), m.group(2))).toSeq.distinct
+        // python models take dbt_project.yml tree configs and schema.yml
+        // configs like any SQL model (tags, schema, alias, hooks, grants,
+        // partition_by, docs); subdir segments come from the .py path
+        val segments = {
+          val rel = proj.modelPaths
+            .map(mp => java.nio.file.Paths.get(proj.root, mp))
+            .collectFirst {
+              case mp if path.startsWith(mp.toString) =>
+                mp.relativize(java.nio.file.Paths.get(path))
+            }
+          proj.name +: rel.toSeq.flatMap(p =>
+            (0 until math.max(0, p.getNameCount - 1)).map(i => p.getName(i).toString))
+        }
+        val merged = projectTreeConfig(proj.modelConfigs, segments) ++
+          propConfigs.getOrElse(name, Map.empty) ++
+          Map("language" -> ("python": Any))
+        // python models materialize as tables (dbt: python supports
+        // table/incremental only; view is impossible — there's no SQL)
+        val mat = merged.get("materialized").map(Yaml.str).getOrElse("table")
+        if (mat != "table") throw new IllegalArgumentException(
+          s"python model $name: materialized '$mat' is not supported by " +
+            "this adapter (table only)")
+        val cfg = toNodeConfig(merged + ("materialized" -> ("table": Any)))
         Node(
           uniqueId = s"model.${proj.name}.$name",
           name = name,
@@ -627,16 +653,16 @@ object Resolver {
           kind = NodeKind.Model,
           rawSql = src,
           path = path,
-          // python models materialize as tables (dbt: python supports
-          // table/incremental only; view is impossible — there's no SQL)
-          config = NodeConfig(materialized = "table",
-            extra = Map("language" -> "python")),
+          config = cfg,
           dependsOn =
             (refs.map { case (pkg, n) =>
               protoResolved.refUniqueId(proj.name, pkg, n, None) } ++
               srcs.map { case (s, t) => s"source.$s.$t" }).distinct,
-          relation = Some(Relation(targetSchema, name)),
-          checksum = graft.jinja.Json.md5(src))
+          relation = Some(Relation(cfg.schema.getOrElse(targetSchema),
+            cfg.alias.getOrElse(name))),
+          description = propDescriptions.get(name).map(_._1).getOrElse(""),
+          columns = propDescriptions.get(name).map(_._2).getOrElse(Map.empty),
+          checksum = graft.jinja.Json.md5(src + Yaml.str(merged)))
       }
     }
     // dbt errors on duplicate model names: a project holding both foo.sql

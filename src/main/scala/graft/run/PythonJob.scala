@@ -60,6 +60,9 @@ object PythonJob {
       |        self.this = m.get("this", "")
       |        self.is_incremental = False
       |    def ref(self, *parts):
+      |        key = ".".join(parts)   # 'pkg.model' beats a bare-name collision
+      |        if key in self._inputs:
+      |            return pd.read_parquet(self._inputs[key])
       |        return pd.read_parquet(self._inputs[parts[-1]])
       |    def source(self, source_name, table_name):
       |        return pd.read_parquet(self._inputs[source_name + "." + table_name])

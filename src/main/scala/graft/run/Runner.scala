@@ -205,14 +205,16 @@ final class Runner(
       NodeResult(node.uniqueId, status, msg, (System.nanoTime() - t0) / 1000000)
     // nodes that failed at parse error without executing
     node.parseError.foreach(msg => return done("error", msg))
-    // python models route through the submit_python_job bridge (or error
-    // structurally when no interpreter is configured)
-    if (node.kind == NodeKind.Model &&
-        node.config.extra.get("language").contains("python"))
-      return runPythonNode(node, done)
     Try {
       node.config.preHook.foreach(h => adapter.execute(renderHook(h, node), fetch = false))
       val r = node.kind match {
+        // python models route through the submit_python_job bridge (or
+        // error structurally when no interpreter is configured); inside
+        // the normal flow so pre/post hooks, grants, and persist_docs
+        // apply like any model
+        case NodeKind.Model
+            if node.config.extra.get("language").contains("python") =>
+          runPythonModel(node)
         case NodeKind.Model =>
           val sql = withQueryComment(node, compileSql(node))
           if (node.config.contractEnforced) Contracts.enforce(spark, node, sql)
@@ -411,45 +413,46 @@ final class Runner(
   /** Python model execution (reference funcs.rs:107 submit_python_job):
     * with an interpreter configured (`spark.graft.pythonInterpreter` conf
     * or `GRAFT_PYTHON` env) the node runs through [[PythonJob]]; without
-    * one it reports the structured "no submit_python_job" error dbt users
-    * expect from an adapter that cannot run python. */
-  private def runPythonNode(node: Node,
-      done: (String, String) => NodeResult): NodeResult = {
+    * one it throws the structured "no submit_python_job" error dbt users
+    * expect from an adapter that cannot run python. Inputs are keyed both
+    * bare (`name`, `source.table`) and package-qualified
+    * (`package.name`) so same-named refs from different packages cannot
+    * silently collide; only data-bearing deps (relations of
+    * models/seeds/snapshots and sources) become inputs — regex-harvested
+    * phantom refs and unit-test gating edges are skipped. */
+  private def runPythonModel(node: Node): MatResult = {
     val interpreter = spark.conf.getOption("spark.graft.pythonInterpreter")
       .filter(_.nonEmpty).orElse(sys.env.get("GRAFT_PYTHON").filter(_.nonEmpty))
-    interpreter match {
-      case None => done("error",
+      .getOrElse(throw new IllegalStateException(
         s"Python models are not supported without an interpreter " +
           s"(no submit_python_job): ${node.path} — set " +
-          s"spark.graft.pythonInterpreter or GRAFT_PYTHON, or port the model to SQL")
-      case Some(py) =>
-        Try {
-          val inputs: Map[String, (org.apache.spark.sql.DataFrame, String)] =
-            node.dependsOn.map {
-              case uid if uid.startsWith("source.") =>
-                val Array(_, s, t) = uid.split("\\.", 3)
-                val rel = effectiveSources(s)(t)
-                val (df, loc) = rel match {
-                  case r if r.relType == RelationType.External &&
-                      r.identifier.contains("/") =>
-                    (spark.read.parquet(r.identifier), r.identifier)
-                  case r => (adapter.read(r), r.fqn)
-                }
-                s"$s.$t" -> (df, loc)
-              case uid =>
-                val n = resolved.nodes(uid)
-                val rel = n.relation.getOrElse(throw new IllegalStateException(
-                  s"python model ${node.name} refs relation-less node $uid"))
-                n.name -> (adapter.read(rel), rel.fqn)
-            }.toMap
-          PythonJob.run(spark, adapter, node, inputs, node.relation.get, py)
-        } match {
-          case Success(r) if r.success => done("success", r.message)
-          case Success(r) => done("error", r.message)
-          case Failure(e) => done("error",
-            s"python model ${node.name}: ${e.getMessage}")
+          s"spark.graft.pythonInterpreter or GRAFT_PYTHON, or port the model to SQL"))
+    val dataKinds: Set[NodeKind] =
+      Set(NodeKind.Model, NodeKind.Seed, NodeKind.Snapshot)
+    val inputs: Map[String, (org.apache.spark.sql.DataFrame, String)] =
+      node.dependsOn.flatMap {
+        case uid if uid.startsWith("source.") =>
+          val Array(_, s, t) = uid.split("\\.", 3)
+          val rel = effectiveSources(s)(t)
+          val (df, loc) = rel match {
+            case r if r.relType == RelationType.External &&
+                r.identifier.contains("/") =>
+              (spark.read.parquet(r.identifier), r.identifier)
+            case r => (adapter.read(r), r.fqn)
+          }
+          Seq(s"$s.$t" -> (df, loc))
+        case uid => resolved.nodes.get(uid) match {
+          case Some(n) if dataKinds(n.kind) && n.relation.isDefined =>
+            val rel = n.relation.get
+            val in = (adapter.read(rel), rel.fqn)
+            Seq(n.name -> in, s"${n.packageName}.${n.name}" -> in)
+          case _ => Nil // unit tests, tests, phantom regex refs
         }
-    }
+      }.toMap
+    val r = PythonJob.run(spark, adapter, node, inputs, node.relation.get,
+      interpreter)
+    if (!r.success) throw new IllegalStateException(r.message)
+    MatResult(node.relation.get, "success", r.message)
   }
 
   /** `graft sample` — materialize a sampler plan's entries into the

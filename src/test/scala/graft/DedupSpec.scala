@@ -259,6 +259,30 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bucketGuardPrepass")
   }
 
+  test("null ids never pair and never crash the emitter") {
+    import spark.implicits._
+    val rows = Seq((Some(1L), 0), (Some(2L), 0), (None, 0), (Some(3L), 1),
+      (None, 1)).toDF("id", "k")
+    val got = Dedup.bucketPairs(rows, Seq("k"), 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // the null in k=0 is skipped, k=1 has 1 real id
+    // nulls don't count toward the cap either (collect_list semantics)
+    assert(Dedup.bucketPairs(rows, Seq("k"), 2).count() == 1)
+  }
+
+  test("prepass mode reports dropped buckets through the observe metric") {
+    import spark.implicits._
+    val rows = (0 until 20).map(i => (i.toLong, i % 2)).toDF("id", "k")
+    spark.conf.set("spark.graft.bucketGuardPrepass", "true")
+    try {
+      val pre = Dedup.bucketPairs(rows, Seq("k"), 5)
+      val plan = pre.queryExecution.executedPlan.toString
+      assert(plan.contains("CollectMetrics graft_bucket_guard"),
+        s"prepass drops must stay observable:\n$plan")
+      assert(pre.count() == 0) // both buckets (10 rows each) over cap 5
+    } finally spark.conf.unset("spark.graft.bucketGuardPrepass")
+  }
+
   test("bucket pairs order non-long ids correctly (string doc ids)") {
     import spark.implicits._
     // ops are generic over the id column type; the streaming emitter must

@@ -62,6 +62,13 @@ class HubHttpSpec extends AnyFunSuite {
           | "redirectnamespace": "acme", "redirectname": "widgets"}"""
           .stripMargin.getBytes("UTF-8"))
     })
+    srv.createContext("/api/v1/acme/renamed.json", new HttpHandler {
+      // same-org rename: the hub emits redirectnamespace as JSON null
+      override def handle(ex: HttpExchange): Unit = respond(ex, 200,
+        """{"name": "renamed", "versions": {},
+          | "redirectnamespace": null, "redirectname": "widgets"}"""
+          .stripMargin.getBytes("UTF-8"))
+    })
     srv.createContext("/dl/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         counter.incrementAndGet()
@@ -107,6 +114,8 @@ class HubHttpSpec extends AnyFunSuite {
     withHub {
       val (_, chosen) = ProjectLoader.resolveHubPackage("acme/oldname", None)
       assert(chosen == "1.4.0")
+      // same-org rename: redirectnamespace arrives as JSON null
+      assert(ProjectLoader.resolveHubPackage("acme/renamed", None)._2 == "1.4.0")
     }
   }
 

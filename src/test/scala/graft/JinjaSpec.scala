@@ -94,6 +94,11 @@ class JinjaSpec extends AnyFunSuite {
       == "[[\"A\", 2], [\"a\", 3], [\"b\", 1]]")
     assert(r("{{ m | dictsort(false, 'value') | tojson }}",
       Map("m" -> Map("a" -> "B", "b" -> "a"))) == "[[\"b\", \"a\"], [\"a\", \"B\"]]")
+    // mixed value types: numbers rank before strings (type-first ordering
+    // keeps the comparator transitive — 2 < 10 < "10")
+    assert(r("{{ m | dictsort(by='value') | tojson }}",
+      Map("m" -> Map("a" -> 2L, "b" -> 10L, "c" -> "10")))
+      == "[[\"a\", 2], [\"b\", 10], [\"c\", \"10\"]]")
     // lines / attr / bool / is_list / d alias / safe passthrough
     assert(r("{{ s | lines | length }}", Map("s" -> "a\nb\nc")) == "3")
     assert(r("{{ m | attr('x') }}", Map("m" -> Map("x" -> "ok"))) == "ok")

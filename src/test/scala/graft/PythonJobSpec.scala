@@ -76,6 +76,104 @@ class PythonJobSpec extends AnyFunSuite {
     assert(node.parseError.isEmpty)
   }
 
+  test("python models take YAML configs: tags, schema, alias; view rejected") {
+    val proj = Files.createTempDirectory("graft_pycfg")
+    write(proj, "dbt_project.yml",
+      """name: pycfg
+        |model-paths: ["models"]
+        |models:
+        |  pycfg:
+        |    +tags: ["nightly"]
+        |""".stripMargin)
+    write(proj, "models/base.sql", "select 1 as id")
+    write(proj, "models/enriched.py",
+      """def model(dbt, session):
+        |    return dbt.ref('base')
+        |""".stripMargin)
+    write(proj, "models/schema.yml",
+      """models:
+        |  - name: enriched
+        |    config:
+        |      alias: enriched_tbl
+        |      schema: g_pycfg_alt
+        |""".stripMargin)
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = "g_pycfg",
+      warehouseLocation = Some(Files.createTempDirectory("g_pycfg_wh").toString))
+    val node = r.resolved.nodes("model.pycfg.enriched")
+    assert(node.config.tags == Seq("nightly"), node.config.tags)
+    assert(node.relation.map(r => (r.schema, r.identifier))
+      .contains(("g_pycfg_alt", "enriched_tbl")), node.relation)
+    // materialized: view is impossible for python — loud resolve error
+    val bad = Files.createTempDirectory("graft_pybadmat")
+    write(bad, "dbt_project.yml", "name: pybadmat\nmodel-paths: [\"models\"]\n")
+    write(bad, "models/v.py", "def model(dbt, session):\n    return None\n")
+    write(bad, "models/schema.yml",
+      """models:
+        |  - name: v
+        |    config: {materialized: view}
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      new Runner(spark, ProjectLoader.load(bad.toString),
+        targetSchema = "g_pybadmat").resolved
+    }
+    assert(e.getMessage.contains("table only"), e.getMessage)
+  }
+
+  test("compile writes python models as .py without Jinja-rendering f-strings") {
+    val proj = pyProject("pycompile")
+    // f-string braces would blow up a Jinja render; compile must not try
+    write(proj, "models/braces.py",
+      """def model(dbt, session):
+        |    df = dbt.ref('base')
+        |    df["label"] = f"{{'k': 1}}"
+        |    return df
+        |""".stripMargin)
+    val rc = graft.cli.Main.run(spark, graft.cli.Main.parseArgs(
+      Array("compile", "--project-dir", proj.toString)))
+    assert(rc == 0)
+    val compiled = proj.resolve("target/compiled")
+    assert(Files.exists(compiled.resolve("braces.py")))
+    assert(Files.exists(compiled.resolve("enriched.py")))
+    assert(Files.exists(compiled.resolve("base.sql")))
+    assert(!Files.exists(compiled.resolve("braces.sql")))
+    assert(Files.readString(compiled.resolve("braces.py")).contains("f\"{{'k': 1}}\""))
+  }
+
+  test("pre/post hooks and grants run for python models") {
+    val proj = pyProject("pyhooks")
+    write(proj, "models/schema.yml",
+      """models:
+        |  - name: enriched
+        |    config:
+        |      pre_hook: "create table g_pyhooks.pre_marker as select 1 as x"
+        |      post_hook: "create table g_pyhooks.post_marker as select 2 as x"
+        |""".stripMargin)
+    val work = Files.createTempDirectory("graft_pyhookstub")
+    import spark.implicits._
+    val premade = work.resolve("premade").toString
+    Seq((1L, 2L)).toDF("id", "doubled").coalesce(1).write.parquet(premade)
+    val stub = write(work, "stub.sh",
+      s"""#!/bin/bash
+         |set -e
+         |out=$$(sed -n 's/.*"output": "\\([^"]*\\)".*/\\1/p' "$$2")
+         |cp -r $premade "$$out"
+         |""".stripMargin)
+    val schema = "g_pyhooks"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    spark.conf.set("spark.graft.pythonInterpreter", s"bash $stub")
+    try {
+      val r = new Runner(spark, ProjectLoader.load(proj.toString),
+        targetSchema = schema,
+        warehouseLocation = Some(Files.createTempDirectory("g_pyhooks_wh").toString))
+      val results = r.run()
+      val py = results.find(_.uniqueId == "model.pyhooks.enriched").get
+      assert(py.status == "success", py.message)
+      assert(spark.table(s"$schema.pre_marker").count() == 1)
+      assert(spark.table(s"$schema.post_marker").count() == 1)
+    } finally spark.conf.unset("spark.graft.pythonInterpreter")
+  }
+
   test("no interpreter configured => structured submit_python_job error") {
     val proj = pyProject("pynointerp")
     spark.conf.unset("spark.graft.pythonInterpreter")
