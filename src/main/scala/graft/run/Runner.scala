@@ -449,6 +449,10 @@ final class Runner(
           case _ => Nil // unit tests, tests, phantom regex refs
         }
       }.toMap
+      // --empty: schema-only dry run — python models get zero-row inputs,
+      // same contract as SQL refs compiling to LIMIT 0
+      .map { case (k, (df, loc)) =>
+        k -> (if (emptyMode) df.limit(0) else df, loc) }
     val r = PythonJob.run(spark, adapter, node, inputs, node.relation.get,
       interpreter)
     if (!r.success) throw new IllegalStateException(r.message)

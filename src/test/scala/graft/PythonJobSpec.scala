@@ -268,6 +268,43 @@ class PythonJobSpec extends AnyFunSuite {
     }
   }
 
+  test("--empty feeds python models zero-row inputs") {
+    val proj = pyProject("pyempty")
+    val work = Files.createTempDirectory("graft_pyemptystub")
+    val capture = work.resolve("manifest.json")
+    import spark.implicits._
+    val premade = work.resolve("premade").toString
+    Seq.empty[(Long, Long)].toDF("id", "doubled")
+      .coalesce(1).write.parquet(premade)
+    val stub = write(work, "stub.sh",
+      s"""#!/bin/bash
+         |set -e
+         |out=$$(sed -n 's/.*"output": "\\([^"]*\\)".*/\\1/p' "$$2")
+         |cp -r $premade "$$out"
+         |cp "$$2" $capture
+         |""".stripMargin)
+    val schema = "g_pyempty"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    spark.conf.set("spark.graft.pythonInterpreter", s"bash $stub")
+    try {
+      val r = new Runner(spark, ProjectLoader.load(proj.toString),
+        targetSchema = schema, emptyMode = true,
+        warehouseLocation = Some(Files.createTempDirectory("g_pyempty_wh").toString))
+      val results = r.run()
+      // base has no refs so --empty leaves its literal rows; the python
+      // node's exported INPUT must still be zero rows (the LIMIT 0 contract)
+      val base = results.find(_.uniqueId == "model.pyempty.base").get
+      assert(base.status == "success", base.message)
+      val py = results.find(_.uniqueId == "model.pyempty.enriched").get
+      assert(py.status == "success", py.message)
+      // the exported ref input really was zero rows
+      val manifest = Files.readString(capture)
+      val inPath = raw""""base": "([^"]+)"""".r
+        .findFirstMatchIn(manifest).map(_.group(1)).get
+      assert(spark.read.parquet(inPath).count() == 0)
+    } finally spark.conf.unset("spark.graft.pythonInterpreter")
+  }
+
   test("failing interpreter surfaces exit code and tail of output") {
     val proj = pyProject("pyfail")
     val work = Files.createTempDirectory("graft_pyfailstub")
