@@ -639,13 +639,14 @@ object Resolver {
         val merged = projectTreeConfig(proj.modelConfigs, segments) ++
           propConfigs.getOrElse(name, Map.empty) ++
           Map("language" -> ("python": Any))
-        // python models materialize as tables (dbt: python supports
-        // table/incremental only; view is impossible — there's no SQL)
+        // python models materialize as table or incremental (dbt's python
+        // contract; view is impossible — there's no SQL body)
         val mat = merged.get("materialized").map(Yaml.str).getOrElse("table")
-        if (mat != "table") throw new IllegalArgumentException(
-          s"python model $name: materialized '$mat' is not supported by " +
-            "this adapter (table only)")
-        val cfg = toNodeConfig(merged + ("materialized" -> ("table": Any)))
+        if (mat != "table" && mat != "incremental")
+          throw new IllegalArgumentException(
+            s"python model $name: materialized '$mat' is not supported by " +
+              "this adapter (table or incremental only)")
+        val cfg = toNodeConfig(merged + ("materialized" -> (mat: Any)))
         Node(
           uniqueId = s"model.${proj.name}.$name",
           name = name,

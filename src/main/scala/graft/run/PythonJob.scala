@@ -37,6 +37,73 @@ object PythonJob {
 
   final case class PyResult(success: Boolean, message: String)
 
+  /** Invoke the configured interpreter on one model. Returns (mode, output
+    * parquet path); throws on a nonzero exit or a missing export-mode
+    * output. `isIncremental` surfaces as `dbt.is_incremental` in the shim
+    * (dbt's python incremental contract: the model sees the flag, the
+    * engine applies the strategy to the returned frame). */
+  private def invoke(spark: SparkSession, node: Node,
+      inputs: Map[String, (DataFrame, String)], target: Relation,
+      interpreter: String, isIncremental: Boolean): (String, Path) = {
+    val mode = spark.conf.getOption("spark.graft.pythonInputMode")
+      .getOrElse("export")
+    val dir = Files.createTempDirectory(s"graft_py_${node.name}_")
+    val outPath = dir.resolve("output.parquet")
+    val manifestPath = dir.resolve("manifest.json")
+    val inputEntries: Map[String, String] = mode match {
+      case "fqn" => inputs.map { case (k, (_, fqn)) => k -> fqn }
+      case _ => inputs.map { case (k, (df, _)) =>
+        val p = dir.resolve(s"in_${k.replaceAll("[^A-Za-z0-9_]", "_")}.parquet")
+        df.write.parquet(p.toString)
+        k -> p.toString
+      }
+    }
+    Files.writeString(manifestPath, graft.jinja.Json.write(Map(
+      "model_path" -> node.path,
+      "inputs" -> inputEntries,
+      "input_mode" -> mode,
+      "output" -> outPath.toString,
+      "this" -> target.fqn,
+      "is_incremental" -> isIncremental,
+      "config" -> Map("materialized" -> node.config.materialized))))
+    // export mode runs our wrapper; fqn mode hands the model file straight
+    // to the interpreter (it owns the contract, e.g. a spark-submit shim)
+    val script: Path = mode match {
+      case "fqn" => java.nio.file.Paths.get(node.path)
+      case _ =>
+        val w = dir.resolve("graft_wrapper.py")
+        Files.writeString(w, wrapperPy)
+        w
+    }
+    val cmd = (interpreter.split("\\s+").toSeq :+ script.toString :+
+      manifestPath.toString).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val code = proc.waitFor()
+    if (code != 0) throw new IllegalStateException(
+      s"python model failed (exit $code): ${out.takeRight(800)}")
+    if (!Files.exists(outPath) && mode != "fqn")
+      throw new IllegalStateException("python model produced no output parquet")
+    (mode, outPath)
+  }
+
+  /** Export-mode invocation returning the model's frame WITHOUT writing it
+    * — the incremental materialization consumes this as its compiled-query
+    * producer and owns the merge/append. */
+  def produce(spark: SparkSession, node: Node,
+      inputs: Map[String, (DataFrame, String)], target: Relation,
+      interpreter: String, isIncremental: Boolean): DataFrame = {
+    val (mode, outPath) =
+      invoke(spark, node, inputs, target, interpreter, isIncremental)
+    if (mode == "fqn") throw new IllegalStateException(
+      s"incremental python model ${node.name} needs export input mode — " +
+        "in fqn mode the interpreter owns the write and the engine cannot " +
+        "apply the incremental strategy")
+    spark.read.parquet(outPath.toString)
+  }
+
   /** The generated wrapper for `export` mode: manifest-driven pandas
     * shim around the user's `model(dbt, session)`. */
   private val wrapperPy: String =
@@ -58,7 +125,7 @@ object PythonJob {
       |        self._inputs = m["inputs"]
       |        self.config = _Config(m.get("config", {}))
       |        self.this = m.get("this", "")
-      |        self.is_incremental = False
+      |        self.is_incremental = m.get("is_incremental", False)
       |    def ref(self, *parts):
       |        key = ".".join(parts)   # 'pkg.model' beats a bare-name collision
       |        if key in self._inputs:
@@ -84,49 +151,11 @@ object PythonJob {
   def run(spark: SparkSession, adapter: SparkAdapter, node: Node,
       inputs: Map[String, (DataFrame, String)], target: Relation,
       interpreter: String): PyResult = {
-    val mode = spark.conf.getOption("spark.graft.pythonInputMode")
-      .getOrElse("export")
-    val dir = Files.createTempDirectory(s"graft_py_${node.name}_")
-    val outPath = dir.resolve("output.parquet")
-    val manifestPath = dir.resolve("manifest.json")
-    val inputEntries: Map[String, String] = mode match {
-      case "fqn" => inputs.map { case (k, (_, fqn)) => k -> fqn }
-      case _ => inputs.map { case (k, (df, _)) =>
-        val p = dir.resolve(s"in_${k.replaceAll("[^A-Za-z0-9_]", "_")}.parquet")
-        df.write.parquet(p.toString)
-        k -> p.toString
-      }
+    val (mode, outPath) = try
+      invoke(spark, node, inputs, target, interpreter, isIncremental = false)
+    catch {
+      case e: IllegalStateException => return PyResult(success = false, e.getMessage)
     }
-    Files.writeString(manifestPath, graft.jinja.Json.write(Map(
-      "model_path" -> node.path,
-      "inputs" -> inputEntries,
-      "input_mode" -> mode,
-      "output" -> outPath.toString,
-      "this" -> target.fqn,
-      "config" -> Map("materialized" -> node.config.materialized))))
-
-    // export mode runs our wrapper; fqn mode hands the model file straight
-    // to the interpreter (it owns the contract, e.g. a spark-submit shim)
-    val script: Path = mode match {
-      case "fqn" => java.nio.file.Paths.get(node.path)
-      case _ =>
-        val w = dir.resolve("graft_wrapper.py")
-        Files.writeString(w, wrapperPy)
-        w
-    }
-    val cmd = (interpreter.split("\\s+").toSeq :+ script.toString :+
-      manifestPath.toString).asJava
-    val pb = new ProcessBuilder(cmd)
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val code = proc.waitFor()
-    if (code != 0)
-      return PyResult(success = false,
-        s"python model failed (exit $code): ${out.takeRight(800)}")
-    if (!Files.exists(outPath) && mode != "fqn")
-      return PyResult(success = false,
-        "python model produced no output parquet")
     if (mode != "fqn") {
       val result = spark.read.parquet(outPath.toString)
       adapter.writeTableAtomic(result, target,

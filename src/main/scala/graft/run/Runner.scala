@@ -214,7 +214,7 @@ final class Runner(
         // apply like any model
         case NodeKind.Model
             if node.config.extra.get("language").contains("python") =>
-          runPythonModel(node)
+          runPythonModel(node, fullRefresh)
         case NodeKind.Model =>
           val sql = withQueryComment(node, compileSql(node))
           if (node.config.contractEnforced) Contracts.enforce(spark, node, sql)
@@ -420,7 +420,7 @@ final class Runner(
     * silently collide; only data-bearing deps (relations of
     * models/seeds/snapshots and sources) become inputs — regex-harvested
     * phantom refs and unit-test gating edges are skipped. */
-  private def runPythonModel(node: Node): MatResult = {
+  private def runPythonModel(node: Node, fullRefresh: Boolean): MatResult = {
     val interpreter = spark.conf.getOption("spark.graft.pythonInterpreter")
       .filter(_.nonEmpty).orElse(sys.env.get("GRAFT_PYTHON").filter(_.nonEmpty))
       .getOrElse(throw new IllegalStateException(
@@ -453,10 +453,21 @@ final class Runner(
       // same contract as SQL refs compiling to LIMIT 0
       .map { case (k, (df, loc)) =>
         k -> (if (emptyMode) df.limit(0) else df, loc) }
-    val r = PythonJob.run(spark, adapter, node, inputs, node.relation.get,
-      interpreter)
-    if (!r.success) throw new IllegalStateException(r.message)
-    MatResult(node.relation.get, "success", r.message)
+    node.config.materialized match {
+      case "incremental" =>
+        // the bridge produces the frame; the engine owns the strategy
+        // (append/merge/delete+insert... — same code path as SQL models)
+        val isIncr = !fullRefresh && adapter.relationExists(node.relation.get)
+        val df = PythonJob.produce(spark, node, inputs, node.relation.get,
+          interpreter, isIncremental = isIncr)
+        Materializations.resolve("incremental").run(MatContext(
+          adapter, node, node.relation.get, () => df, fullRefresh, now))
+      case _ =>
+        val r = PythonJob.run(spark, adapter, node, inputs, node.relation.get,
+          interpreter)
+        if (!r.success) throw new IllegalStateException(r.message)
+        MatResult(node.relation.get, "success", r.message)
+    }
   }
 
   /** `graft sample` — materialize a sampler plan's entries into the

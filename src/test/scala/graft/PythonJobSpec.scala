@@ -117,7 +117,65 @@ class PythonJobSpec extends AnyFunSuite {
       new Runner(spark, ProjectLoader.load(bad.toString),
         targetSchema = "g_pybadmat").resolved
     }
-    assert(e.getMessage.contains("table only"), e.getMessage)
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+
+  test("incremental python models merge through the engine's strategy") {
+    val proj = Files.createTempDirectory("graft_pyincr")
+    write(proj, "dbt_project.yml", "name: pyincr\nmodel-paths: [\"models\"]\n")
+    write(proj, "models/events.py",
+      """def model(dbt, session):
+        |    return None  # replaced by the stub; contract is the manifest
+        |""".stripMargin)
+    write(proj, "models/schema.yml",
+      """models:
+        |  - name: events
+        |    config:
+        |      materialized: incremental
+        |      incremental_strategy: merge
+        |      unique_key: id
+        |""".stripMargin)
+    val work = Files.createTempDirectory("graft_pyincrstub")
+    import spark.implicits._
+    val first = work.resolve("first").toString
+    val second = work.resolve("second").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(first)
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").coalesce(1).write.parquet(second)
+    val marker = work.resolve("ran_once")
+    // run 1 delivers `first`; later runs deliver `second`, and the stub
+    // records the manifest's is_incremental flag per run
+    val flags = work.resolve("flags.txt")
+    val stub = write(work, "stub.sh",
+      s"""#!/bin/bash
+         |set -e
+         |out=$$(sed -n 's/.*"output": "\\([^"]*\\)".*/\\1/p' "$$2")
+         |grep -o '"is_incremental": [a-z]*' "$$2" >> $flags
+         |if [ -f $marker ]; then cp -r $second "$$out"
+         |else cp -r $first "$$out"; touch $marker; fi
+         |""".stripMargin)
+    val schema = "g_pyincr"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    spark.conf.set("spark.graft.pythonInterpreter", s"bash $stub")
+    try {
+      def runOnce() = new Runner(spark, ProjectLoader.load(proj.toString),
+        targetSchema = schema,
+        warehouseLocation = Some(Files.createTempDirectory("g_pyincr_wh").toString))
+        .run()
+      val r1 = runOnce().find(_.uniqueId == "model.pyincr.events").get
+      assert(r1.status == "success", r1.message)
+      assert(spark.table(s"$schema.events").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq(1L -> "a", 2L -> "b"))
+      val r2 = runOnce().find(_.uniqueId == "model.pyincr.events").get
+      assert(r2.status == "success", r2.message)
+      // merge on unique_key: 2 updated in place, 3 appended, 1 untouched
+      assert(spark.table(s"$schema.events").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq(1L -> "a", 2L -> "B", 3L -> "c"))
+      // the shim saw is_incremental=false then true
+      assert(Files.readString(flags).trim.linesIterator.toSeq ==
+        Seq("\"is_incremental\": false", "\"is_incremental\": true"))
+    } finally spark.conf.unset("spark.graft.pythonInterpreter")
   }
 
   test("compile writes python models as .py without Jinja-rendering f-strings") {
