@@ -682,6 +682,76 @@ object EnginePack extends QueryPack {
         .toDF("case_name", "outcome").orderBy("case_name")
     }),
 
+    // python model execution bridge (reference funcs.rs:107
+    // submit_python_job): a stub shell interpreter stands in for the
+    // python runtime — exactly the seam the contract exposes — and the
+    // scenarios exercise the no-interpreter error, the DAG harvest, the
+    // export-mode staged-swap write, and a two-run incremental merge with
+    // dbt.is_incremental false→true. Outcomes are engine-independent
+    // literals, so the oracle is a VALUES table.
+    "q_engine_python" -> ((s, dir) => {
+      import s.implicits._
+      val proj = Files.createTempDirectory("graft_qpy")
+      write(proj, "dbt_project.yml", "name: qpy\nmodel-paths: [\"models\"]\n")
+      write(proj, "models/events.py",
+        """def model(dbt, session):
+          |    return None  # replaced by the stub; contract is the manifest
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """models:
+          |  - name: events
+          |    config:
+          |      materialized: incremental
+          |      incremental_strategy: merge
+          |      unique_key: id
+          |""".stripMargin)
+      val work = Files.createTempDirectory("graft_qpystub")
+      val first = work.resolve("first").toString
+      val second = work.resolve("second").toString
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(first)
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v").coalesce(1).write.parquet(second)
+      val marker = work.resolve("ran_once")
+      val flags = work.resolve("flags.txt")
+      write(work, "stub.sh",
+        s"""#!/bin/bash
+           |set -e
+           |out=$$(sed -n 's/.*"output": "\\([^"]*\\)".*/\\1/p' "$$2")
+           |grep -o '"is_incremental": [a-z]*' "$$2" | cut -d' ' -f2 >> $flags
+           |if [ -f $marker ]; then cp -r $second "$$out"
+           |else cp -r $first "$$out"; touch $marker; fi
+           |""".stripMargin)
+      val schema = "g_qpy"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      // scenario 1: no interpreter → structured per-node error
+      s.conf.unset("spark.graft.pythonInterpreter")
+      def runOnce() = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema,
+        warehouseLocation =
+          Some(Files.createTempDirectory("g_qpy_wh").toString)).run()
+      val noInterp = runOnce().find(_.uniqueId == "model.qpy.events").get
+      val errOutcome =
+        if (noInterp.status == "error" &&
+          noInterp.message.contains("no submit_python_job")) "structured_error"
+        else s"unexpected:${noInterp.status}"
+      // scenario 2+3: stubbed interpreter, two runs → create then merge
+      s.conf.set("spark.graft.pythonInterpreter", s"bash ${work.resolve("stub.sh")}")
+      try {
+        val r1 = runOnce().find(_.uniqueId == "model.qpy.events").get
+        val firstRows = s.table(s"$schema.events").orderBy("id").collect()
+          .map(r => s"${r.getLong(0)}:${r.getString(1)}").mkString("|")
+        val r2 = runOnce().find(_.uniqueId == "model.qpy.events").get
+        val mergedRows = s.table(s"$schema.events").orderBy("id").collect()
+          .map(r => s"${r.getLong(0)}:${r.getString(1)}").mkString("|")
+        Seq(
+          ("no_interpreter", errOutcome),
+          ("first_run", s"${r1.status} $firstRows"),
+          ("incremental_merge", s"${r2.status} $mergedRows"),
+          ("is_incremental_flags",
+            Files.readString(flags).trim.linesIterator.mkString(",")))
+          .toDF("case_name", "outcome").orderBy("case_name")
+      } finally s.conf.unset("spark.graft.pythonInterpreter")
+    }),
+
     // --sample sampler plans (reference: crates/dbt-sample/src/plan.rs:13-131
     // SamplerPlan/Keyset/Entry/Strategy; sample_renaming_map plan.rs:494-516):
     // `graft sample` materializes a referentially-consistent slice of the
@@ -893,6 +963,15 @@ object EnginePack extends QueryPack {
         |  ('private_cross_group', 'blocked'),
         |  ('protected_same_package', 'ok'),
         |  ('protected_cross_package', 'blocked'))
+        |  AS t(case_name, outcome)
+        |ORDER BY case_name""".stripMargin,
+
+    "q_engine_python" ->
+      """SELECT case_name, outcome FROM (VALUES
+        |  ('no_interpreter', 'structured_error'),
+        |  ('first_run', 'success 1:a|2:b'),
+        |  ('incremental_merge', 'success 1:a|2:B|3:c'),
+        |  ('is_incremental_flags', 'false,true'))
         |  AS t(case_name, outcome)
         |ORDER BY case_name""".stripMargin
   )
