@@ -722,8 +722,10 @@ object EnginePack extends QueryPack {
            |""".stripMargin)
       val schema = "g_qpy"
       s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
-      // scenario 1: no interpreter → structured per-node error
-      s.conf.unset("spark.graft.pythonInterpreter")
+      // scenario 1: no interpreter → structured per-node error. The
+      // explicit empty conf disables the bridge even where the host
+      // exports GRAFT_PYTHON (conf wins over env).
+      s.conf.set("spark.graft.pythonInterpreter", "")
       def runOnce() = new Runner(s, ProjectLoader.load(proj.toString),
         targetSchema = schema,
         warehouseLocation =

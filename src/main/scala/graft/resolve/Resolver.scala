@@ -646,6 +646,11 @@ object Resolver {
           throw new IllegalArgumentException(
             s"python model $name: materialized '$mat' is not supported by " +
               "this adapter (table or incremental only)")
+        if (mat == "incremental" && merged.get("incremental_strategy")
+            .map(Yaml.str).contains("microbatch"))
+          throw new IllegalArgumentException(
+            s"python model $name: the microbatch strategy needs per-batch " +
+              "SQL compilation and is not supported for python models")
         val cfg = toNodeConfig(merged + ("materialized" -> (mat: Any)))
         Node(
           uniqueId = s"model.${proj.name}.$name",

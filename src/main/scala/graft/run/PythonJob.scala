@@ -35,8 +35,6 @@ import scala.jdk.CollectionConverters._
   */
 object PythonJob {
 
-  final case class PyResult(success: Boolean, message: String)
-
   /** Invoke the configured interpreter on one model. Returns (mode, output
     * parquet path); throws on a nonzero exit or a missing export-mode
     * output. `isIncremental` surfaces as `dbt.is_incremental` in the shim
@@ -91,16 +89,20 @@ object PythonJob {
 
   /** Export-mode invocation returning the model's frame WITHOUT writing it
     * — the incremental materialization consumes this as its compiled-query
-    * producer and owns the merge/append. */
+    * producer and owns the merge/append. The fqn-mode check runs BEFORE
+    * the interpreter: in that mode the interpreter owns the write, so
+    * spawning it first would execute the full job and then disagree with
+    * the error the node reports. */
   def produce(spark: SparkSession, node: Node,
       inputs: Map[String, (DataFrame, String)], target: Relation,
       interpreter: String, isIncremental: Boolean): DataFrame = {
-    val (mode, outPath) =
+    if (spark.conf.getOption("spark.graft.pythonInputMode").contains("fqn"))
+      throw new IllegalStateException(
+        s"incremental python model ${node.name} needs export input mode — " +
+          "in fqn mode the interpreter owns the write and the engine cannot " +
+          "apply the incremental strategy")
+    val (_, outPath) =
       invoke(spark, node, inputs, target, interpreter, isIncremental)
-    if (mode == "fqn") throw new IllegalStateException(
-      s"incremental python model ${node.name} needs export input mode — " +
-        "in fqn mode the interpreter owns the write and the engine cannot " +
-        "apply the incremental strategy")
     spark.read.parquet(outPath.toString)
   }
 
@@ -148,20 +150,18 @@ object PythonJob {
     * (`<ref name>` or `<source>.<table>`) to (DataFrame, catalog fqn or
     * storage path). Writes the model output to `target` via the
     * adapter's staged swap on success. */
+  /** Run one table-materialized python model; returns the success message
+    * and throws (like every materialization) on interpreter failure. */
   def run(spark: SparkSession, adapter: SparkAdapter, node: Node,
       inputs: Map[String, (DataFrame, String)], target: Relation,
-      interpreter: String): PyResult = {
-    val (mode, outPath) = try
+      interpreter: String): String = {
+    val (mode, outPath) =
       invoke(spark, node, inputs, target, interpreter, isIncremental = false)
-    catch {
-      case e: IllegalStateException => return PyResult(success = false, e.getMessage)
-    }
     if (mode != "fqn") {
       val result = spark.read.parquet(outPath.toString)
       adapter.writeTableAtomic(result, target,
         node.config.partitionBy, node.config.sortBy)
     }
-    PyResult(success = true,
-      s"python model ok via $interpreter ($mode mode)")
+    s"python model ok via $interpreter ($mode mode)"
   }
 }

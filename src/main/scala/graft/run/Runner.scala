@@ -218,19 +218,9 @@ final class Runner(
         case NodeKind.Model =>
           val sql = withQueryComment(node, compileSql(node))
           if (node.config.contractEnforced) Contracts.enforce(spark, node, sql)
-          // custom incremental strategies render their project macro with
-          // the run context + the dbt arg dict (base_adapter.rs:339)
-          val macroRenderer = Some((macroName: String, args: Map[String, Any]) =>
-            Jinja.render(macroPrelude + s"{{ $macroName(arg_dict) }}",
-              DbtContext.runContext(adapter, node.relation.get,
-                (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n, v))
-                  .flatMap(_.relation).map(_.fqn).getOrElse(n),
-                sourceSql,
-                isIncremental = true, node.config.extra, project.vars) +
-                ("arg_dict" -> args)))
           val ctx = MatContext(adapter, node.copy(rawSql = sql),
             node.relation.get, () => spark.sql(sql), fullRefresh, now,
-            macroRenderer = macroRenderer)
+            macroRenderer = Some(incrementalMacroRenderer(node)))
           node.config.materialized match {
             case "incremental" if node.config.incrementalStrategy
                 .contains(IncrementalStrategy.Microbatch) =>
@@ -421,12 +411,24 @@ final class Runner(
     * models/seeds/snapshots and sources) become inputs — regex-harvested
     * phantom refs and unit-test gating edges are skipped. */
   private def runPythonModel(node: Node, fullRefresh: Boolean): MatResult = {
-    val interpreter = spark.conf.getOption("spark.graft.pythonInterpreter")
-      .filter(_.nonEmpty).orElse(sys.env.get("GRAFT_PYTHON").filter(_.nonEmpty))
-      .getOrElse(throw new IllegalStateException(
-        s"Python models are not supported without an interpreter " +
-          s"(no submit_python_job): ${node.path} — set " +
-          s"spark.graft.pythonInterpreter or GRAFT_PYTHON, or port the model to SQL"))
+    // an explicitly-set conf wins over the env var, INCLUDING an explicit
+    // empty value — setting spark.graft.pythonInterpreter="" disables the
+    // bridge even where GRAFT_PYTHON is exported
+    val interpreter = (spark.conf.getOption("spark.graft.pythonInterpreter") match {
+      case Some(v) => Some(v.trim).filter(_.nonEmpty)
+      case None => sys.env.get("GRAFT_PYTHON").map(_.trim).filter(_.nonEmpty)
+    }).getOrElse(throw new IllegalStateException(
+      s"Python models are not supported without an interpreter " +
+        s"(no submit_python_job): ${node.path} — set " +
+        s"spark.graft.pythonInterpreter or GRAFT_PYTHON, or port the model to SQL"))
+    // --empty cannot be enforced in fqn mode (the interpreter reads the
+    // catalog directly) — refuse rather than silently run a full build
+    if (emptyMode &&
+        spark.conf.getOption("spark.graft.pythonInputMode").contains("fqn"))
+      throw new IllegalStateException(
+        s"python model ${node.name}: --empty cannot be honored in fqn input " +
+          "mode — the interpreter reads sources directly; use export mode " +
+          "for dry runs")
     val dataKinds: Set[NodeKind] =
       Set(NodeKind.Model, NodeKind.Seed, NodeKind.Snapshot)
     val inputs: Map[String, (org.apache.spark.sql.DataFrame, String)] =
@@ -456,19 +458,34 @@ final class Runner(
     node.config.materialized match {
       case "incremental" =>
         // the bridge produces the frame; the engine owns the strategy
-        // (append/merge/delete+insert... — same code path as SQL models)
+        // (append/merge/delete+insert/custom — same code path as SQL
+        // models, including the custom-strategy macro renderer)
         val isIncr = !fullRefresh && adapter.relationExists(node.relation.get)
         val df = PythonJob.produce(spark, node, inputs, node.relation.get,
           interpreter, isIncremental = isIncr)
         Materializations.resolve("incremental").run(MatContext(
-          adapter, node, node.relation.get, () => df, fullRefresh, now))
+          adapter, node, node.relation.get, () => df, fullRefresh, now,
+          macroRenderer = Some(incrementalMacroRenderer(node))))
       case _ =>
-        val r = PythonJob.run(spark, adapter, node, inputs, node.relation.get,
-          interpreter)
-        if (!r.success) throw new IllegalStateException(r.message)
-        MatResult(node.relation.get, "success", r.message)
+        val msg = PythonJob.run(spark, adapter, node, inputs,
+          node.relation.get, interpreter)
+        MatResult(node.relation.get, "success", msg)
     }
   }
+
+  /** Custom incremental strategies render their project macro with the run
+    * context + the dbt arg dict (base_adapter.rs:339); shared by the SQL
+    * and python incremental paths. */
+  private def incrementalMacroRenderer(node: Node)
+      : (String, Map[String, Any]) => String =
+    (macroName: String, args: Map[String, Any]) =>
+      Jinja.render(macroPrelude + s"{{ $macroName(arg_dict) }}",
+        DbtContext.runContext(adapter, node.relation.get,
+          (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n, v))
+            .flatMap(_.relation).map(_.fqn).getOrElse(n),
+          sourceSql,
+          isIncremental = true, node.config.extra, project.vars) +
+          ("arg_dict" -> args))
 
   /** `graft sample` — materialize a sampler plan's entries into the
     * parallel `<schema><suffix>` namespace (reference:
