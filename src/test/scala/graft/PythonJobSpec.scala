@@ -326,6 +326,50 @@ class PythonJobSpec extends AnyFunSuite {
     }
   }
 
+  test("custom incremental strategies dispatch for python models too") {
+    val proj = Files.createTempDirectory("graft_pycustom")
+    write(proj, "dbt_project.yml", "name: pycustom\nmodel-paths: [\"models\"]\n")
+    write(proj, "macros/theirs.sql",
+      """{% macro get_incremental_theirs_sql(arg_dict) %}
+        |INSERT INTO {{ arg_dict['target_relation'] }}
+        |SELECT * FROM {{ arg_dict['temp_relation'] }}
+        |{% endmacro %}
+        |""".stripMargin)
+    write(proj, "models/events.py",
+      "def model(dbt, session):\n    return None  # stub-delivered\n")
+    write(proj, "models/schema.yml",
+      """models:
+        |  - name: events
+        |    config:
+        |      materialized: incremental
+        |      incremental_strategy: theirs
+        |""".stripMargin)
+    val work = Files.createTempDirectory("graft_pycustomstub")
+    import spark.implicits._
+    val premade = work.resolve("premade").toString
+    Seq((1L, "x")).toDF("id", "v").coalesce(1).write.parquet(premade)
+    val stub = write(work, "stub.sh",
+      s"""#!/bin/bash
+         |set -e
+         |out=$$(sed -n 's/.*"output": "\\([^"]*\\)".*/\\1/p' "$$2")
+         |cp -r $premade "$$out"
+         |""".stripMargin)
+    val schema = "g_pycustom"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    spark.conf.set("spark.graft.pythonInterpreter", s"bash $stub")
+    try {
+      val loc = Files.createTempDirectory("g_pycustom_wh").toString
+      def runOnce() = new Runner(spark, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc)).run()
+      assert(runOnce().forall(_.status == "success"))
+      assert(spark.table(s"$schema.events").count() == 1)
+      // second run routes through the custom macro → INSERTs the batch again
+      val r2 = runOnce().find(_.uniqueId == "model.pycustom.events").get
+      assert(r2.status == "success", r2.message)
+      assert(spark.table(s"$schema.events").count() == 2)
+    } finally spark.conf.unset("spark.graft.pythonInterpreter")
+  }
+
   test("--empty feeds python models zero-row inputs") {
     val proj = pyProject("pyempty")
     val work = Files.createTempDirectory("graft_pyemptystub")
