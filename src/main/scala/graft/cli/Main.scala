@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
   * crates/dbt-sa-cli/src/main.rs → execute_fs dbt_sa_lib.rs:45-72).
   *
   * Usage:
-  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs|sample>
+  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs|sample|clean>
   *     [--project-dir DIR] [--select SPEC] [--selector NAME]
   *     [--full-refresh] [--threads N] [--schema NAME] [--target-path DIR]
   *     [--state DIR] [--defer] [--sample PLAN.yml] [--sample-suffix SFX]
@@ -58,7 +58,11 @@ object Main {
         * (reference crates/dbt-sample/src/plan.rs). */
       samplePlan: Option[String] = None,
       /** --sample-suffix: sampled-namespace schema suffix. */
-      sampleSuffix: String = "__sample")
+      sampleSuffix: String = "__sample",
+      /** clean: extra relative directories to remove on top of the
+        * project's clean-targets (reference CleanArgs.files,
+        * crates/dbt-sa-cli/src/dbt_sa_clap.rs:172-176). */
+      cleanFiles: Seq[String] = Nil)
 
   /** "yyyy-MM-dd" or "yyyy-MM-dd HH:mm:ss" → Timestamp, interpreted at
     * UTC — MicrobatchRunner truncates and windows batches at
@@ -89,6 +93,12 @@ object Main {
     // sample <plan.yml>
     if (a.command == "sample" && argv.length > 1 && !argv(1).startsWith("--")) {
       a = a.copy(samplePlan = Some(argv(1))); i = 2
+    }
+    // clean [dir ...]
+    if (a.command == "clean") {
+      while (i < argv.length && !argv(i).startsWith("--")) {
+        a = a.copy(cleanFiles = a.cleanFiles :+ argv(i)); i += 1
+      }
     }
     while (i < argv.length) {
       argv(i) match {
@@ -148,7 +158,10 @@ object Main {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args) finally spark.stop()
+    // propagate the command's status as the process exit code — dbt
+    // scripting (CI gating on `dbt build`) relies on nonzero exits
+    val rc = try run(spark, args) finally spark.stop()
+    if (rc != 0) sys.exit(rc)
   }
 
   def run(spark: SparkSession, args: Args): Int = {
@@ -170,6 +183,7 @@ object Main {
     // deps needs only the load (resolution happened in it) — handle it
     // before the Runner spins up a Spark-backed adapter
     if (args.command == "deps") return runDeps(project, args)
+    if (args.command == "clean") return runClean(project, args)
     val plan = args.samplePlan.map(graft.sample.SamplerPlan.parseFile)
     val runner = new Runner(spark, project, args.schema,
       threads = args.threads, stateDir = args.state,
@@ -445,6 +459,51 @@ object Main {
     entries.foreach(e => println(
       s"resolved: ${e.map { case (k, v) => s"$k=$v" }.mkString(" ")}"))
     println(s"wrote ${entries.size} entries → package-lock.yml")
+    0
+  }
+
+  /** `clean`: remove the target path, the project's `clean-targets:`
+    * dirs, and any extra positional dirs — refusing absolute paths,
+    * anything outside the project root, and anything that is (or
+    * contains) a protected source dir; one unsafe path aborts the whole
+    * run with nothing deleted (reference: execute_clean_command,
+    * crates/dbt-loader/src/clean.rs:24-106). */
+  private def runClean(project: graft.project.Project, args: Args): Int = {
+    import java.nio.file.Path
+    val root = Paths.get(args.projectDir).toAbsolutePath.normalize
+    val protectedDirs: Seq[Path] =
+      (project.modelPaths ++ project.seedPaths ++ project.snapshotPaths ++
+        project.testPaths ++ project.analysisPaths ++ project.macroPaths)
+        .map(p => root.resolve(p).normalize)
+    val requested = project.cleanTargets ++ args.cleanFiles
+    val absolutes = requested.filter(p => Paths.get(p).isAbsolute)
+    if (absolutes.nonEmpty) {
+      absolutes.foreach(p =>
+        System.err.println(s"clean: absolute paths are not allowed: $p"))
+      return 2
+    }
+    val targets: Seq[Path] =
+      (requested :+ args.targetPath).map(p => root.resolve(p).normalize).distinct
+    val unsafe = targets.filter { t =>
+      // inside the project root (strictly below it) …
+      !(t.startsWith(root) && t != root) ||
+        // … and neither equal to nor an ancestor of a protected dir
+        protectedDirs.exists(p => p.startsWith(t))
+    }
+    if (unsafe.nonEmpty) {
+      unsafe.foreach(p => System.err.println(
+        s"clean: refusing to delete protected or out-of-project path: $p"))
+      return 2
+    }
+    targets.foreach { t =>
+      if (Files.exists(t)) {
+        val stream = Files.walk(t)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        finally stream.close()
+        println(s"removed $t")
+      }
+    }
     0
   }
 

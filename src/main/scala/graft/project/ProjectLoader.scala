@@ -17,6 +17,15 @@ final case class Project(
     seedPaths: Seq[String],
     snapshotPaths: Seq[String],
     testPaths: Seq[String],
+    /** analysis-paths / macro-paths — kept so `clean` can refuse to
+      * delete them (reference: collect_protected_paths,
+      * crates/dbt-loader/src/dbt_project_yml_loader.rs:222-234). */
+    analysisPaths: Seq[String] = Seq("analyses"),
+    macroPaths: Seq[String] = Seq("macros"),
+    /** dbt_project.yml `clean-targets:` — extra directories `clean`
+      * removes besides the target path (reference:
+      * crates/dbt-loader/src/clean.rs:59-79). */
+    cleanTargets: Seq[String] = Nil,
     /** dbt_project.yml `models:` config tree (project-level configs). */
     modelConfigs: Map[String, Any],
     seedConfigs: Map[String, Any],
@@ -624,6 +633,10 @@ object ProjectLoader {
       seedPaths = seedPaths,
       snapshotPaths = snapshotPaths,
       testPaths = testPaths,
+      analysisPaths = analysisPaths,
+      macroPaths = macroPaths,
+      cleanTargets = Yaml.dig(cfg, "clean-targets").map(Yaml.strSeq)
+        .getOrElse(Nil),
       modelConfigs = Yaml.dig(cfg, "models").map(_.asInstanceOf[Map[String, Any]])
         .getOrElse(Map.empty),
       seedConfigs = Yaml.dig(cfg, "seeds").map(_.asInstanceOf[Map[String, Any]])
