@@ -271,6 +271,38 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__h")
 
+  /** Line-level dedup (CCNet/Gopher boilerplate removal): drop every
+    * LINE whose document frequency across the corpus exceeds `maxDocFreq`
+    * (nav bars, cookie banners, license footers), keeping the remaining
+    * lines in original order. Documents whose every line is boilerplate
+    * drop out entirely.
+    *
+    * Scale shape: posexplode is narrow; the doc-frequency aggregate
+    * shuffles (md5(line), doc) pairs — 16-byte keys, never documents; the
+    * hot-line set is then LEFT ANTI joined back. Its size is bounded by
+    * total_lines / maxDocFreq, so AQE turns the anti join into a
+    * broadcast on real corpora; reassembly is one shuffle by doc id.
+    * (reference has no line-level op — this is the training-data pipeline
+    * extension; cf. CCNet §3.1 paragraph dedup, Gopher §A.1.1.) */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__lh", md5(col("__line")))
+    // doc frequency per line content; distinct first so a doc repeating
+    // its own line counts once (two-phase partial agg either way)
+    val hot = lines.select(col("__lh"), col(idCol)).distinct()
+      .groupBy("__lh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("__lh")
+    lines.join(hot, Seq("__lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as("cleaned_text"))
+  }
+
   /** MinHash signature via affine permutations over precomputed shingle
     * hashes: permutation p is h ↦ ((2p+3)·h + 12582917·p) mod (2^31−1) —
     * pure integer math, no per-permutation string hashing (the naive form

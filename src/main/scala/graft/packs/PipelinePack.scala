@@ -253,6 +253,20 @@ object PipelinePack extends QueryPack {
         .orderBy(col("n").desc, col("bigram")).limit(20)
     }),
 
+    // line-level boilerplate removal: lines shared by >2 documents are
+    // dropped corpus-wide, survivors reassemble in order. The synthetic
+    // docs are single-line, so line structure is derived first with a
+    // LITERAL replace (same left-to-right non-overlapping semantics in
+    // Spark and DuckDB) — a real corpus feeds newline-delimited text in
+    // directly
+    "q_text_linededup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("replace(text, ' table ', '\n')").as("text"))
+      Dedup.lineDedup(docs, "doc_id", "text", maxDocFreq = 2)
+        .orderBy("doc_id")
+    }),
+
     // int8 symmetric embedding quantization (4x smaller vectors for
     // storage/transfer at scale): scale = 127/max|x| per vector, one
     // explode + two narrow shuffles; checksum pins every quantized value
@@ -769,6 +783,22 @@ object PipelinePack extends QueryPack {
         |  WHERE len(string_split(text, ' ')) >= 2)
         |SELECT bigram, count(*) AS n FROM grams
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_text_linededup" ->
+      """WITH doc2 AS (
+        |  SELECT doc_id, replace(text, ' table ', chr(10)) AS t FROM documents
+        |), s AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS arr FROM doc2
+        |), l AS (
+        |  SELECT doc_id, unnest(arr) AS line, generate_subscripts(arr, 1) AS pos FROM s
+        |), d AS (
+        |  SELECT line, count(DISTINCT doc_id) AS docfreq FROM l GROUP BY line
+        |), kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM l JOIN d USING (line)
+        |  WHERE d.docfreq <= 2
+        |)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH ex AS (

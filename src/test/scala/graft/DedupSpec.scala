@@ -391,4 +391,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(2000))
     assert(!physical.contains("CartesianProduct"), physical.take(2000))
   }
+
+  test("line dedup drops corpus-hot lines, keeps order, drops empty docs") {
+    import spark.implicits._
+    // "footer" appears in 3 docs (> maxDocFreq=2) — must vanish; a doc
+    // repeating its OWN line counts once, so "twice" (df=1) survives
+    val docs = Seq(
+      (1L, "alpha\nfooter\nbeta"),
+      (2L, "footer\ngamma"),
+      (3L, "delta\nfooter"),
+      (4L, "twice\ntwice\nepsilon"),
+      (5L, "footer")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha\nbeta",
+      2L -> "gamma",
+      3L -> "delta",
+      4L -> "twice\ntwice\nepsilon"))
+    // doc 5 was pure boilerplate → dropped entirely
+    assert(!out.contains(5L))
+  }
 }
