@@ -90,6 +90,41 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Domain-mixture sampling: subsample each stratum (source/domain) so
+    * the kept corpus approaches a target token mix — stratum s with
+    * integer weight w_s out of Σw gets ≈ (w_s/Σw)·budget tokens, i.e.
+    * keep-rate min(1, w_s·budget / (Σw·total_s)). Strata without a weight
+    * are dropped (weight 0). The rate test is the same md5-bucket pure
+    * function as [[stratifiedSample]], expressed as the cross-multiplied
+    * integer inequality bucket·Σw·total_s < w_s·budget·10000 in
+    * DECIMAL(38,0), so any engine reproduces the exact row set — no
+    * float rounding at the threshold.
+    *
+    * Scale shape: per-stratum token totals are one partial-agg shuffle of
+    * (stratum, count) pairs; the totals and weight tables are broadcast
+    * back (strata counts are small by definition); the filter itself is
+    * map-side. No driver-side loop, no collect. */
+  def mixByTokenWeights(df: DataFrame, keyCol: String, stratumCol: String,
+      tokensCol: String, weights: Seq[(String, Long)],
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(weights.nonEmpty, "weights must not be empty")
+    weights.foreach { case (s, w) =>
+      require(w > 0, s"weight must be positive for stratum '$s': $w") }
+    val wsum = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(stratumCol, "__wgt")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("decimal(38,0)").as("__total"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.join(broadcast(totals), Seq(stratumCol))
+      .join(broadcast(w), Seq(stratumCol)) // inner: unweighted strata drop
+      .filter(dec(hashBucket(keyCol, 10000)) * col("__total") * dec(lit(wsum))
+        < dec(lit(budget)) * dec(col("__wgt")) * dec(lit(10000L)))
+      .drop("__total", "__wgt")
+  }
+
   /** Token-budget shard packing: assign documents to consecutive training
     * shards so each shard holds ≈ `budget` tokens. Deterministic packing
     * order = `orderCol`; shard id = floor(exclusive running token sum /

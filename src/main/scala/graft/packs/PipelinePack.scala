@@ -170,6 +170,20 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // domain mixing: weighted per-source subsampling toward a token
+    // budget — src0-4 weigh 3x src5-9, the other sources drop out
+    "q_sample_mix" -> ((s, dir) => {
+      val weights = (0 to 4).map(i => s"src$i" -> 3L) ++
+        (5 to 9).map(i => s"src$i" -> 1L)
+      val withTokens = Tables(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+      graft.ops.Sampling.mixByTokenWeights(withTokens, "doc_id", "source",
+        "n_tok", weights, budget = 8000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // token-budget shard packing: running-sum window → shard id
     "q_sample_shards" -> ((s, dir) => {
       val withTokens = Tables(s, dir, "documents")
@@ -651,6 +665,27 @@ object PipelinePack extends QueryPack {
         |WHERE bucket < CASE lang WHEN 'en' THEN 5000
         |                         WHEN 'de' THEN 10000 ELSE 2500 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sample_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT) % 10000 AS bucket
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, sum(n_tok) AS total FROM tok GROUP BY source
+        |), w(source, wgt) AS (
+        |  VALUES ('src0', 3), ('src1', 3), ('src2', 3), ('src3', 3),
+        |         ('src4', 3), ('src5', 1), ('src6', 1), ('src7', 1),
+        |         ('src8', 1), ('src9', 1)
+        |), keep AS (
+        |  SELECT t.doc_id, t.source, t.n_tok
+        |  FROM tok t JOIN tot USING (source) JOIN w USING (source)
+        |  WHERE CAST(t.bucket AS HUGEINT) * CAST(tot.total AS HUGEINT) * 20
+        |      < CAST(w.wgt AS HUGEINT) * 8000 * 10000
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sample_shards" ->
       """WITH t AS (

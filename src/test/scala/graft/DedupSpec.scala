@@ -392,6 +392,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!physical.contains("CartesianProduct"), physical.take(2000))
   }
 
+  test("domain mixing keeps the weighted token share, drops unlisted strata") {
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      val src = s"s${i % 3}" // s0, s1, s2 — 100 docs × 10 tokens each
+      (i.toLong, src, 10)
+    }.toDF("doc_id", "source", "n_tok")
+    // budget 600 of 3000 tokens, s0:s1 = 2:1, s2 unlisted → dropped.
+    // rate(s0) = 2/3·600/1000 = 0.4, rate(s1) = 1/3·600/1000 = 0.2
+    val out = graft.ops.Sampling.mixByTokenWeights(
+      docs, "doc_id", "source", "n_tok", Seq("s0" -> 2L, "s1" -> 1L), 600L)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("s2"))
+    // md5 buckets are uniform-ish; 100 docs at rate 0.4/0.2 land within
+    // a generous band
+    assert(bySrc("s0") > 25 && bySrc("s0") < 55, bySrc)
+    assert(bySrc("s1") > 10 && bySrc("s1") < 30, bySrc)
+    // deterministic: same rows regardless of partitioning
+    val again = graft.ops.Sampling.mixByTokenWeights(
+      docs.repartition(7), "doc_id", "source", "n_tok",
+      Seq("s0" -> 2L, "s1" -> 1L), 600L)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("line dedup drops corpus-hot lines, keeps order, drops empty docs") {
     import spark.implicits._
     // "footer" appears in 3 docs (> maxDocFreq=2) — must vanish; a doc
