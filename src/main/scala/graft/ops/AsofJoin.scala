@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of (point-in-time) join — for every left row, the right
+  * row with the greatest right timestamp at-or-before the left row's
+  * timestamp within the same key. The feature-store / market-data join
+  * Spark has no built-in operator for.
+  *
+  * Spark-first shape instead of a range join: tag both sides, UNION, and
+  * run one `last(_, ignoreNulls)` window per payload column over
+  * (key, ts, side) order — the right payload forward-fills onto every
+  * later left row. Cost at 100 TB: ONE shuffle by key + one sort, no
+  * per-key state, no range-join explosion, and ties at equal timestamps
+  * resolve right-before-left so "at-or-before" is inclusive. A
+  * `toleranceMicros` bound nulls out matches older than the window
+  * (market-data staleness semantics), applied post-window so it costs
+  * nothing extra. */
+object AsofJoin {
+
+  /** @param keys      equi-join keys present on both sides
+    * @param leftTs    left timestamp column
+    * @param rightTs   right timestamp column
+    * @param payload   right columns to carry onto matches (names must not
+    *                  collide with left columns — rename on the right
+    *                  side first)
+    * @param toleranceMicros match only if leftTs − rightTs ≤ this many
+    *                  microseconds (None → unbounded lookback) */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key")
+    val clash = payload.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"payload columns collide with left: $clash")
+
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftOther =
+      left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
+    val tsType = right.schema(rightTs).dataType
+
+    // same column set on both sides, nulls where a side has no value
+    val l2 = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftOther.map(col) ++
+        payload.map(p => lit(null).cast(rightTypes(p)).as(s"__r_$p")) :+
+        lit(null).cast(tsType).as("__r_ts"): _*)
+    val r2 = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"__r_$p")) :+
+        col(rightTs).as("__r_ts"): _*)
+
+    // right rows (side 0) sort before left rows at the same instant —
+    // a right row AT the left timestamp is a match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = payload.foldLeft(l2.unionByName(r2)) { (df, p) =>
+      df.withColumn(s"__m_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w))
+    }.withColumn("__m_ts", last(col("__r_ts"), ignoreNulls = true).over(w))
+
+    val inWindow = toleranceMicros match {
+      case Some(tol) =>
+        unix_micros(col("__ts")) - unix_micros(col("__m_ts")) <= tol
+      case None => lit(true)
+    }
+    filled.filter(col("__side") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTs)) ++
+          leftOther.map(col) ++
+          payload.map(p =>
+            when(inWindow, col(s"__m_$p")).otherwise(lit(null)).as(p)): _*)
+  }
+}

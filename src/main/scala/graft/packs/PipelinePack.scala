@@ -170,6 +170,22 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // backward as-of join: every click gets the user's most recent
+    // purchase value at-or-before the click — one union + one window
+    // pass, never a range join
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      graft.ops.AsofJoin.backward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "value", "purchase_value")
+        .orderBy("event_id")
+    }),
+
     // domain mixing: weighted per-source subsampling toward a token
     // budget — src0-4 weigh 3x src5-9, the other sources drop out
     "q_sample_mix" -> ((s, dir) => {
@@ -665,6 +681,24 @@ object PipelinePack extends QueryPack {
         |WHERE bucket < CASE lang WHEN 'en' THEN 5000
         |                         WHEN 'de' THEN 10000 ELSE 2500 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS is_left, event_id, value,
+        |    NULL::DOUBLE AS r_val
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, NULL, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT user_id, ts, is_left, event_id, value,
+        |    last_value(r_val IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_left
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, value, purchase_value
+        |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
 
     "q_sample_mix" ->
       """WITH tok AS (

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.AsofJoin
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Backward as-of join semantics: greatest right ts at-or-before each
+  * left row per key, inclusive ties, null when nothing precedes, and a
+  * staleness tolerance — all from one union + window plan (no range or
+  * nested-loop join in the physical plan). */
+class AsofJoinSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("backward as-of matches latest at-or-before, per key, null before first") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts(5)),   // after r@3 → 30.0
+      (2L, "u1", ts(10)),  // tie with r@10 → inclusive → 100.0
+      (3L, "u1", ts(2)),   // before any right row → null
+      (4L, "u2", ts(7)),   // u2's only right row is r@7 → 70.0 (not u1's)
+      (5L, "u3", ts(9))    // key with no right rows at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts(3), 30.0),
+      ("u1", ts(10), 100.0),
+      ("u2", ts(7), 70.0)
+    ).toDF("user_id", "ts", "pval")
+
+    val out = AsofJoin.backward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pval"))
+    val got = out.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("pval")).map(_.toDouble)).toMap
+    assert(got == Map(1L -> Some(30.0), 2L -> Some(100.0), 3L -> None,
+      4L -> Some(70.0), 5L -> None))
+
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"), physical.take(2000))
+  }
+
+  test("toleranceMicros nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", ts(100)), (2L, "u1", ts(9)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", ts(5), 50.0)).toDF("user_id", "ts", "pval")
+    val out = AsofJoin.backward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pval"), toleranceMicros = Some(10L * 1000000))
+    val got = out.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("pval")).map(_.toDouble)).toMap
+    // 95 s gap > 10 s tolerance → null; 4 s gap → match
+    assert(got == Map(1L -> None, 2L -> Some(50.0)))
+  }
+
+  test("payload name collisions are rejected") {
+    import spark.implicits._
+    val l = Seq((1L, "u", ts(1), 2.0)).toDF("event_id", "user_id", "ts", "pval")
+    val r = Seq(("u", ts(1), 3.0)).toDF("user_id", "ts", "pval")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(l, r, Seq("user_id"), "ts", "ts", Seq("pval"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+}
