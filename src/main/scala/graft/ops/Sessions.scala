@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization: group each key's events into sessions separated
+  * by inactivity gaps (the batch twin of
+  * streaming/StreamingOps.sessionize — same semantics, but over bounded
+  * history where no watermark/state machinery is needed).
+  *
+  * Shape at 100 TB: one shuffle by key + one sort feeds BOTH windows
+  * (lag and running sum reuse the same partitioning/ordering, Spark
+  * plans a single Window exchange), everything after is map-side. The
+  * gap test runs in integer microseconds — no float time math. */
+object Sessions {
+
+  /** Add a per-key session index (1-based): a new session starts at the
+    * first event and whenever the gap from the key's previous event
+    * exceeds `gapSeconds`. `tieCols` break ordering ties for keys with
+    * equal timestamps (pass an id column when timestamps can collide —
+    * determinism of the session split depends on a total order). */
+  def assign(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+      sessionCol: String = "session_idx",
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val prevUs = lag(unix_micros(col(tsCol)), 1).over(byKey)
+    val newSession = when(
+      prevUs.isNull ||
+        unix_micros(col(tsCol)) - prevUs > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn(sessionCol,
+      sum(newSession).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

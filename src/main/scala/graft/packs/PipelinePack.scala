@@ -170,6 +170,20 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // batch sessionization: 8h-inactivity sessions per user with
+    // per-session stats — one shuffle+sort drives both windows
+    "q_sessionize" -> ((s, dir) => {
+      val withSess = graft.ops.Sessions.assign(
+        Tables(s, dir, "events"), "user_id", "ts", gapSeconds = 28800L)
+      withSess.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // backward as-of join: every click gets the user's most recent
     // purchase value at-or-before the click — one union + one window
     // pass, never a range join
@@ -681,6 +695,28 @@ object PipelinePack extends QueryPack {
         |WHERE bucket < CASE lang WHEN 'en' THEN 5000
         |                         WHEN 'de' THEN 10000 ELSE 2500 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q_asof_join" ->
       """WITH u AS (

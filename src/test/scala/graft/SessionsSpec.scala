@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Sessions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Batch sessionization semantics: 1-based per-key session indices split
+  * on gaps STRICTLY greater than the threshold, keys isolated, and both
+  * windows share one exchange in the physical plan. */
+class SessionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("sessions split on gap > threshold, boundary gap stays together") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", ts(0)), ("u1", ts(100)),   // session 1
+      ("u1", ts(200)),                  // gap exactly 100 → SAME session
+      ("u1", ts(301)),                  // gap 101 > 100 → session 2
+      ("u2", ts(0))                     // other key → its own session 1
+    ).toDF("user_id", "ts")
+    val out = Sessions.assign(df, "user_id", "ts", gapSeconds = 100L)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2))).toSet
+    assert(got == Set(
+      ("u1", 0L, 1L), ("u1", 100L, 1L), ("u1", 200L, 1L),
+      ("u1", 301L, 2L), ("u2", 0L, 1L)))
+  }
+
+  test("both windows plan over a single exchange") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (s"u${i % 5}", ts(i * 400L)))
+      .toDF("user_id", "ts")
+    val out = Sessions.assign(df, "user_id", "ts", gapSeconds = 300L)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan.take(2000))
+  }
+
+  test("tie columns make equal-timestamp ordering deterministic") {
+    import spark.implicits._
+    val df = Seq(("u1", ts(0), 2L), ("u1", ts(0), 1L), ("u1", ts(500), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessions.assign(df, "user_id", "ts", gapSeconds = 100L,
+      tieCols = Seq("event_id"))
+    val got = out.collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+}
