@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis: how far along a fixed step sequence
+  * (e.g. signup → click → purchase) each key progressed, where step i
+  * must occur AT OR AFTER the completion of step i−1 (strict event-order
+  * funnel, first-completion semantics).
+  *
+  * Shape at 100 TB: ONE shuffle — per-key sorted timestamp arrays per
+  * step (collect_list partial-aggregates map-side; per-key event counts
+  * bound the arrays), then the completion cascade
+  * t_i = first(s_i ≥ t_{i−1}) runs in codegen'd higher-order array
+  * expressions. No per-step join cascade, no driver loop, no UDF. */
+object Funnel {
+
+  /** Returns one row per key: `keyCol`, `funnel_depth` (0 = never did
+    * step 1, steps.size = completed the whole funnel), and the
+    * per-step completion timestamps `__t0..` in epoch microseconds. */
+  def depth(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val stepTs = steps.zipWithIndex.map { case (st, i) =>
+      sort_array(collect_list(
+        when(col(typeCol) === st, unix_micros(col(tsCol))))).as(s"__s$i")
+    }
+    val grouped = df.groupBy(col(keyCol)).agg(stepTs.head, stepTs.tail: _*)
+    val withCompletions = steps.indices.foldLeft(grouped) { (d, i) =>
+      // try_element_at: an empty step array (key never did the step) is
+      // null, not an ANSI index error
+      val t =
+        if (i == 0) try_element_at(col("__s0"), lit(1))
+        else try_element_at(
+          filter(col(s"__s$i"), x => x >= col(s"__t${i - 1}")), lit(1))
+      d.withColumn(s"__t$i", t)
+    }
+    // deepest completed step wins; t_i non-null implies t_{i-1} non-null
+    val depthCol = steps.indices.foldLeft(lit(0): Column) { (acc, i) =>
+      when(col(s"__t$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withCompletions
+      .withColumn("funnel_depth", depthCol)
+      .select(col(keyCol) +: col("funnel_depth") +:
+        steps.indices.map(i => col(s"__t$i")): _*)
+  }
+}

@@ -170,6 +170,20 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // ordered funnel: signup → click → purchase progression per user,
+    // first-completion semantics, one shuffle. The first-two-days slice
+    // spreads users across all four depths (the full month converges to
+    // everyone completing)
+    "q_funnel" -> ((s, dir) => {
+      graft.ops.Funnel.depth(
+        Tables(s, dir, "events")
+          .filter(expr("ts < TIMESTAMP '2024-01-03'")),
+        "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+        .groupBy("funnel_depth")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_depth")
+    }),
+
     // batch sessionization: 8h-inactivity sessions per user with
     // per-session stats — one shuffle+sort drives both windows
     "q_sessionize" -> ((s, dir) => {
@@ -695,6 +709,28 @@ object PipelinePack extends QueryPack {
         |WHERE bucket < CASE lang WHEN 'en' THEN 5000
         |                         WHEN 'de' THEN 10000 ELSE 2500 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |), per_user AS (
+        |  SELECT user_id,
+        |    list_sort(list(epoch_us(ts)) FILTER (event_type = 'signup')) AS s0,
+        |    list_sort(list(epoch_us(ts)) FILTER (event_type = 'click')) AS s1,
+        |    list_sort(list(epoch_us(ts)) FILTER (event_type = 'purchase')) AS s2
+        |  FROM e GROUP BY user_id
+        |), c0 AS (
+        |  SELECT user_id, s1, s2, s0[1] AS t0 FROM per_user
+        |), c1 AS (
+        |  SELECT user_id, s2, t0, list_filter(s1, x -> x >= t0)[1] AS t1 FROM c0
+        |), c2 AS (
+        |  SELECT user_id, t0, t1, list_filter(s2, x -> x >= t1)[1] AS t2 FROM c1
+        |)
+        |SELECT CASE WHEN t2 IS NOT NULL THEN 3
+        |            WHEN t1 IS NOT NULL THEN 2
+        |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

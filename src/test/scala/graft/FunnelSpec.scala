@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Funnel
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Ordered-funnel semantics: step i counts only at-or-after step i−1's
+  * first completion, out-of-order events don't advance the funnel, and
+  * the whole computation is one aggregation (single exchange). */
+class FunnelSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("funnel depth honors step order, not mere presence") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: full ordered funnel
+      ("u1", "signup", ts(1)), ("u1", "click", ts(2)), ("u1", "purchase", ts(3)),
+      // u2: purchase BEFORE click → depth 2 (signup, click), not 3
+      ("u2", "signup", ts(1)), ("u2", "purchase", ts(2)), ("u2", "click", ts(3)),
+      // u3: no signup → depth 0 even with later steps present
+      ("u3", "click", ts(1)), ("u3", "purchase", ts(2)),
+      // u4: signup only → depth 1
+      ("u4", "signup", ts(5)),
+      // u5: simultaneous signup+click (same ts) → at-or-after counts → 2
+      ("u5", "signup", ts(7)), ("u5", "click", ts(7))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.depth(df, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+    val got = out.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("u1" -> 3, "u2" -> 2, "u3" -> 0, "u4" -> 1, "u5" -> 2))
+  }
+
+  test("funnel retries: a later second occurrence can complete the chain") {
+    import spark.implicits._
+    // click@2 is before signup's first completion? no — signup@1, click@2
+    // completes step 2; purchase@1 (before click) doesn't count but
+    // purchase@9 does
+    val df = Seq(
+      ("u1", "purchase", ts(1)), ("u1", "signup", ts(1)),
+      ("u1", "click", ts(2)), ("u1", "purchase", ts(9))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.depth(df, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+    assert(out.collect().head.getInt(1) == 3)
+  }
+
+  test("funnel plans as a single aggregation exchange") {
+    import spark.implicits._
+    val df = (0 until 60).map(i =>
+      (s"u${i % 6}", Seq("signup", "click", "purchase")(i % 3), ts(i)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.depth(df, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(2000))
+  }
+}
