@@ -184,6 +184,26 @@ object PipelinePack extends QueryPack {
         .orderBy("funnel_depth")
     }),
 
+    // cohort retention: signup-week cohorts × weeks-since-signup active
+    // user counts — two narrow aggregates + one user-keyed join, week
+    // arithmetic in exact integer microseconds
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val activity = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("active_week")).distinct()
+      activity.join(cohorts, "user_id")
+        .withColumn("week_offset", expr(
+          "(unix_micros(active_week) - unix_micros(cohort_week)) div 604800000000"))
+        .filter(col("week_offset") >= 0)
+        .groupBy(col("cohort_week").cast("date").as("cohort_week"),
+          col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // batch sessionization: 8h-inactivity sessions per user with
     // per-session stats — one shuffle+sort drives both windows
     "q_sessionize" -> ((s, dir) => {
@@ -731,6 +751,22 @@ object PipelinePack extends QueryPack {
         |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        |  FROM events
+        |)
+        |SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+        |  CAST((epoch_us(a.active_week) - epoch_us(c.cohort_week))
+        |    // 604800000000 AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM activity a JOIN cohorts c USING (user_id)
+        |WHERE epoch_us(a.active_week) >= epoch_us(c.cohort_week)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (
