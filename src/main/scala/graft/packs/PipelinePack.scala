@@ -184,6 +184,22 @@ object PipelinePack extends QueryPack {
         .orderBy("funnel_depth")
     }),
 
+    // bucketed range join: errors within ±4h of each click per user —
+    // interval bucketing turns the non-equi predicate into a hash join
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("err_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - 14400000000L).as("w_start"),
+          (unix_micros(col("ts")) + 14400000000L).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(errors, clicks, Seq("user_id"),
+        "err_us", "w_start", "w_end", bucketWidth = 14400000000L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_errors"))
+        .orderBy("event_id")
+    }),
+
     // cohort retention: signup-week cohorts × weeks-since-signup active
     // user counts — two narrow aggregates + one user-keyed join, week
     // arithmetic in exact integer microseconds
@@ -751,6 +767,15 @@ object PipelinePack extends QueryPack {
         |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_errors
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND epoch_us(e.ts) BETWEEN epoch_us(c.ts) - 14400000000
+        |                        AND epoch_us(c.ts) + 14400000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_retention" ->
       """WITH cohorts AS (
