@@ -19,7 +19,9 @@ object Bench {
     "q_rollup", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_exact",
     "q_dedup_components",
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_text_langid",
-    "q_text_quality", "q_text_fingerprint")
+    "q_text_quality", "q_text_fingerprint",
+    // round-6 event/curation operators
+    "q_asof_join", "q_sessionize", "q_range_join", "q_text_linededup")
   // q_dedup_embedding stays oracle-only: it is the deliberately-exact
   // decimal all-pairs baseline (O(N²·d) BigDecimal math) that verifies
   // the sub-quadratic embeddingNearDupsLsh scale path — benching it would

@@ -184,6 +184,24 @@ object PipelinePack extends QueryPack {
         .orderBy("funnel_depth")
     }),
 
+    // count-min sketch: d×w deterministic counter matrix over user ids,
+    // probed for 20 users against exact counts — the md5 rows make an
+    // approximate structure engine-reproducible
+    "q_sketch_cms" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val sketch = graft.ops.Sketch.countMin(ev, "user_id",
+        width = 256, depth = 4)
+      val probeKeys = ev.filter(col("user_id") < 20)
+        .select("user_id").distinct()
+      val est = graft.ops.Sketch.estimate(sketch, probeKeys, "user_id",
+        width = 256, depth = 4)
+      val truth = ev.filter(col("user_id") < 20)
+        .groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+      est.join(truth, "user_id")
+        .select("user_id", "est", "true_cnt")
+        .orderBy("user_id")
+    }),
+
     // bucketed range join: errors within ±4h of each click per user —
     // interval bucketing turns the non-equi predicate into a hash join
     "q_range_join" -> ((s, dir) => {
@@ -767,6 +785,31 @@ object PipelinePack extends QueryPack {
         |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sketch_cms" ->
+      """WITH cells AS (
+        |  SELECT row, bucket, count(*) AS cnt FROM (
+        |    SELECT i.range AS row,
+        |      (('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' ||
+        |        CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) % 256 AS bucket
+        |    FROM events, range(4) i)
+        |  GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT u.user_id, i.range AS row,
+        |    (('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' ||
+        |      CAST(u.user_id AS VARCHAR)), 1, 12))::BIGINT) % 256 AS bucket
+        |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
+        |       range(4) i
+        |), est AS (
+        |  SELECT p.user_id, min(coalesce(c.cnt, 0)) AS est
+        |  FROM probes p LEFT JOIN cells c USING (row, bucket) GROUP BY 1
+        |), truth AS (
+        |  SELECT user_id, count(*) AS true_cnt FROM events
+        |  WHERE user_id < 20 GROUP BY 1
+        |)
+        |SELECT user_id, CAST(est AS BIGINT) AS est,
+        |  CAST(true_cnt AS BIGINT) AS true_cnt
+        |FROM est JOIN truth USING (user_id) ORDER BY user_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_errors

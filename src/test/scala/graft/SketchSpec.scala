@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Sketch
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-min sketch invariants: estimates never undercount, exact when
+  * the matrix is collision-free, matrix size is bounded by d·w, and the
+  * build is one exchange. */
+class SketchSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("estimates are exact overestimates, exact without collisions") {
+    import spark.implicits._
+    // 10 distinct keys with known counts 1..10
+    val rows = (1 to 10).flatMap(k => Seq.fill(k)(k.toLong))
+    val df = rows.toDF("k")
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+    // wide matrix: collisions vanish → exact
+    val wide = Sketch.countMin(df, "k", width = 4096, depth = 4)
+    val keys = (1 to 10).map(_.toLong).toDF("k")
+    val exact = Sketch.estimate(wide, keys, "k", width = 4096, depth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == truth)
+
+    // tiny matrix: collisions → still never BELOW the true count
+    val tiny = Sketch.countMin(df, "k", width = 4, depth = 2)
+    val approx = Sketch.estimate(tiny, keys, "k", width = 4, depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      assert(approx(k) >= n, s"undercount for $k: ${approx(k)} < $n") }
+  }
+
+  test("matrix is bounded by d·w and never negative") {
+    import spark.implicits._
+    val df = (0 until 500).map(_.toLong % 37).toDF("k")
+    val m = Sketch.countMin(df, "k", width = 8, depth = 3)
+    val cells = m.collect()
+    assert(cells.length <= 8 * 3)
+    assert(cells.forall(_.getLong(2) > 0))
+    val total = cells.map(_.getLong(2)).sum
+    assert(total == 500L * 3) // every row lands once per depth
+  }
+
+  test("unseen keys estimate to zero on an empty row cell") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 2L).toDF("k")
+    val m = Sketch.countMin(df, "k", width = 1024, depth = 4)
+    val est = Sketch.estimate(m, Seq(99L).toDF("k"), "k",
+      width = 1024, depth = 4)
+      .collect().head.getLong(1)
+    assert(est == 0L)
+  }
+}
