@@ -4,23 +4,25 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of (point-in-time) join — for every left row, the right
-  * row with the greatest right timestamp at-or-before the left row's
-  * timestamp within the same key. The feature-store / market-data join
-  * Spark has no built-in operator for.
+/** As-of (point-in-time) join — for every left row, the right row with
+  * the nearest right timestamp at-or-before (backward) or at-or-after
+  * (forward) the left row's timestamp within the same key. The
+  * feature-store / market-data join Spark has no built-in operator for.
   *
   * Spark-first shape instead of a range join: tag both sides, UNION, and
   * run one `last(_, ignoreNulls)` window per payload column over
-  * (key, ts, side) order — the right payload forward-fills onto every
-  * later left row. Cost at 100 TB: ONE shuffle by key + one sort, no
-  * per-key state, no range-join explosion, and ties at equal timestamps
-  * resolve right-before-left so "at-or-before" is inclusive. A
-  * `toleranceMicros` bound nulls out matches older than the window
-  * (market-data staleness semantics), applied post-window so it costs
-  * nothing extra. */
+  * (key, ts, side) order — the right payload fills onto every covered
+  * left row. Cost at 100 TB: ONE shuffle by key + one sort, no per-key
+  * state, no range-join explosion, and ties at equal timestamps resolve
+  * right-before-left so "at-or-X" is inclusive. A `toleranceMicros`
+  * bound nulls out matches farther than the window (market-data
+  * staleness semantics), applied post-window so it costs nothing
+  * extra. */
 object AsofJoin {
 
-  /** @param keys      equi-join keys present on both sides
+  /** Latest right row at-or-before each left row (lookback).
+    *
+    * @param keys      equi-join keys present on both sides
     * @param leftTs    left timestamp column
     * @param rightTs   right timestamp column
     * @param payload   right columns to carry onto matches (names must not
@@ -30,7 +32,21 @@ object AsofJoin {
     *                  microseconds (None → unbounded lookback) */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTs, rightTs, payload, toleranceMicros,
+      forward = false)
+
+  /** Earliest right row at-or-after each left row (lookahead) — same
+    * machinery on the reversed time axis. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTs, rightTs, payload, toleranceMicros,
+      forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      toleranceMicros: Option[Long], forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key")
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"payload columns collide with left: $clash")
@@ -54,19 +70,23 @@ object AsofJoin {
         payload.map(p => col(p).as(s"__r_$p")) :+
         col(rightTs).as("__r_ts"): _*)
 
-    // right rows (side 0) sort before left rows at the same instant —
-    // a right row AT the left timestamp is a match
+    // right rows (side 0) sort before left rows at the same instant in
+    // EITHER direction — a right row AT the left timestamp is a match;
+    // forward mode just walks time in reverse
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = payload.foldLeft(l2.unionByName(r2)) { (df, p) =>
       df.withColumn(s"__m_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w))
     }.withColumn("__m_ts", last(col("__r_ts"), ignoreNulls = true).over(w))
 
+    val gap =
+      if (forward) unix_micros(col("__m_ts")) - unix_micros(col("__ts"))
+      else unix_micros(col("__ts")) - unix_micros(col("__m_ts"))
     val inWindow = toleranceMicros match {
-      case Some(tol) =>
-        unix_micros(col("__ts")) - unix_micros(col("__m_ts")) <= tol
+      case Some(tol) => gap <= tol
       case None => lit(true)
     }
     filled.filter(col("__side") === 1)

@@ -184,6 +184,22 @@ object PipelinePack extends QueryPack {
         .orderBy("funnel_depth")
     }),
 
+    // forward as-of: every click gets the user's NEXT purchase value
+    // at-or-after it (conversion attribution) — same one-window shape
+    // on the reversed time axis
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      graft.ops.AsofJoin.forward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "value", "purchase_value")
+        .orderBy("event_id")
+    }),
+
     // count-min sketch: d×w deterministic counter matrix over user ids,
     // probed for 20 users against exact counts — the md5 rows make an
     // approximate structure engine-reproducible
@@ -785,6 +801,24 @@ object PipelinePack extends QueryPack {
         |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS is_left, event_id, value,
+        |    NULL::DOUBLE AS r_val
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, NULL, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT user_id, ts, is_left, event_id, value,
+        |    last_value(r_val IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, is_left
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, value, purchase_value
+        |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
 
     "q_sketch_cms" ->
       """WITH cells AS (

@@ -66,6 +66,32 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> None, 2L -> Some(50.0)))
   }
 
+  test("forward as-of matches earliest at-or-after, with tolerance") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts(5)),   // next right is r@10 → 100.0
+      (2L, "u1", ts(10)),  // tie at 10 → inclusive → 100.0
+      (3L, "u1", ts(11)),  // nothing after → null
+      (4L, "u2", ts(0))    // u2 has no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", ts(3), 30.0), ("u1", ts(10), 100.0))
+      .toDF("user_id", "ts", "pval")
+    val out = AsofJoin.forward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pval"))
+    val got = out.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("pval")).map(_.toDouble)).toMap
+    assert(got == Map(1L -> Some(100.0), 2L -> Some(100.0), 3L -> None,
+      4L -> None))
+
+    // 5s→10s gap is 5 s; tolerance 4 s nulls it, 5 s keeps it
+    val tight = AsofJoin.forward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pval"), toleranceMicros = Some(4L * 1000000))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("pval"))).toMap
+    assert(tight(1L).isEmpty && tight(2L).isDefined)
+  }
+
   test("payload name collisions are rejected") {
     import spark.implicits._
     val l = Seq((1L, "u", ts(1), 2.0)).toDF("event_id", "user_id", "ts", "pval")
