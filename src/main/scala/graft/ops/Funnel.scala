@@ -17,16 +17,37 @@ object Funnel {
 
   /** Returns one row per key: `keyCol`, `funnel_depth` (0 = never did
     * step 1, steps.size = completed the whole funnel), and the
-    * per-step completion timestamps `__t0..` in epoch microseconds. */
+    * per-step completion timestamps `__t0..` in epoch microseconds.
+    *
+    * Memory guard: the per-key step arrays are bounded by that key's
+    * event counts — fine for humans, not for a bot key with 10⁸ events,
+    * whose `collect_list` buffer would balloon on one executor.
+    * `maxPerStep` bounds the buffers HARD: a ranked pre-pass keeps only
+    * each (key, step)'s N earliest events before the aggregate, so no
+    * buffer exceeds N. The cascade then sees a key's first N events per
+    * step — depths only beyond that horizon are missed (for a funnel,
+    * first-completion almost always lands in the earliest events; a bot
+    * spamming one step past N is exactly the key to bound). Costs one
+    * extra window pass over the same key-hash shuffle. */
   def depth(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], maxPerStep: Option[Int] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    maxPerStep.foreach(n => require(n > 0, s"maxPerStep must be positive: $n"))
+    val bounded = maxPerStep match {
+      case Some(n) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol), col(typeCol))
+          .orderBy(col(tsCol).asc)
+        df.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= n).drop("__rk")
+      case None => df
+    }
     val stepTs = steps.zipWithIndex.map { case (st, i) =>
       sort_array(collect_list(
         when(col(typeCol) === st, unix_micros(col(tsCol))))).as(s"__s$i")
     }
-    val grouped = df.groupBy(col(keyCol)).agg(stepTs.head, stepTs.tail: _*)
+    val grouped = bounded.groupBy(col(keyCol)).agg(stepTs.head, stepTs.tail: _*)
     val withCompletions = steps.indices.foldLeft(grouped) { (d, i) =>
       // try_element_at: an empty step array (key never did the step) is
       // null, not an ANSI index error

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * linearly — with the exact s ≤ p ≤ e predicate as a post-filter. A
   * (point, interval) pair meets in exactly ONE bucket (the point's), so
   * no dedup is needed. Interval replication is ⌈len/W⌉+1×: pick W near
-  * the typical interval length to keep it ~2×. */
+  * the typical interval length to keep it ~2×. A hot (key, bucket) —
+  * many points and intervals in one time slice — is plain equi-join
+  * skew, which AQE's skew-join split handles; for pathological single
+  * buckets compose with [[Skew.saltedJoin]]'s salting on the bucket
+  * column. */
 object RangeJoin {
 
   /** Inner-join `points` rows to `intervals` rows sharing `keys` with

@@ -59,6 +59,31 @@ class FunnelSpec extends AnyFunSuite {
     assert(out.collect().head.getInt(1) == 3)
   }
 
+  test("maxPerStep bounds buffers without changing early completions") {
+    import spark.implicits._
+    // a "bot" key with 1000 signup events and a normal completion path
+    val bot = (0 until 1000).map(i => ("bot", "signup", ts(i)))
+    val tail = Seq(("bot", "click", ts(500)), ("bot", "purchase", ts(600)))
+    val df = (bot ++ tail).toDF("user_id", "event_type", "ts")
+    val capped = Funnel.depth(df, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"), maxPerStep = Some(10))
+    // signup's first completion is ts(0) — inside the cap — so the full
+    // funnel still completes
+    assert(capped.collect().head.getInt(1) == 3)
+
+    // the horizon is real: a click whose rank exceeds the cap is not
+    // seen, so a completion that NEEDS it is missed
+    val spam = (0 until 20).map(i => ("u", "click", ts(i))) ++
+      Seq(("u", "signup", ts(100)), ("u", "click", ts(200)))
+    val df2 = spam.toDF("user_id", "event_type", "ts")
+    val uncapped = Funnel.depth(df2, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+    val capped2 = Funnel.depth(df2, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"), maxPerStep = Some(10))
+    assert(uncapped.collect().head.getInt(1) == 2) // click@200 counts
+    assert(capped2.collect().head.getInt(1) == 1)  // click@200 beyond cap
+  }
+
   test("funnel plans as a single aggregation exchange") {
     import spark.implicits._
     val df = (0 until 60).map(i =>
