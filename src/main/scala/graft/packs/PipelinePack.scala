@@ -184,6 +184,19 @@ object PipelinePack extends QueryPack {
         .orderBy("funnel_depth")
     }),
 
+    // z-order key: the Morton bit-interleave that drives the zorder
+    // write layout, oracle-pinned on explicit bucket ids (the layout
+    // itself — repartitionByRange — is physical and spec-tested)
+    "q_zorder_key" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+        .withColumn("bx", pmod(col("o_custkey"), lit(256)).cast("int"))
+        .withColumn("by",
+          pmod(floor(col("o_totalprice")).cast("long"), lit(256)).cast("int"))
+      orders.select(col("o_orderkey"),
+        graft.ops.Zorder.mortonKey(Seq(col("bx"), col("by"))).as("zkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // forward as-of: every click gets the user's NEXT purchase value
     // at-or-after it (conversion attribution) — same one-window shape
     // on the reversed time axis
@@ -801,6 +814,18 @@ object PipelinePack extends QueryPack {
         |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zorder_key" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    o_custkey % 256 AS bx,
+        |    CAST(floor(o_totalprice) AS BIGINT) % 256 AS by
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(8), j ->
+        |    ((bx >> j) & 1) * (1::BIGINT << (2 * j)) +
+        |    ((by >> j) & 1) * (1::BIGINT << (2 * j + 1)))) AS BIGINT) AS zkey
+        |FROM b ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_forward" ->
       """WITH u AS (
