@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
   * crates/dbt-sa-cli/src/main.rs → execute_fs dbt_sa_lib.rs:45-72).
   *
   * Usage:
-  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs|sample|clean>
+  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs|sample|clean|debug>
   *     [--project-dir DIR] [--select SPEC] [--selector NAME]
   *     [--full-refresh] [--threads N] [--schema NAME] [--target-path DIR]
   *     [--state DIR] [--defer] [--sample PLAN.yml] [--sample-suffix SFX]
@@ -167,6 +167,9 @@ object Main {
   def run(spark: SparkSession, args: Args): Int = {
     // init runs before any project exists — handle it ahead of the load
     if (args.command == "init") return runInit(args)
+    // debug performs its own guarded load so a broken project is a
+    // reported check failure, not a stack trace
+    if (args.command == "debug") return runDebug(spark, args)
     // dbt rejects a backfill end without a start and an empty window —
     // both would otherwise silently run zero batches and report success
     if (args.eventTimeEnd.isDefined && args.eventTimeStart.isEmpty) {
@@ -505,6 +508,40 @@ object Main {
       }
     }
     0
+  }
+
+  /** `debug`: run the connection/project sanity checks dbt debug runs
+    * (dbt-core parity; the reference declares FsCommand::Debug,
+    * crates/dbt-common/src/io_args.rs:55) — each check reports pass/fail
+    * individually and any failure exits nonzero. */
+  private def runDebug(spark: SparkSession, args: Args): Int = {
+    var ok = true
+    def check(name: String)(body: => String): Unit = {
+      val outcome =
+        try { val detail = body; s"[OK]    $name: $detail" }
+        catch { case e: Exception =>
+          ok = false
+          s"[ERROR] $name: ${e.getMessage}"
+        }
+      println(outcome)
+    }
+    check("project") {
+      val yml = Paths.get(args.projectDir, "dbt_project.yml")
+      if (!Files.exists(yml))
+        throw new IllegalStateException(s"no dbt_project.yml in ${args.projectDir}")
+      val p = ProjectLoader.load(args.projectDir)
+      s"${p.name} (${p.models.size} models, ${p.packages.size} packages)"
+    }
+    check("connection") {
+      spark.sql("SELECT 1").collect()
+      s"spark ${spark.version} master=${spark.sparkContext.master}"
+    }
+    check("target schema") {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${args.schema}")
+      s"${args.schema} writable"
+    }
+    println(if (ok) "All checks passed!" else "Some checks failed.")
+    if (ok) 0 else 2
   }
 
   /** Quote a YAML scalar only when needed (quoting keeps shas and paths

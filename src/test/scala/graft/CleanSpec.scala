@@ -103,6 +103,17 @@ class CleanSpec extends AnyFunSuite {
     assert(Files.exists(proj.resolve("src/models/m1.sql")))
   }
 
+  test("debug passes on a valid project and fails on a missing one") {
+    val proj = scaffold()
+    val ok = Main.run(spark, Main.parseArgs(
+      Array("debug", "--project-dir", proj.toString, "--schema", "g_debug")))
+    assert(ok == 0)
+    val empty = Files.createTempDirectory("graft_debug_none")
+    val bad = Main.run(spark, Main.parseArgs(
+      Array("debug", "--project-dir", empty.toString)))
+    assert(bad == 2)
+  }
+
   test("clean-targets parses from dbt_project.yml into the Project") {
     val proj = scaffold("clean-targets: [\"dbt_packages\"]")
     val p = graft.project.ProjectLoader.load(proj.toString)
