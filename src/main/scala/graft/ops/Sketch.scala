@@ -56,4 +56,60 @@ object Sketch {
   private def bucket0(row: Column, c: Column, width: Int): Column =
     pmod(conv(substring(md5(concat_ws(":", row, c.cast("string"))),
       1, 12), 16, 10).cast("long"), lit(width.toLong))
+
+  /** HyperLogLog registers: sub-linear distinct counting (Flajolet et al.
+    * 2007), the cardinality counterpart to [[countMin]]'s frequencies.
+    * Item x hashes to 48 bits (same md5 idiom, so the sketch is a pure
+    * deterministic function of the data); the low `p` bits pick one of
+    * m = 2^p registers and the register keeps the maximum
+    * leading-zero rank of the remaining q = 48−p bits.
+    *
+    * Scale shape: ONE partial-aggregated max shuffle emitting at most m
+    * rows regardless of input size — the map side collapses each
+    * partition to ≤ m (bucket, rank) partials before the exchange.
+    * Untouched registers stay absent (zero). */
+  def hllRegisters(df: DataFrame, itemCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val q = 48 - p
+    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = shiftright(h, p) // the q suffix bits
+    // rank = leading zeros of w within q bits, +1 = (q+1) − bitlength(w);
+    // bin() gives the minimal-width binary string in Spark and DuckDB
+    // alike, which makes bitlength oracle-expressible
+    val rank = when(w === 0, lit(q + 1))
+      .otherwise(lit(q + 1) - length(bin(w)))
+    df.select(pmod(h, lit((1L << p))).as("bucket"), rank.as("rank"))
+      .groupBy("bucket").agg(max("rank").as("register"))
+  }
+
+  /** One-row (est) estimate from [[hllRegisters]] output. The harmonic
+    * mean is accumulated as an EXACT integer power sum (each register
+    * contributes 2^(q+1−register), absent registers 2^(q+1)), so the
+    * only floating-point steps are a constant product and one division —
+    * bit-reproducible in any IEEE engine, which is what lets an
+    * approximate estimate hash-match an oracle. Applies the standard
+    * small-range linear-counting correction when registers are empty. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val qp1 = 49 - p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val numer = (alpha * (m * m).toDouble) * math.pow(2.0, qp1)
+    registers
+      .agg(
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $qp1 - register)")) +
+          (lit(m) - count(lit(1))) * lit(1L << qp1)).as("s"),
+        (lit(m) - count(lit(1))).as("zeros"))
+      .select(
+        when(lit(numer) / col("s").cast("double") <= lit(2.5 * m) &&
+            col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(lit(numer) / col("s").cast("double")).as("e"))
+      .select(floor(col("e")).cast("long").as("est"))
+  }
 }

@@ -231,6 +231,20 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // HyperLogLog distinct count: the register table is a deterministic
+    // function of the data and the estimate divides two exact integers,
+    // so even the approximate answer hash-matches the oracle
+    "q_sketch_hll" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val regs = graft.ops.Sketch.hllRegisters(ev, "event_id", p = 6)
+      val est = graft.ops.Sketch.hllEstimate(regs, p = 6)
+      val exact = ev.agg(countDistinct(col("event_id")).as("exact"))
+      regs.crossJoin(est).crossJoin(exact)
+        .select(col("bucket"), col("register").cast("long").as("register"),
+          col("est"), col("exact"))
+        .orderBy("bucket")
+    }),
+
     // bucketed range join: errors within ±4h of each click per user —
     // interval bucketing turns the non-equi predicate into a hash join
     "q_range_join" -> ((s, dir) => {
@@ -869,6 +883,39 @@ object PipelinePack extends QueryPack {
         |SELECT user_id, CAST(est AS BIGINT) AS est,
         |  CAST(true_cnt AS BIGINT) AS true_cnt
         |FROM est JOIN truth USING (user_id) ORDER BY user_id""".stripMargin,
+
+    "q_sketch_hll" ->
+      """WITH h AS (
+        |  SELECT (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+        |          ::BIGINT) AS h48
+        |  FROM events
+        |), r AS (
+        |  SELECT h48 % 64 AS bucket,
+        |    CASE WHEN h48 // 64 = 0 THEN 43
+        |         ELSE 43 - length(bin(h48 // 64)) END AS rank
+        |  FROM h
+        |), regs AS (
+        |  SELECT bucket, max(rank) AS register FROM r GROUP BY 1
+        |), agg AS (
+        |  SELECT sum(1::BIGINT << (43 - register))
+        |           + (64 - count(*)) * (1::BIGINT << 43) AS s,
+        |         64 - count(*) AS zeros
+        |  FROM regs
+        |), est AS (
+        |  SELECT CAST(floor(CASE
+        |    WHEN ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) <= 160.0 AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+        |    ELSE ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) END) AS BIGINT) AS est
+        |  FROM agg
+        |), exact AS (
+        |  SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact
+        |  FROM events
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(register AS BIGINT) AS register, est, exact
+        |FROM regs, est, exact ORDER BY bucket""".stripMargin,
 
     "q_range_join" ->
       """SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_errors

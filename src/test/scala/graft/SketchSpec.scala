@@ -62,4 +62,35 @@ class SketchSpec extends AnyFunSuite {
       .collect().head.getLong(1)
     assert(est == 0L)
   }
+
+  test("hll registers are bounded by m and ranks stay in [1, q+1]") {
+    import spark.implicits._
+    val df = (0 until 50000).map(_.toLong).toDF("k")
+    // duplicates must not move any register
+    val regs = Sketch.hllRegisters(df.union(df), "k", p = 6).collect()
+    assert(regs.length <= 64)
+    assert(regs.forall { r =>
+      val reg = r.getInt(1); reg >= 1 && reg <= 43 })
+    val once = Sketch.hllRegisters(df, "k", p = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(regs.map(r => r.getLong(0) -> r.getInt(1)).toMap == once)
+  }
+
+  test("hll estimate lands within the expected error band") {
+    import spark.implicits._
+    val df = (0 until 50000).map(_.toLong).toDF("k")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "k", p = 6), p = 6)
+      .collect().head.getLong(0)
+    // std error at m=64 is 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.39, s"est=$est")
+  }
+
+  test("hll small cardinalities fall back to linear counting") {
+    import spark.implicits._
+    val df = (0 until 10).map(_.toLong).toDF("k")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "k", p = 6), p = 6)
+      .collect().head.getLong(0)
+    // linear counting is near-exact this far below m
+    assert(est >= 8 && est <= 12, s"est=$est")
+  }
 }
