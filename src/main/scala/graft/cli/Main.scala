@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
   * crates/dbt-sa-cli/src/main.rs → execute_fs dbt_sa_lib.rs:45-72).
   *
   * Usage:
-  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs|sample|clean|debug>
+  *   graft.cli.Main <parse|compile|run|test|seed|snapshot|build|list|docs|sample|clean|debug|man>
   *     [--project-dir DIR] [--select SPEC] [--selector NAME]
   *     [--full-refresh] [--threads N] [--schema NAME] [--target-path DIR]
   *     [--state DIR] [--defer] [--sample PLAN.yml] [--sample-suffix SFX]
@@ -170,6 +170,9 @@ object Main {
     // debug performs its own guarded load so a broken project is a
     // reported check failure, not a stack trace
     if (args.command == "debug") return runDebug(spark, args)
+    // man needs no project either (reference: FsCommand::Man,
+    // crates/dbt-common/src/io_args.rs:59)
+    if (args.command == "man") { println(manPage); return 0 }
     // dbt rejects a backfill end without a start and an empty window —
     // both would otherwise silently run zero batches and report success
     if (args.eventTimeEnd.isDefined && args.eventTimeStart.isEmpty) {
@@ -389,18 +392,6 @@ object Main {
         println(s"cleaned $targetDir")
         0
 
-      // dbt debug: environment + connection sanity
-      case "debug" =>
-        println(s"graft version: 2.0.0-graft")
-        println(s"project dir:   ${args.projectDir} (${project.name})")
-        println(s"spark:         ${spark.version} master=${spark.sparkContext.master}")
-        println(s"target schema: ${args.schema}")
-        val ok = scala.util.Try(spark.sql("SELECT 1").head.getInt(0) == 1)
-          .getOrElse(false)
-        println(s"connection:    ${if (ok) "OK" else "FAILED"}")
-        println(s"nodes parsed:  ${runner.resolved.nodes.size}")
-        if (ok) 0 else 1
-
       // graft sample <plan.yml>: materialize the plan's sampled slice
       // into `<schema><suffix>` (reference: the dbt-sample crate's
       // execute path, plan.rs:127-218)
@@ -543,6 +534,39 @@ object Main {
     println(if (ok) "All checks passed!" else "Some checks failed.")
     if (ok) 0 else 2
   }
+
+  /** `man`: command + flag reference (dbt-core parity; FsCommand::Man). */
+  private val manPage: String =
+    """graft — Spark-native dbt-compatible analytics engine
+      |
+      |commands:
+      |  init [NAME]        scaffold a runnable starter project
+      |  deps               resolve packages.yml, write package-lock.yml
+      |  parse              load + resolve the project, write manifest.json
+      |  compile            render model SQL to target/compiled
+      |  run                materialize models (view/table/incremental/...)
+      |  test               run data + unit tests
+      |  seed               load seeds/*.csv into the warehouse
+      |  snapshot           apply SCD-2 snapshots
+      |  build              run + test + seed + snapshot in DAG order
+      |  list | ls          print selected nodes
+      |  show               preview a model or --inline SQL (--limit N)
+      |  docs               generate manifest + catalog + static site
+      |  clone              clone --state manifest relations into schema
+      |  sample <plan.yml>  materialize the plan's sampled source slice
+      |  source freshness   check source loaded_at recency, sources.json
+      |  run-operation M    invoke macro M with --args '{k: v}'
+      |  retry              re-run nodes that failed in the last run
+      |  clean              delete clean-targets dirs (inside project only)
+      |  debug              project / connection / schema sanity checks
+      |  man                this page
+      |
+      |common flags:
+      |  --project-dir DIR --select SPEC --exclude SPEC --selector NAME
+      |  --schema NAME --threads N --full-refresh --fail-fast --empty
+      |  --vars '{k: v}' --state DIR --defer --target-path DIR
+      |  --sample PLAN.yml --sample-suffix SFX --limit N --output FMT
+      |  --event-time-start T --event-time-end T""".stripMargin
 
   /** Quote a YAML scalar only when needed (quoting keeps shas and paths
     * literal). */

@@ -114,6 +114,13 @@ class CleanSpec extends AnyFunSuite {
     assert(bad == 2)
   }
 
+  test("man prints the command reference without needing a project") {
+    val empty = Files.createTempDirectory("graft_man_none")
+    val rc = Main.run(spark, Main.parseArgs(
+      Array("man", "--project-dir", empty.toString)))
+    assert(rc == 0)
+  }
+
   test("clean-targets parses from dbt_project.yml into the Project") {
     val proj = scaffold("clean-targets: [\"dbt_packages\"]")
     val p = graft.project.ProjectLoader.load(proj.toString)
