@@ -57,6 +57,35 @@ object Sketch {
     pmod(conv(substring(md5(concat_ws(":", row, c.cast("string"))),
       1, 12), 16, 10).cast("long"), lit(width.toLong))
 
+  /** Exact heavy hitters with a sketch-pruned shuffle: keys occurring at
+    * least `minCount` times, with their exact counts. Count-min never
+    * undercounts, so pruning on the estimate keeps every true heavy
+    * hitter (no false negatives); the exact recount of the survivors
+    * removes the false positives — the output equals a plain
+    * groupBy-HAVING, but only candidate rows reach the exchange.
+    *
+    * Scale shape: the d·w cell matrix (driver state comparable to
+    * [[Similarity]]'s k×dim centroids) is inlined as a literal map, so
+    * the probe phase is d codegen'd map lookups per row — no join, no
+    * shuffle, the corpus streams by. The one aggregation shuffle moves
+    * only rows whose estimate clears `minCount`. */
+  def heavyHitters(df: DataFrame, itemCol: String, width: Int, depth: Int,
+      minCount: Long): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    val cells = countMin(df, itemCol, width, depth).collect()
+      .map(r => (r.getInt(0) * width.toLong + r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val m = typedLit(cells)
+    val probes = (0 until depth).map(i =>
+      coalesce(element_at(m,
+        lit(i * width.toLong) + bucket(i, col(itemCol), width)), lit(0L)))
+    val est = if (depth == 1) probes.head else least(probes: _*)
+    df.filter(est >= minCount)
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** HyperLogLog registers: sub-linear distinct counting (Flajolet et al.
     * 2007), the cardinality counterpart to [[countMin]]'s frequencies.
     * Item x hashes to 48 bits (same md5 idiom, so the sketch is a pure

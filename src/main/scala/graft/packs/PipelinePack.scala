@@ -231,6 +231,16 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // sketch-pruned exact heavy hitters: count-min estimates gate which
+    // rows reach the aggregation shuffle; the exact recount of survivors
+    // makes the output identical to a plain groupBy-HAVING
+    "q_sketch_hh" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      graft.ops.Sketch.heavyHitters(ev, "user_id", width = 256, depth = 4,
+        minCount = 75L)
+        .orderBy("user_id")
+    }),
+
     // HyperLogLog distinct count: the register table is a deterministic
     // function of the data and the estimate divides two exact integers,
     // so even the approximate answer hash-matches the oracle
@@ -883,6 +893,11 @@ object PipelinePack extends QueryPack {
         |SELECT user_id, CAST(est AS BIGINT) AS est,
         |  CAST(true_cnt AS BIGINT) AS true_cnt
         |FROM est JOIN truth USING (user_id) ORDER BY user_id""".stripMargin,
+
+    "q_sketch_hh" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 HAVING count(*) >= 75
+        |ORDER BY 1""".stripMargin,
 
     "q_sketch_hll" ->
       """WITH h AS (

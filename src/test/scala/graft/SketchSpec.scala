@@ -63,6 +63,22 @@ class SketchSpec extends AnyFunSuite {
     assert(est == 0L)
   }
 
+  test("heavy hitters are exact, even under total sketch collision") {
+    import spark.implicits._
+    // counts 1..20; threshold 12 → keys 12..20
+    val rows = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong))
+    val df = rows.toDF("k")
+    val expected = (12 to 20).map(k => k.toLong -> k.toLong).toMap
+    val wide = Sketch.heavyHitters(df, "k", width = 4096, depth = 4,
+      minCount = 12L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == expected)
+    // width=1: every key collides into one cell, estimates are the total
+    // row count — pruning passes everything, the recount stays exact
+    val collided = Sketch.heavyHitters(df, "k", width = 1, depth = 1,
+      minCount = 12L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collided == expected)
+  }
+
   test("hll registers are bounded by m and ranks stay in [1, q+1]") {
     import spark.implicits._
     val df = (0 until 50000).map(_.toLong).toDF("k")
