@@ -21,7 +21,8 @@ object Bench {
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_text_langid",
     "q_text_quality", "q_text_fingerprint",
     // round-6 event/curation operators
-    "q_asof_join", "q_sessionize", "q_range_join", "q_text_linededup")
+    "q_asof_join", "q_sessionize", "q_range_join", "q_text_linededup",
+    "q_sketch_hll", "q_sketch_hh")
   // q_dedup_embedding stays oracle-only: it is the deliberately-exact
   // decimal all-pairs baseline (O(N²·d) BigDecimal math) that verifies
   // the sub-quadratic embeddingNearDupsLsh scale path — benching it would
