@@ -86,6 +86,51 @@ object Sketch {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Bloom-filter bitmap over the distinct keys of `keys`: k md5-derived
+    * bit positions per key, OR'd into a bits-wide bitmap. Determinism
+    * comes from the same md5 idiom as every sketch here. The distinct
+    * bit positions are collected to the driver (bounded by `bits`, the
+    * same legitimacy class as the d·w count-min cells) and packed into
+    * longs for literal broadcast. */
+  def bloomFilter(keys: DataFrame, keyCol: String, bits: Int,
+      k: Int): Array[Long] = {
+    require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    require(k >= 1, "k must be >= 1")
+    val words = new Array[Long](bits / 64)
+    keys.select(explode(array((0 until k).map(i =>
+        bucket(i, col(keyCol), bits)): _*)).as("pos"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p / 64).toInt) |= 1L << (p % 64)
+      }
+    words
+  }
+
+  /** Exact semi-join with a Bloom-pruned shuffle: rows of `fact` whose
+    * key appears in `dim`. The broadcast bitmap filters the fact side
+    * map-side (k codegen'd bit tests per row, no join), so only rows
+    * that MIGHT match reach the exchange; the exact left-semi join then
+    * removes the Bloom false positives — output is identical to a plain
+    * semi-join, but at a typical 1% selectivity ~99% of the fact rows
+    * never shuffle. The dim side never leaves its shape: the same bitmap
+    * build is its only extra pass. */
+  def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, bits: Int = 1 << 17, k: Int = 3): DataFrame = {
+    val words = bloomFilter(dim.select(col(dimKey)), dimKey, bits, k)
+    var f = fact.withColumn("__bloom_words", typedLit(words.toSeq))
+    val conds = (0 until k).map { i =>
+      val p = s"__bloom_p$i"
+      f = f.withColumn(p, bucket(i, col(factKey), bits))
+      s"((shiftright(element_at(__bloom_words, CAST($p DIV 64 AS INT) + 1), " +
+        s"CAST($p % 64 AS INT)) & 1) = 1)"
+    }
+    f.filter(expr(conds.mkString(" AND ")))
+      .drop("__bloom_words" +: (0 until k).map(i => s"__bloom_p$i"): _*)
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
+
   /** HyperLogLog registers: sub-linear distinct counting (Flajolet et al.
     * 2007), the cardinality counterpart to [[countMin]]'s frequencies.
     * Item x hashes to 48 bits (same md5 idiom, so the sketch is a pure

@@ -231,6 +231,20 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // bloom-pruned exact semi-join: the broadcast bitmap prefilters the
+    // fact side map-side; the exact semi-join removes false positives,
+    // so only might-match rows shuffle and the answer stays exact
+    "q_bloom_semijoin" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val urgent = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.ops.Sketch.bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // sketch-pruned exact heavy hitters: count-min estimates gate which
     // rows reach the aggregation shuffle; the exact recount of survivors
     // makes the output identical to a plain groupBy-HAVING
@@ -893,6 +907,13 @@ object PipelinePack extends QueryPack {
         |SELECT user_id, CAST(est AS BIGINT) AS est,
         |  CAST(true_cnt AS BIGINT) AS true_cnt
         |FROM est JOIN truth USING (user_id) ORDER BY user_id""".stripMargin,
+
+    "q_bloom_semijoin" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sketch_hh" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

@@ -79,6 +79,26 @@ class SketchSpec extends AnyFunSuite {
     assert(collided == expected)
   }
 
+  test("bloom semi-join is exact and the prefilter actually prunes") {
+    import spark.implicits._
+    val fact = (0 until 2000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "v")
+    val dim = Seq(3L, 7L, 250L, 499L).toDF("dk")
+    val expected = fact.join(dim, $"k" === $"dk", "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Sketch.bloomSemiJoin(fact, "k", dim, "dk", bits = 1 << 12, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // tiny bitmap (64 bits, 1 hash): false positives everywhere — the
+    // exact semi-join still removes them all
+    val collided = Sketch.bloomSemiJoin(fact, "k", dim, "dk", bits = 64, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collided == expected)
+    // the map-side prefilter alone passes far fewer rows than the corpus
+    // at a sane bitmap size (4/500 true selectivity)
+    val words = Sketch.bloomFilter(dim, "dk", bits = 1 << 12, k = 3)
+    assert(words.map(java.lang.Long.bitCount).sum <= 12)
+  }
+
   test("hll registers are bounded by m and ranks stay in [1, q+1]") {
     import spark.implicits._
     val df = (0 until 50000).map(_.toLong).toDF("k")
