@@ -378,20 +378,6 @@ object Main {
         println(s"clone: $cloned relations")
         0
 
-      // dbt clean: remove the target artifacts directory
-      case "clean" =>
-        def rm(p: java.nio.file.Path): Unit =
-          if (Files.exists(p)) {
-            import scala.jdk.CollectionConverters._
-            val stream = Files.walk(p)
-            try stream.iterator().asScala.toSeq.reverse
-              .foreach(Files.deleteIfExists(_))
-            finally stream.close()
-          }
-        rm(targetDir)
-        println(s"cleaned $targetDir")
-        0
-
       // graft sample <plan.yml>: materialize the plan's sampled slice
       // into `<schema><suffix>` (reference: the dbt-sample crate's
       // execute path, plan.rs:127-218)

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * feature-store / market-data join Spark has no built-in operator for.
   *
   * Spark-first shape instead of a range join: tag both sides, UNION, and
-  * run one `last(_, ignoreNulls)` window per payload column over
-  * (key, ts, side) order — the right payload fills onto every covered
-  * left row. Cost at 100 TB: ONE shuffle by key + one sort, no per-key
+  * run ONE `last(_, ignoreNulls)` window over a struct of the whole
+  * right row (timestamp + every payload column together, so all matched
+  * fields come from the SAME right row even when some payload values are
+  * null) in (key, ts, side) order — the right struct fills onto every
+  * covered left row. Cost at 100 TB: ONE shuffle by key + one sort, no per-key
   * state, no range-join explosion, and ties at equal timestamps resolve
   * right-before-left so "at-or-X" is inclusive. A `toleranceMicros`
   * bound nulls out matches farther than the window (market-data
@@ -56,19 +58,28 @@ object AsofJoin {
       left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
     val tsType = right.schema(rightTs).dataType
 
+    // The entire right row rides in ONE struct so a single
+    // last(ignoreNulls) window fills it atomically — filling each payload
+    // column with its own window would mix rows whenever a right row
+    // carries a NULL payload value (the null would be skipped and an
+    // OLDER row's value surface next to the newer row's timestamp).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts", tsType) +:
+        payload.map(p =>
+          org.apache.spark.sql.types.StructField(p, rightTypes(p))))
+
     // same column set on both sides, nulls where a side has no value
     val l2 = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        leftOther.map(col) ++
-        payload.map(p => lit(null).cast(rightTypes(p)).as(s"__r_$p")) :+
-        lit(null).cast(tsType).as("__r_ts"): _*)
+        leftOther.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val r2 = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__r_$p")) :+
-        col(rightTs).as("__r_ts"): _*)
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(rightTs).as("__rts") +: payload.map(p => col(p)): _*)
+          .as("__r"): _*)
 
     // right rows (side 0) sort before left rows at the same instant in
     // EITHER direction — a right row AT the left timestamp is a match;
@@ -78,13 +89,13 @@ object AsofJoin {
       .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(l2.unionByName(r2)) { (df, p) =>
-      df.withColumn(s"__m_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w))
-    }.withColumn("__m_ts", last(col("__r_ts"), ignoreNulls = true).over(w))
+    val filled = l2.unionByName(r2)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
 
+    val mTs = col("__m").getField("__rts")
     val gap =
-      if (forward) unix_micros(col("__m_ts")) - unix_micros(col("__ts"))
-      else unix_micros(col("__ts")) - unix_micros(col("__m_ts"))
+      if (forward) unix_micros(mTs) - unix_micros(col("__ts"))
+      else unix_micros(col("__ts")) - unix_micros(mTs)
     val inWindow = toleranceMicros match {
       case Some(tol) => gap <= tol
       case None => lit(true)
@@ -95,6 +106,6 @@ object AsofJoin {
           Seq(col("__ts").as(leftTs)) ++
           leftOther.map(col) ++
           payload.map(p =>
-            when(inWindow, col(s"__m_$p")).otherwise(lit(null)).as(p)): _*)
+            when(inWindow, col("__m").getField(p)).otherwise(lit(null)).as(p)): _*)
   }
 }

@@ -123,8 +123,10 @@ object Dedup {
         // observed like the sentinel path: a prepass drop must be as
         // loud as a streaming drop
         registerGuardListener(spark)
+        // count non-null ids only, matching the streaming emitter's cap
+        // (null ids never pair) — both guard modes agree near the cap
         val hot = proj.groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .agg(count(col("id")).as("__n")).filter(col("__n") > cap)
           .observe(s"graft_bucket_guard_${guardSeq.incrementAndGet()}" +
               s"_prepass_cap${cap}_${keyCols.mkString("_")}",
             count(lit(1)).as("dropped_buckets"),

@@ -19,30 +19,40 @@ object Funnel {
     * step 1, steps.size = completed the whole funnel), and the
     * per-step completion timestamps `__t0..` in epoch microseconds.
     *
-    * Memory guard: the per-key step arrays are bounded by that key's
-    * event counts — fine for humans, not for a bot key with 10⁸ events,
-    * whose `collect_list` buffer would balloon on one executor.
-    * `maxPerStep` bounds the buffers HARD: a ranked pre-pass keeps only
-    * each (key, step)'s N earliest events before the aggregate, so no
-    * buffer exceeds N. The cascade then sees a key's first N events per
-    * step — depths only beyond that horizon are missed (for a funnel,
+    * Memory guard — ON BY DEFAULT: the per-key step arrays are bounded
+    * by that key's event counts — fine for humans, not for a bot key
+    * with 10⁸ events, whose `collect_list` buffer would balloon on one
+    * executor. The bound is a ranked pre-pass keeping only each
+    * (key, step)'s N earliest events before the aggregate, so no buffer
+    * exceeds N. The cascade then sees a key's first N events per step —
+    * depths only beyond that horizon are missed (for a funnel,
     * first-completion almost always lands in the earliest events; a bot
-    * spamming one step past N is exactly the key to bound). Costs one
-    * extra window pass over the same key-hash shuffle. */
+    * spamming one step past N is exactly the key to bound). N defaults
+    * from `spark.graft.funnelMaxPerStep` (10000; 0 = unbounded) so the
+    * safe behavior is automatic; pass `maxPerStep` to override per call.
+    *
+    * Cost: one extra window pass over the SAME key-hash exchange — the
+    * input is repartitioned by key once, the (key, step) ranking window
+    * is satisfied by that clustering (same key ⇒ same partition), and
+    * the final aggregate reuses it too, so bounded and unbounded plans
+    * both run a single shuffle. */
   def depth(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
       steps: Seq[String], maxPerStep: Option[Int] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     maxPerStep.foreach(n => require(n > 0, s"maxPerStep must be positive: $n"))
-    val bounded = maxPerStep match {
-      case Some(n) =>
+    val cap = maxPerStep.getOrElse(
+      df.sparkSession.conf.get("spark.graft.funnelMaxPerStep", "10000").toInt)
+    val bounded =
+      if (cap <= 0) df
+      else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol), col(typeCol))
           .orderBy(col(tsCol).asc)
-        df.withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") <= n).drop("__rk")
-      case None => df
-    }
+        df.repartition(col(keyCol))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= cap).drop("__rk")
+      }
     val stepTs = steps.zipWithIndex.map { case (st, i) =>
       sort_array(collect_list(
         when(col(typeCol) === st, unix_micros(col(tsCol))))).as(s"__s$i")

@@ -68,22 +68,57 @@ object Sketch {
     * [[Similarity]]'s k×dim centroids) is inlined as a literal map, so
     * the probe phase is d codegen'd map lookups per row — no join, no
     * shuffle, the corpus streams by. The one aggregation shuffle moves
-    * only rows whose estimate clears `minCount`. */
+    * only rows whose estimate clears `minCount`.
+    *
+    * Size guard: the literal map is ideal at typical sketch sizes
+    * (256×4) but caller-chosen — width 10⁷ would inline a 10⁷-entry
+    * literal into the plan (driver memory + codegen constant-pool
+    * blowup). Past `spark.graft.sketchMaxLiteralCells` cells (default
+    * 2²⁰) the probe auto-falls back to d broadcast hash joins against
+    * the distributed cell table — still zero shuffles of the corpus
+    * (one w-row broadcast per sketch row, columnwise `least`), the
+    * sketch never touches the driver. */
   def heavyHitters(df: DataFrame, itemCol: String, width: Int, depth: Int,
       minCount: Long): DataFrame = {
     require(minCount > 0, "minCount must be positive")
-    val cells = countMin(df, itemCol, width, depth).collect()
-      .map(r => (r.getInt(0) * width.toLong + r.getLong(1)) -> r.getLong(2))
-      .toMap
-    val m = typedLit(cells)
-    val probes = (0 until depth).map(i =>
-      coalesce(element_at(m,
-        lit(i * width.toLong) + bucket(i, col(itemCol), width)), lit(0L)))
-    val est = if (depth == 1) probes.head else least(probes: _*)
-    df.filter(est >= minCount)
-      .groupBy(col(itemCol))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+    val maxCells = df.sparkSession.conf
+      .get("spark.graft.sketchMaxLiteralCells", (1L << 20).toString).toLong
+    if (width.toLong * depth <= maxCells) {
+      val cells = countMin(df, itemCol, width, depth).collect()
+        .map(r => (r.getInt(0) * width.toLong + r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val m = typedLit(cells)
+      val probes = (0 until depth).map(i =>
+        coalesce(element_at(m,
+          lit(i * width.toLong) + bucket(i, col(itemCol), width)), lit(0L)))
+      val est = if (depth == 1) probes.head else least(probes: _*)
+      df.filter(est >= minCount)
+        .groupBy(col(itemCol))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+    } else {
+      // broadcast-join probe: each sketch row is a w-row broadcast side
+      // keyed by bucket; (row, bucket) is unique so each left join
+      // matches at most once and row multiplicity is preserved. The d
+      // per-row branches share the sketch's aggregation exchange
+      // (ReuseExchange dedupes the identical subtree).
+      val sketch = countMin(df, itemCol, width, depth)
+      var probed = df
+      val estCols = (0 until depth).map { i =>
+        val s = sketch.filter(col("row") === i)
+          .select(col("bucket").as(s"__hh_b$i"), col("cnt").as(s"__hh_c$i"))
+        probed = probed.join(broadcast(s),
+          bucket(i, col(itemCol), width) === col(s"__hh_b$i"), "left")
+          .drop(s"__hh_b$i")
+        coalesce(col(s"__hh_c$i"), lit(0L))
+      }
+      val est = if (depth == 1) estCols.head else least(estCols: _*)
+      probed.filter(est >= minCount)
+        .drop((0 until depth).map(i => s"__hh_c$i"): _*)
+        .groupBy(col(itemCol))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+    }
   }
 
   /** Bloom-filter bitmap over the distinct keys of `keys`: k md5-derived
@@ -125,10 +160,12 @@ object Sketch {
       s"((shiftright(element_at(__bloom_words, CAST($p DIV 64 AS INT) + 1), " +
         s"CAST($p % 64 AS INT)) & 1) = 1)"
     }
+    // the dim key is aliased to a reserved name so the semi-join
+    // condition is unambiguous even when factKey == dimKey
     f.filter(expr(conds.mkString(" AND ")))
       .drop("__bloom_words" +: (0 until k).map(i => s"__bloom_p$i"): _*)
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey).as("__dim_key")).distinct(),
+        col(factKey) === col("__dim_key"), "left_semi")
   }
 
   /** HyperLogLog registers: sub-linear distinct counting (Flajolet et al.

@@ -92,6 +92,30 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(tight(1L).isEmpty && tight(2L).isDefined)
   }
 
+  test("null payload values come from the matched row, not an older one") {
+    import spark.implicits._
+    // The nearest right row (t=8) carries a NULL pval and a non-null
+    // qual; the match must return BOTH fields from that row — pval null,
+    // qual "b" — never pval 30.0 grafted from the older t=3 row.
+    val left = Seq((1L, "u1", ts(9))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts(3), Option(30.0), Option("a")),
+      ("u1", ts(8), Option.empty[Double], Option("b"))
+    ).toDF("user_id", "ts", "pval", "qual")
+
+    val row = AsofJoin.backward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pval", "qual")).collect().head
+    assert(row.getAs[Any]("pval") == null, "pval must be the matched row's null")
+    assert(row.getAs[String]("qual") == "b")
+
+    // tolerance must be measured against the matched row's timestamp too:
+    // gap is 1 s to the t=8 row, so a 2 s tolerance keeps qual "b"
+    val tol = AsofJoin.backward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pval", "qual"), toleranceMicros = Some(2L * 1000000))
+      .collect().head
+    assert(tol.getAs[String]("qual") == "b")
+  }
+
   test("payload name collisions are rejected") {
     import spark.implicits._
     val l = Seq((1L, "u", ts(1), 2.0)).toDF("event_id", "user_id", "ts", "pval")

@@ -84,7 +84,7 @@ class FunnelSpec extends AnyFunSuite {
     assert(capped2.collect().head.getInt(1) == 1)  // click@200 beyond cap
   }
 
-  test("funnel plans as a single aggregation exchange") {
+  test("funnel plans as a single aggregation exchange — bounded by default") {
     import spark.implicits._
     val df = (0 until 60).map(i =>
       (s"u${i % 6}", Seq("signup", "click", "purchase")(i % 3), ts(i)))
@@ -92,7 +92,32 @@ class FunnelSpec extends AnyFunSuite {
     val out = Funnel.depth(df, "user_id", "event_type", "ts",
       Seq("signup", "click", "purchase"))
     val plan = out.queryExecution.executedPlan.toString
+    // the default-on buffer bound shows as a row_number pre-pass, and the
+    // (key, step) ranking window + final aggregate both reuse the one
+    // key-hash exchange
+    assert(plan.contains("row_number"), plan.take(2000))
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       plan.take(2000))
+  }
+
+  test("buffer bound defaults on via conf, 0 disables") {
+    import spark.implicits._
+    val spam = (0 until 20).map(i => ("u", "click", ts(i))) ++
+      Seq(("u", "signup", ts(100)), ("u", "click", ts(200)))
+    val df = spam.toDF("user_id", "event_type", "ts")
+    // conf-driven cap (no explicit maxPerStep): same horizon semantics
+    // as passing the parameter
+    spark.conf.set("spark.graft.funnelMaxPerStep", "10")
+    try {
+      val capped = Funnel.depth(df, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      assert(capped.collect().head.getInt(1) == 1) // click@200 beyond cap
+      spark.conf.set("spark.graft.funnelMaxPerStep", "0")
+      val unbounded = Funnel.depth(df, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      assert(unbounded.collect().head.getInt(1) == 2) // click@200 counts
+      assert(!unbounded.queryExecution.executedPlan.toString
+        .contains("row_number"))
+    } finally spark.conf.unset("spark.graft.funnelMaxPerStep")
   }
 }

@@ -79,6 +79,36 @@ class SketchSpec extends AnyFunSuite {
     assert(collided == expected)
   }
 
+  test("heavy hitters fall back to broadcast-join probes past the literal-cell cap") {
+    import spark.implicits._
+    val rows = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong))
+    val df = rows.toDF("k")
+    val expected = (12 to 20).map(k => k.toLong -> k.toLong).toMap
+    // force the fallback: 4096*4 cells > 8 → probe via broadcast joins
+    spark.conf.set("spark.graft.sketchMaxLiteralCells", "8")
+    try {
+      val hh = Sketch.heavyHitters(df, "k", width = 4096, depth = 4,
+        minCount = 12L)
+      val got = hh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      // the probe really is joins, not a driver-inlined literal map
+      val plan = hh.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally spark.conf.unset("spark.graft.sketchMaxLiteralCells")
+  }
+
+  test("bloom semi-join works when fact and dim share the key name") {
+    import spark.implicits._
+    val fact = (0 until 200).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val dim = Seq(3L, 7L, 49L).toDF("k")
+    val expected = fact.join(dim.withColumnRenamed("k", "dk"),
+      $"k" === $"dk", "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Sketch.bloomSemiJoin(fact, "k", dim, "k", bits = 1 << 10, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("bloom semi-join is exact and the prefilter actually prunes") {
     import spark.implicits._
     val fact = (0 until 2000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "v")
