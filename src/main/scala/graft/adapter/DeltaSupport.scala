@@ -42,16 +42,56 @@ object DeltaSupport {
   def isDeltaTable(spark: SparkSession, rel: Relation): Boolean =
     deltaOnClasspath && provider(spark, rel).contains("delta")
 
+  /** The exact SQL the clone fast path executes — the Spark adapter's
+    * `spark__create_or_replace_clone` emits
+    * `create or replace table {this} shallow clone {defer}`
+    * (MS/materializations/clone.sql:5-7); golden-pinned by
+    * DeltaGateSpec so the env-bounded execution path stays on the
+    * reference contract. */
+  def shallowCloneSql(source: Relation, target: Relation): String =
+    s"CREATE OR REPLACE TABLE ${target.fqn} SHALLOW CLONE ${source.fqn}"
+
   /** Zero-copy clone: `CREATE OR REPLACE TABLE … SHALLOW CLONE …`
     * (Delta's metadata-only copy). Returns false when the source is not a
     * Delta table — caller falls back to the view-of-target clone. */
   def shallowClone(spark: SparkSession, source: Relation,
       target: Relation): Boolean =
     isDeltaTable(spark, source) && {
-      spark.sql(
-        s"CREATE OR REPLACE TABLE ${target.fqn} SHALLOW CLONE ${source.fqn}")
+      spark.sql(shallowCloneSql(source, target))
       true
     }
+
+  /** The exact SQL the merge fast path executes — the shape of
+    * `spark__get_merge_sql` (MS/macros/materializations/incremental/
+    * strategies.sql:28-68): `merge into {target} as DBT_INTERNAL_DEST
+    * using {source} as DBT_INTERNAL_SOURCE on {key matches and
+    * incremental_predicates} when matched then update set … when not
+    * matched then insert …`. Two deliberate deltas from the macro text,
+    * both documented here and pinned by DeltaGateSpec: key matches use
+    * `<=>` (null-safe) so the fast path returns the same rows as graft's
+    * relational merge rewrite on null keys, and the insert lists columns
+    * explicitly instead of `insert *` so a source carrying extra columns
+    * fails analysis rather than corrupting the target. */
+  def mergeSql(targetFqn: String, sourceName: String, sourceCols: Seq[String],
+      uniqueKey: Seq[String], updateCols: Seq[String],
+      predicates: Seq[String] = Nil): String = {
+    val on = (uniqueKey.map(k =>
+      s"DBT_INTERNAL_DEST.`$k` <=> DBT_INTERNAL_SOURCE.`$k`") ++ predicates)
+      .mkString(" AND ")
+    val setClause = updateCols.map(c =>
+      s"DBT_INTERNAL_DEST.`$c` = DBT_INTERNAL_SOURCE.`$c`").mkString(", ")
+    val insertCols = sourceCols.map(c => s"`$c`").mkString(", ")
+    val insertVals = sourceCols.map(c =>
+      s"DBT_INTERNAL_SOURCE.`$c`").mkString(", ")
+    val matched =
+      if (updateCols.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause\n"
+      else ""
+    s"""MERGE INTO $targetFqn AS DBT_INTERNAL_DEST
+       |USING $sourceName AS DBT_INTERNAL_SOURCE
+       |ON $on
+       |${matched}WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)
+       |""".stripMargin
+  }
 
   /** Native `MERGE INTO` (spark__get_merge_sql strategies.sql:28-68):
     * matched rows update `updateCols` from source, unmatched source rows
@@ -66,23 +106,8 @@ object DeltaSupport {
       val viewName = s"graft_merge_src_${System.nanoTime()}"
       source.createOrReplaceTempView(viewName)
       try {
-        val on = (uniqueKey.map(k =>
-          s"DBT_INTERNAL_DEST.`$k` <=> DBT_INTERNAL_SOURCE.`$k`") ++ predicates)
-          .mkString(" AND ")
-        val setClause = updateCols.map(c =>
-          s"DBT_INTERNAL_DEST.`$c` = DBT_INTERNAL_SOURCE.`$c`").mkString(", ")
-        val insertCols = source.columns.map(c => s"`$c`").mkString(", ")
-        val insertVals = source.columns.map(c =>
-          s"DBT_INTERNAL_SOURCE.`$c`").mkString(", ")
-        val matched =
-          if (updateCols.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause\n"
-          else ""
-        spark.sql(
-          s"""MERGE INTO ${target.fqn} AS DBT_INTERNAL_DEST
-             |USING $viewName AS DBT_INTERNAL_SOURCE
-             |ON $on
-             |${matched}WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)
-             |""".stripMargin)
+        spark.sql(mergeSql(target.fqn, viewName, source.columns.toSeq,
+          uniqueKey, updateCols, predicates))
         true
       } finally spark.catalog.dropTempView(viewName)
     }
