@@ -1,0 +1,140 @@
+package graft.adapter
+
+import graft.jinja.Json
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Record & replay of warehouse interactions (reference:
+  * crates/dbt-adapter/src/record_and_replay.rs + the test harness in
+  * crates/dbt-test-utils/src/task/record_and_replay.rs). The reference
+  * taps its ADBC layer to persist every query a run issues and replays
+  * the recording in tests, making warehouse regressions diffable without
+  * a live connection. Spark-native framing: the adapter IS the warehouse
+  * boundary, so the tap lives in [[SparkAdapter]] — every interaction
+  * (executed SQL statement, table write, rename, drop, view create, …)
+  * streams through here as one normalized JSONL line.
+  *
+  * Modes, per session:
+  *   spark.graft.interactionLog.mode = off | record | verify
+  *   spark.graft.interactionLog.path = <file.jsonl>
+  *
+  * `record` appends `{"seq":n,"op":…,"detail":…,"result":…}` per
+  * interaction; `detail` runs through [[QueryCache.normalize]] so the
+  * volatile name classes the reference also scrubs
+  * (record_and_replay.rs:47-58 — `dbt_tmp_<uuid>` names, generated
+  * schema stamps) don't poison the diff. `verify` replays a recorded run
+  * against a live one: each interaction must match the recording IN
+  * ORDER (op + detail + read-result checksum); divergences accumulate as
+  * [[Mismatch]]es instead of throwing, so a regression test gets the
+  * whole diff, not the first delta. [[report]] returns the mismatches
+  * plus a tail entry when the live run stopped short of the recording.
+  *
+  * Scale note: this is test infra on the DDL/DML control path — one
+  * file append per warehouse interaction (thousands per run, not
+  * per-row). Nothing here touches the data plane.
+  */
+object InteractionLog {
+
+  final val ModeKey = "spark.graft.interactionLog.mode"
+  final val PathKey = "spark.graft.interactionLog.path"
+
+  /** One divergence between the recording and the live run. `expected`
+    * is empty when the live run issued MORE interactions than the
+    * recording; `actual` is empty when it issued fewer. */
+  final case class Mismatch(seq: Int, expected: String, actual: String)
+
+  private final class State(val mode: String, val path: Path) {
+    var seq: Int = 0
+    val mismatches = scala.collection.mutable.ArrayBuffer.empty[Mismatch]
+    // golden lines re-keyed to comparable "op|detail|result" strings
+    val golden: Vector[String] =
+      if (mode == "verify" && Files.exists(path))
+        Files.readAllLines(path).asScala.toVector.filter(_.nonEmpty).map { l =>
+          val m = Json.parse(l).asInstanceOf[Map[String, Any]]
+          comparable(m.getOrElse("op", "").toString,
+            m.getOrElse("detail", "").toString,
+            m.get("result").filter(_ != null).map(_.toString))
+        }
+      else Vector.empty
+  }
+
+  private def comparable(op: String, detail: String,
+      result: Option[String]): String =
+    s"$op|$detail|${result.getOrElse("")}"
+
+  // per-session state; weak keys so a retired session isn't pinned
+  private val states =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, State]())
+
+  private def stateOf(spark: SparkSession): Option[State] = {
+    val mode = spark.conf.getOption(ModeKey).getOrElse("off")
+    if (mode == "off") { states.remove(spark); return None }
+    val path = Paths.get(spark.conf.getOption(PathKey).getOrElse(
+      throw new IllegalArgumentException(
+        s"$PathKey must be set when $ModeKey != off")))
+    val cur = states.get(spark)
+    if (cur != null && cur.mode == mode && cur.path == path) Some(cur)
+    else {
+      val s = new State(mode, path)
+      if (mode == "record") {
+        Files.createDirectories(
+          Option(path.toAbsolutePath.getParent).getOrElse(Paths.get(".")))
+        Files.deleteIfExists(path)
+      }
+      states.put(spark, s)
+      Some(s)
+    }
+  }
+
+  /** Record or verify one warehouse interaction. `detail` is normalized
+    * (comments, whitespace, volatile temp/backup names); `result` is a
+    * read-query checksum when the op fetched rows. No-op when the mode
+    * is off. */
+  def log(spark: SparkSession, op: String, detail: String,
+      result: Option[String] = None): Unit =
+    stateOf(spark).foreach { s =>
+      val line = comparable(op, QueryCache.normalize(detail), result)
+      s.synchronized {
+        if (s.mode == "record") {
+          Files.writeString(s.path, Json.write(Map(
+            "seq" -> s.seq, "op" -> op,
+            "detail" -> QueryCache.normalize(detail),
+            "result" -> result.orNull)) + "\n",
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        } else {
+          if (s.seq >= s.golden.length)
+            s.mismatches += Mismatch(s.seq, "", line)
+          else if (s.golden(s.seq) != line)
+            s.mismatches += Mismatch(s.seq, s.golden(s.seq), line)
+        }
+        s.seq += 1
+      }
+    }
+
+  /** Checksum of a fetched result table: column names + every cell,
+    * row order preserved (the adapter's reads are deterministic). */
+  def tableHash(t: AgateTable): String =
+    Json.md5((t.columnNames +: t.rows.map(_.map(String.valueOf(_))))
+      .map(_.mkString("")).mkString("\n"))
+
+  /** Verify-mode outcome: in-order mismatches, plus one tail mismatch if
+    * the live run issued fewer interactions than the recording. Empty ⇒
+    * the live run replayed the recording exactly. */
+  def report(spark: SparkSession): Seq[Mismatch] = {
+    val s = states.get(spark)
+    if (s == null) Nil
+    else s.synchronized {
+      val tail =
+        if (s.mode == "verify" && s.seq < s.golden.length)
+          Seq(Mismatch(s.seq, s.golden(s.seq), ""))
+        else Nil
+      s.mismatches.toSeq ++ tail
+    }
+  }
+
+  /** Drop the session's in-memory state (tests switching modes). */
+  def reset(spark: SparkSession): Unit = states.remove(spark)
+}

@@ -40,6 +40,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   // ---- schema (database) ops -------------------------------------------
 
   def createSchema(schema: String): Unit = {
+    InteractionLog.log(spark, "create_schema", schema)
     val loc = location.map(l => s" LOCATION '$l/$schema'").getOrElse("")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`$loc")
     recoverTables(schema)
@@ -75,6 +76,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   }
 
   def dropSchema(schema: String): Unit = {
+    InteractionLog.log(spark, "drop_schema", schema)
     spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
     relationCache.filterInPlace((k, _) => !k.startsWith(schema + "."))
   }
@@ -121,15 +123,19 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   }
 
   def dropRelation(rel: Relation): Unit = {
+    InteractionLog.log(spark, "drop_relation", rel.fqn)
     spark.sql(s"DROP TABLE IF EXISTS ${rel.fqn}")
     spark.sql(s"DROP VIEW IF EXISTS ${rel.fqn}")
     relationCache.remove(rel.key)
   }
 
-  def truncateRelation(rel: Relation): Unit =
+  def truncateRelation(rel: Relation): Unit = {
+    InteractionLog.log(spark, "truncate", rel.fqn)
     spark.sql(s"TRUNCATE TABLE ${rel.fqn}")
+  }
 
   def renameRelation(from: Relation, to: Relation): Unit = {
+    InteractionLog.log(spark, "rename", s"${from.fqn} -> ${to.fqn}")
     spark.sql(s"ALTER TABLE ${from.fqn} RENAME TO ${to.fqn}")
     // Renaming a managed PARTITIONED table moves the root directory but
     // leaves per-partition catalog locations pointing at the old root.
@@ -167,6 +173,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     if (cols.nonEmpty) {
       val ddl = cols.fields
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      InteractionLog.log(spark, "add_columns", s"${rel.fqn} ($ddl)")
       spark.sql(s"ALTER TABLE ${rel.fqn} ADD COLUMNS ($ddl)")
     }
 
@@ -248,6 +255,10 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
             ("OK", t)
           } else ("OK", AgateTable.empty)
       }
+      InteractionLog.log(spark, "execute", stmt,
+        if (fetch && last._2.numColumns > 0)
+          Some(InteractionLog.tableHash(last._2))
+        else None)
     }
     last
   }
@@ -321,6 +332,12 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
       clusteredBy: Seq[String] = Nil, buckets: Int = 0,
       zorderBy: Seq[String] = Nil): Unit = {
+    InteractionLog.log(spark, "write_table",
+      s"${rel.fqn} schema=${df.schema.simpleString}" +
+        (if (partitionBy.nonEmpty) s" partitionBy=${partitionBy.mkString(",")}" else "") +
+        (if (sortBy.nonEmpty) s" sortBy=${sortBy.mkString(",")}" else "") +
+        (if (clusteredBy.nonEmpty) s" clusteredBy=${clusteredBy.mkString(",")} buckets=$buckets" else "") +
+        (if (zorderBy.nonEmpty) s" zorderBy=${zorderBy.mkString(",")}" else ""))
     // zorder_by: Morton-curve layout (multi-dimensional skipping) wins
     // over sort_by; sort_by clustering: range-repartition on the sort
     // keys, then sort within each task — every output file covers a
@@ -375,6 +392,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
 
   /** Append rows (incremental `append` / merge tail). */
   def appendToTable(df: DataFrame, rel: Relation): Unit = {
+    InteractionLog.log(spark, "append",
+      s"${rel.fqn} schema=${df.schema.simpleString}")
     // insertInto is positional: align to target column order first.
     val cols = getColumnsInRelation(rel).fieldNames
     df.selectExpr(cols.map(c => s"`$c`").toIndexedSeq: _*)
@@ -384,6 +403,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   /** Dynamic-partition overwrite — Spark's native insert_overwrite
     * (dbt-spark strategies.sql:1-15 maps to exactly this). */
   def insertOverwritePartitions(df: DataFrame, rel: Relation): Unit = {
+    InteractionLog.log(spark, "insert_overwrite",
+      s"${rel.fqn} schema=${df.schema.simpleString}")
     // Dynamic mode must come from the SESSION conf (insertInto's
     // self-read/static-overwrite analysis ignores writer options), but a
     // naive set/restore races under concurrent writers (microbatch
@@ -414,6 +435,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       }
       s"`$c`=$litSql"
     }.mkString(", ")
+    InteractionLog.log(spark, "drop_partition", s"${rel.fqn} ($specSql)")
     spark.sql(s"ALTER TABLE ${rel.fqn} DROP IF EXISTS PARTITION ($specSql)")
   }
 
@@ -441,6 +463,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       m.comment.orElse(m.properties.get("comment"))).filter(_.nonEmpty)
 
   def createView(rel: Relation, sql: String): Unit = {
+    InteractionLog.log(spark, "create_view", s"${rel.fqn} AS $sql")
     spark.sql(s"CREATE OR REPLACE VIEW ${rel.fqn} AS $sql")
     relationCache.put(rel.key, RelationType.View)
   }

@@ -217,6 +217,11 @@ final class Runner(
           runPythonModel(node, fullRefresh)
         case NodeKind.Model =>
           val sql = withQueryComment(node, compileSql(node))
+          // the compiled SELECT is the warehouse-bound query in the
+          // reference's recording; log it even though execution happens
+          // through a DataFrame, so model-SQL regressions diff
+          graft.adapter.InteractionLog.log(spark, "compile",
+            s"${node.uniqueId}: $sql")
           if (node.config.contractEnforced) Contracts.enforce(spark, node, sql)
           val ctx = MatContext(adapter, node.copy(rawSql = sql),
             node.relation.get, () => spark.sql(sql), fullRefresh, now,
@@ -257,6 +262,8 @@ final class Runner(
             () => SeedMat.load(spark, node.path, node.config), fullRefresh, now))
         case NodeKind.Snapshot =>
           val sql = compileSql(node)
+          graft.adapter.InteractionLog.log(spark, "compile",
+            s"${node.uniqueId}: $sql")
           SnapshotMat.run(MatContext(adapter, node.copy(rawSql = sql),
             node.relation.get, () => spark.sql(sql), fullRefresh, now))
         case NodeKind.Test => runTestNode(node)
