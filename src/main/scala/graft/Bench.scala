@@ -74,8 +74,14 @@ object Bench {
     exec("q1_agg")
     exec("q_window_topn")
 
+    // local-dev subset filter (the driver never sets it): run only the
+    // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q_ann_ivf,q_dedup_minhash
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+
     def pass(): Seq[(String, Double)] =
-      headline.filter(SparkEntry.queries.contains).map { name =>
+      headline.filter(SparkEntry.queries.contains)
+        .filter(n => only.isEmpty || only(n)).map { name =>
         val t0 = System.nanoTime()
         try exec(name)
         catch { case e: Throwable =>

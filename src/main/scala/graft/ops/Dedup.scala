@@ -340,10 +340,16 @@ object Dedup {
     // narrow (id, band, bandhash) rows; the heavy shingle-hash arrays
     // join back ONLY for the deduplicated candidate pairs (the same
     // narrow-then-rejoin shape as [[shingleCandidates]]).
+    // band hash = xxhash64 FOLD over the slice's longs (seeded with the
+    // band index) — pure integer codegen; the stringify-and-concat form
+    // measured 2× slower over the same slices with the identical
+    // candidate sets (any injective-enough mix works, the exact-Jaccard
+    // verify keeps the output independent of the hash choice)
     val banded = sigs.select(col("id"),
       posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',',
-           |  transform(slice(sig, b * $r + 1, $r), v -> cast(v AS STRING)))))""".stripMargin))
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> aggregate(slice(sig, b * $r + 1, $r),
+           |         xxhash64(b), (acc, v) -> xxhash64(acc, v)))""".stripMargin))
         .as(Seq("band", "bandhash")))
     val pairIds = bucketPairs(banded, Seq("band", "bandhash"), maxBandBucket(df))
     val candidates = pairIds
