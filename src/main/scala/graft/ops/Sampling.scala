@@ -125,6 +125,36 @@ object Sampling {
       .drop("__total", "__wgt")
   }
 
+  /** Temperature-scaled (α = 0.5) domain mixing — the standard
+    * multilingual/multi-domain rebalancing (XLM-R style): sampling mass
+    * per stratum ∝ (token share)^α, so small domains are upweighted and
+    * giant domains downweighted relative to natural proportions. α is
+    * fixed at 0.5 because `sqrt` is the one power IEEE 754 requires to
+    * be correctly rounded — `floor(sqrt(total))` is bit-identical in
+    * every engine, which keeps the whole mix oracle-checkable (a general
+    * `pow(x, α)` is not correctly rounded and may differ in the last ulp
+    * across engines, flipping boundary rows).
+    *
+    * Implementation: per-stratum integer weights floor(sqrt(token
+    * total)) feed the same exact-decimal acceptance filter as
+    * [[mixByTokenWeights]] — two broadcast joins onto the corpus, the
+    * accept test is map-side integer/decimal math, no second shuffle. */
+  def temperatureMixByTokens(df: DataFrame, keyCol: String,
+      stratumCol: String, tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("decimal(38,0)").as("__total"))
+      .withColumn("__wgt",
+        floor(sqrt(col("__total").cast("double"))).cast("decimal(38,0)"))
+    val wsum = totals.agg(sum(col("__wgt")).cast("decimal(38,0)").as("__wsum"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.join(broadcast(totals), Seq(stratumCol))
+      .crossJoin(broadcast(wsum))
+      .filter(dec(hashBucket(keyCol, 10000)) * col("__total") * col("__wsum")
+        < dec(lit(budget)) * col("__wgt") * dec(lit(10000L)))
+      .drop("__total", "__wgt", "__wsum")
+  }
+
   /** Token-budget shard packing: assign documents to consecutive training
     * shards so each shard holds ≈ `budget` tokens. Deterministic packing
     * order = `orderCol`; shard id = floor(exclusive running token sum /

@@ -194,6 +194,56 @@ object Sketch {
       .groupBy("bucket").agg(max("rank").as("register"))
   }
 
+  /** Per-group HLL distinct counts — `hllRegisters` + `hllEstimate`
+    * generalized to one estimate row PER group (distinct users per
+    * domain, distinct documents per source, …) without a per-group
+    * `countDistinct` shuffle of the raw keys.
+    *
+    * Scale shape: ONE partial-aggregated shuffle of at most
+    * groups × 2^p register rows (the map side collapses each partition
+    * to register partials first), then a groups-sized final aggregate.
+    * The estimate math is the same exact-integer power sum as
+    * [[hllEstimate]] — bit-reproducible, so even the approximate
+    * estimates hash-match an oracle. */
+  def hllDistinctByGroup(df: DataFrame, groupCols: Seq[String],
+      itemCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val q = 48 - p
+    val m = 1L << p
+    val qp1 = q + 1
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val numer = (alpha * (m * m).toDouble) * math.pow(2.0, qp1)
+    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = shiftright(h, p)
+    val rank = when(w === 0, lit(q + 1))
+      .otherwise(lit(q + 1) - length(bin(w)))
+    val regs = df
+      .select(groupCols.map(col) :+ pmod(h, lit(m)).as("bucket") :+
+        rank.as("rank"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("rank").as("register"))
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $qp1 - register)")) +
+          (lit(m) - count(lit(1))) * lit(1L << qp1)).as("s"),
+        (lit(m) - count(lit(1))).as("zeros"))
+      .select(groupCols.map(col) :+
+        when(lit(numer) / col("s").cast("double") <= lit(2.5 * m) &&
+            col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(lit(numer) / col("s").cast("double")).as("e"): _*)
+      .select(groupCols.map(col) :+
+        floor(col("e")).cast("long").as("est"): _*)
+  }
+
   /** One-row (est) estimate from [[hllRegisters]] output. The harmonic
     * mean is accumulated as an EXACT integer power sum (each register
     * contributes 2^(q+1−register), absent registers 2^(q+1)), so the

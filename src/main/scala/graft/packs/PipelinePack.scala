@@ -269,6 +269,18 @@ object PipelinePack extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // per-group HLL distinct counts: distinct users per event type from
+    // register sketches — groups × 2^p rows shuffle instead of a raw
+    // countDistinct expansion, estimates exact-integer reproducible
+    "q_sketch_hll_group" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val est = graft.ops.Sketch.hllDistinctByGroup(
+        ev, Seq("event_type"), "user_id", p = 6)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact"))
+      est.join(exact, Seq("event_type")).orderBy("event_type")
+    }),
+
     // bucketed range join: errors within ±4h of each click per user —
     // interval bucketing turns the non-equi predicate into a hash join
     "q_range_join" -> ((s, dir) => {
@@ -344,6 +356,19 @@ object PipelinePack extends QueryPack {
         .withColumn("n_tok", size(split(col("text"), " ")))
       graft.ops.Sampling.mixByTokenWeights(withTokens, "doc_id", "source",
         "n_tok", weights, budget = 8000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // α=0.5 temperature mixing: per-source weights = floor(sqrt(token
+    // total)) feed the same exact-decimal acceptance filter — small
+    // domains upweighted relative to natural share, all integer math
+    "q_sample_mix_temp" -> ((s, dir) => {
+      val withTokens = Tables(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+      graft.ops.Sampling.temperatureMixByTokens(withTokens, "doc_id",
+        "source", "n_tok", budget = 8000L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("source")
@@ -952,6 +977,65 @@ object PipelinePack extends QueryPack {
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         |  CAST(register AS BIGINT) AS register, est, exact
         |FROM regs, est, exact ORDER BY bucket""".stripMargin,
+
+    "q_sketch_hll_group" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT) AS h48
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h48 % 64 AS bucket,
+        |    CASE WHEN h48 // 64 = 0 THEN 43
+        |         ELSE 43 - length(bin(h48 // 64)) END AS rank
+        |  FROM h
+        |), regs AS (
+        |  SELECT event_type, bucket, max(rank) AS register
+        |  FROM r GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type,
+        |    sum(1::BIGINT << (43 - register))
+        |      + (64 - count(*)) * (1::BIGINT << 43) AS s,
+        |    64 - count(*) AS zeros
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT event_type, CAST(floor(CASE
+        |    WHEN ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) <= 160.0 AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+        |    ELSE ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) END) AS BIGINT) AS est
+        |  FROM agg
+        |), exact AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, e.est, x.exact
+        |FROM est e JOIN exact x USING (event_type)
+        |ORDER BY 1""".stripMargin,
+
+    "q_sample_mix_temp" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT) % 10000 AS bucket
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, sum(n_tok) AS total,
+        |    CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS HUGEINT) AS wgt
+        |  FROM tok GROUP BY source
+        |), ws AS (
+        |  SELECT sum(wgt) AS wsum FROM tot
+        |), keep AS (
+        |  SELECT t.doc_id, t.source, t.n_tok
+        |  FROM tok t JOIN tot USING (source) CROSS JOIN ws
+        |  WHERE CAST(t.bucket AS HUGEINT) * CAST(tot.total AS HUGEINT)
+        |          * ws.wsum
+        |      < CAST(tot.wgt AS HUGEINT) * 8000 * 10000
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
 
     "q_range_join" ->
       """SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_errors

@@ -417,6 +417,30 @@ class DedupSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("temperature mixing upweights small domains relative to share") {
+    import spark.implicits._
+    // big: 900 docs × 10 tok = 9000; small: 100 docs × 10 tok = 1000.
+    // natural share 9:1; α=0.5 weights sqrt(9000):sqrt(1000) ≈ 3:1, so
+    // the small domain's ACCEPT RATE is ~3× the big one's
+    // (rate ∝ wgt/total) while a proportional mix would keep rates equal
+    val docs = (0 until 1000).map { i =>
+      (i.toLong, if (i < 900) "big" else "small", 10)
+    }.toDF("doc_id", "source", "n_tok")
+    val out = graft.ops.Sampling.temperatureMixByTokens(
+      docs, "doc_id", "source", "n_tok", budget = 2000L)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateBig = bySrc.getOrElse("big", 0L) / 900.0
+    val rateSmall = bySrc.getOrElse("small", 0L) / 100.0
+    assert(rateSmall > 2.0 * rateBig,
+      s"small-domain rate should dominate: $bySrc")
+    // deterministic under repartitioning
+    val again = graft.ops.Sampling.temperatureMixByTokens(
+      docs.repartition(7), "doc_id", "source", "n_tok", budget = 2000L)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("line dedup drops corpus-hot lines, keeps order, drops empty docs") {
     import spark.implicits._
     // "footer" appears in 3 docs (> maxDocFreq=2) — must vanish; a doc

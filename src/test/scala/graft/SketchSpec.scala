@@ -142,6 +142,26 @@ class SketchSpec extends AnyFunSuite {
     assert(regs.map(r => r.getLong(0) -> r.getInt(1)).toMap == once)
   }
 
+  test("grouped hll matches the single-group estimator per group") {
+    import spark.implicits._
+    // two groups of very different cardinality
+    val df = ((0 until 20000).map(i => ("big", i.toLong)) ++
+      (0 until 300).map(i => ("small", i.toLong))).toDF("g", "k")
+    val grouped = Sketch.hllDistinctByGroup(df, Seq("g"), "k", p = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-group result must equal running the single-group pipeline on
+    // each slice — same registers, same exact-integer estimate math
+    for (g <- Seq("big", "small")) {
+      val solo = Sketch.hllEstimate(
+        Sketch.hllRegisters(df.filter($"g" === g), "k", p = 6), p = 6)
+        .collect().head.getLong(0)
+      assert(grouped(g) == solo, s"group $g: ${grouped(g)} != $solo")
+    }
+    // and the small group's linear-counting path stays near-exact
+    assert(math.abs(grouped("small") - 300.0) / 300.0 < 0.2,
+      s"small est=${grouped("small")}")
+  }
+
   test("hll estimate lands within the expected error band") {
     import spark.implicits._
     val df = (0 until 50000).map(_.toLong).toDF("k")
