@@ -39,6 +39,19 @@ object StreamingPack extends QueryPack {
     "q_stream_join" -> ((s, dir) => {
       StreamingOps.intervalJoin(s, dir, windowMinutes = 60)
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // incremental ordered funnel with bounded per-key state — same
+    // two-day slice and depth distribution as the batch q_funnel, so it
+    // shares that oracle verbatim (streaming == batch on bounded input)
+    "q_stream_funnel" -> ((s, dir) => {
+      // 2024-01-03T00:00:00Z in epoch micros
+      StreamingOps.funnelDepth(s, dir,
+        steps = Seq("signup", "click", "purchase"),
+        beforeUs = Some(1704240000000000L))
+        .groupBy("funnel_depth")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_depth")
     })
   )
 
@@ -105,6 +118,10 @@ object StreamingPack extends QueryPack {
         |FROM agg
         |WHERE sess_no < (SELECT MAX(a2.sess_no) FROM agg a2
         |                 WHERE a2.user_id = agg.user_id)
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // the streaming funnel's contract is batch-equivalence on bounded
+    // input, so it shares the batch operator's oracle verbatim
+    "q_stream_funnel" -> PipelinePack.oracles("q_funnel")
   )
 }

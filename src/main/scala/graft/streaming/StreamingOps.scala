@@ -178,6 +178,86 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.ops.Funnel]]: per-key funnel depth maintained in
+    * `flatMapGroupsWithState`. State per key is the first `maxPerStep`
+    * event timestamps of each step (sorted, HARD-bounded — the same
+    * default-on buffer bound as the batch operator, so a bot key cannot
+    * balloon streaming state); each batch merges its events into the
+    * bounded arrays, recomputes the completion cascade
+    * t_i = first(s_i ≥ t_{i−1}), and emits the key's current depth
+    * (downstream consumers take the latest row per key). Bounded input +
+    * `Trigger.AvailableNow` ⇒ exactly the batch funnel's answer.
+    *
+    * @param beforeUs only events strictly before this epoch-micros bound
+    *                 enter the funnel (None = all) */
+  def funnelDepth(spark: SparkSession, sfDir: String, steps: Seq[String],
+      maxPerStep: Int = 64,
+      beforeUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
+    require(maxPerStep > 0, s"maxPerStep must be positive: $maxPerStep")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = Files.createTempDirectory("graft_funnel_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_funnel_cp").toString
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+
+    val stream = spark.readStream
+      .schema(rawEventsSchema)
+      .parquet(stageDir(sfDir))
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .filter(beforeUs.map(b => col("ts_us") < b).getOrElse(lit(true)))
+      .as[(Long, String, Long)]
+
+    // state = per-step sorted arrays of the first maxPerStep timestamps;
+    // a key with events of NO step still holds (empty) state so depth 0
+    // users are emitted, matching the batch operator's groupBy
+    val depths = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Seq[Long]], (Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Seq[Seq[Long]]]) =>
+          val arrays = state.getOption
+            .getOrElse(Seq.fill(nSteps)(Seq.empty[Long]))
+          val incoming = Array.fill(nSteps)(
+            scala.collection.mutable.ArrayBuffer.empty[Long])
+          rows.foreach { case (_, tpe, ts) =>
+            stepIdx.get(tpe).foreach(i => incoming(i) += ts)
+          }
+          val merged = arrays.zipWithIndex.map { case (old, i) =>
+            if (incoming(i).isEmpty) old
+            else (old ++ incoming(i)).sorted.take(maxPerStep)
+          }
+          state.update(merged)
+          // cascade: t_i = first event of step i at-or-after t_{i-1}
+          var depth = 0
+          var prev = Long.MinValue
+          var i = 0
+          var stuck = false
+          while (i < nSteps && !stuck) {
+            merged(i).find(_ >= prev) match {
+              case Some(t) => depth = i + 1; prev = t
+              case None => stuck = true
+            }
+            i += 1
+          }
+          Iterator.single((user, depth))
+      }
+      .toDF("user_id", "funnel_depth")
+
+    val q = depths.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** Stream–stream interval join: the stateful two-stream shape — click
     * events join purchase events of the SAME user within a bounded
     * event-time window. Both sides carry watermarks and the join

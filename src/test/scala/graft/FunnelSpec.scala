@@ -100,6 +100,23 @@ class FunnelSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("streaming funnel equals the batch operator on bounded input") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet")))
+    val steps = Seq("signup", "click", "purchase")
+    val streamed = graft.streaming.StreamingOps
+      .funnelDepth(spark, sfDir, steps)
+      .groupBy("funnel_depth").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = Funnel.depth(
+      graft.Tables(spark, sfDir, "events"), "user_id", "event_type", "ts",
+      steps)
+      .groupBy("funnel_depth").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("buffer bound defaults on via conf, 0 disables") {
     import spark.implicits._
     val spam = (0 until 20).map(i => ("u", "click", ts(i))) ++
