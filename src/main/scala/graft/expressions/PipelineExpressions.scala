@@ -543,6 +543,44 @@ object PipelineExpressions {
       copy(child = c)
   }
 
+  /** Exact-decimal squared-L2 distances from a vector to EVERY centroid —
+    * the ADC (asymmetric distance computation) table of product
+    * quantization: a query evaluates this once per subspace, and each
+    * compressed corpus code then costs one array lookup. Same numeric
+    * contract as [[NearestCentroids]] (per-dim IEEE (x−c)² →
+    * DECIMAL(38,18) HALF_UP → exact decimal sum), so the table — and
+    * every ADC ranking built from it — is bit-identical across engines. */
+  case class CentroidDistances(child: Expression,
+      centroids: IndexedSeq[IndexedSeq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    private val decType = DecimalType(38, 18)
+    override def dataType: DataType = ArrayType(decType, containsNull = false)
+    @transient private lazy val cs: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Any](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val cd = cs(c)
+        var sum = java.math.BigDecimal.ZERO
+        val n = math.min(v.length, cd.length)
+        var d = 0
+        while (d < n) {
+          val diff = v(d).toDouble - cd(d)
+          sum = sum.add(new java.math.BigDecimal(diff * diff)
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          d += 1
+        }
+        out(c) = org.apache.spark.sql.types.Decimal(sum, 38, 18)
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column wrappers --------------------------------------------------
 
   private def wrap(e: Expression): Column =
@@ -578,6 +616,9 @@ object PipelineExpressions {
       nprobe: Int): Column =
     wrap(NearestCentroids(expression(c),
       centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
+  def centroid_distances(c: Column, centroids: Array[Array[Double]]): Column =
+    wrap(CentroidDistances(expression(c),
+      centroids.map(_.toIndexedSeq).toIndexedSeq))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)

@@ -182,6 +182,65 @@ object Similarity {
     centroids
   }
 
+  /** Product-quantization top-k (Jégou et al. 2011, re-expressed
+    * Spark-first): the memory-scale ANN path — each corpus vector
+    * compresses to `m` one-byte-ish codes (nearest codeword per
+    * subspace), and queries rank candidates by ADC (asymmetric distance
+    * computation): per-query, per-subspace distance TABLES to the
+    * codeword sets, so scoring a compressed corpus row costs m array
+    * lookups + m exact decimal adds — no vector math on the scan side.
+    *
+    * Determinism (what makes a DuckDB oracle possible for a quantizer):
+    * per-subspace codebooks train with the same decimal-exact k-means as
+    * [[kmeansCentroids]] (init = sub-vectors of the k smallest ids,
+    * exact-decimal argmin, order-independent decimal mean); codes and
+    * ADC tables use the [[graft.expressions.PipelineExpressions]]
+    * decimal contract, and the ADC sum is a sum of m DECIMAL(38,18)
+    * values — bit-identical in any engine, ties → lower neighbor id.
+    *
+    * Scale shape: training shuffles only codebook-sized partial sums;
+    * encoding is map-side (m codebooks of k×subDim doubles ride inside
+    * expressions); the query scan broadcast-joins the queries (with
+    * their ADC tables) onto the corpus codes — the corpus itself never
+    * shuffles, only the top-k window moves (query, neighbor, distance)
+    * rows. At 100 TB the codes table is ~dim/subDim/4 the corpus bytes,
+    * which is the operator's entire point. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, codebookSize: Int = 16,
+      iters: Int = 1): DataFrame = {
+    val spread = Dedup.spread(corpus.select(col(idCol), col(vecCol)))
+    val dim = spread.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val sub = (s: Int) => slice(col(vecCol), s * subDim + 1, subDim)
+    // per-subspace codebooks: the same deterministic decimal k-means,
+    // trained on the sliced corpus (init = k smallest ids' sub-vectors)
+    val codebooks = (0 until m).map { s =>
+      kmeansOnSpread(spread.select(col(idCol), sub(s).as(vecCol)),
+        idCol, vecCol, codebookSize, iters)
+    }
+    val codeCols = (0 until m).map(s =>
+      PipelineExpressions.nearest_centroids(sub(s), codebooks(s), 1)(0)
+        .as(s"__code$s"))
+    val codes = spread.select(col(idCol).as("neighbor_id") +: codeCols: _*)
+    val tableCols = (0 until m).map(s =>
+      PipelineExpressions.centroid_distances(sub(s), codebooks(s))
+        .as(s"__qd$s"))
+    val q = queries.select(col(idCol).as("query_id") +: tableCols: _*)
+    val adc = (0 until m).map(s =>
+      element_at(col(s"__qd$s"), col(s"__code$s") + 1)).reduce(_ + _)
+    val scored = codes.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adc"), 6).cast("double").as("adc_d2"), col("rank"))
+  }
+
   /** IVF top-k search: train `nlist` centroids on the corpus, assign each
     * corpus vector to its nearest list map-side, probe the `nprobe`
     * nearest lists per query, exact-cosine rerank within the probed lists.

@@ -109,6 +109,17 @@ object PipelinePack extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // product-quantization ANN: per-subspace decimal k-means codebooks,
+    // corpus compressed to m codes, queries rank by ADC table lookups —
+    // the memory-scale ANN path, bit-reproducible end to end
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.pqTopK(queries, emb, "vec_id", "embedding", k = 5,
+        m = 4, codebookSize = 16, iters = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // language ID distribution
     "q_text_langid" -> ((s, dir) => {
       Dedup.spread(Tables(s, dir, "documents"))
@@ -654,8 +665,88 @@ object PipelinePack extends QueryPack {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Product-quantization oracle: per-subspace k-means (same decimal
+    * contract as [[ivfSql]]) → corpus codes → per-query ADC tables →
+    * exact-decimal ADC ranking. `iters` = 1 training update per
+    * codebook; subspace s covers dims [s·subDim+1, (s+1)·subDim]. */
+  private def pqSql(m: Int, subDim: Int, codebookSize: Int, k: Int): String = {
+    def subspace(s: Int): String = {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""sub$s AS (
+         |  SELECT vec_id, i, xd FROM exd WHERE i BETWEEN $lo AND $hi),
+         |c${s}_0 AS (
+         |  SELECT CAST(r.rn - 1 AS INT) AS cid, e.i, e.xd AS val
+         |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings ORDER BY vec_id LIMIT $codebookSize) r
+         |  JOIN sub$s e ON e.vec_id = r.vec_id),
+         |dist${s}_0 AS (
+         |  SELECT e.vec_id, c.cid,
+         |    SUM(CAST((e.xd - c.val) * (e.xd - c.val)
+         |        AS DECIMAL(38,18))) AS d2
+         |  FROM sub$s e JOIN c${s}_0 c ON c.i = e.i
+         |  GROUP BY e.vec_id, c.cid),
+         |asg${s}_0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dist${s}_0) t WHERE rn = 1),
+         |c${s}_1 AS (
+         |  SELECT p.cid, p.i, COALESCE(q.mean, p.val) AS val
+         |  FROM c${s}_0 p LEFT JOIN (
+         |    SELECT a.cid, e.i,
+         |      CAST(SUM(CAST(e.xd AS DECIMAL(38,18))) AS DOUBLE)
+         |        / COUNT(*) AS mean
+         |    FROM asg${s}_0 a JOIN sub$s e ON e.vec_id = a.vec_id
+         |    GROUP BY a.cid, e.i) q ON q.cid = p.cid AND q.i = p.i),
+         |dist${s}_1 AS (
+         |  SELECT e.vec_id, c.cid,
+         |    SUM(CAST((e.xd - c.val) * (e.xd - c.val)
+         |        AS DECIMAL(38,18))) AS d2
+         |  FROM sub$s e JOIN c${s}_1 c ON c.i = e.i
+         |  GROUP BY e.vec_id, c.cid),
+         |code$s AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dist${s}_1) t WHERE rn = 1),
+         |qd$s AS (
+         |  SELECT vec_id AS query_id, cid, d2 FROM dist${s}_1
+         |  WHERE vec_id % 100 = 0)""".stripMargin
+    }
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN code$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n")
+    val qdJoins = (0 until m).map(s =>
+      s"JOIN qd$s q$s ON q$s.cid = a$s.cid" +
+        (if (s == 0) "" else " AND q$s.query_id = q0.query_id")
+          .replace("$s", s.toString)).mkString("\n")
+    val adcSum = (0 until m).map(s => s"q$s.d2").mkString(" + ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |exd AS (SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
+       |${(0 until m).map(subspace).mkString(",\n")},
+       |adc AS (
+       |  SELECT q0.query_id, a0.vec_id AS neighbor_id,
+       |    $adcSum AS d2
+       |  FROM code0 a0
+       |$codeJoins
+       |$qdJoins
+       |  WHERE a0.vec_id <> q0.query_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(round(d2, 6) AS DOUBLE) AS adc_d2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS INT) AS rank
+       |  FROM adc) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_ann_ivf" -> ivfSql(nlist = 8, nprobe = 2, iters = 2, k = 5),
+    "q_ann_pq" -> pqSql(m = 4, subDim = 16, codebookSize = 16, k = 5),
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

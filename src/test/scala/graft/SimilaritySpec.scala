@@ -150,6 +150,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (got ${ivf.size} rows)")
   }
 
+  test("pqTopK recall vs brute force, partition-invariant, corpus unshuffled") {
+    import spark.implicits._
+    val rows = (0 until 120).map { i =>
+      val base = vec(i % 6)
+      val r = new scala.util.Random(9000 + i)
+      (i.toLong, base.map(x => x + (r.nextDouble() - 0.5).toFloat * 0.05f))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val pq = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, m = 4, codebookSize = 8, iters = 1)
+    val pqRows = pq.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pqRows.size == 15, s"expected 3 queries x 5: $pqRows")
+    // quantization deliberately collapses WITHIN-blob distances (members
+    // share codes, ADC ties break by id), so the guaranteed property is
+    // cluster membership: every returned neighbor is from the query's
+    // own blob (blob id = vec_id % 6)
+    pqRows.foreach { case (q, n) =>
+      assert(n % 6 == q % 6, s"neighbor $n not in query $q's blob") }
+
+    // deterministic: identical rows under different partitioning/order
+    val again = Similarity.pqTopK(
+      queries, rows.reverse.toDF("vec_id", "embedding").repartition(7),
+      "vec_id", "embedding", k = 5, m = 4, codebookSize = 8, iters = 1)
+      .collect().map(_.toString).sorted
+    assert(pq.collect().map(_.toString).sorted.sameElements(again))
+
+    // scan-side shape: the corpus is never exchanged before scoring —
+    // the only exchange is the top-k window on (query, neighbor) rows
+    // (AQE's toString appends the initial plan; count the final one only)
+    val plan = pq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(3000))
+  }
+
   test("ivfTopK candidate join is a broadcast equi-join on the list id") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivfspec").toString
