@@ -214,10 +214,20 @@ object Similarity {
     val subDim = dim / m
     val sub = (s: Int) => slice(col(vecCol), s * subDim + 1, subDim)
     // per-subspace codebooks: the same deterministic decimal k-means,
-    // trained on the sliced corpus (init = k smallest ids' sub-vectors)
-    val codebooks = (0 until m).map { s =>
-      kmeansOnSpread(spread.select(col(idCol), sub(s).as(vecCol)),
-        idCol, vecCol, codebookSize, iters)
+    // trained on the sliced corpus (init = k smallest ids' sub-vectors).
+    // The m trainings are independent job chains — run them concurrently
+    // so their stages interleave on the cluster instead of serializing
+    // m× the per-iteration driver latency (results are deterministic
+    // regardless: each chain's math is partition-order independent).
+    val codebooks = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence((0 until m).map(s => Future {
+          kmeansOnSpread(spread.select(col(idCol), sub(s).as(vecCol)),
+            idCol, vecCol, codebookSize, iters)
+        })),
+        scala.concurrent.duration.Duration.Inf)
     }
     val codeCols = (0 until m).map(s =>
       PipelineExpressions.nearest_centroids(sub(s), codebooks(s), 1)(0)
