@@ -116,6 +116,58 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(tol.getAs[String]("qual") == "b")
   }
 
+  test("randomized: backward/forward match a naive reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    val keys = Seq("a", "b", "c")
+    val left = (0 until 200).map(i =>
+      (i.toLong, keys(rnd.nextInt(3)), ts(rnd.nextInt(50))))
+    // right timestamps unique per key (the operator's match is
+    // well-defined up to exact (key, ts) duplicates)
+    val right = keys.zipWithIndex.flatMap { case (k, ki) =>
+      rnd.shuffle((0 until 50).toList).take(35).map { t =>
+        val p: Option[Double] =
+          if (rnd.nextBoolean()) Some(rnd.nextInt(100).toDouble) else None
+        (k, ts(t), p, (ki * 100 + t).toLong)
+      }
+    }
+    val ldf = left.toDF("event_id", "k", "ts")
+    val rdf = right.toDF("k", "ts", "pval", "rid")
+    val tol = 7L * 1000000
+
+    // naive reference: nearest right row by (|gap|, then latest/earliest
+    // preference irrelevant — exact ties on (k, ts) resolved by taking
+    // the LAST right row in input order, matching last() over the window
+    def naive(forward: Boolean) = left.map { case (id, k, lts) =>
+      val cands = right.zipWithIndex.filter { case ((rk, rts, _, _), _) =>
+        rk == k && (if (forward) rts.getTime >= lts.getTime
+                    else rts.getTime <= lts.getTime) }
+      val best =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy { case ((_, rts, _, _), idx) =>
+          // nearest wins; among equal timestamps the window's last()
+          // keeps the final row in (ts, side) sort order = input order
+          val t = rts.getTime
+          (if (forward) -t else t, idx)
+        }._1)
+      val inTol = best.exists { case (_, rts, _, _) =>
+        math.abs(lts.getTime - rts.getTime) * 1000 <= tol }
+      id -> (if (inTol) best.flatMap(_._3) else None)
+    }.toMap
+
+    for (fwd <- Seq(false, true)) {
+      val got = (if (fwd)
+        AsofJoin.forward(ldf, rdf, Seq("k"), "ts", "ts", Seq("pval"),
+          toleranceMicros = Some(tol))
+      else
+        AsofJoin.backward(ldf, rdf, Seq("k"), "ts", "ts", Seq("pval"),
+          toleranceMicros = Some(tol)))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("pval")).map(_.toDouble)).toMap
+      assert(got == naive(fwd), s"forward=$fwd diverged from naive")
+    }
+  }
+
   test("payload name collisions are rejected") {
     import spark.implicits._
     val l = Seq((1L, "u", ts(1), 2.0)).toDF("event_id", "user_id", "ts", "pval")

@@ -187,6 +187,27 @@ class SimilaritySpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("centroid_distances agrees with nearest_centroids' argmin") {
+    import spark.implicits._
+    import graft.expressions.PipelineExpressions._
+    val cents = (0 until 8).map(i => vec(500 + i).map(_.toDouble)).toArray
+    val df = (0 until 50).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
+    val rows = df.select(col("id"),
+      nearest_centroids(col("embedding"), cents, 1)(0).as("cid"),
+      centroid_distances(col("embedding"), cents).as("dists"))
+      .collect()
+    rows.foreach { r =>
+      val cid = r.getInt(1)
+      val dists = r.getSeq[java.math.BigDecimal](2)
+      // the argmin over the ADC table (ties → lower index) must be the
+      // same centroid NearestCentroids picks — one decimal contract
+      val best = dists.zipWithIndex.minBy { case (d, i) =>
+        (d, i) }(Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal](
+          identity), Ordering.Int))._2
+      assert(best == cid, s"row ${r.getLong(0)}: table argmin $best != $cid")
+    }
+  }
+
   test("ivfTopK candidate join is a broadcast equi-join on the list id") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivfspec").toString
