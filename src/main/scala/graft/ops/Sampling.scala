@@ -125,6 +125,25 @@ object Sampling {
       .drop("__total", "__wgt")
   }
 
+  /** Deterministic fixed-SIZE per-group sample: the k rows of each group
+    * with the smallest md5 key hash — the eval-set/debug-slice
+    * counterpart to the rate-based samplers (a rate cannot promise
+    * "exactly k per stratum"; hash order makes the choice a pure
+    * function of the keys, stable across runs, partitionings, and
+    * engines). One key-hash shuffle for the ranking window; ties on the
+    * 48-bit hash break by key. Emits `rankCol` (1..k) for downstream
+    * ordering. */
+  def sampleKPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int, rankCol: String = "rn"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val hv = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(hv.asc, col(keyCol).asc)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Temperature-scaled (α = 0.5) domain mixing — the standard
     * multilingual/multi-domain rebalancing (XLM-R style): sampling mass
     * per stratum ∝ (token share)^α, so small domains are upweighted and

@@ -372,6 +372,15 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // deterministic k-per-group sample: exactly 3 docs per source by
+    // md5 hash order — pure function of the keys, engine-reproducible
+    "q_sample_k_group" -> ((s, dir) => {
+      graft.ops.Sampling.sampleKPerGroup(
+        Tables(s, dir, "documents"), "doc_id", "source", k = 3)
+        .select(col("source"), col("doc_id"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
     // α=0.5 temperature mixing: per-source weights = floor(sqrt(token
     // total)) feed the same exact-decimal acceptance filter — small
     // domains upweighted relative to natural share, all integer math
@@ -1104,6 +1113,20 @@ object PipelinePack extends QueryPack {
         |SELECT e.event_type, e.est, x.exact
         |FROM est e JOIN exact x USING (event_type)
         |ORDER BY 1""".stripMargin,
+
+    "q_sample_k_group" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT) AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT source, doc_id, CAST(rn AS INT) AS rn FROM r
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
     "q_sample_mix_temp" ->
       """WITH tok AS (

@@ -417,6 +417,25 @@ class DedupSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("k-per-group sample: exact size, repartition-stable, prefix-nested") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val k3 = graft.ops.Sampling.sampleKPerGroup(docs, "doc_id", "source", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(k3.size == 9 && k3.groupBy(_._1).forall(_._2.size == 3))
+    // same rows regardless of partitioning / input order
+    val again = graft.ops.Sampling.sampleKPerGroup(
+      docs.orderBy(col("doc_id").desc).repartition(7), "doc_id", "source", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(k3 == again)
+    // hash order makes samples prefix-nested: the k=2 sample is a
+    // subset of the k=3 sample (growing an eval set never reshuffles it)
+    val k2 = graft.ops.Sampling.sampleKPerGroup(docs, "doc_id", "source", 2)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(k2.subsetOf(k3))
+  }
+
   test("temperature mixing upweights small domains relative to share") {
     import spark.implicits._
     // big: 900 docs × 10 tok = 9000; small: 100 docs × 10 tok = 1000.
