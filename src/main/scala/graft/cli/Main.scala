@@ -62,7 +62,13 @@ object Main {
       /** clean: extra relative directories to remove on top of the
         * project's clean-targets (reference CleanArgs.files,
         * crates/dbt-sa-cli/src/dbt_sa_clap.rs:172-176). */
-      cleanFiles: Seq[String] = Nil)
+      cleanFiles: Seq[String] = Nil,
+      /** --record FILE.jsonl: record every warehouse interaction of this
+        * run (reference record_and_replay.rs test harness). */
+      record: Option[String] = None,
+      /** --replay-verify FILE.jsonl: diff this run's interactions
+        * against a recording; mismatches print and fail the exit code. */
+      replayVerify: Option[String] = None)
 
   /** "yyyy-MM-dd" or "yyyy-MM-dd HH:mm:ss" → Timestamp, interpreted at
     * UTC — MicrobatchRunner truncates and windows batches at
@@ -130,6 +136,9 @@ object Main {
         case "--sample" => a = a.copy(samplePlan = Some(argv(i + 1))); i += 2
         case "--sample-suffix" =>
           a = a.copy(sampleSuffix = argv(i + 1)); i += 2
+        case "--record" => a = a.copy(record = Some(argv(i + 1))); i += 2
+        case "--replay-verify" =>
+          a = a.copy(replayVerify = Some(argv(i + 1))); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -165,6 +174,40 @@ object Main {
   }
 
   def run(spark: SparkSession, args: Args): Int = {
+    require(args.record.isEmpty || args.replayVerify.isEmpty,
+      "--record and --replay-verify are mutually exclusive")
+    if (spark != null) {
+      import graft.adapter.InteractionLog
+      args.record.foreach { p =>
+        spark.conf.set(InteractionLog.ModeKey, "record")
+        spark.conf.set(InteractionLog.PathKey, p)
+        InteractionLog.reset(spark)
+      }
+      args.replayVerify.foreach { p =>
+        spark.conf.set(InteractionLog.ModeKey, "verify")
+        spark.conf.set(InteractionLog.PathKey, p)
+        InteractionLog.reset(spark)
+      }
+    }
+    val rc = runCommand(spark, args)
+    if (spark != null && args.replayVerify.isDefined) {
+      val diff = graft.adapter.InteractionLog.report(spark)
+      if (diff.isEmpty) {
+        println("replay-verify: all interactions match the recording")
+        rc
+      } else {
+        diff.take(20).foreach { m =>
+          System.err.println(s"replay-verify DIFF @${m.seq}")
+          System.err.println(s"  recorded: ${m.expected.take(200)}")
+          System.err.println(s"  live:     ${m.actual.take(200)}")
+        }
+        System.err.println(s"replay-verify: ${diff.size} mismatches")
+        if (rc == 0) 1 else rc
+      }
+    } else rc
+  }
+
+  private def runCommand(spark: SparkSession, args: Args): Int = {
     // init runs before any project exists — handle it ahead of the load
     if (args.command == "init") return runInit(args)
     // debug performs its own guarded load so a broken project is a
@@ -552,7 +595,8 @@ object Main {
       |  --schema NAME --threads N --full-refresh --fail-fast --empty
       |  --vars '{k: v}' --state DIR --defer --target-path DIR
       |  --sample PLAN.yml --sample-suffix SFX --limit N --output FMT
-      |  --event-time-start T --event-time-end T""".stripMargin
+      |  --event-time-start T --event-time-end T
+      |  --record FILE.jsonl --replay-verify FILE.jsonl""".stripMargin
 
   /** Quote a YAML scalar only when needed (quoting keeps shas and paths
     * literal). */

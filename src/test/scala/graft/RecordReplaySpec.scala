@@ -100,4 +100,34 @@ class RecordReplaySpec extends AnyFunSuite {
       InteractionLog.reset(spark)
     }
   }
+
+  test("CLI --record / --replay-verify drive the log and the exit code") {
+    val proj = fixtureProject()
+    val log = Files.createTempDirectory("graft_rr_cli").resolve("cli.jsonl")
+    def cli(flags: String*): Int = {
+      spark.sql(s"DROP DATABASE IF EXISTS `g_rr_cli` CASCADE")
+      graft.cli.Main.run(spark, graft.cli.Main.parseArgs(
+        Array("run", "--project-dir", proj.toString, "--schema", "g_rr_cli",
+          "--target-path", Files.createTempDirectory("graft_rr_t").toString)
+          ++ flags))
+    }
+    try {
+      assert(cli("--record", log.toString) == 0)
+      assert(Files.readAllLines(log).size > 5)
+      assert(cli("--replay-verify", log.toString) == 0,
+        "identical run must verify green")
+      // a diverging run exits nonzero
+      val proj2 = fixtureProject(modelV = "'CHANGED' as v")
+      spark.sql(s"DROP DATABASE IF EXISTS `g_rr_cli` CASCADE")
+      val rc = graft.cli.Main.run(spark, graft.cli.Main.parseArgs(
+        Array("run", "--project-dir", proj2.toString, "--schema", "g_rr_cli",
+          "--target-path", Files.createTempDirectory("graft_rr_t").toString,
+          "--replay-verify", log.toString)))
+      assert(rc != 0, "diverging run must fail the exit code")
+    } finally {
+      spark.conf.set(InteractionLog.ModeKey, "off")
+      spark.conf.unset(InteractionLog.PathKey)
+      InteractionLog.reset(spark)
+    }
+  }
 }
