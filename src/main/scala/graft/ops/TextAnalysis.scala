@@ -124,6 +124,49 @@ object TextAnalysis {
             (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.3, 6))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021 appendix A — the
+    * standard pretraining quality gate), re-expressed so EVERY rule is
+    * an all-integer comparison: each fraction threshold cross-multiplies
+    * into integer arithmetic (dup fraction ≤ 1/2 ⟺
+    * 2·(n_words − n_distinct) ≤ n_words), so no rule ever sits on a
+    * float boundary and the keep decision is bit-identical in any
+    * engine. One map-side codegen pass — rules come from the same
+    * token/stopword/repetition machinery as the scoring operators.
+    *
+    * Emitted per document: the rule booleans (`r_*`), `n_tokens`, and
+    * `keep` = AND of all rules — keep flags rather than a filtered
+    * corpus, because pipelines audit WHICH rule dropped a document
+    * (filter with `.where(col("keep"))`). */
+  def gopherFilter(df0: DataFrame, textCol: String, minTokens: Int = 8,
+      maxTokens: Int = 5000): DataFrame = {
+    val df = Dedup.spread(df0)
+    val rep = graft.expressions.PipelineExpressions
+      .repetition_stats(col(textCol))
+    val mwlNumer = col("__chars") - (col("n_tokens") - 1)
+    df.withColumn("n_tokens", tokenCount(textCol))
+      .withColumn("__chars", length(col(textCol)))
+      .withColumn("__stop", graft.expressions.PipelineExpressions
+        .token_hit_count(col(textCol), markers("en")))
+      .withColumn("__rep", rep)
+      .withColumn("r_min_tokens", col("n_tokens") >= minTokens)
+      .withColumn("r_max_tokens", col("n_tokens") <= maxTokens)
+      // 1 ≤ mean word length ≤ 12, cross-multiplied by n_tokens
+      .withColumn("r_word_len",
+        col("n_tokens") > 0 && col("n_tokens") <= mwlNumer &&
+          mwlNumer <= col("n_tokens") * 12)
+      .withColumn("r_stopwords", col("__stop") >= 2)
+      .withColumn("r_dup_words",
+        (col("__rep.n_words") - col("__rep.n_distinct_words")) * 2 <=
+          col("__rep.n_words"))
+      .withColumn("r_top_bigram",
+        col("__rep.n_words") <= 1 ||
+          col("__rep.top_bigram_count") * 5 <= col("__rep.n_words") - 1)
+      .withColumn("keep",
+        col("r_min_tokens") && col("r_max_tokens") && col("r_word_len") &&
+          col("r_stopwords") && col("r_dup_words") && col("r_top_bigram"))
+      .drop("__chars", "__stop", "__rep")
+  }
+
   private val Mod = 1000000007L
   private val Base = 131L
 

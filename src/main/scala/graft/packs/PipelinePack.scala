@@ -427,6 +427,17 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style rule gate: every fraction threshold cross-multiplied
+    // into integer comparisons, so the keep decision never sits on a
+    // float boundary — per-rule audit booleans + keep flag
+    "q_text_gopher" -> ((s, dir) => {
+      TextAnalysis.gopherFilter(
+        Tables(s, dir, "documents").filter(col("doc_id") % 7 === 0), "text")
+        .select("doc_id", "n_tokens", "r_min_tokens", "r_max_tokens",
+          "r_word_len", "r_stopwords", "r_dup_words", "r_top_bigram", "keep")
+        .orderBy("doc_id")
+    }),
+
     // PII masking: deterministic synthetic PII is injected into a slice of
     // documents (same injection SQL on the oracle side), then masked and
     // counted — one map-side pass, identical regexes in both engines
@@ -1299,6 +1310,51 @@ object PipelinePack extends QueryPack {
         |       ELSE 0.0 END AS top_bigram_frac
         |FROM stats s JOIN tops t ON s.doc_id = t.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q_text_gopher" -> {
+      val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+      """WITH base AS (
+        |  SELECT doc_id, text, trim(text) AS t
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |feat AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    CASE WHEN length(t) = 0 THEN 0
+        |         ELSE len(string_split_regex(t, ' +')) END AS n_tokens,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN (STOPLIST))) AS sw,
+        |    CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(t, ' +') END AS w
+        |  FROM base),
+        |stats AS (
+        |  SELECT doc_id, n_chars, n_tokens, sw,
+        |    len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs
+        |  FROM feat),
+        |tops AS (
+        |  SELECT s.doc_id, COALESCE(MAX(b.cnt), 0) AS top_bigram_count
+        |  FROM stats s LEFT JOIN (
+        |    SELECT doc_id, bg, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM stats)
+        |    GROUP BY 1, 2) b ON s.doc_id = b.doc_id
+        |  GROUP BY 1),
+        |rules AS (
+        |  SELECT s.doc_id, CAST(s.n_tokens AS INT) AS n_tokens,
+        |    s.n_tokens >= 8 AS r_min_tokens,
+        |    s.n_tokens <= 5000 AS r_max_tokens,
+        |    (s.n_tokens > 0 AND s.n_tokens <= (s.n_chars - (s.n_tokens - 1))
+        |     AND (s.n_chars - (s.n_tokens - 1)) <= 12 * s.n_tokens)
+        |      AS r_word_len,
+        |    s.sw >= 2 AS r_stopwords,
+        |    2 * (s.n_words - s.n_distinct_words) <= s.n_words AS r_dup_words,
+        |    (s.n_words <= 1 OR 5 * t.top_bigram_count <= s.n_words - 1)
+        |      AS r_top_bigram
+        |  FROM stats s JOIN tops t ON s.doc_id = t.doc_id)
+        |SELECT doc_id, n_tokens, r_min_tokens, r_max_tokens, r_word_len,
+        |  r_stopwords, r_dup_words, r_top_bigram,
+        |  (r_min_tokens AND r_max_tokens AND r_word_len AND r_stopwords
+        |   AND r_dup_words AND r_top_bigram) AS keep
+        |FROM rules ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
+    },
 
     "q_text_pii" ->
       """WITH injected AS (

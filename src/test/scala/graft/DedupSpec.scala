@@ -417,6 +417,27 @@ class DedupSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("gopher filter: each rule trips on its target pathology") {
+    import spark.implicits._
+    val good = "the cat sat on the mat and then the dog came in to see it"
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short"),                           // < 8 tokens
+      (3L, Seq.fill(60)("spam spam").mkString(" ")), // dup words + bigram
+      (4L, ("a " * 20) + "the of supercalifragilisticexpialidocious" * 6),
+      (5L, "x y z w v u t s q r")                  // no stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.gopherFilter(docs, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"),
+          r.getAs[Boolean]("r_min_tokens"), r.getAs[Boolean]("r_dup_words"),
+          r.getAs[Boolean]("r_stopwords"))).toMap
+    assert(out(1L)._1, s"good doc must pass: ${out(1L)}")
+    assert(!out(2L)._2 && !out(2L)._1, "short doc fails min_tokens")
+    assert(!out(3L)._3 && !out(3L)._1, "spam doc fails dup_words")
+    assert(!out(5L)._4 && !out(5L)._1, "stopword-free doc fails")
+  }
+
   test("k-per-group sample: exact size, repartition-stable, prefix-nested") {
     import spark.implicits._
     val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}"))
