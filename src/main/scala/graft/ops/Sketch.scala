@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   * The row hashes are md5-derived (same 48-bit idiom as
   * [[Sampling.hashBucket]]) so the whole sketch is a pure deterministic
   * function of the data — any engine reproduces it bit-for-bit, which is
-  * what makes an approximate structure oracle-checkable.
+  * what makes an approximate structure oracle-checkable. All d row
+  * hashes derive from ONE md5 via Kirsch-Mitzenmacher double hashing
+  * (bucket_i = h1 + i·h2 mod w, h2 forced odd): the classic result that
+  * two hash functions preserve Bloom/count-min guarantees, and on the
+  * engine side it cuts the per-row cost from d md5 evaluations (each
+  * over a freshly concatenated string) to one md5 plus integer math.
   *
   * Scale shape: building the sketch is a d× map-side expand followed by
   * ONE partial-aggregated count shuffle of (row, bucket) pairs — d·w
@@ -21,9 +26,17 @@ import org.apache.spark.sql.functions._
   * broadcast-joins the d·w cell table to the query keys. */
 object Sketch {
 
+  /** 48-bit slice of the key's md5 starting at hex digit `off`. */
+  private def h48(c: Column, off: Int): Column =
+    conv(substring(md5(c.cast("string")), off, 12), 16, 10).cast("long")
+
+  /** Kirsch-Mitzenmacher bucket i: (h1 + i·h2) mod width, h2 odd. Both
+    * 48-bit halves come from the SAME md5 (Catalyst's common-subexpression
+    * elimination evaluates it once per row); i·h2 ≤ 2^51 for any sane
+    * depth/k, so the sum never overflows a long. */
   private def bucket(row: Int, c: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat_ws(":", lit(row), c.cast("string"))),
-      1, 12), 16, 10).cast("long"), lit(width.toLong))
+    pmod(h48(c, 1) + lit(row.toLong) * h48(c, 13).bitwiseOR(lit(1L)),
+      lit(width.toLong))
 
   /** The d×w counter matrix as rows (row, bucket, cnt). Cells never
     * touched stay absent (zero). */
@@ -54,8 +67,8 @@ object Sketch {
   /** [[bucket]] with the row index as a Column (probe side explodes
     * rows at runtime). */
   private def bucket0(row: Column, c: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat_ws(":", row, c.cast("string"))),
-      1, 12), 16, 10).cast("long"), lit(width.toLong))
+    pmod(h48(c, 1) + row.cast("long") * h48(c, 13).bitwiseOR(lit(1L)),
+      lit(width.toLong))
 
   /** Exact heavy hitters with a sketch-pruned shuffle: keys occurring at
     * least `minCount` times, with their exact counts. Count-min never

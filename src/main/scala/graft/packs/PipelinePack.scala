@@ -1023,14 +1023,16 @@ object PipelinePack extends QueryPack {
       """WITH cells AS (
         |  SELECT row, bucket, count(*) AS cnt FROM (
         |    SELECT i.range AS row,
-        |      (('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' ||
-        |        CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) % 256 AS bucket
+        |      ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+        |        + i.range * ((('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |            13, 12))::BIGINT) | 1)) % 256) AS bucket
         |    FROM events, range(4) i)
         |  GROUP BY 1, 2
         |), probes AS (
         |  SELECT u.user_id, i.range AS row,
-        |    (('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' ||
-        |      CAST(u.user_id AS VARCHAR)), 1, 12))::BIGINT) % 256 AS bucket
+        |    ((('0x' || substr(md5(CAST(u.user_id AS VARCHAR)), 1, 12))::BIGINT
+        |      + i.range * ((('0x' || substr(md5(CAST(u.user_id AS VARCHAR)),
+        |          13, 12))::BIGINT) | 1)) % 256) AS bucket
         |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
         |       range(4) i
         |), est AS (
