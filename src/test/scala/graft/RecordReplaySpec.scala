@@ -58,11 +58,19 @@ class RecordReplaySpec extends AnyFunSuite {
 
   private val schema = "g_rr"
 
+  /** The interaction log is session-scoped, but sbt runs suites
+    * CONCURRENTLY in one JVM and every suite's getOrCreate returns the
+    * same root session — another suite's adapter calls would interleave
+    * into this suite's recording. newSession() shares the SparkContext
+    * but is a distinct session object (and conf), so only THIS suite's
+    * interactions are logged. */
+  private lazy val isolated: SparkSession = spark.newSession()
+
   private def runProject(proj: Path): Unit = {
-    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    isolated.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
     val loc = Files.createTempDirectory("graft_rr_wh").toString
     val project = ProjectLoader.load(proj.toString)
-    val r = new Runner(spark, project, targetSchema = schema,
+    val r = new Runner(isolated, project, targetSchema = schema,
       warehouseLocation = Some(loc))
     val bad = r.run().filter(_.status != "success")
     assert(bad.isEmpty, bad.mkString(" | "))
@@ -72,8 +80,8 @@ class RecordReplaySpec extends AnyFunSuite {
     val log = Files.createTempDirectory("graft_rr_log").resolve("run.jsonl")
 
     // 1) golden run: record every warehouse interaction
-    spark.conf.set(InteractionLog.PathKey, log.toString)
-    spark.conf.set(InteractionLog.ModeKey, "record")
+    isolated.conf.set(InteractionLog.PathKey, log.toString)
+    isolated.conf.set(InteractionLog.ModeKey, "record")
     try {
       runProject(fixtureProject())
       val lines = Files.readAllLines(log)
@@ -82,32 +90,37 @@ class RecordReplaySpec extends AnyFunSuite {
       assert(lines.toString.contains("create_view"), lines.toString.take(500))
 
       // 2) verify run: identical project replays the recording exactly
-      spark.conf.set(InteractionLog.ModeKey, "verify")
-      InteractionLog.reset(spark)
+      isolated.conf.set(InteractionLog.ModeKey, "verify")
+      InteractionLog.reset(isolated)
       runProject(fixtureProject())
-      val diff = InteractionLog.report(spark)
+      val diff = InteractionLog.report(isolated)
       assert(diff.isEmpty, diff.take(5).mkString("\n"))
 
       // 3) regression: a changed model diverges, and the diff names the
       // first differing interaction rather than throwing mid-run
-      InteractionLog.reset(spark)
+      InteractionLog.reset(isolated)
       runProject(fixtureProject(modelV = "'CHANGED' as v"))
-      val diff2 = InteractionLog.report(spark)
+      val diff2 = InteractionLog.report(isolated)
       assert(diff2.nonEmpty, "a changed model must produce a diff")
     } finally {
-      spark.conf.set(InteractionLog.ModeKey, "off")
-      spark.conf.unset(InteractionLog.PathKey)
-      InteractionLog.reset(spark)
+      isolated.conf.set(InteractionLog.ModeKey, "off")
+      isolated.conf.unset(InteractionLog.PathKey)
+      InteractionLog.reset(isolated)
     }
   }
 
   test("CLI --record / --replay-verify drive the log and the exit code") {
     val proj = fixtureProject()
     val log = Files.createTempDirectory("graft_rr_cli").resolve("cli.jsonl")
+    // unique schema per invocation: a REUSED name would let createSchema's
+    // cross-session table recovery resurrect a previous JVM's warehouse
+    // directories, and the record run would legitimately take the
+    // incremental/staged-swap paths while the verify run builds fresh
+    val cliSchema = s"g_rr_cli_${System.nanoTime()}"
     def cli(flags: String*): Int = {
-      spark.sql(s"DROP DATABASE IF EXISTS `g_rr_cli` CASCADE")
-      graft.cli.Main.run(spark, graft.cli.Main.parseArgs(
-        Array("run", "--project-dir", proj.toString, "--schema", "g_rr_cli",
+      isolated.sql(s"DROP DATABASE IF EXISTS `$cliSchema` CASCADE")
+      graft.cli.Main.run(isolated, graft.cli.Main.parseArgs(
+        Array("run", "--project-dir", proj.toString, "--schema", cliSchema,
           "--target-path", Files.createTempDirectory("graft_rr_t").toString)
           ++ flags))
     }
@@ -118,16 +131,16 @@ class RecordReplaySpec extends AnyFunSuite {
         "identical run must verify green")
       // a diverging run exits nonzero
       val proj2 = fixtureProject(modelV = "'CHANGED' as v")
-      spark.sql(s"DROP DATABASE IF EXISTS `g_rr_cli` CASCADE")
-      val rc = graft.cli.Main.run(spark, graft.cli.Main.parseArgs(
-        Array("run", "--project-dir", proj2.toString, "--schema", "g_rr_cli",
+      isolated.sql(s"DROP DATABASE IF EXISTS `$cliSchema` CASCADE")
+      val rc = graft.cli.Main.run(isolated, graft.cli.Main.parseArgs(
+        Array("run", "--project-dir", proj2.toString, "--schema", cliSchema,
           "--target-path", Files.createTempDirectory("graft_rr_t").toString,
           "--replay-verify", log.toString)))
       assert(rc != 0, "diverging run must fail the exit code")
     } finally {
-      spark.conf.set(InteractionLog.ModeKey, "off")
-      spark.conf.unset(InteractionLog.PathKey)
-      InteractionLog.reset(spark)
+      isolated.conf.set(InteractionLog.ModeKey, "off")
+      isolated.conf.unset(InteractionLog.PathKey)
+      InteractionLog.reset(isolated)
     }
   }
 }
