@@ -224,14 +224,6 @@ object Sketch {
     require(groupCols.nonEmpty, "need at least one group column")
     val q = 48 - p
     val m = 1L << p
-    val qp1 = q + 1
-    val alpha = p match {
-      case 4 => 0.673
-      case 5 => 0.697
-      case 6 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
-    val numer = (alpha * (m * m).toDouble) * math.pow(2.0, qp1)
     val h = conv(substring(md5(col(itemCol).cast("string")), 1, 12), 16, 10)
       .cast("long")
     val w = shiftright(h, p)
@@ -242,7 +234,28 @@ object Sketch {
         rank.as("rank"): _*)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max("rank").as("register"))
-    regs
+    hllEstimateByGroup(regs, groupCols, p)
+  }
+
+  /** Per-group estimates from a (groupCols…, bucket, register) register
+    * table — the estimate half of [[hllDistinctByGroup]], exposed so
+    * register tables built elsewhere (e.g. a Structured Streaming
+    * windowed register sink) estimate with the identical exact-integer
+    * math. */
+  def hllEstimateByGroup(registers: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val m = 1L << p
+    val qp1 = 49 - p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val numer = (alpha * (m * m).toDouble) * math.pow(2.0, qp1)
+    registers
       .groupBy(groupCols.map(col): _*)
       .agg(
         (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $qp1 - register)")) +

@@ -41,6 +41,16 @@ object StreamingPack extends QueryPack {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // streaming windowed HLL: per-day approximate distinct users —
+    // HLL's register merge IS max, so the whole sketch rides Spark's
+    // built-in watermarked aggregation state (windows × 2^p rows);
+    // estimates come from the same exact-integer math as the batch op
+    "q_stream_hll_daily" -> ((s, dir) => {
+      val regs = StreamingOps.dailyHllRegisters(s, dir, "user_id", p = 6)
+      graft.ops.Sketch.hllEstimateByGroup(regs, Seq("day"), p = 6)
+        .orderBy("day")
+    }),
+
     // incremental ordered funnel with bounded per-key state — same
     // two-day slice and depth distribution as the batch q_funnel, so it
     // shares that oracle verbatim (streaming == batch on bounded input)
@@ -122,6 +132,42 @@ object StreamingPack extends QueryPack {
 
     // the streaming funnel's contract is batch-equivalence on bounded
     // input, so it shares the batch operator's oracle verbatim
-    "q_stream_funnel" -> PipelinePack.oracles("q_funnel")
+    "q_stream_funnel" -> PipelinePack.oracles("q_funnel"),
+
+    // per-day HLL with the q_stream_window append-mode cutoff (windows
+    // whose end the closing watermark passed) — estimate constants are
+    // the p=6 set (m=64, q+1=43, alpha=0.709), identical parenthesization
+    // to the batch hll oracles
+    "q_stream_hll_daily" ->
+      """WITH wm AS (SELECT CAST(max(ts) - INTERVAL 2 DAY AS DATE) AS last_day
+        |            FROM events),
+        |h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT) AS h48
+        |  FROM events),
+        |r AS (
+        |  SELECT day, h48 % 64 AS bucket,
+        |    CASE WHEN h48 // 64 = 0 THEN 43
+        |         ELSE 43 - length(bin(h48 // 64)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT day, bucket, max(rank) AS register
+        |         FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT day,
+        |    sum(1::BIGINT << (43 - register))
+        |      + (64 - count(*)) * (1::BIGINT << 43) AS s,
+        |    64 - count(*) AS zeros
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT day, CAST(floor(CASE
+        |    WHEN ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) <= 160.0 AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+        |    ELSE ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) END) AS BIGINT) AS est
+        |  FROM agg)
+        |SELECT e.day, e.est FROM est e, wm
+        |WHERE e.day <= wm.last_day ORDER BY e.day""".stripMargin
   )
 }

@@ -178,6 +178,51 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** Streaming windowed HLL registers: approximate distinct counting
+    * per tumbling day window — the streaming twin of
+    * [[graft.ops.Sketch.hllRegisters]]. The register update is a plain
+    * watermarked `max` aggregation (HLL's merge IS max, so Spark's
+    * built-in streaming aggregation state — at most windows × 2^p rows —
+    * carries the whole sketch; no custom state needed), emitted in
+    * append mode once the watermark closes each window. Feed the sink to
+    * [[graft.ops.Sketch.hllEstimateByGroup]] for per-day estimates with
+    * the same exact-integer math as the batch sketch. */
+  def dailyHllRegisters(spark: SparkSession, sfDir: String,
+      itemCol: String, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = Files.createTempDirectory("graft_hll_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_hll_cp").toString
+    val q = 48 - p
+    val m = 1L << p
+
+    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = shiftright(h, p)
+    val rank = when(w === 0, lit(q + 1))
+      .otherwise(lit(q + 1) - length(bin(w)))
+
+    val stream = spark.readStream
+      .schema(rawEventsSchema)
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), pmod(h, lit(m)).as("bucket"), rank.as("rank"))
+      .groupBy(window(col("ts"), "1 day"), col("bucket"))
+      .agg(max("rank").as("register"))
+      .select(col("window.start").cast("date").as("day"),
+        col("bucket"), col("register"))
+
+    val qy = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    qy.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** Streaming ordered funnel — the incremental twin of
     * [[graft.ops.Funnel]]: per-key funnel depth maintained in
     * `flatMapGroupsWithState`. State per key is the first `maxPerStep`
