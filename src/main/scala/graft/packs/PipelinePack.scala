@@ -438,6 +438,30 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // the curation pipeline END TO END: quality gate → exact dedup
+    // (min-id canonical per text) → α=0.5 temperature mix — three
+    // operators composed into one oracle-checked query, because a
+    // pipeline's correctness is about the composition, not just the
+    // stages
+    "q_pipeline_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val kept = TextAnalysis.gopherFilter(docs, "text")
+        .filter(col("keep"))
+        .select("doc_id", "source", "text")
+      val deduped = kept
+        .groupBy(col("text"))
+        // lexicographic struct min = the (unique) min-doc_id row WITH
+        // its own source — never fields mixed from different rows
+        .agg(min(struct(col("doc_id"), col("source"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.source").as("source"),
+          size(split(col("text"), " ")).as("n_tok"))
+      graft.ops.Sampling.temperatureMixByTokens(deduped, "doc_id",
+        "source", "n_tok", budget = 5000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // PII masking: deterministic synthetic PII is injected into a slice of
     // documents (same injection SQL on the oracle side), then masked and
     // counted — one map-side pass, identical regexes in both engines
@@ -762,6 +786,51 @@ object PipelinePack extends QueryPack {
        |  FROM adc) t
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The Gopher-rule CTE chain (base → feat → stats → tops → rules) over
+    * `documents WHERE pred` — shared between the per-rule audit oracle
+    * and the composed curation-pipeline oracle so both pin the same
+    * rule text. `base` carries `source` for downstream stages. */
+  private def gopherCtes(pred: String): String = {
+    val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+    s"""base AS (
+       |  SELECT doc_id, source, text, trim(text) AS t
+       |  FROM documents WHERE $pred),
+       |feat AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    CASE WHEN length(t) = 0 THEN 0
+       |         ELSE len(string_split_regex(t, ' +')) END AS n_tokens,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |        x -> x IN (STOPLIST))) AS sw,
+       |    CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(t, ' +') END AS w
+       |  FROM base),
+       |stats AS (
+       |  SELECT doc_id, n_chars, n_tokens, sw,
+       |    len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words,
+       |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs
+       |  FROM feat),
+       |tops AS (
+       |  SELECT s.doc_id, COALESCE(MAX(b.cnt), 0) AS top_bigram_count
+       |  FROM stats s LEFT JOIN (
+       |    SELECT doc_id, bg, count(*) AS cnt
+       |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM stats)
+       |    GROUP BY 1, 2) b ON s.doc_id = b.doc_id
+       |  GROUP BY 1),
+       |rules AS (
+       |  SELECT s.doc_id, CAST(s.n_tokens AS INT) AS n_tokens,
+       |    s.n_tokens >= 8 AS r_min_tokens,
+       |    s.n_tokens <= 5000 AS r_max_tokens,
+       |    (s.n_tokens > 0 AND s.n_tokens <= (s.n_chars - (s.n_tokens - 1))
+       |     AND (s.n_chars - (s.n_tokens - 1)) <= 12 * s.n_tokens)
+       |      AS r_word_len,
+       |    s.sw >= 2 AS r_stopwords,
+       |    2 * (s.n_words - s.n_distinct_words) <= s.n_words AS r_dup_words,
+       |    (s.n_words <= 1 OR 5 * t.top_bigram_count <= s.n_words - 1)
+       |      AS r_top_bigram
+       |  FROM stats s JOIN tops t ON s.doc_id = t.doc_id)""".stripMargin
+      .replace("STOPLIST", stop)
   }
 
   def oracles: Map[String, String] = Map(
@@ -1313,50 +1382,45 @@ object PipelinePack extends QueryPack {
         |FROM stats s JOIN tops t ON s.doc_id = t.doc_id
         |ORDER BY s.doc_id""".stripMargin,
 
-    "q_text_gopher" -> {
-      val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
-      """WITH base AS (
-        |  SELECT doc_id, text, trim(text) AS t
-        |  FROM documents WHERE doc_id % 7 = 0),
-        |feat AS (
-        |  SELECT doc_id, length(text) AS n_chars,
-        |    CASE WHEN length(t) = 0 THEN 0
-        |         ELSE len(string_split_regex(t, ' +')) END AS n_tokens,
-        |    len(list_filter(string_split(lower(text), ' '),
-        |        x -> x IN (STOPLIST))) AS sw,
-        |    CASE WHEN length(t) = 0 THEN []::VARCHAR[]
-        |         ELSE string_split_regex(t, ' +') END AS w
-        |  FROM base),
-        |stats AS (
-        |  SELECT doc_id, n_chars, n_tokens, sw,
-        |    len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words,
-        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs
-        |  FROM feat),
-        |tops AS (
-        |  SELECT s.doc_id, COALESCE(MAX(b.cnt), 0) AS top_bigram_count
-        |  FROM stats s LEFT JOIN (
-        |    SELECT doc_id, bg, count(*) AS cnt
-        |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM stats)
-        |    GROUP BY 1, 2) b ON s.doc_id = b.doc_id
-        |  GROUP BY 1),
-        |rules AS (
-        |  SELECT s.doc_id, CAST(s.n_tokens AS INT) AS n_tokens,
-        |    s.n_tokens >= 8 AS r_min_tokens,
-        |    s.n_tokens <= 5000 AS r_max_tokens,
-        |    (s.n_tokens > 0 AND s.n_tokens <= (s.n_chars - (s.n_tokens - 1))
-        |     AND (s.n_chars - (s.n_tokens - 1)) <= 12 * s.n_tokens)
-        |      AS r_word_len,
-        |    s.sw >= 2 AS r_stopwords,
-        |    2 * (s.n_words - s.n_distinct_words) <= s.n_words AS r_dup_words,
-        |    (s.n_words <= 1 OR 5 * t.top_bigram_count <= s.n_words - 1)
-        |      AS r_top_bigram
-        |  FROM stats s JOIN tops t ON s.doc_id = t.doc_id)
+    "q_text_gopher" ->
+      s"""WITH ${gopherCtes("doc_id % 7 = 0")}
         |SELECT doc_id, n_tokens, r_min_tokens, r_max_tokens, r_word_len,
         |  r_stopwords, r_dup_words, r_top_bigram,
         |  (r_min_tokens AND r_max_tokens AND r_word_len AND r_stopwords
         |   AND r_dup_words AND r_top_bigram) AS keep
-        |FROM rules ORDER BY doc_id""".stripMargin.replace("STOPLIST", stop)
-    },
+        |FROM rules ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_curation" ->
+      s"""WITH ${gopherCtes("TRUE")},
+        |kept AS (
+        |  SELECT b.doc_id, b.source, b.text
+        |  FROM rules r JOIN base b USING (doc_id)
+        |  WHERE r.r_min_tokens AND r.r_max_tokens AND r.r_word_len
+        |    AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    arg_min(source, doc_id) AS source,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM kept GROUP BY text),
+        |tok AS (
+        |  SELECT doc_id, source, n_tok,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT) % 10000 AS bucket
+        |  FROM dedup),
+        |tot AS (
+        |  SELECT source, sum(n_tok) AS total,
+        |    CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS HUGEINT) AS wgt
+        |  FROM tok GROUP BY source),
+        |ws AS (SELECT sum(wgt) AS wsum FROM tot),
+        |mixed AS (
+        |  SELECT t.doc_id, t.source, t.n_tok
+        |  FROM tok t JOIN tot USING (source) CROSS JOIN ws
+        |  WHERE CAST(t.bucket AS HUGEINT) * CAST(tot.total AS HUGEINT)
+        |          * ws.wsum
+        |      < CAST(tot.wgt AS HUGEINT) * 5000 * 10000)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM mixed GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_pii" ->
       """WITH injected AS (
