@@ -23,9 +23,11 @@ object Bench {
     // round-6 event/curation operators
     "q_asof_join", "q_sessionize", "q_range_join", "q_text_linededup",
     "q_sketch_hll", "q_sketch_hh",
-    // round-7 operators: PQ ANN, grouped HLL, temperature mixing, plus
-    // the funnel now that its buffer bound defaults on (plan changed)
-    "q_ann_pq", "q_sketch_hll_group", "q_sample_mix_temp", "q_funnel")
+    // round-7 operators: PQ ANN, grouped HLL, temperature mixing, the
+    // funnel now that its buffer bound defaults on (plan changed), the
+    // Gopher gate, and the composed curation pipeline
+    "q_ann_pq", "q_sketch_hll_group", "q_sample_mix_temp", "q_funnel",
+    "q_text_gopher", "q_pipeline_curation")
   // q_dedup_embedding stays oracle-only: it is the deliberately-exact
   // decimal all-pairs baseline (O(N²·d) BigDecimal math) that verifies
   // the sub-quadratic embeddingNearDupsLsh scale path — benching it would

@@ -166,4 +166,26 @@ class ExpressionPropertySpec extends AnyFunSuite {
         s"pair (${a._1},${b._1}): exact=$exact est=$est")
     }
   }
+
+  test("count-min double hashing: estimates never undercount random data") {
+    import graft.ops.Sketch
+    import spark.implicits._
+    // adversarial key mix: random strings plus near-identical siblings
+    // (stress the Kirsch-Mitzenmacher family's independence across rows)
+    val keys = Gen.listOfN(120, wordGen).sample.get
+      .flatMap(w => Seq(w, w + "0", w + "1"))
+    val rnd = new scala.util.Random(42)
+    val rows = keys.flatMap(k => Seq.fill(1 + rnd.nextInt(5))(k))
+    val truth = rows.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    val df = rows.toDF("k")
+    for ((w, d) <- Seq((8, 2), (64, 3), (1024, 4))) {
+      val est = Sketch.estimate(
+        Sketch.countMin(df, "k", w, d),
+        truth.keys.toSeq.toDF("k"), "k", w, d)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (k, n) =>
+        assert(est(k) >= n, s"w=$w d=$d undercounts '$k': ${est(k)} < $n") }
+    }
+  }
 }
