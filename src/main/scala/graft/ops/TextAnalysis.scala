@@ -124,6 +124,38 @@ object TextAnalysis {
             (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.3, 6))
   }
 
+  /** Token-window chunking: split each document into fixed-size token
+    * windows with overlap (stride < chunk ⇒ consecutive chunks share
+    * chunk − stride tokens) — the standard pre-embedding segmentation.
+    * Pure map-side: one split, one sequence/transform, one posexplode;
+    * no shuffle, no UDF. Chunk k covers tokens [k·stride, k·stride +
+    * chunk); the tail chunk may be shorter; documents with no tokens
+    * emit nothing. Deterministic text math, so chunk ids and bodies are
+    * engine-exact. */
+  def chunk(df: DataFrame, textCol: String, chunkTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"stride must be in [1, chunkTokens]: $strideTokens")
+    df.withColumn("__toks",
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), " +")))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col("*"),
+        // chunk count − 1 = ceil((n − chunk)/stride), as INTEGER ceil
+        // division — float ceil could land a 1-ulp-off quotient on the
+        // wrong side when stride divides (n − chunk) exactly
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, greatest(0,
+             |    (__n - $chunkTokens + $strideTokens - 1) div $strideTokens)),
+             |  k -> array_join(slice(__toks, k * $strideTokens + 1,
+             |    $chunkTokens), ' '))""".stripMargin))
+          .as(Seq("chunk_id", "chunk_text")))
+      .drop("__toks", "__n", textCol)
+  }
+
   /** Gopher-style rule filter (Rae et al. 2021 appendix A — the
     * standard pretraining quality gate), re-expressed so EVERY rule is
     * an all-integer comparison: each fraction threshold cross-multiplies

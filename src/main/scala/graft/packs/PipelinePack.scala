@@ -438,6 +438,21 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // token-window chunking: 40-token windows, stride 30 (10-token
+    // overlap) — the pre-embedding segmentation, map-side only; chunk
+    // bodies are hashed so the oracle compares exact text without
+    // shipping it
+    "q_text_chunks" -> ((s, dir) => {
+      TextAnalysis.chunk(
+        Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0)
+          .select("doc_id", "text"),
+        "text", chunkTokens = 40, strideTokens = 30)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_hash"),
+          size(split(col("chunk_text"), " ")).as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // the curation pipeline END TO END: quality gate → exact dedup
     // (min-id canonical per text) → α=0.5 temperature mix — three
     // operators composed into one oracle-checked query, because a
@@ -1389,6 +1404,31 @@ object PipelinePack extends QueryPack {
         |  (r_min_tokens AND r_max_tokens AND r_word_len AND r_stopwords
         |   AND r_dup_words AND r_top_bigram) AS keep
         |FROM rules ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(text) AS t
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(t, ' +') END AS w
+        |  FROM base),
+        |nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        |ids AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, greatest(0, (n - 40 + 30 - 1) // 30) + 1))
+        |      AS chunk_id
+        |  FROM nz),
+        |chunks AS (
+        |  SELECT doc_id, chunk_id,
+        |    array_to_string(w[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+        |      AS chunk_text
+        |  FROM ids)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  md5(chunk_text) AS chunk_hash,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_chunk_tokens
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_pipeline_curation" ->
       s"""WITH ${gopherCtes("TRUE")},

@@ -417,6 +417,34 @@ class DedupSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("token chunking: overlap, coverage, tail, and edge sizes") {
+    import spark.implicits._
+    val words = (1 to 95).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),   // 95 tokens → chunks at 0,30,60 (+tail)
+      (2L, "a b c"),               // shorter than one chunk → 1 chunk
+      (3L, "   "),                 // blank → no chunks
+      (4L, words.take(40).mkString(" ")) // exactly one chunk, no second
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .chunk(docs, "text", chunkTokens = 40, strideTokens = 30)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[String]("chunk_text"))).toSeq
+    val byDoc = out.groupBy(_._1)
+    // 95 tokens: K = ceil((95-40)/30) = 2 → chunks 0..2
+    assert(byDoc(1L).map(_._2).sorted == Seq(0, 1, 2))
+    val c = byDoc(1L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    assert(c(0).size == 40 && c(1).size == 40 && c(2).size == 35)
+    // overlap: chunk k+1's first 10 tokens == chunk k's last 10
+    assert(c(0).takeRight(10) == c(1).take(10))
+    assert(c(1).takeRight(10) == c(2).take(10))
+    // coverage: stride-prefixes + last chunk reconstruct the document
+    assert((c(0).take(30) ++ c(1).take(30) ++ c(2)) == words)
+    assert(byDoc(2L).map(_._3) == Seq("a b c"))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).size == 1 && byDoc(4L).head._3.split(" ").length == 40)
+  }
+
   test("gopher filter: each rule trips on its target pathology") {
     import spark.implicits._
     val good = "the cat sat on the mat and then the dog came in to see it"
