@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over unbounded groups — the profiling pass a
+  * curation pipeline runs before choosing filter thresholds. */
+object Stats {
+
+  /** Exact per-group discrete quantiles WITHOUT per-group buffers: rank
+    * every row with one window pass and keep the rows whose rank hits
+    * each quantile's target index — one shuffle, no `collect_list`, so
+    * a group of 10⁹ rows costs the same memory as a group of 10. This
+    * is the scale-safe exact alternative to both sort-and-index (a
+    * per-group array buffer) and `percentile_approx` (not
+    * engine-reproducible).
+    *
+    * Quantiles are RATIONALS (label, numerator, denominator): the
+    * target index is the all-integer ceil division
+    * (n·num + den − 1) div den, never `ceil(p·n)` on a float — a 1-ulp
+    * quotient error would pick the neighboring row. Discrete (type-1)
+    * quantile semantics: the value whose rank is ⌈p·n⌉; ties in the
+    * value order don't matter because rank k's VALUE is determined by
+    * the multiset alone. Output: one row per (group, quantile label),
+    * with the quantile value in `valueCol`'s type. */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (l, num, den) =>
+      require(num > 0 && den > 0 && num <= den,
+        s"quantile $l must have 0 < num <= den: $num/$den") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val targets: Column = array(quantiles.map { case (label, num, den) =>
+      struct(lit(label).as("q"),
+        expr(s"(__n * $num + ${den - 1}) div $den").as("k"))
+    }: _*)
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("__hit",
+        filter(targets, t => t.getField("k") === col("__rn")))
+      .filter(size(col("__hit")) > 0)
+      .select(col(groupCol), explode(col("__hit")).as("__q"), col(valueCol))
+      .select(col(groupCol), col("__q.q").as("quantile"), col(valueCol))
+  }
+}

@@ -438,6 +438,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // exact per-source length quantiles, windowed (no per-group buffer):
+    // rank rows once, keep ranks hitting each integer target index —
+    // 10^9-row groups cost the same memory as 10-row groups
+    "q_stats_quantiles" -> ((s, dir) => {
+      graft.ops.Stats.quantilesByGroup(
+        Tables(s, dir, "documents"), "source", "n_chars",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy("source", "quantile")
+    }),
+
     // token-window chunking: 40-token windows, stride 30 (10-token
     // overlap) — the pre-embedding segmentation, map-side only; chunk
     // bodies are hashed so the oracle compares exact text without
@@ -1404,6 +1414,19 @@ object PipelinePack extends QueryPack {
         |  (r_min_tokens AND r_max_tokens AND r_word_len AND r_stopwords
         |   AND r_dup_words AND r_top_bigram) AS keep
         |FROM rules ORDER BY doc_id""".stripMargin,
+
+    "q_stats_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |q(quantile, num, den) AS (
+        |  VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+        |SELECT r.source, q.quantile, r.n_chars
+        |FROM ranked r JOIN q
+        |  ON r.rn = (r.n * q.num + q.den - 1) // q.den
+        |ORDER BY source, quantile""".stripMargin,
 
     "q_text_chunks" ->
       """WITH base AS (
