@@ -131,7 +131,8 @@ object PipelinePack extends QueryPack {
     // quality features + composite score
     "q_text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(
-        Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0), "text")
+        Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0)
+          .select("doc_id", "text"), "text")
         .select("doc_id", "n_chars_actual", "n_tokens", "mean_word_len",
           "stopword_ratio", "punct_ratio", "quality_score")
         .orderBy("doc_id")
@@ -431,8 +432,11 @@ object PipelinePack extends QueryPack {
     // into integer comparisons, so the keep decision never sits on a
     // float boundary — per-rule audit booleans + keep flag
     "q_text_gopher" -> ((s, dir) => {
+      // project BEFORE the operator: its spread() cache boundary is a
+      // leaf Catalyst cannot prune columns through
       TextAnalysis.gopherFilter(
-        Tables(s, dir, "documents").filter(col("doc_id") % 7 === 0), "text")
+        Tables(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+          .select("doc_id", "text"), "text")
         .select("doc_id", "n_tokens", "r_min_tokens", "r_max_tokens",
           "r_word_len", "r_stopwords", "r_dup_words", "r_top_bigram", "keep")
         .orderBy("doc_id")
@@ -469,7 +473,10 @@ object PipelinePack extends QueryPack {
     // pipeline's correctness is about the composition, not just the
     // stages
     "q_pipeline_curation" -> ((s, dir) => {
+      // project to the pipeline's columns before the gate's spread()
+      // cache boundary, keeping the parquet scan 3-column
       val docs = Tables(s, dir, "documents")
+        .select("doc_id", "source", "text")
       val kept = TextAnalysis.gopherFilter(docs, "text")
         .filter(col("keep"))
         .select("doc_id", "source", "text")
@@ -522,7 +529,8 @@ object PipelinePack extends QueryPack {
     // rolling-hash fingerprints
     "q_text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(
-        Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0), "text")
+        Tables(s, dir, "documents").filter(col("doc_id") % 23 === 0)
+          .select("doc_id", "text"), "text")
         .select("doc_id", "content_hash", "min_gram_hash", "n_distinct_grams")
         .orderBy("doc_id")
     }),
