@@ -25,11 +25,16 @@ import scala.jdk.CollectionConverters._
   * volatile name classes the reference also scrubs
   * (record_and_replay.rs:47-58 — `dbt_tmp_<uuid>` names, generated
   * schema stamps) don't poison the diff. `verify` replays a recorded run
-  * against a live one: each interaction must match the recording IN
-  * ORDER (op + detail + read-result checksum); divergences accumulate as
-  * [[Mismatch]]es instead of throwing, so a regression test gets the
-  * whole diff, not the first delta. [[report]] returns the mismatches
-  * plus a tail entry when the live run stopped short of the recording.
+  * against a live one as a MULTISET comparison: every live interaction
+  * must appear in the recording (op + detail + read-result checksum) and
+  * vice versa, but global order is free — a parallel scheduler
+  * (`--threads N`) interleaves independent nodes nondeterministically,
+  * and the reference harness likewise matches per node rather than by
+  * global sequence (record_and_replay.rs compute_file_name: node id +
+  * per-node counter). Divergences accumulate as [[Mismatch]]es instead
+  * of throwing, so a regression test gets the whole diff: unmatched live
+  * interactions surface as they happen, unconsumed recorded ones via
+  * [[report]].
   *
   * Scale note: this is test infra on the DDL/DML control path — one
   * file append per warehouse interaction (thousands per run, not
@@ -41,23 +46,26 @@ object InteractionLog {
   final val PathKey = "spark.graft.interactionLog.path"
 
   /** One divergence between the recording and the live run. `expected`
-    * is empty when the live run issued MORE interactions than the
-    * recording; `actual` is empty when it issued fewer. */
+    * is empty for a live interaction the recording never contained;
+    * `actual` is empty for a recorded interaction the live run never
+    * issued. `seq` is the live sequence number at detection (or the
+    * recording's remaining count for unconsumed entries). */
   final case class Mismatch(seq: Int, expected: String, actual: String)
 
   private final class State(val mode: String, val path: Path) {
     var seq: Int = 0
     val mismatches = scala.collection.mutable.ArrayBuffer.empty[Mismatch]
-    // golden lines re-keyed to comparable "op|detail|result" strings
-    val golden: Vector[String] =
-      if (mode == "verify" && Files.exists(path))
-        Files.readAllLines(path).asScala.toVector.filter(_.nonEmpty).map { l =>
-          val m = Json.parse(l).asInstanceOf[Map[String, Any]]
-          comparable(m.getOrElse("op", "").toString,
-            m.getOrElse("detail", "").toString,
-            m.get("result").filter(_ != null).map(_.toString))
-        }
-      else Vector.empty
+    // golden entries as a multiset of comparable "op|detail|result"
+    // strings; each live interaction consumes one occurrence
+    val golden = scala.collection.mutable.Map.empty[String, Int]
+    if (mode == "verify" && Files.exists(path))
+      Files.readAllLines(path).asScala.filter(_.nonEmpty).foreach { l =>
+        val m = Json.parse(l).asInstanceOf[Map[String, Any]]
+        val key = comparable(m.getOrElse("op", "").toString,
+          m.getOrElse("detail", "").toString,
+          m.get("result").filter(_ != null).map(_.toString))
+        golden(key) = golden.getOrElse(key, 0) + 1
+      }
   }
 
   private def comparable(op: String, detail: String,
@@ -105,10 +113,11 @@ object InteractionLog {
             "result" -> result.orNull)) + "\n",
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         } else {
-          if (s.seq >= s.golden.length)
-            s.mismatches += Mismatch(s.seq, "", line)
-          else if (s.golden(s.seq) != line)
-            s.mismatches += Mismatch(s.seq, s.golden(s.seq), line)
+          s.golden.get(line) match {
+            case Some(n) if n > 1 => s.golden(line) = n - 1
+            case Some(_) => s.golden.remove(line)
+            case None => s.mismatches += Mismatch(s.seq, "", line)
+          }
         }
         s.seq += 1
       }
@@ -120,18 +129,19 @@ object InteractionLog {
     Json.md5((t.columnNames +: t.rows.map(_.map(String.valueOf(_))))
       .map(_.mkString("")).mkString("\n"))
 
-  /** Verify-mode outcome: in-order mismatches, plus one tail mismatch if
-    * the live run issued fewer interactions than the recording. Empty ⇒
-    * the live run replayed the recording exactly. */
+  /** Verify-mode outcome: live interactions the recording never
+    * contained, plus recorded interactions the live run never issued
+    * (one entry per remaining occurrence count). Empty ⇒ the live run
+    * replayed the recording's interaction multiset exactly. */
   def report(spark: SparkSession): Seq[Mismatch] = {
     val s = states.get(spark)
     if (s == null) Nil
     else s.synchronized {
-      val tail =
-        if (s.mode == "verify" && s.seq < s.golden.length)
-          Seq(Mismatch(s.seq, s.golden(s.seq), ""))
+      val unconsumed =
+        if (s.mode == "verify")
+          s.golden.toSeq.sortBy(_._1).map { case (k, n) => Mismatch(n, k, "") }
         else Nil
-      s.mismatches.toSeq ++ tail
+      s.mismatches.toSeq ++ unconsumed
     }
   }
 

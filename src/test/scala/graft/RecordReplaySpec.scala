@@ -109,6 +109,41 @@ class RecordReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("verify is schedule-tolerant: parallel replay of a serial recording") {
+    // two INDEPENDENT models: a parallel scheduler may materialize them
+    // in either order, so verify compares the interaction MULTISET, not
+    // the global sequence (the reference harness likewise matches per
+    // node, not by order)
+    val proj = Files.createTempDirectory("graft_rr_par")
+    write(proj, "dbt_project.yml",
+      """name: rrpar
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/left.sql",
+      "{{ config(materialized='table') }}\nselect 1 as x\n")
+    write(proj, "models/right.sql",
+      "{{ config(materialized='table') }}\nselect 2 as y\n")
+    val log = Files.createTempDirectory("graft_rr_par_log").resolve("p.jsonl")
+    val parSchema = s"g_rr_par_${System.nanoTime()}"
+    def cli(threads: Int, flag: String): Int = {
+      isolated.sql(s"DROP DATABASE IF EXISTS `$parSchema` CASCADE")
+      graft.cli.Main.run(isolated, graft.cli.Main.parseArgs(
+        Array("run", "--project-dir", proj.toString, "--schema", parSchema,
+          "--threads", threads.toString, flag, log.toString,
+          "--target-path",
+          Files.createTempDirectory("graft_rr_pt").toString)))
+    }
+    try {
+      assert(cli(1, "--record") == 0)
+      assert(cli(4, "--replay-verify") == 0,
+        "a parallel schedule of the same interactions must verify green")
+    } finally {
+      isolated.conf.set(InteractionLog.ModeKey, "off")
+      isolated.conf.unset(InteractionLog.PathKey)
+      InteractionLog.reset(isolated)
+    }
+  }
+
   test("CLI --record / --replay-verify drive the log and the exit code") {
     val proj = fixtureProject()
     val log = Files.createTempDirectory("graft_rr_cli").resolve("cli.jsonl")
