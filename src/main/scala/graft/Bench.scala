@@ -83,7 +83,8 @@ object Bench {
     // local-dev subset filter (the driver never sets it): run only the
     // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q_ann_ivf,q_dedup_minhash
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty) // set-but-empty env must not filter out everything
 
     def pass(): Seq[(String, Double)] =
       headline.filter(SparkEntry.queries.contains)

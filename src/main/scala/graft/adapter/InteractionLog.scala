@@ -83,17 +83,23 @@ object InteractionLog {
     val path = Paths.get(spark.conf.getOption(PathKey).getOrElse(
       throw new IllegalArgumentException(
         s"$PathKey must be set when $ModeKey != off")))
-    val cur = states.get(spark)
-    if (cur != null && cur.mode == mode && cur.path == path) Some(cur)
-    else {
-      val s = new State(mode, path)
-      if (mode == "record") {
-        Files.createDirectories(
-          Option(path.toAbsolutePath.getParent).getOrElse(Paths.get(".")))
-        Files.deleteIfExists(path)
+    // check-then-create must be atomic: two pool threads logging their
+    // first interaction concurrently would otherwise BOTH build a State,
+    // and in record mode the loser's constructor deletes the file the
+    // winner already appended to
+    states.synchronized {
+      val cur = states.get(spark)
+      if (cur != null && cur.mode == mode && cur.path == path) Some(cur)
+      else {
+        val s = new State(mode, path)
+        if (mode == "record") {
+          Files.createDirectories(
+            Option(path.toAbsolutePath.getParent).getOrElse(Paths.get(".")))
+          Files.deleteIfExists(path)
+        }
+        states.put(spark, s)
+        Some(s)
       }
-      states.put(spark, s)
-      Some(s)
     }
   }
 
@@ -134,7 +140,12 @@ object InteractionLog {
     * (one entry per remaining occurrence count). Empty ⇒ the live run
     * replayed the recording's interaction multiset exactly. */
   def report(spark: SparkSession): Seq[Mismatch] = {
-    val s = states.get(spark)
+    // resolve through stateOf, NOT the raw map: a verify run that issued
+    // ZERO interactions has no lazily-created state yet, and reporting
+    // "no mismatches" for it would pass a recording nothing consumed —
+    // stateOf materializes the golden multiset so every recorded
+    // interaction surfaces as unconsumed
+    val s = try stateOf(spark).orNull catch { case _: Exception => null }
     if (s == null) Nil
     else s.synchronized {
       val unconsumed =

@@ -184,6 +184,13 @@ object Main {
         InteractionLog.reset(spark)
       }
       args.replayVerify.foreach { p =>
+        // fail fast on a missing recording — otherwise every live
+        // interaction diffs against an empty multiset and the user gets
+        // a wall of mismatches instead of "file not found"
+        if (!Files.exists(Paths.get(p))) {
+          System.err.println(s"--replay-verify: recording not found: $p")
+          return 2
+        }
         spark.conf.set(InteractionLog.ModeKey, "verify")
         spark.conf.set(InteractionLog.PathKey, p)
         InteractionLog.reset(spark)

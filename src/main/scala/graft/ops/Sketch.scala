@@ -192,18 +192,26 @@ object Sketch {
     * rows regardless of input size — the map side collapses each
     * partition to ≤ m (bucket, rank) partials before the exchange.
     * Untouched registers stay absent (zero). */
-  def hllRegisters(df: DataFrame, itemCol: String, p: Int): DataFrame = {
+  /** The (bucket, rank) column pair every HLL variant derives from an
+    * item — ONE definition so the batch, grouped, and streaming register
+    * builders can never drift apart on the hash/rank contract.
+    * rank = leading zeros of the q suffix bits, +1 = (q+1) − bitlength;
+    * bin() gives the minimal-width binary string in Spark and DuckDB
+    * alike, which makes bitlength oracle-expressible. */
+  def hllBucketAndRank(itemCol: Column, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val q = 48 - p
-    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 12), 16, 10)
+    val h = conv(substring(md5(itemCol.cast("string")), 1, 12), 16, 10)
       .cast("long")
     val w = shiftright(h, p) // the q suffix bits
-    // rank = leading zeros of w within q bits, +1 = (q+1) − bitlength(w);
-    // bin() gives the minimal-width binary string in Spark and DuckDB
-    // alike, which makes bitlength oracle-expressible
     val rank = when(w === 0, lit(q + 1))
       .otherwise(lit(q + 1) - length(bin(w)))
-    df.select(pmod(h, lit((1L << p))).as("bucket"), rank.as("rank"))
+    (pmod(h, lit(1L << p)), rank)
+  }
+
+  def hllRegisters(df: DataFrame, itemCol: String, p: Int): DataFrame = {
+    val (bucket, rank) = hllBucketAndRank(col(itemCol), p)
+    df.select(bucket.as("bucket"), rank.as("rank"))
       .groupBy("bucket").agg(max("rank").as("register"))
   }
 
@@ -220,17 +228,10 @@ object Sketch {
     * estimates hash-match an oracle. */
   def hllDistinctByGroup(df: DataFrame, groupCols: Seq[String],
       itemCol: String, p: Int): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     require(groupCols.nonEmpty, "need at least one group column")
-    val q = 48 - p
-    val m = 1L << p
-    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 12), 16, 10)
-      .cast("long")
-    val w = shiftright(h, p)
-    val rank = when(w === 0, lit(q + 1))
-      .otherwise(lit(q + 1) - length(bin(w)))
+    val (bucket, rank) = hllBucketAndRank(col(itemCol), p)
     val regs = df
-      .select(groupCols.map(col) :+ pmod(h, lit(m)).as("bucket") :+
+      .select(groupCols.map(col) :+ bucket.as("bucket") :+
         rank.as("rank"): _*)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max("rank").as("register"))
@@ -277,26 +278,9 @@ object Sketch {
     * bit-reproducible in any IEEE engine, which is what lets an
     * approximate estimate hash-match an oracle. Applies the standard
     * small-range linear-counting correction when registers are empty. */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
-    val m = 1L << p
-    val qp1 = 49 - p
-    val alpha = p match {
-      case 4 => 0.673
-      case 5 => 0.697
-      case 6 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
-    val numer = (alpha * (m * m).toDouble) * math.pow(2.0, qp1)
-    registers
-      .agg(
-        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $qp1 - register)")) +
-          (lit(m) - count(lit(1))) * lit(1L << qp1)).as("s"),
-        (lit(m) - count(lit(1))).as("zeros"))
-      .select(
-        when(lit(numer) / col("s").cast("double") <= lit(2.5 * m) &&
-            col("zeros") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
-          .otherwise(lit(numer) / col("s").cast("double")).as("e"))
-      .select(floor(col("e")).cast("long").as("est"))
-  }
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    // the single-sketch case is the grouped estimator over one constant
+    // group — one implementation of the exact-integer power-sum math
+    hllEstimateByGroup(registers.withColumn("__g", lit(1)), Seq("__g"), p)
+      .select("est")
 }

@@ -189,25 +189,19 @@ object StreamingOps {
     * the same exact-integer math as the batch sketch. */
   def dailyHllRegisters(spark: SparkSession, sfDir: String,
       itemCol: String, p: Int = 6): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = Files.createTempDirectory("graft_hll_sink").toString
     val checkpoint = Files.createTempDirectory("graft_hll_cp").toString
-    val q = 48 - p
-    val m = 1L << p
-
-    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 12), 16, 10)
-      .cast("long")
-    val w = shiftright(h, p)
-    val rank = when(w === 0, lit(q + 1))
-      .otherwise(lit(q + 1) - length(bin(w)))
+    // the SAME bucket/rank derivation as the batch sketches — one
+    // definition, no drift
+    val (bucket, rank) = graft.ops.Sketch.hllBucketAndRank(col(itemCol), p)
 
     val stream = spark.readStream
       .schema(rawEventsSchema)
       .parquet(stageDir(sfDir))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 day")
-      .select(col("ts"), pmod(h, lit(m)).as("bucket"), rank.as("rank"))
+      .select(col("ts"), bucket.as("bucket"), rank.as("rank"))
       .groupBy(window(col("ts"), "1 day"), col("bucket"))
       .agg(max("rank").as("register"))
       .select(col("window.start").cast("date").as("day"),
@@ -231,18 +225,25 @@ object StreamingOps {
     * balloon streaming state); each batch merges its events into the
     * bounded arrays, recomputes the completion cascade
     * t_i = first(s_i ≥ t_{i−1}), and emits the key's current depth
-    * (downstream consumers take the latest row per key). Bounded input +
-    * `Trigger.AvailableNow` ⇒ exactly the batch funnel's answer.
+    * (each row carries the key's update counter, and the final select
+    * keeps only each key's LAST emission via max_by, so a key whose
+    * events span several micro-batches still yields exactly one row).
+    * Bounded input + `Trigger.AvailableNow` ⇒ exactly the batch
+    * funnel's answer. The buffer bound defaults from the SAME conf as
+    * the batch operator (`spark.graft.funnelMaxPerStep`) so the two
+    * stay answer-equivalent by default.
     *
     * @param beforeUs only events strictly before this epoch-micros bound
     *                 enter the funnel (None = all) */
   def funnelDepth(spark: SparkSession, sfDir: String, steps: Seq[String],
-      maxPerStep: Int = 64,
+      maxPerStep: Option[Int] = None,
       beforeUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
-    require(maxPerStep > 0, s"maxPerStep must be positive: $maxPerStep")
+    maxPerStep.foreach(n => require(n > 0, s"maxPerStep must be positive: $n"))
+    val cap = math.max(1, maxPerStep.getOrElse(
+      spark.conf.get("spark.graft.funnelMaxPerStep", "10000").toInt))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = Files.createTempDirectory("graft_funnel_sink").toString
     val checkpoint = Files.createTempDirectory("graft_funnel_cp").toString
@@ -257,16 +258,19 @@ object StreamingOps {
       .filter(beforeUs.map(b => col("ts_us") < b).getOrElse(lit(true)))
       .as[(Long, String, Long)]
 
-    // state = per-step sorted arrays of the first maxPerStep timestamps;
-    // a key with events of NO step still holds (empty) state so depth 0
-    // users are emitted, matching the batch operator's groupBy
+    // state = per-step sorted arrays of the first `cap` timestamps, plus
+    // a leading 1-element update counter; a key with events of NO step
+    // still holds (empty) state so depth 0 users are emitted, matching
+    // the batch operator's groupBy
     val depths = stream
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[Seq[Long]], (Long, Int)](
+      .flatMapGroupsWithState[Seq[Seq[Long]], (Long, Long, Int)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[Seq[Seq[Long]]]) =>
-          val arrays = state.getOption
-            .getOrElse(Seq.fill(nSteps)(Seq.empty[Long]))
+          val prior = state.getOption
+            .getOrElse(Seq(Seq(0L)) ++ Seq.fill(nSteps)(Seq.empty[Long]))
+          val update = prior.head.head + 1
+          val arrays = prior.tail
           val incoming = Array.fill(nSteps)(
             scala.collection.mutable.ArrayBuffer.empty[Long])
           rows.foreach { case (_, tpe, ts) =>
@@ -274,9 +278,9 @@ object StreamingOps {
           }
           val merged = arrays.zipWithIndex.map { case (old, i) =>
             if (incoming(i).isEmpty) old
-            else (old ++ incoming(i)).sorted.take(maxPerStep)
+            else (old ++ incoming(i)).sorted.take(cap)
           }
-          state.update(merged)
+          state.update(Seq(Seq(update)) ++ merged)
           // cascade: t_i = first event of step i at-or-after t_{i-1}
           var depth = 0
           var prev = Long.MinValue
@@ -289,9 +293,9 @@ object StreamingOps {
             }
             i += 1
           }
-          Iterator.single((user, depth))
+          Iterator.single((user, update, depth))
       }
-      .toDF("user_id", "funnel_depth")
+      .toDF("user_id", "update_idx", "funnel_depth")
 
     val q = depths.writeStream
       .format("parquet")
@@ -300,7 +304,11 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start(sink)
     q.awaitTermination()
+    // one row per key: the LAST emission wins when a key's events
+    // spanned several micro-batches (update_idx is the per-key counter)
     spark.read.parquet(sink)
+      .groupBy(col("user_id"))
+      .agg(expr("max_by(funnel_depth, update_idx)").as("funnel_depth"))
   }
 
   /** Stream–stream interval join: the stateful two-stream shape — click
