@@ -14,14 +14,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; read it as raw nanos and truncate to microseconds (same as
-    // DuckDB's nanos→micros coercion, so oracles agree).
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) (rejected by the
+    // vectorized reader — read as raw nanos long and truncate to micros,
+    // same as DuckDB's nanos→micros coercion) and as TIMESTAMP(MICROS)
+    // without timezone (read as NTZ — cast to the session type; session TZ
+    // is UTC everywhere so the wall clock is preserved). Branch on what the
+    // file actually contains so both generations load identically.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => // TIMESTAMP_NTZ
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -21,16 +21,45 @@ import java.nio.file.Files
   */
 object StreamingOps {
 
-  /** Raw schema of events.parquet with nanos timestamps read as long
-    * (readStream needs a user schema; the nanos→µs truncation matches
-    * graft.Tables). */
-  val rawEventsSchema: StructType = StructType(Seq(
+  /** Raw schema of events.parquet for readStream (which requires a user
+    * schema). The file's ts column has shipped both as parquet
+    * TIMESTAMP(NANOS) — readable only as a raw nanos long via the legacy
+    * conf — and as TIMESTAMP(MICROS) without timezone (NTZ), so probe the
+    * footer with a one-file batch read and adapt, exactly like
+    * [[graft.Tables]]. */
+  def rawEventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The ts column's storage type in this sfDir's events file (LongType
+    * for nanos generations, TIMESTAMP_NTZ for micros generations).
+    * Driver-side metadata read of one footer — no data scan. */
+  private def eventsTsType(spark: SparkSession, sfDir: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+  }
+
+  /** ts normalized to epoch MICROSECONDS (long) for either generation.
+    * Session TZ is UTC everywhere, so the NTZ→session-type cast preserves
+    * the wall clock. */
+  private def tsUs(tsType: DataType): org.apache.spark.sql.Column =
+    tsType match {
+      case LongType => expr("ts div 1000")
+      case TimestampType => unix_micros(col("ts"))
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+
+  /** ts normalized to a session-type TIMESTAMP for either generation. */
+  private def tsStamp(tsType: DataType): org.apache.spark.sql.Column =
+    tsType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case TimestampType => col("ts")
+      case _ => col("ts").cast(TimestampType)
+    }
 
   /** The file stream source wants a DIRECTORY to monitor; stage the table
     * file into one (in production the events lake already is a directory
@@ -51,10 +80,11 @@ object StreamingOps {
     val sink = Files.createTempDirectory("graft_stream_sink").toString
     val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
 
+    val tsT = eventsTsType(spark, sfDir)
     val stream = spark.readStream
-      .schema(rawEventsSchema)
+      .schema(rawEventsSchema(tsT))
       .parquet(stageDir(sfDir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsStamp(tsT))
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -84,7 +114,7 @@ object StreamingOps {
     val checkpoint = Files.createTempDirectory("graft_dedup_cp").toString
 
     val stream = spark.readStream
-      .schema(rawEventsSchema)
+      .schema(rawEventsSchema(eventsTsType(spark, sfDir)))
       .parquet(stageDir(sfDir))
       // duplicate the stream so the dedup has real work to do
       .select(col("event_id"), col("user_id"), col("event_type"))
@@ -137,10 +167,11 @@ object StreamingOps {
     val checkpoint = Files.createTempDirectory("graft_sess_cp").toString
     val gapUs = gapMinutes * 60L * 1000000L
 
+    val tsT = eventsTsType(spark, sfDir)
     val stream = spark.readStream
-      .schema(rawEventsSchema)
+      .schema(rawEventsSchema(tsT))
       .parquet(stageDir(sfDir))
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), tsUs(tsT).as("ts_us"))
       .as[(Long, Long)]
 
     val closed = stream
@@ -196,10 +227,11 @@ object StreamingOps {
     // definition, no drift
     val (bucket, rank) = graft.ops.Sketch.hllBucketAndRank(col(itemCol), p)
 
+    val tsT = eventsTsType(spark, sfDir)
     val stream = spark.readStream
-      .schema(rawEventsSchema)
+      .schema(rawEventsSchema(tsT))
       .parquet(stageDir(sfDir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsStamp(tsT))
       .withWatermark("ts", "1 day")
       .select(col("ts"), bucket.as("bucket"), rank.as("rank"))
       .groupBy(window(col("ts"), "1 day"), col("bucket"))
@@ -250,11 +282,12 @@ object StreamingOps {
     val stepIdx = steps.zipWithIndex.toMap
     val nSteps = steps.size
 
+    val tsT = eventsTsType(spark, sfDir)
     val stream = spark.readStream
-      .schema(rawEventsSchema)
+      .schema(rawEventsSchema(tsT))
       .parquet(stageDir(sfDir))
       .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        tsUs(tsT).as("ts_us"))
       .filter(beforeUs.map(b => col("ts_us") < b).getOrElse(lit(true)))
       .as[(Long, String, Long)]
 
@@ -326,14 +359,15 @@ object StreamingOps {
     val sink = Files.createTempDirectory("graft_ssjoin_sink").toString
     val checkpoint = Files.createTempDirectory("graft_ssjoin_cp").toString
     val staged = stageDir(sfDir)
+    val tsT = eventsTsType(spark, sfDir)
 
     def side(eventType: String, prefix: String) = spark.readStream
-      .schema(rawEventsSchema)
+      .schema(rawEventsSchema(tsT))
       .parquet(staged)
       .filter(col("event_type") === eventType)
       .select(col("event_id").as(s"${prefix}_id"),
         col("user_id").as(s"${prefix}_user"),
-        expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"),
+        tsStamp(tsT).as(s"${prefix}_ts"),
         col("value").as(s"${prefix}_value"))
       .withWatermark(s"${prefix}_ts", "30 days")
 
@@ -370,7 +404,7 @@ object StreamingOps {
     val dim = spark.read.parquet(s"$sfDir/nation.parquet")
       .select(col("n_nationkey"), col("n_name"))
     val enriched = spark.readStream
-      .schema(rawEventsSchema)
+      .schema(rawEventsSchema(eventsTsType(spark, sfDir)))
       .parquet(stageDir(sfDir))
       .withColumn("nation_key", pmod(col("user_id"), lit(25)).cast("int"))
       .join(dim, col("nation_key") === col("n_nationkey"))
