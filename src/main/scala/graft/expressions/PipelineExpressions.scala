@@ -498,6 +498,80 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Winnowed rolling-hash fingerprints (Schleimer et al. 2003, the MOSS
+    * scheme): the k-char gram hashes of [[FingerprintParts]] (same
+    * Base/Mod math, one O(len) slide), then each window of `w` consecutive
+    * gram hashes contributes its MINIMUM — the winnowing guarantee is that
+    * any shared substring of length ≥ k + w − 1 yields at least one
+    * IDENTICAL selected fingerprint in both documents regardless of
+    * alignment, which is what makes cross-document span detection robust
+    * to offset shifts (a tiled/stride scheme misses misaligned copies).
+    * Output: the selected values, distinct and ascending (expected
+    * density 2/(w+1) of the gram count, so ~2·len/(w+1) longs per doc).
+    * Strings shorter than k (or with fewer than w grams) degenerate to a
+    * single fingerprint, so every row emits a non-empty array. */
+  case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    private final val Mod = 1000000007L
+    private final val Base = 131L
+    private val basePow: Long = {
+      var p = 1L
+      var i = 0
+      while (i < k - 1) { p = p * Base % Mod; i += 1 }
+      p
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val n = s.length
+      val grams =
+        if (n < k) {
+          var h = 0L
+          var i = 0
+          while (i < n) { h = (h * Base + s.charAt(i).toInt) % Mod; i += 1 }
+          Array(h)
+        } else {
+          val g = new Array[Long](n - k + 1)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = (h * Base + s.charAt(i).toInt) % Mod; i += 1 }
+          g(0) = h
+          while (i < n) {
+            h = (h - s.charAt(i - k).toInt * basePow % Mod + Mod) % Mod
+            h = (h * Base + s.charAt(i).toInt) % Mod
+            g(i - k + 1) = h
+            i += 1
+          }
+          g
+        }
+      val m = grams.length
+      val selected = new java.util.TreeSet[java.lang.Long]()
+      if (m <= w) {
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < m) { if (grams(j) < mn) mn = grams(j); j += 1 }
+        selected.add(mn)
+      } else {
+        // monotonic deque of indices: amortized O(1) per slide
+        val dq = new java.util.ArrayDeque[Integer]()
+        var j = 0
+        while (j < m) {
+          while (!dq.isEmpty && grams(dq.peekLast) >= grams(j)) dq.pollLast()
+          dq.addLast(j)
+          if (dq.peekFirst <= j - w) dq.pollFirst()
+          if (j >= w - 1) selected.add(grams(dq.peekFirst))
+          j += 1
+        }
+      }
+      val out = new Array[Long](selected.size)
+      val it = selected.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Indices of the `nprobe` nearest centroids by EXACT-decimal squared L2
     * distance, ascending (ties → lower centroid index). One map-side pass
     * per row against a driver-precomputed k×dim centroid matrix — the IVF
@@ -606,6 +680,8 @@ object PipelineExpressions {
     wrap(DotExact(expression(a), expression(b)))
   def fingerprint_parts(c: Column, k: Int): Column =
     wrap(FingerprintParts(expression(c), k))
+  def winnowed_fingerprints(c: Column, k: Int, w: Int): Column =
+    wrap(WinnowedFingerprints(expression(c), k, w))
   def norm_exact(c: Column): Column =
     wrap(NormExact(expression(c)))
   def hyperplane_sig(c: Column, weights: Array[Array[Long]]): Column =

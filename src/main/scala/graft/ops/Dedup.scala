@@ -305,6 +305,60 @@ object Dedup {
           s => s.getField("__line")), "\n").as("cleaned_text"))
   }
 
+  /** Cross-document duplicated-SPAN gate — the granularity between
+    * whole-document dedup and [[lineDedup]]'s line dedup: detect documents
+    * that share long verbatim substrings with other documents (templated
+    * mirrors, quoted reposts, licence blocks mid-text), the signal behind
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"). A distributed suffix
+    * array is not a Spark-shaped plan; the scalable stand-in is winnowed
+    * rolling-hash fingerprints (Schleimer et al. 2003): any shared span of
+    * ≥ k + w − 1 normalized chars is GUARANTEED to plant at least one
+    * identical fingerprint in both documents regardless of alignment —
+    * tiled/strided k-gram schemes miss offset-shifted copies.
+    *
+    * Output per document: `n_fingerprints`, `n_dup_fingerprints` (those
+    * shared with ≥ `minDocFreq`−1 OTHER documents), and `keep` — true iff
+    * n_dup · den ≤ num · n_total with the duplicated-fraction threshold
+    * `maxDupFrac = num/den` applied by INTEGER cross-multiplication (no
+    * keep decision sits on a float boundary).
+    *
+    * Scale shape: fingerprints are selected MAP-SIDE in one O(len) native
+    * pass (expected ~2·len/(w+1) 8-byte values per doc — the winnowing
+    * density bound); only (fingerprint, doc) longs shuffle, never text.
+    * The document-frequency aggregate is partial-agg'd; the hot set is
+    * bounded by total_fps/minDocFreq so AQE broadcasts the rejoin; the
+    * per-doc recount reuses the exploded pairs. Like every dedup guard
+    * here, run [[exact]] dedup first so identical documents don't inflate
+    * every span's frequency. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8, minDocFreq: Int = 2,
+      maxDupFracNum: Int = 1, maxDupFracDen: Int = 2): DataFrame = {
+    import graft.expressions.PipelineExpressions
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1: k=$k w=$w")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    require(maxDupFracDen > 0 && maxDupFracNum >= 0,
+      s"threshold must be a nonnegative fraction: $maxDupFracNum/$maxDupFracDen")
+    val fps = spread(df.select(col(idCol), col(textCol)))
+      .withColumn("__norm",
+        expr(s"lower(regexp_replace($textCol, '[^a-zA-Z0-9 ]', ''))"))
+      .select(col(idCol),
+        explode(PipelineExpressions.winnowed_fingerprints(
+          col("__norm"), k, w)).as("__fp"))
+    // fingerprints are distinct per doc by construction, so the count per
+    // __fp IS the document frequency
+    val hot = fps.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__fp"), lit(1).as("__dup"))
+    fps.join(hot, Seq("__fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        count(col("__dup")).as("n_dup_fingerprints"))
+      .withColumn("keep",
+        col("n_dup_fingerprints") * maxDupFracDen <=
+          col("n_fingerprints") * maxDupFracNum)
+  }
+
   /** MinHash signature via affine permutations over precomputed shingle
     * hashes: permutation p is h ↦ ((2p+3)·h + 12582917·p) mod (2^31−1) —
     * pure integer math, no per-permutation string hashing (the naive form

@@ -559,6 +559,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // cross-document duplicated-SPAN gate: winnowed rolling-hash
+    // fingerprints (any shared span of ≥ k+w−1 normalized chars plants an
+    // identical fingerprint in both docs at ANY alignment); documents past
+    // the integer-exact dup-fraction threshold fail `keep`
+    "q_dedup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 8, minDocFreq = 2, maxDupFracNum = 1, maxDupFracDen = 2)
+        .orderBy("doc_id")
+    }),
+
     // int8 symmetric embedding quantization (4x smaller vectors for
     // storage/transfer at scale): scale = 127/max|x| per vector, one
     // explode + two narrow shuffles; checksum pins every quantized value
@@ -1577,6 +1587,41 @@ object PipelinePack extends QueryPack {
         |)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // winnowed fingerprints: the same Base-131 mod-1e9+7 rolling gram hash
+    // as q_text_fingerprint, then min per window of 8 consecutive gram
+    // hashes, distinct per doc
+    "q_dedup_spans" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) >= 8
+        |         THEN list_transform(range(1, length(t) - 8 + 2), i -> substr(t, i, 8))
+        |         ELSE [t] END AS gs
+        |  FROM norm),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_transform(gs, g ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 131 + c) % 1000000007)) AS gh
+        |  FROM grams),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(gh) <= 8 THEN [list_min(gh)]
+        |         ELSE list_distinct(list_transform(range(1, len(gh) - 8 + 2),
+        |                j -> list_min(gh[j:j+7]))) END AS fp
+        |  FROM hashed),
+        |ex AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+        |docfreq AS (SELECT fp, count(*) AS ndocs FROM ex GROUP BY fp)
+        |SELECT e.doc_id,
+        |  count(*) AS n_fingerprints,
+        |  count(CASE WHEN d.ndocs >= 2 THEN 1 END) AS n_dup_fingerprints,
+        |  count(CASE WHEN d.ndocs >= 2 THEN 1 END) * 2 <= count(*) * 1 AS keep
+        |FROM ex e JOIN docfreq d USING (fp)
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH ex AS (

@@ -529,4 +529,59 @@ class DedupSpec extends AnyFunSuite {
     // doc 5 was pure boilerplate → dropped entirely
     assert(!out.contains(5L))
   }
+
+  test("duplicate spans: shared substring detected at ANY alignment") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      // shared span embedded at different offsets in different hosts
+      (1L, s"unique preamble one two three $shared tail alpha"),
+      (2L, s"$shared completely different trailing content beta gamma"),
+      // no shared content
+      (3L, "entirely unrelated text with none of those words present here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+        k = 8, w = 4, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // both hosts carry duplicated fingerprints despite the offset shift
+    assert(out(1L)._2 > 0, s"doc 1 found no dup fingerprints: $out")
+    assert(out(2L)._2 > 0, s"doc 2 found no dup fingerprints: $out")
+    assert(out(3L)._2 == 0, s"doc 3 should be clean: $out")
+    assert(out(3L)._3) // clean doc keeps
+  }
+
+  test("duplicate spans: keep flag applies the integer fraction threshold") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, span), // wholly duplicated → fails any threshold < 1
+      (2L, span),
+      (3L, s"$span plus a very long unique suffix that dominates the " +
+        "fingerprint population of this particular document easily " +
+        "pushing the duplicated fraction far below the one half threshold " +
+        "with many additional distinct words nobody else uses anywhere"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+        k = 8, w = 4, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(!out(1L)._3 && !out(2L)._3,
+      s"wholly-duplicated docs must fail keep: $out")
+    assert(out(3L)._3, s"mostly-unique doc must keep: $out")
+    // the wholly-duplicated pair shares every fingerprint
+    assert(out(1L)._1 == out(1L)._2)
+  }
+
+  test("duplicate spans: deterministic under repartition") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"document body number $i with shared license header " +
+        "all rights reserved redistribution permitted")).toDF("doc_id", "text")
+    val a = Dedup.duplicateSpans(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().toSeq
+    val b = Dedup.duplicateSpans(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
