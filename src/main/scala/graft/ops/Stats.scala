@@ -46,4 +46,43 @@ object Stats {
       .select(col(groupCol), explode(col("__hit")).as("__q"), col(valueCol))
       .select(col(groupCol), col("__q.q").as("quantile"), col(valueCol))
   }
+
+  /** Robust per-group outlier flags via Median Absolute Deviation: a row
+    * is an outlier when |x − median| > k · MAD, with median and MAD both
+    * the exact type-1 (discrete) per-group medians of [[quantilesByGroup]]
+    * — the robust alternative to mean/stddev z-scores, whose thresholds
+    * the outliers themselves drag (a curation pipeline filtering, say,
+    * per-source document lengths or per-event-type metric values wants
+    * fences the pathology can't move).
+    *
+    * Engine-exact: median and MAD are actual data values (no
+    * interpolation), |x − med| and k·MAD are each ONE IEEE double
+    * operation, so the flag is bit-reproducible in any IEEE engine — even
+    * the boolean column oracle-checks. Rows with NULL values are dropped
+    * (they have no deviation and would rank differently across engines).
+    *
+    * Scale shape: two ranking-window passes and two joins, ALL keyed by
+    * the group column — no per-group buffers anywhere, so group size
+    * never bounds executor memory; the median/MAD tables are one row per
+    * group and broadcast under AQE.
+    *
+    * Degenerate groups: when over half a group's values are identical,
+    * MAD = 0 and every other value is flagged — the standard MAD caveat;
+    * pick a coarser group or a larger k if that bites. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val in = df.filter(col(valueCol).isNotNull)
+    val med = quantilesByGroup(in, groupCol, valueCol, Seq(("med", 1, 2)))
+      .select(col(groupCol), col(valueCol).as("group_median"))
+    val dev = in.join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("group_median")))
+    val mad = quantilesByGroup(
+      dev.select(col(groupCol), col("__dev")), groupCol, "__dev",
+      Seq(("mad", 1, 2)))
+      .select(col(groupCol), col("__dev").as("group_mad"))
+    dev.join(mad, Seq(groupCol))
+      .withColumn("is_outlier", col("__dev") > lit(k) * col("group_mad"))
+      .drop("__dev")
+  }
 }
