@@ -341,7 +341,7 @@ object Dedup {
       s"threshold must be a nonnegative fraction: $maxDupFracNum/$maxDupFracDen")
     val fps = spread(df.select(col(idCol), col(textCol)))
       .withColumn("__norm",
-        expr(s"lower(regexp_replace($textCol, '[^a-zA-Z0-9 ]', ''))"))
+        lower(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")))
       .select(col(idCol),
         explode(PipelineExpressions.winnowed_fingerprints(
           col("__norm"), k, w)).as("__fp"))

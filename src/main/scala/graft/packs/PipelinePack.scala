@@ -452,6 +452,19 @@ object PipelinePack extends QueryPack {
         .orderBy("source", "quantile")
     }),
 
+    // robust per-group outlier fences: |x − med| > k·MAD with median and
+    // MAD the exact type-1 per-group medians — n_chars is BIGINT, so every
+    // intermediate (median, deviation, MAD, the k·MAD comparison) is pure
+    // integer math and the flag is engine-exact by construction
+    "q_stats_mad" -> ((s, dir) => {
+      graft.ops.Stats.madOutliers(
+        Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", k = 3)
+        .select("doc_id", "source", "n_chars", "group_median", "group_mad",
+          "is_outlier")
+        .orderBy("doc_id")
+    }),
+
     // token-window chunking: 40-token windows, stride 30 (10-token
     // overlap) — the pre-embedding segmentation, map-side only; chunk
     // bodies are hashed so the oracle compares exact text without
@@ -562,7 +575,11 @@ object PipelinePack extends QueryPack {
     // cross-document duplicated-SPAN gate: winnowed rolling-hash
     // fingerprints (any shared span of ≥ k+w−1 normalized chars plants an
     // identical fingerprint in both docs at ANY alignment); documents past
-    // the integer-exact dup-fraction threshold fail `keep`
+    // the integer-exact dup-fraction threshold fail `keep`.
+    // NOTE: the q_dedup_spans oracle SQL hardcodes these parameters —
+    // k=8 and w=8 in its window arithmetic ('- 8 + 2', slice 'j:j+7'),
+    // minDocFreq=2 in 'ndocs >= 2', and the 1/2 threshold in '* 2 <= * 1'.
+    // Change any argument here and the oracle text must change in lockstep.
     "q_dedup_spans" -> ((s, dir) => {
       Dedup.duplicateSpans(Tables(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 8, minDocFreq = 2, maxDupFracNum = 1, maxDupFracDen = 2)
@@ -1445,6 +1462,36 @@ object PipelinePack extends QueryPack {
         |FROM ranked r JOIN q
         |  ON r.rn = (r.n * q.num + q.den - 1) // q.den
         |ORDER BY source, quantile""".stripMargin,
+
+    // MAD outliers: the same ranked type-1 median as q_stats_quantiles,
+    // applied twice (values, then absolute deviations) — target index
+    // (n+1) // 2 is the num=1/den=2 case of the integer ceil division.
+    // All-BIGINT math end to end; k=3 pins the Scala call's default.
+    "q_stats_mad" ->
+      """WITH vals AS (
+        |  SELECT doc_id, source, n_chars FROM documents),
+        |med AS (
+        |  SELECT source, n_chars AS group_median FROM (
+        |    SELECT source, n_chars,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |      COUNT(*) OVER (PARTITION BY source) AS n
+        |    FROM vals) t
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT v.doc_id, v.source, v.n_chars, m.group_median,
+        |    abs(v.n_chars - m.group_median) AS dv
+        |  FROM vals v JOIN med m USING (source)),
+        |mad AS (
+        |  SELECT source, dv AS group_mad FROM (
+        |    SELECT source, dv,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv) AS rn,
+        |      COUNT(*) OVER (PARTITION BY source) AS n
+        |    FROM dev) t
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.doc_id, d.source, d.n_chars, d.group_median, m.group_mad,
+        |  d.dv > 3 * m.group_mad AS is_outlier
+        |FROM dev d JOIN mad m USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_chunks" ->
       """WITH base AS (

@@ -35,13 +35,29 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Run `f` with `spark.sql.legacy.parquet.nanosAsLong=true`, restoring
+    * the previous session value (or unsetting) afterwards. The flag is
+    * needed while an op probes the events footer AND while its stream
+    * plans/executes (nanos generations of events.parquet are unreadable
+    * without it), but it must not leak into the session and change how
+    * unrelated parquet reads see TIMESTAMP(NANOS) columns afterwards. */
+  private def withNanosAsLong[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The ts column's storage type in this sfDir's events file (LongType
     * for nanos generations, TIMESTAMP_NTZ for micros generations).
     * Driver-side metadata read of one footer — no data scan. */
-  private def eventsTsType(spark: SparkSession, sfDir: String): DataType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
-  }
+  private def eventsTsType(spark: SparkSession, sfDir: String): DataType =
+    withNanosAsLong(spark) {
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    }
 
   /** ts normalized to epoch MICROSECONDS (long) for either generation.
     * Session TZ is UTC everywhere, so the NTZ→session-type cast preserves
@@ -75,8 +91,8 @@ object StreamingOps {
     * incrementally with a 1-day watermark. Returns the final sink contents
     * (windows whose end the closing watermark passed — on bounded input:
     * every day ≤ max(ts) − 2 days). */
-  def dailyWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def dailyWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
     val sink = Files.createTempDirectory("graft_stream_sink").toString
     val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
 
@@ -106,10 +122,10 @@ object StreamingOps {
     * keyed per event_id — the KeyValueGroupedDataset.flatMapGroupsWithState
     * shape used for custom streaming state. Bounded input + AvailableNow ⇒
     * deterministic output set. */
-  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = Files.createTempDirectory("graft_dedup_sink").toString
     val checkpoint = Files.createTempDirectory("graft_dedup_cp").toString
 
@@ -159,10 +175,9 @@ object StreamingOps {
     * yields one batch, and a production multi-batch stream relies on the
     * watermark ordering batches by event time. */
   def sessionize(spark: SparkSession, sfDir: String,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30): DataFrame = withNanosAsLong(spark) {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = Files.createTempDirectory("graft_sess_sink").toString
     val checkpoint = Files.createTempDirectory("graft_sess_cp").toString
     val gapUs = gapMinutes * 60L * 1000000L
@@ -219,8 +234,7 @@ object StreamingOps {
     * [[graft.ops.Sketch.hllEstimateByGroup]] for per-day estimates with
     * the same exact-integer math as the batch sketch. */
   def dailyHllRegisters(spark: SparkSession, sfDir: String,
-      itemCol: String, p: Int = 6): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      itemCol: String, p: Int = 6): DataFrame = withNanosAsLong(spark) {
     val sink = Files.createTempDirectory("graft_hll_sink").toString
     val checkpoint = Files.createTempDirectory("graft_hll_cp").toString
     // the SAME bucket/rank derivation as the batch sketches — one
@@ -276,7 +290,7 @@ object StreamingOps {
     maxPerStep.foreach(n => require(n > 0, s"maxPerStep must be positive: $n"))
     val cap = math.max(1, maxPerStep.getOrElse(
       spark.conf.get("spark.graft.funnelMaxPerStep", "10000").toInt))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withNanosAsLong(spark) {
     val sink = Files.createTempDirectory("graft_funnel_sink").toString
     val checkpoint = Files.createTempDirectory("graft_funnel_cp").toString
     val stepIdx = steps.zipWithIndex.toMap
@@ -342,6 +356,7 @@ object StreamingOps {
     spark.read.parquet(sink)
       .groupBy(col("user_id"))
       .agg(expr("max_by(funnel_depth, update_idx)").as("funnel_depth"))
+    }
   }
 
   /** Stream–stream interval join: the stateful two-stream shape — click
@@ -354,8 +369,7 @@ object StreamingOps {
     * watermark ≥ the data's full span ⇒ the complete, deterministic
     * batch-equivalent result. */
   def intervalJoin(spark: SparkSession, sfDir: String,
-      windowMinutes: Int = 60): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      windowMinutes: Int = 60): DataFrame = withNanosAsLong(spark) {
     val sink = Files.createTempDirectory("graft_ssjoin_sink").toString
     val checkpoint = Files.createTempDirectory("graft_ssjoin_cp").toString
     val staged = stageDir(sfDir)
@@ -396,8 +410,8 @@ object StreamingOps {
     * standard "decorate the firehose" pattern, and the only shuffle is
     * whatever the static side's broadcast costs. Inner join ⇒ append mode
     * is exact; bounded input + AvailableNow ⇒ deterministic output set. */
-  def enrichWithStatic(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def enrichWithStatic(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
     val sink = Files.createTempDirectory("graft_enrich_sink").toString
     val checkpoint = Files.createTempDirectory("graft_enrich_cp").toString
 

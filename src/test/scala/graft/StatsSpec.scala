@@ -61,4 +61,64 @@ class StatsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("collect_list"), plan.take(2000))
   }
+
+  /** Type-1 discrete median of a non-empty seq: value at 1-based rank
+    * ⌈n/2⌉ — the (num=1, den=2) case of quantilesByGroup's indexing. */
+  private def median(vs: Seq[Long]): Long = {
+    val sorted = vs.sorted
+    sorted((sorted.size + 1) / 2 - 1)
+  }
+
+  test("madOutliers matches the sort-and-index MAD definition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- Seq("a", "b")
+      _ <- 0 until (if (g == "a") 100 else 33)
+    } yield (g, rnd.nextInt(1000).toLong)
+    val got = graft.ops.Stats.madOutliers(rows.toDF("g", "v"), "g", "v", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.length == rows.length, "one output row per input row")
+    for ((g, vs) <- rows.groupBy(_._1).view.mapValues(_.map(_._2))) {
+      val med = median(vs)
+      val mad = median(vs.map(v => math.abs(v - med)))
+      got.filter(_._1._1 == g).foreach { case ((_, v), (gm, gmad, flag)) =>
+        assert(gm == med && gmad == mad, s"$g: median/MAD mismatch")
+        assert(flag == (math.abs(v - med) > 3 * mad),
+          s"$g v=$v: flag $flag != |${v - med}| > 3*$mad")
+      }
+    }
+  }
+
+  test("madOutliers degenerate group: MAD = 0 flags every off-median value") {
+    import spark.implicits._
+    // >half the group identical ⇒ median = 7, every |dev| ranks ⌈n/2⌉ at 0
+    // ⇒ MAD = 0 ⇒ ANY other value is an outlier (the standard MAD caveat
+    // documented on the op); a duplicate of the median is NOT flagged
+    val df = (Seq.fill(6)(("d", 7L)) ++ Seq(("d", 8L), ("d", 100L)))
+      .toDF("g", "v")
+    val got = graft.ops.Stats.madOutliers(df, "g", "v", k = 3)
+      .select("v", "group_median", "group_mad", "is_outlier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.forall { case (_, med, mad, _) => med == 7L && mad == 0L })
+    assert(got.filter(_._1 == 7L).forall(!_._4), "median copies keep")
+    assert(got.filter(_._1 != 7L).forall(_._4), "off-median values flagged")
+  }
+
+  test("madOutliers drops NULL values before ranking") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long)](("n", 1L), ("n", null),
+      ("n", 2L), ("n", 3L), ("n", null), ("n", 1000L)).toDF("g", "v")
+    val out = graft.ops.Stats.madOutliers(df, "g", "v", k = 3).collect()
+    // 4 non-null rows survive; median over {1,2,3,1000} = 2 (rank 2 of 4),
+    // devs {1,0,1,998} ⇒ MAD = 1 (rank 2 of sorted {0,1,1,998})
+    assert(out.length == 4)
+    val byV = out.map(r => r.getLong(1) ->
+      (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byV(1000L) == ((2L, 1L, true)))
+    assert(byV(1L) == ((2L, 1L, false)))
+  }
 }
