@@ -209,26 +209,10 @@ object Similarity {
       vecCol: String, k: Int, m: Int = 4, codebookSize: Int = 16,
       iters: Int = 1): DataFrame = {
     val spread = Dedup.spread(corpus.select(col(idCol), col(vecCol)))
-    val dim = spread.select(size(col(vecCol))).head.getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val subDim = dim / m
-    val sub = (s: Int) => slice(col(vecCol), s * subDim + 1, subDim)
-    // per-subspace codebooks: the same deterministic decimal k-means,
-    // trained on the sliced corpus (init = k smallest ids' sub-vectors).
-    // The m trainings are independent job chains — run them concurrently
-    // so their stages interleave on the cluster instead of serializing
-    // m× the per-iteration driver latency (results are deterministic
-    // regardless: each chain's math is partition-order independent).
-    val codebooks = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence((0 until m).map(s => Future {
-          kmeansOnSpread(spread.select(col(idCol), sub(s).as(vecCol)),
-            idCol, vecCol, codebookSize, iters)
-        })),
-        scala.concurrent.duration.Duration.Inf)
-    }
+    val subDim = pqSubDim(spread, vecCol, m)
+    val sub = subSlice(vecCol, subDim)
+    val codebooks = trainPqCodebooks(spread, idCol, vecCol, m, subDim,
+      codebookSize, iters)
     val codeCols = (0 until m).map(s =>
       PipelineExpressions.nearest_centroids(sub(s), codebooks(s), 1)(0)
         .as(s"__code$s"))
@@ -237,11 +221,52 @@ object Similarity {
       PipelineExpressions.centroid_distances(sub(s), codebooks(s))
         .as(s"__qd$s"))
     val q = queries.select(col(idCol).as("query_id") +: tableCols: _*)
-    val adc = (0 until m).map(s =>
-      element_at(col(s"__qd$s"), col(s"__code$s") + 1)).reduce(_ + _)
     val scored = codes.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("__adc", adc)
+      .withColumn("__adc", adcSum(m))
+    pqRank(scored, k)
+  }
+
+  /** dim must split evenly into `m` subspaces of subDim each. */
+  private def pqSubDim(spread: DataFrame, vecCol: String, m: Int): Int = {
+    val dim = spread.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    dim / m
+  }
+
+  /** Subspace s of a vector column: dims [s·subDim+1, (s+1)·subDim]. */
+  private def subSlice(vecCol: String, subDim: Int): Int => Column =
+    (s: Int) => slice(col(vecCol), s * subDim + 1, subDim)
+
+  /** Per-subspace codebooks: the same deterministic decimal k-means,
+    * trained on the sliced corpus (init = k smallest ids' sub-vectors).
+    * The m trainings are independent job chains — run them concurrently
+    * so their stages interleave on the cluster instead of serializing
+    * m× the per-iteration driver latency (results are deterministic
+    * regardless: each chain's math is partition-order independent). */
+  private def trainPqCodebooks(spread: DataFrame, idCol: String,
+      vecCol: String, m: Int, subDim: Int, codebookSize: Int,
+      iters: Int): IndexedSeq[Array[Array[Double]]] = {
+    val sub = subSlice(vecCol, subDim)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until m).map(s => Future {
+        kmeansOnSpread(spread.select(col(idCol), sub(s).as(vecCol)),
+          idCol, vecCol, codebookSize, iters)
+      })),
+      scala.concurrent.duration.Duration.Inf)
+  }
+
+  /** ADC distance of a coded row: m table lookups + m exact decimal adds
+    * (columns __qd0..__qd{m−1} hold the query's per-subspace tables,
+    * __code0..__code{m−1} the row's codes). */
+  private def adcSum(m: Int): Column =
+    (0 until m).map(s =>
+      element_at(col(s"__qd$s"), col(s"__code$s") + 1)).reduce(_ + _)
+
+  /** Per-query top-k over ADC-scored candidates, ties → lower id. */
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("neighbor_id"))
@@ -249,6 +274,60 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("__adc"), 6).cast("double").as("adc_d2"), col("rank"))
+  }
+
+  /** IVF+PQ top-k (Jégou et al. 2011 §IV, the FAISS `IVFPQ` composition
+    * with by_residual=false, re-expressed Spark-first): the coarse
+    * k-means quantizer of [[ivfTopK]] partitions the corpus codes into
+    * `nlist` cells, each query probes only its `nprobe` nearest cells,
+    * and candidates inside the probed cells rank by the same ADC table
+    * lookups as [[pqTopK]]. This removes the ANN family's one remaining
+    * linear scan: plain PQ scores EVERY corpus code per query (a
+    * BroadcastNestedLoopJoin by design); here the probe is a broadcast
+    * HASH join on the cell id, so each query touches ~nprobe/nlist of
+    * the codes while keeping PQ's ~dim·4/m-fold compression.
+    *
+    * Determinism: coarse centroids and per-subspace codebooks both train
+    * with the decimal-exact k-means ([[kmeansCentroids]] contract); cell
+    * assignment, probe selection (nprobe smallest exact-decimal d2, ties
+    * → lower cell), codes, and ADC sums are all bit-reproducible, so the
+    * whole pipeline — both trainings included — is oracle-checkable.
+    *
+    * Scale shape: the corpus never shuffles (training moves only
+    * codebook-sized partial sums; encoding + cell assignment are
+    * map-side with the centroids riding inside the expressions); the
+    * probe is one broadcast hash join of (query × nprobe) rows onto the
+    * coded corpus; only (query, neighbor, distance) candidate rows reach
+    * the top-k window. Recall trades at the cell boundary exactly as in
+    * IVF — a true neighbor whose cell no probe touches is missed. */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
+      coarseIters: Int = 1, m: Int = 4, codebookSize: Int = 16,
+      iters: Int = 1): DataFrame = {
+    val spread = Dedup.spread(corpus.select(col(idCol), col(vecCol)))
+    val subDim = pqSubDim(spread, vecCol, m)
+    val sub = subSlice(vecCol, subDim)
+    val coarse = kmeansOnSpread(spread, idCol, vecCol, nlist, coarseIters)
+    val codebooks = trainPqCodebooks(spread, idCol, vecCol, m, subDim,
+      codebookSize, iters)
+    val codeCols = (0 until m).map(s =>
+      PipelineExpressions.nearest_centroids(sub(s), codebooks(s), 1)(0)
+        .as(s"__code$s"))
+    val codes = spread.select(
+      Seq(col(idCol).as("neighbor_id"),
+        PipelineExpressions.nearest_centroids(col(vecCol), coarse, 1)(0)
+          .as("cid")) ++ codeCols: _*)
+    val tableCols = (0 until m).map(s =>
+      PipelineExpressions.centroid_distances(sub(s), codebooks(s))
+        .as(s"__qd$s"))
+    val q = queries.select(
+      Seq(col(idCol).as("query_id"),
+        explode(PipelineExpressions.nearest_centroids(col(vecCol), coarse,
+          nprobe)).as("cid")) ++ tableCols: _*)
+    val scored = codes.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adcSum(m))
+    pqRank(scored, k)
   }
 
   /** IVF top-k search: train `nlist` centroids on the corpus, assign each

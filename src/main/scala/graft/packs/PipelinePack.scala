@@ -120,6 +120,20 @@ object PipelinePack extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF+PQ ANN: coarse k-means cells prune the probe to nprobe lists
+    // per query, PQ ADC tables rank inside the probed lists — the
+    // composition that removes plain PQ's every-query-scans-every-code
+    // linear pass while keeping the compression; both trainings
+    // deterministic, the whole pipeline oracle-checked
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfpqTopK(queries, emb, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 2, coarseIters = 1, m = 4, codebookSize = 16,
+        iters = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // language ID distribution
     "q_text_langid" -> ((s, dir) => {
       Dedup.spread(Tables(s, dir, "documents"))
@@ -703,42 +717,51 @@ object PipelinePack extends QueryPack {
     * every accumulation in DECIMAL(38,18) exactly as the Spark
     * expressions do it, so centroids, assignments, probes, and the final
     * rerank are bit-identical. */
-  private def ivfSql(nlist: Int, nprobe: Int, iters: Int, k: Int): String = {
-    def distCte(n: Int) =
-      s"""dist$n AS (
-         |  SELECT e.vec_id, c.cid,
-         |    SUM(CAST((e.xd - c.val) * (e.xd - c.val) AS DECIMAL(38,18))) AS d2
-         |  FROM exd e JOIN c$n c ON c.i = e.i
-         |  GROUP BY e.vec_id, c.cid)""".stripMargin
-    def asgCte(n: Int) =
-      s"""asg$n AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM dist$n) t WHERE rn = 1)""".stripMargin
-    def nextCte(n: Int) =
-      s"""c${n + 1} AS (
-         |  SELECT p.cid, p.i, COALESCE(m.mean, p.val) AS val
-         |  FROM c$n p LEFT JOIN (
-         |    SELECT a.cid, e.i,
-         |      CAST(SUM(CAST(e.xd AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean
-         |    FROM asg$n a JOIN exd e ON e.vec_id = a.vec_id
-         |    GROUP BY a.cid, e.i) m ON m.cid = p.cid AND m.i = p.i)""".stripMargin
+  /** Coarse k-means CTE chain over `exd` (c0 init → per-iteration
+    * dist/asg/next → final dist$iters/asg$iters), shared by the IVF and
+    * IVFPQ oracles — Lloyd's iterations unrolled, every accumulation in
+    * DECIMAL(38,18) exactly as the Spark expressions do it. */
+  private def coarseDistCte(n: Int) =
+    s"""dist$n AS (
+       |  SELECT e.vec_id, c.cid,
+       |    SUM(CAST((e.xd - c.val) * (e.xd - c.val) AS DECIMAL(38,18))) AS d2
+       |  FROM exd e JOIN c$n c ON c.i = e.i
+       |  GROUP BY e.vec_id, c.cid)""".stripMargin
+  private def coarseAsgCte(n: Int) =
+    s"""asg$n AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dist$n) t WHERE rn = 1)""".stripMargin
+  private def coarseNextCte(n: Int) =
+    s"""c${n + 1} AS (
+       |  SELECT p.cid, p.i, COALESCE(m.mean, p.val) AS val
+       |  FROM c$n p LEFT JOIN (
+       |    SELECT a.cid, e.i,
+       |      CAST(SUM(CAST(e.xd AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean
+       |    FROM asg$n a JOIN exd e ON e.vec_id = a.vec_id
+       |    GROUP BY a.cid, e.i) m ON m.cid = p.cid AND m.i = p.i)""".stripMargin
+  private def coarseKmeansCtes(nlist: Int, iters: Int): String = {
     val iterCtes = (0 until iters)
-      .map(n => s"${distCte(n)},\n${asgCte(n)},\n${nextCte(n)}").mkString(",\n")
-    s"""WITH ex AS (
-       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-       |         unnest(embedding) AS x
-       |  FROM embeddings),
-       |exd AS (SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
-       |c0 AS (
+      .map(n => s"${coarseDistCte(n)},\n${coarseAsgCte(n)},\n${coarseNextCte(n)}")
+      .mkString(",\n")
+    s"""c0 AS (
        |  SELECT CAST(r.rn - 1 AS INT) AS cid, e.i, e.xd AS val
        |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
        |        FROM embeddings ORDER BY vec_id LIMIT $nlist) r
        |  JOIN exd e ON e.vec_id = r.vec_id),
        |$iterCtes,
-       |${distCte(iters)},
-       |${asgCte(iters)},
+       |${coarseDistCte(iters)},
+       |${coarseAsgCte(iters)}""".stripMargin
+  }
+
+  private def ivfSql(nlist: Int, nprobe: Int, iters: Int, k: Int): String = {
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |exd AS (SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
+       |${coarseKmeansCtes(nlist, iters)},
        |probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid,
@@ -773,8 +796,10 @@ object PipelinePack extends QueryPack {
     * contract as [[ivfSql]]) → corpus codes → per-query ADC tables →
     * exact-decimal ADC ranking. `iters` = 1 training update per
     * codebook; subspace s covers dims [s·subDim+1, (s+1)·subDim]. */
-  private def pqSql(m: Int, subDim: Int, codebookSize: Int, k: Int): String = {
-    def subspace(s: Int): String = {
+  /** Per-subspace PQ CTE chain (sub-vector slice → 1-update k-means
+    * codebook → corpus codes → per-query ADC distance table), shared by
+    * the PQ and IVFPQ oracles. */
+  private def pqSubspaceCtes(s: Int, subDim: Int, codebookSize: Int): String = {
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       s"""sub$s AS (
@@ -817,7 +842,21 @@ object PipelinePack extends QueryPack {
          |qd$s AS (
          |  SELECT vec_id AS query_id, cid, d2 FROM dist${s}_1
          |  WHERE vec_id % 100 = 0)""".stripMargin
-    }
+  }
+
+  /** Shared ADC tail: ranked `rank <= k` projection over an `adc` CTE of
+    * (query_id, neighbor_id, d2) rows. */
+  private def adcTopKSql(k: Int): String =
+    s"""SELECT * FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(round(d2, 6) AS DOUBLE) AS adc_d2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS INT) AS rank
+       |  FROM adc) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def pqSql(m: Int, subDim: Int, codebookSize: Int, k: Int): String = {
     val codeJoins = (1 until m)
       .map(s => s"JOIN code$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n")
     val qdJoins = (0 until m).map(s =>
@@ -830,7 +869,7 @@ object PipelinePack extends QueryPack {
        |         unnest(embedding) AS x
        |  FROM embeddings),
        |exd AS (SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
-       |${(0 until m).map(subspace).mkString(",\n")},
+       |${(0 until m).map(pqSubspaceCtes(_, subDim, codebookSize)).mkString(",\n")},
        |adc AS (
        |  SELECT q0.query_id, a0.vec_id AS neighbor_id,
        |    $adcSum AS d2
@@ -838,14 +877,46 @@ object PipelinePack extends QueryPack {
        |$codeJoins
        |$qdJoins
        |  WHERE a0.vec_id <> q0.query_id)
-       |SELECT * FROM (
-       |  SELECT query_id, neighbor_id,
-       |    CAST(round(d2, 6) AS DOUBLE) AS adc_d2,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY d2, neighbor_id) AS INT) AS rank
-       |  FROM adc) t
-       |WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |${adcTopKSql(k)}""".stripMargin
+  }
+
+  /** IVF+PQ oracle: the coarse k-means chain of [[ivfSql]] (cell
+    * assignments asg$coarseIters + per-query probes from
+    * dist$coarseIters) composed with the per-subspace PQ chain of
+    * [[pqSql]] — candidates are the probed cells' members only, ranked
+    * by the same exact-decimal ADC sums. CTE namespaces don't collide:
+    * coarse uses c0/dist0/asg0…, subspaces use c0_0/dist0_0/code0/qd0. */
+  private def ivfpqSql(nlist: Int, nprobe: Int, coarseIters: Int, m: Int,
+      subDim: Int, codebookSize: Int, k: Int): String = {
+    val codeJoins = (0 until m)
+      .map(s => s"JOIN code$s a$s ON a$s.vec_id = c.neighbor_id").mkString("\n")
+    val qdJoins = (0 until m).map(s =>
+      s"JOIN qd$s q$s ON q$s.query_id = c.query_id AND q$s.cid = a$s.cid")
+      .mkString("\n")
+    val adcSum = (0 until m).map(s => s"q$s.d2").mkString(" + ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |exd AS (SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
+       |${coarseKmeansCtes(nlist, coarseIters)},
+       |${(0 until m).map(pqSubspaceCtes(_, subDim, codebookSize)).mkString(",\n")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dist$coarseIters WHERE vec_id % 100 = 0) t
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg$coarseIters a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT c.query_id, c.neighbor_id, $adcSum AS d2
+       |  FROM cand c
+       |$codeJoins
+       |$qdJoins)
+       |${adcTopKSql(k)}""".stripMargin
   }
 
   /** The Gopher-rule CTE chain (base → feat → stats → tops → rules) over
@@ -896,6 +967,8 @@ object PipelinePack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_ann_ivf" -> ivfSql(nlist = 8, nprobe = 2, iters = 2, k = 5),
     "q_ann_pq" -> pqSql(m = 4, subDim = 16, codebookSize = 16, k = 5),
+    "q_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 2, coarseIters = 1,
+      m = 4, subDim = 16, codebookSize = 16, k = 5),
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -187,6 +187,52 @@ class SimilaritySpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("ivfpqTopK: coarse pruning keeps PQ's blob answers, hash-joins the probe") {
+    import spark.implicits._
+    val rows = (0 until 120).map { i =>
+      val base = vec(i % 6)
+      val r = new scala.util.Random(9000 + i)
+      (i.toLong, base.map(x => x + (r.nextDouble() - 0.5).toFloat * 0.05f))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val pq = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, m = 4, codebookSize = 8, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfpqTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, nlist = 6, nprobe = 2, coarseIters = 1, m = 4,
+      codebookSize = 8, iters = 1)
+    val got = ivfpq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall vs the unpruned PQ ranking: with 6 planted blobs and
+    // nprobe=2, each query's own cell is probed, so the pruned scan must
+    // recover (nearly) all of plain PQ's top-k — the loss budget is the
+    // cell boundary, not the quantization
+    val recall = got.intersect(pq).size.toDouble / pq.size
+    assert(recall >= 0.8, s"IVFPQ recall vs PQ $recall < 0.8")
+    // every neighbor still comes from the query's own blob (the PQ
+    // guarantee survives the pruning)
+    got.foreach { case (q, n) =>
+      assert(n % 6 == q % 6, s"neighbor $n not in query $q's blob") }
+  }
+
+  test("ivfpqTopK probe is a broadcast equi-join, not a nested loop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqspec").toString
+    (0 until 80).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/c")
+    val corpus = spark.read.parquet(s"$dir/c")
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val plan = Similarity.ivfpqTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2, coarseIters = 1, m = 4,
+      codebookSize = 8, iters = 1)
+      .queryExecution.executedPlan.toString
+    // plain PQ's scan is a BroadcastNestedLoopJoin by design; the IVFPQ
+    // composition must replace it with a hash join on the cell id
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("centroid_distances agrees with nearest_centroids' argmin") {
     import spark.implicits._
     import graft.expressions.PipelineExpressions._
