@@ -59,6 +59,25 @@ object Bench {
     load
   }
 
+  /** Fixed calibration workload: a pinned integer hash-agg + sort over
+    * generated data — no parquet, no operator code, just raw
+    * shuffle/codegen/CPU throughput. Timed at the start AND end of the
+    * bench and emitted in the JSON (`calib_sec` / `calib_sec_end`), so
+    * round-over-round query times can be normalized by box speed
+    * (r7 lesson: an environment ~1.5× slower than r6's made untouched
+    * code read as a +52% regression) and mid-run contention shows up as
+    * end ≫ start even when the start-of-run idle gate passed. */
+  private def calibration(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 20000000L, 1L, 32)
+      .selectExpr("id % 999983 AS k", "id")
+      .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("n"))
+      .orderBy(desc("s"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val startLoad = awaitIdle()
@@ -82,6 +101,11 @@ object Bench {
     // clock (mirrors a warm long-running cluster).
     exec("q1_agg")
     exec("q_window_topn")
+
+    // calibration: one untimed JIT pass, then min-of-2 (same protocol as
+    // the queries — the minimum discards whichever run a burst landed in)
+    calibration(spark)
+    val calibStart = math.min(calibration(spark), calibration(spark))
 
     // local-dev subset filter (the driver never sets it): run only the
     // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q_ann_ivf,q_dedup_minhash
@@ -112,12 +136,32 @@ object Bench {
     val p1 = pass()
     System.err.println("[bench] --- pass 2 ---")
     val p2 = pass().toMap
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // queries whose two passes still disagree badly (>40%) get a THIRD
+    // run: with pass-to-pass swings of 2–3× on a contended box (r7),
+    // min-of-2 can retain a burst that hit BOTH passes of one query
+    val noisy = p1.filter { case (k, v) =>
+      math.abs(v - p2(k)) / math.min(v, p2(k)) > 0.4 }.map(_._1)
+    val p3: Map[String, Double] =
+      if (noisy.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] --- pass 3 (noisy: ${noisy.mkString(",")}) ---")
+        noisy.map { name =>
+          val t0 = System.nanoTime()
+          try exec(name)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          spark.catalog.clearCache()
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      }
+    val results = p1.map { case (k, v) =>
+      k -> math.min(math.min(v, p2(k)), p3.getOrElse(k, Double.MaxValue)) }
+    val calibEnd = math.min(calibration(spark), calibration(spark))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val endLoad = loadAvg1m()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$startLoad,"loadavg_end":$endLoad}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calibStart,"calib_sec_end":$calibEnd,"noisy_requeried":${noisy.size},"loadavg_start":$startLoad,"loadavg_end":$endLoad}""")
     spark.stop()
   }
 }
