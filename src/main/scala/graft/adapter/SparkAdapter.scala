@@ -35,6 +35,31 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     * many-node runs (reference cache.rs:68). */
   private val relationCache = TrieMap.empty[String, RelationType]
 
+  /** Offline replay (reference record_and_replay.rs + the harness in
+    * crates/dbt-test-utils/src/task/record_and_replay.rs): the reference
+    * re-executes a recorded run with NO warehouse — read queries are
+    * served from the recording and writes never happen. Spark-native
+    * framing: with `spark.graft.replay.offline=true` the adapter keeps
+    * the CONTROL plane live (schemas, views, comments — catalog-only
+    * metadata, needed so downstream models still ANALYZE) but never
+    * touches the DATA plane: table writes materialize schema-only empty
+    * tables, appends/overwrites no-op after logging, and read statements
+    * are served from the [[QueryCache]] recording (a miss returns an
+    * empty table with a warning instead of executing). Combined with
+    * `spark.graft.queryCache.mode=replay` + InteractionLog verify, a
+    * recorded project re-runs end-to-end with zero live table scans. */
+  private def offlineReplay: Boolean =
+    spark.conf.getOption(SparkAdapter.OfflineKey).contains("true")
+
+  /** Statements that would move rows if executed — skipped in offline
+    * replay (judged on the normalized text, same as cacheability). */
+  private def dataPlaneStmt(stmt: String): Boolean = {
+    val norm = QueryCache.normalize(stmt)
+    val head = norm.takeWhile(!_.isWhitespace)
+    Set("insert", "update", "delete", "merge", "truncate", "load", "copy")(head) ||
+      (head == "create" && norm.contains(" as select"))
+  }
+
   createSchema(defaultSchema)
 
   // ---- schema (database) ops -------------------------------------------
@@ -239,11 +264,23 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       // replay: serve recorded read-query results without executing
       // (record_and_replay test infra, query_cache.rs:310-384); DDL/DML
       // always runs live. A replay miss executes live with a warning.
+      val offline = offlineReplay
       val replayed =
-        if (cacheMode == "replay" && fetch) QueryCache.lookup(spark, stmt)
+        if ((cacheMode == "replay" || offline) && fetch)
+          QueryCache.lookup(spark, stmt)
         else None
       last = replayed match {
         case Some(t) => ("OK (replayed)", t)
+        case None if offline && dataPlaneStmt(stmt) =>
+          // offline: DML would move rows — the recording already proved
+          // the statement; log it (below) and skip the side effect
+          ("OK (offline skip)", AgateTable.empty)
+        case None if offline && fetch && QueryCache.cacheable(stmt) =>
+          // offline: a read the recording doesn't contain must NOT fall
+          // through to a live scan — that's the whole contract
+          System.err.println(s"[query-cache] OFFLINE miss, returning empty: " +
+            stmt.linesIterator.next().take(120))
+          ("OK (offline miss)", AgateTable.empty)
         case None =>
           if (cacheMode == "replay" && fetch && QueryCache.cacheable(stmt))
             System.err.println(s"[query-cache] replay MISS, executing live: " +
@@ -338,6 +375,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         (if (sortBy.nonEmpty) s" sortBy=${sortBy.mkString(",")}" else "") +
         (if (clusteredBy.nonEmpty) s" clusteredBy=${clusteredBy.mkString(",")} buckets=$buckets" else "") +
         (if (zorderBy.nonEmpty) s" zorderBy=${zorderBy.mkString(",")}" else ""))
+    val offline = offlineReplay
     // zorder_by: Morton-curve layout (multi-dimensional skipping) wins
     // over sort_by; sort_by clustering: range-repartition on the sort
     // keys, then sort within each task — every output file covers a
@@ -352,7 +390,23 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
           org.apache.spark.sql.functions.col(s"`$c`"))
         df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
       }
-    def writer(target: Relation) = {
+    def writer(target: Relation): Unit = {
+      if (offline) {
+        // offline replay: materialize SCHEMA-ONLY (downstream models
+        // must still analyze their refs) but move no rows — `sorted`
+        // stays a lazy plan, no job ever runs; df.schema is
+        // analysis-time metadata. Everything AROUND the write (the
+        // intermediate/backup/rename swap protocol and its interaction
+        // log entries) runs unchanged, so verify mode still diffs the
+        // full protocol against the recording.
+        val partDdl =
+          if (partitionBy.isEmpty) ""
+          else s" PARTITIONED BY (${partitionBy.map(c => s"`$c`").mkString(", ")})"
+        spark.sql(
+          s"CREATE TABLE ${target.fqn} (${df.schema.toDDL}) USING parquet$partDdl")
+        relationCache.put(target.key, RelationType.Table)
+        return
+      }
       val w0 = sorted.write.format("parquet")
       val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
       // clustered_by + buckets → Spark bucketed table: same-key same-count
@@ -394,6 +448,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   def appendToTable(df: DataFrame, rel: Relation): Unit = {
     InteractionLog.log(spark, "append",
       s"${rel.fqn} schema=${df.schema.simpleString}")
+    if (offlineReplay) return
     // insertInto is positional: align to target column order first.
     val cols = getColumnsInRelation(rel).fieldNames
     df.selectExpr(cols.map(c => s"`$c`").toIndexedSeq: _*)
@@ -405,6 +460,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   def insertOverwritePartitions(df: DataFrame, rel: Relation): Unit = {
     InteractionLog.log(spark, "insert_overwrite",
       s"${rel.fqn} schema=${df.schema.simpleString}")
+    if (offlineReplay) return
     // Dynamic mode must come from the SESSION conf (insertInto's
     // self-read/static-overwrite analysis ignores writer options), but a
     // naive set/restore races under concurrent writers (microbatch
@@ -496,6 +552,10 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
 }
 
 object SparkAdapter {
+  /** `true` ⇒ offline replay: control plane live, data plane never
+    * touched (see [[SparkAdapter.offlineReplay]]). */
+  final val OfflineKey = "spark.graft.replay.offline"
+
   /** Reference-counted session-conf guard for dynamic partition
     * overwrite: every concurrent writer wants the same value, so the
     * first in sets it and the last out restores what preceded the whole

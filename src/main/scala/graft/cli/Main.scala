@@ -68,7 +68,13 @@ object Main {
       record: Option[String] = None,
       /** --replay-verify FILE.jsonl: diff this run's interactions
         * against a recording; mismatches print and fail the exit code. */
-      replayVerify: Option[String] = None)
+      replayVerify: Option[String] = None,
+      /** --replay-offline FILE.jsonl: re-run the project with NO live
+        * data plane — reads served from the recording's query cache
+        * (FILE.jsonl.cache/), writes schema-only, interactions verified
+        * against the recording (reference record_and_replay.rs replay:
+        * recorded results without a warehouse). */
+      replayOffline: Option[String] = None)
 
   /** "yyyy-MM-dd" or "yyyy-MM-dd HH:mm:ss" → Timestamp, interpreted at
     * UTC — MicrobatchRunner truncates and windows batches at
@@ -139,6 +145,8 @@ object Main {
         case "--record" => a = a.copy(record = Some(argv(i + 1))); i += 2
         case "--replay-verify" =>
           a = a.copy(replayVerify = Some(argv(i + 1))); i += 2
+        case "--replay-offline" =>
+          a = a.copy(replayOffline = Some(argv(i + 1))); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -174,14 +182,19 @@ object Main {
   }
 
   def run(spark: SparkSession, args: Args): Int = {
-    require(args.record.isEmpty || args.replayVerify.isEmpty,
-      "--record and --replay-verify are mutually exclusive")
+    require(Seq(args.record, args.replayVerify, args.replayOffline)
+      .count(_.isDefined) <= 1,
+      "--record, --replay-verify and --replay-offline are mutually exclusive")
     if (spark != null) {
-      import graft.adapter.InteractionLog
+      import graft.adapter.{InteractionLog, QueryCache, SparkAdapter}
       args.record.foreach { p =>
         spark.conf.set(InteractionLog.ModeKey, "record")
         spark.conf.set(InteractionLog.PathKey, p)
         InteractionLog.reset(spark)
+        // read-query results land beside the interaction log so a later
+        // --replay-offline can serve them without a warehouse
+        spark.conf.set(QueryCache.ModeKey, "record")
+        spark.conf.set(QueryCache.PathKey, s"$p.cache")
       }
       args.replayVerify.foreach { p =>
         // fail fast on a missing recording — otherwise every live
@@ -195,9 +208,22 @@ object Main {
         spark.conf.set(InteractionLog.PathKey, p)
         InteractionLog.reset(spark)
       }
+      args.replayOffline.foreach { p =>
+        if (!Files.exists(Paths.get(p))) {
+          System.err.println(s"--replay-offline: recording not found: $p")
+          return 2
+        }
+        spark.conf.set(InteractionLog.ModeKey, "verify")
+        spark.conf.set(InteractionLog.PathKey, p)
+        InteractionLog.reset(spark)
+        spark.conf.set(QueryCache.ModeKey, "replay")
+        spark.conf.set(QueryCache.PathKey, s"$p.cache")
+        spark.conf.set(SparkAdapter.OfflineKey, "true")
+      }
     }
     val rc = runCommand(spark, args)
-    if (spark != null && args.replayVerify.isDefined) {
+    if (spark != null && (args.replayVerify.isDefined ||
+        args.replayOffline.isDefined)) {
       val diff = graft.adapter.InteractionLog.report(spark)
       if (diff.isEmpty) {
         println("replay-verify: all interactions match the recording")
@@ -603,7 +629,8 @@ object Main {
       |  --vars '{k: v}' --state DIR --defer --target-path DIR
       |  --sample PLAN.yml --sample-suffix SFX --limit N --output FMT
       |  --event-time-start T --event-time-end T
-      |  --record FILE.jsonl --replay-verify FILE.jsonl""".stripMargin
+      |  --record FILE.jsonl --replay-verify FILE.jsonl
+      |  --replay-offline FILE.jsonl""".stripMargin
 
   /** Quote a YAML scalar only when needed (quoting keeps shas and paths
     * literal). */

@@ -144,6 +144,91 @@ class RecordReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("offline replay re-runs a recorded project with ZERO live table scans") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // a project whose run READS the warehouse (run_query in a hook) and
+    // writes three materializations — the recording must carry both the
+    // interaction stream and the read results
+    val proj = Files.createTempDirectory("graft_rr_off")
+    write(proj, "dbt_project.yml",
+      """name: rroff
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/base.sql",
+      "{{ config(materialized='table') }}\nselect 1 as id, 'x' as v\n")
+    write(proj, "models/inc.sql",
+      """{{ config(materialized='incremental', unique_key='id',
+        |   post_hook="{% set r = run_query('select count(*) as n from ' ~ this) %}COMMENT ON TABLE {{ this }} IS '{{ r.rows[0][0] }} rows'") }}
+        |select id, v from {{ ref('base') }}
+        |""".stripMargin)
+    write(proj, "models/v.sql",
+      "select count(*) as n from {{ ref('inc') }}\n")
+    val log = Files.createTempDirectory("graft_rr_off_log").resolve("off.jsonl")
+    val offSchema = s"g_rr_off_${System.nanoTime()}"
+    def cli(flags: String*): Int =
+      graft.cli.Main.run(isolated, graft.cli.Main.parseArgs(
+        Array("run", "--project-dir", proj.toString, "--schema", offSchema,
+          "--target-path",
+          Files.createTempDirectory("graft_rr_off_t").toString) ++ flags))
+    try {
+      // 1) golden run: interactions → off.jsonl, read results → off.jsonl.cache/
+      isolated.sql(s"DROP DATABASE IF EXISTS `$offSchema` CASCADE")
+      assert(cli("--record", log.toString) == 0)
+      assert(Files.isDirectory(log.resolveSibling("off.jsonl.cache")),
+        "recording must include the query-result cache")
+
+      // 2) destroy the warehouse: the reference's replay serves recorded
+      // results WITHOUT a warehouse, so nothing may depend on the data
+      isolated.sql(s"DROP DATABASE IF EXISTS `$offSchema` CASCADE")
+
+      // per-session listener counting executed file scans (async
+      // callbacks → settle-wait below)
+      val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+      val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new QueryExecutionListener {
+        override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+          actions.incrementAndGet()
+          // string match survives AQE wrappers that TreeNode.collect
+          // does not descend into; physical scans always print FileScan
+          if (qe.executedPlan.toString.contains("FileScan"))
+            scans.incrementAndGet()
+        }
+        override def onFailure(f: String, qe: QueryExecution,
+            e: Exception): Unit = ()
+      }
+      isolated.listenerManager.register(listener)
+      try {
+        assert(cli("--replay-offline", log.toString) == 0,
+          "offline replay must verify green against the recording")
+        // the hook's run_query was served from the recording: its LIVE
+        // count (1) survives even though the offline table is EMPTY
+        val cmt = isolated.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            "inc", Some(offSchema))).comment
+        assert(cmt.contains("1 rows"), s"comment from replayed read: $cmt")
+        // settle the async listener, then: zero file scans executed
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = -1
+        while (System.nanoTime() < deadline && actions.get() != last) {
+          last = actions.get(); Thread.sleep(300)
+        }
+        assert(scans.get() == 0,
+          s"offline replay executed ${scans.get()} file-scanning actions")
+      } finally isolated.listenerManager.unregister(listener)
+      // offline tables are schema-only: the run moved no rows (counted
+      // AFTER the listener detaches — this count scans the empty table)
+      assert(isolated.table(s"`$offSchema`.base").count() == 0)
+    } finally {
+      isolated.conf.set(InteractionLog.ModeKey, "off")
+      isolated.conf.unset(InteractionLog.PathKey)
+      isolated.conf.unset(graft.adapter.QueryCache.ModeKey)
+      isolated.conf.unset(graft.adapter.QueryCache.PathKey)
+      isolated.conf.unset(graft.adapter.SparkAdapter.OfflineKey)
+      InteractionLog.reset(isolated)
+    }
+  }
+
   test("CLI --record / --replay-verify drive the log and the exit code") {
     val proj = fixtureProject()
     val log = Files.createTempDirectory("graft_rr_cli").resolve("cli.jsonl")
