@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -176,11 +176,9 @@ object StreamingOps {
     * watermark ordering batches by event time. */
   def sessionize(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame = withNanosAsLong(spark) {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_sess_sink").toString
     val checkpoint = Files.createTempDirectory("graft_sess_cp").toString
-    val gapUs = gapMinutes * 60L * 1000000L
 
     val tsT = eventsTsType(spark, sfDir)
     val stream = spark.readStream
@@ -188,31 +186,7 @@ object StreamingOps {
       .parquet(stageDir(sfDir))
       .select(col("user_id"), tsUs(tsT).as("ts_us"))
       .as[(Long, Long)]
-
-    val closed = stream
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
-          val ts = rows.map(_._2).toArray.sorted
-          var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Long)]
-          ts.foreach { t =>
-            if (start < 0) { start = t; last = t; n = 1 }
-            else if (t - last > gapUs) {
-              out += ((user, start, last, n))
-              start = t; last = t; n = 1
-            } else { last = t; n += 1 }
-          }
-          if (start >= 0) state.update((start, last, n))
-          out.iterator
-      }
-      .toDF("user_id", "start_us", "end_us", "n_events")
-      .select(col("user_id"),
-        expr("timestamp_micros(start_us)").as("session_start"),
-        expr("timestamp_micros(end_us)").as("session_end"),
-        col("n_events"))
+    val closed = sessionizeStream(stream, gapMinutes)
 
     val q = closed.writeStream
       .format("parquet")
@@ -222,6 +196,61 @@ object StreamingOps {
       .start(sink)
     q.awaitTermination()
     spark.read.parquet(sink)
+  }
+
+  /** The sessionize state transform over an already-constructed
+    * (user_id, ts_us) stream — factored from [[sessionize]] so tests can
+    * drive it with a MemoryStream across multiple micro-batches.
+    *
+    * `ttl`, when set, arms a PROCESSING-TIME timeout per key: a key with
+    * no new events inside the window has its open tail session emitted
+    * (closed by inactivity) and its state freed, so key cardinality
+    * cannot grow without bound on a continuous stream — without a TTL
+    * the state store eventually holds every key ever seen. Bounded
+    * AvailableNow replays leave `ttl` unset (state dies with the query,
+    * the open tail is intentionally never emitted), which is exactly
+    * what the batch-equivalence oracles pin. */
+  def sessionizeStream(stream: Dataset[(Long, Long)], gapMinutes: Int = 30,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), timeoutConf) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // inactivity close: the open tail session emits, the key's
+            // state is freed — a later event starts a fresh session
+            val tail = state.getOption.map { case (s, l, n) => (user, s, l, n) }
+            state.remove()
+            tail.iterator
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long)]
+            ts.foreach { t =>
+              if (start < 0) { start = t; last = t; n = 1 }
+              else if (t - last > gapUs) {
+                out += ((user, start, last, n))
+                start = t; last = t; n = 1
+              } else { last = t; n += 1 }
+            }
+            if (start >= 0) state.update((start, last, n))
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.iterator
+          }
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        col("n_events"))
   }
 
   /** Streaming windowed HLL registers: approximate distinct counting
@@ -305,44 +334,7 @@ object StreamingOps {
       .filter(beforeUs.map(b => col("ts_us") < b).getOrElse(lit(true)))
       .as[(Long, String, Long)]
 
-    // state = per-step sorted arrays of the first `cap` timestamps, plus
-    // a leading 1-element update counter; a key with events of NO step
-    // still holds (empty) state so depth 0 users are emitted, matching
-    // the batch operator's groupBy
-    val depths = stream
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[Seq[Long]], (Long, Long, Int)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (user, rows, state: GroupState[Seq[Seq[Long]]]) =>
-          val prior = state.getOption
-            .getOrElse(Seq(Seq(0L)) ++ Seq.fill(nSteps)(Seq.empty[Long]))
-          val update = prior.head.head + 1
-          val arrays = prior.tail
-          val incoming = Array.fill(nSteps)(
-            scala.collection.mutable.ArrayBuffer.empty[Long])
-          rows.foreach { case (_, tpe, ts) =>
-            stepIdx.get(tpe).foreach(i => incoming(i) += ts)
-          }
-          val merged = arrays.zipWithIndex.map { case (old, i) =>
-            if (incoming(i).isEmpty) old
-            else (old ++ incoming(i)).sorted.take(cap)
-          }
-          state.update(Seq(Seq(update)) ++ merged)
-          // cascade: t_i = first event of step i at-or-after t_{i-1}
-          var depth = 0
-          var prev = Long.MinValue
-          var i = 0
-          var stuck = false
-          while (i < nSteps && !stuck) {
-            merged(i).find(_ >= prev) match {
-              case Some(t) => depth = i + 1; prev = t
-              case None => stuck = true
-            }
-            i += 1
-          }
-          Iterator.single((user, update, depth))
-      }
-      .toDF("user_id", "update_idx", "funnel_depth")
+    val depths = funnelDepthStream(stream, steps, cap)
 
     val q = depths.writeStream
       .format("parquet")
@@ -357,6 +349,71 @@ object StreamingOps {
       .groupBy(col("user_id"))
       .agg(expr("max_by(funnel_depth, update_idx)").as("funnel_depth"))
     }
+  }
+
+  /** The funnel state transform over an already-constructed
+    * (user_id, event_type, ts_us) stream — factored from [[funnelDepth]]
+    * so tests can drive it with a MemoryStream across micro-batches.
+    *
+    * State = per-step sorted arrays of the first `cap` timestamps, plus
+    * a leading 1-element update counter; a key with events of NO step
+    * still holds (empty) state so depth-0 users are emitted, matching
+    * the batch operator's groupBy. Per-key state is hard-bounded by
+    * `cap`, but without a TTL the KEY COUNT grows without bound on a
+    * continuous stream; `ttl` arms a processing-time timeout that frees
+    * an inactive key's state (no emission — its depth was already
+    * emitted on every update). Bounded AvailableNow replays leave `ttl`
+    * unset, preserving the batch-equivalence contract the oracles pin. */
+  def funnelDepthStream(stream: Dataset[(Long, String, Long)],
+      steps: Seq[String], cap: Int,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Seq[Long]], (Long, Long, Int)](
+        OutputMode.Append(), timeoutConf) {
+        case (user, rows, state: GroupState[Seq[Seq[Long]]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+          val prior = state.getOption
+            .getOrElse(Seq(Seq(0L)) ++ Seq.fill(nSteps)(Seq.empty[Long]))
+          val update = prior.head.head + 1
+          val arrays = prior.tail
+          val incoming = Array.fill(nSteps)(
+            scala.collection.mutable.ArrayBuffer.empty[Long])
+          rows.foreach { case (_, tpe, ts) =>
+            stepIdx.get(tpe).foreach(i => incoming(i) += ts)
+          }
+          val merged = arrays.zipWithIndex.map { case (old, i) =>
+            if (incoming(i).isEmpty) old
+            else (old ++ incoming(i)).sorted.take(cap)
+          }
+          state.update(Seq(Seq(update)) ++ merged)
+          ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          // cascade: t_i = first event of step i at-or-after t_{i-1}
+          var depth = 0
+          var prev = Long.MinValue
+          var i = 0
+          var stuck = false
+          while (i < nSteps && !stuck) {
+            merged(i).find(_ >= prev) match {
+              case Some(t) => depth = i + 1; prev = t
+              case None => stuck = true
+            }
+            i += 1
+          }
+          Iterator.single((user, update, depth))
+          }
+      }
+      .toDF("user_id", "update_idx", "funnel_depth")
   }
 
   /** Stream–stream interval join: the stateful two-stream shape — click

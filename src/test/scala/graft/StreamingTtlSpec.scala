@@ -1,0 +1,138 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.Duration
+
+/** State TTL for the continuous-stream mode of sessionize/funnel: per-key
+  * state is bounded, but without a timeout the KEY COUNT grows without
+  * bound on a continuous deployment — an inactive key must expire (for
+  * sessions: emitting its open tail) and a re-arriving key must start
+  * from fresh state. The bounded AvailableNow oracles run with TTL off,
+  * so their batch-equivalence contract is untouched (q_stream_sessionize
+  * / q_stream_funnel stay green).
+  *
+  * Test mechanics: with ProcessingTimeTimeout armed, every micro-batch
+  * re-arms timeouts, so the engine ALWAYS has another batch to run and
+  * `processAllAvailable` never returns — assertions therefore POLL the
+  * memory sink with a deadline instead. */
+class StreamingTtlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      // armed processing-time timeouts make the engine run micro-batches
+      // continuously; the 4.1 checksum checkpoint manager deadlocks its
+      // async-close future under that churn (task threads park forever in
+      // ChecksumCancellableFSDataOutputStream.close) — plain checkpoint
+      // files sidestep it, and the throttled trigger calms the rate
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val trigger =
+    org.apache.spark.sql.streaming.Trigger.ProcessingTime("150 milliseconds")
+
+  /** Poll `cond` until true or the deadline passes; returns the final
+    * evaluation (timeouts fire on batch boundaries, so expiry effects
+    * land asynchronously ~one TTL + one trigger after the last event). */
+  private def awaitCond(cond: => Boolean, timeoutMs: Long = 30000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline && !cond) Thread.sleep(100)
+    cond
+  }
+
+  test("sessionize TTL: inactive key emits its tail session, re-arrival starts fresh") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ttl = Duration.ofMillis(2000)
+    val out = StreamingOps.sessionizeStream(mem.toDS(), gapMinutes = 30,
+      ttl = Some(ttl))
+    val q = out.writeStream.format("memory").queryName("ttl_sessions")
+      .outputMode("append").trigger(trigger).start()
+    try {
+      def rows() = spark.table("ttl_sessions")
+        .selectExpr("user_id", "unix_micros(session_start)",
+          "unix_micros(session_end)", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+
+      mem.addData((1L, 1000L), (1L, 2000L))   // open session for key 1
+      Thread.sleep(600)                        // a few triggers, well < TTL
+      assert(rows().isEmpty, "an open session must not emit while live")
+
+      // TTL passes with no key-1 events → the next batch's timeout sweep
+      // closes its tail session by inactivity and emits it
+      assert(awaitCond(rows().contains((1L, 1000L, 2000L, 2L))),
+        s"expired key must emit its tail session: ${rows()}")
+
+      // key 1 re-arrives AFTER expiry → FRESH state: a brand-new session
+      // whose start is the new event (not a continuation), which itself
+      // expires one TTL later and emits as a 1-event session
+      mem.addData((1L, 9000L))
+      assert(awaitCond(rows().contains((1L, 9000L, 9000L, 1L))),
+        s"re-arrival must start a new session: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("funnel TTL: an expired key restarts from scratch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("click", "purchase")
+    val ttl = Duration.ofMillis(1500)
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = StreamingOps.funnelDepthStream(mem.toDS(), steps, cap = 10,
+      ttl = Some(ttl))
+    val q = out.writeStream.format("memory").queryName("ttl_funnel")
+      .outputMode("append").trigger(trigger).start()
+    try {
+      def lastDepth(user: Long): Option[Int] = spark.table("ttl_funnel")
+        .filter(s"user_id = $user")
+        .selectExpr("max_by(funnel_depth, update_idx)")
+        .collect().headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+
+      mem.addData((1L, "click", 100L))
+      assert(awaitCond(lastDepth(1L).contains(1)),
+        s"click alone reaches depth 1, got ${lastDepth(1L)}")
+
+      // TTL passes → a later batch's sweep drops key 1's state silently
+      // (generous margin: continuous 150ms triggers sweep soon after)
+      Thread.sleep(ttl.toMillis + 2000)
+
+      // a purchase arriving AFTER expiry finds NO remembered click:
+      // depth 0 — with surviving state this would have been depth 2
+      mem.addData((1L, "purchase", 200L))
+      assert(awaitCond(lastDepth(1L).contains(0)),
+        s"expired key must restart from scratch, got ${lastDepth(1L)}")
+    } finally q.stop()
+  }
+
+  test("without TTL the same sequence keeps state across batches (control)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = StreamingOps.funnelDepthStream(mem.toDS(),
+      Seq("click", "purchase"), cap = 10, ttl = None)
+    val q = out.writeStream.format("memory").queryName("nottl_funnel")
+      .outputMode("append").trigger(trigger).start()
+    try {
+      mem.addData((1L, "click", 100L))
+      q.processAllAvailable() // NoTimeout ⇒ no perpetual re-arm, safe here
+      Thread.sleep(2000) // longer than the TTL the other tests use
+      mem.addData((1L, "purchase", 200L))
+      q.processAllAvailable()
+      val depth = spark.table("nottl_funnel").filter("user_id = 1")
+        .selectExpr("max_by(funnel_depth, update_idx)").collect()(0).getInt(0)
+      assert(depth == 2, s"NoTimeout state must persist across batches: $depth")
+    } finally q.stop()
+  }
+}
