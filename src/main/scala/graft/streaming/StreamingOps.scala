@@ -136,19 +136,7 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("event_type"))
     val doubled = stream.unionByName(stream)
 
-    val deduped = doubled
-      .as[(Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, (Long, Long, String)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            rows.take(1)
-          }
-      }
-      .toDF("event_id", "user_id", "event_type")
+    val deduped = streamingDedupStream(doubled.as[(Long, Long, String)])
 
     val q = deduped.writeStream
       .format("parquet")
@@ -158,6 +146,41 @@ object StreamingOps {
       .start(sink)
     q.awaitTermination()
     spark.read.parquet(sink)
+  }
+
+  /** The dedup state transform over an already-constructed
+    * (event_id, user_id, event_type) stream — factored from
+    * [[streamingDedup]] so tests can drive it across micro-batches.
+    * State per key is ONE boolean, but the key space is every event id
+    * ever seen — unbounded on a continuous stream. `ttl` arms a
+    * processing-time timeout that frees a key's seen-flag, turning exact
+    * forever-dedup into windowed dedup (a duplicate arriving after the
+    * horizon re-emits — the standard bounded-state trade, same contract
+    * as dropDuplicates + watermark). Bounded AvailableNow replays leave
+    * it unset, preserving the exact-dedup oracle. */
+  def streamingDedupStream(stream: Dataset[(Long, Long, String)],
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, String)](
+        OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else {
+            state.update(true)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            rows.take(1)
+          }
+      }
+      .toDF("event_id", "user_id", "event_type")
   }
 
   /** Gap-based sessionization per user — the custom-state streaming shape

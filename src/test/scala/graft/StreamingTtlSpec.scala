@@ -116,6 +116,35 @@ class StreamingTtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup TTL: seen-flags expire, a late duplicate re-emits (windowed dedup)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ttl = Duration.ofMillis(1500)
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = StreamingOps.streamingDedupStream(mem.toDS(), ttl = Some(ttl))
+    val q = out.writeStream.format("memory").queryName("ttl_dedup")
+      .outputMode("append").trigger(trigger).start()
+    try {
+      def emitted(): Long =
+        spark.table("ttl_dedup").filter("event_id = 1").count()
+
+      mem.addData((1L, 10L, "click"), (1L, 10L, "click")) // dup in-batch
+      assert(awaitCond(emitted() == 1), s"first occurrence wins: ${emitted()}")
+
+      // a duplicate INSIDE the horizon stays suppressed
+      mem.addData((1L, 10L, "click"))
+      Thread.sleep(600)
+      assert(emitted() == 1, "within-horizon duplicate must not re-emit")
+
+      // the seen-flag expires → a LATE duplicate re-emits (windowed
+      // dedup semantics — the bounded-state trade, not a bug)
+      Thread.sleep(ttl.toMillis + 2000)
+      mem.addData((1L, 10L, "click"))
+      assert(awaitCond(emitted() == 2),
+        s"post-horizon duplicate re-emits: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("without TTL the same sequence keeps state across batches (control)") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
