@@ -244,17 +244,24 @@ object Similarity {
     * so their stages interleave on the cluster instead of serializing
     * m× the per-iteration driver latency (results are deterministic
     * regardless: each chain's math is partition-order independent). */
+  private def trainPqCodebooksF(spread: DataFrame, idCol: String,
+      vecCol: String, m: Int, subDim: Int, codebookSize: Int, iters: Int)(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : scala.concurrent.Future[IndexedSeq[Array[Array[Double]]]] = {
+    val sub = subSlice(vecCol, subDim)
+    scala.concurrent.Future.sequence((0 until m).map(s =>
+      scala.concurrent.Future {
+        kmeansOnSpread(spread.select(col(idCol), sub(s).as(vecCol)),
+          idCol, vecCol, codebookSize, iters)
+      }))
+  }
+
   private def trainPqCodebooks(spread: DataFrame, idCol: String,
       vecCol: String, m: Int, subDim: Int, codebookSize: Int,
       iters: Int): IndexedSeq[Array[Array[Double]]] = {
-    val sub = subSlice(vecCol, subDim)
-    import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.sequence((0 until m).map(s => Future {
-        kmeansOnSpread(spread.select(col(idCol), sub(s).as(vecCol)),
-          idCol, vecCol, codebookSize, iters)
-      })),
+    scala.concurrent.Await.result(
+      trainPqCodebooksF(spread, idCol, vecCol, m, subDim, codebookSize, iters),
       scala.concurrent.duration.Duration.Inf)
   }
 
@@ -303,13 +310,36 @@ object Similarity {
   def ivfpqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
       coarseIters: Int = 1, m: Int = 4, codebookSize: Int = 16,
-      iters: Int = 1): DataFrame = {
+      iters: Int = 1, trainSampleMod: Int = 4): DataFrame = {
+    require(trainSampleMod >= 1, s"trainSampleMod must be >= 1: $trainSampleMod")
     val spread = Dedup.spread(corpus.select(col(idCol), col(vecCol)))
     val subDim = pqSubDim(spread, vecCol, m)
     val sub = subSlice(vecCol, subDim)
-    val coarse = kmeansOnSpread(spread, idCol, vecCol, nlist, coarseIters)
-    val codebooks = trainPqCodebooks(spread, idCol, vecCol, m, subDim,
-      codebookSize, iters)
+    // Coarse training runs on a deterministic 1/trainSampleMod corpus
+    // sample (id % mod = 0) — standard IVF practice (FAISS trains the
+    // coarse quantizer on a sample): cell shapes need only the corpus
+    // DISTRIBUTION, and the full-dim decimal distance loop is the single
+    // most expensive chain here (8×64 cells/row vs 16×16 per codebook).
+    // Encoding still assigns EVERY corpus row against the trained
+    // centroids, so no row escapes its cell. The sample is id-arithmetic
+    // (not random), so the DuckDB oracle reproduces it exactly.
+    val coarseTrain =
+      if (trainSampleMod == 1) spread
+      else spread.filter(col(idCol) % trainSampleMod === 0)
+    // the coarse quantizer and the m subspace codebooks are m+1
+    // independent training chains over the same cached spread — run them
+    // ALL concurrently (the PQ pattern, extended), or the coarse pass
+    // serializes a full extra k-means in front of the codebooks and the
+    // pruning's scan savings get eaten by training wall-clock
+    val (coarse, codebooks) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val coarseF = Future {
+        kmeansOnSpread(coarseTrain, idCol, vecCol, nlist, coarseIters) }
+      val cbF = trainPqCodebooksF(spread, idCol, vecCol, m, subDim,
+        codebookSize, iters)
+      Await.result(coarseF.zip(cbF), scala.concurrent.duration.Duration.Inf)
+    }
     val codeCols = (0 until m).map(s =>
       PipelineExpressions.nearest_centroids(sub(s), codebooks(s), 1)(0)
         .as(s"__code$s"))

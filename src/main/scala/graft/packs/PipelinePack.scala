@@ -721,11 +721,12 @@ object PipelinePack extends QueryPack {
     * dist/asg/next → final dist$iters/asg$iters), shared by the IVF and
     * IVFPQ oracles — Lloyd's iterations unrolled, every accumulation in
     * DECIMAL(38,18) exactly as the Spark expressions do it. */
-  private def coarseDistCte(n: Int) =
+  private def coarseDistCte(n: Int, pred: String = "TRUE") =
     s"""dist$n AS (
        |  SELECT e.vec_id, c.cid,
        |    SUM(CAST((e.xd - c.val) * (e.xd - c.val) AS DECIMAL(38,18))) AS d2
        |  FROM exd e JOIN c$n c ON c.i = e.i
+       |  WHERE $pred
        |  GROUP BY e.vec_id, c.cid)""".stripMargin
   private def coarseAsgCte(n: Int) =
     s"""asg$n AS (
@@ -741,14 +742,22 @@ object PipelinePack extends QueryPack {
        |      CAST(SUM(CAST(e.xd AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean
        |    FROM asg$n a JOIN exd e ON e.vec_id = a.vec_id
        |    GROUP BY a.cid, e.i) m ON m.cid = p.cid AND m.i = p.i)""".stripMargin
-  private def coarseKmeansCtes(nlist: Int, iters: Int): String = {
+  /** `trainMod` > 1 trains on the deterministic id-arithmetic sample
+    * (vec_id % trainMod = 0): init and every ITERATION distance pass see
+    * only the sample, but the FINAL dist/asg pair (encode + probe
+    * source) always covers the full corpus — mirrors
+    * Similarity.ivfpqTopK's trainSampleMod exactly. */
+  private def coarseKmeansCtes(nlist: Int, iters: Int,
+      trainMod: Int = 1): String = {
+    val initPred = if (trainMod == 1) "TRUE" else s"vec_id % $trainMod = 0"
+    val iterPred = if (trainMod == 1) "TRUE" else s"e.vec_id % $trainMod = 0"
     val iterCtes = (0 until iters)
-      .map(n => s"${coarseDistCte(n)},\n${coarseAsgCte(n)},\n${coarseNextCte(n)}")
+      .map(n => s"${coarseDistCte(n, iterPred)},\n${coarseAsgCte(n)},\n${coarseNextCte(n)}")
       .mkString(",\n")
     s"""c0 AS (
        |  SELECT CAST(r.rn - 1 AS INT) AS cid, e.i, e.xd AS val
        |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-       |        FROM embeddings ORDER BY vec_id LIMIT $nlist) r
+       |        FROM embeddings WHERE $initPred ORDER BY vec_id LIMIT $nlist) r
        |  JOIN exd e ON e.vec_id = r.vec_id),
        |$iterCtes,
        |${coarseDistCte(iters)},
@@ -887,7 +896,7 @@ object PipelinePack extends QueryPack {
     * by the same exact-decimal ADC sums. CTE namespaces don't collide:
     * coarse uses c0/dist0/asg0…, subspaces use c0_0/dist0_0/code0/qd0. */
   private def ivfpqSql(nlist: Int, nprobe: Int, coarseIters: Int, m: Int,
-      subDim: Int, codebookSize: Int, k: Int): String = {
+      subDim: Int, codebookSize: Int, k: Int, trainMod: Int): String = {
     val codeJoins = (0 until m)
       .map(s => s"JOIN code$s a$s ON a$s.vec_id = c.neighbor_id").mkString("\n")
     val qdJoins = (0 until m).map(s =>
@@ -899,7 +908,7 @@ object PipelinePack extends QueryPack {
        |         unnest(embedding) AS x
        |  FROM embeddings),
        |exd AS (SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
-       |${coarseKmeansCtes(nlist, coarseIters)},
+       |${coarseKmeansCtes(nlist, coarseIters, trainMod)},
        |${(0 until m).map(pqSubspaceCtes(_, subDim, codebookSize)).mkString(",\n")},
        |probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
@@ -968,7 +977,7 @@ object PipelinePack extends QueryPack {
     "q_ann_ivf" -> ivfSql(nlist = 8, nprobe = 2, iters = 2, k = 5),
     "q_ann_pq" -> pqSql(m = 4, subDim = 16, codebookSize = 16, k = 5),
     "q_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 2, coarseIters = 1,
-      m = 4, subDim = 16, codebookSize = 16, k = 5),
+      m = 4, subDim = 16, codebookSize = 16, k = 5, trainMod = 4),
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
