@@ -553,6 +553,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Okapi BM25 lexical retrieval: one map-side tf/dl pass, a 1-row
+    // corpus-stats broadcast, distributed top-k — the topical-slice
+    // selector of a curation pipeline. Terms/topK here are pinned by
+    // bm25Sql below (the oracle is GENERATED from the same list).
+    "q_text_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25(Tables(s, dir, "documents"), "doc_id", "text",
+        bm25Terms, topK = 20)
+        .orderBy("doc_id")
+    }),
+
     // rolling-hash fingerprints
     "q_text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(
@@ -928,6 +938,47 @@ object PipelinePack extends QueryPack {
        |${adcTopKSql(k)}""".stripMargin
   }
 
+  /** Query-term bag shared by the q_text_bm25 operator call AND its
+    * generated oracle — one definition, no drift. */
+  private val bm25Terms = Seq("join", "scan", "merge")
+
+  /** DuckDB mirror of TextAnalysis.bm25: the SAME IEEE double-op tree
+    * (casts, parenthesization, literal constants, left-assoc term sum)
+    * over exact-integer tf/df/dl, one `ln` per term (JVM↔DuckDB libm
+    * agree to ≤1 ulp on the idf input family; round(6) absorbs it). */
+  private def bm25Sql(terms: Seq[String], topK: Int): String = {
+    val tfDefs = terms.indices.map(i =>
+      s"    len(list_filter(w, x -> x = '${terms(i)}')) AS tf$i")
+      .mkString(",\n")
+    val dfDefs = terms.indices.map(i =>
+      s"    sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n")
+    val termScores = terms.indices.map { i =>
+      s"""ln((CAST(c.n AS DOUBLE) - CAST(c.df$i AS DOUBLE) + 0.5) / (CAST(c.df$i AS DOUBLE) + 0.5) + 1.0)
+         |     * (CAST(s.tf$i AS DOUBLE) * 2.2)
+         |     / (CAST(s.tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(s.dl AS DOUBLE) / (CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE)))))""".stripMargin
+    }.mkString("\n   + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |stats AS (
+       |  SELECT doc_id, len(w) AS dl,
+       |$tfDefs
+       |  FROM toks),
+       |corpus AS (
+       |  SELECT count(*) AS n, sum(dl) AS s,
+       |$dfDefs
+       |  FROM stats),
+       |scored AS (
+       |  SELECT s.doc_id,
+       |   $termScores AS score
+       |  FROM stats s CROSS JOIN corpus c)
+       |SELECT doc_id, round(score, 6) AS bm25,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $topK
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The Gopher-rule CTE chain (base → feat → stats → tops → rules) over
     * `documents WHERE pred` — shared between the per-rule audit oracle
     * and the composed curation-pipeline oracle so both pin the same
@@ -978,6 +1029,7 @@ object PipelinePack extends QueryPack {
     "q_ann_pq" -> pqSql(m = 4, subDim = 16, codebookSize = 16, k = 5),
     "q_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 2, coarseIters = 1,
       m = 4, subDim = 16, codebookSize = 16, k = 5, trainMod = 4),
+    "q_text_bm25" -> bm25Sql(bm25Terms, topK = 20),
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

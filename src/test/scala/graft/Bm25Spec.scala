@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Okapi BM25: textbook-formula equality, deterministic tie-break,
+  * top-k truncation, and the no-explode plan claim. */
+class Bm25Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Plain-Scala reference: the same double tree the operator builds. */
+  private def ref(n: Long, s: Long, dl: Long, tfs: Seq[Long],
+      dfs: Seq[Long]): Double = {
+    val avgdl = s.toDouble / n.toDouble
+    tfs.zip(dfs).map { case (tf, df) =>
+      val idf = math.log((n.toDouble - df.toDouble + 0.5) /
+        (df.toDouble + 0.5) + 1.0)
+      idf * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (1.0 - 0.75 +
+          0.75 * (dl.toDouble / avgdl)))
+    }.reduceLeft(_ + _)
+  }
+
+  test("scores equal the textbook formula; ranking and ties deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join scan join"),
+      (2L, "merge merge merge merge"),
+      (3L, "other words here"),
+      (4L, "join scan join")) // identical to doc 1 → exact tie, id breaks
+      .toDF("doc_id", "text")
+    val terms = Seq("join", "scan", "merge")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._3)
+    // corpus stats by hand: N=4, S=13; df(join)=2, df(scan)=2, df(merge)=1
+    def score(dl: Long, tfs: Seq[Long]) =
+      math.rint(ref(4, 13, dl, tfs, Seq(2, 2, 1)) * 1e6) / 1e6
+    val s1 = score(3, Seq(2, 1, 0))
+    val s2 = score(4, Seq(0, 0, 4))
+    assert(out.map(_._1) == Seq(2L, 1L, 4L, 3L).take(out.size) ||
+      out.head._1 == 2L, s"order: ${out.toSeq}")
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) == s1, s"${byId(1L)} != $s1")
+    assert(byId(2L) == s2, s"${byId(2L)} != $s2")
+    assert(byId(4L) == s1, "identical doc scores identically")
+    assert(byId(3L) == 0.0, "no query term → score 0")
+    // tie between 1 and 4 broken by id: 1 ranks ahead
+    val rank = out.map(r => r._1 -> r._3).toMap
+    assert(rank(1L) < rank(4L), s"id tie-break: $rank")
+  }
+
+  test("topK truncates to the k best by (score desc, id)") {
+    import spark.implicits._
+    val docs = (1L to 9L).map(i =>
+      (i, if (i % 2 == 0) "join join" else "nothing")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("join"), topK = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.sorted == Seq(2L, 4L, 6L), s"3 best even ids: $out")
+  }
+
+  test("plan is map-side: no Generate (explode) anywhere, one aggregate") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"join scan doc $i"))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.bm25(docs, "doc_id", "text", Seq("join", "scan"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan.take(2000))
+  }
+}
