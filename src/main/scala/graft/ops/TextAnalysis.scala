@@ -231,6 +231,62 @@ object TextAnalysis {
       .drop("__fp", "__norm")
   }
 
+  /** Corpus-trained bigram language-model surprise per document — the
+    * perplexity-style quality signal of CCNet (Wenzek et al. 2020):
+    * documents whose token transitions are improbable under the
+    * corpus's own bigram statistics score high and get filtered. For
+    * each bigram (w1, w2), the Laplace-smoothed conditional is
+    * (C(w1,w2) + 1) / (C(w1·) + V) where C(w1·) counts bigrams starting
+    * with w1 and V is the prefix vocabulary size; a document's surprise
+    * is the mean of ln((C(w1·) + V) / (C(w1,w2) + 1)) over its bigrams
+    * (= mean negative log-probability; perplexity's monotone twin
+    * without a library `exp`). Documents with fewer than 2 tokens have
+    * no bigrams and drop out.
+    *
+    * Scale shape: one explode of token pairs, count aggregates keyed by
+    * the bigram (partial-agg'd, like any vocabulary count), a 1-row
+    * vocabulary broadcast, a co-partitioned join of doc-bigrams onto
+    * their counts, and a per-doc aggregate. Nothing is ever buffered
+    * per group.
+    *
+    * Determinism: counts and V are exact integers; each bigram's
+    * surprise is one `ln` of an exact integer rational (JVM↔DuckDB libm
+    * agree to ≤1 ulp); the PER-DOC SUM runs in DECIMAL(38,18) — exact
+    * and ORDER-INDEPENDENT, because a double sum over an unordered join
+    * result would be partition-order-dependent and never hash-match.
+    * One final decimal→double cast + division + round(6). */
+  def lmSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Dedup.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      // guard BEFORE the pair expression: Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0], not empty, so a 1-token doc would index past
+      // its array instead of contributing no bigrams
+      .filter(size(col("__w")) >= 2)
+    val pairs = base
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(__w) - 1),
+          |  i -> struct(element_at(__w, i) AS w1,
+          |              element_at(__w, i + 1) AS w2))""".stripMargin))
+        .as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val big = pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val uni = pairs.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val vocab = pairs.agg(countDistinct(col("__w1")).as("__v"))
+    val surprise = log(
+      (col("__c1").cast("double") + col("__v").cast("double")) /
+        (col("__c12").cast("double") + lit(1.0)))
+    pairs
+      .join(big, Seq("__w1", "__w2"))
+      .join(uni, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__s", surprise.cast("decimal(38,18)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__s")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("surprise"))
+  }
+
   /** Okapi BM25 relevance ranking for a bag of query terms (Robertson &
     * Zaragoza 2009; k1 = 1.2, b = 0.75) — the classic lexical retrieval
     * scorer a curation pipeline uses to pull topical slices out of a

@@ -563,6 +563,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style bigram LM surprise: mean negative log-probability of
+    // each document under the corpus's own Laplace-smoothed bigram
+    // model — the perplexity quality filter, decimal-exact per-doc sums
+    "q_text_lm_surprise" -> ((s, dir) => {
+      TextAnalysis.lmSurprise(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // rolling-hash fingerprints
     "q_text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(
@@ -1030,6 +1040,32 @@ object PipelinePack extends QueryPack {
     "q_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 2, coarseIters = 1,
       m = 4, subDim = 16, codebookSize = 16, k = 5, trainMod = 4),
     "q_text_bm25" -> bm25Sql(bm25Terms, topK = 20),
+
+    // bigram LM surprise: counts are exact integers, each bigram's ln is
+    // over an exact rational, and the per-doc sum runs in DECIMAL(38,18)
+    // (order-independent — a double sum over a join would never match)
+    "q_text_lm_surprise" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM toks
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w1) AS v FROM pairs),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(ln((CAST(u.c1 AS DOUBLE) + CAST(vb.v AS DOUBLE))
+        |             / (CAST(b.c12 AS DOUBLE) + 1.0)) AS DECIMAL(38,18)) AS s
+        |  FROM pairs p
+        |  JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  JOIN uni u ON u.w1 = p.w1
+        |  CROSS JOIN vocab vb)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS surprise
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

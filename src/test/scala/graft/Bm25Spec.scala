@@ -77,4 +77,28 @@ class Bm25Spec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), plan.take(2000))
   }
+
+  test("lmSurprise: Laplace bigram math by hand; 1-token docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams (a,b),(b,a),(a,b)
+      (2L, "a b"),       // one bigram (a,b)
+      (3L, "x y"),       // one bigram (x,y)
+      (4L, "solo"))      // no bigrams → no output row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmSurprise(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // C(a,b)=3 C(b,a)=1 C(x,y)=1; C(a·)=3 C(b·)=1 C(x·)=1; V=3
+    // s(a,b)=ln((3+3)/(3+1))=ln 1.5; s(b,a)=s(x,y)=ln((1+3)/(1+1))=ln 2
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.keySet == Set(1L, 2L, 3L), s"doc 4 must drop: $out")
+    assert(out(2L)._1 == 1 && out(2L)._2 == r6(math.log(1.5)), s"${out(2L)}")
+    assert(out(3L)._1 == 1 && out(3L)._2 == r6(math.log(2.0)), s"${out(3L)}")
+    assert(out(1L)._1 == 3)
+    assert(out(1L)._2 == r6((2 * math.log(1.5) + math.log(2.0)) / 3.0),
+      s"${out(1L)}")
+    // the common transition scores LOWER surprise than the rare ones
+    assert(out(1L)._2 < out(3L)._2)
+  }
 }
