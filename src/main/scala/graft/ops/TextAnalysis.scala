@@ -287,6 +287,55 @@ object TextAnalysis {
           col("n_bigrams").cast("double"), 6).as("surprise"))
   }
 
+  /** Per-group token-distribution drift: KL(P_group ‖ P_corpus) with
+    * Laplace smoothing over the corpus vocabulary — the mix-monitoring
+    * check a training pipeline runs on its domain slices (a source
+    * whose token distribution drifts from the corpus mix distorts
+    * sampling temperatures and eval splits). Smoothed
+    * P_g(t) = (c_gt + 1)/(n_g + V); the sum runs over the FULL corpus
+    * vocabulary via a dense (group × vocab) grid, so tokens ABSENT from
+    * a group still contribute their smoothed mass (dropping them
+    * underestimates drift exactly where it matters). Output per group:
+    * token count and KL in nats, rounded to 6.
+    *
+    * Scale shape: token counts are ordinary partial-agg'd count
+    * aggregates; the grid is |groups| × |vocab| — the operator's
+    * contract is drift across a HANDFUL of slices (sources, splits),
+    * where the grid is tiny next to the corpus; vocab and totals ride
+    * one broadcast.
+    *
+    * Determinism: all counts exact integers; each term is
+    * P_g (two exact casts, one division) times ln of an exact integer
+    * ratio (products stay < 2^53), and the per-group sum runs in
+    * DECIMAL(38,18) — order-independent, so partitioning never changes
+    * the hash. */
+  def tokenKlDrift(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = Dedup.spread(docs.select(col(groupCol), col(textCol)))
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("__t"))
+    val gt = toks.groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("__cgt"))
+    val g = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    val tv = toks.groupBy(col("__t")).agg(count(lit(1)).as("__ct"))
+    val tot = toks.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__t")).as("__v"))
+    val grid = g.crossJoin(broadcast(tv)).crossJoin(broadcast(tot))
+      .join(gt, Seq(groupCol, "__t"), "left")
+      .withColumn("__cgt", coalesce(col("__cgt"), lit(0L)))
+    val pg = (col("__cgt").cast("double") + lit(1.0)) /
+      (col("__ng").cast("double") + col("__v").cast("double"))
+    val num = ((col("__cgt") + lit(1L)) * (col("__n") + col("__v")))
+      .cast("double")
+    val den = ((col("__ng") + col("__v")) * (col("__ct") + lit(1L)))
+      .cast("double")
+    grid.withColumn("__kl", (pg * log(num / den)).cast("decimal(38,18)"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__ng")).as("n_tokens"),
+        sum(col("__kl")).as("__sum"))
+      .select(col(groupCol), col("n_tokens"),
+        round(col("__sum").cast("double"), 6).as("kl"))
+  }
+
   /** Okapi BM25 relevance ranking for a bag of query terms (Robertson &
     * Zaragoza 2009; k1 = 1.2, b = 0.75) — the classic lexical retrieval
     * scorer a curation pipeline uses to pull topical slices out of a

@@ -573,6 +573,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // per-source token-distribution KL drift vs the corpus mix: the
+    // domain-slice monitoring check; dense (source × vocab) grid so
+    // absent tokens still carry their smoothed mass
+    "q_text_kl_drift" -> ((s, dir) => {
+      TextAnalysis.tokenKlDrift(
+        Tables(s, dir, "documents").select("source", "text"),
+        "source", "text")
+        .orderBy("source")
+    }),
+
     // rolling-hash fingerprints
     "q_text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(
@@ -1040,6 +1050,33 @@ object PipelinePack extends QueryPack {
     "q_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 2, coarseIters = 1,
       m = 4, subDim = 16, codebookSize = 16, k = 5, trainMod = 4),
     "q_text_bm25" -> bm25Sql(bm25Terms, topK = 20),
+
+    // KL drift: exact-integer counts, ln of exact integer ratios
+    // (products < 2^53), DECIMAL(38,18) order-independent group sums
+    "q_text_kl_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |gt AS (SELECT source, t, count(*) AS cgt FROM toks GROUP BY 1, 2),
+        |g AS (SELECT source, count(*) AS ng FROM toks GROUP BY 1),
+        |tv AS (SELECT t, count(*) AS ct FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM toks),
+        |grid AS (
+        |  SELECT g.source, tv.t, g.ng, tv.ct, tot.n, tot.v,
+        |    COALESCE(gt.cgt, 0) AS cgt
+        |  FROM g CROSS JOIN tv CROSS JOIN tot
+        |  LEFT JOIN gt ON gt.source = g.source AND gt.t = tv.t),
+        |terms AS (
+        |  SELECT source, ng,
+        |    CAST((CAST(cgt AS DOUBLE) + 1.0)
+        |           / (CAST(ng AS DOUBLE) + CAST(v AS DOUBLE))
+        |         * ln(CAST((cgt + 1) * (n + v) AS DOUBLE)
+        |              / CAST((ng + v) * (ct + 1) AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS kl_term
+        |  FROM grid)
+        |SELECT source, max(ng) AS n_tokens,
+        |  round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // bigram LM surprise: counts are exact integers, each bigram's ln is
     // over an exact rational, and the per-doc sum runs in DECIMAL(38,18)

@@ -101,4 +101,32 @@ class Bm25Spec extends AnyFunSuite {
     // the common transition scores LOWER surprise than the rare ones
     assert(out(1L)._2 < out(3L)._2)
   }
+
+  test("tokenKlDrift: zero for the corpus itself, hand-math for slices") {
+    import spark.implicits._
+    // single source ⇒ P_g ≡ P_corpus even after smoothing ⇒ KL exactly 0
+    val solo = Seq(("s1", "x x y"), ("s1", "y z"))
+      .toDF("source", "text")
+    val z = TextAnalysis.tokenKlDrift(solo, "source", "text").collect()
+    assert(z.length == 1 && z(0).getDouble(2) == 0.0, z.toSeq.toString)
+
+    // two sources: a = "x x y" (n=3), b = "y y y" (n=3); corpus n=6,
+    // V=2; c(x)=2, c(y)=4
+    val docs = Seq(("a", "x x y"), ("b", "y y y")).toDF("source", "text")
+    val out = TextAnalysis.tokenKlDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def term(cgt: Long, ng: Long, ct: Long): Double =
+      (cgt.toDouble + 1.0) / (ng.toDouble + 2.0) *
+        math.log(((cgt + 1) * (6 + 2)).toDouble / ((ng + 2) * (ct + 1)).toDouble)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val klA = r6(term(2, 3, 2) + term(1, 3, 4)) // a: x=2, y=1
+    val klB = r6(term(0, 3, 2) + term(3, 3, 4)) // b: x ABSENT still counts
+    assert(out("a") == ((3L, klA)), s"${out("a")} != (3, $klA)")
+    assert(out("b") == ((3L, klB)), s"${out("b")} != (3, $klB)")
+    // the corpus mix is y-heavy (x:2, y:4): the x-heavy slice `a`
+    // (P_a(x)=3/5 vs corpus 3/8) drifts farther than the all-y slice
+    // `b` (P_b(y)=4/5 vs corpus 5/8)
+    assert(out("a")._2 > out("b")._2)
+  }
 }
