@@ -69,6 +69,34 @@ object Stats {
     * Degenerate groups: when over half a group's values are identical,
     * MAD = 0 and every other value is flagged — the standard MAD caveat;
     * pick a coarser group or a larger k if that bites. */
+  /** Per-group winsorization: clip values into the group's exact
+    * [p-lo, p-hi] type-1 quantile band — the robust feature-normalization
+    * step that pairs with [[madOutliers]] (flagging) when the pipeline
+    * wants to KEEP rows but bound their leverage. Quantiles are the same
+    * rational spec as [[quantilesByGroup]], so for integer value columns
+    * the clipped value is engine-exact by construction. Rows with NULL
+    * values are dropped (they have no rank). Output: the input columns
+    * plus `lo`, `hi`, and `clipped`.
+    *
+    * Scale shape: one ranking-window pass for both bounds, one
+    * group-keyed join of the 2-rows-per-group bounds table (broadcast
+    * under AQE) — no per-group buffers anywhere. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loNum: Int = 1, loDen: Int = 100, hiNum: Int = 99,
+      hiDen: Int = 100): DataFrame = {
+    require(loNum.toLong * hiDen <= hiNum.toLong * loDen,
+      s"lo must not exceed hi: $loNum/$loDen > $hiNum/$hiDen")
+    val in = df.filter(col(valueCol).isNotNull)
+    val bounds = quantilesByGroup(in, groupCol, valueCol,
+      Seq(("lo", loNum, loDen), ("hi", hiNum, hiDen)))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("quantile") === "lo", col(valueCol))).as("lo"),
+        max(when(col("quantile") === "hi", col(valueCol))).as("hi"))
+    in.join(bounds, Seq(groupCol))
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
+
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive: $k")

@@ -479,6 +479,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // per-group winsorization: clip n_chars into each source's exact
+    // [p1, p99] type-1 quantile band — integer-exact end to end
+    "q_stats_winsorize" -> ((s, dir) => {
+      graft.ops.Stats.winsorize(
+        Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars")
+        .select("doc_id", "source", "n_chars", "lo", "hi", "clipped")
+        .orderBy("doc_id")
+    }),
+
     // token-window chunking: 40-token windows, stride 30 (10-token
     // overlap) — the pre-embedding segmentation, map-side only; chunk
     // bodies are hashed so the oracle compares exact text without
@@ -1699,6 +1709,24 @@ object PipelinePack extends QueryPack {
         |  d.dv > 3 * m.group_mad AS is_outlier
         |FROM dev d JOIN mad m USING (source)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // winsorize: the q_stats_quantiles ranked indexing for BOTH bounds
+    // (lo = ceil(n/100), hi = ceil(99n/100)), then integer clipping
+    "q_stats_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |bounds AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = (n * 1 + 100 - 1) // 100 THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = (n * 99 + 100 - 1) // 100 THEN n_chars END) AS hi
+        |  FROM ranked GROUP BY source)
+        |SELECT r.doc_id, r.source, r.n_chars, b.lo, b.hi,
+        |  least(greatest(r.n_chars, b.lo), b.hi) AS clipped
+        |FROM ranked r JOIN bounds b USING (source)
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q_text_chunks" ->
       """WITH base AS (

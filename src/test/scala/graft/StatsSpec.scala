@@ -108,6 +108,25 @@ class StatsSpec extends AnyFunSuite {
     assert(got.filter(_._1 != 7L).forall(_._4), "off-median values flagged")
   }
 
+  test("winsorize clips to the exact type-1 [p1, p99] band per group") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(g => ("g", java.lang.Long.valueOf(g))) ++
+      Seq(("one", java.lang.Long.valueOf(42L)),
+        ("g", null.asInstanceOf[java.lang.Long])))
+      .toDF("grp", "v")
+    val out = graft.ops.Stats.winsorize(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 100-value group: lo = rank ceil(100/100)=1 → 1, hi = rank 99 → 99
+    assert(out(("g", 1L)) == ((1L, 99L, 1L)))
+    assert(out(("g", 100L)) == ((1L, 99L, 99L)), "max clips to p99")
+    assert(out(("g", 50L)) == ((1L, 99L, 50L)), "mid passes through")
+    // singleton group: lo = hi = the value, nothing clips
+    assert(out(("one", 42L)) == ((42L, 42L, 42L)))
+    // the NULL row was dropped: 101 g-rows in, 100 + 1 rows out
+    assert(out.size == 101)
+  }
+
   test("madOutliers drops NULL values before ranking") {
     import spark.implicits._
     val df = Seq[(String, java.lang.Long)](("n", 1L), ("n", null),
