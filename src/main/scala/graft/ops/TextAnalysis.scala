@@ -223,7 +223,7 @@ object TextAnalysis {
     import graft.expressions.PipelineExpressions
     Dedup.spread(df0)
       .withColumn("__norm",
-        expr(s"lower(regexp_replace($textCol, '[^a-zA-Z0-9 ]', ''))"))
+        lower(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")))
       .withColumn("__fp", PipelineExpressions.fingerprint_parts(col("__norm"), k))
       .withColumn("content_hash", col("__fp.content_hash"))
       .withColumn("min_gram_hash", col("__fp.min_gram_hash"))

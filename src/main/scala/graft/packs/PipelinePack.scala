@@ -480,7 +480,10 @@ object PipelinePack extends QueryPack {
     }),
 
     // per-group winsorization: clip n_chars into each source's exact
-    // [p1, p99] type-1 quantile band — integer-exact end to end
+    // [p1, p99] type-1 quantile band — integer-exact end to end.
+    // NOTE: the oracle SQL pins the default bounds (1/100 and 99/100 in
+    // its ceil-division rank targets); change them here and the oracle
+    // text must change in lockstep.
     "q_stats_winsorize" -> ((s, dir) => {
       graft.ops.Stats.winsorize(
         Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
