@@ -71,6 +71,34 @@ object Sampling {
     df.withColumn(splitCol, labeled)
   }
 
+  /** Leakage-safe deterministic split: near-duplicate documents land on
+    * the SAME side. Naive per-doc hash splitting puts paraphrases of
+    * training rows into the held-out set — the eval-leakage failure mode
+    * measured directly by Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"). Every document in a near-dup
+    * component ([[graft.ops.Dedup.connectedComponents]] over any pair
+    * operator's output) hashes on its component's canonical id instead
+    * of its own, so whole clusters move together; documents without a
+    * near-dup hash on their own id, reproducing [[deterministicSplit]]
+    * bit-for-bit.
+    *
+    * Scale shape: component labels exist only for paired documents
+    * (tiny next to the corpus), so the label join broadcasts under AQE;
+    * the split itself stays the pure map-side md5 bucket. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], idACol: String = "id_a",
+      idBCol: String = "id_b", splitCol: String = "split"): DataFrame = {
+    val cc = graft.ops.Dedup.connectedComponents(pairs, idACol, idBCol)
+    val keyed = docs.join(
+        cc.select(col("id").as("__cc_id"), col("component_id")),
+        col(idCol) === col("__cc_id"), "left")
+      .withColumn("__split_key",
+        coalesce(col("component_id"), col(idCol)))
+      .drop("__cc_id", "component_id")
+    deterministicSplit(keyed, "__split_key", fractions, splitCol)
+      .drop("__split_key")
+  }
+
   /** Stratified deterministic sampling: a different keep-rate per stratum
     * (e.g. downsample boilerplate-heavy sources, keep all of a rare
     * language). Rows whose stratum has no configured rate keep

@@ -187,6 +187,19 @@ object PipelinePack extends QueryPack {
         .orderBy("split")
     }),
 
+    // leakage-safe split: near-dup clusters (the SAME minhash pair graph
+    // as q_dedup_components) hash on their canonical id, so paraphrase
+    // families land on one side of train/val/test as a unit; unpaired
+    // docs reproduce q_sample_split's assignment exactly
+    "q_sample_leakage_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 3, perms = 128, bands = 21, threshold = 0.8)
+      graft.ops.Sampling.leakageSafeSplit(docs.select("doc_id"), pairs,
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .orderBy("doc_id")
+    }),
+
     // stratified sampling: per-language keep rates, md5-deterministic
     "q_sample_stratified" -> ((s, dir) => {
       graft.ops.Sampling.stratifiedSample(
@@ -1304,6 +1317,23 @@ object PipelinePack extends QueryPack {
         |  FROM b)
         |SELECT split, count(*) AS n, min(doc_id) AS min_id
         |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
+
+    // leakage-safe split: the components chain + the q_sample_split
+    // bucket rule, keyed on COALESCE(component_id, doc_id)
+    "q_sample_leakage_split" ->
+      s"""WITH RECURSIVE $ccCtes,
+        |keyed AS (
+        |  SELECT d.doc_id, COALESCE(cc.component_id, d.doc_id) AS k
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        |b AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12))::BIGINT) % 10000 AS bucket
+        |  FROM keyed)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 9000 THEN 'train'
+        |       WHEN bucket < 9500 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH b AS (

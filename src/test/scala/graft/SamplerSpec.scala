@@ -155,4 +155,30 @@ class SamplerSpec extends AnyFunSuite {
     assert(remapped("tpch")("nation") == rel("nation"))
     assert(remapped("tpch")("untouched") == rel("untouched"))
   }
+
+  test("leakageSafeSplit keeps near-dup clusters on one side, others unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    // two dup clusters: {3,7,11} (chained pairs) and {20,21}
+    val pairs = Seq((3L, 7L), (7L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val fractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = graft.ops.Sampling.leakageSafeSplit(
+      docs, pairs, "doc_id", fractions)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200)
+    // entire cluster shares the CANONICAL member's split
+    assert(Set(out(3L), out(7L), out(11L)).size == 1, "cluster {3,7,11}")
+    assert(out(20L) == out(21L), "cluster {20,21}")
+    // unpaired documents get exactly deterministicSplit's assignment
+    val plain = graft.ops.Sampling.deterministicSplit(
+      docs, "doc_id", fractions)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(3L, 7L, 11L, 20L, 21L)
+    docs.collect().map(_.getLong(0)).filterNot(clustered).foreach { id =>
+      assert(out(id) == plain(id), s"doc $id drifted from the plain split")
+    }
+    // cluster members inherit the canonical (min) id's plain assignment
+    assert(out(11L) == plain(3L) && out(21L) == plain(20L))
+  }
 }
