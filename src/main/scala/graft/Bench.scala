@@ -104,16 +104,22 @@ object Bench {
     exec("q1_agg")
     exec("q_window_topn")
 
-    // calibration: one untimed JIT pass, then min-of-2 (same protocol as
-    // the queries — the minimum discards whichever run a burst landed in)
-    calibration(spark)
-    val calibStart = math.min(calibration(spark), calibration(spark))
-
     // local-dev subset filter (the driver never sets it): run only the
     // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q_ann_ivf,q_dedup_minhash
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty) // set-but-empty env must not filter out everything
+
+    // calibration: one untimed JIT pass, then min-of-2 (same protocol as
+    // the queries — the minimum discards whichever run a burst landed in).
+    // Subset runs skip it: calib exists to normalize DRIVER round-over-
+    // round comparisons, and a dev loop shouldn't pay ~8 s for it.
+    val calibStart =
+      if (only.nonEmpty) 0.0
+      else {
+        calibration(spark)
+        math.min(calibration(spark), calibration(spark))
+      }
 
     // named non-headline queries are benchable locally too (one-off
     // measurements of oracle-only ops); driver runs keep the headline set
@@ -161,7 +167,9 @@ object Bench {
       }
     val results = p1.map { case (k, v) =>
       k -> math.min(math.min(v, p2(k)), p3.getOrElse(k, Double.MaxValue)) }
-    val calibEnd = math.min(calibration(spark), calibration(spark))
+    val calibEnd =
+      if (only.nonEmpty) 0.0
+      else math.min(calibration(spark), calibration(spark))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

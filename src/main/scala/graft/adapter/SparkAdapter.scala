@@ -52,12 +52,19 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     spark.conf.getOption(SparkAdapter.OfflineKey).contains("true")
 
   /** Statements that would move rows if executed — skipped in offline
-    * replay (judged on the normalized text, same as cacheability). */
+    * replay (judged on the normalized text, same as cacheability).
+    * CREATE VIEW (even `... AS SELECT`) is catalog-only and stays live;
+    * a raw-SQL CTAS is data-plane and is skipped WITHOUT a schema-only
+    * stand-in (unlike the writer() path, execute() has no analyzed
+    * DataFrame to take a schema from) — a recorded hook that CTAS-es a
+    * table and then references it later is outside the offline
+    * contract; the engine's own materializations never issue raw CTAS. */
   private def dataPlaneStmt(stmt: String): Boolean = {
     val norm = QueryCache.normalize(stmt)
     val head = norm.takeWhile(!_.isWhitespace)
     Set("insert", "update", "delete", "merge", "truncate", "load", "copy")(head) ||
-      (head == "create" && norm.contains(" as select"))
+      (head == "create" && !norm.contains(" view ") &&
+        (norm.contains(" as select") || norm.contains(" as (select")))
   }
 
   createSchema(defaultSchema)

@@ -207,6 +207,10 @@ object Main {
         spark.conf.set(InteractionLog.ModeKey, "verify")
         spark.conf.set(InteractionLog.PathKey, p)
         InteractionLog.reset(spark)
+        // a PRIOR --record run in this session left the cache in record
+        // mode; a verify run must not overwrite the golden results with
+        // its own (possibly divergent) live reads
+        spark.conf.set(QueryCache.ModeKey, "off")
       }
       args.replayOffline.foreach { p =>
         if (!Files.exists(Paths.get(p))) {

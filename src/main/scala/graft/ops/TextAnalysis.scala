@@ -262,13 +262,17 @@ object TextAnalysis {
       // DESCENDING [1, 0], not empty, so a 1-token doc would index past
       // its array instead of contributing no bigrams
       .filter(size(col("__w")) >= 2)
-    val pairs = base
+    // cache boundary: four aggregates (bigram counts, prefix counts,
+    // vocab, the final per-doc join) consume `pairs` — without it each
+    // one re-scans and re-explodes the whole corpus (the kmeansOnSpread
+    // lesson applied to a query-shaped op)
+    val pairs = Dedup.maybeCache(base
       .select(col(idCol), explode(expr(
         """transform(sequence(1, size(__w) - 1),
           |  i -> struct(element_at(__w, i) AS w1,
           |              element_at(__w, i + 1) AS w2))""".stripMargin))
         .as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2")))
     val big = pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
     val uni = pairs.groupBy("__w1").agg(count(lit(1)).as("__c1"))
     val vocab = pairs.agg(countDistinct(col("__w1")).as("__v"))
@@ -311,8 +315,10 @@ object TextAnalysis {
     * the hash. */
   def tokenKlDrift(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
-    val toks = Dedup.spread(docs.select(col(groupCol), col(textCol)))
-      .select(col(groupCol), explode(split(col(textCol), " ")).as("__t"))
+    // cache boundary: four aggregates consume `toks` (see lmSurprise)
+    val toks = Dedup.maybeCache(
+      Dedup.spread(docs.select(col(groupCol), col(textCol)))
+        .select(col(groupCol), explode(split(col(textCol), " ")).as("__t")))
     val gt = toks.groupBy(col(groupCol), col("__t"))
       .agg(count(lit(1)).as("__cgt"))
     val g = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))

@@ -124,7 +124,6 @@ object StreamingOps {
     * deterministic output set. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame =
       withNanosAsLong(spark) {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_dedup_sink").toString
     val checkpoint = Files.createTempDirectory("graft_dedup_cp").toString
@@ -336,7 +335,6 @@ object StreamingOps {
   def funnelDepth(spark: SparkSession, sfDir: String, steps: Seq[String],
       maxPerStep: Option[Int] = None,
       beforeUs: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
     maxPerStep.foreach(n => require(n > 0, s"maxPerStep must be positive: $n"))
@@ -345,8 +343,6 @@ object StreamingOps {
     withNanosAsLong(spark) {
     val sink = Files.createTempDirectory("graft_funnel_sink").toString
     val checkpoint = Files.createTempDirectory("graft_funnel_cp").toString
-    val stepIdx = steps.zipWithIndex.toMap
-    val nSteps = steps.size
 
     val tsT = eventsTsType(spark, sfDir)
     val stream = spark.readStream
@@ -408,7 +404,16 @@ object StreamingOps {
           } else {
           val prior = state.getOption
             .getOrElse(Seq(Seq(0L)) ++ Seq.fill(nSteps)(Seq.empty[Long]))
-          val update = prior.head.head + 1
+          // emission index = (processing-time ms, within-state counter):
+          // the counter alone RESTARTS after a TTL expiry frees the key,
+          // and a max_by(depth, update_idx) consumer would tie a fresh
+          // emission against a stale pre-expiry one; the time component
+          // keeps post-expiry indices strictly above them (an expiry is
+          // always ≥ the TTL after the last emission, so same-ms
+          // collisions across an expiry cannot happen)
+          val counter = prior.head.head + 1
+          val update =
+            state.getCurrentProcessingTimeMs() * 65536L + (counter & 0xffffL)
           val arrays = prior.tail
           val incoming = Array.fill(nSteps)(
             scala.collection.mutable.ArrayBuffer.empty[Long])
@@ -419,7 +424,7 @@ object StreamingOps {
             if (incoming(i).isEmpty) old
             else (old ++ incoming(i)).sorted.take(cap)
           }
-          state.update(Seq(Seq(update)) ++ merged)
+          state.update(Seq(Seq(counter)) ++ merged)
           ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
           // cascade: t_i = first event of step i at-or-after t_{i-1}
           var depth = 0
