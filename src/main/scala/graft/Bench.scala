@@ -114,11 +114,11 @@ object Bench {
     // the queries — the minimum discards whichever run a burst landed in).
     // Subset runs skip it: calib exists to normalize DRIVER round-over-
     // round comparisons, and a dev loop shouldn't pay ~8 s for it.
-    val calibStart =
-      if (only.nonEmpty) 0.0
+    val calibStart: Option[Double] =
+      if (only.nonEmpty) None
       else {
         calibration(spark)
-        math.min(calibration(spark), calibration(spark))
+        Some(math.min(calibration(spark), calibration(spark)))
       }
 
     // named non-headline queries are benchable locally too (one-off
@@ -167,14 +167,20 @@ object Bench {
       }
     val results = p1.map { case (k, v) =>
       k -> math.min(math.min(v, p2(k)), p3.getOrElse(k, Double.MaxValue)) }
-    val calibEnd =
-      if (only.nonEmpty) 0.0
-      else math.min(calibration(spark), calibration(spark))
+    val calibEnd: Option[Double] =
+      if (only.nonEmpty) None
+      else Some(math.min(calibration(spark), calibration(spark)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val endLoad = loadAvg1m()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calibStart,"calib_sec_end":$calibEnd,"noisy_requeried":${noisy.size},"loadavg_start":$startLoad,"loadavg_end":$endLoad}""")
+    // subset (dev-loop) runs skip calibration — OMIT the fields rather
+    // than emit 0.0, so a normalizing consumer can't divide by zero
+    val calibJson = (calibStart, calibEnd) match {
+      case (Some(a), Some(b)) => s""","calib_sec":$a,"calib_sec_end":$b"""
+      case _ => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$calibJson,"noisy_requeried":${noisy.size},"loadavg_start":$startLoad,"loadavg_end":$endLoad}""")
     spark.stop()
   }
 }

@@ -58,13 +58,22 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     * stand-in (unlike the writer() path, execute() has no analyzed
     * DataFrame to take a schema from) — a recorded hook that CTAS-es a
     * table and then references it later is outside the offline
-    * contract; the engine's own materializations never issue raw CTAS. */
+    * contract; the engine's own materializations never issue raw CTAS.
+    *
+    * The CTAS test is deliberately BROAD: any non-view CREATE carrying
+    * an `AS` clause counts — `AS SELECT`, `AS WITH ...`, `AS TABLE`,
+    * `AS VALUES`, with or without a space before `(` — because the
+    * failure modes are asymmetric: skipping a catalog-only CREATE that
+    * merely LOOKS like CTAS (e.g. a generated-column definition) loses
+    * nothing offline (reads are cache-served anyway), while executing
+    * an unrecognized CTAS live scans and writes the data plane,
+    * silently breaking the zero-live-scans contract. */
   private def dataPlaneStmt(stmt: String): Boolean = {
     val norm = QueryCache.normalize(stmt)
     val head = norm.takeWhile(!_.isWhitespace)
     Set("insert", "update", "delete", "merge", "truncate", "load", "copy")(head) ||
       (head == "create" && !norm.contains(" view ") &&
-        (norm.contains(" as select") || norm.contains(" as (select")))
+        (norm.contains(" as ") || norm.contains(" as(")))
   }
 
   createSchema(defaultSchema)

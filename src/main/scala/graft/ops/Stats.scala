@@ -69,6 +69,23 @@ object Stats {
     * Degenerate groups: when over half a group's values are identical,
     * MAD = 0 and every other value is flagged — the standard MAD caveat;
     * pick a coarser group or a larger k if that bites. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val in = df.filter(col(valueCol).isNotNull)
+    val med = quantilesByGroup(in, groupCol, valueCol, Seq(("med", 1, 2)))
+      .select(col(groupCol), col(valueCol).as("group_median"))
+    val dev = in.join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("group_median")))
+    val mad = quantilesByGroup(
+      dev.select(col(groupCol), col("__dev")), groupCol, "__dev",
+      Seq(("mad", 1, 2)))
+      .select(col(groupCol), col("__dev").as("group_mad"))
+    dev.join(mad, Seq(groupCol))
+      .withColumn("is_outlier", col("__dev") > lit(k) * col("group_mad"))
+      .drop("__dev")
+  }
+
   /** Per-group winsorization: clip values into the group's exact
     * [p-lo, p-hi] type-1 quantile band — the robust feature-normalization
     * step that pairs with [[madOutliers]] (flagging) when the pipeline
@@ -95,22 +112,5 @@ object Stats {
     in.join(bounds, Seq(groupCol))
       .withColumn("clipped",
         least(greatest(col(valueCol), col("lo")), col("hi")))
-  }
-
-  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 3): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    val in = df.filter(col(valueCol).isNotNull)
-    val med = quantilesByGroup(in, groupCol, valueCol, Seq(("med", 1, 2)))
-      .select(col(groupCol), col(valueCol).as("group_median"))
-    val dev = in.join(med, Seq(groupCol))
-      .withColumn("__dev", abs(col(valueCol) - col("group_median")))
-    val mad = quantilesByGroup(
-      dev.select(col(groupCol), col("__dev")), groupCol, "__dev",
-      Seq(("mad", 1, 2)))
-      .select(col(groupCol), col("__dev").as("group_mad"))
-    dev.join(mad, Seq(groupCol))
-      .withColumn("is_outlier", col("__dev") > lit(k) * col("group_mad"))
-      .drop("__dev")
   }
 }

@@ -305,35 +305,58 @@ object TextAnalysis {
     * Scale shape: token counts are ordinary partial-agg'd count
     * aggregates; the grid is |groups| × |vocab| — the operator's
     * contract is drift across a HANDFUL of slices (sources, splits),
-    * where the grid is tiny next to the corpus; vocab and totals ride
-    * one broadcast.
+    * where the grid is a small multiple of the vocabulary. The
+    * broadcast sides are the BOUNDED tables: the per-group totals
+    * (|groups| rows) and the 1-row corpus totals; the per-token count
+    * table is corpus-vocabulary-sized (open vocabularies grow ~n^0.5)
+    * and is NEVER broadcast — it stays the streamed side of the grid
+    * join. `maxVocab = Some(v)` additionally caps the whole
+    * computation to the v globally most frequent tokens (frequency
+    * desc, token asc tie-break — a distributed TakeOrdered, no global
+    * sort), bounding the grid regardless of corpus size; counts,
+    * totals, and V are then all over the capped vocabulary.
     *
     * Determinism: all counts exact integers; each term is
-    * P_g (two exact casts, one division) times ln of an exact integer
-    * ratio (products stay < 2^53), and the per-group sum runs in
-    * DECIMAL(38,18) — order-independent, so partitioning never changes
-    * the hash. */
+    * P_g (two exact casts, one division) times ln of a ratio whose
+    * four factors are each an exact-integer double (every count
+    * < 2^53) combined by correctly-rounded IEEE multiply/divide —
+    * bit-identical in any IEEE engine, no integer-product overflow at
+    * any corpus size — and the per-group sum runs in DECIMAL(38,18) —
+    * order-independent, so partitioning never changes the hash. */
   def tokenKlDrift(docs: DataFrame, groupCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, maxVocab: Option[Int] = None): DataFrame = {
+    maxVocab.foreach(v => require(v > 0, s"maxVocab must be positive: $v"))
     // cache boundary: four aggregates consume `toks` (see lmSurprise)
-    val toks = Dedup.maybeCache(
+    val toksAll = Dedup.maybeCache(
       Dedup.spread(docs.select(col(groupCol), col(textCol)))
         .select(col(groupCol), explode(split(col(textCol), " ")).as("__t")))
+    val toks = maxVocab match {
+      case None => toksAll
+      case Some(v) =>
+        // top-v tokens via TakeOrdered (orderBy+limit never globally
+        // sorts); the kept-vocab table is ≤ v rows — AQE broadcasts the
+        // semi-join
+        val keep = toksAll.groupBy(col("__t"))
+          .agg(count(lit(1)).as("__kc"))
+          .orderBy(col("__kc").desc, col("__t")).limit(v)
+          .select("__t")
+        Dedup.maybeCache(toksAll.join(keep, Seq("__t"), "left_semi"))
+    }
     val gt = toks.groupBy(col(groupCol), col("__t"))
       .agg(count(lit(1)).as("__cgt"))
     val g = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
     val tv = toks.groupBy(col("__t")).agg(count(lit(1)).as("__ct"))
     val tot = toks.agg(count(lit(1)).as("__n"),
       countDistinct(col("__t")).as("__v"))
-    val grid = g.crossJoin(broadcast(tv)).crossJoin(broadcast(tot))
+    val grid = tv.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
       .join(gt, Seq(groupCol, "__t"), "left")
       .withColumn("__cgt", coalesce(col("__cgt"), lit(0L)))
     val pg = (col("__cgt").cast("double") + lit(1.0)) /
       (col("__ng").cast("double") + col("__v").cast("double"))
-    val num = ((col("__cgt") + lit(1L)) * (col("__n") + col("__v")))
-      .cast("double")
-    val den = ((col("__ng") + col("__v")) * (col("__ct") + lit(1L)))
-      .cast("double")
+    val num = (col("__cgt").cast("double") + lit(1.0)) *
+      (col("__n").cast("double") + col("__v").cast("double"))
+    val den = (col("__ng").cast("double") + col("__v").cast("double")) *
+      (col("__ct").cast("double") + lit(1.0))
     grid.withColumn("__kl", (pg * log(num / den)).cast("decimal(38,18)"))
       .groupBy(col(groupCol))
       .agg(max(col("__ng")).as("n_tokens"),
@@ -372,7 +395,10 @@ object TextAnalysis {
     val toks = split(col(textCol), " ")
     val tfCols = terms.indices.map(i =>
       size(filter(toks, x => x === lit(terms(i)))).as(s"__tf$i"))
-    val stats = docs.select(
+    // NULL text guard: split(NULL) is a NULL array whose size() is -1,
+    // which would poison dl, every tf, AND the corpus stats — such rows
+    // are unscorable and drop (mirrored in bm25Sql)
+    val stats = docs.filter(col(textCol).isNotNull).select(
       (col(idCol) +: size(toks).as("__dl") +: tfCols): _*)
     val aggHead = count(lit(1)).as("__n")
     val aggTail = sum(col("__dl")).as("__s") +:

@@ -609,6 +609,16 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // the bounded-grid variant: drift over the 100 globally most
+    // frequent tokens only — the open-vocabulary cap a 100 TB corpus
+    // needs (grid size becomes |groups| × 100 regardless of scale)
+    "q_text_kl_drift_capped" -> ((s, dir) => {
+      TextAnalysis.tokenKlDrift(
+        Tables(s, dir, "documents").select("source", "text"),
+        "source", "text", maxVocab = Some(100))
+        .orderBy("source")
+    }),
+
     // rolling-hash fingerprints
     "q_text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(
@@ -984,6 +994,52 @@ object PipelinePack extends QueryPack {
        |${adcTopKSql(k)}""".stripMargin
   }
 
+  /** DuckDB mirror of TextAnalysis.tokenKlDrift: the SAME exact-integer
+    * counts and the SAME ln ratio of four exact-double factors (each
+    * count < 2^53 casts exactly; multiply/divide are correctly-rounded
+    * IEEE ops, bit-identical across engines); per-group sums in
+    * DECIMAL(38,18). `maxVocab` mirrors the operator's top-V cap
+    * (frequency desc, token asc tie-break). */
+  private def klDriftSql(maxVocab: Option[Int]): String = {
+    val toksCte = maxVocab match {
+      case Some(v) =>
+        s"""keep AS (
+           |  SELECT t FROM (
+           |    SELECT t, count(*) AS kc FROM toks0 GROUP BY 1
+           |    ORDER BY kc DESC, t LIMIT $v)),
+           |toks AS (
+           |  SELECT source, t FROM toks0
+           |  WHERE t IN (SELECT t FROM keep)),""".stripMargin
+      case None => "toks AS (SELECT source, t FROM toks0),"
+    }
+    s"""WITH toks0 AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |$toksCte
+       |gt AS (SELECT source, t, count(*) AS cgt FROM toks GROUP BY 1, 2),
+       |g AS (SELECT source, count(*) AS ng FROM toks GROUP BY 1),
+       |tv AS (SELECT t, count(*) AS ct FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM toks),
+       |grid AS (
+       |  SELECT g.source, tv.t, g.ng, tv.ct, tot.n, tot.v,
+       |    COALESCE(gt.cgt, 0) AS cgt
+       |  FROM g CROSS JOIN tv CROSS JOIN tot
+       |  LEFT JOIN gt ON gt.source = g.source AND gt.t = tv.t),
+       |terms AS (
+       |  SELECT source, ng,
+       |    CAST((CAST(cgt AS DOUBLE) + 1.0)
+       |           / (CAST(ng AS DOUBLE) + CAST(v AS DOUBLE))
+       |         * ln(((CAST(cgt AS DOUBLE) + 1.0)
+       |                * (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))
+       |              / ((CAST(ng AS DOUBLE) + CAST(v AS DOUBLE))
+       |                 * (CAST(ct AS DOUBLE) + 1.0)))
+       |      AS DECIMAL(38,18)) AS kl_term
+       |  FROM grid)
+       |SELECT source, max(ng) AS n_tokens,
+       |  round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Query-term bag shared by the q_text_bm25 operator call AND its
     * generated oracle — one definition, no drift. */
   private val bm25Terms = Seq("join", "scan", "merge")
@@ -1005,7 +1061,8 @@ object PipelinePack extends QueryPack {
          |     / (CAST(s.tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(s.dl AS DOUBLE) / (CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE)))))""".stripMargin
     }.mkString("\n   + ")
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
        |stats AS (
        |  SELECT doc_id, len(w) AS dl,
        |$tfDefs
@@ -1077,32 +1134,13 @@ object PipelinePack extends QueryPack {
       m = 4, subDim = 16, codebookSize = 16, k = 5, trainMod = 4),
     "q_text_bm25" -> bm25Sql(bm25Terms, topK = 20),
 
-    // KL drift: exact-integer counts, ln of exact integer ratios
-    // (products < 2^53), DECIMAL(38,18) order-independent group sums
-    "q_text_kl_drift" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS t
-        |  FROM documents),
-        |gt AS (SELECT source, t, count(*) AS cgt FROM toks GROUP BY 1, 2),
-        |g AS (SELECT source, count(*) AS ng FROM toks GROUP BY 1),
-        |tv AS (SELECT t, count(*) AS ct FROM toks GROUP BY 1),
-        |tot AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM toks),
-        |grid AS (
-        |  SELECT g.source, tv.t, g.ng, tv.ct, tot.n, tot.v,
-        |    COALESCE(gt.cgt, 0) AS cgt
-        |  FROM g CROSS JOIN tv CROSS JOIN tot
-        |  LEFT JOIN gt ON gt.source = g.source AND gt.t = tv.t),
-        |terms AS (
-        |  SELECT source, ng,
-        |    CAST((CAST(cgt AS DOUBLE) + 1.0)
-        |           / (CAST(ng AS DOUBLE) + CAST(v AS DOUBLE))
-        |         * ln(CAST((cgt + 1) * (n + v) AS DOUBLE)
-        |              / CAST((ng + v) * (ct + 1) AS DOUBLE))
-        |      AS DECIMAL(38,18)) AS kl_term
-        |  FROM grid)
-        |SELECT source, max(ng) AS n_tokens,
-        |  round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl
-        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // KL drift: exact-integer counts, ln of a four-exact-double-factor
+    // ratio (no integer-product overflow at any corpus size),
+    // DECIMAL(38,18) order-independent group sums
+    "q_text_kl_drift" -> klDriftSql(maxVocab = None),
+    // same contract over the 100 globally most frequent tokens only
+    // (frequency desc, token asc tie-break) — the bounded-grid variant
+    "q_text_kl_drift_capped" -> klDriftSql(maxVocab = Some(100)),
 
     // bigram LM surprise: counts are exact integers, each bigram's ln is
     // over an exact rational, and the per-doc sum runs in DECIMAL(38,18)

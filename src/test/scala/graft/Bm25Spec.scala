@@ -69,6 +69,21 @@ class Bm25Spec extends AnyFunSuite {
     assert(out.sorted == Seq(2L, 4L, 6L), s"3 best even ids: $out")
   }
 
+  test("NULL-text rows drop instead of poisoning dl/tf/corpus stats") {
+    import spark.implicits._
+    val docs = Seq((1L, "join scan"), (2L, null.asInstanceOf[String]),
+      (3L, "join")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("join"),
+      topK = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(!got.contains(2L), s"null-text doc must not score: $got")
+    // and the corpus stats (N, avgdl, df) see only the scorable docs:
+    // identical to running with the null row pre-dropped
+    val clean = TextAnalysis.bm25(docs.filter($"doc_id" =!= 2L), "doc_id",
+      "text", Seq("join"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == clean)
+  }
+
   test("plan is map-side: no Generate (explode) anywhere, one aggregate") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"join scan doc $i"))
@@ -116,9 +131,12 @@ class Bm25Spec extends AnyFunSuite {
     val out = TextAnalysis.tokenKlDrift(docs, "source", "text")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
+    // the SAME four-exact-double-factor tree the operator builds (no
+    // integer products — the op is overflow-free at any corpus size)
     def term(cgt: Long, ng: Long, ct: Long): Double =
       (cgt.toDouble + 1.0) / (ng.toDouble + 2.0) *
-        math.log(((cgt + 1) * (6 + 2)).toDouble / ((ng + 2) * (ct + 1)).toDouble)
+        math.log(((cgt.toDouble + 1.0) * (6.0 + 2.0)) /
+          ((ng.toDouble + 2.0) * (ct.toDouble + 1.0)))
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     val klA = r6(term(2, 3, 2) + term(1, 3, 4)) // a: x=2, y=1
     val klB = r6(term(0, 3, 2) + term(3, 3, 4)) // b: x ABSENT still counts
@@ -128,5 +146,65 @@ class Bm25Spec extends AnyFunSuite {
     // (P_a(x)=3/5 vs corpus 3/8) drifts farther than the all-y slice
     // `b` (P_b(y)=4/5 vs corpus 5/8)
     assert(out("a")._2 > out("b")._2)
+  }
+
+  test("tokenKlDrift maxVocab: caps to top-V by (freq desc, token asc)") {
+    import spark.implicits._
+    // corpus counts: x=3, y=3, z=1 → top-2 keeps {x, y} (z drops);
+    // filtered slices: a = x x y (n=3), b = y y x (n=3); V=2, n=6,
+    // c(x)=3, c(y)=3
+    val docs = Seq(("a", "x x y z"), ("b", "y y x")).toDF("source", "text")
+    val out = TextAnalysis.tokenKlDrift(docs, "source", "text",
+      maxVocab = Some(2))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def term(cgt: Long, ng: Long, ct: Long): Double =
+      (cgt.toDouble + 1.0) / (ng.toDouble + 2.0) *
+        math.log(((cgt.toDouble + 1.0) * (6.0 + 2.0)) /
+          ((ng.toDouble + 2.0) * (ct.toDouble + 1.0)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val klA = r6(term(2, 3, 3) + term(1, 3, 3))
+    val klB = r6(term(1, 3, 3) + term(2, 3, 3))
+    // n_tokens = 3 for BOTH (z filtered out of a's count), not 4
+    assert(out("a") == ((3L, klA)), s"${out("a")} != (3, $klA)")
+    assert(out("b") == ((3L, klB)), s"${out("b")} != (3, $klB)")
+    // a cap at least the vocab size reproduces the uncapped result
+    val capped = TextAnalysis.tokenKlDrift(docs, "source", "text",
+      maxVocab = Some(100)).collect().map(r => (r.getString(0),
+        r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = TextAnalysis.tokenKlDrift(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(capped == uncapped)
+  }
+
+  test("tokenKlDrift plan: the vocab count table is never broadcast") {
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (s"s${i % 3}", s"tok$i tok${i % 7} common words here"))
+      .toDF("source", "text")
+    // AQE off so the static plan's BroadcastExchange placement (driven
+    // by the explicit hints) is inspectable directly
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.tokenKlDrift(docs, "source", "text")
+        .queryExecution.executedPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty, s"expected hinted broadcasts:\n$plan")
+      // the vocab aggregate's count alias __ct must not sit under any
+      // BroadcastExchange; the bounded sides (__ng groups, __n/__v
+      // totals) are exactly what DOES broadcast
+      bcasts.foreach { b =>
+        val sub = b.child.toString
+        assert(!sub.contains("__ct"),
+          s"corpus-vocabulary table must not broadcast:\n${sub.take(1500)}")
+      }
+      assert(bcasts.exists(_.child.toString.contains("__ng")),
+        "the per-group totals side should be a broadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }

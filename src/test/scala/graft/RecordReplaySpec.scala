@@ -229,6 +229,37 @@ class RecordReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("offline replay skips CTAS however phrased (AS WITH / AS VALUES)") {
+    // a raw-SQL CTAS whose normalized text reads '... as with ...' must
+    // NOT fall through to live execution in offline mode — the broad
+    // non-view-CREATE rule catches every AS-clause phrasing
+    val schema = s"g_rr_ctas_${System.nanoTime()}"
+    val a = new graft.adapter.SparkAdapter(isolated, schema)
+    isolated.conf.set(graft.adapter.SparkAdapter.OfflineKey, "true")
+    try {
+      val (s1, _) = a.execute(
+        s"CREATE TABLE `$schema`.ctas_w AS WITH c AS (SELECT 1 AS x) " +
+          "SELECT x FROM c", fetch = false)
+      assert(s1.contains("offline skip"), s"AS WITH CTAS must skip: $s1")
+      val (s2, _) = a.execute(
+        s"CREATE TABLE `$schema`.ctas_v AS VALUES (1), (2) t(x)",
+        fetch = false)
+      assert(s2.contains("offline skip"), s"AS VALUES CTAS must skip: $s2")
+      assert(!isolated.catalog.tableExists(s"`$schema`.ctas_w") &&
+        !isolated.catalog.tableExists(s"`$schema`.ctas_v"),
+        "skipped CTAS must not create tables")
+      // catalog-only creates stay live: a plain CREATE VIEW ... AS SELECT
+      val (s3, _) = a.execute(
+        s"CREATE VIEW `$schema`.v_ok AS SELECT 1 AS x", fetch = false)
+      assert(s3 == "OK" && isolated.catalog.tableExists(s"`$schema`.v_ok"),
+        s"view DDL must stay live offline: $s3")
+    } finally {
+      isolated.conf.unset(graft.adapter.SparkAdapter.OfflineKey)
+      isolated.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      InteractionLog.reset(isolated)
+    }
+  }
+
   test("CLI --record / --replay-verify drive the log and the exit code") {
     val proj = fixtureProject()
     val log = Files.createTempDirectory("graft_rr_cli").resolve("cli.jsonl")

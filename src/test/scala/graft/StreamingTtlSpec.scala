@@ -54,7 +54,9 @@ class StreamingTtlSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
-    val ttl = Duration.ofMillis(2000)
+    // 10x the probe sleep below: a GC pause or loaded box would need to
+    // stall micro-batches for >5 s for the no-emit probe to race the TTL
+    val ttl = Duration.ofMillis(6000)
     val out = StreamingOps.sessionizeStream(mem.toDS(), gapMinutes = 30,
       ttl = Some(ttl))
     val q = out.writeStream.format("memory").queryName("ttl_sessions")
@@ -67,8 +69,12 @@ class StreamingTtlSpec extends AnyFunSuite {
           r.getLong(3))).toSeq
 
       mem.addData((1L, 1000L), (1L, 2000L))   // open session for key 1
+      val armNanos = System.nanoTime()
       Thread.sleep(600)                        // a few triggers, well < TTL
-      assert(rows().isEmpty, "an open session must not emit while live")
+      // gate on elapsed time, not just the sleep: if the box stalled past
+      // half the TTL the no-emit claim is no longer safe to assert
+      if ((System.nanoTime() - armNanos) / 1000000L < ttl.toMillis / 2)
+        assert(rows().isEmpty, "an open session must not emit while live")
 
       // TTL passes with no key-1 events → the next batch's timeout sweep
       // closes its tail session by inactivity and emits it
@@ -88,7 +94,7 @@ class StreamingTtlSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val steps = Seq("click", "purchase")
-    val ttl = Duration.ofMillis(1500)
+    val ttl = Duration.ofMillis(6000)
     val mem = MemoryStream[(Long, String, Long)]
     val out = StreamingOps.funnelDepthStream(mem.toDS(), steps, cap = 10,
       ttl = Some(ttl))
@@ -119,7 +125,7 @@ class StreamingTtlSpec extends AnyFunSuite {
   test("dedup TTL: seen-flags expire, a late duplicate re-emits (windowed dedup)") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ttl = Duration.ofMillis(1500)
+    val ttl = Duration.ofMillis(6000)
     val mem = MemoryStream[(Long, Long, String)]
     val out = StreamingOps.streamingDedupStream(mem.toDS(), ttl = Some(ttl))
     val q = out.writeStream.format("memory").queryName("ttl_dedup")
@@ -131,10 +137,14 @@ class StreamingTtlSpec extends AnyFunSuite {
       mem.addData((1L, 10L, "click"), (1L, 10L, "click")) // dup in-batch
       assert(awaitCond(emitted() == 1), s"first occurrence wins: ${emitted()}")
 
-      // a duplicate INSIDE the horizon stays suppressed
+      // a duplicate INSIDE the horizon stays suppressed (gated on
+      // elapsed time: if the box stalled past half the TTL, the
+      // no-re-emit claim is no longer safe to assert)
+      val dupNanos = System.nanoTime()
       mem.addData((1L, 10L, "click"))
       Thread.sleep(600)
-      assert(emitted() == 1, "within-horizon duplicate must not re-emit")
+      if ((System.nanoTime() - dupNanos) / 1000000L < ttl.toMillis / 2)
+        assert(emitted() == 1, "within-horizon duplicate must not re-emit")
 
       // the seen-flag expires → a LATE duplicate re-emits (windowed
       // dedup semantics — the bounded-state trade, not a bug)
@@ -156,7 +166,7 @@ class StreamingTtlSpec extends AnyFunSuite {
     try {
       mem.addData((1L, "click", 100L))
       q.processAllAvailable() // NoTimeout ⇒ no perpetual re-arm, safe here
-      Thread.sleep(2000) // longer than the TTL the other tests use
+      Thread.sleep(6500) // longer than the TTL the other tests use
       mem.addData((1L, "purchase", 200L))
       q.processAllAvailable()
       val depth = spark.table("nottl_funnel").filter("user_id = 1")
