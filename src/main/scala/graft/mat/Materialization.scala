@@ -61,6 +61,8 @@ object Materializations {
     case "seed" => SeedMat
     case "ephemeral" => EphemeralMat
     case "clone" => CloneMat
+    case "pipeline" => PipelineMat
+    case "streaming_table" => StreamingTableMat
     case other => throw new IllegalArgumentException(
       s"unknown materialization: $other")
   }

@@ -1,0 +1,378 @@
+package graft.mat
+
+import graft.core.RelationType
+import graft.ops.{Dedup, Sampling, Stats, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** `materialized='pipeline'`: the LLM-curation operator library surfaced
+  * through the engine's own project interface — a model whose compiled
+  * SELECT is the corpus input and whose `steps:` config (YAML-typed, in
+  * schema.yml or dbt_project.yml) names a chain of curation operators
+  * applied as DataFrame transforms before the atomic table write.
+  *
+  * This mirrors how the reference exposes capability to models — through
+  * materializations and macro families shipped with the engine
+  * (crates/dbt-loader/src/dbt_macro_assets/dbt-adapters/macros/,
+  * MA/materializations/) — re-expressed Spark-first: each step is a
+  * declarative DataFrame→DataFrame transform over the model's relation,
+  * so Catalyst still sees ONE composed plan (pushdown/pruning cross step
+  * boundaries; the gate's filter reaches the scan) and the write path is
+  * the same staged-swap `writeTableAtomic` every table model uses —
+  * partition_by/sort_by/zorder_by configs compose with pipelines.
+  *
+  * ```yaml
+  * models:
+  *   - name: curated
+  *     config:
+  *       materialized: pipeline
+  *       steps:
+  *         - op: gopher_gate
+  *           text_col: text
+  *         - op: exact_dedup
+  *           text_col: text
+  *           id_col: doc_id
+  *         - op: token_count
+  *           text_col: text
+  *           drop_text: true
+  *         - op: temperature_mix
+  *           id_col: doc_id
+  *           group_col: source
+  *           tokens_col: n_tok
+  *           budget: 5000
+  * ```
+  */
+object PipelineMat extends Materialization {
+  val name = "pipeline"
+  def run(ctx: MatContext): MatResult = {
+    val steps = PipelineSteps.parse(ctx.config.extra.get("steps"))
+    if (steps.isEmpty)
+      throw new IllegalArgumentException(
+        "pipeline materialization needs a non-empty `steps:` config " +
+          "(a YAML list of {op: <name>, ...} maps); known ops: " +
+          PipelineSteps.knownOps.mkString(", "))
+    val out = steps.foldLeft(ctx.compiled()) { (df, s) => s.apply(df) }
+    ctx.adapter.writeTableAtomic(out, ctx.target,
+      ctx.config.partitionBy, ctx.config.sortBy,
+      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy)
+    MatResult(ctx.target, "success",
+      s"pipeline: ${steps.map(_.op).mkString(" -> ")}")
+  }
+}
+
+/** The step registry: each entry parses its typed params from the YAML
+  * map and returns a DataFrame transform over `graft.ops`. Steps are
+  * column-neutral where possible (filters/dedups return the input
+  * columns) so chains compose without schema surprises. */
+object PipelineSteps {
+
+  final case class Step(op: String, apply: DataFrame => DataFrame)
+
+  val knownOps: Seq[String] = Seq("gopher_gate", "exact_dedup",
+    "minhash_dedup", "token_count", "temperature_mix", "weighted_mix",
+    "mad_outlier_filter", "winsorize")
+
+  def parse(raw: Option[Any]): Seq[Step] = raw match {
+    case None => Nil
+    case Some(v: Seq[_]) => v.map {
+      case m: Map[_, _] => build(m.asInstanceOf[Map[String, Any]])
+      case other => throw new IllegalArgumentException(
+        s"each pipeline step must be a mapping with an `op:` key, got: $other")
+    }
+    case Some(other) => throw new IllegalArgumentException(
+      s"`steps:` must be a YAML list of step mappings, got: $other")
+  }
+
+  // ---- typed param readers (YAML scalars arrive as Long/String/Boolean)
+  private def str(m: Map[String, Any], k: String, dflt: => String): String =
+    m.get(k).map(String.valueOf).getOrElse(dflt)
+  private def reqStr(m: Map[String, Any], k: String, op: String): String =
+    m.get(k).map(String.valueOf).getOrElse(throw new IllegalArgumentException(
+      s"pipeline step `$op` requires `$k:`"))
+  private def int(m: Map[String, Any], k: String, dflt: Int): Int =
+    m.get(k).map(String.valueOf(_).toInt).getOrElse(dflt)
+  private def lng(m: Map[String, Any], k: String, op: String): Long =
+    m.get(k).map(String.valueOf(_).toLong).getOrElse(
+      throw new IllegalArgumentException(s"pipeline step `$op` requires `$k:`"))
+  private def dbl(m: Map[String, Any], k: String, dflt: Double): Double =
+    m.get(k).map(String.valueOf(_).toDouble).getOrElse(dflt)
+  private def bool(m: Map[String, Any], k: String, dflt: Boolean): Boolean =
+    m.get(k).map(String.valueOf(_).toBoolean).getOrElse(dflt)
+
+  private def keepInputColumns(before: Array[String])(df: DataFrame): DataFrame =
+    df.select(before.map(c => col(s"`$c`")).toIndexedSeq: _*)
+
+  private def build(m: Map[String, Any]): Step = {
+    val op = m.get("op").map(String.valueOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"pipeline step missing `op:` (known: ${knownOps.mkString(", ")}): $m"))
+    val fn: DataFrame => DataFrame = op match {
+
+      // Gopher quality gate: keep rows passing every all-integer rule;
+      // the audit columns (r_*, keep, n_tokens) are dropped so the chain
+      // stays schema-stable
+      case "gopher_gate" =>
+        val textCol = str(m, "text_col", "text")
+        df => keepInputColumns(df.columns)(
+          TextAnalysis.gopherFilter(df, textCol,
+            int(m, "min_tokens", 8), int(m, "max_tokens", 5000))
+            .filter(col("keep")))
+
+      // exact dedup: one canonical row per identical text — the min-id
+      // row WITH its own values (lexicographic struct min, id leading),
+      // never fields mixed from different rows
+      case "exact_dedup" =>
+        val textCol = str(m, "text_col", "text")
+        val idCol = str(m, "id_col", "doc_id")
+        df => {
+          val others = df.columns.filterNot(c => c == textCol || c == idCol)
+          val packed = (idCol +: others).map(c => col(s"`$c`"))
+          df.groupBy(col(s"`$textCol`"))
+            .agg(min(struct(packed.toIndexedSeq: _*)).as("__m"))
+            .select((idCol +: others).map(c => col(s"__m.`$c`").as(c)) :+
+              col(s"`$textCol`"): _*)
+            .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        }
+
+      // minhash-LSH near-dup removal: banded signatures → bucket-pair
+      // candidates → exact-Jaccard verify → connected components → keep
+      // the min-id canonical per cluster (+ every unclustered doc);
+      // column-neutral, cluster sizes dropped
+      case "minhash_dedup" =>
+        val textCol = str(m, "text_col", "text")
+        val idCol = str(m, "id_col", "doc_id")
+        df => {
+          val pairs = Dedup.minhashNearDups(df, idCol, textCol,
+            k = int(m, "k", 3), perms = int(m, "perms", 128),
+            bands = int(m, "bands", 21),
+            threshold = dbl(m, "threshold", 0.8))
+          keepInputColumns(df.columns)(
+            Dedup.canonicalCorpus(df, pairs, idCol))
+        }
+
+      case "token_count" =>
+        val textCol = str(m, "text_col", "text")
+        val outCol = str(m, "out_col", "n_tok")
+        df => {
+          val out = df.withColumn(outCol,
+            size(split(col(s"`$textCol`"), " ")))
+          if (bool(m, "drop_text", dflt = false)) out.drop(textCol) else out
+        }
+
+      // sqrt-temperature mix to a token budget (α=0.5): per-stratum
+      // weights floor(sqrt(token total)), map-side exact-decimal accept
+      case "temperature_mix" =>
+        val idCol = reqStr(m, "id_col", op)
+        val groupCol = reqStr(m, "group_col", op)
+        val tokensCol = reqStr(m, "tokens_col", op)
+        val budget = lng(m, "budget", op)
+        df => Sampling.temperatureMixByTokens(df, idCol, groupCol,
+          tokensCol, budget)
+
+      // explicit per-stratum weights (the domain-mixing step when the
+      // recipe is hand-tuned rather than temperature-derived)
+      case "weighted_mix" =>
+        val idCol = reqStr(m, "id_col", op)
+        val groupCol = reqStr(m, "group_col", op)
+        val tokensCol = reqStr(m, "tokens_col", op)
+        val budget = lng(m, "budget", op)
+        val weights: Seq[(String, Long)] = m.get("weights") match {
+          case Some(w: Map[_, _]) => w.asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> String.valueOf(v).toLong }.toSeq.sorted
+          case _ => throw new IllegalArgumentException(
+            s"pipeline step `$op` requires `weights:` (stratum -> weight map)")
+        }
+        df => Sampling.mixByTokenWeights(df, idCol, groupCol, tokensCol,
+          weights, budget)
+
+      // robust outlier drop: remove rows with |x − median| > k·MAD of
+      // their group; audit columns dropped
+      case "mad_outlier_filter" =>
+        val groupCol = reqStr(m, "group_col", op)
+        val valueCol = reqStr(m, "value_col", op)
+        df => keepInputColumns(df.columns)(
+          Stats.madOutliers(df, groupCol, valueCol, int(m, "k", 3))
+            .filter(!col("is_outlier")))
+
+      // clip a value column into its group's exact [p-lo, p-hi] quantile
+      // band; the value column is REPLACED by the clipped value (the
+      // bounds stay internal) so the chain stays schema-stable
+      case "winsorize" =>
+        val groupCol = reqStr(m, "group_col", op)
+        val valueCol = reqStr(m, "value_col", op)
+        df => {
+          val cols = df.columns
+          val w = Stats.winsorize(df, groupCol, valueCol,
+            int(m, "lo_num", 1), int(m, "lo_den", 100),
+            int(m, "hi_num", 99), int(m, "hi_den", 100))
+            .withColumn(valueCol, col("clipped"))
+          keepInputColumns(cols)(w)
+        }
+
+      case other => throw new IllegalArgumentException(
+        s"unknown pipeline step op `$other` (known: ${knownOps.mkString(", ")})")
+    }
+    Step(op, fn)
+  }
+}
+
+/** `materialized='streaming_table'`: a Structured Streaming model — the
+  * compiled SELECT defines the stream's content (staged to a directory
+  * and replayed through a file stream source, exactly how a bounded
+  * backfill of an arriving-files lake runs), a configured stateful
+  * operator transforms it, and the bounded AvailableNow run lands in the
+  * target table through the same atomic write as any table model.
+  *
+  * `state_ttl:` (ISO-8601 duration, e.g. "PT1H") is the operator's
+  * processing-time state TTL — the unbounded-key-count guard a
+  * CONTINUOUS deployment of the same model needs (see
+  * graft.streaming.StreamingOps scaladoc). The bounded AvailableNow
+  * build PARSES and VALIDATES it, records it on the built table
+  * (TBLPROPERTY `graft.streaming.state_ttl`), but does NOT arm it:
+  * arming ProcessingTimeTimeout makes the engine always "have another
+  * batch" so AvailableNow never terminates, and a timeout that DID fire
+  * mid-replay would make the bounded result depend on wall-clock batch
+  * pacing — nondeterministic, never oracle-checkable. A continuous
+  * deployment of the same configured transform arms it via
+  * [[StreamingTableMat.buildStream]] (`armTtl = true`), the exact code
+  * path `StreamingTableMatSpec` drives with a MemoryStream.
+  *
+  * ```yaml
+  * models:
+  *   - name: sessions
+  *     config:
+  *       materialized: streaming_table
+  *       stream_op: sessionize      # sessionize | dedup | funnel
+  *       gap_minutes: 30
+  *       state_ttl: PT1H
+  * ```
+  */
+object StreamingTableMat extends Materialization {
+  import graft.streaming.StreamingOps
+  import org.apache.spark.sql.streaming.Trigger
+  import java.nio.file.Files
+
+  val name = "streaming_table"
+
+  private[graft] def parseTtl(cfg: Map[String, Any]): Option[java.time.Duration] =
+    cfg.get("state_ttl").map(String.valueOf)
+      .filter(_.nonEmpty).map { s =>
+        try java.time.Duration.parse(s)
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"state_ttl must be an ISO-8601 duration (e.g. PT1H): $s")
+        }
+      }
+
+  /** Event-time column → exact Long microseconds (the ops' arithmetic
+    * domain); accepts timestamp or already-µs long columns. */
+  private def usOf(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => col(s"`$tsCol`")
+      case _ => unix_micros(col(s"`$tsCol`"))
+    }
+
+  /** The configured stateful transform over an already-constructed
+    * stream — the single definition both execution modes share.
+    * `armTtl = false` (the bounded AvailableNow build): `state_ttl` is
+    * parsed and validated but the ops run with NoTimeout, because armed
+    * processing-time timeouts (a) keep AvailableNow from ever
+    * terminating — the engine always "has another batch" to service
+    * timeouts — and (b) would tie the bounded result to wall-clock
+    * batch pacing. `armTtl = true` (a continuous deployment / the
+    * MemoryStream-driven spec): the parsed TTL reaches the ops'
+    * timeout option verbatim. */
+  private[graft] def buildStream(cfg: Map[String, Any], stream: DataFrame,
+      schemaSource: DataFrame, armTtl: Boolean): DataFrame = {
+    import stream.sparkSession.implicits._
+    def str(k: String, dflt: => String): String =
+      cfg.get(k).map(String.valueOf).getOrElse(dflt)
+    val parsedTtl = parseTtl(cfg) // always validated, armed only when asked
+    val ttl = if (armTtl) parsedTtl else None
+    str("stream_op", "") match {
+      case "sessionize" =>
+        val userCol = str("user_col", "user_id")
+        val tsCol = str("ts_col", "ts")
+        StreamingOps.sessionizeStream(
+          stream.select(col(s"`$userCol`"), usOf(schemaSource, tsCol))
+            .as[(Long, Long)],
+          gapMinutes = str("gap_minutes", "30").toInt, ttl = ttl)
+      case "dedup" =>
+        val idCol = str("id_col", "event_id")
+        val userCol = str("user_col", "user_id")
+        val typeCol = str("type_col", "event_type")
+        StreamingOps.streamingDedupStream(
+          stream.select(col(s"`$idCol`"), col(s"`$userCol`"),
+            col(s"`$typeCol`")).as[(Long, Long, String)], ttl = ttl)
+      case "funnel" =>
+        val userCol = str("user_col", "user_id")
+        val typeCol = str("type_col", "event_type")
+        val tsCol = str("ts_col", "ts")
+        val steps = cfg.get("funnel_steps") match {
+          case Some(s: Seq[_]) => s.map(String.valueOf)
+          case _ => throw new IllegalArgumentException(
+            "streaming_table funnel requires `funnel_steps:` (a YAML list)")
+        }
+        StreamingOps.funnelDepthStream(
+          stream.select(col(s"`$userCol`"), col(s"`$typeCol`"),
+            usOf(schemaSource, tsCol)).as[(Long, String, Long)],
+          steps, cap = str("cap", "10000").toInt, ttl = ttl)
+      case "" => throw new IllegalArgumentException(
+        "streaming_table requires `stream_op:` (sessionize | dedup | funnel)")
+      case other => throw new IllegalArgumentException(
+        s"unknown stream_op `$other` (known: sessionize, dedup, funnel)")
+    }
+  }
+
+  def run(ctx: MatContext): MatResult = {
+    val spark = ctx.spark
+    val cfg = ctx.config.extra
+    def str(k: String, dflt: => String): String =
+      cfg.get(k).map(String.valueOf).getOrElse(dflt)
+    val ttl = parseTtl(cfg) // validate up front; carried, not armed
+
+    // stage the compiled relation as the stream's source directory —
+    // the bounded replay of an arriving-files lake; schema comes from
+    // the staged batch, so any model SELECT works
+    val batch = ctx.compiled()
+    val srcDir = Files.createTempDirectory("graft_stbl_src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+
+    val out = buildStream(cfg, stream, batch, armTtl = false)
+
+    val sink = Files.createTempDirectory("graft_stbl_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_stbl_cp").toString
+    val q = out.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+
+    // funnel streams emit one row per state update; the table keeps the
+    // final depth per key (max_by over the monotone update index)
+    val result0 = spark.read.parquet(sink)
+    val result =
+      if (str("stream_op", "") == "funnel")
+        result0.groupBy(col("user_id"))
+          .agg(expr("max_by(funnel_depth, update_idx)").as("funnel_depth"))
+      else result0
+
+    ctx.adapter.writeTableAtomic(result, ctx.target,
+      ctx.config.partitionBy, ctx.config.sortBy,
+      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy)
+    // record the carried TTL on the table so the continuous-deployment
+    // config is observable from the catalog
+    ttl.foreach(t => ctx.adapter.execute(
+      s"ALTER TABLE ${ctx.target.fqn} SET TBLPROPERTIES " +
+        s"('graft.streaming.state_ttl' = '$t')", fetch = false))
+    MatResult(ctx.target.withType(RelationType.Table), "success",
+      s"streaming_table: ${str("stream_op", "")}" +
+        ttl.map(t => s" (state_ttl=$t, armed on continuous deploys)")
+          .getOrElse(""))
+  }
+}

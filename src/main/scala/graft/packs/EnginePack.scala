@@ -863,10 +863,163 @@ object EnginePack extends QueryPack {
         s"""SELECT a.event, a.target, n.n_rows
            |FROM $schema.audit a CROSS JOIN
            |  (SELECT count(*) AS n_rows FROM $schema.nations) n""".stripMargin)
+    }),
+
+    // the LLM-curation operator library driven ENTIRELY from the project
+    // surface: a model whose YAML `steps:` config chains gate → exact
+    // dedup → token count → temperature mix through the `pipeline`
+    // materialization — proving the ops COMPOSE from model SQL + YAML,
+    // not just from Scala. The built table carries the mixed corpus;
+    // this query aggregates it to hash-match the q_pipeline_curation
+    // oracle (same stages, same parameters, Scala-composed there).
+    "q_engine_curation_project" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_curation_proj")
+      write(proj, "dbt_project.yml",
+        """name: curation
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/curated.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: curated
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: gopher_gate
+          |          text_col: text
+          |        - op: exact_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |          drop_text: true
+          |        - op: temperature_mix
+          |          id_col: doc_id
+          |          group_col: source
+          |          tokens_col: n_tok
+          |          budget: 5000
+          |""".stripMargin)
+      val schema = "g_engine_curation"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_curation_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "curated"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // a streaming_table model from the project surface: the compiled
+    // SELECT (deterministic integer-µs event times derived from
+    // documents — no parquet timestamp round-trip) is staged, replayed
+    // through a file stream source, sessionized with custom
+    // flatMapGroupsWithState state, and the `state_ttl: PT1H` config
+    // reaches the operator's TTL option (armed but never firing on a
+    // bounded AvailableNow replay — deterministic output, production
+    // config carried)
+    "q_engine_streaming_table" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_stbl_proj")
+      write(proj, "dbt_project.yml",
+        """name: streamdemo
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      // 9973 ten-minute slots: sparse enough that >30-min gaps (closed
+      // sessions) exist at every sf — 89 slots saturated at sf0.1 and
+      // every user collapsed to one open (never-emitted) session
+      write(proj, "models/sessions.sql",
+        """select doc_id % 50 as user_id,
+          |       ((doc_id * doc_id * 13 + doc_id * 37) % 9973) * 600000000 as ts
+          |from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: sessions
+          |    config:
+          |      materialized: streaming_table
+          |      stream_op: sessionize
+          |      gap_minutes: 30
+          |      state_ttl: PT1H
+          |""".stripMargin)
+      val schema = "g_engine_stbl"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_stbl_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "sessions"))
+        .orderBy("user_id", "session_start")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // the project-surface pipeline model runs the SAME stages with the
+    // SAME parameters as the Scala-composed q_pipeline_curation — one
+    // oracle, two drivers (library composition vs model SQL + YAML)
+    "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    // closed-session semantics over the model's deterministic integer-µs
+    // event times (open tail sessions intentionally never emit — the
+    // q_stream_sessionize contract)
+    "q_engine_streaming_table" ->
+      """WITH ev AS (
+        |  SELECT doc_id % 50 AS user_id,
+        |         ((doc_id * doc_id * 13 + doc_id * 37) % 9973) * 600000000 AS ts_us
+        |  FROM documents),
+        |marked AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sess_no,
+        |    make_timestamp(MIN(ts_us)) AS session_start,
+        |    make_timestamp(MAX(ts_us)) AS session_end,
+        |    COUNT(*) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM agg
+        |WHERE sess_no < (SELECT MAX(a2.sess_no) FROM agg a2
+        |                 WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_engine_pipeline" ->
       """WITH stg_orders AS (
         |  SELECT o_orderkey AS order_id, o_custkey AS customer_id,

@@ -1,0 +1,161 @@
+package graft
+
+import graft.mat.{PipelineSteps, StreamingTableMat}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The project-surface entry points for the curation library: the
+  * `pipeline` step registry's typed parsing and column-neutral
+  * semantics, and the `streaming_table` config layer (state_ttl
+  * parsing, and the armed-TTL path a continuous deployment takes,
+  * driven here with a MemoryStream through the SAME buildStream the
+  * materialization uses). */
+class PipelineMatSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def steps(yamlish: Seq[Map[String, Any]]) =
+    PipelineSteps.parse(Some(yamlish.toVector))
+
+  test("exact_dedup keeps the min-id row WITH its own fields") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "srcB", "same text"),
+      (2L, "srcA", "same text"),   // min id → canonical, srcA must survive
+      (9L, "srcC", "other text"))
+      .toDF("doc_id", "source", "text")
+    val out = steps(Seq(Map("op" -> "exact_dedup",
+      "text_col" -> "text", "id_col" -> "doc_id")))
+      .head.apply(docs)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "text"),
+      "column order preserved")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((2L, "srcA", "same text"), (9L, "srcC", "other text")),
+      s"canonical = min-id row with ITS source: $rows")
+  }
+
+  test("gopher_gate filters but never changes the schema") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "the and for are with his they this have from one had word"),
+      (2L, "s", "x"))  // 1 token → fails min_tokens
+      .toDF("doc_id", "source", "text")
+    val out = steps(Seq(Map("op" -> "gopher_gate", "text_col" -> "text")))
+      .head.apply(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("token_count + temperature_mix compose; budget=huge keeps all rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three"), (2L, "a", "four five"),
+      (3L, "b", "six")).toDF("doc_id", "source", "text")
+    val chain = steps(Seq(
+      Map("op" -> "token_count", "text_col" -> "text",
+        "out_col" -> "n_tok", "drop_text" -> true),
+      Map("op" -> "temperature_mix", "id_col" -> "doc_id",
+        "group_col" -> "source", "tokens_col" -> "n_tok",
+        "budget" -> 1000000L)))
+    val out = chain.foldLeft(docs)((df, s) => s.apply(df))
+    assert(out.columns.toSet == Set("doc_id", "source", "n_tok"))
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tok")).toMap
+    assert(byId == Map(1L -> 3, 2L -> 2, 3L -> 1),
+      s"a budget far above the corpus keeps every row: $byId")
+  }
+
+  test("winsorize step replaces the value column, schema unchanged") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, "g", i)).toDF("id", "g", "v")
+    val out = steps(Seq(Map("op" -> "winsorize", "group_col" -> "g",
+      "value_col" -> "v", "lo_num" -> 10, "lo_den" -> 100,
+      "hi_num" -> 90, "hi_den" -> 100))).head.apply(df)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    val vs = out.collect().map(_.getLong(2))
+    assert(vs.min == 10L && vs.max == 90L, s"clipped to [p10, p90]: ${vs.min}..${vs.max}")
+  }
+
+  test("unknown op and missing required params raise named errors") {
+    val e1 = intercept[IllegalArgumentException](
+      steps(Seq(Map("op" -> "nope"))).head)
+    assert(e1.getMessage.contains("nope") && e1.getMessage.contains("known"))
+    val e2 = intercept[IllegalArgumentException](
+      steps(Seq(Map("op" -> "temperature_mix"))).head)
+    assert(e2.getMessage.contains("temperature_mix") &&
+      e2.getMessage.contains("requires"))
+    val e3 = intercept[IllegalArgumentException](
+      PipelineSteps.parse(Some("not a list")))
+    assert(e3.getMessage.contains("list"))
+  }
+
+  test("state_ttl parses ISO-8601 and rejects junk by name") {
+    assert(StreamingTableMat.parseTtl(Map("state_ttl" -> "PT1H"))
+      .contains(java.time.Duration.ofHours(1)))
+    assert(StreamingTableMat.parseTtl(Map.empty).isEmpty)
+    val e = intercept[IllegalArgumentException](
+      StreamingTableMat.parseTtl(Map("state_ttl" -> "1 hour")))
+    assert(e.getMessage.contains("ISO-8601"))
+  }
+
+  test("armed state_ttl reaches the op: inactive session expires and emits") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val cfg = Map[String, Any]("stream_op" -> "sessionize",
+      "gap_minutes" -> "30", "state_ttl" -> "PT6S",
+      "user_col" -> "user_id", "ts_col" -> "ts")
+    val stream = mem.toDS().toDF("user_id", "ts")
+    // the SAME buildStream the materialization runs, continuous mode
+    val out = StreamingTableMat.buildStream(cfg, stream, stream, armTtl = true)
+    val q = out.writeStream.format("memory").queryName("mat_ttl_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("150 milliseconds"))
+      .start()
+    try {
+      def rows() = spark.table("mat_ttl_sessions")
+        .selectExpr("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      mem.addData((7L, 1000L), (7L, 2000L))
+      // armed TTL (PT6S) expires the inactive key: its open tail session
+      // emits — the continuous-deployment behavior the config enables
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && rows().isEmpty)
+        Thread.sleep(100)
+      assert(rows() == Seq((7L, 2L)),
+        s"expired key must emit its 2-event tail session: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("bounded build never arms the TTL (AvailableNow must terminate)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val cfg = Map[String, Any]("stream_op" -> "sessionize",
+      "state_ttl" -> "PT1S")
+    val stream = mem.toDS().toDF("user_id", "ts")
+    val out = StreamingTableMat.buildStream(cfg, stream, stream, armTtl = false)
+    mem.addData((1L, 0L), (1L, 10000000000L)) // >30 min apart → 1 closed
+    val q = out.writeStream.format("memory").queryName("mat_nottl_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // with NoTimeout this terminates; an armed TTL would loop forever
+    assert(q.awaitTermination(60000), "AvailableNow must terminate")
+    val n = spark.table("mat_nottl_sessions").count()
+    assert(n == 1, s"one closed session, open tail unemitted: $n")
+  }
+}
