@@ -1,7 +1,7 @@
 package graft.mat
 
 import graft.core.RelationType
-import graft.ops.{Dedup, Sampling, Stats, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Sampling, Stats, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -150,12 +150,27 @@ object PipelineSteps {
             Dedup.canonicalCorpus(df, pairs, idCol))
         }
 
+      // token counting for downstream budgets: whitespace (default) or
+      // `tokenizer: bpe` — corpus-trained byte-pair encoding (merges
+      // learned from THIS step's input at build time; `merges:` budget,
+      // optional `max_words:` cap bounding driver state), counted by
+      // the map-side replace chain
       case "token_count" =>
         val textCol = str(m, "text_col", "text")
         val outCol = str(m, "out_col", "n_tok")
+        val tokenizer = str(m, "tokenizer", "whitespace")
         df => {
-          val out = df.withColumn(outCol,
-            size(split(col(s"`$textCol`"), " ")))
+          val counted = tokenizer match {
+            case "whitespace" => size(split(col(s"`$textCol`"), " "))
+            case "bpe" =>
+              val learned = Bpe.train(df, textCol,
+                numMerges = int(m, "merges", 20),
+                maxWords = m.get("max_words").map(String.valueOf(_).toInt))
+              Bpe.tokenCount(textCol, learned)
+            case other => throw new IllegalArgumentException(
+              s"token_count `tokenizer:` must be whitespace or bpe: $other")
+          }
+          val out = df.withColumn(outCol, counted)
           if (bool(m, "drop_text", dflt = false)) out.drop(textCol) else out
         }
 

@@ -1,7 +1,7 @@
 package graft.packs
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -652,6 +652,22 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // corpus-trained BPE token counting: the tokenizer-true token
+    // budget. Training = ONE distributed word-count aggregate + a
+    // driver-side merge loop over that bounded table (the sufficient
+    // statistic); counting = a map-side codegen'd replace chain, no
+    // join/shuffle, OOV-correct. Oracle re-learns the same merges via
+    // an unrolled MATERIALIZED-CTE chain (same pair counts, same
+    // count-desc/pair-asc tie-break, same literal-replace convention).
+    "q_text_bpe" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = Bpe.train(docs, "text", numMerges = bpeNumMerges)
+      docs.select(col("doc_id"),
+          Bpe.wordCount("text").as("n_words"),
+          Bpe.tokenCount("text", merges).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // cross-document duplicated-SPAN gate: winnowed rolling-hash
     // fingerprints (any shared span of ≥ k+w−1 normalized chars plants an
     // identical fingerprint in both docs at ANY alignment); documents past
@@ -1044,6 +1060,63 @@ object PipelinePack extends QueryPack {
     * generated oracle — one definition, no drift. */
   private val bm25Terms = Seq("join", "scan", "merge")
 
+  /** Merge budget shared by the q_text_bpe operator call and its
+    * generated oracle — one definition, no drift. */
+  private val bpeNumMerges = 20
+
+  /** DuckDB mirror of Bpe.train + Bpe.tokenCount: the merge loop
+    * unrolls into `numMerges` CTE steps — pair counts over the current
+    * segmentation, the (count desc, p1 asc, p2 asc) argmax, one literal
+    * replace (DuckDB's `replace` shares Spark/Java's leftmost
+    * non-overlapping resume-in-source semantics, the operator's pinned
+    * convention) — and per-doc counts come from joining doc words onto
+    * the trained lexicon (equivalent to the operator's map-side replay:
+    * applying the same merges to the same word is deterministic). The
+    * vocab CTEs are MATERIALIZED: each is referenced twice (pair counts
+    * + the next step), and inlining would go exponential in the step
+    * count. */
+  private def bpeSql(numMerges: Int): String = {
+    val head = """words AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE w <> '' GROUP BY 1),
+      |vocab0 AS MATERIALIZED (
+      |  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS syms
+      |  FROM words)""".stripMargin
+    val steps = (0 until numMerges).map { i =>
+      s"""pairs$i AS (
+         |  SELECT p[1] AS p1, p[2] AS p2, sum(cnt) AS c FROM (
+         |    SELECT cnt,
+         |      unnest(list_transform(range(1, len(s)), j -> [s[j], s[j+1]])) AS p
+         |    FROM (SELECT cnt, string_split(trim(syms), ' ') AS s FROM vocab$i))
+         |  GROUP BY 1, 2),
+         |best$i AS (SELECT p1, p2 FROM pairs$i ORDER BY c DESC, p1, p2 LIMIT 1),
+         |vocab${i + 1} AS MATERIALIZED (
+         |  SELECT v.w, v.cnt,
+         |    replace(v.syms, ' ' || b.p1 || ' ' || b.p2 || ' ',
+         |                    ' ' || b.p1 || b.p2 || ' ') AS syms
+         |  FROM vocab$i v CROSS JOIN best$i b)""".stripMargin
+    }
+    s"""WITH $head,
+       |${steps.mkString(",\n")},
+       |lex AS (
+       |  SELECT w, len(string_split(trim(syms), ' ')) AS n_syms
+       |  FROM vocab$numMerges),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |counted AS (
+       |  SELECT d.doc_id, count(*) AS n_words, sum(l.n_syms) AS n_bpe
+       |  FROM docw d JOIN lex l ON d.w = l.w
+       |  WHERE d.w <> '' GROUP BY 1)
+       |SELECT b.doc_id, CAST(COALESCE(c.n_words, 0) AS INT) AS n_words,
+       |  CAST(COALESCE(c.n_bpe, 0) AS INT) AS n_bpe
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) b
+       |LEFT JOIN counted c ON b.doc_id = c.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of TextAnalysis.bm25: the SAME IEEE double-op tree
     * (casts, parenthesization, literal constants, left-assoc term sum)
     * over exact-integer tf/df/dl, one `ln` per term (JVM↔DuckDB libm
@@ -1133,6 +1206,11 @@ object PipelinePack extends QueryPack {
     "q_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 2, coarseIters = 1,
       m = 4, subDim = 16, codebookSize = 16, k = 5, trainMod = 4),
     "q_text_bm25" -> bm25Sql(bm25Terms, topK = 20),
+
+    // corpus-trained BPE: the oracle re-learns the merge table from
+    // scratch (unrolled CTE steps), so training AND counting are both
+    // independently verified
+    "q_text_bpe" -> bpeSql(bpeNumMerges),
 
     // KL drift: exact-integer counts, ln of a four-exact-double-factor
     // ratio (no integer-product overflow at any corpus size),

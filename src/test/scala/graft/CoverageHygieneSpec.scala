@@ -29,6 +29,9 @@ class CoverageHygieneSpec extends AnyFunSuite {
     "Dedup.shingleExpr",       // k-shingle expression (q_text_topgrams too)
     "Dedup.spread",            // single-split input spreader (plan shape)
     "Dedup.withSimhashChunks", // simhash chunk columns (q_dedup_simhash)
+    // Bpe internals: the initial-segmentation and UTF-8-order helpers
+    // under Bpe.train (q_text_bpe oracle + BpeSpec convention tests)
+    "Bpe.spaceout", "Bpe.utf8Less",
     // Sampling: hashBucket is the md5-bucket primitive under
     // deterministicSplit/sampleByHash/stratifiedSample (their oracles)
     "Sampling.hashBucket",

@@ -77,6 +77,25 @@ class PipelineMatSpec extends AnyFunSuite {
       s"a budget far above the corpus keeps every row: $byId")
   }
 
+  test("token_count tokenizer: bpe trains on the step input and counts") {
+    import spark.implicits._
+    // same corpus as BpeSpec's hand-computed case: after 10 merges
+    // "aaaa" and "ab" are single tokens, OOV "aaa" segments to [aa, a]
+    val docs = Seq(
+      (1L, "aaaa ab aaaa"), (2L, "aaaa ab")).toDF("doc_id", "text")
+    val out = steps(Seq(Map("op" -> "token_count", "text_col" -> "text",
+      "out_col" -> "n_bpe", "tokenizer" -> "bpe", "merges" -> 10)))
+      .head.apply(docs)
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("n_bpe")).toMap
+    assert(byId == Map(1L -> 3, 2L -> 2), s"got: $byId")
+    val err = intercept[IllegalArgumentException] {
+      steps(Seq(Map("op" -> "token_count", "tokenizer" -> "nope")))
+        .head.apply(docs)
+    }
+    assert(err.getMessage.contains("whitespace or bpe"))
+  }
+
   test("winsorize step replaces the value column, schema unchanged") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, "g", i)).toDF("id", "g", "v")
