@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
 object BenchAnn {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nQueries = args.drop(1).headOption.map(_.toLong).getOrElse(100L)
     val dim = 64
-    val queryMod = math.max(n / 100, 1L)
+    val queryMod = math.max(n / nQueries, 1L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -927,6 +927,65 @@ object EnginePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // the tokenizer-true composition from the project surface: gate →
+    // BPE token_count (merges trained on the GATED corpus, exactly the
+    // step input) → temperature mix budgeted in BPE tokens — model SQL
+    // + YAML only, no Scala against the library; the oracle re-learns
+    // the merge table over the same gated subset and re-runs the mix
+    "q_engine_bpe_pipeline" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_bpe_proj")
+      write(proj, "dbt_project.yml",
+        """name: bpemix
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/mixed.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: mixed
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: gopher_gate
+          |          text_col: text
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |          tokenizer: bpe
+          |          merges: 20
+          |          drop_text: true
+          |        - op: temperature_mix
+          |          id_col: doc_id
+          |          group_col: source
+          |          tokens_col: n_tok
+          |          budget: 15000
+          |""".stripMargin)
+      val schema = "g_engine_bpemix"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_bpe_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "mixed"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // a streaming_table model from the project surface: the compiled
     // SELECT (deterministic integer-µs event times derived from
     // documents — no parquet timestamp round-trip) is staged, replayed
@@ -987,6 +1046,45 @@ object EnginePack extends QueryPack {
     // SAME parameters as the Scala-composed q_pipeline_curation — one
     // oracle, two drivers (library composition vs model SQL + YAML)
     "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    // gate (shared Gopher CTEs) → BPE lexicon RE-LEARNED over the gated
+    // subset (shared training chain, the step-input contract) → per-doc
+    // BPE counts → the same md5-bucket sqrt-temperature mix arithmetic
+    // as q_pipeline_curation, budgeted in BPE tokens
+    "q_engine_bpe_pipeline" ->
+      s"""WITH ${PipelinePack.gopherCtes("TRUE")},
+        |kept AS (
+        |  SELECT b.doc_id, b.source, b.text
+        |  FROM rules r JOIN base b USING (doc_id)
+        |  WHERE r.r_min_tokens AND r.r_max_tokens AND r.r_word_len
+        |    AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram),
+        |${PipelinePack.bpeLexCtes("kept", 20)},
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM kept WHERE text IS NOT NULL),
+        |counted AS (
+        |  SELECT d.doc_id, sum(l.n_syms) AS n_tok
+        |  FROM docw d JOIN lex l ON d.w = l.w
+        |  WHERE d.w <> '' GROUP BY 1),
+        |tok AS (
+        |  SELECT k.doc_id, k.source, COALESCE(c.n_tok, 0) AS n_tok,
+        |    (('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT) % 10000 AS bucket
+        |  FROM kept k LEFT JOIN counted c ON k.doc_id = c.doc_id),
+        |tot AS (
+        |  SELECT source, sum(n_tok) AS total,
+        |    CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS HUGEINT) AS wgt
+        |  FROM tok GROUP BY source),
+        |ws AS (SELECT sum(wgt) AS wsum FROM tot),
+        |mixed AS (
+        |  SELECT t.doc_id, t.source, t.n_tok
+        |  FROM tok t JOIN tot USING (source) CROSS JOIN ws
+        |  WHERE CAST(t.bucket AS HUGEINT) * CAST(tot.total AS HUGEINT)
+        |          * ws.wsum
+        |      < CAST(tot.wgt AS HUGEINT) * 15000 * 10000)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM mixed GROUP BY source ORDER BY source""".stripMargin,
 
     // closed-session semantics over the model's deterministic integer-µs
     // event times (open tail sessions intentionally never emit — the

@@ -1075,14 +1075,18 @@ object PipelinePack extends QueryPack {
     * vocab CTEs are MATERIALIZED: each is referenced twice (pair counts
     * + the next step), and inlining would go exponential in the step
     * count. */
-  private def bpeSql(numMerges: Int): String = {
-    val head = """words AS (
+  /** The BPE training chain as CTE text: word counts over `src` (any
+    * CTE/table with a `text` column) → `numMerges` unrolled merge
+    * steps → `lex` (word → trained symbol count). Shared by
+    * [[bpeSql]] and EnginePack's project-surface BPE mix oracle. */
+  private[packs] def bpeLexCtes(src: String, numMerges: Int): String = {
+    val head = s"""words AS (
       |  SELECT w, count(*) AS cnt FROM (
       |    SELECT unnest(string_split(text, ' ')) AS w
-      |    FROM documents WHERE text IS NOT NULL)
+      |    FROM $src WHERE text IS NOT NULL)
       |  WHERE w <> '' GROUP BY 1),
       |vocab0 AS MATERIALIZED (
-      |  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS syms
+      |  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms
       |  FROM words)""".stripMargin
     val steps = (0 until numMerges).map { i =>
       s"""pairs$i AS (
@@ -1098,11 +1102,15 @@ object PipelinePack extends QueryPack {
          |                    ' ' || b.p1 || b.p2 || ' ') AS syms
          |  FROM vocab$i v CROSS JOIN best$i b)""".stripMargin
     }
-    s"""WITH $head,
+    s"""$head,
        |${steps.mkString(",\n")},
        |lex AS (
        |  SELECT w, len(string_split(trim(syms), ' ')) AS n_syms
-       |  FROM vocab$numMerges),
+       |  FROM vocab$numMerges)""".stripMargin
+  }
+
+  private def bpeSql(numMerges: Int): String = {
+    s"""WITH ${bpeLexCtes("documents", numMerges)},
        |docw AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
        |  FROM documents WHERE text IS NOT NULL),
@@ -1159,7 +1167,7 @@ object PipelinePack extends QueryPack {
     * `documents WHERE pred` — shared between the per-rule audit oracle
     * and the composed curation-pipeline oracle so both pin the same
     * rule text. `base` carries `source` for downstream stages. */
-  private def gopherCtes(pred: String): String = {
+  private[packs] def gopherCtes(pred: String): String = {
     val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
     s"""base AS (
        |  SELECT doc_id, source, text, trim(text) AS t
