@@ -57,11 +57,13 @@ object BenchAnn {
       "embedding", k = 5, nlist = 64, nprobe = 8, coarseIters = 1,
       m = 4, codebookSize = 16, iters = 1, trainSampleMod = 16).count()
 
-    for (pass <- 1 to 2) {
+    val passes = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    for (pass <- 1 to passes) {
       time(s"pq     pass$pass")(pq())
       time(s"ivfpq  pass$pass")(ivfpq())
     }
 
+    if (passes < 2) { spark.stop(); return }
     // how often the pruned ranking returns the same neighbors
     val a = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
       k = 5, m = 4, codebookSize = 16, iters = 1)

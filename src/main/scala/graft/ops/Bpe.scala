@@ -145,13 +145,8 @@ object Bpe {
     * this chain for out-of-vocabulary words only. Empty/blank text → 0;
     * NULL text → NULL (filter upstream, as [[TextAnalysis.bm25]] does). */
   def tokenCount(textCol: String, merges: Seq[(String, String)]): Column = {
-    val counted = transform(wordsOf(textCol), w => {
-      val padded = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
-      val mergedCol = merges.foldLeft(padded) { case (s, (a, b)) =>
-        replace(s, lit(s" $a $b "), lit(s" $a$b "))
-      }
-      size(split(trim(mergedCol), " "))
-    })
+    val counted = transform(wordsOf(textCol),
+      w => size(split(pieces(w, merges), " ")))
     aggregate(counted, lit(0), (acc, x) => acc + x)
   }
 
@@ -160,4 +155,17 @@ object Bpe {
     * fertility (BPE tokens per word), the standard tokenizer-quality
     * diagnostic. */
   def wordCount(textCol: String): Column = size(wordsOf(textCol))
+
+  /** A single word's trained segmentation as a space-joined piece
+    * string (`"hello"` → e.g. `"hel lo"`): the same codepoint space-out
+    * + literal-replace replay as [[tokenCount]], exposed so the learned
+    * lexicon itself is inspectable (and oracle-checkable) — counts can
+    * collide, piece strings cannot. */
+  def pieces(wordCol: Column, merges: Seq[(String, String)]): Column = {
+    val padded = concat(lit(" "), regexp_replace(wordCol, "(.)", "$1 "))
+    val merged = merges.foldLeft(padded) { case (s, (a, b)) =>
+      replace(s, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    trim(merged)
+  }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained quality classifier: full-batch logistic regression
+  * by gradient descent, the standard "distill an expensive gate into a
+  * cheap scorer" setup (FastText-style quality classifiers in
+  * pretraining pipelines — e.g. the GPT-3/CCNet quality filters —
+  * are exactly this shape: a linear model over cheap features,
+  * trained against a reference labeling; here the reference labeling
+  * is the engine's own Gopher rule gate, so the whole loop is
+  * self-contained and oracle-able).
+  *
+  * The load-bearing choice is the link function: the classic sigmoid
+  * needs `exp`, whose last-bit behavior differs across libm
+  * implementations and COMPOUNDS across training iterations. We use
+  * the algebraic fast sigmoid σ̃(z) = 0.5 + z / (2·(1 + |z|)) — same
+  * S-shape, range (0,1), σ̃(0) = 0.5 — built ONLY from IEEE add /
+  * multiply / divide / abs, each correctly rounded and therefore
+  * bit-identical in any IEEE engine. Every per-row term in the
+  * gradient is a pinned expression tree of exact-portable doubles;
+  * per-feature gradient SUMS run in DECIMAL(38,18) (order-independent
+  * — a double sum over a distributed scan would be partition-order-
+  * dependent and never hash-match); the weight update divides the
+  * decimal total (one correctly-rounded decimal→double conversion) by
+  * the exact row count. So the entire trained weight vector is
+  * deterministic at any parallelism and reproducible in SQL by
+  * unrolling the iterations — the k-means / BPE trainer precedent
+  * applied to gradient descent.
+  *
+  * Scale shape: one pass per iteration (a single partial-agg'd
+  * aggregate of 1 + |w| decimal sums — no shuffle of rows, only
+  * partials), driver state = the weight vector. Scoring is one
+  * map-side expression. The feature frame should be cached by the
+  * caller across iterations ([[gateFeatures]] does). */
+object Classify {
+
+  /** Quality features + Gopher-gate label for [[train]]: x1 = token
+    * count / 100, x2 = mean word length / 10, x3 = stopword ratio,
+    * x4 = punctuation ratio (the [[TextAnalysis.qualityFeatures]]
+    * definitions, scaled into comparable ranges by exact constants —
+    * data-dependent standardization would add a sqrt to the portable
+    * contract for no verification gain), y = 1.0 iff the row passes
+    * every Gopher rule. NULL-text rows drop (their label is
+    * undefined). Returns (idCol, source, x1..x4, y), cached — the
+    * training loop reads it iters+1 times. */
+  def gateFeatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val q = TextAnalysis.qualityFeatures(
+      base.select(col(idCol), col("source"), col(textCol)), textCol)
+      .select(col(idCol), col("source"), col("n_tokens"),
+        col("mean_word_len"), col("stopword_ratio"), col("punct_ratio"))
+    val g = TextAnalysis.gopherFilter(
+      base.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("keep"))
+    Dedup.maybeCache(q.join(g, idCol)
+      .select(col(idCol), col("source"),
+        (col("n_tokens").cast("double") / lit(100.0)).as("x1"),
+        (col("mean_word_len") / lit(10.0)).as("x2"),
+        col("stopword_ratio").as("x3"),
+        col("punct_ratio").as("x4"),
+        when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y")))
+  }
+
+  /** The linear score w₀ + Σ wⱼ·xⱼ as a pinned left-associated
+    * expression tree (the oracle writes the same tree). */
+  def z(weights: Seq[Double], xCols: Seq[String]): Column = {
+    require(weights.length == xCols.length + 1,
+      s"need ${xCols.length + 1} weights (bias first): got ${weights.length}")
+    xCols.zipWithIndex.foldLeft(lit(weights.head): Column) {
+      case (acc, (c, j)) => acc + lit(weights(j + 1)) * col(c)
+    }
+  }
+
+  /** Fast sigmoid of a score column: 0.5 + z / (2·(1 + |z|)) — exact
+    * IEEE ops only, no libm. */
+  def fastSigmoid(zc: Column): Column =
+    lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
+
+  /** `iters` full-batch GD iterations from zero weights at fixed
+    * learning rate: wⱼ ← wⱼ − lr·(Σ (σ̃(z) − y)·xⱼ) / n. Returns the
+    * weight vector (bias first). One aggregate job per iteration;
+    * cache `feat` (as [[gateFeatures]] does) or each iteration
+    * re-derives it. */
+  def train(feat: DataFrame, xCols: Seq[String], yCol: String,
+      iters: Int, lr: Double): Array[Double] = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    var w: Array[Double] = Array.fill(xCols.length + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val resid = fastSigmoid(z(w.toSeq, xCols)) - col(yCol)
+      val aggs = count(lit(1)).cast("double").as("n") +:
+        sum(resid.cast("decimal(38,18)")).as("s0") +:
+        xCols.zipWithIndex.map { case (c, j) =>
+          sum((resid * col(c)).cast("decimal(38,18)")).as(s"s${j + 1}") }
+      val r = feat.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getDouble(0)
+      w = Array.tabulate(w.length)(j =>
+        w(j) - lr * (r.getDecimal(j + 1).doubleValue / n))
+    }
+    w
+  }
+}

@@ -344,9 +344,25 @@ object TextAnalysis {
     }
     val gt = toks.groupBy(col(groupCol), col("__t"))
       .agg(count(lit(1)).as("__cgt"))
-    val g = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
-    val tv = toks.groupBy(col("__t")).agg(count(lit(1)).as("__ct"))
-    val tot = toks.agg(count(lit(1)).as("__n"),
+    klFromTokenCounts(gt, groupCol, "__t", "__cgt")
+  }
+
+  /** The KL-drift grid from a PRE-COUNTED (group, token, count) table —
+    * the [[tokenKlDrift]] math factored out so count tables from other
+    * producers (e.g. a streaming window aggregation's sink) reuse the
+    * same smoothed-KL contract: per-group totals, per-token totals,
+    * and the 1-row corpus totals derive from the counts; the dense
+    * grid, the four-exact-double-factor log ratio, and the
+    * order-independent DECIMAL(38,18) group sums are identical.
+    * Broadcast sides stay the bounded tables (groups + 1-row totals);
+    * the token-keyed count table is never broadcast. */
+  def klFromTokenCounts(counts: DataFrame, groupCol: String,
+      tokenCol: String, cntCol: String): DataFrame = {
+    val gt = Dedup.maybeCache(counts.select(col(groupCol),
+      col(tokenCol).as("__t"), col(cntCol).cast("long").as("__cgt")))
+    val g = gt.groupBy(col(groupCol)).agg(sum(col("__cgt")).as("__ng"))
+    val tv = gt.groupBy(col("__t")).agg(sum(col("__cgt")).as("__ct"))
+    val tot = gt.agg(sum(col("__cgt")).as("__n"),
       countDistinct(col("__t")).as("__v"))
     val grid = tv.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
       .join(gt, Seq(groupCol, "__t"), "left")

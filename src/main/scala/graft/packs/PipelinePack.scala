@@ -1,7 +1,7 @@
 package graft.packs
 
 import graft.Tables
-import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Classify, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -668,6 +668,58 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // distilled quality classifier: full-batch logistic GD (fast
+    // sigmoid — exact IEEE ops, no libm) trained against the engine's
+    // own Gopher gate; per-source confusion counts pin the trained
+    // decision boundary (integer-exact output)
+    "q_classify_gate" -> ((s, dir) => {
+      val feat = Classify.gateFeatures(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"),
+        "doc_id", "text")
+      val w = Classify.train(feat, classifyX, "y",
+        iters = classifyIters, lr = 0.1)
+      feat.withColumn("__z", Classify.z(w.toSeq, classifyX))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("__z") >= 0, 1L).otherwise(0L)).as("n_pred_keep"),
+          sum(when((col("__z") >= 0) === (col("y") === 1.0), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .orderBy("source")
+    }),
+
+    // the same trained model's per-doc scores (rounded fast-sigmoid) —
+    // value-level verification of the full iteration chain, not just
+    // the decision sign
+    "q_classify_scores" -> ((s, dir) => {
+      val feat = Classify.gateFeatures(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"),
+        "doc_id", "text")
+      val w = Classify.train(feat, classifyX, "y",
+        iters = classifyIters, lr = 0.1)
+      val zc = Classify.z(w.toSeq, classifyX)
+      feat.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id"),
+          round(Classify.fastSigmoid(zc), 6).as("score"),
+          (zc >= 0).as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // the learned BPE lexicon itself: every corpus word's trained
+    // segmentation as a piece string — counts can collide, piece
+    // strings cannot, so this pins the tokenizer's actual behavior.
+    // Spark REPLAYS the merges map-side over the distinct-word table;
+    // the oracle reads the final vocab CTE of its re-learned chain.
+    "q_text_bpe_lexicon" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = Bpe.train(docs, "text", numMerges = bpeNumMerges)
+      docs.select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+        .select(col("word"), Bpe.pieces(col("word"), merges).as("pieces"))
+        .orderBy("word")
+    }),
+
     // cross-document duplicated-SPAN gate: winnowed rolling-hash
     // fingerprints (any shared span of ≥ k+w−1 normalized chars plants an
     // identical fingerprint in both docs at ANY alignment); documents past
@@ -1109,6 +1161,91 @@ object PipelinePack extends QueryPack {
        |  FROM vocab$numMerges)""".stripMargin
   }
 
+  /** Feature names / iteration budget shared by the classifier
+    * queries and their generated oracles. */
+  private val classifyX = Seq("x1", "x2", "x3", "x4")
+  private val classifyIters = 4
+
+  /** DuckDB mirror of Classify.gateFeatures + Classify.train: the
+    * feature CTE reuses the proven q_text_quality formula text (plus
+    * the Gopher rule conjunction as the label), and each GD iteration
+    * unrolls into (z join, decimal gradient sums, weight update) CTEs
+    * — the same pinned expression trees the Spark side evaluates:
+    * fast sigmoid 0.5 + z/(2·(1+|z|)) (exact IEEE, no libm),
+    * DECIMAL(38,18) gradient sums, one decimal→double conversion per
+    * weight per step. `cfeat` and the gradient CTEs are MATERIALIZED
+    * (multi-referenced; inlining goes exponential in iters). */
+  private def logisticCtes(iters: Int): String = {
+    val punct = "length(replace(replace(replace(replace(replace(replace(" +
+      "b.text,'.',''),',',''),'!',''),'?',''),';',''),':',''))"
+    val head = s"""${gopherCtes("text IS NOT NULL")},
+      |cfeat AS MATERIALIZED (
+      |  SELECT f.doc_id, b.source,
+      |    CAST(f.n_tokens AS DOUBLE) / 100.0 AS x1,
+      |    (CASE WHEN f.n_tokens > 0
+      |          THEN (f.n_chars - (f.n_tokens - 1)) * 1.0 / f.n_tokens
+      |          ELSE 0.0 END) / 10.0 AS x2,
+      |    CASE WHEN f.n_tokens > 0 THEN f.sw * 1.0 / f.n_tokens
+      |         ELSE 0.0 END AS x3,
+      |    CASE WHEN f.n_chars > 0 THEN (f.n_chars - $punct) * 1.0 / f.n_chars
+      |         ELSE 0.0 END AS x4,
+      |    CASE WHEN r.r_min_tokens AND r.r_max_tokens AND r.r_word_len
+      |          AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram
+      |         THEN 1.0 ELSE 0.0 END AS y
+      |  FROM feat f JOIN base b USING (doc_id) JOIN rules r USING (doc_id)),
+      |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+      |  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+      |  CAST(0.0 AS DOUBLE) AS w4)""".stripMargin
+    val sig = "(0.5 + z / (2.0 * (1.0 + abs(z))) - y)"
+    val steps = (0 until iters).map { i =>
+      s"""z$i AS (
+         |  SELECT c.*, $zExprSql AS z
+         |  FROM cfeat c CROSS JOIN w$i w),
+         |g$i AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(CAST($sig AS DECIMAL(38,18))) AS s0,
+         |    sum(CAST($sig * x1 AS DECIMAL(38,18))) AS s1,
+         |    sum(CAST($sig * x2 AS DECIMAL(38,18))) AS s2,
+         |    sum(CAST($sig * x3 AS DECIMAL(38,18))) AS s3,
+         |    sum(CAST($sig * x4 AS DECIMAL(38,18))) AS s4
+         |  FROM z$i),
+         |w${i + 1} AS (
+         |  SELECT w.b - 0.1 * (CAST(g.s0 AS DOUBLE) / g.n) AS b,
+         |    w.w1 - 0.1 * (CAST(g.s1 AS DOUBLE) / g.n) AS w1,
+         |    w.w2 - 0.1 * (CAST(g.s2 AS DOUBLE) / g.n) AS w2,
+         |    w.w3 - 0.1 * (CAST(g.s3 AS DOUBLE) / g.n) AS w3,
+         |    w.w4 - 0.1 * (CAST(g.s4 AS DOUBLE) / g.n) AS w4
+         |  FROM w$i w CROSS JOIN g$i g)""".stripMargin
+    }
+    s"""$head,
+       |${steps.mkString(",\n")},
+       |scoredz AS (
+       |  SELECT c.*, $zExprSql AS z
+       |  FROM cfeat c CROSS JOIN w$iters w)""".stripMargin
+  }
+
+  /** The pinned left-associated linear score (SQL + is left-assoc,
+    * like the Column fold in Classify.z). */
+  private val zExprSql =
+    "w.b + w.w1 * c.x1 + w.w2 * c.x2 + w.w3 * c.x3 + w.w4 * c.x4"
+
+  private def classifyGateSql(iters: Int): String =
+    s"""WITH ${logisticCtes(iters)}
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pred_keep,
+       |  CAST(sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree
+       |FROM scoredz GROUP BY source ORDER BY source""".stripMargin
+
+  private def classifyScoresSql(iters: Int): String =
+    s"""WITH ${logisticCtes(iters)}
+       |SELECT doc_id,
+       |  round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS score,
+       |  z >= 0 AS pred
+       |FROM scoredz WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin
+
   private def bpeSql(numMerges: Int): String = {
     s"""WITH ${bpeLexCtes("documents", numMerges)},
        |docw AS (
@@ -1219,6 +1356,18 @@ object PipelinePack extends QueryPack {
     // scratch (unrolled CTE steps), so training AND counting are both
     // independently verified
     "q_text_bpe" -> bpeSql(bpeNumMerges),
+
+    // distilled gate classifier: confusion counts + per-doc scores,
+    // weights re-learned by the oracle's own unrolled GD chain
+    "q_classify_gate" -> classifyGateSql(classifyIters),
+    "q_classify_scores" -> classifyScoresSql(classifyIters),
+
+    // the trained lexicon's piece strings, straight from the final
+    // vocab CTE of the re-learned chain
+    "q_text_bpe_lexicon" ->
+      s"""WITH ${bpeLexCtes("documents", bpeNumMerges)}
+         |SELECT w AS word, trim(syms) AS pieces FROM vocab$bpeNumMerges
+         |ORDER BY w""".stripMargin,
 
     // KL drift: exact-integer counts, ln of a four-exact-double-factor
     // ratio (no integer-product overflow at any corpus size),

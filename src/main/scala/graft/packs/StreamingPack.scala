@@ -51,6 +51,14 @@ object StreamingPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // streaming drift monitor: closed 1-day windows' event-type mix
+    // scored against all closed days with the batch KL contract —
+    // state is only the built-in windowed aggregation
+    "q_stream_drift" -> ((s, dir) => {
+      StreamingOps.eventTypeDriftDaily(s, dir)
+        .orderBy("day")
+    }),
+
     // incremental ordered funnel with bounded per-key state — same
     // two-day slice and depth distribution as the batch q_funnel, so it
     // shares that oracle verbatim (streaming == batch on bounded input)
@@ -82,6 +90,39 @@ object StreamingPack extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // same closed-window cutoff as q_stream_window, then the
+    // klDriftSql grid over (day, event_type) counts — four exact
+    // double factors, DECIMAL(38,18) order-independent day sums
+    "q_stream_drift" ->
+      """WITH wm AS (SELECT CAST(max(ts) - INTERVAL 2 DAY AS DATE) AS last_day
+        |            FROM events),
+        |gt AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS t, count(*) AS cgt
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) <= (SELECT last_day FROM wm)
+        |  GROUP BY 1, 2),
+        |g AS (SELECT day, sum(cgt) AS ng FROM gt GROUP BY 1),
+        |tv AS (SELECT t, sum(cgt) AS ct FROM gt GROUP BY 1),
+        |tot AS (SELECT sum(cgt) AS n, count(DISTINCT t) AS v FROM gt),
+        |grid AS (
+        |  SELECT g.day, tv.t, g.ng, tv.ct, tot.n, tot.v,
+        |    COALESCE(x.cgt, 0) AS cgt
+        |  FROM g CROSS JOIN tv CROSS JOIN tot
+        |  LEFT JOIN gt x ON x.day = g.day AND x.t = tv.t),
+        |terms AS (
+        |  SELECT day, ng,
+        |    CAST((CAST(cgt AS DOUBLE) + 1.0)
+        |           / (CAST(ng AS DOUBLE) + CAST(v AS DOUBLE))
+        |         * ln(((CAST(cgt AS DOUBLE) + 1.0)
+        |                * (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))
+        |              / ((CAST(ng AS DOUBLE) + CAST(v AS DOUBLE))
+        |                 * (CAST(ct AS DOUBLE) + 1.0)))
+        |      AS DECIMAL(38,18)) AS kl_term
+        |  FROM grid)
+        |SELECT day, CAST(max(ng) AS BIGINT) AS n_events,
+        |  round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl
+        |FROM terms GROUP BY day ORDER BY day""".stripMargin,
 
     "q_stream_enrich" ->
       """SELECT e.event_id, e.event_type, n.n_name, e.value

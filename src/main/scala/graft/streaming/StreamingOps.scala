@@ -118,6 +118,44 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** Streaming distribution-drift monitor: watermarked 1-day windows
+    * aggregate per-event-type counts (append mode — only closed
+    * windows emit), then each closed day's event-type distribution is
+    * scored against the distribution over ALL closed days with the
+    * same Laplace-smoothed KL contract as the batch
+    * [[graft.ops.TextAnalysis.tokenKlDrift]] (the count-table entry
+    * point [[graft.ops.TextAnalysis.klFromTokenCounts]]) — the
+    * production shape for "did today's traffic mix drift": streaming
+    * state is just Spark's built-in windowed aggregation (windows ×
+    * event types rows), and the KL assembly runs batch over the sink,
+    * deterministic and oracle-checkable. Output per closed day:
+    * event count and KL in nats (rounded 6). */
+  def eventTypeDriftDaily(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
+    val sink = Files.createTempDirectory("graft_stream_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
+    val tsT = eventsTsType(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", tsStamp(tsT))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("n"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    graft.ops.TextAnalysis.klFromTokenCounts(
+      spark.read.parquet(sink), "day", "event_type", "n")
+      .withColumnRenamed("n_tokens", "n_events")
+  }
+
   /** Streaming exact dedup by key with state: first occurrence wins, state
     * keyed per event_id — the KeyValueGroupedDataset.flatMapGroupsWithState
     * shape used for custom streaming state. Bounded input + AvailableNow ⇒

@@ -148,6 +148,22 @@ class Bm25Spec extends AnyFunSuite {
     assert(out("a")._2 > out("b")._2)
   }
 
+  test("klFromTokenCounts: the count-table path equals the exploded path") {
+    import spark.implicits._
+    val docs = Seq(("a", "x x y"), ("b", "y y y"), ("c", "x z z"))
+      .toDF("source", "text")
+    val viaText = TextAnalysis.tokenKlDrift(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val counts = Seq(("a", "x", 2L), ("a", "y", 1L), ("b", "y", 3L),
+      ("c", "x", 1L), ("c", "z", 2L)).toDF("source", "tok", "n")
+    val viaCounts = TextAnalysis
+      .klFromTokenCounts(counts, "source", "tok", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(viaText === viaCounts)
+  }
+
   test("tokenKlDrift maxVocab: caps to top-V by (freq desc, token asc)") {
     import spark.implicits._
     // corpus counts: x=3, y=3, z=1 → top-2 keeps {x, y} (z drops);
