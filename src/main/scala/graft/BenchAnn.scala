@@ -24,7 +24,12 @@ object BenchAnn {
     val queryMod = math.max(n / nQueries, 1L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // PQ's (queries × corpus) candidate set must SORT inside the
+      // top-k window's shuffle partitions: at 2.5k+ queries × 1M codes
+      // that is >2.5e9 rows, and 32 partitions OOM a 24g heap — the
+      // linear scan is a memory hazard as well as a time one
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", "128"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.driver.memory", "16g")

@@ -41,6 +41,14 @@ import org.apache.spark.sql.functions._
   *           tokens_col: n_tok
   *           budget: 5000
   * ```
+  *
+  * The full step vocabulary is [[PipelineSteps.knownOps]]: quality
+  * gates (gopher_gate, span_gate, quality_classifier_filter — the
+  * last trains its logistic model on the step's own input), dedup
+  * (exact_dedup, minhash_dedup), text prep (normalize, token_count —
+  * whitespace or corpus-trained `tokenizer: bpe`), mixing
+  * (temperature_mix, weighted_mix), and robust-stats cleanup
+  * (mad_outlier_filter, winsorize).
   */
 object PipelineMat extends Materialization {
   val name = "pipeline"
@@ -70,7 +78,8 @@ object PipelineSteps {
 
   val knownOps: Seq[String] = Seq("gopher_gate", "exact_dedup",
     "minhash_dedup", "token_count", "temperature_mix", "weighted_mix",
-    "mad_outlier_filter", "winsorize")
+    "mad_outlier_filter", "winsorize", "normalize", "span_gate",
+    "quality_classifier_filter")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -222,6 +231,62 @@ object PipelineSteps {
             int(m, "hi_num", 99), int(m, "hi_den", 100))
             .withColumn(valueCol, col("clipped"))
           keepInputColumns(cols)(w)
+        }
+
+      // text normalization: lowercase / strip non-alphanumerics /
+      // collapse whitespace runs, each opt-in, REPLACING the text
+      // column (schema-stable) — the pre-dedup canonicalization pass
+      case "normalize" =>
+        val textCol = str(m, "text_col", "text")
+        val doLower = bool(m, "lowercase", dflt = true)
+        val doStrip = bool(m, "strip_punct", dflt = false)
+        val doCollapse = bool(m, "collapse_ws", dflt = true)
+        df => {
+          var c: Column = col(s"`$textCol`")
+          if (doLower) c = lower(c)
+          if (doStrip) c = regexp_replace(c, "[^a-zA-Z0-9 ]", "")
+          if (doCollapse) c = trim(regexp_replace(c, " +", " "))
+          df.withColumn(textCol, c)
+        }
+
+      // duplicated-span gate: drop documents whose winnowed-fingerprint
+      // dup fraction crosses the integer-exact threshold; audit columns
+      // dropped
+      case "span_gate" =>
+        val textCol = str(m, "text_col", "text")
+        val idCol = str(m, "id_col", "doc_id")
+        df => {
+          // duplicateSpans emits (id, fingerprint counts, keep) only —
+          // survivors rejoin the input by id to stay column-neutral
+          val kept = Dedup.duplicateSpans(df, idCol, textCol,
+            k = int(m, "k", 8), w = int(m, "w", 8),
+            minDocFreq = int(m, "min_doc_freq", 2),
+            maxDupFracNum = int(m, "max_dup_frac_num", 1),
+            maxDupFracDen = int(m, "max_dup_frac_den", 2))
+            .filter(col("keep")).select(col(s"`$idCol`"))
+          df.join(kept, Seq(idCol), "left_semi")
+        }
+
+      // distilled quality gate: train the logistic classifier on THIS
+      // step's input against the Gopher rules, keep rows whose
+      // fast-sigmoid score clears `threshold` (exact-portable doubles,
+      // so the comparison is deterministic unrounded)
+      case "quality_classifier_filter" =>
+        val textCol = str(m, "text_col", "text")
+        val idCol = str(m, "id_col", "doc_id")
+        val iters = int(m, "iters", 4)
+        val lr = dbl(m, "lr", 0.1)
+        val threshold = dbl(m, "threshold", 0.5)
+        df => {
+          val xs = Seq("x1", "x2", "x3", "x4")
+          val feat = graft.ops.Classify.gateFeatures(
+            df.select(col(s"`$idCol`"), col(s"`$textCol`")),
+            idCol, textCol, carryCols = Nil)
+          val w = graft.ops.Classify.train(feat, xs, "y", iters, lr)
+          val keep = feat.filter(graft.ops.Classify.fastSigmoid(
+            graft.ops.Classify.z(w.toSeq, xs)) >= threshold)
+            .select(col(s"`$idCol`"))
+          df.join(keep, Seq(idCol), "left_semi")
         }
 
       case other => throw new IllegalArgumentException(

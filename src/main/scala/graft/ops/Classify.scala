@@ -43,25 +43,29 @@ object Classify {
     * data-dependent standardization would add a sqrt to the portable
     * contract for no verification gain), y = 1.0 iff the row passes
     * every Gopher rule. NULL-text rows drop (their label is
-    * undefined). Returns (idCol, source, x1..x4, y), cached — the
-    * training loop reads it iters+1 times. */
-  def gateFeatures(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+    * undefined). Returns (idCol, carryCols..., x1..x4, y), cached —
+    * the training loop reads it iters+1 times; `carryCols` are
+    * pass-through columns for downstream grouping (default the
+    * documents table's `source`). */
+  def gateFeatures(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Seq("source")): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)
+    val carry = carryCols.map(c => col(s"`$c`"))
     val q = TextAnalysis.qualityFeatures(
-      base.select(col(idCol), col("source"), col(textCol)), textCol)
-      .select(col(idCol), col("source"), col("n_tokens"),
-        col("mean_word_len"), col("stopword_ratio"), col("punct_ratio"))
+      base.select(col(idCol) +: carry :+ col(textCol): _*), textCol)
+      .select(col(idCol) +: carry :+ col("n_tokens") :+
+        col("mean_word_len") :+ col("stopword_ratio") :+
+        col("punct_ratio"): _*)
     val g = TextAnalysis.gopherFilter(
       base.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col("keep"))
     Dedup.maybeCache(q.join(g, idCol)
-      .select(col(idCol), col("source"),
-        (col("n_tokens").cast("double") / lit(100.0)).as("x1"),
-        (col("mean_word_len") / lit(10.0)).as("x2"),
-        col("stopword_ratio").as("x3"),
-        col("punct_ratio").as("x4"),
-        when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y")))
+      .select(col(idCol) +: carry :+
+        (col("n_tokens").cast("double") / lit(100.0)).as("x1") :+
+        (col("mean_word_len") / lit(10.0)).as("x2") :+
+        col("stopword_ratio").as("x3") :+
+        col("punct_ratio").as("x4") :+
+        when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"): _*))
   }
 
   /** The linear score w₀ + Σ wⱼ·xⱼ as a pinned left-associated

@@ -306,7 +306,20 @@ object Similarity {
     * probe is one broadcast hash join of (query × nprobe) rows onto the
     * coded corpus; only (query, neighbor, distance) candidate rows reach
     * the top-k window. Recall trades at the cell boundary exactly as in
-    * IVF — a true neighbor whose cell no probe touches is missed. */
+    * IVF — a true neighbor whose cell no probe touches is missed.
+    *
+    * Measured crossover vs plain PQ (BenchAnn, 1M × dim 64, nlist=64,
+    * nprobe=8, NOTES_r09): per-query marginal cost is ~4× lower (the
+    * pruning), but the coarse assignment adds a FIXED cost of
+    * nlist × dim exact-decimal MACs per corpus row — the price of the
+    * decimal k-means contract that makes the whole pipeline
+    * oracle-checkable — so pruning wins beyond ~1k queries per
+    * encoding. A production deployment amortizes that by encoding
+    * once and probing many batches (or assigns cells in plain
+    * doubles; determinism only matters for oracle parity). PQ's
+    * all-pairs candidate sort is also a MEMORY hazard the probe
+    * avoids: the ivfpq candidate set stays nprobe/nlist as large at
+    * any query count. */
   def ivfpqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
       coarseIters: Int = 1, m: Int = 4, codebookSize: Int = 16,

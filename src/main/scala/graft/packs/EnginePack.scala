@@ -986,6 +986,56 @@ object EnginePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // the distilled classifier as a project-surface gate: the step
+    // trains on its own input (all non-NULL-text documents) against
+    // the Gopher rules and keeps rows clearing the score threshold —
+    // model SQL + YAML only; the oracle re-learns the weights and
+    // re-applies the same unrounded threshold
+    "q_engine_classify_project" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_clf_proj")
+      write(proj, "dbt_project.yml",
+        """name: clfgate
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/gated.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: gated
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: quality_classifier_filter
+          |          text_col: text
+          |          id_col: doc_id
+          |          threshold: 0.43
+          |""".stripMargin)
+      val schema = "g_engine_clfgate"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_clf_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "gated"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // a streaming_table model from the project surface: the compiled
     // SELECT (deterministic integer-µs event times derived from
     // documents — no parquet timestamp round-trip) is staged, replayed
@@ -1046,6 +1096,10 @@ object EnginePack extends QueryPack {
     // SAME parameters as the Scala-composed q_pipeline_curation — one
     // oracle, two drivers (library composition vs model SQL + YAML)
     "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    // classifier-step survivors per source (shared GD chain + the
+    // same unrounded threshold)
+    "q_engine_classify_project" -> PipelinePack.classifySurvivorsSql("0.43"),
 
     // gate (shared Gopher CTEs) → BPE lexicon RE-LEARNED over the gated
     // subset (shared training chain, the step-input contract) → per-doc

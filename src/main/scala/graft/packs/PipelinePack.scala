@@ -1229,6 +1229,18 @@ object PipelinePack extends QueryPack {
   private val zExprSql =
     "w.b + w.w1 * c.x1 + w.w2 * c.x2 + w.w3 * c.x3 + w.w4 * c.x4"
 
+  /** Survivor counts after thresholding the trained fast-sigmoid score
+    * — the oracle for the `quality_classifier_filter` pipeline step
+    * run from a project fixture (EnginePack). The comparison is on the
+    * UNROUNDED score: every factor is an exact-portable double, so the
+    * threshold decision is deterministic across engines. */
+  private[packs] def classifySurvivorsSql(threshold: String): String =
+    s"""WITH ${logisticCtes(classifyIters)}
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM scoredz
+       |WHERE 0.5 + z / (2.0 * (1.0 + abs(z))) >= $threshold
+       |GROUP BY source ORDER BY source""".stripMargin
+
   private def classifyGateSql(iters: Int): String =
     s"""WITH ${logisticCtes(iters)}
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -96,6 +96,43 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(err.getMessage.contains("whitespace or bpe"))
   }
 
+  test("normalize step: lowercase + collapse default, strip opt-in") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello,  WORLD  x")).toDF("doc_id", "text")
+    val out = steps(Seq(Map("op" -> "normalize"))).head.apply(docs)
+      .head().getString(1)
+    assert(out === "hello, world x")
+    val stripped = steps(Seq(Map("op" -> "normalize",
+      "strip_punct" -> true))).head.apply(docs).head().getString(1)
+    assert(stripped === "hello world x")
+  }
+
+  test("span_gate step: distinct docs pass, shared-span docs drop") {
+    import spark.implicits._
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val docs = Seq(
+      (1L, shared), (2L, shared), // identical => 100% dup span fraction
+      (3L, "completely different material without overlap at all"))
+      .toDF("doc_id", "text")
+    val out = steps(Seq(Map("op" -> "span_gate"))).head.apply(docs)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
+  test("quality_classifier_filter: thresholds 0 and 1 bound the gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a of and to in is table scan row merge fast system"),
+      (2L, "tiny words here")).toDF("doc_id", "text")
+    def run(t: Double) = steps(Seq(Map(
+      "op" -> "quality_classifier_filter", "id_col" -> "doc_id",
+      "text_col" -> "text", "threshold" -> t))).head.apply(docs)
+    val all = run(0.0)
+    assert(all.columns.toSeq === docs.columns.toSeq)
+    assert(all.count() === 2L, "fast sigmoid is always > 0")
+    assert(run(1.0).count() === 0L, "and always < 1")
+  }
+
   test("winsorize step replaces the value column, schema unchanged") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, "g", i)).toDF("id", "g", "v")
