@@ -46,26 +46,35 @@ object Classify {
     * undefined). Returns (idCol, carryCols..., x1..x4, y), cached —
     * the training loop reads it iters+1 times; `carryCols` are
     * pass-through columns for downstream grouping (default the
-    * documents table's `source`). */
+    * documents table's `source`). Features AND label come out of ONE
+    * map-side pass: [[TextAnalysis.gopherFilter]] already carries
+    * `n_tokens` + `keep`, and the quality ratios are pure column
+    * expressions over the same text — no second scan, no join. */
   def gateFeatures(docs: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Seq("source")): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)
     val carry = carryCols.map(c => col(s"`$c`"))
-    val q = TextAnalysis.qualityFeatures(
-      base.select(col(idCol) +: carry :+ col(textCol): _*), textCol)
-      .select(col(idCol) +: carry :+ col("n_tokens") :+
-        col("mean_word_len") :+ col("stopword_ratio") :+
-        col("punct_ratio"): _*)
     val g = TextAnalysis.gopherFilter(
-      base.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), col("keep"))
-    Dedup.maybeCache(q.join(g, idCol)
-      .select(col(idCol) +: carry :+
-        (col("n_tokens").cast("double") / lit(100.0)).as("x1") :+
-        (col("mean_word_len") / lit(10.0)).as("x2") :+
-        col("stopword_ratio").as("x3") :+
-        col("punct_ratio").as("x4") :+
-        when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"): _*))
+      base.select(col(idCol) +: carry :+ col(textCol): _*), textCol)
+    val nChars = length(col(textCol))
+    val meanWordLen = when(col("n_tokens") > 0,
+      (nChars - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .otherwise(lit(0.0))
+    val stopRatio = when(col("n_tokens") > 0,
+      graft.expressions.PipelineExpressions
+        .token_hit_count(col(textCol), TextAnalysis.markers("en"))
+        .cast("double") / col("n_tokens"))
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      (nChars - length(regexp_replace(col(textCol), "[.,!?;:]", "")))
+        .cast("double") / nChars)
+      .otherwise(lit(0.0))
+    Dedup.maybeCache(g.select(col(idCol) +: carry :+
+      (col("n_tokens").cast("double") / lit(100.0)).as("x1") :+
+      (meanWordLen / lit(10.0)).as("x2") :+
+      stopRatio.as("x3") :+
+      punctRatio.as("x4") :+
+      when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"): _*))
   }
 
   /** The linear score w₀ + Σ wⱼ·xⱼ as a pinned left-associated
