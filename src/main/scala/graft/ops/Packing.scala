@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: concatenate the corpus into one
+  * global token stream (each document followed by `sepTokens` separator
+  * tokens, e.g. an EOS) and cut it into fixed-length training sequences of
+  * `seqLen` tokens — the standard "concat and chunk" batch-assembly step
+  * (GPT-style pretraining; reference pipelines budget and shard training
+  * batches the same way, cf. the token-budgeted mixing in
+  * `ops/Sampling.scala`). The operator assigns every document its global
+  * token offset and the range of sequence ids it lands in; downstream
+  * sharding/loader code needs exactly these offsets.
+  *
+  * The core is a distributed prefix sum over a total order — the one
+  * primitive here that naively degenerates at scale: a bare
+  * `Window.orderBy` without `partitionBy` collapses the whole corpus into
+  * a single partition. Instead the sum is decomposed by ORDER-KEY RANGE:
+  *
+  *   1. one cheap agg for the global [min, max] of the (unique, integral)
+  *      order key;
+  *   2. each row maps to bucket `(key − min) div width` — a pure map-side
+  *      derivation, independent of physical partitioning (so the result
+  *      never depends on file splits, AQE coalescing, or sampling-based
+  *      range boundaries, and nothing needs caching between passes);
+  *   3. per-bucket length sums (one partial-agg'd shuffle of ≤ `buckets`
+  *      rows) come back to the driver, which computes the exclusive
+  *      cumulative offsets — driver state is O(buckets), the same bound as
+  *      the k-means centroid reads;
+  *   4. the offsets broadcast-join back on bucket id and a window
+  *      partitioned BY BUCKET adds the within-bucket running sum.
+  *
+  * Every per-bucket window sees ~1/buckets of the corpus, so partitions
+  * stay bounded at 100 TB by raising `buckets` (dense ids ⇒ balanced
+  * buckets; pathologically clustered ids skew bucket sizes, in which case
+  * pre-densify with a dense rank or raise `buckets`). All arithmetic is
+  * integer (LONG adds and `div`), so offsets and sequence ids are exact
+  * and engine-portable; the oracle is a plain global window cumsum.
+  *
+  * Output columns appended: `tok_start` (global offset of the document's
+  * first token), `seq_first`/`seq_last` (ids of the sequences containing
+  * its first/last own token — separator tokens pad the stream but belong
+  * to no document; an empty document spans the sequence holding its
+  * offset). `seq_first != seq_last` flags documents split across a
+  * sequence boundary — the packing-quality metric curation reports track.
+  */
+object Packing {
+
+  /** Global token offsets + sequence-id spans for concat-and-chunk
+    * packing. `orderCol` must be a unique integral key (the deterministic
+    * concatenation order); `tokensCol` the per-document token count.
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
+      seqLen: Int, sepTokens: Int = 1, buckets: Int = 256): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(sepTokens >= 0, s"sepTokens must be >= 0: $sepTokens")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val contrib = (col(tokensCol).cast("long") + lit(sepTokens.toLong))
+
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return withSpanCols(
+      df.withColumn("tok_start", lit(0L)), tokensCol, seqLen)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1L)
+
+    val bucketed = df.withColumn("__bkt",
+      expr(s"(cast($orderCol as bigint) - ${lo}L) div ${width}L"))
+
+    // exclusive per-bucket offsets; driver state O(buckets)
+    val sums = bucketed.groupBy("__bkt").agg(sum(contrib).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val exclusive = sums.scanLeft(0L) { case (acc, (_, s)) => acc + s }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = sums.map(_._1).zip(exclusive).toSeq.toDF("__bkt", "__off")
+
+    val w = Window.partitionBy("__bkt").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = bucketed.join(broadcast(offDf), "__bkt")
+      .withColumn("tok_start",
+        coalesce(sum(contrib).over(w), lit(0L)) + col("__off"))
+      .drop("__bkt", "__off")
+    withSpanCols(out, tokensCol, seqLen)
+  }
+
+  /** seq_first/seq_last from tok_start + the doc's own token count (all
+    * values non-negative, so `div` == floor division in Spark and `//` in
+    * DuckDB). */
+  private def withSpanCols(df: DataFrame, tokensCol: String,
+      seqLen: Int): DataFrame =
+    df.withColumn("seq_first", expr(s"tok_start div ${seqLen}L"))
+      .withColumn("seq_last", expr(
+        s"(tok_start + greatest(cast($tokensCol as bigint) - 1L, 0L)) div ${seqLen}L"))
+}

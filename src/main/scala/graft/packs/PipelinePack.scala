@@ -1,7 +1,7 @@
 package graft.packs
 
 import graft.Tables
-import graft.ops.{Bpe, Classify, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Classify, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -159,6 +159,29 @@ object PipelinePack extends QueryPack {
           TextAnalysis.tokenCount("text").as("n_tokens"),
           TextAnalysis.subwordCount("text").as("n_subwords"))
         .orderBy("doc_id")
+    }),
+
+    // concat-and-chunk sequence packing: global token offsets via the
+    // bucketed distributed prefix sum; per-doc sequence-id spans
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount("text").cast("long").as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", seqLen = 512)
+        .select("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last")
+        .orderBy("doc_id")
+    }),
+
+    // packing-quality summary: stream length, sequence count, and how many
+    // documents straddle a sequence boundary at seqLen=512
+    "q_pack_stats" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount("text").cast("long").as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", seqLen = 512)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens") + 1).as("stream_tokens"),
+          expr("(sum(n_tokens + 1) + 511) div 512").as("n_sequences"),
+          sum(when(col("seq_first") =!= col("seq_last"), 1L)
+            .otherwise(0L)).as("n_boundary_docs"))
     }),
 
     // salted skew join: orders (big, skewed on status — only 3 values)
@@ -1581,6 +1604,45 @@ object PipelinePack extends QueryPack {
         |    w -> CASE WHEN length(w) = 0 THEN 0
         |              ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)) AS BIGINT) AS n_subwords
         |FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), ' +')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(tok_start // 512 AS BIGINT) AS seq_first,
+        |  CAST((tok_start + greatest(n_tokens - 1, 0)) // 512 AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), ' +')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  FROM t),
+        |p AS (
+        |  SELECT n_tokens,
+        |    tok_start // 512 AS seq_first,
+        |    (tok_start + greatest(n_tokens - 1, 0)) // 512 AS seq_last
+        |  FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens + 1) AS BIGINT) AS stream_tokens,
+        |  CAST((SUM(n_tokens + 1) + 511) // 512 AS BIGINT) AS n_sequences,
+        |  CAST(SUM(CASE WHEN seq_first <> seq_last THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boundary_docs
+        |FROM p""".stripMargin,
 
     "q_skew_join" ->
       """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
