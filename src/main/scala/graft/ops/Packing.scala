@@ -56,13 +56,30 @@ object Packing {
       seqLen: Int, sepTokens: Int = 1, buckets: Int = 256): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     require(sepTokens >= 0, s"sepTokens must be >= 0: $sepTokens")
+    val contrib = col(tokensCol).cast("long") + lit(sepTokens.toLong)
+    withSpanCols(
+      exclusiveRunningSum(df, orderCol, contrib, "tok_start", buckets),
+      tokensCol, seqLen)
+  }
+
+  /** Exclusive running sum of `contrib` over the total order of the
+    * unique integral `orderCol`, as `outCol` (LONG) — the bucketed
+    * distributed prefix sum described above, shared by sequence packing
+    * and token-budget shard packing. */
+  private[ops] def exclusiveRunningSum(df: DataFrame, orderCol: String,
+      contrib: org.apache.spark.sql.Column, outCol: String,
+      buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val contrib = (col(tokensCol).cast("long") + lit(sepTokens.toLong))
+    val orderType = df.schema(orderCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(orderType),
+      s"order column $orderCol must be integral, got ${orderType.simpleString}")
 
     val bounds = df.agg(min(col(orderCol)).cast("long"),
       max(col(orderCol)).cast("long")).head()
-    if (bounds.isNullAt(0)) return withSpanCols(
-      df.withColumn("tok_start", lit(0L)), tokensCol, seqLen)
+    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / buckets + 1L)
 
@@ -79,11 +96,10 @@ object Packing {
 
     val w = Window.partitionBy("__bkt").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val out = bucketed.join(broadcast(offDf), "__bkt")
-      .withColumn("tok_start",
+    bucketed.join(broadcast(offDf), "__bkt")
+      .withColumn(outCol,
         coalesce(sum(contrib).over(w), lit(0L)) + col("__off"))
       .drop("__bkt", "__off")
-    withSpanCols(out, tokensCol, seqLen)
   }
 
   /** seq_first/seq_last from tok_start + the doc's own token count (all

@@ -204,20 +204,21 @@ object Sampling {
 
   /** Token-budget shard packing: assign documents to consecutive training
     * shards so each shard holds ≈ `budget` tokens. Deterministic packing
-    * order = `orderCol`; shard id = floor(exclusive running token sum /
-    * budget) — one window pass, no driver loop. A document straddling a
-    * boundary belongs to the shard where its first token landed (shards
-    * overflow by at most one document, the standard pretraining-shard
-    * contract). At scale the single global window is the honest cost of a
-    * GLOBAL packing order; pack per partition-group instead (PARTITION BY
-    * source) when a global order isn't required. */
+    * order = `orderCol` (a unique integral key); shard id =
+    * floor(exclusive running token sum / budget) — all-integer, no driver
+    * loop. A document straddling a boundary belongs to the shard where
+    * its first token landed (shards overflow by at most one document, the
+    * standard pretraining-shard contract). The running sum is
+    * [[Packing.exclusiveRunningSum]]'s bucketed distributed prefix sum,
+    * so no window ever sees more than ~1/buckets of the corpus — the
+    * global packing order costs one ≤buckets-row shuffle plus an
+    * O(buckets) driver cumsum, not a single-partition window. */
   def packByTokenBudget(df: DataFrame, orderCol: String, tokensCol: String,
-      budget: Long, shardCol: String = "shard"): DataFrame = {
+      budget: Long, shardCol: String = "shard",
+      buckets: Int = 256): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn(shardCol,
-      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
+    Packing.exclusiveRunningSum(df, orderCol,
+        col(tokensCol).cast("long"), shardCol, buckets)
+      .withColumn(shardCol, expr(s"$shardCol div ${budget}L"))
   }
 }

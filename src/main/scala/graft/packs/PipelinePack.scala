@@ -445,7 +445,7 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
-    // token-budget shard packing: running-sum window → shard id
+    // token-budget shard packing: bucketed exclusive running sum → shard id
     "q_sample_shards" -> ((s, dir) => {
       val withTokens = Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokenCount("text").as("n_tokens"))
