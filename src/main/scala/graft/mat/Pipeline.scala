@@ -1,7 +1,7 @@
 package graft.mat
 
 import graft.core.RelationType
-import graft.ops.{Bpe, Dedup, Sampling, Stats, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Packing, Sampling, Stats, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -47,8 +47,10 @@ import org.apache.spark.sql.functions._
   * last trains its logistic model on the step's own input), dedup
   * (exact_dedup, minhash_dedup), text prep (normalize, token_count —
   * whitespace or corpus-trained `tokenizer: bpe`), mixing
-  * (temperature_mix, weighted_mix), and robust-stats cleanup
-  * (mad_outlier_filter, winsorize).
+  * (temperature_mix, weighted_mix), robust-stats cleanup
+  * (mad_outlier_filter, winsorize), and batch assembly
+  * (pack_sequences, shard — both on the bucketed distributed prefix
+  * sum, so the global packing order never costs a global window).
   */
 object PipelineMat extends Materialization {
   val name = "pipeline"
@@ -79,7 +81,7 @@ object PipelineSteps {
   val knownOps: Seq[String] = Seq("gopher_gate", "exact_dedup",
     "minhash_dedup", "token_count", "temperature_mix", "weighted_mix",
     "mad_outlier_filter", "winsorize", "normalize", "span_gate",
-    "quality_classifier_filter")
+    "quality_classifier_filter", "pack_sequences", "shard")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -288,6 +290,28 @@ object PipelineSteps {
             .select(col(s"`$idCol`"))
           df.join(keep, Seq(idCol), "left_semi")
         }
+
+      // concat-and-chunk batch assembly: append the global token offset
+      // + sequence-id span of every row at a fixed seq_len (bucketed
+      // distributed prefix sum — no global window); downstream loaders
+      // read the spans, so these columns stay in the output
+      case "pack_sequences" =>
+        val idCol = str(m, "id_col", "doc_id")
+        val tokensCol = reqStr(m, "tokens_col", op)
+        df => Packing.packSequences(df, idCol, tokensCol,
+          seqLen = int(m, "seq_len", 2048),
+          sepTokens = int(m, "sep_tokens", 1),
+          buckets = int(m, "buckets", 256))
+
+      // token-budget shard assignment: append the training-shard id in
+      // id order (≤ 1-doc overflow contract, same prefix-sum machinery)
+      case "shard" =>
+        val idCol = str(m, "id_col", "doc_id")
+        val tokensCol = reqStr(m, "tokens_col", op)
+        df => Sampling.packByTokenBudget(df, idCol, tokensCol,
+          budget = lng(m, "budget", op),
+          shardCol = str(m, "out_col", "shard"),
+          buckets = int(m, "buckets", 256))
 
       case other => throw new IllegalArgumentException(
         s"unknown pipeline step op `$other` (known: ${knownOps.mkString(", ")})")

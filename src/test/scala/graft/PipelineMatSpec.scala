@@ -144,6 +144,31 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(vs.min == 10L && vs.max == 90L, s"clipped to [p10, p90]: ${vs.min}..${vs.max}")
   }
 
+  test("pack_sequences + shard steps append offsets/spans/shards") {
+    import spark.implicits._
+    val docs = Seq((1L, 3L), (2L, 0L), (3L, 5L), (4L, 2L))
+      .toDF("doc_id", "n_tok")
+    val chain = steps(Seq(
+      Map("op" -> "pack_sequences", "id_col" -> "doc_id",
+        "tokens_col" -> "n_tok", "seq_len" -> 4),
+      Map("op" -> "shard", "id_col" -> "doc_id",
+        "tokens_col" -> "n_tok", "budget" -> 8L)))
+    val out = chain.foldLeft(docs) { (df, s) => s.apply(df) }
+    assert(out.columns.toSeq == Seq("doc_id", "n_tok", "tok_start",
+      "seq_first", "seq_last", "shard"))
+    val rows = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // contributions 4,1,6,3 -> offsets 0,4,5,11; shard = excl. sum of
+    // n_tok (0,3,3,8) div 8
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 0L), (2L, 4L, 1L, 1L, 0L),
+      (3L, 5L, 1L, 2L, 0L), (4L, 11L, 2L, 3L, 1L)))
+    val e = intercept[IllegalArgumentException](
+      steps(Seq(Map("op" -> "pack_sequences"))).head)
+    assert(e.getMessage.contains("tokens_col"))
+  }
+
   test("unknown op and missing required params raise named errors") {
     val e1 = intercept[IllegalArgumentException](
       steps(Seq(Map("op" -> "nope"))).head)
