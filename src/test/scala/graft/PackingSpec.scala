@@ -64,6 +64,26 @@ class PackingSpec extends AnyFunSuite {
       r.getLong(3))) === expect)
   }
 
+  test("no window in the plan is partitionless (the global-window trap)") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, i % 9)).toDF("doc_id", "n_tokens")
+    // AQE off: the static plan exposes the WindowExec for inspection
+    // without having to execute-and-finalize the adaptive instance
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows =
+      try Packing.packSequences(df, "doc_id", "n_tokens", seqLen = 64)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(windows.nonEmpty, "expected a WindowExec in the static plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"running sum must never use a partitionless window:\n$w")
+    }
+  }
+
   test("separator width 0 packs back-to-back; empty corpus yields no rows") {
     import spark.implicits._
     val df = Seq((1L, 4L), (2L, 4L)).toDF("doc_id", "n_tokens")
