@@ -34,7 +34,11 @@ object Bench {
     // lexical retrieval (map-side tf + 1-row stats broadcast)
     "q_ann_ivfpq", "q_stats_mad", "q_text_bm25", "q_text_lm_surprise",
     "q_text_kl_drift", "q_stats_winsorize", "q_text_bpe",
-    "q_classify_gate")
+    "q_classify_gate",
+    // round-9 operators: concat-and-chunk packing (bucketed prefix sum)
+    // and best-of-cluster dedup (argmax representative over the minhash
+    // component graph)
+    "q_pack_sequences", "q_dedup_best")
   // q_dedup_embedding stays oracle-only: it is the deliberately-exact
   // decimal all-pairs baseline (O(N²·d) BigDecimal math) that verifies
   // the sub-quadratic embeddingNearDupsLsh scale path — benching it would

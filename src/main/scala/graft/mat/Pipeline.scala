@@ -147,18 +147,23 @@ object PipelineSteps {
 
       // minhash-LSH near-dup removal: banded signatures → bucket-pair
       // candidates → exact-Jaccard verify → connected components → keep
-      // the min-id canonical per cluster (+ every unclustered doc);
-      // column-neutral, cluster sizes dropped
+      // the min-id canonical per cluster, or with `priority_col:` the
+      // max-priority doc ("keep the best copy"); + every unclustered
+      // doc; column-neutral, cluster sizes dropped
       case "minhash_dedup" =>
         val textCol = str(m, "text_col", "text")
         val idCol = str(m, "id_col", "doc_id")
+        val priorityCol = m.get("priority_col").map(String.valueOf)
         df => {
           val pairs = Dedup.minhashNearDups(df, idCol, textCol,
             k = int(m, "k", 3), perms = int(m, "perms", 128),
             bands = int(m, "bands", 21),
             threshold = dbl(m, "threshold", 0.8))
-          keepInputColumns(df.columns)(
-            Dedup.canonicalCorpus(df, pairs, idCol))
+          val kept = priorityCol match {
+            case Some(p) => Dedup.canonicalCorpusBy(df, pairs, idCol, p)
+            case None => Dedup.canonicalCorpus(df, pairs, idCol)
+          }
+          keepInputColumns(df.columns)(kept)
         }
 
       // token counting for downstream budgets: whitespace (default) or

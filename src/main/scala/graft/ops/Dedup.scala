@@ -651,6 +651,42 @@ object Dedup {
       .drop("__cid", "__n")
   }
 
+  /** Quality-priority near-dup removal: like [[canonicalCorpus]], but the
+    * representative of each duplicate cluster is the document with the
+    * HIGHEST `priorityCol` (ties → smaller id) rather than the smallest
+    * id — "keep the best copy", the contract real curation uses when
+    * duplicates differ in completeness (priority = length, quality score,
+    * recency…). `priorityCol` must be numeric and non-null on every
+    * paired document.
+    *
+    * Same scale shape as [[canonicalCorpus]]: components and the argmax
+    * run over the paired subset only (tiny relative to the corpus), the
+    * corpus itself joins on id twice (anti for losers, inner for
+    * keepers) — AQE broadcasts both small sides, the corpus never
+    * shuffles. The argmax is `min(struct(-priority, id))` — one partial
+    * agg, no per-cluster window. */
+  def canonicalCorpusBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+      priorityCol: String, idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol)
+    val sizes = cc.groupBy("component_id").agg(count(lit(1)).as("__n"))
+    val pri = docs.select(col(idCol).as("__pid"), col(priorityCol).as("__p"))
+    val best = cc.join(pri, col("id") === col("__pid"))
+      .groupBy("component_id")
+      .agg(min(struct((-col("__p")).as("np"), col("id").as("id"))).as("__b"))
+      .select(col("__b.id").as("__keep_id"), col("component_id"))
+      .join(sizes, "component_id")
+      .select(col("__keep_id"), col("__n"))
+    val anyPaired = cc.select(col("id").as("__anyid"))
+    val unpaired = docs
+      .join(anyPaired, docs(idCol) === col("__anyid"), "left_anti")
+      .withColumn("n_dups", lit(1L))
+    val keptPaired = docs.join(best, docs(idCol) === col("__keep_id"))
+      .withColumn("n_dups", col("__n"))
+      .drop("__keep_id", "__n")
+    unpaired.unionByName(keptPaired)
+  }
+
   /** Banded-LSH embedding near-dups — the sub-quadratic scale path for
     * realistic thresholds (≥ ~0.8 cosine). Rows replicate once per band;
     * candidates come from an equi-join on (band, r-bit signature) and are

@@ -69,6 +69,17 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), col("n_dups")).orderBy("doc_id")
     }),
 
+    // best-of-cluster dedup: per near-dup component keep the LONGEST
+    // document (tie -> min id) instead of the min id
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 3, perms = 128, bands = 21, threshold = 0.8)
+      Dedup.canonicalCorpusBy(docs, pairs, "doc_id", "n_chars")
+        .select(col("doc_id"), col("n_chars"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash with pigeonhole banding
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
@@ -1482,6 +1493,23 @@ object PipelinePack extends QueryPack {
          |LEFT JOIN sizes s ON s.component_id = d.doc_id
          |WHERE cc.id IS NULL OR cc.id = cc.component_id
          |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |ranked AS (
+         |  SELECT cc.component_id, d.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cc.component_id
+         |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         |  FROM cc JOIN documents d ON d.doc_id = cc.id),
+         |keepers AS (SELECT component_id, doc_id FROM ranked WHERE rn = 1),
+         |sizes AS (SELECT component_id, count(*) AS n FROM cc GROUP BY 1)
+         |SELECT d.doc_id, d.n_chars, COALESCE(s.n, CAST(1 AS BIGINT)) AS n_dups
+         |FROM documents d
+         |LEFT JOIN cc ON cc.id = d.doc_id
+         |LEFT JOIN keepers k ON k.doc_id = d.doc_id
+         |LEFT JOIN sizes s ON s.component_id = k.component_id
+         |WHERE cc.id IS NULL OR k.doc_id IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH toks AS (

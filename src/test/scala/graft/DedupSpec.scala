@@ -381,6 +381,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L, 8L -> 1L))
   }
 
+  test("canonicalCorpusBy keeps the max-priority doc per cluster, tie->min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),  // cluster {1,2,3}: max len ties 2/3 -> 2
+      (4L, 5L),                          // unpaired
+      (5L, 1L), (6L, 9L),                // cluster {5,6}: 6 wins on length
+      (7L, 2L), (8L, 2L))                // unpaired
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.canonicalCorpusBy(docs, pairs, "doc_id", "n_chars")
+      .select("doc_id", "n_dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(2L -> 3L, 4L -> 1L, 6L -> 2L, 7L -> 1L, 8L -> 1L))
+  }
+
   test("banded LSH embedding dedup recovers planted near-dups via equi-join") {
     val df = corpus()
     val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding",

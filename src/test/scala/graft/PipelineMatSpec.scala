@@ -144,6 +144,22 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(vs.min == 10L && vs.max == 90L, s"clipped to [p10, p90]: ${vs.min}..${vs.max}")
   }
 
+  test("minhash_dedup priority_col keeps the best copy, not the min id") {
+    import spark.implicits._
+    // identical long texts -> certain near-dups; doc 2 is the longest copy
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, t, 10L), (2L, t, 99L), (3L, t, 50L),
+      (9L, "totally different words entirely here now", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = steps(Seq(Map("op" -> "minhash_dedup",
+      "text_col" -> "text", "id_col" -> "doc_id",
+      "priority_col" -> "n_chars")))
+      .head.apply(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 9L))
+  }
+
   test("pack_sequences + shard steps append offsets/spans/shards") {
     import spark.implicits._
     val docs = Seq((1L, 3L), (2L, 0L), (3L, 5L), (4L, 2L))
