@@ -271,6 +271,56 @@ object Sketch {
         floor(col("e")).cast("long").as("est"): _*)
   }
 
+  /** Power-of-two histogram quantiles: the sort-free scale path for
+    * per-group quantiles over non-negative integer measures (doc
+    * lengths, token counts, latencies). [[Stats.quantilesByGroup]] is
+    * exact but pays a full ranking-window sort shuffle of the corpus;
+    * this sketch pays ONE partial-aggregated count shuffle of
+    * (group, bucket) cells — ≤ 64 buckets per group regardless of input
+    * size — and every later step runs on that bounded cell table.
+    *
+    * Bucket id = bit length of the value (`length(bin(v))`, a function
+    * Spark and DuckDB share with identical minimal-width semantics), so
+    * bucket b holds [2^(b−1), 2^b) (b=1 holds {0,1}). The reported
+    * estimate for quantile num/den is the UPPER bound 2^b − 1 of the
+    * first bucket whose cumulative count reaches the type-1 target rank
+    * ceil(n·num/den) — a deterministic ≤ 2× overestimate, the classic
+    * HDR-histogram telemetry contract, and all-integer arithmetic end to
+    * end (no interpolation, no floats), so the approximate answer still
+    * hash-matches any engine. Cumulative/total counts come from windows
+    * PARTITIONED BY GROUP over the cell table: ≤ 64 rows per partition,
+    * never a corpus-sized window. NULL and negative values are the
+    * caller's to filter — bit length is only monotone from 0 up. */
+  def logHistogramQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile spec")
+    quantiles.foreach { case (l, num, den) =>
+      require(num > 0 && den > 0 && num <= den,
+        s"quantile $l must satisfy 0 < num <= den: $num/$den") }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .withColumn("__bkt", length(bin(col(valueCol).cast("long"))))
+      .groupBy(col(groupCol), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("__bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val cum = cells
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val specs = quantiles.toDF("label", "__num", "__den")
+    cum.crossJoin(broadcast(specs))
+      // type-1 target rank k = ceil(n*num/den); first bucket with cum >= k
+      .filter(col("__cum") >=
+        expr("(__n * __num + __den - 1) div __den"))
+      .groupBy(col(groupCol), col("label"))
+      .agg(min(col("__bkt")).as("__b"))
+      .withColumn("est", expr("shiftleft(1L, __b) - 1L"))
+      .select(col(groupCol), col("label"), col("est"))
+  }
+
   /** One-row (est) estimate from [[hllRegisters]] output. The harmonic
     * mean is accumulated as an EXACT integer power sum (each register
     * contributes 2^(q+1−register), absent registers 2^(q+1)), so the

@@ -328,6 +328,15 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // power-of-two histogram quantiles: sort-free per-source length
+    // quantiles from one bounded (group, bucket) count shuffle
+    "q_sketch_histq" -> ((s, dir) => {
+      graft.ops.Sketch.logHistogramQuantiles(
+        Tables(s, dir, "documents"), "source", "n_chars",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy("source", "label")
+    }),
+
     // HyperLogLog distinct count: the register table is a deterministic
     // function of the data and the estimate divides two exact integers,
     // so even the approximate answer hash-matches the oracle
@@ -1811,6 +1820,25 @@ object PipelinePack extends QueryPack {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1 HAVING count(*) >= 75
         |ORDER BY 1""".stripMargin,
+
+    "q_sketch_histq" ->
+      """WITH cells AS (
+        |  SELECT source, length(bin(n_chars)) AS bkt, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bkt,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY bkt) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM cells),
+        |specs(label, num, den) AS (
+        |  VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+        |hit AS (
+        |  SELECT source, label, MIN(bkt) AS b
+        |  FROM cum CROSS JOIN specs
+        |  WHERE cum >= (n * num + den - 1) // den
+        |  GROUP BY 1, 2)
+        |SELECT source, label, CAST((1::BIGINT << b) - 1 AS BIGINT) AS est
+        |FROM hit ORDER BY source, label""".stripMargin,
 
     "q_sketch_hll" ->
       """WITH h AS (

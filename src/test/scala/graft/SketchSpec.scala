@@ -179,4 +179,22 @@ class SketchSpec extends AnyFunSuite {
     // linear counting is near-exact this far below m
     assert(est >= 8 && est <= 12, s"est=$est")
   }
+
+  test("log-histogram quantiles: hand-computed buckets, <=2x overestimate") {
+    import spark.implicits._
+    // bit lengths: 1->1, 2->2, 3->2, 8->4, 100->7
+    val df = (Seq(1L, 2L, 3L, 8L, 100L).map(("a", _)) ++
+      Seq(("b", 16L))).toDF("g", "v")
+    val got = Sketch.logHistogramQuantiles(df, "g", "v",
+      Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // a: n=5, p50 rank 3 -> cum reaches 3 at bucket 2 -> est 3;
+    //    p90 rank 5 -> bucket 7 -> est 127. b: single value 16 -> 31.
+    assert(got == Map(("a", "p50") -> 3L, ("a", "p90") -> 127L,
+      ("b", "p50") -> 31L, ("b", "p90") -> 31L))
+    // the contract: est >= exact type-1 quantile and < 2*(max(est_val,1))
+    val exact = Seq(1L, 2L, 3L, 8L, 100L).sorted.apply(2) // rank 3
+    assert(got(("a", "p50")) >= exact && got(("a", "p50")) < 2 * exact.max(1L))
+  }
 }
