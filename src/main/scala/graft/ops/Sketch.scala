@@ -297,26 +297,39 @@ object Sketch {
     quantiles.foreach { case (l, num, den) =>
       require(num > 0 && den > 0 && num <= den,
         s"quantile $l must satisfy 0 < num <= den: $num/$den") }
-    val spark = df.sparkSession
-    import spark.implicits._
     val cells = df
       .withColumn("__bkt", length(bin(col(valueCol).cast("long"))))
       .groupBy(col(groupCol), col("__bkt"))
       .agg(count(lit(1)).as("__c"))
+    histogramQuantilesFromCells(cells, groupCol, "__bkt", "__c", quantiles)
+  }
+
+  /** Quantile extraction from an already-aggregated (group, bucket,
+    * count) cell table — the [[logHistogramQuantiles]] finisher, split
+    * out because bucket counts MERGE BY SUM: a streaming job can
+    * maintain the cells with nothing but Spark's built-in watermarked
+    * window aggregation and finish with this exact batch arithmetic
+    * (see StreamingOps.dailyValueHistogramCells). Windows here partition
+    * by group over ≤ 64 cell rows — never a corpus-sized window. */
+  def histogramQuantilesFromCells(cells: DataFrame, groupCol: String,
+      bucketCol: String, countCol: String,
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
     val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy("__bkt")
+      .partitionBy(groupCol).orderBy(bucketCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     val cum = cells
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__cum", sum(col(countCol)).over(wCum))
+      .withColumn("__n", sum(col(countCol)).over(wAll))
     val specs = quantiles.toDF("label", "__num", "__den")
     cum.crossJoin(broadcast(specs))
       // type-1 target rank k = ceil(n*num/den); first bucket with cum >= k
       .filter(col("__cum") >=
         expr("(__n * __num + __den - 1) div __den"))
       .groupBy(col(groupCol), col("label"))
-      .agg(min(col("__bkt")).as("__b"))
+      .agg(min(col(bucketCol)).as("__b"))
       .withColumn("est", expr("shiftleft(1L, __b) - 1L"))
       .select(col(groupCol), col("label"), col("est"))
   }

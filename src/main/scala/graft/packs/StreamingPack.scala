@@ -51,6 +51,16 @@ object StreamingPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // streaming per-day value quantiles: merge-by-sum histogram cells
+    // ride the built-in watermarked window agg; the batch finisher
+    // extracts the quantiles over the closed days
+    "q_stream_histq" -> ((s, dir) => {
+      val cells = StreamingOps.dailyValueHistogramCells(s, dir)
+      graft.ops.Sketch.histogramQuantilesFromCells(cells, "day",
+        "__bkt", "__c", Seq(("p50", 1, 2), ("p95", 19, 20)))
+        .orderBy("day", "label")
+    }),
+
     // streaming drift monitor: closed 1-day windows' event-type mix
     // scored against all closed days with the batch KL contract —
     // state is only the built-in windowed aggregation
@@ -179,6 +189,29 @@ object StreamingPack extends QueryPack {
     // whose end the closing watermark passed) — estimate constants are
     // the p=6 set (m=64, q+1=43, alpha=0.709), identical parenthesization
     // to the batch hll oracles
+    "q_stream_histq" ->
+      """WITH wm AS (SELECT CAST(max(ts) - INTERVAL 2 DAY AS DATE) AS last_day
+        |            FROM events),
+        |cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    length(bin(CAST(floor(value) AS BIGINT))) AS bkt,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT day, bkt,
+        |    SUM(c) OVER (PARTITION BY day ORDER BY bkt) AS cum,
+        |    SUM(c) OVER (PARTITION BY day) AS n
+        |  FROM cells),
+        |specs(label, num, den) AS (VALUES ('p50', 1, 2), ('p95', 19, 20)),
+        |hit AS (
+        |  SELECT day, label, MIN(bkt) AS b
+        |  FROM cum CROSS JOIN specs
+        |  WHERE cum >= (n * num + den - 1) // den
+        |  GROUP BY 1, 2)
+        |SELECT h.day, h.label, CAST((1::BIGINT << b) - 1 AS BIGINT) AS est
+        |FROM hit h, wm WHERE h.day <= wm.last_day
+        |ORDER BY h.day, h.label""".stripMargin,
+
     "q_stream_hll_daily" ->
       """WITH wm AS (SELECT CAST(max(ts) - INTERVAL 2 DAY AS DATE) AS last_day
         |            FROM events),

@@ -352,6 +352,41 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** Streaming per-day value-histogram cells: the power-of-two histogram
+    * sketch's bucket counts MERGE BY SUM, so per-window histograms ride
+    * Spark's built-in watermarked window aggregation — state is
+    * windows × ≤ 64 bucket rows, no custom state — exactly the
+    * [[dailyHllRegisters]] reuse shape. The bucket derivation (bit
+    * length of floor(value)) is the SAME expression as the batch
+    * [[graft.ops.Sketch.logHistogramQuantiles]]; quantile extraction
+    * over the closed windows is its shared batch finisher
+    * `histogramQuantilesFromCells` — one definition, no drift. */
+  def dailyValueHistogramCells(spark: SparkSession,
+      sfDir: String): DataFrame = withNanosAsLong(spark) {
+    val sink = Files.createTempDirectory("graft_histq_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_histq_cp").toString
+    val tsT = eventsTsType(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", tsStamp(tsT))
+      .withWatermark("ts", "1 day")
+      .withColumn("__bkt",
+        length(bin(floor(col("value")).cast("long"))))
+      .groupBy(window(col("ts"), "1 day"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("window.start").cast("date").as("day"),
+        col("__bkt"), col("__c"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** Streaming ordered funnel — the incremental twin of
     * [[graft.ops.Funnel]]: per-key funnel depth maintained in
     * `flatMapGroupsWithState`. State per key is the first `maxPerStep`

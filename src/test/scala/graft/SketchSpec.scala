@@ -197,4 +197,27 @@ class SketchSpec extends AnyFunSuite {
     val exact = Seq(1L, 2L, 3L, 8L, 100L).sorted.apply(2) // rank 3
     assert(got(("a", "p50")) >= exact && got(("a", "p50")) < 2 * exact.max(1L))
   }
+
+  test("histogram finisher over pre-merged cells equals the one-shot op") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val df = (0 until 400)
+      .map(i => (s"g${i % 3}", rnd.nextInt(5000).toLong)).toDF("g", "v")
+    val specs = Seq(("p50", 1, 2), ("p95", 19, 20))
+    val oneShot = Sketch.logHistogramQuantiles(df, "g", "v", specs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // merge-by-sum: cells built in two halves and summed, as a
+    // streaming window aggregation would maintain them
+    val halves = df.withColumn("__bkt",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.bin($"v")))
+      .withColumn("__half", $"v" % 2)
+      .groupBy("g", "__half", "__bkt").count()
+      .groupBy("g", "__bkt")
+      .agg(org.apache.spark.sql.functions.sum("count").as("__c"))
+    val fromCells = Sketch.histogramQuantilesFromCells(halves, "g",
+      "__bkt", "__c", specs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fromCells == oneShot)
+  }
 }
