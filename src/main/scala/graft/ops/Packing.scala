@@ -102,6 +102,67 @@ object Packing {
       .drop("__bkt", "__off")
   }
 
+  /** Materialize the packed training sequences themselves: concatenate
+    * every document's whitespace tokens (each followed by ONE `sepToken`,
+    * the EOS) in `orderCol` order and emit each fixed-length sequence of
+    * `seqLen` tokens as a row — the step that actually builds pretraining
+    * batches, downstream of [[packSequences]]'s offset assignment.
+    *
+    * Shape: offsets come from the same bucketed prefix sum; each document
+    * then EXPLODES into one piece per sequence it spans (pieces ≈
+    * n_docs + total_tokens/seqLen rows — each piece is the document's
+    * token sub-slice landing in that sequence, an O(1)-per-token map-side
+    * slice), and ONE shuffle keyed by sequence id groups the pieces.
+    * Within a sequence, pieces from different documents occupy disjoint
+    * contiguous position ranges, so sorting the collected (position,
+    * piece) structs and flattening reconstructs the stream exactly; a
+    * sequence holds ≤ seqLen tokens, so per-group state is bounded. This
+    * is the unavoidable cost of batch assembly — the corpus text must
+    * move once to its sequence — and it is exactly one shuffle.
+    *
+    * Output: `seq_id`, `n_tokens` (= seqLen except the tail), `seq_text`.
+    * Deterministic text math end to end, so sequence bodies are
+    * engine-exact (pin md5(seq_text) in oracles). */
+  def assembleSequences(df: DataFrame, orderCol: String, textCol: String,
+      seqLen: Int, sepToken: String = "</s>",
+      buckets: Int = 256): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(sepToken.nonEmpty && !sepToken.contains(" "),
+      s"sepToken must be a single non-empty token: '$sepToken'")
+    val toks = df.select(col(orderCol), col(textCol))
+      .withColumn("__toks",
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), " +")))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    val packed = exclusiveRunningSum(toks, orderCol,
+      col("__n") + lit(1L), "__start", buckets)
+    val L = seqLen.toLong
+    val pieces = packed
+      // sequences spanned, separator included (it sits at __start + __n)
+      .select(col("__start"), col("__toks"), col("__n"),
+        explode(sequence(expr(s"__start div ${L}L"),
+          expr(s"(__start + __n) div ${L}L"))).as("seq_id"))
+      .withColumn("__lo",
+        greatest(lit(0L), col("seq_id") * L - col("__start")))
+      .withColumn("__hi",
+        least(col("__n"), (col("seq_id") + 1) * L - col("__start")))
+      .withColumn("__piece", expr(
+        "slice(__toks, cast(__lo + 1 as int), cast(__hi - __lo as int))"))
+      .withColumn("__piece",
+        when(col("seq_id") === expr(s"(__start + __n) div ${L}L"),
+          concat(col("__piece"), array(lit(sepToken))))
+          .otherwise(col("__piece")))
+      .select(col("seq_id"),
+        (col("__start") + col("__lo")).as("__pos"), col("__piece"))
+    pieces.groupBy("seq_id")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__piece"))))
+        .as("__ps"))
+      .select(col("seq_id"),
+        flatten(col("__ps.__piece")).as("__all"))
+      .select(col("seq_id"), size(col("__all")).cast("long").as("n_tokens"),
+        array_join(col("__all"), " ").as("seq_text"))
+  }
+
   /** seq_first/seq_last from tok_start + the doc's own token count (all
     * values non-negative, so `div` == floor division in Spark and `//` in
     * DuckDB). */

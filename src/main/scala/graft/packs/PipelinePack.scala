@@ -182,6 +182,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // materialized training sequences: every 512-token sequence of the
+    // concatenated corpus stream (EOS-separated), bodies md5-pinned
+    "q_pack_assemble" -> ((s, dir) => {
+      Packing.assembleSequences(Tables(s, dir, "documents"), "doc_id",
+        "text", seqLen = 512)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(col("seq_text")).as("h"))
+        .orderBy("seq_id")
+    }),
+
     // packing-quality summary: stream length, sequence count, and how many
     // documents straddle a sequence boundary at seqLen=512
     "q_pack_stats" -> ((s, dir) => {
@@ -1657,6 +1667,28 @@ object PipelinePack extends QueryPack {
         |  CAST(tok_start // 512 AS BIGINT) AS seq_first,
         |  CAST((tok_start + greatest(n_tokens - 1, 0)) // 512 AS BIGINT) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_assemble" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), ' +') END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    COALESCE(SUM(len(toks) + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM t),
+        |ti AS (
+        |  SELECT s, toks, unnest(range(1, len(toks) + 1)) AS j FROM c),
+        |tok AS (
+        |  SELECT s + j - 1 AS pos, toks[CAST(j AS INT)] AS tk FROM ti
+        |  UNION ALL
+        |  SELECT s + n AS pos, '</s>' AS tk FROM c)
+        |SELECT CAST(pos // 512 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(tk, ' ' ORDER BY pos)) AS h
+        |FROM tok GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     "q_pack_stats" ->
       """WITH t AS (

@@ -84,6 +84,26 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("assembled sequences reconstruct the EOS-separated stream exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),        // tokens 0-2, sep at 3
+      (2L, ""),             // empty: sep only, at 4
+      (3L, "d e f g h"),    // tokens 5-9, sep at 10
+      (4L, "i j"))          // tokens 11-12, sep at 13
+      .toDF("doc_id", "text")
+    val out = Packing.assembleSequences(docs, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val stream = "a b c </s> </s> d e f g h </s> i j </s>".split(" ")
+    val expect = stream.grouped(4).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.length.toLong, g.mkString(" ")) }
+      .toSeq
+    assert(out.toSeq === expect)
+    // every sequence except the tail is exactly seqLen tokens
+    assert(out.dropRight(1).forall(_._2 == 4L))
+  }
+
   test("separator width 0 packs back-to-back; empty corpus yields no rows") {
     import spark.implicits._
     val df = Seq((1L, 4L), (2L, 4L)).toDF("doc_id", "n_tokens")
