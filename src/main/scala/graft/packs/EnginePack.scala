@@ -927,6 +927,64 @@ object EnginePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // batch assembly from the project surface: gate → token_count →
+    // pack_sequences → shard, model SQL + YAML only — the training-prep
+    // chain a pretraining project would materialize
+    "q_engine_pack_project" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_pack_proj")
+      write(proj, "dbt_project.yml",
+        """name: packing
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/packed.sql",
+        """select doc_id, text from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: packed
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: gopher_gate
+          |          text_col: text
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |          drop_text: true
+          |        - op: pack_sequences
+          |          id_col: doc_id
+          |          tokens_col: n_tok
+          |          seq_len: 512
+          |        - op: shard
+          |          id_col: doc_id
+          |          tokens_col: n_tok
+          |          budget: 10000
+          |""".stripMargin)
+      val schema = "g_engine_pack"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_pack_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "packed"))
+        .select("doc_id", "n_tok", "tok_start", "seq_first", "seq_last",
+          "shard")
+        .orderBy("doc_id")
+    }),
+
     // the tokenizer-true composition from the project surface: gate →
     // BPE token_count (merges trained on the GATED corpus, exactly the
     // step input) → temperature mix budgeted in BPE tokens — model SQL
@@ -1105,6 +1163,32 @@ object EnginePack extends QueryPack {
     // subset (shared training chain, the step-input contract) → per-doc
     // BPE counts → the same md5-bucket sqrt-temperature mix arithmetic
     // as q_pipeline_curation, budgeted in BPE tokens
+    // gate (shared Gopher CTEs) → whitespace token counts → the global
+    // window twins of the bucketed prefix-sum offsets/spans/shards
+    "q_engine_pack_project" ->
+      s"""WITH ${PipelinePack.gopherCtes("TRUE")},
+        |kept AS (
+        |  SELECT b.doc_id, b.text
+        |  FROM rules r JOIN base b USING (doc_id)
+        |  WHERE r.r_min_tokens AND r.r_max_tokens AND r.r_word_len
+        |    AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram),
+        |tokc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM kept),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        |  FROM tokc)
+        |SELECT doc_id, n_tok, CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(tok_start // 512 AS BIGINT) AS seq_first,
+        |  CAST((tok_start + greatest(n_tok - 1, 0)) // 512 AS BIGINT) AS seq_last,
+        |  CAST(run // 10000 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_engine_bpe_pipeline" ->
       s"""WITH ${PipelinePack.gopherCtes("TRUE")},
         |kept AS (
