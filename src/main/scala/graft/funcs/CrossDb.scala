@@ -145,6 +145,48 @@ object CrossDb {
   def arrayAppend(arr: Column, item: Column): Column = concat(arr, array(item))
   def arrayConcat(a: Column, b: Column): Column = concat(a, b)
 
+  /** pivot (dbt_utils.pivot — hub package macro the reference serves via
+    * its package loader; `crates/dbt-loader` fetches dbt-utils from the
+    * hub): one conditional aggregate per pinned pivot value,
+    * `agg(CASE WHEN column = v THEN then_value ELSE else_value END) AS v`.
+    * The value list is pinned (not discovered) — at scale a two-pass
+    * "collect distinct values then pivot" puts a driver collect in the
+    * plan; dbt_utils makes the caller pin the list for the same reason.
+    * Emits one Column per value; all codegen'd, one partial-agg shuffle. */
+  def pivotColumns(column: Column, values: Seq[String], agg: String = "sum",
+      thenValue: Column = lit(1), elseValue: Column = lit(0),
+      prefix: String = "", suffix: String = ""): Seq[Column] = {
+    values.map { v =>
+      val branch = when(column === lit(v), thenValue).otherwise(elseValue)
+      val agged = agg.toLowerCase match {
+        case "sum" => sum(branch)
+        case "max" => max(branch)
+        case "min" => min(branch)
+        case "count" => count(branch)
+        case other => throw new IllegalArgumentException(
+          s"pivot agg must be sum/max/min/count, got '$other'")
+      }
+      agged.as(prefix + v + suffix)
+    }
+  }
+
+  /** unpivot (dbt_utils.unpivot): melt a pinned list of measure columns
+    * into (field_name, value) rows. Spark-first: ONE `stack(n, ...)`
+    * generator — a map-side row expansion, no shuffle, no union of N
+    * scans (dbt_utils emits a UNION ALL per column; at 100 TB that is N
+    * scans of the fact table — stack reads it once). Values are cast to
+    * `castTo` so heterogeneous measure types share one value column. */
+  def unpivot(df: org.apache.spark.sql.DataFrame, idCols: Seq[String],
+      valueCols: Seq[String], fieldName: String = "field_name",
+      valueName: String = "value", castTo: String = "double")
+      : org.apache.spark.sql.DataFrame = {
+    require(valueCols.nonEmpty, "unpivot needs at least one value column")
+    val pairs = valueCols
+      .map(c => s"'$c', CAST(`$c` AS $castTo)").mkString(", ")
+    df.selectExpr(idCols.map(c => s"`$c`") :+
+      s"stack(${valueCols.size}, $pairs) AS (`$fieldName`, `$valueName`)": _*)
+  }
+
   /** cast_bool_to_text (MA/utils/cast_bool_to_text.sql). */
   def castBoolToText(c: Column): Column =
     when(c.isNull, lit(null).cast("string"))

@@ -113,4 +113,48 @@ object Stats {
       .withColumn("clipped",
         least(greatest(col(valueCol), col("lo")), col("hi")))
   }
+
+  /** Per-group Pearson correlation of two INTEGER-valued columns, exact
+    * up to the final division — the feature-association profile a
+    * curation pipeline reads before trusting a proxy metric (does
+    * `n_chars` track token count per source? is a cheap feature a
+    * usable stand-in for an expensive one?).
+    *
+    * Engine-exact where it matters: the five sufficient statistics
+    * (Σx, Σy, Σxy, Σx², Σy², n) accumulate in DECIMAL(38,0) — integer
+    * sums are order-independent, so any partition/merge order produces
+    * identical values, unlike `corr()`'s streaming double covariance
+    * (order-dependent, never oracle-matchable). The numerator
+    * n·Σxy − Σx·Σy and the two variance terms are exact DECIMAL
+    * products (caller contract: n·Σx² < 10³⁸ — holds for any realistic
+    * corpus: 10¹² rows of |x| ≤ 10⁶ gives 10³⁰); only the final
+    * r = cov / √(varx·vary) runs in IEEE doubles (one mul, one sqrt,
+    * one div — each correctly rounded), rounded to 6 places.
+    *
+    * Per-row products run in LONG (caller contract: |x·y| < 2⁶³ per
+    * ROW — a bound on value magnitudes, not corpus size). Zero-variance
+    * groups yield NULL r. Scale shape: ONE partial-agg'd shuffle of six
+    * numbers per group; no windows, no joins. */
+  def corrByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val in = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val stats = in.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(d38).as("__n"),
+      sum(col("__x").cast(d38)).as("__sx"),
+      sum(col("__y").cast(d38)).as("__sy"),
+      sum((col("__x") * col("__y")).cast(d38)).as("__sxy"),
+      sum((col("__x") * col("__x")).cast(d38)).as("__sxx"),
+      sum((col("__y") * col("__y")).cast(d38)).as("__syy"))
+    val cov = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val varx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val vary = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    stats.select(col(groupCol), col("__n").cast("bigint").as("n"),
+      when(varx > 0 && vary > 0,
+        round(cov.cast("double") /
+          sqrt(varx.cast("double") * vary.cast("double")), 6)).as("r"))
+  }
 }

@@ -136,6 +136,28 @@ object FuncsPack extends QueryPack {
         .orderBy("n_nationkey")
     }),
 
+    // dbt_utils.pivot: one conditional aggregate per pinned value — the
+    // value list is pinned, never discovered (no driver collect at scale).
+    "q_fn_pivot" -> ((s, dir) => {
+      val cols = CrossDb.pivotColumns(col("event_type"),
+        Seq("click", "view", "purchase", "signup", "error"), agg = "sum")
+      Tables(s, dir, "events")
+        .filter(col("user_id") % 29 === 0)
+        .select("user_id", "event_type")
+        .groupBy(col("user_id"))
+        .agg(cols.head, cols.tail: _*)
+        .orderBy("user_id")
+    }),
+
+    // dbt_utils.unpivot: ONE stack() generator (map-side row expansion)
+    // instead of dbt_utils' UNION ALL per column (N scans of the fact).
+    "q_fn_unpivot" -> ((s, dir) => {
+      CrossDb.unpivot(
+        Tables(s, dir, "part").filter(col("p_partkey") % 97 === 0),
+        idCols = Seq("p_partkey"), valueCols = Seq("p_size", "p_retailprice"))
+        .orderBy("p_partkey", "field_name")
+    }),
+
     // except / intersect set operators (native in Spark SQL).
     "q_fn_setops" -> ((s, dir) => {
       val early = Tables(s, dir, "orders")
@@ -239,6 +261,24 @@ object FuncsPack extends QueryPack {
         |  concat_ws(',', n_name, 'x', 'a', 'b') AS concatenated,
         |  CAST(3 AS INT) AS appended_len
         |FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey""".stripMargin,
+
+    "q_fn_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events WHERE user_id % 29 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_fn_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS field_name, CAST(p_size AS DOUBLE) AS value
+        |FROM part WHERE p_partkey % 97 = 0
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+        |FROM part WHERE p_partkey % 97 = 0
+        |ORDER BY p_partkey, field_name""".stripMargin,
 
     "q_fn_setops" ->
       """WITH early AS (SELECT DISTINCT o_custkey FROM orders

@@ -550,6 +550,40 @@ object PipelinePack extends QueryPack {
     // NOTE: the oracle SQL pins the default bounds (1/100 and 99/100 in
     // its ceil-division rank targets); change them here and the oracle
     // text must change in lockstep.
+    // audit_helper compare_relations: documents vs a perturbed twin
+    // (edits, deletes, inserts) — ONE null-safe full-outer join, exact
+    // per-status counts
+    "q_audit_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text", "source")
+      graft.ops.Audit.compareSummary(docs, auditTwin(docs),
+        Seq("doc_id"), Seq("text", "source"))
+        .orderBy("status")
+    }),
+
+    // row-level audit diff: every non-identical key with its side hashes
+    "q_audit_rows" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text", "source")
+      graft.ops.Audit.compareRelations(docs, auditTwin(docs),
+        Seq("doc_id"), Seq("text", "source"))
+        .filter(col("status") =!= "identical")
+        .select(col("doc_id"), col("status"),
+          md5(coalesce(col("a_text"), lit("__null__"))).as("a_hash"),
+          md5(coalesce(col("b_text"), lit("__null__"))).as("b_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source Pearson correlation between chars and tokens: the five
+    // sufficient statistics are exact DECIMAL(38,0) sums (one shuffle of
+    // six numbers per group); only the final r is IEEE double
+    "q_stats_corr" -> ((s, dir) => {
+      graft.ops.Stats.corrByGroup(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextAnalysis.tokenCount("text").as("n_tokens")),
+        "source", "n_chars", "n_tokens")
+        .orderBy("source")
+    }),
+
     "q_stats_winsorize" -> ((s, dir) => {
       graft.ops.Stats.winsorize(
         Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
@@ -829,6 +863,42 @@ object PipelinePack extends QueryPack {
 
   /** Shared shingle CTE (word 3-shingles, distinct) — byte-identical to
     * Dedup.shingleExpr. */
+  /** Perturbed documents twin for the audit queries: every 17th doc
+    * deleted, every 13th edited, every 19th re-inserted under a new key
+    * — deterministic, same arithmetic in the oracle's `b` CTE. */
+  private def auditTwin(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 1, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 19 === 2)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"),
+          col("source")))
+
+  /** Shared audit-diff status CTEs (documents vs [[auditTwin]]). */
+  private val auditCtes =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 1 THEN text || ' [edited]' ELSE text END AS text,
+      |    source
+      |  FROM documents WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 500000, text, source FROM documents WHERE doc_id % 19 = 2),
+      |j AS (
+      |  SELECT a.doc_id AS ka, b.doc_id AS kb, a.text AS a_text,
+      |    a.source AS a_src, b.text AS b_text, b.source AS b_src
+      |  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+      |st AS (
+      |  SELECT COALESCE(ka, kb) AS doc_id,
+      |    CASE WHEN ka IS NULL THEN 'only_in_b'
+      |         WHEN kb IS NULL THEN 'only_in_a'
+      |         WHEN a_text IS NOT DISTINCT FROM b_text
+      |          AND a_src IS NOT DISTINCT FROM b_src THEN 'identical'
+      |         ELSE 'changed' END AS status,
+      |    a_text, b_text
+      |  FROM j)""".stripMargin
+
   private val shingleCte =
     """sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -2180,6 +2250,38 @@ object PipelinePack extends QueryPack {
 
     // winsorize: the q_stats_quantiles ranked indexing for BOTH bounds
     // (lo = ceil(n/100), hi = ceil(99n/100)), then integer clipping
+    "q_audit_diff" -> (auditCtes +
+      """
+        |SELECT status, count(*) AS n FROM st GROUP BY 1 ORDER BY status"""
+        .stripMargin),
+
+    "q_audit_rows" -> (auditCtes +
+      """
+        |SELECT doc_id, status,
+        |  md5(coalesce(a_text, '__null__')) AS a_hash,
+        |  md5(coalesce(b_text, '__null__')) AS b_hash
+        |FROM st WHERE status <> 'identical' ORDER BY doc_id"""
+        .stripMargin),
+
+    "q_stats_corr" ->
+      """WITH t AS (
+        |  SELECT source, CAST(n_chars AS HUGEINT) AS x,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), ' +')) END AS HUGEINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS r
+        |FROM a ORDER BY source""".stripMargin,
+
     "q_stats_winsorize" ->
       """WITH ranked AS (
         |  SELECT doc_id, source, n_chars,

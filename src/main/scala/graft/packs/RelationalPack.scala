@@ -109,6 +109,30 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Rolling 7-day RANGE-frame aggregate: daily totals per user, then a
+    // value-based window frame (6 preceding days .. current day) — the
+    // time-series shape ROWS frames get wrong when days are missing.
+    // Scale shape: the daily pre-aggregate shuffles on (user, day) with
+    // map-side partials; the window re-shuffles only the collapsed
+    // user×day rows (≪ raw events), and the frame is bounded (≤7 days of
+    // peer state per partition cursor).
+    "q_window_rolling" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          dec(col("value")).as("v"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("v")).as("dtot"))
+        .withColumn("dayn", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("rolling_7d", sum(col("dtot")).over(w))
+        .select(col("user_id"), col("day"),
+          moneyOut(col("dtot")).as("day_total"),
+          moneyOut(col("rolling_7d")).as("rolling_7d"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // Anti join: orders with no lineitems (NOT EXISTS).
     "q_anti_join" -> ((s, dir) => {
       val ord = Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -217,6 +241,19 @@ object RelationalPack extends QueryPack {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_rolling" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS dtot
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, day,
+        |  CAST(CAST(dtot AS DECIMAL(38,4)) AS DOUBLE) AS day_total,
+        |  CAST(CAST(SUM(dtot) OVER (PARTITION BY user_id ORDER BY dayn
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS rolling_7d
+        |FROM daily ORDER BY user_id, day""".stripMargin,
 
     "q_anti_join" ->
       """SELECT o_orderkey, o_orderstatus FROM orders

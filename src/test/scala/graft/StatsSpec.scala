@@ -140,4 +140,32 @@ class StatsSpec extends AnyFunSuite {
     assert(byV(1000L) == ((2L, 1L, true)))
     assert(byV(1L) == ((2L, 1L, false)))
   }
+
+  test("corrByGroup matches the hand formula and handles degenerate groups") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long, java.lang.Long)](
+      // perfect positive: y = 2x + 1
+      ("pos", 1L, 3L), ("pos", 2L, 5L), ("pos", 3L, 7L),
+      // perfect negative: y = -x
+      ("neg", 1L, -1L), ("neg", 2L, -2L), ("neg", 5L, -5L),
+      // hand-computable: (1,2),(2,1),(3,4)
+      ("mix", 1L, 2L), ("mix", 2L, 1L), ("mix", 3L, 4L),
+      // zero x-variance
+      ("flat", 7L, 1L), ("flat", 7L, 2L),
+      // NULLs dropped, leaving a perfect pair
+      ("nul", 1L, 1L), ("nul", null, 9L), ("nul", 2L, 2L), ("nul", 3L, null)
+    ).toDF("g", "x", "y")
+    val out = graft.ops.Stats.corrByGroup(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("pos") == ((3L, Some(1.0))))
+    assert(out("neg") == ((3L, Some(-1.0))))
+    // mix: n=3 sx=6 sy=7 sxy=16 sxx=14 syy=21; cov=48-42=6,
+    // varx=42-36=6, vary=63-49=14 ⇒ r = 6/sqrt(84)
+    val expected = BigDecimal(6.0 / math.sqrt(6.0 * 14.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("mix") == ((3L, Some(expected))))
+    assert(out("flat") == ((2L, None)))
+    assert(out("nul") == ((2L, Some(1.0))))
+  }
 }
