@@ -244,6 +244,27 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights (Xie et al. 2023): every doc's
+    // length-normalized log ratio of hashed-ngram likelihood under the
+    // zh-language target slice vs the whole corpus
+    "q_sample_dsir" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.Dsir.importanceWeights(
+        docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "zh").select("doc_id", "text"),
+        "doc_id", "text", buckets = 1024)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection: the 50 most target-like docs (logw desc, id asc)
+    "q_sample_dsir_topk" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.Dsir.selectTopK(
+        docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "zh").select("doc_id", "text"),
+        "doc_id", "text", k = 50, buckets = 1024)
+    }),
+
     // stratified sampling: per-language keep rates, md5-deterministic
     "q_sample_stratified" -> ((s, dir) => {
       graft.ops.Sampling.stratifiedSample(
@@ -898,6 +919,39 @@ object PipelinePack extends QueryPack {
       |         ELSE 'changed' END AS status,
       |    a_text, b_text
       |  FROM j)""".stripMargin
+
+  /** Shared DSIR CTEs: hashed unigram+bigram features (md5-convention
+    * buckets, B=1024), Laplace-smoothed target(lang='zh')/raw bucket
+    * log-ratios, per-doc DECIMAL(38,18) sums — the oracle twin of
+    * [[graft.ops.Dsir.importanceWeights]]. */
+  private val dsirCtes =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, unnest(w) AS f FROM d
+      |  UNION ALL
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i+1])) AS f FROM d),
+      |fb AS (SELECT doc_id, lang,
+      |  ('0x' || substr(md5(f), 1, 12))::BIGINT % 1024 AS b FROM feats),
+      |tc AS (SELECT b, count(*) AS tc FROM fb WHERE lang = 'zh' GROUP BY 1),
+      |rc AS (SELECT b, count(*) AS rc FROM fb GROUP BY 1),
+      |tots AS (SELECT (SELECT sum(tc) FROM tc) AS tt,
+      |                (SELECT sum(rc) FROM rc) AS rt),
+      |lr AS (
+      |  SELECT rc.b,
+      |    ln(CAST(COALESCE(tc.tc, 0) AS DOUBLE) + 1.0)
+      |      - ln(CAST(tt AS DOUBLE) + 1024.0)
+      |      - ln(CAST(rc.rc AS DOUBLE) + 1.0)
+      |      + ln(CAST(rt AS DOUBLE) + 1024.0) AS lr
+      |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tots),
+      |doc AS (
+      |  SELECT fb.doc_id, count(*) AS n_feats,
+      |    SUM(CAST(lr AS DECIMAL(38,18))) AS s
+      |  FROM fb JOIN lr ON fb.b = lr.b GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+      |    round(CAST(s AS DOUBLE) / n_feats, 6) AS logw
+      |  FROM doc)""".stripMargin
 
   private val shingleCte =
     """sh AS (
@@ -2262,6 +2316,16 @@ object PipelinePack extends QueryPack {
         |  md5(coalesce(b_text, '__null__')) AS b_hash
         |FROM st WHERE status <> 'identical' ORDER BY doc_id"""
         .stripMargin),
+
+    "q_sample_dsir" -> (dsirCtes +
+      """
+        |SELECT doc_id, n_feats, logw FROM scored ORDER BY doc_id"""
+        .stripMargin),
+
+    "q_sample_dsir_topk" -> (dsirCtes +
+      """
+        |SELECT doc_id, n_feats, logw FROM scored
+        |ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin),
 
     "q_stats_corr" ->
       """WITH t AS (
