@@ -715,4 +715,58 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means the embedding
+    * space into `nlist` cells, find near-duplicate pairs ONLY within
+    * each cell (cosine ≥ threshold), and keep one representative per
+    * duplicate component — the paper's keep rule: the member FARTHEST
+    * from its cell centroid (lowest centroid similarity retains the
+    * least prototypical, most informative copy), ties → min id.
+    *
+    * Output: one row per SURVIVING id — (id, cid, n_dups), where cid is
+    * the k-means cell and n_dups the size of the component it won
+    * (1 for docs with no in-cell near-dup).
+    *
+    * Spark-first scale shape: clustering is [[Similarity.kmeansCentroids]]
+    * (assignment map-side against broadcast centroids, update shuffles
+    * only k×dim partial sums); the pair join is an equi-join ON THE CELL
+    * ID — the quadratic cost is per-cell, Σ|cell|², which is the
+    * operator's knob: SemDeDup scales `nlist` with the corpus so cells
+    * stay ~constant-sized (the paper runs k=50k on 5B docs). Components
+    * and the priority keep ride the existing iterative
+    * [[connectedComponents]] + [[canonicalCorpusBy]] machinery; the
+    * centroid distance used for the keep rule is the same exact-decimal
+    * d2 the assignment already ranks, so the whole pipeline — training
+    * included — is oracle-checkable.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 2, threshold: Double = 0.7)
+      : DataFrame = {
+    import graft.expressions.PipelineExpressions
+    require(nlist > 0 && iters >= 0, s"bad nlist=$nlist / iters=$iters")
+    val centroids = Similarity.kmeansCentroids(df, idCol, vecCol,
+      nlist, iters)
+    val v = maybeCache(spread(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.normExact(vecCol).as("norm"),
+        PipelineExpressions
+          .nearest_centroids(col(vecCol), centroids, 1)(0).as("cid"),
+        PipelineExpressions
+          .centroid_distances(col(vecCol), centroids).as("__ds"))
+      .withColumn("d2", element_at(col("__ds"), col("cid") + 1))
+      .drop("__ds"))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"),
+      col("norm").as("na"), col("cid"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"),
+      col("norm").as("nb"), col("cid").as("__cid_b"))
+    val pairs = a.join(b,
+        col("cid") === col("__cid_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosineFromParts("va", "vb", "na", "nb"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+    canonicalCorpusBy(v.select(col("id"), col("cid"), col("d2")),
+      pairs, "id", "d2")
+      .select(col("id"), col("cid"), col("n_dups"))
+  }
 }

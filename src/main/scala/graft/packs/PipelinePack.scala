@@ -94,6 +94,17 @@ object PipelinePack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup: k-means cells → within-cell cosine near-dup components →
+    // keep the member farthest from its centroid (training included in
+    // the oracle)
+    "q_dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 8, iters = 2, threshold = 0.4)
+        .select(col("id").as("vec_id"), col("cid").cast("int").as("cid"),
+          col("n_dups"))
+        .orderBy("vec_id")
+    }),
+
     // brute-force exact cosine top-k
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -1075,6 +1086,68 @@ object PipelinePack extends QueryPack {
        |${coarseAsgCte(iters)}""".stripMargin
   }
 
+  /** DuckDB mirror of Dedup.semanticDedup: the coarse k-means chain,
+    * within-cell exact-decimal cosine pairs, recursive-CTE components,
+    * and the farthest-from-centroid (d2 DESC, id ASC) keep rule.
+    * asg/dist are re-aliased AS MATERIALIZED — each is referenced 2-3
+    * times and DuckDB's default inlining would re-run the whole Lloyd
+    * chain per reference (the BPE oracle lesson). */
+  private def semdedupSql(nlist: Int, iters: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |exd AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
+       |${coarseKmeansCtes(nlist, iters)},
+       |asgm AS MATERIALIZED (SELECT * FROM asg$iters),
+       |distm AS MATERIALIZED (SELECT * FROM dist$iters),
+       |cellp AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asgm a JOIN asgm b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(SUM(CAST(ea.xd * eb.xd AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM cellp p JOIN exd ea ON ea.vec_id = p.id_a
+       |               JOIN exd eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+       |  GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(xd * xd AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+       |  FROM exd GROUP BY vec_id),
+       |spairs AS MATERIALIZED (
+       |  SELECT d.id_a AS u, d.id_b AS v FROM dots d
+       |  JOIN norms na ON na.vec_id = d.id_a
+       |  JOIN norms nb ON nb.vec_id = d.id_b
+       |  WHERE d.dot / (na.nrm * nb.nrm) >= $threshold),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v FROM spairs UNION SELECT v, u FROM spairs),
+       |reach(id, lab) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+       |cc AS MATERIALIZED (
+       |  SELECT id, min(lab) AS component_id FROM reach GROUP BY id),
+       |pri AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid, d.d2
+       |  FROM asgm a JOIN distm d ON d.vec_id = a.vec_id AND d.cid = a.cid),
+       |csize AS (SELECT component_id, count(*) AS n FROM cc GROUP BY 1),
+       |keep AS (
+       |  SELECT id, component_id FROM (
+       |    SELECT c.id, c.component_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.component_id
+       |        ORDER BY p.d2 DESC, c.id) AS rn
+       |    FROM cc c JOIN pri p ON p.vec_id = c.id) t WHERE rn = 1)
+       |SELECT k.id AS vec_id, CAST(p.cid AS INT) AS cid,
+       |  CAST(cs.n AS BIGINT) AS n_dups
+       |FROM keep k JOIN csize cs USING (component_id)
+       |            JOIN pri p ON p.vec_id = k.id
+       |UNION ALL
+       |SELECT p.vec_id, CAST(p.cid AS INT), CAST(1 AS BIGINT)
+       |FROM pri p WHERE p.vec_id NOT IN (SELECT id FROM cc)
+       |ORDER BY vec_id""".stripMargin
+
   private def ivfSql(nlist: Int, nprobe: Int, iters: Int, k: Int): String = {
     s"""WITH ex AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1679,6 +1752,9 @@ object PipelinePack extends QueryPack {
         |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
         |      bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_semantic" -> semdedupSql(nlist = 8, iters = 2,
+      threshold = 0.4),
 
     "q_dedup_embedding" -> cosineSql(
       "TRUE", "TRUE", "a.vec_id < b.vec_id",

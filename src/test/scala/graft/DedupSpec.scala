@@ -599,4 +599,32 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("semanticDedup keeps the farthest-from-centroid member per component") {
+    import spark.implicits._
+    // nlist=1, iters=0: the centroid is exactly v1 (smallest id's vector)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f)),  // near-dup of v1, farther from centroid
+      (3L, Array(0.0f, 1.0f)))    // dissimilar singleton
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      nlist = 1, iters = 0, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // {1,2} form a component; 2 is farther from the centroid (= v1), so
+    // the paper's keep rule retains 2 and drops the prototypical 1
+    assert(out == Map(2L -> 2L, 3L -> 1L))
+  }
+
+  test("semanticDedup component sizes partition the corpus") {
+    val df = corpus()
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      nlist = 4, iters = 1, threshold = 0.9).collect()
+    // every doc is in exactly one component: survivors' sizes sum to n
+    assert(out.map(_.getLong(2)).sum == 42L)
+    // the two planted near-dup pairs each collapse (at most 40 survive);
+    // singletons keep n_dups = 1
+    assert(out.length <= 40)
+    assert(out.count(_.getLong(2) > 1L) >= 1)
+  }
 }
