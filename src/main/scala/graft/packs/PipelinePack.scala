@@ -582,6 +582,20 @@ object PipelinePack extends QueryPack {
     // NOTE: the oracle SQL pins the default bounds (1/100 and 99/100 in
     // its ceil-division rank targets); change them here and the oracle
     // text must change in lockstep.
+    // daily gap-fill + LOCF: dense per-user day spine between first and
+    // last event, holes carry the previous observed total forward
+    "q_ts_gapfill" -> ((s, dir) => {
+      val filled = graft.ops.Timeseries.gapFillDaily(
+        Tables(s, dir, "events"), "user_id", "ts", "value")
+      filled.select(col("user_id"), col("day"),
+        col("day_value").cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("day_total"),
+        col("filled").cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("filled"),
+        col("observed"))
+        .orderBy("user_id", "day")
+    }),
+
     // audit_helper compare_relations: documents vs a perturbed twin
     // (edits, deletes, inserts) — ONE null-safe full-outer join, exact
     // per-status counts
@@ -2380,6 +2394,28 @@ object PipelinePack extends QueryPack {
 
     // winsorize: the q_stats_quantiles ranked indexing for BOTH bounds
     // (lo = ceil(n/100), hi = ceil(99n/100)), then integer clipping
+    "q_ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.v
+        |  FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day,
+        |  CAST(CAST(v AS DECIMAL(38,4)) AS DOUBLE) AS day_total,
+        |  CAST(CAST(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day) AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS filled,
+        |  v IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
     "q_audit_diff" -> (auditCtes +
       """
         |SELECT status, count(*) AS n FROM st GROUP BY 1 ORDER BY status"""
