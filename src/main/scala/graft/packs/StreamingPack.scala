@@ -29,6 +29,13 @@ object StreamingPack extends QueryPack {
         .orderBy("user_id", "session_start")
     }),
 
+    // streaming per-day top-k event types: built-in watermarked window
+    // agg state only; the rank finisher runs batch over closed windows
+    "q_stream_topk" -> ((s, dir) => {
+      StreamingOps.dailyTopEventTypes(s, dir, k = 2)
+        .orderBy("day", "rank")
+    }),
+
     // stream–static broadcast enrichment (stateless, append-exact)
     "q_stream_enrich" -> ((s, dir) => {
       StreamingOps.enrichWithStatic(s, dir)
@@ -100,6 +107,23 @@ object StreamingPack extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // the q_stream_window closed-day cutoff, then rank per day by
+    // (count desc, event_type asc), keep the top 2
+    "q_stream_topk" ->
+      """WITH wm AS (SELECT CAST(max(ts) - INTERVAL 2 DAY AS DATE) AS last_day
+        |            FROM events),
+        |counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) <= (SELECT last_day FROM wm)
+        |  GROUP BY 1, 2)
+        |SELECT day, event_type, n_events, rank FROM (
+        |  SELECT day, event_type, n_events,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY n_events DESC, event_type) AS INT) AS rank
+        |  FROM counts) t
+        |WHERE rank <= 2 ORDER BY day, rank""".stripMargin,
 
     // same closed-window cutoff as q_stream_window, then the
     // klDriftSql grid over (day, event_type) counts — four exact

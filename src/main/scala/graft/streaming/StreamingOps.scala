@@ -118,6 +118,25 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** Streaming per-window top-k (trending event types per day): the
+    * watermarked 1-day window aggregation holds windows × event-types
+    * rows of built-in state (no custom state), and the rank finisher
+    * runs batch over the CLOSED windows in the sink — the same
+    * sketch-then-finish split as the streaming HLL/quantile ops, so
+    * continuous deployments pay only the bounded window-agg state.
+    * Ties rank deterministically (count desc, event_type asc). */
+  def dailyTopEventTypes(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    dailyWindowAgg(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("day"), col("event_type"), col("n_events"), col("rank"))
+  }
+
   /** Streaming distribution-drift monitor: watermarked 1-day windows
     * aggregate per-event-type counts (append mode — only closed
     * windows emit), then each closed day's event-type distribution is
