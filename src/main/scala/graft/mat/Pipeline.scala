@@ -45,12 +45,15 @@ import org.apache.spark.sql.functions._
   * The full step vocabulary is [[PipelineSteps.knownOps]]: quality
   * gates (gopher_gate, span_gate, quality_classifier_filter — the
   * last trains its logistic model on the step's own input), dedup
-  * (exact_dedup, minhash_dedup), text prep (normalize, token_count —
-  * whitespace or corpus-trained `tokenizer: bpe`), mixing
-  * (temperature_mix, weighted_mix), robust-stats cleanup
-  * (mad_outlier_filter, winsorize), and batch assembly
-  * (pack_sequences, shard — both on the bucketed distributed prefix
-  * sum, so the global packing order never costs a global window).
+  * (exact_dedup, minhash_dedup, semantic_dedup over an embedding
+  * column), domain selection (dsir_select — hashed-ngram importance
+  * weights against a `target_where:` slice of the step's own input),
+  * text prep (normalize, token_count — whitespace or corpus-trained
+  * `tokenizer: bpe`), mixing (temperature_mix, weighted_mix),
+  * robust-stats cleanup (mad_outlier_filter, winsorize), and batch
+  * assembly (pack_sequences, shard — both on the bucketed distributed
+  * prefix sum, so the global packing order never costs a global
+  * window).
   */
 object PipelineMat extends Materialization {
   val name = "pipeline"
@@ -79,9 +82,10 @@ object PipelineSteps {
   final case class Step(op: String, apply: DataFrame => DataFrame)
 
   val knownOps: Seq[String] = Seq("gopher_gate", "exact_dedup",
-    "minhash_dedup", "token_count", "temperature_mix", "weighted_mix",
-    "mad_outlier_filter", "winsorize", "normalize", "span_gate",
-    "quality_classifier_filter", "pack_sequences", "shard")
+    "minhash_dedup", "semantic_dedup", "token_count", "temperature_mix",
+    "weighted_mix", "mad_outlier_filter", "winsorize", "normalize",
+    "span_gate", "quality_classifier_filter", "dsir_select",
+    "pack_sequences", "shard")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -294,6 +298,52 @@ object PipelineSteps {
             graft.ops.Classify.z(w.toSeq, xs)) >= threshold)
             .select(col(s"`$idCol`"))
           df.join(keep, Seq(idCol), "left_semi")
+        }
+
+      // SemDeDup semantic near-dup removal over an embedding column:
+      // k-means cells → within-cell cosine components → keep the
+      // farthest-from-centroid copy; survivors rejoin by id so the step
+      // stays column-neutral (the embedding column passes through)
+      case "semantic_dedup" =>
+        val idCol = str(m, "id_col", "doc_id")
+        val vecCol = str(m, "vec_col", "embedding")
+        df => {
+          val kept = Dedup.semanticDedup(df, idCol, vecCol,
+            nlist = int(m, "nlist", 16), iters = int(m, "iters", 2),
+            threshold = dbl(m, "threshold", 0.7))
+            .select(col("id").as(idCol))
+          df.join(kept, Seq(idCol), "left_semi")
+        }
+
+      // DSIR domain selection: score every row's hashed-ngram likelihood
+      // ratio against the slice matching `target_where:` (a SQL predicate
+      // over THIS step's input — e.g. "lang = 'zh'"), then keep either
+      // the `top_k:` highest-logw rows or those clearing `min_logw:`
+      case "dsir_select" =>
+        val idCol = str(m, "id_col", "doc_id")
+        val textCol = str(m, "text_col", "text")
+        val targetWhere = reqStr(m, "target_where", op)
+        val buckets = int(m, "buckets", 4096)
+        val topK = m.get("top_k").map(String.valueOf(_).toInt)
+        val minLogw = m.get("min_logw").map(String.valueOf(_).toDouble)
+        if (topK.isEmpty && minLogw.isEmpty)
+          throw new IllegalArgumentException(
+            "pipeline step `dsir_select` requires `top_k:` or `min_logw:`")
+        df => {
+          val slim = df.select(col(s"`$idCol`"), col(s"`$textCol`"))
+          // the predicate may reference any input column (not just
+          // id/text), so filter the full frame before projecting
+          val target = df.filter(expr(targetWhere))
+            .select(col(s"`$idCol`"), col(s"`$textCol`"))
+          val kept = (topK match {
+            case Some(k) => graft.ops.Dsir.selectTopK(slim, target,
+              idCol, textCol, k, buckets)
+            case None =>
+              graft.ops.Dsir.importanceWeights(slim, target,
+                idCol, textCol, buckets)
+                .filter(col("logw") >= minLogw.get)
+          }).select(col(s"`$idCol`"))
+          df.join(kept, Seq(idCol), "left_semi")
         }
 
       // concat-and-chunk batch assembly: append the global token offset

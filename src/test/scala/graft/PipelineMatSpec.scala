@@ -160,6 +160,44 @@ class PipelineMatSpec extends AnyFunSuite {
       Set(2L, 9L))
   }
 
+  test("semantic_dedup step drops in-cell near-dups, stays column-neutral") {
+    import spark.implicits._
+    // one cell (nlist=1, iters=0): centroid = min-id vector; the pair
+    // {1,2} collapses to the farther member (2), 3 survives alone
+    val docs = Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "b", Array(0.99f, 0.01f)),
+      (3L, "c", Array(0.0f, 1.0f)))
+      .toDF("doc_id", "source", "embedding")
+    val out = steps(Seq(Map("op" -> "semantic_dedup",
+      "id_col" -> "doc_id", "vec_col" -> "embedding",
+      "nlist" -> 1, "iters" -> 0, "threshold" -> 0.9)))
+      .head.apply(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "b"), (3L, "c")))
+  }
+
+  test("dsir_select step keeps top_k target-like rows; config validated") {
+    import spark.implicits._
+    val docs = ((1L to 12L).map { i =>
+      (i, if (i % 3 == 0) "tgt" else "oth",
+        if (i % 3 == 0) "cat mat cat" else "dog log fog")
+    }).toDF("doc_id", "grp", "text")
+    val out = steps(Seq(Map("op" -> "dsir_select",
+      "id_col" -> "doc_id", "text_col" -> "text",
+      "target_where" -> "grp = 'tgt'", "top_k" -> 3, "buckets" -> 64)))
+      .head.apply(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    // the target slice IS the cat-phrased rows — top 3 by logw are all tgt
+    assert(out.collect().map(_.getString(1)).forall(_ == "tgt"))
+    assert(out.count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      steps(Seq(Map("op" -> "dsir_select", "target_where" -> "1=1")))
+    }
+    assert(e.getMessage.contains("top_k") && e.getMessage.contains("min_logw"))
+  }
+
   test("pack_sequences + shard steps append offsets/spans/shards") {
     import spark.implicits._
     val docs = Seq((1L, 3L), (2L, 0L), (3L, 5L), (4L, 2L))
