@@ -56,4 +56,35 @@ object Audit {
       compareCols: Seq[String]): DataFrame =
     compareRelations(a, b, keys, compareCols)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Relation profile — the `dbt-profiler` package shape: one row per
+    * profiled column with row count, null count, exact distinct count,
+    * and min/max (as strings, so heterogeneous columns share a schema).
+    * The what-am-I-looking-at pass before choosing keys, tests, or
+    * filter thresholds.
+    *
+    * Spark-first: ONE aggregate over one scan — per-column metrics are
+    * sibling aggregate expressions, and the per-column rows come from a
+    * map-side `stack` of the single result row (dbt-profiler emits a
+    * query per column: N scans). Distinct counts are EXACT (Catalyst
+    * expands multi-distinct into one grouped pass per distinct column);
+    * at terabyte scale swap in the HLL sketch family when ±2% is
+    * acceptable — exactness here is what makes the oracle check the
+    * operator. Caller contract: profile integer/string/date columns;
+    * float mins/maxes stringify differently across engines. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val pairs = cols.map(c =>
+      s"'$c', __n, `__nulls_$c`, `__dist_$c`, `__min_$c`, `__max_$c`")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $pairs) AS " +
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)")
+  }
 }

@@ -618,6 +618,16 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // dbt-profiler relation profile: one aggregate pass over one scan,
+    // per-column rows from a map-side stack of the single result row
+    "q_audit_profile" -> ((s, dir) => {
+      graft.ops.Audit.profile(
+        Tables(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column")
+    }),
+
     // per-source Pearson correlation between chars and tokens: the five
     // sufficient statistics are exact DECIMAL(38,0) sums (one shuffle of
     // six numbers per group); only the final r is IEEE double
@@ -2428,6 +2438,34 @@ object PipelinePack extends QueryPack {
         |  md5(coalesce(b_text, '__null__')) AS b_hash
         |FROM st WHERE status <> 'identical' ORDER BY doc_id"""
         .stripMargin),
+
+    "q_audit_profile" ->
+      """SELECT col AS "column", n_rows, n_nulls, n_distinct,
+        |  min_value, max_value
+        |FROM (
+        |  SELECT 'doc_id' AS col, COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS n_nulls,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*),
+        |    COUNT(CASE WHEN lang IS NULL THEN 1 END),
+        |    COUNT(DISTINCT lang), min(lang), max(lang)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*),
+        |    COUNT(CASE WHEN source IS NULL THEN 1 END),
+        |    COUNT(DISTINCT source), min(source), max(source)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*),
+        |    COUNT(CASE WHEN n_chars IS NULL THEN 1 END),
+        |    COUNT(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents) t
+        |ORDER BY "column"""".stripMargin,
 
     "q_sample_dsir" -> (dsirCtes +
       """

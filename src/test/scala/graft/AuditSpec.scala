@@ -61,6 +61,23 @@ class AuditSpec extends AnyFunSuite {
       "identical" -> 4L, "changed" -> 4L))
   }
 
+  test("profile: one row per column with exact counts and string min/max") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((3L, "b"), (1L, null),
+      (2L, "a"), (null, "b")).toDF("id", "s")
+    val out = Audit.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(out("id") == ((4L, 1L, 3L, "1", "3")))
+    assert(out("s") == ((4L, 1L, 2L, "a", "b")))
+    intercept[IllegalArgumentException] { Audit.profile(df, Seq.empty) }
+    // one scan feeds the whole profile: no Union of per-column queries
+    val plan = Audit.profile(df, Seq("id", "s"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"))
+  }
+
   test("pivotColumns aggregates per pinned value with dbt defaults") {
     import spark.implicits._
     val df = Seq(("u1", "click"), ("u1", "click"), ("u1", "view"),
