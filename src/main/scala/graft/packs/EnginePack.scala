@@ -927,6 +927,54 @@ object EnginePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // DSIR domain selection from the project surface: a pipeline model
+    // keeps the 50 most zh-like documents — model SQL + YAML only; the
+    // oracle re-derives the full hashed-feature/ratio chain
+    "q_engine_dsir_project" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_dsir_proj")
+      write(proj, "dbt_project.yml",
+        """name: dsirsel
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/selected.sql",
+        """select doc_id, lang, text from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: selected
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: dsir_select
+          |          id_col: doc_id
+          |          text_col: text
+          |          target_where: "lang = 'zh'"
+          |          top_k: 50
+          |          buckets: 1024
+          |""".stripMargin)
+      val schema = "g_engine_dsir"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_dsir_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "selected"))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // batch assembly from the project surface: gate → token_count →
     // pack_sequences → shard, model SQL + YAML only — the training-prep
     // chain a pretraining project would materialize
@@ -1154,6 +1202,15 @@ object EnginePack extends QueryPack {
     // SAME parameters as the Scala-composed q_pipeline_curation — one
     // oracle, two drivers (library composition vs model SQL + YAML)
     "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    // the dsirCtes scored table's top-50 (logw desc, id asc), re-keyed
+    // to the project model's output order
+    "q_engine_dsir_project" -> (PipelinePack.dsirCtes +
+      """
+        |SELECT t.doc_id, d.lang FROM (
+        |  SELECT doc_id FROM scored ORDER BY logw DESC, doc_id LIMIT 50) t
+        |JOIN documents d USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin),
 
     // classifier-step survivors per source (shared GD chain + the
     // same unrounded threshold)

@@ -959,7 +959,7 @@ object PipelinePack extends QueryPack {
     * buckets, B=1024), Laplace-smoothed target(lang='zh')/raw bucket
     * log-ratios, per-doc DECIMAL(38,18) sums — the oracle twin of
     * [[graft.ops.Dsir.importanceWeights]]. */
-  private val dsirCtes =
+  private[packs] val dsirCtes =
     """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       |feats AS (
       |  SELECT doc_id, lang, unnest(w) AS f FROM d
