@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join (entity resolution / record linkage).
+  *
+  * Matches every left row to every right row whose string is within
+  * `maxDist` Levenshtein edits — the "match a dirty batch against the
+  * master list" shape (projects use it for entity resolution; training-data
+  * pipelines for near-identical title/URL collapsing).
+  *
+  * Scale design (Ed-Join, Xiao et al. VLDB 2008 — the standard
+  * distributed similarity-join recipe):
+  *   - NEVER all-pairs. Each string contributes only its PREFIX q-grams —
+  *     the `q·maxDist + 1` grams that are globally rarest (frequency asc,
+  *     gram asc under exact integer counts). One edit operation changes at
+  *     most `q` padded q-grams, so two strings within `maxDist` edits share
+  *     at least one gram of each other's (q·maxDist+1)-prefixes (the
+  *     prefix-filter lemma at overlap ≥ max(|A|,|B|) − q·maxDist);
+  *     candidates are the equi-join of the exploded prefixes — rare grams
+  *     keep every join bucket's fan-out small, the same skew argument the
+  *     MinHash band join makes.
+  *   - Verification is EXACT: `levenshtein(l, r, maxDist)` (the early-exit
+  *     threshold form) over candidates only, so precision is 1 and the
+  *     result is INDEPENDENT of the blocking — which is what lets a
+  *     blocking-free quadratic oracle check the whole operator.
+  *   - A length-band filter (|len(a) − len(b)| ≤ maxDist) prunes candidate
+  *     pairs before the distance compute; it is provably safe (each edit
+  *     changes the length by at most 1), so the oracle carries it too.
+  *   - Shuffles: the gram-frequency aggregate (output bounded by the gram
+  *     vocabulary), one ranking window per side keyed by row id (prefix
+  *     selection), the candidate equi-join on gram, and two verify joins on
+  *     row ids — all narrow keys; strings never fan out beyond their
+  *     prefix grams.
+  *
+  * Small-gram-set completeness: the prefix lemma needs a positive required
+  * overlap α = max(|A|,|B|) − q·maxDist (set semantics; both within-k
+  * bounds |A∩B| ≥ |A| − q·k and ≥ |B| − q·k hold, so α is valid whenever
+  * positive). It goes vacuous only when BOTH sides have ≤ q·maxDist
+  * distinct grams — very short strings ("ab"→"cd" at q=2, maxDist=2) and
+  * degenerate low-complexity repeats ("aaaa…", whose distinct-gram count
+  * stays 3 at any length). Every string with ≤ q·maxDist distinct grams
+  * therefore ALSO carries a sentinel bucket gram; a qualifying×large pair
+  * has max(|A|,|B|) > q·maxDist, so the lemma already covers it. The
+  * sentinel bucket is quadratic in the small-gram-set row count — a sliver
+  * for name/title fields; a corpus that is mostly tiny strings should drop
+  * to a smaller q.
+  *
+  * Padding: grams are taken over the string padded with q−1 sentinel
+  * () chars on each end — the standard positional-gram padding that
+  * keeps the per-edit gram-damage bound ≤ q at the string's edges too.
+  *
+  * Reference behavior anchor: fuzzy matching sits outside the reference's
+  * SQL surface (crates/dbt-agate exposes exact relational ops only); this
+  * is part of the beyond-reference pipeline library, kept oracle-checkable
+  * end to end.
+  */
+object FuzzyJoin {
+
+  private val Pad = ""
+
+  /** Sentinel is q+1 chars, longer than any real q-gram — can't collide. */
+  private def shortSentinel(q: Int): String = Pad * (q + 1)
+
+  /** Distinct padded q-grams as an array column — codegen'd sequence +
+    * transform + substr, no explode until prefix selection. */
+  private[ops] def gramsArray(s: Column, q: Int): Column = {
+    val padded = concat(lit(Pad * (q - 1)), s, lit(Pad * (q - 1)))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(padded) - lit(q - 1), lit(1))),
+      i => padded.substr(i, lit(q))))
+  }
+
+  /** Prefix grams per row: the q·k+1 globally rarest grams (frequency asc,
+    * gram asc — exact integer counts over BOTH sides' bags, so the global
+    * order is deterministic), plus the small-gram-set sentinel where the
+    * prefix lemma needs it. Input (id, str); output (id, gram). */
+  private def prefixGrams(rows: DataFrame, freq: DataFrame,
+      q: Int, k: Int): DataFrame = {
+    val exploded = rows
+      .select(col("id"), explode(gramsArray(col("str"), q)).as("gram"))
+    val ranked = exploded.join(freq, "gram")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("f").asc, col("gram").asc)))
+      .filter(col("rn") <= q * k + 1)
+      .select("id", "gram")
+    val smallRows = rows
+      .filter(size(gramsArray(col("str"), q)) <= q * k)
+      .select(col("id"), lit(shortSentinel(q)).as("gram"))
+    ranked.unionByName(smallRows)
+  }
+
+  /** Levenshtein join of `left` strings to `right` strings.
+    *
+    * Output: (<leftId>, <rightId>, dist) for every cross pair with
+    * levenshtein ≤ maxDist; NULL strings never match (SQL-null semantics,
+    * matching the oracle's NULL-propagating levenshtein).
+    */
+  def editDistanceJoin(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q must be >= 2")
+    val l = left.select(col(leftId).as("id"), col(leftStr).as("str"))
+      .filter(col("str").isNotNull)
+    val r = right.select(col(rightId).as("id"), col(rightStr).as("str"))
+      .filter(col("str").isNotNull)
+
+    // one global gram-frequency table spanning both sides
+    val freq = l.unionByName(r)
+      .select(explode(gramsArray(col("str"), q)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("f"))
+
+    val lp = prefixGrams(l, freq, q, maxDist)
+      .withColumnRenamed("id", "__lid")
+    val rp = prefixGrams(r, freq, q, maxDist)
+      .withColumnRenamed("id", "__rid")
+    val candidates = lp.join(rp, "gram").select("__lid", "__rid").distinct()
+
+    candidates
+      .join(l.select(col("id").as("__lid"), col("str").as("__ls")), "__lid")
+      .join(r.select(col("id").as("__rid"), col("str").as("__rs")), "__rid")
+      .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId), col("dist"))
+  }
+
+  /** Self-join variant: unordered within-set pairs (id_a < id_b). */
+  def editDistanceSelfJoin(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2): DataFrame =
+    editDistanceJoin(df, idCol, strCol,
+        df.select(col(idCol).as("__r_id"), col(strCol).as("__r_str")),
+        "__r_id", "__r_str", maxDist, q)
+      .filter(col(idCol) < col("__r_id"))
+      .select(col(idCol).as("id_a"), col("__r_id").as("id_b"), col("dist"))
+}

@@ -628,6 +628,39 @@ object PipelinePack extends QueryPack {
         .orderBy("column")
     }),
 
+    // edit-distance fuzzy join: a deterministically-typo'd "dirty batch"
+    // (1 in 20 customers; deletion / substitution / insertion by class)
+    // matched against the full master list at maxDist=1 — Ed-Join prefix
+    // blocking + exact levenshtein verify, checked by a blocking-free
+    // quadratic oracle
+    "q_fuzzy_join" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_name")
+      val dirty = cust.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey").as("dirty_id"),
+          when(col("c_custkey") % 60 === 0,
+            concat(substring(col("c_name"), 1, 9),
+              substring(col("c_name"), 11, 1000000)))
+            .when(col("c_custkey") % 60 === 20,
+              expr("replace(c_name, '#', '-')"))
+            .otherwise(concat(col("c_name"), lit("q"))).as("dirty_name"))
+      graft.ops.FuzzyJoin.editDistanceJoin(
+        dirty, "dirty_id", "dirty_name",
+        cust.select(col("c_custkey").as("cust_id"), col("c_name")),
+        "cust_id", "c_name", maxDist = 1)
+        .select(col("dirty_id"), col("cust_id"), col("dist"))
+        .orderBy("dirty_id", "cust_id")
+    }),
+
+    // edit-distance self-join over the distinct part-name vocabulary at
+    // maxDist=2: within-set near-duplicate surface forms, the
+    // title-collapsing shape
+    "q_fuzzy_selfjoin" -> ((s, dir) => {
+      val names = Tables(s, dir, "part").select("p_name").distinct()
+      graft.ops.FuzzyJoin.editDistanceSelfJoin(
+        names, "p_name", "p_name", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // per-source Pearson correlation between chars and tokens: the five
     // sufficient statistics are exact DECIMAL(38,0) sums (one shuffle of
     // six numbers per group); only the final r is IEEE double
@@ -2438,6 +2471,34 @@ object PipelinePack extends QueryPack {
         |  md5(coalesce(b_text, '__null__')) AS b_hash
         |FROM st WHERE status <> 'identical' ORDER BY doc_id"""
         .stripMargin),
+
+    // blocking-free quadratic check of the Ed-Join result: the length-band
+    // filter is provably safe (one edit moves length by at most 1), so the
+    // oracle may carry it; everything else is brute force
+    "q_fuzzy_join" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_id,
+        |    CASE WHEN c_custkey % 60 = 0
+        |           THEN substr(c_name, 1, 9) || substr(c_name, 11)
+        |         WHEN c_custkey % 60 = 20 THEN replace(c_name, '#', '-')
+        |         ELSE c_name || 'q' END AS dirty_name
+        |  FROM customer WHERE c_custkey % 20 = 0)
+        |SELECT d.dirty_id, c.c_custkey AS cust_id,
+        |  CAST(levenshtein(d.dirty_name, c.c_name) AS INTEGER) AS dist
+        |FROM dirty d, customer c
+        |WHERE abs(length(d.dirty_name) - length(c.c_name)) <= 1
+        |  AND levenshtein(d.dirty_name, c.c_name) <= 1
+        |ORDER BY dirty_id, cust_id""".stripMargin,
+
+    "q_fuzzy_selfjoin" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS id_a, b.p_name AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM names a, names b
+        |WHERE a.p_name < b.p_name
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_audit_profile" ->
       """SELECT col AS "column", n_rows, n_nulls, n_distinct,

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.FuzzyJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ed-Join edit-distance join: equality with the brute-force quadratic
+  * join (blocking completeness), the small-gram-set sentinel cases the
+  * prefix lemma cannot cover, NULL semantics, self-join ordering. */
+class FuzzyJoinSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def bruteForce(left: Seq[(Long, String)], right: Seq[(Long, String)],
+      k: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (li, ls) <- left; (ri, rs) <- right
+      d = lev(ls, rs) if d <= k
+    } yield (li, ri, d)).toSet
+  }
+
+  private def run(left: Seq[(Long, String)], right: Seq[(Long, String)],
+      k: Int, q: Int = 2): Set[(Long, Long, Int)] = {
+    import spark.implicits._
+    FuzzyJoin.editDistanceJoin(
+        left.toDF("id", "s"), "id", "s",
+        right.toDF("rid", "rs"), "rid", "rs", maxDist = k, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("matches brute force on a mixed corpus (k=1 and k=2)") {
+    val master = Seq(
+      1L -> "small ring", 2L -> "small ding", 3L -> "smallring",
+      4L -> "red widget", 5L -> "red widgets", 6L -> "blue bolt",
+      7L -> "bolt blue", 8L -> "hot gear", 9L -> "hot bear",
+      10L -> "hod gear x", 11L -> "completely different phrase here")
+    val dirty = Seq(
+      101L -> "small ring", 102L -> "red widgett", 103L -> "hot gea",
+      104L -> "blue boltz", 105L -> "no match at all whatsoever")
+    for (k <- Seq(1, 2)) {
+      assert(run(dirty, master, k) === bruteForce(dirty, master, k),
+        s"k=$k")
+    }
+  }
+
+  test("small-gram-set sentinel: short strings with disjoint grams match") {
+    // "ab" vs "cd" share zero 2-grams even padded, but ed = 2
+    val got = run(Seq(1L -> "ab"), Seq(10L -> "cd", 11L -> "abcdef"), k = 2)
+    assert(got === Set((1L, 10L, 2)))
+  }
+
+  test("low-complexity repeats: tiny distinct-gram sets still match") {
+    // distinct padded 2-grams of "aaaaaaaaaa" = 3 <= q*k for k=2 —
+    // the sentinel, not the prefix lemma, must carry these pairs
+    val a = "a" * 40
+    val b = "a" * 20 + "b" + "a" * 19 // one substitution
+    val c = "a" * 38 // two deletions
+    val got = run(Seq(1L -> a), Seq(10L -> b, 11L -> c), k = 2)
+    assert(got === Set((1L, 10L, 1), (1L, 11L, 2)))
+  }
+
+  test("empty and NULL strings") {
+    import spark.implicits._
+    val left = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val right = Seq((10L, "a"), (11L, ""), (12L, null.asInstanceOf[String]))
+      .toDF("rid", "rs")
+    val got = FuzzyJoin.editDistanceJoin(left, "id", "s",
+        right, "rid", "rs", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // NULLs never match; "" matches "" (d=0) and "a" (d=1)
+    assert(got === Set((1L, 10L, 1), (1L, 11L, 0)))
+  }
+
+  test("self-join emits each unordered pair once, id_a < id_b") {
+    import spark.implicits._
+    val names = Seq("red bolt", "red bolts", "red colt", "green gear")
+      .toDF("p_name")
+    val got = FuzzyJoin.editDistanceSelfJoin(
+        names, "p_name", "p_name", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got === Set(
+      ("red bolt", "red bolts", 1), ("red bolt", "red colt", 1)))
+  }
+
+  test("duplicate right strings each match independently") {
+    val got = run(Seq(1L -> "abcd"), Seq(10L -> "abcd", 11L -> "abcd"), 1)
+    assert(got === Set((1L, 10L, 0), (1L, 11L, 0)))
+  }
+}
