@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph computations for corpus curation.
+  *
+  * PageRank-style link authority is a standard web-corpus quality signal
+  * (CommonCrawl-derived pipelines rank domains by centrality over the
+  * hyperlink graph and keep/weight documents by their host's score); this
+  * is the batch companion to the dedup family's connected components —
+  * the other graph op the pipeline already has.
+  *
+  * Exactness contract (the k-means / BPE / GD trainer precedent applied to
+  * power iteration): ranks are integer MICRO-UNITS (`unit` = 1e12 per unit
+  * of probability mass) in DECIMAL(38,0), every per-edge contribution is a
+  * FLOOR division `⌊rank·w / outw⌋` computed as `(a − a mod b) / b` (the
+  * subtraction makes the division exact — a rounded decimal divide + floor
+  * can be off by one at x.9999995), and damping is the exact rational
+  * dampNum/dampDen applied in integer arithmetic. Every intermediate is an
+  * integer both engines represent exactly (DECIMAL(38,0) here, HUGEINT in
+  * the DuckDB oracle), so five iterations of distributed partial-agg sums
+  * hash-match an unrolled-CTE re-derivation bit for bit — no float
+  * accumulation order anywhere.
+  *
+  * Scale shape: each iteration is ONE equi-join of the rank table onto the
+  * edge list (shuffle on src — or broadcast, AQE's call, when the rank
+  * table is small) plus ONE partial-agg'd groupBy(dst); the out-weight
+  * table is computed once. Driver state: none — the node count rides a
+  * 1-row broadcast (the BM25 corpus-stats pattern). Lineage grows
+  * per-iteration; past ~20 iterations callers should checkpoint between
+  * calls.
+  *
+  * Dangling nodes (no out-edges) keep receiving teleport mass but their
+  * own mass is NOT redistributed — the "pseudo-PageRank" simplification;
+  * total mass then decays toward teleport-only, which preserves ranking
+  * order for authority-scoring purposes and keeps the recurrence local to
+  * the edge list (redistributing dangling mass needs an extra global
+  * aggregate per iteration).
+  */
+object Graph {
+
+  private val d38 = DecimalType(38, 0)
+
+  /** Exact floor division for non-negative DECIMAL(38,0) operands. */
+  private def fdiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast(d38)
+
+  /** Weighted PageRank over `edges` (srcCol, dstCol, wCol — positive
+    * integer weights) for the node set `nodes` (idCol).
+    *
+    * Returns (id, ru) where ru is the final rank in micro-units of
+    * `unit` per 1.0 of probability mass, as DECIMAL(38,0).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, nodes: DataFrame, idCol: String, iters: Int,
+      dampNum: Int = 17, dampDen: Int = 20,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampNum > 0 && dampDen > dampNum,
+      "damping must satisfy 0 < dampNum < dampDen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast(d38).as("w"))
+    val n = nodes.select(col(idCol).as("id"))
+    val outw = e.groupBy("src").agg(sum(col("w")).cast(d38).as("ow"))
+    val nn = n.agg(count(lit(1)).cast(d38).as("nn"))
+    val uu = lit(unit).cast(d38)
+    val tele = fdiv(lit(dampDen - dampNum).cast(d38) * uu,
+      lit(dampDen).cast(d38) * col("nn"))
+
+    var r = n.crossJoin(broadcast(nn))
+      .select(col("id"), fdiv(uu, col("nn")).as("ru"))
+    for (_ <- 1 to iters) {
+      val inflow = e.join(r, col("src") === col("id"))
+        .join(outw, "src")
+        .select(col("dst"), fdiv(col("ru") * col("w"), col("ow")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).cast(d38).as("s"))
+      r = n.crossJoin(broadcast(nn))
+        .join(inflow, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (tele + fdiv(lit(dampNum).cast(d38) *
+              coalesce(col("s"), lit(0).cast(d38)),
+            lit(dampDen).cast(d38))).cast(d38).as("ru"))
+    }
+    r
+  }
+}

@@ -661,6 +661,31 @@ object PipelinePack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // integer-exact weighted PageRank over the nation trade graph
+    // (customer-nation → supplier-nation edges weighted by lineitem
+    // count): 5 power iterations in DECIMAL(38,0) micro-units — the
+    // distributed edge aggregation is the heavy part, the recurrence is
+    // one join + one groupBy per iteration at any graph size
+    "q_graph_pagerank" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      val edges = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", "w",
+          nat.select("n_nationkey"), "n_nationkey", iters = 5)
+        .join(nat, col("id") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          col("ru").cast("long").as("rank_u"))
+        .orderBy("nation")
+    }),
+
     // per-source Pearson correlation between chars and tokens: the five
     // sufficient statistics are exact DECIMAL(38,0) sums (one shuffle of
     // six numbers per group); only the final r is IEEE double
@@ -1028,6 +1053,43 @@ object PipelinePack extends QueryPack {
       |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS s
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+
+  /** Unrolled HUGEINT power iteration mirroring Graph.pageRank exactly:
+    * same floor divisions, same 17/20 damping, same 1e12 unit. */
+  private def pagerankSql(iters: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |    count(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2),
+        |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+        |n AS (SELECT n_nationkey AS id FROM nation),
+        |cnt AS (SELECT count(*) AS nn FROM n),
+        |r0 AS (
+        |  SELECT id, CAST(1000000000000 AS HUGEINT) // cnt.nn AS ru
+        |  FROM n CROSS JOIN cnt)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |    (CAST(3 AS HUGEINT) * 1000000000000) // (20 * cnt.nn)
+         |    + (17 * COALESCE(inf.s, CAST(0 AS HUGEINT))) // 20 AS ru
+         |  FROM n CROSS JOIN cnt
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum((r.ru * e.w) // ow.ow) AS s
+         |    FROM e JOIN r${k - 1} r ON r.id = e.src
+         |    JOIN ow ON ow.src = e.src
+         |    GROUP BY 1) inf USING (id))""".stripMargin
+    }
+    val fin =
+      s"""SELECT nt.n_name AS nation, CAST(r.ru AS BIGINT) AS rank_u
+         |FROM r$iters r JOIN nation nt ON nt.n_nationkey = r.id
+         |ORDER BY nation""".stripMargin
+    (base +: steps).mkString(",\n") + "\n" + fin
+  }
 
   private val jaccardPairsSql =
     s"""WITH $shingleCte
@@ -2499,6 +2561,10 @@ object PipelinePack extends QueryPack {
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // re-derives the full power iteration in HUGEINT: `//` floor division
+    // is the twin of the engine's (a − a mod b)/b exact decimal floor
+    "q_graph_pagerank" -> pagerankSql(iters = 5),
 
     "q_audit_profile" ->
       """SELECT col AS "column", n_rows, n_nulls, n_distinct,

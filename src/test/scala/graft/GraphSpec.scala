@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integer-exact PageRank: hand-computed iterations (floor divisions and
+  * all), uniform-cycle fixed point, dangling-node teleport floor,
+  * weighted split, iters=0 identity. */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def run(edges: Seq[(Int, Int, Long)], nodes: Seq[Int],
+      iters: Int): Map[Int, BigDecimal] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        nodes.toDF("id"), "id", iters)
+      .collect().map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
+  }
+
+  test("iters=0 gives the uniform floor(unit/N) start vector") {
+    assert(run(Seq((1, 2, 1L)), Seq(1, 2, 3), 0) ===
+      Map(1 -> BigDecimal(333333333333L), 2 -> BigDecimal(333333333333L),
+        3 -> BigDecimal(333333333333L)))
+  }
+
+  test("uniform 3-cycle is a fixed point of the integer recurrence") {
+    val edges = Seq((1, 2, 1L), (2, 3, 1L), (3, 1, 1L))
+    val uniform = Map(1 -> BigDecimal(333333333333L),
+      2 -> BigDecimal(333333333333L), 3 -> BigDecimal(333333333333L))
+    assert(run(edges, Seq(1, 2, 3), 1) === uniform)
+    assert(run(edges, Seq(1, 2, 3), 7) === uniform)
+  }
+
+  test("dangling node: two hand-computed iterations") {
+    // 1 → 2 only; node 2's mass is not redistributed (pseudo-PageRank)
+    val edges = Seq((1, 2, 1L))
+    // r1: tele = floor(3e12/40) = 75e9;
+    //     r1(2) = 75e9 + floor(17·5e11/20) = 75e9 + 425e9 = 5e11
+    assert(run(edges, Seq(1, 2), 1) ===
+      Map(1 -> BigDecimal(75000000000L), 2 -> BigDecimal(500000000000L)))
+    // r2(2) = 75e9 + floor(17·75e9/20) = 75e9 + 63750000000
+    assert(run(edges, Seq(1, 2), 2) ===
+      Map(1 -> BigDecimal(75000000000L), 2 -> BigDecimal(138750000000L)))
+  }
+
+  test("weighted split floors each contribution separately") {
+    // 1 → 2 (w=3), 1 → 3 (w=1): contribs floor(r0·3/4), floor(r0/4)
+    val edges = Seq((1, 2, 3L), (1, 3, 1L))
+    assert(run(edges, Seq(1, 2, 3), 1) === Map(
+      1 -> BigDecimal(50000000000L),
+      2 -> BigDecimal(262499999999L),
+      3 -> BigDecimal(120833333333L)))
+  }
+
+  test("total mass never exceeds unit and ranks are non-negative") {
+    val edges = Seq((1, 2, 5L), (2, 1, 1L), (2, 3, 2L), (3, 1, 7L),
+      (4, 1, 1L))
+    val r = run(edges, Seq(1, 2, 3, 4, 5), 5)
+    assert(r.values.forall(_ >= 0))
+    assert(r.values.sum <= BigDecimal(1000000000000L))
+  }
+}
