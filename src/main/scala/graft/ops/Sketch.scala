@@ -334,6 +334,59 @@ object Sketch {
       .select(col(groupCol), col("label"), col("est"))
   }
 
+  /** Pairwise HLL set operations across a column's group slices:
+    * distinct-count UNION via register-wise max (the defining closure
+    * property of HLL — the union sketch of two sets IS the max of their
+    * registers, with zero extra error) and INTERSECTION via
+    * inclusion–exclusion est_a + est_b − est_union, clamped at 0 (the
+    * standard estimator; its error grows as the true intersection
+    * shrinks relative to the union — audience-overlap numbers, not exact
+    * joins). All arithmetic on the estimate side is the shared
+    * exact-integer power-sum path, so even these approximate overlaps
+    * hash-match an oracle re-derivation.
+    *
+    * Scale shape: the register build is [[hllDistinctByGroup]]'s ONE
+    * partial-agg'd shuffle (≤ groups × 2^p rows); the pair expansion
+    * joins the bounded register table onto the k² group pairs — the
+    * operator's contract is slice analytics (domains, event types,
+    * sources: k in the tens), mirroring tokenKlDrift's bounded-groups
+    * contract, NOT an unbounded key space. The corpus itself is read
+    * once; everything after the register aggregate is sketch-sized.
+    *
+    * Output: (group_a, group_b, est_a, est_b, est_union, est_intersect)
+    * for every unordered pair group_a < group_b. */
+  def hllSetOpsByGroup(df: DataFrame, groupCol: String, itemCol: String,
+      p: Int): DataFrame = {
+    val (bucket, rank) = hllBucketAndRank(col(itemCol), p)
+    // bounded: ≤ distinct-groups × 2^p rows — caching it is scale-safe
+    // and spares the pair fan-out a second corpus scan
+    val regs = df
+      .select(col(groupCol).as("g"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy("g", "bucket").agg(max("rank").as("register"))
+      .cache()
+    val groups = regs.select("g").distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .crossJoin(groups.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val ra = pairs.join(regs, col("g") === col("ga"))
+      .select("ga", "gb", "bucket", "register")
+    val rb = pairs.join(regs, col("g") === col("gb"))
+      .select("ga", "gb", "bucket", "register")
+    val uregs = ra.unionByName(rb).groupBy("ga", "gb", "bucket")
+      .agg(max("register").as("register"))
+    val estU = hllEstimateByGroup(uregs, Seq("ga", "gb"), p)
+      .withColumnRenamed("est", "est_union")
+    val estG = hllEstimateByGroup(regs.select("g", "bucket", "register"),
+      Seq("g"), p)
+    estU
+      .join(estG.select(col("g").as("ga"), col("est").as("est_a")), "ga")
+      .join(estG.select(col("g").as("gb"), col("est").as("est_b")), "gb")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0L)).as("est_intersect"))
+  }
+
   /** One-row (est) estimate from [[hllRegisters]] output. The harmonic
     * mean is accumulated as an EXACT integer power sum (each register
     * contributes 2^(q+1−register), absent registers 2^(q+1)), so the

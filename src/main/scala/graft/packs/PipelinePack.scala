@@ -405,6 +405,15 @@ object PipelinePack extends QueryPack {
       est.join(exact, Seq("event_type")).orderBy("event_type")
     }),
 
+    // HLL set operations: distinct-user overlap between event types —
+    // union = register-wise max (HLL's closure property), intersection =
+    // inclusion–exclusion on the exact-integer estimate path
+    "q_sketch_hll_setops" -> ((s, dir) => {
+      graft.ops.Sketch.hllSetOpsByGroup(
+        Tables(s, dir, "events"), "event_type", "user_id", p = 6)
+        .orderBy("group_a", "group_b")
+    }),
+
     // bucketed range join: errors within ±4h of each click per user —
     // interval bucketing turns the non-equi predicate into a hash join
     "q_range_join" -> ((s, dir) => {
@@ -2223,6 +2232,70 @@ object PipelinePack extends QueryPack {
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         |  CAST(register AS BIGINT) AS register, est, exact
         |FROM regs, est, exact ORDER BY bucket""".stripMargin,
+
+    // same register/estimate constants as q_sketch_hll_group (p=6), plus
+    // the pair expansion: union registers = max over both sides' registers
+    "q_sketch_hll_setops" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT) AS h48
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h48 % 64 AS bucket,
+        |    CASE WHEN h48 // 64 = 0 THEN 43
+        |         ELSE 43 - length(bin(h48 // 64)) END AS rank
+        |  FROM h
+        |), regs AS MATERIALIZED (
+        |  SELECT event_type, bucket, max(rank) AS register
+        |  FROM r GROUP BY 1, 2
+        |), est AS MATERIALIZED (
+        |  SELECT event_type, CAST(floor(CASE
+        |    WHEN ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) <= 160.0 AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+        |    ELSE ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) END) AS BIGINT) AS est
+        |  FROM (
+        |    SELECT event_type,
+        |      sum(1::BIGINT << (43 - register))
+        |        + (64 - count(*)) * (1::BIGINT << 43) AS s,
+        |      64 - count(*) AS zeros
+        |    FROM regs GROUP BY 1)
+        |), pairs AS (
+        |  SELECT a.event_type AS ga, b.event_type AS gb
+        |  FROM (SELECT DISTINCT event_type FROM regs) a,
+        |       (SELECT DISTINCT event_type FROM regs) b
+        |  WHERE a.event_type < b.event_type
+        |), uregs AS (
+        |  SELECT ga, gb, bucket, max(register) AS register FROM (
+        |    SELECT p.ga, p.gb, r.bucket, r.register
+        |    FROM pairs p JOIN regs r ON r.event_type = p.ga
+        |    UNION ALL
+        |    SELECT p.ga, p.gb, r.bucket, r.register
+        |    FROM pairs p JOIN regs r ON r.event_type = p.gb)
+        |  GROUP BY 1, 2, 3
+        |), uest AS (
+        |  SELECT ga, gb, CAST(floor(CASE
+        |    WHEN ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) <= 160.0 AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+        |    ELSE ((0.709::DOUBLE * 4096.0) * 8796093022208.0)
+        |           / CAST(s AS DOUBLE) END) AS BIGINT) AS est_union
+        |  FROM (
+        |    SELECT ga, gb,
+        |      sum(1::BIGINT << (43 - register))
+        |        + (64 - count(*)) * (1::BIGINT << 43) AS s,
+        |      64 - count(*) AS zeros
+        |    FROM uregs GROUP BY 1, 2)
+        |)
+        |SELECT u.ga AS group_a, u.gb AS group_b,
+        |  ea.est AS est_a, eb.est AS est_b, u.est_union,
+        |  greatest(ea.est + eb.est - u.est_union, 0) AS est_intersect
+        |FROM uest u
+        |JOIN est ea ON ea.event_type = u.ga
+        |JOIN est eb ON eb.event_type = u.gb
+        |ORDER BY group_a, group_b""".stripMargin,
 
     "q_sketch_hll_group" ->
       """WITH h AS (

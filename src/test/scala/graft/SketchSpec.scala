@@ -220,4 +220,39 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(fromCells == oneShot)
   }
+
+  test("hll set ops: union equals the rebuilt single sketch (closure)") {
+    import spark.implicits._
+    // groups a and b with a 300-element overlap
+    val df = ((0 until 800).map(i => ("a", i.toLong)) ++
+      (500 until 1300).map(i => ("b", i.toLong))).toDF("g", "x")
+    val ops = Sketch.hllSetOpsByGroup(df, "g", "x", p = 6).collect()
+    assert(ops.length === 1)
+    val row = ops.head
+    assert((row.getString(0), row.getString(1)) === ("a", "b"))
+    // HLL closure: the pairwise union estimate must EQUAL the estimate
+    // of one sketch built over the concatenated items — not merely
+    // approximate it
+    val rebuilt = Sketch.hllEstimate(
+      Sketch.hllRegisters(df.select("x"), "x", p = 6), p = 6)
+      .collect().head.getLong(0)
+    assert(row.getLong(4) === rebuilt)
+    // inclusion–exclusion identity holds exactly on the emitted columns
+    assert(row.getLong(5) ===
+      math.max(row.getLong(2) + row.getLong(3) - row.getLong(4), 0L))
+    // estimates land in the p=6 error band (~13% rse; allow 3σ)
+    assert(math.abs(row.getLong(2) - 800L) <= 320)
+    assert(math.abs(row.getLong(4) - 1300L) <= 520)
+  }
+
+  test("hll set ops: identical groups intersect to their own estimate") {
+    import spark.implicits._
+    val df = ((0 until 600).map(i => ("x", i.toLong)) ++
+      (0 until 600).map(i => ("y", i.toLong))).toDF("g", "v")
+    val row = Sketch.hllSetOpsByGroup(df, "g", "v", p = 6).collect().head
+    // identical registers ⇒ union register table = each side's table
+    assert(row.getLong(2) === row.getLong(3))
+    assert(row.getLong(4) === row.getLong(2))
+    assert(row.getLong(5) === row.getLong(2))
+  }
 }
