@@ -48,8 +48,9 @@ import org.apache.spark.sql.functions._
   * (exact_dedup, minhash_dedup, semantic_dedup over an embedding
   * column), domain selection (dsir_select — hashed-ngram importance
   * weights against a `target_where:` slice of the step's own input),
-  * text prep (normalize, token_count — whitespace or corpus-trained
-  * `tokenizer: bpe`), mixing (temperature_mix, weighted_mix),
+  * text prep (normalize, pii_mask, token_count — whitespace or
+  * corpus-trained `tokenizer: bpe`), mixing (temperature_mix,
+  * weighted_mix),
   * robust-stats cleanup (mad_outlier_filter, winsorize), and batch
   * assembly (pack_sequences, shard — both on the bucketed distributed
   * prefix sum, so the global packing order never costs a global
@@ -84,7 +85,7 @@ object PipelineSteps {
   val knownOps: Seq[String] = Seq("gopher_gate", "exact_dedup",
     "minhash_dedup", "semantic_dedup", "token_count", "temperature_mix",
     "weighted_mix", "mad_outlier_filter", "winsorize", "normalize",
-    "span_gate", "quality_classifier_filter", "dsir_select",
+    "pii_mask", "span_gate", "quality_classifier_filter", "dsir_select",
     "pack_sequences", "shard")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
@@ -259,6 +260,13 @@ object PipelineSteps {
           if (doCollapse) c = trim(regexp_replace(c, " +", " "))
           df.withColumn(textCol, c)
         }
+
+      // PII scrub: replace email / phone-shaped / long-digit-run spans
+      // with class tags, REPLACING the text column (schema-stable) —
+      // the redaction pass a shareable corpus needs before export
+      case "pii_mask" =>
+        val textCol = str(m, "text_col", "text")
+        df => df.withColumn(textCol, TextAnalysis.maskPii(textCol))
 
       // duplicated-span gate: drop documents whose winnowed-fingerprint
       // dup fraction crosses the integer-exact threshold; audit columns

@@ -107,6 +107,18 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(stripped === "hello world x")
   }
 
+  test("pii_mask step replaces the text column in place") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to jane.doe@example.com or call +1-555-0199123"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = steps(Seq(Map("op" -> "pii_mask"))).head.apply(docs)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) === "write to <EMAIL> or call <PHONE>")
+    assert(byId(2L) === "no pii here")
+  }
+
   test("span_gate step: distinct docs pass, shared-span docs drop") {
     import spark.implicits._
     val shared = "abcdefghijklmnopqrstuvwxyz0123456789"
