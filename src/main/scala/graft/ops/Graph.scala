@@ -60,10 +60,19 @@ object Graph {
     require(iters >= 0, "iters must be >= 0")
     require(dampNum > 0 && dampDen > dampNum,
       "damping must satisfy 0 < dampNum < dampDen")
+    // Persist the iteration-invariant tables: every iteration re-reads
+    // the edge list and the out-weights, and without a materialization
+    // boundary Catalyst re-derives the caller's whole edge-building plan
+    // (often a multi-way join) once PER iteration — at corpus scale that
+    // multiplies the scan cost by `iters`. cache() on a Dataset is
+    // MEMORY_AND_DISK, so oversized edge lists spill rather than OOM —
+    // the same trade Pregel-style graph engines make (edges are
+    // materialized once, iterated many times).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast(d38).as("w"))
+      col(wCol).cast(d38).as("w")).cache()
     val n = nodes.select(col(idCol).as("id"))
     val outw = e.groupBy("src").agg(sum(col("w")).cast(d38).as("ow"))
+      .cache()
     val nn = n.agg(count(lit(1)).cast(d38).as("nn"))
     val uu = lit(unit).cast(d38)
     val tele = fdiv(lit(dampDen - dampNum).cast(d38) * uu,
