@@ -878,6 +878,24 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // BPE vocabulary coverage per source: the OOV-rate signal — what
+    // fraction of word occurrences the trained tokenizer keeps whole
+    // (n_syms = 1) and the total piece inflation. Map-side merge replay
+    // per occurrence (no lexicon join/shuffle); all-integer output
+    "q_text_bpe_coverage" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = Bpe.train(docs, "text", numMerges = bpeNumMerges)
+      docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .withColumn("n_syms",
+          size(split(Bpe.pieces(col("word"), merges), " ")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("n_syms") === 1, 1L).otherwise(0L)).as("n_whole"),
+          sum(col("n_syms")).as("n_pieces"))
+        .orderBy("source")
+    }),
+
     // distilled quality classifier: full-batch logistic GD (fast
     // sigmoid — exact IEEE ops, no libm) trained against the engine's
     // own Gopher gate; per-source confusion counts pin the trained
@@ -1746,6 +1764,23 @@ object PipelinePack extends QueryPack {
     // scratch (unrolled CTE steps), so training AND counting are both
     // independently verified
     "q_text_bpe" -> bpeSql(bpeNumMerges),
+
+    // vocabulary coverage: per-occurrence piece counts from the
+    // re-learned lexicon's n_syms (Spark replays merges map-side;
+    // identical segmentations either way)
+    "q_text_bpe_coverage" ->
+      s"""WITH ${bpeLexCtes("documents", bpeNumMerges)},
+         |occ AS (
+         |  SELECT source, w FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE w <> '')
+         |SELECT o.source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN l.n_syms = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_whole,
+         |  CAST(sum(l.n_syms) AS BIGINT) AS n_pieces
+         |FROM occ o JOIN lex l ON l.w = o.w
+         |GROUP BY 1 ORDER BY o.source""".stripMargin,
 
     // distilled gate classifier: confusion counts + per-doc scores,
     // weights re-learned by the oracle's own unrolled GD chain
