@@ -50,4 +50,50 @@ object Timeseries {
       .select(col(keyCol), col("day"), col("__v").as("day_value"),
         col("filled"), col("observed"))
   }
+
+  /** Merge overlapping (or touching) intervals per key — the coverage
+    * union: activity spans, retention-window coalescing, any "how much
+    * of the timeline does this key cover" question. Intervals [s,e] and
+    * [s',e'] with s' ≤ e merge (closed-interval semantics: touching ends
+    * merge too).
+    *
+    * The classic sequential sweep becomes two window passes over integer
+    * bounds, no per-group buffers:
+    *   1. order intervals by (start, end) per key; a NEW span starts
+    *      where start > the running max of all PREVIOUS ends (strictly —
+    *      equality touches and therefore merges);
+    *   2. the running sum of new-span flags labels each row with its
+    *      span id; (key, span) then aggregates to min(start), max(end),
+    *      and the member count.
+    *
+    * All arithmetic is integer comparisons on the caller's bound columns
+    * (micros, days — any integral type), so the result is engine-exact.
+    *
+    * Scale shape: one shuffle on the key for the windows (ranking state
+    * is O(1) per cursor — a billion-interval key costs no memory, only
+    * sort), one partial-agg'd groupBy on (key, span). The span id is
+    * per-key (prefix sum within the partition), never a global sequence.
+    *
+    * Output: (key, span_start, span_end, n_intervals), one row per
+    * merged span. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val byStart = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val prevMaxEnd = max(col(endCol)).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df
+      .select(col(keyCol), col(startCol), col(endCol))
+      .withColumn("__new", when(
+        prevMaxEnd.isNull || (col(startCol) > prevMaxEnd), 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col(keyCol), col("__span"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(keyCol), col("span_start"), col("span_end"),
+        col("n_intervals"))
+  }
 }

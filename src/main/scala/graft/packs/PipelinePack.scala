@@ -405,6 +405,18 @@ object PipelinePack extends QueryPack {
       est.join(exact, Seq("event_type")).orderBy("event_type")
     }),
 
+    // interval coverage union: each event opens a 30-minute activity
+    // window; overlapping/touching windows merge into per-user spans —
+    // two O(1)-state window passes + one partial-agg'd groupBy, exact
+    // integer micros end to end
+    "q_ts_intervals" -> ((s, dir) => {
+      val iv = Tables(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("e"))
+      graft.ops.Timeseries.mergeIntervals(iv, "user_id", "s", "e")
+        .orderBy("user_id", "span_start")
+    }),
+
     // HLL set operations: distinct-user overlap between event types —
     // union = register-wise max (HLL's closure property), intersection =
     // inclusion–exclusion on the exact-integer estimate path
@@ -2267,6 +2279,32 @@ object PipelinePack extends QueryPack {
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         |  CAST(register AS BIGINT) AS register, est, exact
         |FROM regs, est, exact ORDER BY bucket""".stripMargin,
+
+    // the same sweep as two window passes — running max of previous
+    // ends, prefix-sum span labels — in DuckDB's window dialect
+    "q_ts_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           IS NULL
+        |         OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS nf
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM f)
+        |SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY user_id, span
+        |ORDER BY user_id, span_start""".stripMargin,
 
     // same register/estimate constants as q_sketch_hll_group (p=6), plus
     // the pair expansion: union registers = max over both sides' registers

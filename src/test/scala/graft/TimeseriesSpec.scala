@@ -52,4 +52,36 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.forall(_.getBoolean(4)))
   }
+
+  private def spans(iv: Seq[(String, Long, Long)]) = {
+    import spark.implicits._
+    Timeseries.mergeIntervals(iv.toDF("k", "s", "e"), "k", "s", "e")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("mergeIntervals: overlap, touch, nest, gap — per key") {
+    assert(spans(Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L),   // overlap -> [0,20]
+      ("a", 20L, 30L),                  // touches end -> extends to 30
+      ("a", 40L, 50L), ("a", 42L, 44L), // nested inside [40,50]
+      ("a", 60L, 61L),                  // isolated
+      ("b", 0L, 5L)                     // other key unaffected
+    )) === Set(
+      ("a", 0L, 30L, 3L), ("a", 40L, 50L, 2L), ("a", 60L, 61L, 1L),
+      ("b", 0L, 5L, 1L)))
+  }
+
+  test("mergeIntervals: an early long interval swallows later shorts") {
+    // running-max (not lag) semantics: [0,100] covers [10,20] AND
+    // [30,40] even though [10,20] ends before [30,40] starts
+    assert(spans(Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 30L, 40L)))
+      === Set(("k", 0L, 100L, 3L)))
+  }
+
+  test("mergeIntervals: duplicate intervals merge deterministically") {
+    assert(spans(Seq(("k", 1L, 2L), ("k", 1L, 2L), ("k", 3L, 4L)))
+      === Set(("k", 1L, 2L, 2L), ("k", 3L, 4L, 1L)))
+  }
 }
