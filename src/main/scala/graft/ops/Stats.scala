@@ -114,6 +114,36 @@ object Stats {
         least(greatest(col(valueCol), col("lo")), col("hi")))
   }
 
+  /** Per-group trimmed mean: the mean over values inside the exact
+    * type-1 [lo, hi] quantile band — [[winsorize]]'s sibling that DROPS
+    * the tails instead of clipping them (the robust location estimate
+    * dashboards quote as "p1–p99 mean"). Same ranking-window quantile
+    * bounds, same 2-rows-per-group bounds join; the kept values
+    * accumulate in DECIMAL(18,4) (order-independent), and the only
+    * floating-point step is one final correctly-rounded double division
+    * after the (38,4)→double exact hop — so the mean hash-matches any
+    * engine. NULL values are dropped. Output: (group, n_kept,
+    * trimmed_mean). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      loNum: Int = 1, loDen: Int = 100, hiNum: Int = 99,
+      hiDen: Int = 100): DataFrame = {
+    val in = df.filter(col(valueCol).isNotNull)
+    val bounds = quantilesByGroup(in, groupCol, valueCol,
+      Seq(("lo", loNum, loDen), ("hi", hiNum, hiDen)))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("quantile") === "lo", col(valueCol))).as("lo"),
+        max(when(col("quantile") === "hi", col(valueCol))).as("hi"))
+    in.join(bounds, Seq(groupCol))
+      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("__s"))
+      .select(col(groupCol), col("n_kept"),
+        (col("__s").cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double") / col("n_kept")).as("trimmed_mean"))
+  }
+
   /** Per-group Pearson correlation of two INTEGER-valued columns, exact
     * up to the final division — the feature-association profile a
     * curation pipeline reads before trusting a proxy metric (does

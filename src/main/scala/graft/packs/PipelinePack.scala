@@ -727,6 +727,15 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // p1–p99 trimmed mean per source: winsorize's drop-the-tails
+    // sibling; DECIMAL sum + one final double division, engine-exact
+    "q_stats_trimmed_mean" -> ((s, dir) => {
+      graft.ops.Stats.trimmedMean(
+        Tables(s, dir, "documents").select("source", "n_chars"),
+        "source", "n_chars")
+        .orderBy("source")
+    }),
+
     // token-window chunking: 40-token windows, stride 30 (10-token
     // overlap) — the pre-embedding segmentation, map-side only; chunk
     // bodies are hashed so the oracle compares exact text without
@@ -2784,6 +2793,27 @@ object PipelinePack extends QueryPack {
         |  least(greatest(r.n_chars, b.lo), b.hi) AS clipped
         |FROM ranked r JOIN bounds b USING (source)
         |ORDER BY r.doc_id""".stripMargin,
+
+    // same ranked bounds as the winsorize oracle, then drop-and-average:
+    // DECIMAL(18,4) sum, (38,4)→DOUBLE hop, ONE double division
+    "q_stats_trimmed_mean" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |bounds AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = (n * 1 + 100 - 1) // 100 THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = (n * 99 + 100 - 1) // 100 THEN n_chars END) AS hi
+        |  FROM ranked GROUP BY source)
+        |SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(CAST(sum(CAST(r.n_chars AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |       AS DOUBLE) / count(*) AS trimmed_mean
+        |FROM ranked r JOIN bounds b USING (source)
+        |WHERE r.n_chars >= b.lo AND r.n_chars <= b.hi
+        |GROUP BY r.source
+        |ORDER BY r.source""".stripMargin,
 
     "q_text_chunks" ->
       """WITH base AS (

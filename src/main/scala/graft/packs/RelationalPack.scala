@@ -169,6 +169,18 @@ object RelationalPack extends QueryPack {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // CUBE + grouping_id: all four aggregation grids in one pass —
+    // Catalyst's Expand feeds ONE partial-agg'd exchange, not four scans.
+    "q_cube" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(moneyOut(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // Correlated-style scalar subquery: orders above their customer average.
     "q_above_avg" -> ((s, dir) => {
       val ord = Tables(s, dir, "orders")
@@ -276,6 +288,15 @@ object RelationalPack extends QueryPack {
         |  COUNT(*) AS n
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin,
 
     "q_above_avg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

@@ -168,4 +168,21 @@ class StatsSpec extends AnyFunSuite {
     assert(out("flat") == ((2L, None)))
     assert(out("nul") == ((2L, Some(1.0))))
   }
+
+  test("trimmedMean drops the exact [p1, p99] tails and averages the rest") {
+    import spark.implicits._
+    // g: values 1..100 → lo = value at rank ceil(1·100/100) = 1,
+    // hi = value at rank ceil(99·100/100) = 99; kept 1..99, mean 50
+    // s: singleton group — lo = hi = the value, kept as-is
+    // n: NULL rows must be dropped before ranking
+    val df = ((1 to 100).map(i => ("g", i: java.lang.Integer)) ++
+      Seq(("s", 7: java.lang.Integer), ("n", 5: java.lang.Integer),
+        ("n", null.asInstanceOf[java.lang.Integer]))).toDF("k", "v")
+    val out = graft.ops.Stats.trimmedMean(df, "k", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out("g") == ((99L, 50.0)))
+    assert(out("s") == ((1L, 7.0)))
+    assert(out("n") == ((1L, 5.0)))
+  }
 }
