@@ -38,7 +38,11 @@ object Bench {
     // round-9 operators: concat-and-chunk packing (bucketed prefix sum)
     // and best-of-cluster dedup (argmax representative over the minhash
     // component graph)
-    "q_pack_sequences", "q_pack_assemble", "q_dedup_best")
+    "q_pack_sequences", "q_pack_assemble", "q_dedup_best",
+    // round-9 additions: Ed-Join fuzzy matching (prefix-gram blocking),
+    // iterative PageRank (cached edge list, 5 joined iterations), and
+    // the interval coverage union (two O(1)-state window passes)
+    "q_fuzzy_join", "q_graph_pagerank", "q_ts_intervals")
   // q_dedup_embedding stays oracle-only: it is the deliberately-exact
   // decimal all-pairs baseline (O(N²·d) BigDecimal math) that verifies
   // the sub-quadratic embeddingNearDupsLsh scale path — benching it would

@@ -76,18 +76,19 @@ object FuzzyJoin {
   /** Prefix grams per row: the q·k+1 globally rarest grams (frequency asc,
     * gram asc — exact integer counts over BOTH sides' bags, so the global
     * order is deterministic), plus the small-gram-set sentinel where the
-    * prefix lemma needs it. Input (id, str); output (id, gram). */
-  private def prefixGrams(rows: DataFrame, freq: DataFrame,
+    * prefix lemma needs it. Input: the exploded (id, gram) table — built
+    * ONCE per side and shared with the frequency aggregate; gramsArray is
+    * distinct per id, so the per-id row count IS the gram-set size. */
+  private def prefixGrams(exploded: DataFrame, freq: DataFrame,
       q: Int, k: Int): DataFrame = {
-    val exploded = rows
-      .select(col("id"), explode(gramsArray(col("str"), q)).as("gram"))
     val ranked = exploded.join(freq, "gram")
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("f").asc, col("gram").asc)))
       .filter(col("rn") <= q * k + 1)
       .select("id", "gram")
-    val smallRows = rows
-      .filter(size(gramsArray(col("str"), q)) <= q * k)
+    val smallRows = exploded
+      .groupBy("id").agg(count(lit(1)).as("__ng"))
+      .filter(col("__ng") <= q * k)
       .select(col("id"), lit(shortSentinel(q)).as("gram"))
     ranked.unionByName(smallRows)
   }
@@ -109,14 +110,22 @@ object FuzzyJoin {
     val r = right.select(col(rightId).as("id"), col(rightStr).as("str"))
       .filter(col("str").isNotNull)
 
+    // each side's exploded gram table is built once and reused three
+    // ways (frequency bag, prefix ranking, gram-set size); maybeCache
+    // keeps the reuse from recomputing the explode in local runs while
+    // leaving cluster runs streaming (Dedup's signature-cache policy)
+    val lexp = Dedup.maybeCache(
+      l.select(col("id"), explode(gramsArray(col("str"), q)).as("gram")))
+    val rexp = Dedup.maybeCache(
+      r.select(col("id"), explode(gramsArray(col("str"), q)).as("gram")))
+
     // one global gram-frequency table spanning both sides
-    val freq = l.unionByName(r)
-      .select(explode(gramsArray(col("str"), q)).as("gram"))
+    val freq = lexp.select("gram").unionByName(rexp.select("gram"))
       .groupBy("gram").agg(count(lit(1)).as("f"))
 
-    val lp = prefixGrams(l, freq, q, maxDist)
+    val lp = prefixGrams(lexp, freq, q, maxDist)
       .withColumnRenamed("id", "__lid")
-    val rp = prefixGrams(r, freq, q, maxDist)
+    val rp = prefixGrams(rexp, freq, q, maxDist)
       .withColumnRenamed("id", "__rid")
     val candidates = lp.join(rp, "gram").select("__lid", "__rid").distinct()
 
