@@ -1,7 +1,8 @@
 package graft.mat
 
 import graft.core.RelationType
-import graft.ops.{Bpe, Dedup, Packing, Sampling, Stats, TextAnalysis}
+import graft.ops.{Bpe, Dedup, FuzzyJoin, Packing, Sampling, Stats,
+  TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -45,8 +46,8 @@ import org.apache.spark.sql.functions._
   * The full step vocabulary is [[PipelineSteps.knownOps]]: quality
   * gates (gopher_gate, span_gate, quality_classifier_filter — the
   * last trains its logistic model on the step's own input), dedup
-  * (exact_dedup, minhash_dedup, semantic_dedup over an embedding
-  * column), domain selection (dsir_select — hashed-ngram importance
+  * (exact_dedup, minhash_dedup, fuzzy_dedup — edit-distance surface
+  * forms, semantic_dedup over an embedding column), domain selection (dsir_select — hashed-ngram importance
   * weights against a `target_where:` slice of the step's own input),
   * text prep (normalize, pii_mask, token_count — whitespace or
   * corpus-trained `tokenizer: bpe`), mixing (temperature_mix,
@@ -83,7 +84,8 @@ object PipelineSteps {
   final case class Step(op: String, apply: DataFrame => DataFrame)
 
   val knownOps: Seq[String] = Seq("gopher_gate", "exact_dedup",
-    "minhash_dedup", "semantic_dedup", "token_count", "temperature_mix",
+    "minhash_dedup", "fuzzy_dedup", "semantic_dedup", "token_count",
+    "temperature_mix",
     "weighted_mix", "mad_outlier_filter", "winsorize", "normalize",
     "pii_mask", "span_gate", "quality_classifier_filter", "dsir_select",
     "pack_sequences", "shard")
@@ -169,6 +171,21 @@ object PipelineSteps {
             case None => Dedup.canonicalCorpus(df, pairs, idCol)
           }
           keepInputColumns(df.columns)(kept)
+        }
+
+      // edit-distance near-dup collapse on a string column (titles,
+      // names, URLs): within-max_dist pairs merge transitively, each
+      // component keeps its min-id row; column-neutral
+      case "fuzzy_dedup" =>
+        val strCol = str(m, "str_col", "text")
+        val idCol = str(m, "id_col", "doc_id")
+        df => {
+          val kept = FuzzyJoin.fuzzyDedup(
+            df.select(col(s"`$idCol`"), col(s"`$strCol`")),
+            idCol, strCol,
+            maxDist = int(m, "max_dist", 2), q = int(m, "q", 2))
+            .select(col(s"`$idCol`"))
+          df.join(kept, Seq(idCol), "left_semi")
         }
 
       // token counting for downstream budgets: whitespace (default) or

@@ -147,4 +147,20 @@ object FuzzyJoin {
         "__r_id", "__r_str", maxDist, q)
       .filter(col(idCol) < col("__r_id"))
       .select(col(idCol).as("id_a"), col("__r_id").as("id_b"), col("dist"))
+
+  /** Edit-distance near-dup collapse: the title/surface-form dedup pass —
+    * within-maxDist pairs become components (typo chains A~B~C merge even
+    * when ed(A,C) > maxDist, the transitive-closure semantics every
+    * fuzzy-dedup wants), and each component keeps its minimum id, with
+    * unpaired rows surviving untouched. Pure composition:
+    * [[editDistanceSelfJoin]] pairs into [[Dedup.connectedComponents]] +
+    * canonical keep — the same component machinery the MinHash corpus
+    * dedup rides, so the scale shape is already established (pair graph
+    * is bucketed; the loser anti-join broadcasts; the corpus itself never
+    * shuffles). Output: the surviving rows + `n_dups` (component size; 1
+    * for unpaired). */
+  def fuzzyDedup(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2): DataFrame =
+    Dedup.canonicalCorpus(df,
+      editDistanceSelfJoin(df, idCol, strCol, maxDist, q), idCol)
 }

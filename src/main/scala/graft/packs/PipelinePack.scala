@@ -682,6 +682,16 @@ object PipelinePack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // edit-distance near-dup collapse over the part-name vocabulary:
+    // pairs → transitive components → min-id canonical + unpaired
+    // survivors, annotated with component size
+    "q_dedup_fuzzy" -> ((s, dir) => {
+      val names = Tables(s, dir, "part").select("p_name").distinct()
+      graft.ops.FuzzyJoin.fuzzyDedup(names, "p_name", "p_name",
+        maxDist = 1)
+        .orderBy("p_name")
+    }),
+
     // integer-exact weighted PageRank over the nation trade graph
     // (customer-nation → supplier-nation edges weighted by lineitem
     // count): 5 power iterations in DECIMAL(38,0) micro-units — the
@@ -2720,6 +2730,32 @@ object PipelinePack extends QueryPack {
     // re-derives the full power iteration in HUGEINT: `//` floor division
     // is the twin of the engine's (a − a mod b)/b exact decimal floor
     "q_graph_pagerank" -> pagerankSql(iters = 5),
+
+    // quadratic levenshtein pairs + recursive-CTE components + min-id
+    // canonical keep — the q_dedup_canonical oracle shape over the
+    // blocking-free fuzzy pair graph
+    "q_dedup_fuzzy" ->
+      """WITH RECURSIVE names AS MATERIALIZED (
+        |  SELECT DISTINCT p_name FROM part),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.p_name AS u, b.p_name AS v
+        |  FROM names a JOIN names b ON a.p_name < b.p_name
+        |  WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+        |    AND levenshtein(a.p_name, b.p_name) <= 1),
+        |edges AS MATERIALIZED (
+        |  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+        |cc AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id),
+        |sizes AS (SELECT component_id, count(*) AS n FROM cc GROUP BY 1)
+        |SELECT n.p_name, COALESCE(s.n, CAST(1 AS BIGINT)) AS n_dups
+        |FROM names n
+        |LEFT JOIN cc ON cc.id = n.p_name
+        |LEFT JOIN sizes s ON s.component_id = n.p_name
+        |WHERE cc.id IS NULL OR cc.id = cc.component_id
+        |ORDER BY p_name""".stripMargin,
 
     "q_audit_profile" ->
       """SELECT col AS "column", n_rows, n_nulls, n_distinct,

@@ -106,4 +106,18 @@ class FuzzyJoinSpec extends AnyFunSuite {
     val got = run(Seq(1L -> "abcd"), Seq(10L -> "abcd", 11L -> "abcd"), 1)
     assert(got === Set((1L, 10L, 0), (1L, 11L, 0)))
   }
+
+  test("fuzzyDedup merges typo chains transitively, keeps the min id") {
+    import spark.implicits._
+    // A~B (1 edit), B~C (1 edit), but ed(A,C)=2 > maxDist=1 — the chain
+    // must still collapse to one component; D is unpaired
+    val df = Seq(
+      (1L, "red bolt"), (2L, "red bolts"), (3L, "red boltsz"),
+      (9L, "totally different thing")).toDF("id", "s")
+    val out = FuzzyJoin.fuzzyDedup(df, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out === Set((1L, "red bolt", 3L),
+      (9L, "totally different thing", 1L)))
+  }
 }

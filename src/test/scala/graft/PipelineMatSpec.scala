@@ -107,6 +107,17 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(stripped === "hello world x")
   }
 
+  test("fuzzy_dedup step collapses near-identical strings, stays column-neutral") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red bolt", "a"), (2L, "red bolts", "b"),
+      (9L, "something else entirely", "c")).toDF("doc_id", "text", "src")
+    val out = steps(Seq(Map("op" -> "fuzzy_dedup", "max_dist" -> 1)))
+      .head.apply(docs)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 9L))
+  }
+
   test("pii_mask step replaces the text column in place") {
     import spark.implicits._
     val docs = Seq(
