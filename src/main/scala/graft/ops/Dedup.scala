@@ -383,32 +383,98 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, perms: Int = 128, bands: Int = 21,
       threshold: Double = 0.8): DataFrame = {
-    import graft.expressions.PipelineExpressions._
-    val r = perms / bands
-    val sigs = maybeCache(spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"),
-        shingle_hashes(col(textCol), k).as("shh"))
-      .filter(size(col("shh")) > 0)
-      .withColumn("sig", minhash_sig(col("shh"), perms)))
+    val sigs = maybeCache(minhashSignatures(df, idCol, textCol, k, perms))
     // Candidates come from the one-shuffle bucket-pairs aggregate over
     // narrow (id, band, bandhash) rows; the heavy shingle-hash arrays
     // join back ONLY for the deduplicated candidate pairs (the same
     // narrow-then-rejoin shape as [[shingleCandidates]]).
-    // band hash = xxhash64 FOLD over the slice's longs (seeded with the
-    // band index) — pure integer codegen; the stringify-and-concat form
-    // measured 2× slower over the same slices with the identical
-    // candidate sets (any injective-enough mix works, the exact-Jaccard
-    // verify keeps the output independent of the hash choice)
-    val banded = sigs.select(col("id"),
+    val pairIds = bucketPairs(bandedOf(sigs, perms, bands),
+      Seq("band", "bandhash"), maxBandBucket(df))
+    val candidates = pairIds
+      .join(sigs.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+    verifyJaccard(candidates, threshold)
+  }
+
+  /** The (id, shh, sig) signature table [[minhashNearDups]] computes
+    * internally, exposed so it can be PERSISTED as a dedup index: an
+    * incremental pipeline materializes this once per corpus slice (an
+    * incremental model append is the natural home) and then dedups each
+    * new batch against it with [[minhashNearDupsIncremental]] — never
+    * re-reading, re-shingling, or re-pairing the historical corpus.
+    * `shh` (the exact shingle-hash set) rides along because the exact
+    * Jaccard verify needs it; storing it costs ~the corpus's distinct
+    * k-gram footprint and is what keeps incremental precision at 1. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, perms: Int = 128): DataFrame = {
+    import graft.expressions.PipelineExpressions._
+    spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        shingle_hashes(col(textCol), k).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .withColumn("sig", minhash_sig(col("shh"), perms))
+  }
+
+  /** (id, band, bandhash) rows from a signature table. Band hash =
+    * xxhash64 FOLD over the slice's longs (seeded with the band index) —
+    * pure integer codegen; the stringify-and-concat form measured 2×
+    * slower over the same slices with the identical candidate sets (any
+    * injective-enough mix works, the exact-Jaccard verify keeps the
+    * output independent of the hash choice). */
+  private def bandedOf(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
+    val r = perms / bands
+    sigs.select(col("id"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),
            |  b -> aggregate(slice(sig, b * $r + 1, $r),
            |         xxhash64(b), (acc, v) -> xxhash64(acc, v)))""".stripMargin))
         .as(Seq("band", "bandhash")))
-    val pairIds = bucketPairs(banded, Seq("band", "bandhash"), maxBandBucket(df))
-    val candidates = pairIds
-      .join(sigs.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+  }
+
+  /** Incremental MinHash dedup: near-dup pairs of a NEW batch against
+    * itself AND against a persisted [[minhashSignatures]] index — the
+    * continuous-ingest shape. At 100 TB you dedup the daily slice, not
+    * the corpus: this touches the historical data only through its
+    * narrow signature table, and even that is pre-pruned to the buckets
+    * the new batch actually collides with (a left-semi join on the
+    * band keys), so settled old×old pairs are never enumerated, let
+    * alone re-verified.
+    *
+    * Contract: batch and index ids are disjoint (same id space, new
+    * docs only in the batch). Recall is the banding recall of the
+    * parameters — identical per-pair to the full-corpus operator, since
+    * band collision depends only on the two signatures involved.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, exact-Jaccard
+    * verified (precision 1), old×old pairs excluded by construction. */
+  def minhashNearDupsIncremental(newDf: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int = 3, perms: Int = 128,
+      bands: Int = 21, threshold: Double = 0.8): DataFrame = {
+    val newSigs = maybeCache(minhashSignatures(newDf, idCol, textCol, k,
+      perms))
+    val idxSigs = index.select(col("id"), col("shh"), col("sig"))
+    val bandedNew = maybeCache(bandedOf(newSigs, perms, bands))
+    // index rows survive only where a new row shares their bucket
+    val bandedIdx = bandedOf(idxSigs, perms, bands)
+      .join(bandedNew.select("band", "bandhash").distinct(),
+        Seq("band", "bandhash"), "left_semi")
+    val pairIds = bucketPairs(bandedNew.unionByName(bandedIdx),
+      Seq("band", "bandhash"), maxBandBucket(newDf))
+    // drop the residual old×old pairs (two index docs colliding inside
+    // a bucket the batch also touches)
+    val aNew = newSigs.select(col("id").as("id_a"), lit(true).as("__an"))
+    val bNew = newSigs.select(col("id").as("id_b"), lit(true).as("__bn"))
+    val filtered = pairIds
+      .join(aNew, Seq("id_a"), "left").join(bNew, Seq("id_b"), "left")
+      .filter(coalesce(col("__an"), lit(false)) ||
+        coalesce(col("__bn"), lit(false)))
+      .select("id_a", "id_b")
+    val allSigs = newSigs.select("id", "shh")
+      .unionByName(idxSigs.select("id", "shh"))
+    val candidates = filtered
+      .join(allSigs.select(col("id").as("id_a"), col("shh").as("sh_a")),
+        "id_a")
+      .join(allSigs.select(col("id").as("id_b"), col("shh").as("sh_b")),
+        "id_b")
     verifyJaccard(candidates, threshold)
   }
 

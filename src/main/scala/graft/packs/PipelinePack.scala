@@ -682,6 +682,19 @@ object PipelinePack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental MinHash dedup: the doc_id % 3 == 0 slice arrives as a
+    // "new batch" and dedups against the persisted signature index of
+    // the rest — old×old pairs never enumerated, history touched only
+    // through its signature table
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val index = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      Dedup.minhashNearDupsIncremental(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", index)
+        .orderBy("id_a", "id_b")
+    }),
+
     // edit-distance near-dup collapse over the part-name vocabulary:
     // pairs → transitive components → min-id canonical + unpaired
     // survivors, annotated with component size
@@ -1867,6 +1880,19 @@ object PipelinePack extends QueryPack {
 
     "q_dedup_minhash" -> jaccardPairsSql,
     "q_dedup_ngram" -> jaccardPairsSql,
+
+    // the full exact-Jaccard pair set MINUS the settled old×old pairs —
+    // exactly what the incremental operator must reproduce
+    "q_dedup_incremental" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s)) * 1.0 /
+         |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+         |  AND len(list_intersect(a.s, b.s)) * 1.0 /
+         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_containment" ->
       """WITH corpus AS (

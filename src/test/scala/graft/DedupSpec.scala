@@ -627,4 +627,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length <= 40)
     assert(out.count(_.getLong(2) > 1L) >= 1)
   }
+
+  test("incremental minhash equals full-corpus pairs minus old×old") {
+    import spark.implicits._
+    // duplicate groups that span the old/new split (ids % 3): the
+    // incremental run must find new×new and new×old pairs and must NOT
+    // emit the old×old ones the full run reports
+    val texts = (0 until 8).map(g =>
+      s"group $g shares this exact long duplicated sentence body number " +
+        s"$g with several siblings across the split boundary")
+    val docs = (0L until 24L).map(i => (i, texts((i % 8).toInt)))
+      .toDF("id", "text")
+    val oldDf = docs.filter(col("id") % 3 =!= 0)
+    val newDf = docs.filter(col("id") % 3 === 0)
+
+    val full = Dedup.minhashNearDups(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(expected.nonEmpty && expected.size < full.size)
+
+    val idx = Dedup.minhashSignatures(oldDf, "id", "text")
+    val inc = Dedup.minhashNearDupsIncremental(newDf, "id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === expected)
+  }
 }
