@@ -291,6 +291,54 @@ object TextAnalysis {
           col("n_bigrams").cast("double"), 6).as("surprise"))
   }
 
+  /** PMI collocations: the corpus's strongest adjacent-bigram
+    * associations ("New York"-style multi-word expressions — Church &
+    * Hanks 1990), a vocabulary-mining step tokenizer and phrase-merge
+    * pipelines run over raw corpora.
+    *
+    * Counting convention (self-consistent, no mixed denominators): all
+    * counts live in BIGRAM space — c12 = count of the pair, c1 = count
+    * of bigrams with this first word, c2 = count with this second word,
+    * N = total bigrams; PMI = ln(c12·N / (c1·c2)) computed as the fixed
+    * left-associated sum ln(c12) + ln(N) − ln(c1) − ln(c2) over
+    * exact-integer inputs — no product overflow at any corpus size (the
+    * KL-drift lesson), each ln correctly rounded, round(6) absorbing the
+    * ≤1-ulp libm spread. The top-k ranks on the ROUNDED value (ulp-safe
+    * cutoff) with (w1, w2) tie-break, as a distributed TakeOrdered.
+    *
+    * `minCount` keeps rare-pair noise out (PMI is maximal for
+    * hapax pairs — the standard failure mode). Scale shape: one explode,
+    * three partial-agg'd count shuffles bounded by the bigram
+    * vocabulary, two joins of count tables, a 1-row broadcast for N,
+    * TakeOrdered for the cut. */
+  def collocations(docs: DataFrame, textCol: String, minCount: Int = 5,
+      topK: Int = 50): DataFrame = {
+    val pairs = Dedup.maybeCache(
+      Dedup.spread(docs.select(col(textCol)))
+        .select(split(col(textCol), " ").as("__w"))
+        .filter(size(col("__w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(__w) - 1),
+            |  i -> struct(element_at(__w, i) AS w1,
+            |              element_at(__w, i + 1) AS w2))""".stripMargin))
+          .as("__bg"))
+        .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2")))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val c2 = pairs.groupBy("w2").agg(count(lit(1)).as("__c2"))
+    val n = pairs.agg(count(lit(1)).as("__n"))
+    val pmi = round(
+      log(col("n_pair").cast("double")) + log(col("__n").cast("double")) -
+        log(col("__c1").cast("double")) - log(col("__c2").cast("double")),
+      6)
+    big.join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Per-group token-distribution drift: KL(P_group ‖ P_corpus) with
     * Laplace smoothing over the corpus vocabulary — the mix-monitoring
     * check a training pipeline runs on its domain slices (a source

@@ -922,6 +922,13 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // PMI collocations: strongest adjacent-bigram associations (Church
+    // & Hanks), min-count 5, top 50 by ulp-safe rounded PMI
+    "q_text_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(Tables(s, dir, "documents"), "text",
+        minCount = 5, topK = 50)
+    }),
+
     // BPE vocabulary coverage per source: the OOV-rate signal — what
     // fraction of word occurrences the trained tokenizer keeps whole
     // (n_syms = 1) and the total piece inflation. Map-side merge replay
@@ -1808,6 +1815,28 @@ object PipelinePack extends QueryPack {
     // scratch (unrolled CTE steps), so training AND counting are both
     // independently verified
     "q_text_bpe" -> bpeSql(bpeNumMerges),
+
+    // bigram-space marginals, four-ln left-associated PMI, rounded cut
+    "q_text_collocations" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents) t
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS n_pair FROM pairs
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |c2 AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM pairs)
+        |SELECT b.w1, b.w2, b.n_pair,
+        |  round(ln(CAST(b.n_pair AS DOUBLE)) + ln(CAST(n.n AS DOUBLE))
+        |    - ln(CAST(c1.c1 AS DOUBLE)) - ln(CAST(c2.c2 AS DOUBLE)), 6)
+        |    AS pmi
+        |FROM big b
+        |JOIN c1 ON c1.w1 = b.w1
+        |JOIN c2 ON c2.w2 = b.w2
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
 
     // vocabulary coverage: per-occurrence piece counts from the
     // re-learned lexicon's n_syms (Spark replays merges map-side;

@@ -223,4 +223,34 @@ class Bm25Spec extends AnyFunSuite {
         "the per-group totals side should be a broadcast")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("collocations: hand-computed bigram-space PMI, ties break on words") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)×3, (b,a)×1, (b,c)×1 — N=5
+    // PMI(a,b) = ln(3·5/(3·3)) = ln(5/3); PMI(b,a) = ln(1·5/(2·1)) =
+    // PMI(b,c) = ln(5/2) — an exact tie, resolved by (w1, w2)
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val out = graft.ops.TextAnalysis.collocations(docs, "text",
+      minCount = 1, topK = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def pmi6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      ("b", "a", 1L, pmi6(math.log(2.5))),
+      ("b", "c", 1L, pmi6(math.log(2.5))),
+      ("a", "b", 3L, pmi6(math.log(5.0 / 3.0)))))
+  }
+
+  test("collocations: minCount prunes hapax pairs, topK cuts the list") {
+    import spark.implicits._
+    val docs = Seq("x y x y x y", "p q").toDF("text")
+    val pruned = graft.ops.TextAnalysis.collocations(docs, "text",
+      minCount = 2, topK = 10).collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("x", "y"), ("y", "x")))
+    val cut = graft.ops.TextAnalysis.collocations(docs, "text",
+      minCount = 1, topK = 1).collect()
+    assert(cut.length === 1)
+  }
 }

@@ -107,6 +107,20 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L, 0), (1L, 11L, 0)))
   }
 
+  test("plan is all equi-joins: no cartesian product, no nested loop") {
+    import spark.implicits._
+    val left = (0L until 50L).map(i => (i, s"left string value $i"))
+      .toDF("id", "s")
+    val right = (0L until 80L).map(i => (i + 1000L, s"right string value $i"))
+      .toDF("rid", "rs")
+    val df = FuzzyJoin.editDistanceJoin(left, "id", "s",
+      right, "rid", "rs", maxDist = 2)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
+
   test("fuzzyDedup merges typo chains transitively, keeps the min id") {
     import spark.implicits._
     // A~B (1 edit), B~C (1 edit), but ed(A,C)=2 > maxDist=1 — the chain
