@@ -1048,6 +1048,38 @@ object PipelinePack extends QueryPack {
         Tables(s, dir, "documents").filter(col("doc_id") % 31 === 0))
       Multimodal.frameSample(media, stride = 64)
         .orderBy("doc_id", "frame_no")
+    }),
+
+    // CDC SCD-1 compaction: events as a per-user changelog ('error' =
+    // account deletion, anything else upserts) — latest surviving row
+    // per key from one window shuffle, no per-group buffers
+    "q_cdc_compact" -> ((s, dir) => {
+      val log = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("event_type"), col("value"))
+      graft.ops.Cdc.compact(log, Seq("user_id"), "ts", Seq("event_id"), "op")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    // CDC SCD-2 reconstruction: validity intervals straight from the
+    // change stream — a delete closes its predecessor's interval but
+    // emits no row; the single window sort serves compaction and lead
+    "q_cdc_history" -> ((s, dir) => {
+      val log = Tables(s, dir, "events").filter(col("user_id") < 400)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"))
+      graft.ops.Cdc.history(log, Seq("user_id"), "ts", Seq("event_id"), "op")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("valid_from")).as("vf_us"),
+          unix_micros(col("valid_to")).as("vt_us"),
+          col("is_current"), col("value"))
+        .orderBy("user_id", "vf_us", "event_id")
     })
   )
 
@@ -3119,6 +3151,34 @@ object PipelinePack extends QueryPack {
         |FROM documents
         |CROSS JOIN LATERAL (
         |  SELECT unnest(range(0, greatest(CAST(floor(length(text) / 64) AS INT), 1))) AS f) t
-        |WHERE doc_id % 31 = 0 ORDER BY doc_id, frame_no""".stripMargin
+        |WHERE doc_id % 31 = 0 ORDER BY doc_id, frame_no""".stripMargin,
+
+    "q_cdc_compact" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        |FROM log WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_cdc_history" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value
+        |  FROM events WHERE user_id < 400),
+        |w AS (
+        |  SELECT user_id, event_id, value, op, epoch_us(ts) AS vf_us,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS vt_us
+        |  FROM log)
+        |SELECT user_id, event_id, vf_us, vt_us,
+        |  vt_us IS NULL AS is_current, value
+        |FROM w WHERE op <> 'D'
+        |ORDER BY user_id, vf_us, event_id""".stripMargin
   )
 }
