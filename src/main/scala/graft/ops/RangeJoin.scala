@@ -45,4 +45,32 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Inner-join `left` interval rows to `right` interval rows sharing
+    * `keys` whose [start, end] ranges OVERLAP (inclusive:
+    * lStart ≤ rEnd AND rStart ≤ lEnd) — the interval×interval sibling of
+    * [[pointInInterval]], same bucketing rewrite. Both sides explode to
+    * every bucket they touch and equi-join on (keys, bucket); an
+    * overlapping pair meets in every bucket BOTH touch, so dedup is by
+    * canonical bucket: the pair counts only in the bucket of
+    * max(lStart, rStart), which lies in both sides' ranges exactly when
+    * they overlap. All four bound columns must be LONGs in a common
+    * unit; non-key column names must be disjoint across the sides. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(clash.isEmpty, s"non-key columns collide across sides: $clash")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val l = left.withColumn("__bucket",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    l.join(r, keys :+ "__bucket")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(bucketOf(greatest(col(lStart), col(rStart))) === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -1080,6 +1080,26 @@ object PipelinePack extends QueryPack {
           unix_micros(col("valid_to")).as("vt_us"),
           col("is_current"), col("value"))
         .orderBy("user_id", "vf_us", "event_id")
+    }),
+
+    // interval×interval overlap join: ±2h click activity windows vs
+    // ±2h error windows per user — bucketing turns the overlap
+    // predicate into a hash join, canonical-bucket rule dedups pairs
+    "q_range_overlap" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          (unix_micros(col("ts")) - 7200000000L).as("c_start"),
+          (unix_micros(col("ts")) + 7200000000L).as("c_end"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - 7200000000L).as("e_start"),
+          (unix_micros(col("ts")) + 7200000000L).as("e_end"))
+      graft.ops.RangeJoin.intervalOverlap(clicks, errors, Seq("user_id"),
+        "c_start", "c_end", "e_start", "e_end",
+        bucketWidth = 14400000000L)
+        .groupBy("click_id").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("click_id")
     })
   )
 
@@ -3179,6 +3199,22 @@ object PipelinePack extends QueryPack {
         |SELECT user_id, event_id, vf_us, vt_us,
         |  vt_us IS NULL AS is_current, value
         |FROM w WHERE op <> 'D'
-        |ORDER BY user_id, vf_us, event_id""".stripMargin
+        |ORDER BY user_id, vf_us, event_id""".stripMargin,
+
+    "q_range_overlap" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) - 7200000000 AS c_start,
+        |    epoch_us(ts) + 7200000000 AS c_end
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - 7200000000 AS e_start,
+        |    epoch_us(ts) + 7200000000 AS e_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT click_id, CAST(count(*) AS BIGINT) AS n_overlaps
+        |FROM c JOIN e USING (user_id)
+        |WHERE c_start <= e_end AND e_start <= c_end
+        |GROUP BY click_id ORDER BY click_id""".stripMargin
   )
 }

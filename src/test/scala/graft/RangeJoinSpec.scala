@@ -47,6 +47,40 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("interval overlap matches the naive join, no duplicates, no BNLJ") {
+    import spark.implicits._
+    // varied lengths: some spanning many buckets, zero-width, touching
+    val lhs = Seq(
+      ("k0", 0L, 100L, 1L), ("k0", 100L, 100L, 2L), ("k0", 101L, 250L, 3L),
+      ("k1", 0L, 1000L, 4L), ("k1", 999L, 2000L, 5L), ("k2", 5L, 10L, 6L)
+    ).toDF("key", "ls", "le", "l_id")
+    val rhs = Seq(
+      ("k0", 100L, 130L, 10L), ("k0", 260L, 270L, 11L),
+      ("k1", 500L, 600L, 12L), ("k1", 2000L, 2000L, 13L),
+      ("k2", 10L, 20L, 14L), ("k3", 0L, 9999L, 15L)
+    ).toDF("key", "rs", "re", "r_id")
+
+    val bucketed = RangeJoin.intervalOverlap(lhs, rhs, Seq("key"),
+      "ls", "le", "rs", "re", bucketWidth = 50L)
+    val naive = lhs.join(rhs, Seq("key"))
+      .filter($"ls" <= $"re" && $"rs" <= $"le")
+
+    val a = bucketed.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = naive.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+    assert(a.distinct.size == a.size, "bucketing must not duplicate pairs")
+    // touching endpoints count (1-10, 2-10, 5-13, 6-14); key isolation (no 15)
+    assert(a.contains((2L, 10L)) && a.contains((5L, 13L)) &&
+      a.contains((6L, 14L)))
+    assert(!a.exists(_._2 == 15L))
+
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("inclusive bounds and key isolation") {
     import spark.implicits._
     val points = Seq(("a", 10L), ("a", 20L), ("b", 10L)).toDF("key", "p")
