@@ -452,6 +452,54 @@ object TextAnalysis {
     * last bit) — `round(…, 6)` absorbs it. The oracle SQL mirrors the
     * operator's exact expression tree, generated from the same term
     * list. */
+  /** TF-IDF keyword extraction: the k most characteristic terms per
+    * document — the corpus-relative twin of [[bm25]] (which scores docs
+    * against a QUERY; this scores every term against its own corpus,
+    * the per-doc tag/keyword step of search-index and topic-labeling
+    * pipelines). Smoothed sklearn-style weight:
+    * tfidf = tf · (ln((1+N)/(1+df)) + 1), so df = N costs nothing but
+    * never divides by zero.
+    *
+    * Scale shape: one explode feeds a (doc, term) partial-agg'd count;
+    * df folds that tf table again (both shuffles bounded by doc×vocab
+    * and vocab); N rides a 1-row broadcast; the tf⋈df equi-join on the
+    * term key is left UN-hinted (AQE broadcasts the vocab side only
+    * while it is actually small — the tokenKlDrift lesson); the final
+    * per-doc top-k is one ranking window. Nothing is ever all-pairs
+    * and no unbounded table is forced into a broadcast.
+    *
+    * Determinism: tf/df/N are exact integers; the score is one `ln` of
+    * an exact rational (JVM↔DuckDB libm agree to ≤1 ulp) under two
+    * correctly-rounded double ops; `round(…, 6)` absorbs the ulp and
+    * the RANK is taken on the ROUNDED value with a term-text tie-break
+    * — the collocations ulp-safe-cut convention — so the top-k boundary
+    * never sits on a last-bit difference. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = Dedup.maybeCache(Dedup.spread(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf")))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = tf.agg(countDistinct(col(idCol)).as("__n"))
+    val score = col("__tf").cast("double") *
+      (log((lit(1.0) + col("__n").cast("double")) /
+        (lit(1.0) + col("__df").cast("double"))) + lit(1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")

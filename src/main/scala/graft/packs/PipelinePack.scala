@@ -1100,6 +1100,16 @@ object PipelinePack extends QueryPack {
         bucketWidth = 14400000000L)
         .groupBy("click_id").agg(count(lit(1)).as("n_overlaps"))
         .orderBy("click_id")
+    }),
+
+    // TF-IDF keyword extraction: top-3 most characteristic terms per
+    // doc — rank taken on the ROUNDED score (ulp-safe cut), term asc
+    // tie-break; restricted to every 11th doc to keep output moderate
+    "q_text_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+        .filter(col("doc_id") % 11 === 0)
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -3215,6 +3225,30 @@ object PipelinePack extends QueryPack {
         |SELECT click_id, CAST(count(*) AS BIGINT) AS n_overlaps
         |FROM c JOIN e USING (user_id)
         |WHERE c_start <= e_end AND e_start <= c_end
-        |GROUP BY click_id ORDER BY click_id""".stripMargin
+        |GROUP BY click_id ORDER BY click_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |s AS (
+        |  SELECT doc_id, term,
+        |    round(CAST(tf AS DOUBLE) *
+        |      (ln((1.0 + CAST(n AS DOUBLE)) / (1.0 + CAST(df AS DOUBLE)))
+        |       + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, tfidf, rank FROM r
+        |WHERE rank <= 3 AND doc_id % 11 = 0
+        |ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -253,4 +253,36 @@ class Bm25Spec extends AnyFunSuite {
       minCount = 1, topK = 1).collect()
     assert(cut.length === 1)
   }
+
+  test("tfidfTopTerms: hand-computed smoothed weights, rounded-rank ties") {
+    import spark.implicits._
+    // N = 3 docs; 'rare' only in doc 1, 'mid' in docs 1+2, 'com' in all
+    val docs = Seq(
+      (1L, "rare rare mid com"),
+      (2L, "mid com com"),
+      (3L, "com"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text",
+      k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    def w(tf: Long, df: Long): Double = {
+      val raw = tf.toDouble * (math.log((1.0 + 3.0) / (1.0 + df.toDouble)) + 1.0)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.toSeq == Seq(
+      (1L, "rare", w(2, 1), 1), (1L, "mid", w(1, 2), 2),
+      (2L, "com", w(2, 3), 1), (2L, "mid", w(1, 2), 2),
+      // doc 3 has only one term; the NULL doc contributes nothing
+      (3L, "com", w(1, 3), 1)))
+  }
+
+  test("tfidfTopTerms: equal rounded scores tie on term text") {
+    import spark.implicits._
+    // both terms: tf=1, df=1 → identical score; 'alpha' < 'beta'
+    val docs = Seq((1L, "beta alpha")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text",
+      k = 2).orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("alpha", "beta"))
+  }
 }
