@@ -187,4 +187,28 @@ object Stats {
         round(cov.cast("double") /
           sqrt(varx.cast("double") * vary.cast("double")), 6)).as("r"))
   }
+
+  /** Exact per-group mode (most frequent value, the categorical
+    * location estimate profiling reports alongside quantiles): two
+    * partial-agg'd shuffles — (group, value) counts, then an argmax
+    * ranking window over the count table, whose size is bounded by
+    * group×distinct-values, never the input. Deterministic tie-break:
+    * count desc, then value ASC in the column's own ordering — no
+    * "whichever partition finished first". NULL values are dropped
+    * (the mode of nothing is no row, matching DuckDB's `mode`
+    * semantics only when ties are impossible — hence the pinned
+    * tie-break instead of the built-in). Output: group, mode value
+    * (input type), its count. */
+  def modeByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n_mode"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("n_mode").desc, col(valueCol))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -1110,6 +1110,14 @@ object PipelinePack extends QueryPack {
         Tables(s, dir, "documents"), "doc_id", "text", k = 3)
         .filter(col("doc_id") % 11 === 0)
         .orderBy("doc_id", "rank")
+    }),
+
+    // exact per-group mode: each user's most frequent event type —
+    // count-table argmax with a pinned (count desc, value asc) tie-break
+    "q_stats_mode" -> ((s, dir) => {
+      graft.ops.Stats.modeByGroup(
+        Tables(s, dir, "events"), "user_id", "event_type")
+        .orderBy("user_id")
     })
   )
 
@@ -3249,6 +3257,18 @@ object PipelinePack extends QueryPack {
         |  FROM s)
         |SELECT doc_id, term, tfidf, rank FROM r
         |WHERE rank <= 3 AND doc_id % 11 = 0
-        |ORDER BY doc_id, rank""".stripMargin
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_stats_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n_mode
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, CAST(n_mode AS BIGINT) AS n_mode,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n_mode DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type, n_mode FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin
   )
 }

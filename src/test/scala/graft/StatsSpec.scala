@@ -185,4 +185,23 @@ class StatsSpec extends AnyFunSuite {
     assert(out("s") == ((1L, 7.0)))
     assert(out("n") == ((1L, 5.0)))
   }
+
+  test("modeByGroup: argmax with (count desc, value asc) ties, NULL drop") {
+    import spark.implicits._
+    val df = Seq(
+      // a: clear winner
+      ("a", "x"), ("a", "x"), ("a", "y"),
+      // b: 2-2 tie → lexicographically smaller value wins
+      ("b", "z"), ("b", "z"), ("b", "m"), ("b", "m"),
+      // c: only NULLs → no row at all
+      ("c", null.asInstanceOf[String]),
+      // d: NULL doesn't outvote a real value
+      ("d", null.asInstanceOf[String]), ("d", null.asInstanceOf[String]),
+      ("d", "q")).toDF("k", "v")
+    val out = graft.ops.Stats.modeByGroup(df, "k", "v")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("a" -> (("x", 2L)), "b" -> (("m", 2L)),
+      "d" -> (("q", 1L))))
+  }
 }
