@@ -384,13 +384,15 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   def writeTableAtomic(df: DataFrame, rel: Relation,
       partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
       clusteredBy: Seq[String] = Nil, buckets: Int = 0,
-      zorderBy: Seq[String] = Nil): Unit = {
+      zorderBy: Seq[String] = Nil, layoutCurve: String = "morton"): Unit = {
+    require(Set("morton", "hilbert")(layoutCurve),
+      s"layout_curve must be morton or hilbert: $layoutCurve")
     InteractionLog.log(spark, "write_table",
       s"${rel.fqn} schema=${df.schema.simpleString}" +
         (if (partitionBy.nonEmpty) s" partitionBy=${partitionBy.mkString(",")}" else "") +
         (if (sortBy.nonEmpty) s" sortBy=${sortBy.mkString(",")}" else "") +
         (if (clusteredBy.nonEmpty) s" clusteredBy=${clusteredBy.mkString(",")} buckets=$buckets" else "") +
-        (if (zorderBy.nonEmpty) s" zorderBy=${zorderBy.mkString(",")}" else ""))
+        (if (zorderBy.nonEmpty) s" zorderBy=${zorderBy.mkString(",")} curve=$layoutCurve" else ""))
     val offline = offlineReplay
     // zorder_by: Morton-curve layout (multi-dimensional skipping) wins
     // over sort_by; sort_by clustering: range-repartition on the sort
@@ -399,7 +401,9 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     // min/max stats prune selective scans to a handful of files (the
     // warehouse clustering-key layout). One range shuffle per build.
     val sorted =
-      if (zorderBy.nonEmpty) graft.ops.Zorder.layout(df, zorderBy)
+      if (zorderBy.nonEmpty && layoutCurve == "hilbert")
+        graft.ops.Zorder.layoutHilbert(df, zorderBy)
+      else if (zorderBy.nonEmpty) graft.ops.Zorder.layout(df, zorderBy)
       else if (sortBy.isEmpty) df
       else {
         val keys = sortBy.map(c =>

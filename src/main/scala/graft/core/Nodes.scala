@@ -170,6 +170,11 @@ final case class NodeConfig(
       * column prune via min/max stats, where sort_by only serves its
       * first key. Mutually exclusive with sort_by (zorder wins). */
     zorderBy: Seq[String] = Nil,
+    /** `layout_curve:` — which space-filling curve orders a `zorder_by:`
+      * layout: `morton` (default; 2-4 columns) or `hilbert` (exactly 2
+      * columns; consecutive keys are always grid-adjacent, so files are
+      * tighter rectangles for the same one-range-shuffle cost). */
+    layoutCurve: String = "morton",
     /** dbt-spark `clustered_by:` + `buckets:` (reference:
       * MS adapter table config; SparkAdapter file_format/clustered_by) —
       * hash-bucketed table layout. Two tables bucketed on the same key

@@ -89,7 +89,8 @@ object TableMat extends Materialization {
   def run(ctx: MatContext): MatResult = {
     ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
-      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy)
+      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
+      ctx.config.layoutCurve)
     MatResult(ctx.target, "success")
   }
 }

@@ -69,7 +69,8 @@ object PipelineMat extends Materialization {
     val out = steps.foldLeft(ctx.compiled()) { (df, s) => s.apply(df) }
     ctx.adapter.writeTableAtomic(out, ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
-      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy)
+      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
+      ctx.config.layoutCurve)
     MatResult(ctx.target, "success",
       s"pipeline: ${steps.map(_.op).mkString(" -> ")}")
   }
@@ -548,7 +549,8 @@ object StreamingTableMat extends Materialization {
 
     ctx.adapter.writeTableAtomic(result, ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
-      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy)
+      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
+      ctx.config.layoutCurve)
     // record the carried TTL on the table so the continuous-deployment
     // config is observable from the catalog
     ttl.foreach(t => ctx.adapter.execute(

@@ -56,6 +56,52 @@ object Zorder {
     terms.reduce(_ + _)
   }
 
+  /** 2D Hilbert state machine, derived from the classic rotation
+    * algorithm (the xy2d loop) and verified against it over the full
+    * 256×256 bucket grid in ZorderSpec: at each level the quadrant
+    * (2·x_bit + y_bit) indexes OUT for the emitted base-4 digit and
+    * NEXT for the successor state. Only 4 of D4's 8 symmetries are
+    * reachable, so the inter-level state is 2 bits. */
+  private val HilbertOut = Seq(0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+  private val HilbertNext = Seq(1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+
+  /** Hilbert-curve key over two 8-bit bucket ids — the continuity
+    * upgrade to [[mortonKey]]: consecutive key values are always
+    * GRID-ADJACENT cells (verified exhaustively in the spec), where the
+    * Morton curve jumps across the space at every power-of-2 boundary.
+    * Files cut from a Hilbert-sorted stream are therefore tighter
+    * rectangles — better parquet min/max pruning for the same sort
+    * cost. Pure codegen'd expression: the 2-bit state threads through 8
+    * `element_at` lookups on the two 16-element literal tables — no
+    * join, no shuffle, no UDF. */
+  def hilbertKey(bx: Column, by: Column): Column = {
+    val outArr = array(HilbertOut.map(lit): _*)
+    val nextArr = array(HilbertNext.map(lit): _*)
+    var state: Column = lit(0)
+    var d: Column = lit(0L)
+    for (lvl <- 7 to 0 by -1) {
+      val quad = (shiftright(bx, lvl) % 2) * 2 + shiftright(by, lvl) % 2
+      val idx = (state * 4 + quad + 1).cast("int") // element_at is 1-based
+      d = d * 4 + element_at(outArr, idx).cast("long")
+      state = element_at(nextArr, idx)
+    }
+    d
+  }
+
+  /** Rewrite `df` into Hilbert order on exactly two columns: same
+    * quantile-bucket + range-partition + in-file-sort shape as
+    * [[layout]], with the Hilbert key replacing Morton. */
+  def layoutHilbert(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size == 2,
+      s"hilbert layout takes exactly 2 columns, got ${columns.size}")
+    val bounds = boundaries(df, columns)
+    val keys = columns.zip(bounds).map { case (c, b) => bucketOf(c, b) }
+    df.withColumn("__graft_hkey", hilbertKey(keys(0), keys(1)))
+      .repartitionByRange(col("__graft_hkey"))
+      .sortWithinPartitions(col("__graft_hkey"))
+      .drop("__graft_hkey")
+  }
+
   /** Rewrite `df` into Z-order: derived z-key → range partition → in-file
     * sort → key dropped. The caller writes the result with no further
     * ordering. */

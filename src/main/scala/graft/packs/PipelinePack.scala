@@ -1118,6 +1118,19 @@ object PipelinePack extends QueryPack {
       graft.ops.Stats.modeByGroup(
         Tables(s, dir, "events"), "user_id", "event_type")
         .orderBy("user_id")
+    }),
+
+    // Hilbert key: the state-machine curve that drives the hilbert
+    // write layout, oracle-pinned on the same explicit bucket ids as
+    // q_zorder_key (the layout itself is physical and spec-tested)
+    "q_hilbert_key" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+        .withColumn("bx", pmod(col("o_custkey"), lit(256)).cast("int"))
+        .withColumn("by",
+          pmod(floor(col("o_totalprice")).cast("long"), lit(256)).cast("int"))
+      orders.select(col("o_orderkey"),
+        graft.ops.Zorder.hilbertKey(col("bx"), col("by")).as("hkey"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -3269,6 +3282,35 @@ object PipelinePack extends QueryPack {
         |      ORDER BY n_mode DESC, event_type) AS rn
         |  FROM c)
         |SELECT user_id, event_type, n_mode FROM r WHERE rn = 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_hilbert_key" -> hilbertSql
   )
+
+  /** DuckDB mirror of Zorder.hilbertKey: the 8-level state machine
+    * unrolls into one CTE per level, threading (d, st) through the same
+    * two 16-element lookup tables the operator inlines. */
+  private def hilbertSql: String = {
+    val out = "[0,1,3,2,0,3,1,2,2,1,3,0,2,3,1,0]"
+    val nxt = "[1,0,2,0,0,3,1,1,2,2,0,3,3,1,3,2]"
+    val steps = (7 to 0 by -1).zipWithIndex.map { case (lvl, i) =>
+      val prev = if (i == 0) "b" else s"h${i - 1}"
+      val pd = if (i == 0) "CAST(0 AS BIGINT)" else "d"
+      val ps = if (i == 0) "0" else "st"
+      val quad = s"((bx >> $lvl) & 1) * 2 + ((by >> $lvl) & 1)"
+      s"""h$i AS (
+         |  SELECT o_orderkey, bx, by,
+         |    $pd * 4 + CAST(list_extract($out,
+         |      $ps * 4 + $quad + 1) AS BIGINT) AS d,
+         |    list_extract($nxt, $ps * 4 + $quad + 1) AS st
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |    o_custkey % 256 AS bx,
+       |    CAST(floor(o_totalprice) AS BIGINT) % 256 AS by
+       |  FROM orders),
+       |${steps.mkString(",\n")}
+       |SELECT o_orderkey, d AS hkey FROM h7 ORDER BY o_orderkey""".stripMargin
+  }
 }

@@ -289,6 +289,42 @@ class IncrementalPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("layout_curve: hilbert bounds both dimensions; bad curve rejected") {
+    import spark.implicits._
+    val a = freshAdapter("hilbert")
+    val rows = new scala.util.Random(11)
+      .shuffle((0 until 64).flatMap(x => (0 until 64).map(y => (x, y))).toList)
+    val df = rows.toDF("x", "y").repartition(4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val hrel = Relation(a.defaultSchema, "hilberted")
+      a.writeTableAtomic(df, hrel, zorderBy = Seq("x", "y"),
+        layoutCurve = "hilbert")
+      val rs = a.read(hrel).select(input_file_name().as("f"), col("x"), col("y"))
+        .as[(String, Int, Int)].collect().groupBy(_._1).values.map { g =>
+          ((g.map(_._2).min, g.map(_._2).max),
+            (g.map(_._3).min, g.map(_._3).max))
+        }.toSeq
+      assert(rs.size > 1)
+      def avg(f: ((Int, Int), (Int, Int)) => Int): Double =
+        rs.map(r => f(r._1, r._2).toDouble).sum / rs.size
+      val xs = avg((x, _) => x._2 - x._1 + 1)
+      val ys = avg((_, y) => y._2 - y._1 + 1)
+      assert(xs < 40.0, s"hilbert x-span $xs")
+      assert(ys < 40.0, s"hilbert y-span $ys")
+      intercept[IllegalArgumentException] {
+        a.writeTableAtomic(df, Relation(a.defaultSchema, "badcurve"),
+          zorderBy = Seq("x", "y"), layoutCurve = "peano")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("clustered_by buckets co-locate same-key joins: no exchange") {
     import spark.implicits._
     val a = freshAdapter("buckets")
