@@ -45,7 +45,9 @@ import org.apache.spark.sql.functions._
   *
   * The full step vocabulary is [[PipelineSteps.knownOps]]: quality
   * gates (gopher_gate, span_gate, quality_classifier_filter — the
-  * last trains its logistic model on the step's own input), dedup
+  * last trains its logistic model on the step's own input —
+  * language_filter, and surprise_filter, the CCNet perplexity gate
+  * whose bigram LM also trains on the step's own input), dedup
   * (exact_dedup, minhash_dedup, fuzzy_dedup — edit-distance surface
   * forms, semantic_dedup over an embedding column), domain selection (dsir_select — hashed-ngram importance
   * weights against a `target_where:` slice of the step's own input),
@@ -88,7 +90,8 @@ object PipelineSteps {
     "minhash_dedup", "fuzzy_dedup", "semantic_dedup", "token_count",
     "temperature_mix",
     "weighted_mix", "mad_outlier_filter", "winsorize", "normalize",
-    "pii_mask", "span_gate", "quality_classifier_filter", "dsir_select",
+    "pii_mask", "language_filter", "surprise_filter", "span_gate",
+    "quality_classifier_filter", "dsir_select",
     "pack_sequences", "shard")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
@@ -285,6 +288,35 @@ object PipelineSteps {
       case "pii_mask" =>
         val textCol = str(m, "text_col", "text")
         df => df.withColumn(textCol, TextAnalysis.maskPii(textCol))
+
+      // language gate: keep rows whose predicted language is in
+      // `langs:` — pure map-side column op, no shuffle, schema-stable
+      case "language_filter" =>
+        val textCol = str(m, "text_col", "text")
+        val langs: Seq[String] = m.get("langs") match {
+          case Some(v: Seq[_]) => v.map(String.valueOf)
+          case _ => throw new IllegalArgumentException(
+            s"pipeline step `$op` requires `langs:` (a YAML list)")
+        }
+        df => df.filter(TextAnalysis.languageId(textCol)
+          .isin(langs.map(x => x: Any): _*))
+
+      // CCNet-style perplexity gate: train the bigram LM on THIS
+      // step's input, keep rows whose mean surprise is ≤ `max_surprise:`
+      // (rounded-6 compare, same value the oracle-checked query emits).
+      // Unscorable rows (< 2 tokens, NULL text) drop — they have no
+      // surprise under the model, matching lmSurprise's contract.
+      case "surprise_filter" =>
+        val textCol = str(m, "text_col", "text")
+        val idCol = str(m, "id_col", "doc_id")
+        val maxSurprise = dbl(m, "max_surprise", 10.0)
+        df => {
+          val kept = TextAnalysis.lmSurprise(
+            df.select(col(s"`$idCol`"), col(s"`$textCol`")), idCol, textCol)
+            .filter(col("surprise") <= maxSurprise)
+            .select(col(s"`$idCol`"))
+          df.join(kept, Seq(idCol), "left_semi")
+        }
 
       // duplicated-span gate: drop documents whose winnowed-fingerprint
       // dup fraction crosses the integer-exact threshold; audit columns

@@ -130,6 +130,39 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(byId(2L) === "no pii here")
   }
 
+  test("language_filter keeps listed languages, schema-stable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is in the house and the dog", "x"),
+      (2L, "der hund ist ein tier und das haus", "y"),
+      (3L, "el gato que vive en la casa y los perros", "z"))
+      .toDF("doc_id", "text", "src")
+    val out = steps(Seq(Map("op" -> "language_filter",
+      "langs" -> Seq("en", "de")))).head.apply(docs)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      steps(Seq(Map("op" -> "language_filter")))
+    }
+  }
+
+  test("surprise_filter drops high-perplexity rows and unscorable rows") {
+    import spark.implicits._
+    // 'a b' repeated is maximally predictable; the scrambled doc is not
+    val docs = Seq(
+      (1L, "a b a b a b a b"), (2L, "a b a b a b a b"),
+      (3L, "q z k w m t r v"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val scored = graft.ops.TextAnalysis.lmSurprise(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) < scored(3L))
+    val cut = (scored(1L) + scored(3L)) / 2
+    val out = steps(Seq(Map("op" -> "surprise_filter",
+      "max_surprise" -> cut))).head.apply(docs)
+    // doc 4 has one token: unscorable, drops with the high-surprise doc
+    assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("span_gate step: distinct docs pass, shared-span docs drop") {
     import spark.implicits._
     val shared = "abcdefghijklmnopqrstuvwxyz0123456789"
