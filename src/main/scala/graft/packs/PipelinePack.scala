@@ -1120,6 +1120,30 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // per-node triangle counts over the STRONG nation trade graph
+    // (edges with ≥ 1/650 of all lineitems — an integer relative cut so
+    // the graph stays comparable across scales): degree-oriented wedge
+    // join, each triangle counted once, all integer
+    "q_graph_triangles" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      val w = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val tot = li.agg(count(lit(1)).as("__n"))
+      val edges = w.crossJoin(broadcast(tot))
+        .filter(col("w") * 650 >= col("__n"))
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+        .join(nat, col("id") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_triangles"))
+        .orderBy("nation")
+    }),
+
     // Hilbert key: the state-machine curve that drives the hilbert
     // write layout, oracle-pinned on the same explicit bucket ids as
     // q_zorder_key (the layout itself is physical and spec-tested)
@@ -3284,7 +3308,29 @@ object PipelinePack extends QueryPack {
         |SELECT user_id, event_type, n_mode FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
-    "q_hilbert_key" -> hilbertSql
+    "q_hilbert_key" -> hilbertSql,
+
+    "q_graph_triangles" ->
+      """WITH tot AS (SELECT count(*) AS n FROM lineitem),
+        |e AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e, tot WHERE src <> dst AND w * 650 >= n),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS id FROM tri) t
+        |JOIN nation ON id = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB mirror of Zorder.hilbertKey: the 8-level state machine

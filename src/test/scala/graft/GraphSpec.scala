@@ -69,4 +69,29 @@ class GraphSpec extends AnyFunSuite {
     assert(r.values.forall(_ >= 0))
     assert(r.values.sum <= BigDecimal(1000000000000L))
   }
+
+  private def tris(edges: Seq[(Int, Int)]): Map[Int, Long] = {
+    import spark.implicits._
+    graft.ops.Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: one triangle plus a pendant edge") {
+    // {1,2,3} closed; 4 hangs off 1 — counted in nothing
+    assert(tris(Seq((1, 2), (2, 3), (1, 3), (1, 4))) ===
+      Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("triangleCounts: K4 gives every node 3 of the 4 triangles") {
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i, j)
+    assert(tris(k4) === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+  }
+
+  test("triangleCounts: stars have no triangles; canonicalization holds") {
+    // hub-and-spokes → empty result
+    assert(tris((2 to 8).map(i => (1, i))) === Map.empty)
+    // duplicates, reversed duplicates, and self-loops collapse away
+    assert(tris(Seq((1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1))) ===
+      Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
 }
