@@ -188,6 +188,40 @@ object Stats {
           sqrt(varx.cast("double") * vary.cast("double")), 6)).as("r"))
   }
 
+  /** Per-group simple linear regression y = a + b·x — [[corrByGroup]]'s
+    * sibling on the SAME five exact sufficient statistics (one
+    * six-number-per-group partial-agg'd shuffle, no windows/joins):
+    * slope b = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) and intercept
+    * a = (Σy − b·Σx)/n, both from exact DECIMAL(38,0) integer sums with
+    * ONE IEEE double division each (numerator and denominator are
+    * exactly representable up to 2⁵³ after the decimal→double hop;
+    * the final divisions + round(6) are the only inexact ops, the
+    * corrByGroup contract). Degenerate groups (zero x-variance) yield
+    * NULL slope/intercept. Caller contract as corrByGroup: per-row
+    * |x·y| < 2⁶³. */
+  def linregByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val in = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val stats = in.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(d38).as("__n"),
+      sum(col("__x").cast(d38)).as("__sx"),
+      sum(col("__y").cast(d38)).as("__sy"),
+      sum((col("__x") * col("__y")).cast(d38)).as("__sxy"),
+      sum((col("__x") * col("__x")).cast(d38)).as("__sxx"))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = num.cast("double") / den.cast("double")
+    val intercept = (col("__sy").cast("double") -
+      slope * col("__sx").cast("double")) / col("__n").cast("double")
+    stats.select(col(groupCol), col("__n").cast("bigint").as("n"),
+      when(den > 0, round(slope, 6)).as("slope"),
+      when(den > 0, round(intercept, 6)).as("intercept"))
+  }
+
   /** Exact per-group mode (most frequent value, the categorical
     * location estimate profiling reports alongside quantiles): two
     * partial-agg'd shuffles — (group, value) counts, then an argmax

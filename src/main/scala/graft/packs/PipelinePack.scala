@@ -742,6 +742,17 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // per-source OLS fit of token count on char count — corr's sibling
+    // on the same exact integer sufficient statistics
+    "q_stats_linreg" -> ((s, dir) => {
+      graft.ops.Stats.linregByGroup(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextAnalysis.tokenCount("text").as("n_tokens")),
+        "source", "n_chars", "n_tokens")
+        .orderBy("source")
+    }),
+
     "q_stats_winsorize" -> ((s, dir) => {
       graft.ops.Stats.winsorize(
         Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
@@ -2975,6 +2986,29 @@ object PipelinePack extends QueryPack {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS r
         |FROM a ORDER BY source""".stripMargin,
+
+    "q_stats_linreg" ->
+      """WITH t AS (
+        |  SELECT source, CAST(n_chars AS HUGEINT) AS x,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), ' +')) END AS HUGEINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx
+        |  FROM t GROUP BY 1),
+        |f AS (
+        |  SELECT source, n, sx, sy, n * sxx - sx * sx AS den,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) AS b
+        |  FROM a)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den > 0 THEN round(b, 6) END AS slope,
+        |  CASE WHEN den > 0 THEN round(
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6) END AS intercept
+        |FROM f ORDER BY source""".stripMargin,
 
     "q_stats_winsorize" ->
       """WITH ranked AS (

@@ -186,6 +186,29 @@ class StatsSpec extends AnyFunSuite {
     assert(out("n") == ((1L, 5.0)))
   }
 
+  test("linregByGroup: hand fit, zero-x-variance NULL, NULL drop") {
+    import spark.implicits._
+    val df = Seq(
+      // g: y = 2x - 1 exactly
+      ("g", 1: java.lang.Integer, 1: java.lang.Integer),
+      ("g", 2: java.lang.Integer, 3: java.lang.Integer),
+      ("g", 3: java.lang.Integer, 5: java.lang.Integer),
+      // v: all x equal → den = 0 → NULL fit
+      ("v", 4: java.lang.Integer, 1: java.lang.Integer),
+      ("v", 4: java.lang.Integer, 9: java.lang.Integer),
+      // n: NULL row dropped, remaining pair fits exactly
+      ("n", 0: java.lang.Integer, 5: java.lang.Integer),
+      ("n", 2: java.lang.Integer, 9: java.lang.Integer),
+      ("n", null.asInstanceOf[java.lang.Integer], 7: java.lang.Integer))
+      .toDF("k", "x", "y")
+    val out = graft.ops.Stats.linregByGroup(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("g") == ((3L, Some(2.0), Some(-1.0))))
+    assert(out("v") == ((2L, None, None)))
+    assert(out("n") == ((2L, Some(2.0), Some(5.0))))
+  }
+
   test("modeByGroup: argmax with (count desc, value asc) ties, NULL drop") {
     import spark.implicits._
     val df = Seq(
