@@ -42,7 +42,13 @@ object Bench {
     // round-9 additions: Ed-Join fuzzy matching (prefix-gram blocking),
     // iterative PageRank (cached edge list, 5 joined iterations), and
     // the interval coverage union (two O(1)-state window passes)
-    "q_fuzzy_join", "q_graph_pagerank", "q_ts_intervals")
+    "q_fuzzy_join", "q_graph_pagerank", "q_ts_intervals",
+    // round-9 late additions: CDC compaction (one window shuffle),
+    // interval-overlap join (bucketed, canonical-bucket dedup), TF-IDF
+    // keyword extraction (vocab-bounded joins + per-doc window), and
+    // degree-oriented triangle counting (wedge join)
+    "q_cdc_compact", "q_range_overlap", "q_text_tfidf",
+    "q_graph_triangles")
   // q_dedup_embedding stays oracle-only: it is the deliberately-exact
   // decimal all-pairs baseline (O(N²·d) BigDecimal math) that verifies
   // the sub-quadratic embeddingNearDupsLsh scale path — benching it would

@@ -99,6 +99,39 @@ object Sampling {
       .drop("__split_key")
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006 priority sampling): keep the k rows with the highest
+    * priority u^(1/w), where u is a per-key md5-uniform in (0, 1] and w
+    * the row's positive weight — inclusion probability proportional to
+    * weight, no replacement, ONE pass. The curation use: sample a
+    * fixed-size corpus slice biased toward quality/length weights
+    * without ever materializing cumulative distributions.
+    *
+    * Determinism contract: u = (h48 + 1) / 2^48 is EXACT (a ≤ 2^48
+    * integer over a power of two); the priority needs `ln`/`exp`
+    * (computed as exp(ln(u)/w) — both correctly rounded to ≤1 ulp in
+    * JVM and DuckDB libm), so the cut ranks on the ROUNDED round(…, 9)
+    * priority with an id tie-break — the collocations ulp-safe-cut
+    * convention (round 9, not 6: priorities live in (0,1], so 1e-9
+    * resolution keeps collision groups small while still absorbing the
+    * last-bit spread). Selection is a distributed TakeOrdered; nothing
+    * shuffles but the k winners. Non-positive or NULL weights drop. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val h48 = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
+    val pri = round(exp(log(u) / col(weightCol).cast("double")), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("priority", pri)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(w))
+  }
+
   /** Stratified deterministic sampling: a different keep-rate per stratum
     * (e.g. downsample boilerplate-heavy sources, keep all of a rare
     * language). Rows whose stratum has no configured rate keep

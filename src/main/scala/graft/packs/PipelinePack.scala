@@ -1131,6 +1131,16 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // weighted sampling without replacement: 100 docs with inclusion
+    // probability ∝ n_chars — E-S priorities on md5-exact uniforms,
+    // ulp-safe rounded cut, distributed TakeOrdered
+    "q_sample_weighted" -> ((s, dir) => {
+      graft.ops.Sampling.weightedSample(
+        Tables(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+        .orderBy("sample_rank")
+    }),
+
     // per-node triangle counts over the STRONG nation trade graph
     // (edges with ≥ 1/650 of all lineitems — an integer relative cut so
     // the graph stays comparable across scales): degree-oriented wedge
@@ -3343,6 +3353,22 @@ object PipelinePack extends QueryPack {
         |ORDER BY user_id""".stripMargin,
 
     "q_hilbert_key" -> hilbertSql,
+
+    "q_sample_weighted" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    round(exp(ln(
+        |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |         ::BIGINT AS DOUBLE) + 1.0) / 281474976710656.0)
+        |      / CAST(n_chars AS DOUBLE)), 9) AS priority
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (
+        |  SELECT doc_id, n_chars, priority,
+        |    CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+        |      AS INT) AS sample_rank
+        |  FROM p)
+        |SELECT doc_id, n_chars, priority, sample_rank FROM r
+        |WHERE sample_rank <= 100 ORDER BY sample_rank""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH tot AS (SELECT count(*) AS n FROM lineitem),

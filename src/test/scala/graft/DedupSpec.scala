@@ -651,4 +651,43 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc === expected)
   }
+
+  /** Independent reference for the E-S priority: plain-JVM md5 + the
+    * same double tree the operator pins. */
+  private def esPriority(id: Long, w: Double): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    val u = (h.toDouble + 1.0) / 281474976710656.0
+    BigDecimal(math.exp(math.log(u) / w))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("weightedSample: exact E-S priorities, ranked cut, weight edges") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => (i, i.toDouble)) ++
+      Seq((51L, 0.0), (52L, -3.0)) // non-positive weights drop
+    val df = rows.toDF("id", "w")
+    val got = graft.ops.Sampling.weightedSample(df, "id", "w", k = 10)
+      .orderBy("sample_rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    val expected = (1L to 50L).map(i => (i, esPriority(i, i.toDouble)))
+      .sortBy { case (id, p) => (-p, id) }.take(10)
+    assert(got.map(t => (t._1, t._2)).toSeq == expected)
+    assert(got.map(_._3).toSeq == (1 to 10))
+    // k past the population returns every positive-weight row
+    assert(graft.ops.Sampling.weightedSample(df, "id", "w", k = 99)
+      .count() == 50)
+  }
+
+  test("weightedSample: inclusion is biased toward heavy weights") {
+    import spark.implicits._
+    val df = (1L to 2000L)
+      .map(i => (i, if (i % 2 == 0) 1000.0 else 1.0)).toDF("id", "w")
+    val top = graft.ops.Sampling.weightedSample(df, "id", "w", k = 50)
+      .collect().map(_.getLong(0))
+    assert(top.count(_ % 2 == 0) > 40,
+      s"heavy ids in top-50: ${top.count(_ % 2 == 0)}")
+  }
 }
