@@ -22,6 +22,14 @@ object StreamingPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // flatMapGroupsWithState CDC compaction: one O(1) latest-change
+    // state per key; single AvailableNow batch ⇒ exactly one emission
+    // per user — its latest change, tombstones included
+    "q_stream_cdc" -> ((s, dir) => {
+      StreamingOps.cdcCompact(s, dir)
+        .orderBy("user_id")
+    }),
+
     // flatMapGroupsWithState gap-based sessionization: closed sessions
     // emit; each user's open tail session stays in state
     "q_stream_sessionize" -> ((s, dir) => {
@@ -107,6 +115,19 @@ object StreamingPack extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // one batch ⇒ one emission per key: its (ts, event_id)-latest
+    // change, deletes included as tombstones (op = 'D')
+    "q_stream_cdc" ->
+      """WITH log AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us, seq, op, value
+        |FROM log WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // the q_stream_window closed-day cutoff, then rank per day by
     // (count desc, event_type asc), keep the top 2

@@ -239,6 +239,86 @@ object StreamingOps {
       .toDF("event_id", "user_id", "event_type")
   }
 
+  /** Streaming CDC compaction: maintain each key's LATEST change (by
+    * (ts, seq)) and emit a row whenever a micro-batch advances it — the
+    * upsert stream a "materialized latest-state view" consumes, and the
+    * streaming twin of [[graft.ops.Cdc.compact]]. Delete-as-latest
+    * emits too (a TOMBSTONE row, op preserved) so downstream knows the
+    * key vanished; stale changes (older than the current latest) emit
+    * nothing. On bounded single-batch input every key emits exactly
+    * once — its global latest change — which is what the oracle pins.
+    *
+    * State per key is one (ts, seq, op, value) 4-tuple — O(1) — but the
+    * KEY COUNT is unbounded on a continuous stream; `ttl` arms the
+    * processing-time timeout that frees inactive keys (after expiry a
+    * STALE change would re-emit as if fresh — the bounded-state trade,
+    * acceptable when the TTL exceeds the source's max disorder). */
+  def cdcCompactStream(stream: Dataset[(Long, Long, Long, String, Double)],
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String, Double),
+        (Long, Long, Long, String, Double)](
+        OutputMode.Append(), timeoutConf) {
+        case (key, rows, state: GroupState[(Long, Long, String, Double)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // newest change in THIS batch, (ts, seq) order
+            def newer(aTs: Long, aSeq: Long, bTs: Long, bSeq: Long) =
+              aTs > bTs || (aTs == bTs && aSeq > bSeq)
+            val batchBest = rows.foldLeft(
+              Option.empty[(Long, Long, String, Double)]) { (acc, r) =>
+              val cand = (r._2, r._3, r._4, r._5)
+              if (acc.forall(a => newer(cand._1, cand._2, a._1, a._2)))
+                Some(cand)
+              else acc
+            }
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            batchBest match {
+              case Some(b) if state.getOption
+                  .forall(s => newer(b._1, b._2, s._1, s._2)) =>
+                state.update(b)
+                Iterator.single((key, b._1, b._2, b._3, b._4))
+              case _ => Iterator.empty
+            }
+          }
+      }
+      .toDF("user_id", "ts_us", "seq", "op", "value")
+  }
+
+  /** Driver entry for [[cdcCompactStream]]: events as a per-user
+    * changelog ('error' = delete), one AvailableNow batch → exactly one
+    * emission per user (its latest change incl. tombstones). */
+  def cdcCompact(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_cdc_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_cdc_cp").toString
+    val tsT = eventsTsType(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(stageDir(sfDir))
+      .select(col("user_id"), tsUs(tsT).as("ts_us"), col("event_id"),
+        when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("value"))
+    val compacted = cdcCompactStream(
+      stream.as[(Long, Long, Long, String, Double)])
+    val q = compacted.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** Gap-based sessionization per user — the custom-state streaming shape
     * (KeyValueGroupedDataset.flatMapGroupsWithState) a training pipeline
     * uses to group event/interaction logs into sessions. A session CLOSES

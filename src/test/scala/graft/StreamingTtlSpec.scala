@@ -174,4 +174,38 @@ class StreamingTtlSpec extends AnyFunSuite {
       assert(depth == 2, s"NoTimeout state must persist across batches: $depth")
     } finally q.stop()
   }
+
+  test("cdc compaction: batches emit only state ADVANCES, tombstones included") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val out = StreamingOps.cdcCompactStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").trigger(trigger).start()
+    try {
+      def rows() = spark.table("cdc_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).toSet
+
+      // batch 1: two upserts for k1 (only the newer emits), one for k2
+      mem.addData((1L, 10L, 1L, "U", 1.0), (1L, 20L, 2L, "U", 2.0),
+        (2L, 10L, 3L, "U", 3.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 20L, 2L, "U", 2.0), (2L, 10L, 3L, "U", 3.0)))
+
+      // batch 2: stale change for k1 (no emission), delete for k2
+      // (tombstone emits), fresh k3
+      mem.addData((1L, 5L, 4L, "U", 9.0), (2L, 20L, 5L, "D", 0.0),
+        (3L, 15L, 6L, "U", 4.0))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (1L, 20L, 2L, "U", 2.0), (2L, 10L, 3L, "U", 3.0),
+        (2L, 20L, 5L, "D", 0.0), (3L, 15L, 6L, "U", 4.0)))
+
+      // same-ts tie advances on seq
+      mem.addData((3L, 15L, 7L, "U", 5.0))
+      q.processAllAvailable()
+      assert(rows().contains((3L, 15L, 7L, "U", 5.0)))
+    } finally q.stop()
+  }
 }
