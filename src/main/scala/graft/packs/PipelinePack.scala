@@ -1131,6 +1131,37 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // temporal state lookup (SCD-2 dimension join at event time): every
+    // click reads the user state current at its instant — the CDC
+    // version stream (same-instant changes collapsed to the seq-latest
+    // so the match is deterministic) as-of joined backward; a
+    // delete-as-latest nulls the lookup (the key didn't exist then)
+    "q_cdc_lookup" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val versions = ev.filter(col("event_type") =!= "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"))
+        .withColumn("__rn", row_number().over(wv))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("vts"),
+          col("event_id").as("version_id"), col("op"),
+          col("value").as("state_value"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("probe_id"), col("ts"))
+      graft.ops.AsofJoin.backward(probes, versions, Seq("user_id"),
+        "ts", "vts", Seq("version_id", "op", "state_value"))
+        .select(col("probe_id"), col("user_id"),
+          when(col("op") === "D", lit(null)).otherwise(col("version_id"))
+            .as("version_id"),
+          when(col("op") === "D", lit(null)).otherwise(col("state_value"))
+            .as("state_value"))
+        .orderBy("probe_id")
+    }),
+
     // weighted sampling without replacement: 100 docs with inclusion
     // probability ∝ n_chars — E-S priorities on md5-exact uniforms,
     // ulp-safe rounded cut, distributed TakeOrdered
@@ -3353,6 +3384,44 @@ object PipelinePack extends QueryPack {
         |ORDER BY user_id""".stripMargin,
 
     "q_hilbert_key" -> hilbertSql,
+
+    "q_cdc_lookup" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type <> 'click'),
+        |v AS (
+        |  SELECT user_id, ts AS vts, event_id AS version_id, op,
+        |    value AS state_value
+        |  FROM log WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, event_id AS probe_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS is_left, probe_id,
+        |    NULL::STRUCT(version_id BIGINT, op VARCHAR,
+        |                 state_value DOUBLE) AS r
+        |  FROM p
+        |  UNION ALL
+        |  SELECT user_id, vts, 0, NULL,
+        |    {'version_id': version_id, 'op': op,
+        |     'state_value': state_value}
+        |  FROM v),
+        |w AS (
+        |  SELECT user_id, ts, is_left, probe_id,
+        |    last_value(r IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_left
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM u)
+        |SELECT probe_id, user_id,
+        |  CASE WHEN m.op = 'D' THEN NULL ELSE m.version_id END
+        |    AS version_id,
+        |  CASE WHEN m.op = 'D' THEN NULL ELSE m.state_value END
+        |    AS state_value
+        |FROM w WHERE is_left = 1 ORDER BY probe_id""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH p AS (
