@@ -87,4 +87,29 @@ object Audit {
       .selectExpr(s"stack(${cols.size}, $pairs) AS " +
         "(column, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
+
+  /** Join-key skew profile: the k heaviest values of a key column with
+    * absolute counts and corpus share — the pre-join diagnosis that
+    * decides salting / AQE skew-join settings before a 100 TB shuffle
+    * (one hot key = one straggler task). ONE partial-agg'd count
+    * shuffle bounded by the distinct-key count, a 1-row total
+    * broadcast, and a distributed TakeOrdered cut on
+    * (count desc, key asc). Keys stringify (heterogeneous types share
+    * the schema) and NULL — itself a classic skew source — profiles as
+    * the literal '<NULL>'. `share` = one exact-integer double division,
+    * round(6). */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = df
+      .select(coalesce(col(keyCol).cast("string"), lit("<NULL>")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_rows").cast("double") /
+          col("__total").cast("double"), 6))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(k)
+      .select("key", "n_rows", "share")
+  }
 }

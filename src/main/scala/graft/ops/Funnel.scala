@@ -36,11 +36,24 @@ object Funnel {
     * is satisfied by that clustering (same key ⇒ same partition), and
     * the final aggregate reuses it too, so bounded and unbounded plans
     * both run a single shuffle. */
+  /** `withinMicros`: optional CONVERSION WINDOW — every later step must
+    * complete within this many microseconds of the step-1 completion
+    * (the "converted within 7 days" contract of product funnels).
+    * Applied inside the cascade (step i's candidates are filtered to
+    * ≤ t0 + window BEFORE first-pick), so an out-of-window occurrence
+    * neither completes a step nor blocks an in-window one — but since
+    * candidates are also ≥ t_{i−1} and the cascade is monotone, the
+    * first in-order candidate is always the one picked anyway; the
+    * filter just caps it. First-completion semantics are otherwise
+    * unchanged, and the bound composes with `maxPerStep`. */
   def depth(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
-      steps: Seq[String], maxPerStep: Option[Int] = None): DataFrame = {
+      steps: Seq[String], maxPerStep: Option[Int] = None,
+      withinMicros: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     maxPerStep.foreach(n => require(n > 0, s"maxPerStep must be positive: $n"))
+    withinMicros.foreach(t =>
+      require(t > 0, s"withinMicros must be positive: $t"))
     val cap = maxPerStep.getOrElse(
       df.sparkSession.conf.get("spark.graft.funnelMaxPerStep", "10000").toInt)
     val bounded =
@@ -63,8 +76,16 @@ object Funnel {
       // null, not an ANSI index error
       val t =
         if (i == 0) try_element_at(col("__s0"), lit(1))
-        else try_element_at(
-          filter(col(s"__s$i"), x => x >= col(s"__t${i - 1}")), lit(1))
+        else {
+          val inOrder = (x: Column) => x >= col(s"__t${i - 1}")
+          val cand = withinMicros match {
+            case Some(win) =>
+              filter(col(s"__s$i"),
+                x => inOrder(x) && x <= col("__t0") + lit(win))
+            case None => filter(col(s"__s$i"), inOrder)
+          }
+          try_element_at(cand, lit(1))
+        }
       d.withColumn(s"__t$i", t)
     }
     // deepest completed step wins; t_i non-null implies t_{i-1} non-null

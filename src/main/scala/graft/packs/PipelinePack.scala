@@ -299,6 +299,20 @@ object PipelinePack extends QueryPack {
         .orderBy("funnel_depth")
     }),
 
+    // conversion-window funnel: same cascade over the FULL month (where
+    // the unconstrained funnel converges to everyone completing) but
+    // every step must land within 8h of the first signup — the
+    // "converted within N" product-analytics contract
+    "q_funnel_window" -> ((s, dir) => {
+      graft.ops.Funnel.depth(
+        Tables(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("signup", "click", "purchase"),
+        withinMicros = Some(28800000000L))
+        .groupBy("funnel_depth")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_depth")
+    }),
+
     // z-order key: the Morton bit-interleave that drives the zorder
     // write layout, oracle-pinned on explicit bucket ids (the layout
     // itself — repartitionByRange — is physical and spec-tested)
@@ -1129,6 +1143,14 @@ object PipelinePack extends QueryPack {
       graft.ops.Stats.modeByGroup(
         Tables(s, dir, "events"), "user_id", "event_type")
         .orderBy("user_id")
+    }),
+
+    // join-key skew profile: the 20 heaviest supplier keys of lineitem
+    // with corpus share — the pre-join salting/AQE diagnosis
+    "q_audit_skew" -> ((s, dir) => {
+      graft.ops.Audit.keySkew(
+        Tables(s, dir, "lineitem"), "l_suppkey", k = 20)
+        .orderBy(col("n_rows").desc, col("key"))
     }),
 
     // temporal state lookup (SCD-2 dimension join at event time): every
@@ -2392,6 +2414,30 @@ object PipelinePack extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_funnel_window" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    list_sort(list(epoch_us(ts)) FILTER (event_type = 'signup')) AS s0,
+        |    list_sort(list(epoch_us(ts)) FILTER (event_type = 'click')) AS s1,
+        |    list_sort(list(epoch_us(ts)) FILTER (event_type = 'purchase')) AS s2
+        |  FROM events GROUP BY user_id
+        |), c0 AS (
+        |  SELECT user_id, s1, s2, s0[1] AS t0 FROM per_user
+        |), c1 AS (
+        |  SELECT user_id, s2, t0,
+        |    list_filter(s1, x -> x >= t0
+        |      AND x <= t0 + 28800000000)[1] AS t1 FROM c0
+        |), c2 AS (
+        |  SELECT user_id, t0, t1,
+        |    list_filter(s2, x -> x >= t1
+        |      AND x <= t0 + 28800000000)[1] AS t2 FROM c1
+        |)
+        |SELECT CASE WHEN t2 IS NOT NULL THEN 3
+        |            WHEN t1 IS NOT NULL THEN 2
+        |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_zorder_key" ->
       """WITH b AS (
         |  SELECT o_orderkey,
@@ -3384,6 +3430,17 @@ object PipelinePack extends QueryPack {
         |ORDER BY user_id""".stripMargin,
 
     "q_hilbert_key" -> hilbertSql,
+
+    "q_audit_skew" ->
+      """WITH c AS (
+        |  SELECT coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>') AS key,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total FROM c)
+        |SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM c, t
+        |ORDER BY n_rows DESC, key LIMIT 20""".stripMargin,
 
     "q_cdc_lookup" ->
       """WITH log AS (

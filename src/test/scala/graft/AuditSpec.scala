@@ -115,4 +115,22 @@ class AuditSpec extends AnyFunSuite {
       CrossDb.unpivot(df, Seq("id"), Seq.empty)
     }
   }
+
+  test("keySkew ranks hot keys, profiles NULL, ties break on key text") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("b") ++ Seq.fill(2)("a") ++
+      Seq(null.asInstanceOf[String]))
+      .map(Tuple1(_)).toDF("k")
+    val out = graft.ops.Audit.keySkew(df, "k", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // 11 rows total; the 2-2 tie between a and b breaks on key asc
+    assert(out.toSeq == Seq(
+      ("hot", 6L, math.rint(6.0 / 11.0 * 1e6) / 1e6),
+      ("a", 2L, math.rint(2.0 / 11.0 * 1e6) / 1e6),
+      ("b", 2L, math.rint(2.0 / 11.0 * 1e6) / 1e6)))
+    // NULL keys surface as a profiled value, not a dropped row
+    val withNullTop = graft.ops.Audit.keySkew(df, "k", k = 4)
+      .collect().map(_.getString(0))
+    assert(withNullTop.contains("<NULL>"))
+  }
 }

@@ -137,4 +137,32 @@ class FunnelSpec extends AnyFunSuite {
         .contains("row_number"))
     } finally spark.conf.unset("spark.graft.funnelMaxPerStep")
   }
+
+  test("conversion window caps every later step at t0 + within") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: everything inside the 10s window → 3
+      ("u1", "signup", ts(1)), ("u1", "click", ts(3)),
+      ("u1", "purchase", ts(9)),
+      // u2: click inside, purchase at t0+11 → 2
+      ("u2", "signup", ts(1)), ("u2", "click", ts(3)),
+      ("u2", "purchase", ts(12)),
+      // u3: the FIRST in-order click is out of window; a pre-signup
+      // click doesn't count either → depth 1
+      ("u3", "click", ts(0)), ("u3", "signup", ts(1)),
+      ("u3", "click", ts(20)), ("u3", "purchase", ts(21)),
+      // u4: boundary — click at exactly t0+10 is IN (inclusive) → 2
+      ("u4", "signup", ts(5)), ("u4", "click", ts(15))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.depth(df, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"),
+      withinMicros = Some(10000000L))
+    val got = out.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("u1" -> 3, "u2" -> 2, "u3" -> 1, "u4" -> 2))
+    // control: without the window u2 and u3 convert fully
+    val free = Funnel.depth(df, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(free == Map("u1" -> 3, "u2" -> 3, "u3" -> 3, "u4" -> 2))
+  }
 }
