@@ -500,6 +500,40 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Class-based TF-IDF (c-TF-IDF, the BERTopic topic-labeling shape):
+    * the k terms most characteristic of each GROUP (source, cluster,
+    * topic) rather than each document — [[tfidfTopTerms]] with the
+    * group as the "document": tf = the term's count in the group,
+    * df = how many groups contain it, N = group count. Same scale
+    * shape (group×vocab and vocab-bounded shuffles, un-hinted df join,
+    * 1-row N broadcast, per-group ranking window) and the same
+    * ulp-safe ROUNDED-rank cut with a term tie-break. */
+  def tfidfTopTermsByGroup(docs: DataFrame, groupCol: String,
+      textCol: String, k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = Dedup.maybeCache(Dedup.spread(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(groupCol), col(textCol)))
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("__tf")))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = tf.agg(countDistinct(col(groupCol)).as("__n"))
+    val score = col("__tf").cast("double") *
+      (log((lit(1.0) + col("__n").cast("double")) /
+        (lit(1.0) + col("__df").cast("double"))) + lit(1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")

@@ -1137,6 +1137,15 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id", "rank")
     }),
 
+    // c-TF-IDF: the 5 terms most characteristic of each SOURCE (the
+    // BERTopic topic-labeling shape) — group-as-document tf-idf with
+    // the ulp-safe rounded-rank cut
+    "q_text_ctfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTermsByGroup(
+        Tables(s, dir, "documents"), "source", "text", k = 5)
+        .orderBy("source", "rank")
+    }),
+
     // exact per-group mode: each user's most frequent event type —
     // count-table argmax with a pinned (count desc, value asc) tie-break
     "q_stats_mode" -> ((s, dir) => {
@@ -3416,6 +3425,29 @@ object PipelinePack extends QueryPack {
         |SELECT doc_id, term, tfidf, rank FROM r
         |WHERE rank <= 3 AND doc_id % 11 = 0
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_ctfidf" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT source, term, count(*) AS tf
+        |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT source) AS n FROM tf),
+        |s AS (
+        |  SELECT source, term,
+        |    round(CAST(tf AS DOUBLE) *
+        |      (ln((1.0 + CAST(n AS DOUBLE)) / (1.0 + CAST(df AS DOUBLE)))
+        |       + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT source, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM s)
+        |SELECT source, term, tfidf, rank FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "q_stats_mode" ->
       """WITH c AS (

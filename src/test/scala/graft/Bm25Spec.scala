@@ -277,6 +277,27 @@ class Bm25Spec extends AnyFunSuite {
       (3L, "com", w(1, 3), 1)))
   }
 
+  test("tfidfTopTermsByGroup: group-as-document weights, shared term sinks") {
+    import spark.implicits._
+    // 'shared' appears in both groups (df=2=N → weight tf·1.0);
+    // 'only_a' is unique to g-a (df=1 → idf ln(3/2)+1)
+    val docs = Seq(
+      ("a", "only_a shared"), ("a", "only_a shared"),
+      ("b", "shared shared shared")).toDF("src", "text")
+    val out = graft.ops.TextAnalysis.tfidfTopTermsByGroup(
+      docs, "src", "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    def w(tf: Long, df: Long): Double = {
+      val raw = tf.toDouble *
+        (math.log((1.0 + 2.0) / (1.0 + df.toDouble)) + 1.0)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.toSeq == Seq(
+      ("a", "only_a", w(2, 1), 1), ("a", "shared", w(2, 2), 2),
+      ("b", "shared", w(3, 2), 1)))
+  }
+
   test("tfidfTopTerms: equal rounded scores tie on term text") {
     import spark.implicits._
     // both terms: tf=1, df=1 → identical score; 'alpha' < 'beta'
