@@ -90,8 +90,8 @@ object PipelineSteps {
     "minhash_dedup", "fuzzy_dedup", "semantic_dedup", "token_count",
     "temperature_mix",
     "weighted_mix", "mad_outlier_filter", "winsorize", "normalize",
-    "pii_mask", "language_filter", "surprise_filter", "span_gate",
-    "quality_classifier_filter", "dsir_select",
+    "pii_mask", "language_filter", "surprise_filter", "weighted_sample",
+    "span_gate", "quality_classifier_filter", "dsir_select",
     "pack_sequences", "shard")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
@@ -300,6 +300,23 @@ object PipelineSteps {
         }
         df => df.filter(TextAnalysis.languageId(textCol)
           .isin(langs.map(x => x: Any): _*))
+
+      // fixed-size weighted subsample: keep the `k:` rows with the
+      // highest E-S priority u^(1/w) — inclusion ∝ `weight_col:`;
+      // column-neutral left-semi rejoin
+      case "weighted_sample" =>
+        val idCol = str(m, "id_col", "doc_id")
+        val weightCol = reqStr(m, "weight_col", op)
+        val k = int(m, "k", -1)
+        if (k <= 0) throw new IllegalArgumentException(
+          s"pipeline step `$op` requires a positive `k:`")
+        df => {
+          val kept = Sampling.weightedSample(
+            df.select(col(s"`$idCol`"), col(s"`$weightCol`")),
+            idCol, weightCol, k)
+            .select(col(s"`$idCol`"))
+          df.join(kept, Seq(idCol), "left_semi")
+        }
 
       // CCNet-style perplexity gate: train the bigram LM on THIS
       // step's input, keep rows whose mean surprise is ≤ `max_surprise:`

@@ -163,6 +163,24 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("weighted_sample step keeps exactly k by priority, column-neutral") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, i.toDouble, s"t$i"))
+      .toDF("doc_id", "wt", "text")
+    val out = steps(Seq(Map("op" -> "weighted_sample",
+      "weight_col" -> "wt", "k" -> 10))).head.apply(docs)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    assert(out.count() === 10)
+    // matches the operator's own selection
+    val direct = graft.ops.Sampling.weightedSample(
+      docs.select("doc_id", "wt"), "doc_id", "wt", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet === direct)
+    intercept[IllegalArgumentException] {
+      steps(Seq(Map("op" -> "weighted_sample", "weight_col" -> "wt")))
+    }
+  }
+
   test("span_gate step: distinct docs pass, shared-span docs drop") {
     import spark.implicits._
     val shared = "abcdefghijklmnopqrstuvwxyz0123456789"

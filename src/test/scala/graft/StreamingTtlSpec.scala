@@ -175,6 +175,32 @@ class StreamingTtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc compaction TTL: an expired key forgets its latest, stale re-emits") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ttl = Duration.ofMillis(3000)
+    val out = StreamingOps.cdcCompactStream(mem.toDS(), ttl = Some(ttl))
+    val q = out.writeStream.format("memory").queryName("ttl_cdc")
+      .outputMode("append").trigger(trigger).start()
+    try {
+      def rows() = spark.table("ttl_cdc")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+
+      mem.addData((1L, 100L, 1L, "U", 1.0))
+      assert(awaitCond(rows().contains((1L, 100L, 1L, "U"))))
+      // wait out the TTL with no traffic: the key's latest-state is freed
+      assert(awaitCond(rows().nonEmpty))
+      Thread.sleep(ttl.toMillis + 2000)
+      // a STALE change (ts 50 < 100) now re-emits as if fresh — the
+      // documented bounded-state trade
+      mem.addData((1L, 50L, 2L, "U", 9.0))
+      assert(awaitCond(rows().contains((1L, 50L, 2L, "U"))),
+        s"stale change must re-emit after expiry: ${rows()}")
+    } finally q.stop()
+  }
+
   test("cdc compaction: batches emit only state ADVANCES, tombstones included") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
