@@ -47,7 +47,8 @@ import org.apache.spark.sql.functions._
   * gates (gopher_gate, span_gate, quality_classifier_filter — the
   * last trains its logistic model on the step's own input —
   * language_filter, and surprise_filter, the CCNet perplexity gate
-  * whose bigram LM also trains on the step's own input), dedup
+  * whose bigram LM also trains on the step's own input), sampling
+  * (weighted_sample — fixed-size E-S subsample ∝ a weight column), dedup
   * (exact_dedup, minhash_dedup, fuzzy_dedup — edit-distance surface
   * forms, semantic_dedup over an embedding column), domain selection (dsir_select — hashed-ngram importance
   * weights against a `target_where:` slice of the step's own input),
