@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -95,5 +95,59 @@ object Timeseries {
         count(lit(1)).as("n_intervals"))
       .select(col(keyCol), col("span_start"), col("span_end"),
         col("n_intervals"))
+  }
+
+  /** Finite-window exponentially-weighted moving average per key — the
+    * standard smoothing pass over metric streams, made ENGINE-EXACT by
+    * keeping every weight an integer: with decay 1−α = wNum/wDen and a
+    * rolling window of the last `window` observations, the adjusted
+    * (pandas `adjust=True`) EWMA
+    *   Σ x_{t−k}·(1−α)^k / Σ (1−α)^k
+    * multiplies through by wDen^(n−1) into
+    *   Σ x_j·wNum^(age_j)·wDen^(j−1) / Σ wNum^(age_j)·wDen^(j−1)
+    * — exact integer numerator and denominator (DECIMAL(38,0); bounds:
+    * |x|·wDen^(window−1)·window < 10^38, e.g. cents × 4^15 × 16 ≈ 10^16
+    * at window 16), with ONE final correctly-rounded double division +
+    * round(6). α never appears as a float anywhere.
+    *
+    * Scale shape: one key-hash shuffle; the rolling collect is a
+    * ROWS-frame window whose buffer is capped at `window` values (O(W)
+    * per cursor, not per key), and the weighted sums are codegen'd
+    * higher-order array expressions over literal power tables — no
+    * join, no second shuffle. (orderCols must totally order each key's
+    * rows or the frame is nondeterministic.) `valueCol` must be
+    * integer-typed (cast cents/micros first — the corrByGroup
+    * contract). */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int = 16, wNum: Int = 3,
+      wDen: Int = 4): DataFrame = {
+    require(window >= 1 && window <= 32, s"window out of range: $window")
+    require(wNum > 0 && wDen > wNum,
+      s"decay must satisfy 0 < wNum < wDen: $wNum/$wDen")
+    val d38 = DecimalType(38, 0)
+    // literal power tables: POW[k+1] = base^k, k = 0..window−1
+    def pows(base: Int): Seq[Long] =
+      Iterator.iterate(1L)(_ * base).take(window).toSeq
+    val powNum = array(pows(wNum).map(lit): _*)
+    val powDen = array(pows(wDen).map(lit): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    // position i is 0-based oldest-first; age = n−1−i; element_at 1-based
+    val n = size(col("__a"))
+    def weight(i: Column) =
+      element_at(powNum, (n - lit(1) - i + lit(1)).cast("int")).cast(d38) *
+        element_at(powDen, (i + lit(1)).cast("int")).cast(d38)
+    val num = aggregate(
+      transform(col("__a"), (x, i) => x.cast(d38) * weight(i)),
+      lit(0).cast(d38), (acc, t) => acc + t).cast(d38)
+    val den = aggregate(
+      transform(col("__a"), (_, i) => weight(i)),
+      lit(0).cast(d38), (acc, t) => acc + t).cast(d38)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__a", collect_list(col(valueCol).cast("long")).over(w))
+      .withColumn("ewma",
+        round(num.cast("double") / den.cast("double"), 6))
+      .drop("__a")
   }
 }

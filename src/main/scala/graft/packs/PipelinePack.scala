@@ -1154,6 +1154,20 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // exact-decimal EWMA: per-user smoothed purchase value (cents) —
+    // integer weight tables keep every intermediate exact; one final
+    // double division
+    "q_ts_ewma" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          floor(dec(col("value")) * 100).cast("long").as("cents"))
+      graft.ops.Timeseries.ewma(ev, "user_id", Seq("ts_us", "event_id"),
+        "cents")
+        .select("user_id", "event_id", "cents", "ewma")
+        .orderBy("user_id", "event_id")
+    }),
+
     // join-key skew profile: the 20 heaviest supplier keys of lineitem
     // with corpus share — the pre-join salting/AQE diagnosis
     "q_audit_skew" -> ((s, dir) => {
@@ -3462,6 +3476,35 @@ object PipelinePack extends QueryPack {
         |ORDER BY user_id""".stripMargin,
 
     "q_hilbert_key" -> hilbertSql,
+
+    "q_ts_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE user_id < 200),
+        |a AS (
+        |  SELECT user_id, event_id, ts_us, cents,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM e)
+        |SELECT user_id, event_id, cents,
+        |  round(
+        |    CAST(list_sum(list_transform(arr, (x, i) ->
+        |      CAST(x AS HUGEINT) *
+        |      [1,3,9,27,81,243,729,2187,6561,19683,59049,177147,531441,
+        |       1594323,4782969,14348907][len(arr) - i + 1] *
+        |      [1,4,16,64,256,1024,4096,16384,65536,262144,1048576,
+        |       4194304,16777216,67108864,268435456,1073741824][i]))
+        |      AS DOUBLE) /
+        |    CAST(list_sum(list_transform(arr, (x, i) ->
+        |      CAST([1,3,9,27,81,243,729,2187,6561,19683,59049,177147,
+        |       531441,1594323,4782969,14348907][len(arr) - i + 1]
+        |        AS HUGEINT) *
+        |      [1,4,16,64,256,1024,4096,16384,65536,262144,1048576,
+        |       4194304,16777216,67108864,268435456,1073741824][i]))
+        |      AS DOUBLE), 6) AS ewma
+        |FROM a ORDER BY user_id, event_id""".stripMargin,
 
     "q_audit_skew" ->
       """WITH c AS (

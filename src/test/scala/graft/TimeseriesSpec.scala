@@ -21,6 +21,43 @@ class TimeseriesSpec extends AnyFunSuite {
   private def ts(day: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s"$day 10:00:00")
 
+  test("ewma: hand-computed adjusted weights, window truncation, key isolation") {
+    import spark.implicits._
+    val df = Seq(
+      // key a: 3 points — exact rational EWMA values
+      ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 50L),
+      // key b: single point — EWMA is the point itself
+      ("b", 1L, 7L)).toDF("k", "o", "v")
+    val out = graft.ops.Timeseries.ewma(df, "k", Seq("o"), "v",
+      window = 16, wNum = 3, wDen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    def ref(xs: Seq[Long]): Double = {
+      // adjusted EWMA with decay 3/4: Σ x_{t−k}(3/4)^k / Σ (3/4)^k
+      val n = xs.size
+      val num = xs.zipWithIndex.map { case (x, j) =>
+        BigInt(x) * BigInt(3).pow(n - 1 - j) * BigInt(4).pow(j) }.sum
+      val den = xs.indices.map(j =>
+        BigInt(3).pow(n - 1 - j) * BigInt(4).pow(j)).sum
+      BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(("a", 1L)) == 100.0)
+    assert(out(("a", 2L)) == ref(Seq(100L, 200L)))
+    assert(out(("a", 3L)) == ref(Seq(100L, 200L, 50L)))
+    assert(out(("b", 1L)) == 7.0)
+
+    // window truncation: with window=2 only the last 2 points weigh in
+    val w2 = graft.ops.Timeseries.ewma(df, "k", Seq("o"), "v",
+      window = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(w2(("a", 3L)) == ref(Seq(200L, 50L)))
+
+    intercept[IllegalArgumentException] {
+      graft.ops.Timeseries.ewma(df, "k", Seq("o"), "v", wNum = 5, wDen = 4)
+    }
+  }
+
   test("holes are spined, LOCF-filled, and flagged; keys independent") {
     import spark.implicits._
     val df = Seq(
