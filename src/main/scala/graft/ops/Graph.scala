@@ -130,12 +130,22 @@ object Graph {
     val oriented = withDeg.select(
       when(col("__da") < col("__db") ||
           (col("__da") === col("__db") && col("a") < col("b")),
-        struct(col("a").as("u"), col("b").as("v")))
-        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v")).cache()
-    val wedges = oriented.select(col("u"), col("v").as("__v1"))
-      .join(oriented.select(col("u"), col("v").as("__v2")), "u")
-      .filter(col("__v1") =!= col("__v2"))
+        struct(col("a").as("u"), col("b").as("v"), col("__db").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("__da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .cache()
+    // emit each out-neighbor PAIR once, rank-ordered (v1 below v2 in the
+    // same (deg, id) total order the orientation uses) — half the wedges
+    // of an unordered self-join, and the closure edge v1→v2 is then the
+    // only candidate, so the equi-join needs no dedup
+    val wedges = oriented.select(col("u"), col("v").as("__v1"),
+        col("dv").as("__d1"))
+      .join(oriented.select(col("u"), col("v").as("__v2"),
+        col("dv").as("__d2")), "u")
+      .filter(col("__d1") < col("__d2") ||
+        (col("__d1") === col("__d2") && col("__v1") < col("__v2")))
     val tri = wedges.join(
       oriented.select(col("u").as("__v1"), col("v").as("__v2")),
       Seq("__v1", "__v2"))
