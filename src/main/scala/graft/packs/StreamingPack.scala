@@ -22,6 +22,13 @@ object StreamingPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // sliding 7-day windows advancing daily: each event lands in 7
+    // overlapping windows map-side; state stays windows × event-types
+    "q_stream_sliding" -> ((s, dir) => {
+      StreamingOps.slidingWindowAgg(s, dir)
+        .orderBy("win_start", "event_type")
+    }),
+
     // flatMapGroupsWithState CDC compaction: one O(1) latest-change
     // state per key; single AvailableNow batch ⇒ exactly one emission
     // per user — its latest change, tombstones included
@@ -115,6 +122,26 @@ object StreamingPack extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // an event at day d lands in the 7 daily-aligned windows starting
+    // d-6..d; append mode emits once the closing watermark
+    // (max ts − 1 day) passes the window END
+    "q_stream_sliding" ->
+      """WITH wm AS (
+        |  SELECT CAST(max(ts) - INTERVAL 1 DAY AS DATE) AS cutoff
+        |  FROM events),
+    |x AS (
+        |  SELECT CAST(ts AS DATE) - CAST(o.off AS INT) AS win_start,
+        |    event_type
+        |  FROM events CROSS JOIN (SELECT unnest(range(7)) AS off) o),
+        |w AS (
+        |  SELECT win_start, win_start + 7 AS win_end, event_type,
+        |    count(*) AS n_events
+        |  FROM x GROUP BY 1, 2, 3)
+        |SELECT win_start, win_end, event_type,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM w, wm WHERE win_end <= cutoff
+        |ORDER BY win_start, event_type""".stripMargin,
 
     // one batch ⇒ one emission per key: its (ts, event_id)-latest
     // change, deletes included as tombstones (op = 'D')

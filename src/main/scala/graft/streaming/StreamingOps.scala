@@ -118,6 +118,40 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** SLIDING-window streaming aggregation: 7-day windows advancing one
+    * day — the rolling-metric mode (7-day actives, rolling revenue)
+    * where each event lands in 7 overlapping windows. All state is the
+    * built-in watermarked window aggregation (windows × event-types
+    * rows; the ×7 fan-out happens map-side in the window generator, not
+    * in state rows per event). Append mode emits a window once the
+    * watermark passes its END, exactly as for tumbling windows — the
+    * q_stream_window closed-window cutoff rule applies to window.end
+    * unchanged. */
+  def slidingWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
+    val sink = Files.createTempDirectory("graft_slide_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_slide_cp").toString
+    val tsT = eventsTsType(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", tsStamp(tsT))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "7 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("date").as("win_start"),
+        col("window.end").cast("date").as("win_end"),
+        col("event_type"), col("n_events"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** Streaming per-window top-k (trending event types per day): the
     * watermarked 1-day window aggregation holds windows × event-types
     * rows of built-in state (no custom state), and the rank finisher
