@@ -100,10 +100,17 @@ object Audit {
     * round(6). */
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val counts = df
+    // ONE input scan: rollup emits the per-key counts AND the grand
+    // total from the same partial-agg'd pass (the '<NULL>' coalesce runs
+    // BEFORE grouping, so the rollup's null subtotal row is unambiguous);
+    // the cached rollup output is distinct-key-sized, never input-sized
+    val rolled = df
       .select(coalesce(col(keyCol).cast("string"), lit("<NULL>")).as("key"))
-      .groupBy("key").agg(count(lit(1)).as("n_rows"))
-    val total = counts.agg(sum(col("n_rows")).as("__total"))
+      .rollup("key").agg(count(lit(1)).as("n_rows"))
+      .cache()
+    val counts = rolled.filter(col("key").isNotNull)
+    val total = rolled.filter(col("key").isNull)
+      .select(col("n_rows").as("__total"))
     counts.crossJoin(broadcast(total))
       .withColumn("share",
         round(col("n_rows").cast("double") /
