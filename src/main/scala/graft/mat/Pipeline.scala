@@ -92,8 +92,8 @@ object PipelineSteps {
     "temperature_mix",
     "weighted_mix", "mad_outlier_filter", "winsorize", "normalize",
     "pii_mask", "language_filter", "surprise_filter", "weighted_sample",
-    "span_gate", "quality_classifier_filter", "dsir_select",
-    "pack_sequences", "shard")
+    "collapse_repeats", "span_gate", "quality_classifier_filter",
+    "dsir_select", "pack_sequences", "shard")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -301,6 +301,15 @@ object PipelineSteps {
         }
         df => df.filter(TextAnalysis.languageId(textCol)
           .isin(langs.map(x => x: Any): _*))
+
+      // collapse runs of immediately-repeated tokens (stutter cleanup)
+      // — REPLACES the text column, schema-stable, pure map-side
+      case "collapse_repeats" =>
+        val textCol = str(m, "text_col", "text")
+        df => {
+          val (cleaned, _) = TextAnalysis.collapseRepeatTokens(textCol)
+          df.withColumn(textCol, cleaned)
+        }
 
       // fixed-size weighted subsample: keep the `k:` rows with the
       // highest E-S priority u^(1/w) — inclusion ∝ `weight_col:`;

@@ -452,6 +452,25 @@ object TextAnalysis {
     * last bit) — `round(…, 6)` absorbs it. The oracle SQL mirrors the
     * operator's exact expression tree, generated from the same term
     * list. */
+  /** Collapse runs of immediately-repeated tokens ("the the the" →
+    * "the") — the stutter-cleanup pass ASR transcripts, scraped chat
+    * logs, and generation-loop outputs all need before token budgeting
+    * (a loop artifact repeats one token thousands of times and
+    * dominates every count-based metric downstream). Pure map-side
+    * array expressions: keep token i iff i = 0 or it differs from
+    * token i−1 — O(len) per row, no shuffle, order preserved, only
+    * ADJACENT duplicates collapse (legitimate long-range reuse stays).
+    * Returns (cleaned, n_removed) as two Columns derived from one
+    * split. */
+  def collapseRepeatTokens(textCol: String): (Column, Column) = {
+    val toks = split(col(textCol), " ")
+    // element_at is 1-based, the lambda index 0-based: element_at(toks, i)
+    // IS the previous token
+    val kept = filter(toks, (x, i) =>
+      i === lit(0) || x =!= element_at(toks, i))
+    (array_join(kept, " "), size(toks) - size(kept))
+  }
+
   /** TF-IDF keyword extraction: the k most characteristic terms per
     * document — the corpus-relative twin of [[bm25]] (which scores docs
     * against a QUERY; this scores every term against its own corpus,

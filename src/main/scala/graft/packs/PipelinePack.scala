@@ -1137,6 +1137,18 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id", "rank")
     }),
 
+    // adjacent-repeat token collapse: stutter cleanup before token
+    // budgeting — md5-pinned cleaned bodies, map-side only
+    "q_text_collapse" -> ((s, dir) => {
+      val (cleaned, removed) =
+        TextAnalysis.collapseRepeatTokens("text")
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+        .select(col("doc_id"), removed.as("n_removed"),
+          md5(cleaned).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // c-TF-IDF: the 5 terms most characteristic of each SOURCE (the
     // BERTopic topic-labeling shape) — group-as-document tf-idf with
     // the ulp-safe rounded-rank cut
@@ -3439,6 +3451,19 @@ object PipelinePack extends QueryPack {
         |SELECT doc_id, term, tfidf, rank FROM r
         |WHERE rank <= 3 AND doc_id % 11 = 0
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_collapse" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) - len(kept) AS INT) AS n_removed,
+        |  md5(list_aggregate(kept, 'string_agg', ' ')) AS cleaned_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_text_ctfidf" ->
       """WITH tok AS (

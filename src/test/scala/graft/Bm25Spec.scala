@@ -298,6 +298,24 @@ class Bm25Spec extends AnyFunSuite {
       ("b", "shared", w(3, 2), 1)))
   }
 
+  test("collapseRepeatTokens: adjacent runs collapse, long-range reuse stays") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the the cat sat sat on the mat"),
+      (2L, "a b a b"),         // no ADJACENT repeats → untouched
+      (3L, "x"),               // single token
+      (4L, "y y y y y y")).toDF("doc_id", "text")
+    val (cleaned, removed) =
+      graft.ops.TextAnalysis.collapseRepeatTokens("text")
+    val out = df.select($"doc_id", cleaned.as("c"), removed.as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(out(1L) == (("the cat sat on the mat", 3)))
+    assert(out(2L) == (("a b a b", 0)))
+    assert(out(3L) == (("x", 0)))
+    assert(out(4L) == (("y", 5)))
+  }
+
   test("tfidfTopTerms: equal rounded scores tie on term text") {
     import spark.implicits._
     // both terms: tf=1, df=1 → identical score; 'alpha' < 'beta'

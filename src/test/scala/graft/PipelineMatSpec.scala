@@ -163,6 +163,14 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("collapse_repeats step replaces text in place, schema-stable") {
+    import spark.implicits._
+    val docs = Seq((1L, "go go go stop stop", "s")).toDF("doc_id", "text", "src")
+    val out = steps(Seq(Map("op" -> "collapse_repeats"))).head.apply(docs)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    assert(out.head().getString(1) === "go stop")
+  }
+
   test("weighted_sample step keeps exactly k by priority, column-neutral") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, i.toDouble, s"t$i"))
