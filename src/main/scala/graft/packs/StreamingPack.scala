@@ -63,6 +63,13 @@ object StreamingPack extends QueryPack {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // LEFT OUTER stream–stream interval join: unconverted clicks emit
+    // null-extended once the watermark proves no match can arrive
+    "q_stream_left_join" -> ((s, dir) => {
+      StreamingOps.intervalJoinLeftOuter(s, dir, windowMinutes = 60)
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     // streaming windowed HLL: per-day approximate distinct users —
     // HLL's register merge IS max, so the whole sketch rides Spark's
     // built-in watermarked aggregation state (windows × 2^p rows);
@@ -224,6 +231,34 @@ object StreamingPack extends QueryPack {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    // matched pairs emit on sight; a null-extended miss emits once the
+    // closing watermark (max ts − 1 day) passes click_ts + window
+    "q_stream_left_join" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id,
+        |    CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts,
+        |    p.purchase_ts
+        |  FROM c JOIN p ON p.user_id = c.user_id
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE),
+        |u AS (
+        |  SELECT c.user_id, c.click_id, NULL::BIGINT AS purchase_id,
+        |    c.click_ts, NULL::TIMESTAMP AS purchase_ts
+        |  FROM c
+        |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.click_id = c.click_id)
+        |    AND c.click_ts + INTERVAL 60 MINUTE <
+        |        (SELECT mx - INTERVAL 1 DAY FROM m))
+        |SELECT * FROM j UNION ALL SELECT * FROM u
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     // gaps-and-islands sessionization; CAST(ts AS TIMESTAMP) truncates the
     // nanos column to micros exactly like the engine's `ts div 1000`. The

@@ -694,6 +694,48 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** Stream–stream LEFT OUTER interval join — the attribution shape
+    * where unconverted clicks must still come out the other side. The
+    * null-extended row for an unmatched left event can only emit once
+    * the watermark proves no match can still arrive (left.ts + window
+    * all the way past the watermark), so the watermark delay is the
+    * emission latency for misses: 1 day here, vs the inner join's
+    * lenient 30 days — outer results are exactly why the delay must be
+    * chosen, not maximal. State on both sides stays event-time-bounded
+    * exactly as in the inner join. */
+  def intervalJoinLeftOuter(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 60): DataFrame = withNanosAsLong(spark) {
+    val sink = Files.createTempDirectory("graft_ssloj_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_ssloj_cp").toString
+    val staged = stageDir(sfDir)
+    val tsT = eventsTsType(spark, sfDir)
+    def side(eventType: String, prefix: String) = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(staged)
+      .filter(col("event_type") === eventType)
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"),
+        tsStamp(tsT).as(s"${prefix}_ts"),
+        col("value").as(s"${prefix}_value"))
+      .withWatermark(s"${prefix}_ts", "1 day")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"), col("c_ts").as("click_ts"),
+        col("p_ts").as("purchase_ts"))
+    val q = joined.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** Stream–static enrichment join: the stateless streaming shape — each
     * micro-batch of the events stream hash-joins against a STATIC
     * dimension snapshot (read per batch, broadcast by Catalyst since the
