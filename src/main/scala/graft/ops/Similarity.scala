@@ -407,4 +407,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
+
+  /** Per-group mean-pooled embedding (class centroids / prototype
+    * vectors — the mean-pool step behind centroid classifiers,
+    * prototypical networks, and chunk→document embedding pooling),
+    * emitted FLAT as (group, dim, n, mean) so downstream joins and the
+    * oracle compare need no array equality.
+    *
+    * Exactness: each float is quantized once to integer micro-units
+    * (round(x·10⁶), ties away from zero in both engines — the
+    * hyperplane-signature convention), the per-(group, dim) SUM is an
+    * exact order-independent DECIMAL(38,0), and the mean is ONE double
+    * division + round(6). Scale shape: one map-side posexplode (rows ×
+    * dim) feeding one partial-agg'd shuffle bounded by groups × dim —
+    * never corpus-sized state. */
+  def classCentroids(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col(groupCol), col("dim"),
+        round(col("__x").cast("double") * 1000000).cast(d38).as("__mx"))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__mx")).as("__sx"))
+      .select(col(groupCol), col("dim"), col("n"),
+        round(col("__sx").cast("double") /
+          (col("n").cast("double") * lit(1000000.0)), 6).as("mean"))
+  }
 }

@@ -1137,6 +1137,14 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id", "rank")
     }),
 
+    // class centroids: per-label mean-pooled embeddings in exact
+    // micro-units — one posexplode + one groups×dim shuffle
+    "q_embed_centroids" -> ((s, dir) => {
+      graft.ops.Similarity.classCentroids(
+        Tables(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim")
+    }),
+
     // adjacent-repeat token collapse: stutter cleanup before token
     // budgeting — md5-pinned cleaned bodies, map-side only
     "q_text_collapse" -> ((s, dir) => {
@@ -3451,6 +3459,20 @@ object PipelinePack extends QueryPack {
         |SELECT doc_id, term, tfidf, rank FROM r
         |WHERE rank <= 3 AND doc_id % 11 = 0
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_embed_centroids" ->
+      """WITH x AS (
+        |  SELECT label, CAST(d.i - 1 AS INT) AS dim,
+        |    CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1000000)
+        |      AS HUGEINT) AS mx
+        |  FROM embeddings
+        |  CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, len(embedding) + 1)) AS i) d
+        |  WHERE embedding IS NOT NULL)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(mx) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_text_collapse" ->
       """WITH t AS (

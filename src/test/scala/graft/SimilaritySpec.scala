@@ -286,4 +286,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("hyperplanesig") || plan.contains("HyperplaneSig"),
       plan.take(2000))
   }
+
+  test("classCentroids: exact micro-unit means, flat layout, NULL drop") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, -2.0f)), (0, Array(2.0f, 3.0f)),
+      (1, Array(0.5f, 0.25f)),
+      (1, null.asInstanceOf[Array[Float]])).toDF("label", "embedding")
+    val out = graft.ops.Similarity.classCentroids(df, "label", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // label 0: dim0 mean (1+2)/2 = 1.5; dim1 (−2+3)/2 = 0.5
+    assert(out((0, 0)) == ((2L, 1.5)))
+    assert(out((0, 1)) == ((2L, 0.5)))
+    // label 1: single vector (NULL row dropped), exact quantized values
+    assert(out((1, 0)) == ((1L, 0.5)))
+    assert(out((1, 1)) == ((1L, 0.25)))
+    assert(out.size == 4)
+  }
 }
