@@ -421,6 +421,44 @@ object Similarity {
     * division + round(6). Scale shape: one map-side posexplode (rows ×
     * dim) feeding one partial-agg'd shuffle bounded by groups × dim —
     * never corpus-sized state. */
+  /** Nearest-class-centroid classifier evaluation — assign every vector
+    * to its closest [[classCentroids]] prototype and emit the confusion
+    * matrix (label, predicted, n): the quality probe behind
+    * prototype-based label audits ("how separable are my classes in
+    * embedding space?") and the centroid side of SemDeDup-style
+    * analyses. Labels must be integers.
+    *
+    * Shape: the centroid table (labels × dim, the k-means-centroids
+    * driver bound) collects to the driver and rides into a map-side
+    * [[graft.expressions.PipelineExpressions.nearest_centroids]]
+    * expression — exact DECIMAL(38,18) distance sums, (d2, index)
+    * tie-break — so classification adds NO join or shuffle beyond the
+    * confusion count's own groups×groups aggregate. */
+  def centroidClassify(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    import graft.expressions.PipelineExpressions
+    val cent = classCentroids(df, labelCol, vecCol)
+      .select(col(labelCol).cast("int"), col("dim"), col("mean"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(cent.nonEmpty, "no non-null vectors to train centroids on")
+    val labels = cent.map(_._1).distinct.sorted
+    val dims = cent.map(_._2).max + 1
+    val byLabel = cent.groupBy(_._1).map { case (l, rows) =>
+      val arr = new Array[Double](dims)
+      rows.foreach { case (_, d, m) => arr(d) = m }
+      l -> arr
+    }
+    val centroids: Array[Array[Double]] = labels.map(byLabel)
+    val labelArr = array(labels.map(lit): _*)
+    val pred = element_at(labelArr,
+      element_at(PipelineExpressions.nearest_centroids(
+        col(vecCol), centroids, nprobe = 1), 1) + 1)
+    df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol), pred.as("predicted"))
+      .groupBy(col(labelCol), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def classCentroids(df: DataFrame, groupCol: String,
       vecCol: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)

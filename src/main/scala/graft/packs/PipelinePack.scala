@@ -1145,6 +1145,14 @@ object PipelinePack extends QueryPack {
         .orderBy("label", "dim")
     }),
 
+    // nearest-centroid classifier confusion matrix: map-side exact
+    // decimal assignment against the driver-bounded prototype table
+    "q_embed_confusion" -> ((s, dir) => {
+      graft.ops.Similarity.centroidClassify(
+        Tables(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "predicted")
+    }),
+
     // adjacent-repeat token collapse: stutter cleanup before token
     // budgeting — md5-pinned cleaned bodies, map-side only
     "q_text_collapse" -> ((s, dir) => {
@@ -3473,6 +3481,37 @@ object PipelinePack extends QueryPack {
         |  round(CAST(sum(mx) AS DOUBLE) /
         |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_embed_confusion" ->
+      """WITH exd AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS xd
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (
+        |  SELECT label AS clab, i,
+        |    round(CAST(sum(CAST(round(xd * 1000000) AS HUGEINT)) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
+        |  FROM exd GROUP BY 1, 2),
+        |lab AS (
+        |  SELECT clab, CAST(ROW_NUMBER() OVER (ORDER BY clab) - 1 AS INT)
+        |    AS cid
+        |  FROM (SELECT DISTINCT clab FROM cent) t),
+        |dist AS (
+        |  SELECT e.vec_id, e.label, l.cid,
+        |    SUM(CAST((e.xd - c.mean) * (e.xd - c.mean)
+        |        AS DECIMAL(38,18))) AS d2
+        |  FROM exd e
+        |  JOIN cent c ON c.i = e.i
+        |  JOIN lab l ON l.clab = c.clab
+        |  GROUP BY 1, 2, 3),
+        |asg AS (
+        |  SELECT vec_id, label, cid FROM (
+        |    SELECT vec_id, label, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM dist) t WHERE rn = 1)
+        |SELECT a.label, l.clab AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM asg a JOIN lab l USING (cid)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_text_collapse" ->
       """WITH t AS (

@@ -305,4 +305,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out((1, 1)) == ((1L, 0.25)))
     assert(out.size == 4)
   }
+
+  test("centroidClassify: separable classes are diagonal, outlier crosses") {
+    import spark.implicits._
+    val df = Seq(
+      // class 0 clusters near (0, 0); class 1 near (10, 10)
+      (0, Array(0.0f, 0.1f)), (0, Array(0.1f, 0.0f)), (0, Array(-0.1f, 0.0f)),
+      (1, Array(10.0f, 10.0f)), (1, Array(10.2f, 9.8f)),
+      // a mislabeled point: tagged 0 but sitting on class 1
+      (0, Array(10.1f, 10.1f))).toDF("label", "embedding")
+    val out = graft.ops.Similarity.centroidClassify(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // the outlier drags class 0's centroid but stays closest to class 1
+    assert(out((0, 1)) == 1L)
+    assert(out((0, 0)) == 3L)
+    assert(out((1, 1)) == 2L)
+    assert(out.getOrElse((1, 0), 0L) == 0L)
+  }
 }
