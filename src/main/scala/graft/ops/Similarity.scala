@@ -408,6 +408,35 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** k-NN majority-vote label prediction over the exact top-k — the
+    * other standard embedding-space label audit next to
+    * [[centroidClassify]] (k-NN sees local structure the single
+    * prototype flattens). Votes are counted per (query, neighbor
+    * label); ties break (votes desc, label asc) so the prediction is
+    * total. Returns (query_id, label, predicted). Built on
+    * [[bruteForceTopK]] — the exact baseline; at corpus scale swap the
+    * candidate generator for ivfpqTopK/lshTopK, which share the
+    * (query_id, neighbor_id) shape the vote consumes. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val top = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val nLabels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val votes = top.join(nLabels, "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__v").desc, col("__nl"))
+    val pred = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__nl").as("predicted"))
+    pred.join(
+        queries.select(col(idCol).as("query_id"), col(labelCol)),
+        "query_id")
+      .select(col("query_id"), col(labelCol), col("predicted"))
+  }
+
   /** Per-group mean-pooled embedding (class centroids / prototype
     * vectors — the mean-pool step behind centroid classifiers,
     * prototypical networks, and chunk→document embedding pooling),

@@ -1145,6 +1145,16 @@ object PipelinePack extends QueryPack {
         .orderBy("label", "dim")
     }),
 
+    // k-NN majority-vote labels over the exact top-5 — ties break
+    // (votes desc, label asc); the local twin of the centroid audit
+    "q_embed_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.ops.Similarity.knnClassify(
+        emb.filter(col("vec_id") % 100 === 0), emb,
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    }),
+
     // nearest-centroid classifier confusion matrix: map-side exact
     // decimal assignment against the driver-bounded prototype table
     "q_embed_confusion" -> ((s, dir) => {
@@ -2256,6 +2266,31 @@ object PipelinePack extends QueryPack {
         |              JOIN norms nb ON nb.vec_id = d.id_b) t
         |WHERE rank <= 5""".stripMargin,
       "ORDER BY query_id, rank"),
+
+    // k-NN vote over the same exact top-5 CTEs as q_ann_bruteforce,
+    // then a (votes desc, label asc) argmax per query
+    "q_embed_knn" -> cosineSql(
+      "a.vec_id % 100 = 0", "TRUE", "a.vec_id <> b.vec_id",
+      """SELECT p.query_id, q.label, p.predicted FROM (
+        |  SELECT v.query_id, v.n_label AS predicted,
+        |    ROW_NUMBER() OVER (PARTITION BY v.query_id
+        |      ORDER BY v.nv DESC, v.n_label) AS rn
+        |  FROM (
+        |    SELECT t.query_id, e.label AS n_label, count(*) AS nv
+        |    FROM (
+        |      SELECT * FROM (
+        |        SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
+        |          CAST(ROW_NUMBER() OVER (PARTITION BY d.id_a
+        |            ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b)
+        |            AS INT) AS rank
+        |        FROM dots d JOIN norms na ON na.vec_id = d.id_a
+        |                    JOIN norms nb ON nb.vec_id = d.id_b) x
+        |      WHERE rank <= 5) t
+        |    JOIN embeddings e ON e.vec_id = t.neighbor_id
+        |    GROUP BY 1, 2) v) p
+        |JOIN embeddings q ON q.vec_id = p.query_id
+        |WHERE p.rn = 1""".stripMargin,
+      "ORDER BY query_id"),
 
     // q_ann_lsh: approximate in recall yet fully deterministic — the
     // integer signature math (Similarity.hyperplaneSignature) is

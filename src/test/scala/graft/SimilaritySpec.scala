@@ -306,6 +306,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("knnClassify: majority vote, vote ties break on smaller label") {
+    import spark.implicits._
+    // query 100 sits among three 1-labeled and two 0-labeled points
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(0.99f, 0.01f), 1),
+      (3L, Array(0.98f, 0.02f), 1), (4L, Array(0.97f, 0.03f), 0),
+      (5L, Array(0.96f, 0.04f), 0), (6L, Array(-1.0f, 0.0f), 9),
+      (100L, Array(1.0f, 0.001f), 0)).toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Similarity.knnClassify(
+      corpus.filter($"vec_id" === 100L), corpus,
+      "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((100L, 0, 1))) // 3-2 vote flips the label
+  }
+
   test("centroidClassify: separable classes are diagonal, outlier crosses") {
     import spark.implicits._
     val df = Seq(
