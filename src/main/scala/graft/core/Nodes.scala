@@ -35,6 +35,15 @@ object IncrementalStrategy {
     * databricks/configs/incremental.rs): atomically replace the
     * predicate-matching slice with the incoming batch. */
   case object ReplaceWhere extends IncrementalStrategy { val name = "replace_where" }
+  /** Spark-native partial-aggregate maintenance: the model emits a
+    * PARTIAL aggregate of just the new batch and the strategy merges it
+    * into the stored aggregate by key with per-column mergeable
+    * functions (`aggregate_columns: {col: sum|min|max}`) — so a 100 TB
+    * fact table is aggregated once, and each incremental run costs only
+    * the new slice plus a state-sized regroup, never a rebuild. */
+  case object MergeAggregate extends IncrementalStrategy {
+    val name = "merge_aggregate"
+  }
   /** User-defined strategy — dispatched to the project's
     * `get_incremental_<name>_sql` macro at run time (reference:
     * DbtIncrementalStrategy::Custom common.rs:572, dispatch
@@ -51,6 +60,7 @@ object IncrementalStrategy {
     case "insert_overwrite" => InsertOverwrite
     case "microbatch" => Microbatch
     case "replace_where" => ReplaceWhere
+    case "merge_aggregate" => MergeAggregate
     case other => Custom(other)
   }
 }

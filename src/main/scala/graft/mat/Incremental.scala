@@ -99,6 +99,8 @@ object IncrementalMat extends Materialization {
         else adapter.writeTableAtomic(source, target, Nil)
       case IncrementalStrategy.ReplaceWhere =>
         replaceWhere(adapter, target, source, cfg)
+      case IncrementalStrategy.MergeAggregate =>
+        mergeAggregate(adapter, target, source, cfg)
       case IncrementalStrategy.Microbatch =>
         throw new IllegalStateException(
           "microbatch runs through MicrobatchRunner, not a single-shot strategy")
@@ -319,6 +321,53 @@ object IncrementalMat extends Materialization {
     }: _*)
     val result = kept.select(cols.map(c => col(s"`$c`")): _*).unionByName(inserted)
     writeKeyedResult(adapter, target, result, cfg, touched)
+  }
+
+  /** merge_aggregate: partial-aggregate maintenance. The model's batch is
+    * already a PARTIAL aggregate keyed by `unique_key`; the stored state
+    * merges it in with per-column mergeable functions from
+    * `aggregate_columns: {col: sum|min|max}` (counts merge as sums — the
+    * model emits counts, the strategy adds them). One union + one
+    * state-bounded regroup per run: the 100 TB fact table is scanned
+    * once ever, not once per refresh. Schema is pinned to
+    * keys ∪ aggregate columns, and each merged column casts back to the
+    * stored type so repeated decimal SUM widening can't drift the
+    * schema run over run. Non-mergeable aggregates (avg, countDistinct)
+    * are the caller's job to decompose into mergeable parts. */
+  private[mat] def mergeAggregate(adapter: SparkAdapter, target: Relation,
+      source: DataFrame, cfg: NodeConfig): Unit = {
+    if (cfg.uniqueKey.isEmpty)
+      throw new IllegalArgumentException(
+        "merge_aggregate requires unique_key (the aggregate's group keys)")
+    val fns: Map[String, String] = cfg.extra.get("aggregate_columns") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> graft.project.Yaml.str(v) }
+      case _ => throw new IllegalArgumentException(
+        "merge_aggregate requires aggregate_columns: {col: sum|min|max}")
+    }
+    val bad = fns.filterNot(kv => Set("sum", "min", "max")(kv._2))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"merge_aggregate supports sum|min|max, got: $bad")
+    val expected = (cfg.uniqueKey ++ fns.keys).toSet
+    if (source.columns.toSet != expected)
+      throw new IllegalArgumentException(
+        s"merge_aggregate model must emit exactly keys + aggregate " +
+          s"columns ${expected.toSeq.sorted}, got ${source.columns.toSeq.sorted}")
+    val old = adapter.read(target)
+    val aligned = source.select(old.columns.map(c => col(s"`$c`")).toSeq: _*)
+    val aggs = fns.toSeq.sortBy(_._1).map { case (c, f) =>
+      val merged = f match {
+        case "sum" => sum(col(s"`$c`"))
+        case "min" => min(col(s"`$c`"))
+        case "max" => max(col(s"`$c`"))
+      }
+      merged.cast(old.schema(c).dataType).as(c)
+    }
+    val result = old.unionByName(aligned)
+      .groupBy(cfg.uniqueKey.map(c => col(s"`$c`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(old.columns.map(c => col(s"`$c`")).toSeq: _*)
+    adapter.writeTableAtomic(result, target, cfg.partitionBy, cfg.sortBy)
   }
 
   /** incremental_predicates limit which target rows participate in the

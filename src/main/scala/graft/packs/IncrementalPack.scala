@@ -65,6 +65,32 @@ object IncrementalPack extends QueryPack {
       a.read(rel).orderBy("o_orderkey")
     }),
 
+    // ---- merge_aggregate (partial-aggregate maintenance) -----------------
+    // each batch emits a PARTIAL per-customer aggregate of its own slice;
+    // the strategy merges counts by sum and totals by decimal sum, so the
+    // final state equals one aggregate over the whole table
+    "q_incr_aggregate" -> ((s, dir) => {
+      val a = freshAdapter(s, "incr_agg")
+      def aggBatch(df: DataFrame): DataFrame = df
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("total"))
+      val cfg = NodeConfig(materialized = "incremental",
+        incrementalStrategy = Some(IncrementalStrategy.MergeAggregate),
+        uniqueKey = Seq("o_custkey"),
+        extra = Map("aggregate_columns" ->
+          Map("n_orders" -> "sum", "total" -> "sum")))
+      val rel = runIncremental(a, "orders_agg", cfg,
+        aggBatch(ordersBase(s, dir)),
+        aggBatch(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(Cut).cast("timestamp"))))
+      a.read(rel)
+        .select(col("o_custkey"), col("n_orders"),
+          moneyOut(col("total")).as("total"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- column type expansion on append (expand_target_column_types) ---
     // (reference base_adapter.rs:504 via MA/.../incremental.sql:37): the
     // int target column widens to bigint when the incoming batch carries
@@ -380,6 +406,14 @@ object IncrementalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_incr_append" ->
       """SELECT * FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // two partial batches partition the table, so the merged state must
+    // equal ONE aggregate over all of orders
+    "q_incr_aggregate" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_incr_expand_types" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v,

@@ -82,4 +82,53 @@ class CustomStrategySpec extends AnyFunSuite {
     assert(second.exists(r => r.status == "error" &&
       r.message.contains("get_incremental_nope_sql")))
   }
+
+  test("merge_aggregate: min/max merge, config and schema validation") {
+    import spark.implicits._
+    import graft.adapter.SparkAdapter
+    import graft.core._
+    import graft.mat.{IncrementalMat, MatContext}
+    val loc = Files.createTempDirectory("graft_magg").toString
+    spark.sql("DROP DATABASE IF EXISTS g_magg CASCADE")
+    val a = new SparkAdapter(spark, "g_magg", Some(loc))
+    val rel = graft.core.Relation("g_magg", "extremes")
+    def cfg(extra: Map[String, Any]) = NodeConfig(
+      materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.MergeAggregate),
+      uniqueKey = Seq("k"), extra = extra)
+    val good = cfg(Map("aggregate_columns" ->
+      Map("lo" -> "min", "hi" -> "max")))
+    val n = Node(uniqueId = "model.t.extremes", name = "extremes",
+      packageName = "t", kind = NodeKind.Model, config = good)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val b1 = Seq(("a", 5L, 5L), ("b", 9L, 9L)).toDF("k", "lo", "hi")
+    val b2 = Seq(("a", 2L, 7L), ("c", 1L, 1L)).toDF("k", "lo", "hi")
+    IncrementalMat.run(MatContext(a, n, rel, () => b1, false, t0))
+    IncrementalMat.run(MatContext(a, n, rel, () => b2, false, t0))
+    val got = a.read(rel).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((2L, 7L)), "b" -> ((9L, 9L)),
+      "c" -> ((1L, 1L))))
+
+    def rerun(c: NodeConfig, df: org.apache.spark.sql.DataFrame) =
+      IncrementalMat.run(MatContext(a,
+        n.copy(config = c), rel, () => df, false, t0))
+    // unknown merge fn
+    intercept[IllegalArgumentException] {
+      rerun(cfg(Map("aggregate_columns" -> Map("lo" -> "avg"))), b2)
+    }
+    // missing aggregate_columns
+    intercept[IllegalArgumentException] { rerun(cfg(Map.empty), b2) }
+    // schema mismatch: a configured aggregate column the model never
+    // emits (a stray model column is on_schema_change's turf instead —
+    // Ignore aligns it away before the strategy runs)
+    intercept[IllegalArgumentException] {
+      rerun(cfg(Map("aggregate_columns" ->
+        Map("lo" -> "min", "hi" -> "max", "nope" -> "sum"))), b2)
+    }
+    // missing unique_key
+    intercept[IllegalArgumentException] {
+      rerun(good.copy(uniqueKey = Nil), b2)
+    }
+  }
 }
