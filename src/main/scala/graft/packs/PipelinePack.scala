@@ -1192,6 +1192,17 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // daily-count anomaly flags: each event type's day counts scored
+    // against the type's own median ± 3·MAD — integer-exact monitoring
+    // built by composing the daily aggregate with the robust outlier op
+    "q_ts_anomaly" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Stats.madOutliers(daily, "event_type", "n", k = 3)
+        .orderBy("event_type", "day")
+    }),
+
     // exact-decimal EWMA: per-user smoothed purchase value (cents) —
     // integer weight tables keep every intermediate exact; one final
     // double division
@@ -3597,6 +3608,34 @@ object PipelinePack extends QueryPack {
         |ORDER BY user_id""".stripMargin,
 
     "q_hilbert_key" -> hilbertSql,
+
+    "q_ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, n AS group_median FROM (
+        |    SELECT event_type, n,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM daily) t
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.group_median,
+        |    abs(d.n - m.group_median) AS dv
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, dv AS group_mad FROM (
+        |    SELECT event_type, dv,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM dev) t
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, d.day, d.n, d.group_median, m.group_mad,
+        |  d.dv > 3 * m.group_mad AS is_outlier
+        |FROM dev d JOIN mad m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_ts_ewma" ->
       """WITH e AS (
