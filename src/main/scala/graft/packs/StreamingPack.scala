@@ -22,6 +22,14 @@ object StreamingPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // built-in session_window aggregation: native merging-window state
+    // (no custom state); append emits once the watermark passes the
+    // session END
+    "q_stream_session_window" -> ((s, dir) => {
+      StreamingOps.sessionWindowAgg(s, dir, gapMinutes = 30)
+        .orderBy("user_id", "session_start")
+    }),
+
     // sliding 7-day windows advancing daily: each event lands in 7
     // overlapping windows map-side; state stays windows × event-types
     "q_stream_sliding" -> ((s, dir) => {
@@ -129,6 +137,32 @@ object StreamingPack extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // session_window's end = last event + gap; append emits once the
+    // closing watermark (max ts − 1 day) passes that end
+    "q_stream_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sno
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM sess GROUP BY user_id, sno),
+        |m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM agg WHERE session_end <= (SELECT mx - INTERVAL 1 DAY FROM m)
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // an event at day d lands in the 7 daily-aligned windows starting
     // d-6..d; append mode emits once the closing watermark

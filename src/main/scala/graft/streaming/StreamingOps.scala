@@ -152,6 +152,44 @@ object StreamingOps {
     spark.read.parquet(sink)
   }
 
+  /** Built-in SESSION-window aggregation (`session_window(ts, gap)`):
+    * Spark's native merging-window state instead of
+    * [[sessionizeStream]]'s custom flatMapGroupsWithState — the
+    * recommended path when per-session output is a plain aggregate
+    * (count/sum), since the state store handles window merging,
+    * watermark eviction, and recovery for free; the custom-state
+    * operator remains for outputs an aggregate can't express. Append
+    * mode emits a session once the watermark passes its END, so —
+    * unlike the custom op's every-closed-session contract — the cutoff
+    * rule here is the same watermark-past-end rule the tumbling and
+    * sliding window ops pin. */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = withNanosAsLong(spark) {
+    val sink = Files.createTempDirectory("graft_sesswin_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_sesswin_cp").toString
+    val tsT = eventsTsType(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", tsStamp(tsT))
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** Streaming per-window top-k (trending event types per day): the
     * watermarked 1-day window aggregation holds windows × event-types
     * rows of built-in state (no custom state), and the rank finisher
