@@ -1192,6 +1192,23 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // lexical diversity per source: type-token ratio (distinct tokens /
+    // tokens) — the vocabulary-collapse diagnostic for template-heavy
+    // or looped sources; two vocab-bounded aggregates, one division
+    "q_text_ttr" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      tok.groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"))
+        .orderBy("source")
+    }),
+
     // daily-count anomaly flags: each event type's day counts scored
     // against the type's own median ± 3·MAD — integer-exact monitoring
     // built by composing the daily aggregate with the robust outlier op
@@ -3608,6 +3625,17 @@ object PipelinePack extends QueryPack {
         |ORDER BY user_id""".stripMargin,
 
     "q_hilbert_key" -> hilbertSql,
+
+    "q_text_ttr" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+        |  round(CAST(count(DISTINCT term) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS ttr
+        |FROM tok WHERE term <> ''
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH daily AS (
