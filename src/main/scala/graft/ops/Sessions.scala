@@ -35,4 +35,37 @@ object Sessions {
       sum(newSession).over(
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences —
+    * the behavioral model behind next-action prediction, funnel-path
+    * audits, and bot detection (a scripted client's transition rows are
+    * near-deterministic; a human's are diffuse). Each key's events are
+    * ordered by (ts, tieCols) and every ADJACENT pair contributes one
+    * (from_state, to_state) observation; output is the transition count
+    * `n` plus the row-normalized probability `p` (exact integer counts,
+    * ONE double division, round(6) — the engine-portable division
+    * discipline). NULL states are dropped up front so the matrix is
+    * total. Pass an id tie column when timestamps can collide —
+    * determinism of adjacency depends on a total order per key.
+    *
+    * Shape at 100 TB: one key-hash shuffle feeds the lead window (same
+    * single-exchange shape as [[assign]]), then everything is bounded by
+    * states² — the count groupBy partial-aggregates map-side and the
+    * normalizing window runs over the tiny count table, never the
+    * input. */
+  def transitions(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val pairs = df.filter(col(stateCol).isNotNull)
+      .withColumn("__to", lead(col(stateCol), 1).over(byKey))
+      .filter(col("__to").isNotNull)
+      .select(col(stateCol).as("from_state"), col("__to").as("to_state"))
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_state"))
+    counts.withColumn("p",
+      round(col("n").cast("double") /
+        sum(col("n")).over(byFrom).cast("double"), 6))
+  }
 }

@@ -437,19 +437,42 @@ object Similarity {
       .select(col("query_id"), col(labelCol), col("predicted"))
   }
 
-  /** Per-group mean-pooled embedding (class centroids / prototype
-    * vectors — the mean-pool step behind centroid classifiers,
-    * prototypical networks, and chunk→document embedding pooling),
-    * emitted FLAT as (group, dim, n, mean) so downstream joins and the
-    * oracle compare need no array equality.
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor vector, the top-k most-similar corpus vectors carrying a
+    * DIFFERENT label — the near-miss negatives that make a triplet or
+    * InfoNCE batch informative (same-label neighbors are excluded
+    * because they are potential positives, not negatives). Exact
+    * cosine via the decimal dot/norm expressions; ties break on
+    * neighbor id so the cut is total. Returns
+    * (query_id, neighbor_id, cosine, rank).
     *
-    * Exactness: each float is quantized once to integer micro-units
-    * (round(x·10⁶), ties away from zero in both engines — the
-    * hyperplane-signature convention), the per-(group, dim) SUM is an
-    * exact order-independent DECIMAL(38,0), and the mean is ONE double
-    * division + round(6). Scale shape: one map-side posexplode (rows ×
-    * dim) feeding one partial-agg'd shuffle bounded by groups × dim —
-    * never corpus-sized state. */
+    * Shape at 100 TB: identical to [[bruteForceTopK]] — anchors
+    * broadcast, corpus streamed, per-anchor top-k via ranking window;
+    * the label predicate is a map-side filter on the scored stream, so
+    * mining negatives costs exactly what the plain k-NN scan costs. At
+    * corpus scale swap the candidate generator for ivfpqTopK/lshTopK
+    * (same output shape) and keep this label filter + rerank. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("qv"),
+      normExact(vecCol).as("qn"))
+    val c = Dedup.spread(corpus.select(col(idCol), col(vecCol),
+        col(labelCol)))
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"),
+        col(vecCol).as("cv"), normExact(vecCol).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__ql") =!= col("__cl"))
+      .withColumn("cosine", cosineFromParts("qv", "cv", "qn", "cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Nearest-class-centroid classifier evaluation — assign every vector
     * to its closest [[classCentroids]] prototype and emit the confusion
     * matrix (label, predicted, n): the quality probe behind
@@ -488,6 +511,19 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group mean-pooled embedding (class centroids / prototype
+    * vectors — the mean-pool step behind centroid classifiers,
+    * prototypical networks, and chunk→document embedding pooling),
+    * emitted FLAT as (group, dim, n, mean) so downstream joins and the
+    * oracle compare need no array equality.
+    *
+    * Exactness: each float is quantized once to integer micro-units
+    * (round(x·10⁶), ties away from zero in both engines — the
+    * hyperplane-signature convention), the per-(group, dim) SUM is an
+    * exact order-independent DECIMAL(38,0), and the mean is ONE double
+    * division + round(6). Scale shape: one map-side posexplode (rows ×
+    * dim) feeding one partial-agg'd shuffle bounded by groups × dim —
+    * never corpus-sized state. */
   def classCentroids(df: DataFrame, groupCol: String,
       vecCol: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)

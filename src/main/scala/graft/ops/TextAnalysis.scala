@@ -590,4 +590,49 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w))
       .select(col(idCol), round(col("__score"), 6).as("bm25"), col("rank"))
   }
+
+  /** Pairwise vocabulary overlap between corpus slices — the
+    * cross-source contamination/redundancy audit ("how much of wiki's
+    * vocabulary does web already cover?") that guides mixing weights
+    * and dedup scoping. For every unordered slice pair (a < b on the
+    * group value): both vocabulary sizes, the shared-term count, and
+    * Jaccard = |∩| / (|a| + |b| − |∩|) — exact integer counts, ONE
+    * double division + round(6). Pairs with an empty intersection are
+    * absent (inner join semantics on both engines). NULL texts dropped.
+    *
+    * Shape at 100 TB: the (group, term) distinct is a vocabulary-
+    * bounded partial-agg'd shuffle (the corpus itself collapses
+    * map-side); the self-join is a term-keyed EQUI-join whose per-term
+    * fan-out is ≤ groups², and every table after is bounded by
+    * groups — the corpus never shuffles twice and nothing is ever
+    * all-pairs over rows. The size join is groups-bounded (AQE
+    * broadcasts it). The distinct (group, term) table is read three
+    * times (both join sides + sizes), so it rides the signature cache
+    * (Dedup.maybeCache — caching the vocabulary-bounded projection is
+    * sound at any corpus size; without it each reuse would rescan the
+    * corpus). */
+  def vocabOverlap(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val terms = Dedup.maybeCache(docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .distinct())
+    val sizes = terms.groupBy(col("__g")).agg(count(lit(1)).as("__v"))
+    val inter = terms.select(col("__g").as("group_a"), col("__t"))
+      .join(terms.select(col("__g").as("group_b"), col("__t")), "__t")
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("__g").as("group_a"), col("__v").as("v_a")),
+        "group_a")
+      .join(sizes.select(col("__g").as("group_b"), col("__v").as("v_b")),
+        "group_b")
+      .select(col("group_a"), col("group_b"), col("v_a"), col("v_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("v_a") + col("v_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

@@ -490,6 +490,15 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id", "session_idx")
     }),
 
+    // first-order Markov transition matrix over per-user event
+    // sequences: adjacent (from, to) observations counted + row-
+    // normalized — one key-window shuffle, then states²-bounded tables
+    "q_seq_transitions" -> ((s, dir) => {
+      graft.ops.Sessions.transitions(Tables(s, dir, "events"),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+        .orderBy("from_state", "to_state")
+    }),
+
     // backward as-of join: every click gets the user's most recent
     // purchase value at-or-before the click — one union + one window
     // pass, never a range join
@@ -1155,6 +1164,17 @@ object PipelinePack extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
+    // per anchor — the contrastive-training near-miss set; broadcast
+    // anchors + map-side label filter, same rerank as brute-force k-NN
+    "q_embed_hardneg" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.ops.Similarity.hardNegatives(
+        emb.filter(col("vec_id") % 100 === 0), emb,
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // nearest-centroid classifier confusion matrix: map-side exact
     // decimal assignment against the driver-bounded prototype table
     "q_embed_confusion" -> ((s, dir) => {
@@ -1207,6 +1227,15 @@ object PipelinePack extends QueryPack {
           round(col("n_types").cast("double") /
             col("n_tokens").cast("double"), 6).as("ttr"))
         .orderBy("source")
+    }),
+
+    // cross-source vocabulary overlap: pairwise shared-term counts +
+    // Jaccard — the mixing/redundancy audit; vocab-bounded distinct,
+    // term-keyed equi self-join, groups²-bounded output
+    "q_text_overlap" -> ((s, dir) => {
+      TextAnalysis.vocabOverlap(
+        Tables(s, dir, "documents"), "text", "source")
+        .orderBy("group_a", "group_b")
     }),
 
     // daily-count anomaly flags: each event type's day counts scored
@@ -2883,6 +2912,20 @@ object PipelinePack extends QueryPack {
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
+    "q_seq_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_state
+        |  FROM events WHERE event_type IS NOT NULL)
+        |SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY from_state) AS DOUBLE), 6)
+        |    AS p
+        |FROM seq WHERE to_state IS NOT NULL
+        |GROUP BY from_state, to_state
+        |ORDER BY from_state, to_state""".stripMargin,
+
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts, 1 AS is_left, event_id, value,
@@ -3545,6 +3588,24 @@ object PipelinePack extends QueryPack {
         |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // same exact dot/norm CTEs as q_ann_bruteforce; the label-mismatch
+    // predicate filters BEFORE the per-anchor rank so the top-5 cut is
+    // over negatives only
+    "q_embed_hardneg" -> cosineSql(
+      "a.vec_id % 100 = 0", "TRUE", "a.vec_id <> b.vec_id",
+      """SELECT * FROM (
+        |  SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
+        |    round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.id_a
+        |      ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS INT) AS rank
+        |  FROM dots d JOIN norms na ON na.vec_id = d.id_a
+        |              JOIN norms nb ON nb.vec_id = d.id_b
+        |              JOIN embeddings ea ON ea.vec_id = d.id_a
+        |              JOIN embeddings eb ON eb.vec_id = d.id_b
+        |  WHERE ea.label <> eb.label) t
+        |WHERE rank <= 5""".stripMargin,
+      "ORDER BY query_id, rank"),
+
     "q_embed_confusion" ->
       """WITH exd AS (
         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
@@ -3636,6 +3697,25 @@ object PipelinePack extends QueryPack {
         |    CAST(count(*) AS DOUBLE), 6) AS ttr
         |FROM tok WHERE term <> ''
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_overlap" ->
+      """WITH tok AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT DISTINCT g, t FROM tok WHERE t <> ''),
+        |sz AS (SELECT g, count(*) AS nv FROM v GROUP BY g),
+        |inter AS (
+        |  SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
+        |  FROM v a JOIN v b ON a.t = b.t AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT i.group_a, i.group_b,
+        |  CAST(sa.nv AS BIGINT) AS v_a, CAST(sb.nv AS BIGINT) AS v_b,
+        |  CAST(i.n_common AS BIGINT) AS n_common,
+        |  round(CAST(i.n_common AS DOUBLE) /
+        |    CAST(sa.nv + sb.nv - i.n_common AS DOUBLE), 6) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.g = i.group_a
+        |             JOIN sz sb ON sb.g = i.group_b
+        |ORDER BY group_a, group_b""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH daily AS (

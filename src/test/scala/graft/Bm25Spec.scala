@@ -324,4 +324,23 @@ class Bm25Spec extends AnyFunSuite {
       k = 2).orderBy("rank").collect().map(_.getString(1)).toSeq
     assert(out == Seq("alpha", "beta"))
   }
+
+  test("vocabOverlap: hand-counted Jaccard, NULLs dropped, disjoint absent") {
+    import spark.implicits._
+    // s1 vocab {a,b,c}; s2 vocab {b,c,d,e} (duplicates collapse; the
+    // empty token from the double space is dropped); s3 is disjoint
+    val docs = Seq(
+      (1L, "a b  c", "s1"), (2L, "b b", "s1"),
+      (3L, "b c d", "s2"), (4L, "d e", "s2"),
+      (5L, null.asInstanceOf[String], "s2"),
+      (6L, "zz", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.vocabOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // |s1|=3, |s2|=4, ∩={b,c} ⇒ J = 2/(3+4−2) = 0.4
+    assert(out((("s1", "s2"))) == ((3L, 4L, 2L, 0.4)))
+    // s3 shares nothing — inner-join semantics drop its pairs entirely
+    assert(out.size == 1)
+  }
 }

@@ -61,4 +61,49 @@ class SessionsSpec extends AnyFunSuite {
       .map(r => r.getLong(2) -> r.getLong(3)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("transitions count adjacent pairs per key and row-normalize") {
+    import spark.implicits._
+    // u1: a→b→a→b  u2: a→b  ⇒ from a: {b:3}, from b: {a:1}; u2's last
+    // b has no successor (no cross-key adjacency)
+    val df = Seq(
+      ("u1", ts(0), "a"), ("u1", ts(1), "b"),
+      ("u1", ts(2), "a"), ("u1", ts(3), "b"),
+      ("u2", ts(0), "a"), ("u2", ts(1), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessions.transitions(df, "user_id", "ts", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> (3L, 1.0),
+      ("b", "a") -> (1L, 1.0)))
+  }
+
+  test("transitions drop NULL states before pairing") {
+    import spark.implicits._
+    // a→NULL→b with the NULL dropped makes a→b adjacent — the matrix
+    // is over OBSERVED states, not raw positions
+    val df = Seq(
+      ("u1", ts(0), Some("a")), ("u1", ts(1), None),
+      ("u1", ts(2), Some("b"))
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessions.transitions(df, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 1L)))
+  }
+
+  test("transitions probability splits across destinations") {
+    import spark.implicits._
+    // one a→x pair per key (so no other adjacencies sneak in):
+    // from a: b twice, c once, d once ⇒ p = .5/.25/.25
+    val df = Seq(
+      ("u1", ts(0), "a"), ("u1", ts(1), "b"),
+      ("u2", ts(0), "a"), ("u2", ts(1), "c"),
+      ("u3", ts(0), "a"), ("u3", ts(1), "b"),
+      ("u4", ts(0), "a"), ("u4", ts(1), "d")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessions.transitions(df, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(got == Map("b" -> 0.5, "c" -> 0.25, "d" -> 0.25))
+  }
 }

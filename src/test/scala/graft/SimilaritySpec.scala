@@ -337,4 +337,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out((1, 1)) == 2L)
     assert(out.getOrElse((1, 0), 0L) == 0L)
   }
+
+  test("hardNegatives: same-label neighbors excluded, rank by cosine") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),   // anchor
+      (1L, Array(1.0f, 0.01f, 0.0f), 0),  // closest of all — same label
+      (2L, Array(0.9f, 0.1f, 0.0f), 1),   // best negative
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),   // orthogonal negative
+      (4L, Array(-1.0f, 0.0f, 0.0f), 2)   // opposite negative
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Similarity.hardNegatives(
+      corpus.filter($"vec_id" === 0L), corpus,
+      "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // the same-label near twin (id 1) must NOT appear; negatives rank
+    // by cosine desc: id 2 (≈0.994) then id 3 (0.0)
+    assert(out.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("hardNegatives: equal-cosine ties break on neighbor id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (7L, Array(0.5f, 0.5f), 1),  // identical direction ⇒ tie
+      (3L, Array(1.0f, 1.0f), 1),
+      (9L, Array(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Similarity.hardNegatives(
+      corpus.filter($"vec_id" === 0L), corpus,
+      "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((3L, 1), (7L, 2), (9L, 3)))
+  }
 }
