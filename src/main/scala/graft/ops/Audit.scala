@@ -119,4 +119,37 @@ object Audit {
       .limit(k)
       .select("key", "n_rows", "share")
   }
+
+  /** Benford first-digit audit — the classic fabricated-/synthetic-data
+    * screen for organically-grown numeric columns (amounts, populations,
+    * counts): the observed share of each leading significant digit next
+    * to Benford's expected log₁₀(1 + 1/d). Values are taken in exact
+    * integer cents (round(x·100), ties away from zero on both engines)
+    * so the leading digit comes from INTEGER-to-string conversion —
+    * identical across engines — never from double formatting;
+    * non-positive and NULL values are out of scope and dropped.
+    *
+    * Shape at 100 TB: one map-side digit projection into a ≤9-row
+    * partial-agg'd count, then everything is 9-row-table arithmetic
+    * (the normalizing window runs over the count table, not the
+    * input). `share`/`expected` = exact-integer double division and one
+    * log10, round(6) absorbing the ≤1-ulp libm spread. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val digits = df
+      .filter(col(valueCol).isNotNull)
+      .select(cents.as("__c"))
+      .filter(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    counts
+      .withColumn("share",
+        round(col("n").cast("double") /
+          sum(col("n")).over(all).cast("double"), 6))
+      .withColumn("expected",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+  }
 }

@@ -114,4 +114,89 @@ object Classify {
     }
     w
   }
+
+  /** Calibration / reliability table for a [0,1] score column: fixed-
+    * width bins (score 1.0 clamps into the top bin), per-bin count,
+    * positive count, positive rate, and mean score — the "is my quality
+    * classifier's 0.8 actually an 80%?" audit that decides whether a
+    * gate threshold is trustworthy. Returns
+    * (bin, n, n_pos, pos_rate, mean_score).
+    *
+    * Determinism: binning is floor of an exact-portable double product
+    * (the scores themselves are exact-portable by the fast-sigmoid
+    * contract); the mean-score SUM runs in order-independent
+    * DECIMAL(38,18); rates are ONE double division + round(6). Shape at
+    * 100 TB: one map-side bin projection into a ≤bins-row partial-agg'd
+    * count — nothing after is input-sized. */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val bin = least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+    scored
+      .select(bin.as("bin"), col(scoreCol).as("__s"), col(labelCol).as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s").cast("decimal(38,18)")).as("__ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("__ss").cast("double") / col("n").cast("double"), 6)
+          .as("mean_score"))
+  }
+
+  /** Cohen's kappa from a (label, predicted, n) confusion table — the
+    * chance-corrected agreement behind "is this classifier better than
+    * the base rate?" and annotator-vs-annotator audits. κ =
+    * (p_o − p_e)/(1 − p_e) with p_o the diagonal share and p_e the
+    * marginal-product chance agreement; κ is NULL when p_e = 1 (a
+    * degenerate single-cell matrix has no chance-corrected signal).
+    * Returns one row (n, po, pe, kappa).
+    *
+    * Determinism: counts and marginals exact integers; the p_e
+    * numerator Σ row_l·col_l accumulates in DECIMAL(38,0) (marginal
+    * PRODUCTS overflow 2^53 long before counts do), then po/pe/κ are
+    * pinned exact-portable double trees — κ computed from the
+    * UNROUNDED po/pe, round(6) only on output. Shape: everything after
+    * the confusion input is labels²-bounded. */
+  def kappaFromConfusion(conf0: DataFrame, labelCol: String,
+      predCol: String, nCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val conf = Dedup.maybeCache(conf0.select(
+      col(labelCol).cast("string").as("__l"),
+      col(predCol).cast("string").as("__p"),
+      col(nCol).cast("long").as("__n")))
+    val tot = conf.agg(sum(col("__n")).as("__N"),
+      sum(when(col("__l") === col("__p"), col("__n")).otherwise(0L))
+        .as("__diag"))
+    val rows = conf.groupBy(col("__l")).agg(sum(col("__n")).as("__rn"))
+    val cols = conf.groupBy(col("__p")).agg(sum(col("__n")).as("__cn"))
+    val peNum = rows.join(cols, col("__l") === col("__p"))
+      .agg(coalesce(sum(col("__rn").cast(d38) * col("__cn").cast(d38)),
+        lit(0).cast(d38)).as("__penum"))
+    val po = col("__diag").cast("double") / col("__N").cast("double")
+    val pe = col("__penum").cast("double") /
+      (col("__N").cast("double") * col("__N").cast("double"))
+    tot.crossJoin(peNum)
+      .select(col("__N").as("n"), po.as("__po"), pe.as("__pe"))
+      .select(col("n"), round(col("__po"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"),
+        when(col("__pe") =!= 1.0,
+          round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
+          .as("kappa"))
+  }
+
+  /** Cohen's kappa between two per-item labelings (classifier vs
+    * classifier, annotator vs annotator): inner-join on the item key —
+    * items labeled by only one side are out of scope — count the
+    * labels² confusion cells, and hand off to [[kappaFromConfusion]].
+    * One key-hash join + one labels²-bounded aggregate. */
+  def agreement(a: DataFrame, b: DataFrame, keyCol: String,
+      aLabelCol: String, bLabelCol: String): DataFrame = {
+    val conf = a.select(col(keyCol), col(aLabelCol).as("__la"))
+      .join(b.select(col(keyCol), col(bLabelCol).as("__lb")), keyCol)
+      .groupBy(col("__la"), col("__lb"))
+      .agg(count(lit(1)).as("__cnt"))
+    kappaFromConfusion(conf, "__la", "__lb", "__cnt")
+  }
 }

@@ -591,6 +591,46 @@ object TextAnalysis {
       .select(col(idCol), round(col("__score"), 6).as("bm25"), col("rank"))
   }
 
+  /** Per-slice token-distribution Shannon entropy (plus the
+    * ln(V)-normalized variant) — the diversity twin of the KL drift op:
+    * KL says "slice A differs from the corpus", entropy says "slice A
+    * is internally collapsed" (template/boilerplate-heavy slices score
+    * low, organic text high). NULL texts and empty tokens dropped (the
+    * TTR tokenization). Returns
+    * (group, n_tokens, n_types, entropy, norm_entropy); `norm_entropy`
+    * is NULL for single-type groups where ln(V) = 0.
+    *
+    * Shape at 100 TB: the corpus collapses map-side into a
+    * vocabulary-bounded (group, token) count table; per-group totals
+    * are groups-bounded and ride the only broadcast (the KL-drift
+    * bounded-side rule). Determinism: counts exact integers; each term
+    * is (c/n)·ln(n/c) from exact-integer doubles (correctly-rounded
+    * IEEE ops + one ≤1-ulp ln), summed per group in ORDER-INDEPENDENT
+    * DECIMAL(38,18); one final cast + round(6). */
+  def tokenEntropy(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val gt = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val g = gt.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_types"))
+    val term = (col("__c").cast("double") / col("__n").cast("double")) *
+      log(col("__n").cast("double") / col("__c").cast("double"))
+    gt.join(broadcast(g), Seq(groupCol))
+      .withColumn("__h", term.cast("decimal(38,18)"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_tokens"),
+        max(col("n_types")).as("n_types"),
+        sum(col("__h")).as("__s"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        round(col("__s").cast("double"), 6).as("entropy"),
+        when(col("n_types") > 1,
+          round(col("__s").cast("double") /
+            log(col("n_types").cast("double")), 6)).as("norm_entropy"))
+  }
+
   /** Pairwise vocabulary overlap between corpus slices — the
     * cross-source contamination/redundancy audit ("how much of wiki's
     * vocabulary does web already cover?") that guides mixing weights

@@ -1018,6 +1018,30 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // calibration table for the same trained scorer: 100 fixed-width
+    // score bins × (count, positive rate, mean score) — the "is 0.8
+    // really 80%?" reliability audit; map-side bin, ≤10-row aggregate
+    "q_classify_calibration" -> ((s, dir) => {
+      val feat = Classify.gateFeatures(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"),
+        "doc_id", "text")
+      val w = Classify.train(feat, classifyX, "y",
+        iters = classifyIters, lr = 0.1)
+      val scored = feat.withColumn("__score",
+        Classify.fastSigmoid(Classify.z(w.toSeq, classifyX)))
+      Classify.calibration(scored, "__score", "y", bins = 100)
+        .orderBy("bin")
+    }),
+
+    // Cohen's kappa of the nearest-centroid classifier against the
+    // true labels — chance-corrected separability in one number;
+    // everything past the confusion matrix is labels²-bounded
+    "q_classify_kappa" -> ((s, dir) => {
+      val conf = graft.ops.Similarity.centroidClassify(
+        Tables(s, dir, "embeddings"), "label", "embedding")
+      Classify.kappaFromConfusion(conf, "label", "predicted", "n")
+    }),
+
     // the learned BPE lexicon itself: every corpus word's trained
     // segmentation as a piece string — counts can collide, piece
     // strings cannot, so this pins the tokenizer's actual behavior.
@@ -1227,6 +1251,23 @@ object PipelinePack extends QueryPack {
           round(col("n_types").cast("double") /
             col("n_tokens").cast("double"), 6).as("ttr"))
         .orderBy("source")
+    }),
+
+    // per-source token-distribution Shannon entropy + ln(V)-normalized
+    // variant: the internal-diversity twin of the KL drift audit —
+    // vocab-bounded counts, groups-bounded broadcast, decimal term sum
+    "q_text_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(
+        Tables(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
+    // Benford first-digit audit on order totals: observed digit shares
+    // vs log10(1+1/d) — integer-cents leading digit, 9-row tables only
+    "q_audit_benford" -> ((s, dir) => {
+      graft.ops.Audit.benford(
+        Tables(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")
     }),
 
     // cross-source vocabulary overlap: pairwise shared-term counts +
@@ -1511,6 +1552,43 @@ object PipelinePack extends QueryPack {
        | FROM embeddings)""".stripMargin
 
   /** Decimal-exact cosine pairs in DuckDB via ordinality join. */
+  /** Nearest-centroid confusion chain (mirror of
+    * Similarity.centroidClassify): per-label micro-unit mean centroids,
+    * exact DECIMAL(38,18) distances, (d2, cid) argmax assignment, ending
+    * in a `conf(label, predicted, n)` CTE — shared by the confusion
+    * query and the kappa query built on top of it. */
+  private val confusionCtes: String =
+    """exd AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS xd
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |cent AS (
+      |  SELECT label AS clab, i,
+      |    round(CAST(sum(CAST(round(xd * 1000000) AS HUGEINT)) AS DOUBLE)
+      |      / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
+      |  FROM exd GROUP BY 1, 2),
+      |lab AS (
+      |  SELECT clab, CAST(ROW_NUMBER() OVER (ORDER BY clab) - 1 AS INT)
+      |    AS cid
+      |  FROM (SELECT DISTINCT clab FROM cent) t),
+      |dist AS (
+      |  SELECT e.vec_id, e.label, l.cid,
+      |    SUM(CAST((e.xd - c.mean) * (e.xd - c.mean)
+      |        AS DECIMAL(38,18))) AS d2
+      |  FROM exd e
+      |  JOIN cent c ON c.i = e.i
+      |  JOIN lab l ON l.clab = c.clab
+      |  GROUP BY 1, 2, 3),
+      |asg AS (
+      |  SELECT vec_id, label, cid FROM (
+      |    SELECT vec_id, label, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM dist) t WHERE rn = 1),
+      |conf AS (
+      |  SELECT a.label, l.clab AS predicted, CAST(count(*) AS BIGINT) AS n
+      |  FROM asg a JOIN lab l USING (cid)
+      |  GROUP BY 1, 2)""".stripMargin
+
   private def cosineSql(filterA: String, filterB: String, pred: String,
       select: String, order: String) =
     s"""WITH ex AS (
@@ -2004,6 +2082,25 @@ object PipelinePack extends QueryPack {
        |  z >= 0 AS pred
        |FROM scoredz WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin
 
+  /** Calibration bins over the trained scorer: floor of an
+    * exact-portable double product (CAST(floor AS INT) — DuckDB's bare
+    * double→int cast ROUNDS), score 1.0 clamped into the top bin,
+    * mean score summed in DECIMAL(38,18). */
+  private def classifyCalibrationSql(iters: Int, bins: Int): String =
+    s"""WITH ${logisticCtes(iters)},
+       |binned AS (
+       |  SELECT LEAST(CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * $bins)
+       |      AS INT), ${bins - 1}) AS bin,
+       |    0.5 + z / (2.0 * (1.0 + abs(z))) AS s, y
+       |  FROM scoredz)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+       |  round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) AS mean_score
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   private def bpeSql(numMerges: Int): String = {
     s"""WITH ${bpeLexCtes("documents", numMerges)},
        |docw AS (
@@ -2158,6 +2255,8 @@ object PipelinePack extends QueryPack {
     // weights re-learned by the oracle's own unrolled GD chain
     "q_classify_gate" -> classifyGateSql(classifyIters),
     "q_classify_scores" -> classifyScoresSql(classifyIters),
+    "q_classify_calibration" ->
+      classifyCalibrationSql(classifyIters, bins = 100),
 
     // the trained lexicon's piece strings, straight from the final
     // vocab CTE of the re-learned chain
@@ -3607,35 +3706,39 @@ object PipelinePack extends QueryPack {
       "ORDER BY query_id, rank"),
 
     "q_embed_confusion" ->
-      """WITH exd AS (
-        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS xd
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (
-        |  SELECT label AS clab, i,
-        |    round(CAST(sum(CAST(round(xd * 1000000) AS HUGEINT)) AS DOUBLE)
-        |      / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
-        |  FROM exd GROUP BY 1, 2),
-        |lab AS (
-        |  SELECT clab, CAST(ROW_NUMBER() OVER (ORDER BY clab) - 1 AS INT)
-        |    AS cid
-        |  FROM (SELECT DISTINCT clab FROM cent) t),
-        |dist AS (
-        |  SELECT e.vec_id, e.label, l.cid,
-        |    SUM(CAST((e.xd - c.mean) * (e.xd - c.mean)
-        |        AS DECIMAL(38,18))) AS d2
-        |  FROM exd e
-        |  JOIN cent c ON c.i = e.i
-        |  JOIN lab l ON l.clab = c.clab
-        |  GROUP BY 1, 2, 3),
-        |asg AS (
-        |  SELECT vec_id, label, cid FROM (
-        |    SELECT vec_id, label, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM dist) t WHERE rn = 1)
-        |SELECT a.label, l.clab AS predicted, CAST(count(*) AS BIGINT) AS n
-        |FROM asg a JOIN lab l USING (cid)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $confusionCtes
+        |SELECT label, predicted, n FROM conf ORDER BY 1, 2""".stripMargin,
+
+    // the confusion chain + Cohen's kappa arithmetic: marginal products
+    // in HUGEINT (the DECIMAL(38,0) twin), kappa from UNROUNDED po/pe
+    "q_classify_kappa" ->
+      s"""WITH $confusionCtes,
+        |tot AS (
+        |  SELECT sum(n) AS nn,
+        |    sum(CASE WHEN CAST(label AS VARCHAR) = CAST(predicted AS VARCHAR)
+        |        THEN n ELSE 0 END) AS diag
+        |  FROM conf),
+        |rn AS (SELECT CAST(label AS VARCHAR) AS l, sum(n) AS rr
+        |       FROM conf GROUP BY 1),
+        |cn AS (SELECT CAST(predicted AS VARCHAR) AS p, sum(n) AS cc
+        |       FROM conf GROUP BY 1),
+        |pen AS (
+        |  SELECT coalesce(sum(CAST(rn.rr AS HUGEINT) *
+        |    CAST(cn.cc AS HUGEINT)), 0) AS penum
+        |  FROM rn JOIN cn ON cn.p = rn.l)
+        |SELECT CAST(t.nn AS BIGINT) AS n,
+        |  round(CAST(t.diag AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS po,
+        |  round(CAST(p.penum AS DOUBLE) /
+        |    (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)), 6) AS pe,
+        |  CASE WHEN CAST(p.penum AS DOUBLE) /
+        |      (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)) <> 1.0
+        |    THEN round((CAST(t.diag AS DOUBLE) / CAST(t.nn AS DOUBLE) -
+        |      CAST(p.penum AS DOUBLE) /
+        |        (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))) /
+        |      (1.0 - CAST(p.penum AS DOUBLE) /
+        |        (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))), 6)
+        |  END AS kappa
+        |FROM tot t CROSS JOIN pen p""".stripMargin,
 
     "q_text_collapse" ->
       """WITH t AS (
@@ -3697,6 +3800,42 @@ object PipelinePack extends QueryPack {
         |    CAST(count(*) AS DOUBLE), 6) AS ttr
         |FROM tok WHERE term <> ''
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH tok AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |gt AS (
+        |  SELECT g, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY g, t),
+        |gr AS (SELECT g, sum(c) AS n, count(*) AS v FROM gt GROUP BY g),
+        |terms AS (
+        |  SELECT gt.g, gr.n, gr.v,
+        |    CAST((CAST(gt.c AS DOUBLE) / CAST(gr.n AS DOUBLE)) *
+        |      ln(CAST(gr.n AS DOUBLE) / CAST(gt.c AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS h
+        |  FROM gt JOIN gr ON gr.g = gt.g)
+        |SELECT g AS source, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(max(v) AS BIGINT) AS n_types,
+        |  round(CAST(sum(h) AS DOUBLE), 6) AS entropy,
+        |  CASE WHEN max(v) > 1 THEN
+        |    round(CAST(sum(h) AS DOUBLE) / ln(CAST(max(v) AS DOUBLE)), 6)
+        |  END AS norm_entropy
+        |FROM terms GROUP BY g ORDER BY g""".stripMargin,
+
+    "q_audit_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+        |    AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM cents WHERE c > 0),
+        |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+        |    AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected
+        |FROM cnt ORDER BY digit""".stripMargin,
 
     "q_text_overlap" ->
       """WITH tok AS (

@@ -133,4 +133,20 @@ class AuditSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(withNullTop.contains("<NULL>"))
   }
+
+  test("benford: integer-cents leading digit, drops non-positive/NULL") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), Some(2.0), Some(19.99), Some(0.0), Some(-5.0),
+      Option.empty[Double]).map(Tuple1(_)).toDF("v")
+    val out = graft.ops.Audit.benford(df, "v")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    // 1.0→100, 19.99→1999 both lead with 1; 2.0→200 leads with 2;
+    // zero, negative, and NULL are out of scope
+    assert(out(1) == ((2L, math.rint(2.0 / 3.0 * 1e6) / 1e6,
+      math.rint(math.log10(2.0) * 1e6) / 1e6)))
+    assert(out(2) == ((1L, math.rint(1.0 / 3.0 * 1e6) / 1e6,
+      math.rint(math.log10(1.5) * 1e6) / 1e6)))
+    assert(out.size == 2)
+  }
 }

@@ -325,6 +325,22 @@ class Bm25Spec extends AnyFunSuite {
     assert(out == Seq("alpha", "beta"))
   }
 
+  test("tokenEntropy: uniform pair hits ln 2, single-type norm is NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "s1"),                        // uniform: H = ln 2
+      (2L, "x x x", "s2"),                      // single type: H = 0
+      (3L, null.asInstanceOf[String], "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.tokenEntropy(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out("s1") == ((2L, 2L, math.rint(math.log(2.0) * 1e6) / 1e6,
+      Some(1.0))))
+    assert(out("s2") == ((3L, 1L, 0.0, None)))
+  }
+
   test("vocabOverlap: hand-counted Jaccard, NULLs dropped, disjoint absent") {
     import spark.implicits._
     // s1 vocab {a,b,c}; s2 vocab {b,c,d,e} (duplicates collapse; the

@@ -82,4 +82,51 @@ class ClassifySpec extends AnyFunSuite {
         r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     assert(byId === keep.map { case (k, v) => k -> (if (v) 1.0 else 0.0) })
   }
+
+  test("calibration: fixed-width bins, score 1.0 clamps into the top bin") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, 0.0), (0.08, 1.0),   // bin 0
+      (0.55, 1.0),                // bin 5
+      (1.0, 1.0)                  // would be bin 10 — clamps to 9
+    ).toDF("score", "y")
+    val out = Classify.calibration(scored, "score", "y", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0) == ((2L, 1L, 0.5, math.rint((0.05 + 0.08) / 2 * 1e6) / 1e6)))
+    assert(out(5) == ((1L, 1L, 1.0, 0.55)))
+    assert(out(9) == ((1L, 1L, 1.0, 1.0)))
+    assert(out.size == 3)
+  }
+
+  test("kappa: textbook 2x2 matrix and degenerate single-cell NULL") {
+    import spark.implicits._
+    // classic example: po=0.7, pe=0.5, kappa=0.4
+    val conf = Seq(
+      ("yes", "yes", 20L), ("yes", "no", 5L),
+      ("no", "yes", 10L), ("no", "no", 15L)).toDF("l", "p", "n")
+    val r = Classify.kappaFromConfusion(conf, "l", "p", "n").head()
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4)
+    // every item in one agreeing cell: pe = 1 → kappa undefined
+    val degen = Seq(("a", "a", 7L)).toDF("l", "p", "n")
+    val d = Classify.kappaFromConfusion(degen, "l", "p", "n").head()
+    assert(d.getDouble(2) == 1.0 && d.isNullAt(3))
+  }
+
+  test("agreement: join-then-count matches the confusion-table path") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y")).toDF("id", "la")
+    val b = Seq((1L, "x"), (2L, "y"), (3L, "y"), (5L, "x")).toDF("id", "lb")
+    // joined items 1,2,3: agree on 1 and 3 → po = 2/3;
+    // marginals a: x=2,y=1; b: x=1,y=2 → pe = (2·1 + 1·2)/9 = 4/9
+    val r = Classify.agreement(a, b, "id", "la", "lb").head()
+    assert(r.getLong(0) == 3L)
+    val po = 2.0 / 3.0
+    val pe = 4.0 / 9.0
+    assert(r.getDouble(3) ==
+      math.rint((po - pe) / (1.0 - pe) * 1e6) / 1e6)
+  }
 }
