@@ -93,7 +93,7 @@ object PipelineSteps {
     "weighted_mix", "mad_outlier_filter", "winsorize", "normalize",
     "pii_mask", "language_filter", "surprise_filter", "weighted_sample",
     "collapse_repeats", "span_gate", "quality_classifier_filter",
-    "dsir_select", "pack_sequences", "shard")
+    "dsir_select", "pack_sequences", "shard", "curriculum")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -452,6 +452,19 @@ object PipelineSteps {
           budget = lng(m, "budget", op),
           shardCol = str(m, "out_col", "shard"),
           buckets = int(m, "buckets", 256))
+
+      // curriculum schedule: append the difficulty band + the
+      // band-rotating interleave key (ascending interleave_key = one
+      // item per band in rotation, easy→hard within each rotation)
+      case "curriculum" =>
+        val idCol = str(m, "id_col", "doc_id")
+        val scoreCol = reqStr(m, "score_col", op)
+        val bands = int(m, "bands", 4)
+        df => {
+          val order = Sampling.curriculumOrder(df, idCol, scoreCol, bands)
+          df.join(order.select(col(s"`$idCol`"), col("band"),
+            col("interleave_key")), idCol)
+        }
 
       case other => throw new IllegalArgumentException(
         s"unknown pipeline step op `$other` (known: ${knownOps.mkString(", ")})")

@@ -254,4 +254,55 @@ object Sampling {
         col(tokensCol).cast("long"), shardCol, buckets)
       .withColumn(shardCol, expr(s"$shardCol div ${budget}L"))
   }
+
+  /** Curriculum ordering: split the corpus into `bands` difficulty
+    * bands by a score column (easy → hard) and emit an integer
+    * `interleave_key` whose ascending order serves one item from each
+    * band in rotation — the anti-curriculum-shock schedule ("don't
+    * front-load all the easy web text") that still trends easy→hard
+    * WITHIN each band position. Returns
+    * (key, band, band_rank, interleave_key) with
+    * interleave_key = (band_rank − 1)·bands + band, globally unique.
+    *
+    * Banding is the Packing prefix-sum discipline, NOT a global ntile
+    * (a single-partition window over the corpus is not a 100 TB plan):
+    * scores collapse map-side to ROUNDED-score keys (round(·,4) —
+    * caller contract: normalized or integer-valued difficulty, so the
+    * distinct-key table is bounded), the band boundaries come from a
+    * cumulative count over that bounded histogram, and each item's
+    * within-band rank = the histogram's strictly-before count plus a
+    * row_number over its OWN rounded-score partition (ties ordered by
+    * the unique key) — the only input-sized window, partitioned by the
+    * score keys. All-integer, engine-exact; the band split is floor of
+    * an exact (<2^53) double product. NULL scores dropped. */
+  def curriculumOrder(df: DataFrame, keyCol: String, scoreCol: String,
+      bands: Int): DataFrame = {
+    require(bands > 0, s"bands must be positive: $bands")
+    val base = df.filter(col(scoreCol).isNotNull)
+      .withColumn("__r", round(col(scoreCol).cast("double"), 4))
+    val hist = base.groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+    // bounded-table windows only (the histogram, never the input)
+    val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val cum = hist
+      .withColumn("__cumprev",
+        sum(col("__c")).over(one.orderBy(col("__r"))) - col("__c"))
+      .withColumn("__tot", sum(col("__c")).over(one))
+    val bandTab = cum.withColumn("__band",
+      least(lit(bands - 1),
+        floor(col("__cumprev").cast("double") * bands /
+          col("__tot").cast("double")).cast("int")))
+    val bstart = bandTab.groupBy(col("__band"))
+      .agg(min(col("__cumprev")).as("__bstart"))
+    val lookup = bandTab.join(bstart, "__band")
+      .select(col("__r"), col("__band"),
+        (col("__cumprev") - col("__bstart")).as("__before"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__r")).orderBy(col(keyCol))
+    base.join(broadcast(lookup), "__r")
+      .withColumn("__rn", row_number().over(wr))
+      .select(col(keyCol), col("__band").as("band"),
+        (col("__before") + col("__rn")).as("band_rank"),
+        ((col("__before") + col("__rn") - 1) * bands + col("__band"))
+          .as("interleave_key"))
+  }
 }

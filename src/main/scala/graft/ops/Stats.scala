@@ -222,6 +222,58 @@ object Stats {
       when(den > 0, round(intercept, 6)).as("intercept"))
   }
 
+  /** Per-group distribution shape: population mean, variance, skewness
+    * (g1 = m3/m2^{3/2}) and EXCESS kurtosis (g2 = m4/m2² − 3) — the
+    * profiling row that tells a pipeline whether a metric is symmetric,
+    * heavy-tailed, or binned wrong, from ONE pass of four power sums
+    * (n, Σx, Σx², Σx³, Σx⁴) in exact DECIMAL(38,0).
+    *
+    * The central-moment combinations stay EXACT decimals:
+    * B = n·S2 − S1², A = n²·S3 − 3n·S1·S2 + 2·S1³,
+    * C = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴ — then the n-powers
+    * cancel: g1 = A/B^{3/2}, g2 = C/B² − 3, each ONE pinned double
+    * tree over two decimal→double conversions (correctly rounded on
+    * both engines), round(6). Zero-variance groups yield NULL
+    * g1/g2. NULL values dropped.
+    *
+    * Caller contract: integer-valued column with n·max|x| ≲ 10⁹ so the
+    * fourth-power terms keep 38-digit headroom (quantity-/count-scale
+    * columns; the oracle's HUGEINT has the same bound). For larger
+    * magnitudes at extreme row counts, the scale path is the two-pass
+    * variant — broadcast the exact mean, then sum small centered
+    * powers — which keeps the same output contract. Shape: one
+    * five-number-per-group partial-agg'd shuffle, no windows/joins. */
+  def momentsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val in = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__x"))
+    val stats = in.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(d38).as("__n"),
+      sum(col("__x").cast(d38)).as("__s1"),
+      sum((col("__x") * col("__x")).cast(d38)).as("__s2"),
+      sum((col("__x") * col("__x") * col("__x")).cast(d38)).as("__s3"),
+      sum((col("__x") * col("__x") * col("__x") * col("__x")).cast(d38))
+        .as("__s4"))
+    val n = col("__n")
+    val b = n * col("__s2") - col("__s1") * col("__s1")
+    val a = n * n * col("__s3") -
+      lit(3) * n * col("__s1") * col("__s2") +
+      lit(2) * col("__s1") * col("__s1") * col("__s1")
+    val cc = n * n * n * col("__s4") -
+      lit(4) * n * n * col("__s1") * col("__s3") +
+      lit(6) * n * col("__s1") * col("__s1") * col("__s2") -
+      lit(3) * col("__s1") * col("__s1") * col("__s1") * col("__s1")
+    val bD = b.cast("double")
+    stats.select(col(groupCol), n.cast("bigint").as("n"),
+      round(col("__s1").cast("double") / n.cast("double"), 6).as("mean"),
+      round(bD / (n.cast("double") * n.cast("double")), 6).as("variance"),
+      when(b > 0,
+        round(a.cast("double") / (bD * sqrt(bD)), 6)).as("skewness"),
+      when(b > 0,
+        round(cc.cast("double") / (bD * bD) - lit(3.0), 6)).as("kurtosis"))
+  }
+
   /** Exact per-group mode (most frequent value, the categorical
     * location estimate profiling reports alongside quantiles): two
     * partial-agg'd shuffles — (group, value) counts, then an argmax

@@ -776,6 +776,26 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // curriculum ordering: 4 difficulty bands over doc length with a
+    // band-rotating interleave key — banding via the bounded-histogram
+    // prefix sum, never a global ntile window
+    "q_sample_curriculum" -> ((s, dir) => {
+      graft.ops.Sampling.curriculumOrder(
+        Tables(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", bands = 4)
+        .orderBy("doc_id")
+    }),
+
+    // per-flag distribution shape of order quantities: mean, variance,
+    // skewness, excess kurtosis from one pass of exact decimal power
+    // sums — the symmetric/heavy-tail/mis-binned profiling row
+    "q_stats_moments" -> ((s, dir) => {
+      graft.ops.Stats.momentsByGroup(
+        Tables(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity")
+        .orderBy("l_returnflag")
+    }),
+
     "q_stats_winsorize" -> ((s, dir) => {
       graft.ops.Stats.winsorize(
         Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
@@ -3352,6 +3372,71 @@ object PipelinePack extends QueryPack {
         |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
         |      / CAST(n AS DOUBLE), 6) END AS intercept
         |FROM f ORDER BY source""".stripMargin,
+
+    // the same bounded-histogram band assignment: cumulative counts
+    // over rounded-score keys, floor of an exact double product, then
+    // before-count + per-score-key row_number
+    "q_sample_curriculum" ->
+      """WITH base AS (
+        |  SELECT doc_id, round(CAST(n_chars AS DOUBLE), 4) AS r
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |hist AS (SELECT r, count(*) AS c FROM base GROUP BY r),
+        |cum AS (
+        |  SELECT r, c,
+        |    sum(c) OVER (ORDER BY r) - c AS cumprev,
+        |    sum(c) OVER () AS tot
+        |  FROM hist),
+        |bandtab AS (
+        |  SELECT r, cumprev,
+        |    LEAST(3, CAST(floor(CAST(cumprev AS DOUBLE) * 4 /
+        |      CAST(tot AS DOUBLE)) AS INT)) AS band
+        |  FROM cum),
+        |bs AS (SELECT band, min(cumprev) AS bstart FROM bandtab
+        |       GROUP BY band),
+        |lk AS (
+        |  SELECT b.r, b.band, b.cumprev - s.bstart AS bf
+        |  FROM bandtab b JOIN bs s USING (band)),
+        |rn AS (
+        |  SELECT doc_id, r,
+        |    ROW_NUMBER() OVER (PARTITION BY r ORDER BY doc_id) AS rn
+        |  FROM base)
+        |SELECT rn.doc_id, lk.band,
+        |  CAST(lk.bf + rn.rn AS BIGINT) AS band_rank,
+        |  CAST((lk.bf + rn.rn - 1) * 4 + lk.band AS BIGINT)
+        |    AS interleave_key
+        |FROM rn JOIN lk ON lk.r = rn.r
+        |ORDER BY doc_id""".stripMargin,
+
+    // HUGEINT power sums (floor-cast: DuckDB's bare double→int cast
+    // ROUNDS), the same exact A/B/C combinations, n-powers cancelled
+    "q_stats_moments" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_quantity) AS HUGEINT) AS x
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS HUGEINT) AS n, SUM(x) AS s1,
+        |    SUM(x * x) AS s2, SUM(x * x * x) AS s3,
+        |    SUM(x * x * x * x) AS s4
+        |  FROM t GROUP BY 1),
+        |f AS (
+        |  SELECT g, n, s1,
+        |    n * s2 - s1 * s1 AS b,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3 +
+        |      6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS c
+        |  FROM s)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round(CAST(b AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS variance,
+        |  CASE WHEN b > 0 THEN round(CAST(a AS DOUBLE) /
+        |    (CAST(b AS DOUBLE) * sqrt(CAST(b AS DOUBLE))), 6)
+        |  END AS skewness,
+        |  CASE WHEN b > 0 THEN round(CAST(c AS DOUBLE) /
+        |    (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) - 3.0, 6)
+        |  END AS kurtosis
+        |FROM f ORDER BY l_returnflag""".stripMargin,
 
     "q_stats_winsorize" ->
       """WITH ranked AS (

@@ -305,6 +305,25 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tokens_col"))
   }
 
+  test("curriculum step appends band + interleave key, matches the op") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, i * 10.0, s"t$i"))
+      .toDF("doc_id", "difficulty", "text")
+    val out = steps(Seq(Map("op" -> "curriculum",
+      "score_col" -> "difficulty", "bands" -> 4))).head.apply(docs)
+    assert(out.columns.toSeq ===
+      docs.columns.toSeq ++ Seq("band", "interleave_key"))
+    val direct = graft.ops.Sampling.curriculumOrder(
+      docs.select("doc_id", "difficulty"), "doc_id", "difficulty", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("interleave_key")).toMap
+      === direct)
+    intercept[IllegalArgumentException] {
+      steps(Seq(Map("op" -> "curriculum")))
+    }
+  }
+
   test("unknown op and missing required params raise named errors") {
     val e1 = intercept[IllegalArgumentException](
       steps(Seq(Map("op" -> "nope"))).head)

@@ -181,4 +181,26 @@ class SamplerSpec extends AnyFunSuite {
     // cluster members inherit the canonical (min) id's plain assignment
     assert(out(11L) == plain(3L) && out(21L) == plain(20L))
   }
+
+  test("curriculumOrder: band rotation, score ties, NULL drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(10.0)), (3L, Some(20.0)),
+      (4L, Some(30.0)), (5L, Some(40.0)), (6L, Some(50.0)),
+      (7L, Some(60.0)), (8L, Some(70.0)), (9L, Option.empty[Double])
+    ).toDF("doc_id", "score")
+    val out = graft.ops.Sampling.curriculumOrder(df, "doc_id", "score",
+      bands = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // hist cumprev/2 bands: {10,10}→0, {20,30}→1, {40,50}→2, {60,70}→3
+    assert(out == Map(
+      1L -> ((0, 1L, 0L)), 2L -> ((0, 2L, 4L)),
+      3L -> ((1, 1L, 1L)), 4L -> ((1, 2L, 5L)),
+      5L -> ((2, 1L, 2L)), 6L -> ((2, 2L, 6L)),
+      7L -> ((3, 1L, 3L)), 8L -> ((3, 2L, 7L))))
+    // ascending interleave_key serves one item per band in rotation
+    val order = out.toSeq.sortBy(_._2._3).map(_._2._1)
+    assert(order == Seq(0, 1, 2, 3, 0, 1, 2, 3))
+  }
 }

@@ -227,4 +227,26 @@ class StatsSpec extends AnyFunSuite {
     assert(out == Map("a" -> (("x", 2L)), "b" -> (("m", 2L)),
       "d" -> (("q", 1L))))
   }
+
+  test("momentsByGroup: hand moments, zero-variance NULLs, NULL drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", Some(1L)), ("g", Some(2L)), ("g", Some(9L)),
+      ("c", Some(5L)), ("c", Some(5L)),
+      ("n", Some(3L)), ("n", None)).toDF("k", "x")
+    val out = graft.ops.Stats.momentsByGroup(df, "k", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    // x = [1,2,9]: B = 3·86 − 144 = 114, A = 9·738 − 9·12·86 + 2·1728
+    // = 810, C = 27·6578 − 36·12·738 + 18·144·86 − 3·20736 = 19494;
+    // skew = 810/(114·√114), excess kurtosis = 19494/114² − 3 = −1.5
+    val skew = math.rint(810.0 / (114.0 * math.sqrt(114.0)) * 1e6) / 1e6
+    assert(out("g") == ((3L, 4.0, math.rint(114.0 / 9.0 * 1e6) / 1e6,
+      Some(skew), Some(-1.5))))
+    // constant group: variance 0, shape undefined
+    assert(out("c") == ((2L, 5.0, 0.0, None, None)))
+    // singleton after NULL drop: variance 0, shape undefined
+    assert(out("n") == ((1L, 3.0, 0.0, None, None)))
+  }
 }
