@@ -186,6 +186,46 @@ object Classify {
           .as("kappa"))
   }
 
+  /** Per-class precision / recall / F1 from a (label, predicted, n)
+    * confusion table — the class-level companion to the single-number
+    * [[kappaFromConfusion]]: which classes the classifier actually
+    * serves. tp = the diagonal cell, fp = column total − tp, fn = row
+    * total − tp; precision = tp/(tp+fp), recall = tp/(tp+fn),
+    * F1 = 2·tp/(2·tp+fp+fn) — the harmonic mean in its single-division
+    * integer-denominator form, so every metric is ONE exact-integer
+    * double division + round(6) (no compounding of rounded factors).
+    * Classes appearing only as labels or only as predictions still get
+    * a row (full-outer marginals); zero denominators yield NULL.
+    * Everything past the confusion input is labels²-bounded. */
+  def classMetrics(conf0: DataFrame, labelCol: String, predCol: String,
+      nCol: String): DataFrame = {
+    val conf = Dedup.maybeCache(conf0.select(
+      col(labelCol).as("__l"), col(predCol).as("__p"),
+      col(nCol).cast("long").as("__n")))
+    val rows = conf.groupBy(col("__l")).agg(sum(col("__n")).as("__rn"))
+    val cols = conf.groupBy(col("__p")).agg(sum(col("__n")).as("__cn"))
+    val diag = conf.filter(col("__l") === col("__p"))
+      .groupBy(col("__l").as("label")).agg(sum(col("__n")).as("__tp"))
+    val marg = rows.join(cols, col("__l") === col("__p"), "full_outer")
+      .select(coalesce(col("__l"), col("__p")).as("label"),
+        coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val tp = coalesce(col("__tp"), lit(0L))
+    val fp = col("__cn") - tp
+    val fn = col("__rn") - tp
+    marg.join(diag, Seq("label"), "left")
+      .select(col("label"), tp.as("tp"), fp.as("fp"), fn.as("fn"),
+        when(col("__cn") > 0,
+          round(tp.cast("double") / col("__cn").cast("double"), 6))
+          .as("precision"),
+        when(col("__rn") > 0,
+          round(tp.cast("double") / col("__rn").cast("double"), 6))
+          .as("recall"),
+        when(lit(2) * tp + fp + fn > 0,
+          round((lit(2) * tp).cast("double") /
+            (lit(2) * tp + fp + fn).cast("double"), 6)).as("f1"))
+  }
+
   /** Cohen's kappa between two per-item labelings (classifier vs
     * classifier, annotator vs annotator): inner-join on the item key —
     * items labeled by only one side are out of scope — count the

@@ -473,6 +473,32 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Recall@k of an approximate neighbor list against the exact one —
+    * THE standard ANN quality audit (how much recall did the
+    * IVF/LSH/PQ pruning trade for its speed). Both inputs are
+    * (query, neighbor) top-k tables; per query: the exact-list size,
+    * the overlap, and recall = overlap / exact size (ONE exact-integer
+    * double division + round(6)). Queries absent from the approx table
+    * score their hits as 0 rather than dropping out.
+    *
+    * Shape at 100 TB: one equi-join keyed by (query, neighbor) on two
+    * already-k-bounded tables — queries×k rows each, never
+    * corpus-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String): DataFrame = {
+    val a = approx.select(col(queryCol).as("query_id"),
+      col(neighborCol).as("__nb"), lit(1L).as("__hit"))
+    val e = exact.select(col(queryCol).as("query_id"),
+      col(neighborCol).as("__nb"))
+    e.join(a, Seq("query_id", "__nb"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("k_exact"), col("hits"),
+        round(col("hits").cast("double") / col("k_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Nearest-class-centroid classifier evaluation — assign every vector
     * to its closest [[classCentroids]] prototype and emit the confusion
     * matrix (label, predicted, n): the quality probe behind

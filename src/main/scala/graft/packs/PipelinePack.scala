@@ -1062,6 +1062,29 @@ object PipelinePack extends QueryPack {
       Classify.kappaFromConfusion(conf, "label", "predicted", "n")
     }),
 
+    // per-class precision/recall/F1 of the same classifier — which
+    // classes it actually serves; F1 in its single-division
+    // integer-denominator form so nothing compounds rounded factors
+    "q_classify_metrics" -> ((s, dir) => {
+      val conf = graft.ops.Similarity.centroidClassify(
+        Tables(s, dir, "embeddings"), "label", "embedding")
+      Classify.classMetrics(conf, "label", "predicted", "n")
+        .orderBy("label")
+    }),
+
+    // recall@5 of the IVF probe against the exact brute-force top-5 —
+    // the standard ANN quality audit, per query
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, iters = 2)
+      val bf = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 5)
+      Similarity.recallAtK(ivf, bf, "query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+
     // the learned BPE lexicon itself: every corpus word's trained
     // segmentation as a piece string — counts can collide, piece
     // strings cannot, so this pins the tokenizer's actual behavior.
@@ -1831,6 +1854,38 @@ object PipelinePack extends QueryPack {
          |  WHERE vec_id % 100 = 0)""".stripMargin
   }
 
+  /** Recall@k audit oracle: the exact brute-force chain and the IVF
+    * chain each run as a SCOPED subquery (their private WITH names
+    * don't collide), then one (query, neighbor) join scores the
+    * overlap. */
+  private def annRecallSql: String = {
+    val bf = cosineSql("a.vec_id % 100 = 0", "TRUE",
+      "a.vec_id <> b.vec_id",
+      """SELECT * FROM (
+        |  SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY d.id_a
+        |      ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS rank
+        |  FROM dots d JOIN norms na ON na.vec_id = d.id_a
+        |              JOIN norms nb ON nb.vec_id = d.id_b) t
+        |WHERE rank <= 5""".stripMargin, "")
+    val ivf = ivfSql(nlist = 8, nprobe = 2, iters = 2, k = 5)
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id FROM ($bf) s),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM ($ivf) s),
+       |j AS (
+       |  SELECT e.query_id, count(*) AS ke,
+       |    sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS hits
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1)
+       |SELECT query_id, CAST(ke AS BIGINT) AS k_exact,
+       |  CAST(hits AS BIGINT) AS hits,
+       |  round(CAST(hits AS DOUBLE) / CAST(ke AS DOUBLE), 6) AS recall
+       |FROM j ORDER BY query_id""".stripMargin
+  }
+
   /** Shared ADC tail: ranked `rank <= k` projection over an `adc` CTE of
     * (query_id, neighbor_id, d2) rows. */
   private def adcTopKSql(k: Int): String =
@@ -2222,6 +2277,7 @@ object PipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_ann_ivf" -> ivfSql(nlist = 8, nprobe = 2, iters = 2, k = 5),
+    "q_ann_recall" -> annRecallSql,
     "q_ann_pq" -> pqSql(m = 4, subDim = 16, codebookSize = 16, k = 5),
     "q_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 2, coarseIters = 1,
       m = 4, subDim = 16, codebookSize = 16, k = 5, trainMod = 4),
@@ -3824,6 +3880,33 @@ object PipelinePack extends QueryPack {
         |        (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))), 6)
         |  END AS kappa
         |FROM tot t CROSS JOIN pen p""".stripMargin,
+
+    // the confusion chain + full-outer marginals; F1 in the
+    // single-division integer-denominator form
+    "q_classify_metrics" ->
+      s"""WITH $confusionCtes,
+        |rws AS (SELECT label AS l, sum(n) AS rn FROM conf GROUP BY 1),
+        |cls AS (SELECT predicted AS p, sum(n) AS cn FROM conf GROUP BY 1),
+        |mg AS (
+        |  SELECT coalesce(r.l, c.p) AS label, coalesce(r.rn, 0) AS rn,
+        |    coalesce(c.cn, 0) AS cn
+        |  FROM rws r FULL OUTER JOIN cls c ON c.p = r.l),
+        |dg AS (SELECT label, sum(n) AS tp FROM conf
+        |       WHERE label = predicted GROUP BY 1)
+        |SELECT m.label, CAST(coalesce(d.tp, 0) AS BIGINT) AS tp,
+        |  CAST(m.cn - coalesce(d.tp, 0) AS BIGINT) AS fp,
+        |  CAST(m.rn - coalesce(d.tp, 0) AS BIGINT) AS fn,
+        |  CASE WHEN m.cn > 0 THEN round(CAST(coalesce(d.tp, 0) AS DOUBLE)
+        |    / CAST(m.cn AS DOUBLE), 6) END AS "precision",
+        |  CASE WHEN m.rn > 0 THEN round(CAST(coalesce(d.tp, 0) AS DOUBLE)
+        |    / CAST(m.rn AS DOUBLE), 6) END AS recall,
+  |  -- 2·tp + fp + fn = cn + rn exactly, so the integer denominator is
+        |  -- the marginal sum
+        |  CASE WHEN m.cn + m.rn > 0
+        |    THEN round(CAST(2 * coalesce(d.tp, 0) AS DOUBLE) /
+        |      CAST(m.cn + m.rn AS DOUBLE), 6) END AS f1
+        |FROM mg m LEFT JOIN dg d ON d.label = m.label
+        |ORDER BY m.label""".stripMargin,
 
     "q_text_collapse" ->
       """WITH t AS (

@@ -116,6 +116,28 @@ class ClassifySpec extends AnyFunSuite {
     assert(d.getDouble(2) == 1.0 && d.isNullAt(3))
   }
 
+  test("classMetrics: per-class tp/fp/fn and single-division F1") {
+    import spark.implicits._
+    // labels a,b; 'c' appears ONLY as a prediction
+    val conf = Seq(
+      ("a", "a", 8L), ("a", "b", 2L),
+      ("b", "a", 1L), ("b", "b", 4L), ("b", "c", 1L)).toDF("l", "p", "n")
+    val out = Classify.classMetrics(conf, "l", "p", "n")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    // a: tp=8, fp=1, fn=2 → p=8/9, r=0.8, f1=16/19
+    assert(out("a") == ((8L, 1L, 2L,
+      Some(math.rint(8.0 / 9.0 * 1e6) / 1e6), Some(0.8),
+      Some(math.rint(16.0 / 19.0 * 1e6) / 1e6))))
+    // b: tp=4, fp=2, fn=2 → p=r=f1=2/3
+    val twoThirds = math.rint(2.0 / 3.0 * 1e6) / 1e6
+    assert(out("b") == ((4L, 2L, 2L,
+      Some(twoThirds), Some(twoThirds), Some(twoThirds))))
+    // c: never a true label → tp=0, fp=1, fn=0; recall undefined
+    assert(out("c") == ((0L, 1L, 0L, Some(0.0), None, Some(0.0))))
+  }
+
   test("agreement: join-then-count matches the confusion-table path") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y")).toDF("id", "la")

@@ -356,6 +356,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  test("recallAtK: overlap per query, missing approx query scores 0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 11L), (1L, 13L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = graft.ops.Similarity.recallAtK(approx, exact,
+      "query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // query 1: 11 and 13 hit, 99 is a miss outside the exact set;
+    // query 2 has no approx rows — it scores 0, it does not vanish
+    assert(out == Map(
+      1L -> ((4L, 2L, 0.5)),
+      2L -> ((2L, 0L, 0.0))))
+  }
+
   test("hardNegatives: equal-cosine ties break on neighbor id") {
     import spark.implicits._
     val corpus = Seq(
