@@ -150,4 +150,44 @@ object Timeseries {
         round(num.cast("double") / den.cast("double"), 6))
       .drop("__a")
   }
+
+  /** Seasonal-naive forecast skill (MASE): per key, score the
+    * "same value as one season ago" forecast against the "same value
+    * as yesterday" naive baseline over an ordered series —
+    * mase = Σ|v − v(t−season)| / Σ|v − v(t−1)| on the rows where BOTH
+    * lags exist (< 1 means real seasonality worth modeling, NULL when
+    * the series is flat and the naive error is 0). Also emits both
+    * MAEs. The go/no-go audit before a pipeline invests in per-key
+    * forecasting or season-aware anomaly thresholds.
+    *
+    * Lags are ROW-based — pass a dense series (compose with
+    * [[gapFillDaily]] when the calendar has holes) with integer-valued
+    * `valueCol` (counts/cents). Exactness: absolute errors are exact
+    * integers summed in DECIMAL(38,0); each output is ONE double
+    * division + round(6). Shape at 100 TB: one key-hash shuffle feeds
+    * a single sort serving both lag windows, then a
+    * three-number-per-key partial-agg'd aggregate. */
+  def seasonalNaiveError(series: DataFrame, keyCol: String,
+      orderCol: String, valueCol: String, season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2: $season")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val v = col(valueCol).cast("long")
+    val scored = series.filter(col(valueCol).isNotNull)
+      .withColumn("__ls", lag(v, season).over(w))
+      .withColumn("__l1", lag(v, 1).over(w))
+      .filter(col("__ls").isNotNull && col("__l1").isNotNull)
+    scored.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(v - col("__ls")).cast(d38)).as("__es"),
+        sum(abs(v - col("__l1")).cast(d38)).as("__e1"))
+      .select(col(keyCol), col("n_scored"),
+        round(col("__es").cast("double") / col("n_scored").cast("double"),
+          6).as("mae_seasonal"),
+        round(col("__e1").cast("double") / col("n_scored").cast("double"),
+          6).as("mae_naive"),
+        when(col("__e1") > 0,
+          round(col("__es").cast("double") / col("__e1").cast("double"), 6))
+          .as("mase"))
+  }
 }

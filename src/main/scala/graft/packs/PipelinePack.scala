@@ -1333,6 +1333,18 @@ object PipelinePack extends QueryPack {
         .orderBy("event_type", "day")
     }),
 
+    // seasonal-naive forecast skill: each event type's daily counts
+    // scored week-over-week vs the day-over-day naive baseline —
+    // MASE < 1 means weekly seasonality is real; exact integer errors
+    "q_ts_mase" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Timeseries.seasonalNaiveError(daily, "event_type",
+        "day", "n", season = 7)
+        .orderBy("event_type")
+    }),
+
     // exact-decimal EWMA: per-user smoothed purchase value (cents) —
     // integer weight tables keep every intermediate exact; one final
     // double division
@@ -4023,6 +4035,28 @@ object PipelinePack extends QueryPack {
         |FROM inter i JOIN sz sa ON sa.g = i.group_a
         |             JOIN sz sb ON sb.g = i.group_b
         |ORDER BY group_a, group_b""".stripMargin,
+
+    "q_ts_mase" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS ls,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
+        |  FROM daily),
+        |sc AS (
+        |  SELECT * FROM lagged WHERE ls IS NOT NULL AND l1 IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+        |  round(CAST(sum(abs(n - ls)) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS mae_seasonal,
+        |  round(CAST(sum(abs(n - l1)) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS mae_naive,
+        |  CASE WHEN sum(abs(n - l1)) > 0 THEN
+        |    round(CAST(sum(abs(n - ls)) AS DOUBLE) /
+        |      CAST(sum(abs(n - l1)) AS DOUBLE), 6) END AS mase
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH daily AS (

@@ -121,4 +121,26 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(spans(Seq(("k", 1L, 2L), ("k", 1L, 2L), ("k", 3L, 4L)))
       === Set(("k", 1L, 2L, 2L), ("k", 3L, 4L, 1L)))
   }
+
+  test("seasonalNaiveError: perfect season, flat NULL mase, NULL drop") {
+    import spark.implicits._
+    val rows =
+      // k1: period-2 alternation — seasonal forecast is perfect
+      Seq(10L, 12L, 10L, 12L, 10L, 12L).zipWithIndex.map { case (v, t) =>
+        ("k1", t + 1, Some(v)) } ++
+      // k2: flat — naive error 0, skill undefined
+      Seq(("k2", 1, Some(5L)), ("k2", 2, Some(5L)), ("k2", 3, Some(5L))) ++
+      // k3: a NULL row is dropped BEFORE the row-based lags
+      Seq(("k3", 1, Some(4L)), ("k3", 2, Option.empty[Long]),
+        ("k3", 3, Some(6L)), ("k3", 4, Some(8L)))
+    val out = graft.ops.Timeseries.seasonalNaiveError(
+      rows.toDF("k", "t", "v"), "k", "t", "v", season = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4))))).toMap
+    assert(out("k1") == ((4L, 0.0, 2.0, Some(0.0))))
+    assert(out("k2") == ((1L, 0.0, 0.0, None)))
+    // k3 after the drop: [4, 6, 8] — one scored row: |8−4|=4, |8−6|=2
+    assert(out("k3") == ((1L, 4.0, 2.0, Some(2.0))))
+  }
 }
