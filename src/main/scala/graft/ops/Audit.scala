@@ -134,6 +134,37 @@ object Audit {
     * (the normalizing window runs over the count table, not the
     * input). `share`/`expected` = exact-integer double division and one
     * log10, round(6) absorbing the ≤1-ulp libm spread. */
+  /** k-anonymity audit over a quasi-identifier tuple — the re-
+    * identification screen a dataset gets before release or training:
+    * any combination of the quasi columns shared by fewer than `k`
+    * rows singles its members out. One summary row: total rows, number
+    * of distinct combinations, combinations below k, rows in them, and
+    * their corpus share (ONE exact-integer double division + round(6)).
+    * NULL quasi values group as values — a NULL tuple is as linkable
+    * as any other.
+    *
+    * Shape at 100 TB: one partial-agg'd groupBy bounded by the
+    * distinct-combination count, then a 1-row rollup of that table —
+    * the input is never held. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k > 0, s"k must be positive: $k")
+    val groups = df
+      .groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__n"))
+    groups.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("n_rows_at_risk"))
+      .select(col("n_rows"), col("n_groups"), col("n_violating"),
+        col("n_rows_at_risk"),
+        round(col("n_rows_at_risk").cast("double") /
+          col("n_rows").cast("double"), 6).as("risk_share"))
+  }
+
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val cents = round(col(valueCol).cast("double") * 100).cast("long")
     val digits = df

@@ -631,6 +631,56 @@ object TextAnalysis {
             log(col("n_types").cast("double")), 6)).as("norm_entropy"))
   }
 
+  /** Zipf law fit per corpus slice: OLS slope of ln(frequency) on
+    * ln(rank) over the slice's token frequency table — organic text
+    * sits near the Zipfian −1; templated/generated slices flatten
+    * (slope → 0) or cliff (≪ −1), making the slope a one-number
+    * naturalness audit next to [[tokenEntropy]]. Ranks are total
+    * ((count desc, token asc) tie-break). Returns
+    * (group, n_types, zipf_slope, intercept); single-type groups have
+    * no fit (NULL).
+    *
+    * Determinism: ranks and counts exact integers; each ln is one
+    * libm call on an exact integer (the KL/PMI ≤1-ulp precedent);
+    * the four sufficient sums run in order-independent
+    * DECIMAL(38,18); the slope/intercept combinations are pinned
+    * double trees over one decimal→double conversion per sum,
+    * round(6). Shape at 100 TB: the corpus collapses map-side to the
+    * vocabulary-bounded count table; the rank window partitions by
+    * group over that bounded table; one four-number-per-group
+    * aggregate after. */
+  def zipfFit(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__c").desc, col("__t"))
+    val xy = counts.withColumn("__rank", row_number().over(w))
+      .select(col(groupCol),
+        log(col("__rank").cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+    val s = xy.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_types"),
+      sum(col("__x").cast(d18)).as("__dsx"),
+      sum(col("__y").cast(d18)).as("__dsy"),
+      sum((col("__x") * col("__y")).cast(d18)).as("__dsxy"),
+      sum((col("__x") * col("__x")).cast(d18)).as("__dsxx"))
+    val n = col("n_types").cast("double")
+    val sx = col("__dsx").cast("double")
+    val sy = col("__dsy").cast("double")
+    val sxy = col("__dsxy").cast("double")
+    val sxx = col("__dsxx").cast("double")
+    val den = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / den
+    s.select(col(groupCol), col("n_types"),
+      when(den > 0, round(slope, 6)).as("zipf_slope"),
+      when(den > 0, round((sy - slope * sx) / n, 6)).as("intercept"))
+  }
+
   /** Pairwise vocabulary overlap between corpus slices — the
     * cross-source contamination/redundancy audit ("how much of wiki's
     * vocabulary does web already cover?") that guides mixing weights

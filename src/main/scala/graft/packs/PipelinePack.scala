@@ -1296,6 +1296,15 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // Zipf slope per source: ln(freq)-on-ln(rank) OLS over each
+    // slice's frequency table — the one-number naturalness audit;
+    // everything past the map-side count is vocabulary-bounded
+    "q_text_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfFit(
+        Tables(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
     // per-source token-distribution Shannon entropy + ln(V)-normalized
     // variant: the internal-diversity twin of the KL drift audit —
     // vocab-bounded counts, groups-bounded broadcast, decimal term sum
@@ -1303,6 +1312,15 @@ object PipelinePack extends QueryPack {
       TextAnalysis.tokenEntropy(
         Tables(s, dir, "documents"), "source", "text")
         .orderBy("source")
+    }),
+
+    // k-anonymity audit: (source, lang, length) quasi-identifier
+    // combinations shared by < 5 docs — one combination-bounded groupBy
+    // + a 1-row rollup; the pre-release re-identification screen
+    "q_audit_kanon" -> ((s, dir) => {
+      graft.ops.Audit.kAnonymity(
+        Tables(s, dir, "documents"),
+        Seq("source", "lang", "n_chars"), k = 5)
     }),
 
     // Benford first-digit audit on order totals: observed digit shares
@@ -3981,6 +3999,37 @@ object PipelinePack extends QueryPack {
         |FROM tok WHERE term <> ''
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_text_zipf" ->
+      """WITH tok AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |gt AS (
+        |  SELECT g, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY g, t),
+        |rk AS (
+        |  SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY c DESC, t) AS rank
+        |  FROM gt),
+        |xy AS (
+        |  SELECT g, ln(CAST(rank AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y
+        |  FROM rk),
+        |s AS (
+        |  SELECT g, count(*) AS nt,
+        |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        |  FROM xy GROUP BY g)
+        |SELECT g AS source, CAST(nt AS BIGINT) AS n_types,
+        |  CASE WHEN CAST(nt AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    round((CAST(nt AS DOUBLE) * sxy - sx * sy) /
+        |      (CAST(nt AS DOUBLE) * sxx - sx * sx), 6) END AS zipf_slope,
+        |  CASE WHEN CAST(nt AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    round((sy - ((CAST(nt AS DOUBLE) * sxy - sx * sy) /
+        |      (CAST(nt AS DOUBLE) * sxx - sx * sx)) * sx) /
+        |      CAST(nt AS DOUBLE), 6) END AS intercept
+        |FROM s ORDER BY source""".stripMargin,
+
     "q_text_entropy" ->
       """WITH tok AS (
         |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
@@ -4001,6 +4050,23 @@ object PipelinePack extends QueryPack {
         |    round(CAST(sum(h) AS DOUBLE) / ln(CAST(max(v) AS DOUBLE)), 6)
         |  END AS norm_entropy
         |FROM terms GROUP BY g ORDER BY g""".stripMargin,
+
+    "q_audit_kanon" ->
+      """WITH g AS (
+        |  SELECT source, lang, n_chars, count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_rows_at_risk
+        |  FROM g)
+        |SELECT n_rows, n_groups, n_violating, n_rows_at_risk,
+        |  round(CAST(n_rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS risk_share
+        |FROM s""".stripMargin,
 
     "q_audit_benford" ->
       """WITH cents AS (

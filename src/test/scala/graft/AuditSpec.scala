@@ -134,6 +134,22 @@ class AuditSpec extends AnyFunSuite {
     assert(withNullTop.contains("<NULL>"))
   }
 
+  test("kAnonymity: violator counts, NULL tuples group as values") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("a", Some(1)),   // group of 3: safe
+      ("b", Some(2)), ("b", Some(2)),                   // group of 2: risky
+      ("c", None), ("c", None)                          // NULL tuple: 2, risky
+    ).toDF("q1", "q2")
+    val r = graft.ops.Audit.kAnonymity(df, Seq("q1", "q2"), k = 3).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 3L, 2L, 4L)))
+    assert(r.getDouble(4) == math.rint(4.0 / 7.0 * 1e6) / 1e6)
+    intercept[IllegalArgumentException] {
+      graft.ops.Audit.kAnonymity(df, Seq.empty, k = 3)
+    }
+  }
+
   test("benford: integer-cents leading digit, drops non-positive/NULL") {
     import spark.implicits._
     val df = Seq(Some(1.0), Some(2.0), Some(19.99), Some(0.0), Some(-5.0),

@@ -325,6 +325,31 @@ class Bm25Spec extends AnyFunSuite {
     assert(out == Seq("alpha", "beta"))
   }
 
+  test("zipfFit: hand OLS on a 3-type slice, single-type NULL fit") {
+    import spark.implicits._
+    // counts 4,2,1 → ranks 1,2,3; fit ln(c) on ln(rank) by hand
+    val docs = Seq(
+      (1L, "a a a a b b c", "s1"),
+      (2L, "solo", "s2")).toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.zipfFit(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val (n, sx, sy) = (3.0, xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val got = out("s1")
+    assert(got._1 == 3L)
+    assert(math.abs(got._2.get.asInstanceOf[Double] - slope) < 1e-5)
+    assert(math.abs(got._3.get.asInstanceOf[Double] - icept) < 1e-5)
+    assert(got._2.get.asInstanceOf[Double] < -1.0, "near-Zipfian decay")
+    // a single-type slice has zero rank variance: no fit
+    assert(out("s2") == ((1L, None, None)))
+  }
+
   test("tokenEntropy: uniform pair hits ln 2, single-type norm is NULL") {
     import spark.implicits._
     val docs = Seq(
