@@ -614,10 +614,23 @@ object TextAnalysis {
       .filter(col("__t") =!= "")
       .groupBy(col(groupCol), col("__t"))
       .agg(count(lit(1)).as("__c"))
+    entropyFromTokenCounts(gt, groupCol, "__t", "__c")
+  }
+
+  /** The entropy grid from a PRE-COUNTED (group, token, count) table —
+    * [[tokenEntropy]]'s math factored out (the klFromTokenCounts
+    * precedent) so count tables from other producers — e.g. a
+    * streaming window aggregation's sink — reuse the same
+    * decimal-summed entropy contract. Broadcast side stays the
+    * groups-bounded totals table. */
+  def entropyFromTokenCounts(counts: DataFrame, groupCol: String,
+      tokenCol: String, cntCol: String): DataFrame = {
+    val gt = counts.select(col(groupCol), col(tokenCol).as("__et"),
+      col(cntCol).cast("long").as("__ec"))
     val g = gt.groupBy(col(groupCol))
-      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_types"))
-    val term = (col("__c").cast("double") / col("__n").cast("double")) *
-      log(col("__n").cast("double") / col("__c").cast("double"))
+      .agg(sum(col("__ec")).as("__n"), count(lit(1)).as("n_types"))
+    val term = (col("__ec").cast("double") / col("__n").cast("double")) *
+      log(col("__n").cast("double") / col("__ec").cast("double"))
     gt.join(broadcast(g), Seq(groupCol))
       .withColumn("__h", term.cast("decimal(38,18)"))
       .groupBy(col(groupCol))

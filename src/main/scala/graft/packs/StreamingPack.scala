@@ -106,6 +106,13 @@ object StreamingPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // each closed day's event-type mix entropy — the mix-collapse
+    // monitor on the same watermarked window state, batch entropy math
+    "q_stream_entropy" -> ((s, dir) => {
+      StreamingOps.eventTypeEntropyDaily(s, dir)
+        .orderBy("day")
+    }),
+
     // incremental ordered funnel with bounded per-key state — same
     // two-day slice and depth distribution as the batch q_funnel, so it
     // shares that oracle verbatim (streaming == batch on bounded input)
@@ -245,6 +252,29 @@ object StreamingPack extends QueryPack {
         |  FROM grid)
         |SELECT day, CAST(max(ng) AS BIGINT) AS n_events,
         |  round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl
+        |FROM terms GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_stream_entropy" ->
+      """WITH wm AS (SELECT CAST(max(ts) - INTERVAL 2 DAY AS DATE) AS last_day
+        |            FROM events),
+        |gt AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS t, count(*) AS c
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) <= (SELECT last_day FROM wm)
+        |  GROUP BY 1, 2),
+        |gr AS (SELECT day, sum(c) AS n, count(*) AS v FROM gt GROUP BY 1),
+        |terms AS (
+        |  SELECT gt.day, gr.n, gr.v,
+        |    CAST((CAST(gt.c AS DOUBLE) / CAST(gr.n AS DOUBLE)) *
+        |      ln(CAST(gr.n AS DOUBLE) / CAST(gt.c AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS h
+        |  FROM gt JOIN gr ON gr.day = gt.day)
+        |SELECT day, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(max(v) AS BIGINT) AS n_types,
+        |  round(CAST(sum(h) AS DOUBLE), 6) AS entropy,
+        |  CASE WHEN max(v) > 1 THEN
+        |    round(CAST(sum(h) AS DOUBLE) / ln(CAST(max(v) AS DOUBLE)), 6)
+        |  END AS norm_entropy
         |FROM terms GROUP BY day ORDER BY day""".stripMargin,
 
     "q_stream_enrich" ->

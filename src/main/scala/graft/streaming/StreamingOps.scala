@@ -247,6 +247,38 @@ object StreamingOps {
       .withColumnRenamed("n_tokens", "n_events")
   }
 
+  /** Streaming mix-collapse monitor: each closed 1-day window's
+    * event-type ENTROPY (is today's traffic diverse or did one source
+    * swallow the mix?) — [[eventTypeDriftDaily]]'s sibling on the same
+    * built-in watermarked window aggregation, finished with the batch
+    * entropy contract (TextAnalysis.entropyFromTokenCounts), so
+    * streaming and batch share one verified decimal-summed math. */
+  def eventTypeEntropyDaily(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
+    val sink = Files.createTempDirectory("graft_stream_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
+    val tsT = eventsTsType(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", tsStamp(tsT))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("n"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    graft.ops.TextAnalysis.entropyFromTokenCounts(
+      spark.read.parquet(sink), "day", "event_type", "n")
+      .withColumnRenamed("n_tokens", "n_events")
+  }
+
   /** Streaming exact dedup by key with state: first occurrence wins, state
     * keyed per event_id — the KeyValueGroupedDataset.flatMapGroupsWithState
     * shape used for custom streaming state. Bounded input + AvailableNow ⇒
