@@ -499,6 +499,42 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Reciprocal-rank fusion of two ranked candidate lists (Cormack et
+    * al. 2009): rrf = Σ 1/(kc + rank) over the lists an item appears
+    * in — the standard way to merge heterogeneous candidate
+    * generators (lexical + vector, or two ANN indexes) without score
+    * calibration. Items missing from one list contribute 0 for it;
+    * the fused per-query top-`topK` re-ranks on the UNROUNDED fused
+    * score with an item-id tie-break. Each reciprocal is one
+    * exact-portable IEEE division, so fusion is engine-deterministic.
+    *
+    * Shape at 100 TB: one (query, item) full-outer join of two
+    * already-k-bounded lists + a per-query ranking window over ≤2k
+    * candidates — never corpus-sized. */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, kc: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(kc > 0, s"kc must be positive: $kc")
+    require(topK > 0, s"topK must be positive: $topK")
+    val aa = a.select(col(queryCol).as("query_id"),
+      col(itemCol).as("__i"), col(rankCol).cast("int").as("__ra"))
+    val bb = b.select(col(queryCol).as("query_id"),
+      col(itemCol).as("__i"), col(rankCol).cast("int").as("__rb"))
+    val fused = aa.join(bb, Seq("query_id", "__i"), "full_outer")
+      .withColumn("__rrf",
+        coalesce(lit(1.0) / (lit(kc.toDouble) + col("__ra").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kc.toDouble) + col("__rb").cast("double")),
+          lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__rrf").desc, col("__i"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("__i").as("neighbor_id"),
+        round(col("__rrf"), 6).as("rrf"), col("rank"))
+  }
+
   /** Nearest-class-centroid classifier evaluation — assign every vector
     * to its closest [[classCentroids]] prototype and emit the confusion
     * matrix (label, predicted, n): the quality probe behind

@@ -164,6 +164,23 @@ object PipelinePack extends QueryPack {
         .orderBy("predicted_lang")
     }),
 
+    // langid audited against the labeled lang column: the confusion
+    // matrix, then its chance-corrected kappa — the classifier-audit
+    // family composed onto a text op
+    "q_text_lang_confusion" -> ((s, dir) => {
+      Dedup.spread(Tables(s, dir, "documents"))
+        .withColumn("predicted", TextAnalysis.languageId("text"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "q_text_lang_kappa" -> ((s, dir) => {
+      val conf = Dedup.spread(Tables(s, dir, "documents"))
+        .withColumn("predicted", TextAnalysis.languageId("text"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      Classify.kappaFromConfusion(conf, "lang", "predicted", "n")
+    }),
+
     // quality features + composite score
     "q_text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(
@@ -1072,6 +1089,20 @@ object PipelinePack extends QueryPack {
         .orderBy("label")
     }),
 
+    // reciprocal-rank fusion of the IVF and LSH candidate lists — the
+    // calibration-free consensus re-rank over two k-bounded lists
+    "q_ann_rrf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, iters = 2)
+      val lsh = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        k = 5, bits = 6)
+      Similarity.rrfFuse(ivf, lsh, "query_id", "neighbor_id", "rank",
+        kc = 60, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // recall@5 of the IVF probe against the exact brute-force top-5 —
     // the standard ANN quality audit, per query
     "q_ann_recall" -> ((s, dir) => {
@@ -1662,6 +1693,64 @@ object PipelinePack extends QueryPack {
       |  FROM asg a JOIN lab l USING (cid)
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Language-ID prediction CTE chain (mirror of
+    * TextAnalysis.languageId's marker-hit argmax, zero hits → 'und'),
+    * ending in `pred(doc_id, lang, predicted)` — shared by the
+    * distribution, confusion, and kappa oracles. */
+  private def langPredCtes: String = {
+    val langs = TextAnalysis.markers.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($list))) AS h_$l"
+    }.mkString(",\n    ")
+    val maxExpr = langs.map { case (l, _) => s"h_$l" }
+      .mkString("greatest(", ", ", ")")
+    val argmax = langs.map { case (l, _) =>
+      s"WHEN h_$l = $maxExpr THEN '$l'"
+    }.mkString("\n      ")
+    s"""scored AS (
+       |  SELECT doc_id, lang,
+       |    $hitCols
+       |  FROM documents),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN $maxExpr = 0 THEN 'und'
+       |      $argmax
+       |      END AS predicted
+       |  FROM scored)""".stripMargin
+  }
+
+  /** Cohen's-kappa finisher over a `conf(label, predicted, n)` CTE —
+    * HUGEINT marginal products, kappa from UNROUNDED po/pe. Shared by
+    * the centroid-classifier and language-ID kappa oracles. */
+  private val kappaTailSql: String =
+    """tot AS (
+      |  SELECT sum(n) AS nn,
+      |    sum(CASE WHEN CAST(label AS VARCHAR) = CAST(predicted AS VARCHAR)
+      |        THEN n ELSE 0 END) AS diag
+      |  FROM conf),
+      |rn AS (SELECT CAST(label AS VARCHAR) AS l, sum(n) AS rr
+      |       FROM conf GROUP BY 1),
+      |cn AS (SELECT CAST(predicted AS VARCHAR) AS p, sum(n) AS cc
+      |       FROM conf GROUP BY 1),
+      |pen AS (
+      |  SELECT coalesce(sum(CAST(rn.rr AS HUGEINT) *
+      |    CAST(cn.cc AS HUGEINT)), 0) AS penum
+      |  FROM rn JOIN cn ON cn.p = rn.l)
+      |SELECT CAST(t.nn AS BIGINT) AS n,
+      |  round(CAST(t.diag AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS po,
+      |  round(CAST(p.penum AS DOUBLE) /
+      |    (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)), 6) AS pe,
+      |  CASE WHEN CAST(p.penum AS DOUBLE) /
+      |      (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)) <> 1.0
+      |    THEN round((CAST(t.diag AS DOUBLE) / CAST(t.nn AS DOUBLE) -
+      |      CAST(p.penum AS DOUBLE) /
+      |        (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))) /
+      |      (1.0 - CAST(p.penum AS DOUBLE) /
+      |        (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))), 6)
+      |  END AS kappa
+      |FROM tot t CROSS JOIN pen p""".stripMargin
+
   private def cosineSql(filterA: String, filterB: String, pred: String,
       select: String, order: String) =
     s"""WITH ex AS (
@@ -1882,6 +1971,49 @@ object PipelinePack extends QueryPack {
          |qd$s AS (
          |  SELECT vec_id AS query_id, cid, d2 FROM dist${s}_1
          |  WHERE vec_id % 100 = 0)""".stripMargin
+  }
+
+  /** The LSH top-k statement (bucketed candidates + exact rerank),
+    * shared by the q_ann_lsh oracle and the RRF fusion oracle. */
+  private def lshTopKSql: String = cosineSql(
+    "a.vec_id % 100 = 0", "TRUE", "a.vec_id <> b.vec_id",
+    s"""SELECT * FROM (
+       |  SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
+       |    round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY d.id_a
+       |      ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS INT) AS rank
+       |  FROM dots d JOIN norms na ON na.vec_id = d.id_a
+       |              JOIN norms nb ON nb.vec_id = d.id_b
+       |              JOIN ${sigSql(6)} sa ON sa.vec_id = d.id_a
+       |              JOIN ${sigSql(6)} sb ON sb.vec_id = d.id_b
+       |                AND sa.bucket = sb.bucket) t
+       |WHERE rank <= 5""".stripMargin,
+    "ORDER BY query_id, rank")
+
+  /** RRF fusion oracle: the IVF and LSH statements run as scoped
+    * subqueries, full-outer joined per (query, item), each reciprocal
+    * one exact-portable division, re-rank on the UNROUNDED fused
+    * score. */
+  private def annRrfSql(kc: Int, topK: Int): String = {
+    val ivf = ivfSql(nlist = 8, nprobe = 2, iters = 2, k = 5)
+    s"""WITH la AS (
+       |  SELECT query_id, neighbor_id, rank FROM ($ivf) s),
+       |lb AS (
+       |  SELECT query_id, neighbor_id, rank FROM ($lshTopKSql) s),
+       |f AS (
+       |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+       |    coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+       |    coalesce(1.0 / ($kc.0 + CAST(a.rank AS DOUBLE)), 0.0) +
+       |    coalesce(1.0 / ($kc.0 + CAST(b.rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM la a FULL OUTER JOIN lb b
+       |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, round(rrf, 6) AS rrf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, neighbor_id) AS INT) AS rank
+       |  FROM f) t
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Recall@k audit oracle: the exact brute-force chain and the IVF
@@ -2308,6 +2440,7 @@ object PipelinePack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_ann_ivf" -> ivfSql(nlist = 8, nprobe = 2, iters = 2, k = 5),
     "q_ann_recall" -> annRecallSql,
+    "q_ann_rrf" -> annRrfSql(kc = 60, topK = 5),
     "q_ann_pq" -> pqSql(m = 4, subDim = 16, codebookSize = 16, k = 5),
     "q_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 2, coarseIters = 1,
       m = 4, subDim = 16, codebookSize = 16, k = 5, trainMod = 4),
@@ -2557,42 +2690,27 @@ object PipelinePack extends QueryPack {
     // q_ann_lsh: approximate in recall yet fully deterministic — the
     // integer signature math (Similarity.hyperplaneSignature) is
     // reproduced here, so the bucketed result is oracle-checkable.
-    "q_ann_lsh" -> cosineSql(
-      "a.vec_id % 100 = 0", "TRUE", "a.vec_id <> b.vec_id",
-      s"""SELECT * FROM (
-         |  SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
-         |    round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY d.id_a
-         |      ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS INT) AS rank
-         |  FROM dots d JOIN norms na ON na.vec_id = d.id_a
-         |              JOIN norms nb ON nb.vec_id = d.id_b
-         |              JOIN ${sigSql(6)} sa ON sa.vec_id = d.id_a
-         |              JOIN ${sigSql(6)} sb ON sb.vec_id = d.id_b
-         |                AND sa.bucket = sb.bucket) t
-         |WHERE rank <= 5""".stripMargin,
-      "ORDER BY query_id, rank"),
+    "q_ann_lsh" -> lshTopKSql,
 
-    "q_text_langid" -> {
-      val langs = TextAnalysis.markers.toSeq.sortBy(_._1)
-      val hitCols = langs.map { case (l, ws) =>
-        val list = ws.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($list))) AS h_$l"
-      }.mkString(",\n    ")
-      val maxExpr = langs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
-      val argmax = langs.map { case (l, _) =>
-        s"WHEN h_$l = $maxExpr THEN '$l'"
-      }.mkString("\n      ")
-      s"""WITH scored AS (
-         |  SELECT doc_id,
-         |    $hitCols
-         |  FROM documents)
-         |SELECT predicted_lang, COUNT(*) AS n FROM (
-         |  SELECT CASE WHEN $maxExpr = 0 THEN 'und'
-         |      $argmax
-         |      END AS predicted_lang
-         |  FROM scored) t
-         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
-    },
+    "q_text_langid" ->
+      s"""WITH $langPredCtes
+         |SELECT predicted AS predicted_lang, COUNT(*) AS n FROM pred
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+
+    // langid vs the labeled lang column: the full confusion matrix —
+    // the per-cell view behind the kappa number
+    "q_text_lang_confusion" ->
+      s"""WITH $langPredCtes
+         |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same prediction CTE + the shared kappa finisher
+    "q_text_lang_kappa" ->
+      s"""WITH $langPredCtes,
+         |conf AS (
+         |  SELECT lang AS label, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |$kappaTailSql""".stripMargin,
 
     "q_text_quality" -> {
       val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
@@ -3884,32 +4002,7 @@ object PipelinePack extends QueryPack {
     // in HUGEINT (the DECIMAL(38,0) twin), kappa from UNROUNDED po/pe
     "q_classify_kappa" ->
       s"""WITH $confusionCtes,
-        |tot AS (
-        |  SELECT sum(n) AS nn,
-        |    sum(CASE WHEN CAST(label AS VARCHAR) = CAST(predicted AS VARCHAR)
-        |        THEN n ELSE 0 END) AS diag
-        |  FROM conf),
-        |rn AS (SELECT CAST(label AS VARCHAR) AS l, sum(n) AS rr
-        |       FROM conf GROUP BY 1),
-        |cn AS (SELECT CAST(predicted AS VARCHAR) AS p, sum(n) AS cc
-        |       FROM conf GROUP BY 1),
-        |pen AS (
-        |  SELECT coalesce(sum(CAST(rn.rr AS HUGEINT) *
-        |    CAST(cn.cc AS HUGEINT)), 0) AS penum
-        |  FROM rn JOIN cn ON cn.p = rn.l)
-        |SELECT CAST(t.nn AS BIGINT) AS n,
-        |  round(CAST(t.diag AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS po,
-        |  round(CAST(p.penum AS DOUBLE) /
-        |    (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)), 6) AS pe,
-        |  CASE WHEN CAST(p.penum AS DOUBLE) /
-        |      (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)) <> 1.0
-        |    THEN round((CAST(t.diag AS DOUBLE) / CAST(t.nn AS DOUBLE) -
-        |      CAST(p.penum AS DOUBLE) /
-        |        (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))) /
-        |      (1.0 - CAST(p.penum AS DOUBLE) /
-        |        (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))), 6)
-        |  END AS kappa
-        |FROM tot t CROSS JOIN pen p""".stripMargin,
+        |$kappaTailSql""".stripMargin,
 
     // the confusion chain + full-outer marginals; F1 in the
     // single-division integer-denominator form

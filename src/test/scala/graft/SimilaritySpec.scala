@@ -356,6 +356,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  test("rrfFuse: both-list items outrank single-list, id tie-break") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "i", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q", "i", "rank")
+    val out = graft.ops.Similarity.rrfFuse(a, b, "q", "i", "rank",
+      kc = 60, topK = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // 11 appears in both: 1/62 + 1/61; 10: 1/61; 12: 1/62
+    val r11 = math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6
+    val r10 = math.rint(1.0 / 61 * 1e6) / 1e6
+    val r12 = math.rint(1.0 / 62 * 1e6) / 1e6
+    assert(out.toSeq == Seq((11L, r11, 1), (10L, r10, 2), (12L, r12, 3)))
+  }
+
   test("recallAtK: overlap per query, missing approx query scores 0") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
