@@ -1,0 +1,53 @@
+package graft.funcs
+
+import graft.ops.TextAnalysis
+
+/** Engine-shipped macro assets — the reference ships its built-in macro
+  * library the same way (`crates/dbt-loader/src/dbt_macro_assets/`,
+  * loaded before any project macro): model SQL can call these without
+  * the project defining anything, and a Root/Imported macro of the same
+  * name overrides them (Core has lowest locality precedence).
+  *
+  * Each macro expands to pure Spark SQL TEXT over the argument
+  * expression — no UDFs, fully codegen'd — giving model authors the
+  * text-op surface (token counting, PII masking, language ID) inside
+  * plain `SELECT` statements, the SQL-first twin of the `pipeline`
+  * materialization's step configs. The SQL mirrors the semantics the
+  * operator oracles already pin (TextAnalysis.tokenCount / maskPii /
+  * languageId).
+  */
+object BuiltinMacros {
+
+  /** Escape a regex for embedding in a Spark SQL string literal (the
+    * default parser processes backslash escapes inside '…'). */
+  private def sqlQuote(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
+  /** The languageId argmax as one SQL expression: marker-hit counts per
+    * language, greatest() max, first language (code order) at the max;
+    * zero hits → 'und' — the exact q_text_langid oracle semantics. */
+  private val langCase: String = {
+    val langs = TextAnalysis.markers.toSeq.sortBy(_._1)
+    val hs = langs.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      l -> s"size(filter(split(lower({{ col }}), ' '), __t -> __t IN ($set)))"
+    }
+    val maxE = hs.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = hs.map { case (l, h) => s"WHEN $h = $maxE THEN '$l'" }
+      .mkString(" ")
+    s"(CASE WHEN $maxE = 0 THEN 'und' $whens END)"
+  }
+
+  /** Rendered FIRST in the macro prelude so any project/package macro of
+    * the same name wins (Root > Imported > Core). */
+  val prelude: String = Seq(
+    "{% macro graft_token_count(col) %}(CASE WHEN length(trim({{ col }}))" +
+      " = 0 THEN 0 ELSE size(split(trim({{ col }}), ' +')) END)" +
+      "{% endmacro %}",
+    s"{% macro graft_mask_pii(col) %}regexp_replace(regexp_replace(" +
+      s"{{ col }}, '${sqlQuote(TextAnalysis.EmailPattern)}', '<EMAIL>')," +
+      s" '${sqlQuote(TextAnalysis.PhonePattern)}', '<PHONE>')" +
+      "{% endmacro %}",
+    s"{% macro graft_lang_id(col) %}$langCase{% endmacro %}"
+  ).mkString("\n")
+}

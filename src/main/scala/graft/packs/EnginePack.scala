@@ -516,6 +516,59 @@ object EnginePack extends QueryPack {
            |FROM $schema.status_counts sc""".stripMargin)
     }),
 
+    // engine-shipped builtin macros (the reference's dbt_macro_assets
+    // pattern): model SQL calls graft_token_count / graft_mask_pii /
+    // graft_lang_id with ZERO project macro definitions — the SQL-first
+    // twin of the pipeline materialization's step configs
+    "q_engine_text_macros" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_textmacros")
+      write(proj, "dbt_project.yml",
+        """name: textmacros
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: corpus
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/text_profile.sql",
+        """{{ config(materialized='table') }}
+          |with injected as (
+          |  select doc_id, source, lang,
+          |    case when doc_id % 2 = 0
+          |      then text || ' contact u' || cast(doc_id as string)
+          |           || '@example.com'
+          |      else text end as text
+          |  from {{ source('corpus', 'documents') }}
+          |  where text is not null
+          |)
+          |select source,
+          |  count(*) as n_docs,
+          |  sum({{ graft_token_count('text') }}) as n_tokens,
+          |  sum(case when {{ graft_mask_pii('text') }} <> text
+          |      then 1 else 0 end) as n_masked,
+          |  sum(case when {{ graft_lang_id('text') }} = lang
+          |      then 1 else 0 end) as n_lang_match
+          |from injected
+          |group by source
+          |""".stripMargin)
+      val schema = "g_engine_textmacros"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_textmacros_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "text_profile"))
+        .orderBy("source")
+    }),
+
     // pre/post hooks around a materialization (MA/materializations/
     // hooks.sql): the pre-hook creates an audit table, the post-hook logs
     // the build — both rendered with the run context ({{ this }}).
@@ -1381,6 +1434,29 @@ object EnginePack extends QueryPack {
       """SELECT
         |  (SELECT count(*) FROM orders WHERE o_totalprice > 100000) AS n_latest_big,
         |  (SELECT count(*) FROM orders) AS n_v1""".stripMargin,
+
+    // the same injection + the shared language-prediction CTE chain;
+    // regexes carry DuckDB's 'g' flag (Spark replaces all by default)
+    "q_engine_text_macros" ->
+      s"""WITH injected AS (
+         |  SELECT doc_id, source, lang,
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com'
+         |      ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |${PipelinePack.langPredCtesFrom("injected", Seq("source", "text"))}
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), ' +')) END) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(sum(CASE WHEN regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\+\\d{1,3}-\\d{3}-\\d{4,10}', '<PHONE>', 'g') <> text
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lang_match
+         |FROM pred GROUP BY source ORDER BY source""".stripMargin,
 
     "q_engine_hooks" ->
       """SELECT 'built' AS event,

@@ -1697,8 +1697,15 @@ object PipelinePack extends QueryPack {
     * TextAnalysis.languageId's marker-hit argmax, zero hits → 'und'),
     * ending in `pred(doc_id, lang, predicted)` — shared by the
     * distribution, confusion, and kappa oracles. */
-  private def langPredCtes: String = {
+  private def langPredCtes: String = langPredCtesFrom("documents", Nil)
+
+  /** Same chain over any FROM source, optionally carrying extra columns
+    * through `scored`/`pred` (the engine-macro oracle needs source +
+    * text alongside the prediction). */
+  private[packs] def langPredCtesFrom(from: String,
+      extra: Seq[String]): String = {
     val langs = TextAnalysis.markers.toSeq.sortBy(_._1)
+    val ex = extra.map(c => s", $c").mkString
     val hitCols = langs.map { case (l, ws) =>
       val list = ws.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($list))) AS h_$l"
@@ -1709,11 +1716,11 @@ object PipelinePack extends QueryPack {
       s"WHEN h_$l = $maxExpr THEN '$l'"
     }.mkString("\n      ")
     s"""scored AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang$ex,
        |    $hitCols
-       |  FROM documents),
+       |  FROM $from),
        |pred AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang$ex,
        |    CASE WHEN $maxExpr = 0 THEN 'und'
        |      $argmax
        |      END AS predicted

@@ -91,7 +91,9 @@ object Resolver {
     // name collision (dbt MacroLocality Root > Imported, same order the
     // Runner uses for its prelude)
     val macroPrelude =
-      (project.packages ++ Seq(project)).flatMap(_.macroSources).mkString("\n")
+      (graft.funcs.BuiltinMacros.prelude +:
+        (project.packages ++ Seq(project)).flatMap(_.macroSources))
+        .mkString("\n")
     // --- versioned models (reference: dbt model versions; nodes.rs
     // version/latest_version, ref(..., v=N) resolution) ------------------
     // (pkg, logical name) → (latest version, [(v, backing file, v-config)])

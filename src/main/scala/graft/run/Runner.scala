@@ -66,11 +66,15 @@ final class Runner(
     samplePlan.map(p => graft.sample.Sampler.remapSources(
       resolved.sources, p, sampleSuffix)).getOrElse(resolved.sources)
   val graph: Dag.Graph = Dag.fromNodes(resolved.nodes)
-  /** Packages render first, root project last — so a root macro definition
-    * overwrites a package's on name collision, dbt's MacroLocality
-    * precedence (Root > Imported > Core, materialization_resolver.rs:27). */
+  /** Engine builtins render first, packages next, root project last — so
+    * a later definition overwrites an earlier one on name collision,
+    * dbt's MacroLocality precedence (Root > Imported > Core,
+    * materialization_resolver.rs:27; builtin assets =
+    * dbt_macro_assets). */
   private val macroPrelude =
-    (project.packages ++ Seq(project)).flatMap(_.macroSources).mkString("\n")
+    (graft.funcs.BuiltinMacros.prelude +:
+      (project.packages ++ Seq(project)).flatMap(_.macroSources))
+      .mkString("\n")
   private val customTests: Set[String] =
     project.allProjects.flatMap(_.customTests).toSet
   /** materialization name → adapters with a user {% materialization %}

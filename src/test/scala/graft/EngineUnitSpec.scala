@@ -26,6 +26,25 @@ class EngineUnitSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TestMat.evalThreshold(1, "bogus"))
   }
 
+  test("builtin macros render and a later (root) definition overrides") {
+    import graft.jinja.Jinja
+    val builtin = graft.funcs.BuiltinMacros.prelude
+    val sql = Jinja.render(builtin +
+      "\nSELECT {{ graft_token_count('text') }} AS n", Map.empty).trim
+    assert(sql.contains("size(split(trim(text), ' +'))"), sql)
+    assert(Jinja.render(builtin +
+      "\n{{ graft_lang_id('text') }}", Map.empty).contains("'und'"))
+    assert(Jinja.render(builtin +
+      "\n{{ graft_mask_pii('text') }}", Map.empty).contains("<EMAIL>"))
+    // Root > Core: a project macro of the same name, rendered AFTER the
+    // builtin prelude (the Runner/Resolver concatenation order), wins
+    val overridden = Jinja.render(builtin +
+      "\n{% macro graft_token_count(col) %}custom({{ col }})" +
+      "{% endmacro %}\nSELECT {{ graft_token_count('t') }}",
+      Map.empty).trim
+    assert(overridden == "SELECT custom(t)", overridden)
+  }
+
   test("csv fixture line splitting") {
     import graft.mat.UnitTestMat.splitCsvLine
     assert(splitCsvLine("a,b,c") == Seq("a", "b", "c"))
