@@ -549,6 +549,16 @@ object Similarity {
     * tie-break — so classification adds NO join or shuffle beyond the
     * confusion count's own groups×groups aggregate. */
   def centroidClassify(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    centroidPredictions(df, labelCol, vecCol)
+      .groupBy(col(labelCol), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-row nearest-centroid predictions — [[centroidClassify]] without
+    * the confusion rollup, for joins against other labelings (e.g.
+    * [[knnClassify]] in an inter-classifier agreement audit). Keeps the
+    * input columns plus `predicted`. */
+  def centroidPredictions(df: DataFrame, labelCol: String,
       vecCol: String): DataFrame = {
     import graft.expressions.PipelineExpressions
     val cent = classCentroids(df, labelCol, vecCol)
@@ -568,9 +578,7 @@ object Similarity {
       element_at(PipelineExpressions.nearest_centroids(
         col(vecCol), centroids, nprobe = 1), 1) + 1)
     df.filter(col(vecCol).isNotNull)
-      .select(col(labelCol), pred.as("predicted"))
-      .groupBy(col(labelCol), col("predicted"))
-      .agg(count(lit(1)).as("n"))
+      .withColumn("predicted", pred)
   }
 
   /** Per-group mean-pooled embedding (class centroids / prototype

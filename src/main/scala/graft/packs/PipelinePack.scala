@@ -1079,6 +1079,21 @@ object PipelinePack extends QueryPack {
       Classify.kappaFromConfusion(conf, "label", "predicted", "n")
     }),
 
+    // inter-classifier agreement: do the local (k-NN) and prototype
+    // (centroid) views of the embedding space label alike? kappa over
+    // their joined per-query predictions
+    "q_classify_agreement" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val knn = Similarity.knnClassify(
+        emb.filter(col("vec_id") % 100 === 0), emb,
+        "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("predicted").as("knn_pred"))
+      val cent = Similarity.centroidPredictions(emb, "label", "embedding")
+        .select(col("vec_id").as("query_id"),
+          col("predicted").as("cent_pred"))
+      Classify.agreement(knn, cent, "query_id", "knn_pred", "cent_pred")
+    }),
+
     // per-class precision/recall/F1 of the same classifier — which
     // classes it actually serves; F1 in its single-division
     // integer-denominator form so nothing compounds rounded factors
@@ -1980,6 +1995,32 @@ object PipelinePack extends QueryPack {
          |  WHERE vec_id % 100 = 0)""".stripMargin
   }
 
+  /** The k-NN vote statement (exact top-5 CTEs + (votes desc, label)
+    * argmax), shared by the q_embed_knn oracle and the
+    * inter-classifier agreement oracle. */
+  private def knnPredSql: String = cosineSql(
+    "a.vec_id % 100 = 0", "TRUE", "a.vec_id <> b.vec_id",
+    """SELECT p.query_id, q.label, p.predicted FROM (
+      |  SELECT v.query_id, v.n_label AS predicted,
+      |    ROW_NUMBER() OVER (PARTITION BY v.query_id
+      |      ORDER BY v.nv DESC, v.n_label) AS rn
+      |  FROM (
+      |    SELECT t.query_id, e.label AS n_label, count(*) AS nv
+      |    FROM (
+      |      SELECT * FROM (
+      |        SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY d.id_a
+      |            ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b)
+      |            AS INT) AS rank
+      |        FROM dots d JOIN norms na ON na.vec_id = d.id_a
+      |                    JOIN norms nb ON nb.vec_id = d.id_b) x
+      |      WHERE rank <= 5) t
+      |    JOIN embeddings e ON e.vec_id = t.neighbor_id
+      |    GROUP BY 1, 2) v) p
+      |JOIN embeddings q ON q.vec_id = p.query_id
+      |WHERE p.rn = 1""".stripMargin,
+    "ORDER BY query_id")
+
   /** The LSH top-k statement (bucketed candidates + exact rerank),
     * shared by the q_ann_lsh oracle and the RRF fusion oracle. */
   private def lshTopKSql: String = cosineSql(
@@ -2671,28 +2712,24 @@ object PipelinePack extends QueryPack {
 
     // k-NN vote over the same exact top-5 CTEs as q_ann_bruteforce,
     // then a (votes desc, label asc) argmax per query
-    "q_embed_knn" -> cosineSql(
-      "a.vec_id % 100 = 0", "TRUE", "a.vec_id <> b.vec_id",
-      """SELECT p.query_id, q.label, p.predicted FROM (
-        |  SELECT v.query_id, v.n_label AS predicted,
-        |    ROW_NUMBER() OVER (PARTITION BY v.query_id
-        |      ORDER BY v.nv DESC, v.n_label) AS rn
-        |  FROM (
-        |    SELECT t.query_id, e.label AS n_label, count(*) AS nv
-        |    FROM (
-        |      SELECT * FROM (
-        |        SELECT d.id_a AS query_id, d.id_b AS neighbor_id,
-        |          CAST(ROW_NUMBER() OVER (PARTITION BY d.id_a
-        |            ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b)
-        |            AS INT) AS rank
-        |        FROM dots d JOIN norms na ON na.vec_id = d.id_a
-        |                    JOIN norms nb ON nb.vec_id = d.id_b) x
-        |      WHERE rank <= 5) t
-        |    JOIN embeddings e ON e.vec_id = t.neighbor_id
-        |    GROUP BY 1, 2) v) p
-        |JOIN embeddings q ON q.vec_id = p.query_id
-        |WHERE p.rn = 1""".stripMargin,
-      "ORDER BY query_id"),
+    "q_embed_knn" -> knnPredSql,
+
+    // inter-classifier agreement: the k-NN chain and the centroid
+    // chain as scoped subqueries, joined per query, kappa finisher
+    "q_classify_agreement" ->
+      s"""WITH knn AS (
+         |  SELECT query_id, predicted FROM ($knnPredSql) s),
+         |cent AS (
+         |  SELECT vec_id, predicted FROM (
+         |    WITH $confusionCtes
+         |    SELECT a.vec_id, l.clab AS predicted
+         |    FROM asg a JOIN lab l USING (cid)) s),
+         |conf AS (
+         |  SELECT k.predicted AS label, c.predicted,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM knn k JOIN cent c ON c.vec_id = k.query_id
+         |  GROUP BY 1, 2),
+         |$kappaTailSql""".stripMargin,
 
     // q_ann_lsh: approximate in recall yet fully deterministic — the
     // integer signature math (Similarity.hyperplaneSignature) is
