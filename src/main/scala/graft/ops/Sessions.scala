@@ -61,7 +61,19 @@ object Sessions {
       .withColumn("__to", lead(col(stateCol), 1).over(byKey))
       .filter(col("__to").isNotNull)
       .select(col(stateCol).as("from_state"), col("__to").as("to_state"))
-    val counts = pairs.groupBy("from_state", "to_state")
+    transitionsFromPairs(pairs, "from_state", "to_state")
+  }
+
+  /** The transition-matrix finisher over a PRE-BUILT (from, to) pair
+    * table — [[transitions]]'s count + row-normalization factored out
+    * (the klFromTokenCounts precedent) so pair streams from other
+    * producers — e.g. the stateful streaming transition op — land on
+    * the same states²-bounded, engine-exact math. */
+  def transitionsFromPairs(pairs: DataFrame, fromCol: String,
+      toCol: String): DataFrame = {
+    val counts = pairs
+      .select(col(fromCol).as("from_state"), col(toCol).as("to_state"))
+      .groupBy("from_state", "to_state")
       .agg(count(lit(1)).as("n"))
     val byFrom = Window.partitionBy(col("from_state"))
     counts.withColumn("p",

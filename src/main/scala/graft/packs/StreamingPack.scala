@@ -113,6 +113,14 @@ object StreamingPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // streaming Markov transitions: one (ts, id, state) triple of state
+    // per key bridges batch boundaries, so the AvailableNow run
+    // reproduces the batch operator exactly — shared oracle
+    "q_stream_transitions" -> ((s, dir) => {
+      StreamingOps.transitions(s, dir)
+        .orderBy("from_state", "to_state")
+    }),
+
     // incremental ordered funnel with bounded per-key state — same
     // two-day slice and depth distribution as the batch q_funnel, so it
     // shares that oracle verbatim (streaming == batch on bounded input)
@@ -253,6 +261,22 @@ object StreamingPack extends QueryPack {
         |SELECT day, CAST(max(ng) AS BIGINT) AS n_events,
         |  round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl
         |FROM terms GROUP BY day ORDER BY day""".stripMargin,
+
+    // identical to the batch q_seq_transitions oracle: the streaming
+    // bridge state makes batch and stream emit the same pair multiset
+    "q_stream_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_state
+        |  FROM events WHERE event_type IS NOT NULL)
+        |SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY from_state) AS DOUBLE), 6)
+        |    AS p
+        |FROM seq WHERE to_state IS NOT NULL
+        |GROUP BY from_state, to_state
+        |ORDER BY from_state, to_state""".stripMargin,
 
     "q_stream_entropy" ->
       """WITH wm AS (SELECT CAST(max(ts) - INTERVAL 2 DAY AS DATE) AS last_day

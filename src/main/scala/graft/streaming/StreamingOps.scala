@@ -395,6 +395,77 @@ object StreamingOps {
       .toDF("user_id", "ts_us", "seq", "op", "value")
   }
 
+  /** Streaming first-order transition pairs: per-key state is ONE
+    * (ts_us, event_id, state) triple — the key's last seen event. Each
+    * micro-batch sorts its rows per key in (ts, id) order, emits a
+    * (from, to) pair for every adjacency INCLUDING the bridge from the
+    * stored last event to the batch's first, then stores the batch's
+    * last. A single AvailableNow batch therefore reproduces the batch
+    * operator's pair multiset exactly (same (ts, id) total order), and
+    * a continuous deployment accumulates identical pairs across batch
+    * boundaries — the bridge is what windowed re-derivation would
+    * lose. Optional processing-time TTL frees idle keys (a re-arriving
+    * key restarts with no bridge). Input tuples:
+    * (key, ts_us, event_id, state) with NULL states filtered by the
+    * caller. */
+  def transitionStream(stream: Dataset[(Long, Long, Long, String)],
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[(Long, Long, String)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.map(r => (r._2, r._3, r._4)).toSeq
+              .sortBy(r => (r._1, r._2))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+              val chain = state.getOption.toSeq ++ sorted
+              state.update(sorted.last)
+              chain.iterator.sliding(2).withPartial(false)
+                .map { case Seq(a, b) => (a._3, b._3) }
+            }
+          }
+      }
+      .toDF("from_state", "to_state")
+  }
+
+  /** Driver entry for [[transitionStream]]: per-user event-type
+    * transitions over the staged events, one AvailableNow batch, then
+    * the batch finisher (Sessions.transitionsFromPairs) — so the result
+    * hash-matches the batch q_seq_transitions oracle verbatim. */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame =
+      withNanosAsLong(spark) {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_trans_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_trans_cp").toString
+    val tsT = eventsTsType(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(stageDir(sfDir))
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), tsUs(tsT).as("ts_us"), col("event_id"),
+        col("event_type"))
+    val pairs = transitionStream(
+      stream.as[(Long, Long, Long, String)])
+    val q = pairs.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    graft.ops.Sessions.transitionsFromPairs(
+      spark.read.parquet(sink), "from_state", "to_state")
+  }
+
   /** Driver entry for [[cdcCompactStream]]: events as a per-user
     * changelog ('error' = delete), one AvailableNow batch → exactly one
     * emission per user (its latest change incl. tombstones). */

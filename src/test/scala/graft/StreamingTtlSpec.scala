@@ -234,4 +234,53 @@ class StreamingTtlSpec extends AnyFunSuite {
       assert(rows().contains((3L, 15L, 7L, "U", 5.0)))
     } finally q.stop()
   }
+
+  test("transition stream: state bridges batch boundaries, sorts in-batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val out = StreamingOps.transitionStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").trigger(trigger).start()
+    try {
+      def pairs() = spark.table("trans_stream")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+      // batch 1, deliberately out of order: u1 sees a(10) → b(20)
+      mem.addData((1L, 20L, 2L, "b"), (1L, 10L, 1L, "a"))
+      q.processAllAvailable()
+      assert(pairs() == Seq(("a", "b")))
+
+      // batch 2: the bridge b→c comes from STATE, then c→d in-batch;
+      // u2 contributes its own first pair, no cross-key leakage
+      mem.addData((1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"),
+        (2L, 5L, 5L, "x"), (2L, 6L, 6L, "y"))
+      q.processAllAvailable()
+      assert(pairs() == Seq(("a", "b"), ("b", "c"), ("c", "d"),
+        ("x", "y")))
+    } finally q.stop()
+  }
+
+  test("transition stream TTL: an expired key loses its bridge") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val out = StreamingOps.transitionStream(mem.toDS(),
+      ttl = Some(Duration.ofMillis(800)))
+    val q = out.writeStream.format("memory").queryName("trans_ttl")
+      .outputMode("append").trigger(trigger).start()
+    try {
+      def n() = spark.table("trans_ttl").count()
+      mem.addData((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"))
+      assert(awaitCond(n() == 1))
+      // wait well past the TTL so the key's last-event state expires
+      Thread.sleep(8000)
+      // a re-arriving pair starts fresh: c→d only, NO b→c bridge
+      mem.addData((1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"))
+      assert(awaitCond(n() == 2))
+      val got = spark.table("trans_ttl")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("a", "b"), ("c", "d")))
+    } finally q.stop()
+  }
 }
