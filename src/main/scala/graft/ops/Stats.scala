@@ -274,6 +274,41 @@ object Stats {
         round(cc.cast("double") / (bD * bD) - lit(3.0), 6)).as("kurtosis"))
   }
 
+  /** Per-group Gini coefficient — the concentration audit next to
+    * entropy ("is this slice's mass dominated by a few members?"):
+    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the ascending-sorted
+    * NON-NEGATIVE values (equal values make the rank weighting
+    * order-invariant, so ties need no tie-break). 0 = perfectly even,
+    * → 1 = one member holds everything. Zero-sum groups have no
+    * defined concentration (NULL); NULL values dropped.
+    *
+    * Exactness: values in integer units; ranks and values multiply in
+    * DECIMAL(38,0) (i·x overflows a long at ~10¹² rows × 10⁷ units);
+    * the G combination is ONE pinned double tree over two
+    * decimal→double conversions, round(6). Shape at 100 TB: one
+    * key-hash shuffle feeds the per-group ranking window (the
+    * winsorize/quantile window pattern), then a
+    * three-number-per-group aggregate. */
+  def giniByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val in = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x"))
+    val ranked = in.withColumn("__i", row_number().over(w))
+    val s = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(d38)).as("__s"),
+      sum(col("__i").cast(d38) * col("__x").cast(d38)).as("__w"))
+    s.select(col(groupCol), col("n"),
+      when(col("__s") > 0,
+        round(lit(2.0) * col("__w").cast("double") /
+          (col("n").cast("double") * col("__s").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6))
+        .as("gini"))
+  }
+
   /** Exact per-group mode (most frequent value, the categorical
     * location estimate profiling reports alongside quantiles): two
     * partial-agg'd shuffles — (group, value) counts, then an argmax

@@ -813,6 +813,18 @@ object PipelinePack extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // revenue-concentration audit: Gini of order totals (cents) per
+    // priority class — the "few members hold the mass?" signal next to
+    // entropy; one rank window + a 3-number-per-group aggregate
+    "q_stats_gini" -> ((s, dir) => {
+      graft.ops.Stats.giniByGroup(
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderpriority", "cents")
+        .orderBy("o_orderpriority")
+    }),
+
     "q_stats_winsorize" -> ((s, dir) => {
       graft.ops.Stats.winsorize(
         Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
@@ -3620,6 +3632,31 @@ object PipelinePack extends QueryPack {
         |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
         |      / CAST(n AS DOUBLE), 6) END AS intercept
         |FROM f ORDER BY source""".stripMargin,
+
+    // ascending ranks (ties rank-weight-invariant), HUGEINT i·x sums,
+    // one pinned double tree
+    "q_stats_gini" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+        |      AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |rk AS (
+        |  SELECT g, x,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS i
+        |  FROM v),
+        |s AS (
+        |  SELECT g, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS w
+        |  FROM rk GROUP BY g)
+        |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sx > 0 THEN
+        |    round(2.0 * CAST(w AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+        |      CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |  END AS gini
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
 
     // the same bounded-histogram band assignment: cumulative counts
     // over rounded-score keys, floor of an exact double product, then

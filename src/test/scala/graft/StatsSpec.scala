@@ -228,6 +228,30 @@ class StatsSpec extends AnyFunSuite {
       "d" -> (("q", 1L))))
   }
 
+  test("giniByGroup: hand values, extremes, zero-sum NULL, NULL drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)), ("g", Some(4L)),
+      ("top", Some(0L)), ("top", Some(0L)), ("top", Some(0L)),
+      ("top", Some(10L)),
+      ("even", Some(5L)), ("even", Some(5L)),
+      ("zero", Some(0L)), ("zero", Some(0L)),
+      ("nul", Some(7L)), ("nul", None)).toDF("k", "x")
+    val out = graft.ops.Stats.giniByGroup(df, "k", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    // [1,2,3,4]: W=30, S=10 → 2·30/(4·10) − 5/4 = 0.25
+    assert(out("g") == ((4L, Some(0.25))))
+    // one member holds everything → (n−1)/n = 0.75
+    assert(out("top") == ((4L, Some(0.75))))
+    // perfectly even → 0
+    assert(out("even") == ((2L, Some(0.0))))
+    // zero total mass: concentration undefined
+    assert(out("zero") == ((2L, None)))
+    // NULL dropped → singleton, G = 2·7/(1·7) − 2 = 0
+    assert(out("nul") == ((1L, Some(0.0))))
+  }
+
   test("momentsByGroup: hand moments, zero-variance NULLs, NULL drop") {
     import spark.implicits._
     val df = Seq(
