@@ -274,6 +274,55 @@ object Stats {
         round(cc.cast("double") / (bD * bD) - lit(3.0), 6)).as("kurtosis"))
   }
 
+  /** Pairwise Pearson correlation matrix over k integer-valued columns
+    * from ONE scan — the feature-redundancy screen a pipeline runs
+    * before training a scorer (a single aggregate computes every Σxᵢ,
+    * Σxᵢ², and Σxᵢxⱼ; corrByGroup would need a pass per pair). Rows
+    * with a NULL in ANY column are dropped (listwise deletion — every
+    * pair shares one n). Output: (col_a, col_b, n, r) for each
+    * unordered pair in input-column order; zero-variance pairs NULL.
+    *
+    * Exactness: the corrByGroup contract — DECIMAL(38,0) sufficient
+    * sums, exact decimal cov/variance combinations, ONE double
+    * division over a sqrt of exact-integer-derived doubles, round(6).
+    * Shape at 100 TB: one partial-agg'd scan to a SINGLE row of
+    * 1 + k + k(k+1)/2 numbers, then a map-side explode of the
+    * pairs-bounded struct array — the input is never rescanned per
+    * pair. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns: $cols")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val in = df
+      .filter(cols.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(s"`$c`").cast("long").as(c)): _*)
+    val pairIdx = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val sumAggs = cols.map(c => sum(col(c).cast(d38)).as(s"__s_$c")) ++
+      cols.map(c =>
+        sum(col(c).cast(d38) * col(c).cast(d38)).as(s"__q_$c")) ++
+      pairIdx.map { case (a, b) =>
+        sum(col(a).cast(d38) * col(b).cast(d38)).as(s"__p_${a}__$b") }
+    val aggs = count(lit(1)).cast(d38).as("__n") +: sumAggs
+    val s = in.agg(aggs.head, aggs.tail: _*)
+    def rExpr(a: String, b: String) = {
+      val n = col("__n")
+      val cov = n * col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+      val va = n * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b")
+      when(va > 0 && vb > 0,
+        round(cov.cast("double") /
+          sqrt(va.cast("double") * vb.cast("double")), 6))
+    }
+    val pairStructs = array(pairIdx.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), rExpr(a, b).as("r"))
+    }: _*)
+    s.select(col("__n").cast("bigint").as("n"),
+        explode(pairStructs).as("__pr"))
+      .select(col("__pr.col_a").as("col_a"), col("__pr.col_b").as("col_b"),
+        col("n"), col("__pr.r").as("r"))
+  }
+
   /** Per-group Gini coefficient — the concentration audit next to
     * entropy ("is this slice's mass dominated by a few members?"):
     * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the ascending-sorted

@@ -813,6 +813,19 @@ object PipelinePack extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // single-scan correlation matrix of quantity / price-cents /
+    // discount-permil — the feature-redundancy screen; one aggregate
+    // row, pairs exploded map-side, the input never rescanned per pair
+    "q_stats_corrmatrix" -> ((s, dir) => {
+      graft.ops.Stats.corrMatrix(
+        Tables(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("quantity"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            round(col("l_discount") * 100).cast("long").as("permil")),
+        Seq("quantity", "cents", "permil"))
+        .orderBy("col_a", "col_b")
+    }),
+
     // revenue-concentration audit: Gini of order totals (cents) per
     // priority class — the "few members hold the mass?" signal next to
     // entropy; one rank window + a 3-number-per-group aggregate
@@ -3632,6 +3645,47 @@ object PipelinePack extends QueryPack {
         |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
         |      / CAST(n AS DOUBLE), 6) END AS intercept
         |FROM f ORDER BY source""".stripMargin,
+
+    // one HUGEINT sufficient-statistics row, three UNION ALL pair
+    // projections over it — the input scanned once
+    "q_stats_corrmatrix" ->
+      """WITH t AS (
+        |  SELECT CAST(floor(l_quantity) AS HUGEINT) AS q,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS HUGEINT)
+        |      AS c,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 100) AS HUGEINT) AS p
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(q) AS sq, sum(c) AS sc, sum(p) AS sp,
+        |    sum(q*q) AS qq, sum(c*c) AS cc, sum(p*p) AS pp,
+        |    sum(q*c) AS qc, sum(q*p) AS qp, sum(c*p) AS cp
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT 'quantity' AS col_a, 'cents' AS col_b,
+        |    CAST(n AS BIGINT) AS n,
+        |    CASE WHEN n*qq - sq*sq > 0 AND n*cc - sc*sc > 0 THEN
+        |      round(CAST(n*qc - sq*sc AS DOUBLE) /
+        |        sqrt(CAST(n*qq - sq*sq AS DOUBLE) *
+        |             CAST(n*cc - sc*sc AS DOUBLE)), 6)
+        |    END AS r FROM s
+        |  UNION ALL
+        |  SELECT 'quantity', 'permil', CAST(n AS BIGINT),
+        |    CASE WHEN n*qq - sq*sq > 0 AND n*pp - sp*sp > 0 THEN
+        |      round(CAST(n*qp - sq*sp AS DOUBLE) /
+        |        sqrt(CAST(n*qq - sq*sq AS DOUBLE) *
+        |             CAST(n*pp - sp*sp AS DOUBLE)), 6)
+        |    END FROM s
+        |  UNION ALL
+        |  SELECT 'cents', 'permil', CAST(n AS BIGINT),
+        |    CASE WHEN n*cc - sc*sc > 0 AND n*pp - sp*sp > 0 THEN
+        |      round(CAST(n*cp - sc*sp AS DOUBLE) /
+        |        sqrt(CAST(n*cc - sc*sc AS DOUBLE) *
+        |             CAST(n*pp - sp*sp AS DOUBLE)), 6)
+        |    END FROM s) u
+        |ORDER BY col_a, col_b""".stripMargin,
 
     // ascending ranks (ties rank-weight-invariant), HUGEINT i·x sums,
     // one pinned double tree

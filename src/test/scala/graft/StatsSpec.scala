@@ -228,6 +228,29 @@ class StatsSpec extends AnyFunSuite {
       "d" -> (("q", 1L))))
   }
 
+  test("corrMatrix: single scan, pairwise r, listwise NULL deletion") {
+    import spark.implicits._
+    // y = 2x (r = 1), z anti-correlated with x (r = −1 on these points);
+    // one row with a NULL z must drop from EVERY pair (listwise)
+    val df = Seq(
+      (1L, 2L, Some(3L)), (2L, 4L, Some(2L)), (3L, 6L, Some(1L)),
+      (9L, 99L, Option.empty[Long])).toDF("x", "y", "z")
+    val out = graft.ops.Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3))))).toMap
+    assert(out(("x", "y")) == ((3L, Some(1.0))))
+    assert(out(("x", "z")) == ((3L, Some(-1.0))))
+    assert(out(("y", "z")) == ((3L, Some(-1.0))))
+    assert(out.size == 3)
+    // a constant column has zero variance: NULL r against anything
+    val cst = Seq((1L, 5L), (2L, 5L)).toDF("a", "b")
+    val r2 = graft.ops.Stats.corrMatrix(cst, Seq("a", "b")).head()
+    assert(r2.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.corrMatrix(df, Seq("x"))
+    }
+  }
+
   test("giniByGroup: hand values, extremes, zero-sum NULL, NULL drop") {
     import spark.implicits._
     val df = Seq(
