@@ -644,6 +644,49 @@ object TextAnalysis {
             log(col("n_types").cast("double")), 6)).as("norm_entropy"))
   }
 
+  /** Bursty-term mining (Church & Gale 1995): per-term
+    * variance-to-mean ratio of per-document occurrence counts, zero
+    * docs included through N — content/topical words are bursty
+    * (VMR ≫ 1: absent from most docs, repeated where present), function
+    * words sit near the Poisson VMR ≈ 1. The topical-vocabulary miner
+    * next to TF-IDF/PMI, and a template detector (boilerplate phrases
+    * are EXTREME bursts). With mean = tf/N and
+    * var = Σc²/N − mean², VMR = var/mean = (N·Σc² − tf²)/(N·tf) —
+    * exact integer numerator and denominator, ONE double division +
+    * round(6). Rank on the ROUNDED value (ulp-safe cut, the TF-IDF
+    * precedent), term asc ties; `minDf` prunes hapax noise.
+    *
+    * Shape at 100 TB: (term, doc) counts collapse map-side (any tf
+    * computation's shape), per-term stats are vocabulary-bounded, N
+    * rides a 1-row broadcast, the cut is a distributed TakeOrdered. */
+  def burstyTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Long): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+    val n = base.agg(count(lit(1)).cast(d38).as("__N"))
+    val tc = base
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t"), col(idCol)).agg(count(lit(1)).as("__c"))
+    val st = tc.groupBy(col("__t")).agg(
+        count(lit(1)).as("df"),
+        sum(col("__c").cast(d38)).as("__tf"),
+        sum(col("__c").cast(d38) * col("__c").cast(d38)).as("__cc"))
+      .filter(col("df") >= minDf)
+    val vmr = round(
+      (col("__N") * col("__cc") - col("__tf") * col("__tf")).cast("double") /
+        (col("__N") * col("__tf")).cast("double"), 6)
+    val scored = st.crossJoin(broadcast(n)).withColumn("vmr", vmr)
+    val top = scored.orderBy(col("vmr").desc, col("__t")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("vmr").desc, col("__t"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("__t").as("term"), col("df"),
+        col("__tf").cast("bigint").as("tf"), col("vmr"), col("rank"))
+  }
+
   /** Zipf law fit per corpus slice: OLS slope of ln(frequency) on
     * ln(rank) over the slice's token frequency table — organic text
     * sits near the Zipfian −1; templated/generated slices flatten

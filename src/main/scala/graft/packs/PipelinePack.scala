@@ -1367,6 +1367,15 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // bursty-term mining: top-20 VMR terms at df ≥ 5 — topical
+    // vocabulary + template phrases; exact-integer num/den, rounded
+    // ulp-safe rank cut, 1-row N broadcast, TakeOrdered
+    "q_text_bursty" -> ((s, dir) => {
+      TextAnalysis.burstyTerms(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        k = 20, minDf = 5L)
+    }),
+
     // Zipf slope per source: ln(freq)-on-ln(rank) OLS over each
     // slice's frequency table — the one-number naturalness audit;
     // everything past the map-side count is vocabulary-bounded
@@ -4226,6 +4235,30 @@ object PipelinePack extends QueryPack {
         |    CAST(count(*) AS DOUBLE), 6) AS ttr
         |FROM tok WHERE term <> ''
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_bursty" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM d),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d),
+        |tc AS (
+        |  SELECT t, doc_id, count(*) AS c FROM tok WHERE t <> ''
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT t, count(*) AS df, sum(CAST(c AS HUGEINT)) AS tf,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS cc
+        |  FROM tc GROUP BY t HAVING count(*) >= 5)
+        |SELECT * FROM (
+        |  SELECT t AS term, CAST(df AS BIGINT) AS df,
+        |    CAST(tf AS BIGINT) AS tf,
+        |    round(CAST(n.nn * cc - tf * tf AS DOUBLE) /
+        |      CAST(n.nn * tf AS DOUBLE), 6) AS vmr,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      round(CAST(n.nn * cc - tf * tf AS DOUBLE) /
+        |        CAST(n.nn * tf AS DOUBLE), 6) DESC, t) AS INT) AS rank
+        |  FROM st CROSS JOIN n) x
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q_text_zipf" ->
       """WITH tok AS (

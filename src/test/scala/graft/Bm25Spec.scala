@@ -325,6 +325,27 @@ class Bm25Spec extends AnyFunSuite {
     assert(out == Seq("alpha", "beta"))
   }
 
+  test("burstyTerms: hand VMR, deterministic term scores 0, minDf cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x z"), (2L, "y z"), (3L, "y z"), (4L, "y z")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.burstyTerms(docs, "doc_id", "text",
+      k = 5, minDf = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    // x: one doc, 4 hits → (4·16 − 16)/(4·4) = 3.0 — maximally bursty
+    assert(out("x") == ((1L, 4L, 3.0, 1)))
+    // y: 3 docs, 1 each → (12 − 9)/12 = 0.25 — near-uniform
+    assert(out("y") == ((3L, 3L, 0.25, 2)))
+    // z: exactly once everywhere → 0 — sub-Poisson determinism
+    assert(out("z") == ((4L, 4L, 0.0, 3)))
+    // minDf prunes x (df 1 < 2)
+    val pruned = graft.ops.TextAnalysis.burstyTerms(docs, "doc_id",
+      "text", k = 5, minDf = 2L).collect().map(_.getString(0)).toSet
+    assert(pruned == Set("y", "z"))
+  }
+
   test("zipfFit: hand OLS on a 3-type slice, single-type NULL fit") {
     import spark.implicits._
     // counts 4,2,1 → ranks 1,2,3; fit ln(c) on ln(rank) by hand
