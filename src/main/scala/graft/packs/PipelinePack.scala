@@ -1302,6 +1302,24 @@ object PipelinePack extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // degenerate-embedding detector: per-label MAD outlier summary over
+    // exact micro-unit vector norms — collapsed/exploded vectors are
+    // norm outliers; the robust-stats family composed onto embeddings
+    "q_embed_norm_outliers" -> ((s, dir) => {
+      val norms = Tables(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"),
+          round(Similarity.normExact("embedding") * 1000000)
+            .cast("long").as("norm_u"))
+      graft.ops.Stats.madOutliers(norms, "label", "norm_u", k = 3)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_outlier").cast("long")).as("n_outliers"),
+          max(col("group_median")).as("median_u"),
+          max(col("group_mad")).as("mad_u"))
+        .orderBy("label")
+    }),
+
     // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
     // per anchor — the contrastive-training near-miss set; broadcast
     // anchors + map-side label filter, same rerank as brute-force k-NN
@@ -4119,6 +4137,47 @@ object PipelinePack extends QueryPack {
         |  round(CAST(sum(mx) AS DOUBLE) /
         |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // micro-unit norms (the cosineSql norm contract) through the exact
+    // type-1 MAD chain, summarized per label
+    "q_embed_norm_outliers" ->
+      """WITH exd AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS xd
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |nu AS (
+        |  SELECT vec_id, label,
+        |    CAST(round(sqrt(CAST(SUM(CAST(xd * xd AS DECIMAL(38,18)))
+        |      AS DOUBLE)) * 1000000) AS BIGINT) AS norm_u
+        |  FROM exd GROUP BY 1, 2),
+        |med AS (
+        |  SELECT label, norm_u AS group_median FROM (
+        |    SELECT label, norm_u,
+        |      ROW_NUMBER() OVER (PARTITION BY label ORDER BY norm_u) AS rn,
+        |      COUNT(*) OVER (PARTITION BY label) AS cnt
+        |    FROM nu) t
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (
+        |  SELECT n.label, n.vec_id, n.norm_u, m.group_median,
+        |    abs(n.norm_u - m.group_median) AS dv
+        |  FROM nu n JOIN med m USING (label)),
+        |mad AS (
+        |  SELECT label, dv AS group_mad FROM (
+        |    SELECT label, dv,
+        |      ROW_NUMBER() OVER (PARTITION BY label ORDER BY dv) AS rn,
+        |      COUNT(*) OVER (PARTITION BY label) AS cnt
+        |    FROM dev) t
+        |  WHERE rn = (cnt + 1) // 2),
+        |fl AS (
+        |  SELECT d.label, d.group_median, m.group_mad,
+        |    d.dv > 3 * m.group_mad AS is_outlier
+        |  FROM dev d JOIN mad m USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(max(group_median) AS BIGINT) AS median_u,
+        |  CAST(max(group_mad) AS BIGINT) AS mad_u
+        |FROM fl GROUP BY label ORDER BY label""".stripMargin,
 
     // same exact dot/norm CTEs as q_ann_bruteforce; the label-mismatch
     // predicate filters BEFORE the per-anchor rank so the top-5 cut is
