@@ -69,13 +69,91 @@ object PipelineMat extends Materialization {
         "pipeline materialization needs a non-empty `steps:` config " +
           "(a YAML list of {op: <name>, ...} maps); known ops: " +
           PipelineSteps.knownOps.mkString(", "))
+    val audits = PipelineAudits.parse(ctx.config.extra.get("audits"))
     val out = steps.foldLeft(ctx.compiled()) { (df, s) => s.apply(df) }
     ctx.adapter.writeTableAtomic(out, ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
       ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
       ctx.config.layoutCurve)
+    // audits run AFTER the swap over the WRITTEN table (what downstream
+    // consumers will actually read), each landing in its own
+    // `<model>__audit_<op>` side relation — the store_failures shape
+    // applied to data-quality summaries
+    if (audits.nonEmpty) {
+      val written = ctx.adapter.read(ctx.target)
+      audits.foreach { a =>
+        val rel = ctx.target.copy(
+          identifier = s"${ctx.target.identifier}__audit_${a.op}")
+        ctx.adapter.writeTableAtomic(a.apply(written), rel)
+      }
+    }
     MatResult(ctx.target, "success",
-      s"pipeline: ${steps.map(_.op).mkString(" -> ")}")
+      s"pipeline: ${steps.map(_.op).mkString(" -> ")}" +
+        (if (audits.isEmpty) ""
+         else s" | audits: ${audits.map(_.op).mkString(", ")}"))
+  }
+}
+
+/** The audit registry for `audits:` on a pipeline model — each entry
+  * summarizes the WRITTEN table into a `<model>__audit_<op>` side
+  * relation (profile, k-anonymity, Benford, key skew), so the curation
+  * output ships with its own data-quality report, no extra model
+  * needed. */
+object PipelineAudits {
+
+  final case class Audit(op: String, apply: DataFrame => DataFrame)
+
+  val knownOps: Seq[String] =
+    Seq("profile", "k_anonymity", "benford", "key_skew")
+
+  def parse(raw: Option[Any]): Seq[Audit] = raw match {
+    case None => Nil
+    case Some(v: Seq[_]) => v.map {
+      case m: Map[_, _] => build(m.asInstanceOf[Map[String, Any]])
+      case other => throw new IllegalArgumentException(
+        s"each pipeline audit must be a mapping with an `op:` key, got: $other")
+    }
+    case Some(other) => throw new IllegalArgumentException(
+      s"`audits:` must be a YAML list of audit mappings, got: $other")
+  }
+
+  private def strList(m: Map[String, Any], k: String,
+      op: String): Seq[String] = m.get(k) match {
+    case Some(v: Seq[_]) if v.nonEmpty => v.map(String.valueOf)
+    case _ => throw new IllegalArgumentException(
+      s"pipeline audit `$op` requires a non-empty `$k:` list")
+  }
+  private def reqStr(m: Map[String, Any], k: String, op: String): String =
+    m.get(k).map(String.valueOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"pipeline audit `$op` requires `$k:`"))
+  private def int(m: Map[String, Any], k: String, dflt: Int): Int =
+    m.get(k).map(String.valueOf(_).toInt).getOrElse(dflt)
+
+  private def build(m: Map[String, Any]): Audit = {
+    val op = m.get("op").map(String.valueOf).getOrElse(
+      throw new IllegalArgumentException(
+        "pipeline audit needs an `op:` key"))
+    import graft.ops.{Audit => A}
+    val fn: DataFrame => DataFrame = op match {
+      case "profile" =>
+        val cols = strList(m, "columns", op)
+        df => A.profile(df, cols)
+      case "k_anonymity" =>
+        val cols = strList(m, "columns", op)
+        val k = int(m, "k", 5)
+        df => A.kAnonymity(df, cols, k)
+      case "benford" =>
+        val vc = reqStr(m, "value_col", op)
+        df => A.benford(df, vc)
+      case "key_skew" =>
+        val kc = reqStr(m, "key_col", op)
+        val k = int(m, "k", 20)
+        df => A.keySkew(df, kc, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown pipeline audit op `$other` (known: ${knownOps.mkString(", ")})")
+    }
+    Audit(op, fn)
   }
 }
 

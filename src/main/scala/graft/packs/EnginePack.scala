@@ -980,6 +980,56 @@ object EnginePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // `audits:` on a pipeline model: the curation output ships with its
+    // own data-quality report — gopher_gate filters, then the profile
+    // audit lands in the <model>__audit_profile side relation; the
+    // query reads the AUDIT table, so the whole steps→write→audit chain
+    // is oracle-checked
+    "q_engine_pipeline_audit" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_pipeaudit")
+      write(proj, "dbt_project.yml",
+        """name: pipeaudit
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/gated.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: gated
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: gopher_gate
+          |          text_col: text
+          |      audits:
+          |        - op: profile
+          |          columns: [doc_id, source]
+          |""".stripMargin)
+      val schema = "g_engine_pipeaudit"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_pipeaudit_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(
+          graft.core.Relation(schema, "gated__audit_profile"))
+        .orderBy("column")
+    }),
+
     // DSIR domain selection from the project surface: a pipeline model
     // keeps the 50 most zh-like documents — model SQL + YAML only; the
     // oracle re-derives the full hashed-feature/ratio chain
@@ -1255,6 +1305,31 @@ object EnginePack extends QueryPack {
     // SAME parameters as the Scala-composed q_pipeline_curation — one
     // oracle, two drivers (library composition vs model SQL + YAML)
     "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    // gopher survivors (shared CTEs) profiled column-by-column — the
+    // audit side relation's content re-derived
+    "q_engine_pipeline_audit" ->
+      s"""WITH ${PipelinePack.gopherCtes("TRUE")},
+        |surv AS (
+        |  SELECT b.doc_id, b.source
+        |  FROM rules r JOIN base b USING (doc_id)
+        |  WHERE r.r_min_tokens AND r.r_max_tokens AND r.r_word_len
+        |    AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram)
+        |SELECT col AS "column", n_rows, n_nulls, n_distinct,
+        |  min_value, max_value
+        |FROM (
+        |  SELECT 'doc_id' AS col, COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS n_nulls,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value
+        |  FROM surv
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*),
+        |    COUNT(CASE WHEN source IS NULL THEN 1 END),
+        |    COUNT(DISTINCT source), min(source), max(source)
+        |  FROM surv) t
+        |ORDER BY "column"""".stripMargin,
 
     // the dsirCtes scored table's top-50 (logw desc, id asc), re-keyed
     // to the project model's output order

@@ -324,6 +324,31 @@ class PipelineMatSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline audits parse, apply the op, and reject bad configs") {
+    import spark.implicits._
+    import graft.mat.PipelineAudits
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("doc_id", "source")
+    val audits = PipelineAudits.parse(Some(Seq(
+      Map("op" -> "profile", "columns" -> Seq("doc_id", "source")),
+      Map("op" -> "k_anonymity", "columns" -> Seq("source"), "k" -> 3))))
+    assert(audits.map(_.op) == Seq("profile", "k_anonymity"))
+    val prof = audits.head.apply(docs)
+    assert(prof.columns.toSeq == Seq("column", "n_rows", "n_nulls",
+      "n_distinct", "min_value", "max_value"))
+    assert(prof.count() == 2)
+    val kan = audits(1).apply(docs).head()
+    // groups a(2), b(1) vs k=3: both violate, all 3 rows at risk
+    assert((kan.getLong(0), kan.getLong(2), kan.getLong(3)) ==
+      ((3L, 2L, 3L)))
+    val e = intercept[IllegalArgumentException](
+      PipelineAudits.parse(Some(Seq(Map("op" -> "bogus")))))
+    assert(e.getMessage.contains("bogus"))
+    val e2 = intercept[IllegalArgumentException](
+      PipelineAudits.parse(Some(Seq(Map("op" -> "profile")))))
+    assert(e2.getMessage.contains("columns"))
+  }
+
   test("unknown op and missing required params raise named errors") {
     val e1 = intercept[IllegalArgumentException](
       steps(Seq(Map("op" -> "nope"))).head)
