@@ -255,6 +255,84 @@ object Sampling {
       .withColumn(shardCol, expr(s"$shardCol div ${budget}L"))
   }
 
+  /** Poisson-bootstrap standard error of a mean (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams" — THE
+    * distributed bootstrap): instead of resampling n rows with
+    * replacement (impossible to coordinate across executors), every
+    * row draws an independent Poisson(1) replication count per
+    * replica, which converges to the multinomial bootstrap at scale
+    * and needs NO shuffle beyond two partial-agg'd aggregates. Returns
+    * one row: n, mean (exact point estimate), n_replicas, boot_se (sd
+    * of the replica means), and the ±1.96·se normal CI — the
+    * error-bar every pipeline metric should ship with.
+    *
+    * Determinism: the per-(row, replica) Poisson draw inverts a PINNED
+    * 10-decimal CDF table against the md5-exact uniform
+    * (h48+1)/2^48 — exact-portable doubles compared to literal
+    * constants, the weightedSample convention, so every engine draws
+    * the identical counts. Replica sums run in DECIMAL(38,0); replica
+    * means and their sd accumulate in order-independent
+    * DECIMAL(38,18); every output is a pinned double tree + round(6)
+    * (CI from the UNROUNDED mean/se). Empty replicas (possible only on
+    * tiny inputs) drop out. Shape at 100 TB: a `replicas`× map-side
+    * explode into a partial-agg'd ≤replicas-row aggregate, a 1-row
+    * point-estimate aggregate, and a cross of two bounded rows. */
+  def bootstrapMean(df: DataFrame, keyCol: String, valueCol: String,
+      replicas: Int = 32): DataFrame = {
+    require(replicas >= 2, s"need >= 2 replicas: $replicas")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val in = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast("long").as("__x"))
+    val pt = in.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast(d38)).as("__sx"))
+    val seeded = in.select(col("__k"), col("__x"),
+      explode(array((0 until replicas).map(lit): _*)).as("__b"))
+    val h48 = conv(substring(
+      md5(concat(col("__k"), lit("_"), col("__b"))), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0)
+    // Poisson(1) inverse CDF, pinned to 10 decimals (tail mass folded
+    // into the last bucket)
+    val wgt = when(u < 0.3678794412, 0)
+      .when(u < 0.7357588823, 1)
+      .when(u < 0.9196986029, 2)
+      .when(u < 0.9810118431, 3)
+      .when(u < 0.9963401532, 4)
+      .otherwise(5)
+    val rep = seeded.withColumn("__w", wgt.cast("long"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__w")).as("__nw"),
+        sum(col("__w").cast(d38) * col("__x").cast(d38)).as("__sw"))
+      .filter(col("__nw") > 0)
+      .select((col("__sw").cast("double") / col("__nw").cast("double"))
+        .as("__m"))
+    // Center each replica mean on the exact point estimate BEFORE the
+    // moment sums: the deviations are se-sized, so their
+    // double→DECIMAL(38,18) quantization stays far below round(6) —
+    // accumulating raw means would square metric-sized magnitudes and
+    // amplify the engines' last-digit double→decimal differences
+    // through the variance cancellation (observed: 2e-6 on boot_se).
+    val mean = col("__sx").cast("double") / col("__n").cast("double")
+    val centered = rep.crossJoin(broadcast(pt))
+      .select(col("__n"), col("__sx"), (col("__m") - mean).as("__dv"))
+    val st = centered.agg(max(col("__n")).as("__n"),
+      max(col("__sx")).as("__sx"),
+      count(lit(1)).as("__nr"),
+      sum(col("__dv").cast(d18)).as("__sm"),
+      sum((col("__dv") * col("__dv")).cast(d18)).as("__sq"))
+    val nrD = col("__nr").cast("double")
+    val smD = col("__sm").cast("double")
+    val sqD = col("__sq").cast("double")
+    val se = sqrt(greatest(
+      sqD / nrD - (smD / nrD) * (smD / nrD), lit(0.0)))
+    st.select(col("__n").as("n"), round(mean, 6).as("mean"),
+      col("__nr").as("n_replicas"), round(se, 6).as("boot_se"),
+      round(mean - lit(1.96) * se, 6).as("ci_lo"),
+      round(mean + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
   /** Curriculum ordering: split the corpus into `bands` difficulty
     * bands by a score column (easy → hard) and emit an integer
     * `interleave_key` whose ascending order serves one item from each

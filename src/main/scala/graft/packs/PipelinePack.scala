@@ -793,6 +793,17 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // Poisson-bootstrap error bar for the mean order total (cents):
+    // 32 deterministic md5-seeded replicas, no resampling shuffle —
+    // the uncertainty every pipeline metric should ship with
+    "q_sample_bootstrap" -> ((s, dir) => {
+      graft.ops.Sampling.bootstrapMean(
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderkey", "cents", replicas = 32)
+    }),
+
     // curriculum ordering: 4 difficulty bands over doc length with a
     // band-rotating interleave key — banding via the bounded-histogram
     // prefix sum, never a global ntile window
@@ -3738,6 +3749,65 @@ object PipelinePack extends QueryPack {
         |      CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
         |  END AS gini
         |FROM s ORDER BY o_orderpriority""".stripMargin,
+
+    // the same pinned Poisson(1) inverse-CDF literals against the
+    // md5-exact uniform; replica sums HUGEINT, means/sd in
+    // DECIMAL(38,18), CI from the UNROUNDED mean/se
+    "q_sample_bootstrap" ->
+      """WITH v AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |pt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx FROM v),
+        |b AS (
+        |  SELECT k, x, unnest(range(0, 32)) AS rb FROM v),
+        |w AS (
+        |  SELECT x, rb,
+        |    CASE
+        |      WHEN u < 0.3678794412 THEN 0
+        |      WHEN u < 0.7357588823 THEN 1
+        |      WHEN u < 0.9196986029 THEN 2
+        |      WHEN u < 0.9810118431 THEN 3
+        |      WHEN u < 0.9963401532 THEN 4
+        |      ELSE 5 END AS wt
+        |  FROM (
+        |    SELECT x, rb,
+        |      (CAST(('0x' || substr(md5(k || '_' || CAST(rb AS VARCHAR)),
+        |          1, 12)) AS BIGINT) + 1.0) / 281474976710656.0 AS u
+        |    FROM b) t),
+        |rep AS (
+        |  SELECT rb, sum(wt) AS nw,
+        |    sum(CAST(wt AS HUGEINT) * CAST(x AS HUGEINT)) AS sw
+        |  FROM w GROUP BY rb HAVING sum(wt) > 0),
+        |m AS (SELECT CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS mv
+        |      FROM rep),
+        |c AS (
+        |  SELECT pt.n, pt.sx,
+        |    mv - CAST(pt.sx AS DOUBLE) / CAST(pt.n AS DOUBLE) AS dv
+        |  FROM m CROSS JOIN pt),
+        |st AS (
+        |  SELECT max(n) AS n, max(sx) AS sx,
+        |    CAST(count(*) AS BIGINT) AS nr,
+        |    CAST(sum(CAST(dv AS DECIMAL(38,18))) AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(dv * dv AS DECIMAL(38,18))) AS DOUBLE) AS sq
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  nr AS n_replicas,
+        |  round(sqrt(GREATEST(sq / CAST(nr AS DOUBLE) -
+        |    (sm / CAST(nr AS DOUBLE)) * (sm / CAST(nr AS DOUBLE)), 0.0)), 6)
+        |    AS boot_se,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    1.96 * sqrt(GREATEST(sq / CAST(nr AS DOUBLE) -
+        |      (sm / CAST(nr AS DOUBLE)) * (sm / CAST(nr AS DOUBLE)), 0.0)),
+        |    6) AS ci_lo,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) +
+        |    1.96 * sqrt(GREATEST(sq / CAST(nr AS DOUBLE) -
+        |      (sm / CAST(nr AS DOUBLE)) * (sm / CAST(nr AS DOUBLE)), 0.0)),
+        |    6) AS ci_hi
+        |FROM st""".stripMargin,
 
     // the same bounded-histogram band assignment: cumulative counts
     // over rounded-score keys, floor of an exact double product, then

@@ -182,6 +182,33 @@ class SamplerSpec extends AnyFunSuite {
     assert(out(11L) == plain(3L) && out(21L) == plain(20L))
   }
 
+  test("bootstrapMean: constant data collapses the CI, se bounds hold") {
+    import spark.implicits._
+    // constant values: every replica mean is exactly the constant →
+    // se = 0 and the CI degenerates to the point estimate
+    val const = (1L to 200L).map(i => (i, 7L)).toDF("id", "x")
+    val c = graft.ops.Sampling.bootstrapMean(const, "id", "x",
+      replicas = 8).head()
+    assert(c.getLong(0) == 200L)
+    assert(c.getDouble(1) == 7.0)
+    assert(c.getLong(2) == 8L)
+    assert(c.getDouble(3) == 0.0)
+    assert(c.getDouble(4) == 7.0 && c.getDouble(5) == 7.0)
+    // spread data: exact point estimate, positive se, CI brackets the
+    // mean, and the draw is deterministic across runs
+    val spreadDf = (1L to 500L).map(i => (i, i % 100)).toDF("id", "x")
+    val r1 = graft.ops.Sampling.bootstrapMean(spreadDf, "id", "x",
+      replicas = 16).head()
+    val r2 = graft.ops.Sampling.bootstrapMean(spreadDf, "id", "x",
+      replicas = 16).head()
+    assert(r1 == r2, "md5-seeded draws must be reproducible")
+    assert(r1.getDouble(1) == math.rint(
+      (1L to 500L).map(_ % 100).sum.toDouble / 500.0 * 1e6) / 1e6)
+    assert(r1.getDouble(3) > 0.0)
+    assert(r1.getDouble(4) < r1.getDouble(1) &&
+      r1.getDouble(1) < r1.getDouble(5))
+  }
+
   test("curriculumOrder: band rotation, score ties, NULL drop") {
     import spark.implicits._
     val df = Seq(
