@@ -64,6 +64,49 @@ object Sessions {
     transitionsFromPairs(pairs, "from_state", "to_state")
   }
 
+  /** Per-key state co-occurrence lift — the market-basket association
+    * audit over event streams: for every unordered state pair,
+    * lift = P(a ∧ b) / (P(a)·P(b)) across keys (> 1 ⇒ the states
+    * travel together, < 1 ⇒ they repel), plus the raw support
+    * P(a ∧ b). The transition matrix sees ORDER; this sees
+    * AFFINITY — together they're the behavioral fingerprint.
+    * NULL states dropped. Output:
+    * (state_a, state_b, n_both, support, lift).
+    *
+    * Exactness: all counts exact integers; the lift numerator/
+    * denominator multiply in DECIMAL(38,0) (count products overflow a
+    * long at ~10¹² keys), ONE double division each + round(6). Shape
+    * at 100 TB: the (key, state) distinct collapses map-side and is
+    * keys×states-bounded; the self-join fans each key to its own
+    * states² (states are an enum, not an open set); everything after
+    * is states²-bounded with a 1-row key-count broadcast. */
+  def cooccurrenceLift(df: DataFrame, keyCol: String,
+      stateCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ks = df.filter(col(stateCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(stateCol).as("__s"))
+      .distinct()
+    val n = ks.agg(countDistinct(col("__k")).as("__nn"))
+    val sc = ks.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val pairs = ks.select(col("__k"), col("__s").as("state_a"))
+      .join(ks.select(col("__k"), col("__s").as("state_b")), "__k")
+      .filter(col("state_a") < col("state_b"))
+      .groupBy("state_a", "state_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(sc.select(col("__s").as("state_a"), col("__c").as("__ca")),
+        "state_a")
+      .join(sc.select(col("__s").as("state_b"), col("__c").as("__cb")),
+        "state_b")
+      .crossJoin(broadcast(n))
+      .select(col("state_a"), col("state_b"), col("n_both"),
+        round(col("n_both").cast("double") / col("__nn").cast("double"), 6)
+          .as("support"),
+        round((col("n_both").cast(d38) * col("__nn").cast(d38))
+          .cast("double") /
+          (col("__ca").cast(d38) * col("__cb").cast(d38)).cast("double"), 6)
+          .as("lift"))
+  }
+
   /** The transition-matrix finisher over a PRE-BUILT (from, to) pair
     * table — [[transitions]]'s count + row-normalization factored out
     * (the klFromTokenCounts precedent) so pair streams from other

@@ -47,6 +47,45 @@ object Stats {
       .select(col(groupCol), col("__q.q").as("quantile"), col(valueCol))
   }
 
+  /** Exact per-group WEIGHTED median — the robust location estimate
+    * when observations carry mass (token counts, revenue, sample
+    * weights): the smallest value whose cumulative weight reaches half
+    * the group's total, i.e. the lower weighted median (the
+    * quantilesByGroup type-1 convention generalized to weights;
+    * uniform weights reproduce its median exactly). Rows with NULL or
+    * non-positive weight are out of scope. Output:
+    * (group, total_weight, weighted_median).
+    *
+    * Exactness: the cumulative-weight threshold test is
+    * 2·cum ≥ total in INTEGERS — no halving division, no doubles
+    * anywhere. Shape at 100 TB: one key-hash shuffle feeds a
+    * per-group (value, tie) sort window for the running weight sum
+    * (the winsorize/quantile window pattern), then a 1-row-per-group
+    * argmin. */
+  def weightedMedianByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    val in = df.filter(col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol), col(valueCol),
+        col(weightCol).cast("long").as("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    in
+      // default RANGE frame: cum(v) = weight of ALL values <= v, so
+      // tied values share one cumulative — no intra-tie order anywhere
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(wn))
+      .filter(lit(2) * col("__cum") >= col("__tot"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col("__tot").as("total_weight"),
+        col(valueCol).as("weighted_median"))
+  }
+
   /** Robust per-group outlier flags via Median Absolute Deviation: a row
     * is an outlier when |x − median| > k · MAD, with median and MAD both
     * the exact type-1 (discrete) per-group medians of [[quantilesByGroup]]

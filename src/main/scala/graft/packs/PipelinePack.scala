@@ -507,6 +507,28 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id", "session_idx")
     }),
 
+    // event-type co-occurrence lift across users: which behaviors
+    // travel together (lift > 1) vs repel — the order-blind affinity
+    // twin of the transition matrix; states²-bounded throughout
+    "q_seq_cooccurrence" -> ((s, dir) => {
+      graft.ops.Sessions.cooccurrenceLift(
+        Tables(s, dir, "events"), "user_id", "event_type")
+        .orderBy("state_a", "state_b")
+    }),
+
+    // token-weighted median document length per source: the length of
+    // the doc the MEDIAN TOKEN lives in (token-budget planning sees
+    // tokens, not documents) — integer threshold test 2·cum ≥ tot,
+    // no halving division anywhere
+    "q_stats_weighted_median" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          TextAnalysis.tokenCount("text").as("n_tok"))
+      graft.ops.Stats.weightedMedianByGroup(
+        docs, "source", "n_chars", "n_tok")
+        .orderBy("source")
+    }),
+
     // first-order Markov transition matrix over per-user event
     // sequences: adjacent (from, to) observations counted + row-
     // normalized — one key-window shuffle, then states²-bounded tables
@@ -3341,6 +3363,50 @@ object PipelinePack extends QueryPack {
         |    AS n_purchases
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_seq_cooccurrence" ->
+      """WITH ks AS (
+        |  SELECT DISTINCT user_id AS k, event_type AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |n AS (SELECT CAST(count(DISTINCT k) AS HUGEINT) AS nn FROM ks),
+        |sc AS (SELECT s, CAST(count(*) AS HUGEINT) AS c FROM ks
+        |       GROUP BY s),
+        |pr AS (
+        |  SELECT a.s AS state_a, b.s AS state_b,
+        |    CAST(count(*) AS HUGEINT) AS nb
+        |  FROM ks a JOIN ks b ON b.k = a.k AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT pr.state_a, pr.state_b, CAST(pr.nb AS BIGINT) AS n_both,
+        |  round(CAST(pr.nb AS DOUBLE) / CAST(n.nn AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(pr.nb * n.nn AS DOUBLE) /
+        |    CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+        |FROM pr JOIN sc ca ON ca.s = pr.state_a
+        |        JOIN sc cb ON cb.s = pr.state_b
+        |CROSS JOIN n
+        |ORDER BY state_a, state_b""".stripMargin,
+
+    "q_stats_weighted_median" ->
+      """WITH f AS (
+        |  SELECT source, n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), ' +')) END
+        |      AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |g AS (SELECT source, n_chars, w FROM f WHERE w > 0),
+        |c AS (
+        |  SELECT source, n_chars, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |    sum(w) OVER (PARTITION BY source) AS tot
+        |  FROM g),
+        |sel AS (
+        |  SELECT source, tot, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rk
+        |  FROM c WHERE 2 * cum >= tot)
+        |SELECT source, CAST(tot AS BIGINT) AS total_weight,
+        |  n_chars AS weighted_median
+        |FROM sel WHERE rk = 1 ORDER BY source""".stripMargin,
 
     "q_seq_transitions" ->
       """WITH seq AS (

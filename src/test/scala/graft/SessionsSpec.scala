@@ -92,6 +92,25 @@ class SessionsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 1L)))
   }
 
+  test("cooccurrenceLift: hand lift/support, absent pair, NULL drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", Some("a")), ("u1", Some("b")), ("u1", Some("a")), // dup a
+      ("u2", Some("a")), ("u2", Some("b")),
+      ("u3", Some("a")), ("u3", None),
+      ("u4", Some("c"))).toDF("user_id", "event_type")
+    val out = graft.ops.Sessions.cooccurrenceLift(df, "user_id",
+      "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // N=4 keys; a in 3, b in 2, both in 2:
+    // support = 2/4, lift = 2·4/(3·2) = 4/3
+    assert(out(("a", "b")) ==
+      ((2L, 0.5, math.rint(4.0 / 3.0 * 1e6) / 1e6)))
+    // c never co-occurs with anything — its pairs are absent
+    assert(out.size == 1)
+  }
+
   test("transitions probability splits across destinations") {
     import spark.implicits._
     // one a→x pair per key (so no other adjacencies sneak in):

@@ -228,6 +228,27 @@ class StatsSpec extends AnyFunSuite {
       "d" -> (("q", 1L))))
   }
 
+  test("weightedMedianByGroup: mass pulls the median, uniform = type-1") {
+    import spark.implicits._
+    val df = Seq(
+      // heavy tail: one value carries 10/12 of the mass
+      ("h", 1L, Some(1L)), ("h", 2L, Some(1L)), ("h", 3L, Some(10L)),
+      // uniform weights reproduce the LOWER median (type-1)
+      ("u", 1L, Some(1L)), ("u", 2L, Some(1L)), ("u", 3L, Some(1L)),
+      ("u", 4L, Some(1L)),
+      // tied values pool their weight
+      ("t", 5L, Some(1L)), ("t", 5L, Some(1L)), ("t", 1L, Some(1L)),
+      // zero/NULL weights out of scope → only v=9 remains
+      ("z", 9L, Some(2L)), ("z", 1L, Some(0L)), ("z", 2L, None)
+    ).toDF("k", "v", "w")
+    val out = graft.ops.Stats.weightedMedianByGroup(df, "k", "v", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "h" -> ((12L, 3L)), "u" -> ((4L, 2L)),
+      "t" -> ((3L, 5L)), "z" -> ((2L, 9L))))
+  }
+
   test("corrMatrix: single scan, pairwise r, listwise NULL deletion") {
     import spark.implicits._
     // y = 2x (r = 1), z anti-correlated with x (r = −1 on these points);
