@@ -83,9 +83,12 @@ object Sessions {
   def cooccurrenceLift(df: DataFrame, keyCol: String,
       stateCol: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ks = df.filter(col(stateCol).isNotNull)
+    // the narrow distinct is read by the key count, the state counts,
+    // and both join sides — ride the signature cache (the vocabOverlap
+    // convention) instead of re-scanning the input four times
+    val ks = graft.ops.Dedup.maybeCache(df.filter(col(stateCol).isNotNull)
       .select(col(keyCol).as("__k"), col(stateCol).as("__s"))
-      .distinct()
+      .distinct())
     val n = ks.agg(countDistinct(col("__k")).as("__nn"))
     val sc = ks.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
     val pairs = ks.select(col("__k"), col("__s").as("state_a"))
