@@ -507,6 +507,26 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id", "session_idx")
     }),
 
+    // teleport-smoothed stationary distribution of the behavior Markov
+    // chain (PageRank 17/20 on the transition graph — the standard
+    // absorbing-state fix): where does a long random session SPEND its
+    // time; composition of the transitions op with the exact-integer
+    // power iteration, everything states-bounded after the pair counts
+    "q_seq_stationary" -> ((s, dir) => {
+      val edges = graft.ops.Sessions.transitions(
+        Tables(s, dir, "events"), "user_id", "ts", "event_type",
+        tieCols = Seq("event_id"))
+        .select(col("from_state").as("src"), col("to_state").as("dst"),
+          col("n").as("w"))
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst"))).distinct()
+      graft.ops.Graph.pageRank(edges, "src", "dst", "w", nodes, "id",
+        iters = 5)
+        .select(col("id").as("event_type"),
+          col("ru").cast("bigint").as("rank_u"))
+        .orderBy("event_type")
+    }),
+
     // event-type co-occurrence lift across users: which behaviors
     // travel together (lift > 1) vs repel — the order-blind affinity
     // twin of the transition matrix; states²-bounded throughout
@@ -3363,6 +3383,43 @@ object PipelinePack extends QueryPack {
         |    AS n_purchases
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // the transition edges through the SAME unrolled HUGEINT power
+    // iteration as the nation PageRank oracle (17/20, 5 steps)
+    "q_seq_stationary" -> {
+      val base =
+        """WITH seq AS (
+          |  SELECT event_type AS a,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS b
+          |  FROM events WHERE event_type IS NOT NULL),
+          |e AS MATERIALIZED (
+          |  SELECT a AS src, b AS dst, count(*) AS w FROM seq
+          |  WHERE b IS NOT NULL GROUP BY 1, 2),
+          |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+          |n AS (SELECT DISTINCT s AS id FROM (
+          |  SELECT src AS s FROM e UNION SELECT dst FROM e) t),
+          |cnt AS (SELECT count(*) AS nn FROM n),
+          |r0 AS (
+          |  SELECT id, CAST(1000000000000 AS HUGEINT) // cnt.nn AS ru
+          |  FROM n CROSS JOIN cnt)""".stripMargin
+      val steps = (1 to 5).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    (CAST(3 AS HUGEINT) * 1000000000000) // (20 * cnt.nn)
+           |    + (17 * COALESCE(inf.s, CAST(0 AS HUGEINT))) // 20 AS ru
+           |  FROM n CROSS JOIN cnt
+           |  LEFT JOIN (
+           |    SELECT e.dst AS id, sum((r.ru * e.w) // ow.ow) AS s
+           |    FROM e JOIN r${k - 1} r ON r.id = e.src
+           |    JOIN ow ON ow.src = e.src
+           |    GROUP BY 1) inf USING (id))""".stripMargin
+      }
+      val fin =
+        """SELECT r.id AS event_type, CAST(r.ru AS BIGINT) AS rank_u
+          |FROM r5 r ORDER BY event_type""".stripMargin
+      (base +: steps).mkString(",\n") + "\n" + fin
+    },
 
     "q_seq_cooccurrence" ->
       """WITH ks AS (
