@@ -64,6 +64,53 @@ object Sessions {
     transitionsFromPairs(pairs, "from_state", "to_state")
   }
 
+  /** Machine-regularity score per key — the timing side of bot
+    * detection: a scripted client fires on a clock, so its inter-event
+    * gaps have a tiny coefficient of variation, while human gaps are
+    * heavy-tailed. Per key (with ≥ `minEvents` events): the gap count,
+    * mean gap, and CV = std/mean of the microsecond gaps — in
+    * micro-units, because n cancels: cv = √(n·Σg² − (Σg)²) / Σg, an
+    * exact-integer DECIMAL(38,0) radicand and ONE sqrt + division +
+    * round (half-up on both engines). Returns the `k` LOWEST-CV keys
+    * (most machine-like; ties on key) as
+    * (key, n_gaps, mean_gap_us, cv_micro, rank). All-zero-gap keys
+    * (Σg = 0 — same-instant bursts) have no defined CV and drop.
+    *
+    * Shape at 100 TB: one key-hash shuffle + sort for the lag, a
+    * three-number-per-key partial-agg'd aggregate, a distributed
+    * TakeOrdered cut. */
+  def gapRegularity(df: DataFrame, keyCol: String, tsCol: String,
+      tieCols: Seq[String], minEvents: Int, k: Int): DataFrame = {
+    require(minEvents >= 3, s"minEvents must be >= 3: $minEvents")
+    require(k > 0, s"k must be positive: $k")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val us = unix_micros(col(tsCol))
+    val gaps = df
+      .withColumn("__g", us - lag(us, 1).over(w))
+      .filter(col("__g").isNotNull)
+    val st = gaps.groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("__g").cast(d38)).as("__s1"),
+        sum(col("__g").cast(d38) * col("__g").cast(d38)).as("__s2"))
+      .filter(col("n_gaps") >= minEvents - 1 && col("__s1") > 0)
+    val b = col("n_gaps").cast(d38) * col("__s2") -
+      col("__s1") * col("__s1")
+    val cv = round(sqrt(b.cast("double")) / col("__s1").cast("double") *
+      lit(1000000)).cast("long")
+    // integer floor mean: at 1e10-µs magnitudes a round(·,6) double
+    // exceeds the engines' shared 6-decimal resolution — floor of the
+    // exact (<2^53) division is engine-identical at any magnitude
+    val scored = st.select(col(keyCol), col("n_gaps"),
+      floor(col("__s1").cast("double") / col("n_gaps").cast("double"))
+        .cast("long").as("mean_gap_us"),
+      cv.as("cv_micro"))
+    val wr = Window.orderBy(col("cv_micro").asc, col(keyCol))
+    scored.orderBy(col("cv_micro").asc, col(keyCol)).limit(k)
+      .withColumn("rank", row_number().over(wr))
+  }
+
   /** Per-key state co-occurrence lift — the market-basket association
     * audit over event streams: for every unordered state pair,
     * lift = P(a ∧ b) / (P(a)·P(b)) across keys (> 1 ⇒ the states

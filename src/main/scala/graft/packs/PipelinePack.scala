@@ -507,6 +507,34 @@ object PipelinePack extends QueryPack {
         .orderBy("user_id", "session_idx")
     }),
 
+    // per-source exact-duplicate rate: how dirty is each slice — share
+    // of docs whose text occurs 2+ times anywhere in the corpus; one
+    // md5-partition window, per-source rollup
+    "q_dedup_rate" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), md5(col("text")).as("__h"))
+      val c = d.withColumn("__cnt",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h"))))
+      c.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          round(col("n_dup_docs").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate"))
+        .orderBy("source")
+    }),
+
+    // most machine-regular users: lowest coefficient of variation of
+    // inter-event gaps — the timing side of bot detection; exact
+    // integer radicand, one sqrt+division, TakeOrdered cut
+    "q_audit_bots" -> ((s, dir) => {
+      graft.ops.Sessions.gapRegularity(
+        Tables(s, dir, "events"), "user_id", "ts",
+        tieCols = Seq("event_id"), minEvents = 5, k = 20)
+    }),
+
     // teleport-smoothed stationary distribution of the behavior Markov
     // chain (PageRank 17/20 on the transition graph — the standard
     // absorbing-state fix): where does a long random session SPEND its
@@ -3383,6 +3411,46 @@ object PipelinePack extends QueryPack {
         |    AS n_purchases
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_dedup_rate" ->
+      """WITH d AS (
+        |  SELECT source, md5(text) AS h FROM documents
+        |  WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT source, count(*) OVER (PARTITION BY h) AS cnt FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_audit_bots" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gp
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    sum(CAST(gp AS HUGEINT)) AS s1,
+        |    sum(CAST(gp AS HUGEINT) * CAST(gp AS HUGEINT)) AS s2
+        |  FROM g WHERE gp IS NOT NULL
+        |  GROUP BY user_id HAVING count(*) >= 4 AND sum(gp) > 0),
+        |cv AS (
+        |  SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |    CAST(floor(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |      AS BIGINT) AS mean_gap_us,
+        |    CAST(round(sqrt(CAST(CAST(n_gaps AS HUGEINT) * s2 - s1 * s1
+        |        AS DOUBLE)) / CAST(s1 AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS cv_micro
+        |  FROM st)
+        |SELECT * FROM (
+        |  SELECT user_id, n_gaps, mean_gap_us, cv_micro,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cv_micro, user_id) AS INT)
+        |      AS rank
+        |  FROM cv) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // the transition edges through the SAME unrolled HUGEINT power
     // iteration as the nation PageRank oracle (17/20, 5 steps)

@@ -111,6 +111,30 @@ class SessionsSpec extends AnyFunSuite {
     assert(out.size == 1)
   }
 
+  test("gapRegularity: clockwork scores 0, hand CV, guards drop keys") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: perfect 10s clock → CV exactly 0, most bot-like
+      ("u1", ts(0), 1L), ("u1", ts(10), 2L), ("u1", ts(20), 3L),
+      ("u1", ts(30), 4L),
+      // u2: gaps 10/20/60 s → CV = sqrt(4200)/90
+      ("u2", ts(0), 5L), ("u2", ts(10), 6L), ("u2", ts(30), 7L),
+      ("u2", ts(90), 8L),
+      // u3: too few events
+      ("u3", ts(0), 9L), ("u3", ts(10), 10L),
+      // u4: same-instant burst → all-zero gaps, CV undefined
+      ("u4", ts(5), 11L), ("u4", ts(5), 12L), ("u4", ts(5), 13L),
+      ("u4", ts(5), 14L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = graft.ops.Sessions.gapRegularity(df, "user_id", "ts",
+      Seq("event_id"), minEvents = 4, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getInt(4)))
+    val cv2 = math.rint(math.sqrt(4200.0) / 90.0 * 1e6).toLong
+    assert(out.toSeq == Seq(
+      ("u1", 3L, 0L, 1), ("u2", 3L, cv2, 2)))
+  }
+
   test("transitions probability splits across destinations") {
     import spark.implicits._
     // one a→x pair per key (so no other adjacencies sneak in):
