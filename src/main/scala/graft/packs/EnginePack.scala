@@ -516,6 +516,51 @@ object EnginePack extends QueryPack {
            |FROM $schema.status_counts sc""".stripMargin)
     }),
 
+    // JSON external sources: `external.location` ending in .json reads
+    // through the json datasource (format by extension, every consumer
+    // — compile, freshness, sampling — through ExternalSource); the
+    // staged JSON derives from documents, so the parquet table is the
+    // oracle and format fidelity is what's checked
+    "q_engine_json_source" -> ((s, dir) => {
+      val stage = Files.createTempDirectory("graft_json_src").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id").coalesce(1)
+        .write.mode("overwrite").json(s"$stage/docs.json")
+      val proj = Files.createTempDirectory("graft_jsonproj")
+      write(proj, "dbt_project.yml",
+        """name: jsonsrc
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: docs
+           |        external:
+           |          location: "$stage/docs.json"
+           |""".stripMargin)
+      write(proj, "models/doc_counts.sql",
+        """{{ config(materialized='table') }}
+          |select source, count(*) as n_docs,
+          |  sum(n_chars) as total_chars
+          |from {{ source('lake', 'docs') }}
+          |group by source
+          |""".stripMargin)
+      val schema = "g_engine_jsonsrc"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_jsonsrc_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "doc_counts"))
+        .orderBy("source")
+    }),
+
     // engine-shipped builtin macros (the reference's dbt_macro_assets
     // pattern): model SQL calls graft_token_count / graft_mask_pii /
     // graft_lang_id with ZERO project macro definitions — the SQL-first
@@ -1305,6 +1350,13 @@ object EnginePack extends QueryPack {
     // SAME parameters as the Scala-composed q_pipeline_curation — one
     // oracle, two drivers (library composition vs model SQL + YAML)
     "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    // the staged JSON derives from documents parquet, so the parquet
+    // table re-derives the model's aggregates
+    "q_engine_json_source" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // gopher survivors (shared CTEs) profiled column-by-column — the
     // audit side relation's content re-derived

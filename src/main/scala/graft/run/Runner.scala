@@ -167,8 +167,8 @@ final class Runner(
       val base = effectiveSources.get(src).flatMap(_.get(tbl)) match {
         case Some(rel) if rel.relType == RelationType.External &&
             rel.identifier.contains("/") =>
-          // external location → direct parquet scan
-          s"parquet.`${rel.identifier}`"
+          // external location → direct file scan, format by extension
+          graft.core.ExternalSource.sqlFor(rel.identifier)
         case Some(rel) => rel.fqn
         case None => throw new IllegalStateException(s"unknown source $src.$tbl")
       }
@@ -316,7 +316,8 @@ final class Runner(
   private def sourceSql(s: String, t: String): String =
     resolved.sources.get(s).flatMap(_.get(t)) match {
       case Some(r) if r.relType == RelationType.External &&
-          r.identifier.contains("/") => s"parquet.`${r.identifier}`"
+          r.identifier.contains("/") =>
+        graft.core.ExternalSource.sqlFor(r.identifier)
       case Some(r) => r.fqn
       case None => s"$s.$t"
     }
@@ -367,7 +368,7 @@ final class Runner(
       val rel = resolved.sources(src)(tbl)
       def thisSql: String = rel match {
         case r if r.relType == RelationType.External && r.identifier.contains("/") =>
-          s"parquet.`${r.identifier}`"
+          graft.core.ExternalSource.sqlFor(r.identifier)
         case r => r.fqn
       }
       val result: Either[String, Freshness.FreshnessResult] = f.loadedAtQuery match {
@@ -378,7 +379,7 @@ final class Runner(
         case Some(field) =>
           val df = rel match {
             case r if r.relType == RelationType.External && r.identifier.contains("/") =>
-              spark.read.parquet(r.identifier)
+              graft.core.ExternalSource.read(spark, r.identifier)
             case r => adapter.read(r)
           }
           Right(Freshness.check(df, field, now, f.warnAfter, f.errorAfter,
@@ -450,7 +451,8 @@ final class Runner(
           val (df, loc) = rel match {
             case r if r.relType == RelationType.External &&
                 r.identifier.contains("/") =>
-              (spark.read.parquet(r.identifier), r.identifier)
+              (graft.core.ExternalSource.read(spark, r.identifier),
+                r.identifier)
             case r => (adapter.read(r), r.fqn)
           }
           Seq(s"$s.$t" -> (df, loc))
@@ -511,7 +513,7 @@ final class Runner(
     import graft.sample.{Sampler, SamplerPlan}
     def readRel(rel: Relation): org.apache.spark.sql.DataFrame = rel match {
       case r if r.relType == RelationType.External && r.identifier.contains("/") =>
-        spark.read.parquet(r.identifier)
+        graft.core.ExternalSource.read(spark, r.identifier)
       case r => adapter.read(r)
     }
     def readSelect(sel: String): org.apache.spark.sql.DataFrame = {
@@ -769,7 +771,7 @@ final class Runner(
             resolved.sources.get(src).flatMap(_.get(tbl)).flatMap {
               case r if r.relType == RelationType.External &&
                   r.identifier.contains("/") =>
-                Some(spark.read.parquet(r.identifier))
+                Some(graft.core.ExternalSource.read(spark, r.identifier))
               case r if adapter.relationExists(r) => Some(adapter.read(r))
               case _ => None
             }
