@@ -38,6 +38,17 @@ object BuiltinMacros {
     s"(CASE WHEN $maxE = 0 THEN 'und' $whens END)"
   }
 
+  /** stopword share of whitespace tokens (English stoplist — the
+    * quality-feature convention): 0 for empty text. */
+  private val stopRatio: String = {
+    val set = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+    val toks = "(CASE WHEN length(trim({{ col }})) = 0 THEN 0 ELSE " +
+      "size(split(trim({{ col }}), ' +')) END)"
+    s"(CASE WHEN $toks = 0 THEN 0.0 ELSE " +
+      s"size(filter(split(lower({{ col }}), ' '), __t -> __t IN ($set)))" +
+      s" / CAST($toks AS DOUBLE) END)"
+  }
+
   /** Rendered FIRST in the macro prelude so any project/package macro of
     * the same name wins (Root > Imported > Core). */
   val prelude: String = Seq(
@@ -48,6 +59,7 @@ object BuiltinMacros {
       s"{{ col }}, '${sqlQuote(TextAnalysis.EmailPattern)}', '<EMAIL>')," +
       s" '${sqlQuote(TextAnalysis.PhonePattern)}', '<PHONE>')" +
       "{% endmacro %}",
-    s"{% macro graft_lang_id(col) %}$langCase{% endmacro %}"
+    s"{% macro graft_lang_id(col) %}$langCase{% endmacro %}",
+    s"{% macro graft_stopword_ratio(col) %}$stopRatio{% endmacro %}"
   ).mkString("\n")
 }

@@ -597,7 +597,9 @@ object EnginePack extends QueryPack {
           |  sum(case when {{ graft_mask_pii('text') }} <> text
           |      then 1 else 0 end) as n_masked,
           |  sum(case when {{ graft_lang_id('text') }} = lang
-          |      then 1 else 0 end) as n_lang_match
+          |      then 1 else 0 end) as n_lang_match,
+          |  sum(case when {{ graft_stopword_ratio('text') }} >= 0.2
+          |      then 1 else 0 end) as n_stopheavy
           |from injected
           |group by source
           |""".stripMargin)
@@ -1345,6 +1347,11 @@ object EnginePack extends QueryPack {
     })
   )
 
+  /** The English stoplist as a SQL IN-list (the quality-feature and
+    * graft_stopword_ratio convention). */
+  private val stoplistSql: String =
+    graft.ops.TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+
   def oracles: Map[String, String] = Map(
     // the project-surface pipeline model runs the SAME stages with the
     // SAME parameters as the Scala-composed q_pipeline_curation — one
@@ -1582,7 +1589,16 @@ object EnginePack extends QueryPack {
          |    '\\+\\d{1,3}-\\d{3}-\\d{4,10}', '<PHONE>', 'g') <> text
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
          |  CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_lang_match
+         |    AS n_lang_match,
+         |  CAST(sum(CASE WHEN
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), ' +')) END) > 0
+         |    AND len(list_filter(string_split(lower(text), ' '),
+         |      x -> x IN ($stoplistSql))) /
+         |      CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+         |        ELSE len(string_split_regex(trim(text), ' +')) END)
+         |        AS DOUBLE) >= 0.2
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stopheavy
          |FROM pred GROUP BY source ORDER BY source""".stripMargin,
 
     "q_engine_hooks" ->

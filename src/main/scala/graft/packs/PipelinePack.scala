@@ -59,6 +59,18 @@ object PipelinePack extends QueryPack {
       Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
     }),
 
+    // near-dup cluster-size distribution: how big do duplicate families
+    // get — the one-table summary a dedup run reports; everything past
+    // the pair graph is component-bounded
+    "q_dedup_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 3, perms = 128, bands = 21, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("component_id").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("size")
+    }),
+
     // corpus-level dedup: drop non-canonical cluster members, annotate
     // survivors with cluster size
     "q_dedup_canonical" -> ((s, dir) => {
@@ -2766,6 +2778,13 @@ object PipelinePack extends QueryPack {
     "q_dedup_components" ->
       s"""WITH RECURSIVE $ccCtes
          |SELECT id, component_id FROM cc ORDER BY id""".stripMargin,
+
+    "q_dedup_sizes" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |sizes AS (SELECT component_id, count(*) AS n FROM cc GROUP BY 1)
+         |SELECT CAST(n AS BIGINT) AS size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE $ccCtes,

@@ -36,6 +36,9 @@ class EngineUnitSpec extends AnyFunSuite {
       "\n{{ graft_lang_id('text') }}", Map.empty).contains("'und'"))
     assert(Jinja.render(builtin +
       "\n{{ graft_mask_pii('text') }}", Map.empty).contains("<EMAIL>"))
+    val ratio = Jinja.render(builtin +
+      "\n{{ graft_stopword_ratio('text') }}", Map.empty)
+    assert(ratio.contains("'the'") && ratio.contains("CAST"), ratio)
     // Root > Core: a project macro of the same name, rendered AFTER the
     // builtin prelude (the Runner/Resolver concatenation order), wins
     val overridden = Jinja.render(builtin +
