@@ -581,6 +581,35 @@ object Similarity {
       .withColumn("predicted", pred)
   }
 
+  /** Class-separation matrix — pairwise L2 distance between the
+    * [[classCentroids]] prototypes: which classes are CONFUSABLE in
+    * embedding space (small separation predicts exactly the confusion
+    * cells [[centroidClassify]] lights up, before running any
+    * classifier). Centroid means are the round(6) exact-portable
+    * doubles of classCentroids, each squared difference accumulates in
+    * order-independent DECIMAL(38,18) over the labels²×dim grid, one
+    * final sqrt + round(6). Everything is labels²×dim-bounded — the
+    * corpus is touched only by the centroid aggregate itself. Returns
+    * (label_a, label_b, l2) for a < b. */
+  def classSeparation(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val cent = Dedup.maybeCache(classCentroids(df, labelCol, vecCol)
+      .select(col(labelCol).as("__l"), col("dim"), col("mean")))
+    val joined = cent.select(col("__l").as("label_a"), col("dim"),
+        col("mean").as("__ma"))
+      .join(cent.select(col("__l").as("label_b"), col("dim"),
+        col("mean").as("__mb")), "dim")
+      .filter(col("label_a") < col("label_b"))
+    joined
+      .withColumn("__d2", ((col("__ma") - col("__mb")) *
+        (col("__ma") - col("__mb"))).cast(d18))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("__d2")).as("__s"))
+      .select(col("label_a"), col("label_b"),
+        round(sqrt(col("__s").cast("double")), 6).as("l2"))
+  }
+
   /** Per-group mean-pooled embedding (class centroids / prototype
     * vectors — the mean-pool step behind centroid classifiers,
     * prototypical networks, and chunk→document embedding pooling),

@@ -1395,6 +1395,14 @@ object PipelinePack extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // class-separation matrix: pairwise centroid L2 — which classes
+    // are confusable BEFORE running a classifier; labels²×dim-bounded
+    "q_embed_separation" -> ((s, dir) => {
+      graft.ops.Similarity.classSeparation(
+        Tables(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label_a", "label_b")
+    }),
+
     // degenerate-embedding detector: per-label MAD outlier summary over
     // exact micro-unit vector norms — collapsed/exploded vectors are
     // norm outliers; the robust-stats family composed onto embeddings
@@ -4417,6 +4425,16 @@ object PipelinePack extends QueryPack {
         |  round(CAST(sum(mx) AS DOUBLE) /
         |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // only the cent CTE of the confusion chain is referenced (unused
+    // CTE definitions are pruned); same round(6) means, decimal d²
+    "q_embed_separation" ->
+      s"""WITH $confusionCtes
+        |SELECT a.clab AS label_a, b.clab AS label_b,
+        |  round(sqrt(CAST(sum(CAST((a.mean - b.mean) * (a.mean - b.mean)
+        |    AS DECIMAL(38,18))) AS DOUBLE)), 6) AS l2
+        |FROM cent a JOIN cent b ON b.i = a.i AND a.clab < b.clab
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // micro-unit norms (the cosineSql norm contract) through the exact
     // type-1 MAD chain, summarized per label

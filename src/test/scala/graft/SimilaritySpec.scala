@@ -356,6 +356,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  test("classSeparation: hand centroid distance, a<b pairs only") {
+    import spark.implicits._
+    // centroids: label 0 → (0, 0); label 1 → (3, 4); label 2 → (0, 0)
+    val df = Seq(
+      (0, Array(-1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(3.0f, 4.0f)),
+      (2, Array(0.0f, 0.0f))).toDF("label", "embedding")
+    val out = graft.ops.Similarity.classSeparation(df, "label",
+      "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(out == Map((0, 1) -> 5.0, (0, 2) -> 0.0, (1, 2) -> 5.0))
+  }
+
   test("rrfFuse: both-list items outrank single-list, id tie-break") {
     import spark.implicits._
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "i", "rank")
