@@ -313,6 +313,38 @@ object Stats {
         round(cc.cast("double") / (bD * bD) - lit(3.0), 6)).as("kurtosis"))
   }
 
+  /** Per-group equi-width histogram over a fixed [lo, hi) range — the
+    * distribution-shape profiling row when quantiles are too coarse
+    * and a full sort too much: bin = floor((x−lo)·bins/(hi−lo)),
+    * out-of-range values CLAMP into the edge bins (the calibration
+    * clamp convention — mass is never silently dropped). Returns
+    * (group, bin, n, share) for non-empty bins; share = ONE
+    * exact-integer double division + round(6). NULLs dropped.
+    *
+    * Determinism: the bin split is floor of an exact (<2^53) double
+    * product over integer values — engine-identical. Shape at 100 TB:
+    * one map-side bin projection into a groups×bins-bounded
+    * partial-agg'd count; the share window runs over that bounded
+    * table. */
+  def histogramEquiWidth(df: DataFrame, groupCol: String,
+      valueCol: String, lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(hi > lo, s"need hi > lo: [$lo, $hi)")
+    val x = col(valueCol).cast("long")
+    val raw = floor((x - lit(lo)).cast("double") * bins /
+      lit((hi - lo).toDouble)).cast("int")
+    val bin = least(lit(bins - 1), greatest(lit(0), raw))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), bin.as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    counts.withColumn("share",
+      round(col("n").cast("double") /
+        sum(col("n")).over(wg).cast("double"), 6))
+  }
+
   /** Pairwise Pearson correlation matrix over k integer-valued columns
     * from ONE scan — the feature-redundancy screen a pipeline runs
     * before training a scorer (a single aggregate computes every Σxᵢ,

@@ -906,6 +906,18 @@ object PipelinePack extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // equi-width histogram of order totals (cents) per status: 12 bins
+    // over [0, 6e7), out-of-range clamps to the edges — map-side bins,
+    // groups×bins-bounded tables
+    "q_stats_histogram" -> ((s, dir) => {
+      graft.ops.Stats.histogramEquiWidth(
+        Tables(s, dir, "orders")
+          .select(col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderstatus", "cents", lo = 0L, hi = 60000000L, bins = 12)
+        .orderBy("o_orderstatus", "bin")
+    }),
+
     // single-scan correlation matrix of quantity / price-cents /
     // discount-permil — the feature-redundancy screen; one aggregate
     // row, pairs exploded map-side, the input never rescanned per pair
@@ -3901,6 +3913,23 @@ object PipelinePack extends QueryPack {
         |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
         |      / CAST(n AS DOUBLE), 6) END AS intercept
         |FROM f ORDER BY source""".stripMargin,
+
+    "q_stats_histogram" ->
+      """WITH v AS (
+        |  SELECT o_orderstatus AS g,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+        |      AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (
+        |  SELECT g,
+        |    LEAST(11, GREATEST(0, CAST(floor(CAST(x - 0 AS DOUBLE) * 12 /
+        |      60000000.0) AS INT))) AS bin
+        |  FROM v),
+        |c AS (SELECT g, bin, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT g AS o_orderstatus, bin, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY g) AS DOUBLE), 6) AS share
+        |FROM c ORDER BY o_orderstatus, bin""".stripMargin,
 
     // one HUGEINT sufficient-statistics row, three UNION ALL pair
     // projections over it — the input scanned once

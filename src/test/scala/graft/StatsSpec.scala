@@ -228,6 +228,18 @@ class StatsSpec extends AnyFunSuite {
       "d" -> (("q", 1L))))
   }
 
+  test("histogramEquiWidth: bin edges, clamping, shares") {
+    import spark.implicits._
+    val df = Seq(("g", 0L), ("g", 4L), ("g", 5L), ("g", 10L), ("g", -3L))
+      .map { case (k, v) => (k, Option(v)) }.toDF("k", "v")
+    val out = graft.ops.Stats.histogramEquiWidth(df, "k", "v",
+      lo = 0L, hi = 10L, bins = 2)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // 0, 4, and the clamped -3 land in bin 0; 5 and the clamped 10 in 1
+    assert(out == Map(0 -> ((3L, 0.6)), 1 -> ((2L, 0.4))))
+  }
+
   test("weightedMedianByGroup: mass pulls the median, uniform = type-1") {
     import spark.implicits._
     val df = Seq(
