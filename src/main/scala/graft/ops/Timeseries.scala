@@ -151,6 +151,55 @@ object Timeseries {
       .drop("__a")
   }
 
+  /** Single changepoint detection by binary segmentation — for each
+    * key's ordered integer series, the split point maximizing the
+    * scaled mean-shift statistic √(t·(n−t)/n)·|mean_left − mean_right|
+    * (the CUSUM-equivalent first step of binary segmentation; where
+    * did this metric's LEVEL move). Everything derives from per-key
+    * prefix sums: one sort window computes every candidate split in
+    * one pass — no recursion, no per-key buffers. The argmax ranks on
+    * the ROUNDED statistic (ulp-safe cut, the TF-IDF precedent) with
+    * earliest-split ties. Keys with < 2 points emit nothing. Returns
+    * (key, n, split_after, stat, mean_before, mean_after) where
+    * `split_after` is the order value of the LAST point in the left
+    * segment.
+    *
+    * Determinism: prefix/total sums exact integers; means and the
+    * statistic are pinned double trees over exact-integer inputs
+    * (one sqrt), round(6) on outputs and on the ranking key. Shape at
+    * 100 TB: one key-hash shuffle + sort window, then a ranking window
+    * over the same partitioning — a single exchange. */
+  def changepointByGroup(series: DataFrame, keyCol: String,
+      orderCol: String, valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val wn = Window.partitionBy(col(keyCol))
+    val base = series.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(orderCol),
+        col(valueCol).cast("long").as("__x"))
+      .withColumn("__t", row_number().over(w))
+      .withColumn("__ps", sum(col("__x").cast(d38)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("__s", sum(col("__x").cast(d38)).over(wn))
+      .filter(col("__t") < col("__n"))
+    val tD = col("__t").cast("double")
+    val nD = col("__n").cast("double")
+    val meanL = col("__ps").cast("double") / tD
+    val meanR = (col("__s") - col("__ps")).cast("double") / (nD - tD)
+    val stat = round(
+      sqrt(tD * (nD - tD) / nD) * abs(meanL - meanR), 6)
+    val scored = base.withColumn("__stat", stat)
+    val wr = Window.partitionBy(col(keyCol))
+      .orderBy(col("__stat").desc, col("__t"))
+    scored.withColumn("__rk", row_number().over(wr))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("__n").as("n"),
+        col(orderCol).as("split_after"), col("__stat").as("stat"),
+        round(meanL, 6).as("mean_before"),
+        round(meanR, 6).as("mean_after"))
+  }
+
   /** Seasonal-naive forecast skill (MASE): per key, score the
     * "same value as one season ago" forecast against the "same value
     * as yesterday" naive baseline over an ordered series —

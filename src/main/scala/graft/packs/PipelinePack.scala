@@ -1562,6 +1562,18 @@ object PipelinePack extends QueryPack {
         .orderBy("event_type", "day")
     }),
 
+    // single changepoint per event type: the day its daily volume
+    // LEVEL moved, by binary segmentation over prefix sums — one sort
+    // window + one ranking window, no recursion
+    "q_ts_changepoint" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      graft.ops.Timeseries.changepointByGroup(daily, "event_type",
+        "day", "n_day")
+        .orderBy("event_type")
+    }),
+
     // seasonal-naive forecast skill: each event type's daily counts
     // scored week-over-week vs the day-over-day naive baseline —
     // MASE < 1 means weekly seasonality is real; exact integer errors
@@ -4748,6 +4760,39 @@ object PipelinePack extends QueryPack {
         |FROM inter i JOIN sz sa ON sa.g = i.group_a
         |             JOIN sz sb ON sb.g = i.group_b
         |ORDER BY group_a, group_b""".stripMargin,
+
+    "q_ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS ps,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type) AS s
+        |  FROM daily),
+        |c AS (
+        |  SELECT event_type, day, n, t,
+        |    CAST(ps AS DOUBLE) / CAST(t AS DOUBLE) AS ml,
+        |    CAST(s - ps AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS mr,
+        |    round(sqrt(CAST(t AS DOUBLE) *
+        |        (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) /
+        |        CAST(n AS DOUBLE)) *
+        |      abs(CAST(ps AS DOUBLE) / CAST(t AS DOUBLE) -
+        |        CAST(s - ps AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))), 6) AS stat
+        |  FROM b WHERE t < n),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY stat DESC, t) AS rk
+        |  FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, day AS split_after,
+        |  stat, round(ml, 6) AS mean_before, round(mr, 6) AS mean_after
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q_ts_mase" ->
       """WITH daily AS (

@@ -122,6 +122,26 @@ class TimeseriesSpec extends AnyFunSuite {
       === Set(("k", 1L, 2L, 2L), ("k", 3L, 4L, 1L)))
   }
 
+  test("changepointByGroup: level shift found, flat ties earliest, tiny") {
+    import spark.implicits._
+    val rows =
+      Seq(10L, 10L, 10L, 50L, 50L).zipWithIndex.map { case (v, i) =>
+        ("shift", i + 1, v) } ++
+      Seq(("flat", 1, 7L), ("flat", 2, 7L), ("flat", 3, 7L)) ++
+      Seq(("one", 1, 5L))
+    val out = graft.ops.Timeseries.changepointByGroup(
+      rows.toDF("k", "t", "x"), "k", "t", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val stat = math.rint(math.sqrt(3.0 * 2.0 / 5.0) * 40.0 * 1e6) / 1e6
+    assert(out("shift") == ((5L, 3, stat, 10.0, 50.0)))
+    // flat: every split scores 0 → earliest wins
+    assert(out("flat") == ((3L, 1, 0.0, 7.0, 7.0)))
+    // a single point has no split
+    assert(!out.contains("one"))
+  }
+
   test("seasonalNaiveError: perfect season, flat NULL mase, NULL drop") {
     import spark.implicits._
     val rows =
