@@ -70,7 +70,12 @@ object Graph {
     // materialized once, iterated many times).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast(d38).as("w")).cache()
-    val n = nodes.select(col(idCol).as("id"))
+    // the node list is read by the init rank, the count, and every
+    // iteration's rebuild — when it derives from a non-trivial plan
+    // (e.g. the transition-graph composition, where it carries the
+    // corpus window), leaving it un-cached re-derives that plan once
+    // per REFERENCE; same MEMORY_AND_DISK trade as the edge list
+    val n = nodes.select(col(idCol).as("id")).cache()
     val outw = e.groupBy("src").agg(sum(col("w")).cast(d38).as("ow"))
       .cache()
     val nn = n.agg(count(lit(1)).cast(d38).as("nn"))
