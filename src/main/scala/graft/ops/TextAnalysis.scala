@@ -625,8 +625,10 @@ object TextAnalysis {
     * groups-bounded totals table. */
   def entropyFromTokenCounts(counts: DataFrame, groupCol: String,
       tokenCol: String, cntCol: String): DataFrame = {
-    val gt = counts.select(col(groupCol), col(tokenCol).as("__et"),
-      col(cntCol).cast("long").as("__ec"))
+    // the vocabulary-bounded count table feeds the totals aggregate AND
+    // the grid join — the klFromTokenCounts cache boundary
+    val gt = Dedup.maybeCache(counts.select(col(groupCol),
+      col(tokenCol).as("__et"), col(cntCol).cast("long").as("__ec")))
     val g = gt.groupBy(col(groupCol))
       .agg(sum(col("__ec")).as("__n"), count(lit(1)).as("n_types"))
     val term = (col("__ec").cast("double") / col("__n").cast("double")) *
