@@ -145,6 +145,46 @@ object Classify {
           .as("mean_score"))
   }
 
+  /** Precision/recall curve over pinned thresholds — the
+    * gate-threshold tuning table: for each candidate cut, how many
+    * rows the gate would keep and at what precision/recall/F1 against
+    * the reference label. Decisions compare the UNROUNDED score
+    * (exact-portable by the fast-sigmoid contract) to literal
+    * thresholds, so every cell is an exact integer; rates are single
+    * divisions + round(6), F1 in the single-division
+    * 2·tp/(2·tp+fp+fn) form. Returns one row per threshold:
+    * (threshold, n_pred_pos, tp, precision, recall, f1); zero
+    * denominators NULL.
+    *
+    * Shape at 100 TB: each row fans out to the ≤|thresholds| grid
+    * MAP-SIDE (explode of a literal array) into a thresholds-bounded
+    * partial-agg'd count — the input is scanned once. */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val th = explode(array(thresholds.map(lit): _*)).as("threshold")
+    val base = scored.select(col(scoreCol).as("__s"),
+      col(labelCol).as("__y"), th)
+    val agg = base.groupBy(col("threshold")).agg(
+      sum(when(col("__s") >= col("threshold"), 1L).otherwise(0L))
+        .as("n_pred_pos"),
+      sum(when(col("__s") >= col("threshold") && col("__y") === 1.0, 1L)
+        .otherwise(0L)).as("tp"),
+      sum(when(col("__y") === 1.0, 1L).otherwise(0L)).as("__pos"))
+    val fp = col("n_pred_pos") - col("tp")
+    val fn = col("__pos") - col("tp")
+    agg.select(col("threshold"), col("n_pred_pos"), col("tp"),
+      when(col("n_pred_pos") > 0,
+        round(col("tp").cast("double") / col("n_pred_pos").cast("double"),
+          6)).as("precision"),
+      when(col("__pos") > 0,
+        round(col("tp").cast("double") / col("__pos").cast("double"), 6))
+        .as("recall"),
+      when(lit(2) * col("tp") + fp + fn > 0,
+        round((lit(2) * col("tp")).cast("double") /
+          (lit(2) * col("tp") + fp + fn).cast("double"), 6)).as("f1"))
+  }
+
   /** Cohen's kappa from a (label, predicted, n) confusion table — the
     * chance-corrected agreement behind "is this classifier better than
     * the base rate?" and annotator-vs-annotator audits. κ =

@@ -1200,6 +1200,22 @@ object PipelinePack extends QueryPack {
         .orderBy("bin")
     }),
 
+    // threshold-tuning table for the trained scorer: keep-count,
+    // precision, recall, F1 at 7 pinned cuts inside the score spread —
+    // decisions on the UNROUNDED exact-portable score
+    "q_classify_pr_curve" -> ((s, dir) => {
+      val feat = Classify.gateFeatures(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"),
+        "doc_id", "text")
+      val w = Classify.train(feat, classifyX, "y",
+        iters = classifyIters, lr = 0.1)
+      val scored = feat.withColumn("__score",
+        Classify.fastSigmoid(Classify.z(w.toSeq, classifyX)))
+      Classify.prCurve(scored, "__score", "y",
+        Seq(0.40, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46))
+        .orderBy("threshold")
+    }),
+
     // Cohen's kappa of the nearest-centroid classifier against the
     // true labels — chance-corrected separability in one number;
     // everything past the confusion matrix is labels²-bounded
@@ -2563,6 +2579,38 @@ object PipelinePack extends QueryPack {
        |    CAST(count(*) AS DOUBLE), 6) AS mean_score
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Threshold sweep over scoredz: the grid is a literal VALUES list
+    * (cast to DOUBLE — a bare numeric literal would type the column
+    * DECIMAL and hash-mismatch), decisions on the UNROUNDED score. */
+  private def classifyPrCurveSql(iters: Int,
+      thresholds: Seq[Double]): String = {
+    val vals = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH ${logisticCtes(iters)},
+       |th AS (SELECT CAST(v AS DOUBLE) AS threshold
+       |       FROM (VALUES $vals) t(v)),
+       |g AS (
+       |  SELECT th.threshold,
+       |    sum(CASE WHEN 0.5 + z / (2.0 * (1.0 + abs(z))) >= th.threshold
+       |        THEN 1 ELSE 0 END) AS npp,
+       |    sum(CASE WHEN 0.5 + z / (2.0 * (1.0 + abs(z))) >= th.threshold
+       |        AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
+       |    sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos
+       |  FROM scoredz CROSS JOIN th GROUP BY 1)
+       |SELECT threshold, CAST(npp AS BIGINT) AS n_pred_pos,
+       |  CAST(tp AS BIGINT) AS tp,
+       |  CASE WHEN npp > 0 THEN
+       |    round(CAST(tp AS DOUBLE) / CAST(npp AS DOUBLE), 6)
+       |  END AS "precision",
+       |  CASE WHEN pos > 0 THEN
+       |    round(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6)
+       |  END AS recall,
+       |  CASE WHEN 2 * tp + (npp - tp) + (pos - tp) > 0 THEN
+       |    round(CAST(2 * tp AS DOUBLE) /
+       |      CAST(2 * tp + (npp - tp) + (pos - tp) AS DOUBLE), 6)
+       |  END AS f1
+       |FROM g ORDER BY threshold""".stripMargin
+  }
+
   private def bpeSql(numMerges: Int): String = {
     s"""WITH ${bpeLexCtes("documents", numMerges)},
        |docw AS (
@@ -2721,6 +2769,8 @@ object PipelinePack extends QueryPack {
     "q_classify_scores" -> classifyScoresSql(classifyIters),
     "q_classify_calibration" ->
       classifyCalibrationSql(classifyIters, bins = 100),
+    "q_classify_pr_curve" -> classifyPrCurveSql(classifyIters,
+      Seq(0.40, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46)),
 
     // the trained lexicon's piece strings, straight from the final
     // vocab CTE of the re-learned chain

@@ -99,6 +99,24 @@ class ClassifySpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("prCurve: monotone keep-count, hand cells, zero-keep NULLs") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.9, 1.0), (0.8, 1.0), (0.7, 0.0), (0.2, 1.0)).toDF("s", "y")
+    val out = Classify.prCurve(scored, "s", "y", Seq(0.5, 0.75, 0.95))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5))))).toMap
+    // t=0.5 keeps 3 (tp 2): p=2/3, r=2/3, f1=2·2/(4+1+1)
+    val twoThirds = math.rint(2.0 / 3.0 * 1e6) / 1e6
+    assert(out(0.5) == ((3L, 2L, Some(twoThirds), Some(twoThirds),
+      Some(twoThirds))))
+    // t=0.75 keeps 2 (tp 2): p=1, r=2/3, f1=4/5
+    assert(out(0.75) == ((2L, 2L, Some(1.0), Some(twoThirds), Some(0.8))))
+    // t=0.95 keeps none: precision undefined, recall 0, f1 0
+    assert(out(0.95) == ((0L, 0L, None, Some(0.0), Some(0.0))))
+  }
+
   test("kappa: textbook 2x2 matrix and degenerate single-cell NULL") {
     import spark.implicits._
     // classic example: po=0.7, pe=0.5, kappa=0.4
