@@ -113,6 +113,13 @@ object StreamingPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // streaming level-shift monitor: closed-day counts through the
+    // batch changepoint segmentation — shared math, watermark cutoff
+    "q_stream_changepoint" -> ((s, dir) => {
+      StreamingOps.eventTypeChangepointDaily(s, dir)
+        .orderBy("event_type")
+    }),
+
     // streaming Markov transitions: one (ts, id, state) triple of state
     // per key bridges batch boundaries, so the AvailableNow run
     // reproduces the batch operator exactly — shared oracle
@@ -261,6 +268,45 @@ object StreamingPack extends QueryPack {
         |SELECT day, CAST(max(ng) AS BIGINT) AS n_events,
         |  round(CAST(sum(kl_term) AS DOUBLE), 6) AS kl
         |FROM terms GROUP BY day ORDER BY day""".stripMargin,
+
+    // the watermark cutoff feeding the same prefix-sum binary
+    // segmentation as the batch q_ts_changepoint oracle
+    "q_stream_changepoint" ->
+      """WITH wm AS (SELECT CAST(max(ts) - INTERVAL 2 DAY AS DATE) AS last_day
+        |            FROM events),
+        |daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) <= (SELECT last_day FROM wm)
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS ps,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type) AS s
+        |  FROM daily),
+        |c AS (
+        |  SELECT event_type, day, n, t,
+        |    CAST(ps AS DOUBLE) / CAST(t AS DOUBLE) AS ml,
+        |    CAST(s - ps AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS mr,
+        |    round(sqrt(CAST(t AS DOUBLE) *
+        |        (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) /
+        |        CAST(n AS DOUBLE)) *
+        |      abs(CAST(ps AS DOUBLE) / CAST(t AS DOUBLE) -
+        |        CAST(s - ps AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))), 6) AS stat
+        |  FROM b WHERE t < n),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY stat DESC, t) AS rk
+        |  FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, day AS split_after,
+        |  stat, round(ml, 6) AS mean_before, round(mr, 6) AS mean_after
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     // identical to the batch q_seq_transitions oracle: the streaming
     // bridge state makes batch and stream emit the same pair multiset

@@ -395,6 +395,38 @@ object StreamingOps {
       .toDF("user_id", "ts_us", "seq", "op", "value")
   }
 
+  /** Streaming level-shift monitor: each event type's closed-day count
+    * series through the batch changepoint op — "which day did this
+    * metric's level move" refreshed as windows close;
+    * [[eventTypeDriftDaily]]'s sibling on the same built-in watermarked
+    * window aggregation, finished with
+    * Timeseries.changepointByGroup so streaming and batch share one
+    * verified prefix-sum segmentation. */
+  def eventTypeChangepointDaily(spark: SparkSession,
+      sfDir: String): DataFrame = withNanosAsLong(spark) {
+    val sink = Files.createTempDirectory("graft_stream_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
+    val tsT = eventsTsType(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawEventsSchema(tsT))
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", tsStamp(tsT))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("n"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    graft.ops.Timeseries.changepointByGroup(
+      spark.read.parquet(sink), "event_type", "day", "n")
+  }
+
   /** Streaming first-order transition pairs: per-key state is ONE
     * (ts_us, event_id, state) triple — the key's last seen event. Each
     * micro-batch sorts its rows per key in (ts, id) order, emits a
