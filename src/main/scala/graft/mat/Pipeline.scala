@@ -104,7 +104,8 @@ object PipelineAudits {
   final case class Audit(op: String, apply: DataFrame => DataFrame)
 
   val knownOps: Seq[String] =
-    Seq("profile", "k_anonymity", "benford", "key_skew")
+    Seq("profile", "k_anonymity", "benford", "key_skew", "moments",
+      "gini")
 
   def parse(raw: Option[Any]): Seq[Audit] = raw match {
     case None => Nil
@@ -150,6 +151,14 @@ object PipelineAudits {
         val kc = reqStr(m, "key_col", op)
         val k = int(m, "k", 20)
         df => A.keySkew(df, kc, k)
+      case "moments" =>
+        val gc = reqStr(m, "group_col", op)
+        val vc = reqStr(m, "value_col", op)
+        df => graft.ops.Stats.momentsByGroup(df, gc, vc)
+      case "gini" =>
+        val gc = reqStr(m, "group_col", op)
+        val vc = reqStr(m, "value_col", op)
+        df => graft.ops.Stats.giniByGroup(df, gc, vc)
       case other => throw new IllegalArgumentException(
         s"unknown pipeline audit op `$other` (known: ${knownOps.mkString(", ")})")
     }

@@ -341,6 +341,16 @@ class PipelineMatSpec extends AnyFunSuite {
     // groups a(2), b(1) vs k=3: both violate, all 3 rows at risk
     assert((kan.getLong(0), kan.getLong(2), kan.getLong(3)) ==
       ((3L, 2L, 3L)))
+    // the robust-stats audits route to their ops
+    val more = PipelineAudits.parse(Some(Seq(
+      Map("op" -> "moments", "group_col" -> "source",
+        "value_col" -> "doc_id"),
+      Map("op" -> "gini", "group_col" -> "source",
+        "value_col" -> "doc_id"))))
+    assert(more.head.apply(docs).columns.toSeq ==
+      Seq("source", "n", "mean", "variance", "skewness", "kurtosis"))
+    assert(more(1).apply(docs).columns.toSeq ==
+      Seq("source", "n", "gini"))
     val e = intercept[IllegalArgumentException](
       PipelineAudits.parse(Some(Seq(Map("op" -> "bogus")))))
     assert(e.getMessage.contains("bogus"))
