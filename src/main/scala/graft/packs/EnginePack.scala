@@ -1048,7 +1048,7 @@ object EnginePack extends QueryPack {
            |          location: "$dir/documents.parquet"
            |""".stripMargin)
       write(proj, "models/gated.sql",
-        """select doc_id, source, text from {{ source('lake', 'documents') }}
+        """select doc_id, source, text, n_chars from {{ source('lake', 'documents') }}
           |""".stripMargin)
       write(proj, "models/schema.yml",
         """version: 2
@@ -1059,6 +1059,9 @@ object EnginePack extends QueryPack {
           |      steps:
           |        - op: gopher_gate
           |          text_col: text
+          |        - op: curriculum
+          |          score_col: n_chars
+          |          bands: 4
           |      audits:
           |        - op: profile
           |          columns: [doc_id, source]
