@@ -589,6 +589,24 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // as-of with a staleness bound: each click's most recent purchase
+    // value, but only within 24h — market-data tolerance semantics,
+    // applied post-window so it costs nothing extra
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts").as("pts"),
+          col("value").as("purchase_value"))
+      graft.ops.AsofJoin.backward(clicks, purchases, Seq("user_id"),
+        "ts", "pts", Seq("purchase_value"),
+        toleranceMicros = Some(86400000000L))
+        .select("event_id", "user_id", "purchase_value")
+        .orderBy("event_id")
+    }),
+
     // first-order Markov transition matrix over per-user event
     // sequences: adjacent (from, to) observations counted + row-
     // normalized — one key-window shuffle, then states²-bounded tables
@@ -3589,6 +3607,30 @@ object PipelinePack extends QueryPack {
           |FROM r5 r ORDER BY event_type""".stripMargin
       (base +: steps).mkString(",\n") + "\n" + fin
     },
+
+    // the matched right TIMESTAMP rides its own IGNORE NULLS window
+    // (purchases pre-filtered to non-null values, so ts/value pair);
+    // stale matches null out at the inclusive 24h bound
+    "q_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS is_left, event_id,
+        |    NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_val
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, ts, value
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, ts, is_left, event_id,
+        |    last_value(r_ts IGNORE NULLS) OVER win AS m_ts,
+        |    last_value(r_val IGNORE NULLS) OVER win AS m_val
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_left
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN m_ts IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(m_ts) <= 86400000000
+        |    THEN m_val END AS purchase_value
+        |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
 
     "q_seq_cooccurrence" ->
       """WITH ks AS (
