@@ -384,9 +384,12 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
   def writeTableAtomic(df: DataFrame, rel: Relation,
       partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
       clusteredBy: Seq[String] = Nil, buckets: Int = 0,
-      zorderBy: Seq[String] = Nil, layoutCurve: String = "morton"): Unit = {
+      zorderBy: Seq[String] = Nil, layoutCurve: String = "morton",
+      fileFormat: String = "parquet"): Unit = {
     require(Set("morton", "hilbert")(layoutCurve),
       s"layout_curve must be morton or hilbert: $layoutCurve")
+    require(Set("parquet", "orc", "json", "csv")(fileFormat),
+      s"file_format must be parquet/orc/json/csv: $fileFormat")
     InteractionLog.log(spark, "write_table",
       s"${rel.fqn} schema=${df.schema.simpleString}" +
         (if (partitionBy.nonEmpty) s" partitionBy=${partitionBy.mkString(",")}" else "") +
@@ -423,11 +426,12 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
           if (partitionBy.isEmpty) ""
           else s" PARTITIONED BY (${partitionBy.map(c => s"`$c`").mkString(", ")})"
         spark.sql(
-          s"CREATE TABLE ${target.fqn} (${df.schema.toDDL}) USING parquet$partDdl")
+          s"CREATE TABLE ${target.fqn} (${df.schema.toDDL}) " +
+            s"USING $fileFormat$partDdl")
         relationCache.put(target.key, RelationType.Table)
         return
       }
-      val w0 = sorted.write.format("parquet")
+      val w0 = sorted.write.format(fileFormat)
       val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
       // clustered_by + buckets → Spark bucketed table: same-key same-count
       // bucketed sides join without exchanges (bucket spec survives the

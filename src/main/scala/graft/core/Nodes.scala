@@ -185,6 +185,11 @@ final case class NodeConfig(
       * columns; consecutive keys are always grid-adjacent, so files are
       * tighter rectangles for the same one-range-shuffle cost). */
     layoutCurve: String = "morton",
+    /** dbt-spark `file_format:` — the table's storage format (parquet
+      * default; orc / json / csv also ship with Spark). Applies to the
+      * table-building write paths (table / pipeline / seed-style CTAS);
+      * incremental strategies assume the parquet default. */
+    fileFormat: String = "parquet",
     /** dbt-spark `clustered_by:` + `buckets:` (reference:
       * MS adapter table config; SparkAdapter file_format/clustered_by) —
       * hash-bucketed table layout. Two tables bucketed on the same key

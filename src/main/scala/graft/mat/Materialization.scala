@@ -90,7 +90,7 @@ object TableMat extends Materialization {
     ctx.adapter.writeTableAtomic(ctx.compiled(), ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
       ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
-      ctx.config.layoutCurve)
+      ctx.config.layoutCurve, ctx.config.fileFormat)
     MatResult(ctx.target, "success")
   }
 }

@@ -74,7 +74,7 @@ object PipelineMat extends Materialization {
     ctx.adapter.writeTableAtomic(out, ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
       ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
-      ctx.config.layoutCurve)
+      ctx.config.layoutCurve, ctx.config.fileFormat)
     // audits run AFTER the swap over the WRITTEN table (what downstream
     // consumers will actually read), each landing in its own
     // `<model>__audit_<op>` side relation — the store_failures shape
@@ -709,7 +709,7 @@ object StreamingTableMat extends Materialization {
     ctx.adapter.writeTableAtomic(result, ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
       ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
-      ctx.config.layoutCurve)
+      ctx.config.layoutCurve, ctx.config.fileFormat)
     // record the carried TTL on the table so the continuous-deployment
     // config is observable from the catalog
     ttl.foreach(t => ctx.adapter.execute(

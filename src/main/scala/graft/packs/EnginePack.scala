@@ -516,6 +516,50 @@ object EnginePack extends QueryPack {
            |FROM $schema.status_counts sc""".stripMargin)
     }),
 
+    // dbt-spark `file_format:` — an ORC table model built through the
+    // same staged-swap write path; the query ASSERTS the catalog
+    // provider is really orc, then the parquet source re-derives the
+    // values (format fidelity is the check)
+    "q_engine_file_format" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_orcproj")
+      write(proj, "dbt_project.yml",
+        """name: orcdemo
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/orders_orc.sql",
+        """{{ config(materialized='table', file_format='orc') }}
+          |select o_orderstatus, count(*) as n_orders,
+          |  min(o_orderkey) as min_key, max(o_orderkey) as max_key
+          |from {{ source('tpch', 'orders') }}
+          |group by o_orderstatus
+          |""".stripMargin)
+      val schema = "g_engine_orc"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_orc_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("orders_orc",
+          Some(schema)))
+      require(meta.provider.exists(_.equalsIgnoreCase("orc")),
+        s"expected orc provider, got ${meta.provider}")
+      runner.adapter.read(graft.core.Relation(schema, "orders_orc"))
+        .orderBy("o_orderstatus")
+    }),
+
     // JSON external sources: `external.location` ending in .json reads
     // through the json datasource (format by extension, every consumer
     // — compile, freshness, sampling — through ExternalSource); the
@@ -1360,6 +1404,12 @@ object EnginePack extends QueryPack {
     // SAME parameters as the Scala-composed q_pipeline_curation — one
     // oracle, two drivers (library composition vs model SQL + YAML)
     "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    "q_engine_file_format" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // the staged JSON derives from documents parquet, so the parquet
     // table re-derives the model's aggregates

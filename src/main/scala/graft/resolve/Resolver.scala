@@ -961,6 +961,7 @@ object Resolver {
       sortBy = m.get("sort_by").map(Yaml.strSeq).getOrElse(Nil),
       zorderBy = m.get("zorder_by").map(Yaml.strSeq).getOrElse(Nil),
       layoutCurve = s("layout_curve").getOrElse("morton"),
+      fileFormat = s("file_format").getOrElse("parquet"),
       clusteredBy = m.get("clustered_by").map(Yaml.strSeq).getOrElse(Nil),
       buckets = m.get("buckets").map(Yaml.str(_).toInt).getOrElse(0),
       grants = m.get("grants").map(standardizeGrants).getOrElse(Map.empty),
