@@ -190,6 +190,10 @@ final case class NodeConfig(
       * table-building write paths (table / pipeline / seed-style CTAS);
       * incremental strategies assume the parquet default. */
     fileFormat: String = "parquet",
+    /** dbt-spark `tblproperties:` — arbitrary key/value table
+      * properties applied after the swap (ALTER TABLE SET
+      * TBLPROPERTIES), surfaced by SHOW TBLPROPERTIES / catalogs. */
+    tblProperties: Map[String, String] = Map.empty,
     /** dbt-spark `clustered_by:` + `buckets:` (reference:
       * MS adapter table config; SparkAdapter file_format/clustered_by) —
       * hash-bucketed table layout. Two tables bucketed on the same key

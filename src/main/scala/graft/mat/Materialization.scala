@@ -91,8 +91,23 @@ object TableMat extends Materialization {
       ctx.config.partitionBy, ctx.config.sortBy,
       ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
       ctx.config.layoutCurve, ctx.config.fileFormat)
+    applyTblProperties(ctx)
     MatResult(ctx.target, "success")
   }
+
+  /** dbt-spark `tblproperties:` — applied AFTER the swap so the live
+    * table (not a doomed intermediate) carries them. Single quotes in
+    * keys/values escape; shared by table and pipeline models. */
+  private[mat] def applyTblProperties(ctx: MatContext): Unit =
+    if (ctx.config.tblProperties.nonEmpty) {
+      def esc(s: String) = s.replace("'", "''")
+      val kvs = ctx.config.tblProperties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'${esc(k)}' = '${esc(v)}'" }
+        .mkString(", ")
+      ctx.adapter.execute(
+        s"ALTER TABLE ${ctx.target.fqn} SET TBLPROPERTIES ($kvs)")
+      ()
+    }
 }
 
 /** No Spark MV: emulated as a table plus a recorded build recipe. The

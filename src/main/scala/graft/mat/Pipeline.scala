@@ -75,6 +75,7 @@ object PipelineMat extends Materialization {
       ctx.config.partitionBy, ctx.config.sortBy,
       ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
       ctx.config.layoutCurve, ctx.config.fileFormat)
+    TableMat.applyTblProperties(ctx)
     // audits run AFTER the swap over the WRITTEN table (what downstream
     // consumers will actually read), each landing in its own
     // `<model>__audit_<op>` side relation — the store_failures shape

@@ -536,7 +536,8 @@ object EnginePack extends QueryPack {
            |          location: "$dir/orders.parquet"
            |""".stripMargin)
       write(proj, "models/orders_orc.sql",
-        """{{ config(materialized='table', file_format='orc') }}
+        """{{ config(materialized='table', file_format='orc',
+          |   tblproperties={'team': 'ml-infra', 'stage': 'gold'}) }}
           |select o_orderstatus, count(*) as n_orders,
           |  min(o_orderkey) as min_key, max(o_orderkey) as max_key
           |from {{ source('tpch', 'orders') }}
@@ -556,6 +557,9 @@ object EnginePack extends QueryPack {
           Some(schema)))
       require(meta.provider.exists(_.equalsIgnoreCase("orc")),
         s"expected orc provider, got ${meta.provider}")
+      require(meta.properties.get("team").contains("ml-infra") &&
+        meta.properties.get("stage").contains("gold"),
+        s"tblproperties missing: ${meta.properties}")
       runner.adapter.read(graft.core.Relation(schema, "orders_orc"))
         .orderBy("o_orderstatus")
     }),

@@ -962,6 +962,9 @@ object Resolver {
       zorderBy = m.get("zorder_by").map(Yaml.strSeq).getOrElse(Nil),
       layoutCurve = s("layout_curve").getOrElse("morton"),
       fileFormat = s("file_format").getOrElse("parquet"),
+      tblProperties = m.get("tblproperties")
+        .map(_.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> Yaml.str(v) }).getOrElse(Map.empty),
       clusteredBy = m.get("clustered_by").map(Yaml.strSeq).getOrElse(Nil),
       buckets = m.get("buckets").map(Yaml.str(_).toInt).getOrElse(0),
       grants = m.get("grants").map(standardizeGrants).getOrElse(Map.empty),
