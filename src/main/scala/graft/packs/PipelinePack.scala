@@ -1576,6 +1576,24 @@ object PipelinePack extends QueryPack {
         .orderBy("digit")
     }),
 
+    // hapax share per source: fraction of the vocabulary occurring
+    // exactly once — high = OCR noise / typo soup, low = templated;
+    // the third vocabulary-health number next to TTR and entropy
+    "q_text_hapax" -> ((s, dir) => {
+      val gt = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      gt.groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_hapax"),
+          round(col("n_hapax").cast("double") /
+            col("n_types").cast("double"), 6).as("hapax_ratio"))
+        .orderBy("source")
+    }),
+
     // cross-source vocabulary overlap: pairwise shared-term counts +
     // Jaccard — the mixing/redundancy audit; vocab-bounded distinct,
     // term-keyed equi self-join, groups²-bounded output
@@ -1594,6 +1612,20 @@ object PipelinePack extends QueryPack {
         .agg(count(lit(1)).as("n"))
       graft.ops.Stats.madOutliers(daily, "event_type", "n", k = 3)
         .orderBy("event_type", "day")
+    }),
+
+    // per-type volume trend: OLS slope of daily counts on the day
+    // index — "is this metric growing?"; the linreg op composed onto a
+    // row_number time axis, exact integer sufficient statistics
+    "q_ts_trend" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val idx = daily.withColumn("t", row_number().over(w))
+      graft.ops.Stats.linregByGroup(idx, "event_type", "t", "n_day")
+        .orderBy("event_type")
     }),
 
     // single changepoint per event type: the day its daily volume
@@ -4834,6 +4866,20 @@ object PipelinePack extends QueryPack {
         |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected
         |FROM cnt ORDER BY digit""".stripMargin,
 
+    "q_text_hapax" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |gt AS (
+        |  SELECT source, term, count(*) AS c FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM gt GROUP BY source ORDER BY source""".stripMargin,
+
     "q_text_overlap" ->
       """WITH tok AS (
         |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
@@ -4852,6 +4898,34 @@ object PipelinePack extends QueryPack {
         |FROM inter i JOIN sz sa ON sa.g = i.group_a
         |             JOIN sz sb ON sb.g = i.group_b
         |ORDER BY group_a, group_b""".stripMargin,
+
+    // the linreg oracle arithmetic over a row_number day index
+    "q_ts_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS HUGEINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS HUGEINT) AS x
+        |  FROM daily),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx
+        |  FROM idx GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, sx, sy, n * sxx - sx * sx AS den,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) AS b
+        |  FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den > 0 THEN round(b, 6) END AS slope,
+        |  CASE WHEN den > 0 THEN round(
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6) END AS intercept
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q_ts_changepoint" ->
       """WITH daily AS (
