@@ -345,9 +345,6 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** Count of lowercase space-split tokens that appear in `words` — the
-    * stopword-hit primitive (same contract as
-    * `size(filter(split(lower(text),' '), t -> t IN (...)))`). */
   /** BPE-ish subword count: per space-delimited word, ceil(len/4)
     * pieces. Bit-identical to the HOF formulation it replaces
     * (`aggregate(split(trim(t), ' +'), ...)` — an interpreted lambda per
@@ -422,6 +419,9 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Count of lowercase space-split tokens that appear in `words` — the
+    * stopword-hit primitive (same contract as
+    * `size(filter(split(lower(text),' '), t -> t IN (...)))`). */
   case class TokenHitCount(child: Expression, words: Seq[String])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType

@@ -120,20 +120,6 @@ object Audit {
       .select("key", "n_rows", "share")
   }
 
-  /** Benford first-digit audit — the classic fabricated-/synthetic-data
-    * screen for organically-grown numeric columns (amounts, populations,
-    * counts): the observed share of each leading significant digit next
-    * to Benford's expected log₁₀(1 + 1/d). Values are taken in exact
-    * integer cents (round(x·100), ties away from zero on both engines)
-    * so the leading digit comes from INTEGER-to-string conversion —
-    * identical across engines — never from double formatting;
-    * non-positive and NULL values are out of scope and dropped.
-    *
-    * Shape at 100 TB: one map-side digit projection into a ≤9-row
-    * partial-agg'd count, then everything is 9-row-table arithmetic
-    * (the normalizing window runs over the count table, not the
-    * input). `share`/`expected` = exact-integer double division and one
-    * log10, round(6) absorbing the ≤1-ulp libm spread. */
   /** k-anonymity audit over a quasi-identifier tuple — the re-
     * identification screen a dataset gets before release or training:
     * any combination of the quasi columns shared by fewer than `k`
@@ -165,6 +151,20 @@ object Audit {
           col("n_rows").cast("double"), 6).as("risk_share"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-/synthetic-data
+    * screen for organically-grown numeric columns (amounts, populations,
+    * counts): the observed share of each leading significant digit next
+    * to Benford's expected log₁₀(1 + 1/d). Values are taken in exact
+    * integer cents (round(x·100), ties away from zero on both engines)
+    * so the leading digit comes from INTEGER-to-string conversion —
+    * identical across engines — never from double formatting;
+    * non-positive and NULL values are out of scope and dropped.
+    *
+    * Shape at 100 TB: one map-side digit projection into a ≤9-row
+    * partial-agg'd count, then everything is 9-row-table arithmetic
+    * (the normalizing window runs over the count table, not the
+    * input). `share`/`expected` = exact-integer double division and one
+    * log10, round(6) absorbing the ≤1-ulp libm spread. */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val cents = round(col(valueCol).cast("double") * 100).cast("long")
     val digits = df

@@ -372,8 +372,9 @@ object Dedup {
 
   /** LSH candidate pairs from banded minhash signatures, verified with
     * exact Jaccard ≥ `threshold` over the shingle sets. Output: (id_a,
-    * id_b, jaccard) with id_a < id_b. */
-  /** Default banding r=6 × b=21 (126 of 128 perms): for this corpus's
+    * id_b, jaccard) with id_a < id_b.
+    *
+    * Default banding r=6 × b=21 (126 of 128 perms): for this corpus's
     * near-dup band (s ≥ 0.9) the per-pair miss probability is
     * (1−0.9^6)^21 ≈ 1e-7, while background pairs (s ≤ 0.3) collide on a
     * band with probability ≤ 21·0.3^6 ≈ 1.5% — candidate volume stays

@@ -35,8 +35,9 @@ object Funnel {
     * input is repartitioned by key once, the (key, step) ranking window
     * is satisfied by that clustering (same key ⇒ same partition), and
     * the final aggregate reuses it too, so bounded and unbounded plans
-    * both run a single shuffle. */
-  /** `withinMicros`: optional CONVERSION WINDOW — every later step must
+    * both run a single shuffle.
+    *
+    * `withinMicros`: optional CONVERSION WINDOW — every later step must
     * complete within this many microseconds of the step-1 completion
     * (the "converted within 7 days" contract of product funnels).
     * Applied inside the cascade (step i's candidates are filtered to

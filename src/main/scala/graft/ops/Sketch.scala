@@ -181,17 +181,6 @@ object Sketch {
         col(factKey) === col("__dim_key"), "left_semi")
   }
 
-  /** HyperLogLog registers: sub-linear distinct counting (Flajolet et al.
-    * 2007), the cardinality counterpart to [[countMin]]'s frequencies.
-    * Item x hashes to 48 bits (same md5 idiom, so the sketch is a pure
-    * deterministic function of the data); the low `p` bits pick one of
-    * m = 2^p registers and the register keeps the maximum
-    * leading-zero rank of the remaining q = 48−p bits.
-    *
-    * Scale shape: ONE partial-aggregated max shuffle emitting at most m
-    * rows regardless of input size — the map side collapses each
-    * partition to ≤ m (bucket, rank) partials before the exchange.
-    * Untouched registers stay absent (zero). */
   /** The (bucket, rank) column pair every HLL variant derives from an
     * item — ONE definition so the batch, grouped, and streaming register
     * builders can never drift apart on the hash/rank contract.
@@ -209,6 +198,17 @@ object Sketch {
     (pmod(h, lit(1L << p)), rank)
   }
 
+  /** HyperLogLog registers: sub-linear distinct counting (Flajolet et al.
+    * 2007), the cardinality counterpart to [[countMin]]'s frequencies.
+    * Item x hashes to 48 bits (same md5 idiom, so the sketch is a pure
+    * deterministic function of the data); the low `p` bits pick one of
+    * m = 2^p registers and the register keeps the maximum
+    * leading-zero rank of the remaining q = 48−p bits.
+    *
+    * Scale shape: ONE partial-aggregated max shuffle emitting at most m
+    * rows regardless of input size — the map side collapses each
+    * partition to ≤ m (bucket, rank) partials before the exchange.
+    * Untouched registers stay absent (zero). */
   def hllRegisters(df: DataFrame, itemCol: String, p: Int): DataFrame = {
     val (bucket, rank) = hllBucketAndRank(col(itemCol), p)
     df.select(bucket.as("bucket"), rank.as("rank"))

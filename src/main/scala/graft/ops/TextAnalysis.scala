@@ -429,29 +429,6 @@ object TextAnalysis {
         round(col("__sum").cast("double"), 6).as("kl"))
   }
 
-  /** Okapi BM25 relevance ranking for a bag of query terms (Robertson &
-    * Zaragoza 2009; k1 = 1.2, b = 0.75) — the classic lexical retrieval
-    * scorer a curation pipeline uses to pull topical slices out of a
-    * corpus. Returns the `topK` highest-scoring documents
-    * (id, bm25, rank), ties broken by id.
-    *
-    * Scale shape: term frequencies and document length come from ONE
-    * map-side pass over whitespace tokens (array `filter` counts per
-    * term — no explode, no per-token shuffle); the corpus statistics
-    * (N, total tokens, per-term document frequencies) are a single
-    * 1-row aggregate broadcast back over the corpus; the global top-k
-    * is a distributed TakeOrdered, and rank assignment windows only the
-    * k surviving rows. Nothing shuffles but the aggregate's partials
-    * and the k winners.
-    *
-    * Determinism: tf / df / dl are exact integers; the score is a fixed
-    * tree of IEEE double ops over them (divisions/multiplies/adds are
-    * correctly-rounded, hence bit-identical in any engine evaluating
-    * the same tree), plus one `ln` per term, where JVM and DuckDB libm
-    * agree to ≤ 1 ulp (measured: 11 of 11,500 idf inputs differ at the
-    * last bit) — `round(…, 6)` absorbs it. The oracle SQL mirrors the
-    * operator's exact expression tree, generated from the same term
-    * list. */
   /** Collapse runs of immediately-repeated tokens ("the the the" →
     * "the") — the stutter-cleanup pass ASR transcripts, scraped chat
     * logs, and generation-loop outputs all need before token budgeting
@@ -553,6 +530,29 @@ object TextAnalysis {
       .select(col(groupCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Okapi BM25 relevance ranking for a bag of query terms (Robertson &
+    * Zaragoza 2009; k1 = 1.2, b = 0.75) — the classic lexical retrieval
+    * scorer a curation pipeline uses to pull topical slices out of a
+    * corpus. Returns the `topK` highest-scoring documents
+    * (id, bm25, rank), ties broken by id.
+    *
+    * Scale shape: term frequencies and document length come from ONE
+    * map-side pass over whitespace tokens (array `filter` counts per
+    * term — no explode, no per-token shuffle); the corpus statistics
+    * (N, total tokens, per-term document frequencies) are a single
+    * 1-row aggregate broadcast back over the corpus; the global top-k
+    * is a distributed TakeOrdered, and rank assignment windows only the
+    * k surviving rows. Nothing shuffles but the aggregate's partials
+    * and the k winners.
+    *
+    * Determinism: tf / df / dl are exact integers; the score is a fixed
+    * tree of IEEE double ops over them (divisions/multiplies/adds are
+    * correctly-rounded, hence bit-identical in any engine evaluating
+    * the same tree), plus one `ln` per term, where JVM and DuckDB libm
+    * agree to ≤ 1 ulp (measured: 11 of 11,500 idf inputs differ at the
+    * last bit) — `round(…, 6)` absorbs it. The oracle SQL mirrors the
+    * operator's exact expression tree, generated from the same term
+    * list. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")

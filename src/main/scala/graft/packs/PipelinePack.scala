@@ -1756,8 +1756,9 @@ object PipelinePack extends QueryPack {
   // ---- DuckDB oracles ---------------------------------------------------
 
   /** Shared shingle CTE (word 3-shingles, distinct) — byte-identical to
-    * Dedup.shingleExpr. */
-  /** Perturbed documents twin for the audit queries: every 17th doc
+    * Dedup.shingleExpr (defined below at `shingleCte`).
+    *
+    * Perturbed documents twin for the audit queries: every 17th doc
     * deleted, every 13th edited, every 19th re-inserted under a new key
     * — deterministic, same arithmetic in the oracle's `b` CTE. */
   private def auditTwin(docs: org.apache.spark.sql.DataFrame)
@@ -1913,7 +1914,7 @@ object PipelinePack extends QueryPack {
        |     )) AS BIGINT) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS bucket
        | FROM embeddings)""".stripMargin
 
-  /** Decimal-exact cosine pairs in DuckDB via ordinality join. */
+  // (the decimal-exact cosine-pairs oracle itself is `cosineSql` below)
   /** Nearest-centroid confusion chain (mirror of
     * Similarity.centroidClassify): per-label micro-unit mean centroids,
     * exact DECIMAL(38,18) distances, (d2, cid) argmax assignment, ending
@@ -2039,8 +2040,9 @@ object PipelinePack extends QueryPack {
     * iterations unrolled as CTE chains (c0 → dist_i/asg_i → c_{i+1}),
     * every accumulation in DECIMAL(38,18) exactly as the Spark
     * expressions do it, so centroids, assignments, probes, and the final
-    * rerank are bit-identical. */
-  /** Coarse k-means CTE chain over `exd` (c0 init → per-iteration
+    * rerank are bit-identical.
+    *
+    * Coarse k-means CTE chain over `exd` (c0 init → per-iteration
     * dist/asg/next → final dist$iters/asg$iters), shared by the IVF and
     * IVFPQ oracles — Lloyd's iterations unrolled, every accumulation in
     * DECIMAL(38,18) exactly as the Spark expressions do it. */
@@ -2189,8 +2191,9 @@ object PipelinePack extends QueryPack {
   /** Product-quantization oracle: per-subspace k-means (same decimal
     * contract as [[ivfSql]]) → corpus codes → per-query ADC tables →
     * exact-decimal ADC ranking. `iters` = 1 training update per
-    * codebook; subspace s covers dims [s·subDim+1, (s+1)·subDim]. */
-  /** Per-subspace PQ CTE chain (sub-vector slice → 1-update k-means
+    * codebook; subspace s covers dims [s·subDim+1, (s+1)·subDim].
+    *
+    * Per-subspace PQ CTE chain (sub-vector slice → 1-update k-means
     * codebook → corpus codes → per-query ADC distance table), shared by
     * the PQ and IVFPQ oracles. */
   private def pqSubspaceCtes(s: Int, subDim: Int, codebookSize: Int): String = {
@@ -2478,8 +2481,9 @@ object PipelinePack extends QueryPack {
     * applying the same merges to the same word is deterministic). The
     * vocab CTEs are MATERIALIZED: each is referenced twice (pair counts
     * + the next step), and inlining would go exponential in the step
-    * count. */
-  /** The BPE training chain as CTE text: word counts over `src` (any
+    * count.
+    *
+    * The BPE training chain as CTE text: word counts over `src` (any
     * CTE/table with a `text` column) → `numMerges` unrolled merge
     * steps → `lex` (word → trained symbol count). Shared by
     * [[bpeSql]] and EnginePack's project-surface BPE mix oracle. */

@@ -149,9 +149,9 @@ object PythonJob {
   /** Run one python model node. `inputs` maps the dbt-side input key
     * (`<ref name>` or `<source>.<table>`) to (DataFrame, catalog fqn or
     * storage path). Writes the model output to `target` via the
-    * adapter's staged swap on success. */
-  /** Run one table-materialized python model; returns the success message
-    * and throws (like every materialization) on interpreter failure. */
+    * adapter's staged swap on success. Table-materialized; returns the
+    * success message and throws (like every materialization) on
+    * interpreter failure. */
   def run(spark: SparkSession, adapter: SparkAdapter, node: Node,
       inputs: Map[String, (DataFrame, String)], target: Relation,
       interpreter: String): String = {
