@@ -49,9 +49,44 @@ object BuiltinMacros {
       s" / CAST($toks AS DOUBLE) END)"
   }
 
+  /** Builtin generic data tests (schema.yml `tests:` entries, no
+    * project macro needed — the audit-op math as failing-rows
+    * queries). A project may override by defining the same
+    * `test_<name>` macro. */
+  val testNames: Seq[String] = Seq("benford_plausible", "k_anonymous")
+
+  private val testMacros: Seq[String] = Seq(
+    // digits whose observed share deviates from Benford's
+    // log10(1+1/d) by more than `tolerance` — integer-cents leading
+    // digit, the Audit.benford contract as a failing-rows query
+    """{% macro test_benford_plausible(model, column_name, tolerance=0.05) %}
+      |WITH cents AS (
+      |  SELECT CAST(round(CAST({{ column_name }} AS DOUBLE) * 100)
+      |    AS BIGINT) AS c
+      |  FROM {{ model }} WHERE {{ column_name }} IS NOT NULL),
+      |d AS (
+      |  SELECT CAST(substring(CAST(c AS STRING), 1, 1) AS INT) AS digit
+      |  FROM cents WHERE c > 0),
+      |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+      |SELECT digit, n FROM (
+      |  SELECT digit, n,
+      |    n / CAST(sum(n) OVER () AS DOUBLE) AS share,
+      |    log10(1.0 + 1.0 / digit) AS expected
+      |  FROM cnt) t
+      |WHERE abs(share - expected) > {{ tolerance }}
+      |{% endmacro %}""".stripMargin,
+    // quasi-identifier values shared by fewer than k rows — the
+    // Audit.kAnonymity violation set as a failing-rows query
+    """{% macro test_k_anonymous(model, column_name, k=5) %}
+      |SELECT {{ column_name }} AS value, count(*) AS n
+      |FROM {{ model }}
+      |GROUP BY {{ column_name }}
+      |HAVING count(*) < {{ k }}
+      |{% endmacro %}""".stripMargin)
+
   /** Rendered FIRST in the macro prelude so any project/package macro of
     * the same name wins (Root > Imported > Core). */
-  val prelude: String = Seq(
+  val prelude: String = (Seq(
     "{% macro graft_token_count(col) %}(CASE WHEN length(trim({{ col }}))" +
       " = 0 THEN 0 ELSE size(split(trim({{ col }}), ' +')) END)" +
       "{% endmacro %}",
@@ -61,5 +96,5 @@ object BuiltinMacros {
       "{% endmacro %}",
     s"{% macro graft_lang_id(col) %}$langCase{% endmacro %}",
     s"{% macro graft_stopword_ratio(col) %}$stopRatio{% endmacro %}"
-  ).mkString("\n")
+  ) ++ testMacros).mkString("\n")
 }

@@ -516,6 +516,71 @@ object EnginePack extends QueryPack {
            |FROM $schema.status_counts sc""".stripMargin)
     }),
 
+    // builtin generic data tests (engine-shipped test assets: the audit
+    // math as failing-rows queries, no project macro needed): a Benford
+    // screen on order totals (warn severity, failures stored) and a
+    // k-anonymity screen on priorities; the query reads both
+    // store_failures tables and the oracle re-derives the counts
+    "q_engine_builtin_tests" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_btests")
+      write(proj, "dbt_project.yml",
+        """name: btests
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/totals.sql",
+        """{{ config(materialized='table') }}
+          |select o_orderkey, o_totalprice, o_orderpriority
+          |from {{ source('tpch', 'orders') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: totals
+          |    columns:
+          |      - name: o_totalprice
+          |        tests:
+          |          - benford_plausible:
+          |              tolerance: 0.02
+          |              severity: warn
+          |              config: {store_failures: true}
+          |      - name: o_orderpriority
+          |        tests:
+          |          - k_anonymous:
+          |              k: 5
+          |              severity: warn
+          |              config: {store_failures: true}
+          |""".stripMargin)
+      val schema = "g_engine_btests"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      s.sql(s"DROP DATABASE IF EXISTS `${schema}_failures` CASCADE")
+      val loc = Files.createTempDirectory("graft_btests_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(r =>
+        !Set("success", "pass", "warn").contains(r.status))
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.status} ${r.message}").mkString(" | "))
+      val nb = runner.adapter.read(graft.core.Relation(
+        s"${schema}_failures", "benford_plausible_totals_o_totalprice"))
+        .count()
+      val nk = runner.adapter.read(graft.core.Relation(
+        s"${schema}_failures", "k_anonymous_totals_o_orderpriority"))
+        .count()
+      import s.implicits._
+      Seq(("benford_plausible", nb), ("k_anonymous", nk))
+        .toDF("test", "n_failures").orderBy("test")
+    }),
+
     // dbt-spark `file_format:` — an ORC table model built through the
     // same staged-swap write path; the query ASSERTS the catalog
     // provider is really orc, then the parquet source re-derives the
@@ -1408,6 +1473,34 @@ object EnginePack extends QueryPack {
     // SAME parameters as the Scala-composed q_pipeline_curation — one
     // oracle, two drivers (library composition vs model SQL + YAML)
     "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    // the builtin tests' failing-rows queries re-derived: Benford digit
+    // deviations at tolerance 0.02 and priority groups under 5 rows
+    "q_engine_builtin_tests" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+        |    AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM cents WHERE c > 0),
+        |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |bf AS (
+        |  SELECT count(*) AS nf FROM (
+        |    SELECT digit,
+        |      n / CAST(sum(n) OVER () AS DOUBLE) AS share,
+        |      log10(1.0 + 1.0 / digit) AS expected
+        |    FROM cnt) t
+        |  WHERE abs(share - expected) > 0.02),
+        |ka AS (
+        |  SELECT count(*) AS nf FROM (
+        |    SELECT o_orderpriority FROM orders
+        |    GROUP BY o_orderpriority HAVING count(*) < 5) t)
+        |SELECT 'benford_plausible' AS test, CAST(bf.nf AS BIGINT)
+        |  AS n_failures FROM bf
+        |UNION ALL
+        |SELECT 'k_anonymous', CAST(ka.nf AS BIGINT) FROM ka
+        |ORDER BY test""".stripMargin,
 
     "q_engine_file_format" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,

@@ -75,8 +75,13 @@ final class Runner(
     (graft.funcs.BuiltinMacros.prelude +:
       (project.packages ++ Seq(project)).flatMap(_.macroSources))
       .mkString("\n")
+  /** Macro-backed generic tests: project `{% test %}` blocks plus the
+    * engine's builtin test assets (benford_plausible, k_anonymous —
+    * the audit-op math as failing-rows queries); a project block of
+    * the same name overrides at render by macro locality. */
   private val customTests: Set[String] =
-    project.allProjects.flatMap(_.customTests).toSet
+    project.allProjects.flatMap(_.customTests).toSet ++
+      graft.funcs.BuiltinMacros.testNames
   /** materialization name → adapters with a user {% materialization %}
     * block. Checked BEFORE the builtin table: Root/Imported locality beats
     * Core, so a user block may override a builtin materialization. */
