@@ -39,6 +39,15 @@ class EngineUnitSpec extends AnyFunSuite {
     val ratio = Jinja.render(builtin +
       "\n{{ graft_stopword_ratio('text') }}", Map.empty)
     assert(ratio.contains("'the'") && ratio.contains("CAST"), ratio)
+    // builtin generic tests render with their kwargs bound
+    val kan = Jinja.render(builtin +
+      "\n{{ test_k_anonymous('s.t', 'c', k=3) }}", Map.empty)
+    assert(kan.contains("HAVING count(*) < 3") && kan.contains("FROM s.t"),
+      kan)
+    val bf = Jinja.render(builtin +
+      "\n{{ test_benford_plausible('s.t', 'v', tolerance=0.1) }}",
+      Map.empty)
+    assert(bf.contains("> 0.1") && bf.contains("log10"), bf)
     // Root > Core: a project macro of the same name, rendered AFTER the
     // builtin prelude (the Runner/Resolver concatenation order), wins
     val overridden = Jinja.render(builtin +
