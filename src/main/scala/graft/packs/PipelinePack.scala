@@ -1614,6 +1614,23 @@ object PipelinePack extends QueryPack {
         .orderBy("event_type", "day")
     }),
 
+    // weekly autocorrelation of daily counts per type: corr(x_t,
+    // x_{t−7}) — the direct seasonality strength number next to MASE;
+    // the exact-corr op composed onto a lag window (row-based lags
+    // over the dense synthetic calendar)
+    "q_ts_autocorr" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = daily
+        .withColumn("lag7", lag(col("n_day"), 7).over(w))
+        .filter(col("lag7").isNotNull)
+      graft.ops.Stats.corrByGroup(lagged, "event_type", "n_day", "lag7")
+        .orderBy("event_type")
+    }),
+
     // per-type volume trend: OLS slope of daily counts on the day
     // index — "is this metric growing?"; the linreg op composed onto a
     // row_number time axis, exact integer sufficient statistics
@@ -4902,6 +4919,30 @@ object PipelinePack extends QueryPack {
         |FROM inter i JOIN sz sa ON sa.g = i.group_a
         |             JOIN sz sb ON sb.g = i.group_b
         |ORDER BY group_a, group_b""".stripMargin,
+
+    // the corr oracle arithmetic over a 7-day lag window
+    "q_ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS HUGEINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, x,
+        |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM daily),
+        |t AS (SELECT event_type, x, y FROM lg WHERE y IS NOT NULL),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS r
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // the linreg oracle arithmetic over a row_number day index
     "q_ts_trend" ->
