@@ -1614,6 +1614,23 @@ object PipelinePack extends QueryPack {
         .orderBy("event_type", "day")
     }),
 
+    // day-of-week seasonal profile: mean daily volume by ISO weekday
+    // per type — the SHAPE behind the autocorrelation number; two
+    // bounded aggregates (weekday+1 = DuckDB isodow)
+    "q_ts_seasonal_profile" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      daily
+        .groupBy(col("event_type"),
+          (weekday(col("day")) + 1).as("isodow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n_day")).as("__s"))
+        .select(col("event_type"), col("isodow"), col("n_days"),
+          round(col("__s").cast("double") / col("n_days").cast("double"),
+            6).as("mean_daily"))
+        .orderBy("event_type", "isodow")
+    }),
+
     // weekly autocorrelation of daily counts per type: corr(x_t,
     // x_{t−7}) — the direct seasonality strength number next to MASE;
     // the exact-corr op composed onto a lag window (row-based lags
@@ -4919,6 +4936,18 @@ object PipelinePack extends QueryPack {
         |FROM inter i JOIN sz sa ON sa.g = i.group_a
         |             JOIN sz sb ON sb.g = i.group_b
         |ORDER BY group_a, group_b""".stripMargin,
+
+    "q_ts_seasonal_profile" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(isodow(day) AS INT) AS isodow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_daily
+        |FROM daily GROUP BY 1, 2
+        |ORDER BY event_type, isodow""".stripMargin,
 
     // the corr oracle arithmetic over a 7-day lag window
     "q_ts_autocorr" ->
