@@ -339,6 +339,16 @@ object IncrementalMat extends Materialization {
     if (cfg.uniqueKey.isEmpty)
       throw new IllegalArgumentException(
         "merge_aggregate requires unique_key (the aggregate's group keys)")
+    // hash_buckets exists for keyed ROW rewrites (merge/delete+insert);
+    // a partial-aggregate state table regroups fully each run, so there
+    // is no touched-bucket pruning to ride — reject the combination by
+    // name instead of letting the exact-columns check below fail with a
+    // message about aggregate_columns that never mentions the real cause
+    if (cfg.extra.contains("hash_buckets"))
+      throw new IllegalArgumentException(
+        "merge_aggregate does not support hash_buckets: the state table " +
+          "is regrouped on unique_key each run, so bucket-partition " +
+          "pruning never applies — remove hash_buckets or use merge")
     val fns: Map[String, String] = cfg.extra.get("aggregate_columns") match {
       case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> graft.project.Yaml.str(v) }

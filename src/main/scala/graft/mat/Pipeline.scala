@@ -82,10 +82,11 @@ object PipelineMat extends Materialization {
     // applied to data-quality summaries
     if (audits.nonEmpty) {
       val written = ctx.adapter.read(ctx.target)
-      audits.foreach { a =>
-        val rel = ctx.target.copy(
-          identifier = s"${ctx.target.identifier}__audit_${a.op}")
-        ctx.adapter.writeTableAtomic(a.apply(written), rel)
+      audits.zip(PipelineAudits.relationSuffixes(audits)).foreach {
+        case (a, suffix) =>
+          val rel = ctx.target.copy(
+            identifier = s"${ctx.target.identifier}$suffix")
+          ctx.adapter.writeTableAtomic(a.apply(written), rel)
       }
     }
     MatResult(ctx.target, "success",
@@ -106,7 +107,20 @@ object PipelineAudits {
 
   val knownOps: Seq[String] =
     Seq("profile", "k_anonymity", "benford", "key_skew", "moments",
-      "gini")
+      "gini", "tfidf_terms", "collocations", "zipf")
+
+  /** Side-relation suffix per audit: the first occurrence of an op keeps
+    * the stable `__audit_<op>` name; repeats (e.g. two k_anonymity
+    * audits over different column sets) get `__audit_<op>_<n>` so the
+    * second can't silently overwrite the first. */
+  def relationSuffixes(audits: Seq[Audit]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    audits.map { a =>
+      val n = seen.getOrElse(a.op, 0) + 1
+      seen(a.op) = n
+      if (n == 1) s"__audit_${a.op}" else s"__audit_${a.op}_$n"
+    }
+  }
 
   def parse(raw: Option[Any]): Seq[Audit] = raw match {
     case None => Nil
@@ -129,6 +143,8 @@ object PipelineAudits {
     m.get(k).map(String.valueOf).getOrElse(
       throw new IllegalArgumentException(
         s"pipeline audit `$op` requires `$k:`"))
+  private def str0(m: Map[String, Any], k: String, dflt: String): String =
+    m.get(k).map(String.valueOf).getOrElse(dflt)
   private def int(m: Map[String, Any], k: String, dflt: Int): Int =
     m.get(k).map(String.valueOf(_).toInt).getOrElse(dflt)
 
@@ -160,6 +176,27 @@ object PipelineAudits {
         val gc = reqStr(m, "group_col", op)
         val vc = reqStr(m, "value_col", op)
         df => graft.ops.Stats.giniByGroup(df, gc, vc)
+      // c-TF-IDF: the k terms most characteristic of each group of the
+      // WRITTEN corpus — "what did each source's surviving slice end up
+      // being about" (topic drift shows here before it shows in loss)
+      case "tfidf_terms" =>
+        val gc = reqStr(m, "group_col", op)
+        val tc = str0(m, "text_col", "text")
+        val k = int(m, "k", 5)
+        df => graft.ops.TextAnalysis.tfidfTopTermsByGroup(df, gc, tc, k)
+      // PMI collocations over the written corpus: boilerplate and
+      // template phrases surface as top pairs — the post-dedup check
+      // that the near-dup pass actually removed the template mass
+      case "collocations" =>
+        val tc = str0(m, "text_col", "text")
+        df => graft.ops.TextAnalysis.collocations(df, tc,
+          minCount = int(m, "min_count", 5), topK = int(m, "k", 50))
+      // Zipf slope per group: generated/templated slices flatten away
+      // from the organic −1 — the one-number naturalness audit
+      case "zipf" =>
+        val gc = reqStr(m, "group_col", op)
+        val tc = str0(m, "text_col", "text")
+        df => graft.ops.TextAnalysis.zipfFit(df, gc, tc)
       case other => throw new IllegalArgumentException(
         s"unknown pipeline audit op `$other` (known: ${knownOps.mkString(", ")})")
     }
@@ -173,7 +210,11 @@ object PipelineAudits {
   * columns) so chains compose without schema surprises. */
 object PipelineSteps {
 
-  final case class Step(op: String, apply: DataFrame => DataFrame)
+  /** `raw` is the step's full YAML map — the incremental runner
+    * re-reads typed params from it (an incremental step needs state
+    * plumbing the plain `apply` closure cannot carry). */
+  final case class Step(op: String, raw: Map[String, Any],
+    apply: DataFrame => DataFrame)
 
   val knownOps: Seq[String] = Seq("gopher_gate", "exact_dedup",
     "minhash_dedup", "fuzzy_dedup", "semantic_dedup", "token_count",
@@ -195,22 +236,22 @@ object PipelineSteps {
   }
 
   // ---- typed param readers (YAML scalars arrive as Long/String/Boolean)
-  private def str(m: Map[String, Any], k: String, dflt: => String): String =
+  private[mat] def str(m: Map[String, Any], k: String, dflt: => String): String =
     m.get(k).map(String.valueOf).getOrElse(dflt)
-  private def reqStr(m: Map[String, Any], k: String, op: String): String =
+  private[mat] def reqStr(m: Map[String, Any], k: String, op: String): String =
     m.get(k).map(String.valueOf).getOrElse(throw new IllegalArgumentException(
       s"pipeline step `$op` requires `$k:`"))
-  private def int(m: Map[String, Any], k: String, dflt: Int): Int =
+  private[mat] def int(m: Map[String, Any], k: String, dflt: Int): Int =
     m.get(k).map(String.valueOf(_).toInt).getOrElse(dflt)
-  private def lng(m: Map[String, Any], k: String, op: String): Long =
+  private[mat] def lng(m: Map[String, Any], k: String, op: String): Long =
     m.get(k).map(String.valueOf(_).toLong).getOrElse(
       throw new IllegalArgumentException(s"pipeline step `$op` requires `$k:`"))
-  private def dbl(m: Map[String, Any], k: String, dflt: Double): Double =
+  private[mat] def dbl(m: Map[String, Any], k: String, dflt: Double): Double =
     m.get(k).map(String.valueOf(_).toDouble).getOrElse(dflt)
-  private def bool(m: Map[String, Any], k: String, dflt: Boolean): Boolean =
+  private[mat] def bool(m: Map[String, Any], k: String, dflt: Boolean): Boolean =
     m.get(k).map(String.valueOf(_).toBoolean).getOrElse(dflt)
 
-  private def keepInputColumns(before: Array[String])(df: DataFrame): DataFrame =
+  private[mat] def keepInputColumns(before: Array[String])(df: DataFrame): DataFrame =
     df.select(before.map(c => col(s"`$c`")).toIndexedSeq: _*)
 
   private def build(m: Map[String, Any]): Step = {
@@ -294,9 +335,13 @@ object PipelineSteps {
           val counted = tokenizer match {
             case "whitespace" => size(split(col(s"`$textCol`"), " "))
             case "bpe" =>
+              // max_words absent → Bpe's 1M default cap; max_words <= 0
+              // is the explicit unbounded opt-out
               val learned = Bpe.train(df, textCol,
                 numMerges = int(m, "merges", 20),
-                maxWords = m.get("max_words").map(String.valueOf(_).toInt))
+                maxWords = m.get("max_words").map(String.valueOf(_).toInt)
+                  .map(v => if (v <= 0) None else Some(v))
+                  .getOrElse(Some(Bpe.DefaultMaxWords)))
               Bpe.tokenCount(textCol, learned)
             case other => throw new IllegalArgumentException(
               s"token_count `tokenizer:` must be whitespace or bpe: $other")
@@ -458,8 +503,8 @@ object PipelineSteps {
       case "quality_classifier_filter" =>
         val textCol = str(m, "text_col", "text")
         val idCol = str(m, "id_col", "doc_id")
-        val iters = int(m, "iters", 4)
-        val lr = dbl(m, "lr", 0.1)
+        val iters = int(m, "iters", 8)
+        val lr = dbl(m, "lr", 0.5)
         val threshold = dbl(m, "threshold", 0.5)
         df => {
           val xs = Seq("x1", "x2", "x3", "x4")
@@ -543,7 +588,11 @@ object PipelineSteps {
 
       // curriculum schedule: append the difficulty band + the
       // band-rotating interleave key (ascending interleave_key = one
-      // item per band in rotation, easy→hard within each rotation)
+      // item per band in rotation, easy→hard within each rotation).
+      // LEFT join: rows with a NULL score have no place in the schedule
+      // (curriculumOrder drops them) but are NOT a filter step's
+      // business to remove — they pass through with NULL band /
+      // interleave_key for the caller to route
       case "curriculum" =>
         val idCol = str(m, "id_col", "doc_id")
         val scoreCol = reqStr(m, "score_col", op)
@@ -551,13 +600,13 @@ object PipelineSteps {
         df => {
           val order = Sampling.curriculumOrder(df, idCol, scoreCol, bands)
           df.join(order.select(col(s"`$idCol`"), col("band"),
-            col("interleave_key")), idCol)
+            col("interleave_key")), Seq(idCol), "left")
         }
 
       case other => throw new IllegalArgumentException(
         s"unknown pipeline step op `$other` (known: ${knownOps.mkString(", ")})")
     }
-    Step(op, fn)
+    Step(op, m, fn)
   }
 }
 

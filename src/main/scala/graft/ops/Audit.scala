@@ -104,10 +104,9 @@ object Audit {
     // total from the same partial-agg'd pass (the '<NULL>' coalesce runs
     // BEFORE grouping, so the rollup's null subtotal row is unambiguous);
     // the cached rollup output is distinct-key-sized, never input-sized
-    val rolled = df
+    val rolled = Dedup.maybeCache(df
       .select(coalesce(col(keyCol).cast("string"), lit("<NULL>")).as("key"))
-      .rollup("key").agg(count(lit(1)).as("n_rows"))
-      .cache()
+      .rollup("key").agg(count(lit(1)).as("n_rows")))
     val counts = rolled.filter(col("key").isNotNull)
     val total = rolled.filter(col("key").isNull)
       .select(col("n_rows").as("__total"))

@@ -76,12 +76,17 @@ object Bpe {
     * dropped) — the same convention as the other text operators. Stops
     * early if no adjacent pair remains. `maxWords` caps the collected
     * word-frequency table (and therefore driver memory) to the top-N
-    * most frequent words — REQUIRED thinking for an open-vocabulary
-    * 100 TB corpus, where the full table is unbounded; `None` collects
-    * every distinct word and is only for corpora whose vocabulary is
-    * known-bounded. */
+    * most frequent words — the 100 TB contract, where the full
+    * open-vocabulary table is unbounded. The DEFAULT is a 1M-word cap
+    * (≈ tens of MB of driver state at realistic word lengths, and far
+    * beyond where BPE merge statistics stop changing — the tail it
+    * drops is hapax noise); pass `None` to explicitly opt out for a
+    * corpus whose vocabulary is known-bounded and must be counted
+    * exhaustively. */
+  val DefaultMaxWords = 1000000
+
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      maxWords: Option[Int] = None): Seq[(String, String)] = {
+      maxWords: Option[Int] = Some(DefaultMaxWords)): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
     maxWords.foreach(v => require(v > 0, s"maxWords must be positive: $v"))
     val wc0 = docs.filter(col(textCol).isNotNull)

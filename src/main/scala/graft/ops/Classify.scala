@@ -39,9 +39,10 @@ object Classify {
   /** Quality features + Gopher-gate label for [[train]]: x1 = token
     * count / 100, x2 = mean word length / 10, x3 = stopword ratio,
     * x4 = punctuation ratio (the [[TextAnalysis.qualityFeatures]]
-    * definitions, scaled into comparable ranges by exact constants —
-    * data-dependent standardization would add a sqrt to the portable
-    * contract for no verification gain), y = 1.0 iff the row passes
+    * definitions, scaled into comparable ranges by exact constants;
+    * [[train]] additionally standardizes per-feature — constant-factor
+    * scaling alone cannot fix the conditioning of a near-constant
+    * feature), y = 1.0 iff the row passes
     * every Gopher rule. NULL-text rows drop (their label is
     * undefined). Returns (idCol, carryCols..., x1..x4, y), cached —
     * the training loop reads it iters+1 times; `carryCols` are
@@ -92,27 +93,104 @@ object Classify {
   def fastSigmoid(zc: Column): Column =
     lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
 
-  /** `iters` full-batch GD iterations from zero weights at fixed
-    * learning rate: wⱼ ← wⱼ − lr·(Σ (σ̃(z) − y)·xⱼ) / n. Returns the
-    * weight vector (bias first). One aggregate job per iteration;
+  /** Scalar inverse of the fast sigmoid: the z with σ̃(z) = p — the
+    * model-consistent "logit" (2·(p−0.5)) / (1 − 2·|p−0.5|), a pinned
+    * tree of correctly-rounded IEEE ops (no `ln`, which would put a
+    * libm call into the portable contract). Degenerate p (≤0 or ≥1,
+    * where the true logit is ±∞) maps to 0 — a single-class corpus has
+    * no boundary to place. */
+  private[graft] def fastLogit(p: Double): Double =
+    if (p <= 0.0 || p >= 1.0) 0.0
+    else {
+      val d = p - 0.5
+      (2.0 * d) / (1.0 - 2.0 * math.abs(d))
+    }
+
+  /** `iters` full-batch GD iterations at fixed learning rate:
+    * wⱼ ← wⱼ − lr·(Σ (σ̃(z) − y)·xⱼ) / n. Returns the weight vector
+    * (bias first) IN RAW-FEATURE SPACE — callers score with
+    * `fastSigmoid(z(w, xCols))` over the same columns they trained on.
+    * One aggregate job per iteration plus one up-front moments pass;
     * cache `feat` (as [[gateFeatures]] does) or each iteration
-    * re-derives it. */
+    * re-derives it.
+    *
+    * Default training recipe (both opt-outable):
+    *
+    * `biasInit = true`: the BIAS starts at [[fastLogit]] of the label
+    * base rate p = Σy/n (feature weights at zero), so the untrained
+    * model already scores every row at p and GD refines from the class
+    * prior instead of from σ̃ = 0.5. Zero-init on imbalanced labels
+    * leaves few-iteration runs entirely on one side of 0.5 — a scorer
+    * whose conventional decision boundary never fires.
+    *
+    * `standardize = true`: GD runs over (xⱼ − μⱼ)/σⱼ and the learned
+    * weights FOLD BACK to raw space (wⱼ/σⱼ; bias − Σ (wⱼ/σⱼ)·μⱼ, a
+    * pinned left-associated chain). Raw-space GD on these features is
+    * hopeless conditioning: a near-constant feature (σ ≈ 0.02) carries
+    * most of the label signal but contributes ~σ² to the gradient, so
+    * fixed-lr GD needs thousands of iterations to move its weight —
+    * measured on the bench corpus, unstandardized scores never cross
+    * 0.5 at any (iters ≤ 256, lr ≤ 2) while standardized GD separates
+    * by iteration 8. Constant features (σ = 0) pin σ := 1 and keep
+    * weight 0.
+    *
+    * Exactness: μ/σ/p come from ONE pass of DECIMAL(38,18) sums
+    * (order-independent) with pinned double combinations — σ is one
+    * correctly-rounded `sqrt` (IEEE-exact in any engine, like +,×,÷),
+    * variance ≤ 0 (rounding) pins σ := 1. Every standardized value,
+    * gradient term, update, and the final fold is the same pinned tree
+    * in the oracle's unrolled-CTE re-derivation, so the returned
+    * vector is bit-identical at any parallelism and in any engine. */
   def train(feat: DataFrame, xCols: Seq[String], yCol: String,
-      iters: Int, lr: Double): Array[Double] = {
+      iters: Int, lr: Double, biasInit: Boolean = true,
+      standardize: Boolean = true): Array[Double] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
-    var w: Array[Double] = Array.fill(xCols.length + 1)(0.0)
+    val k = xCols.length
+    var w: Array[Double] = Array.fill(k + 1)(0.0)
+    // one moments pass serves the bias init AND the standardization
+    val momAggs = count(lit(1)).as("n") +:
+      sum(col(yCol).cast("decimal(38,18)")).as("sy") +:
+      xCols.flatMap(c => Seq(
+        sum(col(c).cast("decimal(38,18)")),
+        sum((col(c) * col(c)).cast("decimal(38,18)"))))
+    val mom = feat.agg(momAggs.head, momAggs.tail: _*).head()
+    val nRows = mom.getLong(0)
+    if (nRows == 0) return w
+    val nD = nRows.toDouble
+    if (biasInit && !mom.isNullAt(1))
+      w(0) = fastLogit(mom.getDecimal(1).doubleValue / nD)
+    val mu = Array.tabulate(k)(j => mom.getDecimal(2 + 2 * j).doubleValue / nD)
+    val sd = Array.tabulate(k) { j =>
+      val ex2 = mom.getDecimal(3 + 2 * j).doubleValue / nD
+      val v = ex2 - mu(j) * mu(j)
+      if (v <= 0.0) 1.0 else math.sqrt(v)
+    }
+    val gdFeat =
+      if (!standardize) feat
+      else feat.select(col(yCol) +: xCols.zipWithIndex.map { case (c, j) =>
+        ((col(c) - lit(mu(j))) / lit(sd(j))).as(c) }: _*)
     for (_ <- 0 until iters) {
       val resid = fastSigmoid(z(w.toSeq, xCols)) - col(yCol)
       val aggs = count(lit(1)).cast("double").as("n") +:
         sum(resid.cast("decimal(38,18)")).as("s0") +:
         xCols.zipWithIndex.map { case (c, j) =>
           sum((resid * col(c)).cast("decimal(38,18)")).as(s"s${j + 1}") }
-      val r = feat.agg(aggs.head, aggs.tail: _*).head()
+      val r = gdFeat.agg(aggs.head, aggs.tail: _*).head()
       val n = r.getDouble(0)
       w = Array.tabulate(w.length)(j =>
         w(j) - lr * (r.getDecimal(j + 1).doubleValue / n))
     }
-    w
+    if (!standardize) w
+    else {
+      // fold back to raw space: wⱼ → wⱼ/σⱼ, bias → b − Σ (wⱼ/σⱼ)·μⱼ
+      // as a pinned left-associated subtraction chain (the oracle
+      // writes the identical chain)
+      val folded = Array.tabulate(k)(j => w(j + 1) / sd(j))
+      var b = w(0)
+      var j = 0
+      while (j < k) { b -= folded(j) * mu(j); j += 1 }
+      b +: folded
+    }
   }
 
   /** Calibration / reliability table for a [0,1] score column: fixed-

@@ -383,14 +383,23 @@ object Dedup {
     * set ops and join payloads. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, perms: Int = 128, bands: Int = 21,
-      threshold: Double = 0.8): DataFrame = {
-    val sigs = maybeCache(minhashSignatures(df, idCol, textCol, k, perms))
+      threshold: Double = 0.8): DataFrame =
+    minhashNearDupsFromSigs(
+      maybeCache(minhashSignatures(df, idCol, textCol, k, perms)),
+      perms, bands, threshold, maxBandBucket(df))
+
+  /** [[minhashNearDups]] from an already-computed (id, shh, sig)
+    * signature table — the entry point when the signatures are a
+    * PERSISTED index (the incremental-pipeline state) rather than a
+    * throwaway projection, so a run never re-shingles what it stored. */
+  def minhashNearDupsFromSigs(sigs: DataFrame, perms: Int, bands: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
     // Candidates come from the one-shuffle bucket-pairs aggregate over
     // narrow (id, band, bandhash) rows; the heavy shingle-hash arrays
     // join back ONLY for the deduplicated candidate pairs (the same
     // narrow-then-rejoin shape as [[shingleCandidates]]).
     val pairIds = bucketPairs(bandedOf(sigs, perms, bands),
-      Seq("band", "bandhash"), maxBandBucket(df))
+      Seq("band", "bandhash"), maxBucket)
     val candidates = pairIds
       .join(sigs.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")

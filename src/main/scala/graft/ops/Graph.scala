@@ -52,14 +52,26 @@ object Graph {
     *
     * Returns (id, ru) where ru is the final rank in micro-units of
     * `unit` per 1.0 of probability mass, as DECIMAL(38,0).
-    */
+    *
+    * `checkpointEvery`: every k iterations the rank table is
+    * `localCheckpoint`ed (eager), truncating the per-iteration plan
+    * lineage — without it the plan nests one join+agg per iteration and
+    * past ~20 iterations analysis time (and executor deserialization)
+    * grows superlinearly. Values do not change (the checkpoint is a
+    * materialization boundary, not a recompute), so oracle parity is
+    * untouched; the trade is losing lineage-based recomputation of the
+    * checkpointed ranks on executor loss, which a driver-coordinated
+    * iterative job accepts (the GraphX/Pregel convention). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, nodes: DataFrame, idCol: String, iters: Int,
       dampNum: Int = 17, dampDen: Int = 20,
-      unit: Long = 1000000000000L): DataFrame = {
+      unit: Long = 1000000000000L,
+      checkpointEvery: Option[Int] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampNum > 0 && dampDen > dampNum,
       "damping must satisfy 0 < dampNum < dampDen")
+    checkpointEvery.foreach(k =>
+      require(k > 0, s"checkpointEvery must be positive: $k"))
     // Persist the iteration-invariant tables: every iteration re-reads
     // the edge list and the out-weights, and without a materialization
     // boundary Catalyst re-derives the caller's whole edge-building plan
@@ -85,7 +97,7 @@ object Graph {
 
     var r = n.crossJoin(broadcast(nn))
       .select(col("id"), fdiv(uu, col("nn")).as("ru"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val inflow = e.join(r, col("src") === col("id"))
         .join(outw, "src")
         .select(col("dst"), fdiv(col("ru") * col("w"), col("ow")).as("c"))
@@ -96,6 +108,8 @@ object Graph {
           (tele + fdiv(lit(dampNum).cast(d38) *
               coalesce(col("s"), lit(0).cast(d38)),
             lit(dampDen).cast(d38))).cast(d38).as("ru"))
+      if (it < iters && checkpointEvery.exists(it % _ == 0))
+        r = r.localCheckpoint()
     }
     r
   }
@@ -121,11 +135,11 @@ object Graph {
     * Returns (id, n_triangles) for nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
-    val und = edges.select(
+    val und = Dedup.maybeCache(edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().cache()
+      .distinct())
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // rank = (deg, id): a total order, so orientation is acyclic
@@ -140,19 +154,19 @@ object Graph {
           struct(col("b").as("u"), col("a").as("v"), col("__da").as("dv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .cache()
+    val orientedC = Dedup.maybeCache(oriented)
     // emit each out-neighbor PAIR once, rank-ordered (v1 below v2 in the
     // same (deg, id) total order the orientation uses) — half the wedges
     // of an unordered self-join, and the closure edge v1→v2 is then the
     // only candidate, so the equi-join needs no dedup
-    val wedges = oriented.select(col("u"), col("v").as("__v1"),
+    val wedges = orientedC.select(col("u"), col("v").as("__v1"),
         col("dv").as("__d1"))
-      .join(oriented.select(col("u"), col("v").as("__v2"),
+      .join(orientedC.select(col("u"), col("v").as("__v2"),
         col("dv").as("__d2")), "u")
       .filter(col("__d1") < col("__d2") ||
         (col("__d1") === col("__d2") && col("__v1") < col("__v2")))
     val tri = wedges.join(
-      oriented.select(col("u").as("__v1"), col("v").as("__v2")),
+      orientedC.select(col("u").as("__v1"), col("v").as("__v2")),
       Seq("__v1", "__v2"))
     tri.select(explode(array(col("u"), col("__v1"), col("__v2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))

@@ -124,6 +124,12 @@ object Timeseries {
     require(window >= 1 && window <= 32, s"window out of range: $window")
     require(wNum > 0 && wDen > wNum,
       s"decay must satisfy 0 < wNum < wDen: $wNum/$wDen")
+    // the Long power tables wrap silently past 2^63 (e.g. wDen=10 at
+    // window>=20: 10^19 > Long.MaxValue) — the 10^38 DECIMAL bound below
+    // covers only the accumulation, so the table itself must be checked
+    require(BigInt(wDen).pow(window - 1).isValidLong,
+      s"wDen^(window-1) = $wDen^${window - 1} overflows Long — " +
+        "use a smaller window or a smaller decay denominator")
     val d38 = DecimalType(38, 0)
     // literal power tables: POW[k+1] = base^k, k = 0..window−1
     def pows(base: Int): Seq[Long] =

@@ -1391,7 +1391,7 @@ object EnginePack extends QueryPack {
           |        - op: quality_classifier_filter
           |          text_col: text
           |          id_col: doc_id
-          |          threshold: 0.43
+          |          threshold: 0.5
           |""".stripMargin)
       val schema = "g_engine_clfgate"
       s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
@@ -1550,8 +1550,9 @@ object EnginePack extends QueryPack {
         |ORDER BY t.doc_id""".stripMargin),
 
     // classifier-step survivors per source (shared GD chain + the
-    // same unrounded threshold)
-    "q_engine_classify_project" -> PipelinePack.classifySurvivorsSql("0.43"),
+    // same unrounded threshold — the CONVENTIONAL 0.5 boundary, which
+    // the base-rate bias init makes meaningful)
+    "q_engine_classify_project" -> PipelinePack.classifySurvivorsSql("0.5"),
 
     // gate (shared Gopher CTEs) → BPE lexicon RE-LEARNED over the gated
     // subset (shared training chain, the step-input contract) → per-doc

@@ -1175,7 +1175,7 @@ object PipelinePack extends QueryPack {
         Tables(s, dir, "documents").select("doc_id", "source", "text"),
         "doc_id", "text")
       val w = Classify.train(feat, classifyX, "y",
-        iters = classifyIters, lr = 0.1)
+        iters = classifyIters, lr = classifyLr)
       feat.withColumn("__z", Classify.z(w.toSeq, classifyX))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -1194,7 +1194,7 @@ object PipelinePack extends QueryPack {
         Tables(s, dir, "documents").select("doc_id", "source", "text"),
         "doc_id", "text")
       val w = Classify.train(feat, classifyX, "y",
-        iters = classifyIters, lr = 0.1)
+        iters = classifyIters, lr = classifyLr)
       val zc = Classify.z(w.toSeq, classifyX)
       feat.filter(col("doc_id") % 23 === 0)
         .select(col("doc_id"),
@@ -1211,7 +1211,7 @@ object PipelinePack extends QueryPack {
         Tables(s, dir, "documents").select("doc_id", "source", "text"),
         "doc_id", "text")
       val w = Classify.train(feat, classifyX, "y",
-        iters = classifyIters, lr = 0.1)
+        iters = classifyIters, lr = classifyLr)
       val scored = feat.withColumn("__score",
         Classify.fastSigmoid(Classify.z(w.toSeq, classifyX)))
       Classify.calibration(scored, "__score", "y", bins = 100)
@@ -1226,11 +1226,11 @@ object PipelinePack extends QueryPack {
         Tables(s, dir, "documents").select("doc_id", "source", "text"),
         "doc_id", "text")
       val w = Classify.train(feat, classifyX, "y",
-        iters = classifyIters, lr = 0.1)
+        iters = classifyIters, lr = classifyLr)
       val scored = feat.withColumn("__score",
         Classify.fastSigmoid(Classify.z(w.toSeq, classifyX)))
       Classify.prCurve(scored, "__score", "y",
-        Seq(0.40, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46))
+        Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8))
         .orderBy("threshold")
     }),
 
@@ -2554,17 +2554,29 @@ object PipelinePack extends QueryPack {
   /** Feature names / iteration budget shared by the classifier
     * queries and their generated oracles. */
   private val classifyX = Seq("x1", "x2", "x3", "x4")
-  private val classifyIters = 4
+  // 8 standardized-GD iterations at lr 0.5 separate the bench labels
+  // (scores straddle 0.5 from iteration ~8; see Classify.train scaladoc)
+  private val classifyIters = 8
+  private val classifyLr = 0.5
+  /** lr as the SQL literal — 0.5 is exactly representable, so the
+    * parsed double is bit-identical in both engines. */
+  private val classifyLrSql = "0.5"
 
   /** DuckDB mirror of Classify.gateFeatures + Classify.train: the
     * feature CTE reuses the proven q_text_quality formula text (plus
-    * the Gopher rule conjunction as the label), and each GD iteration
+    * the Gopher rule conjunction as the label); a one-pass moments CTE
+    * re-derives the base-rate bias init (the fast-logit pinned tree)
+    * and the per-feature μ/σ standardization (σ = one correctly-
+    * rounded sqrt, variance ≤ 0 pinned to 1); each GD iteration
     * unrolls into (z join, decimal gradient sums, weight update) CTEs
-    * — the same pinned expression trees the Spark side evaluates:
-    * fast sigmoid 0.5 + z/(2·(1+|z|)) (exact IEEE, no libm),
-    * DECIMAL(38,18) gradient sums, one decimal→double conversion per
-    * weight per step. `cfeat` and the gradient CTEs are MATERIALIZED
-    * (multi-referenced; inlining goes exponential in iters). */
+    * over the STANDARDIZED features — the same pinned expression trees
+    * the Spark side evaluates: fast sigmoid 0.5 + z/(2·(1+|z|)) (exact
+    * IEEE, no libm), DECIMAL(38,18) gradient sums, one decimal→double
+    * conversion per weight per step — and the final weights fold back
+    * to raw space through the identical left-associated chain, so
+    * `scoredz` scores raw features exactly as every Spark caller does.
+    * `cfeat` and the gradient CTEs are MATERIALIZED (multi-referenced;
+    * inlining goes exponential in iters). */
   private def logisticCtes(iters: Int): String = {
     val punct = "length(replace(replace(replace(replace(replace(replace(" +
       "b.text,'.',''),',',''),'!',''),'?',''),';',''),':',''))"
@@ -2583,14 +2595,40 @@ object PipelinePack extends QueryPack {
       |          AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram
       |         THEN 1.0 ELSE 0.0 END AS y
       |  FROM feat f JOIN base b USING (doc_id) JOIN rules r USING (doc_id)),
-      |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
-      |  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
-      |  CAST(0.0 AS DOUBLE) AS w4)""".stripMargin
+      |mom AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+      |    ${(1 to 4).map(j =>
+                s"CAST(sum(CAST(x$j AS DECIMAL(38,18))) AS DOUBLE) AS s$j, " +
+                s"CAST(sum(CAST(x$j * x$j AS DECIMAL(38,18))) AS DOUBLE) AS q$j")
+                .mkString(",\n      |    ")}
+      |  FROM cfeat),
+      |clfstats AS MATERIALIZED (
+      |  SELECT sy / n AS p,
+      |    ${(1 to 4).map(j =>
+                s"s$j / n AS mu$j,\n      |    " +
+                s"CASE WHEN (q$j / n) - (s$j / n) * (s$j / n) <= 0.0 THEN 1.0 " +
+                s"ELSE sqrt((q$j / n) - (s$j / n) * (s$j / n)) END AS sd$j")
+                .mkString(",\n      |    ")}
+      |  FROM mom),
+      |sfeat AS MATERIALIZED (
+      |  SELECT c.doc_id, c.source,
+      |    (c.x1 - s.mu1) / s.sd1 AS x1, (c.x2 - s.mu2) / s.sd2 AS x2,
+      |    (c.x3 - s.mu3) / s.sd3 AS x3, (c.x4 - s.mu4) / s.sd4 AS x4,
+      |    c.y
+      |  FROM cfeat c CROSS JOIN clfstats s),
+      |w0 AS (
+      |  SELECT CASE WHEN p <= 0.0 OR p >= 1.0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE (2.0 * (p - 0.5)) / (1.0 - 2.0 * abs(p - 0.5)) END AS b,
+      |    CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+      |    CAST(0.0 AS DOUBLE) AS w3, CAST(0.0 AS DOUBLE) AS w4
+      |  FROM clfstats)""".stripMargin
     val sig = "(0.5 + z / (2.0 * (1.0 + abs(z))) - y)"
+    val lr = classifyLrSql
     val steps = (0 until iters).map { i =>
       s"""z$i AS (
          |  SELECT c.*, $zExprSql AS z
-         |  FROM cfeat c CROSS JOIN w$i w),
+         |  FROM sfeat c CROSS JOIN w$i w),
          |g$i AS MATERIALIZED (
          |  SELECT CAST(count(*) AS DOUBLE) AS n,
          |    sum(CAST($sig AS DECIMAL(38,18))) AS s0,
@@ -2600,18 +2638,24 @@ object PipelinePack extends QueryPack {
          |    sum(CAST($sig * x4 AS DECIMAL(38,18))) AS s4
          |  FROM z$i),
          |w${i + 1} AS (
-         |  SELECT w.b - 0.1 * (CAST(g.s0 AS DOUBLE) / g.n) AS b,
-         |    w.w1 - 0.1 * (CAST(g.s1 AS DOUBLE) / g.n) AS w1,
-         |    w.w2 - 0.1 * (CAST(g.s2 AS DOUBLE) / g.n) AS w2,
-         |    w.w3 - 0.1 * (CAST(g.s3 AS DOUBLE) / g.n) AS w3,
-         |    w.w4 - 0.1 * (CAST(g.s4 AS DOUBLE) / g.n) AS w4
+         |  SELECT w.b - $lr * (CAST(g.s0 AS DOUBLE) / g.n) AS b,
+         |    w.w1 - $lr * (CAST(g.s1 AS DOUBLE) / g.n) AS w1,
+         |    w.w2 - $lr * (CAST(g.s2 AS DOUBLE) / g.n) AS w2,
+         |    w.w3 - $lr * (CAST(g.s3 AS DOUBLE) / g.n) AS w3,
+         |    w.w4 - $lr * (CAST(g.s4 AS DOUBLE) / g.n) AS w4
          |  FROM w$i w CROSS JOIN g$i g)""".stripMargin
     }
     s"""$head,
        |${steps.mkString(",\n")},
+       |wf AS (
+       |  SELECT w.b - (w.w1 / s.sd1) * s.mu1 - (w.w2 / s.sd2) * s.mu2
+       |      - (w.w3 / s.sd3) * s.mu3 - (w.w4 / s.sd4) * s.mu4 AS b,
+       |    w.w1 / s.sd1 AS w1, w.w2 / s.sd2 AS w2,
+       |    w.w3 / s.sd3 AS w3, w.w4 / s.sd4 AS w4
+       |  FROM w$iters w CROSS JOIN clfstats s),
        |scoredz AS (
        |  SELECT c.*, $zExprSql AS z
-       |  FROM cfeat c CROSS JOIN w$iters w)""".stripMargin
+       |  FROM cfeat c CROSS JOIN wf w)""".stripMargin
   }
 
   /** The pinned left-associated linear score (SQL + is left-assoc,
@@ -2858,7 +2902,7 @@ object PipelinePack extends QueryPack {
     "q_classify_calibration" ->
       classifyCalibrationSql(classifyIters, bins = 100),
     "q_classify_pr_curve" -> classifyPrCurveSql(classifyIters,
-      Seq(0.40, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46)),
+      Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)),
 
     // the trained lexicon's piece strings, straight from the final
     // vocab CTE of the re-learned chain

@@ -96,4 +96,13 @@ class BpeSpec extends AnyFunSuite {
     assert(n(1L) === 4) // no merges: token count = char count per word
     assert(n(2L) === -1) // NULL text stays NULL (callers filter, as bm25)
   }
+
+  test("maxWords defaults to the bounded 1M cap; None is the opt-out") {
+    import spark.implicits._
+    assert(graft.ops.Bpe.DefaultMaxWords == 1000000)
+    val docs = Seq("aa ab aa b", "aa ab").toDF("text")
+    // under the cap the capped and unbounded tables are identical
+    assert(graft.ops.Bpe.train(docs, "text", numMerges = 3) ===
+      graft.ops.Bpe.train(docs, "text", numMerges = 3, maxWords = None))
+  }
 }

@@ -27,16 +27,66 @@ class ClassifySpec extends AnyFunSuite {
     val feat = Seq(
       (0.2, 0.5, 0.25, 0.0, 1.0),
       (0.1, 0.3, 0.0, 0.5, 0.0)).toDF("x1", "x2", "x3", "x4", "y")
+    // balanced labels -> fastLogit(0.5) = 0, so the default bias init
+    // is exactly zero here too
     assert(Classify.train(feat, X, "y", iters = 0, lr = 0.1).toSeq ===
       Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    // plain-GD hand check (init/standardization opted out):
     // zero weights -> z = 0 -> sigma = 0.5 -> resid = 0.5 - y, so
     // s_j = sum((0.5 - y) * x_j), w_j = -0.1 * s_j / 2:
     //   s = (0, -0.05, -0.10, -0.125, 0.25)
-    val w = Classify.train(feat, X, "y", iters = 1, lr = 0.1)
+    val w = Classify.train(feat, X, "y", iters = 1, lr = 0.1,
+      biasInit = false, standardize = false)
     val expect = Seq(0.0, 0.0025, 0.005, 0.00625, -0.0125)
     w.toSeq.zip(expect).foreach { case (g, e) =>
       assert(math.abs(g - e) < 1e-9, s"got ${w.toSeq}, want $expect")
     }
+  }
+
+  test("bias init: untrained model scores every row at the base rate") {
+    import spark.implicits._
+    // 3/4 positive -> fastLogit(0.75) = 0.5/0.5 = 1 -> sigma(1) = 0.75
+    val feat = Seq(
+      (0.2, 0.1, 0.0, 0.0, 1.0), (0.4, 0.2, 0.0, 0.0, 1.0),
+      (0.6, 0.3, 0.0, 0.0, 1.0), (0.8, 0.4, 0.0, 0.0, 0.0))
+      .toDF("x1", "x2", "x3", "x4", "y")
+    val w = Classify.train(feat, X, "y", iters = 0, lr = 0.1)
+    assert(w(0) === 1.0, s"fastLogit(0.75) should be exactly 1: ${w.toSeq}")
+    assert(w.drop(1).forall(_ == 0.0))
+    val s = feat.select(Classify.fastSigmoid(Classify.z(w.toSeq, X)))
+      .head().getDouble(0)
+    assert(s === 0.75)
+  }
+
+  test("default recipe separates the bench labels: scores straddle 0.5") {
+    // the round-9 verdict's quality defect: zero-init unstandardized GD
+    // on the imbalanced Gopher labels left every score on one side of
+    // 0.5, so the conventional decision boundary never fired. The
+    // default recipe (base-rate bias init + standardized GD) must put
+    // scores on BOTH sides at the default step parameters.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    val feat = Classify.gateFeatures(docs, "doc_id", "text")
+    val w = Classify.train(feat, X, "y", iters = 8, lr = 0.5)
+    val sc = feat.select(
+      Classify.fastSigmoid(Classify.z(w.toSeq, X)).as("s"),
+      col("y"))
+    val r = sc.agg(
+      sum(when(col("s") >= 0.5, 1L).otherwise(0L)).as("ge"),
+      sum(when(col("s") < 0.5, 1L).otherwise(0L)).as("lt"),
+      sum(when((col("s") >= 0.5) === (col("y") === 1.0), 1L)
+        .otherwise(0L)).as("agree"),
+      count(lit(1)).as("n"),
+      sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("pos")).head()
+    assert(r.getLong(0) > 0, "at least one score >= 0.5")
+    assert(r.getLong(1) > 0, "at least one score < 0.5")
+    // the trained gate must beat majority-class accuracy — otherwise
+    // the scorer is still decorative
+    val majority = math.max(r.getLong(4), r.getLong(3) - r.getLong(4))
+    assert(r.getLong(2) > majority,
+      s"accuracy ${r.getLong(2)}/${r.getLong(3)} should beat " +
+        s"majority $majority")
   }
 
   test("fast sigmoid: exact midpoint, range, monotonicity") {

@@ -25,13 +25,21 @@ class CoverageHygieneSpec extends AnyFunSuite {
     "Dedup.maxBandBucket",     // bucket-size guard for the pairs emitter
     "Dedup.maybeCache",        // small-plan cache boundary
     "Dedup.minhashSignature",  // SQL form kept as the oracle mirror
+    // factored core of minhashNearDups (same plan, q_dedup_minhash
+    // oracle) — the from-persisted-index entry the incremental
+    // pipeline state reuses
+    "Dedup.minhashNearDupsFromSigs",
     "Dedup.shingleCandidates", // narrow-then-rejoin candidate shape
     "Dedup.shingleExpr",       // k-shingle expression (q_text_topgrams too)
     "Dedup.spread",            // single-split input spreader (plan shape)
     "Dedup.withSimhashChunks", // simhash chunk columns (q_dedup_simhash)
     // Bpe internals: the initial-segmentation and UTF-8-order helpers
-    // under Bpe.train (q_text_bpe oracle + BpeSpec convention tests)
-    "Bpe.spaceout", "Bpe.utf8Less",
+    // under Bpe.train (q_text_bpe oracle + BpeSpec convention tests),
+    // plus the default driver-state cap constant (BpeSpec)
+    "Bpe.spaceout", "Bpe.utf8Less", "Bpe.DefaultMaxWords",
+    // Classify: scalar inverse of the fast sigmoid — the bias-init
+    // primitive under Classify.train (q_classify_* oracles re-derive it)
+    "Classify.fastLogit",
     // Sampling: hashBucket is the md5-bucket primitive under
     // deterministicSplit/sampleByHash/stratifiedSample (their oracles)
     "Sampling.hashBucket",

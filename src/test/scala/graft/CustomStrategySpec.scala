@@ -130,5 +130,13 @@ class CustomStrategySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       rerun(good.copy(uniqueKey = Nil), b2)
     }
+    // hash_buckets is a keyed-rewrite layout — the state table regroups
+    // fully, so the combination errors by name, not via a misleading
+    // schema-check message
+    val e = intercept[IllegalArgumentException] {
+      rerun(cfg(Map("aggregate_columns" -> Map("lo" -> "min"),
+        "hash_buckets" -> 8)), b2)
+    }
+    assert(e.getMessage.contains("hash_buckets"))
   }
 }

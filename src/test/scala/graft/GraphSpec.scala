@@ -94,4 +94,28 @@ class GraphSpec extends AnyFunSuite {
     assert(tris(Seq((1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1))) ===
       Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
   }
+
+  test("checkpointEvery: 25 iterations, values unchanged, lineage bounded") {
+    import spark.implicits._
+    val edges = Seq((1, 2, 1L), (2, 3, 1L), (3, 1, 1L), (1, 3, 2L))
+    val nodes = Seq(1, 2, 3)
+    def rank(cp: Option[Int]) =
+      Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+          nodes.toDF("id"), "id", iters = 25, checkpointEvery = cp)
+    val plain = rank(None)
+    val chk = rank(Some(5))
+    // localCheckpoint is a materialization boundary, never a value change
+    assert(chk.collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap ===
+      plain.collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap)
+    // the checkpointed plan must be bounded: its tree no longer nests all
+    // 25 iterations (the plain plan string grows ~linearly per iteration)
+    val plainDepth = plain.queryExecution.optimizedPlan.toString.length
+    val chkDepth = chk.queryExecution.optimizedPlan.toString.length
+    assert(chkDepth < plainDepth / 2,
+      s"checkpointed plan ($chkDepth chars) should be far smaller " +
+        s"than the unbounded one ($plainDepth chars)")
+    assert(intercept[IllegalArgumentException] {
+      rank(Some(0))
+    }.getMessage.contains("checkpointEvery"))
+  }
 }

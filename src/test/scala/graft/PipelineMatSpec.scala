@@ -359,6 +359,39 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("columns"))
   }
 
+  test("duplicate audit ops get occurrence-indexed side relations") {
+    import graft.mat.PipelineAudits
+    val audits = PipelineAudits.parse(Some(Seq(
+      Map("op" -> "k_anonymity", "columns" -> Seq("a")),
+      Map("op" -> "profile", "columns" -> Seq("a")),
+      Map("op" -> "k_anonymity", "columns" -> Seq("b")),
+      Map("op" -> "k_anonymity", "columns" -> Seq("c")))))
+    // first occurrence keeps the stable name; repeats are numbered, so
+    // two same-op audits can never silently overwrite each other
+    assert(PipelineAudits.relationSuffixes(audits) == Seq(
+      "__audit_k_anonymity", "__audit_profile",
+      "__audit_k_anonymity_2", "__audit_k_anonymity_3"))
+  }
+
+  test("text analysis audits route to their ops") {
+    import spark.implicits._
+    import graft.mat.PipelineAudits
+    val docs = Seq((1L, "a", "the cat sat on the mat"),
+      (2L, "a", "the cat sat"), (3L, "b", "dogs bark loud"))
+      .toDF("doc_id", "source", "text")
+    val audits = PipelineAudits.parse(Some(Seq(
+      Map("op" -> "tfidf_terms", "group_col" -> "source", "k" -> 2),
+      Map("op" -> "collocations", "min_count" -> 1, "k" -> 3),
+      Map("op" -> "zipf", "group_col" -> "source"))))
+    assert(audits.head.apply(docs).columns.toSeq ==
+      Seq("source", "term", "tfidf", "rank"))
+    assert(audits(1).apply(docs).columns.toSeq ==
+      Seq("w1", "w2", "n_pair", "pmi"))
+    assert(audits(2).apply(docs).columns.toSeq ==
+      Seq("source", "n_types", "zipf_slope", "intercept"))
+    assert(audits.head.apply(docs).count() == 4) // 2 groups × k=2
+  }
+
   test("unknown op and missing required params raise named errors") {
     val e1 = intercept[IllegalArgumentException](
       steps(Seq(Map("op" -> "nope"))).head)

@@ -163,4 +163,19 @@ class TimeseriesSpec extends AnyFunSuite {
     // k3 after the drop: [4, 6, 8] — one scored row: |8−4|=4, |8−6|=2
     assert(out("k3") == ((1L, 4.0, 2.0, Some(2.0))))
   }
+
+  test("ewma: out-of-range decay parameters error instead of wrapping") {
+    import spark.implicits._
+    val df = Seq(("k", 1, 100L), ("k", 2, 200L)).toDF("k", "t", "v")
+    // wDen=10, window=20 -> 10^19 > Long.MaxValue: must throw, not wrap
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Timeseries.ewma(df, "k", Seq("t"), "v",
+        window = 20, wNum = 9, wDen = 10)
+    }
+    assert(e.getMessage.contains("overflows Long"))
+    // the largest safe table at wDen=10 is window=19 (10^18 < 2^63)
+    val ok = graft.ops.Timeseries.ewma(df, "k", Seq("t"), "v",
+      window = 19, wNum = 9, wDen = 10).collect()
+    assert(ok.length == 2)
+  }
 }
