@@ -291,6 +291,73 @@ object TextAnalysis {
           col("n_bigrams").cast("double"), 6).as("surprise"))
   }
 
+  /** The (doc id, w1, w2) bigram pairs [[lmSurprise]] explodes —
+    * factored out so the trainable statistics and the scoring pass can
+    * run against DIFFERENT corpora (the frozen-model shape). */
+  private def bigramPairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = Dedup.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= 2)
+    base
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(__w) - 1),
+          |  i -> struct(element_at(__w, i) AS w1,
+          |              element_at(__w, i + 1) AS w2))""".stripMargin))
+        .as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+  }
+
+  /** The bigram language model [[lmSurprise]] trains internally, as
+    * PERSISTABLE relations: (bigram counts (w1, w2, c12), prefix counts
+    * (w1, c1), vocab (v)) — the frozen-model artifact an incremental
+    * curation pipeline stores on its first run so later increments are
+    * scored by the SAME model (training on each increment would gate
+    * each batch against different statistics — not reproducible, and
+    * wrong for drift measurement). Same count shapes as the inline
+    * trainer; vocab is a 1-row relation. */
+  def lmCounts(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val pairs = Dedup.maybeCache(bigramPairs(docs, idCol, textCol))
+    (pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("c12"))
+       .select(col("__w1").as("w1"), col("__w2").as("w2"), col("c12")),
+     pairs.groupBy("__w1").agg(count(lit(1)).as("c1"))
+       .select(col("__w1").as("w1"), col("c1")),
+     pairs.agg(countDistinct(col("__w1")).cast("long").as("v")))
+  }
+
+  /** Score documents under a FROZEN bigram LM from [[lmCounts]]: the
+    * same Laplace-smoothed mean surprise as [[lmSurprise]], with unseen
+    * bigrams/prefixes coalescing to count 0 — on the training corpus
+    * itself every bigram matches and the coalesces are no-ops, so this
+    * is bit-identical to the inline trainer there (the run-1 parity the
+    * incremental pipeline needs); on NEW text an out-of-vocabulary
+    * bigram scores ln((c1+V)/1) and an unseen prefix ln(V), the
+    * standard smoothed-model extension. Left joins keep the same
+    * bigram-keyed shuffle shape; the counts tables are the model, so at
+    * 100 TB they are vocabulary-bounded, never corpus-bounded. */
+  def lmSurpriseScore(docs: DataFrame, idCol: String, textCol: String,
+      bigrams: DataFrame, prefixes: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val pairs = bigramPairs(docs, idCol, textCol)
+    val surprise = log(
+      (coalesce(col("c1"), lit(0L)).cast("double") +
+        col("v").cast("double")) /
+        (coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)))
+    pairs
+      .join(bigrams, pairs("__w1") === bigrams("w1") &&
+        pairs("__w2") === bigrams("w2"), "left")
+      .drop("w1", "w2")
+      .join(prefixes, pairs("__w1") === prefixes("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__s", surprise.cast("decimal(38,18)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__s")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("surprise"))
+  }
+
   /** PMI collocations: the corpus's strongest adjacent-bigram
     * associations ("New York"-style multi-word expressions — Church &
     * Hanks 1990), a vocabulary-mining step tokenizer and phrase-merge
