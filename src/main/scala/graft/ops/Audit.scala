@@ -102,11 +102,14 @@ object Audit {
     require(k > 0, s"k must be positive: $k")
     // ONE input scan: rollup emits the per-key counts AND the grand
     // total from the same partial-agg'd pass (the '<NULL>' coalesce runs
-    // BEFORE grouping, so the rollup's null subtotal row is unambiguous);
-    // the cached rollup output is distinct-key-sized, never input-sized
-    val rolled = Dedup.maybeCache(df
+    // BEFORE grouping, so the rollup's null subtotal row is unambiguous).
+    // The cache is UNCONDITIONAL (not maybeCache): the rollup output is
+    // distinct-key-sized by construction, never input-sized, and both
+    // consumers (counts + total) would otherwise re-scan the full input
+    val rolled = df
       .select(coalesce(col(keyCol).cast("string"), lit("<NULL>")).as("key"))
-      .rollup("key").agg(count(lit(1)).as("n_rows")))
+      .rollup("key").agg(count(lit(1)).as("n_rows"))
+      .cache()
     val counts = rolled.filter(col("key").isNotNull)
     val total = rolled.filter(col("key").isNull)
       .select(col("n_rows").as("__total"))

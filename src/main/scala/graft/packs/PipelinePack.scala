@@ -1072,6 +1072,28 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // FROZEN bigram LM: counts trained on the doc_id % 3 != 0 slice
+    // (the "settled corpus"), then EVERY document scored under that
+    // frozen model — training-slice docs reproduce the inline trainer
+    // (run-1 parity), held-out docs exercise the smoothed-OOV left-join
+    // path. The artifacts round-trip through parquet exactly as the
+    // incremental pipeline persists them, so the scoring plan reads the
+    // model as a stored relation, not a live subplan
+    "q_text_lm_frozen" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val (big, uni, voc) = TextAnalysis.lmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lm_frozen").toString
+      big.write.mode("overwrite").parquet(s"$tmp/bigrams")
+      uni.write.mode("overwrite").parquet(s"$tmp/prefixes")
+      voc.write.mode("overwrite").parquet(s"$tmp/vocab")
+      TextAnalysis.lmSurpriseScore(docs, "doc_id", "text",
+        s.read.parquet(s"$tmp/bigrams"), s.read.parquet(s"$tmp/prefixes"),
+        s.read.parquet(s"$tmp/vocab"))
+        .orderBy("doc_id")
+    }),
+
     // per-source token-distribution KL drift vs the corpus mix: the
     // domain-slice monitoring check; dense (source × vocab) grid so
     // absent tokens still carry their smoothed mass
@@ -2522,11 +2544,18 @@ object PipelinePack extends QueryPack {
     * steps → `lex` (word → trained symbol count). Shared by
     * [[bpeSql]] and EnginePack's project-surface BPE mix oracle. */
   private[packs] def bpeLexCtes(src: String, numMerges: Int): String = {
+    // the top-1M (cnt DESC, w ASC) truncation mirrors Bpe.train's
+    // DefaultMaxWords driver-state cap — a no-op on bench-sized
+    // vocabularies, but keeping the oracle word table EXACTLY the
+    // trainer's word table at any corpus size (DuckDB and Spark both
+    // compare strings by UTF-8 bytes, so the tie-break agrees too)
     val head = s"""words AS (
-      |  SELECT w, count(*) AS cnt FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS w
-      |    FROM $src WHERE text IS NOT NULL)
-      |  WHERE w <> '' GROUP BY 1),
+      |  SELECT w, cnt FROM (
+      |    SELECT w, count(*) AS cnt FROM (
+      |      SELECT unnest(string_split(text, ' ')) AS w
+      |      FROM $src WHERE text IS NOT NULL)
+      |    WHERE w <> '' GROUP BY 1)
+      |  ORDER BY cnt DESC, w LIMIT ${graft.ops.Bpe.DefaultMaxWords}),
       |vocab0 AS MATERIALIZED (
       |  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms
       |  FROM words)""".stripMargin
@@ -2939,6 +2968,35 @@ object PipelinePack extends QueryPack {
         |  FROM pairs p
         |  JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
         |  JOIN uni u ON u.w1 = p.w1
+        |  CROSS JOIN vocab vb)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS surprise
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // frozen bigram LM: counts from the doc_id % 3 != 0 slice only,
+    // every doc scored under them — LEFT joins + COALESCE(…, 0) are the
+    // smoothed-OOV extension; on the training slice every join hits, so
+    // those rows are the inline trainer bit-for-bit
+    "q_text_lm_frozen" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM toks
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+        |train AS (SELECT * FROM pairs WHERE doc_id % 3 <> 0),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w1) AS v FROM train),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(ln((CAST(COALESCE(u.c1, 0) AS DOUBLE) + CAST(vb.v AS DOUBLE))
+        |             / (CAST(COALESCE(b.c12, 0) AS DOUBLE) + 1.0))
+        |      AS DECIMAL(38,18)) AS s
+        |  FROM pairs p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN uni u ON u.w1 = p.w1
         |  CROSS JOIN vocab vb)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)

@@ -117,6 +117,39 @@ class Bm25Spec extends AnyFunSuite {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("lmCounts + lmSurpriseScore: run-1 parity; smoothed OOV held-out") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val (big, uni, voc) = TextAnalysis.lmCounts(train, "doc_id", "text")
+    // run-1 parity: scoring the TRAINING corpus under the frozen
+    // counts is bit-identical to the inline trainer — every bigram is
+    // in-vocabulary there, so the left joins hit and the coalesces are
+    // no-ops (the contract the incremental pipeline's first run relies
+    // on when it persists the counts and re-reads them)
+    val inline = TextAnalysis.lmSurprise(train, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val frozen = TextAnalysis
+      .lmSurpriseScore(train, "doc_id", "text", big, uni, voc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(frozen == inline, s"run-1 parity: $frozen != $inline")
+    // held-out text under the FROZEN model: an unseen bigram with a
+    // seen prefix scores ln((c1+V)/(0+1)); an unseen prefix scores
+    // ln((0+V)/(0+1)) = ln V — the scaladoc's smoothed-OOV extension.
+    // Training stats: C(a·)=3, V=3.
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val held = Seq((10L, "a z"), (11L, "q r"), (12L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis
+      .lmSurpriseScore(held, "doc_id", "text", big, uni, voc)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(10L, 11L), s"1-token doc must drop: $out")
+    assert(out(10L) == ((1L, r6(math.log(6.0)))), s"${out(10L)}")
+    assert(out(11L) == ((1L, r6(math.log(3.0)))), s"${out(11L)}")
+  }
+
   test("tokenKlDrift: zero for the corpus itself, hand-math for slices") {
     import spark.implicits._
     // single source ⇒ P_g ≡ P_corpus even after smoothing ⇒ KL exactly 0
