@@ -447,9 +447,18 @@ object IncrementalMat extends Materialization {
   /** is_incremental(): target exists ∧ not full-refresh ∧ incremental
     * (MA/materializations/models/incremental/is_incremental.sql:1-13) —
     * evaluated at compile time and injected into the Jinja context. */
+  /** Whether `is_incremental()` renders true for this node: the
+    * incremental materialization proper, or a `pipeline` model with
+    * `incremental: true` (its model SQL uses the same macro to narrow
+    * the input to the new batch — the curation-run shape). */
   def isIncremental(adapter: SparkAdapter, target: Relation,
-      fullRefresh: Boolean, materialized: String): Boolean =
-    materialized == "incremental" && !fullRefresh && adapter.relationExists(target)
+      fullRefresh: Boolean, materialized: String,
+      extra: Map[String, Any] = Map.empty): Boolean = {
+    val incrementalish = materialized == "incremental" ||
+      (materialized == "pipeline" &&
+        extra.get("incremental").exists(v => String.valueOf(v).toBoolean))
+    incrementalish && !fullRefresh && adapter.relationExists(target)
+  }
 }
 
 /** Microbatch: the run is split into [begin, end) windows of `batch_size`,

@@ -70,11 +70,35 @@ object PipelineMat extends Materialization {
           "(a YAML list of {op: <name>, ...} maps); known ops: " +
           PipelineSteps.knownOps.mkString(", "))
     val audits = PipelineAudits.parse(ctx.config.extra.get("audits"))
-    val out = steps.foldLeft(ctx.compiled()) { (df, s) => s.apply(df) }
-    ctx.adapter.writeTableAtomic(out, ctx.target,
+    // `incremental: true`: first run (or --full-refresh) builds the full
+    // corpus AND persists per-step state (frozen trainer models, the
+    // minhash signature index); later runs process ONLY the new batch
+    // (the model SQL narrows its input via is_incremental(), exactly the
+    // incremental-materialization contract — reference
+    // MA/materializations/models/incremental/incremental.sql:2-99) and
+    // APPEND their surviving rows. At 100 TB this is the difference
+    // between a curation run that rescans the corpus and one that
+    // touches the daily slice + bounded model/state relations.
+    val incremental = ctx.config.extra.get("incremental")
+      .exists(v => String.valueOf(v).toBoolean)
+    val incrRun = incremental && !ctx.fullRefresh &&
+      ctx.adapter.relationExists(ctx.target)
+    if (incremental) steps.foreach(PipelineModels.checkIncrementalLegal)
+    // state mutations (index appends) are DEFERRED until the target
+    // write lands: the kept-rows plan still reads the PRE-batch state,
+    // and a failed run leaves the state untouched
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val out = steps.zip(PipelineModels.stepSuffixes(steps))
+      .foldLeft(ctx.compiled()) { case (df, (s, suffix)) =>
+        PipelineModels.applyManaged(ctx, s, suffix, df, incremental,
+          incrRun, deferred)
+      }
+    if (incrRun) ctx.adapter.appendToTable(out, ctx.target)
+    else ctx.adapter.writeTableAtomic(out, ctx.target,
       ctx.config.partitionBy, ctx.config.sortBy,
       ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
       ctx.config.layoutCurve, ctx.config.fileFormat)
+    deferred.foreach(_.apply())
     TableMat.applyTblProperties(ctx)
     // audits run AFTER the swap over the WRITTEN table (what downstream
     // consumers will actually read), each landing in its own
@@ -90,7 +114,8 @@ object PipelineMat extends Materialization {
       }
     }
     MatResult(ctx.target, "success",
-      s"pipeline: ${steps.map(_.op).mkString(" -> ")}" +
+      (if (incrRun) "pipeline (incremental batch): "
+       else "pipeline: ") + steps.map(_.op).mkString(" -> ") +
         (if (audits.isEmpty) ""
          else s" | audits: ${audits.map(_.op).mkString(", ")}"))
   }
@@ -210,9 +235,10 @@ object PipelineAudits {
   * columns) so chains compose without schema surprises. */
 object PipelineSteps {
 
-  /** `raw` is the step's full YAML map — the incremental runner
-    * re-reads typed params from it (an incremental step needs state
-    * plumbing the plain `apply` closure cannot carry). */
+  /** `raw` is the step's full YAML map — [[PipelineModels]] re-reads
+    * typed params from it when a step routes through frozen-model or
+    * incremental-state management (state plumbing the plain `apply`
+    * closure cannot carry). */
   final case class Step(op: String, raw: Map[String, Any],
     apply: DataFrame => DataFrame)
 
@@ -607,6 +633,314 @@ object PipelineSteps {
         s"unknown pipeline step op `$other` (known: ${knownOps.mkString(", ")})")
     }
     Step(op, m, fn)
+  }
+}
+
+/** Frozen-model and incremental-state management for pipeline steps —
+  * the state discipline of the reference's incremental machinery
+  * (MA/materializations/models/incremental/incremental.sql:2-99;
+  * changeset tracking crates/dbt-common/src/changeset.rs:10-18) applied
+  * to TRAINED artifacts:
+  *
+  *   - Trainer-bearing steps (surprise_filter's bigram LM,
+  *     quality_classifier_filter's logistic weights, token_count's BPE
+  *     merge table, dsir_select's bucket-ratio table) support
+  *     `mode: frozen`: the first run trains on the step's own input and
+  *     persists the model as a `<model>__model_<op>` side relation;
+  *     every later run RELOADS that relation and applies it verbatim —
+  *     so increments are gated by the SAME statistics as the base
+  *     corpus (training each batch against its own stats is not
+  *     reproducible and wrong for drift). The trained artifact is
+  *     always round-tripped through the written relation before use, so
+  *     run 1 scores under exactly the bytes run 2 will reload.
+  *     `mode: retrain` (the default for plain pipelines) keeps the
+  *     train-on-own-input behavior. Model relations are bounded by the
+  *     model (vocabulary / weight count / buckets), never corpus-sized.
+  *   - minhash_dedup inside an `incremental: true` pipeline keeps a
+  *     `<model>__state_minhash_dedup` index of every (id, shingle-set,
+  *     signature) it has SEEN; an incremental batch dedups against
+  *     itself AND that index via Dedup.minhashNearDupsIncremental —
+  *     settled old×old pairs are never re-enumerated, and history is
+  *     touched only through its narrow signature table. Keep rule: a
+  *     new doc survives iff its near-dup component touches NO settled
+  *     doc and it is the min-id member (settled rows are already
+  *     written and are never retracted — the q_dedup_incremental
+  *     contract). The batch's signatures append to the index AFTER the
+  *     target write lands.
+  *
+  * Inside an incremental pipeline every step must be batch-composable:
+  * row-local ops pass through, trainer ops are implicitly frozen, and
+  * corpus-global ops (mixing to a budget, corpus quantiles, global
+  * packing/sharding, exact/fuzzy/semantic dedup without an index) are
+  * rejected with the reason — silently wrong increments are worse than
+  * a loud error. */
+object PipelineModels {
+  import PipelineSteps.{Step, str, int, dbl, bool, reqStr,
+    keepInputColumns}
+
+  /** Does this step train a model on its own input? */
+  def trainerOp(s: Step): Boolean = s.op match {
+    case "surprise_filter" | "quality_classifier_filter" |
+         "dsir_select" => true
+    case "token_count" => str(s.raw, "tokenizer", "whitespace") == "bpe"
+    case _ => false
+  }
+
+  /** Steps that are pure per-row transforms/filters — batch-composable
+    * with no state at all. */
+  private val rowLocal = Set("gopher_gate", "normalize", "pii_mask",
+    "language_filter", "collapse_repeats", "token_count")
+
+  def checkIncrementalLegal(s: Step): Unit = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"pipeline step `${s.op}` cannot run in an incremental pipeline: " +
+        why)
+    s.op match {
+      case op if rowLocal(op) && !trainerOp(s) => ()
+      case op if trainerOp(s) =>
+        if (str(s.raw, "mode", "frozen") == "retrain")
+          fail("`mode: retrain` re-trains on each batch's own input — " +
+            "increments would be gated by batch-dependent statistics; " +
+            "use `mode: frozen` (the default here)")
+        if (op == "dsir_select" && s.raw.contains("top_k"))
+          fail("`top_k:` is a corpus-global cut (top-k of one batch is " +
+            "not top-k of the corpus); use `min_logw:` — a per-row " +
+            "threshold under the frozen ratio table")
+      case "minhash_dedup" =>
+        if (s.raw.contains("priority_col"))
+          fail("`priority_col:` can elect a new doc over an already-" +
+            "written settled row, which an append-only increment " +
+            "cannot retract; drop priority_col (min-id keep) or " +
+            "full-rebuild")
+      case other =>
+        fail("it is corpus-global (budgeted mixing, corpus quantiles, " +
+          "global packing order, or an index-less dedup); compute it " +
+          "over the full corpus in a downstream non-incremental model, " +
+          s"or full-rebuild (got: $other)")
+    }
+  }
+
+  /** Side-relation suffix per step (same occurrence-indexing rule as
+    * [[PipelineAudits.relationSuffixes]], so two steps of the same op
+    * keep distinct model/state relations). */
+  def stepSuffixes(steps: Seq[Step]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    steps.map { s =>
+      val n = seen.getOrElse(s.op, 0) + 1
+      seen(s.op) = n
+      if (n == 1) s"_${s.op}" else s"_${s.op}_$n"
+    }
+  }
+
+  /** Apply one step under management: frozen trainers and the
+    * incremental minhash index route through state relations; everything
+    * else falls through to the step's own closure. */
+  def applyManaged(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incremental: Boolean, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : DataFrame = {
+    val mode = str(s.raw, "mode",
+      if (incremental && trainerOp(s)) "frozen" else "retrain")
+    if (mode != "frozen" && mode != "retrain")
+      throw new IllegalArgumentException(
+        s"pipeline step `${s.op}`: `mode:` must be frozen or retrain, " +
+          s"got `$mode`")
+    if (s.op == "minhash_dedup" && incremental)
+      incrementalMinhash(ctx, s, suffix, df, incrRun, deferred)
+    else if (trainerOp(s) && mode == "frozen")
+      applyFrozen(ctx, s, suffix, df, retrainNow = incremental && !incrRun,
+        mustExist = incrRun)
+    else s.apply(df)
+  }
+
+  private def modelRel(ctx: MatContext, suffix: String) =
+    ctx.target.copy(identifier = s"${ctx.target.identifier}__model$suffix")
+  private def stateRel(ctx: MatContext, suffix: String) =
+    ctx.target.copy(identifier = s"${ctx.target.identifier}__state$suffix")
+
+  /** Train-or-load discipline: a missing model always trains on this
+    * run's input and persists; `retrainNow` (incremental run 1 /
+    * --full-refresh) overwrites; an incremental batch (`mustExist`)
+    * refuses to train silently. The artifact is ALWAYS read back from
+    * the written relation — run 1 scores under the persisted bytes. */
+  private def applyFrozen(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, retrainNow: Boolean, mustExist: Boolean): DataFrame = {
+    val rel = modelRel(ctx, suffix)
+    val exists = ctx.adapter.relationExists(rel)
+    if (!exists && mustExist) throw new IllegalStateException(
+      s"${rel.fqn}: frozen model relation missing on an incremental " +
+        "batch run — the state was lost; rebuild with --full-refresh")
+    if (retrainNow || !exists)
+      ctx.adapter.writeTableAtomic(trainArtifact(ctx, s, df), rel)
+    applyArtifact(ctx, s, df, ctx.adapter.read(rel))
+  }
+
+  /** The persistable trained artifact of one trainer-bearing step. */
+  private[mat] def trainArtifact(ctx: MatContext, s: Step,
+      df: DataFrame): DataFrame = {
+    val sp = ctx.spark
+    import sp.implicits._
+    s.op match {
+      case "surprise_filter" =>
+        val idCol = str(s.raw, "id_col", "doc_id")
+        val textCol = str(s.raw, "text_col", "text")
+        val (big, uni, voc) = TextAnalysis.lmCounts(
+          df.select(col(s"`$idCol`"), col(s"`$textCol`")), idCol, textCol)
+        // one relation, kind-discriminated: (bigram w1 w2 c12) ∪
+        // (prefix w1 - c1) ∪ (vocab - - v)
+        big.select(lit("bigram").as("kind"), col("w1"), col("w2"),
+            col("c12").as("c"))
+          .unionByName(uni.select(lit("prefix").as("kind"), col("w1"),
+            lit(null).cast("string").as("w2"), col("c1").as("c")))
+          .unionByName(voc.select(lit("vocab").as("kind"),
+            lit(null).cast("string").as("w1"),
+            lit(null).cast("string").as("w2"), col("v").as("c")))
+      case "quality_classifier_filter" =>
+        val idCol = str(s.raw, "id_col", "doc_id")
+        val textCol = str(s.raw, "text_col", "text")
+        val feat = graft.ops.Classify.gateFeatures(
+          df.select(col(s"`$idCol`"), col(s"`$textCol`")), idCol, textCol,
+          carryCols = Nil)
+        val w = graft.ops.Classify.train(feat, classifierXs, "y",
+          int(s.raw, "iters", 8), dbl(s.raw, "lr", 0.5))
+        w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("idx", "weight")
+      case "token_count" =>
+        val textCol = str(s.raw, "text_col", "text")
+        val merges = Bpe.train(df, textCol,
+          numMerges = int(s.raw, "merges", 20),
+          maxWords = s.raw.get("max_words").map(String.valueOf(_).toInt)
+            .map(v => if (v <= 0) None else Some(v))
+            .getOrElse(Some(Bpe.DefaultMaxWords)))
+        merges.zipWithIndex.map { case ((p1, p2), r) => (r, p1, p2) }
+          .toDF("rank", "p1", "p2")
+      case "dsir_select" =>
+        val idCol = str(s.raw, "id_col", "doc_id")
+        val textCol = str(s.raw, "text_col", "text")
+        val slim = df.select(col(s"`$idCol`"), col(s"`$textCol`"))
+        val target = df.filter(expr(reqStr(s.raw, "target_where", s.op)))
+          .select(col(s"`$idCol`"), col(s"`$textCol`"))
+        graft.ops.Dsir.bucketRatios(slim, target, idCol, textCol,
+          int(s.raw, "buckets", 4096))
+      case other => throw new IllegalArgumentException(
+        s"step `$other` has no trainable model")
+    }
+  }
+
+  private val classifierXs = Seq("x1", "x2", "x3", "x4")
+
+  /** Apply one trainer-bearing step under a FROZEN artifact relation. */
+  private[mat] def applyArtifact(ctx: MatContext, s: Step, df: DataFrame,
+      art: DataFrame): DataFrame = s.op match {
+    case "surprise_filter" =>
+      val idCol = str(s.raw, "id_col", "doc_id")
+      val textCol = str(s.raw, "text_col", "text")
+      val kept = TextAnalysis.lmSurpriseScore(
+        df.select(col(s"`$idCol`"), col(s"`$textCol`")), idCol, textCol,
+        art.filter(col("kind") === "bigram")
+          .select(col("w1"), col("w2"), col("c").as("c12")),
+        art.filter(col("kind") === "prefix")
+          .select(col("w1"), col("c").as("c1")),
+        art.filter(col("kind") === "vocab").select(col("c").as("v")))
+        .filter(col("surprise") <= dbl(s.raw, "max_surprise", 10.0))
+        .select(col(s"`$idCol`"))
+      df.join(kept, Seq(idCol), "left_semi")
+    case "quality_classifier_filter" =>
+      val idCol = str(s.raw, "id_col", "doc_id")
+      val textCol = str(s.raw, "text_col", "text")
+      // the weight vector is (xs + bias) rows — driver-bounded by
+      // construction, same shape Classify.train returns
+      val w = art.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+      require(w.length == classifierXs.length + 1,
+        s"frozen classifier artifact has ${w.length} weights, " +
+          s"expected ${classifierXs.length + 1}")
+      val feat = graft.ops.Classify.gateFeatures(
+        df.select(col(s"`$idCol`"), col(s"`$textCol`")), idCol, textCol,
+        carryCols = Nil)
+      val keep = feat.filter(graft.ops.Classify.fastSigmoid(
+        graft.ops.Classify.z(w, classifierXs)) >=
+          dbl(s.raw, "threshold", 0.5))
+        .select(col(s"`$idCol`"))
+      df.join(keep, Seq(idCol), "left_semi")
+    case "token_count" =>
+      val textCol = str(s.raw, "text_col", "text")
+      val merges = art.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val out = df.withColumn(str(s.raw, "out_col", "n_tok"),
+        Bpe.tokenCount(textCol, merges))
+      if (bool(s.raw, "drop_text", dflt = false)) out.drop(textCol) else out
+    case "dsir_select" =>
+      val idCol = str(s.raw, "id_col", "doc_id")
+      val textCol = str(s.raw, "text_col", "text")
+      val buckets = int(s.raw, "buckets", 4096)
+      val topK = s.raw.get("top_k").map(String.valueOf(_).toInt)
+      val minLogw = s.raw.get("min_logw").map(String.valueOf(_).toDouble)
+      if (topK.isEmpty && minLogw.isEmpty)
+        throw new IllegalArgumentException(
+          "pipeline step `dsir_select` requires `top_k:` or `min_logw:`")
+      val scored = graft.ops.Dsir.scoreWithRatios(
+        df.select(col(s"`$idCol`"), col(s"`$textCol`")), idCol, textCol,
+        art, buckets)
+      val kept = (topK match {
+        case Some(k) =>
+          scored.orderBy(col("logw").desc, col(s"`$idCol`").asc).limit(k)
+        case None => scored.filter(col("logw") >= minLogw.get)
+      }).select(col(s"`$idCol`"))
+      df.join(kept, Seq(idCol), "left_semi")
+    case other => throw new IllegalArgumentException(
+      s"step `$other` has no frozen-apply path")
+  }
+
+  /** minhash_dedup with a persisted signature index (incremental
+    * pipelines). Full build: normal dedup + persist every (id, shh,
+    * sig) seen. Batch run: near-dup pairs of the batch against itself
+    * AND the index; a new doc survives iff its component touches no
+    * settled doc and it is the min-id member; the batch's signatures
+    * append to the index after the target write (deferred). */
+  private def incrementalMinhash(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : DataFrame = {
+    val idCol = str(s.raw, "id_col", "doc_id")
+    val textCol = str(s.raw, "text_col", "text")
+    val k = int(s.raw, "k", 3)
+    val perms = int(s.raw, "perms", 128)
+    val bands = int(s.raw, "bands", 21)
+    val threshold = dbl(s.raw, "threshold", 0.8)
+    val rel = stateRel(ctx, suffix)
+    if (!incrRun) {
+      // full build: persist first, pair from the PERSISTED index (the
+      // bytes later batches will join against), then canonical keep
+      val sigs = Dedup.minhashSignatures(df, idCol, textCol, k, perms)
+      ctx.adapter.writeTableAtomic(sigs, rel)
+      val pairs = Dedup.minhashNearDupsFromSigs(ctx.adapter.read(rel),
+        perms, bands, threshold, Dedup.maxBandBucket(df))
+      keepInputColumns(df.columns)(Dedup.canonicalCorpus(df, pairs, idCol))
+    } else {
+      if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
+        s"${rel.fqn}: minhash signature index missing on an incremental " +
+          "batch run — the state was lost; rebuild with --full-refresh")
+      val index = ctx.adapter.read(rel)
+      val pairs = Dedup.minhashNearDupsIncremental(df, idCol, textCol,
+        index, k, perms, bands, threshold)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val settledComps = cc
+        .join(index.select(col("id").as("__sid")), cc("id") === col("__sid"),
+          "left_semi")
+        .select(col("component_id").as("__sc")).distinct()
+      // drop: any clustered doc whose component touches a settled doc,
+      // plus non-min members of pure-new components (settled ids in the
+      // drop list are harmless — the anti-join only affects batch rows)
+      val drop = cc
+        .join(settledComps, cc("component_id") === col("__sc"), "left")
+        .filter(col("__sc").isNotNull || col("id") =!= col("component_id"))
+        .select(col("id").as("__drop_id"))
+      val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
+        "left_anti")
+      deferred += (() => ctx.adapter.appendToTable(
+        Dedup.minhashSignatures(df, idCol, textCol, k, perms), rel))
+      kept
+    }
   }
 }
 

@@ -107,4 +107,69 @@ object Dsir {
     importanceWeights(raw, target, idCol, textCol, buckets)
       .orderBy(col("logw").desc, col(idCol).asc)
       .limit(k)
+
+  /** The per-bucket log importance-ratio table as a PERSISTABLE frozen
+    * artifact: (bucket, lr) for every feature bucket the raw corpus
+    * hits — the SAME smoothed four-ln expression [[importanceWeights]]
+    * computes internally, so scoring the training corpus under the
+    * persisted table reproduces it bit-for-bit — PLUS one sentinel row
+    * (bucket = −1, the real buckets are ≥ 0) carrying the unseen-bucket
+    * default ln(((0+1)·(rt+B)) / ((tt+B)·(0+1))): the smoothing
+    * evaluated at tc = rc = 0, so held-out text whose features miss the
+    * table still scores under the same model. ≤ buckets + 1 rows —
+    * bounded by construction, never corpus-sized. */
+  def bucketRatios(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val rawPairs = docBuckets(Dedup.spread(raw.select(col(idCol),
+      col(textCol))), idCol, textCol, buckets)
+    val tCounts = docBuckets(target, idCol, textCol, buckets)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__tc"))
+    val rCounts = Dedup.maybeCache(
+      rawPairs.groupBy(col("__b")).agg(count(lit(1)).as("__rc")))
+    val tTot = tCounts.agg(sum(col("__tc")).as("__tt"))
+    val rTot = rCounts.agg(sum(col("__rc")).as("__rt"))
+    def lrExpr(tc: Column, rc: Column): Column =
+      log(tc.cast("double") + lit(1.0)) -
+        log(col("__tt").cast("double") + lit(buckets.toDouble)) -
+        log(rc.cast("double") + lit(1.0)) +
+        log(col("__rt").cast("double") + lit(buckets.toDouble))
+    val real = rCounts
+      .join(tCounts, Seq("__b"), "left_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__b").as("bucket"),
+        lrExpr(coalesce(col("__tc"), lit(0L)), col("__rc")).as("lr"))
+    val dflt = tTot.crossJoin(rTot)
+      .select(lit(-1L).as("bucket"), lrExpr(lit(0L), lit(0L)).as("lr"))
+    real.unionByName(dflt)
+  }
+
+  /** Score documents under a FROZEN [[bucketRatios]] table: the same
+    * length-normalized per-doc mean log-ratio as [[importanceWeights]].
+    * On the training corpus every bucket hits the table (its spine is
+    * the raw corpus's own buckets), so the coalesce is a no-op and the
+    * result is the inline trainer bit-for-bit — the run-1 parity an
+    * incremental pipeline needs; on new text, unseen buckets coalesce
+    * to the sentinel default. The ratio table broadcasts (bounded by
+    * `buckets`); scoring stays one explode + broadcast join + one
+    * per-doc decimal-sum shuffle. */
+  def scoreWithRatios(docs: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, buckets: Int = 4096): DataFrame = {
+    val pairs = docBuckets(Dedup.spread(docs.select(col(idCol),
+      col(textCol))), idCol, textCol, buckets)
+    val real = ratios.filter(col("bucket") >= 0)
+      .select(col("bucket").as("__b"), col("lr").as("__lr"))
+    val dflt = ratios.filter(col("bucket") < 0)
+      .select(col("lr").as("__dl"))
+    pairs
+      .join(broadcast(real), Seq("__b"), "left_outer")
+      .crossJoin(broadcast(dflt))
+      .withColumn("__s",
+        coalesce(col("__lr"), col("__dl")).cast("decimal(38,18)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__s")).as("__sum"))
+      .select(col(idCol), col("n_feats"),
+        round(col("__sum").cast("double") /
+          col("n_feats").cast("double"), 6).as("logw"))
+  }
 }

@@ -1408,6 +1408,144 @@ object EnginePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // FROZEN classifier from the project surface: run 1 trains the
+    // quality gate on the doc_id % 3 != 0 slice and persists the weight
+    // vector as a __model_ side relation; run 2 (vars flipped to the
+    // full corpus) REBUILDS the table but scores under run-1's frozen
+    // weights — the reproducible-gating contract (an increment must be
+    // judged by the same statistics as the base corpus). The oracle
+    // re-derives the whole recipe with training narrowed to the slice
+    // and scoring over everything.
+    "q_engine_frozen_classifier" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_frozen_clf")
+      def projYml(slice: String) =
+        s"""name: frozenclf
+           |model-paths: ["models"]
+           |vars:
+           |  slice: "$slice"
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml("doc_id % 3 <> 0"))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/gated.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |where {{ var('slice') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: gated
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: quality_classifier_filter
+          |          text_col: text
+          |          id_col: doc_id
+          |          threshold: 0.5
+          |          mode: frozen
+          |""".stripMargin)
+      val schema = "g_engine_frozenclf"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_frozen_clf_wh").toString
+      def runOnce(): Unit = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      }
+      runOnce() // trains on the slice, persists the model
+      write(proj, "dbt_project.yml", projYml("TRUE"))
+      runOnce() // rebuilds the full corpus under the FROZEN weights
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      runner.adapter.read(graft.core.Relation(schema, "gated"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // the INCREMENTAL curation pipeline: gate → frozen perplexity gate →
+    // index-backed minhash dedup → token count, run as base (doc_id <
+    // 250) + increment (the rest, narrowed by is_incremental() in the
+    // model SQL). Run 1 trains/persists the LM and the signature index
+    // and writes the base corpus; run 2 processes ONLY the new batch —
+    // scored under the frozen LM, dedup'd against itself AND the
+    // settled index (settled rows never retracted), APPENDED. The
+    // oracle composes the same contract in one SQL statement.
+    "q_engine_pipeline_incremental" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_incr_pipe")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: incrpipe
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/curated.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |where doc_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and doc_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: curated
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: gopher_gate
+          |          text_col: text
+          |        - op: surprise_filter
+          |          text_col: text
+          |          id_col: doc_id
+          |          max_surprise: 6.0
+          |        - op: minhash_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |""".stripMargin)
+      val schema = "g_engine_incrpipe"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_incr_pipe_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: doc_id < 250
+      write(proj, "dbt_project.yml", projYml(250L, 1000000000L))
+      val runner = runOnce() // incremental batch: 250 <= doc_id < 1e9
+      runner.adapter.read(graft.core.Relation(schema, "curated"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // a streaming_table model from the project surface: the compiled
     // SELECT (deterministic integer-µs event times derived from
     // documents — no parquet timestamp round-trip) is staged, replayed

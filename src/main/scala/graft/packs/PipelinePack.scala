@@ -2606,7 +2606,15 @@ object PipelinePack extends QueryPack {
     * `scoredz` scores raw features exactly as every Spark caller does.
     * `cfeat` and the gradient CTEs are MATERIALIZED (multi-referenced;
     * inlining goes exponential in iters). */
-  private def logisticCtes(iters: Int): String = {
+  private def logisticCtes(iters: Int): String =
+    logisticCtes(iters, trainPred = "TRUE")
+
+  /** `trainPred` narrows the TRAINING population (moments, bias init,
+    * standardization, every GD pass) to a doc_id slice while `scoredz`
+    * still scores EVERY doc — the frozen-model shape: run 1 trains on
+    * the slice and persists, run 2 scores the full corpus under the
+    * persisted weights (EnginePack's q_engine_frozen_classifier). */
+  private[packs] def logisticCtes(iters: Int, trainPred: String): String = {
     val punct = "length(replace(replace(replace(replace(replace(replace(" +
       "b.text,'.',''),',',''),'!',''),'?',''),';',''),':',''))"
     val head = s"""${gopherCtes("text IS NOT NULL")},
@@ -2631,7 +2639,7 @@ object PipelinePack extends QueryPack {
                 s"CAST(sum(CAST(x$j AS DECIMAL(38,18))) AS DOUBLE) AS s$j, " +
                 s"CAST(sum(CAST(x$j * x$j AS DECIMAL(38,18))) AS DOUBLE) AS q$j")
                 .mkString(",\n      |    ")}
-      |  FROM cfeat),
+      |  FROM cfeat WHERE $trainPred),
       |clfstats AS MATERIALIZED (
       |  SELECT sy / n AS p,
       |    ${(1 to 4).map(j =>
@@ -2645,7 +2653,7 @@ object PipelinePack extends QueryPack {
       |    (c.x1 - s.mu1) / s.sd1 AS x1, (c.x2 - s.mu2) / s.sd2 AS x2,
       |    (c.x3 - s.mu3) / s.sd3 AS x3, (c.x4 - s.mu4) / s.sd4 AS x4,
       |    c.y
-      |  FROM cfeat c CROSS JOIN clfstats s),
+      |  FROM cfeat c CROSS JOIN clfstats s WHERE $trainPred),
       |w0 AS (
       |  SELECT CASE WHEN p <= 0.0 OR p >= 1.0 THEN CAST(0.0 AS DOUBLE)
       |    ELSE (2.0 * (p - 0.5)) / (1.0 - 2.0 * abs(p - 0.5)) END AS b,
@@ -2697,8 +2705,9 @@ object PipelinePack extends QueryPack {
     * run from a project fixture (EnginePack). The comparison is on the
     * UNROUNDED score: every factor is an exact-portable double, so the
     * threshold decision is deterministic across engines. */
-  private[packs] def classifySurvivorsSql(threshold: String): String =
-    s"""WITH ${logisticCtes(classifyIters)}
+  private[packs] def classifySurvivorsSql(threshold: String,
+      trainPred: String = "TRUE"): String =
+    s"""WITH ${logisticCtes(classifyIters, trainPred)}
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs
        |FROM scoredz
        |WHERE 0.5 + z / (2.0 * (1.0 + abs(z))) >= $threshold

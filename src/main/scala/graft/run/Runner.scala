@@ -181,7 +181,7 @@ final class Runner(
     }
 
     val isIncr = IncrementalMat.isIncremental(adapter, node.relation.get,
-      fullRefresh = false, node.config.materialized)
+      fullRefresh = false, node.config.materialized, node.config.extra)
     val bindings = DbtContext.runContext(
       adapter, node.relation.get, resolveRef, resolveSource,
       isIncr, node.config.extra, project.vars ++ overrideVars,

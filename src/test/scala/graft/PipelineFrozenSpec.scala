@@ -1,0 +1,283 @@
+package graft
+
+import graft.adapter.SparkAdapter
+import graft.core._
+import graft.mat.{MatContext, PipelineMat}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Frozen trainer models + the incremental pipeline materialization:
+  * run 1 trains and persists (model relations, the minhash signature
+  * index), run 2 APPLIES run-1's artifacts verbatim — increments are
+  * gated by the same statistics as the base corpus, dedup'd against the
+  * settled index, and appended. Also the legality gate: corpus-global
+  * steps are rejected by name inside incremental pipelines. */
+class PipelineFrozenSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def freshAdapter(name: String): SparkAdapter = {
+    val loc = Files.createTempDirectory(s"graft_$name").toString
+    val schema = s"g_$name"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    new SparkAdapter(spark, schema, Some(loc))
+  }
+
+  private def node(name: String, cfg: NodeConfig): Node =
+    Node(uniqueId = s"model.spec.$name", name = name, packageName = "spec",
+      kind = NodeKind.Model, config = cfg)
+
+  private def runPipeline(a: SparkAdapter, rel: Relation,
+      steps: Seq[Map[String, Any]], df: DataFrame,
+      incremental: Boolean = false, fullRefresh: Boolean = false): Unit =
+    PipelineMat.run(MatContext(a, node(rel.identifier,
+      NodeConfig(materialized = "pipeline", extra =
+        Map("steps" -> steps.toVector) ++
+          (if (incremental) Map("incremental" -> "true") else Map.empty))),
+      rel, () => df, fullRefresh))
+
+  // --- frozen trainer models -------------------------------------------
+
+  test("frozen classifier: run 2 applies run-1's weights verbatim") {
+    import spark.implicits._
+    val a = freshAdapter("frozen_clf")
+    val rel = Relation(a.defaultSchema, "gated")
+    val modelRel = Relation(a.defaultSchema,
+      "gated__model_quality_classifier_filter")
+    val trainDocs = Seq(
+      (1L, "the a of and to in is table scan row merge fast system"),
+      (2L, "tiny words here"),
+      (3L, "the and for are with his they this have from one had word"),
+      (4L, "zz")).toDF("doc_id", "text")
+    val step = Map[String, Any]("op" -> "quality_classifier_filter",
+      "mode" -> "frozen", "threshold" -> 0.5)
+    runPipeline(a, rel, Seq(step), trainDocs)
+    assert(a.relationExists(modelRel), "run 1 persists the model")
+    val w1 = a.read(modelRel).orderBy("idx").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(w1.length == 5, "bias + 4 features")
+
+    // run 2: different corpus — the model must NOT retrain, and the
+    // kept set must equal scoring under run-1's weights
+    val newDocs = Seq(
+      (10L, "the a of and to in is table scan row merge fast system"),
+      (11L, "qq ww")).toDF("doc_id", "text")
+    runPipeline(a, rel, Seq(step), newDocs)
+    val w2 = a.read(modelRel).orderBy("idx").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(w2 == w1, "artifact unchanged after run 2 (no retrain)")
+    val expected = {
+      val feat = graft.ops.Classify.gateFeatures(
+        newDocs, "doc_id", "text", carryCols = Nil)
+      feat.filter(graft.ops.Classify.fastSigmoid(graft.ops.Classify.z(
+        w1.map(_._2), Seq("x1", "x2", "x3", "x4"))) >= 0.5)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val got = a.read(rel).collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"run 2 scored under run-1 weights: $got")
+  }
+
+  test("frozen bpe token_count: run 2 counts under run-1's merge table") {
+    import spark.implicits._
+    val a = freshAdapter("frozen_bpe")
+    val rel = Relation(a.defaultSchema, "counted")
+    val modelRel = Relation(a.defaultSchema, "counted__model_token_count")
+    val trainDocs = Seq((1L, "aaab aaab aaab"), (2L, "aaab xy"))
+      .toDF("doc_id", "text")
+    val step = Map[String, Any]("op" -> "token_count",
+      "tokenizer" -> "bpe", "merges" -> 2, "mode" -> "frozen")
+    runPipeline(a, rel, Seq(step), trainDocs)
+    val merges1 = a.read(modelRel).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges1 == graft.ops.Bpe.train(trainDocs, "text", 2),
+      "persisted merge table = the trainer's")
+
+    // run 2: 'zz zz' is OOV under run-1's merges — counts must come from
+    // the FROZEN table, not a retrain on the new corpus
+    val newDocs = Seq((10L, "aaab zz")).toDF("doc_id", "text")
+    runPipeline(a, rel, Seq(step), newDocs)
+    assert(a.read(modelRel).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq == merges1,
+      "artifact unchanged after run 2")
+    val gotTok = a.read(rel).select("doc_id", "n_tok").head()
+    val expTok = newDocs.select(col("doc_id"),
+      graft.ops.Bpe.tokenCount("text", merges1).as("n_tok")).head()
+    assert(gotTok.getLong(0) == expTok.getLong(0) &&
+      gotTok.getInt(1) == expTok.getInt(1),
+      s"frozen count: $gotTok vs $expTok")
+  }
+
+  test("frozen surprise_filter: run-1 parity with retrain on same input") {
+    import spark.implicits._
+    val a = freshAdapter("frozen_lm")
+    val rel = Relation(a.defaultSchema, "kept")
+    val docs = Seq(
+      (1L, "a b a b a b a b"), (2L, "a b a b a b a b"),
+      (3L, "q z k w m t r v"), (4L, "solo")).toDF("doc_id", "text")
+    val scored = graft.ops.TextAnalysis.lmSurprise(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = (scored(1L) + scored(3L)) / 2
+    runPipeline(a, rel, Seq(Map[String, Any]("op" -> "surprise_filter",
+      "max_surprise" -> cut, "mode" -> "frozen")), docs)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "frozen gate on the training corpus = the inline trainer's keeps")
+    assert(a.relationExists(Relation(a.defaultSchema,
+      "kept__model_surprise_filter")))
+  }
+
+  test("frozen dsir_select: scoreWithRatios∘bucketRatios ≡ importanceWeights") {
+    import spark.implicits._
+    val docs = ((1L to 12L).map { i =>
+      (i, if (i % 3 == 0) "tgt" else "oth",
+        if (i % 3 == 0) "cat mat cat" else "dog log fog")
+    }).toDF("doc_id", "grp", "text")
+    val slim = docs.select("doc_id", "text")
+    val target = docs.filter(col("grp") === "tgt").select("doc_id", "text")
+    val inline = graft.ops.Dsir.importanceWeights(
+      slim, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ratios = graft.ops.Dsir.bucketRatios(
+      slim, target, "doc_id", "text", buckets = 64)
+    val frozen = graft.ops.Dsir.scoreWithRatios(
+      slim, "doc_id", "text", ratios, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(frozen == inline, "run-1 parity, bit-for-bit")
+    // held-out text with fully-unseen features scores the sentinel
+    // default on every bucket: logw = round(lr_default, 6)
+    val dflt = ratios.filter(col("bucket") < 0).head().getDouble(1)
+    val held = Seq((99L, "zebra quagga")).toDF("doc_id", "text")
+    val out = graft.ops.Dsir.scoreWithRatios(
+      held, "doc_id", "text", ratios, buckets = 64).head()
+    assert(out.getLong(1) == 3L, "2 unigrams + 1 bigram")
+    assert(out.getDouble(2) == math.rint(dflt * 1e6) / 1e6,
+      s"unseen features score the smoothed default: $out vs $dflt")
+
+    // the frozen step keeps rows under the persisted table
+    val aa = freshAdapter("frozen_dsir")
+    val rel = Relation(aa.defaultSchema, "selected")
+    runPipeline(aa, rel, Seq(Map[String, Any]("op" -> "dsir_select",
+      "target_where" -> "grp = 'tgt'", "min_logw" -> 0.0,
+      "buckets" -> 64, "mode" -> "frozen")), docs)
+    val kept = aa.read(rel).collect().map(_.getString(1)).toSet
+    assert(kept == Set("tgt"), s"only target-like rows clear logw≥0: $kept")
+  }
+
+  // --- the incremental pipeline ----------------------------------------
+
+  test("incremental pipeline: batch 2 dedups against the settled index and appends") {
+    import spark.implicits._
+    val a = freshAdapter("incr_pipe")
+    val rel = Relation(a.defaultSchema, "corpus")
+    val sigsRel = Relation(a.defaultSchema,
+      "corpus__state_minhash_dedup")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "totally different words entirely here now for testing once"
+    val steps = Seq(
+      Map[String, Any]("op" -> "minhash_dedup"),
+      Map[String, Any]("op" -> "token_count"))
+    // batch 1: 1≈2 dup (min id 1 kept), 3 unique
+    val b1 = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b1, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(a.relationExists(sigsRel), "signature index persisted")
+    assert(a.read(sigsRel).count() == 3, "index holds every doc SEEN")
+
+    // batch 2: 10 dups a settled doc (drops — component touches the
+    // index), 11≈12 are a new-new cluster (11 kept), 13 unique
+    val t3 = "completely fresh material nothing shared with previous batches at all"
+    val b2 = Seq((10L, t1), (11L, t3), (12L, t3),
+      (13L, "unique new content appearing only in the second batch run"))
+      .toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b2, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L),
+      "settled rows stay; 10 drops against the index; 11 wins its cluster")
+    assert(a.read(sigsRel).count() == 7, "batch sigs appended to the index")
+
+    // --full-refresh rebuilds everything from the (new) full input
+    runPipeline(a, rel, steps, b1.unionByName(b2), incremental = true,
+      fullRefresh = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L))
+    assert(a.read(sigsRel).count() == 7, "index rebuilt, not appended")
+  }
+
+  test("incremental pipeline: frozen LM gates batch 2 by batch-1 statistics") {
+    import spark.implicits._
+    val a = freshAdapter("incr_lm")
+    val rel = Relation(a.defaultSchema, "gated")
+    val b1 = Seq(
+      (1L, "a b a b a b a b"), (2L, "a b a b a b a b"),
+      (3L, "a b a b a b a b")).toDF("doc_id", "text")
+    // cut chosen so predictable text passes and scrambled text fails
+    // UNDER THE BATCH-1 MODEL
+    val scored = graft.ops.TextAnalysis.lmSurprise(b1, "doc_id", "text")
+      .head().getDouble(2)
+    val steps = Seq(Map[String, Any]("op" -> "surprise_filter",
+      "max_surprise" -> (scored + 0.1)))
+    runPipeline(a, rel, steps, b1, incremental = true)
+    assert(a.read(rel).count() == 3)
+    // batch 2: 10 repeats the in-model pattern (passes); 11 is OOV text
+    // that would score ~ln(V)=ln(2)≈0.69 over... under the frozen model
+    // every unseen bigram costs more than the in-vocab 'a b' transition
+    val b2 = Seq((10L, "a b a b"), (11L, "q z k w m t r v"))
+      .toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b2, incremental = true)
+    val got = a.read(rel).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 10L),
+      s"in-model batch-2 doc passes, OOV doc fails under frozen stats: $got")
+  }
+
+  // --- legality + failure modes ----------------------------------------
+
+  test("incremental pipelines reject corpus-global steps by name") {
+    import spark.implicits._
+    val a = freshAdapter("incr_illegal")
+    val docs = Seq((1L, "t", "s", 1L)).toDF("doc_id", "text", "source", "n")
+    def run(step: Map[String, Any]) =
+      runPipeline(a, Relation(a.defaultSchema, "x"), Seq(step), docs,
+        incremental = true)
+    val e1 = intercept[IllegalArgumentException](run(Map(
+      "op" -> "temperature_mix", "id_col" -> "doc_id",
+      "group_col" -> "source", "tokens_col" -> "n", "budget" -> 10)))
+    assert(e1.getMessage.contains("corpus-global"))
+    val e2 = intercept[IllegalArgumentException](run(Map(
+      "op" -> "dsir_select", "target_where" -> "1=1", "top_k" -> 3)))
+    assert(e2.getMessage.contains("min_logw"))
+    val e3 = intercept[IllegalArgumentException](run(Map(
+      "op" -> "minhash_dedup", "priority_col" -> "n")))
+    assert(e3.getMessage.contains("priority_col"))
+    val e4 = intercept[IllegalArgumentException](run(Map(
+      "op" -> "quality_classifier_filter", "mode" -> "retrain")))
+    assert(e4.getMessage.contains("frozen"))
+    val e5 = intercept[IllegalArgumentException](run(Map(
+      "op" -> "exact_dedup")))
+    assert(e5.getMessage.contains("corpus-global"))
+  }
+
+  test("a lost model/state relation fails loudly on a batch run") {
+    import spark.implicits._
+    val a = freshAdapter("incr_lost")
+    val rel = Relation(a.defaultSchema, "kept")
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b")).toDF("doc_id", "text")
+    val steps = Seq(Map[String, Any]("op" -> "surprise_filter",
+      "max_surprise" -> 100.0))
+    runPipeline(a, rel, steps, docs, incremental = true)
+    a.dropRelation(Relation(a.defaultSchema, "kept__model_surprise_filter"))
+    val e = intercept[IllegalStateException](
+      runPipeline(a, rel, steps,
+        Seq((3L, "a b")).toDF("doc_id", "text"), incremental = true))
+    assert(e.getMessage.contains("--full-refresh"))
+  }
+}
