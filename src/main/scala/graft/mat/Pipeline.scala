@@ -1,6 +1,6 @@
 package graft.mat
 
-import graft.core.RelationType
+import graft.core.{Relation, RelationType}
 import graft.ops.{Bpe, Dedup, FuzzyJoin, Packing, Sampling, Stats,
   TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -248,7 +248,8 @@ object PipelineSteps {
     "weighted_mix", "mad_outlier_filter", "winsorize", "normalize",
     "pii_mask", "language_filter", "surprise_filter", "weighted_sample",
     "collapse_repeats", "span_gate", "quality_classifier_filter",
-    "dsir_select", "pack_sequences", "shard", "curriculum")
+    "dsir_select", "pack_sequences", "shard", "curriculum",
+    "cdc_compact", "pagerank_weight")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -276,6 +277,12 @@ object PipelineSteps {
     m.get(k).map(String.valueOf(_).toDouble).getOrElse(dflt)
   private[mat] def bool(m: Map[String, Any], k: String, dflt: Boolean): Boolean =
     m.get(k).map(String.valueOf(_).toBoolean).getOrElse(dflt)
+  private[mat] def strList(m: Map[String, Any], k: String,
+      op: String): Seq[String] = m.get(k) match {
+    case Some(v: Seq[_]) if v.nonEmpty => v.map(String.valueOf)
+    case _ => throw new IllegalArgumentException(
+      s"pipeline step `$op` requires a non-empty `$k:` list")
+  }
 
   private[mat] def keepInputColumns(before: Array[String])(df: DataFrame): DataFrame =
     df.select(before.map(c => col(s"`$c`")).toIndexedSeq: _*)
@@ -629,6 +636,57 @@ object PipelineSteps {
             col("interleave_key")), Seq(idCol), "left")
         }
 
+      // CDC log compaction: rows are change events (key, change-time,
+      // tie-break, op); keep the latest non-delete state per key — the
+      // "current table" materialization of an upsert stream, as a
+      // pipeline step so a curation model can land compacted state
+      // directly. Column-neutral (the op/ts columns ride through).
+      case "cdc_compact" =>
+        val keyCols = strList(m, "key_cols", op)
+        val tsCol = reqStr(m, "ts_col", op)
+        val tieCols = m.get("tie_cols") match {
+          case Some(v: Seq[_]) => v.map(String.valueOf)
+          case _ => Nil
+        }
+        val opCol = reqStr(m, "op_col", op)
+        val deleteOp = str(m, "delete_op", "D")
+        df => keepInputColumns(df.columns)(
+          graft.ops.Cdc.compact(df, keyCols, tsCol, tieCols, opCol,
+            deleteOp))
+
+      // PageRank node weighting: rows are edge occurrences (src, dst);
+      // the step aggregates them to a weighted edge list (count, or
+      // sum of `weight_col:`), runs the exact-integer power iteration
+      // over the nodes appearing in the graph, and appends `out_col:`
+      // = the `node_col:` endpoint's rank (e.g. weighting documents by
+      // their source-domain's link authority). Rank is the same
+      // DECIMAL(38,0) 1e12-unit integer as Graph.pageRank, cast LONG.
+      case "pagerank_weight" =>
+        val srcCol = reqStr(m, "src_col", op)
+        val dstCol = reqStr(m, "dst_col", op)
+        val iters = int(m, "iters", 10)
+        val outCol = str(m, "out_col", "rank_u")
+        val nodeCol = str(m, "node_col", srcCol)
+        val weightCol = m.get("weight_col").map(String.valueOf)
+        df => {
+          val w = weightCol match {
+            case Some(wc) => sum(col(s"`$wc`").cast("decimal(38,0)"))
+            case None => count(lit(1))
+          }
+          val edges = df
+            .groupBy(col(s"`$srcCol`").as("__src"),
+              col(s"`$dstCol`").as("__dst"))
+            .agg(w.as("__w"))
+          val nodes = edges.select(col("__src").as("__id"))
+            .unionByName(edges.select(col("__dst").as("__id"))).distinct()
+          val ranks = graft.ops.Graph.pageRank(edges, "__src", "__dst",
+            "__w", nodes, "__id", iters)
+          df.join(ranks.select(col("id").as("__rid"),
+              col("ru").cast("long").as(outCol)),
+            df(s"`$nodeCol`") === col("__rid"), "left")
+            .drop("__rid")
+        }
+
       case other => throw new IllegalArgumentException(
         s"unknown pipeline step op `$other` (known: ${knownOps.mkString(", ")})")
     }
@@ -758,6 +816,77 @@ object PipelineModels {
   private def stateRel(ctx: MatContext, suffix: String) =
     ctx.target.copy(identifier = s"${ctx.target.identifier}__state$suffix")
 
+  private val ParamsProp = "graft.pipeline.params"
+
+  /** The training parameters a persisted artifact is only valid UNDER:
+    * everything apply-time recomputation must share with the stored
+    * bytes (minhash k/perms/bands — a batch's signatures must band the
+    * index under the values it was built with; DSIR's bucket count —
+    * score-time hashing must hit the ratio table's bucket space; the
+    * text/id columns) plus the trainer's own knobs (iters/lr, merges)
+    * so a config edit can't silently score under stale statistics.
+    * Changing any of these between runs joins incompatible artifacts —
+    * garbage dedup/scoring, not an error — so the recorded value gates
+    * every load below. */
+  private[mat] def trainParams(s: Step): String = {
+    val kvs: Seq[(String, String)] = s.op match {
+      case "minhash_dedup" => Seq(
+        "k" -> int(s.raw, "k", 3).toString,
+        "perms" -> int(s.raw, "perms", 128).toString,
+        "bands" -> int(s.raw, "bands", 21).toString,
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "text_col" -> str(s.raw, "text_col", "text"))
+      case "dsir_select" => Seq(
+        "buckets" -> int(s.raw, "buckets", 4096).toString,
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "text_col" -> str(s.raw, "text_col", "text"))
+      case "quality_classifier_filter" => Seq(
+        "iters" -> int(s.raw, "iters", 8).toString,
+        "lr" -> dbl(s.raw, "lr", 0.5).toString,
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "text_col" -> str(s.raw, "text_col", "text"))
+      case "surprise_filter" => Seq(
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "text_col" -> str(s.raw, "text_col", "text"))
+      case "token_count" => Seq(
+        "merges" -> int(s.raw, "merges", 20).toString,
+        "max_words" -> str(s.raw, "max_words",
+          String.valueOf(Bpe.DefaultMaxWords)),
+        "text_col" -> str(s.raw, "text_col", "text"))
+      case _ => Seq.empty
+    }
+    kvs.map { case (k, v) => s"$k=$v" }.mkString(";")
+  }
+
+  /** Record the step's training parameters on the freshly written
+    * model/state relation (after the atomic swap, like every other
+    * TBLPROPERTY in this engine). */
+  private def recordParams(ctx: MatContext, rel: Relation, s: Step): Unit = {
+    val esc = trainParams(s).replace("'", "''")
+    ctx.adapter.execute(
+      s"ALTER TABLE ${rel.fqn} SET TBLPROPERTIES ('$ParamsProp' = '$esc')",
+      fetch = false)
+    ()
+  }
+
+  /** Refuse to score/dedup under an artifact trained with different
+    * parameters — the failure is LOUD (this error) instead of silent
+    * garbage. A relation with no recorded parameters is equally
+    * untrusted (pre-upgrade or foreign state). */
+  private def checkParams(ctx: MatContext, rel: Relation, s: Step): Unit = {
+    val want = trainParams(s)
+    val got = scala.util.Try {
+      ctx.spark.sql(s"SHOW TBLPROPERTIES ${rel.fqn} ('$ParamsProp')")
+        .collect().headOption.map(_.getString(1))
+        .filterNot(_.contains("does not have property"))
+    }.toOption.flatten
+    if (!got.contains(want)) throw new IllegalStateException(
+      s"${rel.fqn}: persisted training parameters " +
+        s"(${got.getOrElse("<none recorded>")}) do not match this run's " +
+        s"($want) — applying the step under an incompatible artifact " +
+        "would silently produce garbage; rebuild with --full-refresh")
+  }
+
   /** Train-or-load discipline: a missing model always trains on this
     * run's input and persists; `retrainNow` (incremental run 1 /
     * --full-refresh) overwrites; an incremental batch (`mustExist`)
@@ -770,8 +899,10 @@ object PipelineModels {
     if (!exists && mustExist) throw new IllegalStateException(
       s"${rel.fqn}: frozen model relation missing on an incremental " +
         "batch run — the state was lost; rebuild with --full-refresh")
-    if (retrainNow || !exists)
+    if (retrainNow || !exists) {
       ctx.adapter.writeTableAtomic(trainArtifact(ctx, s, df), rel)
+      recordParams(ctx, rel, s)
+    } else checkParams(ctx, rel, s)
     applyArtifact(ctx, s, df, ctx.adapter.read(rel))
   }
 
@@ -913,6 +1044,7 @@ object PipelineModels {
       // bytes later batches will join against), then canonical keep
       val sigs = Dedup.minhashSignatures(df, idCol, textCol, k, perms)
       ctx.adapter.writeTableAtomic(sigs, rel)
+      recordParams(ctx, rel, s)
       val pairs = Dedup.minhashNearDupsFromSigs(ctx.adapter.read(rel),
         perms, bands, threshold, Dedup.maxBandBucket(df))
       keepInputColumns(df.columns)(Dedup.canonicalCorpus(df, pairs, idCol))
@@ -920,6 +1052,7 @@ object PipelineModels {
       if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
         s"${rel.fqn}: minhash signature index missing on an incremental " +
           "batch run — the state was lost; rebuild with --full-refresh")
+      checkParams(ctx, rel, s)
       val index = ctx.adapter.read(rel)
       val pairs = Dedup.minhashNearDupsIncremental(df, idCol, textCol,
         index, k, perms, bands, threshold)

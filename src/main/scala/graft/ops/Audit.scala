@@ -100,19 +100,16 @@ object Audit {
     * round(6). */
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    // ONE input scan: rollup emits the per-key counts AND the grand
-    // total from the same partial-agg'd pass (the '<NULL>' coalesce runs
-    // BEFORE grouping, so the rollup's null subtotal row is unambiguous).
-    // The cache is UNCONDITIONAL (not maybeCache): the rollup output is
-    // distinct-key-sized by construction, never input-sized, and both
-    // consumers (counts + total) would otherwise re-scan the full input
-    val rolled = df
+    // ONE input scan, NO cache: the grand total is the sum of the
+    // per-key counts, so the total branch re-reads the identical
+    // groupBy subplan and Catalyst's exchange reuse (on by default)
+    // serves it from the counts shuffle — the full input is scanned
+    // once and nothing distinct-key-sized lingers in the block manager
+    // across audits (a cache here leaked until eviction pressure).
+    val counts = df
       .select(coalesce(col(keyCol).cast("string"), lit("<NULL>")).as("key"))
-      .rollup("key").agg(count(lit(1)).as("n_rows"))
-      .cache()
-    val counts = rolled.filter(col("key").isNotNull)
-    val total = rolled.filter(col("key").isNull)
-      .select(col("n_rows").as("__total"))
+      .groupBy("key").agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
     counts.crossJoin(broadcast(total))
       .withColumn("share",
         round(col("n_rows").cast("double") /

@@ -1193,6 +1193,172 @@ object EnginePack extends QueryPack {
         .orderBy("column")
     }),
 
+    // the three text-statistics audits (c-TF-IDF terms per source, PMI
+    // collocations, Zipf slope per source) from the project surface:
+    // they run over the WRITTEN gate-survivor corpus and land in their
+    // own __audit_ side relations; the three stack into one hashable
+    // result. The oracle re-derives all three chains over the same
+    // gated corpus in one statement.
+    "q_engine_text_audits" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_textaudit")
+      write(proj, "dbt_project.yml",
+        """name: textaudit
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/gated.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: gated
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: gopher_gate
+          |          text_col: text
+          |      audits:
+          |        - op: tfidf_terms
+          |          group_col: source
+          |        - op: collocations
+          |        - op: zipf
+          |          group_col: source
+          |""".stripMargin)
+      val schema = "g_engine_textaudit"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_textaudit_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      def rel(n: String) =
+        runner.adapter.read(graft.core.Relation(schema, n))
+      val tfidf = rel("gated__audit_tfidf_terms")
+        .select(lit("tfidf_terms").as("audit"),
+          concat(col("source"), lit("#"), col("rank")).as("k"),
+          col("term").as("txt"), col("tfidf").as("val"))
+      val colloc = rel("gated__audit_collocations")
+        .select(lit("collocations").as("audit"),
+          concat(col("w1"), lit(" "), col("w2")).as("k"),
+          lit(null).cast("string").as("txt"), col("pmi").as("val"))
+      val zipf = rel("gated__audit_zipf")
+        .select(lit("zipf").as("audit"), col("source").as("k"),
+          lit(null).cast("string").as("txt"), col("zipf_slope").as("val"))
+      tfidf.unionByName(colloc).unionByName(zipf).orderBy("audit", "k")
+    }),
+
+    // CDC compaction as a pipeline step: the model SQL shapes a change
+    // log (key, deterministic pseudo-time, tie-break id, op, value) and
+    // the step lands the latest non-delete state per key — the
+    // "current table" of an upsert stream, from YAML alone
+    "q_engine_cdc_pipeline" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_cdcpipe")
+      write(proj, "dbt_project.yml",
+        """name: cdcpipe
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/state.sql",
+        """select doc_id % 50 as k,
+          |       (doc_id * 13 + 7) % 997 as ts,
+          |       doc_id,
+          |       case when doc_id % 11 = 0 then 'D' else 'U' end as op,
+          |       n_chars as v
+          |from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: state
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: cdc_compact
+          |          key_cols: [k]
+          |          ts_col: ts
+          |          tie_cols: [doc_id]
+          |          op_col: op
+          |""".stripMargin)
+      val schema = "g_engine_cdcpipe"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_cdcpipe_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val bad = runner.run().filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "state"))
+        .select("k", "ts", "doc_id", "op", "v")
+        .orderBy("k")
+    }),
+
+    // PageRank node weighting as a pipeline step: the model SQL emits
+    // edge occurrences, the step aggregates them, runs the
+    // exact-integer power iteration, and appends each row's src-node
+    // rank — link-authority weighting from YAML alone
+    "q_engine_pagerank_pipeline" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_prpipe")
+      write(proj, "dbt_project.yml",
+        """name: prpipe
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/ranked.sql",
+        """select doc_id % 20 as src, (doc_id * 7) % 20 as dst, doc_id
+          |from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: ranked
+          |    config:
+          |      materialized: pipeline
+          |      steps:
+          |        - op: pagerank_weight
+          |          src_col: src
+          |          dst_col: dst
+          |          iters: 5
+          |""".stripMargin)
+      val schema = "g_engine_prpipe"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_prpipe_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val bad = runner.run().filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "ranked"))
+        .select("src", "rank_u").distinct()
+        .orderBy("src")
+    }),
+
     // DSIR domain selection from the project surface: a pipeline model
     // keeps the 50 most zh-like documents — model SQL + YAML only; the
     // oracle re-derives the full hashed-feature/ratio chain
@@ -1611,6 +1777,226 @@ object EnginePack extends QueryPack {
     // SAME parameters as the Scala-composed q_pipeline_curation — one
     // oracle, two drivers (library composition vs model SQL + YAML)
     "q_engine_curation_project" -> PipelinePack.oracles("q_pipeline_curation"),
+
+    // the three text-statistics audits over the gate-survivor corpus,
+    // re-derived in one statement: c-TF-IDF per source (group-as-doc tf
+    // × smoothed idf, rounded-rank cut), PMI collocations (four-ln
+    // left-associated sum over exact integers, top-50 on the rounded
+    // value), Zipf slope per source (ln-ln OLS with DECIMAL(38,18)
+    // accumulators). The group×term count table is shared between the
+    // tfidf and zipf chains, exactly as both operators derive it.
+    "q_engine_text_audits" ->
+      s"""WITH ${PipelinePack.gopherCtes("TRUE")},
+         |gate AS MATERIALIZED (
+         |  SELECT b.doc_id, b.source, b.text
+         |  FROM rules r JOIN base b USING (doc_id)
+         |  WHERE r.r_min_tokens AND r.r_max_tokens AND r.r_word_len
+         |    AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram),
+         |tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS term
+         |  FROM gate WHERE text IS NOT NULL),
+         |tf AS MATERIALIZED (
+         |  SELECT source, term, count(*) AS tf
+         |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nq AS (SELECT count(DISTINCT source) AS n FROM tf),
+         |sq AS (
+         |  SELECT source, term,
+         |    round(CAST(tf AS DOUBLE) *
+         |      (ln((1.0 + CAST(n AS DOUBLE)) / (1.0 + CAST(df AS DOUBLE)))
+         |       + 1.0), 6) AS tfidf
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nq),
+         |rq AS (
+         |  SELECT source, term, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY tfidf DESC, term) AS INT) AS rank
+         |  FROM sq),
+         |tft AS (
+         |  SELECT 'tfidf_terms' AS audit,
+         |    source || '#' || CAST(rank AS VARCHAR) AS k,
+         |    term AS txt, tfidf AS val
+         |  FROM rq WHERE rank <= 5),
+         |cp AS MATERIALIZED (
+         |  SELECT w[i] AS w1, w[i + 1] AS w2
+         |  FROM (SELECT string_split(text, ' ') AS w FROM gate) t
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+         |cbig AS (
+         |  SELECT w1, w2, count(*) AS n_pair FROM cp
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |cc1 AS (SELECT w1, count(*) AS c1 FROM cp GROUP BY 1),
+         |cc2 AS (SELECT w2, count(*) AS c2 FROM cp GROUP BY 1),
+         |cn AS (SELECT count(*) AS n FROM cp),
+         |coll AS (
+         |  SELECT 'collocations' AS audit, w1 || ' ' || w2 AS k,
+         |    CAST(NULL AS VARCHAR) AS txt, pmi AS val
+         |  FROM (
+         |    SELECT b.w1, b.w2,
+         |      round(ln(CAST(b.n_pair AS DOUBLE)) + ln(CAST(cn.n AS DOUBLE))
+         |        - ln(CAST(cc1.c1 AS DOUBLE)) - ln(CAST(cc2.c2 AS DOUBLE)),
+         |        6) AS pmi
+         |    FROM cbig b
+         |    JOIN cc1 ON cc1.w1 = b.w1
+         |    JOIN cc2 ON cc2.w2 = b.w2
+         |    CROSS JOIN cn
+         |    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50) tt),
+         |zrk AS (
+         |  SELECT source AS g, tf AS c,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY tf DESC, term) AS rank
+         |  FROM tf),
+         |zxy AS (
+         |  SELECT g, ln(CAST(rank AS DOUBLE)) AS x,
+         |    ln(CAST(c AS DOUBLE)) AS y
+         |  FROM zrk),
+         |zs AS (
+         |  SELECT g, count(*) AS nt,
+         |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+         |  FROM zxy GROUP BY g),
+         |zf AS (
+         |  SELECT 'zipf' AS audit, g AS k, CAST(NULL AS VARCHAR) AS txt,
+         |    CASE WHEN CAST(nt AS DOUBLE) * sxx - sx * sx > 0 THEN
+         |      round((CAST(nt AS DOUBLE) * sxy - sx * sy) /
+         |        (CAST(nt AS DOUBLE) * sxx - sx * sx), 6) END AS val
+         |  FROM zs)
+         |SELECT audit, k, txt, val FROM tft
+         |UNION ALL SELECT audit, k, txt, val FROM coll
+         |UNION ALL SELECT audit, k, txt, val FROM zf
+         |ORDER BY audit, k""".stripMargin,
+
+    // latest non-delete state per key, re-derived with one window
+    "q_engine_cdc_pipeline" ->
+      """WITH log AS (
+        |  SELECT doc_id % 50 AS k, (doc_id * 13 + 7) % 997 AS ts, doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    n_chars AS v
+        |  FROM documents),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY ts DESC, doc_id DESC) AS rn
+        |  FROM log)
+        |SELECT k, ts, doc_id, op, v FROM w WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
+
+    // the step's (src, rank) pairs re-derived by the shared unrolled
+    // HUGEINT power iteration, nodes = the graph's own endpoints
+    "q_engine_pagerank_pipeline" ->
+      s"""WITH ${PipelinePack.pagerankCtes(5,
+             """  SELECT doc_id % 20 AS src, (doc_id * 7) % 20 AS dst,
+               |    count(*) AS w
+               |  FROM documents GROUP BY 1, 2""".stripMargin,
+             "SELECT DISTINCT src AS id FROM e " +
+               "UNION SELECT DISTINCT dst FROM e")}
+         |SELECT r.id AS src, CAST(r.ru AS BIGINT) AS rank_u
+         |FROM r5 r
+         |WHERE r.id IN (SELECT src FROM e)
+         |ORDER BY src""".stripMargin,
+
+    // the frozen classifier from the project surface: training narrowed
+    // to run-1's doc_id % 3 != 0 slice (the trainPred parameter of the
+    // shared logistic-GD CTE chain), scoring over EVERYTHING — exactly
+    // what run 2 does under run-1's persisted weight vector. The weights
+    // round-trip through parquet as exact doubles, so the oracle's
+    // re-derived weights reproduce the frozen artifact bit-for-bit.
+    "q_engine_frozen_classifier" ->
+      PipelinePack.classifySurvivorsSql("0.5",
+        trainPred = "doc_id % 3 <> 0"),
+
+    // the incremental curation pipeline composed in ONE statement:
+    // gopher gate over everything; bigram LM trained on the BASE slice's
+    // gate survivors only (run-1's frozen artifact), every gate survivor
+    // scored under it (left joins + coalesce = the smoothed-OOV path the
+    // batch docs take); base dedup'd against itself (min-id canonical);
+    // the batch dedup'd against itself AND the base's settled signature
+    // set — a batch doc survives iff its near-dup component touches no
+    // settled doc and it is the component minimum (old×old pairs never
+    // enumerated, the settled corpus never retracted); whitespace token
+    // counts on the union. Pair predicate = exact 3-shingle Jaccard
+    // >= 0.8, the same precision-1 verify the operator applies to its
+    // banded candidates.
+    "q_engine_pipeline_incremental" ->
+      s"""WITH RECURSIVE ${PipelinePack.gopherCtes("TRUE")},
+         |gate AS MATERIALIZED (
+         |  SELECT b.doc_id, b.source, b.text
+         |  FROM rules r JOIN base b USING (doc_id)
+         |  WHERE r.r_min_tokens AND r.r_max_tokens AND r.r_word_len
+         |    AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM gate),
+         |prs AS MATERIALIZED (
+         |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |  FROM toks
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+         |trn AS (SELECT * FROM prs WHERE doc_id < 250),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM trn GROUP BY 1, 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM trn GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT w1) AS v FROM trn),
+         |lmsc AS (
+         |  SELECT p.doc_id,
+         |    CAST(ln((CAST(COALESCE(u.c1, 0) AS DOUBLE)
+         |             + CAST(vb.v AS DOUBLE))
+         |            / (CAST(COALESCE(b.c12, 0) AS DOUBLE) + 1.0))
+         |      AS DECIMAL(38,18)) AS s
+         |  FROM prs p LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+         |  LEFT JOIN uni u ON u.w1 = p.w1
+         |  CROSS JOIN vocab vb),
+         |surv AS (
+         |  SELECT doc_id FROM lmsc GROUP BY doc_id
+         |  HAVING round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+         |    6) <= 6.0),
+         |sv AS MATERIALIZED (
+         |  SELECT g.doc_id, g.source, g.text
+         |  FROM gate g JOIN surv USING (doc_id)),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(len(string_split(text, ' ')) - 2),
+         |    i -> array_to_string(
+         |      list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS s
+         |  FROM sv WHERE len(string_split(text, ' ')) >= 3),
+         |bpairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE b.doc_id < 250
+         |    AND len(list_intersect(a.s, b.s)) * 1.0 /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |bedges AS MATERIALIZED (
+         |  SELECT u, v FROM bpairs UNION SELECT v, u FROM bpairs),
+         |breach(id, lab) AS (
+         |  SELECT u, u FROM bedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM bedges e JOIN breach r ON r.id = e.v),
+         |bcc AS (SELECT id, min(lab) AS component_id FROM breach GROUP BY id),
+         |npairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE b.doc_id >= 250
+         |    AND len(list_intersect(a.s, b.s)) * 1.0 /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |nedges AS MATERIALIZED (
+         |  SELECT u, v FROM npairs UNION SELECT v, u FROM npairs),
+         |nreach(id, lab) AS (
+         |  SELECT u, u FROM nedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM nedges e JOIN nreach r ON r.id = e.v),
+         |ncc AS (SELECT id, min(lab) AS component_id FROM nreach GROUP BY id),
+         |nsettled AS (SELECT DISTINCT component_id FROM ncc WHERE id < 250),
+         |keepers AS (
+         |  SELECT s.doc_id FROM sv s
+         |  LEFT JOIN bcc ON bcc.id = s.doc_id
+         |  WHERE s.doc_id < 250
+         |    AND (bcc.id IS NULL OR bcc.id = bcc.component_id)
+         |  UNION ALL
+         |  SELECT s.doc_id FROM sv s
+         |  LEFT JOIN ncc ON ncc.id = s.doc_id
+         |  LEFT JOIN nsettled t ON t.component_id = ncc.component_id
+         |  WHERE s.doc_id >= 250
+         |    AND (ncc.id IS NULL
+         |         OR (t.component_id IS NULL AND ncc.id = ncc.component_id)))
+         |SELECT s.doc_id, s.source,
+         |  CAST(len(string_split(s.text, ' ')) AS INT) AS n_tok
+         |FROM sv s JOIN keepers k USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
 
     // the builtin tests' failing-rows queries re-derived: Benford digit
     // deviations at tolerance 0.02 and priority groups under 5 rows

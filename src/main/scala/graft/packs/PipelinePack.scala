@@ -296,6 +296,28 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // FROZEN DSIR artifact: the per-bucket log-ratio table trained on
+    // the doc_id % 3 != 0 slice (target = its zh docs), ROUND-TRIPPED
+    // THROUGH PARQUET (exactly how the incremental pipeline persists
+    // it), then EVERY doc scored under the frozen table — train-slice
+    // docs whose buckets all hit reproduce the inline trainer;
+    // held-out docs with unseen buckets exercise the sentinel-default
+    // OOV path (bucket −1 = the smoothing evaluated at tc = rc = 0)
+    "q_sample_dsir_frozen" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val ratios = graft.ops.Dsir.bucketRatios(
+        train.select("doc_id", "text"),
+        train.filter(col("lang") === "zh").select("doc_id", "text"),
+        "doc_id", "text", buckets = 1024)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dsir_frozen").toString
+      ratios.write.mode("overwrite").parquet(tmp)
+      graft.ops.Dsir.scoreWithRatios(docs.select("doc_id", "text"),
+        "doc_id", "text", s.read.parquet(tmp), buckets = 1024)
+        .orderBy("doc_id")
+    }),
+
     // DSIR selection: the 50 most target-like docs (logw desc, id asc)
     "q_sample_dsir_topk" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -1891,24 +1913,22 @@ object PipelinePack extends QueryPack {
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
 
-  /** Unrolled HUGEINT power iteration mirroring Graph.pageRank exactly:
-    * same floor divisions, same 17/20 damping, same 1e12 unit. */
-  private def pagerankSql(iters: Int): String = {
+  /** Unrolled HUGEINT power-iteration CTE chain mirroring
+    * Graph.pageRank exactly: same floor divisions, same 17/20 damping,
+    * same 1e12 unit. `edgeSql` must yield (src, dst, w); `nodeSql`
+    * must yield (id) and may reference `e`. The final rank table is
+    * `r<iters>` (id, ru). */
+  private[packs] def pagerankCtes(iters: Int, edgeSql: String,
+      nodeSql: String): String = {
     val base =
-      """WITH e AS MATERIALIZED (
-        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-        |    count(*) AS w
-        |  FROM lineitem l
-        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
-        |  JOIN customer c ON c.c_custkey = o.o_custkey
-        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        |  GROUP BY 1, 2),
-        |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
-        |n AS (SELECT n_nationkey AS id FROM nation),
-        |cnt AS (SELECT count(*) AS nn FROM n),
-        |r0 AS (
-        |  SELECT id, CAST(1000000000000 AS HUGEINT) // cnt.nn AS ru
-        |  FROM n CROSS JOIN cnt)""".stripMargin
+      s"""e AS MATERIALIZED (
+         |$edgeSql),
+         |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+         |n AS ($nodeSql),
+         |cnt AS (SELECT count(*) AS nn FROM n),
+         |r0 AS (
+         |  SELECT id, CAST(1000000000000 AS HUGEINT) // cnt.nn AS ru
+         |  FROM n CROSS JOIN cnt)""".stripMargin
     val steps = (1 to iters).map { k =>
       s"""r$k AS (
          |  SELECT n.id,
@@ -1921,11 +1941,22 @@ object PipelinePack extends QueryPack {
          |    JOIN ow ON ow.src = e.src
          |    GROUP BY 1) inf USING (id))""".stripMargin
     }
-    val fin =
-      s"""SELECT nt.n_name AS nation, CAST(r.ru AS BIGINT) AS rank_u
-         |FROM r$iters r JOIN nation nt ON nt.n_nationkey = r.id
-         |ORDER BY nation""".stripMargin
-    (base +: steps).mkString(",\n") + "\n" + fin
+    (base +: steps).mkString(",\n")
+  }
+
+  private def pagerankSql(iters: Int): String = {
+    val edges =
+      """  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |    count(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2""".stripMargin
+    s"""WITH ${pagerankCtes(iters, edges, "SELECT n_nationkey AS id FROM nation")}
+       |SELECT nt.n_name AS nation, CAST(r.ru AS BIGINT) AS rank_u
+       |FROM r$iters r JOIN nation nt ON nt.n_nationkey = r.id
+       |ORDER BY nation""".stripMargin
   }
 
   private val jaccardPairsSql =
@@ -4156,6 +4187,46 @@ object PipelinePack extends QueryPack {
       """
         |SELECT doc_id, n_feats, logw FROM scored
         |ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin),
+
+    // frozen DSIR: ratios from the doc_id % 3 != 0 slice only, every
+    // doc scored under them — LEFT join + COALESCE to the sentinel
+    // default (the smoothing evaluated at tc = rc = 0) is the
+    // unseen-bucket extension; on the training slice every bucket hits,
+    // so those rows are the inline trainer bit-for-bit
+    "q_sample_dsir_frozen" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(w) AS f FROM d
+        |  UNION ALL
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS f FROM d),
+        |fb AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(f), 1, 12))::BIGINT % 1024 AS b FROM feats),
+        |train AS (SELECT * FROM fb WHERE doc_id % 3 <> 0),
+        |tc AS (SELECT b, count(*) AS tc FROM train WHERE lang = 'zh' GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS rc FROM train GROUP BY 1),
+        |tots AS (SELECT (SELECT sum(tc) FROM tc) AS tt,
+        |                (SELECT sum(rc) FROM rc) AS rt),
+        |lr AS (
+        |  SELECT rc.b,
+        |    ln(CAST(COALESCE(tc.tc, 0) AS DOUBLE) + 1.0)
+        |      - ln(CAST(tt AS DOUBLE) + 1024.0)
+        |      - ln(CAST(rc.rc AS DOUBLE) + 1.0)
+        |      + ln(CAST(rt AS DOUBLE) + 1024.0) AS lr
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tots),
+        |dflt AS (
+        |  SELECT ln(1.0) - ln(CAST(tt AS DOUBLE) + 1024.0)
+        |       - ln(1.0) + ln(CAST(rt AS DOUBLE) + 1024.0) AS dl FROM tots),
+        |doc AS (
+        |  SELECT fb.doc_id, count(*) AS n_feats,
+        |    SUM(CAST(COALESCE(lr.lr, dflt.dl) AS DECIMAL(38,18))) AS s
+        |  FROM fb LEFT JOIN lr ON fb.b = lr.b CROSS JOIN dflt GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |    round(CAST(s AS DOUBLE) / n_feats, 6) AS logw
+        |  FROM doc)
+        |SELECT doc_id, n_feats, logw FROM scored ORDER BY doc_id"""
+        .stripMargin,
 
     "q_stats_corr" ->
       """WITH t AS (

@@ -130,7 +130,12 @@ final class Runner(
         * (e.g. is_incremental: false). */
       overrideVars: Map[String, Any] = Map.empty,
       overrideEnv: Map[String, String] = Map.empty,
-      overrideMacros: Map[String, Any] = Map.empty): String = {
+      overrideMacros: Map[String, Any] = Map.empty,
+      /** --full-refresh forces is_incremental() to render FALSE (the
+        * reference's behavior): the model SQL must compile to the
+        * full-corpus SELECT, or the refreshed target would silently
+        * hold only the current batch's slice. */
+      fullRefresh: Boolean = false): String = {
     val ctes = mutable.LinkedHashMap.empty[String, String]
     def windowed(relSql: String, eventTime: Option[String]): String = {
       val base = (batchWindow, eventTime) match {
@@ -154,7 +159,8 @@ final class Runner(
           if (target.isEphemeral) {
             val cteName = s"__dbt__cte__$name"
             if (!ctes.contains(cteName))
-              ctes(cteName) = compileSql(target, Map.empty, batchWindow) // nested ephemerals recurse
+              ctes(cteName) = compileSql(target, Map.empty, batchWindow,
+                fullRefresh = fullRefresh) // nested ephemerals recurse
             cteName
           } else {
             val rel = target.relation.get
@@ -181,7 +187,7 @@ final class Runner(
     }
 
     val isIncr = IncrementalMat.isIncremental(adapter, node.relation.get,
-      fullRefresh = false, node.config.materialized, node.config.extra)
+      fullRefresh = fullRefresh, node.config.materialized, node.config.extra)
     val bindings = DbtContext.runContext(
       adapter, node.relation.get, resolveRef, resolveSource,
       isIncr, node.config.extra, project.vars ++ overrideVars,
@@ -225,7 +231,8 @@ final class Runner(
             if node.config.extra.get("language").contains("python") =>
           runPythonModel(node, fullRefresh)
         case NodeKind.Model =>
-          val sql = withQueryComment(node, compileSql(node))
+          val sql = withQueryComment(node,
+            compileSql(node, fullRefresh = fullRefresh))
           // the compiled SELECT is the warehouse-bound query in the
           // reference's recording; log it even though execution happens
           // through a DataFrame, so model-SQL regressions diff
@@ -260,7 +267,8 @@ final class Runner(
                     .orElse(ctx.node.config.begin))),
                 now = eventTimeEnd.getOrElse(ctx.now),
                 compiledBatch = Some((bs, be) =>
-                  spark.sql(compileSql(node, batchWindow = Some((bs, be))))))
+                  spark.sql(compileSql(node, batchWindow = Some((bs, be)),
+                    fullRefresh = fullRefresh))))
               MicrobatchRunner.run(winCtx, lastRunEnd = lastEnd)
             case m if customMats.contains(m) =>
               runCustomMaterialization(node, sql, m, fullRefresh)

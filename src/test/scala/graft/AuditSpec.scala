@@ -132,6 +132,16 @@ class AuditSpec extends AnyFunSuite {
     val withNullTop = graft.ops.Audit.keySkew(df, "k", k = 4)
       .collect().map(_.getString(0))
     assert(withNullTop.contains("<NULL>"))
+    // one input scan, zero cached state: the total branch must be
+    // served by exchange reuse, not a .cache() that lingers in the
+    // block manager across audits (round-11 advice)
+    val executed = graft.ops.Audit.keySkew(df, "k", k = 3)
+    executed.collect()
+    val plan = executed.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"keySkew total branch did not reuse the counts exchange:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      "keySkew must not cache (leaks distinct-key-sized blocks)")
   }
 
   test("kAnonymity: violator counts, NULL tuples group as values") {

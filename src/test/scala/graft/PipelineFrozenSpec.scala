@@ -280,4 +280,101 @@ class PipelineFrozenSpec extends AnyFunSuite {
         Seq((3L, "a b")).toDF("doc_id", "text"), incremental = true))
     assert(e.getMessage.contains("--full-refresh"))
   }
+
+  test("changed training parameters fail loudly, never score silently") {
+    import spark.implicits._
+    // minhash: a batch run under different k/perms/bands would band the
+    // stored index under the wrong values — garbage candidate pairs
+    val a = freshAdapter("incr_params")
+    val rel = Relation(a.defaultSchema, "kept")
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    runPipeline(a, rel, Seq(Map[String, Any]("op" -> "minhash_dedup")),
+      docs, incremental = true)
+    val e = intercept[IllegalStateException](runPipeline(a, rel,
+      Seq(Map[String, Any]("op" -> "minhash_dedup", "perms" -> 64,
+        "bands" -> 16)),
+      Seq((3L, "x y z a b c d e")).toDF("doc_id", "text"),
+      incremental = true))
+    assert(e.getMessage.contains("training parameters") &&
+      e.getMessage.contains("--full-refresh"), e.getMessage)
+
+    // frozen classifier: a changed iters/lr config must not silently
+    // keep scoring under the old weights
+    val a2 = freshAdapter("frozen_params")
+    val rel2 = Relation(a2.defaultSchema, "gated")
+    val train = Seq(
+      (1L, "the a of and to in is table scan row merge fast system"),
+      (2L, "tiny words here")).toDF("doc_id", "text")
+    runPipeline(a2, rel2, Seq(Map[String, Any](
+      "op" -> "quality_classifier_filter", "mode" -> "frozen")), train)
+    val e2 = intercept[IllegalStateException](runPipeline(a2, rel2,
+      Seq(Map[String, Any]("op" -> "quality_classifier_filter",
+        "mode" -> "frozen", "iters" -> 16)), train))
+    assert(e2.getMessage.contains("training parameters"), e2.getMessage)
+    // unchanged parameters still load fine (the happy path re-checked)
+    runPipeline(a2, rel2, Seq(Map[String, Any](
+      "op" -> "quality_classifier_filter", "mode" -> "frozen")), train)
+  }
+
+  test("--full-refresh renders is_incremental() false (full recovery)") {
+    // the prescribed recovery path: a full-refresh run of an existing
+    // `incremental: true` pipeline must compile the model SQL with
+    // is_incremental() = FALSE, so the rebuilt target holds the FULL
+    // corpus — not silently just the current batch's slice (r11 advice:
+    // compileSql hardcoded fullRefresh=false)
+    val proj = Files.createTempDirectory("graft_fr_pipe")
+    def write(rel: String, content: String): Unit = {
+      val p = proj.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("dbt_project.yml",
+      """name: frpipe
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write("models/sources.yml",
+      """version: 2
+        |sources:
+        |  - name: lake
+        |    tables:
+        |      - name: documents
+        |        external:
+        |          location: "/root/testdata/sf0.001/documents.parquet"
+        |""".stripMargin)
+    write("models/curated.sql",
+      """select doc_id, source, text from {{ source('lake', 'documents') }}
+        |{% if is_incremental() %}
+        |  where doc_id >= 250
+        |{% endif %}
+        |""".stripMargin)
+    write("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: curated
+        |    config:
+        |      materialized: pipeline
+        |      incremental: true
+        |      steps:
+        |        - op: token_count
+        |          text_col: text
+        |""".stripMargin)
+    val schema = "g_fr_pipe"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val loc = Files.createTempDirectory("graft_fr_pipe_wh").toString
+    def runOnce(fullRefresh: Boolean): Unit = {
+      val r = new graft.run.Runner(spark,
+        graft.project.ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val bad = r.run(fullRefresh = fullRefresh).filter(_.status != "success")
+      assert(bad.isEmpty, bad.mkString(" | "))
+    }
+    runOnce(fullRefresh = false) // base: all 500 docs
+    assert(spark.table(s"$schema.curated").count() == 500)
+    runOnce(fullRefresh = false) // batch: appends the >=250 slice again
+    assert(spark.table(s"$schema.curated").count() == 750)
+    runOnce(fullRefresh = true)  // recovery: FULL corpus, not the slice
+    assert(spark.table(s"$schema.curated").count() == 500,
+      "--full-refresh must rebuild from the full-corpus SELECT")
+  }
 }
