@@ -1039,12 +1039,26 @@ object PipelineModels {
     val bands = int(s.raw, "bands", 21)
     val threshold = dbl(s.raw, "threshold", 0.8)
     val rel = stateRel(ctx, suffix)
+    // The index persists as TWO relations: the signature table (id,
+    // shh, sig — the heavy arrays the exact-Jaccard verify needs) and
+    // its NARROW banded twin (id, band, bandhash), range-laid-out by
+    // (band, bandhash) so each parquet file covers a disjoint key
+    // range. Batch runs band the history by scanning three integer
+    // columns — never re-folding xxhash over every stored signature
+    // array — and the sorted layout lets Spark's runtime semi-join
+    // filters prune row groups the batch's buckets don't touch. At
+    // 100 TB the sig/shh arrays dominate the index's bytes; this keeps
+    // them out of the per-batch candidate path entirely.
+    val bandsRel = rel.copy(identifier = s"${rel.identifier}_bands")
     if (!incrRun) {
       // full build: persist first, pair from the PERSISTED index (the
       // bytes later batches will join against), then canonical keep
       val sigs = Dedup.minhashSignatures(df, idCol, textCol, k, perms)
       ctx.adapter.writeTableAtomic(sigs, rel)
       recordParams(ctx, rel, s)
+      ctx.adapter.writeTableAtomic(
+        Dedup.bandedRows(ctx.adapter.read(rel), perms, bands), bandsRel,
+        sortBy = Seq("band", "bandhash"))
       val pairs = Dedup.minhashNearDupsFromSigs(ctx.adapter.read(rel),
         perms, bands, threshold, Dedup.maxBandBucket(df))
       keepInputColumns(df.columns)(Dedup.canonicalCorpus(df, pairs, idCol))
@@ -1054,8 +1068,18 @@ object PipelineModels {
           "batch run — the state was lost; rebuild with --full-refresh")
       checkParams(ctx, rel, s)
       val index = ctx.adapter.read(rel)
-      val pairs = Dedup.minhashNearDupsIncremental(df, idCol, textCol,
-        index, k, perms, bands, threshold)
+      // pre-upgrade state may lack the banded twin: it is a pure
+      // derivation of the signature table, so derive it in-memory for
+      // this run and persist it with the deferred state writes below
+      val bandsExist = ctx.adapter.relationExists(bandsRel)
+      val bandedIdx =
+        if (bandsExist) ctx.adapter.read(bandsRel)
+        else Dedup.bandedRows(index, perms, bands)
+      val newSigs = Dedup.maybeCache(
+        Dedup.minhashSignatures(df, idCol, textCol, k, perms))
+      val pairs = Dedup.minhashNearDupsIncrementalFromSigs(newSigs,
+        index, bandedIdx, perms, bands, threshold,
+        Dedup.maxBandBucket(df))
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       val settledComps = cc
         .join(index.select(col("id").as("__sid")), cc("id") === col("__sid"),
@@ -1070,8 +1094,18 @@ object PipelineModels {
         .select(col("id").as("__drop_id"))
       val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
         "left_anti")
-      deferred += (() => ctx.adapter.appendToTable(
-        Dedup.minhashSignatures(df, idCol, textCol, k, perms), rel))
+      deferred += (() => {
+        ctx.adapter.appendToTable(newSigs, rel)
+        val nb = Dedup.bandedRows(newSigs, perms, bands)
+        if (bandsExist)
+          ctx.adapter.appendToTable(
+            nb.repartitionByRange(col("band"), col("bandhash"))
+              .sortWithinPartitions(col("band"), col("bandhash")),
+            bandsRel)
+        else ctx.adapter.writeTableAtomic(
+          Dedup.bandedRows(ctx.adapter.read(rel), perms, bands),
+          bandsRel, sortBy = Seq("band", "bandhash"))
+      })
       kept
     }
   }

@@ -430,7 +430,17 @@ object Dedup {
     * pure integer codegen; the stringify-and-concat form measured 2×
     * slower over the same slices with the identical candidate sets (any
     * injective-enough mix works, the exact-Jaccard verify keeps the
-    * output independent of the hash choice). */
+    * output independent of the hash choice).
+    *
+    * Public as [[bandedRows]] so an incremental pipeline can PERSIST
+    * the banded twin of its signature index: batch runs then band the
+    * history by scanning three integer columns instead of re-folding
+    * xxhash over every stored 128-long signature array (at 100 TB the
+    * index's sig/shh arrays dominate its bytes; the banded twin is the
+    * only part the per-batch candidate join needs). */
+  def bandedRows(sigs: DataFrame, perms: Int, bands: Int): DataFrame =
+    bandedOf(sigs, perms, bands)
+
   private def bandedOf(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val r = perms / bands
     sigs.select(col("id"),
@@ -458,27 +468,43 @@ object Dedup {
     * verified (precision 1), old×old pairs excluded by construction. */
   def minhashNearDupsIncremental(newDf: DataFrame, idCol: String,
       textCol: String, index: DataFrame, k: Int = 3, perms: Int = 128,
-      bands: Int = 21, threshold: Double = 0.8): DataFrame = {
-    val newSigs = maybeCache(minhashSignatures(newDf, idCol, textCol, k,
-      perms))
-    val idxSigs = index.select(col("id"), col("shh"), col("sig"))
-    val bandedNew = maybeCache(bandedOf(newSigs, perms, bands))
+      bands: Int = 21, threshold: Double = 0.8): DataFrame =
+    minhashNearDupsIncrementalFromSigs(
+      minhashSignatures(newDf, idCol, textCol, k, perms), index,
+      bandedOf(index, perms, bands), perms, bands, threshold,
+      maxBandBucket(newDf))
+
+  /** Core of [[minhashNearDupsIncremental]] over PRECOMPUTED batch
+    * signatures and a banded index. `bandedIndex` is (id, band,
+    * bandhash) — normally the PERSISTED banded twin of the signature
+    * index (see [[bandedRows]]), so the history's heavy sig/shh arrays
+    * are never read for banding; they join back only for the verified
+    * candidate ids. The caller owns `newSigs`' lifecycle (an
+    * incremental pipeline reuses the same frame for the deferred
+    * index append). */
+  def minhashNearDupsIncrementalFromSigs(newSigs: DataFrame,
+      index: DataFrame, bandedIndex: DataFrame, perms: Int, bands: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
+    val ns = maybeCache(newSigs)
+    val idxSigs = index.select(col("id"), col("shh"))
+    val bandedNew = maybeCache(bandedOf(ns, perms, bands))
     // index rows survive only where a new row shares their bucket
-    val bandedIdx = bandedOf(idxSigs, perms, bands)
+    val bandedIdx = bandedIndex.select(col("id"), col("band"),
+        col("bandhash"))
       .join(bandedNew.select("band", "bandhash").distinct(),
         Seq("band", "bandhash"), "left_semi")
     val pairIds = bucketPairs(bandedNew.unionByName(bandedIdx),
-      Seq("band", "bandhash"), maxBandBucket(newDf))
+      Seq("band", "bandhash"), maxBucket)
     // drop the residual old×old pairs (two index docs colliding inside
     // a bucket the batch also touches)
-    val aNew = newSigs.select(col("id").as("id_a"), lit(true).as("__an"))
-    val bNew = newSigs.select(col("id").as("id_b"), lit(true).as("__bn"))
+    val aNew = ns.select(col("id").as("id_a"), lit(true).as("__an"))
+    val bNew = ns.select(col("id").as("id_b"), lit(true).as("__bn"))
     val filtered = pairIds
       .join(aNew, Seq("id_a"), "left").join(bNew, Seq("id_b"), "left")
       .filter(coalesce(col("__an"), lit(false)) ||
         coalesce(col("__bn"), lit(false)))
       .select("id_a", "id_b")
-    val allSigs = newSigs.select("id", "shh")
+    val allSigs = ns.select("id", "shh")
       .unionByName(idxSigs.select("id", "shh"))
     val candidates = filtered
       .join(allSigs.select(col("id").as("id_a"), col("shh").as("sh_a")),

@@ -50,6 +50,12 @@ final case class Project(
     /** parsed schema.yml property files, in file order */
     properties: Seq[Map[String, Any]],
     macroSources: Seq[String],
+    /** diagnostics from `-- funcsign:` static macro type-checking
+      * (reference: dbt-parser funcsign extraction + the minijinja
+      * funcsign_parser grammar) — empty when clean; non-empty is a
+      * warning by default and a load error under
+      * `funcsign-severity: error`. */
+    funcsignDiagnostics: Seq[String] = Nil,
     /** names of `{% test X %}` blocks found in macro files — referenced
       * from schema.yml like built-in generic tests (reference:
       * SqlResource::Test, dbt-jinja-utils/src/phases/parse/sql_resource.rs:27) */
@@ -625,6 +631,30 @@ object ProjectLoader {
           sub +: sub.packages // flatten transitive deps
         }
 
+    // `-- funcsign:` static macro type-checking (reference:
+    // dbt-parser/src/utils.rs funcsign extraction + the minijinja
+    // funcsign_parser grammar): annotated macros are checked for
+    // signature/parameter arity agreement, and every call site in this
+    // project's macros, models, snapshots, tests, and analyses is
+    // checked for arity, unknown/duplicate keywords, and literal-type
+    // contradictions. `funcsign-severity: error` in dbt_project.yml
+    // fails the load; the default records + warns.
+    val macroFileNames = files(macroPaths, ".sql").map(_.getFileName.toString)
+    val funcsignDiags = graft.jinja.FuncSign.analyze(
+      macroFileNames.zip(macroSources),
+      (models.toSeq ++ snapshots.map { case (n, s) => (s"snapshot $n", s) }
+        ++ tests.map { case (n, s) => (s"test $n", s) }
+        ++ analyses.map { case (n, s) => (s"analysis $n", s) }).toSeq)
+    if (funcsignDiags.nonEmpty) {
+      if (Yaml.dig(cfg, "funcsign-severity").map(Yaml.str)
+          .contains("error"))
+        throw new IllegalArgumentException(
+          "funcsign type-check failed:\n  " +
+            funcsignDiags.mkString("\n  "))
+      funcsignDiags.foreach(d =>
+        System.err.println(s"[funcsign] warning: $d"))
+    }
+
     Project(
       name = name,
       root = rootDir,
@@ -650,6 +680,7 @@ object ProjectLoader {
       analyses = analyses,
       properties = properties,
       macroSources = macroSources,
+      funcsignDiagnostics = funcsignDiags,
       customTests = customTests,
       customMaterializations = customMats,
       docsBlocks = docsBlocks,

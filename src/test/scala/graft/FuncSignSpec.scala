@@ -1,0 +1,158 @@
+package graft
+
+import graft.jinja.FuncSign
+import graft.jinja.FuncSign._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** `-- funcsign:` static macro type-checking: the signature grammar
+  * (reference funcsign_parser.rs vocabulary), comment-to-macro binding,
+  * arity agreement, and the static-literal call-site checks. */
+class FuncSignSpec extends AnyFunSuite {
+
+  // ---- grammar ---------------------------------------------------------
+
+  test("parseSig covers the reference vocabulary") {
+    assert(parseSig("() -> string") == Right(Sig(Nil, TStr)))
+    assert(parseSig("(string, integer) -> bool") ==
+      Right(Sig(Seq(TStr, TInt), TBool)))
+    assert(parseSig("(optional[list[string]]) -> list[relation]") ==
+      Right(Sig(Seq(TOptional(TList(TStr))),
+        TList(TNamed("relation")))))
+    assert(parseSig("(dict[string, api.column]) -> string") ==
+      Right(Sig(Seq(TDict(TStr, TNamed("api.column"))), TStr)))
+    assert(parseSig("(list[ANY], any) -> list[any]") ==
+      Right(Sig(Seq(TList(TAny), TAny), TList(TAny))))
+    assert(parseSig(
+      "(model, bool, list[string]|string) -> tuple[bool, list[base_column]]")
+      == Right(Sig(
+        Seq(TNamed("model"), TBool, TUnion(Seq(TList(TStr), TStr))),
+        TTuple(Seq(TBool, TList(TNamed("base_column")))))))
+    assert(parseSig("() -> struct{a: string, b: bool}") ==
+      Right(Sig(Nil, TStruct(Seq("a" -> TStr, "b" -> TBool)))))
+    // errors name the problem
+    assert(parseSig("(string -> string").isLeft)
+    assert(parseSig("(string)").isLeft)
+    assert(parseSig("(string) -> string trailing").isLeft)
+  }
+
+  // ---- extraction ------------------------------------------------------
+
+  private val goodMacro =
+    """-- funcsign: (string, optional[integer]) -> string
+      |{% macro fmt(field, width=none) %}
+      |{{ field }}:{{ width }}
+      |{% endmacro %}
+      |""".stripMargin
+
+  test("extract binds the comment to the NEXT macro and checks arity") {
+    val (sigs, diags) = extract(goodMacro, "m.sql")
+    assert(diags.isEmpty)
+    assert(sigs.map(_.name) == Seq("fmt"))
+    assert(sigs.head.sig == Sig(Seq(TStr, TOptional(TInt)), TStr))
+    assert(sigs.head.params == Seq(("field", false), ("width", true)))
+
+    val badArity =
+      """-- funcsign: (string) -> string
+        |{% macro two(a, b) %}x{% endmacro %}
+        |""".stripMargin
+    val (s2, d2) = extract(badArity, "m.sql")
+    assert(s2.isEmpty && d2.exists(_.contains(
+      "declares 2 parameter(s) but its funcsign has 1")))
+
+    val badSig =
+      """-- funcsign: (string ->
+        |{% macro x(a) %}x{% endmacro %}
+        |""".stripMargin
+    assert(extract(badSig, "m.sql")._2.exists(_.contains("macro `x`")))
+
+    val orphan = "-- funcsign: () -> string\nselect 1"
+    assert(extract(orphan, "m.sql")._2
+      .exists(_.contains("no following")))
+  }
+
+  // ---- call-site checks ------------------------------------------------
+
+  private def sigsOf(src: String): Map[String, MacroSig] =
+    extract(src, "m.sql")._1.map(m => m.name -> m).toMap
+
+  test("call sites: arity, kwargs, duplicates, required params") {
+    val sigs = sigsOf(goodMacro)
+    assert(checkCalls("{{ fmt('a') }}", "mod", sigs).isEmpty)
+    assert(checkCalls("{{ fmt('a', 3) }}", "mod", sigs).isEmpty)
+    assert(checkCalls("{{ fmt('a', width=3) }}", "mod", sigs).isEmpty)
+    assert(checkCalls("{{ fmt(x) }}", "mod", sigs).isEmpty,
+      "non-literal args type as any")
+    assert(checkCalls("{{ fmt('a', 3, 4) }}", "mod", sigs)
+      .exists(_.contains("takes 2 argument(s) but 3")))
+    assert(checkCalls("{{ fmt('a', depth=3) }}", "mod", sigs)
+      .exists(_.contains("no parameter `depth`")))
+    assert(checkCalls("{{ fmt('a', field='b') }}", "mod", sigs)
+      .exists(_.contains("bound twice")))
+    assert(checkCalls("{{ fmt(width=3) }}", "mod", sigs)
+      .exists(_.contains("missing required argument `field`")))
+  }
+
+  test("call sites: literal types against the declared signature") {
+    val sigs = sigsOf(goodMacro)
+    assert(checkCalls("{{ fmt(42) }}", "mod", sigs)
+      .exists(_.contains("argument 1 is integer")))
+    assert(checkCalls("{{ fmt('a', 'wide') }}", "mod", sigs)
+      .exists(_.contains("argument 2 is string")))
+    assert(checkCalls("{{ fmt('a', none) }}", "mod", sigs).isEmpty,
+      "none satisfies optional[...]")
+
+    val listy = sigsOf(
+      """-- funcsign: (list[string], float) -> string
+        |{% macro agg(cols, factor=1.0) %}x{% endmacro %}
+        |""".stripMargin)
+    assert(checkCalls("{{ agg(['a', 'b'], 2.5) }}", "mod", listy).isEmpty)
+    assert(checkCalls("{{ agg(['a'], 2) }}", "mod", listy).isEmpty,
+      "integer literal satisfies float")
+    assert(checkCalls("{{ agg('a') }}", "mod", listy)
+      .exists(_.contains("argument 1 is string")))
+    assert(checkCalls("{{ agg([1, 2]) }}", "mod", listy)
+      .exists(_.contains("argument 1 is list[integer]")))
+    // calls nested inside statements and expressions are found
+    assert(checkCalls(
+      "{% if x %}{% set y = agg(7) %}{% endif %}", "mod", listy)
+      .exists(_.contains("argument 1 is integer")))
+  }
+
+  // ---- project integration ---------------------------------------------
+
+  private def write(dir: Path, rel: String, content: String): Unit = {
+    val p = dir.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  test("ProjectLoader records diagnostics; severity=error fails the load") {
+    val proj = Files.createTempDirectory("graft_funcsign")
+    write(proj, "dbt_project.yml",
+      """name: fs
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "macros/fmt.sql", goodMacro)
+    write(proj, "models/m.sql", "select {{ fmt(42) }} as x\n")
+    val p = graft.project.ProjectLoader.load(proj.toString)
+    assert(p.funcsignDiagnostics.exists(d =>
+      d.contains("m") && d.contains("argument 1 is integer")),
+      p.funcsignDiagnostics.mkString("; "))
+
+    write(proj, "dbt_project.yml",
+      """name: fs
+        |model-paths: ["models"]
+        |funcsign-severity: error
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      graft.project.ProjectLoader.load(proj.toString))
+    assert(e.getMessage.contains("funcsign type-check failed"))
+
+    // a clean call compiles quietly
+    write(proj, "models/m.sql", "select {{ fmt('a', 3) }} as x\n")
+    val p2 = graft.project.ProjectLoader.load(proj.toString)
+    assert(p2.funcsignDiagnostics.isEmpty)
+  }
+}

@@ -186,12 +186,17 @@ class PipelineFrozenSpec extends AnyFunSuite {
     val steps = Seq(
       Map[String, Any]("op" -> "minhash_dedup"),
       Map[String, Any]("op" -> "token_count"))
+    val bandsRel = Relation(a.defaultSchema,
+      "corpus__state_minhash_dedup_bands")
     // batch 1: 1≈2 dup (min id 1 kept), 3 unique
     val b1 = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
     runPipeline(a, rel, steps, b1, incremental = true)
     assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
     assert(a.relationExists(sigsRel), "signature index persisted")
     assert(a.read(sigsRel).count() == 3, "index holds every doc SEEN")
+    assert(a.relationExists(bandsRel), "banded twin persisted")
+    assert(a.read(bandsRel).count() == 3 * 21,
+      "one banded row per (doc, band)")
 
     // batch 2: 10 dups a settled doc (drops — component touches the
     // index), 11≈12 are a new-new cluster (11 kept), 13 unique
@@ -204,6 +209,21 @@ class PipelineFrozenSpec extends AnyFunSuite {
       Set(1L, 3L, 11L, 13L),
       "settled rows stay; 10 drops against the index; 11 wins its cluster")
     assert(a.read(sigsRel).count() == 7, "batch sigs appended to the index")
+    assert(a.read(bandsRel).count() == 7 * 21,
+      "banded twin appended in lockstep")
+
+    // pre-upgrade state (no banded twin): the batch derives it from
+    // the signature table and persists it with the deferred writes
+    a.dropRelation(bandsRel)
+    val b3 = Seq((20L, t3),
+      (21L, "yet another brand new never seen before document text here"))
+      .toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b3, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L, 21L),
+      "20 dups settled 11 and drops even without the banded twin on disk")
+    assert(a.relationExists(bandsRel) && a.read(bandsRel).count() == 9 * 21,
+      "banded twin rebuilt from the signature table")
 
     // --full-refresh rebuilds everything from the (new) full input
     runPipeline(a, rel, steps, b1.unionByName(b2), incremental = true,
@@ -211,6 +231,7 @@ class PipelineFrozenSpec extends AnyFunSuite {
     assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L, 11L, 13L))
     assert(a.read(sigsRel).count() == 7, "index rebuilt, not appended")
+    assert(a.read(bandsRel).count() == 7 * 21, "banded twin rebuilt too")
   }
 
   test("incremental pipeline: frozen LM gates batch 2 by batch-1 statistics") {
