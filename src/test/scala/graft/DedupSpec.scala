@@ -652,6 +652,57 @@ class DedupSpec extends AnyFunSuite {
     assert(inc === expected)
   }
 
+  test("persisted banded twin: index banded from 3 narrow columns, " +
+      "sig arrays never scanned, semi-join prunes before pairing") {
+    import spark.implicits._
+    // same split-spanning corpus as the derive-in-memory test above, but
+    // with the index and its banded twin round-tripped through parquet —
+    // the layout an incremental pipeline reads on every batch
+    val texts = (0 until 8).map(g =>
+      s"group $g shares this exact long duplicated sentence body number " +
+        s"$g with several siblings across the split boundary")
+    val docs = (0L until 24L).map(i => (i, texts((i % 8).toInt)))
+      .toDF("id", "text")
+    val oldDf = docs.filter(col("id") % 3 =!= 0)
+    val newDf = docs.filter(col("id") % 3 === 0)
+    val full = Dedup.minhashNearDups(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded")
+      .toString
+    Dedup.minhashSignatures(oldDf, "id", "text")
+      .write.parquet(s"$dir/sigs")
+    val index = spark.read.parquet(s"$dir/sigs")
+    Dedup.bandedRows(index, perms = 128, bands = 21)
+      .write.parquet(s"$dir/bands")
+    val banded = spark.read.parquet(s"$dir/bands")
+
+    val pairs = Dedup.minhashNearDupsIncrementalFromSigs(
+      Dedup.minhashSignatures(newDf, "id", "text"), index, banded,
+      perms = 128, bands = 21, threshold = 0.8, maxBucket = 1000)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === expected, "persisted-twin path matches the in-memory path")
+
+    val plan = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the only parquet scans are the index tables; neither may read the
+    // heavy `sig` array — banding comes from the 3-int banded twin and
+    // the sigs table is pruned to (id, shh) for the exact verify
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, "expected parquet scans in the plan")
+    assert(!readSchemas.exists(_.contains("sig:")),
+      s"sig array must never be scanned:\n${readSchemas.mkString("\n")}")
+    assert(readSchemas.exists(l =>
+      l.contains("band:") && l.contains("bandhash:")),
+      "banded twin scanned by its narrow columns")
+    // history rows are dropped by a semi-join to the batch's buckets
+    // BEFORE the bucket-pair shuffle
+    assert(plan.contains("LeftSemi"),
+      "index pre-pruned by a left-semi on the batch's band keys")
+  }
+
   /** Independent reference for the E-S priority: plain-JVM md5 + the
     * same double tree the operator pins. */
   private def esPriority(id: Long, w: Double): Double = {
