@@ -120,6 +120,32 @@ class FuncSignSpec extends AnyFunSuite {
       .exists(_.contains("argument 1 is integer")))
   }
 
+  test("declared return types propagate through nested annotated calls") {
+    val sigs = sigsOf(goodMacro +
+      """-- funcsign: () -> integer
+        |{% macro pick_width() %}7{% endmacro %}
+        |-- funcsign: () -> relation
+        |{% macro pick_rel() %}x{% endmacro %}
+        |-- funcsign: () -> list[string]
+        |{% macro pick_cols() %}y{% endmacro %}
+        |""".stripMargin)
+    // inner's declared integer return contradicts fmt's string arg 1
+    assert(checkCalls("{{ fmt(pick_width()) }}", "mod", sigs)
+      .exists(_.contains("argument 1 is integer")))
+    // ...and satisfies the optional[integer] arg 2
+    assert(checkCalls("{{ fmt('a', pick_width()) }}", "mod", sigs)
+      .isEmpty)
+    assert(checkCalls("{{ fmt('a', width=pick_width()) }}", "mod", sigs)
+      .isEmpty)
+    // opaque returns propagate nothing (the inference boundary)
+    assert(checkCalls("{{ fmt(pick_rel()) }}", "mod", sigs).isEmpty)
+    // concrete container returns propagate structurally
+    assert(checkCalls("{{ fmt(pick_cols()) }}", "mod", sigs)
+      .exists(_.contains("argument 1 is list[string]")))
+    // unannotated calls stay any
+    assert(checkCalls("{{ fmt(mystery()) }}", "mod", sigs).isEmpty)
+  }
+
   // ---- project integration ---------------------------------------------
 
   private def write(dir: Path, rel: String, content: String): Unit = {
