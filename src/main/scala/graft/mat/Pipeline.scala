@@ -1105,6 +1105,11 @@ object PipelineModels {
         else ctx.adapter.writeTableAtomic(
           Dedup.bandedRows(ctx.adapter.read(rel), perms, bands),
           bandsRel, sortBy = Seq("band", "bandhash"))
+        // the state appends were the last readers of the cached batch
+        // signatures — release the blocks so repeated batch runs in a
+        // long-lived session don't accumulate eviction pressure
+        newSigs.unpersist()
+        ()
       })
       kept
     }
