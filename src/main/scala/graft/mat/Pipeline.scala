@@ -740,6 +740,10 @@ object PipelineModels {
   def trainerOp(s: Step): Boolean = s.op match {
     case "surprise_filter" | "quality_classifier_filter" |
          "dsir_select" => true
+    // robust-stats gates train corpus statistics too: winsorize's clip
+    // band and the MAD fence are per-group quantile artifacts, frozen
+    // on run 1 exactly like the LM/classifier/ratio models
+    case "winsorize" | "mad_outlier_filter" => true
     case "token_count" => str(s.raw, "tokenizer", "whitespace") == "bpe"
     case _ => false
   }
@@ -770,6 +774,11 @@ object PipelineModels {
             "written settled row, which an append-only increment " +
             "cannot retract; drop priority_col (min-id keep) or " +
             "full-rebuild")
+      // exact dedup runs against a persisted text-hash index: a batch
+      // row whose text was EVER seen drops, within-batch dups keep the
+      // canonical — settled rows never retracted, same contract as the
+      // minhash index
+      case "exact_dedup" => ()
       case other =>
         fail("it is corpus-global (budgeted mixing, corpus quantiles, " +
           "global packing order, or an index-less dedup); compute it " +
@@ -805,6 +814,8 @@ object PipelineModels {
           s"got `$mode`")
     if (s.op == "minhash_dedup" && incremental)
       incrementalMinhash(ctx, s, suffix, df, incrRun, deferred)
+    else if (s.op == "exact_dedup" && incremental)
+      incrementalExact(ctx, s, suffix, df, incrRun, deferred)
     else if (trainerOp(s) && mode == "frozen")
       applyFrozen(ctx, s, suffix, df, retrainNow = incremental && !incrRun,
         mustExist = incrRun)
@@ -852,6 +863,17 @@ object PipelineModels {
         "merges" -> int(s.raw, "merges", 20).toString,
         "max_words" -> str(s.raw, "max_words",
           String.valueOf(Bpe.DefaultMaxWords)),
+        "text_col" -> str(s.raw, "text_col", "text"))
+      case "winsorize" => Seq(
+        "group_col" -> reqStr(s.raw, "group_col", s.op),
+        "value_col" -> reqStr(s.raw, "value_col", s.op),
+        "lo" -> s"${int(s.raw, "lo_num", 1)}/${int(s.raw, "lo_den", 100)}",
+        "hi" -> s"${int(s.raw, "hi_num", 99)}/${int(s.raw, "hi_den", 100)}")
+      case "mad_outlier_filter" => Seq(
+        "group_col" -> reqStr(s.raw, "group_col", s.op),
+        "value_col" -> reqStr(s.raw, "value_col", s.op))
+      case "exact_dedup" => Seq(
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
         "text_col" -> str(s.raw, "text_col", "text"))
       case _ => Seq.empty
     }
@@ -953,6 +975,17 @@ object PipelineModels {
           .select(col(s"`$idCol`"), col(s"`$textCol`"))
         graft.ops.Dsir.bucketRatios(slim, target, idCol, textCol,
           int(s.raw, "buckets", 4096))
+      // one row per group, bounded by group cardinality: the clip band
+      case "winsorize" =>
+        Stats.winsorizeBounds(df, reqStr(s.raw, "group_col", s.op),
+          reqStr(s.raw, "value_col", s.op),
+          int(s.raw, "lo_num", 1), int(s.raw, "lo_den", 100),
+          int(s.raw, "hi_num", 99), int(s.raw, "hi_den", 100))
+      // one row per group: (median, MAD); `k:` stays apply-time — the
+      // fence artifact is valid under any multiplier
+      case "mad_outlier_filter" =>
+        Stats.madBounds(df, reqStr(s.raw, "group_col", s.op),
+          reqStr(s.raw, "value_col", s.op))
       case other => throw new IllegalArgumentException(
         s"step `$other` has no trainable model")
     }
@@ -1018,8 +1051,68 @@ object PipelineModels {
         case None => scored.filter(col("logw") >= minLogw.get)
       }).select(col(s"`$idCol`"))
       df.join(kept, Seq(idCol), "left_semi")
+    case "winsorize" =>
+      val groupCol = reqStr(s.raw, "group_col", s.op)
+      val valueCol = reqStr(s.raw, "value_col", s.op)
+      val cols = df.columns
+      PipelineSteps.keepInputColumns(cols)(
+        Stats.clipWithBounds(df, groupCol, valueCol, art)
+          .withColumn(valueCol, col("clipped")))
+    case "mad_outlier_filter" =>
+      val groupCol = reqStr(s.raw, "group_col", s.op)
+      val valueCol = reqStr(s.raw, "value_col", s.op)
+      PipelineSteps.keepInputColumns(df.columns)(
+        Stats.madFlagWithBounds(df, groupCol, valueCol,
+          int(s.raw, "k", 3), art).filter(!col("is_outlier")))
     case other => throw new IllegalArgumentException(
       s"step `$other` has no frozen-apply path")
+  }
+
+  /** exact_dedup with a persisted text-hash index (incremental
+    * pipelines). Full build: the normal canonical keep + persist ONE
+    * sha2-256 per distinct text seen, range-sorted. Batch run: keep
+    * the within-batch canonical per text, drop any row whose text hash
+    * is already in the index (the text was seen — its canonical is
+    * settled, an append-only increment cannot re-emit or replace it),
+    * and append the batch's NEW hashes after the target write
+    * (deferred, so a failed run leaves state untouched). The index is
+    * one 32-byte column regardless of document size — at 100 TB the
+    * per-batch anti-join exchanges hash bytes only, never text. The
+    * 2^-128 collision bound stands in for exactness, the same trade
+    * every production-scale hash dedup makes. */
+  private def incrementalExact(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : DataFrame = {
+    val textCol = str(s.raw, "text_col", "text")
+    val rel = stateRel(ctx, suffix)
+    def hashOf(d: DataFrame) =
+      d.select(sha2(col(s"`$textCol`").cast("string"), 256).as("h"))
+        .distinct()
+    if (!incrRun) {
+      ctx.adapter.writeTableAtomic(hashOf(df), rel, sortBy = Seq("h"))
+      recordParams(ctx, rel, s)
+      s.apply(df)
+    } else {
+      if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
+        s"${rel.fqn}: exact-dedup state relation missing on an " +
+          "incremental batch run — the state was lost; rebuild with " +
+          "--full-refresh")
+      checkParams(ctx, rel, s)
+      val state = ctx.adapter.read(rel)
+      val canon = s.apply(df)
+      val kept = canon.join(state,
+        sha2(canon(s"`$textCol`").cast("string"), 256) === state("h"),
+        "left_anti")
+      deferred += (() => {
+        val fresh = hashOf(df)
+          .join(ctx.adapter.read(rel), Seq("h"), "left_anti")
+        ctx.adapter.appendToTable(
+          fresh.repartitionByRange(col("h")).sortWithinPartitions(col("h")),
+          rel)
+      })
+      kept
+    }
   }
 
   /** minhash_dedup with a persisted signature index (incremental

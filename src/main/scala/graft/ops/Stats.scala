@@ -140,17 +140,87 @@ object Stats {
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       loNum: Int = 1, loDen: Int = 100, hiNum: Int = 99,
       hiDen: Int = 100): DataFrame = {
+    val in = df.filter(col(valueCol).isNotNull)
+    in.join(winsorizeBounds(df, groupCol, valueCol, loNum, loDen,
+        hiNum, hiDen), Seq(groupCol))
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
+
+  /** [[winsorize]]'s training half as a standalone table: the exact
+    * type-1 per-group [p-lo, p-hi] bounds, ONE ROW PER GROUP — the
+    * persistable clip-bounds artifact an incremental pipeline freezes
+    * on its first run (bounded by group cardinality, never corpus
+    * size). [[clipWithBounds]] is the matching apply half; on the
+    * training input the pair reproduces [[winsorize]] exactly. */
+  def winsorizeBounds(df: DataFrame, groupCol: String, valueCol: String,
+      loNum: Int = 1, loDen: Int = 100, hiNum: Int = 99,
+      hiDen: Int = 100): DataFrame = {
     require(loNum.toLong * hiDen <= hiNum.toLong * loDen,
       s"lo must not exceed hi: $loNum/$loDen > $hiNum/$hiDen")
     val in = df.filter(col(valueCol).isNotNull)
-    val bounds = quantilesByGroup(in, groupCol, valueCol,
+    quantilesByGroup(in, groupCol, valueCol,
       Seq(("lo", loNum, loDen), ("hi", hiNum, hiDen)))
       .groupBy(col(groupCol))
       .agg(max(when(col("quantile") === "lo", col(valueCol))).as("lo"),
         max(when(col("quantile") === "hi", col(valueCol))).as("hi"))
-    in.join(bounds, Seq(groupCol))
+  }
+
+  /** Clip a value column into a STORED (group, lo, hi) bounds table —
+    * [[winsorize]] under a frozen artifact instead of this input's own
+    * quantiles. Groups absent from the bounds table pass UNCLIPPED (an
+    * unseen stratum has no frozen band; passing through is the
+    * least-surprise default and the spec-pinned contract). NULL values
+    * and NULL groups drop, like [[winsorize]] (whose inner bounds join
+    * never matches a NULL key) — run-1 parity holds row-for-row. One
+    * broadcast-sized left join. */
+  def clipWithBounds(df: DataFrame, groupCol: String, valueCol: String,
+      bounds: DataFrame): DataFrame = {
+    val in = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    in.join(bounds.select(col(groupCol), col("lo"), col("hi")),
+        Seq(groupCol), "left")
       .withColumn("clipped",
-        least(greatest(col(valueCol), col("lo")), col("hi")))
+        least(greatest(col(valueCol), coalesce(col("lo"), col(valueCol))),
+          coalesce(col("hi"), col(valueCol))))
+  }
+
+  /** [[madOutliers]]'s training half as a standalone table: the exact
+    * type-1 per-group median and MAD, ONE ROW PER GROUP — the
+    * persistable robust-fence artifact an incremental pipeline freezes
+    * on its first run. [[madFlagWithBounds]] is the matching apply
+    * half; on the training input the pair reproduces [[madOutliers]]'s
+    * flags exactly (same |x − med| > k·MAD doubles). */
+  def madBounds(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val in = df.filter(col(valueCol).isNotNull)
+    val med = quantilesByGroup(in, groupCol, valueCol, Seq(("med", 1, 2)))
+      .select(col(groupCol), col(valueCol).as("group_median"))
+    val dev = in.join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("group_median")))
+    val mad = quantilesByGroup(
+      dev.select(col(groupCol), col("__dev")), groupCol, "__dev",
+      Seq(("mad", 1, 2)))
+      .select(col(groupCol), col("__dev").as("group_mad"))
+    med.join(mad, Seq(groupCol))
+  }
+
+  /** Flag outliers against a STORED (group, group_median, group_mad)
+    * table — [[madOutliers]] under a frozen artifact instead of this
+    * input's own statistics. Groups absent from the bounds table are
+    * never outliers (no frozen fence to violate). NULL values and NULL
+    * groups drop, like [[madOutliers]] (whose inner statistics join
+    * never matches a NULL key) — run-1 parity holds row-for-row. One
+    * broadcast-sized left join. */
+  def madFlagWithBounds(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int, bounds: DataFrame): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val in = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    in.join(bounds.select(col(groupCol), col("group_median"),
+        col("group_mad")), Seq(groupCol), "left")
+      .withColumn("is_outlier",
+        when(col("group_mad").isNull, lit(false))
+          .otherwise(abs(col(valueCol) - col("group_median")) >
+            lit(k) * col("group_mad")))
   }
 
   /** Per-group trimmed mean: the mean over values inside the exact

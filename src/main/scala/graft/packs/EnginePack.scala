@@ -1712,6 +1712,86 @@ object EnginePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // the OTHER incremental state family: exact dedup against a
+    // persisted text-hash index + FROZEN robust-stats artifacts. Run 1
+    // (doc_id < 250) dedups exactly, persists one sha2 per distinct
+    // text, trains the per-source winsorize band (p10/p90) and the MAD
+    // fence ON ITS OWN post-dedup/post-clip rows, and writes the base.
+    // Run 2 processes only the batch: within-batch canonical per text,
+    // every EVER-SEEN text dropped against the hash index, values
+    // clipped into run-1's band and fenced by run-1's median/MAD —
+    // never this batch's own statistics. The oracle composes the whole
+    // contract in one statement (train CTEs narrowed to the base
+    // slice, batch scored by LEFT JOIN against them).
+    "q_engine_pipeline_incr_stats" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_incr_stats")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: incrstats
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/clean.sql",
+        """select doc_id, source, text, n_chars
+          |from {{ source('lake', 'documents') }}
+          |where doc_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and doc_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: clean
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: exact_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |        - op: winsorize
+          |          group_col: source
+          |          value_col: n_chars
+          |          lo_num: 1
+          |          lo_den: 10
+          |          hi_num: 9
+          |          hi_den: 10
+          |        - op: mad_outlier_filter
+          |          group_col: source
+          |          value_col: n_chars
+          |          k: 3
+          |""".stripMargin)
+      val schema = "g_engine_incrstats"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_incr_stats_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: doc_id < 250
+      write(proj, "dbt_project.yml", projYml(250L, 1000000000L))
+      val runner = runOnce() // incremental batch
+      runner.adapter.read(graft.core.Relation(schema, "clean"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // a streaming_table model from the project surface: the compiled
     // SELECT (deterministic integer-µs event times derived from
     // documents — no parquet timestamp round-trip) is staged, replayed
@@ -1997,6 +2077,90 @@ object EnginePack extends QueryPack {
          |  CAST(len(string_split(s.text, ' ')) AS INT) AS n_tok
          |FROM sv s JOIN keepers k USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin,
+
+    // exact dedup + frozen robust-stats, base slice as trainer: canonical
+    // = min-doc_id row per text; the batch drops every text the base EVER
+    // saw (the hash index holds texts SEEN, not survivors); the winsorize
+    // band is the base's post-dedup type-1 [p10, p90] per source; the MAD
+    // fence is trained on the base's CLIPPED values; batch rows face the
+    // stored band/fence via LEFT JOINs (an unseen source passes
+    // unclipped/unfenced — none exists at these SFs, but the join shape
+    // is the contract)
+    "q_engine_pipeline_incr_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text, n_chars FROM documents
+        |  WHERE doc_id < 250),
+        |inc AS (
+        |  SELECT doc_id, source, text, n_chars FROM documents
+        |  WHERE doc_id >= 250),
+        |base_canon AS (
+        |  SELECT doc_id, source, text, n_chars FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM base) WHERE rn = 1),
+        |ranked AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM base_canon WHERE n_chars IS NOT NULL),
+        |wb AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = (n * 1 + 10 - 1) // 10 THEN n_chars END)
+        |      AS lo,
+        |    max(CASE WHEN rn = (n * 9 + 10 - 1) // 10 THEN n_chars END)
+        |      AS hi
+        |  FROM ranked GROUP BY source),
+        |base_wins AS (
+        |  SELECT c.doc_id, c.source,
+        |    least(greatest(c.n_chars, b.lo), b.hi) AS v
+        |  FROM base_canon c JOIN wb b USING (source)
+        |  WHERE c.n_chars IS NOT NULL),
+        |mr AS (
+        |  SELECT source, v,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM base_wins),
+        |mmed AS (
+        |  SELECT source, max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+        |  FROM mr GROUP BY source),
+        |mdev AS (
+        |  SELECT w.source, abs(w.v - m.med) AS dev
+        |  FROM base_wins w JOIN mmed m USING (source)),
+        |mdr AS (
+        |  SELECT source, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM mdev),
+        |mb AS (
+        |  SELECT d.source, any_value(m.med) AS med,
+        |    max(CASE WHEN d.rn = (d.n + 1) // 2 THEN d.dev END) AS mad
+        |  FROM mdr d JOIN mmed m USING (source) GROUP BY d.source),
+        |base_out AS (
+        |  SELECT w.doc_id, w.source, w.v
+        |  FROM base_wins w JOIN mb USING (source)
+        |  WHERE abs(w.v - mb.med) <= 3 * mb.mad),
+        |inc_canon AS (
+        |  SELECT doc_id, source, text, n_chars FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM inc) WHERE rn = 1),
+        |inc_new AS (
+        |  SELECT c.* FROM inc_canon c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM base b WHERE b.text = c.text)),
+        |inc_wins AS (
+        |  SELECT c.doc_id, c.source,
+        |    least(greatest(c.n_chars, coalesce(b.lo, c.n_chars)),
+        |          coalesce(b.hi, c.n_chars)) AS v
+        |  FROM inc_new c LEFT JOIN wb b USING (source)
+        |  WHERE c.n_chars IS NOT NULL AND c.source IS NOT NULL),
+        |inc_out AS (
+        |  SELECT w.doc_id, w.source, w.v
+        |  FROM inc_wins w LEFT JOIN mb USING (source)
+        |  WHERE mb.source IS NULL OR abs(w.v - mb.med) <= 3 * mb.mad)
+        |SELECT doc_id, source, v AS n_chars FROM base_out
+        |UNION ALL SELECT doc_id, source, v AS n_chars FROM inc_out
+        |ORDER BY doc_id""".stripMargin,
 
     // the builtin tests' failing-rows queries re-derived: Benford digit
     // deviations at tolerance 0.02 and priority groups under 5 rows

@@ -234,6 +234,107 @@ class PipelineFrozenSpec extends AnyFunSuite {
     assert(a.read(bandsRel).count() == 7 * 21, "banded twin rebuilt too")
   }
 
+  test("incremental exact_dedup: settled texts drop, state appends, refresh rebuilds") {
+    import spark.implicits._
+    val a = freshAdapter("incr_exact")
+    val rel = Relation(a.defaultSchema, "uniq")
+    val stateRel = Relation(a.defaultSchema, "uniq__state_exact_dedup")
+    val steps = Seq(Map[String, Any]("op" -> "exact_dedup"))
+    // batch 1: "A" duplicated (1 kept, min id), "B" unique
+    val b1 = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b1, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(a.relationExists(stateRel), "text-hash state persisted")
+    assert(a.read(stateRel).count() == 2, "one hash per DISTINCT text seen")
+
+    // batch 2: 10 repeats a settled text (drops), 11/12 duplicate a new
+    // text (11 kept), 13 repeats the OTHER settled text (drops)
+    val b2 = Seq((10L, "A"), (11L, "C"), (12L, "C"), (13L, "B"))
+      .toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b2, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L),
+      "settled canonicals stay; seen texts drop; 11 wins within batch")
+    assert(a.read(stateRel).count() == 3, "only the NEW hash appended")
+
+    // lost state on a batch run fails loudly naming --full-refresh
+    a.dropRelation(stateRel)
+    val e = intercept[IllegalStateException](
+      runPipeline(a, rel, steps, b2, incremental = true))
+    assert(e.getMessage.contains("--full-refresh"))
+
+    // --full-refresh rebuilds target and state from the new full input
+    runPipeline(a, rel, steps, b1.unionByName(b2), incremental = true,
+      fullRefresh = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L))
+    assert(a.read(stateRel).count() == 3, "state rebuilt, not appended")
+  }
+
+  test("frozen winsorize: batches clip under run-1's band; unseen groups pass") {
+    import spark.implicits._
+    val a = freshAdapter("frozen_wins")
+    val rel = Relation(a.defaultSchema, "clipped")
+    val modelRel = Relation(a.defaultSchema, "clipped__model_winsorize")
+    // p25/p75 over 1..8: type-1 lo = 2nd value, hi = 6th value
+    val step = Map[String, Any]("op" -> "winsorize", "group_col" -> "g",
+      "value_col" -> "v", "lo_num" -> 1, "lo_den" -> 4,
+      "hi_num" -> 3, "hi_den" -> 4)
+    val b1 = (1 to 8).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("doc_id", "g", "v")
+    runPipeline(a, rel, Seq(step), b1, incremental = true)
+    assert(a.relationExists(modelRel), "bounds artifact persisted")
+    assert(a.read(modelRel).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet ==
+      Set(("a", 2.0, 6.0)), "run-1 [p25, p75] band")
+    // run-1 parity: same clip the inline operator computes
+    assert(a.read(rel).orderBy("doc_id").collect().map(_.getDouble(2))
+      .toSeq == Seq(2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 6.0, 6.0))
+
+    // batch: clipped under the FROZEN band (not this batch's own
+    // quantiles); the unseen group passes unclipped
+    val b2 = Seq((10L, "a", 0.0), (11L, "a", 100.0), (12L, "z", 999.0))
+      .toDF("doc_id", "g", "v")
+    runPipeline(a, rel, Seq(step), b2, incremental = true)
+    val got = a.read(rel).filter(col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(10L -> 2.0, 11L -> 6.0, 12L -> 999.0), got.toString)
+
+    // a changed band fraction must fail loudly, never clip silently
+    val e = intercept[IllegalStateException](
+      runPipeline(a, rel, Seq(step ++ Map("hi_num" -> 9,
+        "hi_den" -> 10)), b2, incremental = true))
+    assert(e.getMessage.contains("--full-refresh"))
+  }
+
+  test("frozen mad_outlier_filter: batches face run-1's fence; unseen groups pass") {
+    import spark.implicits._
+    val a = freshAdapter("frozen_mad")
+    val rel = Relation(a.defaultSchema, "fenced")
+    val modelRel = Relation(a.defaultSchema,
+      "fenced__model_mad_outlier_filter")
+    val step = Map[String, Any]("op" -> "mad_outlier_filter",
+      "group_col" -> "g", "value_col" -> "v")
+    // median 5, MAD 0: anything != 5 is outside the frozen fence
+    val b1 = Seq((1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 5.0),
+      (4L, "a", 5.0), (5L, "a", 100.0)).toDF("doc_id", "g", "v")
+    runPipeline(a, rel, Seq(step), b1, incremental = true)
+    assert(a.read(modelRel).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet ==
+      Set(("a", 5.0, 0.0)), "run-1 (median, MAD)")
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L), "run-1 parity: the 100 is outside the fence")
+
+    // batch: judged by the FROZEN fence, not this batch's own median
+    // (the batch's own median would be 7 and keep everything)
+    val b2 = Seq((10L, "a", 5.0), (11L, "a", 7.0), (12L, "a", 7.0),
+      (13L, "z", 999.0)).toDF("doc_id", "g", "v")
+    runPipeline(a, rel, Seq(step), b2, incremental = true)
+    assert(a.read(rel).filter(col("doc_id") >= 10L)
+      .collect().map(_.getLong(0)).toSet == Set(10L, 13L),
+      "7s violate the frozen MAD-0 fence; the unseen group passes")
+  }
+
   test("incremental pipeline: frozen LM gates batch 2 by batch-1 statistics") {
     import spark.implicits._
     val a = freshAdapter("incr_lm")
@@ -282,9 +383,17 @@ class PipelineFrozenSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](run(Map(
       "op" -> "quality_classifier_filter", "mode" -> "retrain")))
     assert(e4.getMessage.contains("frozen"))
+    // retraining a robust-stats gate per batch is equally illegal —
+    // increments would be clipped by batch-dependent quantiles
     val e5 = intercept[IllegalArgumentException](run(Map(
-      "op" -> "exact_dedup")))
-    assert(e5.getMessage.contains("corpus-global"))
+      "op" -> "winsorize", "group_col" -> "source", "value_col" -> "n",
+      "mode" -> "retrain")))
+    assert(e5.getMessage.contains("frozen"))
+    // pack_sequences needs the corpus-global packing order
+    val e6 = intercept[IllegalArgumentException](run(Map(
+      "op" -> "pack_sequences", "id_col" -> "doc_id", "tokens_col" -> "n",
+      "max_tokens" -> 10)))
+    assert(e6.getMessage.contains("corpus-global"))
   }
 
   test("a lost model/state relation fails loudly on a batch run") {

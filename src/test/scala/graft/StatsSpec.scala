@@ -127,6 +127,58 @@ class StatsSpec extends AnyFunSuite {
     assert(out.size == 101)
   }
 
+  test("frozen halves reproduce the inline operators on their training input") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(g => ("g", java.lang.Long.valueOf(g))) ++
+      Seq(("one", java.lang.Long.valueOf(42L)),
+        ("g", null.asInstanceOf[java.lang.Long])))
+      .toDF("grp", "v")
+    // clipWithBounds ∘ winsorizeBounds ≡ winsorize, row for row
+    val inline = graft.ops.Stats.winsorize(df, "grp", "v")
+      .select("grp", "v", "clipped").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val bounds = graft.ops.Stats.winsorizeBounds(df, "grp", "v")
+    val frozen = graft.ops.Stats.clipWithBounds(df, "grp", "v", bounds)
+      .select("grp", "v", "clipped").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(frozen == inline)
+    // madFlagWithBounds ∘ madBounds ≡ madOutliers flags
+    val mdf = Seq(("m", 1L), ("m", 2L), ("m", 3L), ("m", 1000L),
+      ("s", 7L)).toDF("grp", "v")
+    val inlineFlags = graft.ops.Stats.madOutliers(mdf, "grp", "v", k = 3)
+      .select("grp", "v", "is_outlier").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    val frozenFlags = graft.ops.Stats.madFlagWithBounds(mdf, "grp", "v",
+      k = 3, graft.ops.Stats.madBounds(mdf, "grp", "v"))
+      .select("grp", "v", "is_outlier").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    assert(frozenFlags == inlineFlags)
+  }
+
+  test("frozen halves on held-out data: stored bounds rule; unseen groups pass") {
+    import spark.implicits._
+    val train = (1L to 8L).map(i => ("a", i)).toDF("grp", "v")
+    val bounds = graft.ops.Stats.winsorizeBounds(train, "grp", "v",
+      1, 4, 3, 4) // p25=2, p75=6
+    val held = Seq[(String, java.lang.Long)](("a", 0L), ("a", 100L),
+      ("z", 999L), ("a", null), (null, 5L)).toDF("grp", "v")
+    val got = graft.ops.Stats.clipWithBounds(held, "grp", "v", bounds)
+      .select("grp", "v", "clipped").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // seen group clips to the STORED band; unseen passes; NULLs drop
+    assert(got == Map(("a", 0L) -> 2L, ("a", 100L) -> 6L,
+      ("z", 999L) -> 999L))
+    val fence = graft.ops.Stats.madBounds(train, "grp", "v") // med 4, mad 2
+    val flags = graft.ops.Stats.madFlagWithBounds(
+      Seq(("a", 4L), ("a", 11L), ("z", 50L)).toDF("grp", "v"),
+      "grp", "v", k = 3, fence)
+      .select("grp", "v", "is_outlier").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    // |11−4| = 7 > 3·2; the unseen group has no fence to violate
+    assert(flags == Map(("a", 4L) -> false, ("a", 11L) -> true,
+      ("z", 50L) -> false))
+  }
+
   test("madOutliers drops NULL values before ranking") {
     import spark.implicits._
     val df = Seq[(String, java.lang.Long)](("n", 1L), ("n", null),
