@@ -106,6 +106,17 @@ object PipelinePack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // banded-LSH embedding near-dups — the sub-quadratic scale path:
+    // candidates from the (band, 8-bit hyperplane signature) equi-join,
+    // verified with the exact decimal cosine. The oracle mirrors the
+    // banding (not just the cosine threshold), so band-filtered recall
+    // is part of the checked contract.
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDupsLsh(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SemDeDup: k-means cells → within-cell cosine near-dup components →
     // keep the member farthest from its centroid (training included in
     // the oracle)
@@ -2001,6 +2012,23 @@ object PipelinePack extends QueryPack {
        |     )) AS BIGINT) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS bucket
        | FROM embeddings)""".stripMargin
 
+  /** DuckDB mirror of Similarity.bandSignatures: per band b, an r-bit
+    * signature whose bit j is the sign of the integer dot with global
+    * hyperplane b·r+j — the same quantization/weight math as [[sigSql]],
+    * emitted as one (vec_id, band, sig) row per band. `from` lets the
+    * incremental oracle band a sliced derived table. */
+  private[packs] def bandSigCte(name: String, bands: Int, r: Int,
+      from: String = "embeddings"): String =
+    s"""$name AS (
+       |  SELECT vec_id, bb.band,
+       |    CAST(list_sum(list_transform(range(0, $r), j ->
+       |      CASE WHEN CAST(list_sum(list_transform(range(0, len(embedding)), d ->
+       |          CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000000) AS BIGINT) *
+       |          (((('0x' || substr(md5('hp' || (bb.band * $r + j) || '_' || d), 1, 15))::BIGINT) % 2001) - 1000)
+       |      )) AS BIGINT) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM $from, (SELECT unnest(range(0, $bands)) AS band) bb
+       |  WHERE embedding IS NOT NULL)""".stripMargin
+
   // (the decimal-exact cosine-pairs oracle itself is `cosineSql` below)
   /** Nearest-centroid confusion chain (mirror of
     * Similarity.centroidClassify): per-label micro-unit mean centroids,
@@ -3153,6 +3181,36 @@ object PipelinePack extends QueryPack {
 
     "q_dedup_semantic" -> semdedupSql(nlist = 8, iters = 2,
       threshold = 0.4),
+
+    // banding mirrored exactly: candidates = pairs colliding on any
+    // (band, sig) bucket; only those are cosine-verified, so a true
+    // near-dup the bands miss is (correctly) absent from both engines
+    "q_dedup_embedding_lsh" ->
+      s"""WITH ${bandSigCte("bsig", 16, 8)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bsig a JOIN bsig b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |ex AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         unnest(embedding) AS x
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM cand c
+         |  JOIN ex a ON a.vec_id = c.id_a
+         |  JOIN ex b ON b.vec_id = c.id_b AND a.i = b.i
+         |  GROUP BY c.id_a, c.id_b),
+         |norms AS (
+         |  SELECT vec_id,
+         |    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+         |  FROM ex GROUP BY vec_id)
+         |SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM dots d JOIN norms na ON na.vec_id = d.id_a
+         |            JOIN norms nb ON nb.vec_id = d.id_b
+         |WHERE d.dot / (na.nrm * nb.nrm) >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_embedding" -> cosineSql(
       "TRUE", "TRUE", "a.vec_id < b.vec_id",
