@@ -249,7 +249,7 @@ object PipelineSteps {
     "pii_mask", "language_filter", "surprise_filter", "weighted_sample",
     "collapse_repeats", "span_gate", "quality_classifier_filter",
     "dsir_select", "pack_sequences", "shard", "curriculum",
-    "cdc_compact", "pagerank_weight")
+    "cdc_compact", "pagerank_weight", "cluster_assign")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -558,12 +558,54 @@ object PipelineSteps {
       case "semantic_dedup" =>
         val idCol = str(m, "id_col", "doc_id")
         val vecCol = str(m, "vec_col", "embedding")
+        str(m, "method", "kmeans") match {
+          case "kmeans" => df => {
+            val kept = Dedup.semanticDedup(df, idCol, vecCol,
+              nlist = int(m, "nlist", 16), iters = int(m, "iters", 2),
+              threshold = dbl(m, "threshold", 0.7))
+              .select(col("id").as(idCol))
+            df.join(kept, Seq(idCol), "left_semi")
+          }
+          // trained-state-free variant: deterministic hyperplane banding
+          // instead of k-means cells, min-id keep instead of the
+          // farthest-from-centroid rule — the only semantic-dedup form
+          // an incremental pipeline can run (no corpus statistics)
+          case "lsh" => df => {
+            val pairs = Dedup.embeddingNearDupsLsh(df, idCol, vecCol,
+              threshold = dbl(m, "threshold", 0.7),
+              bands = int(m, "bands", 16),
+              rowsPerBand = int(m, "rows_per_band", 8))
+            val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+            val drop = cc.filter(col("id") =!= col("component_id"))
+              .select(col("id").as("__drop_id"))
+            df.join(drop, df(s"`$idCol`") === col("__drop_id"), "left_anti")
+          }
+          case other => throw new IllegalArgumentException(
+            s"pipeline step `semantic_dedup`: `method:` must be kmeans " +
+              s"or lsh, got `$other`")
+        }
+
+      // IVF-style coarse cluster assignment: deterministic Lloyd's
+      // k-means (init = vectors of the k smallest ids, exact-decimal
+      // argmin, order-independent decimal means) trains the coarse
+      // quantizer; every row gains its nearest-centroid id — the
+      // routing/sharding key an embedding corpus is laid out by. The
+      // trained artifact is k×dim doubles (model-bounded, never
+      // corpus-sized); assignment is one map-side pass against the
+      // broadcast centroids. `mode: frozen` persists the centroid table
+      // so incremental batches route under run-1's cells.
+      case "cluster_assign" =>
+        val vecCol = str(m, "vec_col", "embedding")
+        val idCol = str(m, "id_col", "doc_id")
+        val outCol = str(m, "out_col", "cluster_id")
+        val k = int(m, "k", 8)
+        val iters = int(m, "iters", 2)
         df => {
-          val kept = Dedup.semanticDedup(df, idCol, vecCol,
-            nlist = int(m, "nlist", 16), iters = int(m, "iters", 2),
-            threshold = dbl(m, "threshold", 0.7))
-            .select(col("id").as(idCol))
-          df.join(kept, Seq(idCol), "left_semi")
+          val cents = graft.ops.Similarity.kmeansCentroids(
+            df.select(col(s"`$idCol`"), col(s"`$vecCol`")), idCol, vecCol,
+            k, iters)
+          df.withColumn(outCol, graft.expressions.PipelineExpressions
+            .nearest_centroids(col(s"`$vecCol`"), cents, 1)(0))
         }
 
       // DSIR domain selection: score every row's hashed-ngram likelihood
@@ -744,6 +786,9 @@ object PipelineModels {
     // band and the MAD fence are per-group quantile artifacts, frozen
     // on run 1 exactly like the LM/classifier/ratio models
     case "winsorize" | "mad_outlier_filter" => true
+    // the coarse quantizer's centroids are corpus statistics exactly
+    // like the LM/classifier/ratio models
+    case "cluster_assign" => true
     case "token_count" => str(s.raw, "tokenizer", "whitespace") == "bpe"
     case _ => false
   }
@@ -779,6 +824,12 @@ object PipelineModels {
       // canonical — settled rows never retracted, same contract as the
       // minhash index
       case "exact_dedup" => ()
+      case "semantic_dedup" =>
+        if (str(s.raw, "method", "kmeans") != "lsh")
+          fail("`method: kmeans` clusters the whole corpus — centroids " +
+            "are corpus statistics a batch cannot reproduce; use " +
+            "`method: lsh` (deterministic hyperplane banding against " +
+            "the persisted vector index)")
       case other =>
         fail("it is corpus-global (budgeted mixing, corpus quantiles, " +
           "global packing order, or an index-less dedup); compute it " +
@@ -816,6 +867,8 @@ object PipelineModels {
       incrementalMinhash(ctx, s, suffix, df, incrRun, deferred)
     else if (s.op == "exact_dedup" && incremental)
       incrementalExact(ctx, s, suffix, df, incrRun, deferred)
+    else if (s.op == "semantic_dedup" && incremental)
+      incrementalSemantic(ctx, s, suffix, df, incrRun, deferred)
     else if (trainerOp(s) && mode == "frozen")
       applyFrozen(ctx, s, suffix, df, retrainNow = incremental && !incrRun,
         mustExist = incrRun)
@@ -875,6 +928,16 @@ object PipelineModels {
       case "exact_dedup" => Seq(
         "id_col" -> str(s.raw, "id_col", "doc_id"),
         "text_col" -> str(s.raw, "text_col", "text"))
+      case "semantic_dedup" => Seq(
+        "bands" -> int(s.raw, "bands", 16).toString,
+        "rows_per_band" -> int(s.raw, "rows_per_band", 8).toString,
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "vec_col" -> str(s.raw, "vec_col", "embedding"))
+      case "cluster_assign" => Seq(
+        "k" -> int(s.raw, "k", 8).toString,
+        "iters" -> int(s.raw, "iters", 2).toString,
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "vec_col" -> str(s.raw, "vec_col", "embedding"))
       case _ => Seq.empty
     }
     kvs.map { case (k, v) => s"$k=$v" }.mkString(";")
@@ -975,6 +1038,17 @@ object PipelineModels {
           .select(col(s"`$idCol`"), col(s"`$textCol`"))
         graft.ops.Dsir.bucketRatios(slim, target, idCol, textCol,
           int(s.raw, "buckets", 4096))
+      // k×dim (cid, i, val) rows — the coarse quantizer's centroids,
+      // model-bounded by construction
+      case "cluster_assign" =>
+        val idCol = str(s.raw, "id_col", "doc_id")
+        val vecCol = str(s.raw, "vec_col", "embedding")
+        val cents = graft.ops.Similarity.kmeansCentroids(
+          df.select(col(s"`$idCol`"), col(s"`$vecCol`")), idCol, vecCol,
+          int(s.raw, "k", 8), int(s.raw, "iters", 2))
+        cents.zipWithIndex.flatMap { case (arr, cid) =>
+          arr.zipWithIndex.map { case (v, i) => (cid, i, v) }
+        }.toSeq.toDF("cid", "i", "val")
       // one row per group, bounded by group cardinality: the clip band
       case "winsorize" =>
         Stats.winsorizeBounds(df, reqStr(s.raw, "group_col", s.op),
@@ -1051,6 +1125,17 @@ object PipelineModels {
         case None => scored.filter(col("logw") >= minLogw.get)
       }).select(col(s"`$idCol`"))
       df.join(kept, Seq(idCol), "left_semi")
+    case "cluster_assign" =>
+      val vecCol = str(s.raw, "vec_col", "embedding")
+      // k×dim doubles — driver-bounded by the model size, never the corpus
+      val rows = art.collect()
+      val k = rows.map(_.getInt(0)).max + 1
+      val dim = rows.map(_.getInt(1)).max + 1
+      val cents = Array.ofDim[Double](k, dim)
+      rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      df.withColumn(str(s.raw, "out_col", "cluster_id"),
+        graft.expressions.PipelineExpressions
+          .nearest_centroids(col(s"`$vecCol`"), cents, 1)(0))
     case "winsorize" =>
       val groupCol = reqStr(s.raw, "group_col", s.op)
       val valueCol = reqStr(s.raw, "value_col", s.op)
@@ -1202,6 +1287,90 @@ object PipelineModels {
         // signatures — release the blocks so repeated batch runs in a
         // long-lived session don't accumulate eviction pressure
         newSigs.unpersist()
+        ()
+      })
+      kept
+    }
+  }
+
+  /** semantic_dedup (`method: lsh`) with a persisted vector index
+    * (incremental pipelines). Full build: persist every (id, v, norm)
+    * seen plus its NARROW banded twin (id, band, sig) range-laid-out by
+    * (band, sig); pair from the PERSISTED vectors (the bytes later
+    * batches join against) and keep the min-id member per component.
+    * Batch run: near-dup pairs of the batch against itself AND the
+    * index — history touched only through the banded twin, pre-pruned
+    * to the batch's buckets — then the settled-keep rule: a new doc
+    * survives iff its component touches no settled doc and it is the
+    * min-id member; the batch's vectors and banded rows append after
+    * the target write (deferred). Signatures come from the fixed
+    * hyperplane model, not trained state, so batch recall per pair is
+    * identical to the full-corpus operator. */
+  private def incrementalSemantic(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : DataFrame = {
+    val idCol = str(s.raw, "id_col", "doc_id")
+    val vecCol = str(s.raw, "vec_col", "embedding")
+    val bands = int(s.raw, "bands", 16)
+    val rpb = int(s.raw, "rows_per_band", 8)
+    val threshold = dbl(s.raw, "threshold", 0.7)
+    val rel = stateRel(ctx, suffix)
+    val bandsRel = rel.copy(identifier = s"${rel.identifier}_bands")
+    def dropNonCanonical(pairs: DataFrame, base: DataFrame): DataFrame = {
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val drop = cc.filter(col("id") =!= col("component_id"))
+        .select(col("id").as("__drop_id"))
+      base.join(drop, base(s"`$idCol`") === col("__drop_id"), "left_anti")
+    }
+    if (!incrRun) {
+      val vecs = Dedup.embeddingVectors(df, idCol, vecCol)
+      ctx.adapter.writeTableAtomic(vecs, rel)
+      recordParams(ctx, rel, s)
+      ctx.adapter.writeTableAtomic(
+        Dedup.embeddingBandedRows(ctx.adapter.read(rel), bands, rpb),
+        bandsRel, sortBy = Seq("band", "sig"))
+      val pairs = Dedup.embeddingNearDupsLshFromVecs(ctx.adapter.read(rel),
+        threshold, bands, rpb, Dedup.maxBandBucket(df))
+      dropNonCanonical(pairs, df)
+    } else {
+      if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
+        s"${rel.fqn}: semantic-dedup vector index missing on an " +
+          "incremental batch run — the state was lost; rebuild with " +
+          "--full-refresh")
+      checkParams(ctx, rel, s)
+      val index = ctx.adapter.read(rel)
+      val bandsExist = ctx.adapter.relationExists(bandsRel)
+      val bandedIdx =
+        if (bandsExist) ctx.adapter.read(bandsRel)
+        else Dedup.embeddingBandedRows(index, bands, rpb)
+      val newVecs = Dedup.maybeCache(
+        Dedup.embeddingVectors(df, idCol, vecCol))
+      val pairs = Dedup.embeddingNearDupsLshIncremental(newVecs, index,
+        bandedIdx, threshold, bands, rpb, Dedup.maxBandBucket(df))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val settledComps = cc
+        .join(index.select(col("id").as("__sid")), cc("id") === col("__sid"),
+          "left_semi")
+        .select(col("component_id").as("__sc")).distinct()
+      val drop = cc
+        .join(settledComps, cc("component_id") === col("__sc"), "left")
+        .filter(col("__sc").isNotNull || col("id") =!= col("component_id"))
+        .select(col("id").as("__drop_id"))
+      val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
+        "left_anti")
+      deferred += (() => {
+        ctx.adapter.appendToTable(newVecs, rel)
+        if (bandsExist) {
+          val nb = Dedup.embeddingBandedRows(newVecs, bands, rpb)
+          ctx.adapter.appendToTable(
+            nb.repartitionByRange(col("band"), col("sig"))
+              .sortWithinPartitions(col("band"), col("sig")),
+            bandsRel)
+        } else ctx.adapter.writeTableAtomic(
+          Dedup.embeddingBandedRows(ctx.adapter.read(rel), bands, rpb),
+          bandsRel, sortBy = Seq("band", "sig"))
+        newVecs.unpersist()
         ()
       })
       kept

@@ -818,6 +818,97 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** The (id, v, norm) vector table [[embeddingNearDupsLsh]] derives
+    * internally, exposed so it can be PERSISTED as a semantic-dedup
+    * index: an incremental pipeline materializes it once per corpus
+    * slice and dedups each new batch against it with
+    * [[embeddingNearDupsLshIncremental]] — never re-reading or
+    * re-pairing the historical vectors. The exact-decimal norm rides
+    * along so the cosine verify of a later batch never re-folds the
+    * stored vector's squared-sum. */
+  def embeddingVectors(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame =
+    spread(df.select(col(idCol), col(vecCol)))
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.normExact(vecCol).as("norm"))
+
+  /** (id, band, sig) rows from a vector table — the NARROW banded twin
+    * of [[embeddingVectors]]. Signatures come from the deterministic
+    * integer hyperplane model ([[Similarity.bandSignatures]]), so the
+    * twin is a pure derivation of the vectors; persisting it
+    * range-sorted by (band, sig) lets a batch run band the history by
+    * scanning three integer columns — never re-dotting 64 hyperplanes
+    * against every stored dense vector — with runtime semi-join filters
+    * pruning row groups the batch's buckets don't touch. */
+  def embeddingBandedRows(vecs: DataFrame, bands: Int, rowsPerBand: Int)
+      : DataFrame =
+    vecs.select(col("id"),
+      posexplode(Similarity.bandSignatures("v", bands, rowsPerBand))
+        .as(Seq("band", "sig")))
+
+  /** [[embeddingNearDupsLsh]] over a PERSISTED vector table (id, v,
+    * norm) — the read-back half of the index round trip, so run 1 of an
+    * incremental pipeline pairs under exactly the bytes run 2 will
+    * reload. Same banding, verification, and output contract. */
+  def embeddingNearDupsLshFromVecs(vecs: DataFrame, threshold: Double,
+      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val v = maybeCache(vecs.select(col("id"), col("v"), col("norm")))
+    val pairIds = bucketPairs(embeddingBandedRows(v, bands, rowsPerBand),
+      Seq("band", "sig"), maxBucket)
+    verifyCosine(pairIds, v, v, threshold)
+  }
+
+  /** Incremental banded-LSH semantic dedup: near-dup pairs of a NEW
+    * batch of embeddings against itself AND a persisted
+    * [[embeddingVectors]] index — the continuous-ingest twin of
+    * [[minhashNearDupsIncrementalFromSigs]], with the same shape: the
+    * history is touched only through its narrow banded twin, pre-pruned
+    * to the buckets the batch actually collides with (left-semi on the
+    * band keys); old×old pairs are excluded by construction; the dense
+    * historical vectors join back ONLY for verified candidate ids.
+    * Because band collision depends only on the two signatures involved
+    * — and signatures come from the fixed hyperplane model, not trained
+    * state — per-pair recall is identical to the full-corpus operator.
+    * Contract: batch and index ids disjoint. The caller owns `newVecs`'
+    * lifecycle (an incremental pipeline reuses the frame for the
+    * deferred index append). */
+  def embeddingNearDupsLshIncremental(newVecs: DataFrame,
+      indexVecs: DataFrame, bandedIndex: DataFrame, threshold: Double,
+      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val nv = maybeCache(newVecs)
+    val bandedNew = maybeCache(embeddingBandedRows(nv, bands, rowsPerBand))
+    // index rows survive only where a new row shares their bucket
+    val bandedIdx = bandedIndex.select(col("id"), col("band"), col("sig"))
+      .join(bandedNew.select("band", "sig").distinct(),
+        Seq("band", "sig"), "left_semi")
+    val pairIds = bucketPairs(bandedNew.unionByName(bandedIdx),
+      Seq("band", "sig"), maxBucket)
+    // drop the residual old×old pairs (two index vectors colliding
+    // inside a bucket the batch also touches)
+    val aNew = nv.select(col("id").as("id_a"), lit(true).as("__an"))
+    val bNew = nv.select(col("id").as("id_b"), lit(true).as("__bn"))
+    val filtered = pairIds
+      .join(aNew, Seq("id_a"), "left").join(bNew, Seq("id_b"), "left")
+      .filter(coalesce(col("__an"), lit(false)) ||
+        coalesce(col("__bn"), lit(false)))
+      .select("id_a", "id_b")
+    val allVecs = nv.select("id", "v", "norm")
+      .unionByName(indexVecs.select("id", "v", "norm"))
+    verifyCosine(filtered, allVecs, allVecs, threshold)
+  }
+
+  private def verifyCosine(pairIds: DataFrame, vecsA: DataFrame,
+      vecsB: DataFrame, threshold: Double): DataFrame =
+    pairIds
+      .join(vecsA.select(col("id").as("id_a"), col("v").as("va"),
+        col("norm").as("na")), "id_a")
+      .join(vecsB.select(col("id").as("id_b"), col("v").as("vb"),
+        col("norm").as("nb")), "id_b")
+      .withColumn("cosine", Similarity.cosineFromParts("va", "vb", "na", "nb"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means the embedding
     * space into `nlist` cells, find near-duplicate pairs ONLY within

@@ -1792,6 +1792,144 @@ object EnginePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // the VECTOR incremental state family: semantic dedup against a
+    // persisted embedding index. Run 1 (vec_id < 250) bands the base
+    // with the fixed hyperplane model, keeps the min-id member per
+    // cosine-verified component, and persists every vector SEEN plus
+    // its narrow (id, band, sig) banded twin. Run 2 processes only the
+    // batch: candidates from the batch's buckets against itself AND the
+    // pruned index, old×old excluded, settled-keep (a new vector whose
+    // component touches ANY base vector drops; pure-new components keep
+    // min id). The oracle composes the same contract in one statement —
+    // banding, exact-decimal cosine verify, both component closures,
+    // and the settled-keep rule.
+    "q_engine_semantic_incremental" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_sem_incr")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: semincr
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: embeddings
+           |        external:
+           |          location: "$dir/embeddings.parquet"
+           |""".stripMargin)
+      write(proj, "models/vecs.sql",
+        """select vec_id, label, embedding
+          |from {{ source('lake', 'embeddings') }}
+          |where vec_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and vec_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: vecs
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: semantic_dedup
+          |          method: lsh
+          |          id_col: vec_id
+          |          vec_col: embedding
+          |          threshold: 0.45
+          |""".stripMargin)
+      val schema = "g_engine_semincr"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_sem_incr_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: vec_id < 250
+      write(proj, "dbt_project.yml", projYml(250L, 1000000000L))
+      val runner = runOnce() // incremental batch
+      runner.adapter.read(graft.core.Relation(schema, "vecs"))
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
+    // frozen coarse quantizer: run 1 (vec_id < 250) trains deterministic
+    // Lloyd's k-means centroids on the base slice, persists the k×dim
+    // artifact, and assigns the base; run 2 assigns ONLY the batch under
+    // run-1's frozen centroids (never retraining on batch statistics)
+    // and appends. The oracle unrolls the same Lloyd chain with training
+    // narrowed to the base slice and the final assignment over everything.
+    "q_engine_cluster_pipeline" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_clus_pipe")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: cluspipe
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: embeddings
+           |        external:
+           |          location: "$dir/embeddings.parquet"
+           |""".stripMargin)
+      write(proj, "models/routed.sql",
+        """select vec_id, label, embedding
+          |from {{ source('lake', 'embeddings') }}
+          |where vec_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and vec_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: routed
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: cluster_assign
+          |          id_col: vec_id
+          |          vec_col: embedding
+          |          k: 8
+          |          iters: 2
+          |""".stripMargin)
+      val schema = "g_engine_cluspipe"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_clus_pipe_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: vec_id < 250 trains the quantizer
+      write(proj, "dbt_project.yml", projYml(250L, 1000000000L))
+      val runner = runOnce() // incremental batch routes under frozen cells
+      runner.adapter.read(graft.core.Relation(schema, "routed"))
+        .select(col("vec_id"), col("label"),
+          col("cluster_id").cast("int").as("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     // a streaming_table model from the project surface: the compiled
     // SELECT (deterministic integer-µs event times derived from
     // documents — no parquet timestamp round-trip) is staged, replayed
@@ -2161,6 +2299,94 @@ object EnginePack extends QueryPack {
         |SELECT doc_id, source, v AS n_chars FROM base_out
         |UNION ALL SELECT doc_id, source, v AS n_chars FROM inc_out
         |ORDER BY doc_id""".stripMargin,
+
+    // semantic dedup against the persisted vector index, composed in one
+    // statement: hyperplane banding over ALL vectors (collision depends
+    // only on the two fixed-model signatures involved, so full-corpus
+    // banding restricted per slice = what each run computed), exact-
+    // decimal cosine verify, base components closed among base ids only
+    // (min-id keep), batch components closed over new-touching pairs
+    // with the settled-keep rule: a new vector whose component touches
+    // ANY base id drops (every base vector is IN the index — seen, not
+    // just surviving), pure-new components keep their min id
+    "q_engine_semantic_incremental" ->
+      s"""WITH RECURSIVE ${PipelinePack.bandSigCte("bsig", 16, 8)},
+         |ex AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         unnest(embedding) AS x
+         |  FROM embeddings),
+         |norms AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         |      AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+         |  FROM ex GROUP BY vec_id),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+         |  FROM bsig a JOIN bsig b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |dots AS MATERIALIZED (
+         |  SELECT c.u, c.v,
+         |    CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+         |      AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM cand c
+         |  JOIN ex a ON a.vec_id = c.u
+         |  JOIN ex b ON b.vec_id = c.v AND a.i = b.i
+         |  GROUP BY c.u, c.v),
+         |pr AS MATERIALIZED (
+         |  SELECT d.u, d.v
+         |  FROM dots d JOIN norms na ON na.vec_id = d.u
+         |              JOIN norms nb ON nb.vec_id = d.v
+         |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.45),
+         |bpairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v < 250),
+         |bedges AS MATERIALIZED (
+         |  SELECT u, v FROM bpairs UNION SELECT v, u FROM bpairs),
+         |breach(id, lab) AS (
+         |  SELECT u, u FROM bedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM bedges e JOIN breach r ON r.id = e.v),
+         |bcc AS (SELECT id, min(lab) AS component_id FROM breach GROUP BY id),
+         |npairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v >= 250),
+         |nedges AS MATERIALIZED (
+         |  SELECT u, v FROM npairs UNION SELECT v, u FROM npairs),
+         |nreach(id, lab) AS (
+         |  SELECT u, u FROM nedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM nedges e JOIN nreach r ON r.id = e.v),
+         |ncc AS (SELECT id, min(lab) AS component_id FROM nreach GROUP BY id),
+         |nsettled AS (SELECT DISTINCT component_id FROM ncc WHERE id < 250),
+         |keepers AS (
+         |  SELECT e.vec_id FROM embeddings e
+         |  LEFT JOIN bcc ON bcc.id = e.vec_id
+         |  WHERE e.vec_id < 250
+         |    AND (bcc.id IS NULL OR bcc.id = bcc.component_id)
+         |  UNION ALL
+         |  SELECT e.vec_id FROM embeddings e
+         |  LEFT JOIN ncc ON ncc.id = e.vec_id
+         |  LEFT JOIN nsettled t ON t.component_id = ncc.component_id
+         |  WHERE e.vec_id >= 250
+         |    AND (ncc.id IS NULL
+         |         OR (t.component_id IS NULL AND ncc.id = ncc.component_id)))
+         |SELECT e.vec_id, e.label
+         |FROM embeddings e JOIN keepers k USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
+
+    // the frozen coarse quantizer: Lloyd's chain trained on the base
+    // slice only (init = the 8 smallest base ids, every iteration's
+    // distance pass narrowed to base vectors), final assignment over the
+    // FULL corpus — exactly what run 2 computes under the persisted
+    // centroid artifact
+    "q_engine_cluster_pipeline" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         unnest(embedding) AS x
+         |  FROM embeddings),
+         |exd AS MATERIALIZED (
+         |  SELECT vec_id, i, CAST(x AS DOUBLE) AS xd FROM ex),
+         |${PipelinePack.coarseKmeansCtesWhere(8, 2,
+             initPred = "vec_id < 250", iterPred = "e.vec_id < 250")}
+         |SELECT e.vec_id, e.label, CAST(a.cid AS INT) AS cluster_id
+         |FROM embeddings e JOIN asg2 a USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
 
     // the builtin tests' failing-rows queries re-derived: Benford digit
     // deviations at tolerance 0.02 and priority groups under 5 rows

@@ -2191,6 +2191,16 @@ object PipelinePack extends QueryPack {
       trainMod: Int = 1): String = {
     val initPred = if (trainMod == 1) "TRUE" else s"vec_id % $trainMod = 0"
     val iterPred = if (trainMod == 1) "TRUE" else s"e.vec_id % $trainMod = 0"
+    coarseKmeansCtesWhere(nlist, iters, initPred, iterPred)
+  }
+
+  /** [[coarseKmeansCtes]] with arbitrary training predicates — the
+    * frozen-centroid oracle trains on a SLICE (init and every iteration
+    * narrowed to it) while the final dist/asg pair still covers the full
+    * corpus, mirroring a frozen `cluster_assign` artifact applied to
+    * later batches. */
+  private[packs] def coarseKmeansCtesWhere(nlist: Int, iters: Int,
+      initPred: String, iterPred: String): String = {
     val iterCtes = (0 until iters)
       .map(n => s"${coarseDistCte(n, iterPred)},\n${coarseAsgCte(n)},\n${coarseNextCte(n)}")
       .mkString(",\n")

@@ -703,6 +703,59 @@ class DedupSpec extends AnyFunSuite {
       "index pre-pruned by a left-semi on the batch's band keys")
   }
 
+  test("incremental banded-LSH embedding dedup: parity with the full-corpus " +
+      "pairs, banding never scans the dense vectors") {
+    import spark.implicits._
+    // clusters spanning the old/new split: old 7≈100, both ≈ new 200;
+    // old 13 ≈ new 201 ≈ new 202
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val df = (base ++ Seq(
+      (100L, nearDup(vec(7), 1001)), (200L, nearDup(vec(7), 1003)),
+      (201L, nearDup(vec(13), 1004)), (202L, nearDup(vec(13), 1005))))
+      .toDF("vec_id", "embedding")
+    val oldDf = df.filter(col("vec_id") < 200)
+    val newDf = df.filter(col("vec_id") >= 200)
+    // band collision depends only on the two fixed-hyperplane signatures
+    // involved, so the incremental pairs must be EXACTLY the new-touching
+    // subset of the full-corpus operator's pairs
+    val full = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (x, y) => x >= 200 || y >= 200 }
+    assert(expected.nonEmpty && expected.size < full.size, full.toString)
+
+    // index + banded twin round-tripped through parquet — the layout an
+    // incremental pipeline reads on every batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_embidx")
+      .toString
+    Dedup.embeddingVectors(oldDf, "vec_id", "embedding")
+      .write.parquet(s"$dir/vecs")
+    val index = spark.read.parquet(s"$dir/vecs")
+    Dedup.embeddingBandedRows(index, bands = 16, rowsPerBand = 8)
+      .write.parquet(s"$dir/bands")
+    val banded = spark.read.parquet(s"$dir/bands")
+    val pairs = Dedup.embeddingNearDupsLshIncremental(
+      Dedup.embeddingVectors(newDf, "vec_id", "embedding"), index, banded,
+      threshold = 0.9, bands = 16, rowsPerBand = 8, maxBucket = 1000)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === expected, "persisted-index path matches the full-corpus subset")
+
+    val plan = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, "expected parquet scans in the plan")
+    // banding comes from the 3-column twin; the dense vectors are read
+    // ONLY by the verify scan (id, v, norm), never exploded for banding
+    assert(readSchemas.exists(l => l.contains("band:") &&
+      l.contains("sig:") && !l.contains("v:")),
+      s"banded twin scanned by its narrow columns:\n${readSchemas.mkString("\n")}")
+    assert(plan.contains("LeftSemi"),
+      "index pre-pruned by a left-semi on the batch's band keys")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   /** Independent reference for the E-S priority: plain-JVM md5 + the
     * same double tree the operator pins. */
   private def esPriority(id: Long, w: Double): Double = {

@@ -361,6 +361,120 @@ class PipelineFrozenSpec extends AnyFunSuite {
       s"in-model batch-2 doc passes, OOV doc fails under frozen stats: $got")
   }
 
+  /** Deterministic pseudo-random vector / near-duplicate (cosine ≈ 0.999)
+    * — same recipe as DedupSpec's fixtures. */
+  private def vec(seed: Int, dim: Int = 32): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)((r.nextDouble() - 0.5).toFloat)
+  }
+  private def nearDup(v: Array[Float], seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    v.map(x => x + (r.nextDouble() - 0.5).toFloat * 0.02f)
+  }
+
+  test("incremental pipeline: semantic_dedup batches dedup against the vector index") {
+    import spark.implicits._
+    val a = freshAdapter("incr_sem")
+    val rel = Relation(a.defaultSchema, "vecs")
+    val vecsRel = Relation(a.defaultSchema, "vecs__state_semantic_dedup")
+    val bandsRel = Relation(a.defaultSchema,
+      "vecs__state_semantic_dedup_bands")
+    val steps = Seq(Map[String, Any]("op" -> "semantic_dedup",
+      "method" -> "lsh", "id_col" -> "vec_id", "vec_col" -> "embedding",
+      "threshold" -> 0.9))
+    // batch 1: 1≈2 near-dup (min id 1 kept), 3 distinct
+    val b1 = Seq((1L, vec(7)), (2L, nearDup(vec(7), 11)), (3L, vec(13)))
+      .toDF("vec_id", "embedding")
+    runPipeline(a, rel, steps, b1, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(a.relationExists(vecsRel), "vector index persisted")
+    assert(a.read(vecsRel).count() == 3, "index holds every vector SEEN")
+    assert(a.relationExists(bandsRel), "banded twin persisted")
+    assert(a.read(bandsRel).count() == 3 * 16,
+      "one banded row per (vector, band)")
+
+    // batch 2: 10 dups a settled vector (component touches the index →
+    // drops), 11≈12 are a new-new cluster (11 kept), 13 distinct
+    val b2 = Seq((10L, nearDup(vec(7), 17)), (11L, vec(21)),
+      (12L, nearDup(vec(21), 19)), (13L, vec(33)))
+      .toDF("vec_id", "embedding")
+    runPipeline(a, rel, steps, b2, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L),
+      "settled rows stay; 10 drops against the index; 11 wins its cluster")
+    assert(a.read(vecsRel).count() == 7, "batch vectors appended")
+    assert(a.read(bandsRel).count() == 7 * 16,
+      "banded twin appended in lockstep")
+
+    // changed banding params must fail loudly, never band a stale index
+    val e = intercept[IllegalStateException](
+      runPipeline(a, rel, Seq(steps.head ++ Map("bands" -> 8)), b2,
+        incremental = true))
+    assert(e.getMessage.contains("--full-refresh"))
+
+    // pre-upgrade state (no banded twin): derived from the vector table
+    // and persisted with the deferred writes
+    a.dropRelation(bandsRel)
+    val b3 = Seq((20L, nearDup(vec(21), 23)), (21L, vec(44)))
+      .toDF("vec_id", "embedding")
+    runPipeline(a, rel, steps, b3, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L, 21L),
+      "20 dups settled 11 and drops even without the banded twin on disk")
+    assert(a.relationExists(bandsRel) && a.read(bandsRel).count() == 9 * 16,
+      "banded twin rebuilt from the vector table")
+
+    // --full-refresh rebuilds everything from the (new) full input
+    runPipeline(a, rel, steps, b1.unionByName(b2), incremental = true,
+      fullRefresh = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L))
+    assert(a.read(vecsRel).count() == 7, "index rebuilt, not appended")
+    assert(a.read(bandsRel).count() == 7 * 16, "banded twin rebuilt too")
+  }
+
+  test("frozen cluster_assign: batches route under run-1's centroids") {
+    import spark.implicits._
+    val a = freshAdapter("frozen_clus")
+    val rel = Relation(a.defaultSchema, "routed")
+    val modelRel = Relation(a.defaultSchema, "routed__model_cluster_assign")
+    val step = Map[String, Any]("op" -> "cluster_assign", "k" -> 2,
+      "iters" -> 2, "id_col" -> "vec_id", "vec_col" -> "embedding")
+    // init = the 2 smallest ids' vectors: axis-aligned, so Lloyd's
+    // separates the clusters immediately and deterministically
+    val b1 = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)), (4L, Array(0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    runPipeline(a, rel, Seq(step), b1, incremental = true)
+    assert(a.relationExists(modelRel), "centroid artifact persisted")
+    assert(a.read(modelRel).count() == 2 * 4, "k×dim centroid rows")
+    val got1 = a.read(rel).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got1 == Map(1L -> 0, 3L -> 0, 2L -> 1, 4L -> 1),
+      s"run-1 assignment under the trained cells: $got1")
+
+    // batch: routed by run-1's frozen centroids ([0.95,0.05,..] /
+    // [0.05,0.95,..]) — NOT retrained on the batch's own two vectors
+    // (batch-trained init would put 10 and 11 in separate cells at
+    // centroid positions that flip 11's assignment)
+    val b2 = Seq((10L, Array(0.8f, 0.2f, 0f, 0f)),
+      (11L, Array(0.2f, 0.8f, 0f, 0f))).toDF("vec_id", "embedding")
+    runPipeline(a, rel, Seq(step), b2, incremental = true)
+    val got2 = a.read(rel).filter(col("vec_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got2 == Map(10L -> 0, 11L -> 1),
+      s"batch routed under frozen cells: $got2")
+    assert(a.read(modelRel).count() == 2 * 4,
+      "artifact unchanged after the batch run")
+
+    // a changed k must fail loudly, never route under a stale quantizer
+    val e = intercept[IllegalStateException](
+      runPipeline(a, rel, Seq(step ++ Map("k" -> 4)), b2,
+        incremental = true))
+    assert(e.getMessage.contains("--full-refresh"))
+  }
+
   // --- legality + failure modes ----------------------------------------
 
   test("incremental pipelines reject corpus-global steps by name") {
@@ -394,6 +508,11 @@ class PipelineFrozenSpec extends AnyFunSuite {
       "op" -> "pack_sequences", "id_col" -> "doc_id", "tokens_col" -> "n",
       "max_tokens" -> 10)))
     assert(e6.getMessage.contains("corpus-global"))
+    // k-means semantic dedup needs corpus centroids; only the
+    // hyperplane-banded variant is batch-composable
+    val e7 = intercept[IllegalArgumentException](run(Map(
+      "op" -> "semantic_dedup", "id_col" -> "doc_id", "vec_col" -> "v")))
+    assert(e7.getMessage.contains("method: lsh"))
   }
 
   test("a lost model/state relation fails loudly on a batch run") {
