@@ -249,7 +249,7 @@ object PipelineSteps {
     "pii_mask", "language_filter", "surprise_filter", "weighted_sample",
     "collapse_repeats", "span_gate", "quality_classifier_filter",
     "dsir_select", "pack_sequences", "shard", "curriculum",
-    "cdc_compact", "pagerank_weight", "cluster_assign")
+    "cdc_compact", "pagerank_weight", "cluster_assign", "simhash_dedup")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -333,6 +333,24 @@ object PipelineSteps {
             k = int(m, "k", 3), perms = int(m, "perms", 128),
             bands = int(m, "bands", 21),
             threshold = dbl(m, "threshold", 0.8))
+          val kept = priorityCol match {
+            case Some(p) => Dedup.canonicalCorpusBy(df, pairs, idCol, p)
+            case None => Dedup.canonicalCorpus(df, pairs, idCol)
+          }
+          keepInputColumns(df.columns)(kept)
+        }
+
+      // 64-bit SimHash near-dup collapse: pairs within `max_hamming:`
+      // (≤ 3 — the 4-chunk pigeonhole bound) merge transitively, each
+      // component keeps its min-id row (or the `priority_col:` max);
+      // column-neutral
+      case "simhash_dedup" =>
+        val textCol = str(m, "text_col", "text")
+        val idCol = str(m, "id_col", "doc_id")
+        val priorityCol = m.get("priority_col").map(String.valueOf)
+        df => {
+          val pairs = Dedup.simhashNearDups(df, idCol, textCol,
+            maxHamming = int(m, "max_hamming", 3))
           val kept = priorityCol match {
             case Some(p) => Dedup.canonicalCorpusBy(df, pairs, idCol, p)
             case None => Dedup.canonicalCorpus(df, pairs, idCol)
@@ -813,7 +831,7 @@ object PipelineModels {
           fail("`top_k:` is a corpus-global cut (top-k of one batch is " +
             "not top-k of the corpus); use `min_logw:` — a per-row " +
             "threshold under the frozen ratio table")
-      case "minhash_dedup" =>
+      case "minhash_dedup" | "simhash_dedup" =>
         if (s.raw.contains("priority_col"))
           fail("`priority_col:` can elect a new doc over an already-" +
             "written settled row, which an append-only increment " +
@@ -869,6 +887,8 @@ object PipelineModels {
       incrementalExact(ctx, s, suffix, df, incrRun, deferred)
     else if (s.op == "semantic_dedup" && incremental)
       incrementalSemantic(ctx, s, suffix, df, incrRun, deferred)
+    else if (s.op == "simhash_dedup" && incremental)
+      incrementalSimhash(ctx, s, suffix, df, incrRun, deferred)
     else if (trainerOp(s) && mode == "frozen")
       applyFrozen(ctx, s, suffix, df, retrainNow = incremental && !incrRun,
         mustExist = incrRun)
@@ -926,6 +946,11 @@ object PipelineModels {
         "group_col" -> reqStr(s.raw, "group_col", s.op),
         "value_col" -> reqStr(s.raw, "value_col", s.op))
       case "exact_dedup" => Seq(
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "text_col" -> str(s.raw, "text_col", "text"))
+      // max_hamming stays apply-time: the index stores signatures, a
+      // pure function of the text — valid under any later threshold
+      case "simhash_dedup" => Seq(
         "id_col" -> str(s.raw, "id_col", "doc_id"),
         "text_col" -> str(s.raw, "text_col", "text"))
       case "semantic_dedup" => Seq(
@@ -1371,6 +1396,80 @@ object PipelineModels {
           Dedup.embeddingBandedRows(ctx.adapter.read(rel), bands, rpb),
           bandsRel, sortBy = Seq("band", "sig"))
         newVecs.unpersist()
+        ()
+      })
+      kept
+    }
+  }
+
+  /** simhash_dedup with a persisted signature index (incremental
+    * pipelines). Full build: normal min-id keep + persist FIVE ints per
+    * document (id, c0..c3) plus the narrow (id, band, bv) banded twin,
+    * range-sorted by (band, bv). Batch run: near-dup pairs of the batch
+    * against itself AND the pruned index (settled-keep: a new doc whose
+    * component touches ANY settled doc drops, pure-new components keep
+    * min id); the batch's signatures and banded rows append after the
+    * target write (deferred). With hamming ≤ 3 and 4 chunks the
+    * pigeonhole bound makes per-pair recall EXACT, so incremental
+    * results compose identically to the full-corpus operator — the
+    * index never stores text, and at 100 TB a batch exchanges only
+    * int rows pre-pruned to its own buckets. */
+  private def incrementalSimhash(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : DataFrame = {
+    val idCol = str(s.raw, "id_col", "doc_id")
+    val textCol = str(s.raw, "text_col", "text")
+    val maxHamming = int(s.raw, "max_hamming", 3)
+    val rel = stateRel(ctx, suffix)
+    val bandsRel = rel.copy(identifier = s"${rel.identifier}_bands")
+    if (!incrRun) {
+      val sigs = Dedup.simhashSignatures(df, idCol, textCol)
+      ctx.adapter.writeTableAtomic(sigs, rel)
+      recordParams(ctx, rel, s)
+      ctx.adapter.writeTableAtomic(
+        Dedup.simhashBandedRows(ctx.adapter.read(rel)), bandsRel,
+        sortBy = Seq("band", "bv"))
+      val pairs = Dedup.simhashNearDupsFromSigs(ctx.adapter.read(rel),
+        maxHamming, Dedup.maxBandBucket(df))
+      keepInputColumns(df.columns)(Dedup.canonicalCorpus(df, pairs, idCol))
+    } else {
+      if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
+        s"${rel.fqn}: simhash signature index missing on an incremental " +
+          "batch run — the state was lost; rebuild with --full-refresh")
+      checkParams(ctx, rel, s)
+      val index = ctx.adapter.read(rel)
+      val bandsExist = ctx.adapter.relationExists(bandsRel)
+      val bandedIdx =
+        if (bandsExist) ctx.adapter.read(bandsRel)
+        else Dedup.simhashBandedRows(index)
+      val newSigs = Dedup.maybeCache(
+        Dedup.simhashSignatures(df, idCol, textCol))
+      val pairs = Dedup.simhashNearDupsIncrementalFromSigs(newSigs, index,
+        bandedIdx, maxHamming, Dedup.maxBandBucket(df))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val settledComps = cc
+        .join(index.select(col("id").as("__sid")), cc("id") === col("__sid"),
+          "left_semi")
+        .select(col("component_id").as("__sc")).distinct()
+      val drop = cc
+        .join(settledComps, cc("component_id") === col("__sc"), "left")
+        .filter(col("__sc").isNotNull || col("id") =!= col("component_id"))
+        .select(col("id").as("__drop_id"))
+      val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
+        "left_anti")
+      deferred += (() => {
+        ctx.adapter.appendToTable(newSigs, rel)
+        if (bandsExist)
+          ctx.adapter.appendToTable(
+            Dedup.simhashBandedRows(newSigs)
+              .repartitionByRange(col("band"), col("bv"))
+              .sortWithinPartitions(col("band"), col("bv")),
+            bandsRel)
+        else ctx.adapter.writeTableAtomic(
+          Dedup.simhashBandedRows(ctx.adapter.read(rel)), bandsRel,
+          sortBy = Seq("band", "bv"))
+        newSigs.unpersist()
         ()
       })
       kept

@@ -572,6 +572,90 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The (id, c0..c3) chunk table [[simhashNearDups]] derives internally,
+    * exposed so it can be PERSISTED as a simhash-dedup index: an
+    * incremental pipeline materializes it once per corpus slice and
+    * dedups each new batch against it with
+    * [[simhashNearDupsIncrementalFromSigs]]. Five ints per document —
+    * the index never stores text. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    withSimhashChunks(spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), col(textCol)), textCol)
+      .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
+
+  /** (id, band, bv) rows from a signature table — one row per 16-bit
+    * chunk. Persisting it range-sorted by (band, bv) lets a batch run
+    * band the history by scanning three integer columns with runtime
+    * semi-join filters pruning row groups the batch's buckets don't
+    * touch. */
+  def simhashBandedRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("band", "bv")))
+
+  /** [[simhashNearDups]] over a PERSISTED signature table (id, c0..c3) —
+    * the read-back half of the index round trip, so run 1 of an
+    * incremental pipeline pairs under exactly the bytes run 2 reloads.
+    * Same banding (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 shared chunk, so
+    * recall is PERFECT, not probabilistic), verify, and output. */
+  def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk banding guarantees recall only for hamming <= 3")
+    val s = maybeCache(sigs.select("id", "c0", "c1", "c2", "c3"))
+    verifyHamming(bucketPairs(simhashBandedRows(s), Seq("band", "bv"),
+      maxBucket), s, maxHamming)
+  }
+
+  /** Incremental simhash dedup: near-dup pairs of a NEW batch against
+    * itself AND a persisted [[simhashSignatures]] index — the
+    * continuous-ingest twin of [[minhashNearDupsIncrementalFromSigs]]:
+    * the index's banded twin is pre-pruned to the buckets the batch
+    * touches (left-semi on the band keys), old×old pairs are excluded
+    * by construction, and the chunk columns join back only for
+    * candidate pairs' hamming verification. Signatures are a pure
+    * function of the text (md5 bit votes), so per-pair recall equals
+    * the full-corpus operator's — perfect at hamming ≤ 3. Contract:
+    * batch and index ids disjoint. */
+  def simhashNearDupsIncrementalFromSigs(newSigs: DataFrame,
+      indexSigs: DataFrame, bandedIndex: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk banding guarantees recall only for hamming <= 3")
+    val ns = maybeCache(newSigs.select("id", "c0", "c1", "c2", "c3"))
+    val bandedNew = maybeCache(simhashBandedRows(ns))
+    val bandedIdx = bandedIndex.select(col("id"), col("band"), col("bv"))
+      .join(bandedNew.select("band", "bv").distinct(),
+        Seq("band", "bv"), "left_semi")
+    val pairIds = bucketPairs(bandedNew.unionByName(bandedIdx),
+      Seq("band", "bv"), maxBucket)
+    val aNew = ns.select(col("id").as("id_a"), lit(true).as("__an"))
+    val bNew = ns.select(col("id").as("id_b"), lit(true).as("__bn"))
+    val filtered = pairIds
+      .join(aNew, Seq("id_a"), "left").join(bNew, Seq("id_b"), "left")
+      .filter(coalesce(col("__an"), lit(false)) ||
+        coalesce(col("__bn"), lit(false)))
+      .select("id_a", "id_b")
+    verifyHamming(filtered,
+      ns.unionByName(indexSigs.select("id", "c0", "c1", "c2", "c3")),
+      maxHamming)
+  }
+
+  private def verifyHamming(pairIds: DataFrame, sigs: DataFrame,
+      maxHamming: Int): DataFrame =
+    pairIds
+      .join(sigs.select(col("id").as("id_a"), col("c0"), col("c1"),
+        col("c2"), col("c3")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("c0").as("d0"),
+        col("c1").as("d1"), col("c2").as("d2"), col("c3").as("d3")),
+        "id_b")
+      .withColumn("hamming",
+        expr("bit_count(c0 ^ d0) + bit_count(c1 ^ d1) + " +
+          "bit_count(c2 ^ d2) + bit_count(c3 ^ d3)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
   /** Embedding-cosine near-dup pairs ≥ threshold — exact, expressed as a
     * BLOCKED equi-join instead of a nested-loop cross join: rows hash into
     * G = O(√parallelism) blocks, each side replicates G ways keyed by the

@@ -1863,6 +1863,73 @@ object EnginePack extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // the simhash flavor of the incremental dedup index: run 1
+    // (doc_id < 250) dedups at hamming ≤ 3, persists five ints per doc
+    // SEEN plus the (id, band, bv) banded twin; run 2 dedups only the
+    // batch against itself + the pruned index with the settled-keep
+    // rule and appends. Recall at hamming ≤ 3 is EXACT (pigeonhole),
+    // so the oracle needs no banding mirror — qualifying pairs are all
+    // pairs within the hamming bound.
+    "q_engine_simhash_incremental" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_sim_incr")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: simincr
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/deduped.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |where doc_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and doc_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: deduped
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: simhash_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |""".stripMargin)
+      val schema = "g_engine_simincr"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_sim_incr_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: doc_id < 250
+      write(proj, "dbt_project.yml", projYml(250L, 1000000000L))
+      val runner = runOnce() // incremental batch
+      runner.adapter.read(graft.core.Relation(schema, "deduped"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // frozen coarse quantizer: run 1 (vec_id < 250) trains deterministic
     // Lloyd's k-means centroids on the base slice, persists the k×dim
     // artifact, and assigns the base; run 2 assigns ONLY the batch under
@@ -2369,6 +2436,56 @@ object EnginePack extends QueryPack {
          |SELECT e.vec_id, e.label
          |FROM embeddings e JOIN keepers k USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin,
+
+    // incremental simhash dedup composed in one statement: md5-bit-vote
+    // chunks over ALL docs (signatures are a pure function of text, so
+    // per-slice computation = full-corpus computation), qualifying pairs
+    // = hamming ≤ 3 (recall exact at this bound — no banding mirror
+    // needed), base components closed among base ids (min-id keep),
+    // batch components closed over new-touching pairs with the
+    // settled-keep rule (every base doc is IN the index — seen, not
+    // just surviving)
+    "q_engine_simhash_incremental" ->
+      s"""WITH RECURSIVE ${PipelinePack.simhashChunkCtes},
+         |pr AS MATERIALIZED (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         |        bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+         |        <= 3),
+         |bpairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v < 250),
+         |bedges AS MATERIALIZED (
+         |  SELECT u, v FROM bpairs UNION SELECT v, u FROM bpairs),
+         |breach(id, lab) AS (
+         |  SELECT u, u FROM bedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM bedges e JOIN breach r ON r.id = e.v),
+         |bcc AS (SELECT id, min(lab) AS component_id FROM breach GROUP BY id),
+         |npairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v >= 250),
+         |nedges AS MATERIALIZED (
+         |  SELECT u, v FROM npairs UNION SELECT v, u FROM npairs),
+         |nreach(id, lab) AS (
+         |  SELECT u, u FROM nedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM nedges e JOIN nreach r ON r.id = e.v),
+         |ncc AS (SELECT id, min(lab) AS component_id FROM nreach GROUP BY id),
+         |nsettled AS (SELECT DISTINCT component_id FROM ncc WHERE id < 250),
+         |keepers AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN bcc ON bcc.id = d.doc_id
+         |  WHERE d.doc_id < 250
+         |    AND (bcc.id IS NULL OR bcc.id = bcc.component_id)
+         |  UNION ALL
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN ncc ON ncc.id = d.doc_id
+         |  LEFT JOIN nsettled t ON t.component_id = ncc.component_id
+         |  WHERE d.doc_id >= 250
+         |    AND (ncc.id IS NULL
+         |         OR (t.component_id IS NULL AND ncc.id = ncc.component_id)))
+         |SELECT d.doc_id, d.source,
+         |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tok
+         |FROM documents d JOIN keepers k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the frozen coarse quantizer: Lloyd's chain trained on the base
     // slice only (init = the 8 smallest base ids, every iteration's

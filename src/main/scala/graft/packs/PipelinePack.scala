@@ -1999,6 +1999,29 @@ object PipelinePack extends QueryPack {
        |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v),
        |cc AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id)""".stripMargin
 
+  /** DuckDB mirror of Dedup.withSimhashChunks: md5 bit votes per token,
+    * 64 sign bits packed into four 16-bit int chunks — ends in a
+    * `chunks(doc_id, c0..c3)` CTE shared by the pair oracle and the
+    * incremental-pipeline composition. */
+  private[packs] val simhashChunkCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |bitsum AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (((strpos('0123456789abcdef',
+      |          substr(md5(t), CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+      |          >> (3 - (j % 4))) & 1) = 1
+      |        THEN 1 ELSE -1 END) AS w
+      |  FROM toks CROSS JOIN range(64) r(j)
+      |  GROUP BY doc_id, j),
+      |chunks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 0 AND 15 THEN (1 << j) ELSE 0 END) AS INT) AS c0,
+      |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 16 AND 31 THEN (1 << (j - 16)) ELSE 0 END) AS INT) AS c1,
+      |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 32 AND 47 THEN (1 << (j - 32)) ELSE 0 END) AS INT) AS c2,
+      |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 48 AND 63 THEN (1 << (j - 48)) ELSE 0 END) AS INT) AS c3
+      |  FROM bitsum GROUP BY doc_id)""".stripMargin
+
   /** DuckDB mirror of Similarity.hyperplaneSignature: integer quantization
     * (round(x·10^6) as BIGINT, ties away from zero in both engines) dotted
     * with md5-derived integer weights — bit-identical buckets. Inline
@@ -3164,23 +3187,7 @@ object PipelinePack extends QueryPack {
          |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |bitsum AS (
-        |  SELECT doc_id, j,
-        |    SUM(CASE WHEN (((strpos('0123456789abcdef',
-        |          substr(md5(t), CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
-        |          >> (3 - (j % 4))) & 1) = 1
-        |        THEN 1 ELSE -1 END) AS w
-        |  FROM toks CROSS JOIN range(64) r(j)
-        |  GROUP BY doc_id, j),
-        |chunks AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 0 AND 15 THEN (1 << j) ELSE 0 END) AS INT) AS c0,
-        |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 16 AND 31 THEN (1 << (j - 16)) ELSE 0 END) AS INT) AS c1,
-        |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 32 AND 47 THEN (1 << (j - 32)) ELSE 0 END) AS INT) AS c2,
-        |    CAST(SUM(CASE WHEN w > 0 AND j BETWEEN 48 AND 63 THEN (1 << (j - 48)) ELSE 0 END) AS INT) AS c3
-        |  FROM bitsum GROUP BY doc_id)
+      s"""WITH $simhashChunkCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
         |       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INT) AS hamming

@@ -703,6 +703,52 @@ class DedupSpec extends AnyFunSuite {
       "index pre-pruned by a left-semi on the batch's band keys")
   }
 
+  test("incremental simhash dedup: parity with the full-corpus pairs " +
+      "through the persisted banded twin") {
+    import spark.implicits._
+    val texts = (0 until 8).map(g =>
+      s"group $g shares this exact long duplicated sentence body number " +
+        s"$g with several siblings across the split boundary")
+    val docs = (0L until 24L).map(i => (i, texts((i % 8).toInt)))
+      .toDF("id", "text")
+    val oldDf = docs.filter(col("id") % 3 =!= 0)
+    val newDf = docs.filter(col("id") % 3 === 0)
+    val full = Dedup.simhashNearDups(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (x, y) => x % 3 == 0 || y % 3 == 0 }
+    assert(expected.nonEmpty && expected.size < full.size)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_simidx")
+      .toString
+    Dedup.simhashSignatures(oldDf, "id", "text").write.parquet(s"$dir/sigs")
+    val index = spark.read.parquet(s"$dir/sigs")
+    Dedup.simhashBandedRows(index).write.parquet(s"$dir/bands")
+    val banded = spark.read.parquet(s"$dir/bands")
+    val pairs = Dedup.simhashNearDupsIncrementalFromSigs(
+      Dedup.simhashSignatures(newDf, "id", "text"), index, banded,
+      maxHamming = 3, maxBucket = 1000)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === expected, "persisted-index path matches the full-corpus subset")
+    // the from-sigs full-build path pairs identically to the operator
+    val fromSigs = Dedup.simhashNearDupsFromSigs(
+      Dedup.simhashSignatures(docs, "id", "text"), maxHamming = 3,
+      maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSigs === full)
+
+    val plan = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("band:") &&
+      l.contains("bv:") && !l.contains("c0:")),
+      s"banded twin scanned by its narrow columns:\n${readSchemas.mkString("\n")}")
+    assert(plan.contains("LeftSemi"),
+      "index pre-pruned by a left-semi on the batch's band keys")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("incremental banded-LSH embedding dedup: parity with the full-corpus " +
       "pairs, banding never scans the dense vectors") {
     import spark.implicits._

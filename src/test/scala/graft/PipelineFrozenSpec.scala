@@ -361,6 +361,60 @@ class PipelineFrozenSpec extends AnyFunSuite {
       s"in-model batch-2 doc passes, OOV doc fails under frozen stats: $got")
   }
 
+  test("incremental pipeline: simhash_dedup batches dedup against the signature index") {
+    import spark.implicits._
+    val a = freshAdapter("incr_sim")
+    val rel = Relation(a.defaultSchema, "simcorpus")
+    val sigsRel = Relation(a.defaultSchema, "simcorpus__state_simhash_dedup")
+    val bandsRel = Relation(a.defaultSchema,
+      "simcorpus__state_simhash_dedup_bands")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "totally different words entirely here now for testing once"
+    val t3 = "completely fresh material nothing shared with previous batches at all"
+    val steps = Seq(Map[String, Any]("op" -> "simhash_dedup"))
+    // batch 1: identical texts → hamming 0 (1 kept, min id), 3 distinct
+    val b1 = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b1, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(a.relationExists(sigsRel), "signature index persisted")
+    assert(a.read(sigsRel).count() == 3, "five ints per doc SEEN")
+    assert(a.relationExists(bandsRel) && a.read(bandsRel).count() == 3 * 4,
+      "one banded row per (doc, chunk)")
+
+    // batch 2: 10 dups a settled doc (drops), 11≈12 new-new (11 kept),
+    // 13 distinct
+    val b2 = Seq((10L, t1), (11L, t3), (12L, t3),
+      (13L, "unique new content appearing only in the second batch run"))
+      .toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b2, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L),
+      "settled rows stay; 10 drops against the index; 11 wins its cluster")
+    assert(a.read(sigsRel).count() == 7, "batch sigs appended")
+    assert(a.read(bandsRel).count() == 7 * 4, "banded twin in lockstep")
+
+    // pre-upgrade state (no banded twin): derived in-memory, persisted
+    // with the deferred writes
+    a.dropRelation(bandsRel)
+    val b3 = Seq((20L, t3),
+      (21L, "yet another brand new never seen before document text here"))
+      .toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b3, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L, 21L),
+      "20 dups settled 11 and drops even without the banded twin on disk")
+    assert(a.relationExists(bandsRel) && a.read(bandsRel).count() == 9 * 4,
+      "banded twin rebuilt from the signature table")
+
+    // --full-refresh rebuilds everything from the (new) full input
+    runPipeline(a, rel, steps, b1.unionByName(b2), incremental = true,
+      fullRefresh = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L))
+    assert(a.read(sigsRel).count() == 7, "index rebuilt, not appended")
+    assert(a.read(bandsRel).count() == 7 * 4, "banded twin rebuilt too")
+  }
+
   /** Deterministic pseudo-random vector / near-duplicate (cosine ≈ 0.999)
     * — same recipe as DedupSpec's fixtures. */
   private def vec(seed: Int, dim: Int = 32): Array[Float] = {
