@@ -249,7 +249,8 @@ object PipelineSteps {
     "pii_mask", "language_filter", "surprise_filter", "weighted_sample",
     "collapse_repeats", "span_gate", "quality_classifier_filter",
     "dsir_select", "pack_sequences", "shard", "curriculum",
-    "cdc_compact", "pagerank_weight", "cluster_assign", "simhash_dedup")
+    "cdc_compact", "pagerank_weight", "cluster_assign", "simhash_dedup",
+    "chunk", "decontaminate")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -338,6 +339,50 @@ object PipelineSteps {
             case None => Dedup.canonicalCorpus(df, pairs, idCol)
           }
           keepInputColumns(df.columns)(kept)
+        }
+
+      // token-window chunking: each document splits into fixed-size
+      // token windows (`chunk_tokens:`) with overlap (`stride_tokens:`
+      // < chunk ⇒ consecutive chunks share the difference; default =
+      // chunk, i.e. non-overlapping) — the standard pre-embedding /
+      // pre-packing segmentation. Pure map-side explode, each row
+      // expands independently; the text column is REPLACED by
+      // (chunk_id, chunk_text)
+      case "chunk" =>
+        val textCol = str(m, "text_col", "text")
+        val chunkT = int(m, "chunk_tokens", 512)
+        df => TextAnalysis.chunk(df, textCol, chunkT,
+          int(m, "stride_tokens", chunkT))
+
+      // benchmark decontamination (the standard pre-training n-gram
+      // overlap gate): drop every document sharing more than
+      // `max_hits:` distinct word k-grams with a STATIC eval/benchmark
+      // set named by `against_location:` (parquet path) or `against:`
+      // (catalog table). The benchmark's distinct k-gram set is tiny
+      // and broadcastable, so at 100 TB this is a broadcast semi-join
+      // over a map-side explode — no corpus shuffle, and each row is
+      // judged independently of the rest of the corpus
+      case "decontaminate" =>
+        val idCol = str(m, "id_col", "doc_id")
+        val textCol = str(m, "text_col", "text")
+        val benchTextCol = str(m, "against_text_col", textCol)
+        val k = int(m, "k", 8)
+        val maxHits = int(m, "max_hits", 0)
+        val loc = m.get("against_location").map(String.valueOf)
+        val tbl = m.get("against").map(String.valueOf)
+        if (loc.isEmpty && tbl.isEmpty) throw new IllegalArgumentException(
+          "pipeline step `decontaminate` requires `against_location:` " +
+            "(parquet path) or `against:` (table name)")
+        df => {
+          val sp = df.sparkSession
+          val bench = loc.map(sp.read.parquet(_)).getOrElse(sp.table(tbl.get))
+          val hits = Dedup.contaminated(
+            df.select(col(s"`$idCol`"), col(s"`$textCol`")),
+            bench.select(col(s"`$benchTextCol`").as(textCol)),
+            idCol, textCol, k)
+            .filter(col("n_hits") > maxHits)
+            .select(col(s"`$idCol`"))
+          df.join(hits, Seq(idCol), "left_anti")
         }
 
       // 64-bit SimHash near-dup collapse: pairs within `max_hamming:`
@@ -814,7 +859,10 @@ object PipelineModels {
   /** Steps that are pure per-row transforms/filters — batch-composable
     * with no state at all. */
   private val rowLocal = Set("gopher_gate", "normalize", "pii_mask",
-    "language_filter", "collapse_repeats", "token_count")
+    "language_filter", "collapse_repeats", "token_count",
+    // chunk explodes each row independently; decontaminate judges each
+    // row against a STATIC external benchmark, never corpus statistics
+    "chunk", "decontaminate")
 
   def checkIncrementalLegal(s: Step): Unit = {
     def fail(why: String) = throw new IllegalArgumentException(

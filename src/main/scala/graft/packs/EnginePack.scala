@@ -1863,6 +1863,86 @@ object EnginePack extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // the training-prep tail of a curation pipeline, from the project
+    // surface: gopher gate → benchmark decontamination (a STATIC eval
+    // set parquet, any doc sharing a word 5-gram drops) → token-window
+    // chunking (40/30 overlap) — run incrementally (base + batch), all
+    // three steps batch-composable by construction. One composed oracle
+    // re-derives gate, contamination, and chunk math.
+    "q_engine_training_prep" -> ((s, dir) => {
+      val benchLoc = Files.createTempDirectory("graft_prep_bench")
+        .toString + "/bench"
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 37 === 1)
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(benchLoc)
+      val proj = Files.createTempDirectory("graft_prep")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: prep
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/chunks.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |where doc_id % 37 <> 1 and doc_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and doc_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        s"""version: 2
+           |models:
+           |  - name: chunks
+           |    config:
+           |      materialized: pipeline
+           |      incremental: true
+           |      steps:
+           |        - op: gopher_gate
+           |          text_col: text
+           |        - op: decontaminate
+           |          id_col: doc_id
+           |          text_col: text
+           |          against_location: "$benchLoc"
+           |          k: 5
+           |        - op: chunk
+           |          text_col: text
+           |          chunk_tokens: 40
+           |          stride_tokens: 30
+           |""".stripMargin)
+      val schema = "g_engine_prep"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_prep_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: doc_id < 250
+      write(proj, "dbt_project.yml", projYml(250L, 1000000000L))
+      val runner = runOnce() // incremental batch appends its own chunks
+      runner.adapter.read(graft.core.Relation(schema, "chunks"))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          md5(col("chunk_text")).as("chunk_hash"),
+          size(split(col("chunk_text"), " ")).cast("int")
+            .as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // the simhash flavor of the incremental dedup index: run 1
     // (doc_id < 250) dedups at hamming ≤ 3, persists five ints per doc
     // SEEN plus the (id, band, bv) banded twin; run 2 dedups only the
@@ -2436,6 +2516,59 @@ object EnginePack extends QueryPack {
          |SELECT e.vec_id, e.label
          |FROM embeddings e JOIN keepers k USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin,
+
+    // gate → decontaminate → chunk, composed: gopher rules over the
+    // non-benchmark corpus, 5-gram overlap against the benchmark slice
+    // (docs under 5 tokens have no grams — clean by construction),
+    // 40/30 token windows over the survivors
+    "q_engine_training_prep" ->
+      s"""WITH ${PipelinePack.gopherCtes("doc_id % 37 <> 1")},
+         |gate AS MATERIALIZED (
+         |  SELECT b.doc_id, b.text
+         |  FROM rules r JOIN base b USING (doc_id)
+         |  WHERE r.r_min_tokens AND r.r_max_tokens AND r.r_word_len
+         |    AND r.r_stopwords AND r.r_dup_words AND r.r_top_bigram),
+         |bg AS MATERIALIZED (
+         |  SELECT DISTINCT unnest(list_transform(
+         |    range(len(string_split(text, ' ')) - 4),
+         |    i -> array_to_string(
+         |      list_slice(string_split(text, ' '), i + 1, i + 5), ' ')))
+         |    AS g
+         |  FROM documents
+         |  WHERE doc_id % 37 = 1 AND len(string_split(text, ' ')) >= 5),
+         |dirty AS (
+         |  SELECT DISTINCT c.doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(len(string_split(text, ' ')) - 4),
+         |      i -> array_to_string(
+         |        list_slice(string_split(text, ' '), i + 1, i + 5), ' ')))
+         |      AS g
+         |    FROM gate WHERE len(string_split(text, ' ')) >= 5) c
+         |  JOIN bg ON bg.g = c.g),
+         |clean AS (
+         |  SELECT g.doc_id, trim(g.text) AS t FROM gate g
+         |  LEFT JOIN dirty d USING (doc_id) WHERE d.doc_id IS NULL),
+         |ctoks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(t, ' +') END AS w
+         |  FROM clean),
+         |cnz AS (SELECT doc_id, w, len(w) AS n FROM ctoks WHERE len(w) > 0),
+         |cids AS (
+         |  SELECT doc_id, w,
+         |    unnest(range(0, greatest(0, (n - 40 + 30 - 1) // 30) + 1))
+         |      AS chunk_id
+         |  FROM cnz),
+         |cch AS (
+         |  SELECT doc_id, chunk_id,
+         |    array_to_string(w[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+         |      AS chunk_text
+         |  FROM cids)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |  md5(chunk_text) AS chunk_hash,
+         |  CAST(len(string_split(chunk_text, ' ')) AS INT)
+         |    AS n_chunk_tokens
+         |FROM cch ORDER BY doc_id, chunk_id""".stripMargin,
 
     // incremental simhash dedup composed in one statement: md5-bit-vote
     // chunks over ALL docs (signatures are a pure function of text, so

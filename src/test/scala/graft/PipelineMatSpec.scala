@@ -46,6 +46,47 @@ class PipelineMatSpec extends AnyFunSuite {
       s"canonical = min-id row with ITS source: $rows")
   }
 
+  test("chunk step windows tokens with overlap; text column replaced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", (1 to 7).map(i => s"w$i").mkString(" ")), // 7 tokens
+      (2L, "s", "a b"),   // shorter than one chunk → 1 chunk
+      (3L, "s", "  "))    // no tokens → no chunks
+      .toDF("doc_id", "source", "text")
+    val out = steps(Seq(Map("op" -> "chunk", "text_col" -> "text",
+      "chunk_tokens" -> 4, "stride_tokens" -> 3)))
+      .head.apply(docs)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "source", "chunk_id", "chunk_text"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3))).toSet
+    assert(rows == Set(
+      (1L, 0, "w1 w2 w3 w4"), (1L, 1, "w4 w5 w6 w7"),
+      (2L, 0, "a b")), s"chunks: $rows")
+  }
+
+  test("decontaminate drops k-gram overlap with the static benchmark") {
+    import spark.implicits._
+    val benchDir = java.nio.file.Files
+      .createTempDirectory("graft_bench").toString + "/b"
+    Seq((100L, "one two three four five six"))
+      .toDF("doc_id", "text").write.parquet(benchDir)
+    val docs = Seq(
+      (1L, "s", "zz one two three four five tail words here"), // shares a 5-gram
+      (2L, "s", "completely unrelated content with no overlap at all"),
+      (3L, "s", "one two three"))  // under k tokens → no grams → clean
+      .toDF("doc_id", "source", "text")
+    val out = steps(Seq(Map("op" -> "decontaminate", "id_col" -> "doc_id",
+      "text_col" -> "text", "against_location" -> benchDir, "k" -> 5)))
+      .head.apply(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq, "column-neutral")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // missing benchmark config is a named error at parse time
+    val e = intercept[IllegalArgumentException](
+      steps(Seq(Map("op" -> "decontaminate"))))
+    assert(e.getMessage.contains("against_location"))
+  }
+
   test("gopher_gate filters but never changes the schema") {
     import spark.implicits._
     val docs = Seq(
