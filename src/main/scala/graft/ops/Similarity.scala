@@ -408,6 +408,54 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Rebuild a centroid matrix from its persisted (cid, i, val) rows —
+    * the read-back half of a frozen `cluster_assign` artifact (k×dim
+    * doubles, driver-bounded by the model size, never the corpus). */
+  def centroidsFromRows(art: DataFrame): Array[Array[Double]] = {
+    val rows = art.select(col("cid").cast("int"), col("i").cast("int"),
+      col("val").cast("double")).collect()
+    require(rows.nonEmpty, "empty centroid artifact")
+    val k = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Double](k, dim)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    cents
+  }
+
+  /** IVF top-k over a PERSISTED routed corpus — the search half of
+    * [[ivfTopK]] decoupled from training. The corpus already carries
+    * its coarse cell (`cidCol`, e.g. a pipeline `cluster_assign`
+    * output) and the centroids come from the frozen artifact
+    * ([[centroidsFromRows]]), so a query run trains NOTHING and touches
+    * only the probed cells: queries broadcast with their nprobe cell
+    * ids, the corpus joins on the cell key — laid out partitioned/
+    * clustered by cell, the join's runtime filter prunes corpus FILES
+    * before any vector math, and per-query work is ~nprobe/nlist of the
+    * corpus. Same exact-decimal scoring and (cosine desc, id) tie rule
+    * as [[ivfTopK]]; with identical centroids the results are
+    * bit-identical. */
+  def ivfTopKIndexed(queries: DataFrame, indexed: DataFrame,
+      centroids: Array[Array[Double]], idCol: String, vecCol: String,
+      cidCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val c = indexed.select(col(s"`$idCol`").as("neighbor_id"),
+      col(s"`$vecCol`").as("cv"), normExact(vecCol).as("cn"),
+      col(s"`$cidCol`").cast("int").as("cid"))
+    val q = queries.select(col(s"`$idCol`").as("query_id"),
+      col(s"`$vecCol`").as("qv"), normExact(vecCol).as("qn"),
+      explode(PipelineExpressions.nearest_centroids(col(s"`$vecCol`"),
+        centroids, nprobe)).as("cid"))
+    val scored = c.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFromParts("qv", "cv", "qn", "cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** k-NN majority-vote label prediction over the exact top-k — the
     * other standard embedding-space label audit next to
     * [[centroidClassify]] (k-NN sees local structure the single

@@ -1863,6 +1863,66 @@ object EnginePack extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // a PERSISTED vector index from the project surface: the pipeline
+    // materializes the corpus routed by a frozen coarse quantizer
+    // (cluster_assign, mode: frozen), PARTITIONED by the cell id; the
+    // search then runs ivfTopKIndexed over the routed table + the
+    // persisted centroid artifact — training nothing at query time and
+    // touching only the probed cells (the cell equi-join prunes
+    // partitions before any vector math). Results are bit-identical to
+    // the train-at-query-time ivfTopK, so the existing IVF oracle
+    // checks the whole index round trip.
+    "q_engine_vector_index" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_vidx")
+      write(proj, "dbt_project.yml",
+        """name: vidx
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: embeddings
+           |        external:
+           |          location: "$dir/embeddings.parquet"
+           |""".stripMargin)
+      write(proj, "models/routed.sql",
+        """select vec_id, embedding from {{ source('lake', 'embeddings') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: routed
+          |    config:
+          |      materialized: pipeline
+          |      partition_by: [cluster_id]
+          |      steps:
+          |        - op: cluster_assign
+          |          mode: frozen
+          |          id_col: vec_id
+          |          vec_col: embedding
+          |          k: 8
+          |          iters: 2
+          |""".stripMargin)
+      val schema = "g_engine_vidx"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_vidx_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val bad = runner.run().filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      val routed = runner.adapter.read(graft.core.Relation(schema, "routed"))
+      val centroids = graft.ops.Similarity.centroidsFromRows(
+        runner.adapter.read(
+          graft.core.Relation(schema, "routed__model_cluster_assign")))
+      graft.ops.Similarity.ivfTopKIndexed(
+        routed.filter(col("vec_id") % 100 === 0), routed, centroids,
+        "vec_id", "embedding", "cluster_id", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // the training-prep tail of a curation pipeline, from the project
     // surface: gopher gate → benchmark decontamination (a STATIC eval
     // set parquet, any doc sharing a word 5-gram drops) → token-window
@@ -2516,6 +2576,12 @@ object EnginePack extends QueryPack {
          |SELECT e.vec_id, e.label
          |FROM embeddings e JOIN keepers k USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin,
+
+    // the persisted-index search is bit-identical to training at query
+    // time (the artifact stores the final centroids exactly), so the
+    // IVF oracle covers the whole round trip
+    "q_engine_vector_index" -> PipelinePack.ivfSql(nlist = 8, nprobe = 2,
+      iters = 2, k = 5),
 
     // gate → decontaminate → chunk, composed: gopher rules over the
     // non-benchmark corpus, 5-gram overlap against the benchmark slice

@@ -2299,7 +2299,7 @@ object PipelinePack extends QueryPack {
        |FROM pri p WHERE p.vec_id NOT IN (SELECT id FROM cc)
        |ORDER BY vec_id""".stripMargin
 
-  private def ivfSql(nlist: Int, nprobe: Int, iters: Int, k: Int): String = {
+  private[packs] def ivfSql(nlist: Int, nprobe: Int, iters: Int, k: Int): String = {
     s"""WITH ex AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         unnest(embedding) AS x

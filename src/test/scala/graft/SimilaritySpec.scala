@@ -150,6 +150,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (got ${ivf.size} rows)")
   }
 
+  test("ivfTopKIndexed over a persisted routed table ≡ ivfTopK; probed " +
+      "cells prune partitions") {
+    import spark.implicits._
+    val df = (0 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 20 === 0)
+    val expected = Similarity.ivfTopK(queries, df, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    // persist the index: frozen centroids (the cluster_assign artifact
+    // shape) + the corpus routed and PARTITIONED by its cell
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val art = cents.zipWithIndex.flatMap { case (arr, cid) =>
+      arr.zipWithIndex.map { case (v, i) => (cid, i, v) } }.toSeq
+      .toDF("cid", "i", "val")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    art.write.parquet(s"$dir/model")
+    df.withColumn("cluster_id", graft.expressions.PipelineExpressions
+        .nearest_centroids(col("embedding"), cents, 1)(0))
+      .write.partitionBy("cluster_id").parquet(s"$dir/routed")
+
+    val routed = spark.read.parquet(s"$dir/routed")
+    val loaded = Similarity.centroidsFromRows(
+      spark.read.parquet(s"$dir/model"))
+    val got = Similarity.ivfTopKIndexed(
+      routed.filter(col("vec_id") % 20 === 0), routed, loaded,
+      "vec_id", "embedding", "cluster_id", k = 5, nprobe = 2)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSet === expected,
+      "persisted-index search ≡ train-at-query-time ivfTopK")
+    // the corpus scan must carry a dynamic partition filter on the cell
+    // id — the probed-cells-only contract that makes the index an index
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cluster_id:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("pqTopK recall vs brute force, partition-invariant, corpus unshuffled") {
     import spark.implicits._
     val rows = (0 until 120).map { i =>
