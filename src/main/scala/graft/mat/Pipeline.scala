@@ -98,7 +98,14 @@ object PipelineMat extends Materialization {
       ctx.config.partitionBy, ctx.config.sortBy,
       ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
       ctx.config.layoutCurve, ctx.config.fileFormat)
-    deferred.foreach(_.apply())
+    // REVERSE step order: a later step's append plan re-derives its
+    // input THROUGH the earlier steps' state anti-joins (DataFrames are
+    // plans — the state table is read at execution, not capture). Were
+    // the exact-dedup index appended first, a downstream minhash append
+    // would anti-join the batch against its own just-written hashes and
+    // silently index nothing. Running last-step-first, every append
+    // still sees the PRE-batch upstream state its kept-rows pass saw.
+    deferred.reverseIterator.foreach(_.apply())
     TableMat.applyTblProperties(ctx)
     // audits run AFTER the swap over the WRITTEN table (what downstream
     // consumers will actually read), each landing in its own

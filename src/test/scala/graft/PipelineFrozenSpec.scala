@@ -529,6 +529,49 @@ class PipelineFrozenSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--full-refresh"))
   }
 
+  test("one incremental pipeline composes multiple state families") {
+    import spark.implicits._
+    val a = freshAdapter("incr_multi")
+    val rel = Relation(a.defaultSchema, "multi")
+    val steps = Seq(
+      Map[String, Any]("op" -> "exact_dedup"),
+      Map[String, Any]("op" -> "minhash_dedup"),
+      Map[String, Any]("op" -> "token_count"))
+    // 20 tokens differing only in the last → shingle Jaccard 17/19 ≈
+    // 0.89, comfortably above the 0.8 minhash threshold (the estimate
+    // is deterministic: fixed hash permutations)
+    val t1 = ((1 to 19).map(i => s"w$i") :+ "end").mkString(" ")
+    val t1near = ((1 to 19).map(i => s"w$i") :+ "changed").mkString(" ")
+    val t2 = "totally different words entirely here now for testing once"
+    // batch 1: 1=2 exact dups (1 kept), 3 distinct
+    val b1 = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b1, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // each stateful step owns its own state relation
+    val exactRel = Relation(a.defaultSchema, "multi__state_exact_dedup")
+    val mhRel = Relation(a.defaultSchema, "multi__state_minhash_dedup")
+    assert(a.relationExists(exactRel) && a.relationExists(mhRel),
+      "both state families persisted side by side")
+    assert(a.read(exactRel).count() == 2, "exact index: distinct texts")
+    assert(a.read(mhRel).count() == 2,
+      "minhash index sees the exact-dedup SURVIVORS (downstream step)")
+
+    // batch 2: 10 exact-repeats a settled text (drops at the exact
+    // index); 11 is a NEAR dup of settled 1 (passes exact, drops at the
+    // minhash index); 12 is new (kept)
+    val b2 = Seq((10L, t2), (11L, t1near),
+      (12L, "yet another brand new never seen before document text here"))
+      .toDF("doc_id", "text")
+    runPipeline(a, rel, steps, b2, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 12L),
+      "exact index drops 10, minhash index drops near-dup 11, 12 lands")
+    assert(a.read(exactRel).count() == 4,
+      "batch's NEW texts appended to the exact index (t1near + new)")
+    assert(a.read(mhRel).count() == 4,
+      "batch's exact-survivor signatures appended to the minhash index")
+  }
+
   // --- legality + failure modes ----------------------------------------
 
   test("incremental pipelines reject corpus-global steps by name") {
