@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
 object BenchWrite {
   val headline: Seq[String] = Seq(
     "q_incr_merge", "q_incr_merge_partitioned", "q_incr_insert_overwrite",
-    "q_stream_sessionize", "q_stream_window", "q_mat_table")
+    "q_stream_sessionize", "q_stream_window", "q_mat_table",
+    // the incremental-pipeline state machinery (index build + batch
+    // dedup against it + deferred appends), base run + batch run each
+    "q_engine_pipeline_incremental", "q_engine_multi_index_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1863,6 +1863,79 @@ object EnginePack extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // TWO state families in ONE incremental pipeline: exact dedup
+    // against the text-hash index feeding minhash dedup against the
+    // signature index. Run 1 (doc_id < 250) builds both; run 2 drops
+    // exact repeats at the hash index, near-dups at the signature
+    // index (settled-keep among the exact SURVIVORS — the minhash
+    // index holds signatures of its own step's input, not the raw
+    // batch), and appends to both — the deferred appends run
+    // last-step-first so neither append re-derives its input against
+    // already-mutated upstream state. One composed oracle re-derives
+    // the full cascade.
+    "q_engine_multi_index_pipeline" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_multi_idx")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: multiidx
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/deduped2.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |where doc_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and doc_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: deduped2
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: exact_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |        - op: minhash_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |""".stripMargin)
+      val schema = "g_engine_multiidx"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_multi_idx_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: doc_id < 250
+      write(proj, "dbt_project.yml", projYml(250L, 1000000000L))
+      val runner = runOnce() // incremental batch
+      runner.adapter.read(graft.core.Relation(schema, "deduped2"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // a PERSISTED vector index from the project surface: the pipeline
     // materializes the corpus routed by a frozen coarse quantizer
     // (cluster_assign, mode: frozen), PARTITIONED by the cell id; the
@@ -2576,6 +2649,77 @@ object EnginePack extends QueryPack {
          |SELECT e.vec_id, e.label
          |FROM embeddings e JOIN keepers k USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin,
+
+    // the exact→minhash cascade composed: base canonicals per text,
+    // batch drops EVER-seen texts then keeps within-batch canonicals;
+    // the minhash population is exactly the exact-dedup survivors of
+    // each run; base components close among base survivors (min-id
+    // keep); batch components close over new-touching pairs with the
+    // settled-keep rule against the base survivors (= the signature
+    // index contents)
+    "q_engine_multi_index_pipeline" ->
+      """WITH RECURSIVE base_canon AS MATERIALIZED (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents WHERE doc_id < 250) WHERE rn = 1),
+        |inc_canon AS MATERIALIZED (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents WHERE doc_id >= 250) t
+        |  WHERE rn = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM documents b
+        |    WHERE b.doc_id < 250 AND b.text = t.text)),
+        |pop AS MATERIALIZED (
+        |  SELECT * FROM base_canon UNION ALL SELECT * FROM inc_canon),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(
+        |      list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS s
+        |  FROM pop WHERE len(string_split(text, ' ')) >= 3),
+        |bpairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE b.doc_id < 250
+        |    AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |bedges AS MATERIALIZED (
+        |  SELECT u, v FROM bpairs UNION SELECT v, u FROM bpairs),
+        |breach(id, lab) AS (
+        |  SELECT u, u FROM bedges
+        |  UNION
+        |  SELECT e.u, r.lab FROM bedges e JOIN breach r ON r.id = e.v),
+        |bcc AS (SELECT id, min(lab) AS component_id FROM breach GROUP BY id),
+        |npairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= 250
+        |    AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |nedges AS MATERIALIZED (
+        |  SELECT u, v FROM npairs UNION SELECT v, u FROM npairs),
+        |nreach(id, lab) AS (
+        |  SELECT u, u FROM nedges
+        |  UNION
+        |  SELECT e.u, r.lab FROM nedges e JOIN nreach r ON r.id = e.v),
+        |ncc AS (SELECT id, min(lab) AS component_id FROM nreach GROUP BY id),
+        |nsettled AS (SELECT DISTINCT component_id FROM ncc WHERE id < 250),
+        |keepers AS (
+        |  SELECT p.doc_id FROM base_canon p
+        |  LEFT JOIN bcc ON bcc.id = p.doc_id
+        |  WHERE bcc.id IS NULL OR bcc.id = bcc.component_id
+        |  UNION ALL
+        |  SELECT p.doc_id FROM inc_canon p
+        |  LEFT JOIN ncc ON ncc.id = p.doc_id
+        |  LEFT JOIN nsettled t ON t.component_id = ncc.component_id
+        |  WHERE ncc.id IS NULL
+        |     OR (t.component_id IS NULL AND ncc.id = ncc.component_id))
+        |SELECT p.doc_id, p.source,
+        |  CAST(len(string_split(p.text, ' ')) AS INT) AS n_tok
+        |FROM pop p JOIN keepers k USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     // the persisted-index search is bit-identical to training at query
     // time (the artifact stores the final centroids exactly), so the
