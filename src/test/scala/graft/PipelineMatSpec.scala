@@ -87,6 +87,25 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("against_location"))
   }
 
+  test("semantic_dedup method lsh keeps the min-id member per component") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", Array(1f, 0f, 0f, 0f)),
+      (2L, "a", Array(0.99f, 0.01f, 0f, 0f)), // cosine ≈ 1 vs 1 → drops
+      (3L, "b", Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "grp", "embedding")
+    val out = steps(Seq(Map("op" -> "semantic_dedup", "method" -> "lsh",
+      "id_col" -> "vec_id", "vec_col" -> "embedding",
+      "threshold" -> 0.9)))
+      .head.apply(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq, "column-neutral")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // an unknown method is a parse-time named error
+    val e = intercept[IllegalArgumentException](
+      steps(Seq(Map("op" -> "semantic_dedup", "method" -> "zzz"))))
+    assert(e.getMessage.contains("kmeans"))
+  }
+
   test("gopher_gate filters but never changes the schema") {
     import spark.implicits._
     val docs = Seq(
