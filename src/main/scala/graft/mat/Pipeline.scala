@@ -782,7 +782,14 @@ object PipelineSteps {
         val weightCol = m.get("weight_col").map(String.valueOf)
         df => {
           val w = weightCol match {
-            case Some(wc) => sum(col(s"`$wc`").cast("decimal(38,0)"))
+            // sum at scale 6 THEN convert to integer units: a per-row
+            // (38,0) cast would round 0.4-weight edges to 0 before the
+            // sum. The uniform 1e6 scale cancels in the rank's w/ow
+            // ratios (exact floor division), so integer-weight results
+            // are unchanged and ≤6-decimal weights are now exact.
+            case Some(wc) =>
+              (sum(col(s"`$wc`").cast("decimal(38,6)")) * lit(1000000L))
+                .cast("decimal(38,0)")
             case None => count(lit(1))
           }
           val edges = df
@@ -1040,11 +1047,14 @@ object PipelineModels {
     * untrusted (pre-upgrade or foreign state). */
   private def checkParams(ctx: MatContext, rel: Relation, s: Step): Unit = {
     val want = trainParams(s)
-    val got = scala.util.Try {
-      ctx.spark.sql(s"SHOW TBLPROPERTIES ${rel.fqn} ('$ParamsProp')")
-        .collect().headOption.map(_.getString(1))
-        .filterNot(_.contains("does not have property"))
-    }.toOption.flatten
+    // NO catch-all here: a transient metastore/IO failure must surface
+    // as itself, not be misread as "<none recorded>" — that message
+    // prescribes throwing away a valid index for a retryable error.
+    // Only the property-genuinely-absent row maps to None.
+    val got = ctx.spark
+      .sql(s"SHOW TBLPROPERTIES ${rel.fqn} ('$ParamsProp')")
+      .collect().headOption.map(_.getString(1))
+      .filterNot(_.contains("does not have property"))
     if (!got.contains(want)) throw new IllegalStateException(
       s"${rel.fqn}: persisted training parameters " +
         s"(${got.getOrElse("<none recorded>")}) do not match this run's " +
@@ -1208,11 +1218,7 @@ object PipelineModels {
     case "cluster_assign" =>
       val vecCol = str(s.raw, "vec_col", "embedding")
       // k×dim doubles — driver-bounded by the model size, never the corpus
-      val rows = art.collect()
-      val k = rows.map(_.getInt(0)).max + 1
-      val dim = rows.map(_.getInt(1)).max + 1
-      val cents = Array.ofDim[Double](k, dim)
-      rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      val cents = graft.ops.Similarity.centroidsFromRows(art)
       df.withColumn(str(s.raw, "out_col", "cluster_id"),
         graft.expressions.PipelineExpressions
           .nearest_centroids(col(s"`$vecCol`"), cents, 1)(0))
@@ -1251,9 +1257,16 @@ object PipelineModels {
       : DataFrame = {
     val textCol = str(s.raw, "text_col", "text")
     val rel = stateRel(ctx, suffix)
+    // NULL-safe: sha2(NULL) is NULL, which an anti-join can never match
+    // — a NULL-text canonical would survive EVERY batch and a NULL hash
+    // row would re-append each run, silently diverging from the
+    // full-corpus operator (which groups NULLs into one canonical). The
+    // marker cannot collide with a real hash (sha2 hex is 64 chars).
+    def hashExpr(c: Column): Column =
+      when(c.isNull, lit("__NULL__"))
+        .otherwise(sha2(c.cast("string"), 256))
     def hashOf(d: DataFrame) =
-      d.select(sha2(col(s"`$textCol`").cast("string"), 256).as("h"))
-        .distinct()
+      d.select(hashExpr(col(s"`$textCol`")).as("h")).distinct()
     if (!incrRun) {
       ctx.adapter.writeTableAtomic(hashOf(df), rel, sortBy = Seq("h"))
       recordParams(ctx, rel, s)
@@ -1267,8 +1280,7 @@ object PipelineModels {
       val state = ctx.adapter.read(rel)
       val canon = s.apply(df)
       val kept = canon.join(state,
-        sha2(canon(s"`$textCol`").cast("string"), 256) === state("h"),
-        "left_anti")
+        hashExpr(canon(s"`$textCol`")) === state("h"), "left_anti")
       deferred += (() => {
         val fresh = hashOf(df)
           .join(ctx.adapter.read(rel), Seq("h"), "left_anti")

@@ -487,7 +487,11 @@ object Dedup {
       threshold: Double, maxBucket: Int): DataFrame = {
     val ns = maybeCache(newSigs)
     val idxSigs = index.select(col("id"), col("shh"))
-    val bandedNew = maybeCache(bandedOf(ns, perms, bands))
+    // bandedNew is NOT cached: it is a cheap map-side derivation of the
+    // cached signatures, and a per-batch cache here is exactly the
+    // accumulating-blocks leak the pipeline's newSigs.unpersist() closes
+    // — the caller can release ns, but not an internal cache
+    val bandedNew = bandedOf(ns, perms, bands)
     // index rows survive only where a new row shares their bucket
     val bandedIdx = bandedIndex.select(col("id"), col("band"),
         col("bandhash"))
@@ -549,28 +553,13 @@ object Dedup {
     * as the MinHash banding (4 separate per-chunk joins produce the same
     * pairs with 4× the shuffle stages). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val sigs = maybeCache(withSimhashChunks(
-      spread(df.select(col(idCol), col(textCol)))
-        .select(col(idCol).as("id"), col(textCol)), textCol)
-      .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3")))
+      maxHamming: Int = 3): DataFrame =
     // one-shuffle bucket-pairs over narrow (id, band, bv) rows; chunks
-    // join back only for the candidate pairs' hamming verification
-    val banded = sigs.select(col("id"),
-      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
-        .as(Seq("band", "bv")))
-    val pairIds = bucketPairs(banded, Seq("band", "bv"), maxBandBucket(df))
-    pairIds
-      .join(sigs.select(col("id").as("id_a"), col("c0"), col("c1"),
-        col("c2"), col("c3")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("c0").as("d0"),
-        col("c1").as("d1"), col("c2").as("d2"), col("c3").as("d3")), "id_b")
-      .withColumn("hamming",
-        expr("bit_count(c0 ^ d0) + bit_count(c1 ^ d1) + bit_count(c2 ^ d2) + bit_count(c3 ^ d3)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+    // join back only for the candidate pairs' hamming verification —
+    // the SAME banding/verify core the persisted-index paths use, so
+    // the operator and the index round trip cannot drift apart
+    simhashNearDupsFromSigs(simhashSignatures(df, idCol, textCol),
+      maxHamming, maxBandBucket(df))
 
   /** The (id, c0..c3) chunk table [[simhashNearDups]] derives internally,
     * exposed so it can be PERSISTED as a simhash-dedup index: an
@@ -603,7 +592,7 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk banding guarantees recall only for hamming <= 3")
-    val s = maybeCache(sigs.select("id", "c0", "c1", "c2", "c3"))
+    val s = maybeCache(sigs).select("id", "c0", "c1", "c2", "c3")
     verifyHamming(bucketPairs(simhashBandedRows(s), Seq("band", "bv"),
       maxBucket), s, maxHamming)
   }
@@ -623,8 +612,12 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk banding guarantees recall only for hamming <= 3")
-    val ns = maybeCache(newSigs.select("id", "c0", "c1", "c2", "c3"))
-    val bandedNew = maybeCache(simhashBandedRows(ns))
+    // cache-then-select: caching the caller's frame is a no-op when the
+    // pipeline already cached it (and ITS unpersist releases the blocks);
+    // a select-then-cache would mint a second, never-released entry.
+    // bandedNew stays uncached — cheap projection of the cached frame.
+    val ns = maybeCache(newSigs).select("id", "c0", "c1", "c2", "c3")
+    val bandedNew = simhashBandedRows(ns)
     val bandedIdx = bandedIndex.select(col("id"), col("band"), col("bv"))
       .join(bandedNew.select("band", "bv").distinct(),
         Seq("band", "bv"), "left_semi")
@@ -937,7 +930,7 @@ object Dedup {
     * reload. Same banding, verification, and output contract. */
   def embeddingNearDupsLshFromVecs(vecs: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
-    val v = maybeCache(vecs.select(col("id"), col("v"), col("norm")))
+    val v = maybeCache(vecs).select(col("id"), col("v"), col("norm"))
     val pairIds = bucketPairs(embeddingBandedRows(v, bands, rowsPerBand),
       Seq("band", "sig"), maxBucket)
     verifyCosine(pairIds, v, v, threshold)
@@ -961,7 +954,9 @@ object Dedup {
       indexVecs: DataFrame, bandedIndex: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
     val nv = maybeCache(newVecs)
-    val bandedNew = maybeCache(embeddingBandedRows(nv, bands, rowsPerBand))
+    // uncached: a map-side re-derivation from the cached vectors per
+    // use beats an internal per-batch cache no caller can release
+    val bandedNew = embeddingBandedRows(nv, bands, rowsPerBand)
     // index rows survive only where a new row shares their bucket
     val bandedIdx = bandedIndex.select(col("id"), col("band"), col("sig"))
       .join(bandedNew.select("band", "sig").distinct(),

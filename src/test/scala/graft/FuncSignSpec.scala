@@ -69,7 +69,29 @@ class FuncSignSpec extends AnyFunSuite {
 
     val orphan = "-- funcsign: () -> string\nselect 1"
     assert(extract(orphan, "m.sql")._2
-      .exists(_.contains("no following")))
+      .exists(_.contains("no immediately-following")))
+
+    // a stray annotation (its macro deleted) must NOT bind across
+    // intervening content to an unrelated later macro and fail ITS
+    // arity check — it is an orphan diagnostic instead
+    val stray =
+      """-- funcsign: (string) -> string
+        |select 1
+        |{% macro two(a, b) %}x{% endmacro %}
+        |""".stripMargin
+    val (s4, d4) = extract(stray, "m.sql")
+    assert(s4.isEmpty && d4.exists(_.contains("no immediately-following"))
+      && !d4.exists(_.contains("declares")), d4.mkString(" | "))
+
+    // comments between the annotation and its macro are fine
+    val spaced =
+      """-- funcsign: (string) -> string
+        |-- some prose about the macro
+        |{# a jinja comment too #}
+        |{% macro one(a) %}x{% endmacro %}
+        |""".stripMargin
+    val (s5, d5) = extract(spaced, "m.sql")
+    assert(s5.map(_.name) == Seq("one") && d5.isEmpty, d5.mkString(" | "))
   }
 
   // ---- call-site checks ------------------------------------------------

@@ -240,22 +240,27 @@ class PipelineFrozenSpec extends AnyFunSuite {
     val rel = Relation(a.defaultSchema, "uniq")
     val stateRel = Relation(a.defaultSchema, "uniq__state_exact_dedup")
     val steps = Seq(Map[String, Any]("op" -> "exact_dedup"))
-    // batch 1: "A" duplicated (1 kept, min id), "B" unique
-    val b1 = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("doc_id", "text")
+    // batch 1: "A" duplicated (1 kept, min id), "B" unique, 4 has NULL
+    // text (sha2(NULL) is NULL — the index must store a marker, or NULL
+    // canonicals leak through every later batch)
+    val b1 = Seq((1L, "A"), (2L, "A"), (3L, "B"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     runPipeline(a, rel, steps, b1, incremental = true)
-    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
     assert(a.relationExists(stateRel), "text-hash state persisted")
-    assert(a.read(stateRel).count() == 2, "one hash per DISTINCT text seen")
+    assert(a.read(stateRel).count() == 3, "one hash per DISTINCT text seen")
 
     // batch 2: 10 repeats a settled text (drops), 11/12 duplicate a new
-    // text (11 kept), 13 repeats the OTHER settled text (drops)
-    val b2 = Seq((10L, "A"), (11L, "C"), (12L, "C"), (13L, "B"))
+    // text (11 kept), 13 repeats the OTHER settled text (drops), 14 is
+    // another NULL text (settled by 4 — must drop, not survive)
+    val b2 = Seq((10L, "A"), (11L, "C"), (12L, "C"), (13L, "B"),
+      (14L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     runPipeline(a, rel, steps, b2, incremental = true)
     assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
-      Set(1L, 3L, 11L),
-      "settled canonicals stay; seen texts drop; 11 wins within batch")
-    assert(a.read(stateRel).count() == 3, "only the NEW hash appended")
+      Set(1L, 3L, 4L, 11L),
+      "settled canonicals stay; seen texts (incl. NULL) drop; 11 wins")
+    assert(a.read(stateRel).count() == 4, "only the NEW hash appended")
 
     // lost state on a batch run fails loudly naming --full-refresh
     a.dropRelation(stateRel)
@@ -267,8 +272,9 @@ class PipelineFrozenSpec extends AnyFunSuite {
     runPipeline(a, rel, steps, b1.unionByName(b2), incremental = true,
       fullRefresh = true)
     assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
-      Set(1L, 3L, 11L))
-    assert(a.read(stateRel).count() == 3, "state rebuilt, not appended")
+      Set(1L, 3L, 4L, 11L),
+      "one NULL canonical after refresh — same as the batch composition")
+    assert(a.read(stateRel).count() == 4, "state rebuilt, not appended")
   }
 
   test("frozen winsorize: batches clip under run-1's band; unseen groups pass") {

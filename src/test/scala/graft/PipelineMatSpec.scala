@@ -87,6 +87,30 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("against_location"))
   }
 
+  test("pagerank_weight: fractional weights rank exactly like their " +
+      "integer-scaled equivalents") {
+    import spark.implicits._
+    // ranks depend only on the w/ow ratios under exact floor division,
+    // so (0.5, 1.0, 2.5) must produce bit-identical ranks to (1, 2, 5);
+    // the old per-row DECIMAL(38,0) cast rounded 0.5 to 0 or 1 per edge
+    def run(ws: Seq[Double]) = {
+      val docs = Seq(
+        (1L, "a", "b", ws(0)), (2L, "a", "c", ws(1)), (3L, "b", "c", ws(2)))
+        .toDF("doc_id", "src", "dst", "w")
+      steps(Seq(Map("op" -> "pagerank_weight", "src_col" -> "src",
+        "dst_col" -> "dst", "weight_col" -> "w", "iters" -> 4,
+        "node_col" -> "dst", "out_col" -> "r")))
+        .head.apply(docs)
+        .select("doc_id", "r").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }
+    val frac = run(Seq(0.5, 1.0, 2.5))
+    val scaled = run(Seq(1.0, 2.0, 5.0))
+    assert(frac == scaled, s"$frac vs $scaled")
+    // and the ratio genuinely matters: equal weights rank differently
+    assert(run(Seq(1.0, 1.0, 1.0)) != scaled)
+  }
+
   test("semantic_dedup method lsh keeps the min-id member per component") {
     import spark.implicits._
     val docs = Seq(
