@@ -139,7 +139,7 @@ object PipelineAudits {
 
   val knownOps: Seq[String] =
     Seq("profile", "k_anonymity", "benford", "key_skew", "moments",
-      "gini", "tfidf_terms", "collocations", "zipf")
+      "gini", "tfidf_terms", "collocations", "zipf", "dup_rate")
 
   /** Side-relation suffix per audit: the first occurrence of an op keeps
     * the stable `__audit_<op>` name; repeats (e.g. two k_anonymity
@@ -223,6 +223,13 @@ object PipelineAudits {
         val tc = str0(m, "text_col", "text")
         df => graft.ops.TextAnalysis.collocations(df, tc,
           minCount = int(m, "min_count", 5), topK = int(m, "k", 50))
+      // per-group residual exact-dup rate over the WRITTEN table: after
+      // a dedup pass this should be ~0 — the "did the dedup actually
+      // work" line of the shipped data-quality report
+      case "dup_rate" =>
+        val gc = reqStr(m, "group_col", op)
+        val tc = str0(m, "text_col", "text")
+        df => A.dupRate(df, gc, tc)
       // Zipf slope per group: generated/templated slices flatten away
       // from the organic −1 — the one-number naturalness audit
       case "zipf" =>

@@ -119,6 +119,31 @@ object Audit {
       .select("key", "n_rows", "share")
   }
 
+  /** Per-group exact-duplicate rate — the "did the dedup pass actually
+    * work" report a curation pipeline ships with its output: the share
+    * of each group's rows whose text occurs 2+ times ANYWHERE in the
+    * relation (so cross-group copies count for both sides). NULL texts
+    * are excluded — they carry no content to duplicate.
+    *
+    * Shape at 100 TB: texts reduce to md5 on the map side, one window
+    * partitioned by the 16-byte hash (constant-width shuffle, never
+    * text), then a group-cardinality-bounded rollup. One exact-integer
+    * double division, round(6). */
+  def dupRate(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val d = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"), md5(col(textCol)).as("__h"))
+    val c = d.withColumn("__cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h"))))
+    c.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple — the re-
     * identification screen a dataset gets before release or training:
     * any combination of the quasi columns shared by fewer than `k`

@@ -556,18 +556,7 @@ object PipelinePack extends QueryPack {
     // of docs whose text occurs 2+ times anywhere in the corpus; one
     // md5-partition window, per-source rollup
     "q_dedup_rate" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("source"), md5(col("text")).as("__h"))
-      val c = d.withColumn("__cnt",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__h"))))
-      c.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
-        .select(col("source"), col("n_docs"), col("n_dup_docs"),
-          round(col("n_dup_docs").cast("double") /
-            col("n_docs").cast("double"), 6).as("dup_rate"))
+      graft.ops.Audit.dupRate(Tables(s, dir, "documents"), "source", "text")
         .orderBy("source")
     }),
 

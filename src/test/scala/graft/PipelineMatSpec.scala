@@ -466,7 +466,8 @@ class PipelineMatSpec extends AnyFunSuite {
     val audits = PipelineAudits.parse(Some(Seq(
       Map("op" -> "tfidf_terms", "group_col" -> "source", "k" -> 2),
       Map("op" -> "collocations", "min_count" -> 1, "k" -> 3),
-      Map("op" -> "zipf", "group_col" -> "source"))))
+      Map("op" -> "zipf", "group_col" -> "source"),
+      Map("op" -> "dup_rate", "group_col" -> "source"))))
     assert(audits.head.apply(docs).columns.toSeq ==
       Seq("source", "term", "tfidf", "rank"))
     assert(audits(1).apply(docs).columns.toSeq ==
@@ -474,6 +475,10 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(audits(2).apply(docs).columns.toSeq ==
       Seq("source", "n_types", "zipf_slope", "intercept"))
     assert(audits.head.apply(docs).count() == 4) // 2 groups × k=2
+    // dup_rate: no duplicated texts here → residual rate 0 per group
+    val dr = audits(3).apply(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dr == Set(("a", 2L, 0L), ("b", 1L, 0L)), dr.toString)
   }
 
   test("unknown op and missing required params raise named errors") {
