@@ -1232,6 +1232,8 @@ object EnginePack extends QueryPack {
           |        - op: collocations
           |        - op: zipf
           |          group_col: source
+          |        - op: dup_rate
+          |          group_col: source
           |""".stripMargin)
       val schema = "g_engine_textaudit"
       s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
@@ -1255,7 +1257,11 @@ object EnginePack extends QueryPack {
       val zipf = rel("gated__audit_zipf")
         .select(lit("zipf").as("audit"), col("source").as("k"),
           lit(null).cast("string").as("txt"), col("zipf_slope").as("val"))
-      tfidf.unionByName(colloc).unionByName(zipf).orderBy("audit", "k")
+      val dr = rel("gated__audit_dup_rate")
+        .select(lit("dup_rate").as("audit"), col("source").as("k"),
+          lit(null).cast("string").as("txt"), col("dup_rate").as("val"))
+      tfidf.unionByName(colloc).unionByName(zipf).unionByName(dr)
+        .orderBy("audit", "k")
     }),
 
     // CDC compaction as a pipeline step: the model SQL shapes a change
@@ -2358,10 +2364,20 @@ object EnginePack extends QueryPack {
          |    CASE WHEN CAST(nt AS DOUBLE) * sxx - sx * sx > 0 THEN
          |      round((CAST(nt AS DOUBLE) * sxy - sx * sy) /
          |        (CAST(nt AS DOUBLE) * sxx - sx * sx), 6) END AS val
-         |  FROM zs)
+         |  FROM zs),
+         |drh AS (
+         |  SELECT source, count(*) OVER (PARTITION BY md5(text)) AS cnt
+         |  FROM gate WHERE text IS NOT NULL),
+         |drf AS (
+         |  SELECT 'dup_rate' AS audit, source AS k,
+         |    CAST(NULL AS VARCHAR) AS txt,
+         |    round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE), 6) AS val
+         |  FROM drh GROUP BY source)
          |SELECT audit, k, txt, val FROM tft
          |UNION ALL SELECT audit, k, txt, val FROM coll
          |UNION ALL SELECT audit, k, txt, val FROM zf
+         |UNION ALL SELECT audit, k, txt, val FROM drf
          |ORDER BY audit, k""".stripMargin,
 
     // latest non-delete state per key, re-derived with one window
