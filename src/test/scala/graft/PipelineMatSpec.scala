@@ -111,6 +111,40 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(run(Seq(1.0, 1.0, 1.0)) != scaled)
   }
 
+  test("simhash_dedup step collapses identical texts; priority_col elects") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, 9L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, 1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, 3L, "totally different words entirely here now for testing"))
+      .toDF("doc_id", "pri", "text")
+    val out = steps(Seq(Map("op" -> "simhash_dedup")))
+      .head.apply(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq, "column-neutral")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(2L, 7L),
+      "min-id keep")
+    val byPri = steps(Seq(Map("op" -> "simhash_dedup",
+      "priority_col" -> "pri")))
+      .head.apply(docs)
+    assert(byPri.collect().map(_.getLong(0)).toSet == Set(5L, 7L),
+      "priority_col elects the max-priority copy")
+  }
+
+  test("cluster_assign step trains inline and appends the cell id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)), (4L, Array(0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = steps(Seq(Map("op" -> "cluster_assign", "k" -> 2,
+      "iters" -> 2, "id_col" -> "vec_id", "vec_col" -> "embedding")))
+      .head.apply(docs)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "cluster_id"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 0, 3L -> 0, 2L -> 1, 4L -> 1),
+      s"axis-aligned init separates the clusters: $got")
+  }
+
   test("semantic_dedup method lsh keeps the min-id member per component") {
     import spark.implicits._
     val docs = Seq(
