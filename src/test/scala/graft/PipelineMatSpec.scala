@@ -81,6 +81,13 @@ class PipelineMatSpec extends AnyFunSuite {
       .head.apply(docs)
     assert(out.columns.toSeq == docs.columns.toSeq, "column-neutral")
     assert(out.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // the `against:` catalog-table form resolves through the session
+    spark.read.parquet(benchDir).createOrReplaceTempView("bench_v")
+    val viaTable = steps(Seq(Map("op" -> "decontaminate",
+      "id_col" -> "doc_id", "text_col" -> "text",
+      "against" -> "bench_v", "k" -> 5)))
+      .head.apply(docs)
+    assert(viaTable.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
     // missing benchmark config is a named error at parse time
     val e = intercept[IllegalArgumentException](
       steps(Seq(Map("op" -> "decontaminate"))))
