@@ -20,6 +20,13 @@ object NodeKind {
   case object Analysis extends NodeKind { val name = "analysis" }
   case object Metric extends NodeKind { val name = "metric" }
   case object SemanticModel extends NodeKind { val name = "semantic_model" }
+  /** Semantic-layer saved query (reference DbtSavedQuery,
+    * crates/dbt-schemas/src/schemas/manifest/saved_query.rs:18-48):
+    * a named metrics/group_by/where/order_by/limit bundle with export
+    * targets. Declaration-only like exposures/metrics — never executes;
+    * parsed for manifest v12 `saved_queries` and the `saved_query:`
+    * selector method (node_selector.rs:72 MethodName::SavedQuery). */
+  case object SavedQuery extends NodeKind { val name = "saved_query" }
 }
 
 /** Incremental strategy enum (reference: `DbtIncrementalStrategy`,

@@ -264,7 +264,7 @@ object PipelineSteps {
     "collapse_repeats", "span_gate", "quality_classifier_filter",
     "dsir_select", "pack_sequences", "shard", "curriculum",
     "cdc_compact", "pagerank_weight", "cluster_assign", "simhash_dedup",
-    "chunk", "decontaminate")
+    "chunk", "decontaminate", "ngram_dedup")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -410,6 +410,37 @@ object PipelineSteps {
         df => {
           val pairs = Dedup.simhashNearDups(df, idCol, textCol,
             maxHamming = int(m, "max_hamming", 3))
+          val kept = priorityCol match {
+            case Some(p) => Dedup.canonicalCorpusBy(df, pairs, idCol, p)
+            case None => Dedup.canonicalCorpus(df, pairs, idCol)
+          }
+          keepInputColumns(df.columns)(kept)
+        }
+
+      // exact-verified n-gram near-dup collapse: pairs sharing a
+      // k-shingle are verified exactly under `measure: jaccard`
+      // (default) or `measure: containment` (asymmetric
+      // |A∩B|/min(|A|,|B|) — catches a short doc quoted whole inside a
+      // long one, the contamination shape a growing corpus re-checks);
+      // within-threshold pairs merge transitively, each component keeps
+      // its min-id row (or the `priority_col:` max); column-neutral
+      case "ngram_dedup" =>
+        val textCol = str(m, "text_col", "text")
+        val idCol = str(m, "id_col", "doc_id")
+        val k = int(m, "k", 3)
+        val threshold = dbl(m, "threshold", 0.8)
+        val measure = str(m, "measure", "jaccard")
+        if (measure != "jaccard" && measure != "containment")
+          throw new IllegalArgumentException(
+            "pipeline step `ngram_dedup`: `measure:` must be jaccard " +
+              s"or containment, got `$measure`")
+        val priorityCol = m.get("priority_col").map(String.valueOf)
+        df => {
+          val pairs = measure match {
+            case "containment" =>
+              Dedup.containmentPairs(df, idCol, textCol, k, threshold)
+            case _ => Dedup.ngramJaccard(df, idCol, textCol, k, threshold)
+          }
           val kept = priorityCol match {
             case Some(p) => Dedup.canonicalCorpusBy(df, pairs, idCol, p)
             case None => Dedup.canonicalCorpus(df, pairs, idCol)
@@ -900,7 +931,7 @@ object PipelineModels {
           fail("`top_k:` is a corpus-global cut (top-k of one batch is " +
             "not top-k of the corpus); use `min_logw:` — a per-row " +
             "threshold under the frozen ratio table")
-      case "minhash_dedup" | "simhash_dedup" =>
+      case "minhash_dedup" | "simhash_dedup" | "ngram_dedup" =>
         if (s.raw.contains("priority_col"))
           fail("`priority_col:` can elect a new doc over an already-" +
             "written settled row, which an append-only increment " +
@@ -958,6 +989,8 @@ object PipelineModels {
       incrementalSemantic(ctx, s, suffix, df, incrRun, deferred)
     else if (s.op == "simhash_dedup" && incremental)
       incrementalSimhash(ctx, s, suffix, df, incrRun, deferred)
+    else if (s.op == "ngram_dedup" && incremental)
+      incrementalNgram(ctx, s, suffix, df, incrRun, deferred)
     else if (trainerOp(s) && mode == "frozen")
       applyFrozen(ctx, s, suffix, df, retrainNow = incremental && !incrRun,
         mustExist = incrRun)
@@ -1015,6 +1048,20 @@ object PipelineModels {
         "group_col" -> reqStr(s.raw, "group_col", s.op),
         "value_col" -> reqStr(s.raw, "value_col", s.op))
       case "exact_dedup" => Seq(
+        // hash format version: v2 = the NULL-sentinel hashExpr. A
+        // pre-sentinel index stored sha2(NULL)=NULL rows the new
+        // expression never matches, so without this token the first
+        // post-upgrade batch would silently re-admit one NULL-text
+        // canonical; versioning makes stale-format state fail loudly
+        // naming --full-refresh instead.
+        "hash" -> "v2",
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "text_col" -> str(s.raw, "text_col", "text"))
+      // threshold/measure stay apply-time: the index stores shingle
+      // sets, a pure function of the text — valid under any later
+      // threshold or measure
+      case "ngram_dedup" => Seq(
+        "k" -> int(s.raw, "k", 3).toString,
         "id_col" -> str(s.raw, "id_col", "doc_id"),
         "text_col" -> str(s.raw, "text_col", "text"))
       // max_hamming stays apply-time: the index stores signatures, a
@@ -1544,6 +1591,88 @@ object PipelineModels {
           Dedup.simhashBandedRows(ctx.adapter.read(rel)), bandsRel,
           sortBy = Seq("band", "bv"))
         newSigs.unpersist()
+        ()
+      })
+      kept
+    }
+  }
+
+  /** ngram_dedup with a persisted shingle-set index (incremental
+    * pipelines). Full build: normal min-id keep + persist every (id,
+    * shh) shingle set plus the NARROW postings twin (id, s) — one long
+    * per (doc, distinct shingle) — range-sorted by s. Batch run:
+    * candidates of the batch against itself AND the postings, left-semi
+    * pruned to the batch's own shingles BEFORE pairing (settled-keep: a
+    * new doc whose verified component touches ANY settled doc drops,
+    * pure-new components keep min id); the batch's sets and postings
+    * append after the target write (deferred). Verification is the
+    * EXACT set measure (jaccard or containment) over stored sets, so
+    * incremental results compose identically to the full-corpus
+    * operator up to the shared hot-shingle cap — at 100 TB a batch
+    * exchanges only pre-pruned long rows, and the heavy arrays are read
+    * for verified candidate ids alone. Containment is the natural
+    * incremental contamination gate: each batch asks "is this new doc
+    * (mostly) contained in anything the corpus has EVER seen". */
+  private def incrementalNgram(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : DataFrame = {
+    val idCol = str(s.raw, "id_col", "doc_id")
+    val textCol = str(s.raw, "text_col", "text")
+    val k = int(s.raw, "k", 3)
+    val threshold = dbl(s.raw, "threshold", 0.8)
+    val measure = str(s.raw, "measure", "jaccard")
+    val maxDf = ctx.spark.conf
+      .get("spark.graft.maxShingleDf", "1000").toInt
+    val rel = stateRel(ctx, suffix)
+    val gramsRel = rel.copy(identifier = s"${rel.identifier}_grams")
+    if (!incrRun) {
+      val sets = Dedup.shingleSets(df, idCol, textCol, k)
+      ctx.adapter.writeTableAtomic(sets, rel)
+      recordParams(ctx, rel, s)
+      ctx.adapter.writeTableAtomic(
+        Dedup.shinglePostings(ctx.adapter.read(rel)), gramsRel,
+        sortBy = Seq("s"))
+      val pairs = Dedup.ngramNearDupsFromSets(ctx.adapter.read(rel),
+        threshold, measure, maxDf)
+      keepInputColumns(df.columns)(Dedup.canonicalCorpus(df, pairs, idCol))
+    } else {
+      if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
+        s"${rel.fqn}: n-gram shingle index missing on an incremental " +
+          "batch run — the state was lost; rebuild with --full-refresh")
+      checkParams(ctx, rel, s)
+      val index = ctx.adapter.read(rel)
+      val gramsExist = ctx.adapter.relationExists(gramsRel)
+      val postingsIdx =
+        if (gramsExist) ctx.adapter.read(gramsRel)
+        else Dedup.shinglePostings(index)
+      val newSets = Dedup.maybeCache(
+        Dedup.shingleSets(df, idCol, textCol, k))
+      val pairs = Dedup.ngramNearDupsIncrementalFromSets(newSets, index,
+        postingsIdx, threshold, measure, maxDf)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val settledComps = cc
+        .join(index.select(col("id").as("__sid")), cc("id") === col("__sid"),
+          "left_semi")
+        .select(col("component_id").as("__sc")).distinct()
+      val drop = cc
+        .join(settledComps, cc("component_id") === col("__sc"), "left")
+        .filter(col("__sc").isNotNull || col("id") =!= col("component_id"))
+        .select(col("id").as("__drop_id"))
+      val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
+        "left_anti")
+      deferred += (() => {
+        ctx.adapter.appendToTable(newSets, rel)
+        if (gramsExist)
+          ctx.adapter.appendToTable(
+            Dedup.shinglePostings(newSets)
+              .repartitionByRange(col("s"))
+              .sortWithinPartitions(col("s")),
+            gramsRel)
+        else ctx.adapter.writeTableAtomic(
+          Dedup.shinglePostings(ctx.adapter.read(rel)), gramsRel,
+          sortBy = Seq("s"))
+        newSets.unpersist()
         ()
       })
       kept

@@ -696,13 +696,101 @@ object Dedup {
     * path available upstream when the corpus is large. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.9): DataFrame =
-    shingleCandidates(df, idCol, textCol, k)
+    verifyContainment(shingleCandidates(df, idCol, textCol, k), threshold)
+
+  private def verifyContainment(candidates: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
       .withColumn("containment",
         expr("size(array_intersect(sh_a, sh_b))").cast("double") /
           least(size(col("sh_a")), size(col("sh_b"))))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
+
+  /** Exact pair verification for the n-gram family: `jaccard`
+    * (symmetric |A∩B|/|A∪B|) or `containment` (asymmetric
+    * |A∩B|/min(|A|,|B|) — the LSH-Ensemble notion that catches a short
+    * doc quoted whole inside a long one). */
+  private def verifyMeasure(candidates: DataFrame, threshold: Double,
+      measure: String): DataFrame = measure match {
+    case "containment" => verifyContainment(candidates, threshold)
+    case "jaccard" => verifyJaccard(candidates, threshold)
+    case other => throw new IllegalArgumentException(
+      s"n-gram measure must be jaccard or containment, got `$other`")
+  }
+
+  /** Per-doc k-shingle hash sets (id, shh) — a pure function of the
+    * text, so any later threshold/measure verifies against the same
+    * stored sets. This is the HEAVY table an incremental n-gram index
+    * persists; its narrow join surface is [[shinglePostings]]. Docs
+    * shorter than k shingles are excluded (they can never pair). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import graft.expressions.PipelineExpressions._
+    spread(df.select(col(s"`$idCol`"), col(s"`$textCol`")))
+      .select(col(s"`$idCol`").as("id"),
+        shingle_hashes(col(s"`$textCol`"), k).as("shh"))
+      .filter(size(col("shh")) > 0)
+  }
+
+  /** Narrow postings twin (id, s) of a shingle-set table — one long per
+    * (doc, distinct shingle hash). Persisted range-sorted by `s`, it is
+    * the ONLY index surface a batch's candidate generation scans; the
+    * heavy shh arrays join back for verified candidate ids alone. */
+  def shinglePostings(sets: DataFrame): DataFrame =
+    sets.select(col("id"), explode(col("shh")).as("s"))
+
+  /** Candidate pairs + exact verification from a PRECOMPUTED shingle-set
+    * table (the full-build path of the incremental n-gram index — pair
+    * from the persisted bytes later batches will join against). */
+  def ngramNearDupsFromSets(sets: DataFrame, threshold: Double,
+      measure: String, maxDf: Int): DataFrame = {
+    val sh = maybeCache(sets)
+    val pairIds = bucketPairs(shinglePostings(sh), Seq("s"), maxDf)
+    val candidates = pairIds
+      .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+    verifyMeasure(candidates, threshold, measure)
+  }
+
+  /** Batch-vs-(itself + settled index) n-gram near-dup pairs over
+    * PRECOMPUTED batch shingle sets and a persisted postings index.
+    * `postingsIndex` is (id, s) — the narrow twin of the (id, shh)
+    * index — so history participates in candidate generation through
+    * long rows only, left-semi pruned to the shingles the batch
+    * actually contains BEFORE pairing; the heavy stored arrays join
+    * back for candidate ids alone. Residual old×old pairs (two settled
+    * docs sharing a shingle the batch also touches) are dropped — they
+    * were settled in an earlier run. The caller owns `newSets`'
+    * lifecycle (the incremental pipeline reuses the frame for the
+    * deferred index append). */
+  def ngramNearDupsIncrementalFromSets(newSets: DataFrame,
+      index: DataFrame, postingsIndex: DataFrame, threshold: Double,
+      measure: String, maxDf: Int): DataFrame = {
+    val ns = maybeCache(newSets)
+    // postNew is NOT cached: a cheap map-side explode of the cached
+    // sets, same policy as minhash's bandedNew
+    val postNew = shinglePostings(ns)
+    val postIdx = postingsIndex.select(col("id"), col("s"))
+      .join(postNew.select("s").distinct(), Seq("s"), "left_semi")
+    val pairIds = bucketPairs(postNew.unionByName(postIdx), Seq("s"), maxDf)
+    val aNew = ns.select(col("id").as("id_a"), lit(true).as("__an"))
+    val bNew = ns.select(col("id").as("id_b"), lit(true).as("__bn"))
+    val filtered = pairIds
+      .join(aNew, Seq("id_a"), "left").join(bNew, Seq("id_b"), "left")
+      .filter(coalesce(col("__an"), lit(false)) ||
+        coalesce(col("__bn"), lit(false)))
+      .select("id_a", "id_b")
+    val allSets = ns.select("id", "shh")
+      .unionByName(index.select("id", "shh"))
+    val candidates = filtered
+      .join(allSets.select(col("id").as("id_a"), col("shh").as("sh_a")),
+        "id_a")
+      .join(allSets.select(col("id").as("id_b"), col("shh").as("sh_b")),
+        "id_b")
+    verifyMeasure(candidates, threshold, measure)
+  }
 
   /** Shared candidate generation for the exact-verification near-dup ops:
     * shingle-hash each doc, prune the quadratic space to pairs sharing at
@@ -728,13 +816,9 @@ object Dedup {
     * above cap, which is exactly the case the WARN surfaces. */
   private[graft] def shingleCandidates(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
-    import graft.expressions.PipelineExpressions._
     val maxDf = df.sparkSession.conf.get("spark.graft.maxShingleDf", "1000").toInt
-    val sh = maybeCache(spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"), shingle_hashes(col(textCol), k).as("shh"))
-      .filter(size(col("shh")) > 0))
-    val exploded = sh.select(col("id"), explode(col("shh")).as("s"))
-    val pairIds = bucketPairs(exploded, Seq("s"), maxDf)
+    val sh = maybeCache(shingleSets(df, idCol, textCol, k))
+    val pairIds = bucketPairs(shinglePostings(sh), Seq("s"), maxDf)
     pairIds
       .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")

@@ -2149,6 +2149,77 @@ object EnginePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // incremental n-gram CONTAINMENT dedup: run 1 builds the base slice
+    // (doc_id < 250) and persists the shingle-set index plus its narrow
+    // (id, s) postings twin; run 2 dedups ONLY the batch
+    // (250 ≤ doc_id < 600) against itself and the settled postings — a
+    // new doc whose containment component touches ANY settled doc drops
+    // (the "is this new doc quoted inside anything the corpus has EVER
+    // seen" contamination gate), pure-new components keep min id. The
+    // corpus is capped at 600 docs so the oracle's exact quadratic pair
+    // join stays cheap at sf0.1.
+    "q_engine_ngram_incremental" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_ngram_incr")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: ngramincr
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/deduped.sql",
+        """select doc_id, source, text from {{ source('lake', 'documents') }}
+          |where doc_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and doc_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: deduped
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: ngram_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |          measure: containment
+          |          threshold: 0.6
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |""".stripMargin)
+      val schema = "g_engine_ngramincr"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_ngram_incr_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: doc_id < 250
+      write(proj, "dbt_project.yml", projYml(250L, 600L))
+      val runner = runOnce() // incremental batch
+      runner.adapter.read(graft.core.Relation(schema, "deduped"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // frozen coarse quantizer: run 1 (vec_id < 250) trains deterministic
     // Lloyd's k-means centroids on the base slice, persists the k×dim
     // artifact, and assigns the base; run 2 assigns ONLY the batch under
@@ -2844,6 +2915,58 @@ object EnginePack extends QueryPack {
          |SELECT d.doc_id, d.source,
          |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tok
          |FROM documents d JOIN keepers k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the incremental containment contract in one statement: exact
+    // 3-gram containment pairs over the capped corpus, split at the
+    // batch boundary (pairs whose larger id is base-side settle in run
+    // 1), per-run transitive closure, settled-keep on the batch side
+    "q_engine_ngram_incremental" ->
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id < 600),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(len(string_split(text, ' ')) - 2),
+         |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS s
+         |  FROM corpus
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |pr AS MATERIALIZED (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+         |        least(len(a.s), len(b.s)) >= 0.6),
+         |bpairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v < 250),
+         |bedges AS MATERIALIZED (
+         |  SELECT u, v FROM bpairs UNION SELECT v, u FROM bpairs),
+         |breach(id, lab) AS (
+         |  SELECT u, u FROM bedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM bedges e JOIN breach r ON r.id = e.v),
+         |bcc AS (SELECT id, min(lab) AS component_id FROM breach GROUP BY id),
+         |npairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v >= 250),
+         |nedges AS MATERIALIZED (
+         |  SELECT u, v FROM npairs UNION SELECT v, u FROM npairs),
+         |nreach(id, lab) AS (
+         |  SELECT u, u FROM nedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM nedges e JOIN nreach r ON r.id = e.v),
+         |ncc AS (SELECT id, min(lab) AS component_id FROM nreach GROUP BY id),
+         |nsettled AS (SELECT DISTINCT component_id FROM ncc WHERE id < 250),
+         |keepers AS (
+         |  SELECT d.doc_id FROM corpus d
+         |  LEFT JOIN bcc ON bcc.id = d.doc_id
+         |  WHERE d.doc_id < 250
+         |    AND (bcc.id IS NULL OR bcc.id = bcc.component_id)
+         |  UNION ALL
+         |  SELECT d.doc_id FROM corpus d
+         |  LEFT JOIN ncc ON ncc.id = d.doc_id
+         |  LEFT JOIN nsettled t ON t.component_id = ncc.component_id
+         |  WHERE d.doc_id >= 250
+         |    AND (ncc.id IS NULL
+         |         OR (t.component_id IS NULL AND ncc.id = ncc.component_id)))
+         |SELECT d.doc_id, d.source,
+         |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tok
+         |FROM corpus d JOIN keepers k USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     // the frozen coarse quantizer: Lloyd's chain trained on the base

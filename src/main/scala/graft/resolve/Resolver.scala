@@ -601,6 +601,23 @@ object Resolver {
     val exposureNodes = declaredNodes("exposures", NodeKind.Exposure)
     val metricNodes = declaredNodes("metrics", NodeKind.Metric)
     val semanticModelNodes = declaredNodes("semantic_models", NodeKind.SemanticModel)
+    // saved queries (saved_query.rs:18-48) — same declaration-only shape;
+    // refs harvested from metrics/exports string fields land them in the
+    // DAG for +saved_query:<name> upstream-impact selection
+    val savedQueryNodes = {
+      val metricIds = metricNodes.map(n => n.name -> n.uniqueId).toMap
+      declaredNodes("saved_queries", NodeKind.SavedQuery).map { n =>
+        // query_params.metrics name the metric nodes this query reads
+        // (saved_query.rs:41 SavedQueryParams) — resolve to DAG edges so
+        // `+saved_query:x` walks through metrics to the backing models
+        val metricDeps = Yaml.dig(n.config.extra, "query_params", "metrics")
+          .toSeq.flatMap {
+            case xs: Seq[_] => xs.map(Yaml.str).flatMap(metricIds.get)
+            case _ => Nil
+          }
+        n.copy(dependsOn = (n.dependsOn ++ metricDeps).distinct)
+      }
+    }
 
     // Python models (reference funcs.rs:107 submit_python_job +
     // python_ast ref/source extraction): dbt.ref()/dbt.source() call
@@ -686,7 +703,7 @@ object Resolver {
 
     val all0 = (modelNodes ++ pythonModelNodes ++ seedNodes ++ snapshotNodes ++
       testNodes ++ singularTestNodes ++ unitTestNodes ++ analysisNodes ++
-      exposureNodes ++ metricNodes ++ semanticModelNodes)
+      exposureNodes ++ metricNodes ++ semanticModelNodes ++ savedQueryNodes)
       .map(n => n.uniqueId -> n).toMap
     // unit-test gating (dbt build rule): ut inherits the target model's
     // parent edges; the model depends on its unit tests — a failing unit

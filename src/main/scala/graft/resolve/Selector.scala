@@ -13,8 +13,11 @@ import graft.project.Yaml
   *   intersect := atom (',' atom)*                          — comma = AND
   *   atom      := [N]['+'] method-or-name ['+' [N]] | '@'name
   *   method    := fqn: | tag: | path: | package: | config.materialized: |
-  *                resource_type: | source: | test_type: | group: |
-  *                version: | result: | state:modified | state:new
+  *                resource_type: | source: | test_type: | test_name: |
+  *                unit_test: | access: | function: | saved_query: |
+  *                group: | version: | result: | state:modified | state:new
+  *   (source_status: and column: are recognized but rejected with a
+  *   named reason — cloud-artifact / internal-only respectively)
   *
   * selectors.yml definitions (parser.rs:100-862) compose the same atoms as
   * nested `union:` / `intersection:` lists with `exclude:` entries and
@@ -184,11 +187,44 @@ object Selector {
         nodes.collect { case (id, n) if n.packageName == value => id }.toSet
       case "resource_type" =>
         nodes.collect { case (id, n) if n.kind.name == value => id }.toSet
-      case "exposure" | "metric" | "semantic_model" =>
-        // match declaration nodes by name glob (node_selector.rs:66,68);
+      case "exposure" | "metric" | "semantic_model" | "saved_query" =>
+        // match declaration nodes by name glob (node_selector.rs:66,68,72);
         // used as `+exposure:dash` for upstream-impact selection
         nodes.collect {
           case (id, n) if n.kind.name == method && glob(value, n.name) => id
+        }.toSet
+      case "unit_test" =>
+        // unit-test nodes by name glob or exact unique id
+        // (node_selector.rs:78 MethodName::UnitTest)
+        nodes.collect {
+          case (id, n) if n.kind == NodeKind.UnitTest &&
+            (glob(value, n.name) || id == value) => id
+        }.toSet
+      case "function" =>
+        // SQL-UDF function nodes by name glob (node_selector.rs:63)
+        nodes.collect {
+          case (id, n) if n.kind == NodeKind.Function &&
+            (glob(value, n.name) || id == value) => id
+        }.toSet
+      case "test_name" =>
+        // generic tests by the test macro that generated them —
+        // `test_name:unique` selects every `unique` test in the project
+        // (node_selector.rs:76 MethodName::TestName). The macro name is
+        // recorded as the test node's rawSql (buildTestNode); singular
+        // tests have no generating macro and never match.
+        nodes.collect {
+          case (id, n) if n.kind == NodeKind.Test &&
+            !n.columns.get("test_kind").contains("singular") &&
+            glob(value, n.rawSql) => id
+        }.toSet
+      case "access" =>
+        // model `access:` property (node_selector.rs:60 MethodName::Access;
+        // Access enum nodes.rs). `access:public` also matches here against
+        // the config.extra the engine already enforces (Resolver access
+        // gate). Undeclared access is dbt's `protected` default.
+        nodes.collect {
+          case (id, n) if n.kind == NodeKind.Model &&
+            extraStr(n, "access").getOrElse("protected") == value => id
         }.toSet
       case "config.materialized" | "config" =>
         val v = value.stripPrefix("materialized:")
@@ -278,6 +314,20 @@ object Selector {
         nodes.collect {
           case (id, _) if !prevChecksums.contains(id) => id
         }.toSet
+      case "source_status" =>
+        // needs dbt-cloud freshness-run artifacts (sources.json from a
+        // prior `dbt source freshness` in a cloud job context) — cloud
+        // plumbing is out of scope for this engine
+        throw new IllegalArgumentException(
+          "selector method source_status: is not supported — it compares " +
+            "against dbt-cloud source-freshness artifacts (cloud plumbing " +
+            "is out of scope); use source: to select by source instead")
+      case "column" =>
+        // marked internal-only in the reference (node_selector.rs:81-86
+        // "internal only to select column in a table")
+        throw new IllegalArgumentException(
+          "selector method column: is internal-only in dbt and not " +
+            "supported; select the owning node with fqn:/path: instead")
       case other =>
         throw new IllegalArgumentException(s"unknown selector method: $other")
     }

@@ -1104,7 +1104,7 @@ final class Runner(
     * ManifestV12Spec enumerates the intentionally-omitted fields. */
   def writeManifest(outPath: String): Unit = {
     val declaredKinds: Set[String] =
-      Set("exposure", "metric", "semantic_model", "unit_test")
+      Set("exposure", "metric", "semantic_model", "unit_test", "saved_query")
     def nodeJson(id: String, n: Node): Map[String, Any] = Map(
       // CommonAttributes (nodes.rs:2781)
       "unique_id" -> id,
@@ -1171,7 +1171,7 @@ final class Runner(
       "unit_tests" -> declaredOf("unit_test"),
       "docs" -> Map.empty[String, Any],
       "semantic_models" -> declaredOf("semantic_model"),
-      "saved_queries" -> Map.empty[String, Any],
+      "saved_queries" -> declaredOf("saved_query"),
       "exposures" -> declaredOf("exposure"),
       "metrics" -> declaredOf("metric"),
       "functions" -> Map.empty[String, Any],

@@ -42,6 +42,18 @@ class DeclaredNodesSpec extends AnyFunSuite {
         |semantic_models:
         |  - name: orders_sm
         |    model: ref('orders')
+        |saved_queries:
+        |  - name: weekly_revenue
+        |    label: Weekly revenue
+        |    query_params:
+        |      metrics:
+        |        - revenue
+        |      group_by:
+        |        - metric_time
+        |    exports:
+        |      - name: weekly_revenue_table
+        |        config:
+        |          export_as: table
         |""".stripMargin)
     write(proj, "analyses/orders_probe.sql",
       "select count(*) from {{ ref('orders') }}")
@@ -68,5 +80,20 @@ class DeclaredNodesSpec extends AnyFunSuite {
       Set("exposure.decl.weekly_dash", "model.decl.orders"))
     assert(sel("metric:revenue") == Set("metric.decl.revenue"))
     assert(sel("resource_type:semantic_model") == Set("semantic_model.decl.orders_sm"))
+  }
+
+  test("saved queries parse with metric edges and select through them") {
+    // saved_query.rs:18-48: query_params.metrics name metric nodes — the
+    // resolver turns them into DAG edges so + walks to the backing model
+    val sq = resolved.nodes("saved_query.decl.weekly_revenue")
+    assert(sq.kind == NodeKind.SavedQuery)
+    assert(sq.dependsOn == Seq("metric.decl.revenue"))
+    val g = Dag.fromNodes(resolved.nodes)
+    def sel(s: String) = Selector.select(Selector.parse(s), resolved.nodes, g)
+    assert(sel("saved_query:weekly_revenue") == Set("saved_query.decl.weekly_revenue"))
+    assert(sel("saved_query:weekly_*") == Set("saved_query.decl.weekly_revenue"))
+    assert(sel("+saved_query:weekly_revenue") == Set(
+      "saved_query.decl.weekly_revenue", "metric.decl.revenue",
+      "model.decl.orders"))
   }
 }

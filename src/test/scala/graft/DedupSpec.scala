@@ -749,6 +749,85 @@ class DedupSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("incremental n-gram dedup: parity with the full-corpus pairs, " +
+      "postings twin scanned narrow, shh arrays only for candidates") {
+    import spark.implicits._
+    val texts = (0 until 8).map(g =>
+      s"group $g shares this exact long duplicated sentence body number " +
+        s"$g with several siblings across the split boundary")
+    val docs = (0L until 24L).map(i => (i, texts((i % 8).toInt)))
+      .toDF("id", "text")
+    val oldDf = docs.filter(col("id") % 3 =!= 0)
+    val newDf = docs.filter(col("id") % 3 === 0)
+    val full = Dedup.ngramJaccard(docs, "id", "text", k = 3,
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(expected.nonEmpty && expected.size < full.size)
+
+    // index + postings twin round-tripped through parquet — the layout
+    // an incremental pipeline reads on every batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngramidx")
+      .toString
+    Dedup.shingleSets(oldDf, "id", "text", 3).write.parquet(s"$dir/sets")
+    val index = spark.read.parquet(s"$dir/sets")
+    Dedup.shinglePostings(index).write.parquet(s"$dir/grams")
+    val postings = spark.read.parquet(s"$dir/grams")
+    val pairs = Dedup.ngramNearDupsIncrementalFromSets(
+      Dedup.shingleSets(newDf, "id", "text", 3), index, postings,
+      threshold = 0.8, measure = "jaccard", maxDf = 1000)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === expected, "persisted-index path matches the full-corpus subset")
+
+    // the from-sets full-build path pairs identically to the operator
+    val fromSets = Dedup.ngramNearDupsFromSets(
+      Dedup.shingleSets(docs, "id", "text", 3), 0.8, "jaccard", 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSets === full)
+
+    val plan = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, "expected parquet scans in the plan")
+    // candidate generation reads the narrow postings rows (id, s); the
+    // heavy shh arrays are scanned only by the candidate verify join
+    assert(readSchemas.exists(l => l.contains("s:") && !l.contains("shh:")),
+      s"postings twin scanned by its narrow columns:\n${readSchemas.mkString("\n")}")
+    assert(plan.contains("LeftSemi"),
+      "index pre-pruned by a left-semi on the batch's shingles")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
+  test("incremental containment: a new doc quoting a settled doc whole " +
+      "is caught; disjoint new docs never pair") {
+    import spark.implicits._
+    val oldDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different settled content nothing shared here at all"))
+      .toDF("id", "text")
+    val newDf = Seq(
+      (10L, "intro words alpha beta gamma delta epsilon zeta eta theta " +
+        "closing remark"),
+      (11L, "fresh novel body with no overlap whatsoever anywhere at hand"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contidx")
+      .toString
+    Dedup.shingleSets(oldDf, "id", "text", 3).write.parquet(s"$dir/sets")
+    val index = spark.read.parquet(s"$dir/sets")
+    Dedup.shinglePostings(index).write.parquet(s"$dir/grams")
+    val postings = spark.read.parquet(s"$dir/grams")
+    val rows = Dedup.ngramNearDupsIncrementalFromSets(
+      Dedup.shingleSets(newDf, "id", "text", 3), index, postings,
+      threshold = 0.9, measure = "containment", maxDf = 1000)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L)), "only the settled-quoted-inside-new pair survives")
+    assert(rows.head.getDouble(2) == 1.0,
+      "the quoted doc's shingles are fully contained")
+  }
+
   test("incremental banded-LSH embedding dedup: parity with the full-corpus " +
       "pairs, banding never scans the dense vectors") {
     import spark.implicits._

@@ -88,6 +88,10 @@ class ManifestV12Spec extends AnyFunSuite {
         |metrics:
         |  - name: n_ids
         |    model: ref('derived')
+        |saved_queries:
+        |  - name: ids_weekly
+        |    query_params:
+        |      metrics: [n_ids]
         |""".stripMargin)
     val runner = new Runner(spark, ProjectLoader.load(proj.toString),
       targetSchema = "g_manifest_spec")
@@ -122,6 +126,10 @@ class ManifestV12Spec extends AnyFunSuite {
       Set("exposure.manidemo.dash"))
     assert(m("metrics").asInstanceOf[Map[String, Any]].keySet ==
       Set("metric.manidemo.n_ids"))
+    // saved queries are first-class v12 nodes (manifest.rs:368,1073), not
+    // the always-empty map of earlier rounds
+    assert(m("saved_queries").asInstanceOf[Map[String, Any]].keySet ==
+      Set("saved_query.manidemo.ids_weekly"))
   }
 
   test("parent_map and child_map mirror the resolved DAG") {

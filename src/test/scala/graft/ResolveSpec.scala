@@ -240,6 +240,73 @@ class ResolveSpec extends AnyFunSuite {
     assert(sel("test_type:generic") == Set("test.p.unique_mart_id"))
   }
 
+  test("selector: test_name matches the generating test macro") {
+    // generic tests record the macro name as rawSql (buildTestNode);
+    // singular tests have none and never match test_name:
+    val withTests = nodes +
+      ("test.p.unique_mart_id" -> nodes("test.p.unique_mart_id")
+        .copy(rawSql = "unique")) +
+      ("test.p.not_null_mart_id" -> Node("test.p.not_null_mart_id",
+        "not_null_mart_id", "p", NodeKind.Test, rawSql = "not_null",
+        dependsOn = Seq("model.p.mart"))) +
+      ("test.p.assert_x" -> Node("test.p.assert_x", "assert_x", "p",
+        NodeKind.Test, rawSql = "select 1 where false",
+        dependsOn = Seq("model.p.mart"),
+        columns = Map("test_kind" -> "singular")))
+    val ng2 = Dag.fromNodes(withTests)
+    def sel(s: String) = Selector.select(Selector.parse(s), withTests, ng2)
+    assert(sel("test_name:unique") == Set("test.p.unique_mart_id"))
+    assert(sel("test_name:not_null") == Set("test.p.not_null_mart_id"))
+    assert(sel("test_name:not_*") == Set("test.p.not_null_mart_id"))
+    assert(sel("test_name:select 1 where false") == Set.empty) // singular excluded
+  }
+
+  test("selector: unit_test / function / saved_query by kind + name glob") {
+    val withDecls = nodes +
+      ("unit_test.p.ut_mart" -> Node("unit_test.p.ut_mart", "ut_mart", "p",
+        NodeKind.UnitTest, dependsOn = Seq("model.p.stg"))) +
+      ("function.p.order_bucket" -> Node("function.p.order_bucket",
+        "order_bucket", "p", NodeKind.Function)) +
+      ("saved_query.p.weekly_rev" -> Node("saved_query.p.weekly_rev",
+        "weekly_rev", "p", NodeKind.SavedQuery,
+        dependsOn = Seq("model.p.mart")))
+    val ng2 = Dag.fromNodes(withDecls)
+    def sel(s: String) = Selector.select(Selector.parse(s), withDecls, ng2)
+    assert(sel("unit_test:ut_mart") == Set("unit_test.p.ut_mart"))
+    assert(sel("unit_test:ut_*") == Set("unit_test.p.ut_mart"))
+    assert(sel("unit_test:nope") == Set.empty)
+    assert(sel("function:order_bucket") == Set("function.p.order_bucket"))
+    assert(sel("function:*") == Set("function.p.order_bucket"))
+    assert(sel("saved_query:weekly_rev") == Set("saved_query.p.weekly_rev"))
+    // upstream-impact selection walks into the backing model
+    assert(sel("+saved_query:weekly_rev") ==
+      Set("saved_query.p.weekly_rev", "model.p.mart", "model.p.stg"))
+  }
+
+  test("selector: access matches declared and protected-default models") {
+    val withAccess = nodes +
+      ("model.p.stg" -> nodes("model.p.stg").copy(config =
+        nodes("model.p.stg").config.copy(extra = Map("access" -> "public")))) +
+      ("model.p.internal" -> Node("model.p.internal", "internal", "p",
+        NodeKind.Model,
+        config = NodeConfig(extra = Map("access" -> "private"))))
+    val ng2 = Dag.fromNodes(withAccess)
+    def sel(s: String) = Selector.select(Selector.parse(s), withAccess, ng2)
+    assert(sel("access:public") == Set("model.p.stg"))
+    assert(sel("access:private") == Set("model.p.internal"))
+    // undeclared access is dbt's protected default; tests don't match
+    assert(sel("access:protected") == Set("model.p.mart"))
+  }
+
+  test("selector: source_status / column rejected with a named reason") {
+    val e1 = intercept[IllegalArgumentException](
+      Selector.select(Selector.parse("source_status:fresher"), nodes, ng))
+    assert(e1.getMessage.contains("cloud"))
+    val e2 = intercept[IllegalArgumentException](
+      Selector.select(Selector.parse("column:model.p.mart.id"), nodes, ng))
+    assert(e2.getMessage.contains("internal-only"))
+  }
+
   test("selectors.yml: definitions compose union/intersection/exclude") {
     val doc = Map("selectors" -> Seq(
       Map("name" -> "daily_no_mart", "default" -> "true",
