@@ -170,8 +170,13 @@ object FuncSign {
   /** Only whitespace, `--` comment lines, and `{# #}` comments may sit
     * between an annotation and the macro it binds to — a stray
     * annotation (its macro deleted or commented out) must NOT attach to
-    * some unrelated later declaration and fail ITS arity check. */
-  private val gapRe = raw"(?s)(\s|--[^\n]*(\n|$$)|\{#.*?#\})*".r
+    * some unrelated later declaration and fail ITS arity check. Another
+    * `-- funcsign:` line is NOT a permissible gap: of two stacked
+    * annotations only the nearest binds, and the earlier one is
+    * diagnosed as an orphan instead of being arity-checked against a
+    * macro it does not describe. */
+  private val gapRe =
+    raw"(?s)(\s|--(?![ \t]*funcsign:)[^\n]*(\n|$$)|\{#.*?#\})*".r
 
   /** Extract (macro name → signature) pairs plus diagnostics from one
     * macro source. A funcsign comment binds to the IMMEDIATELY

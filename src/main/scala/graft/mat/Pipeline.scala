@@ -1,8 +1,8 @@
 package graft.mat
 
 import graft.core.{Relation, RelationType}
-import graft.ops.{Bpe, Dedup, FuzzyJoin, Packing, Sampling, Stats,
-  TextAnalysis}
+import graft.ops.{Bpe, Dedup, FuzzyJoin, Multimodal, Packing, Sampling,
+  Stats, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -264,7 +264,7 @@ object PipelineSteps {
     "collapse_repeats", "span_gate", "quality_classifier_filter",
     "dsir_select", "pack_sequences", "shard", "curriculum",
     "cdc_compact", "pagerank_weight", "cluster_assign", "simhash_dedup",
-    "chunk", "decontaminate", "ngram_dedup")
+    "chunk", "decontaminate", "ngram_dedup", "media_dedup")
 
   def parse(raw: Option[Any]): Seq[Step] = raw match {
     case None => Nil
@@ -446,6 +446,48 @@ object PipelineSteps {
             case None => Dedup.canonicalCorpus(df, pairs, idCol)
           }
           keepInputColumns(df.columns)(kept)
+        }
+
+      // media near-dup collapse over the stub codec's signature
+      // columns — the multimodal corpus dedups through the SAME
+      // pipeline surface as text. `method: exact` (default) merges
+      // identical payload bodies via the (n_bytes, body-checksum) key;
+      // `method: simhash` bands a 64-bit stub perceptual bit-signature
+      // through the same 4-chunk pigeonhole core as text simhash_dedup
+      // and merges hamming ≤ `max_hamming:` components (min-id keep,
+      // or the `priority_col:` max). Payloads failing the GRFT header
+      // check are ALWAYS kept (a corrupt file must not merge into the
+      // checksum-0 garbage group); the codec itself stays the
+      // documented StubCodec boundary. Column-neutral.
+      case "media_dedup" =>
+        val idCol = str(m, "id_col", "doc_id")
+        val payloadCol = str(m, "payload_col", "payload")
+        val method = str(m, "method", "exact")
+        val maxHamming = int(m, "max_hamming", 3)
+        val priorityCol = m.get("priority_col").map(String.valueOf)
+        if (method != "exact" && method != "simhash")
+          throw new IllegalArgumentException(
+            "pipeline step `media_dedup`: `method:` must be exact or " +
+              s"simhash, got `$method`")
+        df => method match {
+          case "exact" =>
+            val ck = Multimodal.withChecksum(df, payloadCol)
+            val keepIds = ck.filter(col("__media_valid"))
+              .groupBy(col("__n_bytes"), col("__checksum"))
+              .agg(min(col(s"`$idCol`")).as("__keep_id"))
+              .select(col("__keep_id"))
+              .unionByName(ck.filter(!col("__media_valid"))
+                .select(col(s"`$idCol`").as("__keep_id")))
+            df.join(keepIds, df(s"`$idCol`") === col("__keep_id"),
+              "left_semi")
+          case _ =>
+            val pairs = Multimodal.mediaNearDups(df, idCol, payloadCol,
+              maxHamming)
+            val kept = priorityCol match {
+              case Some(p) => Dedup.canonicalCorpusBy(df, pairs, idCol, p)
+              case None => Dedup.canonicalCorpus(df, pairs, idCol)
+            }
+            keepInputColumns(df.columns)(kept)
         }
 
       // edit-distance near-dup collapse on a string column (titles,
@@ -811,6 +853,10 @@ object PipelineSteps {
       // = the `node_col:` endpoint's rank (e.g. weighting documents by
       // their source-domain's link authority). Rank is the same
       // DECIMAL(38,0) 1e12-unit integer as Graph.pageRank, cast LONG.
+      // `weight_col:` values are QUANTIZED to 6 decimal places (the
+      // scale-6 accumulator below) — finer fractions round before
+      // summing; a group weight sum too large for DECIMAL(38,6) fails
+      // loudly instead of dropping the edge (see the overflow guard).
       case "pagerank_weight" =>
         val srcCol = reqStr(m, "src_col", op)
         val dstCol = reqStr(m, "dst_col", op)
@@ -826,8 +872,19 @@ object PipelineSteps {
             // ratios (exact floor division), so integer-weight results
             // are unchanged and ≤6-decimal weights are now exact.
             case Some(wc) =>
-              (sum(col(s"`$wc`").cast("decimal(38,6)")) * lit(1000000L))
-                .cast("decimal(38,0)")
+              val s6 = (sum(col(s"`$wc`").cast("decimal(38,6)")) *
+                lit(1000000L)).cast("decimal(38,0)")
+              // a weight sum past DECIMAL(38,6) saturates to NULL
+              // (non-ANSI), which would silently drop the group's edge
+              // from the rank — surface it as an error instead. A group
+              // whose weights are ALL NULL legitimately sums to NULL
+              // and passes through (zero non-null weights).
+              coalesce(s6, assert_true(
+                count(col(s"`$wc`")) === lit(0L),
+                lit("pagerank_weight: the scale-6 weight sum " +
+                  "overflowed DECIMAL(38,6); pre-scale the weight " +
+                  "column into the exact range"))
+                .cast("decimal(38,0)"))
             case None => count(lit(1))
           }
           val edges = df

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -110,6 +110,56 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, metaSchema)
+  }
+
+  // ---- media dedup: signature columns feeding the text dedup cores ----
+
+  /** Valid-GRFT-header check as a pure column expression (magic bytes +
+    * minimum header length) — gates dedup participation so a corrupt
+    * payload is KEPT, never merged into the checksum-0 garbage group. */
+  def isGrft(payloadCol: String): Column =
+    expr(s"length(`$payloadCol`) >= 16 AND " +
+      s"CAST(substring(`$payloadCol`, 1, 4) AS STRING) = 'GRFT'")
+
+  /** The payload BODY (bytes past the 16-byte header) decoded as a
+    * string. The stub codec's "pixels" ARE text bytes (syntheticMedia),
+    * which is what makes the DuckDB oracle able to recompute media
+    * signatures from the source text; a real codec would emit decoded
+    * pixels here instead — the same documented [[StubCodec]] boundary. */
+  def bodyText(payloadCol: String): Column =
+    expr(s"CAST(substring(`$payloadCol`, 17, " +
+      s"length(`$payloadCol`) - 16) AS STRING)")
+
+  /** Exact media dedup key: (n_bytes, body checksum) of a valid GRFT
+    * payload — the key a real pipeline gets from its content-hash
+    * stage. Checksum comes from [[StubCodec.decode]] (the documented
+    * codec boundary); the length component makes an accidental FNV
+    * collision require equal sizes too. */
+  def withChecksum(media: DataFrame, payloadCol: String = "payload")
+      : DataFrame = {
+    val ck = udf { (p: Array[Byte]) => StubCodec.decode(p).checksum }
+    media
+      .withColumn("__media_valid", isGrft(payloadCol))
+      .withColumn("__checksum", ck(col(s"`$payloadCol`")))
+      .withColumn("__n_bytes", length(col(s"`$payloadCol`")).cast("long"))
+  }
+
+  /** Stub perceptual near-dup pairs: a 64-bit simhash bit-signature
+    * over the payload body's tokens, fed through the SAME banding core
+    * — 4×16-bit chunk bucketing, one bucket-pair shuffle, pigeonhole-
+    * EXACT hamming ≤ 3 verify — as text simhash_dedup
+    * (Dedup.simhashNearDupsFromSigs). A real pipeline computes
+    * pHash/aHash from decoded pixels and bands it identically; only
+    * the signature function is the stub. Invalid payloads never
+    * participate. Output: (id_a, id_b, hamming). */
+  def mediaNearDups(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", maxHamming: Int = 3): DataFrame = {
+    val sigs = Dedup.simhashSignatures(
+      media.filter(isGrft(payloadCol))
+        .withColumn("__body", bodyText(payloadCol)),
+      idCol, "__body")
+    Dedup.simhashNearDupsFromSigs(sigs, maxHamming,
+      Dedup.maxBandBucket(media))
   }
 
   /** Frame-sample stub: pick every `stride`-th byte offset as a "frame"

@@ -1405,6 +1405,42 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // media exact dedup through the media_dedup STEP closure: every
+    // 4th media doc re-appears under id+500000 — its GRFT header dims
+    // differ (they derive from the new id) but the BODY is identical,
+    // and the (n_bytes, body-checksum) key merges them; documents'
+    // own duplicate texts merge the same way. Min-id keep.
+    "q_media_dedup_exact" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+      val step = graft.mat.PipelineSteps.parse(Some(Seq(Map(
+        "op" -> "media_dedup", "method" -> "exact")))).head
+      step.apply(Multimodal.syntheticMedia(corpus))
+        .select("doc_id", "media_type").orderBy("doc_id")
+    }),
+
+    // media near-dup dedup through the media_dedup STEP closure: the
+    // stub perceptual bit-signature (64-bit simhash over body tokens)
+    // banded through the same 4-chunk pigeonhole core as text
+    // simhash_dedup; every 3rd media doc re-appears under id+500000
+    // with one appended body token — a small hamming perturbation —
+    // and components within hamming ≤ 3 collapse to the min id.
+    "q_media_dedup_near" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L)
+          .withColumn("text", concat(col("text"), lit(" tailmark"))))
+      val step = graft.mat.PipelineSteps.parse(Some(Seq(Map(
+        "op" -> "media_dedup", "method" -> "simhash")))).head
+      step.apply(Multimodal.syntheticMedia(corpus))
+        .select("doc_id", "media_type").orderBy("doc_id")
+    }),
+
     // CDC SCD-1 compaction: events as a per-user changelog ('error' =
     // account deletion, anything else upserts) — latest surviving row
     // per key from one window shuffle, no per-group buffers
@@ -1992,6 +2028,11 @@ object PipelinePack extends QueryPack {
     * 64 sign bits packed into four 16-bit int chunks — ends in a
     * `chunks(doc_id, c0..c3)` CTE shared by the pair oracle and the
     * incremental-pipeline composition. */
+  /** [[simhashChunkCtes]] over an arbitrary (doc_id, text) relation —
+    * the media near-dup oracle chunks a synthetic corpus CTE. */
+  private[packs] def simhashChunkCtesFrom(from: String): String =
+    simhashChunkCtes.replace("FROM documents)", s"FROM $from)")
+
   private[packs] val simhashChunkCtes: String =
     """toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -4792,6 +4833,54 @@ object PipelinePack extends QueryPack {
         |CROSS JOIN LATERAL (
         |  SELECT unnest(range(0, greatest(CAST(floor(length(text) / 64) AS INT), 1))) AS f) t
         |WHERE doc_id % 31 = 0 ORDER BY doc_id, frame_no""".stripMargin,
+
+    // exact media dedup ≡ min-id per identical BODY: the stub checksum
+    // covers body bytes alone (header excluded), and the body is the
+    // UTF-8 text — so grouping by text over the duplicated corpus
+    // reproduces the (n_bytes, checksum) merge exactly
+    "q_media_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 20 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text)
+        |SELECT k.doc_id,
+        |  CASE WHEN k.doc_id % 3 = 0 THEN 'image'
+        |       WHEN k.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+        |    AS media_type
+        |FROM keep k ORDER BY doc_id""".stripMargin,
+
+    // media near-dup: the stub perceptual signature IS the 64-bit
+    // simhash of the body tokens, so the oracle re-derives the same
+    // chunks from the source text (+ the one-token perturbed twins),
+    // pairs within hamming ≤ 3, transitive closure, min-id keep
+    "q_media_dedup_near" ->
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 500000, text || ' tailmark' FROM documents
+         |  WHERE doc_id % 21 = 0),
+         |${simhashChunkCtesFrom("corpus")},
+         |pr AS MATERIALIZED (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         |        bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+         |        <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+         |reach(id, lab) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+         |cc AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id)
+         |SELECT c.doc_id,
+         |  CASE WHEN c.doc_id % 3 = 0 THEN 'image'
+         |       WHEN c.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+         |    AS media_type
+         |FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id
+         |WHERE cc.id IS NULL OR cc.id = cc.component_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     "q_cdc_compact" ->
       """WITH log AS (

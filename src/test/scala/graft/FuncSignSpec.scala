@@ -92,6 +92,20 @@ class FuncSignSpec extends AnyFunSuite {
         |""".stripMargin
     val (s5, d5) = extract(spaced, "m.sql")
     assert(s5.map(_.name) == Seq("one") && d5.isEmpty, d5.mkString(" | "))
+
+    // two STACKED annotations: only the nearest binds; the earlier one
+    // (stale — its macro was deleted above) is an orphan diagnostic,
+    // never arity-checked against the following macro
+    val stacked =
+      """-- funcsign: (string, int) -> string
+        |-- funcsign: (string) -> string
+        |{% macro one(a) %}x{% endmacro %}
+        |""".stripMargin
+    val (s6, d6) = extract(stacked, "m.sql")
+    assert(s6.map(_.name) == Seq("one"), s6.toString)
+    assert(s6.head.sig.args.length == 1, "the NEAREST annotation binds")
+    assert(d6.exists(_.contains("no immediately-following"))
+      && !d6.exists(_.contains("declares")), d6.mkString(" | "))
   }
 
   // ---- call-site checks ------------------------------------------------

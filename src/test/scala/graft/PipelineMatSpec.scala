@@ -28,6 +28,38 @@ class PipelineMatSpec extends AnyFunSuite {
   private def steps(yamlish: Seq[Map[String, Any]]) =
     PipelineSteps.parse(Some(yamlish.toVector))
 
+  test("media_dedup: exact merges identical bodies across headers, " +
+      "simhash merges perturbed bodies, corrupt payloads always kept") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val base = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (7L, "totally different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    // identical bodies, headers differ (dims derive from doc_id)
+    val media = Multimodal.syntheticMedia(base)
+      // plus one corrupt payload: must survive BOTH methods untouched
+      .unionByName(Seq((99L, "audio", Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "media_type", "payload"))
+    val exact = steps(Seq(Map("op" -> "media_dedup")))
+      .head.apply(media)
+    assert(exact.columns.toSeq == media.columns.toSeq, "column-neutral")
+    assert(exact.collect().map(_.getLong(0)).toSet == Set(2L, 7L, 99L),
+      "identical bodies merge to min id despite different headers; " +
+        "the corrupt payload is kept")
+    // simhash: one appended token is a small hamming perturbation
+    val perturbed = Multimodal.syntheticMedia(Seq(
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"))
+      .toDF("doc_id", "text"))
+    val near = steps(Seq(Map("op" -> "media_dedup",
+      "method" -> "simhash")))
+      .head.apply(media.unionByName(perturbed))
+    val kept = near.collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(5L) && kept.contains(2L) && kept.contains(7L)
+      && kept.contains(99L), kept.toString)
+  }
+
   test("exact_dedup keeps the min-id row WITH its own fields") {
     import spark.implicits._
     val docs = Seq(
