@@ -15,7 +15,14 @@ object BenchWrite {
     "q_stream_sessionize", "q_stream_window", "q_mat_table",
     // the incremental-pipeline state machinery (index build + batch
     // dedup against it + deferred appends), base run + batch run each
-    "q_engine_pipeline_incremental", "q_engine_multi_index_pipeline")
+    "q_engine_pipeline_incremental", "q_engine_multi_index_pipeline",
+    // the remaining persisted-index families: embedding-LSH vector
+    // index, simhash signature index, n-gram postings index (each =
+    // base build + batch run), and the IVF cell-partitioned vector
+    // index build + indexed search — so a regression in ANY index's
+    // write machinery is caught by numbers, not just plan asserts
+    "q_engine_semantic_incremental", "q_engine_simhash_incremental",
+    "q_engine_ngram_incremental", "q_engine_vector_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

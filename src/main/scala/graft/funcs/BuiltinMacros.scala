@@ -55,10 +55,11 @@ object BuiltinMacros {
     * `test_<name>` macro. */
   val testNames: Seq[String] = Seq("benford_plausible", "k_anonymous")
 
-  private val testMacros: Seq[String] = Seq(
+  private val testMacros: Seq[(String, String)] = Seq(
     // digits whose observed share deviates from Benford's
     // log10(1+1/d) by more than `tolerance` — integer-cents leading
     // digit, the Audit.benford contract as a failing-rows query
+    "(relation, string, optional[float]) -> relation" ->
     """{% macro test_benford_plausible(model, column_name, tolerance=0.05) %}
       |WITH cents AS (
       |  SELECT CAST(round(CAST({{ column_name }} AS DOUBLE) * 100)
@@ -77,6 +78,7 @@ object BuiltinMacros {
       |{% endmacro %}""".stripMargin,
     // quasi-identifier values shared by fewer than k rows — the
     // Audit.kAnonymity violation set as a failing-rows query
+    "(relation, string, optional[int]) -> relation" ->
     """{% macro test_k_anonymous(model, column_name, k=5) %}
       |SELECT {{ column_name }} AS value, count(*) AS n
       |FROM {{ model }}
@@ -84,17 +86,34 @@ object BuiltinMacros {
       |HAVING count(*) < {{ k }}
       |{% endmacro %}""".stripMargin)
 
+  /** (funcsign signature, macro source) pairs — the signature rides
+    * next to its macro so the analyzer surface cannot drift from the
+    * shipped text. Args take SQL text (column expressions) as strings. */
+  private val entries: Seq[(String, String)] = Seq(
+    "(string) -> int" ->
+      ("{% macro graft_token_count(col) %}(CASE WHEN length(trim({{ col }}))" +
+        " = 0 THEN 0 ELSE size(split(trim({{ col }}), ' +')) END)" +
+        "{% endmacro %}"),
+    "(string) -> string" ->
+      (s"{% macro graft_mask_pii(col) %}regexp_replace(regexp_replace(" +
+        s"{{ col }}, '${sqlQuote(TextAnalysis.EmailPattern)}', '<EMAIL>')," +
+        s" '${sqlQuote(TextAnalysis.PhonePattern)}', '<PHONE>')" +
+        "{% endmacro %}"),
+    "(string) -> string" ->
+      s"{% macro graft_lang_id(col) %}$langCase{% endmacro %}",
+    "(string) -> float" ->
+      s"{% macro graft_stopword_ratio(col) %}$stopRatio{% endmacro %}"
+  ) ++ testMacros
+
   /** Rendered FIRST in the macro prelude so any project/package macro of
     * the same name wins (Root > Imported > Core). */
-  val prelude: String = (Seq(
-    "{% macro graft_token_count(col) %}(CASE WHEN length(trim({{ col }}))" +
-      " = 0 THEN 0 ELSE size(split(trim({{ col }}), ' +')) END)" +
-      "{% endmacro %}",
-    s"{% macro graft_mask_pii(col) %}regexp_replace(regexp_replace(" +
-      s"{{ col }}, '${sqlQuote(TextAnalysis.EmailPattern)}', '<EMAIL>')," +
-      s" '${sqlQuote(TextAnalysis.PhonePattern)}', '<PHONE>')" +
-      "{% endmacro %}",
-    s"{% macro graft_lang_id(col) %}$langCase{% endmacro %}",
-    s"{% macro graft_stopword_ratio(col) %}$stopRatio{% endmacro %}"
-  ) ++ testMacros).mkString("\n")
+  val prelude: String = entries.map(_._2).mkString("\n")
+
+  /** The same macros WITH their `-- funcsign:` annotations, fed ONLY to
+    * the static type-checker (ProjectLoader) — user projects get
+    * call-site diagnostics on the builtin surface for free, while the
+    * RENDERED prelude stays annotation-free (comment lines there would
+    * land as text in every compiled statement). */
+  val funcsignSource: String = entries
+    .map { case (sig, src) => s"-- funcsign: $sig\n$src" }.mkString("\n")
 }

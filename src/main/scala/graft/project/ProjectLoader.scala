@@ -640,8 +640,13 @@ object ProjectLoader {
     // contradictions. `funcsign-severity: error` in dbt_project.yml
     // fails the load; the default records + warns.
     val macroFileNames = files(macroPaths, ".sql").map(_.getFileName.toString)
+    // the builtin graft_* macros carry shipped signatures
+    // (BuiltinMacros.funcsignSource) — FIRST in the list so a project
+    // macro of the same name overrides its signature too (the sigs map
+    // is name-keyed, later entries win: Root > Core)
     val funcsignDiags = graft.jinja.FuncSign.analyze(
-      macroFileNames.zip(macroSources),
+      ("<builtin graft macros>" -> graft.funcs.BuiltinMacros.funcsignSource)
+        +: macroFileNames.zip(macroSources),
       (models.toSeq ++ snapshots.map { case (n, s) => (s"snapshot $n", s) }
         ++ tests.map { case (n, s) => (s"test $n", s) }
         ++ analyses.map { case (n, s) => (s"analysis $n", s) }).toSeq)

@@ -217,4 +217,36 @@ class FuncSignSpec extends AnyFunSuite {
     val p2 = graft.project.ProjectLoader.load(proj.toString)
     assert(p2.funcsignDiagnostics.isEmpty)
   }
+
+  test("builtin graft_* macros ship signatures: a misspelled kwarg and " +
+      "a wrong literal type are diagnosed with no project macro at all") {
+    val proj = Files.createTempDirectory("graft_funcsign_builtin")
+    write(proj, "dbt_project.yml",
+      """name: fsb
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/m.sql",
+      "select {{ graft_token_count(colmn='text') }} as n\n")
+    val p = graft.project.ProjectLoader.load(proj.toString)
+    assert(p.funcsignDiagnostics.exists(d =>
+      d.contains("graft_token_count") && d.contains("colmn")),
+      p.funcsignDiagnostics.mkString("; "))
+
+    // wrong literal type against the shipped (string) -> int signature
+    write(proj, "models/m.sql",
+      "select {{ graft_token_count(42) }} as n\n")
+    val p2 = graft.project.ProjectLoader.load(proj.toString)
+    assert(p2.funcsignDiagnostics.exists(d =>
+      d.contains("graft_token_count") && d.contains("integer")),
+      p2.funcsignDiagnostics.mkString("; "))
+
+    // clean builtin calls stay quiet — including the shipped generic
+    // tests' own prelude source
+    write(proj, "models/m.sql",
+      "select {{ graft_token_count('text') }} as n, " +
+        "{{ graft_lang_id('text') }} as lang\n")
+    val p3 = graft.project.ProjectLoader.load(proj.toString)
+    assert(p3.funcsignDiagnostics.isEmpty,
+      p3.funcsignDiagnostics.mkString("; "))
+  }
 }

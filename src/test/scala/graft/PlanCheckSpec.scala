@@ -21,6 +21,136 @@ class PlanCheckSpec extends AnyFunSuite {
     s
   }
 
+  /** The three scale-critical properties of the persisted-index
+    * machinery asserted in ONE place over a REAL incremental batch run
+    * (the per-operator DedupSpec asserts cover each core in isolation;
+    * this composed gate fails if any future step re-derives heavy
+    * columns or drops the pruning):
+    *   (a) every persisted banded/postings twin is scanned behind a
+    *       LeftSemi prune to the batch's own buckets,
+    *   (b) no twin scan's ReadSchema touches the heavy sig/shh/chunk
+    *       columns — history is banded from narrow rows only,
+    *   (c) the IVF cell join carries dynamic partition pruning, so a
+    *       search touches only the probed cells' files. */
+  test("composed scale gate: multi-index batch twins scanned narrow " +
+      "behind LeftSemi; IVF cell join dynamically prunes") {
+    import spark.implicits._
+    import graft.adapter.SparkAdapter
+    import graft.core.{Node, NodeConfig, NodeKind, Relation}
+    import graft.mat.{MatContext, PipelineMat}
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+
+    val loc = java.nio.file.Files.createTempDirectory("graft_plangate")
+      .toString
+    spark.sql("DROP DATABASE IF EXISTS g_plangate CASCADE")
+    val a = new SparkAdapter(spark, "g_plangate", Some(loc))
+    val rel = Relation("g_plangate", "gated")
+    def runPipeline(df: org.apache.spark.sql.DataFrame): Unit =
+      PipelineMat.run(MatContext(a,
+        Node(uniqueId = "model.spec.gated", name = "gated",
+          packageName = "spec", kind = NodeKind.Model,
+          config = NodeConfig(materialized = "pipeline", extra = Map(
+            "incremental" -> "true",
+            "steps" -> Vector(
+              Map("op" -> "minhash_dedup", "text_col" -> "text",
+                "id_col" -> "doc_id"),
+              Map("op" -> "simhash_dedup", "text_col" -> "text",
+                "id_col" -> "doc_id"),
+              Map("op" -> "ngram_dedup", "text_col" -> "text",
+                "id_col" -> "doc_id"))))),
+        rel, () => df, fullRefresh = false))
+
+    val texts = (0 until 8).map(g =>
+      s"group $g shares this exact long duplicated sentence body number " +
+        s"$g with several siblings across the split boundary")
+    val docs = (0L until 24L).map(i => (i, texts((i % 8).toInt)))
+      .toDF("doc_id", "text")
+    runPipeline(docs.filter(col("doc_id") < 16)) // full build: indexes persist
+
+    // collect every plan the BATCH run executes (listener delivery is
+    // async — poll with a deadline below)
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.synchronized {
+        plans += qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try runPipeline(docs.filter(col("doc_id") >= 16)) // incremental batch
+    finally {
+      val twins = Seq(
+        ("gated__state_minhash_dedup_bands", Seq("band", "bandhash"),
+          Seq("sig", "shh")),
+        ("gated__state_simhash_dedup_bands", Seq("band", "bv"),
+          Seq("c0", "c1")),
+        ("gated__state_ngram_dedup_grams", Seq("s"), Seq("shh")))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def snapshot() = plans.synchronized { plans.toVector }
+      while (twins.exists(t => !snapshot().exists(_.contains(t._1))) &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      spark.listenerManager.unregister(listener)
+      val all = snapshot()
+      // attribute each scan's ReadSchema to its table (formatted mode
+      // prints "(N) Scan parquet db.tbl" then the node's ReadSchema)
+      def scanSchemas(p: String): Seq[(String, String)] = {
+        var last = ""
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        p.linesIterator.foreach { l =>
+          val t = l.trim
+          if (t.contains("Scan parquet "))
+            last = t.substring(t.indexOf("Scan parquet ") + 13).trim
+          else if (t.startsWith("ReadSchema")) out += ((last, t))
+        }
+        out.toSeq
+      }
+      twins.foreach { case (twin, narrow, heavy) =>
+        val hits = all.filter(_.contains(twin))
+        assert(hits.nonEmpty, s"no batch plan scans $twin")
+        assert(hits.exists(_.contains("LeftSemi")),
+          s"$twin not pre-pruned by a left-semi on the batch's keys")
+        val schemas = hits.flatMap(scanSchemas)
+          .filter(_._1.contains(twin)).map(_._2)
+        assert(schemas.nonEmpty, s"no ReadSchema attributed to $twin")
+        schemas.foreach { sch =>
+          narrow.foreach(c => assert(sch.contains(s"$c:"),
+            s"$twin scan missing narrow column $c: $sch"))
+          heavy.foreach(c => assert(!sch.contains(s"$c:"),
+            s"$twin scan reads heavy column $c: $sch"))
+        }
+      }
+    }
+
+    // (c) the IVF cell join: routed corpus partitioned by cell, search
+    // under frozen centroids touches only probed cells
+    val vecDim = 8
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(vecDim)(d => ((i * 31 + d * 7) % 97).toFloat / 97f)
+    val emb = (0 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val vdir = java.nio.file.Files.createTempDirectory("graft_plangate_v")
+      .toString
+    emb.withColumn("cluster_id", graft.expressions.PipelineExpressions
+        .nearest_centroids(col("embedding"), cents, 1)(0))
+      .write.partitionBy("cluster_id").parquet(s"$vdir/routed")
+    val routed = spark.read.parquet(s"$vdir/routed")
+    val got = Similarity.ivfTopKIndexed(
+      routed.filter(col("vec_id") % 20 === 0), routed, cents,
+      "vec_id", "embedding", "cluster_id", k = 5, nprobe = 2)
+    assert(got.collect().nonEmpty)
+    val ivfPlan = got.queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("dynamicpruning"),
+      s"IVF cell join lost dynamic partition pruning:\n${ivfPlan.take(2000)}")
+  }
+
   test("codegenSpans sees through the AQE root instead of reporting 0") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "true")
