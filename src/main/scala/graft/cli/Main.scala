@@ -156,7 +156,9 @@ object Main {
   /** Kind filter per command (dbt run/test/seed/snapshot semantics; build
     * runs everything in DAG order). */
   private def kindFilter(cmd: String): NodeKind => Boolean = cmd match {
-    case "run" => k => k == NodeKind.Model
+    // functions build during `run` like the reference (they are a
+    // materialization models depend on)
+    case "run" => k => k == NodeKind.Model || k == NodeKind.Function
     case "test" => k => k == NodeKind.Test || k == NodeKind.UnitTest
     case "seed" => _ == NodeKind.Seed
     case "snapshot" => _ == NodeKind.Snapshot

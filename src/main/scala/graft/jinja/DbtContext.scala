@@ -15,7 +15,11 @@ final case class ParseHarvest(
       * DbtModel version/latest_version). */
     refs: Seq[(Option[String], String, Option[String])],
     sources: Seq[(String, String)],
-    configs: Map[String, Any])
+    configs: Map[String, Any],
+    /** (package, name) from `{{ function('f') }}` call sites — SQL UDF
+      * node references (reference: FunctionFunction,
+      * crates/dbt-jinja-utils/src/phases/compile_and_run_context.rs:528). */
+    functions: Seq[(Option[String], String)] = Nil)
 
 /** dbt context functions for the two Jinja phases.
   *
@@ -159,8 +163,22 @@ object DbtContext {
       (Map[String, Any], () => ParseHarvest) = {
     val refs = mutable.ArrayBuffer.empty[(Option[String], String, Option[String])]
     val sources = mutable.ArrayBuffer.empty[(String, String)]
+    val functions = mutable.ArrayBuffer.empty[(Option[String], String)]
     val configs = mutable.LinkedHashMap.empty[String, Any]
     val bindings = common(vars, env, flags) ++ Map(
+      // {{ function('f') }} / {{ function('pkg', 'f') }} — SQL UDF node
+      // reference (compile_and_run_context.rs FunctionFunction): parse
+      // phase harvests the dependency; the placeholder keeps the body
+      // renderable (the run phase substitutes the real qualified name)
+      "function" -> JFunc { (a, _) =>
+        val (pkg, name) = a.map(_.toString) match {
+          case Seq(n) => (None, n)
+          case Seq(p, n) => (Some(p), n)
+          case _ => throw JinjaError("function() takes 1 or 2 args")
+        }
+        functions += ((pkg, name))
+        s"__function__${name}__"
+      },
       "ref" -> JFunc { (a, kw) =>
         val (pkg, name) = a.map(_.toString) match {
           case Seq(n) => (None, n)
@@ -203,7 +221,8 @@ object DbtContext {
     val configHybrid = new ConfigHybrid(
       JFunc { (_, kw) => kw.foreach { case (k, v) => configs(k) = v }; "" }, configs)
     (bindings + ("config" -> configHybrid),
-      () => ParseHarvest(refs.toSeq, sources.toSeq, configs.toMap))
+      () => ParseHarvest(refs.toSeq, sources.toSeq, configs.toMap,
+        functions.toSeq))
   }
 
   /** config is both callable ({{ config(k=v) }}) and an object
@@ -240,7 +259,12 @@ object DbtContext {
       configValues: Map[String, Any],
       vars: Map[String, Any] = Map.empty,
       env: Map[String, String] = sys.env,
-      flags: Map[String, Any] = Map.empty): Map[String, Any] = {
+      flags: Map[String, Any] = Map.empty,
+      /** `{{ function('f') }}` → the created SQL UDF's qualified name
+        * (Runner wires dependency validation in; the default suffices
+        * for contexts with no function nodes: hooks, run-operation). */
+      resolveFunction: (Option[String], String) => String =
+        (_, n) => n): Map[String, Any] = {
     val results = mutable.Map.empty[String, AgateObj]
     val store = mutable.LinkedHashMap.empty[String, Any] ++ configValues
     common(vars, env, flags) ++ Map(
@@ -254,6 +278,13 @@ object DbtContext {
       "source" -> JFunc { (a, _) =>
         val Seq(src, tbl) = a.map(_.toString)
         resolveSource(src, tbl)
+      },
+      "function" -> JFunc { (a, _) =>
+        a.map(_.toString) match {
+          case Seq(n) => resolveFunction(None, n)
+          case Seq(p, n) => resolveFunction(Some(p), n)
+          case _ => throw JinjaError("function() takes 1 or 2 args")
+        }
       },
       "config" -> new ConfigHybrid(JFunc((_, kw) => {
         kw.foreach { case (k, v) => store(k) = v }; ""

@@ -334,4 +334,16 @@ object FunctionMat {
     spark.sql(
       s"CREATE OR REPLACE TEMPORARY FUNCTION $name($argsDdl) RETURNS $returns RETURN $body")
   }
+
+  /** Catalog-persistent form for function NODES (reference
+    * MA/materializations/functions/function.sql → CREATE OR REPLACE
+    * FUNCTION): survives the session, shows in SHOW USER FUNCTIONS,
+    * and models invoke it by its qualified name. */
+  def createPersistent(spark: SparkSession, rel: graft.core.Relation,
+      args: Seq[(String, String)], returns: String, body: String): Unit = {
+    val argsDdl = args.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    spark.sql(
+      s"CREATE OR REPLACE FUNCTION ${rel.fqn}($argsDdl) " +
+        s"RETURNS $returns RETURN $body")
+  }
 }

@@ -844,6 +844,57 @@ object EnginePack extends QueryPack {
     // within their group, protected ones only within their package. Each
     // scenario resolves a fixture project and records whether the resolver
     // accepted it or raised the access violation.
+    // SQL UDF function NODES end-to-end (DbtFunction nodes.rs:3875 /
+    // resolve_functions.rs): the .sql body + `functions:` properties
+    // load as an executable node, `run` creates the catalog-persistent
+    // function, and the model's {{ function('price_band') }} resolves
+    // to the qualified name with a DAG edge ordering the build. The
+    // oracle inlines the same expression over the same source.
+    "q_engine_function_node" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_fn_engine")
+      write(proj, "dbt_project.yml",
+        """name: fneng
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "functions/price_band.sql",
+        "case when x < 50000.0d then 'low' when x < 150000.0d then 'mid' " +
+          "else 'high' end\n")
+      write(proj, "functions/schema.yml",
+        """version: 2
+          |functions:
+          |  - name: price_band
+          |    arguments:
+          |      - name: x
+          |        data_type: double
+          |    returns:
+          |      data_type: string
+          |""".stripMargin)
+      write(proj, "models/bands.sql",
+        "select o_orderkey, {{ function('price_band') }}" +
+          "(cast(o_totalprice as double)) as band\n" +
+          "from {{ source('lake', 'orders') }}\n")
+      val schema = "g_engine_fnnode"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_fn_engine_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val bad = runner.run().filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      runner.adapter.read(graft.core.Relation(schema, "bands"))
+        .select(col("o_orderkey"), col("band"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_engine_access" -> ((s, dir) => {
       import s.implicits._
       def scenario(consumerGroup: String, targetAccess: String): String = {
@@ -3287,6 +3338,15 @@ object EnginePack extends QueryPack {
         |FROM ord o JOIN cust c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin,
+
+    // the function body inlined over the same source — what the created
+    // SQL UDF computes per row
+    "q_engine_function_node" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN CAST(o_totalprice AS DOUBLE) < 50000.0 THEN 'low'
+        |       WHEN CAST(o_totalprice AS DOUBLE) < 150000.0 THEN 'mid'
+        |       ELSE 'high' END AS band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_engine_access" ->
       """SELECT case_name, outcome FROM (VALUES

@@ -47,6 +47,10 @@ final case class Project(
     /** .sql files under analysis-paths — compiled, never executed
       * (reference: nodes.rs:2100 DbtAnalysis) */
     analyses: Map[String, String] = Map.empty,
+    /** .sql files under function-paths — SQL UDF bodies (reference:
+      * DbtFunction nodes.rs:3875, resolve_functions.rs); `functions:`
+      * properties supply arguments/returns. */
+    functions: Map[String, String] = Map.empty,
     /** parsed schema.yml property files, in file order */
     properties: Seq[Map[String, Any]],
     macroSources: Seq[String],
@@ -446,6 +450,10 @@ object ProjectLoader {
       .getOrElse(Seq("analyses"))
     val macroPaths = Yaml.dig(cfg, "macro-paths").map(Yaml.strSeq)
       .getOrElse(Seq("macros"))
+    // `function-paths:` (reference dbt_project.rs:126-127) — .sql bodies
+    // of SQL UDF nodes, default functions/
+    val functionPaths = Yaml.dig(cfg, "function-paths").map(Yaml.strSeq)
+      .getOrElse(Seq("functions"))
     val vars = Yaml.dig(cfg, "vars").map(_.asInstanceOf[Map[String, Any]])
       .getOrElse(Map.empty)
 
@@ -474,10 +482,12 @@ object ProjectLoader {
       .map(p => nameOf(p) -> Files.readString(p)).toMap
     val analyses = files(analysisPaths, ".sql")
       .map(p => nameOf(p) -> Files.readString(p)).toMap
+    val functionsSql = files(functionPaths, ".sql")
+      .map(p => nameOf(p) -> Files.readString(p)).toMap
     val properties =
       (files(modelPaths, ".yml") ++ files(modelPaths, ".yaml") ++
         files(seedPaths, ".yml") ++ files(snapshotPaths, ".yml") ++
-        files(testPaths, ".yml"))
+        files(testPaths, ".yml") ++ files(functionPaths, ".yml"))
         .map(p => Yaml.parseMap(Files.readString(p)))
     // dbt's {% test X(...) %} blocks are macros named test_X — rewrite the
     // block syntax up front so the Jinja interpreter needs no new node type
@@ -649,7 +659,8 @@ object ProjectLoader {
         +: macroFileNames.zip(macroSources),
       (models.toSeq ++ snapshots.map { case (n, s) => (s"snapshot $n", s) }
         ++ tests.map { case (n, s) => (s"test $n", s) }
-        ++ analyses.map { case (n, s) => (s"analysis $n", s) }).toSeq)
+        ++ analyses.map { case (n, s) => (s"analysis $n", s) }
+        ++ functionsSql.map { case (n, s) => (s"function $n", s) }).toSeq)
     if (funcsignDiags.nonEmpty) {
       if (Yaml.dig(cfg, "funcsign-severity").map(Yaml.str)
           .contains("error"))
@@ -683,6 +694,7 @@ object ProjectLoader {
       snapshots = snapshots,
       tests = tests,
       analyses = analyses,
+      functions = functionsSql,
       properties = properties,
       macroSources = macroSources,
       funcsignDiagnostics = funcsignDiags,

@@ -345,7 +345,9 @@ object Resolver {
         dependsOn =
           h.refs.map { case (pk, n, v) =>
             protoResolved.refUniqueId(proj.name, pk, n, v) } ++
-            h.sources.map { case (s, t) => s"source.$s.$t" },
+            h.sources.map { case (s, t) => s"source.$s.$t" } ++
+            h.functions.map { case (pk, n) =>
+              s"function.${pk.getOrElse(proj.name)}.$n" },
         relation = Some(Relation(schema, ident)),
         description = propDescriptions.get(name).map(_._1).getOrElse(""),
         columns = propDescriptions.get(name).map(_._2).getOrElse(Map.empty),
@@ -574,6 +576,61 @@ object Resolver {
       }
     }
 
+    // --- SQL UDF function nodes (reference: DbtFunction nodes.rs:3875,
+    // resolve_functions.rs): a .sql body under function-paths + a
+    // `functions:` properties entry declaring arguments/returns. The
+    // node EXECUTES (CREATE OR REPLACE FUNCTION, FunctionMat); models
+    // call it via {{ function('name') }}, which resolves to the created
+    // function's qualified name and put the edge in depends_on. Only
+    // scalar SQL functions are supported — aggregate/table kinds load
+    // as parse-error nodes (structured run_results failure, reference
+    // FunctionKind function_properties.rs:10-18). ---
+    val functionNodes = projects.flatMap { proj =>
+      val props: Map[String, Map[String, Any]] = proj.properties.flatMap {
+        p => Yaml.dig(p, "functions").toSeq.flatMap {
+          case fs: Seq[_] => fs.collect { case m: Map[_, _] =>
+            val fm = m.asInstanceOf[Map[String, Any]]
+            Yaml.str(fm("name")) -> fm
+          }
+          case _ => Nil
+        }
+      }.toMap
+      proj.functions.map { case (name, raw) =>
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        Jinja.render(macroPrelude + raw, bindings)
+        val h = harvest()
+        val fm = props.getOrElse(name, Map.empty)
+        val fnKind = fm.get("type").map(Yaml.str).getOrElse("scalar")
+        val returns = Yaml.dig(fm, "returns", "data_type").map(Yaml.str)
+        val err =
+          if (fnKind != "scalar") Some(
+            s"function `$name` declares type `$fnKind` — only scalar " +
+              "SQL functions are supported (aggregate/table UDFs need " +
+              "adapter-native registration)")
+          else if (returns.isEmpty) Some(
+            s"function `$name` needs `returns: {data_type: ...}` in its " +
+              "functions: properties entry")
+          else None
+        Node(
+          uniqueId = s"function.${proj.name}.$name",
+          name = name,
+          packageName = proj.name,
+          kind = NodeKind.Function,
+          rawSql = raw,
+          config = NodeConfig(materialized = "function", extra = fm),
+          dependsOn =
+            h.refs.map { case (pk, n, v) =>
+              protoResolved.refUniqueId(proj.name, pk, n, v) } ++
+              h.sources.map { case (s, t) => s"source.$s.$t" } ++
+              h.functions.map { case (pk, n) =>
+                s"function.${pk.getOrElse(proj.name)}.$n" },
+          relation = Some(Relation(targetSchema, name)),
+          description = fm.get("description").map(Yaml.str).getOrElse(""),
+          checksum = graft.jinja.Json.md5(raw + Yaml.str(fm)),
+          parseError = err)
+      }
+    }
+
     // --- exposures / metrics / semantic models: YAML-declared DAG leaves
     // (nodes.rs:2100; selector methods node_selector.rs:59-88). They never
     // execute; they give downstream-impact selection (+exposure:dash) and
@@ -703,6 +760,7 @@ object Resolver {
 
     val all0 = (modelNodes ++ pythonModelNodes ++ seedNodes ++ snapshotNodes ++
       testNodes ++ singularTestNodes ++ unitTestNodes ++ analysisNodes ++
+      functionNodes ++
       exposureNodes ++ metricNodes ++ semanticModelNodes ++ savedQueryNodes)
       .map(n => n.uniqueId -> n).toMap
     // unit-test gating (dbt build rule): ut inherits the target model's

@@ -186,12 +186,20 @@ final class Runner(
       windowed(base, resolved.sourceEventTimes.get((src, tbl)))
     }
 
+    def resolveFunction(pkg: Option[String], name: String): String = {
+      val uid = s"function.${pkg.getOrElse(node.packageName)}.$name"
+      if (!node.dependsOn.contains(uid))
+        throw new IllegalStateException(
+          s"node ${node.uniqueId} calls function '$name' — not in depends_on")
+      resolved.nodes.get(uid).flatMap(_.relation).map(_.fqn).getOrElse(
+        throw new IllegalStateException(s"unknown function node $uid"))
+    }
     val isIncr = IncrementalMat.isIncremental(adapter, node.relation.get,
       fullRefresh = fullRefresh, node.config.materialized, node.config.extra)
     val bindings = DbtContext.runContext(
       adapter, node.relation.get, resolveRef, resolveSource,
       isIncr, node.config.extra, project.vars ++ overrideVars,
-      sys.env ++ overrideEnv) ++
+      sys.env ++ overrideEnv, resolveFunction = resolveFunction) ++
       overrideMacros.map { case (k, v) =>
         s"__macro_override_$k" -> (Jinja.JFunc((_, _) => v): Any) }
     // macro overrides must SHADOW the prelude's {% macro %} definitions,
@@ -285,6 +293,31 @@ final class Runner(
             node.relation.get, () => spark.sql(sql), fullRefresh, now))
         case NodeKind.Test => runTestNode(node)
         case NodeKind.UnitTest => runUnitTestNode(node)
+        // SQL UDF node: compile the body (refs/sources/functions resolve
+        // to qualified names) and CREATE OR REPLACE FUNCTION in the
+        // session catalog — persistent, so later sessions and SHOW USER
+        // FUNCTIONS see it (reference MA/materializations/functions/)
+        case NodeKind.Function =>
+          val body = compileSql(node)
+          graft.adapter.InteractionLog.log(spark, "compile",
+            s"${node.uniqueId}: $body")
+          val args: Seq[(String, String)] =
+            node.config.extra.get("arguments").toSeq.flatMap {
+              case xs: Seq[_] => xs.collect { case m: Map[_, _] =>
+                val am = m.asInstanceOf[Map[String, Any]]
+                (String.valueOf(am.getOrElse("name", "arg")),
+                  String.valueOf(am.getOrElse("data_type", "string")))
+              }
+              case _ => Nil
+            }
+          val returns = graft.project.Yaml
+            .dig(node.config.extra, "returns", "data_type")
+            .map(String.valueOf).getOrElse("string")
+          adapter.createSchema(node.relation.get.schema)
+          FunctionMat.createPersistent(spark, node.relation.get, args,
+            returns, body)
+          MatResult(node.relation.get, "success",
+            s"create function (${args.length} args) returns $returns")
         case other => MatResult(node.relation.getOrElse(Relation("", node.name)),
           "skipped", s"${other.name} nodes are not executable")
       }
@@ -896,7 +929,8 @@ final class Runner(
     // they select and document, but never execute
     val declarationOnly: Set[graft.core.NodeKind] = Set(
       graft.core.NodeKind.Exposure, graft.core.NodeKind.Metric,
-      graft.core.NodeKind.SemanticModel, graft.core.NodeKind.Analysis)
+      graft.core.NodeKind.SemanticModel, graft.core.NodeKind.Analysis,
+      graft.core.NodeKind.SavedQuery)
     val runnable = resolved.nodes.view.filterKeys(selected).toMap
       .filter { case (_, n) => n.config.enabled && !n.isEphemeral &&
         kinds(n.kind) && !declarationOnly(n.kind) }
@@ -1104,7 +1138,11 @@ final class Runner(
     * ManifestV12Spec enumerates the intentionally-omitted fields. */
   def writeManifest(outPath: String): Unit = {
     val declaredKinds: Set[String] =
-      Set("exposure", "metric", "semantic_model", "unit_test", "saved_query")
+      // function nodes EXECUTE, but v12 emits them in their own
+      // `functions` section, not `nodes` (manifest.rs:183 "Functions are
+      // now handled separately in the functions field")
+      Set("exposure", "metric", "semantic_model", "unit_test",
+        "saved_query", "function")
     def nodeJson(id: String, n: Node): Map[String, Any] = Map(
       // CommonAttributes (nodes.rs:2781)
       "unique_id" -> id,
@@ -1174,7 +1212,7 @@ final class Runner(
       "saved_queries" -> declaredOf("saved_query"),
       "exposures" -> declaredOf("exposure"),
       "metrics" -> declaredOf("metric"),
-      "functions" -> Map.empty[String, Any],
+      "functions" -> declaredOf("function"),
       "child_map" -> childMap,
       "parent_map" -> parentMap,
       "group_map" -> resolved.nodes.toSeq

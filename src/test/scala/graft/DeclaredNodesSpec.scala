@@ -96,4 +96,58 @@ class DeclaredNodesSpec extends AnyFunSuite {
       "saved_query.decl.weekly_revenue", "metric.decl.revenue",
       "model.decl.orders"))
   }
+
+  test("list CLI golden: test_name / unit_test / access / saved_query " +
+      "select through the real command") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val proj = Files.createTempDirectory("graft_list_cli")
+    write(proj, "dbt_project.yml",
+      """name: lcli
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/orders.sql", "select 1 as id")
+    write(proj, "models/mart.sql", "select id from {{ ref('orders') }}")
+    write(proj, "models/props.yml",
+      """version: 2
+        |models:
+        |  - name: orders
+        |    access: public
+        |    columns:
+        |      - name: id
+        |        tests: [unique, not_null]
+        |unit_tests:
+        |  - name: ut_mart
+        |    model: mart
+        |    given:
+        |      - input: ref('orders')
+        |        rows:
+        |          - {id: 1}
+        |    expect:
+        |      rows:
+        |        - {id: 1}
+        |saved_queries:
+        |  - name: sq1
+        |    query_params:
+        |      metrics: []
+        |""".stripMargin)
+    def listOut(sel: String): Seq[String] = {
+      val bos = new java.io.ByteArrayOutputStream
+      val rc = Console.withOut(new java.io.PrintStream(bos)) {
+        graft.cli.Main.run(spark, graft.cli.Main.parseArgs(Array(
+          "list", "--select", sel, "--project-dir", proj.toString)))
+      }
+      assert(rc == 0, s"list --select $sel exited $rc")
+      bos.toString.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    assert(listOut("test_name:unique") == Seq("test.lcli.unique_orders_id"))
+    assert(listOut("test_name:not_null") == Seq("test.lcli.not_null_orders_id"))
+    assert(listOut("access:public") == Seq("model.lcli.orders"))
+    assert(listOut("unit_test:ut_mart") == Seq("unit_test.lcli.ut_mart"))
+    assert(listOut("saved_query:sq1") == Seq("saved_query.lcli.sq1"))
+  }
 }
