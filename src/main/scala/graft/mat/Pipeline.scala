@@ -988,7 +988,8 @@ object PipelineModels {
           fail("`top_k:` is a corpus-global cut (top-k of one batch is " +
             "not top-k of the corpus); use `min_logw:` — a per-row " +
             "threshold under the frozen ratio table")
-      case "minhash_dedup" | "simhash_dedup" | "ngram_dedup" =>
+      case "minhash_dedup" | "simhash_dedup" | "ngram_dedup"
+          | "media_dedup" =>
         if (s.raw.contains("priority_col"))
           fail("`priority_col:` can elect a new doc over an already-" +
             "written settled row, which an append-only increment " +
@@ -1048,6 +1049,8 @@ object PipelineModels {
       incrementalSimhash(ctx, s, suffix, df, incrRun, deferred)
     else if (s.op == "ngram_dedup" && incremental)
       incrementalNgram(ctx, s, suffix, df, incrRun, deferred)
+    else if (s.op == "media_dedup" && incremental)
+      incrementalMedia(ctx, s, suffix, df, incrRun, deferred)
     else if (trainerOp(s) && mode == "frozen")
       applyFrozen(ctx, s, suffix, df, retrainNow = incremental && !incrRun,
         mustExist = incrRun)
@@ -1121,6 +1124,13 @@ object PipelineModels {
         "k" -> int(s.raw, "k", 3).toString,
         "id_col" -> str(s.raw, "id_col", "doc_id"),
         "text_col" -> str(s.raw, "text_col", "text"))
+      // method IS a train param: the exact method's (nb, ck) key set
+      // and the simhash method's signature table are incompatible
+      // state formats; max_hamming stays apply-time like text simhash
+      case "media_dedup" => Seq(
+        "method" -> str(s.raw, "method", "exact"),
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "payload_col" -> str(s.raw, "payload_col", "payload"))
       // max_hamming stays apply-time: the index stores signatures, a
       // pure function of the text — valid under any later threshold
       case "simhash_dedup" => Seq(
@@ -1598,11 +1608,25 @@ object PipelineModels {
       : DataFrame = {
     val idCol = str(s.raw, "id_col", "doc_id")
     val textCol = str(s.raw, "text_col", "text")
-    val maxHamming = int(s.raw, "max_hamming", 3)
+    incrementalSimhashCore(ctx, s, suffix, df, incrRun, deferred,
+      idCol, int(s.raw, "max_hamming", 3),
+      d => Dedup.simhashSignatures(d, idCol, textCol))
+  }
+
+  /** The persisted-signature-index discipline shared by text
+    * simhash_dedup and media_dedup(method: simhash) — only the
+    * signature derivation differs (`sigsOf` must yield (id, c0..c3);
+    * rows it omits, e.g. corrupt media payloads, never cluster and are
+    * always kept). */
+  private def incrementalSimhashCore(ctx: MatContext, s: Step,
+      suffix: String, df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit],
+      idCol: String, maxHamming: Int,
+      sigsOf: DataFrame => DataFrame): DataFrame = {
     val rel = stateRel(ctx, suffix)
     val bandsRel = rel.copy(identifier = s"${rel.identifier}_bands")
     if (!incrRun) {
-      val sigs = Dedup.simhashSignatures(df, idCol, textCol)
+      val sigs = sigsOf(df)
       ctx.adapter.writeTableAtomic(sigs, rel)
       recordParams(ctx, rel, s)
       ctx.adapter.writeTableAtomic(
@@ -1621,8 +1645,7 @@ object PipelineModels {
       val bandedIdx =
         if (bandsExist) ctx.adapter.read(bandsRel)
         else Dedup.simhashBandedRows(index)
-      val newSigs = Dedup.maybeCache(
-        Dedup.simhashSignatures(df, idCol, textCol))
+      val newSigs = Dedup.maybeCache(sigsOf(df))
       val pairs = Dedup.simhashNearDupsIncrementalFromSigs(newSigs, index,
         bandedIdx, maxHamming, Dedup.maxBandBucket(df))
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -1733,6 +1756,68 @@ object PipelineModels {
         ()
       })
       kept
+    }
+  }
+
+  /** media_dedup with persisted indexes (incremental pipelines) — the
+    * multimodal corpus keeps the same continuous-ingest contract as
+    * text. `method: exact`: the state is the NARROW (n_bytes, body
+    * checksum) key set of every VALID payload seen, range-sorted by
+    * checksum; a batch row whose body was EVER seen drops, within-batch
+    * dups keep the canonical, corrupt payloads are always kept and
+    * never enter the state. `method: simhash`: the state is the same
+    * 5-int signature table + banded twin as text simhash (signatures
+    * from the payload BODY via the stub perceptual hash), running
+    * through [[incrementalSimhashCore]] — corrupt payloads have no
+    * signature, never cluster, and are always kept. Method is a
+    * recorded train param: the two state FORMATS are incompatible. */
+  private def incrementalMedia(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : DataFrame = {
+    val idCol = str(s.raw, "id_col", "doc_id")
+    val payloadCol = str(s.raw, "payload_col", "payload")
+    val method = str(s.raw, "method", "exact")
+    if (method == "simhash") {
+      incrementalSimhashCore(ctx, s, suffix, df, incrRun, deferred,
+        idCol, int(s.raw, "max_hamming", 3),
+        d => Dedup.simhashSignatures(
+          d.filter(Multimodal.isGrft(payloadCol))
+            .withColumn("__body", Multimodal.bodyText(payloadCol)),
+          idCol, "__body"))
+    } else {
+      val rel = stateRel(ctx, suffix)
+      def keysOf(d: DataFrame): DataFrame =
+        Multimodal.withChecksum(d, payloadCol)
+          .filter(col("__media_valid"))
+          .select(col("__n_bytes").as("nb"), col("__checksum").as("ck"))
+          .distinct()
+      if (!incrRun) {
+        ctx.adapter.writeTableAtomic(keysOf(df), rel, sortBy = Seq("ck"))
+        recordParams(ctx, rel, s)
+        s.apply(df)
+      } else {
+        if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
+          s"${rel.fqn}: media checksum index missing on an incremental " +
+            "batch run — the state was lost; rebuild with --full-refresh")
+        checkParams(ctx, rel, s)
+        val state = ctx.adapter.read(rel)
+        val canon = s.apply(df) // within-batch exact dedup first
+        val ck = Multimodal.withChecksum(canon, payloadCol)
+        val kept = ck.join(state,
+            ck("__n_bytes") === state("nb") &&
+              ck("__checksum") === state("ck") && col("__media_valid"),
+            "left_anti")
+          .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        deferred += (() => {
+          val fresh = keysOf(df)
+            .join(ctx.adapter.read(rel), Seq("nb", "ck"), "left_anti")
+          ctx.adapter.appendToTable(
+            fresh.repartitionByRange(col("ck")).sortWithinPartitions(col("ck")),
+            rel)
+        })
+        kept
+      }
     }
   }
 }

@@ -2200,6 +2200,76 @@ object EnginePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // incremental MEDIA dedup: the multimodal corpus under the same
+    // continuous-ingest contract as text — run 1 builds the base media
+    // slice (doc_id < 250) and persists the stub-perceptual signature
+    // index + banded twin; run 2 dedups ONLY the batch
+    // (250 ≤ doc_id < 600) against itself and the settled index via the
+    // shared simhash core. The oracle re-derives the signatures from
+    // the source text (body ≡ text bytes — the documented StubCodec
+    // boundary) with the same split/settled-keep composition.
+    "q_engine_media_incremental" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticMedia(
+        graft.Tables(s, dir, "documents").filter(col("doc_id") < 600)
+          .select("doc_id", "text"))
+      val mdir = Files.createTempDirectory("graft_media_incr_src").toString
+      media.write.mode("overwrite").parquet(s"$mdir/media.parquet")
+      val proj = Files.createTempDirectory("graft_media_incr")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: mediaincr
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 250L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: media
+           |        external:
+           |          location: "$mdir/media.parquet"
+           |""".stripMargin)
+      write(proj, "models/deduped3.sql",
+        """select doc_id, media_type, payload from {{ source('lake', 'media') }}
+          |where doc_id < {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and doc_id >= {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: deduped3
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: media_dedup
+          |          method: simhash
+          |          id_col: doc_id
+          |""".stripMargin)
+      val schema = "g_engine_mediaincr"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_media_incr_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: doc_id < 250
+      write(proj, "dbt_project.yml", projYml(250L, 600L))
+      val runner = runOnce() // incremental batch
+      runner.adapter.read(graft.core.Relation(schema, "deduped3"))
+        .select(col("doc_id"), col("media_type"))
+        .orderBy("doc_id")
+    }),
+
     // incremental n-gram CONTAINMENT dedup: run 1 builds the base slice
     // (doc_id < 250) and persists the shingle-set index plus its narrow
     // (id, s) postings twin; run 2 dedups ONLY the batch
@@ -2966,6 +3036,56 @@ object EnginePack extends QueryPack {
          |SELECT d.doc_id, d.source,
          |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tok
          |FROM documents d JOIN keepers k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the incremental media contract in one statement: stub perceptual
+    // signatures re-derived from the source text (body ≡ text bytes),
+    // hamming ≤ 3 pairs split at the batch boundary, per-run closure,
+    // settled-keep on the batch side
+    "q_engine_media_incremental" ->
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 600),
+         |${PipelinePack.simhashChunkCtesFrom("corpus")},
+         |pr AS MATERIALIZED (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         |        bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+         |        <= 3),
+         |bpairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v < 250),
+         |bedges AS MATERIALIZED (
+         |  SELECT u, v FROM bpairs UNION SELECT v, u FROM bpairs),
+         |breach(id, lab) AS (
+         |  SELECT u, u FROM bedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM bedges e JOIN breach r ON r.id = e.v),
+         |bcc AS (SELECT id, min(lab) AS component_id FROM breach GROUP BY id),
+         |npairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v >= 250),
+         |nedges AS MATERIALIZED (
+         |  SELECT u, v FROM npairs UNION SELECT v, u FROM npairs),
+         |nreach(id, lab) AS (
+         |  SELECT u, u FROM nedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM nedges e JOIN nreach r ON r.id = e.v),
+         |ncc AS (SELECT id, min(lab) AS component_id FROM nreach GROUP BY id),
+         |nsettled AS (SELECT DISTINCT component_id FROM ncc WHERE id < 250),
+         |keepers AS (
+         |  SELECT d.doc_id FROM corpus d
+         |  LEFT JOIN bcc ON bcc.id = d.doc_id
+         |  WHERE d.doc_id < 250
+         |    AND (bcc.id IS NULL OR bcc.id = bcc.component_id)
+         |  UNION ALL
+         |  SELECT d.doc_id FROM corpus d
+         |  LEFT JOIN ncc ON ncc.id = d.doc_id
+         |  LEFT JOIN nsettled t ON t.component_id = ncc.component_id
+         |  WHERE d.doc_id >= 250
+         |    AND (ncc.id IS NULL
+         |         OR (t.component_id IS NULL AND ncc.id = ncc.component_id)))
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+         |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+         |    AS media_type
+         |FROM corpus d JOIN keepers k USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     // the incremental containment contract in one statement: exact

@@ -580,6 +580,47 @@ class PipelineFrozenSpec extends AnyFunSuite {
 
   // --- legality + failure modes ----------------------------------------
 
+  test("incremental pipeline: media_dedup(exact) batches drop EVER-seen " +
+      "bodies via the checksum index; corrupt payloads always keep") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val a = freshAdapter("incr_media")
+    val rel = Relation(a.defaultSchema, "mediacorpus")
+    val stateRel = Relation(a.defaultSchema,
+      "mediacorpus__state_media_dedup")
+    val steps = Seq(Map[String, Any]("op" -> "media_dedup"))
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "totally different body content here now"
+    def media(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      Multimodal.syntheticMedia(rows.toSeq.toDF("doc_id", "text"))
+    // batch 1: 1 and 2 share a body (headers differ — dims derive from
+    // the id); 1 kept, both keys... the body is ONE key
+    runPipeline(a, rel, steps, media((1L, t1), (2L, t1), (3L, t2)),
+      incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(a.relationExists(stateRel), "checksum index persisted")
+    assert(a.read(stateRel).count() == 2, "one key per distinct body")
+
+    // batch 2: 10 repeats a settled body (drops); 11 is new; plus one
+    // corrupt payload that must pass through and never enter the state
+    val b2 = media((10L, t1), (11L, "brand new second batch body text"))
+      .unionByName(Seq((99L, "audio", Array[Byte](9, 9)))
+        .toDF("doc_id", "media_type", "payload"))
+    runPipeline(a, rel, steps, b2, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 99L),
+      "10 drops against the index; corrupt 99 kept")
+    assert(a.read(stateRel).count() == 3,
+      "only the fresh valid body's key appended")
+
+    // switching method is a state-format change: loud error
+    val e = intercept[IllegalStateException](
+      runPipeline(a, rel,
+        Seq(Map[String, Any]("op" -> "media_dedup", "method" -> "simhash")),
+        media((20L, t2)), incremental = true))
+    assert(e.getMessage.contains("--full-refresh"), e.getMessage)
+  }
+
   test("incremental pipelines reject corpus-global steps by name") {
     import spark.implicits._
     val a = freshAdapter("incr_illegal")
