@@ -116,10 +116,16 @@ object Multimodal {
 
   /** Valid-GRFT-header check as a pure column expression (magic bytes +
     * minimum header length) — gates dedup participation so a corrupt
-    * payload is KEPT, never merged into the checksum-0 garbage group. */
+    * payload is KEPT, never merged into the checksum-0 garbage group.
+    * NULL-safe: a NULL payload is invalid (false), never NULL — a
+    * three-valued result here would let a NULL-payload row fall through
+    * BOTH the valid and the NOT-valid branch of the exact keep rule and
+    * silently vanish. */
   def isGrft(payloadCol: String): Column =
-    expr(s"length(`$payloadCol`) >= 16 AND " +
-      s"CAST(substring(`$payloadCol`, 1, 4) AS STRING) = 'GRFT'")
+    coalesce(
+      expr(s"length(`$payloadCol`) >= 16 AND " +
+        s"CAST(substring(`$payloadCol`, 1, 4) AS STRING) = 'GRFT'"),
+      lit(false))
 
   /** The payload BODY (bytes past the 16-byte header) decoded as a
     * string. The stub codec's "pixels" ARE text bytes (syntheticMedia),

@@ -422,7 +422,9 @@ object Resolver {
           dependsOn =
             h.refs.map { case (pk, n, v) =>
               protoResolved.refUniqueId(proj.name, pk, n, v) } ++
-              h.sources.map { case (s, t) => s"source.$s.$t" },
+              h.sources.map { case (s, t) => s"source.$s.$t" } ++
+              h.functions.map { case (pk, n) =>
+                s"function.${pk.getOrElse(proj.name)}.$n" },
           relation = Some(Relation(cfg0.schema.getOrElse(targetSchema),
             cfg0.alias.getOrElse(name))))
       }
@@ -477,7 +479,9 @@ object Resolver {
           dependsOn =
             h.refs.map { case (pk, n, v) =>
               protoResolved.refUniqueId(proj.name, pk, n, v) } ++
-              h.sources.map { case (s, t) => s"source.$s.$t" },
+              h.sources.map { case (s, t) => s"source.$s.$t" } ++
+              h.functions.map { case (pk, n) =>
+                s"function.${pk.getOrElse(proj.name)}.$n" },
           relation = Some(Relation(targetSchema + "_failures", name)),
           columns = Map("test_kind" -> "singular"))
       }

@@ -299,6 +299,15 @@ final class Runner(
         // FUNCTIONS see it (reference MA/materializations/functions/)
         case NodeKind.Function =>
           val body = compileSql(node)
+          // an ephemeral ref would prepend a WITH clause — but a scalar
+          // SQL UDF body must be a single expression (scalar subqueries
+          // over real relations are fine)
+          if (body.toLowerCase.startsWith("with "))
+            throw new IllegalStateException(
+              s"function ${node.name}: the body references an ephemeral " +
+                "model, which compiles to a WITH clause — a scalar SQL " +
+                "function body must be a single expression; materialize " +
+                "the upstream as a table or view instead")
           graft.adapter.InteractionLog.log(spark, "compile",
             s"${node.uniqueId}: $body")
           val args: Seq[(String, String)] =

@@ -39,15 +39,19 @@ class PipelineMatSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     // identical bodies, headers differ (dims derive from doc_id)
     val media = Multimodal.syntheticMedia(base)
-      // plus one corrupt payload: must survive BOTH methods untouched
+      // plus one corrupt and one NULL payload: must survive BOTH
+      // methods untouched (a NULL payload exercised the three-valued
+      // isGrft that once dropped the row from the exact keep rule)
       .unionByName(Seq((99L, "audio", Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "media_type", "payload"))
+      .unionByName(Seq((98L, "video", null.asInstanceOf[Array[Byte]]))
         .toDF("doc_id", "media_type", "payload"))
     val exact = steps(Seq(Map("op" -> "media_dedup")))
       .head.apply(media)
     assert(exact.columns.toSeq == media.columns.toSeq, "column-neutral")
-    assert(exact.collect().map(_.getLong(0)).toSet == Set(2L, 7L, 99L),
+    assert(exact.collect().map(_.getLong(0)).toSet == Set(2L, 7L, 98L, 99L),
       "identical bodies merge to min id despite different headers; " +
-        "the corrupt payload is kept")
+        "the corrupt and NULL payloads are kept")
     // simhash: one appended token is a small hamming perturbation
     val perturbed = Multimodal.syntheticMedia(Seq(
       (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"))
@@ -57,7 +61,7 @@ class PipelineMatSpec extends AnyFunSuite {
       .head.apply(media.unionByName(perturbed))
     val kept = near.collect().map(_.getLong(0)).toSet
     assert(!kept.contains(5L) && kept.contains(2L) && kept.contains(7L)
-      && kept.contains(99L), kept.toString)
+      && kept.contains(99L) && kept.contains(98L), kept.toString)
   }
 
   test("exact_dedup keeps the min-id row WITH its own fields") {
