@@ -45,6 +45,12 @@ object Main {
       /** list --output: "name" (unique ids, default) or "json" (one JSON
         * object per node, dbt ls shape). */
       output: String = "name",
+      /** list --resource-type / --exclude-resource-type (reference
+        * io_args.rs:287-289 resource_types/exclude_resource_types):
+        * kind-name filters over the selection; repeatable and
+        * comma-splittable. */
+      resourceTypes: Seq[String] = Nil,
+      excludeResourceTypes: Seq[String] = Nil,
       /** --fail-fast: stop scheduling after the first failed node. */
       failFast: Boolean = false,
       /** --event-time-start/--event-time-end: explicit microbatch
@@ -134,6 +140,12 @@ object Main {
         case "--defer" => a = a.copy(defer = true); i += 1
         case "--empty" => a = a.copy(empty = true); i += 1
         case "--output" => a = a.copy(output = argv(i + 1)); i += 2
+        case "--resource-type" | "--resource-types" =>
+          a = a.copy(resourceTypes = a.resourceTypes ++
+            argv(i + 1).split(",").map(_.trim).filter(_.nonEmpty)); i += 2
+        case "--exclude-resource-type" | "--exclude-resource-types" =>
+          a = a.copy(excludeResourceTypes = a.excludeResourceTypes ++
+            argv(i + 1).split(",").map(_.trim).filter(_.nonEmpty)); i += 2
         case "--fail-fast" => a = a.copy(failFast = true); i += 1
         case "--event-time-start" =>
           a = a.copy(eventTimeStart = Some(argv(i + 1))); i += 2
@@ -384,8 +396,13 @@ object Main {
         if (results.exists(_._2.exists(_.status == "error"))) 1 else 0
 
       case "list" | "ls" =>
-        val selected = runner.selectIds(args.select, args.selector,
+        val selected0 = runner.selectIds(args.select, args.selector,
           args.exclude)
+        val selected = selected0.filter { id =>
+          val kind = runner.resolved.nodes(id).kind.name
+          (args.resourceTypes.isEmpty || args.resourceTypes.contains(kind)) &&
+            !args.excludeResourceTypes.contains(kind)
+        }
         selected.toSeq.sorted.foreach { id =>
           if (args.output == "json") {
             val n = runner.resolved.nodes(id)
@@ -634,6 +651,7 @@ object Main {
       |  --schema NAME --threads N --full-refresh --fail-fast --empty
       |  --vars '{k: v}' --state DIR --defer --target-path DIR
       |  --sample PLAN.yml --sample-suffix SFX --limit N --output FMT
+      |  --resource-type T[,T...] --exclude-resource-type T[,T...]
       |  --event-time-start T --event-time-end T
       |  --record FILE.jsonl --replay-verify FILE.jsonl
       |  --replay-offline FILE.jsonl""".stripMargin

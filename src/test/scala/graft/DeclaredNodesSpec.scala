@@ -149,5 +149,23 @@ class DeclaredNodesSpec extends AnyFunSuite {
     assert(listOut("access:public") == Seq("model.lcli.orders"))
     assert(listOut("unit_test:ut_mart") == Seq("unit_test.lcli.ut_mart"))
     assert(listOut("saved_query:sq1") == Seq("saved_query.lcli.sq1"))
+
+    // --resource-type / --exclude-resource-type (io_args.rs:287-289)
+    // filter the selection by kind name, comma-splittable
+    def listTyped(extra: String*): Seq[String] = {
+      val bos = new java.io.ByteArrayOutputStream
+      val rc = Console.withOut(new java.io.PrintStream(bos)) {
+        graft.cli.Main.run(spark, graft.cli.Main.parseArgs(Array(
+          "list", "--project-dir", proj.toString) ++ extra))
+      }
+      assert(rc == 0)
+      bos.toString.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    assert(listTyped("--resource-type", "model") ==
+      Seq("model.lcli.mart", "model.lcli.orders"))
+    assert(listTyped("--resource-type", "unit_test,saved_query") ==
+      Seq("saved_query.lcli.sq1", "unit_test.lcli.ut_mart"))
+    assert(!listTyped("--exclude-resource-type", "test")
+      .exists(_.startsWith("test.")))
   }
 }
