@@ -800,6 +800,50 @@ class DedupSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("randomized parity: incremental n-gram ≡ full-corpus minus " +
+      "old×old, both measures, over a seeded adversarial corpus") {
+    import spark.implicits._
+    // fixed seed: exact dups, one-token perturbations, sub-3-word
+    // shorties (empty shingle sets), and fresh docs, split arbitrarily
+    val rnd = new scala.util.Random(20260815)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def sentence(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = Vector.fill(12)(sentence(8 + rnd.nextInt(8)))
+    val docs = (0L until 80L).map { i =>
+      val b = bases(rnd.nextInt(bases.length))
+      val t = rnd.nextInt(4) match {
+        case 0 => b
+        case 1 => b + " " + vocab(rnd.nextInt(vocab.length))
+        case 2 => sentence(1 + rnd.nextInt(2))
+        case _ => sentence(10 + rnd.nextInt(6))
+      }
+      (i, t)
+    }.toDF("id", "text")
+    val oldDf = docs.filter(col("id") % 2 === 0)
+    val newDf = docs.filter(col("id") % 2 === 1)
+    for (measure <- Seq("jaccard", "containment")) {
+      val thr = if (measure == "containment") 0.7 else 0.6
+      val full = Dedup.ngramNearDupsFromSets(
+        Dedup.shingleSets(docs, "id", "text", 3), thr, measure, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_$measure").toString
+      Dedup.shingleSets(oldDf, "id", "text", 3).write.parquet(s"$dir/sets")
+      val index = spark.read.parquet(s"$dir/sets")
+      Dedup.shinglePostings(index).write.parquet(s"$dir/grams")
+      val inc = Dedup.ngramNearDupsIncrementalFromSets(
+        Dedup.shingleSets(newDf, "id", "text", 3), index,
+        spark.read.parquet(s"$dir/grams"), thr, measure, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }
+      assert(full.nonEmpty && expected.size < full.size, s"$measure corpus")
+      assert(inc === expected,
+        s"$measure: extra=${inc diff expected} missing=${expected diff inc}")
+    }
+  }
+
   test("incremental containment: a new doc quoting a settled doc whole " +
       "is caught; disjoint new docs never pair") {
     import spark.implicits._
