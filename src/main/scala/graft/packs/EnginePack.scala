@@ -844,6 +844,70 @@ object EnginePack extends QueryPack {
     // within their group, protected ones only within their package. Each
     // scenario resolves a fixture project and records whether the resolver
     // accepted it or raised the access violation.
+    // the round's new selector methods driven through Runner.selectIds
+    // (the exact `list` code path) over a fixture project declaring one
+    // node of each selectable kind — the selection sets are pinned as a
+    // VALUES oracle (node_selector.rs:59-88 parity incl. the named
+    // rejections for cloud-artifact/internal-only methods)
+    "q_engine_selector_methods" -> ((s, dir) => {
+      import s.implicits._
+      val proj = Files.createTempDirectory("graft_selmethods")
+      write(proj, "dbt_project.yml",
+        """name: selm
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/orders.sql", "select 1 as id")
+      write(proj, "models/mart.sql", "select id from {{ ref('orders') }}")
+      write(proj, "functions/bucketize.sql", "case when x < 1 then 0 else 1 end")
+      write(proj, "functions/schema.yml",
+        """version: 2
+          |functions:
+          |  - name: bucketize
+          |    arguments: [{name: x, data_type: int}]
+          |    returns: {data_type: int}
+          |""".stripMargin)
+      write(proj, "models/props.yml",
+        """version: 2
+          |models:
+          |  - name: orders
+          |    access: public
+          |    columns:
+          |      - name: id
+          |        tests: [unique, not_null]
+          |unit_tests:
+          |  - name: ut_mart
+          |    model: mart
+          |    given:
+          |      - input: ref('orders')
+          |        rows: [{id: 1}]
+          |    expect:
+          |      rows: [{id: 1}]
+          |saved_queries:
+          |  - name: sq1
+          |    query_params:
+          |      metrics: []
+          |""".stripMargin)
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = "g_selm")
+      def sel(spec: String): String =
+        runner.selectIds(Some(spec)).toSeq.sorted.mkString(",")
+      def rejected(spec: String): String =
+        try { sel(spec); "accepted" }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("not supported") => "rejected" }
+      Seq(
+        ("access_public", sel("access:public")),
+        ("access_protected_default", sel("access:protected")),
+        ("column_rejected", rejected("column:orders.id")),
+        ("function_glob", sel("function:bucket*")),
+        ("saved_query", sel("saved_query:sq1")),
+        ("source_status_rejected", rejected("source_status:fresher")),
+        ("test_name_glob", sel("test_name:not_*")),
+        ("test_name_unique", sel("test_name:unique")),
+        ("unit_test", sel("unit_test:ut_mart")))
+        .toDF("case_name", "selection").orderBy("case_name")
+    }),
+
     // SQL UDF function NODES end-to-end (DbtFunction nodes.rs:3875 /
     // resolve_functions.rs): the .sql body + `functions:` properties
     // load as an executable node, `run` creates the catalog-persistent
@@ -3458,6 +3522,20 @@ object EnginePack extends QueryPack {
         |FROM ord o JOIN cust c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin,
+
+    "q_engine_selector_methods" ->
+      """SELECT case_name, selection FROM (VALUES
+        |  ('access_public', 'model.selm.orders'),
+        |  ('access_protected_default', 'model.selm.mart'),
+        |  ('column_rejected', 'rejected'),
+        |  ('function_glob', 'function.selm.bucketize'),
+        |  ('saved_query', 'saved_query.selm.sq1'),
+        |  ('source_status_rejected', 'rejected'),
+        |  ('test_name_glob', 'test.selm.not_null_orders_id'),
+        |  ('test_name_unique', 'test.selm.unique_orders_id'),
+        |  ('unit_test', 'unit_test.selm.ut_mart'))
+        |  AS t(case_name, selection)
+        |ORDER BY case_name""".stripMargin,
 
     // the function body inlined over the same source — what the created
     // SQL UDF computes per row
