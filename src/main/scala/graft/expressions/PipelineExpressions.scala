@@ -419,6 +419,31 @@ object PipelineExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** StubCodec.decode's body checksum — 64-bit FNV-1a over the payload
+    * bytes past the 16-byte GRFT header — as a native expression, so
+    * the media-dedup key computes without a per-row ScalaUDF in the
+    * hot path. Semantics mirror graft.ops.Multimodal.StubCodec.decode
+    * exactly (byte values sign-extend into the xor identically):
+    * payloads failing the header check yield 0, which the step's
+    * validity gate keeps out of the keyed branch. */
+  case class MediaChecksum(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val p = input.asInstanceOf[Array[Byte]]
+      if (p.length < 16 || p(0) != 'G' || p(1) != 'R' ||
+          p(2) != 'F' || p(3) != 'T') 0L
+      else {
+        var sum = 1469598103934665603L
+        var i = 16
+        while (i < p.length) { sum = (sum ^ p(i)) * 1099511628211L; i += 1 }
+        sum
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Count of lowercase space-split tokens that appear in `words` — the
     * stopword-hit primitive (same contract as
     * `size(filter(split(lower(text),' '), t -> t IN (...)))`). */
@@ -672,6 +697,8 @@ object PipelineExpressions {
     wrap(LangId(expression(c), markers))
   def token_hit_count(c: Column, words: Seq[String]): Column =
     wrap(TokenHitCount(expression(c), words))
+  def media_checksum(c: Column): Column =
+    wrap(MediaChecksum(expression(c)))
   def subword_count(c: Column): Column =
     wrap(SubwordCount(expression(c)))
   def repetition_stats(c: Column): Column =

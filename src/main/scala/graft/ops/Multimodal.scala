@@ -142,13 +142,14 @@ object Multimodal {
     * codec boundary); the length component makes an accidental FNV
     * collision require equal sizes too. */
   def withChecksum(media: DataFrame, payloadCol: String = "payload")
-      : DataFrame = {
-    val ck = udf { (p: Array[Byte]) => StubCodec.decode(p).checksum }
+      : DataFrame =
     media
       .withColumn("__media_valid", isGrft(payloadCol))
-      .withColumn("__checksum", ck(col(s"`$payloadCol`")))
+      // native expression, not a ScalaUDF — the key computes inside the
+      // same evaluation pass as the rest of the projection
+      .withColumn("__checksum", graft.expressions.PipelineExpressions
+        .media_checksum(col(s"`$payloadCol`")))
       .withColumn("__n_bytes", length(col(s"`$payloadCol`")).cast("long"))
-  }
 
   /** Stub perceptual near-dup pairs: a 64-bit simhash bit-signature
     * over the payload body's tokens, fed through the SAME banding core

@@ -33,6 +33,29 @@ class ExpressionPropertySpec extends AnyFunSuite {
     seps <- Gen.listOfN(n + 1, Gen.chooseNum(1, 3).map(" " * _))
   } yield seps.zipAll(words.take(n), "", "").flatMap(p => Seq(p._1, p._2)).mkString
 
+  test("MediaChecksum matches StubCodec.decode over random payloads") {
+    import graft.ops.Multimodal.StubCodec
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val payloads: Seq[Array[Byte]] = (0 until 200).map { i =>
+      i % 5 match {
+        case 0 => StubCodec.encode(rnd.nextInt(640) + 1,
+          rnd.nextInt(480) + 1, 3,
+          Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte))
+        case 1 => Array.fill(rnd.nextInt(10))(rnd.nextInt().toByte)
+        case 2 => Array.fill(20 + rnd.nextInt(50))(rnd.nextInt().toByte)
+        case 3 => StubCodec.encode(1, 1, 1, Array.emptyByteArray)
+        case _ => StubCodec.encode(9, 9, 3,
+          Array.fill(1000)(rnd.nextInt().toByte))
+      }
+    }
+    val expected = payloads.map(p => StubCodec.decode(p).checksum)
+    val got = payloads.toDF("p")
+      .select(PipelineExpressions.media_checksum(col("p")).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
   test("SubwordCount matches the aggregate/split HOF formulation") {
     import spark.implicits._
     val texts = Gen.listOfN(300, textGen).sample.get
