@@ -988,8 +988,11 @@ object PipelineModels {
           fail("`top_k:` is a corpus-global cut (top-k of one batch is " +
             "not top-k of the corpus); use `min_logw:` — a per-row " +
             "threshold under the frozen ratio table")
+      // fuzzy_dedup: the prefix order is a FROZEN trainer artifact (the
+      // base corpus's gram-frequency table), so batches are legal —
+      // exact-levenshtein verification makes the pair set order-free
       case "minhash_dedup" | "simhash_dedup" | "ngram_dedup"
-          | "media_dedup" =>
+          | "media_dedup" | "fuzzy_dedup" =>
         if (s.raw.contains("priority_col"))
           fail("`priority_col:` can elect a new doc over an already-" +
             "written settled row, which an append-only increment " +
@@ -1051,6 +1054,8 @@ object PipelineModels {
       incrementalNgram(ctx, s, suffix, df, incrRun, deferred)
     else if (s.op == "media_dedup" && incremental)
       incrementalMedia(ctx, s, suffix, df, incrRun, deferred)
+    else if (s.op == "fuzzy_dedup" && incremental)
+      incrementalFuzzy(ctx, s, suffix, df, incrRun, deferred)
     else if (trainerOp(s) && mode == "frozen")
       applyFrozen(ctx, s, suffix, df, retrainNow = incremental && !incrRun,
         mustExist = incrRun)
@@ -1124,6 +1129,15 @@ object PipelineModels {
         "k" -> int(s.raw, "k", 3).toString,
         "id_col" -> str(s.raw, "id_col", "doc_id"),
         "text_col" -> str(s.raw, "text_col", "text"))
+      // q and max_dist are train params: the persisted prefix postings
+      // were selected as the q·max_dist+1 rarest grams under the frozen
+      // frequency order — a later run with a larger max_dist would need
+      // MORE prefix grams than the index stores (silent recall loss)
+      case "fuzzy_dedup" => Seq(
+        "q" -> int(s.raw, "q", 2).toString,
+        "max_dist" -> int(s.raw, "max_dist", 2).toString,
+        "id_col" -> str(s.raw, "id_col", "doc_id"),
+        "str_col" -> str(s.raw, "str_col", "text"))
       // method IS a train param: the exact method's (nb, ck) key set
       // and the simhash method's signature table are incompatible
       // state formats; max_hamming stays apply-time like text simhash
@@ -1818,6 +1832,90 @@ object PipelineModels {
         })
         kept
       }
+    }
+  }
+
+  /** fuzzy_dedup with a persisted string index (incremental pipelines).
+    * Three relations: the (id, str) strings seen, the FROZEN (gram, f)
+    * frequency table trained on run 1 (vocabulary-bounded — it defines
+    * the global prefix order and is NEVER appended; unseen grams rank
+    * rarest by rule, identically in every batch), and the NARROW
+    * (id, gram) prefix-posting twin range-sorted by gram. Batch runs
+    * select their prefixes under the frozen order, left-semi prune the
+    * postings to their own grams BEFORE pairing, join strings back only
+    * for length-banded candidates, verify exact levenshtein, apply the
+    * settled-keep rule, and append strings + batch postings after the
+    * target write lands. Recall is EXACT: the q·k+1 prefix lemma needs
+    * only a common total order (which freezing provides), and the
+    * verification is exact either way — so batch composition ≡ the
+    * full-corpus operator. max_dist/q are recorded train params (the
+    * stored prefix size is q·max_dist+1). */
+  private def incrementalFuzzy(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : DataFrame = {
+    val idCol = str(s.raw, "id_col", "doc_id")
+    val strCol = str(s.raw, "str_col", "text")
+    val maxDist = int(s.raw, "max_dist", 2)
+    val q = int(s.raw, "q", 2)
+    val rel = stateRel(ctx, suffix)
+    val freqRel = rel.copy(identifier = s"${rel.identifier}_freq")
+    val gramsRel = rel.copy(identifier = s"${rel.identifier}_grams")
+    def stringsOf(d: DataFrame): DataFrame =
+      d.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("str"))
+        .filter(col("str").isNotNull)
+    if (!incrRun) {
+      ctx.adapter.writeTableAtomic(stringsOf(df), rel)
+      recordParams(ctx, rel, s)
+      ctx.adapter.writeTableAtomic(
+        FuzzyJoin.gramFrequencies(df, strCol, q), freqRel)
+      ctx.adapter.writeTableAtomic(
+        FuzzyJoin.prefixGramsFrozen(ctx.adapter.read(rel), "id", "str",
+          ctx.adapter.read(freqRel), maxDist, q),
+        gramsRel, sortBy = Seq("gram"))
+      // pair from the PERSISTED strings; any prefix order yields the
+      // same exact-verified pair set
+      val pairs = FuzzyJoin.editDistanceSelfJoin(
+        ctx.adapter.read(rel), "id", "str", maxDist, q)
+      keepInputColumns(df.columns)(Dedup.canonicalCorpus(df, pairs, idCol))
+    } else {
+      if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
+        s"${rel.fqn}: fuzzy string index missing on an incremental " +
+          "batch run — the state was lost; rebuild with --full-refresh")
+      checkParams(ctx, rel, s)
+      val index = ctx.adapter.read(rel)
+      val frozenFreq =
+        if (ctx.adapter.relationExists(freqRel)) ctx.adapter.read(freqRel)
+        else FuzzyJoin.gramFrequencies(
+          index.withColumnRenamed("str", strCol), strCol, q)
+      val indexPrefix =
+        if (ctx.adapter.relationExists(gramsRel)) ctx.adapter.read(gramsRel)
+        else FuzzyJoin.prefixGramsFrozen(index, "id", "str", frozenFreq,
+          maxDist, q)
+      val pairs = FuzzyJoin.editDistanceIncremental(df, idCol, strCol,
+        index, indexPrefix, frozenFreq, maxDist, q)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val settledComps = cc
+        .join(index.select(col("id").as("__sid")), cc("id") === col("__sid"),
+          "left_semi")
+        .select(col("component_id").as("__sc")).distinct()
+      val drop = cc
+        .join(settledComps, cc("component_id") === col("__sc"), "left")
+        .filter(col("__sc").isNotNull || col("id") =!= col("component_id"))
+        .select(col("id").as("__drop_id"))
+      val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
+        "left_anti")
+      deferred += (() => {
+        ctx.adapter.appendToTable(stringsOf(df), rel)
+        ctx.adapter.appendToTable(
+          FuzzyJoin.prefixGramsFrozen(stringsOf(df), "id", "str",
+              frozenFreq, maxDist, q)
+            .repartitionByRange(col("gram"))
+            .sortWithinPartitions(col("gram")),
+          gramsRel)
+        // the frozen frequency table is deliberately NOT updated
+      })
+      kept
     }
   }
 }

@@ -163,4 +163,73 @@ object FuzzyJoin {
       maxDist: Int, q: Int = 2): DataFrame =
     Dedup.canonicalCorpus(df,
       editDistanceSelfJoin(df, idCol, strCol, maxDist, q), idCol)
+
+  // ---- incremental form: frozen-frequency prefix index -----------------
+
+  /** Single-counted gram-frequency table over a corpus — the FROZEN
+    * ordering artifact of incremental fuzzy dedup (vocabulary-bounded,
+    * never corpus-sized). Any total order on grams preserves the
+    * q·k+1 prefix lemma's recall guarantee; what matters is that every
+    * run uses the SAME order, which freezing this table provides. */
+  def gramFrequencies(df: DataFrame, strCol: String, q: Int): DataFrame =
+    df.select(explode(gramsArray(col(s"`$strCol`"), q)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("f"))
+
+  /** Prefix-gram postings (id, gram) of a corpus under an EXPLICIT
+    * frozen frequency table — the persistable narrow index half.
+    * Grams absent from `freq` rank rarest (f = 0, then gram asc), a
+    * rule every batch applies identically, so prefixes chosen in
+    * different runs are mutually consistent and batch-vs-index recall
+    * stays EXACT (the lemma needs only a common total order; exact
+    * levenshtein verification then makes the pair set order-free). */
+  def prefixGramsFrozen(df: DataFrame, idCol: String, strCol: String,
+      freq: DataFrame, maxDist: Int, q: Int = 2): DataFrame = {
+    val s = df.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("str"))
+      .filter(col("str").isNotNull)
+    val exp = Dedup.maybeCache(
+      s.select(col("id"), explode(gramsArray(col("str"), q)).as("gram")))
+    val f0 = exp.select("gram").distinct()
+      .join(freq.select(col("gram"), col("f")), Seq("gram"), "left")
+      .select(col("gram"), coalesce(col("f"), lit(0L)).as("f"))
+    prefixGrams(exp, f0, q, maxDist)
+  }
+
+  /** Edit-distance near-dup pairs of a NEW batch against itself AND a
+    * persisted string index — the continuous-ingest twin of
+    * [[editDistanceSelfJoin]]. `indexPrefix` is the narrow (id, gram)
+    * prefix-posting twin of the (id, str) index, left-semi pruned to
+    * the batch's own prefix grams BEFORE pairing; strings join back
+    * only for length-banded candidates, and old×old pairs never form
+    * (one side of every candidate is a batch prefix row). All prefixes
+    * — index rows at their build time, the batch now — are selected
+    * under the same frozen frequency order, so recall matches the
+    * full-corpus operator exactly; verification is exact levenshtein
+    * either way. Output: (id_a, id_b, dist), unordered pairs. */
+  def editDistanceIncremental(newDf: DataFrame, idCol: String,
+      strCol: String, index: DataFrame, indexPrefix: DataFrame,
+      frozenFreq: DataFrame, maxDist: Int, q: Int = 2): DataFrame = {
+    val n = newDf.select(col(s"`$idCol`").as("id"),
+        col(s"`$strCol`").as("str"))
+      .filter(col("str").isNotNull)
+    val np = Dedup.maybeCache(
+      prefixGramsFrozen(n, "id", "str", frozenFreq, maxDist, q))
+    val ip = indexPrefix.select(col("id"), col("gram"))
+      .join(np.select("gram").distinct(), Seq("gram"), "left_semi")
+    val cand = np.withColumnRenamed("id", "__lid")
+      .join(np.unionByName(ip).withColumnRenamed("id", "__rid"), "gram")
+      .filter(col("__lid") =!= col("__rid"))
+      .select(least(col("__lid"), col("__rid")).as("id_a"),
+        greatest(col("__lid"), col("__rid")).as("id_b"))
+      .distinct()
+    val allStr = n.unionByName(index.select(col("id"), col("str")))
+    cand
+      .join(allStr.select(col("id").as("id_a"), col("str").as("__sa")),
+        "id_a")
+      .join(allStr.select(col("id").as("id_b"), col("str").as("__sb")),
+        "id_b")
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -2264,6 +2264,77 @@ object EnginePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // incremental FUZZY dedup: run 1 builds the base slice
+    // (c_custkey ≤ 200) and persists the string index, the FROZEN
+    // gram-frequency table (the prefix order), and the prefix-posting
+    // twin; run 2 dedups ONLY the batch (200 < c_custkey ≤ 400) against
+    // itself and the settled strings — exact levenshtein verification
+    // makes the pair set order-free, so the oracle is simply the full
+    // quadratic lev ≤ 1 join with the split/settled-keep composition.
+    // Customer names differ in digit positions, so typo-distance dups
+    // are dense and genuinely span the boundary.
+    "q_engine_fuzzy_incremental" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_fuzzy_incr")
+      def projYml(lo: Long, hi: Long) =
+        s"""name: fuzzyincr
+           |model-paths: ["models"]
+           |vars:
+           |  lo: $lo
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(0L, 700L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: customer
+           |        external:
+           |          location: "$dir/customer.parquet"
+           |""".stripMargin)
+      // every 7th key: consecutive corpus names differ in 1-2 digit
+      // positions, so lev ≤ 1 pairs are plentiful but transitive chains
+      // BREAK — components stay small instead of the whole corpus
+      // collapsing into one (which a dense 1..N key range does)
+      write(proj, "models/canon.sql",
+        """select c_custkey, c_name from {{ source('lake', 'customer') }}
+          |where c_custkey % 7 = 0 and c_custkey <= {{ var('hi') }}
+          |{% if is_incremental() %}
+          |  and c_custkey > {{ var('lo') }}
+          |{% endif %}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: canon
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      steps:
+          |        - op: fuzzy_dedup
+          |          id_col: c_custkey
+          |          str_col: c_name
+          |          max_dist: 1
+          |""".stripMargin)
+      val schema = "g_engine_fuzzyincr"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_fuzzy_incr_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce() // base build: c_custkey <= 700
+      write(proj, "dbt_project.yml", projYml(700L, 1400L))
+      val runner = runOnce() // incremental batch
+      runner.adapter.read(graft.core.Relation(schema, "canon"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
     // incremental MEDIA dedup: the multimodal corpus under the same
     // continuous-ingest contract as text — run 1 builds the base media
     // slice (doc_id < 250) and persists the stub-perceptual signature
@@ -3101,6 +3172,52 @@ object EnginePack extends QueryPack {
          |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tok
          |FROM documents d JOIN keepers k USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the incremental fuzzy contract in one statement: exact lev ≤ 1
+    // pairs over the capped corpus (verification is exact, so the
+    // frozen prefix order never shows in the result), split at the
+    // batch boundary, per-run closure, settled-keep on the batch side
+    "q_engine_fuzzy_incremental" ->
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT c_custkey, c_name FROM customer
+         |  WHERE c_custkey % 7 = 0 AND c_custkey <= 1400),
+         |pr AS MATERIALIZED (
+         |  SELECT a.c_custkey AS u, b.c_custkey AS v
+         |  FROM corpus a JOIN corpus b ON a.c_custkey < b.c_custkey
+         |  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+         |    AND levenshtein(a.c_name, b.c_name) <= 1),
+         |bpairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v <= 700),
+         |bedges AS MATERIALIZED (
+         |  SELECT u, v FROM bpairs UNION SELECT v, u FROM bpairs),
+         |breach(id, lab) AS (
+         |  SELECT u, u FROM bedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM bedges e JOIN breach r ON r.id = e.v),
+         |bcc AS (SELECT id, min(lab) AS component_id FROM breach GROUP BY id),
+         |npairs AS MATERIALIZED (SELECT u, v FROM pr WHERE v > 700),
+         |nedges AS MATERIALIZED (
+         |  SELECT u, v FROM npairs UNION SELECT v, u FROM npairs),
+         |nreach(id, lab) AS (
+         |  SELECT u, u FROM nedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM nedges e JOIN nreach r ON r.id = e.v),
+         |ncc AS (SELECT id, min(lab) AS component_id FROM nreach GROUP BY id),
+         |nsettled AS (SELECT DISTINCT component_id FROM ncc WHERE id <= 700),
+         |keepers AS (
+         |  SELECT d.c_custkey FROM corpus d
+         |  LEFT JOIN bcc ON bcc.id = d.c_custkey
+         |  WHERE d.c_custkey <= 700
+         |    AND (bcc.id IS NULL OR bcc.id = bcc.component_id)
+         |  UNION ALL
+         |  SELECT d.c_custkey FROM corpus d
+         |  LEFT JOIN ncc ON ncc.id = d.c_custkey
+         |  LEFT JOIN nsettled t ON t.component_id = ncc.component_id
+         |  WHERE d.c_custkey > 700
+         |    AND (ncc.id IS NULL
+         |         OR (t.component_id IS NULL AND ncc.id = ncc.component_id)))
+         |SELECT d.c_custkey, d.c_name
+         |FROM corpus d JOIN keepers k USING (c_custkey)
+         |ORDER BY d.c_custkey""".stripMargin,
 
     // the incremental media contract in one statement: stub perceptual
     // signatures re-derived from the source text (body ≡ text bytes),

@@ -121,6 +121,49 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
   }
 
+  test("incremental fuzzy ≡ full-corpus pairs minus old×old under the " +
+      "frozen prefix order; postings twin scanned narrow") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Customer#000000001"), (2L, "Customer#000000002"),
+      (3L, "wholly different"), (4L, "Customer#000001002"),
+      (5L, "wholy different"), (6L, "Customer#000000011"),
+      (7L, "x"), (8L, "y"), (9L, "unrelated text entirely"))
+      .toDF("id", "s")
+    val oldDf = docs.filter(col("id") % 2 === 0)
+    val newDf = docs.filter(col("id") % 2 === 1)
+    val full = FuzzyJoin.editDistanceSelfJoin(docs, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }
+    assert(full.nonEmpty && expected.size < full.size, full.toString)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzyidx")
+      .toString
+    oldDf.select(col("id"), col("s").as("str")).write.parquet(s"$dir/strs")
+    val index = spark.read.parquet(s"$dir/strs")
+    // the FROZEN order: frequencies over the BASE corpus only
+    FuzzyJoin.gramFrequencies(oldDf, "s", q = 2).write.parquet(s"$dir/freq")
+    val freq = spark.read.parquet(s"$dir/freq")
+    FuzzyJoin.prefixGramsFrozen(index, "id", "str", freq, maxDist = 2)
+      .write.parquet(s"$dir/grams")
+    val postings = spark.read.parquet(s"$dir/grams")
+    val pairs = FuzzyJoin.editDistanceIncremental(
+      newDf, "id", "s", index, postings, freq, maxDist = 2)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === expected,
+      "frozen-order incremental path matches the full-corpus subset")
+
+    val plan = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("gram:") && !l.contains("str:")),
+      s"postings twin scanned narrow:\n${readSchemas.mkString("\n")}")
+    assert(plan.contains("LeftSemi"),
+      "index postings pre-pruned by a left-semi on the batch's grams")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("fuzzyDedup merges typo chains transitively, keeps the min id") {
     import spark.implicits._
     // A~B (1 edit), B~C (1 edit), but ed(A,C)=2 > maxDist=1 — the chain

@@ -621,6 +621,51 @@ class PipelineFrozenSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--full-refresh"), e.getMessage)
   }
 
+  test("incremental pipeline: fuzzy_dedup batches dedup against the " +
+      "string index under the FROZEN gram-frequency order") {
+    import spark.implicits._
+    val a = freshAdapter("incr_fuzzy")
+    val rel = Relation(a.defaultSchema, "titles")
+    val strsRel = Relation(a.defaultSchema, "titles__state_fuzzy_dedup")
+    val freqRel = Relation(a.defaultSchema,
+      "titles__state_fuzzy_dedup_freq")
+    val gramsRel = Relation(a.defaultSchema,
+      "titles__state_fuzzy_dedup_grams")
+    val steps = Seq(Map[String, Any]("op" -> "fuzzy_dedup",
+      "id_col" -> "doc_id", "str_col" -> "title", "max_dist" -> 2))
+    // base: 1≈2 typo pair (1 kept), 3 unique
+    val b1 = Seq((1L, "evening report final"), (2L, "evening report finale"),
+      (3L, "completely unrelated")).toDF("doc_id", "title")
+    runPipeline(a, rel, steps, b1, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(a.relationExists(strsRel) && a.read(strsRel).count() == 3)
+    assert(a.relationExists(freqRel), "frozen frequency table persisted")
+    assert(a.relationExists(gramsRel), "prefix postings persisted")
+    val frozenCount = a.read(freqRel).count()
+
+    // batch: 10 is a typo of settled 2 (a DROPPED doc — still settles
+    // it); 11≈12 pure-new pair (11 kept); 13 unique with grams the
+    // frozen table has never seen (rarest-by-rule, still prefixed)
+    val b2 = Seq((10L, "evening report finals"),
+      (11L, "quarterly summary sheet"), (12L, "quarterly summary shet"),
+      (13L, "zzz qqq jjj xxx")).toDF("doc_id", "title")
+    runPipeline(a, rel, steps, b2, incremental = true)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L, 13L),
+      "10 drops against the settled index; 11 wins its pure-new pair")
+    assert(a.read(strsRel).count() == 7, "batch strings appended")
+    assert(a.read(freqRel).count() == frozenCount,
+      "the frozen frequency table is NEVER updated")
+    // changed max_dist is a state-format change (prefix size): loud
+    val e = intercept[IllegalStateException](
+      runPipeline(a, rel,
+        Seq(Map[String, Any]("op" -> "fuzzy_dedup", "id_col" -> "doc_id",
+          "str_col" -> "title", "max_dist" -> 3)),
+        Seq((20L, "whatever title")).toDF("doc_id", "title"),
+        incremental = true))
+    assert(e.getMessage.contains("--full-refresh"), e.getMessage)
+  }
+
   test("incremental pipelines reject corpus-global steps by name") {
     import spark.implicits._
     val a = freshAdapter("incr_illegal")
