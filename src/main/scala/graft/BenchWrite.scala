@@ -22,7 +22,8 @@ object BenchWrite {
     // index build + indexed search — so a regression in ANY index's
     // write machinery is caught by numbers, not just plan asserts
     "q_engine_semantic_incremental", "q_engine_simhash_incremental",
-    "q_engine_ngram_incremental", "q_engine_vector_index")
+    "q_engine_ngram_incremental", "q_engine_vector_index",
+    "q_engine_fuzzy_incremental", "q_engine_media_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
