@@ -1216,7 +1216,16 @@ final class Runner(
       },
       "macros" -> macros,
       "unit_tests" -> declaredOf("unit_test"),
-      "docs" -> Map.empty[String, Any],
+      // {% docs %} blocks as DbtDocsMacro entries (macros.rs:44-51) —
+      // the last v12 map that was hardcoded empty
+      "docs" -> project.allProjects.flatMap { p =>
+        p.docsBlocks.map { case (n, contents) =>
+          s"doc.${p.name}.$n" -> Map(
+            "unique_id" -> s"doc.${p.name}.$n",
+            "name" -> n, "package_name" -> p.name,
+            "block_contents" -> contents)
+        }
+      }.toMap,
       "semantic_models" -> declaredOf("semantic_model"),
       "saved_queries" -> declaredOf("saved_query"),
       "exposures" -> declaredOf("exposure"),

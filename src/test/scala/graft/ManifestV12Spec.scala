@@ -71,6 +71,8 @@ class ManifestV12Spec extends AnyFunSuite {
         |model-paths: ["models"]
         |""".stripMargin)
     write(proj, "models/base.sql", "select 1 as id, 'x' as label\n")
+    write(proj, "models/overview.md",
+      "{% docs id_doc %}The surrogate id.{% enddocs %}\n")
     write(proj, "models/derived.sql",
       "select id from {{ ref('base') }}\n")
     write(proj, "models/schema.yml",
@@ -130,6 +132,11 @@ class ManifestV12Spec extends AnyFunSuite {
     // the always-empty map of earlier rounds
     assert(m("saved_queries").asInstanceOf[Map[String, Any]].keySet ==
       Set("saved_query.manidemo.ids_weekly"))
+    // {% docs %} blocks emit as DbtDocsMacro entries (macros.rs:44-51)
+    val docs = m("docs").asInstanceOf[Map[String, Any]]
+    assert(docs.keySet == Set("doc.manidemo.id_doc"))
+    assert(docs("doc.manidemo.id_doc").asInstanceOf[Map[String, Any]]
+      .apply("block_contents") == "The surrogate id.")
   }
 
   test("parent_map and child_map mirror the resolved DAG") {
