@@ -908,6 +908,86 @@ object EnginePack extends QueryPack {
         .toDF("case_name", "selection").orderBy("case_name")
     }),
 
+    // `enabled: false` parity (resolver.rs:162-212 — every resolve_* step
+    // partitions enabled/disabled; manifest.rs:255 build_disabled_map;
+    // renderer.rs:364 DisabledModel status): a disabled model leaves the
+    // DAG — it never compiles or runs (its body references a relation
+    // that does not exist, so execution would fail loudly), its generic
+    // test auto-disables with it, a disabled exposure routes to the
+    // disabled map, and an ENABLED model ref'ing a disabled one is a
+    // named parse error. Live rows come from the surviving model so the
+    // oracle recomputes them from the source.
+    "q_engine_disabled" -> ((s, dir) => {
+      import s.implicits._
+      val proj = Files.createTempDirectory("graft_disabled_q")
+      write(proj, "dbt_project.yml",
+        """name: dis
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/live.sql",
+        "select o_orderstatus as status, count(*) as n\n" +
+          "from {{ source('lake', 'orders') }} group by o_orderstatus\n")
+      write(proj, "models/old.sql",
+        "{{ config(enabled=false) }}\n" +
+          "select id from relation_that_does_not_exist\n")
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: old
+          |    columns:
+          |      - name: id
+          |        tests: [not_null]
+          |exposures:
+          |  - name: retired_dash
+          |    type: dashboard
+          |    config: {enabled: false}
+          |    depends_on: ["ref('live')"]
+          |""".stripMargin)
+      val schema = "g_engine_disabled"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_disabled_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val bad = runner.run().filter(_.status != "success")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      val disabledIds =
+        runner.resolved.disabledNodes.keySet.toSeq.sorted.mkString(",")
+      val oldRan = if (s.catalog.tableExists(schema, "old")) "ran" else "absent"
+      val refOutcome = {
+        val proj2 = Files.createTempDirectory("graft_disabled_ref")
+        write(proj2, "dbt_project.yml",
+          """name: dis2
+            |model-paths: ["models"]
+            |""".stripMargin)
+        write(proj2, "models/old.sql",
+          "{{ config(enabled=false) }}\nselect 1 as id\n")
+        write(proj2, "models/reader.sql",
+          "select id from {{ ref('old') }}\n")
+        try { graft.resolve.Resolver.resolve(
+          ProjectLoader.load(proj2.toString), schema); "accepted" }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("disabled") => "named_error" }
+      }
+      runner.adapter.read(graft.core.Relation(schema, "live"))
+        .select(concat(lit("live_"), col("status")).as("case_name"),
+          col("n").cast("string").as("outcome"))
+        .unionAll(Seq(
+          ("disabled_ids", disabledIds),
+          ("old_never_ran", oldRan),
+          ("ref_to_disabled", refOutcome)).toDF("case_name", "outcome"))
+        .orderBy("case_name")
+    }),
+
     // SQL UDF function NODES end-to-end (DbtFunction nodes.rs:3875 /
     // resolve_functions.rs): the .sql body + `functions:` properties
     // load as an executable node, `run` creates the catalog-persistent
@@ -3653,6 +3733,21 @@ object EnginePack extends QueryPack {
         |  ('unit_test', 'unit_test.selm.ut_mart'))
         |  AS t(case_name, selection)
         |ORDER BY case_name""".stripMargin,
+
+    // live rows recomputed from the source; the disabled-map bookkeeping
+    // and the two behavioral outcomes are pinned literals
+    "q_engine_disabled" ->
+      """SELECT case_name, outcome FROM (
+        |  SELECT 'live_' || o_orderstatus AS case_name,
+        |         CAST(count(*) AS VARCHAR) AS outcome
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('disabled_ids',
+        |     'exposure.dis.retired_dash,model.dis.old,test.dis.not_null_old_id'),
+        |    ('old_never_ran', 'absent'),
+        |    ('ref_to_disabled', 'named_error')) AS t(case_name, outcome)
+        |) ORDER BY case_name""".stripMargin,
 
     // the function body inlined over the same source — what the created
     // SQL UDF computes per row

@@ -49,7 +49,12 @@ object Resolver {
         Map.empty,
       /** `groups:` declarations (reference: DbtGroup dbt-schemas; dbt Mesh
         * ownership): group name → {name, owner{...}}. */
-      groups: Map[String, Map[String, Any]] = Map.empty) {
+      groups: Map[String, Map[String, Any]] = Map.empty,
+      /** Nodes removed from the DAG by `enabled: false` (plus tests /
+        * unit tests auto-disabled with their subject). Emitted in the
+        * manifest `disabled` map (reference: resolver.rs resolve_*
+        * enabled/disabled partitions; manifest.rs:255 build_disabled_map). */
+      disabledNodes: Map[String, Node] = Map.empty) {
 
     /** `ref('x')` / `ref('pkg', 'x')` [/ `v=N`] → unique id, with dbt's
       * resolution order: explicit package wins; else the referencing
@@ -647,13 +652,18 @@ object Resolver {
             case es: Seq[_] => es.collect { case e: Map[_, _] =>
               val em = e.asInstanceOf[Map[String, Any]]
               val name = Yaml.str(em("name"))
+              // `config: {enabled: false}` (dbt's spelling for declared
+              // nodes) or a bare `enabled:` key disables the node
+              val enabled = Yaml.dig(em, "config", "enabled")
+                .orElse(em.get("enabled"))
+                .forall(v => Yaml.str(v).toBoolean)
               Node(
                 uniqueId = s"${kind.name}.${proj.name}.$name",
                 name = name,
                 packageName = proj.name,
                 kind = kind,
                 dependsOn = harvestRefStrings(em, proj.name, protoResolved),
-                config = NodeConfig(extra = em))
+                config = NodeConfig(enabled = enabled, extra = em))
             }
             case _ => Nil
           }
@@ -825,8 +835,51 @@ object Resolver {
           gated.relation.map(_.fqn).getOrElse("")),
         checksumMacros = macroChecksum(gated.rawSql))
     }
-    checkRelationUniqueness(all)
-    checkAccess(all)
+    // --- disabled nodes (reference: resolver.rs:162-212 partitions every
+    // resolve_* into enabled/disabled; manifest.rs:255 build_disabled_map):
+    // `enabled: false` removes the node from the DAG entirely. Tests and
+    // unit tests whose subject is disabled are auto-disabled with it (dbt
+    // semantics); any OTHER enabled node depending on a disabled one is a
+    // named parse error instead of a downstream "not found".
+    val disabledSeed = all.filter { case (_, n) => !n.config.enabled }
+    val disabled: Map[String, Node] =
+      if (disabledSeed.isEmpty) disabledSeed
+      else {
+        var dis = disabledSeed
+        var grew = true
+        while (grew) {
+          val more = all.filter { case (id, n) =>
+            !dis.contains(id) &&
+              (n.kind == NodeKind.Test || n.kind == NodeKind.UnitTest) &&
+              (n.dependsOn.exists(dis.contains) ||
+                // a unit test's subject lives in extra("model_uid"), not
+                // dependsOn (its inputs are mocked away)
+                n.config.extra.get("model_uid")
+                  .exists(m => dis.contains(m.toString)))
+          }
+          grew = more.nonEmpty
+          dis ++= more
+        }
+        dis
+      }
+    val enabledAll =
+      if (disabled.isEmpty) all
+      else (all -- disabled.keys).map { case (id, n) =>
+        // model→test edges are engine scheduling gates — drop them when
+        // the test was auto-disabled; a surviving edge onto any other
+        // disabled node is the user's error
+        val (gone, kept) = n.dependsOn.partition(disabled.contains)
+        gone.map(disabled).find(d =>
+            d.kind != NodeKind.Test && d.kind != NodeKind.UnitTest)
+          .foreach { d =>
+            throw new IllegalStateException(
+              s"$id depends on ${d.uniqueId}, which is disabled " +
+                "(enabled: false)")
+          }
+        id -> (if (gone.isEmpty) n else n.copy(dependsOn = kept))
+      }
+    checkRelationUniqueness(enabledAll)
+    checkAccess(enabledAll)
 
     // --- groups (reference: DbtGroup; dbt Mesh ownership) ---------------
     val groups: Map[String, Map[String, Any]] =
@@ -844,7 +897,7 @@ object Resolver {
     // validate group references WHEN the project declares groups (dbt
     // errors on unknown groups; projects that never declare any keep the
     // config as a free-form selector tag)
-    if (groups.nonEmpty) all.values.foreach { n =>
+    if (groups.nonEmpty) enabledAll.values.foreach { n =>
       n.config.extra.get("group").map(String.valueOf).filter(_.nonEmpty)
         .foreach { g =>
           if (!groups.contains(g)) throw new IllegalStateException(
@@ -852,8 +905,8 @@ object Resolver {
         }
     }
 
-    Resolved(project, all, sources, modelOwners, sourceEventTimes,
-      sourceFreshness, modelVersions, groups)
+    Resolved(project, enabledAll, sources, modelOwners, sourceEventTimes,
+      sourceFreshness, modelVersions, groups, disabled)
   }
 
   /** Model `access:` enforcement (reference: Access enum nodes.rs;

@@ -1237,7 +1237,10 @@ final class Runner(
         .flatMap { case (id, n) =>
           n.config.extra.get("group").map(g => String.valueOf(g) -> id) }
         .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted },
-      "disabled" -> Map.empty[String, Any],
+      // enabled:false nodes, Vec-valued like the reference's
+      // BTreeMap<String, Vec<..>> (manifest.rs:255 build_disabled_map)
+      "disabled" -> resolved.disabledNodes.map { case (id, n) =>
+        id -> Seq(nodeJson(id, n)) },
       "selectors" -> project.selectorsDoc,
       "groups" -> resolved.groups)
     Files.writeString(Paths.get(outPath), Json.write(json))
