@@ -295,7 +295,9 @@ object Main {
       // `sample` itself reads the ORIGINAL sources; only run/build/etc.
       // remap source() onto the sampled namespace
       samplePlan = if (args.command == "sample") None else plan,
-      sampleSuffix = args.sampleSuffix)
+      sampleSuffix = args.sampleSuffix,
+      currentSourcesJson = Some(Paths.get(args.projectDir, args.targetPath)
+        .resolve("sources.json").toString))
     val targetDir = Paths.get(args.projectDir, args.targetPath)
     Files.createDirectories(targetDir)
 

@@ -858,6 +858,17 @@ object EnginePack extends QueryPack {
           |""".stripMargin)
       write(proj, "models/orders.sql", "select 1 as id")
       write(proj, "models/mart.sql", "select id from {{ ref('orders') }}")
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/from_src.sql",
+        "select 1 as one from {{ source('lake', 'orders') }} limit 1")
       write(proj, "functions/bucketize.sql", "case when x < 1 then 0 else 1 end")
       write(proj, "functions/schema.yml",
         """version: 2
@@ -895,13 +906,36 @@ object EnginePack extends QueryPack {
         try { sel(spec); "accepted" }
         catch { case e: IllegalArgumentException
             if e.getMessage.contains("not supported") => "rejected" }
+      // source_status:fresher — real artifact comparison: the --state
+      // copy saw lake.orders loaded in 2020, the current `source
+      // freshness` artifact sees 2021 → the source is fresher and its
+      // direct dependents select. Without both artifacts: named error.
+      val missingArtifacts =
+        try { sel("source_status:fresher"); "accepted" }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("freshness artifacts") =>
+          "needs_artifacts" }
+      def sourcesJson(ts: String): String =
+        s"""{"metadata": {}, "results": [{"unique_id": "source.lake.orders",
+           |"status": "pass", "max_loaded_at": "$ts"}]}""".stripMargin
+      val stateD = Files.createTempDirectory("graft_selm_state")
+      write(stateD, "sources.json", sourcesJson("2020-01-01 00:00:00.0"))
+      val curD = Files.createTempDirectory("graft_selm_cur")
+      write(curD, "sources.json", sourcesJson("2021-06-01 12:00:00.0"))
+      val withArtifacts = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = "g_selm", stateDir = Some(stateD.toString),
+        currentSourcesJson = Some(curD.resolve("sources.json").toString))
+      val fresherSel =
+        withArtifacts.selectIds(Some("source_status:fresher"))
+          .toSeq.sorted.mkString(",")
       Seq(
         ("access_public", sel("access:public")),
         ("access_protected_default", sel("access:protected")),
         ("column_rejected", rejected("column:orders.id")),
         ("function_glob", sel("function:bucket*")),
         ("saved_query", sel("saved_query:sq1")),
-        ("source_status_rejected", rejected("source_status:fresher")),
+        ("source_status_fresher", fresherSel),
+        ("source_status_missing_artifacts", missingArtifacts),
         ("test_name_glob", sel("test_name:not_*")),
         ("test_name_unique", sel("test_name:unique")),
         ("unit_test", sel("unit_test:ut_mart")))
@@ -3723,11 +3757,12 @@ object EnginePack extends QueryPack {
     "q_engine_selector_methods" ->
       """SELECT case_name, selection FROM (VALUES
         |  ('access_public', 'model.selm.orders'),
-        |  ('access_protected_default', 'model.selm.mart'),
+        |  ('access_protected_default', 'model.selm.from_src,model.selm.mart'),
         |  ('column_rejected', 'rejected'),
         |  ('function_glob', 'function.selm.bucketize'),
         |  ('saved_query', 'saved_query.selm.sq1'),
-        |  ('source_status_rejected', 'rejected'),
+        |  ('source_status_fresher', 'model.selm.from_src'),
+        |  ('source_status_missing_artifacts', 'needs_artifacts'),
         |  ('test_name_glob', 'test.selm.not_null_orders_id'),
         |  ('test_name_unique', 'test.selm.unique_orders_id'),
         |  ('unit_test', 'unit_test.selm.ut_mart'))

@@ -15,9 +15,10 @@ import graft.project.Yaml
   *   method    := fqn: | tag: | path: | package: | config.materialized: |
   *                resource_type: | source: | test_type: | test_name: |
   *                unit_test: | access: | function: | saved_query: |
-  *                group: | version: | result: | state:modified | state:new
-  *   (source_status: and column: are recognized but rejected with a
-  *   named reason — cloud-artifact / internal-only respectively)
+  *                group: | version: | result: | state:modified | state:new |
+  *                source_status:fresher
+  *   (column: is recognized but rejected with a named reason —
+  *   internal-only in the reference)
   *
   * selectors.yml definitions (parser.rs:100-862) compose the same atoms as
   * nested `union:` / `intersection:` lists with `exclude:` entries and
@@ -136,16 +137,24 @@ object Selector {
     * status) drives result:<status> (node_selector.rs:80). */
   def select(spec: Spec, nodes: Map[String, Node], graph: Dag.Graph,
       prevChecksums: Map[String, String] = Map.empty,
-      prevResults: Map[String, String] = Map.empty): Set[String] = spec match {
+      prevResults: Map[String, String] = Map.empty,
+      /** source_status:fresher — source uids whose current freshness
+        * artifact shows a strictly newer max_loaded_at than the --state
+        * copy; None when either artifact is missing (the method errors
+        * naming what to run). */
+      fresherSources: Option[Set[String]] = None): Set[String] = spec match {
     case Union(specs) =>
-      specs.flatMap(select(_, nodes, graph, prevChecksums, prevResults)).toSet
+      specs.flatMap(select(_, nodes, graph, prevChecksums, prevResults,
+        fresherSources)).toSet
     case Intersection(specs) =>
-      specs.map(select(_, nodes, graph, prevChecksums, prevResults)).reduce(_ intersect _)
+      specs.map(select(_, nodes, graph, prevChecksums, prevResults,
+        fresherSources)).reduce(_ intersect _)
     case Difference(base, exclude) =>
-      select(base, nodes, graph, prevChecksums, prevResults) --
-        select(exclude, nodes, graph, prevChecksums, prevResults)
+      select(base, nodes, graph, prevChecksums, prevResults, fresherSources) --
+        select(exclude, nodes, graph, prevChecksums, prevResults, fresherSources)
     case a: Atom =>
-      val base = matchAtom(a.raw, nodes, prevChecksums, prevResults)
+      val base = matchAtom(a.raw, nodes, prevChecksums, prevResults,
+        fresherSources)
       val expanded =
         if (a.atOperator) base.flatMap(graph.atClosure)
         else {
@@ -161,7 +170,8 @@ object Selector {
 
   private def matchAtom(raw: String, nodes: Map[String, Node],
       prevChecksums: Map[String, String],
-      prevResults: Map[String, String]): Set[String] = {
+      prevResults: Map[String, String],
+      fresherSources: Option[Set[String]] = None): Set[String] = {
     val (method, value) = raw.split(":", 2) match {
       case Array(m, v) => (m, v)
       case Array(v) => ("", v)
@@ -315,13 +325,27 @@ object Selector {
           case (id, _) if !prevChecksums.contains(id) => id
         }.toSet
       case "source_status" =>
-        // needs dbt-cloud freshness-run artifacts (sources.json from a
-        // prior `dbt source freshness` in a cloud job context) — cloud
-        // plumbing is out of scope for this engine
-        throw new IllegalArgumentException(
-          "selector method source_status: is not supported — it compares " +
-            "against dbt-cloud source-freshness artifacts (cloud plumbing " +
-            "is out of scope); use source: to select by source instead")
+        // dbt's source_status:fresher (node_selector.rs:75; the reference
+        // enumerates the method but never evaluates it — this engine
+        // does, from its own LOCAL freshness artifacts): sources whose
+        // current `source freshness` max_loaded_at advanced strictly past
+        // the --state run's sources.json. Matches nodes DIRECTLY reading
+        // a fresher source — the same dependent-selection convention as
+        // `source:` above; `+` expands downstream as usual.
+        if (value != "fresher")
+          throw new IllegalArgumentException(
+            s"source_status:$value is not supported — 'fresher' is the " +
+              "only defined source_status selection")
+        fresherSources match {
+          case None => throw new IllegalArgumentException(
+            "source_status:fresher needs BOTH freshness artifacts: run " +
+              "`source freshness` first (writes target/sources.json) and " +
+              "pass --state pointing at a previous run's sources.json")
+          case Some(fresh) =>
+            nodes.collect {
+              case (id, n) if n.dependsOn.exists(fresh.contains) => id
+            }.toSet
+        }
       case "column" =>
         // marked internal-only in the reference (node_selector.rs:81-86
         // "internal only to select column in a table")

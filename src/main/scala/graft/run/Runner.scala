@@ -57,7 +57,12 @@ final class Runner(
       * (plan.rs:494-516 sample_renaming_map). */
     samplePlan: Option[graft.sample.SamplerPlan.Plan] = None,
     sampleSuffix: String = "__sample",
-    now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())) {
+    now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis()),
+    /** Current `source freshness` artifact (target/sources.json) for the
+      * source_status:fresher selector — compared against the --state
+      * dir's copy. The CLI passes its target path; None leaves the
+      * method with a named "run source freshness first" error. */
+    currentSourcesJson: Option[String] = None) {
 
   val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
   val resolved: Resolver.Resolved = Resolver.resolve(project, targetSchema)
@@ -1048,9 +1053,39 @@ final class Runner(
       exclude: Option[String] = None): Set[String] =
     selectionSpec(select, selectorName, exclude) match {
       case Some(sp) =>
-        Selector.select(sp, resolved.nodes, graph, prevState(), prevResults())
+        Selector.select(sp, resolved.nodes, graph, prevState(), prevResults(),
+          fresherSources())
       case None => resolved.nodes.keySet
     }
+
+  /** source_status:fresher inputs: source uids whose CURRENT freshness
+    * artifact records a strictly newer max_loaded_at than the --state
+    * copy (or that the previous run never saw). None when either
+    * artifact is missing — the selector method errors naming what to
+    * run. A source with no max_loaded_at in the current artifact (error
+    * or metadata-skip) is never "fresher". */
+  def fresherSources(): Option[Set[String]] = {
+    def loadedAt(path: java.nio.file.Path): Option[Map[String, java.sql.Timestamp]] =
+      if (!Files.exists(path)) None
+      else Some(Json.parse(Files.readString(path))
+        .asInstanceOf[Map[String, Any]]
+        .get("results").collect { case rs: Seq[_] =>
+          rs.collect { case r: Map[_, _] =>
+            val rm = r.asInstanceOf[Map[String, Any]]
+            Option(rm.getOrElse("max_loaded_at", null)).map { v =>
+              rm("unique_id").toString ->
+                java.sql.Timestamp.valueOf(v.toString)
+            }
+          }.flatten.toMap
+        }.getOrElse(Map.empty))
+    for {
+      state <- stateDir
+      prev <- loadedAt(Paths.get(state, "sources.json"))
+      cur <- currentSourcesJson.flatMap(p => loadedAt(Paths.get(p)))
+    } yield cur.collect {
+      case (uid, ts) if prev.get(uid).forall(ts.after) => uid
+    }.toSet
+  }
 
   /** selectors.yml named definitions; `--select` wins, then `--selector`,
     * then the file's `default: true` entry (parser.rs:60-99). */

@@ -298,10 +298,25 @@ class ResolveSpec extends AnyFunSuite {
     assert(sel("access:protected") == Set("model.p.mart"))
   }
 
-  test("selector: source_status / column rejected with a named reason") {
+  test("selector: source_status:fresher selects dependents of fresher sources") {
+    // without both freshness artifacts the method errors naming what to run
     val e1 = intercept[IllegalArgumentException](
       Selector.select(Selector.parse("source_status:fresher"), nodes, ng))
-    assert(e1.getMessage.contains("cloud"))
+    assert(e1.getMessage.contains("freshness artifacts"))
+    // with artifacts: stg reads source.tpch.orders, which got fresher
+    assert(Selector.select(Selector.parse("source_status:fresher"), nodes, ng,
+      fresherSources = Some(Set("source.tpch.orders"))) == Set("model.p.stg"))
+    // nothing fresher → empty selection, no error
+    assert(Selector.select(Selector.parse("source_status:fresher"), nodes, ng,
+      fresherSources = Some(Set.empty)) == Set.empty)
+    // fresher is the only defined source_status value
+    val e3 = intercept[IllegalArgumentException](
+      Selector.select(Selector.parse("source_status:stale"), nodes, ng,
+        fresherSources = Some(Set.empty)))
+    assert(e3.getMessage.contains("fresher"))
+  }
+
+  test("selector: column rejected with a named reason") {
     val e2 = intercept[IllegalArgumentException](
       Selector.select(Selector.parse("column:model.p.mart.id"), nodes, ng))
     assert(e2.getMessage.contains("internal-only"))
