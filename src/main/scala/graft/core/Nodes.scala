@@ -233,7 +233,21 @@ final case class NodeConfig(
     limit: Option[Int] = None,
     where: Option[String] = None,
     storeFailures: Boolean = false,
-    extra: Map[String, Any] = Map.empty)
+    /** store_failures_as (StoreFailuresAs common.rs:1007-1012):
+      * ephemeral|table|view. Takes precedence over store_failures —
+      * `ephemeral` disables persistence even with store_failures: true;
+      * `table`/`view` enable it even without. */
+    storeFailuresAs: Option[String] = None,
+    extra: Map[String, Any] = Map.empty) {
+
+  /** The effective failure-persistence kind: Some("table"|"view") when
+    * failing rows persist, None when they stay ephemeral. */
+  def effectiveStoreFailures: Option[String] = storeFailuresAs match {
+    case Some("ephemeral") => None
+    case Some(kind) => Some(kind)
+    case None => if (storeFailures) Some("table") else None
+  }
+}
 
 /** A node in the project graph. `rawSql` is the Jinja-templated body for
   * models/snapshots/tests; seeds carry a csv path; sources a table path. */

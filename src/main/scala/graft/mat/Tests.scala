@@ -56,13 +56,26 @@ object TestMat {
     * `failingRows`. */
   def run(spark: SparkSession, failingRows: DataFrame, cfg: NodeConfig,
       adapter: Option[SparkAdapter] = None,
-      storeAs: Option[Relation] = None): TestResult = {
+      storeAs: Option[Relation] = None,
+      /** The test's SQL form, for store_failures_as: view — the view's
+        * body IS the failing-rows query, so it re-evaluates live like
+        * dbt's (builtin generic tests get a SQL twin from the Runner). */
+      storeSql: Option[String] = None): TestResult = {
     val limited = cfg.limit.map(failingRows.limit).getOrElse(failingRows)
-    // store_failures persists the failing rows (StoreFailuresAs common.rs:1007).
-    (adapter, storeAs) match {
-      case (Some(a), Some(rel)) if cfg.storeFailures =>
+    // store_failures / store_failures_as persist the failing rows
+    // (StoreFailuresAs common.rs:1007-1012; ephemeral wins over
+    // store_failures: true, table/view win over its absence).
+    (adapter, storeAs, cfg.effectiveStoreFailures) match {
+      case (Some(a), Some(rel), Some("table")) =>
         a.createSchema(rel.schema)
         a.writeTableAtomic(limited, rel)
+      case (Some(a), Some(rel), Some("view")) =>
+        val sql = storeSql.getOrElse(throw new IllegalArgumentException(
+          "store_failures_as: view needs the test's SQL form"))
+        val body = cfg.limit
+          .map(n => s"SELECT * FROM ($sql) __dbt_sf LIMIT $n").getOrElse(sql)
+        a.createSchema(rel.schema)
+        a.execute(s"CREATE OR REPLACE VIEW ${rel.fqn} AS $body")
       case _ =>
     }
     val failCalcDf = limited.agg(expr(cfg.failCalc).as("failures"))
@@ -81,7 +94,7 @@ object TestMat {
       else if (shouldWarn || shouldError) "warn"
       else "pass"
     TestResult(status, failures, shouldWarn, shouldError,
-      storeAs.filter(_ => cfg.storeFailures))
+      storeAs.filter(_ => cfg.effectiveStoreFailures.isDefined))
   }
 
   /** Evaluate "!= 0", "> 10", ">= 5" style threshold snippets against the

@@ -1022,6 +1022,74 @@ object EnginePack extends QueryPack {
         .orderBy("case_name")
     }),
 
+    // store_failures_as (StoreFailuresAs common.rs:1007-1012) through the
+    // real test-node path: `view` persists the test's SQL twin as a live
+    // catalog VIEW (read back for the oracle rows, catalog type checked);
+    // `ephemeral` overrides store_failures: true and persists nothing.
+    "q_engine_store_failures_as" -> ((s, dir) => {
+      import s.implicits._
+      val proj = Files.createTempDirectory("graft_sfas")
+      write(proj, "dbt_project.yml",
+        """name: sfas
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      write(proj, "models/statuses.sql",
+        "{{ config(materialized='table') }}\n" +
+          "select o_orderkey, o_orderstatus from {{ source('lake', 'orders') }}\n")
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: statuses
+          |    columns:
+          |      - name: o_orderstatus
+          |        tests:
+          |          - accepted_values:
+          |              values: ['O', 'F']
+          |              config:
+          |                severity: warn
+          |                store_failures_as: view
+          |          - not_null:
+          |              config:
+          |                severity: warn
+          |                store_failures: true
+          |                store_failures_as: ephemeral
+          |""".stripMargin)
+      val schema = "g_engine_sfas"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      s.sql(s"DROP DATABASE IF EXISTS `${schema}_failures` CASCADE")
+      val loc = Files.createTempDirectory("graft_sfas_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val bad = runner.run().filter(_.status == "error")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      val viewName = "accepted_values_statuses_o_orderstatus"
+      val storedAs = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          viewName, Some(schema + "_failures")))
+        .tableType.name.toLowerCase
+      val ephemeralStored =
+        if (s.catalog.tableExists(schema + "_failures",
+          "not_null_statuses_o_orderstatus")) "stored" else "absent"
+      runner.adapter
+        .read(graft.core.Relation(schema + "_failures", viewName))
+        .select(concat(lit("failed_value_"), col("value_field")).as("case_name"),
+          col("n_records").cast("string").as("outcome"))
+        .unionAll(Seq(
+          ("stored_as", storedAs),
+          ("ephemeral_not_stored", ephemeralStored)).toDF("case_name", "outcome"))
+        .orderBy("case_name")
+    }),
+
     // SQL UDF function NODES end-to-end (DbtFunction nodes.rs:3875 /
     // resolve_functions.rs): the .sql body + `functions:` properties
     // load as an executable node, `run` creates the catalog-persistent
@@ -3768,6 +3836,18 @@ object EnginePack extends QueryPack {
         |  ('unit_test', 'unit_test.selm.ut_mart'))
         |  AS t(case_name, selection)
         |ORDER BY case_name""".stripMargin,
+
+    "q_engine_store_failures_as" ->
+      """SELECT case_name, outcome FROM (
+        |  SELECT 'failed_value_' || o_orderstatus AS case_name,
+        |         CAST(count(*) AS VARCHAR) AS outcome
+        |  FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('stored_as', 'view'),
+        |    ('ephemeral_not_stored', 'absent')) AS t(case_name, outcome)
+        |) ORDER BY case_name""".stripMargin,
 
     // live rows recomputed from the source; the disabled-map bookkeeping
     // and the two behavioral outcomes are pinned literals

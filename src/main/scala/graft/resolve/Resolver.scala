@@ -1113,6 +1113,14 @@ object Resolver {
       limit = m.get("limit").map(Yaml.str(_).toInt),
       where = s("where"),
       storeFailures = m.get("store_failures").exists(v => Yaml.str(v).toBoolean),
+      storeFailuresAs = s("store_failures_as").map { v =>
+        val k = v.toLowerCase
+        if (!Set("ephemeral", "table", "view")(k))
+          throw new IllegalArgumentException(
+            s"store_failures_as must be ephemeral|table|view, got '$v' " +
+              "(StoreFailuresAs common.rs:1007)")
+        k
+      },
       extra = m)
   }
 

@@ -866,9 +866,10 @@ final class Runner(
     // singular test: the file body IS the failing-rows query
     // (reference: MA/materializations/tests/test.sql:1-66)
     if (node.columns.get("test_kind").contains("singular")) {
-      val failing = spark.sql(compileSql(node))
+      val sql = compileSql(node)
+      val failing = spark.sql(sql)
       val res = TestMat.run(spark, failing, node.config, Some(adapter),
-        Some(Relation(targetSchema + "_failures", node.name)))
+        Some(Relation(targetSchema + "_failures", node.name)), Some(sql))
       return MatResult(node.relation.get, res.status, s"failures=${res.failures}")
     }
     val modelName = node.columns("model")
@@ -877,39 +878,77 @@ final class Runner(
       resolved.nodes(s"model.${node.packageName}.$modelName").relation.get
     val df0 = adapter.read(modelRel)
     val df = node.config.where.map(df0.filter).getOrElse(df0)
-    val failing = node.rawSql match {
-      case "unique" => GenericTests.unique(df, column)
-      case "not_null" => GenericTests.notNull(df, column)
+    // SQL twin of each builtin generic test (MA/generic_test_sql/*.sql) —
+    // store_failures_as: view persists THIS text so the stored relation
+    // re-evaluates live exactly like dbt's; evaluation then also runs
+    // from it so view and result can never drift.
+    def q(id: String) = "`" + id.replace("`", "``") + "`"
+    val baseSql = node.config.where
+      .map(w => s"SELECT * FROM ${modelRel.fqn} WHERE ($w)")
+      .getOrElse(s"SELECT * FROM ${modelRel.fqn}")
+    def sqlLit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other => String.valueOf(other)
+    }
+    val (failing, testSql): (org.apache.spark.sql.DataFrame, Option[String]) =
+      node.rawSql match {
+      case "unique" =>
+        (GenericTests.unique(df, column), Some(
+          s"SELECT ${q(column)} AS unique_field, count(*) AS n_records " +
+            s"FROM ($baseSql) m WHERE ${q(column)} IS NOT NULL " +
+            s"GROUP BY ${q(column)} HAVING count(*) > 1"))
+      case "not_null" =>
+        (GenericTests.notNull(df, column), Some(
+          s"SELECT * FROM ($baseSql) m WHERE ${q(column)} IS NULL"))
       case "accepted_values" =>
         val values = node.config.extra.get("values").map {
           case s: Seq[_] => s.asInstanceOf[Seq[Any]]
           case one => Seq(one)
         }.getOrElse(Nil)
-        GenericTests.acceptedValues(df, column, values)
+        // empty accepted list → every non-null group fails (the DF
+        // builder's isin() semantics); NOT IN () would not parse
+        val havingSql =
+          if (values.isEmpty) s"${q(column)} IS NOT NULL"
+          else s"${q(column)} NOT IN (${values.map(sqlLit).mkString(", ")})"
+        (GenericTests.acceptedValues(df, column, values), Some(
+          s"SELECT ${q(column)} AS value_field, count(*) AS n_records " +
+            s"FROM ($baseSql) m GROUP BY ${q(column)} HAVING $havingSql"))
       case "relationships" =>
         val toUid = node.dependsOn.find(_ != s"model.${node.packageName}.$modelName")
           .getOrElse(throw new IllegalStateException("relationships needs `to`"))
         val parentRel = resolved.nodes(toUid).relation.get
         val field = node.config.extra.get("field").map(_.toString).getOrElse("id")
-        GenericTests.relationships(df, column, adapter.read(parentRel), field)
+        (GenericTests.relationships(df, column, adapter.read(parentRel), field),
+          Some(s"SELECT m.${q(column)} AS from_field FROM ($baseSql) m " +
+            s"LEFT ANTI JOIN (SELECT DISTINCT ${q(field)} AS __parent_key " +
+            s"FROM ${parentRel.fqn}) p ON m.${q(column)} = p.__parent_key " +
+            s"WHERE m.${q(column)} IS NOT NULL"))
       case custom if customTests.contains(custom) =>
         // {% test custom(model, column_name, ...) %} — loaded as macro
         // test_custom; call it with the model fqn, the column, and every
         // non-config param as kwargs, then run the rendered SELECT.
         val reserved = Set("config", "severity", "where", "limit",
-          "store_failures", "warn_if", "error_if", "fail_calc")
+          "store_failures", "store_failures_as", "warn_if", "error_if",
+          "fail_calc")
         val kwargs = node.config.extra.collect {
           case (k, v) if !reserved(k) => s", $k=${jinjaLit(v)}"
         }.mkString
         val call = s"{{ test_$custom(model=${jinjaLit(modelRel.fqn)}, " +
           s"column_name=${jinjaLit(column)}$kwargs) }}"
-        spark.sql(compileSql(node.copy(rawSql = call)))
+        val sql = compileSql(node.copy(rawSql = call))
+        (spark.sql(sql), Some(sql))
       case other =>
         throw new IllegalArgumentException(s"unknown generic test: $other")
     }
-    val res = TestMat.run(spark, failing, node.config,
+    // view storage evaluates FROM the SQL twin, so the persisted view's
+    // definition and the reported failure count share one query
+    val evalRows =
+      if (node.config.effectiveStoreFailures.contains("view"))
+        spark.sql(testSql.get)
+      else failing
+    val res = TestMat.run(spark, evalRows, node.config,
       Some(adapter),
-      Some(Relation(targetSchema + "_failures", node.name)))
+      Some(Relation(targetSchema + "_failures", node.name)), testSql)
     MatResult(modelRel, res.status, s"failures=${res.failures}")
   }
 

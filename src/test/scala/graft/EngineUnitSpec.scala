@@ -164,4 +164,24 @@ class EngineUnitSpec extends AnyFunSuite {
     assert(cfg.severity == Severity.Warn)
     assert(cfg.warnIf == "> 5")
   }
+
+  test("store_failures_as precedence over store_failures (common.rs:1007)") {
+    import graft.core.NodeConfig
+    // ephemeral disables persistence even with store_failures: true
+    assert(NodeConfig(storeFailures = true,
+      storeFailuresAs = Some("ephemeral")).effectiveStoreFailures.isEmpty)
+    // table/view enable it even without store_failures
+    assert(NodeConfig(storeFailuresAs = Some("view"))
+      .effectiveStoreFailures.contains("view"))
+    assert(NodeConfig(storeFailuresAs = Some("table"))
+      .effectiveStoreFailures.contains("table"))
+    // legacy store_failures: true defaults to a table
+    assert(NodeConfig(storeFailures = true)
+      .effectiveStoreFailures.contains("table"))
+    assert(NodeConfig().effectiveStoreFailures.isEmpty)
+    // unknown kinds are a named config error
+    val e = intercept[IllegalArgumentException](
+      Resolver.toNodeConfig(Map("store_failures_as" -> "parquet")))
+    assert(e.getMessage.contains("ephemeral|table|view"))
+  }
 }
