@@ -53,6 +53,10 @@ object Main {
       excludeResourceTypes: Seq[String] = Nil,
       /** --fail-fast: stop scheduling after the first failed node. */
       failFast: Boolean = false,
+      /** --warn-error (io_args.rs:335): promote warnings to errors —
+        * warn-status tests/freshness fail the exit code, funcsign
+        * warnings fail the load. */
+      warnError: Boolean = false,
       /** --event-time-start/--event-time-end: explicit microbatch
         * backfill window ("yyyy-MM-dd[ HH:mm:ss]"). */
       eventTimeStart: Option[String] = None,
@@ -147,6 +151,7 @@ object Main {
           a = a.copy(excludeResourceTypes = a.excludeResourceTypes ++
             argv(i + 1).split(",").map(_.trim).filter(_.nonEmpty)); i += 2
         case "--fail-fast" => a = a.copy(failFast = true); i += 1
+        case "--warn-error" => a = a.copy(warnError = true); i += 1
         case "--event-time-start" =>
           a = a.copy(eventTimeStart = Some(argv(i + 1))); i += 2
         case "--event-time-end" =>
@@ -280,6 +285,13 @@ object Main {
       return 2
     }
     val project = ProjectLoader.load(args.projectDir).withCliVars(args.cliVars)
+    // --warn-error: funcsign warnings (recorded by the load) become a
+    // hard failure before anything executes
+    if (args.warnError && project.funcsignDiagnostics.nonEmpty) {
+      System.err.println("funcsign type-check failed (--warn-error):\n  " +
+        project.funcsignDiagnostics.mkString("\n  "))
+      return 1
+    }
     // deps needs only the load (resolution happened in it) — handle it
     // before the Runner spins up a Spark-backed adapter
     if (args.command == "deps") return runDeps(project, args)
@@ -395,7 +407,8 @@ object Main {
             res => f"${res.status}%-8s $uid%-40s max_loaded_at=${res.maxLoadedAt.orNull} age=${res.ageSeconds}%.0fs")
           println(line)
         }
-        if (results.exists(_._2.exists(_.status == "error"))) 1 else 0
+        if (results.exists(_._2.exists(r => r.status == "error" ||
+          (args.warnError && r.status == "warn")))) 1 else 0
 
       case "list" | "ls" =>
         val selected0 = runner.selectIds(args.select, args.selector,
@@ -509,7 +522,8 @@ object Main {
         results.foreach { r =>
           println(f"${r.status}%-8s ${r.uniqueId}%-50s ${r.executionTimeMs}%6d ms  ${r.message}")
         }
-        val failed = results.count(r => r.status == "error" || r.status == "fail")
+        val failed = results.count(r => r.status == "error" ||
+          r.status == "fail" || (args.warnError && r.status == "warn"))
         println(s"done: ${results.length} nodes, $failed failed")
         if (failed > 0) 1 else 0
 
@@ -650,7 +664,7 @@ object Main {
       |
       |common flags:
       |  --project-dir DIR --select SPEC --exclude SPEC --selector NAME
-      |  --schema NAME --threads N --full-refresh --fail-fast --empty
+      |  --schema NAME --threads N --full-refresh --fail-fast --warn-error --empty
       |  --vars '{k: v}' --state DIR --defer --target-path DIR
       |  --sample PLAN.yml --sample-suffix SFX --limit N --output FMT
       |  --resource-type T[,T...] --exclude-resource-type T[,T...]

@@ -629,4 +629,43 @@ class RunOperationSpec extends AnyFunSuite {
     // CLI wins on collision; untouched project vars survive
     assert(row.get(0).toString == "42" && row.getString(1) == "base")
   }
+
+  test("--warn-error promotes warn statuses and funcsign warnings to failures") {
+    import graft.cli.Main
+    val proj = Files.createTempDirectory("graft_warnerr")
+    write(proj, "dbt_project.yml",
+      """name: wedemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/m.sql", "select 1 as id union all select 1 as id\n")
+    write(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: m
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - unique:
+        |              config: {severity: warn}
+        |""".stripMargin)
+    val schema = "g_warnerr"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS `${schema}_failures` CASCADE")
+    val base = Array("build", "--project-dir", proj.toString,
+      "--schema", schema)
+    // duplicate ids at warn severity: clean exit without the flag
+    assert(Main.run(spark, Main.parseArgs(base)) == 0)
+    // --warn-error: the same warn is a failure (io_args.rs:335)
+    assert(Main.run(spark, Main.parseArgs(base :+ "--warn-error")) == 1)
+    // a funcsign warning fails the load under --warn-error, before
+    // anything executes
+    write(proj, "macros/sig.sql",
+      "-- funcsign: (col: string) -> string\n" +
+        "{% macro shout(col) %}upper({{ col }}){% endmacro %}\n")
+    // wrong literal type: funcsign warns, but the macro still renders
+    // and the SQL still runs — only --warn-error makes it fatal
+    write(proj, "models/uses.sql", "select {{ shout(123) }} as s\n")
+    assert(Main.run(spark, Main.parseArgs(base)) == 0)
+    assert(Main.run(spark, Main.parseArgs(base :+ "--warn-error")) == 1)
+  }
 }
