@@ -153,7 +153,9 @@ object DbtContext {
       "type" -> "spark",
       "schema" -> flags.getOrElse("schema", "analytics"),
       "threads" -> flags.getOrElse("threads", 4L)),
-    "modules" -> Map("datetime" -> Map.empty[String, Any])
+    // python-stdlib-shaped modules.datetime / modules.pytz / modules.re
+    // (minijinja-contrib/src/modules — the dbt surface macros lean on)
+    "modules" -> PyModules.modules
   )
 
   /** Parse-phase context: renders with side-effect collectors. */

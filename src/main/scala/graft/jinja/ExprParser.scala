@@ -36,10 +36,14 @@ object ExprParser {
         while (i < n && src.charAt(i) != c) {
           if (src.charAt(i) == '\\' && i + 1 < n) {
             i += 1
-            sb += (src.charAt(i) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case other => other
-            })
+            src.charAt(i) match {
+              case 'n' => sb += '\n'; case 't' => sb += '\t'
+              case 'r' => sb += '\r'; case '\\' => sb += '\\'
+              case q @ ('\'' | '"') => sb += q
+              // python/jinja keep unknown escapes verbatim — regex
+              // strings like '\d+' must survive ('\\d' stays \d)
+              case other => sb += '\\'; sb += other
+            }
           } else sb += src.charAt(i)
           i += 1
         }

@@ -674,6 +674,10 @@ object Jinja {
 
   private def cmp(l: Any, r: Any): Int = (l, r) match {
     case (a: String, b: String) => a.compareTo(b)
+    case (a: PyModules.PyDateTime, b: PyModules.PyDateTime) =>
+      java.lang.Long.compare(a.epochMs, b.epochMs)
+    case (a: PyModules.PyTimeDelta, b: PyModules.PyTimeDelta) =>
+      java.lang.Long.compare(a.ms, b.ms)
     case (a, b) =>
       val x = num(a).fold(_.toDouble, identity)
       val y = num(b).fold(_.toDouble, identity)
@@ -696,9 +700,32 @@ object Jinja {
       case (a: String, b) => a + stringify(b)
       case (a, b: String) => stringify(a) + b
       case (a: Seq[_], b: Seq[_]) => a ++ b
+      // python datetime arithmetic (modules.datetime, PyModules)
+      case (a: PyModules.PyDateTime, b: PyModules.PyTimeDelta) =>
+        a.copy(epochMs = a.epochMs + b.ms)
+      case (a: PyModules.PyTimeDelta, b: PyModules.PyDateTime) =>
+        b.copy(epochMs = b.epochMs + a.ms)
+      case (a: PyModules.PyTimeDelta, b: PyModules.PyTimeDelta) =>
+        PyModules.PyTimeDelta(a.ms + b.ms)
       case _ => arith("+", l, r)
     }
-    case "-" | "*" | "/" | "%" | "//" => arith(op, l, r)
+    case "-" => (l, r) match {
+      case (a: PyModules.PyDateTime, b: PyModules.PyTimeDelta) =>
+        a.copy(epochMs = a.epochMs - b.ms)
+      case (a: PyModules.PyDateTime, b: PyModules.PyDateTime) =>
+        PyModules.PyTimeDelta(a.epochMs - b.epochMs)
+      case (a: PyModules.PyTimeDelta, b: PyModules.PyTimeDelta) =>
+        PyModules.PyTimeDelta(a.ms - b.ms)
+      case _ => arith("-", l, r)
+    }
+    case "*" => (l, r) match {
+      case (a: PyModules.PyTimeDelta, b) =>
+        PyModules.PyTimeDelta((a.ms * num(b).fold(_.toDouble, identity)).round)
+      case (a, b: PyModules.PyTimeDelta) =>
+        PyModules.PyTimeDelta((b.ms * num(a).fold(_.toDouble, identity)).round)
+      case _ => arith("*", l, r)
+    }
+    case "/" | "%" | "//" => arith(op, l, r)
     case "==" => jEquals(l, r)
     case "!=" => !jEquals(l, r)
     case "<" => cmp(l, r) < 0

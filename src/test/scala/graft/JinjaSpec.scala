@@ -250,4 +250,64 @@ class JinjaSpec extends AnyFunSuite {
       "{{ adapter.dispatch('bye')('y') }}"
     assert(Jinja.render(src2, bindings) == "bye-y")
   }
+
+  test("modules.datetime: strptime/strftime, fields, timedelta arithmetic") {
+    val (b, _) = DbtContext.parseContext()
+    def m(tpl: String): String = Jinja.render(tpl, b)
+    assert(m("{{ modules.datetime.datetime.strptime('2026-08-15', '%Y-%m-%d')" +
+      ".strftime('%j') }}") == "227")
+    assert(m("{{ modules.datetime.datetime(2026, 8, 15, 13, 5).isoformat() }}")
+      == "2026-08-15T13:05:00")
+    assert(m("{{ modules.datetime.date(2026, 2, 28) }}") == "2026-02-28")
+    val d = "{% set d = modules.datetime.datetime.strptime(" +
+      "'2026-08-15 13:45:09', '%Y-%m-%d %H:%M:%S') %}"
+    assert(m(s"$d{{ d.year }}-{{ d.month }}-{{ d.day }} {{ d.hour }}:{{ d.minute }}")
+      == "2026-8-15 13:45")
+    assert(m(s"$d{{ d.weekday() }}") == "5") // 2026-08-15 is a Saturday
+    // timedelta arithmetic crosses the month boundary like python's
+    assert(m(s"$d{{ (d - modules.datetime.timedelta(days=20)).strftime('%Y-%m-%d') }}")
+      == "2026-07-26")
+    assert(m(s"$d{{ (d + modules.datetime.timedelta(hours=11)).strftime('%d %H') }}")
+      == "16 00")
+    // datetime - datetime = timedelta with python field semantics
+    assert(m("{% set a = modules.datetime.datetime(2026, 1, 3) %}" +
+      "{% set b = modules.datetime.datetime(2026, 1, 1, 12) %}" +
+      "{{ (a - b).days }},{{ (a - b).seconds }},{{ (a - b).total_seconds() }}")
+      == "1,43200,129600.0")
+    // str() shapes match python
+    assert(m("{{ modules.datetime.timedelta(days=3) }}") == "3 days, 0:00:00")
+    assert(m("{{ modules.datetime.timedelta(hours=1, minutes=2, seconds=3) }}")
+      == "1:02:03")
+    // comparisons work through the interpreter
+    assert(m("{% if modules.datetime.date(2026, 1, 2) > " +
+      "modules.datetime.date(2026, 1, 1) %}later{% endif %}") == "later")
+    // replace + pytz tag accepted on a naive engine
+    assert(m("{{ modules.datetime.datetime(2026, 3, 1).replace(year=2020)" +
+      ".strftime('%Y-%m') }}") == "2020-03")
+    assert(m("{{ modules.pytz.timezone('UTC').zone }}") == "UTC")
+  }
+
+  test("modules.re: match/search/sub/findall/split/escape/compile") {
+    val (b, _) = DbtContext.parseContext()
+    def m(tpl: String): String = Jinja.render(tpl, b)
+    assert(m("{% if modules.re.match('stg_', 'stg_orders') %}y{% endif %}") == "y")
+    assert(m("{% if modules.re.match('stg_', 'fct_orders') %}y{% else %}n{% endif %}")
+      == "n")
+    // match anchors at the start; search scans
+    assert(m("{% if modules.re.search('_v(\\d+)$', 'orders_v2') %}y{% endif %}")
+      == "y")
+    assert(m("{{ modules.re.search('_v(\\d+)$', 'orders_v2').group(1) }}") == "2")
+    assert(m("{{ modules.re.sub('[^a-z0-9_]+', '_', 'My Model (v2)') }}")
+      == "_y_odel_v2_")
+    assert(m("{{ modules.re.findall('\\d+', 'a1b22c333') | join(',') }}")
+      == "1,22,333")
+    assert(m("{{ modules.re.split(',\\s*', 'a, b,c') | join('|') }}") == "a|b|c")
+    assert(m("{{ modules.re.escape('a.b*c') }}") == "a\\.b\\*c")
+    // named groups translate from python (?P<x>) syntax
+    assert(m("{{ modules.re.match('(?P<kind>[a-z]+)_(?P<rest>.*)', 'stg_orders')" +
+      ".group('kind') }}") == "stg")
+    // compiled patterns carry the same methods; flags respected
+    assert(m("{% set p = modules.re.compile('^ab', modules.re.I) %}" +
+      "{% if p.match('ABc') %}y{% endif %}") == "y")
+  }
 }
