@@ -146,6 +146,12 @@ object DbtContext {
       }
     },
     "dbt_version" -> "2.0.0-graft",
+    // a real datetime value (load/init.rs:37-51) — macros call
+    // run_started_at.strftime(...); a flags entry (epoch ms) pins it,
+    // else the context's construction time stands in
+    "run_started_at" -> PyModules.PyDateTime(
+      flags.get("run_started_at_ms").map(v => String.valueOf(v).toLong)
+        .getOrElse(System.currentTimeMillis())),
     "invocation_id" -> flags.getOrElse("invocation_id", "00000000-0000-0000-0000-000000000000"),
     "flags" -> flags,
     "target" -> Map(

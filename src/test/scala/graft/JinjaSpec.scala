@@ -285,6 +285,11 @@ class JinjaSpec extends AnyFunSuite {
     assert(m("{{ modules.datetime.datetime(2026, 3, 1).replace(year=2020)" +
       ".strftime('%Y-%m') }}") == "2020-03")
     assert(m("{{ modules.pytz.timezone('UTC').zone }}") == "UTC")
+    // run_started_at is a real datetime value (load/init.rs:37-51)
+    val (pinned, _) = DbtContext.parseContext(
+      flags = Map("run_started_at_ms" -> 1747230123000L)) // 2025-05-14 UTC
+    assert(Jinja.render("{{ run_started_at.strftime('%Y-%m-%d') }}", pinned)
+      == "2025-05-14")
   }
 
   test("modules.re: match/search/sub/findall/split/escape/compile") {
