@@ -272,10 +272,20 @@ object DbtContext {
         * (Runner wires dependency validation in; the default suffices
         * for contexts with no function nodes: hooks, run-operation). */
       resolveFunction: (Option[String], String) => String =
-        (_, n) => n): Map[String, Any] = {
+        (_, n) => n,
+      /** The flat `graph` introspection variable (build_flat_graph
+        * functions/base.rs:1243) — passed lazily so contexts that never
+        * touch it pay nothing (the reference's LazyFlatGraph). */
+      graph: () => Map[String, Any] = () => Map.empty): Map[String, Any] = {
     val results = mutable.Map.empty[String, AgateObj]
     val store = mutable.LinkedHashMap.empty[String, Any] ++ configValues
+    val lazyGraph = new JObject {
+      private lazy val g = graph()
+      def attr(n: String): Option[Any] = g.get(n)
+      override def toString: String = "<graph>"
+    }
     common(vars, env, flags) ++ Map(
+      "graph" -> lazyGraph,
       "ref" -> JFunc { (a, kw) =>
         a.map(_.toString) match {
           case Seq(n) => resolveRef(None, n, refVersion(kw))

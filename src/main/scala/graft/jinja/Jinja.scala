@@ -104,6 +104,16 @@ object Jinja {
   /** Objects that are ALSO directly callable, like dbt's `config(...)`. */
   trait JCallable { def invoke(args: Seq[Any], kwargs: Map[String, Any]): Any }
 
+  /** A python list: reference-mutable (`{% do xs.append(v) %}`) but typed
+    * as an immutable Seq so every existing filter/join/index/for site
+    * sees an ordinary sequence. `[]` literals evaluate to one. */
+  final class JList(val buf: mutable.ArrayBuffer[Any])
+      extends scala.collection.immutable.Seq[Any] {
+    def apply(i: Int): Any = buf(i)
+    def length: Int = buf.length
+    def iterator: Iterator[Any] = buf.iterator
+  }
+
   final case class JinjaError(msg: String) extends RuntimeException(msg)
 
   // ----- rendering context ----------------------------------------------
@@ -506,7 +516,12 @@ object Jinja {
     case EVar(n) => ctx.get(n).getOrElse(Undefined(n))
     case EAttr(o, n) => attr(eval(o, ctx), n)
     case EIndex(o, i) => index(eval(o, ctx), eval(i, ctx))
-    case EList(items) => items.map(eval(_, ctx)).toVector
+    // python lists are reference-mutable — `{% set xs = [] %}` then
+    // `{% do xs.append(v) %}` inside a loop is the canonical dbt
+    // accumulator; JList is an immutable-Seq view over mutable state so
+    // filters/joins/for see an ordinary sequence
+    case EList(items) =>
+      new JList(items.map(eval(_, ctx)).to(mutable.ArrayBuffer))
     case EDict(pairs) =>
       pairs.map { case (k, v) => stringify(eval(k, ctx)) -> eval(v, ctx) }.toMap
     case ECond(c, t, f) => if (truthy(eval(c, ctx))) eval(t, ctx) else eval(f, ctx)
@@ -605,7 +620,19 @@ object Jinja {
     }
 
   def attr(obj: Any, name: String): Any = obj match {
-    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(name, Undefined(name))
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      // key lookup wins (existing config dicts may carry these names);
+      // python dict methods fill the gaps for real-world macros
+      mm.get(name).getOrElse(name match {
+        case "items" => JFunc((_, _) =>
+          mm.toVector.map { case (k, v) => Vector(k, v) })
+        case "keys" => JFunc((_, _) => mm.keys.toVector)
+        case "values" => JFunc((_, _) => mm.values.toVector)
+        case "get" => JFunc((a, _) =>
+          mm.getOrElse(stringify(a.head), a.lift(1).orNull))
+        case _ => Undefined(name)
+      })
     case o: JObject => o.attr(name).getOrElse(Undefined(name))
     case u: Undefined => u
     case s: String => name match {
@@ -620,8 +647,29 @@ object Jinja {
       case "join" => JFunc((a, _) => toIterable(a.head).map(stringify).mkString(s))
       case _ => Undefined(name)
     }
+    case l: JList =>
+      val buf = l.buf
+      name match {
+        case "append" => JFunc { (a, _) => buf += a.head; null }
+        case "extend" => JFunc { (a, _) => buf ++= toIterable(a.head); null }
+        case "insert" => JFunc { (a, _) =>
+          buf.insert(num(a.head).fold(_.toInt, _.toInt), a(1)); null }
+        case "pop" => JFunc { (a, _) =>
+          val i = a.headOption.map(v => num(v).fold(_.toInt, _.toInt))
+            .getOrElse(buf.length - 1)
+          buf.remove(if (i < 0) buf.length + i else i)
+        }
+        case "remove" => JFunc { (a, _) =>
+          val i = buf.indexWhere(jEquals(_, a.head))
+          if (i < 0) throw JinjaError(s"list.remove: ${a.head} not in list")
+          buf.remove(i); null
+        }
+        case _ => Undefined(name)
+      }
     case xs: Seq[_] => name match {
-      case "append" => throw JinjaError("lists are immutable here; build with +")
+      case "append" | "extend" | "insert" | "pop" | "remove" =>
+        throw JinjaError(
+          s"$name on an immutable sequence — only [] literals are mutable")
       case _ => Undefined(name)
     }
     case null => Undefined(name)

@@ -94,6 +94,41 @@ final class Runner(
     (project.packages ++ Seq(project)).flatMap(_.customMaterializations)
       .groupBy(_._1).map { case (n, xs) => n -> xs.flatMap(_._2).toSet }
 
+  /** The `graph` Jinja variable (reference: build_flat_graph
+    * functions/base.rs:1243, registered compile_and_run_context.rs:138):
+    * executable nodes under `nodes`, sources/exposures/metrics/groups/
+    * semantic_models/saved_queries in their own maps — the introspection
+    * surface dbt-utils-style macros walk with graph.nodes.values(). Built
+    * once, lazily, like the reference's LazyFlatGraph. */
+  lazy val flatGraph: Map[String, Any] = {
+    val declaredSections =
+      Set("exposure", "metric", "semantic_model", "saved_query")
+    def section(kind: String): Map[String, Any] =
+      resolved.nodes.collect { case (id, n) if n.kind.name == kind =>
+        id -> nodeJson(id, n) }
+    Map(
+      "nodes" -> resolved.nodes.collect {
+        case (id, n) if !declaredSections(n.kind.name) => id -> nodeJson(id, n)
+      },
+      "sources" -> resolved.sources.flatMap { case (s, ts) =>
+        ts.map { case (t, rel) =>
+          s"source.$s.$t" -> Map(
+            "unique_id" -> s"source.$s.$t",
+            "resource_type" -> "source",
+            "source_name" -> s, "name" -> t,
+            "database" -> rel.database.orNull,
+            "schema" -> rel.schema,
+            "identifier" -> rel.identifier,
+            "relation_name" -> rel.fqn)
+        }
+      },
+      "exposures" -> section("exposure"),
+      "metrics" -> section("metric"),
+      "groups" -> resolved.groups,
+      "semantic_models" -> section("semantic_model"),
+      "saved_queries" -> section("saved_query"))
+  }
+
   /** uniqueId → relation FQN recorded in a manifest.json. */
   private def manifestRelations(path: String): Map[String, String] =
     if (!Files.exists(Paths.get(path))) Map.empty
@@ -204,7 +239,8 @@ final class Runner(
     val bindings = DbtContext.runContext(
       adapter, node.relation.get, resolveRef, resolveSource,
       isIncr, node.config.extra, project.vars ++ overrideVars,
-      sys.env ++ overrideEnv, resolveFunction = resolveFunction) ++
+      sys.env ++ overrideEnv, resolveFunction = resolveFunction,
+      graph = () => flatGraph) ++
       overrideMacros.map { case (k, v) =>
         s"__macro_override_$k" -> (Jinja.JFunc((_, _) => v): Any) }
     // macro overrides must SHADOW the prelude's {% macro %} definitions,
@@ -391,7 +427,8 @@ final class Runner(
       (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
-      isIncremental = false, Map.empty, project.vars)
+      isIncremental = false, Map.empty, project.vars,
+      graph = () => flatGraph)
     Jinja.render(macroPrelude + raw, bindings).trim
   }
 
@@ -408,7 +445,8 @@ final class Runner(
       (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
-      isIncremental = false, Map.empty, project.vars) +
+      isIncremental = false, Map.empty, project.vars,
+      graph = () => flatGraph) +
       ("__op_args" -> args)
     val kw = args.keys.map(k => s"$k=__op_args['$k']").mkString(", ")
     try Jinja.render(macroPrelude + s"{{ $macroName($kw) }}", bindings).trim
@@ -557,7 +595,8 @@ final class Runner(
           (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n, v))
             .flatMap(_.relation).map(_.fqn).getOrElse(n),
           sourceSql,
-          isIncremental = true, node.config.extra, project.vars) +
+          isIncremental = true, node.config.extra, project.vars,
+          graph = () => flatGraph) +
           ("arg_dict" -> args))
 
   /** `graft sample` — materialize a sampler plan's entries into the
@@ -777,7 +816,8 @@ final class Runner(
       (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
-      isIncremental = false, node.config.extra, project.vars) ++ Map(
+      isIncremental = false, node.config.extra, project.vars,
+      graph = () => flatGraph) ++ Map(
       "sql" -> compiledSql,
       "compiled_code" -> compiledSql,
       "model" -> Map(
@@ -810,7 +850,8 @@ final class Runner(
       (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(node.packageName, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
-      isIncremental = false, node.config.extra, project.vars))
+      isIncremental = false, node.config.extra, project.vars,
+      graph = () => flatGraph))
 
   /** YAML `unit_tests:` execution (reference: unit materialization
     * MA/materializations/tests/unit.sql + get_fixture_sql): each `given`
@@ -1063,7 +1104,8 @@ final class Runner(
       (pk, n, v) => resolved.nodes.get(resolved.refUniqueId(project.name, pk, n, v))
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
-      isIncremental = false, Map.empty, project.vars) ++ Map(
+      isIncremental = false, Map.empty, project.vars,
+      graph = () => flatGraph) ++ Map(
       "results" -> resultObjs,
       "schemas" -> schemas.toVector,
       "database_schemas" -> schemas.toVector)
@@ -1219,14 +1261,16 @@ final class Runner(
     * top-level key is present; executable nodes carry the CommonAttributes
     * + NodeBaseAttributes fields this engine tracks (nodes.rs:2781-2866).
     * ManifestV12Spec enumerates the intentionally-omitted fields. */
-  def writeManifest(outPath: String): Unit = {
-    val declaredKinds: Set[String] =
-      // function nodes EXECUTE, but v12 emits them in their own
-      // `functions` section, not `nodes` (manifest.rs:183 "Functions are
-      // now handled separately in the functions field")
-      Set("exposure", "metric", "semantic_model", "unit_test",
-        "saved_query", "function")
-    def nodeJson(id: String, n: Node): Map[String, Any] = Map(
+  /** function nodes EXECUTE, but v12 emits them in their own `functions`
+    * section, not `nodes` (manifest.rs:183 "Functions are now handled
+    * separately in the functions field"). */
+  private val declaredKinds: Set[String] =
+    Set("exposure", "metric", "semantic_model", "unit_test",
+      "saved_query", "function")
+
+  /** One node as the manifest/flat-graph dict (CommonAttributes +
+    * NodeBaseAttributes, nodes.rs:2781-2866). */
+  private def nodeJson(id: String, n: Node): Map[String, Any] = Map(
       // CommonAttributes (nodes.rs:2781)
       "unique_id" -> id,
       "name" -> n.name,
@@ -1259,6 +1303,8 @@ final class Runner(
         "post_hook" -> n.config.postHook,
         "persist_docs" -> n.config.extra.getOrElse("persist_docs",
           Map.empty[String, Any])))
+
+  def writeManifest(outPath: String): Unit = {
     val (declared, executable) =
       resolved.nodes.partition { case (_, n) => declaredKinds(n.kind.name) }
     def declaredOf(kind: String): Map[String, Any] =

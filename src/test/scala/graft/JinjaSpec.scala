@@ -251,6 +251,22 @@ class JinjaSpec extends AnyFunSuite {
     assert(Jinja.render(src2, bindings) == "bye-y")
   }
 
+  test("list literals are reference-mutable (python semantics)") {
+    // the canonical dbt accumulator: set [] + do append inside a loop
+    assert(r("{% set xs = [] %}{% for i in [1, 2, 3] %}" +
+      "{% do xs.append(i * 10) %}{% endfor %}{{ xs | join(',') }}")
+      == "10,20,30")
+    // mutation crosses scope boundaries like a python reference would
+    assert(r("{% set xs = ['a'] %}{% if true %}{% do xs.extend(['b', 'c']) %}" +
+      "{% endif %}{{ xs | join('') }}") == "abc")
+    assert(r("{% set xs = [1, 2, 3] %}{{ xs.pop() }}{{ xs | join(',') }}")
+      == "31,2")
+    assert(r("{% set xs = [1, 2] %}{% do xs.insert(0, 9) %}{{ xs | join(',') }}")
+      == "9,1,2")
+    assert(r("{% set xs = [1, 2, 1] %}{% do xs.remove(1) %}{{ xs | join(',') }}")
+      == "2,1")
+  }
+
   test("modules.datetime: strptime/strftime, fields, timedelta arithmetic") {
     val (b, _) = DbtContext.parseContext()
     def m(tpl: String): String = Jinja.render(tpl, b)

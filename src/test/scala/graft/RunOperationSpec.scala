@@ -1,5 +1,6 @@
 package graft
 
+import graft.jinja.Jinja
 import graft.project.ProjectLoader
 import graft.run.Runner
 import org.apache.spark.sql.SparkSession
@@ -628,6 +629,46 @@ class RunOperationSpec extends AnyFunSuite {
     val row = spark.sql(s"select cutoff, keep from $schema.v1").collect().head
     // CLI wins on collision; untouched project vars survive
     assert(row.get(0).toString == "42" && row.getString(1) == "base")
+  }
+
+  test("graph variable exposes the flat node/source maps to macros") {
+    val proj = Files.createTempDirectory("graft_graphvar")
+    write(proj, "dbt_project.yml",
+      """name: gdemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/sources.yml",
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    schema: raw_schema
+        |    tables: [{name: events}]
+        |""".stripMargin)
+    write(proj, "models/a.sql", "{{ config(tags=['gold']) }}\nselect 1 as id")
+    write(proj, "models/b.sql", "select id from {{ ref('a') }}")
+    write(proj, "macros/walk.sql",
+      // the dbt-utils shape: filter graph.nodes.values() by resource
+      // type + tag, then read sources through graph.sources
+      """{% macro walk() %}
+        |{% set golds = [] %}
+        |{% for n in graph.nodes.values() %}
+        |  {% if n.resource_type == 'model' and 'gold' in n.tags %}
+        |    {% do golds.append(n.unique_id) %}
+        |  {% endif %}
+        |{% endfor %}
+        |{{ return(golds | join(',') ~ ' | ' ~
+        |   graph.sources.values() | map(attribute='relation_name') | join(',')) }}
+        |{% endmacro %}
+        |""".stripMargin)
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = "g_graphvar")
+    val out = r.runOperation("walk")
+    assert(out.startsWith("model.gdemo.a | "))
+    assert(out.contains("raw_schema") && out.contains("events"))
+    // dict methods exist alongside key lookup
+    assert(Jinja.render("{{ d.items() | length }},{{ d.keys() | join('') }}," +
+      "{{ d.get('x', 9) }},{{ d.get('a') }}",
+      Map("d" -> Map("a" -> 1L, "b" -> 2L))) == "2,ab,9,1")
   }
 
   test("--warn-error promotes warn statuses and funcsign warnings to failures") {
