@@ -114,6 +114,20 @@ object Jinja {
     def iterator: Iterator[Any] = buf.iterator
   }
 
+  /** A python dict: reference-mutable (`{% do d.update(...) %}`) but typed
+    * as an immutable Map so every existing site sees an ordinary mapping.
+    * `{}` literals evaluate to one; insertion order preserved. */
+  final class JDict(val m: mutable.LinkedHashMap[String, Any])
+      extends scala.collection.immutable.Map[String, Any] {
+    def get(key: String): Option[Any] = m.get(key)
+    def iterator: Iterator[(String, Any)] = m.iterator
+    def removed(key: String): scala.collection.immutable.Map[String, Any] =
+      scala.collection.immutable.VectorMap.from(m).removed(key)
+    def updated[V1 >: Any](key: String, value: V1)
+        : scala.collection.immutable.Map[String, V1] =
+      scala.collection.immutable.VectorMap.from(m).updated(key, value)
+  }
+
   final case class JinjaError(msg: String) extends RuntimeException(msg)
 
   // ----- rendering context ----------------------------------------------
@@ -499,6 +513,10 @@ object Jinja {
           }
           // call-block invocations pass caller() implicitly (Jinja2 {% call %})
           kwargs.get("caller").foreach(c.set("caller", _))
+          // jinja2 macro specials: extra positionals land in varargs,
+          // undeclared keywords in kwargs (dbt dispatch shims read these)
+          c.set("varargs", args.drop(params.length).toVector)
+          c.set("kwargs", kwargs -- params.map(_._1) - "caller")
           val inner = new StringBuilder
           try { exec(body, c, inner); inner.toString }
           catch {
@@ -523,7 +541,9 @@ object Jinja {
     case EList(items) =>
       new JList(items.map(eval(_, ctx)).to(mutable.ArrayBuffer))
     case EDict(pairs) =>
-      pairs.map { case (k, v) => stringify(eval(k, ctx)) -> eval(v, ctx) }.toMap
+      // python dicts are reference-mutable, like [] literals above
+      new JDict(mutable.LinkedHashMap.from(
+        pairs.map { case (k, v) => stringify(eval(k, ctx)) -> eval(v, ctx) }))
     case ECond(c, t, f) => if (truthy(eval(c, ctx))) eval(t, ctx) else eval(f, ctx)
     case EUnary("not", x) => !truthy(eval(x, ctx))
     case EUnary("-", x) => eval(x, ctx) match {
@@ -631,6 +651,27 @@ object Jinja {
         case "values" => JFunc((_, _) => mm.values.toVector)
         case "get" => JFunc((a, _) =>
           mm.getOrElse(stringify(a.head), a.lift(1).orNull))
+        // mutation — only {} literals (JDict) are reference-mutable
+        case "update" | "pop" | "setdefault" | "clear" => obj match {
+          case d: JDict => name match {
+            case "update" => JFunc { (a, _) =>
+              d.m ++= a.head.asInstanceOf[scala.collection.Map[String, Any]]
+              null
+            }
+            case "pop" => JFunc { (a, _) =>
+              d.m.remove(stringify(a.head))
+                .orElse(a.lift(1))
+                .getOrElse(throw JinjaError(
+                  s"dict.pop: missing key ${a.head}"))
+            }
+            case "setdefault" => JFunc { (a, _) =>
+              d.m.getOrElseUpdate(stringify(a.head), a.lift(1).orNull)
+            }
+            case "clear" => JFunc { (_, _) => d.m.clear(); null }
+          }
+          case _ => throw JinjaError(
+            s"$name on an immutable mapping — only {} literals are mutable")
+        }
         case _ => Undefined(name)
       })
     case o: JObject => o.attr(name).getOrElse(Undefined(name))

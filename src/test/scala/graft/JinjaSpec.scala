@@ -267,6 +267,21 @@ class JinjaSpec extends AnyFunSuite {
       == "2,1")
   }
 
+  test("dict literals are reference-mutable; macros bind varargs/kwargs") {
+    assert(r("{% set d = {'a': 1} %}{% do d.update({'b': 2}) %}" +
+      "{{ d.keys() | join('') }}{{ d['b'] }}") == "ab2")
+    assert(r("{% set d = {'a': 1, 'b': 2} %}{{ d.pop('a') }}" +
+      "{{ d.keys() | join('') }}{{ d.pop('zz', 7) }}") == "1b7")
+    assert(r("{% set d = {} %}{% do d.setdefault('k', 5) %}" +
+      "{% do d.setdefault('k', 9) %}{{ d['k'] }}") == "5")
+    // jinja2 macro specials: extra positionals → varargs, undeclared
+    // keywords → kwargs
+    assert(r("{% macro m(a) %}{{ a }}|{{ varargs | join(',') }}|" +
+      "{% for k, v in kwargs.items() %}{{ k }}={{ v }} {% endfor %}" +
+      "{% endmacro %}{{ m(1, 2, 3, x=4, y=5) }}").trim
+      == "1|2,3|x=4 y=5")
+  }
+
   test("modules.datetime: strptime/strftime, fields, timedelta arithmetic") {
     val (b, _) = DbtContext.parseContext()
     def m(tpl: String): String = Jinja.render(tpl, b)
