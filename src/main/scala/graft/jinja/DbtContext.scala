@@ -204,6 +204,18 @@ object DbtContext {
       "this" -> "__this__",
       "is_incremental" -> JFunc((_, _) => false),
       "execute" -> false,
+      // parse sees an EMPTY flat graph (the reference binds UNDEFINED,
+      // resolve_model_context.rs:290) — graph-driven codegen loops render
+      // to nothing at parse; `-- depends_on: {{ ref(...) }}` hints carry
+      // the DAG edges, exactly dbt's documented contract
+      "graph" -> Map(
+        "nodes" -> Map.empty[String, Any],
+        "sources" -> Map.empty[String, Any],
+        "exposures" -> Map.empty[String, Any],
+        "metrics" -> Map.empty[String, Any],
+        "groups" -> Map.empty[String, Any],
+        "semantic_models" -> Map.empty[String, Any],
+        "saved_queries" -> Map.empty[String, Any]),
       "run_query" -> JFunc((_, _) => new AgateObj(AgateTable.empty)),
       "statement" -> JFunc((_, _) => ""),
       // parse-phase adapter: no warehouse, but dispatch must still resolve

@@ -1022,6 +1022,62 @@ object EnginePack extends QueryPack {
         .orderBy("case_name")
     }),
 
+    // graph-driven codegen (build_flat_graph functions/base.rs:1243): the
+    // classic union-all-models-with-a-tag macro walks
+    // graph.nodes.values() with a mutable accumulator at RUN time, while
+    // parse sees the empty graph and the `-- depends_on:` hints carry
+    // the DAG edges — dbt's documented contract for this pattern.
+    "q_engine_graph_codegen" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_graphgen")
+      write(proj, "dbt_project.yml",
+        """name: gg
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |""".stripMargin)
+      def seg(status: String): String =
+        s"{{ config(tags=['seg'], materialized='table') }}\n" +
+          s"select o_orderkey, o_totalprice from {{ source('lake', 'orders') }}\n" +
+          s"where o_orderstatus = '$status'\n"
+      write(proj, "models/seg_o.sql", seg("O"))
+      write(proj, "models/seg_f.sql", seg("F"))
+      write(proj, "models/untagged.sql", "select 1 as one")
+      write(proj, "models/union_tagged.sql",
+        """{{ config(materialized='table') }}
+          |-- depends_on: {{ ref('seg_o') }} {{ ref('seg_f') }}
+          |{% set rels = [] %}
+          |{% for n in graph.nodes.values() | sort(attribute='name') %}
+          |  {% if n.resource_type == 'model' and 'seg' in n.tags %}
+          |    {% do rels.append(n.relation_name) %}
+          |  {% endif %}
+          |{% endfor %}
+          |{% for r in rels %}
+          |select * from {{ r }}
+          |{% if not loop.last %}union all{% endif %}
+          |{% endfor %}
+          |""".stripMargin)
+      val schema = "g_engine_graphgen"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_graphgen_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val bad = runner.run().filter(_.status == "error")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      s.sql(
+        s"""SELECT COUNT(*) AS n_rows,
+           |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+           |FROM `$schema`.union_tagged""".stripMargin)
+    }),
+
     // store_failures_as (StoreFailuresAs common.rs:1007-1012) through the
     // real test-node path: `view` persists the test's SQL twin as a live
     // catalog VIEW (read back for the oracle rows, catalog type checked);
@@ -3836,6 +3892,12 @@ object EnginePack extends QueryPack {
         |  ('unit_test', 'unit_test.selm.ut_mart'))
         |  AS t(case_name, selection)
         |ORDER BY case_name""".stripMargin,
+
+    "q_engine_graph_codegen" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderstatus IN ('O', 'F')""".stripMargin,
 
     "q_engine_store_failures_as" ->
       """SELECT case_name, outcome FROM (
