@@ -57,6 +57,9 @@ object Main {
         * warn-status tests/freshness fail the exit code, funcsign
         * warnings fail the load. */
       warnError: Boolean = false,
+      /** --indirect-selection (IndirectSelection node_selector.rs:49-55):
+        * eager (default) | buildable | cautious | empty. */
+      indirectSelection: String = "eager",
       /** --event-time-start/--event-time-end: explicit microbatch
         * backfill window ("yyyy-MM-dd[ HH:mm:ss]"). */
       eventTimeStart: Option[String] = None,
@@ -152,6 +155,8 @@ object Main {
             argv(i + 1).split(",").map(_.trim).filter(_.nonEmpty)); i += 2
         case "--fail-fast" => a = a.copy(failFast = true); i += 1
         case "--warn-error" => a = a.copy(warnError = true); i += 1
+        case "--indirect-selection" =>
+          a = a.copy(indirectSelection = argv(i + 1)); i += 2
         case "--event-time-start" =>
           a = a.copy(eventTimeStart = Some(argv(i + 1))); i += 2
         case "--event-time-end" =>
@@ -412,7 +417,7 @@ object Main {
 
       case "list" | "ls" =>
         val selected0 = runner.selectIds(args.select, args.selector,
-          args.exclude)
+          args.exclude, args.indirectSelection)
         val selected = selected0.filter { id =>
           val kind = runner.resolved.nodes(id).kind.name
           (args.resourceTypes.isEmpty || args.resourceTypes.contains(kind)) &&
@@ -515,7 +520,8 @@ object Main {
         val results = runner.run(args.select, args.fullRefresh,
           enableReuse = args.state.isDefined, kinds = kindFilter(cmd),
           selectorName = args.selector, exclude = args.exclude,
-          failFast = args.failFast)
+          failFast = args.failFast,
+          indirectSelection = args.indirectSelection)
         runner.writeRunResults(results,
           targetDir.resolve("run_results.json").toString)
         runner.writeManifest(targetDir.resolve("manifest.json").toString)
@@ -665,6 +671,7 @@ object Main {
       |common flags:
       |  --project-dir DIR --select SPEC --exclude SPEC --selector NAME
       |  --schema NAME --threads N --full-refresh --fail-fast --warn-error --empty
+  --indirect-selection eager|buildable|cautious|empty
       |  --vars '{k: v}' --state DIR --defer --target-path DIR
       |  --sample PLAN.yml --sample-suffix SFX --limit N --output FMT
       |  --resource-type T[,T...] --exclude-resource-type T[,T...]

@@ -900,8 +900,11 @@ object EnginePack extends QueryPack {
           |""".stripMargin)
       val runner = new Runner(s, ProjectLoader.load(proj.toString),
         targetSchema = "g_selm")
+      // `empty` isolates each METHOD's own matches; the eager default
+      // (tests attach to selected nodes) is pinned as its own case
       def sel(spec: String): String =
-        runner.selectIds(Some(spec)).toSeq.sorted.mkString(",")
+        runner.selectIds(Some(spec), indirectSelection = "empty")
+          .toSeq.sorted.mkString(",")
       def rejected(spec: String): String =
         try { sel(spec); "accepted" }
         catch { case e: IllegalArgumentException
@@ -932,6 +935,10 @@ object EnginePack extends QueryPack {
         ("access_public", sel("access:public")),
         ("access_protected_default", sel("access:protected")),
         ("column_rejected", rejected("column:orders.id")),
+        // the eager default attaches the selected model's tests
+        // (IndirectSelection node_selector.rs:49-55)
+        ("indirect_eager", runner.selectIds(Some("access:public"))
+          .toSeq.sorted.mkString(",")),
         ("function_glob", sel("function:bucket*")),
         ("saved_query", sel("saved_query:sq1")),
         ("source_status_fresher", fresherSel),
@@ -3883,6 +3890,8 @@ object EnginePack extends QueryPack {
         |  ('access_public', 'model.selm.orders'),
         |  ('access_protected_default', 'model.selm.from_src,model.selm.mart'),
         |  ('column_rejected', 'rejected'),
+        |  ('indirect_eager',
+        |   'model.selm.orders,test.selm.not_null_orders_id,test.selm.unique_orders_id'),
         |  ('function_glob', 'function.selm.bucketize'),
         |  ('saved_query', 'saved_query.selm.sq1'),
         |  ('source_status_fresher', 'model.selm.from_src'),

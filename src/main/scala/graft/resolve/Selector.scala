@@ -129,6 +129,44 @@ object Selector {
       if (excluded.length == 1) excluded.head else Union(excluded.toSeq))
   }
 
+  /** dbt indirect selection (IndirectSelection node_selector.rs:49-55;
+    * --indirect-selection): after an explicit selection, tests ATTACH to
+    * it — `eager` (default) adds any data/unit test with at least one
+    * selected parent, `cautious` only tests whose every parent is
+    * selected, `buildable` tests whose every parent is selected OR an
+    * ancestor of a selected node, `empty` adds none. A data test's
+    * parents are its non-test depends_on nodes; a unit test's parent is
+    * its subject model (extra model_uid — its inputs are mocked away). */
+  def expandIndirect(selected: Set[String], nodes: Map[String, Node],
+      graph: Dag.Graph, mode: String): Set[String] = {
+    val isTest = (k: NodeKind) => k == NodeKind.Test || k == NodeKind.UnitTest
+    mode match {
+      case "empty" => selected
+      case "eager" | "cautious" | "buildable" =>
+        lazy val ancestry: Set[String] =
+          selected ++ selected.flatMap(graph.upstream(_))
+        def parents(n: Node): Seq[String] = n.kind match {
+          case NodeKind.UnitTest =>
+            n.config.extra.get("model_uid").map(_.toString).toSeq
+          case _ => n.dependsOn.filter(d =>
+            nodes.get(d).exists(p => !isTest(p.kind)))
+        }
+        selected ++ nodes.collect {
+          case (id, n) if !selected(id) && isTest(n.kind) && {
+            val ps = parents(n)
+            ps.nonEmpty && (mode match {
+              case "eager" => ps.exists(selected)
+              case "cautious" => ps.forall(selected)
+              case "buildable" => ps.forall(ancestry)
+            })
+          } => id
+        }
+      case other => throw new IllegalArgumentException(
+        s"--indirect-selection must be eager|buildable|cautious|empty, " +
+          s"got '$other' (IndirectSelection node_selector.rs:49-55)")
+    }
+  }
+
   // ---- evaluation ---------------------------------------------------------
 
   /** Evaluate a selector against the node set; returns selected ids.

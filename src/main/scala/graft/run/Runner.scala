@@ -1017,8 +1017,10 @@ final class Runner(
       /** --fail-fast: stop scheduling new levels after the first error;
         * in-flight nodes of the current level finish, the rest report
         * skipped (dbt fail-fast semantics). */
-      failFast: Boolean = false): Seq[NodeResult] = {
-    val selected: Set[String] = selectIds(select, selectorName, exclude)
+      failFast: Boolean = false,
+      indirectSelection: String = "eager"): Seq[NodeResult] = {
+    val selected: Set[String] =
+      selectIds(select, selectorName, exclude, indirectSelection)
     // exposures/metrics/semantic models/analyses are declaration-only —
     // they select and document, but never execute
     val declarationOnly: Set[graft.core.NodeKind] = Set(
@@ -1131,11 +1133,23 @@ final class Runner(
     * and result context loaded, shared by run/compile/list so state: and
     * result: methods behave identically everywhere. */
   def selectIds(select: Option[String], selectorName: Option[String] = None,
-      exclude: Option[String] = None): Set[String] =
+      exclude: Option[String] = None,
+      /** --indirect-selection (IndirectSelection node_selector.rs:49-55):
+        * how tests attach to an explicit selection. */
+      indirectSelection: String = "eager"): Set[String] =
     selectionSpec(select, selectorName, exclude) match {
       case Some(sp) =>
-        Selector.select(sp, resolved.nodes, graph, prevState(), prevResults(),
-          fresherSources())
+        val base = Selector.select(sp, resolved.nodes, graph, prevState(),
+          prevResults(), fresherSources())
+        val expanded = Selector.expandIndirect(base, resolved.nodes, graph,
+          indirectSelection)
+        // expansion must not resurrect an explicit --exclude match
+        exclude.map(Selector.parse) match {
+          case Some(ex) if expanded ne base =>
+            expanded -- Selector.select(ex, resolved.nodes, graph,
+              prevState(), prevResults(), fresherSources())
+          case _ => expanded
+        }
       case None => resolved.nodes.keySet
     }
 

@@ -135,18 +135,24 @@ class DeclaredNodesSpec extends AnyFunSuite {
         |    query_params:
         |      metrics: []
         |""".stripMargin)
-    def listOut(sel: String): Seq[String] = {
+    def listOut(sel: String, extra: String*): Seq[String] = {
       val bos = new java.io.ByteArrayOutputStream
       val rc = Console.withOut(new java.io.PrintStream(bos)) {
         graft.cli.Main.run(spark, graft.cli.Main.parseArgs(Array(
-          "list", "--select", sel, "--project-dir", proj.toString)))
+          "list", "--select", sel, "--project-dir", proj.toString) ++ extra))
       }
       assert(rc == 0, s"list --select $sel exited $rc")
       bos.toString.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
     }
     assert(listOut("test_name:unique") == Seq("test.lcli.unique_orders_id"))
     assert(listOut("test_name:not_null") == Seq("test.lcli.not_null_orders_id"))
-    assert(listOut("access:public") == Seq("model.lcli.orders"))
+    // eager indirect selection (the dbt default): selecting the model
+    // attaches its tests (node_selector.rs:49-55)
+    assert(listOut("access:public") == Seq("model.lcli.orders",
+      "test.lcli.not_null_orders_id", "test.lcli.unique_orders_id"))
+    // --indirect-selection empty: only the explicit match
+    assert(listOut("access:public", "--indirect-selection", "empty")
+      == Seq("model.lcli.orders"))
     assert(listOut("unit_test:ut_mart") == Seq("unit_test.lcli.ut_mart"))
     assert(listOut("saved_query:sq1") == Seq("saved_query.lcli.sq1"))
 

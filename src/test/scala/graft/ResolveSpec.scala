@@ -316,6 +316,38 @@ class ResolveSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("fresher"))
   }
 
+  test("indirect selection attaches tests per mode (node_selector.rs:49-55)") {
+    // rel test has TWO parents (the relationships shape); unit test's
+    // subject lives in extra model_uid
+    val withRel = nodes ++ Map(
+      "test.p.rel_mart_stg" -> Node("test.p.rel_mart_stg", "rel_mart_stg",
+        "p", NodeKind.Test,
+        dependsOn = Seq("model.p.mart", "model.p.stg")),
+      "unit_test.p.ut_mart" -> Node("unit_test.p.ut_mart", "ut_mart", "p",
+        NodeKind.UnitTest,
+        config = NodeConfig(extra = Map("model_uid" -> "model.p.mart"))))
+    val g2 = Dag.fromNodes(withRel)
+    def expand(sel: Set[String], mode: String): Set[String] =
+      Selector.expandIndirect(sel, withRel, g2, mode)
+    val mart = Set("model.p.mart")
+    // eager: one selected parent suffices
+    assert(expand(mart, "eager") == mart +
+      ("test.p.unique_mart_id", "test.p.rel_mart_stg", "unit_test.p.ut_mart"))
+    // cautious: the two-parent test needs BOTH parents selected
+    assert(expand(mart, "cautious") == mart +
+      ("test.p.unique_mart_id", "unit_test.p.ut_mart"))
+    assert(expand(Set("model.p.mart", "model.p.stg"), "cautious")
+      .contains("test.p.rel_mart_stg"))
+    // buildable: an unselected parent in the ANCESTRY of a selected
+    // node still counts (stg is mart's ancestor)
+    assert(expand(mart, "buildable").contains("test.p.rel_mart_stg"))
+    // empty: nothing attaches
+    assert(expand(mart, "empty") == mart)
+    // unknown mode: named error
+    val e = intercept[IllegalArgumentException](expand(mart, "zealous"))
+    assert(e.getMessage.contains("eager|buildable|cautious|empty"))
+  }
+
   test("selector: column rejected with a named reason") {
     val e2 = intercept[IllegalArgumentException](
       Selector.select(Selector.parse("column:model.p.mart.id"), nodes, ng))
