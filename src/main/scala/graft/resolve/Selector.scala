@@ -32,7 +32,10 @@ object Selector {
       raw: String,
       parentsDepth: Option[Int], // Some(MaxValue) for bare '+'
       childrenDepth: Option[Int],
-      atOperator: Boolean) extends Spec
+      atOperator: Boolean,
+      /** per-criterion `indirect_selection:` override from selectors.yml
+        * (parser.rs:151-205) — wins over the invocation default. */
+      indirect: Option[String] = None) extends Spec
   final case class Union(specs: Seq[Spec]) extends Spec
   final case class Intersection(specs: Seq[Spec]) extends Spec
   /** `exclude:` inside a YAML definition (parser.rs:240): select `base`,
@@ -103,7 +106,8 @@ object Selector {
           Atom(core,
             parentsDepth = depth("parents", "parents_depth"),
             childrenDepth = depth("children", "children_depth"),
-            atOperator = mm.get("childrens_parents").exists(v => Yaml.str(v).toBoolean))
+            atOperator = mm.get("childrens_parents").exists(v => Yaml.str(v).toBoolean),
+            indirect = mm.get("indirect_selection").map(Yaml.str))
         case _ => throw new IllegalArgumentException(
           s"selector definition needs union/intersection/method: $mm")
       }
@@ -180,16 +184,24 @@ object Selector {
         * artifact shows a strictly newer max_loaded_at than the --state
         * copy; None when either artifact is missing (the method errors
         * naming what to run). */
-      fresherSources: Option[Set[String]] = None): Set[String] = spec match {
+      fresherSources: Option[Set[String]] = None,
+      /** default indirect-selection mode, applied PER CRITERION before
+        * set operations (dbt's evaluation order — so an exclude drops
+        * its attached tests too); an Atom's own `indirect` wins. The
+        * library default `empty` keeps direct calls pure — the Runner
+        * passes dbt's `eager`. */
+      indirect: String = "empty"): Set[String] = spec match {
     case Union(specs) =>
       specs.flatMap(select(_, nodes, graph, prevChecksums, prevResults,
-        fresherSources)).toSet
+        fresherSources, indirect)).toSet
     case Intersection(specs) =>
       specs.map(select(_, nodes, graph, prevChecksums, prevResults,
-        fresherSources)).reduce(_ intersect _)
+        fresherSources, indirect)).reduce(_ intersect _)
     case Difference(base, exclude) =>
-      select(base, nodes, graph, prevChecksums, prevResults, fresherSources) --
-        select(exclude, nodes, graph, prevChecksums, prevResults, fresherSources)
+      select(base, nodes, graph, prevChecksums, prevResults, fresherSources,
+        indirect) --
+        select(exclude, nodes, graph, prevChecksums, prevResults,
+          fresherSources, indirect)
     case a: Atom =>
       val base = matchAtom(a.raw, nodes, prevChecksums, prevResults,
         fresherSources)
@@ -203,7 +215,8 @@ object Selector {
           base ++ up ++ down
         }
       // graph closures may pull in source.* vertices — selection is nodes only
-      expanded.filter(nodes.contains)
+      expandIndirect(expanded.filter(nodes.contains), nodes, graph,
+        a.indirect.getOrElse(indirect))
   }
 
   private def matchAtom(raw: String, nodes: Map[String, Node],

@@ -1139,17 +1139,10 @@ final class Runner(
       indirectSelection: String = "eager"): Set[String] =
     selectionSpec(select, selectorName, exclude) match {
       case Some(sp) =>
-        val base = Selector.select(sp, resolved.nodes, graph, prevState(),
-          prevResults(), fresherSources())
-        val expanded = Selector.expandIndirect(base, resolved.nodes, graph,
-          indirectSelection)
-        // expansion must not resurrect an explicit --exclude match
-        exclude.map(Selector.parse) match {
-          case Some(ex) if expanded ne base =>
-            expanded -- Selector.select(ex, resolved.nodes, graph,
-              prevState(), prevResults(), fresherSources())
-          case _ => expanded
-        }
+        // expansion happens PER CRITERION inside select (dbt's order), so
+        // an --exclude also drops its attached tests
+        Selector.select(sp, resolved.nodes, graph, prevState(),
+          prevResults(), fresherSources(), indirectSelection)
       case None => resolved.nodes.keySet
     }
 

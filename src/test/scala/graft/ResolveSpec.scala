@@ -346,6 +346,20 @@ class ResolveSpec extends AnyFunSuite {
     // unknown mode: named error
     val e = intercept[IllegalArgumentException](expand(mart, "zealous"))
     assert(e.getMessage.contains("eager|buildable|cautious|empty"))
+    // per-criterion override from selectors.yml (parser.rs:151-205) wins
+    // over the invocation default, per atom, BEFORE set operations
+    val spec = Selector.fromYamlDefinition(Map("union" -> Seq(
+      Map("method" -> "fqn", "value" -> "mart",
+        "indirect_selection" -> "empty"),
+      Map("method" -> "fqn", "value" -> "stg"))))
+    assert(Selector.select(spec, withRel, g2, indirect = "eager") ==
+      Set("model.p.mart", "model.p.stg", "test.p.rel_mart_stg"))
+    // an eager-expanded exclude drops its attached tests too — even the
+    // two-parent test whose OTHER parent survives (dbt's documented
+    // eager-exclusion behavior)
+    assert(Selector.select(
+      Selector.Difference(Selector.parse("fqn:*"), Selector.parse("mart")),
+      withRel, g2, indirect = "eager") == Set("model.p.stg"))
   }
 
   test("selector: column rejected with a named reason") {
