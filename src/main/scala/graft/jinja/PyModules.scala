@@ -23,8 +23,11 @@ object PyModules {
     'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
     'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
     'f' -> "SSSSSS", 'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE",
-    'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a", 'z' -> "xx", 'G' -> "YYYY",
-    'V' -> "ww", 'u' -> "e")
+    'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a", 'G' -> "YYYY",
+    'V' -> "ww", 'u' -> "e",
+    // python renders %z/%Z as EMPTY on naive datetimes — this engine's
+    // datetimes are all naive-at-UTC
+    'z' -> "", 'Z' -> "")
 
   /** Translate a Python format string, quoting every literal run so
     * pattern letters in literals (e.g. the T in ISO stamps) stay text. */
@@ -175,7 +178,9 @@ object PyModules {
         val (s, fmt) = (a.head.toString, a(1).toString)
         val parsed = formatter(fmt).parse(s)
         val date = LocalDate.of(
-          parsed.get(ChronoField.YEAR),
+          // python strptime defaults the year to 1900
+          if (parsed.isSupported(ChronoField.YEAR))
+            parsed.get(ChronoField.YEAR) else 1900,
           if (parsed.isSupported(ChronoField.MONTH_OF_YEAR))
             parsed.get(ChronoField.MONTH_OF_YEAR) else 1,
           if (parsed.isSupported(ChronoField.DAY_OF_MONTH))
@@ -341,12 +346,20 @@ object PyModules {
       val m = compile(a.head.toString, a.lift(2).orNull).matcher(a(1).toString)
       if (m.find()) new PyMatch(m) else null
     },
-    // re.sub(pattern, repl, string[, count]) — count unsupported beyond 0
-    "sub" -> JFunc { (a, _) =>
+    // re.sub(pattern, repl, string, count=0, flags=0) — python positions
+    "sub" -> JFunc { (a, kw) =>
       val repl = java.util.regex.Matcher.quoteReplacement(a(1).toString)
         .replaceAll("\\\\\\\\(\\d)", "\\$$1")
-      compile(a.head.toString, a.lift(3).orNull).matcher(a(2).toString)
-        .replaceAll(repl)
+      val count = a.lift(3).orElse(kw.get("count")).map(asLong).getOrElse(0L)
+      val m = compile(a.head.toString,
+        a.lift(4).orElse(kw.get("flags")).orNull).matcher(a(2).toString)
+      if (count <= 0) m.replaceAll(repl)
+      else {
+        val sb = new java.lang.StringBuilder
+        var done = 0L
+        while (done < count && m.find()) { m.appendReplacement(sb, repl); done += 1 }
+        m.appendTail(sb).toString
+      }
     },
     "findall" -> JFunc { (a, _) =>
       val m = compile(a.head.toString, a.lift(2).orNull).matcher(a(1).toString)
@@ -357,9 +370,15 @@ object PyModules {
         else (1 to m.groupCount).map(m.group).toVector)
       out.result()
     },
-    "split" -> JFunc((a, _) =>
-      compile(a.head.toString, a.lift(2).orNull)
-        .split(a(1).toString, -1).toVector),
+    // re.split(pattern, string, maxsplit=0, flags=0) — python positions:
+    // maxsplit=N means at most N splits (N+1 parts)
+    "split" -> JFunc { (a, kw) =>
+      val maxsplit =
+        a.lift(2).orElse(kw.get("maxsplit")).map(asLong).getOrElse(0L)
+      compile(a.head.toString, a.lift(3).orElse(kw.get("flags")).orNull)
+        .split(a(1).toString,
+          if (maxsplit <= 0) -1 else maxsplit.toInt + 1).toVector
+    },
     "escape" -> JFunc((a, _) =>
       a.head.toString.replaceAll("([.\\^$*+?{}\\[\\]|()\\\\#&~\\-])", "\\\\$1")),
     "compile" -> JFunc((a, _) =>

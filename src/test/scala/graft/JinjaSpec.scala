@@ -345,5 +345,15 @@ class JinjaSpec extends AnyFunSuite {
     // compiled patterns carry the same methods; flags respected
     assert(m("{% set p = modules.re.compile('^ab', modules.re.I) %}" +
       "{% if p.match('ABc') %}y{% endif %}") == "y")
+    // python arg positions: sub's 4th arg is COUNT, split's 3rd MAXSPLIT
+    assert(m("{{ modules.re.sub('a', 'X', 'aaaa', 2) }}") == "XXaa")
+    assert(m("{{ modules.re.split(',', 'a,b,c,d', 2) | join('|') }}")
+      == "a|b|c,d")
+    // %z renders empty on naive datetimes (python semantics); strptime
+    // without a year defaults to 1900
+    assert(m("{{ modules.datetime.datetime(2026, 1, 2).strftime('%Y%z') }}")
+      == "2026")
+    assert(m("{{ modules.datetime.datetime.strptime('03-14', '%m-%d')" +
+      ".strftime('%Y-%m-%d') }}") == "1900-03-14")
   }
 }
