@@ -671,6 +671,64 @@ class RunOperationSpec extends AnyFunSuite {
       Map("d" -> Map("a" -> 1L, "b" -> 2L))) == "2,ab,9,1")
   }
 
+  test("store_failures_as view: every builtin SQL twin runs and matches") {
+    val proj = Files.createTempDirectory("graft_sfview")
+    write(proj, "dbt_project.yml",
+      """name: sfv
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/parent.sql",
+      "{{ config(materialized='table') }}\n" +
+        "select 1 as pid union all select 2 as pid")
+    write(proj, "models/child.sql",
+      "{{ config(materialized='table') }}\n" +
+        "select * from values (1, 'a'), (1, 'b'), (2, 'x'), (3, 'x'), " +
+        "(null, 'z') as t(pid, grp)")
+    write(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: child
+        |    columns:
+        |      - name: pid
+        |        tests:
+        |          - unique:
+        |              config: {severity: warn, store_failures_as: view}
+        |          - not_null:
+        |              config: {severity: warn, store_failures_as: view}
+        |          - relationships:
+        |              to: ref('parent')
+        |              field: pid
+        |              config: {severity: warn, store_failures_as: view}
+        |      - name: grp
+        |        tests:
+        |          - accepted_values:
+        |              values: ['a', 'b']
+        |              config: {severity: warn, store_failures_as: view}
+        |""".stripMargin)
+    val schema = "g_sfview"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS `${schema}_failures` CASCADE")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema,
+      warehouseLocation =
+        Some(Files.createTempDirectory("graft_sfview_wh").toString))
+    val bad = r.run().filter(_.status == "error")
+    assert(bad.isEmpty, bad.mkString(" | "))
+    def viewCount(name: String): Long =
+      spark.table(s"`${schema}_failures`.`$name`").count()
+    assert(viewCount("unique_child_pid") == 1)        // pid 1 duplicated
+    assert(viewCount("not_null_child_pid") == 1)      // one null pid
+    assert(viewCount("relationships_child_pid") == 1) // pid 3 unparented
+    assert(viewCount("accepted_values_child_grp") == 2) // 'x' and 'z'
+    // all four persisted as catalog VIEWs, not snapshots
+    Seq("unique_child_pid", "not_null_child_pid", "relationships_child_pid",
+      "accepted_values_child_grp").foreach { v =>
+      assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(v,
+          Some(schema + "_failures"))).tableType.name == "VIEW", v)
+    }
+  }
+
   test("--warn-error promotes warn statuses and funcsign warnings to failures") {
     import graft.cli.Main
     val proj = Files.createTempDirectory("graft_warnerr")
