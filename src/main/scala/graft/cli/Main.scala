@@ -403,7 +403,21 @@ object Main {
         }
 
       case "source-freshness" =>
-        val results = runner.sourceFreshness()
+        // --select narrows to sources (dbt: `source:lake` = every table
+        // of the source, `source:lake.orders` = one table; * globs)
+        val keep: String => Boolean = args.select match {
+          case None => _ => true
+          case Some(sel) =>
+            val pats = sel.trim.split("\\s+").filter(_.nonEmpty).toSeq.map { a =>
+              val v = a.stripPrefix("source:")
+              val glob = if (v.contains('.')) s"source.$v" else s"source.$v.*"
+              java.util.regex.Pattern.compile(
+                glob.split("\\*", -1).map(java.util.regex.Pattern.quote)
+                  .mkString(".*"))
+            }
+            uid => pats.exists(_.matcher(uid).matches())
+        }
+        val results = runner.sourceFreshness().filter(r => keep(r._1))
         runner.writeSourceFreshness(
           targetDir.resolve("sources.json").toString, results)
         results.foreach { case (uid, r) =>

@@ -671,6 +671,48 @@ class RunOperationSpec extends AnyFunSuite {
       Map("d" -> Map("a" -> 1L, "b" -> 2L))) == "2,ab,9,1")
   }
 
+  test("source freshness --select narrows to the chosen sources") {
+    val proj = Files.createTempDirectory("graft_freshsel")
+    write(proj, "dbt_project.yml",
+      """name: fsel
+        |model-paths: ["models"]
+        |""".stripMargin)
+    // two file-backed sources with metadata freshness (file mtime)
+    val dataA = Files.createTempDirectory("graft_fsel_a").resolve("a.parquet")
+    val dataB = Files.createTempDirectory("graft_fsel_b").resolve("b.parquet")
+    import spark.implicits._
+    Seq(1, 2).toDF("id").write.parquet(dataA.toString)
+    Seq(3).toDF("id").write.parquet(dataB.toString)
+    write(proj, "models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: lakea
+         |    freshness: {warn_after: {count: 9999, period: hour}}
+         |    tables:
+         |      - name: ta
+         |        external: {location: "$dataA"}
+         |  - name: lakeb
+         |    freshness: {warn_after: {count: 9999, period: hour}}
+         |    tables:
+         |      - name: tb
+         |        external: {location: "$dataB"}
+         |""".stripMargin)
+    def freshOut(extra: String*): Seq[String] = {
+      val bos = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(bos)) {
+        graft.cli.Main.run(spark, graft.cli.Main.parseArgs(Array(
+          "source-freshness", "--project-dir", proj.toString) ++ extra))
+      }
+      bos.toString.linesIterator.toSeq.flatMap(_.split("\\s+")
+        .find(_.startsWith("source.")))
+    }
+    assert(freshOut() == Seq("source.lakea.ta", "source.lakeb.tb"))
+    assert(freshOut("--select", "source:lakea") == Seq("source.lakea.ta"))
+    assert(freshOut("--select", "source:lakeb.tb") == Seq("source.lakeb.tb"))
+    assert(freshOut("--select", "source:lake*.t*")
+      == Seq("source.lakea.ta", "source.lakeb.tb"))
+  }
+
   test("store_failures_as view: every builtin SQL twin runs and matches") {
     val proj = Files.createTempDirectory("graft_sfview")
     write(proj, "dbt_project.yml",
