@@ -436,22 +436,51 @@ object Resolver {
     }
 
     // --- generic tests from properties --------------------------------
-    val testNodes = projects.flatMap { proj =>
+    // models, seeds, and snapshots share the entry shape; each section's
+    // tests bind to their own uid kind. Source-table tests nest one level
+    // deeper (sources → tables → columns) and bind to source.<s>.<t>.
+    def columnTests(proj: Project, entry: Map[String, Any], label: String,
+        subjectUid: Option[String]): Seq[Node] =
+      Yaml.dig(entry, "columns").toSeq.flatMap {
+        case cols: Seq[_] => cols.collect { case c: Map[_, _] =>
+          val cm = c.asInstanceOf[Map[String, Any]]
+          val colName = Yaml.str(cm("name"))
+          (Yaml.dig(cm, "tests").orElse(Yaml.dig(cm, "data_tests")).toSeq).flatMap {
+            case ts: Seq[_] => ts.map { t =>
+              buildTestNode(proj.name, label, colName, t, targetSchema,
+                subjectUid)
+            }
+            case _ => Nil
+          }
+        }.flatten
+        case _ => Nil
+      }
+    def sectionTests(key: String, uidPrefix: Option[String]): Seq[Node] =
+      projects.flatMap { proj =>
+        proj.properties.flatMap { props =>
+          Yaml.dig(props, key).toSeq.flatMap {
+            case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
+              val mm = m.asInstanceOf[Map[String, Any]]
+              val name = Yaml.str(mm("name"))
+              columnTests(proj, mm, name,
+                uidPrefix.map(p => s"$p.${proj.name}.$name"))
+            }.flatten
+            case _ => Nil
+          }
+        }
+      }
+    val sourceTestNodes: Seq[Node] = projects.flatMap { proj =>
       proj.properties.flatMap { props =>
-        Yaml.dig(props, "models").toSeq.flatMap {
-          case ms: Seq[_] => ms.collect { case m: Map[_, _] =>
-            val mm = m.asInstanceOf[Map[String, Any]]
-            val modelName = Yaml.str(mm("name"))
-            Yaml.dig(mm, "columns").toSeq.flatMap {
-              case cols: Seq[_] => cols.collect { case c: Map[_, _] =>
-                val cm = c.asInstanceOf[Map[String, Any]]
-                val colName = Yaml.str(cm("name"))
-                (Yaml.dig(cm, "tests").orElse(Yaml.dig(cm, "data_tests")).toSeq).flatMap {
-                  case ts: Seq[_] => ts.map { t =>
-                    buildTestNode(proj.name, modelName, colName, t, targetSchema)
-                  }
-                  case _ => Nil
-                }
+        Yaml.dig(props, "sources").toSeq.flatMap {
+          case ss: Seq[_] => ss.collect { case s0: Map[_, _] =>
+            val sm = s0.asInstanceOf[Map[String, Any]]
+            val srcName = Yaml.str(sm("name"))
+            Yaml.dig(sm, "tables").toSeq.flatMap {
+              case tbls: Seq[_] => tbls.collect { case tb: Map[_, _] =>
+                val tm = tb.asInstanceOf[Map[String, Any]]
+                val tblName = Yaml.str(tm("name"))
+                columnTests(proj, tm, s"${srcName}_$tblName",
+                  Some(s"source.$srcName.$tblName"))
               }.flatten
               case _ => Nil
             }
@@ -460,6 +489,9 @@ object Resolver {
         }
       }
     }
+    val testNodes = sectionTests("models", None) ++
+      sectionTests("seeds", Some("seed")) ++
+      sectionTests("snapshots", Some("snapshot")) ++ sourceTestNodes
 
     // --- singular tests: .sql files under test-paths select failing rows
     val singularTestNodes = projects.flatMap { proj =>
@@ -969,7 +1001,11 @@ object Resolver {
   /** `unique`/`not_null`/`accepted_values`/`relationships` entries on a
     * column → test node (reference resolve_tests dir). */
   private def buildTestNode(pkg: String, model: String, column: String,
-      spec: Any, targetSchema: String = "analytics"): Node = {
+      spec: Any, targetSchema: String = "analytics",
+      /** the tested node when it is NOT a model (source.<s>.<t>,
+        * seed.<pkg>.<n>, snapshot.<pkg>.<n>) — `model` then carries the
+        * NAME LABEL used in the test's own id. */
+      subjectUid: Option[String] = None): Node = {
     val (testName, params) = spec match {
       case s: String => (s, Map.empty[String, Any])
       case m: Map[_, _] =>
@@ -996,11 +1032,12 @@ object Resolver {
       kind = NodeKind.Test,
       rawSql = testName, // generic test id; params in config.extra
       config = cfg,
-      dependsOn = Seq(s"model.$pkg.$model") ++
+      dependsOn = Seq(subjectUid.getOrElse(s"model.$pkg.$model")) ++
         params.get("to").map(v => refToUniqueId(pkg, Yaml.str(v))).toSeq,
       relation = Some(Relation(targetSchema + "_failures",
         s"${testName}_${model}_$column")),
-      columns = Map("column_name" -> column, "model" -> model))
+      columns = Map("column_name" -> column, "model" -> model,
+        "subject_uid" -> subjectUid.getOrElse(s"model.$pkg.$model")))
   }
 
   private def refToUniqueId(pkg: String, refText: String): String = {

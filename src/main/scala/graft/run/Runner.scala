@@ -915,9 +915,22 @@ final class Runner(
     }
     val modelName = node.columns("model")
     val column = node.columns("column_name")
-    val modelRel =
-      resolved.nodes(s"model.${node.packageName}.$modelName").relation.get
-    val df0 = adapter.read(modelRel)
+    // the tested subject: a model by default; source/seed/snapshot tests
+    // record their uid (Resolver.buildTestNode subject_uid)
+    val subjectUid = node.columns.getOrElse("subject_uid",
+      s"model.${node.packageName}.$modelName")
+    val (df0, subjectFrom, modelRel): (org.apache.spark.sql.DataFrame, String, Relation) =
+      if (subjectUid.startsWith("source.")) {
+        val Array(_, s, t) = subjectUid.split("\\.", 3)
+        val rel = resolved.sources(s)(t)
+        if (rel.relType == RelationType.External && rel.identifier.contains("/"))
+          (graft.core.ExternalSource.read(spark, rel.identifier),
+            graft.core.ExternalSource.sqlFor(rel.identifier), rel)
+        else (adapter.read(rel), rel.fqn, rel)
+      } else {
+        val rel = resolved.nodes(subjectUid).relation.get
+        (adapter.read(rel), rel.fqn, rel)
+      }
     val df = node.config.where.map(df0.filter).getOrElse(df0)
     // SQL twin of each builtin generic test (MA/generic_test_sql/*.sql) —
     // store_failures_as: view persists THIS text so the stored relation
@@ -925,8 +938,8 @@ final class Runner(
     // from it so view and result can never drift.
     def q(id: String) = "`" + id.replace("`", "``") + "`"
     val baseSql = node.config.where
-      .map(w => s"SELECT * FROM ${modelRel.fqn} WHERE ($w)")
-      .getOrElse(s"SELECT * FROM ${modelRel.fqn}")
+      .map(w => s"SELECT * FROM $subjectFrom WHERE ($w)")
+      .getOrElse(s"SELECT * FROM $subjectFrom")
     def sqlLit(v: Any): String = v match {
       case s: String => "'" + s.replace("'", "''") + "'"
       case other => String.valueOf(other)
@@ -955,7 +968,7 @@ final class Runner(
           s"SELECT ${q(column)} AS value_field, count(*) AS n_records " +
             s"FROM ($baseSql) m GROUP BY ${q(column)} HAVING $havingSql"))
       case "relationships" =>
-        val toUid = node.dependsOn.find(_ != s"model.${node.packageName}.$modelName")
+        val toUid = node.dependsOn.find(_ != subjectUid)
           .getOrElse(throw new IllegalStateException("relationships needs `to`"))
         val parentRel = resolved.nodes(toUid).relation.get
         val field = node.config.extra.get("field").map(_.toString).getOrElse("id")
@@ -974,7 +987,7 @@ final class Runner(
         val kwargs = node.config.extra.collect {
           case (k, v) if !reserved(k) => s", $k=${jinjaLit(v)}"
         }.mkString
-        val call = s"{{ test_$custom(model=${jinjaLit(modelRel.fqn)}, " +
+        val call = s"{{ test_$custom(model=${jinjaLit(subjectFrom)}, " +
           s"column_name=${jinjaLit(column)}$kwargs) }}"
         val sql = compileSql(node.copy(rawSql = call))
         (spark.sql(sql), Some(sql))

@@ -671,6 +671,62 @@ class RunOperationSpec extends AnyFunSuite {
       Map("d" -> Map("a" -> 1L, "b" -> 2L))) == "2,ab,9,1")
   }
 
+  test("generic tests bind to sources and seeds, not just models") {
+    val proj = Files.createTempDirectory("graft_srctests")
+    write(proj, "dbt_project.yml",
+      """name: srct
+        |model-paths: ["models"]
+        |seed-paths: ["seeds"]
+        |""".stripMargin)
+    val data = Files.createTempDirectory("graft_srct_data").resolve("raw.parquet")
+    import spark.implicits._
+    Seq(Some(1), Some(1), None).toDF("id").write.parquet(data.toString)
+    write(proj, "models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: lake
+         |    tables:
+         |      - name: raw
+         |        external: {location: "$data"}
+         |        columns:
+         |          - name: id
+         |            tests:
+         |              - unique:
+         |                  config: {severity: warn}
+         |              - not_null:
+         |                  config: {severity: warn}
+         |""".stripMargin)
+    write(proj, "seeds/lookup.csv", "code,label\nA,alpha\nA,dup\n")
+    write(proj, "seeds/schema.yml",
+      """version: 2
+        |seeds:
+        |  - name: lookup
+        |    columns:
+        |      - name: code
+        |        tests:
+        |          - unique:
+        |              config: {severity: warn}
+        |""".stripMargin)
+    val schema = "g_srctests"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema,
+      warehouseLocation =
+        Some(Files.createTempDirectory("graft_srct_wh").toString))
+    val results = r.run()
+    val byId = results.map(x => x.uniqueId -> x).toMap
+    // source tests read the external relation directly
+    assert(byId("test.srct.unique_lake_raw_id").status == "warn")   // dup 1
+    assert(byId("test.srct.unique_lake_raw_id").message == "failures=1")
+    assert(byId("test.srct.not_null_lake_raw_id").status == "warn") // one null
+    // seed tests run AFTER the seed loads (DAG edge through seed uid)
+    assert(byId("test.srct.unique_lookup_code").status == "warn")
+    assert(byId("test.srct.unique_lookup_code").message == "failures=1")
+    // selection: source:lake picks up the source's tests directly
+    assert(r.selectIds(Some("source:lake"), indirectSelection = "empty") ==
+      Set("test.srct.unique_lake_raw_id", "test.srct.not_null_lake_raw_id"))
+  }
+
   test("source freshness --select narrows to the chosen sources") {
     val proj = Files.createTempDirectory("graft_freshsel")
     write(proj, "dbt_project.yml",
