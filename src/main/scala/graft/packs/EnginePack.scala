@@ -1029,6 +1029,62 @@ object EnginePack extends QueryPack {
         .orderBy("case_name")
     }),
 
+    // generic tests on SOURCE tables (sources.yml columns — dbt binds
+    // tests to any subject kind, not just models): the accepted_values
+    // test reads the external relation directly, stores its failing
+    // groups, and the oracle recomputes them from the same parquet.
+    "q_engine_source_tests" -> ((s, dir) => {
+      import s.implicits._
+      val proj = Files.createTempDirectory("graft_srctest_q")
+      write(proj, "dbt_project.yml",
+        """name: stq
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: orders
+           |        external:
+           |          location: "$dir/orders.parquet"
+           |        columns:
+           |          - name: o_orderstatus
+           |            tests:
+           |              - accepted_values:
+           |                  values: ['O', 'F']
+           |                  config:
+           |                    severity: warn
+           |                    store_failures: true
+           |          - name: o_orderkey
+           |            tests: [unique, not_null]
+           |""".stripMargin)
+      val schema = "g_engine_srctest"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      s.sql(s"DROP DATABASE IF EXISTS `${schema}_failures` CASCADE")
+      val loc = Files.createTempDirectory("graft_srctest_wh").toString
+      val runner = new Runner(s, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc))
+      val results = runner.run()
+      val bad = results.filter(_.status == "error")
+      if (bad.nonEmpty) throw new IllegalStateException(
+        bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+      val statuses = results.map(r => r.uniqueId -> r.status).toMap
+      runner.adapter
+        .read(graft.core.Relation(schema + "_failures",
+          "accepted_values_lake_orders_o_orderstatus"))
+        .select(concat(lit("failed_"), col("value_field")).as("case_name"),
+          col("n_records").cast("string").as("outcome"))
+        .unionAll(Seq(
+          ("status_accepted_values",
+            statuses("test.stq.accepted_values_lake_orders_o_orderstatus")),
+          ("status_unique", statuses("test.stq.unique_lake_orders_o_orderkey")),
+          ("status_not_null",
+            statuses("test.stq.not_null_lake_orders_o_orderkey")))
+          .toDF("case_name", "outcome"))
+        .orderBy("case_name")
+    }),
+
     // graph-driven codegen (build_flat_graph functions/base.rs:1243): the
     // classic union-all-models-with-a-tag macro walks
     // graph.nodes.values() with a mutable accumulator at RUN time, while
@@ -3901,6 +3957,19 @@ object EnginePack extends QueryPack {
         |  ('unit_test', 'unit_test.selm.ut_mart'))
         |  AS t(case_name, selection)
         |ORDER BY case_name""".stripMargin,
+
+    "q_engine_source_tests" ->
+      """SELECT case_name, outcome FROM (
+        |  SELECT 'failed_' || o_orderstatus AS case_name,
+        |         CAST(count(*) AS VARCHAR) AS outcome
+        |  FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('status_accepted_values', 'warn'),
+        |    ('status_unique', 'pass'),
+        |    ('status_not_null', 'pass')) AS t(case_name, outcome)
+        |) ORDER BY case_name""".stripMargin,
 
     "q_engine_graph_codegen" ->
       """SELECT COUNT(*) AS n_rows,
