@@ -685,7 +685,7 @@ object Main {
       |common flags:
       |  --project-dir DIR --select SPEC --exclude SPEC --selector NAME
       |  --schema NAME --threads N --full-refresh --fail-fast --warn-error --empty
-  --indirect-selection eager|buildable|cautious|empty
+      |  --indirect-selection eager|buildable|cautious|empty
       |  --vars '{k: v}' --state DIR --defer --target-path DIR
       |  --sample PLAN.yml --sample-suffix SFX --limit N --output FMT
       |  --resource-type T[,T...] --exclude-resource-type T[,T...]

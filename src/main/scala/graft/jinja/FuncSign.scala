@@ -420,12 +420,24 @@ object FuncSign {
       otherSources: Seq[(String, String)]): Seq[String] = {
     val extracted = macroSources.map { case (where, src) =>
       extract(src, where) }
-    val sigs = extracted.flatMap(_._1).map(m => m.name -> m).toMap
+    // Later sources win (Root > Imported > Core, the caller's order) —
+    // and a later UNANNOTATED declaration of a name must CLEAR an
+    // earlier signature, not leave it checking the new macro's call
+    // sites: a project override of a builtin (changed arity/defaults,
+    // a pattern dbt supports) would otherwise produce false-positive
+    // diagnostics that turn into hard failures under
+    // funcsign-severity: error / --warn-error.
+    val sigs = scala.collection.mutable.Map.empty[String, MacroSig]
+    macroSources.zip(extracted).foreach { case ((_, src), (ms, _)) =>
+      macroRe.findAllMatchIn(src).foreach(m => sigs.remove(m.group(1)))
+      ms.foreach(s => sigs.update(s.name, s))
+    }
     val extractDiags = extracted.flatMap(_._2)
+    val sigMap = sigs.toMap
     val callDiags =
-      if (sigs.isEmpty) Nil
+      if (sigMap.isEmpty) Nil
       else (macroSources ++ otherSources).flatMap { case (where, src) =>
-        checkCalls(src, where, sigs) }
+        checkCalls(src, where, sigMap) }
     extractDiags ++ callDiags
   }
 }

@@ -23,19 +23,23 @@ object PyModules {
     'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
     'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
     'f' -> "SSSSSS", 'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE",
-    'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a", 'G' -> "YYYY",
-    'V' -> "ww", 'u' -> "e",
+    'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a",
     // python renders %z/%Z as EMPTY on naive datetimes — this engine's
     // datetimes are all naive-at-UTC
     'z' -> "", 'Z' -> "")
 
   /** Translate a Python format string, quoting every literal run so
-    * pattern letters in literals (e.g. the T in ISO stamps) stay text. */
-  private[jinja] def javaPattern(pyFmt: String): String = {
-    val out = new StringBuilder
+    * pattern letters in literals (e.g. the T in ISO stamps) stay text.
+    * %V/%u/%G append ISO fields DIRECTLY (IsoFields.WEEK_OF_WEEK_BASED_
+    * YEAR / WEEK_BASED_YEAR, ChronoField.DAY_OF_WEEK) — Java's ww/e/YYYY
+    * pattern letters are locale week fields (Sunday-start under
+    * Locale.US), which diverge from Python's ISO semantics by one
+    * week/day near year and week boundaries. */
+  private[jinja] def buildFormatter(pyFmt: String): DateTimeFormatterBuilder = {
+    val b = new DateTimeFormatterBuilder()
     val lit = new StringBuilder
     def flush(): Unit = if (lit.nonEmpty) {
-      out.append("'").append(lit.toString.replace("'", "''")).append("'")
+      b.appendLiteral(lit.toString)
       lit.clear()
     }
     var i = 0
@@ -44,20 +48,33 @@ object PyModules {
       if (c == '%' && i + 1 < pyFmt.length) {
         val d = pyFmt.charAt(i + 1)
         if (d == '%') { lit.append('%'); i += 2 }
-        else directiveMap.get(d) match {
-          case Some(p) => flush(); out.append(p); i += 2
-          case None => throw JinjaError(
-            s"strftime: unsupported directive %$d in '$pyFmt'")
+        else d match {
+          case 'V' =>
+            flush()
+            b.appendValue(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR, 2)
+            i += 2
+          case 'G' =>
+            flush()
+            b.appendValue(java.time.temporal.IsoFields.WEEK_BASED_YEAR, 4)
+            i += 2
+          case 'u' =>
+            flush()
+            b.appendValue(ChronoField.DAY_OF_WEEK, 1)
+            i += 2
+          case _ => directiveMap.get(d) match {
+            case Some(p) => flush(); if (p.nonEmpty) b.appendPattern(p); i += 2
+            case None => throw JinjaError(
+              s"strftime: unsupported directive %$d in '$pyFmt'")
+          }
         }
       } else { lit.append(c); i += 1 }
     }
     flush()
-    out.toString
+    b
   }
 
   private def formatter(pyFmt: String): DateTimeFormatter =
-    new DateTimeFormatterBuilder()
-      .appendPattern(javaPattern(pyFmt))
+    buildFormatter(pyFmt)
       .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
       .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
       .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)

@@ -90,7 +90,12 @@ object Resolver {
   }
 
   def resolve(project: Project, targetSchema: String = "analytics",
-      env: Map[String, String] = sys.env): Resolved = {
+      env: Map[String, String] = sys.env,
+      // run_started_at must be invocation-constant (dbt fixes it at
+      // invocation start) — the caller's clock, threaded into every
+      // parse context so parse and run phases agree
+      nowMs: Long = System.currentTimeMillis()): Resolved = {
+    val parseFlags: Map[String, Any] = Map("run_started_at_ms" -> nowMs)
     val projects = project.allProjects
     // packages first, root last: a root macro overwrites a package's on
     // name collision (dbt MacroLocality Root > Imported, same order the
@@ -319,7 +324,7 @@ object Resolver {
     def buildModelNode(proj: Project, name: String, fileKey: String,
         raw: String, version: Option[String], latest: Option[String],
         versionCfg: Map[String, Any]): Node = {
-      val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+      val (bindings, harvest) = DbtContext.parseContext(proj.vars, env, parseFlags)
       try Jinja.render(macroPrelude + raw, bindings)
       catch {
         case e: Jinja.JinjaError =>
@@ -398,7 +403,7 @@ object Resolver {
     // --- snapshots (config block inside the body) ---------------------
     val snapshotNodes = projects.flatMap { proj =>
       proj.snapshots.map { case (name, raw) =>
-        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env, parseFlags)
         Jinja.render(macroPrelude + raw, bindings)
         val h = harvest()
         val merged = propConfigs.getOrElse(name, Map.empty) ++ h.configs
@@ -496,7 +501,7 @@ object Resolver {
     // --- singular tests: .sql files under test-paths select failing rows
     val singularTestNodes = projects.flatMap { proj =>
       proj.tests.map { case (name, raw) =>
-        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env, parseFlags)
         try Jinja.render(macroPrelude + raw, bindings)
         catch {
           case e: Jinja.JinjaError =>
@@ -600,7 +605,7 @@ object Resolver {
     // --- analyses: compiled, never executed (nodes.rs:2100 DbtAnalysis) --
     val analysisNodes = projects.flatMap { proj =>
       proj.analyses.map { case (name, raw) =>
-        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env, parseFlags)
         Jinja.render(macroPrelude + raw, bindings)
         val h = harvest()
         Node(
@@ -637,7 +642,7 @@ object Resolver {
         }
       }.toMap
       proj.functions.map { case (name, raw) =>
-        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env)
+        val (bindings, harvest) = DbtContext.parseContext(proj.vars, env, parseFlags)
         Jinja.render(macroPrelude + raw, bindings)
         val h = harvest()
         val fm = props.getOrElse(name, Map.empty)

@@ -249,4 +249,40 @@ class FuncSignSpec extends AnyFunSuite {
     assert(p3.funcsignDiagnostics.isEmpty,
       p3.funcsignDiagnostics.mkString("; "))
   }
+
+  test("an UNANNOTATED project override clears a builtin signature " +
+      "(Root > Core) instead of false-positive diagnosing its call sites") {
+    val proj = Files.createTempDirectory("graft_funcsign_override")
+    write(proj, "dbt_project.yml",
+      """name: fso
+        |model-paths: ["models"]
+        |macro-paths: ["macros"]
+        |funcsign-severity: error
+        |""".stripMargin)
+    // project redefines graft_token_count with a DIFFERENT arity and no
+    // funcsign annotation — dbt supports overriding builtins like this
+    write(proj, "macros/override.sql",
+      "{% macro graft_token_count(col, mode) %}" +
+        "length({{ col }}) + {{ mode }}{% endmacro %}\n")
+    // 2-arg call: valid against the override, an arity error against
+    // the shipped (string) -> int signature
+    write(proj, "models/m.sql",
+      "select {{ graft_token_count('text', 1) }} as n\n")
+    // severity=error would throw if the builtin signature survived
+    val p = graft.project.ProjectLoader.load(proj.toString)
+    assert(p.funcsignDiagnostics.isEmpty,
+      p.funcsignDiagnostics.mkString("; "))
+
+    // an ANNOTATED override still re-registers its own signature
+    write(proj, "macros/override.sql",
+      "-- funcsign: (string, integer) -> integer\n" +
+        "{% macro graft_token_count(col, mode) %}" +
+        "length({{ col }}) + {{ mode }}{% endmacro %}\n")
+    write(proj, "models/m.sql",
+      "select {{ graft_token_count('text', 'not_an_int') }} as n\n")
+    val err = intercept[IllegalArgumentException] {
+      graft.project.ProjectLoader.load(proj.toString)
+    }
+    assert(err.getMessage.contains("graft_token_count"))
+  }
 }

@@ -321,6 +321,15 @@ class JinjaSpec extends AnyFunSuite {
       flags = Map("run_started_at_ms" -> 1747230123000L)) // 2025-05-14 UTC
     assert(Jinja.render("{{ run_started_at.strftime('%Y-%m-%d') }}", pinned)
       == "2025-05-14")
+    // %V/%u/%G are ISO fields, not US-locale week fields — python
+    // oracle: 2027-01-01 (Friday) is ISO week 53 of week-based-year
+    // 2026; a 'YYYY-ww-e' Locale.US pattern would render 2027-W01-6
+    assert(m("{{ modules.datetime.datetime(2027, 1, 1).strftime('%G-W%V-%u') }}")
+      == "2026-W53-5")
+    assert(m("{{ modules.datetime.datetime(2024, 12, 30).strftime('%G-W%V-%u') }}")
+      == "2025-W01-1")
+    assert(m("{{ modules.datetime.datetime(2026, 1, 1).strftime('%G-W%V-%u') }}")
+      == "2026-W01-4")
   }
 
   test("modules.re: match/search/sub/findall/split/escape/compile") {
