@@ -40,6 +40,11 @@ final case class MatContext(
       * batch's source scans prune instead of re-reading the full input.
       * None → the runner filters the compiled output only. */
     compiledBatch: Option[(java.sql.Timestamp, java.sql.Timestamp) => DataFrame] = None,
+    /** --event-time-start was given: the [begin, now) window is an
+      * explicit backfill to reprocess EXACTLY (dbt's semantics for a
+      * named window) — window runners must not resume from the target's
+      * max event_time. */
+    explicitBackfill: Boolean = false,
     /** Render a project macro `name(arg_dict)` with the run context —
       * custom incremental strategies dispatch through this
       * (base_adapter.rs:339 get_incremental_strategy_macro). */

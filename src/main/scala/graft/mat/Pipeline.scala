@@ -1,6 +1,6 @@
 package graft.mat
 
-import graft.core.{Relation, RelationType}
+import graft.core.{BatchSize, Relation, RelationType}
 import graft.ops.{Bpe, Dedup, FuzzyJoin, Multimodal, Packing, Sampling,
   Stats, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -84,28 +84,16 @@ object PipelineMat extends Materialization {
     val incrRun = incremental && !ctx.fullRefresh &&
       ctx.adapter.relationExists(ctx.target)
     if (incremental) steps.foreach(PipelineModels.checkIncrementalLegal)
-    // state mutations (index appends) are DEFERRED until the target
-    // write lands: the kept-rows plan still reads the PRE-batch state,
-    // and a failed run leaves the state untouched
-    val deferred = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    val out = steps.zip(PipelineModels.stepSuffixes(steps))
-      .foldLeft(ctx.compiled()) { case (df, (s, suffix)) =>
-        PipelineModels.applyManaged(ctx, s, suffix, df, incremental,
-          incrRun, deferred)
+    val message =
+      if (incremental && ctx.config.eventTime.isDefined && incrRun)
+        runWindows(ctx, steps)
+      else {
+        // full build OR a single (non-event-time) incremental batch
+        processBatch(ctx, steps, ctx.compiled(), incremental, incrRun,
+          window = None)
+        (if (incrRun) "pipeline (incremental batch): "
+         else "pipeline: ") + steps.map(_.op).mkString(" -> ")
       }
-    if (incrRun) ctx.adapter.appendToTable(out, ctx.target)
-    else ctx.adapter.writeTableAtomic(out, ctx.target,
-      ctx.config.partitionBy, ctx.config.sortBy,
-      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
-      ctx.config.layoutCurve, ctx.config.fileFormat)
-    // REVERSE step order: a later step's append plan re-derives its
-    // input THROUGH the earlier steps' state anti-joins (DataFrames are
-    // plans — the state table is read at execution, not capture). Were
-    // the exact-dedup index appended first, a downstream minhash append
-    // would anti-join the batch against its own just-written hashes and
-    // silently index nothing. Running last-step-first, every append
-    // still sees the PRE-batch upstream state its kept-rows pass saw.
-    deferred.reverseIterator.foreach(_.apply())
     TableMat.applyTblProperties(ctx)
     // audits run AFTER the swap over the WRITTEN table (what downstream
     // consumers will actually read), each landing in its own
@@ -121,10 +109,130 @@ object PipelineMat extends Materialization {
       }
     }
     MatResult(ctx.target, "success",
-      (if (incrRun) "pipeline (incremental batch): "
-       else "pipeline: ") + steps.map(_.op).mkString(" -> ") +
+      message +
         (if (audits.isEmpty) ""
          else s" | audits: ${audits.map(_.op).mkString(", ")}"))
+  }
+
+  /** One batch through the step chain: apply every step (frozen
+    * trainers / persisted indexes route through state relations), then
+    * append (incremental batch) or atomically (re)write the target.
+    * `window` carries the event-time slice being processed on a
+    * windowed re-run: survivors anti-join the target's OWN window slice
+    * on `unique_key` before appending, so a `lookback` re-run of an
+    * already-written window is idempotent even for pipelines with no
+    * dedup step (the dedup indexes make their rows idempotent; a pure
+    * gate chain needs this target-side guard). The slice scan is
+    * narrow (key columns only) and partition-prunes when the target is
+    * partitioned by the event date. */
+  private def processBatch(ctx: MatContext, steps: Seq[PipelineSteps.Step],
+      input: DataFrame, incremental: Boolean, incrRun: Boolean,
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)]): Unit = {
+    // state mutations (index appends) are DEFERRED until the target
+    // write lands: the kept-rows plan still reads the PRE-batch state,
+    // and a failed run leaves the state untouched
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val out = steps.zip(PipelineModels.stepSuffixes(steps))
+      .foldLeft(input) { case (df, (s, suffix)) =>
+        PipelineModels.applyManaged(ctx, s, suffix, df, incremental,
+          incrRun, deferred)
+      }
+    if (incrRun) {
+      val guarded = window match {
+        case Some((ws, we)) =>
+          val et = ctx.config.eventTime.get
+          val keys = ctx.config.uniqueKey
+          val slice = ctx.adapter.read(ctx.target)
+            .filter(col(s"`$et`") >= lit(ws) && col(s"`$et`") < lit(we))
+            .select(keys.map(k => col(s"`$k`")): _*)
+          val cond = keys.map(k => out(s"`$k`") <=> slice(s"`$k`"))
+            .reduce(_ && _)
+          out.join(slice, cond, "left_anti")
+        case None => out
+      }
+      ctx.adapter.appendToTable(guarded, ctx.target)
+    }
+    else ctx.adapter.writeTableAtomic(out, ctx.target,
+      ctx.config.partitionBy, ctx.config.sortBy,
+      ctx.config.clusteredBy, ctx.config.buckets, ctx.config.zorderBy,
+      ctx.config.layoutCurve, ctx.config.fileFormat)
+    // REVERSE step order: a later step's append plan re-derives its
+    // input THROUGH the earlier steps' state anti-joins (DataFrames are
+    // plans — the state table is read at execution, not capture). Were
+    // the exact-dedup index appended first, a downstream minhash append
+    // would anti-join the batch against its own just-written hashes and
+    // silently index nothing. Running last-step-first, every append
+    // still sees the PRE-batch upstream state its kept-rows pass saw.
+    deferred.reverseIterator.foreach(_.apply())
+  }
+
+  /** Microbatch × incremental pipeline (the continuous-ingestion shape
+    * a 100 TB curation pipeline runs — reference microbatch config:
+    * model_config.rs:79-82,209-210, DbtBatchSize common.rs:523): an
+    * `incremental: true` pipeline with `event_time`/`batch_size`
+    * processes each event-time window as ONE persisted-index batch.
+    *
+    * Semantics:
+    *   - the FIRST run (target absent / --full-refresh) is the normal
+    *     full build over the model's whole input — trainers train and
+    *     indexes lay out over the complete history in one pass (this
+    *     method only runs once the target exists);
+    *   - later runs window [resume, now) by `batch_size`, where resume
+    *     is `lookback` windows before the target's max event_time
+    *     (dbt's late-data reopening) — each window filters the input to
+    *     [start, end), runs the incremental step chain against the
+    *     settled state, appends survivors, and flushes its index
+    *     appends BEFORE the next window starts (windows are sequential
+    *     index batches: window N+1 must see window N's docs as
+    *     settled);
+    *   - a `lookback` re-run of an already-written window is
+    *     IDEMPOTENT: re-seen docs drop against the settled indexes (and
+    *     the target-slice unique_key guard for index-less chains), and
+    *     the deferred index appends skip ids the state already holds —
+    *     only genuinely late rows land;
+    *   - `--event-time-start/--event-time-end` reprocess exactly the
+    *     named window span (resume suppressed), same as microbatch
+    *     models.
+    *
+    * `unique_key` is required (the idempotence guard needs it);
+    * `concurrent_batches` is rejected — index batches are
+    * order-dependent by construction. */
+  private def runWindows(ctx: MatContext,
+      steps: Seq[PipelineSteps.Step]): String = {
+    val cfg = ctx.config
+    val et = cfg.eventTime.get
+    if (cfg.uniqueKey.isEmpty)
+      throw new IllegalArgumentException(
+        "a microbatch pipeline (event_time + incremental: true) requires " +
+          "unique_key: lookback re-runs are made idempotent by " +
+          "anti-joining each window's survivors against the " +
+          "already-written window slice on unique_key")
+    if (cfg.concurrentBatches)
+      throw new IllegalArgumentException(
+        "concurrent_batches is not supported on an incremental pipeline: " +
+          "each window is one persisted-index batch, and batch N+1 must " +
+          "see batch N's docs as settled — windows run sequentially")
+    val size = cfg.batchSize.getOrElse(BatchSize.Day)
+    val begin = cfg.begin.map(java.sql.Timestamp.valueOf)
+      .getOrElse(new java.sql.Timestamp(0L))
+    // resume from the target's max event_time (minus lookback windows),
+    // unless an explicit backfill window was named
+    val lastEnd: Option[java.sql.Timestamp] =
+      if (ctx.explicitBackfill) None
+      else scala.util.Try(ctx.adapter.read(ctx.target)
+          .agg(max(col(s"`$et`"))).head.getTimestamp(0))
+        .toOption.flatMap(Option(_))
+    val windows = MicrobatchRunner.batches(begin, ctx.now, size,
+      cfg.lookback, lastEnd)
+    windows.foreach { b =>
+      val input = ctx.compiledBatch.fold(ctx.compiled())(f =>
+          f(b.start, b.end))
+        .filter(col(s"`$et`") >= lit(b.start) && col(s"`$et`") < lit(b.end))
+      processBatch(ctx, steps, input, incremental = true, incrRun = true,
+        window = Some((b.start, b.end)))
+    }
+    s"pipeline microbatch: ${windows.length} windows of ${size.name}: " +
+      steps.map(_.op).mkString(" -> ")
   }
 }
 
@@ -1067,6 +1175,22 @@ object PipelineModels {
   private def stateRel(ctx: MatContext, suffix: String) =
     ctx.target.copy(identifier = s"${ctx.target.identifier}__state$suffix")
 
+  /** Idempotence guard for deferred index appends: only rows whose `id`
+    * the index has never recorded get appended. A microbatch `lookback`
+    * re-run feeds already-settled docs through the batch path again —
+    * without this guard every re-run would re-settle them as duplicate
+    * index rows, growing the state and double-counting signatures.
+    * Shape: the index is probed through its `id` column ALONE via a
+    * left_semi against the batch's (small) id set — AQE broadcasts the
+    * batch side, so the full-width index rows never shuffle — and the
+    * resulting re-seen set (tiny: only genuinely re-run ids) broadcasts
+    * into the final anti-join. */
+  private def unseenById(rows: DataFrame, index: DataFrame): DataFrame = {
+    val seen = index.select(col("id"))
+      .join(rows.select(col("id")).distinct(), Seq("id"), "left_semi")
+    rows.join(seen, Seq("id"), "left_anti")
+  }
+
   private val ParamsProp = "graft.pipeline.params"
 
   /** The training parameters a persisted artifact is only valid UNDER:
@@ -1500,11 +1624,17 @@ object PipelineModels {
       val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
         "left_anti")
       deferred += (() => {
-        ctx.adapter.appendToTable(newSigs, rel)
-        val nb = Dedup.bandedRows(newSigs, perms, bands)
+        // materialize the idempotence-filtered rows ONCE, before the
+        // first append: both appends below would otherwise re-evaluate
+        // the anti-join against the index AFTER the signature append
+        // landed and see their own rows as already-settled (an eager
+        // localCheckpoint pins batch-sized blocks — never corpus-sized)
+        val freshSigs = unseenById(newSigs, index).localCheckpoint(true)
+        ctx.adapter.appendToTable(freshSigs, rel)
         if (bandsExist)
           ctx.adapter.appendToTable(
-            nb.repartitionByRange(col("band"), col("bandhash"))
+            Dedup.bandedRows(freshSigs, perms, bands)
+              .repartitionByRange(col("band"), col("bandhash"))
               .sortWithinPartitions(col("band"), col("bandhash")),
             bandsRel)
         else ctx.adapter.writeTableAtomic(
@@ -1587,9 +1717,11 @@ object PipelineModels {
       val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
         "left_anti")
       deferred += (() => {
-        ctx.adapter.appendToTable(newVecs, rel)
+        // see incrementalMinhash: materialize pre-append, once
+        val freshVecs = unseenById(newVecs, index).localCheckpoint(true)
+        ctx.adapter.appendToTable(freshVecs, rel)
         if (bandsExist) {
-          val nb = Dedup.embeddingBandedRows(newVecs, bands, rpb)
+          val nb = Dedup.embeddingBandedRows(freshVecs, bands, rpb)
           ctx.adapter.appendToTable(
             nb.repartitionByRange(col("band"), col("sig"))
               .sortWithinPartitions(col("band"), col("sig")),
@@ -1674,10 +1806,12 @@ object PipelineModels {
       val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
         "left_anti")
       deferred += (() => {
-        ctx.adapter.appendToTable(newSigs, rel)
+        // see incrementalMinhash: materialize pre-append, once
+        val freshSigs = unseenById(newSigs, index).localCheckpoint(true)
+        ctx.adapter.appendToTable(freshSigs, rel)
         if (bandsExist)
           ctx.adapter.appendToTable(
-            Dedup.simhashBandedRows(newSigs)
+            Dedup.simhashBandedRows(freshSigs)
               .repartitionByRange(col("band"), col("bv"))
               .sortWithinPartitions(col("band"), col("bv")),
             bandsRel)
@@ -1756,10 +1890,12 @@ object PipelineModels {
       val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
         "left_anti")
       deferred += (() => {
-        ctx.adapter.appendToTable(newSets, rel)
+        // see incrementalMinhash: materialize pre-append, once
+        val freshSets = unseenById(newSets, index).localCheckpoint(true)
+        ctx.adapter.appendToTable(freshSets, rel)
         if (gramsExist)
           ctx.adapter.appendToTable(
-            Dedup.shinglePostings(newSets)
+            Dedup.shinglePostings(freshSets)
               .repartitionByRange(col("s"))
               .sortWithinPartitions(col("s")),
             gramsRel)
@@ -1906,14 +2042,17 @@ object PipelineModels {
       val kept = df.join(drop, df(s"`$idCol`") === col("__drop_id"),
         "left_anti")
       deferred += (() => {
-        ctx.adapter.appendToTable(stringsOf(df), rel)
+        // see incrementalMinhash: materialize pre-append, once
+        val freshStrs = unseenById(stringsOf(df), index).localCheckpoint(true)
+        ctx.adapter.appendToTable(freshStrs, rel)
         ctx.adapter.appendToTable(
-          FuzzyJoin.prefixGramsFrozen(stringsOf(df), "id", "str",
+          FuzzyJoin.prefixGramsFrozen(freshStrs, "id", "str",
               frozenFreq, maxDist, q)
             .repartitionByRange(col("gram"))
             .sortWithinPartitions(col("gram")),
           gramsRel)
         // the frozen frequency table is deliberately NOT updated
+        ()
       })
       kept
     }

@@ -2134,6 +2134,85 @@ object EnginePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // microbatch × incremental pipeline (reference microbatch config:
+    // model_config.rs:79-82,209-210; DbtBatchSize common.rs:523): an
+    // `incremental: true` pipeline with event_time/batch_size windows
+    // later runs into SEQUENTIAL persisted-index batches, and lookback
+    // re-runs are idempotent against settled state. The model derives a
+    // deterministic event time (doc_id DIV 100 days after `begin`), so
+    // the window order equals the id order and the windowed composition
+    // must equal the plain full-corpus exact dedup — the oracle
+    // identity. Run 1 (hi=300) is the full build; run 2 (hi=600) windows
+    // the new days and REOPENS two settled ones via lookback; run 3
+    // re-runs everything settled — any re-settled row or duplicate
+    // append breaks the row count against the oracle.
+    "q_engine_microbatch_pipeline" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_mb_pipe")
+      def projYml(hi: Long) =
+        s"""name: mbpipe
+           |model-paths: ["models"]
+           |vars:
+           |  hi: $hi
+           |""".stripMargin
+      write(proj, "dbt_project.yml", projYml(300L))
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/windowed.sql",
+        """select doc_id, source, text,
+          |  timestampadd(DAY, cast(doc_id div 100 as int),
+          |    timestamp'2025-01-01 00:00:00') as ts
+          |from {{ source('lake', 'documents') }}
+          |where doc_id < {{ var('hi') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: windowed
+          |    config:
+          |      materialized: pipeline
+          |      incremental: true
+          |      unique_key: doc_id
+          |      event_time: ts
+          |      batch_size: day
+          |      begin: '2025-01-01 00:00:00'
+          |      lookback: 1
+          |      steps:
+          |        - op: exact_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |""".stripMargin)
+      val schema = "g_engine_mbpipe"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_mb_pipe_wh").toString
+      def runAt(now: String): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc),
+          now = java.sql.Timestamp.valueOf(now))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runAt("2025-01-04 00:00:00") // full build over days 0-2
+      write(proj, "dbt_project.yml", projYml(600L))
+      runAt("2025-01-07 00:00:00") // windows days 3-5 + reopen day 2
+      val runner =
+        runAt("2025-01-07 00:00:00") // pure re-run: everything settled
+      runner.adapter.read(graft.core.Relation(schema, "windowed"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // the OTHER incremental state family: exact dedup against a
     // persisted text-hash index + FROZEN robust-stats artifacts. Run 1
     // (doc_id < 250) dedups exactly, persists one sha2 per distinct
@@ -3148,6 +3227,19 @@ object EnginePack extends QueryPack {
     // stored band/fence via LEFT JOINs (an unseen source passes
     // unclipped/unfenced — none exists at these SFs, but the join shape
     // is the contract)
+    // windowed composition ≡ the full-corpus operator: event time is
+    // monotone in doc_id, so the first-seen batch of any text contains
+    // its min doc_id and the exact-dedup keeper set is exactly {min
+    // doc_id per distinct text} — re-runs/lookback must change nothing
+    "q_engine_microbatch_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id < 600),
+        |k AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text)
+        |SELECT b.doc_id, b.source,
+        |  CAST(len(string_split(b.text, ' ')) AS INT) AS n_tok
+        |FROM base b JOIN k USING (doc_id)
+        |ORDER BY doc_id, source, n_tok""".stripMargin,
+
     "q_engine_pipeline_incr_stats" ->
       """WITH base AS (
         |  SELECT doc_id, source, text, n_chars FROM documents

@@ -65,7 +65,13 @@ final class Runner(
     currentSourcesJson: Option[String] = None) {
 
   val adapter = new SparkAdapter(spark, targetSchema, warehouseLocation)
-  val resolved: Resolver.Resolved = Resolver.resolve(project, targetSchema)
+  /** Context flags shared by every parse/run context this invocation
+    * builds: dbt pins run_started_at at invocation start, so all nodes
+    * and hooks of one run see the SAME value (reference: load/init.rs
+    * run_started_at set once per invocation). */
+  private val ctxFlags: Map[String, Any] = Map("run_started_at_ms" -> now.getTime)
+  val resolved: Resolver.Resolved =
+    Resolver.resolve(project, targetSchema, nowMs = now.getTime)
   /** Source map after --sample remapping (identity without a plan). */
   private val effectiveSources: Map[String, Map[String, Relation]] =
     samplePlan.map(p => graft.sample.Sampler.remapSources(
@@ -240,7 +246,7 @@ final class Runner(
       adapter, node.relation.get, resolveRef, resolveSource,
       isIncr, node.config.extra, project.vars ++ overrideVars,
       sys.env ++ overrideEnv, resolveFunction = resolveFunction,
-      graph = () => flatGraph) ++
+      flags = ctxFlags, graph = () => flatGraph) ++
       overrideMacros.map { case (k, v) =>
         s"__macro_override_$k" -> (Jinja.JFunc((_, _) => v): Any) }
     // macro overrides must SHADOW the prelude's {% macro %} definitions,
@@ -319,6 +325,23 @@ final class Runner(
                   spark.sql(compileSql(node, batchWindow = Some((bs, be)),
                     fullRefresh = fullRefresh))))
               MicrobatchRunner.run(winCtx, lastRunEnd = lastEnd)
+            // microbatch × incremental pipeline: window-compile the
+            // input (upstream event_time scans prune per batch) and let
+            // PipelineMat window [begin/resume, now) as sequential
+            // persisted-index batches
+            case "pipeline" if node.config.eventTime.isDefined &&
+                node.config.extra.get("incremental")
+                  .exists(v => String.valueOf(v).toBoolean) =>
+              val winCtx = ctx.copy(
+                node = ctx.node.copy(config = ctx.node.config.copy(
+                  begin = eventTimeStart.map(_.toString)
+                    .orElse(ctx.node.config.begin))),
+                now = eventTimeEnd.getOrElse(ctx.now),
+                explicitBackfill = eventTimeStart.isDefined,
+                compiledBatch = Some((bs, be) =>
+                  spark.sql(compileSql(node, batchWindow = Some((bs, be)),
+                    fullRefresh = fullRefresh))))
+              Materializations.resolve("pipeline").run(winCtx)
             case m if customMats.contains(m) =>
               runCustomMaterialization(node, sql, m, fullRefresh)
             case m => Materializations.resolve(m).run(ctx)
@@ -428,7 +451,7 @@ final class Runner(
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, Map.empty, project.vars,
-      graph = () => flatGraph)
+      flags = ctxFlags, graph = () => flatGraph)
     Jinja.render(macroPrelude + raw, bindings).trim
   }
 
@@ -446,7 +469,7 @@ final class Runner(
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, Map.empty, project.vars,
-      graph = () => flatGraph) +
+      flags = ctxFlags, graph = () => flatGraph) +
       ("__op_args" -> args)
     val kw = args.keys.map(k => s"$k=__op_args['$k']").mkString(", ")
     try Jinja.render(macroPrelude + s"{{ $macroName($kw) }}", bindings).trim
@@ -596,7 +619,7 @@ final class Runner(
             .flatMap(_.relation).map(_.fqn).getOrElse(n),
           sourceSql,
           isIncremental = true, node.config.extra, project.vars,
-          graph = () => flatGraph) +
+          flags = ctxFlags, graph = () => flatGraph) +
           ("arg_dict" -> args))
 
   /** `graft sample` — materialize a sampler plan's entries into the
@@ -817,7 +840,7 @@ final class Runner(
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, node.config.extra, project.vars,
-      graph = () => flatGraph) ++ Map(
+      flags = ctxFlags, graph = () => flatGraph) ++ Map(
       "sql" -> compiledSql,
       "compiled_code" -> compiledSql,
       "model" -> Map(
@@ -851,7 +874,7 @@ final class Runner(
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, node.config.extra, project.vars,
-      graph = () => flatGraph))
+      flags = ctxFlags, graph = () => flatGraph))
 
   /** YAML `unit_tests:` execution (reference: unit materialization
     * MA/materializations/tests/unit.sql + get_fixture_sql): each `given`
@@ -1120,7 +1143,7 @@ final class Runner(
         .flatMap(_.relation).map(_.fqn).getOrElse(n),
       sourceSql,
       isIncremental = false, Map.empty, project.vars,
-      graph = () => flatGraph) ++ Map(
+      flags = ctxFlags, graph = () => flatGraph) ++ Map(
       "results" -> resultObjs,
       "schemas" -> schemas.toVector,
       "database_schemas" -> schemas.toVector)
@@ -1166,6 +1189,27 @@ final class Runner(
     * run. A source with no max_loaded_at in the current artifact (error
     * or metadata-skip) is never "fresher". */
   def fresherSources(): Option[Set[String]] = {
+    // Artifacts written by dbt itself use ISO-8601 ('T' separator,
+    // optional zone suffix); ours use 'yyyy-MM-dd HH:mm:ss'. Accept
+    // both — a mixed-tool --state dir must not throw a raw
+    // IllegalArgumentException out of Timestamp.valueOf.
+    def parseLoadedAt(s: String, path: java.nio.file.Path): java.sql.Timestamp =
+      try java.sql.Timestamp.valueOf(s)
+      catch { case _: IllegalArgumentException =>
+        try {
+          val t = s.replace(' ', 'T')
+          val instant =
+            try java.time.OffsetDateTime.parse(t).toInstant
+            catch { case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(t)
+                .atZone(java.time.ZoneOffset.UTC).toInstant }
+          java.sql.Timestamp.from(instant)
+        } catch { case e: java.time.format.DateTimeParseException =>
+          throw new IllegalStateException(
+            s"source_status:fresher: cannot parse max_loaded_at '$s' in " +
+              s"$path — expected 'yyyy-MM-dd HH:mm:ss[.f]' or ISO-8601", e)
+        }
+      }
     def loadedAt(path: java.nio.file.Path): Option[Map[String, java.sql.Timestamp]] =
       if (!Files.exists(path)) None
       else Some(Json.parse(Files.readString(path))
@@ -1174,8 +1218,7 @@ final class Runner(
           rs.collect { case r: Map[_, _] =>
             val rm = r.asInstanceOf[Map[String, Any]]
             Option(rm.getOrElse("max_loaded_at", null)).map { v =>
-              rm("unique_id").toString ->
-                java.sql.Timestamp.valueOf(v.toString)
+              rm("unique_id").toString -> parseLoadedAt(v.toString, path)
             }
           }.flatten.toMap
         }.getOrElse(Map.empty))

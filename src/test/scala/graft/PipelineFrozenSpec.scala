@@ -815,4 +815,114 @@ class PipelineFrozenSpec extends AnyFunSuite {
     assert(spark.table(s"$schema.curated").count() == 500,
       "--full-refresh must rebuild from the full-corpus SELECT")
   }
+
+  // --- microbatch × incremental pipeline ---------------------------------
+
+  test("microbatch pipeline: event-time windows run as sequential index " +
+      "batches; lookback re-runs are idempotent; late data still lands") {
+    import spark.implicits._
+    val a = freshAdapter("mb_pipe")
+    val rel = Relation(a.defaultSchema, "stream_corpus")
+    val sigsRel = Relation(a.defaultSchema,
+      "stream_corpus__state_minhash_dedup")
+    val bandsRel = Relation(a.defaultSchema,
+      "stream_corpus__state_minhash_dedup_bands")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "totally different words entirely here now for testing once"
+    val t3 = "completely fresh material nothing shared with previous batches at all"
+    val cfg = NodeConfig(materialized = "pipeline",
+      uniqueKey = Seq("doc_id"),
+      eventTime = Some("ts"), batchSize = Some(BatchSize.Day),
+      begin = Some("2025-01-01 00:00:00"),
+      extra = Map(
+        "steps" -> Vector(Map[String, Any]("op" -> "minhash_dedup")),
+        "incremental" -> "true"))
+    def runMb(df: DataFrame, now: java.sql.Timestamp,
+        fullRefresh: Boolean = false) =
+      PipelineMat.run(MatContext(a, node(rel.identifier, cfg), rel,
+        () => df, fullRefresh, now = now))
+    def ids() = a.read(rel).collect().map(_.getLong(0)).toSet
+
+    // run 1 (target absent): one FULL build over the whole input —
+    // trainers/indexes lay out over the complete history in one pass
+    val day1 = Seq(
+      (1L, t1, ts("2025-01-01 03:00:00")),
+      (2L, t1, ts("2025-01-01 04:00:00")),
+      (3L, t2, ts("2025-01-01 05:00:00"))).toDF("doc_id", "text", "ts")
+    val r1 = runMb(day1, ts("2025-01-02 00:00:00"))
+    assert(r1.message.startsWith("pipeline:"), r1.message)
+    assert(ids() == Set(1L, 3L))
+    assert(a.read(sigsRel).count() == 3)
+
+    // run 2: the source now holds day 1 + day 2. lookback=1 reopens
+    // [day1, day2): its rows are ALL settled — nothing may duplicate
+    // in the target or the index. [day2, day3): 10 dups settled 1,
+    // 11≈12 new-new cluster (11 kept), 13 unique.
+    val day2 = Seq(
+      (10L, t1, ts("2025-01-02 01:00:00")),
+      (11L, t3, ts("2025-01-02 02:00:00")),
+      (12L, t3, ts("2025-01-02 03:00:00")),
+      (13L, "unique new content appearing only in the second batch run",
+        ts("2025-01-02 04:00:00"))).toDF("doc_id", "text", "ts")
+    val all2 = day1.unionByName(day2)
+    val r2 = runMb(all2, ts("2025-01-03 00:00:00"))
+    assert(r2.message.startsWith("pipeline microbatch: 2 windows of day"),
+      r2.message)
+    assert(ids() == Set(1L, 3L, 11L, 13L),
+      "settled rows stay; 10 drops against the index; 11 wins its cluster")
+    assert(a.read(sigsRel).count() == 7,
+      "re-run window re-settles nothing; day-2 sigs appended once")
+    assert(a.read(bandsRel).count() == 7 * 21,
+      "banded twin appended in lockstep, no duplicates")
+
+    // run 3: SAME inputs, same clock — the pure re-run. Both windows
+    // reopen (resume = lookback before max event_time) and everything
+    // is settled: target and index must be byte-for-byte stable.
+    runMb(all2, ts("2025-01-03 00:00:00"))
+    assert(ids() == Set(1L, 3L, 11L, 13L), "pure re-run appends no rows")
+    assert(a.read(sigsRel).count() == 7, "pure re-run re-settles nothing")
+    assert(a.read(bandsRel).count() == 7 * 21)
+
+    // run 4: LATE data arrives inside the already-written day-2 window
+    // (reopened by lookback): 14 dups settled 11 → drops against the
+    // index; 15 is genuinely novel → lands, despite the window having
+    // been processed twice already.
+    val lateDay2 = Seq(
+      (14L, t3, ts("2025-01-02 23:00:00")), // dups settled 11 → drops
+      (15L, "late but genuinely novel text that belongs to day two window",
+        ts("2025-01-02 22:00:00"))).toDF("doc_id", "text", "ts")
+    val all3 = all2.unionByName(lateDay2)
+    runMb(all3, ts("2025-01-03 00:00:00"))
+    assert(ids() == Set(1L, 3L, 11L, 13L, 15L),
+      "late dup drops against the settled index; late novel row lands")
+    assert(a.read(sigsRel).count() == 9,
+      "only the two late docs settle (14 and 15)")
+
+    // run 5: an explicit backfill window reprocesses EXACTLY day 1
+    // (resume suppressed) — still idempotent against settled state
+    val lateDay1 = Seq(
+      (4L, t2, ts("2025-01-01 23:00:00"))) // dups settled 3 → drops
+      .toDF("doc_id", "text", "ts")
+    PipelineMat.run(MatContext(a, node(rel.identifier, cfg.copy(
+        begin = Some("2025-01-01 00:00:00"))), rel,
+      () => all3.unionByName(lateDay1), fullRefresh = false,
+      now = ts("2025-01-02 00:00:00"), explicitBackfill = true))
+    assert(ids() == Set(1L, 3L, 11L, 13L, 15L),
+      "backfilled late dup drops; nothing else changes")
+    assert(a.read(sigsRel).count() == 10, "the late dup settles (4)")
+
+    // contract errors are named: unique_key required, concurrent
+    // batches rejected
+    val e1 = intercept[IllegalArgumentException](
+      PipelineMat.run(MatContext(a, node(rel.identifier,
+        cfg.copy(uniqueKey = Nil)), rel, () => all3,
+        now = ts("2025-01-03 00:00:00"))))
+    assert(e1.getMessage.contains("unique_key"))
+    val e2 = intercept[IllegalArgumentException](
+      PipelineMat.run(MatContext(a, node(rel.identifier,
+        cfg.copy(concurrentBatches = true)), rel, () => all3,
+        now = ts("2025-01-03 00:00:00"))))
+    assert(e2.getMessage.contains("sequential"))
+  }
 }

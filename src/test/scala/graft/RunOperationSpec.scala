@@ -865,4 +865,70 @@ class RunOperationSpec extends AnyFunSuite {
     assert(Main.run(spark, Main.parseArgs(base)) == 0)
     assert(Main.run(spark, Main.parseArgs(base :+ "--warn-error")) == 1)
   }
+
+  test("source_status:fresher parses ISO-8601 max_loaded_at from " +
+      "dbt-written artifacts, not just 'yyyy-MM-dd HH:mm:ss'") {
+    val proj = Files.createTempDirectory("graft_fresher_iso")
+    write(proj, "dbt_project.yml",
+      """name: fiso
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "models/m.sql", "select 1 as x\n")
+    def artifact(dir: Path, stamps: Map[String, String]): Unit =
+      write(dir, "sources.json",
+        """{"results": [""" + stamps.map { case (uid, ts) =>
+          s"""{"unique_id": "$uid", "max_loaded_at": "$ts"}"""
+        }.mkString(", ") + "]}")
+    val state = Files.createTempDirectory("graft_fresher_state")
+    val cur = Files.createTempDirectory("graft_fresher_cur")
+    // mixed-tool state: dbt writes ISO-8601 with 'T' and zone suffix
+    artifact(state, Map(
+      "source.p.a" -> "2025-01-01T00:00:00+00:00",
+      "source.p.b" -> "2025-06-01T12:00:00Z"))
+    artifact(cur, Map(
+      "source.p.a" -> "2025-03-02 00:00:00",       // newer → fresher
+      "source.p.b" -> "2025-06-01T12:00:00Z"))      // equal → not fresher
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = "g_fiso", stateDir = Some(state.toString),
+      currentSourcesJson = Some(cur.resolve("sources.json").toString))
+    assert(r.fresherSources() == Some(Set("source.p.a")))
+    // garbage still fails with the method's NAMED error
+    artifact(cur, Map("source.p.a" -> "not-a-timestamp"))
+    val r2 = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = "g_fiso", stateDir = Some(state.toString),
+      currentSourcesJson = Some(cur.resolve("sources.json").toString))
+    val e = intercept[IllegalStateException] { r2.fresherSources() }
+    assert(e.getMessage.contains("max_loaded_at"))
+  }
+
+  test("run_started_at is invocation-constant: every node and hook of " +
+      "one run sees the Runner's pinned `now`, not per-context clocks") {
+    val proj = Files.createTempDirectory("graft_runstarted")
+    write(proj, "dbt_project.yml",
+      """name: rsat
+        |model-paths: ["models"]
+        |models:
+        |  rsat:
+        |    +post-hook: "create or replace view {{ this.schema }}.hook_stamp as
+        |      select '{{ run_started_at.isoformat() }}' as stamp"
+        |""".stripMargin)
+    write(proj, "models/a.sql",
+      "select '{{ run_started_at.isoformat() }}' as stamp\n")
+    write(proj, "models/b.sql",
+      "select '{{ run_started_at.isoformat() }}' as stamp\n")
+    val schema = "g_rsat"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    // a pinned `now` deliberately in the past: any context that falls
+    // back to its own construction-time clock renders a different stamp
+    val pinned = java.sql.Timestamp.valueOf("2025-05-14 09:02:03")
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema, now = pinned)
+    val bad = r.run().filter(_.status != "success")
+    assert(bad.isEmpty, bad.mkString("; "))
+    val expect = "2025-05-14T09:02:03"
+    for (t <- Seq("a", "b", "hook_stamp")) {
+      val v = spark.sql(s"select stamp from $schema.$t").collect()(0).getString(0)
+      assert(v == expect, s"$t: $v != $expect")
+    }
+  }
 }
