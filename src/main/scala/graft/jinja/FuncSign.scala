@@ -286,9 +286,130 @@ object FuncSign {
       case Jinja.ECall(Jinja.EVar(name), args, kwargs)
           if sigs.contains(name) =>
         checkCall(sigs(name), args, kwargs, where, sigs)
+      case Jinja.ECall(fn @ Jinja.EAttr(recv, attr), args, kwargs) =>
+        val table = dotted(fn).flatMap(knownObjects.get) match {
+          case Some(m) => checkCall(m, args, kwargs, where, sigs) ++
+            (if (m.name.endsWith(".strptime")) strptimeChecks(args, where)
+             else Nil)
+          case None => Nil
+        }
+        // strftime is a METHOD on datetime values (run_started_at,
+        // modules.datetime results) — the receiver is arbitrary, but
+        // the format argument is statically checkable: this engine's
+        // only `.strftime` carrier is PyDateTime
+        val fmt =
+          if (attr == "strftime" && args.length == 1)
+            args.headOption.flatMap(litStr)
+              .flatMap(f => directiveDiag(f, where, "strftime")).toSeq
+          else if (attr == "strftime" && kwargs.isEmpty)
+            Seq(s"$where: `strftime` takes exactly 1 argument " +
+              s"(the format string), got ${args.length}")
+          else Nil
+        table ++ fmt
       case _ => Nil
     }
     here ++ subExprs(e).flatMap(checkExpr(_, where, sigs))
+  }
+
+  /** Dotted name of an attribute chain rooted at a plain variable. */
+  private def dotted(e: Jinja.Expr): Option[String] = e match {
+    case Jinja.EVar(n) => Some(n)
+    case Jinja.EAttr(o, a) => dotted(o).map(_ + "." + a)
+    case _ => None
+  }
+
+  private def litStr(e: Jinja.Expr): Option[String] = e match {
+    case Jinja.ELit(s: String) => Some(s)
+    case _ => None
+  }
+
+  /** A literal strftime/strptime format must translate: an unsupported
+    * %-directive silently produces a JinjaError at RENDER time deep in
+    * some hook; surface it statically instead. */
+  private def directiveDiag(fmt: String, where: String,
+      what: String): Option[String] =
+    Try(PyModules.buildFormatter(fmt)).failed.toOption.collect {
+      case Jinja.JinjaError(msg) => s"$where: $what format '$fmt': $msg"
+    }
+
+  /** strptime(date_string, format) — the format is the SECOND argument
+    * (python's classmethod order). A %-bearing first literal next to a
+    * %-free second literal is the classic swapped-argument typo; a
+    * literal format also gets its directives validated. */
+  private def strptimeChecks(args: Seq[Jinja.Expr],
+      where: String): Seq[String] = {
+    val s0 = args.lift(0).flatMap(litStr)
+    val s1 = args.lift(1).flatMap(litStr)
+    val swapped = (s0, s1) match {
+      case (Some(a), Some(b)) if a.contains('%') && !b.contains('%') =>
+        Seq(s"$where: `strptime` arguments look swapped — the format " +
+          "string (with % directives) is the SECOND argument: " +
+          "strptime(date_string, format)")
+      case _ => Nil
+    }
+    swapped ++ s1.flatMap(directiveDiag(_, where, "strptime")).toSeq
+  }
+
+  /** Known-object signatures for the python-stdlib-shaped `modules.*`
+    * surface ([[PyModules]]) — exactly where template typos silently
+    * produce wrong strings, so call sites get the same arity/keyword/
+    * literal-type diagnostics as annotated macros. Names mirror the
+    * python call shapes dbt macros actually write. */
+  private val knownObjects: Map[String, MacroSig] = {
+    def m(name: String, params: Seq[(String, Boolean)], args: Seq[T],
+        ret: T): (String, MacroSig) =
+      name -> MacroSig(name, Sig(args, ret), params)
+    val intish = TUnion(Seq(TInt, TFloat))
+    Map(
+      m("modules.datetime.datetime",
+        Seq("year" -> false, "month" -> false, "day" -> false,
+          "hour" -> true, "minute" -> true, "second" -> true,
+          "microsecond" -> true),
+        Seq(TInt, TInt, TInt, TInt, TInt, TInt, TInt), TNamed("datetime")),
+      m("modules.datetime.date",
+        Seq("year" -> false, "month" -> false, "day" -> false),
+        Seq(TInt, TInt, TInt), TNamed("date")),
+      m("modules.datetime.timedelta",
+        Seq("days" -> true, "seconds" -> true, "microseconds" -> true,
+          "milliseconds" -> true, "minutes" -> true, "hours" -> true,
+          "weeks" -> true),
+        Seq.fill(7)(intish), TNamed("timedelta")),
+      m("modules.datetime.datetime.strptime",
+        Seq("date_string" -> false, "format" -> false),
+        Seq(TStr, TStr), TNamed("datetime")),
+      m("modules.datetime.datetime.now", Seq("tz" -> true), Seq(TAny),
+        TNamed("datetime")),
+      m("modules.datetime.datetime.fromtimestamp",
+        Seq("timestamp" -> false), Seq(intish), TNamed("datetime")),
+      m("modules.datetime.datetime.fromisoformat",
+        Seq("date_string" -> false), Seq(TStr), TNamed("datetime")),
+      m("modules.datetime.date.fromisoformat",
+        Seq("date_string" -> false), Seq(TStr), TNamed("date")),
+      m("modules.re.match",
+        Seq("pattern" -> false, "string" -> false, "flags" -> true),
+        Seq(TStr, TStr, TInt), TNamed("match")),
+      m("modules.re.fullmatch",
+        Seq("pattern" -> false, "string" -> false, "flags" -> true),
+        Seq(TStr, TStr, TInt), TNamed("match")),
+      m("modules.re.search",
+        Seq("pattern" -> false, "string" -> false, "flags" -> true),
+        Seq(TStr, TStr, TInt), TNamed("match")),
+      m("modules.re.sub",
+        Seq("pattern" -> false, "repl" -> false, "string" -> false,
+          "count" -> true, "flags" -> true),
+        Seq(TStr, TStr, TStr, TInt, TInt), TStr),
+      m("modules.re.findall",
+        Seq("pattern" -> false, "string" -> false, "flags" -> true),
+        Seq(TStr, TStr, TInt), TList(TStr)),
+      m("modules.re.split",
+        Seq("pattern" -> false, "string" -> false, "maxsplit" -> true,
+          "flags" -> true),
+        Seq(TStr, TStr, TInt, TInt), TList(TStr)),
+      m("modules.re.escape", Seq("string" -> false), Seq(TStr), TStr),
+      m("modules.re.compile", Seq("pattern" -> false, "flags" -> true),
+        Seq(TStr, TInt), TNamed("pattern")),
+      m("modules.pytz.timezone", Seq("zone" -> false), Seq(TStr),
+        TNamed("tzinfo")))
   }
 
   private def checkCall(m: MacroSig, args: Seq[Jinja.Expr],
@@ -434,9 +555,10 @@ object FuncSign {
     }
     val extractDiags = extracted.flatMap(_._2)
     val sigMap = sigs.toMap
+    // call-site checks run even with ZERO annotated macros: the
+    // knownObjects table (modules.*) is signature-independent
     val callDiags =
-      if (sigMap.isEmpty) Nil
-      else (macroSources ++ otherSources).flatMap { case (where, src) =>
+      (macroSources ++ otherSources).flatMap { case (where, src) =>
         checkCalls(src, where, sigMap) }
     extractDiags ++ callDiags
   }

