@@ -1,0 +1,189 @@
+package graft
+
+import graft.adapter.SparkAdapter
+import graft.core._
+import graft.mat.{MatContext, PipelineMat}
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+
+/** Write-path scale-growth rehearsal: the empirical claim behind every
+  * "scales to 100 TB" cell is that an incremental batch's cost grows
+  * with the BATCH, not with the corpus the index already holds. This
+  * main measures it directly for every persisted-index family:
+  *
+  *   for corpus ∈ {1×, 10×}:      (deterministic seeded generator)
+  *     full build over the corpus  (timed, context)
+  *     ONE incremental batch of a FIXED size and FIXED content (timed)
+  *
+  * and prints one JSON line with per-family build/batch seconds and the
+  * batch_10x/batch_1x ratio. A family whose ratio tracks the corpus
+  * multiplier has a corpus-sized term on its batch path — a finding.
+  * Ratios near 1 are the evidence that history is touched only through
+  * narrow, pruned index scans.
+  *
+  * Env knobs: SPARK_GRAFT_GROWTH_BASE (1× corpus docs, default 12000),
+  * SPARK_GRAFT_GROWTH_MULT (default 10), SPARK_GRAFT_GROWTH_BATCH
+  * (batch docs, default 2000), SPARK_GRAFT_CPUS (default 32). */
+object BenchGrowth {
+
+  private val vocab: Vector[String] =
+    (0 until 400).map(i => s"w$i").toVector
+
+  private def sentence(rnd: scala.util.Random, len: Int): String =
+    Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+
+  /** The shared hot pool: texts/vectors both corpora contain, so the
+    * batch's dup-of-settled fraction hits settled state at BOTH scales. */
+  private def hotTexts: Vector[String] = {
+    val rnd = new scala.util.Random(7)
+    Vector.fill(500)(sentence(rnd, 12))
+  }
+
+  private def hotVecs: Vector[Array[Float]] = {
+    val rnd = new scala.util.Random(7)
+    Vector.fill(500)(Array.fill(32)((rnd.nextDouble() - 0.5).toFloat))
+  }
+
+  /** n docs starting at idStart: 10% draws from the hot pool (dup
+    * classes), 90% unique sentences. Seed pins the content. */
+  private def texts(n: Int, idStart: Long, seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val hot = hotTexts
+    (0 until n).map { i =>
+      val t =
+        if (rnd.nextInt(10) == 0) hot(rnd.nextInt(hot.length))
+        else sentence(rnd, 12 + rnd.nextInt(5))
+      (idStart + i, t)
+    }
+  }
+
+  private def vecs(n: Int, idStart: Long, seed: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    val hot = hotVecs
+    (0 until n).map { i =>
+      val v =
+        if (rnd.nextInt(10) == 0)
+          hot(rnd.nextInt(hot.length))
+            .map(x => x + (rnd.nextDouble() - 0.5).toFloat * 0.01f)
+        else Array.fill(32)((rnd.nextDouble() - 0.5).toFloat)
+      (idStart + i, v)
+    }
+  }
+
+  /** Short surface strings for the fuzzy family (typos of a hot pool).
+    * Words are random LETTER strings, not the `wNNN` vocab: character
+    * q-grams drive Ed-Join's prefix filter, and a digit-heavy vocab
+    * collapses the gram space so every prefix bucket holds a large
+    * fraction of the corpus (the quadratic generator artifact that
+    * OOM'd the first run — real surface forms are frequency-skewed). */
+  private def titleWord(rnd: scala.util.Random): String =
+    Seq.fill(5 + rnd.nextInt(5))(('a' + rnd.nextInt(26)).toChar).mkString
+  private def titles(n: Int, idStart: Long, seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val hotR = new scala.util.Random(7)
+    val hot = Vector.fill(500)(
+      Seq.fill(3)(titleWord(hotR)).mkString(" "))
+    (0 until n).map { i =>
+      val t =
+        if (rnd.nextInt(10) == 0) hot(rnd.nextInt(hot.length))
+        else Seq.fill(3)(titleWord(rnd)).mkString(" ")
+      (idStart + i, t)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.getOrElse("SPARK_GRAFT_GROWTH_BASE", "12000").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_GROWTH_MULT", "10").toInt
+    val batchN = sys.env.getOrElse("SPARK_GRAFT_GROWTH_BATCH", "2000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def runPipeline(a: SparkAdapter, rel: Relation,
+        steps: Seq[Map[String, Any]], df: DataFrame): Unit =
+      PipelineMat.run(MatContext(a,
+        Node(uniqueId = s"model.bench.${rel.identifier}",
+          name = rel.identifier, packageName = "bench",
+          kind = NodeKind.Model,
+          config = NodeConfig(materialized = "pipeline", extra = Map(
+            "steps" -> steps.toVector, "incremental" -> "true"))),
+        rel, () => df))
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // family name → (steps, corpus generator, batch generator)
+    type Gen = (Int, Long, Int) => DataFrame
+    val textGen: Gen = (n, s, seed) => texts(n, s, seed).toDF("doc_id", "text")
+    val vecGen: Gen = (n, s, seed) => vecs(n, s, seed).toDF("vec_id", "embedding")
+    val titleGen: Gen = (n, s, seed) => titles(n, s, seed).toDF("doc_id", "title")
+    val mediaGen: Gen = (n, s, seed) =>
+      Multimodal.syntheticMedia(texts(n, s, seed).toDF("doc_id", "text"))
+    def step(op: String, extra: (String, Any)*): Seq[Map[String, Any]] =
+      Seq(Map[String, Any]("op" -> op) ++ extra.toMap)
+    val families: Seq[(String, Seq[Map[String, Any]], Gen)] = Seq(
+      ("exact", step("exact_dedup"), textGen),
+      ("minhash", step("minhash_dedup"), textGen),
+      ("simhash", step("simhash_dedup"), textGen),
+      // rows_per_band=16: UNIFORM random vectors are near-orthogonal, so
+      // an 8-bit band sig puts ~0.4% of ALL pairs in shared buckets —
+      // quadratic at 120k rows. 16 bits drops orthogonal collisions to
+      // 2^-16 while ~1°-apart near-dups still collide in ~93% of bands.
+      // (Real embedding corpora cluster; the default 8 fits those.)
+      ("semantic", step("semantic_dedup", "method" -> "lsh",
+        "id_col" -> "vec_id", "vec_col" -> "embedding",
+        "bands" -> 8, "rows_per_band" -> 16), vecGen),
+      ("ngram", step("ngram_dedup"), textGen),
+      // q=3: trigrams (17.5k-slot gram space) keep prefix buckets
+      // selective over uniform random letters; bigrams (676 slots) put
+      // ~0.7% of a 120k corpus in EVERY bucket
+      ("fuzzy", step("fuzzy_dedup", "str_col" -> "title", "q" -> 3),
+        titleGen),
+      ("media", step("media_dedup"), mediaGen))
+
+    // comma-separated family filter for partial re-runs
+    val famFilter = sys.env.get("SPARK_GRAFT_GROWTH_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    families.filter(f => famFilter.forall(_.contains(f._1)))
+      .foreach { case (fam, steps, gen) =>
+      val times = Seq(1, mult).map { m =>
+        val n = base * m
+        val schema = s"g_growth_${fam}_$m"
+        spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+        val a = new SparkAdapter(spark, schema,
+          Some(Files.createTempDirectory(s"graft_growth_$fam").toString))
+        val rel = Relation(schema, "corpus")
+        val build = timed(runPipeline(a, rel, steps, gen(n, 0L, 11 + m)))
+        // the batch is IDENTICAL content at both scales (fixed seed,
+        // ids above any corpus) — only the index size differs
+        val batch = timed(runPipeline(a, rel, steps,
+          gen(batchN, 10000000L, 99)))
+        System.err.println(
+          f"[growth] $fam%-9s ${m}x: corpus=$n%7d build=$build%7.2fs batch($batchN)=$batch%6.2fs")
+        spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+        (build, batch)
+      }
+      val Seq((b1, t1), (bM, tM)) = times
+      out(fam) = f"""{"build_1x":$b1%.2f,"batch_1x":$t1%.2f,""" +
+        f""""build_${mult}x":$bM%.2f,"batch_${mult}x":$tM%.2f,""" +
+        f""""batch_ratio":${tM / t1}%.2f}"""
+    }
+    val fams = out.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"write_growth","base_docs":$base,"mult":$mult,""" +
+      s""""batch_docs":$batchN,"families":$fams}""")
+    spark.stop()
+  }
+}

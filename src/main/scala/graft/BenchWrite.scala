@@ -23,7 +23,11 @@ object BenchWrite {
     // write machinery is caught by numbers, not just plan asserts
     "q_engine_semantic_incremental", "q_engine_simhash_incremental",
     "q_engine_ngram_incremental", "q_engine_vector_index",
-    "q_engine_fuzzy_incremental", "q_engine_media_incremental")
+    "q_engine_fuzzy_incremental", "q_engine_media_incremental",
+    // microbatch × incremental pipeline: full build + a windowed run
+    // reopening a settled day + a pure re-run — the window machinery's
+    // write path, kept on the clock
+    "q_engine_microbatch_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

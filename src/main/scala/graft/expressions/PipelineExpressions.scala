@@ -209,7 +209,6 @@ object PipelineExpressions {
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val v = floatVecOrNull(child.eval(input))
       if (v == null) return 0L
-      if (w.length > 0 && v.length != w(0).length) return 0L
       val q = quantizeVec(v)
       var sig = 0L
       var i = 0
@@ -217,7 +216,16 @@ object PipelineExpressions {
         val wi = w(i)
         var dot = 0L
         var d = 0
-        while (d < wi.length) { dot += q(d) * wi(d); d += 1 }
+        // dot over min(dim, weights): a shorter vector is the zero-padded
+        // embedding in weight space; longer dims beyond the weight table
+        // are ignored. NEVER collapse to an all-zero signature on length
+        // mismatch — a constant signature puts EVERY vector in the same
+        // band bucket and the banded self-join goes quadratic in the
+        // corpus (found by the write-path growth rehearsal: dim-32
+        // vectors against the default dim-64 weights hung a 120k-row
+        // build that should take seconds).
+        val len = math.min(q.length, wi.length)
+        while (d < len) { dot += q(d) * wi(d); d += 1 }
         if (dot > 0) sig |= (1L << i)
         i += 1
       }
@@ -228,9 +236,11 @@ object PipelineExpressions {
 
   /** Per-band r-bit hyperplane signatures (array of longs), band b bit j
     * from weight row b·r+j — the banded-LSH OR-construction companion of
-    * [[HyperplaneSig]], same integer math, length-mismatch and null
-    * contract (null/null-element/mismatched vector → all-zero band array,
-    * never NULL). */
+    * [[HyperplaneSig]], same integer math and null contract (null /
+    * null-element vector → all-zero band array, never NULL; a
+    * length-MISMATCHED vector signs against the zero-padded/truncated
+    * weight subspace — never a constant signature, which would collapse
+    * every vector into one band bucket). */
   case class HyperplaneBandSigs(child: Expression,
       weights: IndexedSeq[IndexedSeq[Long]], r: Int)
       extends UnaryExpression with CodegenFallback {
@@ -242,8 +252,7 @@ object PipelineExpressions {
       val bands = weights.length / r
       val out = new Array[Long](bands)
       val v = floatVecOrNull(child.eval(input))
-      if (v == null || (w.length > 0 && v.length != w(0).length))
-        return new GenericArrayData(out)
+      if (v == null) return new GenericArrayData(out)
       val q = quantizeVec(v)
       var b = 0
       while (b < bands) {
@@ -253,7 +262,11 @@ object PipelineExpressions {
           val wj = w(b * r + j)
           var dot = 0L
           var d = 0
-          while (d < wj.length) { dot += q(d) * wj(d); d += 1 }
+          // min-length dot — see HyperplaneSig: a length mismatch must
+          // degrade to the zero-padded subspace signature, never to a
+          // constant all-zero signature (quadratic bucket collapse)
+          val len = math.min(q.length, wj.length)
+          while (d < len) { dot += q(d) * wj(d); d += 1 }
           if (dot > 0) sig |= (1L << j)
           j += 1
         }

@@ -75,19 +75,34 @@ class SimilaritySpec extends AnyFunSuite {
     val rows = Seq(
       (1L, null.asInstanceOf[Array[java.lang.Float]]),          // null vector
       (2L, Array.fill(64)(java.lang.Float.valueOf(0.5f))
-        .updated(7, null.asInstanceOf[java.lang.Float])),       // null element
-      (3L, Array.fill(3)(java.lang.Float.valueOf(0.5f))))       // dim mismatch
+        .updated(7, null.asInstanceOf[java.lang.Float])))       // null element
     val df = rows.toDF("id", "v")
     val out = df.select(col("id"),
       Similarity.hyperplaneSignature("v", 12).as("sig"),
       Similarity.bandSignatures("v", 2, 6).as("bands"))
       .collect().sortBy(_.getLong(0))
-    // the SQL CASE yields bit 0 everywhere (null dot / length mismatch) —
-    // never NULL, so the rows still land in bucket 0 of an equi-join
+    // the SQL CASE yields bit 0 everywhere (null dot) — never NULL, so
+    // the rows still land in bucket 0 of an equi-join
     out.foreach { r =>
       assert(!r.isNullAt(1) && r.getLong(1) == 0L, r.toString)
       assert(r.getSeq[Long](2) == Seq(0L, 0L), r.toString)
     }
+    // a dim-MISMATCHED vector signs against the zero-padded subspace —
+    // identical to its explicitly zero-padded dim-64 twin, and NOT the
+    // constant all-zero signature (which would put every vector in one
+    // band bucket and send the banded self-join quadratic; found by the
+    // write-path growth rehearsal on dim-32 corpora)
+    val short = Array.fill(3)(java.lang.Float.valueOf(0.5f))
+    val padded = short ++ Array.fill(61)(java.lang.Float.valueOf(0f))
+    val pair = Seq((1L, short), (2L, padded)).toDF("id", "v")
+      .select(col("id"),
+        Similarity.hyperplaneSignature("v", 12).as("sig"),
+        Similarity.bandSignatures("v", 2, 6).as("bands"))
+      .collect().sortBy(_.getLong(0))
+    assert(pair(0).getLong(1) == pair(1).getLong(1), "sig ≡ zero-padded twin")
+    assert(pair(0).getSeq[Long](2) == pair(1).getSeq[Long](2))
+    assert(pair(0).getLong(1) != 0L || pair(0).getSeq[Long](2).exists(_ != 0L),
+      "mismatched dims must not collapse to the constant signature")
     // structural equality: two separately-built instances over the same
     // child must be equal (case-class equality feeds semanticEquals →
     // subexpression elimination / plan reuse); with Array weights these
