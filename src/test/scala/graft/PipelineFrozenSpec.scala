@@ -925,4 +925,62 @@ class PipelineFrozenSpec extends AnyFunSuite {
         now = ts("2025-01-03 00:00:00"))))
     assert(e2.getMessage.contains("sequential"))
   }
+
+  test("microbatch pipeline: a run that DIES mid-window resumes to the " +
+      "same state a never-failed run reaches (crash recovery)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val texts = (0 until 5).map(g =>
+      s"recovery group $g shares one long duplicated sentence body $g " +
+        "for the minhash banding to catch")
+    // days 1-3, 8 docs each; within-day dup pairs and cross-day repeats
+    def allDocs = (0L until 24L).map { i =>
+      val day = (i / 8 + 1).toInt
+      (i, texts((i % 5).toInt), ts(s"2025-01-0$day 0${i % 8}:00:00"))
+    }.toDF("doc_id", "text", "ts")
+    val cfg = NodeConfig(materialized = "pipeline",
+      uniqueKey = Seq("doc_id"), eventTime = Some("ts"),
+      batchSize = Some(BatchSize.Day), begin = Some("2025-01-01 00:00:00"),
+      extra = Map("incremental" -> "true",
+        "steps" -> Vector(Map[String, Any]("op" -> "minhash_dedup"))))
+    def runMb(a: SparkAdapter, rel: Relation, now: java.sql.Timestamp,
+        failOn: Option[java.sql.Timestamp]): Unit =
+      PipelineMat.run(MatContext(a, node(rel.identifier, cfg), rel,
+        () => allDocs, now = now,
+        compiledBatch = Some((ws, _) => {
+          if (failOn.contains(ws)) throw new RuntimeException(
+            s"injected executor loss in window $ws")
+          allDocs
+        })))
+    def state(a: SparkAdapter, rel: Relation) = (
+      a.read(rel).collect().map(_.getLong(0)).toSet,
+      a.read(Relation(a.defaultSchema,
+        s"${rel.identifier}__state_minhash_dedup")).count())
+
+    // control: the never-failed run
+    val aOk = freshAdapter("mb_recover_ok")
+    val relOk = Relation(aOk.defaultSchema, "cur")
+    runMb(aOk, relOk, ts("2025-01-02 00:00:00"), None) // full build day 1
+    runMb(aOk, relOk, ts("2025-01-04 00:00:00"), None) // days 2-3
+    val expected = state(aOk, relOk)
+
+    // crash: day 3's window throws AFTER day 2 fully landed
+    val aCr = freshAdapter("mb_recover_crash")
+    val relCr = Relation(aCr.defaultSchema, "cur")
+    runMb(aCr, relCr, ts("2025-01-02 00:00:00"), None)
+    val boom = intercept[RuntimeException](
+      runMb(aCr, relCr, ts("2025-01-04 00:00:00"),
+        failOn = Some(ts("2025-01-03 00:00:00"))))
+    assert(boom.getMessage.contains("injected"))
+    // day 2 landed, day 3 did not — and the day-2 index appends were
+    // flushed BEFORE the crash (windows are sequential index batches)
+    val (midIds, _) = state(aCr, relCr)
+    assert(midIds.forall(_ < 16L), "no day-3 row may have landed")
+
+    // plain re-run: resume reopens from the target's max event_time,
+    // re-sees day 2 (idempotent — nothing re-settles), lands day 3
+    runMb(aCr, relCr, ts("2025-01-04 00:00:00"), None)
+    assert(state(aCr, relCr) == expected,
+      s"recovered state ${state(aCr, relCr)} != never-failed $expected")
+  }
 }

@@ -151,6 +151,98 @@ class PlanCheckSpec extends AnyFunSuite {
       s"IVF cell join lost dynamic partition pruning:\n${ivfPlan.take(2000)}")
   }
 
+  test("microbatch-pipeline window gate: the unique-key guard scans the " +
+      "target slice NARROW and the idempotence probe reads the index's " +
+      "id column alone") {
+    import spark.implicits._
+    import graft.adapter.SparkAdapter
+    import graft.core.{BatchSize, Node, NodeConfig, NodeKind, Relation}
+    import graft.mat.{MatContext, PipelineMat}
+    import org.apache.spark.sql.functions.col
+
+    val loc = java.nio.file.Files.createTempDirectory("graft_planmb").toString
+    spark.sql("DROP DATABASE IF EXISTS g_planmb CASCADE")
+    val a = new SparkAdapter(spark, "g_planmb", Some(loc))
+    val rel = Relation("g_planmb", "windowed")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cfg = NodeConfig(materialized = "pipeline",
+      uniqueKey = Seq("doc_id"), eventTime = Some("ts"),
+      batchSize = Some(BatchSize.Day), begin = Some("2025-01-01 00:00:00"),
+      extra = Map("incremental" -> "true",
+        "steps" -> Vector(Map("op" -> "minhash_dedup",
+          "text_col" -> "text", "id_col" -> "doc_id"))))
+    def runMb(df: org.apache.spark.sql.DataFrame,
+        now: java.sql.Timestamp): Unit =
+      PipelineMat.run(MatContext(a, Node(uniqueId = "model.spec.windowed",
+        name = "windowed", packageName = "spec", kind = NodeKind.Model,
+        config = cfg), rel, () => df, now = now))
+
+    val texts = (0 until 6).map(g =>
+      s"window gate group $g repeats this long sentence body $g across " +
+        "the day boundary for banding")
+    def docs(ids: Range, day: Int) = ids.map(i =>
+      (i.toLong, texts(i % 6), ts(f"2025-01-0${day}%d 0${i % 8}%d:00:00")))
+      .toDF("doc_id", "text", "ts")
+    runMb(docs(0 until 12, 1), ts("2025-01-02 00:00:00")) // full build
+
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.synchronized {
+        plans += qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // a windowed run: lookback reopens day 1, day 2 is new
+    try runMb(docs(0 until 20, 1).filter(col("doc_id") < 12)
+        .unionByName(docs(12 until 20, 2)), ts("2025-01-03 00:00:00"))
+    finally {
+      def snapshot() = plans.synchronized { plans.toVector }
+      def scanSchemas(p: String): Seq[(String, String)] = {
+        var last = ""
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        p.linesIterator.foreach { l =>
+          val t = l.trim
+          if (t.contains("Scan parquet "))
+            last = t.substring(t.indexOf("Scan parquet ") + 13).trim
+          else if (t.startsWith("ReadSchema")) out += ((last, t))
+        }
+        out.toSeq
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def targetScans() = snapshot().flatMap(scanSchemas)
+        .filter(_._1.endsWith("g_planmb.windowed")).map(_._2)
+      def sigScans() = snapshot().flatMap(scanSchemas)
+        .filter(_._1.contains("__state_minhash_dedup"))
+        .filterNot(_._1.contains("_bands")).map(_._2)
+      while ((targetScans().isEmpty || sigScans().isEmpty) &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      spark.listenerManager.unregister(listener)
+      // (a) unique-key guard: every scan of the TARGET during the
+      // windowed run reads key + event-time only, never the data
+      // columns — the guard must not widen the target read
+      val tgt = targetScans()
+      assert(tgt.nonEmpty, "no batch plan scanned the target")
+      tgt.foreach { sch =>
+        assert(!sch.contains("text:"),
+          s"target slice scan reads the data column: $sch")
+      }
+      // (b) idempotence probe: at least one signature-index scan is
+      // id-ONLY (unseenById / settled-component probes) — the heavy
+      // sig/shh arrays stay out of the probe path
+      val sig = sigScans()
+      assert(sig.nonEmpty, "no batch plan scanned the signature index")
+      assert(sig.exists(s => s.contains("id:") && !s.contains("shh") &&
+        !s.contains("sig:")),
+        s"no id-only probe scan of the signature index:\n${sig.mkString("\n")}")
+    }
+  }
+
   test("codegenSpans sees through the AQE root instead of reporting 0") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "true")
