@@ -125,7 +125,7 @@ object PipelineMat extends Materialization {
     * gate chain needs this target-side guard). The slice scan is
     * narrow (key columns only) and partition-prunes when the target is
     * partitioned by the event date. */
-  private def processBatch(ctx: MatContext, steps: Seq[PipelineSteps.Step],
+  private[mat] def processBatch(ctx: MatContext, steps: Seq[PipelineSteps.Step],
       input: DataFrame, incremental: Boolean, incrRun: Boolean,
       window: Option[(java.sql.Timestamp, java.sql.Timestamp)]): Unit = {
     // state mutations (index appends) are DEFERRED until the target
@@ -2174,6 +2174,7 @@ object StreamingTableMat extends Materialization {
     def str(k: String, dflt: => String): String =
       cfg.get(k).map(String.valueOf).getOrElse(dflt)
     val ttl = parseTtl(cfg) // validate up front; carried, not armed
+    if (str("stream_op", "") == "curate") return runCurate(ctx)
 
     // stage the compiled relation as the stream's source directory —
     // the bounded replay of an arriving-files lake; schema comes from
@@ -2218,5 +2219,87 @@ object StreamingTableMat extends Materialization {
       s"streaming_table: ${str("stream_op", "")}" +
         ttl.map(t => s" (state_ttl=$t, armed on continuous deploys)")
           .getOrElse(""))
+  }
+
+  /** `stream_op: curate` — CONTINUOUS curation: every Structured
+    * Streaming micro-batch runs as ONE incremental-pipeline index batch
+    * (the same [[PipelineMat.processBatch]] the batch engine uses:
+    * frozen trainers, persisted banded indexes, settled-keep, deferred
+    * appends flushed before the next micro-batch, idempotent
+    * `unseenById` state appends). The first micro-batch is the full
+    * build (trainers train on it — the frozen-run-1 discipline); later
+    * micro-batches dedup/gate against the settled state and APPEND.
+    *
+    * The bounded build stages the compiled relation as `stream_batches`
+    * files range-laid by `arrival_col` with STRICTLY INCREASING
+    * mtimes, so FileStreamSource's (mtime, path) order replays arrival
+    * order deterministically and the result is oracle-checkable — the
+    * same arriving-files replay shape the other stream ops use, driven
+    * through foreachBatch because the curation state lives in catalog
+    * relations, not operator state. A continuous deployment points the
+    * SAME foreachBatch closure at a real landing directory. */
+  private def runCurate(ctx: MatContext): MatResult = {
+    val spark = ctx.spark
+    val cfg = ctx.config.extra
+    val steps = PipelineSteps.parse(cfg.get("steps"))
+    if (steps.isEmpty)
+      throw new IllegalArgumentException(
+        "stream_op: curate needs a non-empty `steps:` config (the " +
+          "incremental-pipeline step chain each micro-batch runs)")
+    steps.foreach(PipelineModels.checkIncrementalLegal)
+    val nBatches = cfg.get("stream_batches")
+      .map(v => String.valueOf(v).toInt).getOrElse(4)
+    val arrivalCol = cfg.get("arrival_col").map(String.valueOf)
+      .getOrElse(throw new IllegalArgumentException(
+        "stream_op: curate needs `arrival_col:` — the column whose " +
+          "order defines arrival (each staged slice becomes one " +
+          "micro-batch = one index batch)"))
+    val batch = ctx.compiled()
+    val srcDir = Files.createTempDirectory("graft_curate_src").toString
+    batch.repartitionByRange(nBatches, col(s"`$arrivalCol`"))
+      .sortWithinPartitions(col(s"`$arrivalCol`"))
+      .write.mode("overwrite").parquet(srcDir)
+    // strictly increasing mtimes in part order: range partition i holds
+    // the i-th arrival slice, and FileStreamSource replays (mtime, path)
+    val parts = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L) }
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val checkpoint = Files.createTempDirectory("graft_curate_cp").toString
+    var batches = 0
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // an empty slice (a skewed range partition) must not become the
+        // FULL BUILD and train artifacts on nothing
+        if (!b.isEmpty) {
+          // foreachBatch hands a frame bound to the stream's CLONED
+          // session; the curation plans join it against state relations
+          // read through the adapter's ORIGINAL session. Re-stage the
+          // micro-batch (batch-sized, never corpus-sized) so one
+          // session owns every plan — cross-session plan mixing is
+          // where survivors silently vanish.
+          val slice = Files.createTempDirectory("graft_curate_b").toString
+          b.write.mode("overwrite").parquet(slice)
+          val local = ctx.spark.read.parquet(slice)
+          // target existence decides full-build vs incremental — exactly
+          // the PipelineMat contract, so replay and batch runs compose
+          val incrRun = ctx.adapter.relationExists(ctx.target)
+          PipelineMat.processBatch(ctx, steps, local, incremental = true,
+            incrRun = incrRun, window = None)
+          batches += 1
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TableMat.applyTblProperties(ctx)
+    MatResult(ctx.target.withType(RelationType.Table), "success",
+      s"streaming curate: $batches micro-batches as incremental index " +
+        s"batches: ${steps.map(_.op).mkString(" -> ")}")
   }
 }

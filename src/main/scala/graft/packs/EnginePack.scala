@@ -2931,6 +2931,70 @@ object EnginePack extends QueryPack {
     // reaches the operator's TTL option (armed but never firing on a
     // bounded AvailableNow replay — deterministic output, production
     // config carried)
+    // CONTINUOUS curation (stream_op: curate): every Structured
+    // Streaming micro-batch runs as ONE incremental-pipeline index
+    // batch — first slice = full build (trainers/indexes), later
+    // slices dedup against the settled state and append. The staged
+    // replay is arrival-ordered by doc_id, so first-seen = min doc_id
+    // and the bounded result must equal the plain full-corpus exact
+    // dedup (the oracle identity). A SECOND full replay re-sees only
+    // settled docs and must append nothing — any duplicate breaks the
+    // row count.
+    "q_engine_curate_stream" -> ((s, dir) => {
+      val proj = Files.createTempDirectory("graft_curate_proj")
+      write(proj, "dbt_project.yml",
+        """name: curatestream
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      write(proj, "models/curated.sql",
+        """select doc_id, source, text
+          |from {{ source('lake', 'documents') }}
+          |where doc_id < 500
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        """version: 2
+          |models:
+          |  - name: curated
+          |    config:
+          |      materialized: streaming_table
+          |      stream_op: curate
+          |      arrival_col: doc_id
+          |      stream_batches: 4
+          |      steps:
+          |        - op: exact_dedup
+          |          text_col: text
+          |          id_col: doc_id
+          |        - op: token_count
+          |          text_col: text
+          |          out_col: n_tok
+          |""".stripMargin)
+      val schema = "g_engine_curate"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_curate_wh").toString
+      def runOnce(): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val bad = runner.run().filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        runner
+      }
+      runOnce()               // bounded replay: 4 micro-batches
+      val runner = runOnce()  // full RE-replay: everything settled
+      runner.adapter.read(graft.core.Relation(schema, "curated"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     "q_engine_streaming_table" -> ((s, dir) => {
       val proj = Files.createTempDirectory("graft_stbl_proj")
       write(proj, "dbt_project.yml",
@@ -3227,6 +3291,18 @@ object EnginePack extends QueryPack {
     // stored band/fence via LEFT JOINs (an unseen source passes
     // unclipped/unfenced — none exists at these SFs, but the join shape
     // is the contract)
+    // arrival order = doc_id order, so first-seen = min doc_id and the
+    // streamed composition ≡ plain full-corpus exact dedup; the second
+    // full replay must append nothing
+    "q_engine_curate_stream" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id < 500),
+        |k AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text)
+        |SELECT b.doc_id, b.source,
+        |  CAST(len(string_split(b.text, ' ')) AS INT) AS n_tok
+        |FROM base b JOIN k USING (doc_id)
+        |ORDER BY doc_id, source, n_tok""".stripMargin,
+
     // windowed composition ≡ the full-corpus operator: event time is
     // monotone in doc_id, so the first-seen batch of any text contains
     // its min doc_id and the exact-dedup keeper set is exactly {min

@@ -628,4 +628,56 @@ class PipelineMatSpec extends AnyFunSuite {
     val n = spark.table("mat_nottl_sessions").count()
     assert(n == 1, s"one closed session, open tail unemitted: $n")
   }
+
+  test("stream_op curate: micro-batches run as incremental index " +
+      "batches; a full re-replay appends nothing; contracts are named") {
+    import spark.implicits._
+    import graft.adapter.SparkAdapter
+    import graft.core.{Node, NodeConfig, NodeKind, Relation}
+    import graft.mat.MatContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_curate_spec")
+      .toString
+    spark.sql("DROP DATABASE IF EXISTS g_curate_spec CASCADE")
+    val a = new SparkAdapter(spark, "g_curate_spec", Some(loc))
+    val rel = Relation("g_curate_spec", "cur")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "completely different body for the second arrival slice here"
+    // arrival slice 1 (low ids): 1≈2 exact dup; slice 2 (high ids):
+    // 10 repeats a SETTLED text from slice 1 and must drop against the
+    // hash index built by the earlier micro-batch
+    val docs = Seq((1L, t1), (2L, t1), (3L, t2),
+      (10L, t1), (11L, "novel content arriving only in slice two"))
+      .toDF("doc_id", "text")
+    def cfg(extra: (String, Any)*) = NodeConfig(
+      materialized = "streaming_table",
+      extra = Map[String, Any](
+        "stream_op" -> "curate", "arrival_col" -> "doc_id",
+        "stream_batches" -> 2,
+        "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup",
+          "id_col" -> "doc_id"))) ++ extra.toMap)
+    def run(c: NodeConfig) = graft.mat.StreamingTableMat.run(MatContext(a,
+      Node(uniqueId = "model.spec.cur", name = "cur",
+        packageName = "spec", kind = NodeKind.Model, config = c),
+      rel, () => docs))
+    val r1 = run(cfg())
+    assert(r1.message.contains("2 micro-batches"), r1.message)
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L),
+      "10 must drop against the state the FIRST micro-batch settled")
+    assert(a.relationExists(Relation("g_curate_spec",
+      "cur__state_exact_dedup")), "the index persists across micro-batches")
+    // full re-replay: everything settled, nothing appends
+    run(cfg())
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L), "re-replay appended rows")
+    // contracts
+    val e1 = intercept[IllegalArgumentException](
+      run(cfg("steps" -> Vector.empty[Map[String, Any]])))
+    assert(e1.getMessage.contains("steps"))
+    val e2 = intercept[IllegalArgumentException](run(NodeConfig(
+      materialized = "streaming_table",
+      extra = Map[String, Any]("stream_op" -> "curate",
+        "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup"))))))
+    assert(e2.getMessage.contains("arrival_col"))
+  }
 }
