@@ -232,6 +232,15 @@ class PlanCheckSpec extends AnyFunSuite {
         assert(!sch.contains("text:"),
           s"target slice scan reads the data column: $sch")
       }
+      // the guard's window predicate must reach the parquet scan: each
+      // append writes one window's rows, so files are event-time-
+      // aligned and the pushed ts filter skips non-window files by
+      // row-group stats — the slice read stays batch-sized even on an
+      // unpartitioned target
+      val tgtPlans = snapshot().filter(_.contains("g_planmb.windowed"))
+      assert(tgtPlans.exists(p => p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("ts"))),
+        "no plan pushes the window's ts predicate into the target scan")
       // (b) idempotence probe: at least one signature-index scan is
       // id-ONLY (unseenById / settled-component probes) — the heavy
       // sig/shh arrays stay out of the probe path

@@ -273,6 +273,80 @@ class RunOperationSpec extends AnyFunSuite {
     assert(days == Set("2026-01-02", "2026-01-03"), days)
   }
 
+  test("--event-time-start/--event-time-end backfill a MICROBATCH " +
+      "PIPELINE window exactly, idempotent against settled state") {
+    import spark.implicits._
+    val proj = Files.createTempDirectory("graft_pipe_backfill")
+    val dataDir = Files.createTempDirectory("graft_pipe_backfill_src")
+    def stage(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (id, t, ts) =>
+        (id, t, java.sql.Timestamp.valueOf(ts)) }
+        .toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dataDir/docs.parquet")
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val base = Seq(
+      (1L, t1, "2026-01-01 10:00:00"),
+      (2L, "day two body entirely its own", "2026-01-02 10:00:00"),
+      (3L, "day three body also its own", "2026-01-03 10:00:00"))
+    stage(base)
+    write(proj, "dbt_project.yml",
+      "name: pipebf\nmodel-paths: [\"models\"]\n")
+    write(proj, "models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: lake
+         |    tables:
+         |      - name: docs
+         |        config: {event_time: ts}
+         |        external:
+         |          location: "$dataDir/docs.parquet"
+         |""".stripMargin)
+    write(proj, "models/cur.sql",
+      "select doc_id, text, ts from {{ source('lake', 'docs') }}\n")
+    write(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: cur
+        |    config:
+        |      materialized: pipeline
+        |      incremental: true
+        |      unique_key: doc_id
+        |      event_time: ts
+        |      batch_size: day
+        |      begin: '2026-01-01 00:00:00'
+        |      steps:
+        |        - op: exact_dedup
+        |          text_col: text
+        |          id_col: doc_id
+        |""".stripMargin)
+    val schema = "g_pipebf"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val loc = Files.createTempDirectory("graft_pipebf_wh").toString
+    def runWith(start: Option[String], end: Option[String]): Unit = {
+      val r = new Runner(spark, ProjectLoader.load(proj.toString),
+        targetSchema = schema, warehouseLocation = Some(loc),
+        eventTimeStart = start.map(java.sql.Timestamp.valueOf),
+        eventTimeEnd = end.map(java.sql.Timestamp.valueOf))
+      val bad = r.run().filter(_.status != "success")
+      assert(bad.isEmpty, bad.mkString(" | "))
+    }
+    def ids() = spark.table(s"$schema.cur")
+      .collect().map(_.getLong(0)).toSet
+    runWith(None, None) // full build
+    assert(ids() == Set(1L, 2L, 3L))
+    // late data lands in BOTH day 2 (novel 20, dup-of-settled 21) and
+    // day 3 (novel 30) — then backfill EXACTLY day 2: only 20 lands;
+    // 21 drops against the settled index; day-3's 30 stays out because
+    // the named window excludes it
+    stage(base ++ Seq(
+      (20L, "late novel day two content", "2026-01-02 20:00:00"),
+      (21L, t1, "2026-01-02 21:00:00"),
+      (30L, "late novel day three content", "2026-01-03 20:00:00")))
+    runWith(Some("2026-01-02 00:00:00"), Some("2026-01-03 00:00:00"))
+    assert(ids() == Set(1L, 2L, 3L, 20L),
+      "backfill must land ONLY the named window's novel rows")
+  }
+
   test("unit-test overrides.macros shadow prelude-defined macros") {
     val proj = Files.createTempDirectory("graft_unit_macro")
     write(proj, "dbt_project.yml",
