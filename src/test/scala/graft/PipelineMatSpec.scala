@@ -680,4 +680,66 @@ class PipelineMatSpec extends AnyFunSuite {
         "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup"))))))
     assert(e2.getMessage.contains("arrival_col"))
   }
+  test("--empty builds an incremental TRAINER pipeline schema-only: " +
+      "zero rows, full schema, success status (the CI dry-run shape)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def write(dir: java.nio.file.Path, rel: String, content: String): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    val proj = Files.createTempDirectory("graft_emptypipe")
+    val dataDir = Files.createTempDirectory("graft_emptypipe_src")
+    Seq((1L, "alpha beta gamma delta", 10L), (2L, "epsilon zeta eta theta", 20L))
+      .toDF("doc_id", "text", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataDir/docs.parquet")
+    write(proj, "dbt_project.yml", "name: ep\nmodel-paths: [\"models\"]\n")
+    write(proj, "models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: lake
+         |    tables:
+         |      - name: docs
+         |        external:
+         |          location: "$dataDir/docs.parquet"
+         |""".stripMargin)
+    write(proj, "models/cur.sql",
+      "select doc_id, text, n_chars from {{ source('lake', 'docs') }}\n")
+    write(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: cur
+        |    config:
+        |      materialized: pipeline
+        |      incremental: true
+        |      steps:
+        |        - op: exact_dedup
+        |          text_col: text
+        |        - op: surprise_filter
+        |          text_col: text
+        |          id_col: doc_id
+        |          max_surprise: 6.0
+        |        - op: winsorize
+        |          group_col: text
+        |          value_col: n_chars
+        |          lo_num: 1
+        |          lo_den: 10
+        |          hi_num: 9
+        |          hi_den: 10
+        |""".stripMargin)
+    val schema = "g_emptypipe"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val r = new graft.run.Runner(spark,
+      graft.project.ProjectLoader.load(proj.toString),
+      targetSchema = schema, emptyMode = true,
+      warehouseLocation = Some(Files.createTempDirectory("ep_wh").toString))
+    val results = r.run()
+    assert(results.forall(_.status == "success"), results.mkString(" | "))
+    assert(spark.table(s"$schema.cur").count() == 0,
+      "--empty must build zero rows")
+    assert(spark.table(s"$schema.cur").schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "n_chars"),
+      "--empty must still produce the full schema")
+  }
 }
