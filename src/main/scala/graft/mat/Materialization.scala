@@ -45,6 +45,12 @@ final case class MatContext(
       * named window) — window runners must not resume from the target's
       * max event_time. */
     explicitBackfill: Boolean = false,
+    /** --empty: the compiled input is schema-only. Trainer artifacts
+      * built under it are DEGENERATE (empty LM counts, quantiles,
+      * centroids) — they get marked so a later REAL run fails loudly
+      * instead of silently scoring under them. Dedup index state built
+      * empty stays legal (an empty corpus has settled nothing). */
+    emptyMode: Boolean = false,
     /** Render a project macro `name(arg_dict)` with the run context —
       * custom incremental strategies dispatch through this
       * (base_adapter.rs:339 get_incremental_strategy_macro). */

@@ -1289,11 +1289,20 @@ object PipelineModels {
     kvs.map { case (k, v) => s"$k=$v" }.mkString(";")
   }
 
+  /** A frozen artifact trained under --empty (schema-only input) is
+    * DEGENERATE — the marker makes a later real run fail loudly instead
+    * of silently scoring under empty statistics. Index state never
+    * carries it: an empty corpus has legitimately settled nothing. */
+  private val EmptyTrainedMarker = ";trained_on=empty"
+
   /** Record the step's training parameters on the freshly written
     * model/state relation (after the atomic swap, like every other
     * TBLPROPERTY in this engine). */
-  private def recordParams(ctx: MatContext, rel: Relation, s: Step): Unit = {
-    val esc = trainParams(s).replace("'", "''")
+  private def recordParams(ctx: MatContext, rel: Relation, s: Step,
+      markEmpty: Boolean = false): Unit = {
+    val esc = (trainParams(s) +
+      (if (markEmpty && ctx.emptyMode) EmptyTrainedMarker else ""))
+      .replace("'", "''")
     ctx.adapter.execute(
       s"ALTER TABLE ${rel.fqn} SET TBLPROPERTIES ('$ParamsProp' = '$esc')",
       fetch = false)
@@ -1306,6 +1315,7 @@ object PipelineModels {
     * untrusted (pre-upgrade or foreign state). */
   private def checkParams(ctx: MatContext, rel: Relation, s: Step): Unit = {
     val want = trainParams(s)
+    val wantEmpty = want + EmptyTrainedMarker
     // NO catch-all here: a transient metastore/IO failure must surface
     // as itself, not be misread as "<none recorded>" — that message
     // prescribes throwing away a valid index for a retryable error.
@@ -1314,7 +1324,14 @@ object PipelineModels {
       .sql(s"SHOW TBLPROPERTIES ${rel.fqn} ('$ParamsProp')")
       .collect().headOption.map(_.getString(1))
       .filterNot(_.contains("does not have property"))
-    if (!got.contains(want)) throw new IllegalStateException(
+    if (got.contains(wantEmpty) && !ctx.emptyMode)
+      throw new IllegalStateException(
+        s"${rel.fqn}: this artifact was trained under --empty " +
+          "(schema-only input) — scoring real data under empty " +
+          "statistics would silently produce garbage; rebuild with " +
+          "--full-refresh")
+    if (!got.contains(want) && !(ctx.emptyMode && got.contains(wantEmpty)))
+      throw new IllegalStateException(
       s"${rel.fqn}: persisted training parameters " +
         s"(${got.getOrElse("<none recorded>")}) do not match this run's " +
         s"($want) — applying the step under an incompatible artifact " +
@@ -1335,7 +1352,7 @@ object PipelineModels {
         "batch run — the state was lost; rebuild with --full-refresh")
     if (retrainNow || !exists) {
       ctx.adapter.writeTableAtomic(trainArtifact(ctx, s, df), rel)
-      recordParams(ctx, rel, s)
+      recordParams(ctx, rel, s, markEmpty = true)
     } else checkParams(ctx, rel, s)
     applyArtifact(ctx, s, df, ctx.adapter.read(rel))
   }

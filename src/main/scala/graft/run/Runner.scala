@@ -296,7 +296,8 @@ final class Runner(
           if (node.config.contractEnforced) Contracts.enforce(spark, node, sql)
           val ctx = MatContext(adapter, node.copy(rawSql = sql),
             node.relation.get, () => spark.sql(sql), fullRefresh, now,
-            macroRenderer = Some(incrementalMacroRenderer(node)))
+            macroRenderer = Some(incrementalMacroRenderer(node)),
+            emptyMode = emptyMode)
           node.config.materialized match {
             case "incremental" if node.config.incrementalStrategy
                 .contains(IncrementalStrategy.Microbatch) =>

@@ -730,16 +730,33 @@ class PipelineMatSpec extends AnyFunSuite {
         |""".stripMargin)
     val schema = "g_emptypipe"
     spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
-    val r = new graft.run.Runner(spark,
-      graft.project.ProjectLoader.load(proj.toString),
-      targetSchema = schema, emptyMode = true,
-      warehouseLocation = Some(Files.createTempDirectory("ep_wh").toString))
-    val results = r.run()
+    val loc = Files.createTempDirectory("ep_wh").toString
+    def runWith(empty: Boolean, fullRefresh: Boolean = false) = {
+      val r = new graft.run.Runner(spark,
+        graft.project.ProjectLoader.load(proj.toString),
+        targetSchema = schema, emptyMode = empty,
+        warehouseLocation = Some(loc))
+      r.run(fullRefresh = fullRefresh)
+    }
+    val results = runWith(empty = true)
     assert(results.forall(_.status == "success"), results.mkString(" | "))
     assert(spark.table(s"$schema.cur").count() == 0,
       "--empty must build zero rows")
     assert(spark.table(s"$schema.cur").schema.fieldNames.toSeq ==
       Seq("doc_id", "text", "n_chars"),
       "--empty must still produce the full schema")
+    // a SECOND --empty run stays green (consistent dry runs)
+    assert(runWith(empty = true).forall(_.status == "success"))
+    // but a REAL incremental run must not silently score under the
+    // empty-trained artifacts (empty LM counts / quantile bands) —
+    // loud error naming the --empty provenance
+    val real = runWith(empty = false)
+    val bad = real.find(_.status == "error")
+    assert(bad.exists(_.message.contains("--empty")),
+      s"real run over empty-trained artifacts must fail loudly: $real")
+    // --full-refresh retrains on real data and recovers
+    val recovered = runWith(empty = false, fullRefresh = true)
+    assert(recovered.forall(_.status == "success"), recovered.mkString(" | "))
+    assert(spark.table(s"$schema.cur").count() > 0)
   }
 }
