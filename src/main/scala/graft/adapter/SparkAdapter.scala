@@ -466,6 +466,20 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       dropRelation(bak)
     }
     relationCache.put(rel.key, RelationType.Table)
+    // The staged swap replaces the table's BYTES behind its unchanged
+    // name, and ALTER TABLE RENAME only uncaches when the TABLE ITSELF
+    // is cached — a cached DERIVED plan (e.g. a .cache()'d projection
+    // over the old scan) survives the swap and silently serves the
+    // PRE-swap rows to any later identical plan. Cascade-UNCACHE by
+    // name (refreshTable would eagerly recompute the stale entries
+    // from their pre-swap file listings → FileNotFound); the next
+    // identical query re-resolves fresh. (Found by the
+    // --empty-then---full-refresh fuzzy sequence: the empty run cached
+    // an empty gram explode over the state table, and the refreshed
+    // rebuild read zero grams through it.)
+    if (!offlineReplay)
+      org.apache.spark.sql.GraftSqlBridge.uncacheDependents(spark,
+        rel.schema, rel.identifier)
   }
 
   /** Append rows (incremental `append` / merge tail). */

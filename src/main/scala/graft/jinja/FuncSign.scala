@@ -555,11 +555,17 @@ object FuncSign {
     }
     val extractDiags = extracted.flatMap(_._2)
     val sigMap = sigs.toMap
-    // call-site checks run even with ZERO annotated macros: the
-    // knownObjects table (modules.*) is signature-independent
+    // call-site checks run even with ZERO annotated macros — the
+    // knownObjects table (modules.*) is signature-independent — but a
+    // source with neither annotated-macro calls possible nor any
+    // checkable surface must not pay a second full Jinja parse: gate
+    // on a cheap substring probe before re-parsing
+    def checkable(src: String): Boolean =
+      sigMap.nonEmpty || src.contains("modules.") ||
+        src.contains("strftime") || src.contains("strptime")
     val callDiags =
       (macroSources ++ otherSources).flatMap { case (where, src) =>
-        checkCalls(src, where, sigMap) }
+        if (checkable(src)) checkCalls(src, where, sigMap) else Nil }
     extractDiags ++ callDiags
   }
 }

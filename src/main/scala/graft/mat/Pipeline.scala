@@ -216,12 +216,23 @@ object PipelineMat extends Materialization {
     val begin = cfg.begin.map(java.sql.Timestamp.valueOf)
       .getOrElse(new java.sql.Timestamp(0L))
     // resume from the target's max event_time (minus lookback windows),
-    // unless an explicit backfill window was named
+    // unless an explicit backfill window was named. NO catch-all here:
+    // a transient metastore/IO failure must surface as itself — Try
+    // would misread it as "no resume" and silently reprocess every
+    // window since `begin` (see the same rule at checkParams).
     val lastEnd: Option[java.sql.Timestamp] =
       if (ctx.explicitBackfill) None
-      else scala.util.Try(ctx.adapter.read(ctx.target)
-          .agg(max(col(s"`$et`"))).head.getTimestamp(0))
-        .toOption.flatMap(Option(_))
+      else Option(ctx.adapter.read(ctx.target)
+        .agg(max(col(s"`$et`"))).head.getTimestamp(0))
+    // an EXISTING but event-time-EMPTY target (e.g. built under
+    // --empty) has no resume point; without a `begin` bound the window
+    // loop would emit one batch per period since epoch — fail with the
+    // recovery named instead
+    if (lastEnd.isEmpty && cfg.begin.isEmpty)
+      throw new IllegalStateException(
+        s"${ctx.target.fqn}: cannot resume — the target has no " +
+          s"`$et` rows and the model declares no `begin:`; set begin " +
+          "or rebuild with --full-refresh")
     val windows = MicrobatchRunner.batches(begin, ctx.now, size,
       cfg.lookback, lastEnd)
     windows.foreach { b =>
@@ -2019,7 +2030,12 @@ object PipelineModels {
         .filter(col("str").isNotNull)
     if (!incrRun) {
       ctx.adapter.writeTableAtomic(stringsOf(df), rel)
-      recordParams(ctx, rel, s)
+      // markEmpty: the FROZEN gram-frequency order is a trained
+      // artifact — built under --empty it degenerates (every gram
+      // "rarest", prefix buckets inflate toward the quadratic Ed-Join
+      // collapse), so a later real run must fail loudly like the other
+      // frozen trainers
+      recordParams(ctx, rel, s, markEmpty = true)
       ctx.adapter.writeTableAtomic(
         FuzzyJoin.gramFrequencies(df, strCol, q), freqRel)
       ctx.adapter.writeTableAtomic(
@@ -2314,6 +2330,14 @@ object StreamingTableMat extends Materialization {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // every staged slice was empty (an --empty dry run, or an empty
+    // source): the target must still exist schema-only — the same
+    // contract the batch pipeline honors — or downstream reads fail
+    // with table-not-found despite this node reporting success
+    if (!ctx.adapter.relationExists(ctx.target))
+      PipelineMat.processBatch(ctx, steps,
+        ctx.spark.read.parquet(srcDir).limit(0),
+        incremental = true, incrRun = false, window = None)
     TableMat.applyTblProperties(ctx)
     MatResult(ctx.target.withType(RelationType.Table), "success",
       s"streaming curate: $batches micro-batches as incremental index " +

@@ -269,6 +269,23 @@ final class Runner(
 
   // ---- single-node execution -------------------------------------------
 
+  /** The shared window-execution context (microbatch models AND
+    * windowed incremental pipelines — ONE policy): --event-time-start
+    * overrides `begin` and marks the run an explicit backfill,
+    * --event-time-end caps `now`, and the input recompiles per window
+    * so event_time-declaring upstream scans prune to the batch. */
+  private def windowedCtx(node: Node, ctx: MatContext,
+      fullRefresh: Boolean): MatContext =
+    ctx.copy(
+      node = ctx.node.copy(config = ctx.node.config.copy(
+        begin = eventTimeStart.map(_.toString)
+          .orElse(ctx.node.config.begin))),
+      now = eventTimeEnd.getOrElse(ctx.now),
+      explicitBackfill = eventTimeStart.isDefined,
+      compiledBatch = Some((bs, be) =>
+        spark.sql(compileSql(node, batchWindow = Some((bs, be)),
+          fullRefresh = fullRefresh))))
+
   def runNode(node: Node, fullRefresh: Boolean = false): NodeResult = {
     val t0 = System.nanoTime()
     def done(status: String, msg: String = "") =
@@ -317,32 +334,18 @@ final class Runner(
                       org.apache.spark.sql.functions.col(s"`$et`")))
                     .head.getTimestamp(0)).toOption.flatMap(Option(_))
                 } yield ts
-              val winCtx = ctx.copy(
-                node = ctx.node.copy(config = ctx.node.config.copy(
-                  begin = eventTimeStart.map(_.toString)
-                    .orElse(ctx.node.config.begin))),
-                now = eventTimeEnd.getOrElse(ctx.now),
-                compiledBatch = Some((bs, be) =>
-                  spark.sql(compileSql(node, batchWindow = Some((bs, be)),
-                    fullRefresh = fullRefresh))))
-              MicrobatchRunner.run(winCtx, lastRunEnd = lastEnd)
+              MicrobatchRunner.run(windowedCtx(node, ctx, fullRefresh),
+                lastRunEnd = lastEnd)
             // microbatch × incremental pipeline: window-compile the
             // input (upstream event_time scans prune per batch) and let
             // PipelineMat window [begin/resume, now) as sequential
-            // persisted-index batches
+            // persisted-index batches (it resumes from the target's max
+            // event_time itself, suppressed under explicitBackfill)
             case "pipeline" if node.config.eventTime.isDefined &&
                 node.config.extra.get("incremental")
                   .exists(v => String.valueOf(v).toBoolean) =>
-              val winCtx = ctx.copy(
-                node = ctx.node.copy(config = ctx.node.config.copy(
-                  begin = eventTimeStart.map(_.toString)
-                    .orElse(ctx.node.config.begin))),
-                now = eventTimeEnd.getOrElse(ctx.now),
-                explicitBackfill = eventTimeStart.isDefined,
-                compiledBatch = Some((bs, be) =>
-                  spark.sql(compileSql(node, batchWindow = Some((bs, be)),
-                    fullRefresh = fullRefresh))))
-              Materializations.resolve("pipeline").run(winCtx)
+              Materializations.resolve("pipeline")
+                .run(windowedCtx(node, ctx, fullRefresh))
             case m if customMats.contains(m) =>
               runCustomMaterialization(node, sql, m, fullRefresh)
             case m => Materializations.resolve(m).run(ctx)
@@ -1246,24 +1249,24 @@ final class Runner(
   def fresherSources(): Option[Set[String]] = {
     // Artifacts written by dbt itself use ISO-8601 ('T' separator,
     // optional zone suffix); ours use 'yyyy-MM-dd HH:mm:ss'. Accept
-    // both — a mixed-tool --state dir must not throw a raw
-    // IllegalArgumentException out of Timestamp.valueOf.
+    // both, and anchor EVERY zone-less form at UTC — the engine's
+    // session timezone convention. Timestamp.valueOf would interpret
+    // the space form in the JVM-default zone, so the same logical
+    // stamp from two tools would compare unequal on non-UTC JVMs and
+    // source_status:fresher would mis-select.
     def parseLoadedAt(s: String, path: java.nio.file.Path): java.sql.Timestamp =
-      try java.sql.Timestamp.valueOf(s)
-      catch { case _: IllegalArgumentException =>
-        try {
-          val t = s.replace(' ', 'T')
-          val instant =
-            try java.time.OffsetDateTime.parse(t).toInstant
-            catch { case _: java.time.format.DateTimeParseException =>
-              java.time.LocalDateTime.parse(t)
-                .atZone(java.time.ZoneOffset.UTC).toInstant }
-          java.sql.Timestamp.from(instant)
-        } catch { case e: java.time.format.DateTimeParseException =>
-          throw new IllegalStateException(
-            s"source_status:fresher: cannot parse max_loaded_at '$s' in " +
-              s"$path — expected 'yyyy-MM-dd HH:mm:ss[.f]' or ISO-8601", e)
-        }
+      try {
+        val t = s.trim.replace(' ', 'T')
+        val instant =
+          try java.time.OffsetDateTime.parse(t).toInstant
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(t)
+              .toInstant(java.time.ZoneOffset.UTC) }
+        java.sql.Timestamp.from(instant)
+      } catch { case e: java.time.format.DateTimeParseException =>
+        throw new IllegalStateException(
+          s"source_status:fresher: cannot parse max_loaded_at '$s' in " +
+            s"$path — expected 'yyyy-MM-dd HH:mm:ss[.f]' or ISO-8601", e)
       }
     def loadedAt(path: java.nio.file.Path): Option[Map[String, java.sql.Timestamp]] =
       if (!Files.exists(path)) None

@@ -11,4 +11,20 @@ object GraftSqlBridge {
     classic.ExpressionUtils.expression(c)
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Drop every cache entry whose plan depends on this table — WITHOUT
+    * recomputing it. `catalog.refreshTable` eagerly re-materializes
+    * dependent entries from their captured physical plans, whose file
+    * listings predate a staged-swap rewrite (FileNotFound); plain
+    * cascade-uncache lets the next identical query re-resolve fresh.
+    * CacheManager is private[sql], hence this bridge. */
+  def uncacheDependents(spark: SparkSession, schema: String,
+      table: String): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    // name-based matching: the stale entry's plan holds the PRE-swap
+    // file index, so plan-equality matching against a fresh resolution
+    // would miss it
+    cs.sharedState.cacheManager.uncacheTableOrView(cs,
+      Seq(cs.catalog.currentCatalog(), schema, table), cascade = true)
+  }
 }

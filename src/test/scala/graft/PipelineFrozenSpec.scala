@@ -924,6 +924,50 @@ class PipelineFrozenSpec extends AnyFunSuite {
         cfg.copy(concurrentBatches = true)), rel, () => all3,
         now = ts("2025-01-03 00:00:00"))))
     assert(e2.getMessage.contains("sequential"))
+
+    // an EXISTING target with zero event-time rows has no resume point:
+    // without `begin:` the loop would emit one window per period since
+    // epoch — the error names the recovery instead
+    val aE = freshAdapter("mb_empty_resume")
+    val relE = Relation(aE.defaultSchema, "stream_corpus")
+    aE.writeTableAtomic(day1.limit(0), relE)
+    val e3 = intercept[IllegalStateException](
+      PipelineMat.run(MatContext(aE, node(relE.identifier,
+        cfg.copy(begin = None)), relE, () => all3,
+        now = ts("2025-01-03 00:00:00"))))
+    assert(e3.getMessage.contains("begin") &&
+      e3.getMessage.contains("--full-refresh"), e3.getMessage)
+  }
+
+  test("--empty-trained fuzzy gram-frequency order fails a REAL run " +
+      "loudly (the frozen order is a trained artifact)") {
+    import spark.implicits._
+    val a = freshAdapter("empty_fuzzy")
+    val rel = Relation(a.defaultSchema, "titles")
+    val steps = Seq(Map[String, Any]("op" -> "fuzzy_dedup",
+      "id_col" -> "doc_id", "str_col" -> "title"))
+    val docs = Seq((1L, "evening report final"), (2L, "evening report finale"))
+      .toDF("doc_id", "title")
+    // --empty full build: empty strings index + EMPTY frequency order
+    PipelineMat.run(MatContext(a, node(rel.identifier,
+      NodeConfig(materialized = "pipeline", extra = Map(
+        "steps" -> steps.toVector, "incremental" -> "true"))),
+      rel, () => docs.limit(0), emptyMode = true))
+    assert(a.read(rel).count() == 0)
+    // a real batch must NOT silently prefix under the degenerate order
+    val e = intercept[IllegalStateException](
+      PipelineMat.run(MatContext(a, node(rel.identifier,
+        NodeConfig(materialized = "pipeline", extra = Map(
+          "steps" -> steps.toVector, "incremental" -> "true"))),
+        rel, () => docs)))
+    assert(e.getMessage.contains("--empty") &&
+      e.getMessage.contains("--full-refresh"), e.getMessage)
+    // --full-refresh retrains on real data and recovers
+    PipelineMat.run(MatContext(a, node(rel.identifier,
+      NodeConfig(materialized = "pipeline", extra = Map(
+        "steps" -> steps.toVector, "incremental" -> "true"))),
+      rel, () => docs, fullRefresh = true))
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("microbatch pipeline: a run that DIES mid-window resumes to the " +

@@ -679,6 +679,18 @@ class PipelineMatSpec extends AnyFunSuite {
       extra = Map[String, Any]("stream_op" -> "curate",
         "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup"))))))
     assert(e2.getMessage.contains("arrival_col"))
+
+    // an all-empty staged input (--empty dry run / empty source) must
+    // still build the target SCHEMA-ONLY — success with no table is a
+    // lie downstream reads expose as table-not-found
+    val relE = Relation("g_curate_spec", "cur_empty")
+    graft.mat.StreamingTableMat.run(MatContext(a,
+      Node(uniqueId = "model.spec.cur_empty", name = "cur_empty",
+        packageName = "spec", kind = NodeKind.Model, config = cfg()),
+      relE, () => docs.limit(0)))
+    assert(a.relationExists(relE), "empty replay must still create the target")
+    assert(a.read(relE).count() == 0)
+    assert(a.read(relE).schema.fieldNames.toSeq == Seq("doc_id", "text"))
   }
   test("--empty builds an incremental TRAINER pipeline schema-only: " +
       "zero rows, full schema, success status (the CI dry-run shape)") {

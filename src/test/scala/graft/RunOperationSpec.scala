@@ -962,6 +962,21 @@ class RunOperationSpec extends AnyFunSuite {
     artifact(cur, Map(
       "source.p.a" -> "2025-03-02 00:00:00",       // newer → fresher
       "source.p.b" -> "2025-06-01T12:00:00Z"))      // equal → not fresher
+    // the zone-less SPACE form must anchor at UTC like the ISO forms —
+    // '2025-06-01 12:00:00' ≡ '2025-06-01T12:00:00Z' regardless of the
+    // JVM default zone, or the same logical stamp from two tools would
+    // falsely select (or skip) the source
+    locally {
+      val state2 = Files.createTempDirectory("graft_fresher_tzs")
+      val cur2 = Files.createTempDirectory("graft_fresher_tzc")
+      artifact(state2, Map("source.p.b" -> "2025-06-01T12:00:00Z"))
+      artifact(cur2, Map("source.p.b" -> "2025-06-01 12:00:00"))
+      val rz = new Runner(spark, ProjectLoader.load(proj.toString),
+        targetSchema = "g_fiso", stateDir = Some(state2.toString),
+        currentSourcesJson = Some(cur2.resolve("sources.json").toString))
+      assert(rz.fresherSources() == Some(Set.empty[String]),
+        "equal stamps across formats must not read as fresher")
+    }
     val r = new Runner(spark, ProjectLoader.load(proj.toString),
       targetSchema = "g_fiso", stateDir = Some(state.toString),
       currentSourcesJson = Some(cur.resolve("sources.json").toString))
@@ -983,7 +998,8 @@ class RunOperationSpec extends AnyFunSuite {
         |model-paths: ["models"]
         |models:
         |  rsat:
-        |    +post-hook: "create or replace view {{ this.schema }}.hook_stamp as
+        |    +post-hook: "create or replace view
+        |      {{ this.schema }}.hook_stamp_{{ this.identifier }} as
         |      select '{{ run_started_at.isoformat() }}' as stamp"
         |""".stripMargin)
     write(proj, "models/a.sql",
@@ -1000,7 +1016,7 @@ class RunOperationSpec extends AnyFunSuite {
     val bad = r.run().filter(_.status != "success")
     assert(bad.isEmpty, bad.mkString("; "))
     val expect = "2025-05-14T09:02:03"
-    for (t <- Seq("a", "b", "hook_stamp")) {
+    for (t <- Seq("a", "b", "hook_stamp_a", "hook_stamp_b")) {
       val v = spark.sql(s"select stamp from $schema.$t").collect()(0).getString(0)
       assert(v == expect, s"$t: $v != $expect")
     }
