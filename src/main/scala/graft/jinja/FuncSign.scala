@@ -561,7 +561,7 @@ object FuncSign {
     // checkable surface must not pay a second full Jinja parse: gate
     // on a cheap substring probe before re-parsing
     def checkable(src: String): Boolean =
-      sigMap.nonEmpty || src.contains("modules.") ||
+      sigMap.nonEmpty || src.contains("modules") ||
         src.contains("strftime") || src.contains("strptime")
     val callDiags =
       (macroSources ++ otherSources).flatMap { case (where, src) =>

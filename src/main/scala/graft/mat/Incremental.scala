@@ -475,6 +475,27 @@ object IncrementalMat extends Materialization {
 object MicrobatchRunner {
   final case class Batch(start: java.sql.Timestamp, end: java.sql.Timestamp)
 
+  /** A max(event_time) cell as a Timestamp, whatever Spark hands back:
+    * TIMESTAMP → java.sql.Timestamp, TIMESTAMP_NTZ → LocalDateTime,
+    * DATE → java.sql.Date / LocalDate. getTimestamp(0) CCEs on the NTZ
+    * form — which a catch-all Try used to swallow into "no resume",
+    * silently reprocessing all history for NTZ event times. Unsupported
+    * types fail with the column's actual class named. */
+  private[graft] def eventTimeValue(v: Any): Option[java.sql.Timestamp] =
+    v match {
+      case null => None
+      case t: java.sql.Timestamp => Some(t)
+      case ldt: java.time.LocalDateTime =>
+        Some(java.sql.Timestamp.valueOf(ldt))
+      case d: java.sql.Date => Some(new java.sql.Timestamp(d.getTime))
+      case ld: java.time.LocalDate =>
+        Some(java.sql.Timestamp.valueOf(ld.atStartOfDay))
+      case i: java.time.Instant => Some(java.sql.Timestamp.from(i))
+      case other => throw new IllegalStateException(
+        s"event_time resume: unsupported max(event_time) type " +
+          s"${other.getClass.getName} (value $other)")
+    }
+
   def batches(begin: java.sql.Timestamp, end: java.sql.Timestamp,
       size: BatchSize, lookback: Int,
       lastRunEnd: Option[java.sql.Timestamp]): Seq[Batch] = {

@@ -222,8 +222,8 @@ object PipelineMat extends Materialization {
     // window since `begin` (see the same rule at checkParams).
     val lastEnd: Option[java.sql.Timestamp] =
       if (ctx.explicitBackfill) None
-      else Option(ctx.adapter.read(ctx.target)
-        .agg(max(col(s"`$et`"))).head.getTimestamp(0))
+      else MicrobatchRunner.eventTimeValue(
+        ctx.adapter.read(ctx.target).agg(max(col(s"`$et`"))).head.get(0))
     // an EXISTING but event-time-EMPTY target (e.g. built under
     // --empty) has no resume point; without a `begin` bound the window
     // loop would emit one batch per period since epoch — fail with the
@@ -1312,7 +1312,7 @@ object PipelineModels {
   private def recordParams(ctx: MatContext, rel: Relation, s: Step,
       markEmpty: Boolean = false): Unit = {
     val esc = (trainParams(s) +
-      (if (markEmpty && ctx.emptyMode) EmptyTrainedMarker else ""))
+      (if (markEmpty) EmptyTrainedMarker else ""))
       .replace("'", "''")
     ctx.adapter.execute(
       s"ALTER TABLE ${rel.fqn} SET TBLPROPERTIES ('$ParamsProp' = '$esc')",
@@ -1337,10 +1337,10 @@ object PipelineModels {
       .filterNot(_.contains("does not have property"))
     if (got.contains(wantEmpty) && !ctx.emptyMode)
       throw new IllegalStateException(
-        s"${rel.fqn}: this artifact was trained under --empty " +
-          "(schema-only input) — scoring real data under empty " +
-          "statistics would silently produce garbage; rebuild with " +
-          "--full-refresh")
+        s"${rel.fqn}: this artifact was trained on an EMPTY input " +
+          "(an --empty dry run, or a source that held no rows yet) — " +
+          "scoring real data under empty statistics would silently " +
+          "produce garbage; rebuild with --full-refresh")
     if (!got.contains(want) && !(ctx.emptyMode && got.contains(wantEmpty)))
       throw new IllegalStateException(
       s"${rel.fqn}: persisted training parameters " +
@@ -1363,7 +1363,11 @@ object PipelineModels {
         "batch run — the state was lost; rebuild with --full-refresh")
     if (retrainNow || !exists) {
       ctx.adapter.writeTableAtomic(trainArtifact(ctx, s, df), rel)
-      recordParams(ctx, rel, s, markEmpty = true)
+      // mark on ACTUAL input emptiness, not just the --empty flag: a
+      // pipeline deployed against a still-empty source trains the same
+      // degenerate statistics an --empty dry run does (isEmpty is a
+      // limit-1 probe — cheap next to the training pass above)
+      recordParams(ctx, rel, s, markEmpty = ctx.emptyMode || df.isEmpty)
     } else checkParams(ctx, rel, s)
     applyArtifact(ctx, s, df, ctx.adapter.read(rel))
   }
@@ -2031,11 +2035,11 @@ object PipelineModels {
     if (!incrRun) {
       ctx.adapter.writeTableAtomic(stringsOf(df), rel)
       // markEmpty: the FROZEN gram-frequency order is a trained
-      // artifact — built under --empty it degenerates (every gram
+      // artifact — built on an empty input it degenerates (every gram
       // "rarest", prefix buckets inflate toward the quadratic Ed-Join
       // collapse), so a later real run must fail loudly like the other
       // frozen trainers
-      recordParams(ctx, rel, s, markEmpty = true)
+      recordParams(ctx, rel, s, markEmpty = ctx.emptyMode || df.isEmpty)
       ctx.adapter.writeTableAtomic(
         FuzzyJoin.gramFrequencies(df, strCol, q), freqRel)
       ctx.adapter.writeTableAtomic(
@@ -2287,6 +2291,18 @@ object StreamingTableMat extends Materialization {
         "stream_op: curate needs `arrival_col:` — the column whose " +
           "order defines arrival (each staged slice becomes one " +
           "micro-batch = one index batch)"))
+    // a re-run of the model REPLAYS the whole staged input; idempotence
+    // comes from an index-backed dedup step (every doc it sees settles)
+    // or from a unique_key anti-join against the target — a bare gate
+    // chain with neither would duplicate every row on each run
+    val indexedOps = Set("exact_dedup", "minhash_dedup", "simhash_dedup",
+      "ngram_dedup", "fuzzy_dedup", "media_dedup", "semantic_dedup")
+    val keyGuard: Seq[String] = ctx.config.uniqueKey
+    if (!steps.exists(st => indexedOps(st.op)) && keyGuard.isEmpty)
+      throw new IllegalArgumentException(
+        "stream_op: curate needs an index-backed dedup step OR a " +
+          "unique_key — without either, a re-run replays the staged " +
+          "input and appends every row again")
     val batch = ctx.compiled()
     val srcDir = Files.createTempDirectory("graft_curate_src").toString
     batch.repartitionByRange(nBatches, col(s"`$arrivalCol`"))
@@ -2303,6 +2319,10 @@ object StreamingTableMat extends Materialization {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val checkpoint = Files.createTempDirectory("graft_curate_cp").toString
     var batches = 0
+    // --full-refresh: the FIRST processed micro-batch rebuilds target +
+    // state from scratch (its own checkParams errors prescribe exactly
+    // this recovery), later micro-batches go incremental as usual
+    var rebuilt = false
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         // an empty slice (a skewed range partition) must not become the
@@ -2314,15 +2334,28 @@ object StreamingTableMat extends Materialization {
           // micro-batch (batch-sized, never corpus-sized) so one
           // session owns every plan — cross-session plan mixing is
           // where survivors silently vanish.
-          val slice = Files.createTempDirectory("graft_curate_b").toString
-          b.write.mode("overwrite").parquet(slice)
-          val local = ctx.spark.read.parquet(slice)
+          val slice = Files.createTempDirectory("graft_curate_b")
+          b.write.mode("overwrite").parquet(slice.toString)
+          val staged = ctx.spark.read.parquet(slice.toString)
           // target existence decides full-build vs incremental — exactly
           // the PipelineMat contract, so replay and batch runs compose
-          val incrRun = ctx.adapter.relationExists(ctx.target)
+          val incrRun = (!ctx.fullRefresh || rebuilt) &&
+            ctx.adapter.relationExists(ctx.target)
+          // index-less chains: drop keys the target already holds, so a
+          // replay (or late re-delivery) cannot append a row twice
+          val local =
+            if (keyGuard.nonEmpty && incrRun) {
+              val tgtKeys = ctx.adapter.read(ctx.target)
+                .select(keyGuard.map(k => col(s"`$k`")): _*)
+              val cond = keyGuard.map(k => staged(s"`$k`") <=> tgtKeys(s"`$k`"))
+                .reduce(_ && _)
+              staged.join(tgtKeys, cond, "left_anti")
+            } else staged
           PipelineMat.processBatch(ctx, steps, local, incremental = true,
             incrRun = incrRun, window = None)
+          rebuilt = true
           batches += 1
+          deleteDir(slice)
         }
         ()
       }
@@ -2338,9 +2371,21 @@ object StreamingTableMat extends Materialization {
       PipelineMat.processBatch(ctx, steps,
         ctx.spark.read.parquet(srcDir).limit(0),
         incremental = true, incrRun = false, window = None)
+    // bounded-replay scratch: the staged corpus copy and the checkpoint
+    // are per-run throwaways (a continuous deployment reads a real
+    // landing directory instead) — leaking them fills /tmp
+    deleteDir(java.nio.file.Paths.get(srcDir))
+    deleteDir(java.nio.file.Paths.get(checkpoint))
     TableMat.applyTblProperties(ctx)
     MatResult(ctx.target.withType(RelationType.Table), "success",
       s"streaming curate: $batches micro-batches as incremental index " +
         s"batches: ${steps.map(_.op).mkString(" -> ")}")
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
   }
 }

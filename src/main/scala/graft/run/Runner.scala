@@ -324,15 +324,19 @@ final class Runner(
               // this every run reprocesses all history.
               // an explicit --event-time-start backfill window suppresses
               // the resume (dbt: the named window is reprocessed exactly)
+              // NO catch-all here (same rule as PipelineMat.runWindows):
+              // a transient metastore/IO failure must fail the node, not
+              // be misread as "no resume" and silently reprocess every
+              // window since `begin`
               val lastEnd: Option[java.sql.Timestamp] =
                 if (eventTimeStart.isDefined) None
                 else for {
                   et <- node.config.eventTime
                   rel <- node.relation if adapter.relationExists(rel)
-                  ts <- Try(adapter.read(rel)
+                  ts <- MicrobatchRunner.eventTimeValue(adapter.read(rel)
                     .agg(org.apache.spark.sql.functions.max(
                       org.apache.spark.sql.functions.col(s"`$et`")))
-                    .head.getTimestamp(0)).toOption.flatMap(Option(_))
+                    .head.get(0))
                 } yield ts
               MicrobatchRunner.run(windowedCtx(node, ctx, fullRefresh),
                 lastRunEnd = lastEnd)
@@ -530,8 +534,14 @@ final class Runner(
       "results" -> results.map { case (uid, r) => Map(
         "unique_id" -> uid,
         "status" -> r.fold(_ => "runtime error", _.status),
+        // render at UTC explicitly: Timestamp.toString uses the JVM
+        // default zone, and the fresher comparator anchors zone-less
+        // stamps at UTC — a non-UTC JVM would shift its own artifact
         "max_loaded_at" -> r.toOption.flatMap(_.maxLoadedAt)
-          .map(_.toString).orNull,
+          .map(ts => java.time.LocalDateTime
+            .ofInstant(ts.toInstant, java.time.ZoneOffset.UTC)
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))).orNull,
         "max_loaded_at_time_ago_in_s" -> r.toOption.map(_.ageSeconds)
           .getOrElse(-1.0),
         "message" -> r.left.toOption.orNull)

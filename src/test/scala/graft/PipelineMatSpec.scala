@@ -691,6 +691,41 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(a.relationExists(relE), "empty replay must still create the target")
     assert(a.read(relE).count() == 0)
     assert(a.read(relE).schema.fieldNames.toSeq == Seq("doc_id", "text"))
+
+    // a bare gate chain (no index-backed dedup) without unique_key has
+    // no idempotence story: named error
+    val gateOnly = Vector(Map[String, Any]("op" -> "token_count",
+      "text_col" -> "text"))
+    val e3 = intercept[IllegalArgumentException](run(NodeConfig(
+      materialized = "streaming_table",
+      extra = Map[String, Any]("stream_op" -> "curate",
+        "arrival_col" -> "doc_id", "steps" -> gateOnly))))
+    assert(e3.getMessage.contains("unique_key"), e3.getMessage)
+    // WITH unique_key: replay-idempotent via the target-key anti-join
+    val relG = Relation("g_curate_spec", "cur_gates")
+    def runGates() = graft.mat.StreamingTableMat.run(MatContext(a,
+      Node(uniqueId = "model.spec.cur_gates", name = "cur_gates",
+        packageName = "spec", kind = NodeKind.Model,
+        config = NodeConfig(materialized = "streaming_table",
+          uniqueKey = Seq("doc_id"),
+          extra = Map[String, Any]("stream_op" -> "curate",
+            "arrival_col" -> "doc_id", "stream_batches" -> 2,
+            "steps" -> gateOnly))),
+      relG, () => docs))
+    runGates()
+    val n1 = a.read(relG).count()
+    assert(n1 == 5, s"all 5 rows pass the gate chain: $n1")
+    runGates() // full re-replay: every key already in the target
+    assert(a.read(relG).count() == n1, "re-replay duplicated rows")
+
+    // --full-refresh rebuilds from scratch (the recovery checkParams
+    // errors prescribe must actually work for curate models)
+    graft.mat.StreamingTableMat.run(MatContext(a,
+      Node(uniqueId = "model.spec.cur", name = "cur",
+        packageName = "spec", kind = NodeKind.Model, config = cfg()),
+      rel, () => docs, fullRefresh = true))
+    assert(a.read(rel).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 11L), "--full-refresh rebuild converges to the same set")
   }
   test("--empty builds an incremental TRAINER pipeline schema-only: " +
       "zero rows, full schema, success status (the CI dry-run shape)") {
