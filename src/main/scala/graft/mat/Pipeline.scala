@@ -2199,9 +2199,11 @@ object StreamingTableMat extends Materialization {
             usOf(schemaSource, tsCol)).as[(Long, String, Long)],
           steps, cap = str("cap", "10000").toInt, ttl = ttl)
       case "" => throw new IllegalArgumentException(
-        "streaming_table requires `stream_op:` (sessionize | dedup | funnel)")
+        "streaming_table requires `stream_op:` " +
+          "(sessionize | dedup | funnel | curate)")
       case other => throw new IllegalArgumentException(
-        s"unknown stream_op `$other` (known: sessionize, dedup, funnel)")
+        s"unknown stream_op `$other` " +
+          "(known: sessionize, dedup, funnel, curate)")
     }
   }
 
@@ -2273,8 +2275,27 @@ object StreamingTableMat extends Materialization {
     * order deterministically and the result is oracle-checkable — the
     * same arriving-files replay shape the other stream ops use, driven
     * through foreachBatch because the curation state lives in catalog
-    * relations, not operator state. A continuous deployment points the
-    * SAME foreachBatch closure at a real landing directory. */
+    * relations, not operator state.
+    *
+    * A continuous DEPLOYMENT sets `landing_dir:` instead: the stream
+    * reads a REAL arriving-files parquet directory through a DURABLE
+    * checkpoint (`checkpoint_dir:`, default derived under the
+    * adapter's location / warehouse dir), so each invocation drains
+    * only files the last invocation had not committed, and a killed
+    * run resumes at the first uncommitted micro-batch. Durable mode
+    * requires `unique_key`: a crash can land BETWEEN the target append
+    * and the deferred index flush, and only the target-key anti-join
+    * makes the checkpoint's replay of that micro-batch exactly-once at
+    * the target (the `unseenById` guard already makes it exactly-once
+    * at the indexes). `max_batches_per_run:` bounds one invocation's
+    * drain (ops lever; also the restart-test lever) — the limit-hit
+    * batch is NOT processed and NOT committed, so the next run resumes
+    * exactly there. With `event_time` + `unique_key` configured, each
+    * micro-batch anti-joins its survivors against the target's OWN
+    * event-time slice (partition-prunable) instead of the whole target
+    * key set — late re-delivery of a settled window drops exactly as
+    * the microbatch pipeline drops it, and only genuinely novel rows
+    * land. */
   private def runCurate(ctx: MatContext): MatResult = {
     val spark = ctx.spark
     val cfg = ctx.config.extra
@@ -2284,13 +2305,7 @@ object StreamingTableMat extends Materialization {
         "stream_op: curate needs a non-empty `steps:` config (the " +
           "incremental-pipeline step chain each micro-batch runs)")
     steps.foreach(PipelineModels.checkIncrementalLegal)
-    val nBatches = cfg.get("stream_batches")
-      .map(v => String.valueOf(v).toInt).getOrElse(4)
-    val arrivalCol = cfg.get("arrival_col").map(String.valueOf)
-      .getOrElse(throw new IllegalArgumentException(
-        "stream_op: curate needs `arrival_col:` — the column whose " +
-          "order defines arrival (each staged slice becomes one " +
-          "micro-batch = one index batch)"))
+    val landingDir = cfg.get("landing_dir").map(String.valueOf)
     // a re-run of the model REPLAYS the whole staged input; idempotence
     // comes from an index-backed dedup step (every doc it sees settles)
     // or from a unique_key anti-join against the target — a bare gate
@@ -2298,33 +2313,96 @@ object StreamingTableMat extends Materialization {
     val indexedOps = Set("exact_dedup", "minhash_dedup", "simhash_dedup",
       "ngram_dedup", "fuzzy_dedup", "media_dedup", "semantic_dedup")
     val keyGuard: Seq[String] = ctx.config.uniqueKey
+    if (landingDir.isDefined && keyGuard.isEmpty)
+      throw new IllegalArgumentException(
+        "stream_op: curate with `landing_dir:` (durable mode) requires " +
+          "unique_key — a crash can land between the target append and " +
+          "the deferred index flush, and only the target-key anti-join " +
+          "keeps the checkpoint's replay of that micro-batch " +
+          "exactly-once at the target")
     if (!steps.exists(st => indexedOps(st.op)) && keyGuard.isEmpty)
       throw new IllegalArgumentException(
         "stream_op: curate needs an index-backed dedup step OR a " +
           "unique_key — without either, a re-run replays the staged " +
           "input and appends every row again")
-    val batch = ctx.compiled()
-    val srcDir = Files.createTempDirectory("graft_curate_src").toString
-    batch.repartitionByRange(nBatches, col(s"`$arrivalCol`"))
-      .sortWithinPartitions(col(s"`$arrivalCol`"))
-      .write.mode("overwrite").parquet(srcDir)
-    // strictly increasing mtimes in part order: range partition i holds
-    // the i-th arrival slice, and FileStreamSource replays (mtime, path)
-    val parts = new java.io.File(srcDir).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1700000000000L + i * 60000L) }
-    val schema = spark.read.parquet(srcDir).schema
+    // source + checkpoint: durable mode reads the real landing directory
+    // through a persistent checkpoint; bounded replay stages the
+    // compiled relation to per-run throwaway dirs
+    val (srcDir, checkpoint) = landingDir match {
+      case Some(ld) =>
+        if (!new java.io.File(ld).isDirectory)
+          throw new IllegalArgumentException(
+            s"stream_op: curate `landing_dir:` is not a directory: $ld")
+        val cp = cfg.get("checkpoint_dir").map(String.valueOf).getOrElse {
+          val base = ctx.adapter.location.getOrElse(
+            spark.conf.get("spark.sql.warehouse.dir"))
+          s"$base/_graft_checkpoints/" +
+            s"${ctx.target.schema}.${ctx.target.identifier}"
+        }
+        // --full-refresh reprocesses the WHOLE landing history: the
+        // rebuild starts from scratch, so the old checkpoint's
+        // committed-files log must go with the old target rows
+        if (ctx.fullRefresh) deleteDir(java.nio.file.Paths.get(cp))
+        (ld, cp)
+      case None =>
+        val nBatches = cfg.get("stream_batches")
+          .map(v => String.valueOf(v).toInt).getOrElse(4)
+        val arrivalCol = cfg.get("arrival_col").map(String.valueOf)
+          .getOrElse(throw new IllegalArgumentException(
+            "stream_op: curate needs `arrival_col:` — the column whose " +
+              "order defines arrival (each staged slice becomes one " +
+              "micro-batch = one index batch) — or `landing_dir:` for " +
+              "a durable deployment where files arrive in real time"))
+        val batch = ctx.compiled()
+        val dir = Files.createTempDirectory("graft_curate_src").toString
+        batch.repartitionByRange(nBatches, col(s"`$arrivalCol`"))
+          .sortWithinPartitions(col(s"`$arrivalCol`"))
+          .write.mode("overwrite").parquet(dir)
+        // strictly increasing mtimes in part order: range partition i
+        // holds the i-th arrival slice, and FileStreamSource replays
+        // (mtime, path)
+        val parts = new java.io.File(dir).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 60000L) }
+        (dir, Files.createTempDirectory("graft_curate_cp").toString)
+    }
+    val schema =
+      try spark.read.parquet(srcDir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if landingDir.isDefined =>
+          throw new IllegalStateException(
+            s"stream_op: curate landing_dir `$srcDir` holds no readable " +
+              "parquet yet — the first invocation needs at least one " +
+              s"landed file to infer the stream schema (${e.getMessage})")
+      }
+    val mfpt =
+      if (landingDir.isDefined)
+        cfg.get("max_files_per_trigger")
+          .map(v => String.valueOf(v).toInt).getOrElse(1)
+      else 1
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val checkpoint = Files.createTempDirectory("graft_curate_cp").toString
+      .option("maxFilesPerTrigger", mfpt).parquet(srcDir)
+    val maxBatches = cfg.get("max_batches_per_run")
+      .map(v => String.valueOf(v).toInt)
+    // fault injection for the restart spec: process the (N+1)-th
+    // micro-batch FULLY, then die before its checkpoint commit — the
+    // restart must replay it and append nothing (index unseenById +
+    // target-key anti-join)
+    val crashAfter = spark.conf
+      .getOption("graft.curate.crashAfterBatches").map(_.toInt)
     var batches = 0
     // --full-refresh: the FIRST processed micro-batch rebuilds target +
     // state from scratch (its own checkParams errors prescribe exactly
     // this recovery), later micro-batches go incremental as usual
     var rebuilt = false
+    val et = ctx.config.eventTime
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
+        // the limit-hit batch is NOT processed and NOT committed, so
+        // the next invocation's checkpoint resumes exactly here
+        if (maxBatches.exists(batches >= _)) throw new DrainLimitReached
         // an empty slice (a skewed range partition) must not become the
         // FULL BUILD and train artifacts on nothing
         if (!b.isEmpty) {
@@ -2335,52 +2413,106 @@ object StreamingTableMat extends Materialization {
           // session owns every plan — cross-session plan mixing is
           // where survivors silently vanish.
           val slice = Files.createTempDirectory("graft_curate_b")
-          b.write.mode("overwrite").parquet(slice.toString)
-          val staged = ctx.spark.read.parquet(slice.toString)
-          // target existence decides full-build vs incremental — exactly
-          // the PipelineMat contract, so replay and batch runs compose
-          val incrRun = (!ctx.fullRefresh || rebuilt) &&
-            ctx.adapter.relationExists(ctx.target)
-          // index-less chains: drop keys the target already holds, so a
-          // replay (or late re-delivery) cannot append a row twice
-          val local =
-            if (keyGuard.nonEmpty && incrRun) {
-              val tgtKeys = ctx.adapter.read(ctx.target)
-                .select(keyGuard.map(k => col(s"`$k`")): _*)
-              val cond = keyGuard.map(k => staged(s"`$k`") <=> tgtKeys(s"`$k`"))
-                .reduce(_ && _)
-              staged.join(tgtKeys, cond, "left_anti")
-            } else staged
-          PipelineMat.processBatch(ctx, steps, local, incremental = true,
-            incrRun = incrRun, window = None)
-          rebuilt = true
-          batches += 1
-          deleteDir(slice)
+          try {
+            b.write.mode("overwrite").parquet(slice.toString)
+            val staged = ctx.spark.read.parquet(slice.toString)
+            // target existence decides full-build vs incremental — exactly
+            // the PipelineMat contract, so replay and batch runs compose
+            val incrRun = (!ctx.fullRefresh || rebuilt) &&
+              ctx.adapter.relationExists(ctx.target)
+            // event_time + unique_key: guard survivors against the
+            // batch's OWN event-time slice of the target (narrow,
+            // partition-prunable) instead of the whole target key set —
+            // late re-delivery of a settled window drops exactly as the
+            // microbatch pipeline drops it
+            val window: Option[(java.sql.Timestamp, java.sql.Timestamp)] =
+              if (et.isDefined && keyGuard.nonEmpty && incrRun) {
+                val e = et.get
+                val r = staged.agg(
+                  min(col(s"`$e`")).cast("timestamp"),
+                  max(col(s"`$e`")).cast("timestamp")).head
+                if (r.isNullAt(0)) None
+                else Some((r.getTimestamp(0),
+                  new java.sql.Timestamp(r.getTimestamp(1).getTime + 1L)))
+              } else None
+            // index-less chains (no event_time): drop keys the target
+            // already holds anywhere, so a replay (or late re-delivery)
+            // cannot append a row twice
+            val local =
+              if (keyGuard.nonEmpty && incrRun && window.isEmpty) {
+                val tgtKeys = ctx.adapter.read(ctx.target)
+                  .select(keyGuard.map(k => col(s"`$k`")): _*)
+                val cond = keyGuard.map(k =>
+                  staged(s"`$k`") <=> tgtKeys(s"`$k`")).reduce(_ && _)
+                staged.join(tgtKeys, cond, "left_anti")
+              } else staged
+            PipelineMat.processBatch(ctx, steps, local, incremental = true,
+              incrRun = incrRun, window = window)
+            rebuilt = true
+            batches += 1
+          } finally deleteDir(slice)
+          if (crashAfter.exists(_ < batches))
+            throw new IllegalStateException(
+              "graft.curate.crashAfterBatches fault injection: dying " +
+                s"after processing micro-batch $batches, before commit")
         }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    // every staged slice was empty (an --empty dry run, or an empty
-    // source): the target must still exist schema-only — the same
-    // contract the batch pipeline honors — or downstream reads fail
-    // with table-not-found despite this node reporting success
-    if (!ctx.adapter.relationExists(ctx.target))
+    var drainLimited = false
+    try q.awaitTermination()
+    catch {
+      case ex: Throwable =>
+        if (causeChain(ex).exists(_.isInstanceOf[DrainLimitReached]))
+          drainLimited = true
+        else throw ex
+    } finally {
+      // bounded-replay scratch: the staged corpus copy and the
+      // checkpoint are per-run throwaways — leaking them (ALSO on a
+      // failing micro-batch) fills /tmp. Durable mode keeps both: the
+      // landing dir is the user's data, the checkpoint is the resume
+      // point.
+      if (landingDir.isEmpty) {
+        deleteDir(java.nio.file.Paths.get(srcDir))
+        deleteDir(java.nio.file.Paths.get(checkpoint))
+      }
+    }
+    // a requested full refresh where NO micro-batch processed (all-empty
+    // staged input, an --empty dry run) must still REBUILD — target and
+    // per-step state rewritten schema-only, the batch pipeline's exact
+    // contract — not report success over the stale pre-refresh rows;
+    // likewise a missing target must exist schema-only for downstream.
+    // A drain-limited run is intentionally partial: no empty rebuild.
+    if (!drainLimited &&
+        (!ctx.adapter.relationExists(ctx.target) ||
+          (ctx.fullRefresh && !rebuilt)))
       PipelineMat.processBatch(ctx, steps,
-        ctx.spark.read.parquet(srcDir).limit(0),
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema),
         incremental = true, incrRun = false, window = None)
-    // bounded-replay scratch: the staged corpus copy and the checkpoint
-    // are per-run throwaways (a continuous deployment reads a real
-    // landing directory instead) — leaking them fills /tmp
-    deleteDir(java.nio.file.Paths.get(srcDir))
-    deleteDir(java.nio.file.Paths.get(checkpoint))
     TableMat.applyTblProperties(ctx)
     MatResult(ctx.target.withType(RelationType.Table), "success",
       s"streaming curate: $batches micro-batches as incremental index " +
-        s"batches: ${steps.map(_.op).mkString(" -> ")}")
+        s"batches: ${steps.map(_.op).mkString(" -> ")}" +
+        (if (drainLimited)
+           s" (drain limited to ${maxBatches.get}; the next run " +
+             "resumes at the checkpoint)"
+         else "") +
+        landingDir.map(ld =>
+          s" [landing: $ld, checkpoint: $checkpoint]").getOrElse(""))
   }
+
+  /** Thrown by the curate foreachBatch when `max_batches_per_run` is
+    * hit — the marker batch never processes or commits, so the durable
+    * checkpoint resumes exactly there on the next invocation. */
+  private final class DrainLimitReached extends RuntimeException(
+    "max_batches_per_run reached")
+
+  private def causeChain(t: Throwable): List[Throwable] =
+    if (t == null) Nil
+    else t :: (if (t.getCause ne t) causeChain(t.getCause) else Nil)
 
   private def deleteDir(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
