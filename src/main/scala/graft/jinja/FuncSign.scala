@@ -294,11 +294,14 @@ object FuncSign {
           case None => Nil
         }
         // strftime is a METHOD on datetime values (run_started_at,
-        // modules.datetime results) — the receiver is arbitrary, but
-        // the format argument is statically checkable: this engine's
-        // only `.strftime` carrier is PyDateTime
+        // modules.datetime results) — but only fire when the RECEIVER
+        // is statically traceable to a datetime producer: a user macro
+        // object exposing its own differently-shaped `strftime` must
+        // not hard-fail under funcsign-severity: error / --warn-error
+        // on a diagnostic about a method it doesn't have
         val fmt =
-          if (attr == "strftime" && args.length == 1)
+          if (attr == "strftime" && !isDatetimeRecv(recv)) Nil
+          else if (attr == "strftime" && args.length == 1)
             args.headOption.flatMap(litStr)
               .flatMap(f => directiveDiag(f, where, "strftime")).toSeq
           else if (attr == "strftime" && kwargs.isEmpty)
@@ -309,6 +312,28 @@ object FuncSign {
       case _ => Nil
     }
     here ++ subExprs(e).flatMap(checkExpr(_, where, sigs))
+  }
+
+  /** Is this expression statically traceable to a datetime value?
+    * Producers: `run_started_at` (the context's PyDateTime), any
+    * `modules.datetime.*` call whose known signature returns
+    * datetime/date (incl. `.strptime`, `.now()`, `.fromtimestamp()`),
+    * `modules.datetime.datetime.min/max`, and datetime ± timedelta
+    * arithmetic over those. Anything else — a user macro object with
+    * its own `strftime`, a loop variable — is NOT diagnosed. */
+  private def isDatetimeRecv(e: Jinja.Expr): Boolean = e match {
+    case Jinja.EVar("run_started_at") => true
+    case Jinja.ECall(fn, _, _) =>
+      dotted(fn).exists(n => n.startsWith("modules.datetime.") &&
+        knownObjects.get(n).exists(m => m.sig.ret match {
+          case TNamed("datetime") | TNamed("date") => true
+          case _ => false
+        }))
+    case Jinja.EAttr(_, "min" | "max") =>
+      dotted(e).exists(_.startsWith("modules.datetime."))
+    case Jinja.EBin("+" | "-", l, r) =>
+      isDatetimeRecv(l) || isDatetimeRecv(r)
+    case _ => false
   }
 
   /** Dotted name of an attribute chain rooted at a plain variable. */

@@ -145,9 +145,29 @@ object PipelineMat extends Materialization {
           val slice = ctx.adapter.read(ctx.target)
             .filter(col(s"`$et`") >= lit(ws) && col(s"`$et`") < lit(we))
             .select(keys.map(k => col(s"`$k`")): _*)
-          val cond = keys.map(k => out(s"`$k`") <=> slice(s"`$k`"))
+          // an EXPLICIT backfill (--event-time-start) is APPEND-ONLY:
+          // keys already in the window slice keep their settled rows —
+          // the dedup indexes hold those docs as settled, so a
+          // delete+rewrite would drop the reprocessed rows as
+          // duplicates of themselves. Name what was skipped instead of
+          // silently no-op'ing (the survivors plan is batch-sized;
+          // pinning it eagerly costs one bounded materialization and
+          // avoids running the step chain twice for the count).
+          val src =
+            if (ctx.explicitBackfill) out.localCheckpoint(true) else out
+          val cond = keys.map(k => src(s"`$k`") <=> slice(s"`$k`"))
             .reduce(_ && _)
-          out.join(slice, cond, "left_anti")
+          if (ctx.explicitBackfill) {
+            val dropped = src.join(slice, cond, "left_semi").count()
+            if (dropped > 0) System.err.println(
+              s"[warn] ${ctx.target.fqn}: explicit backfill window " +
+                s"[$ws, $we) admits only genuinely new keys — $dropped " +
+                "surviving row(s) whose unique_key already exists in " +
+                "the window slice were dropped, not replaced (settled " +
+                "dedup-index state cannot reconcile a rewrite). To " +
+                "replace existing rows, rebuild with --full-refresh.")
+          }
+          src.join(slice, cond, "left_anti")
         case None => out
       }
       ctx.adapter.appendToTable(guarded, ctx.target)
@@ -191,8 +211,14 @@ object PipelineMat extends Materialization {
     *     the deferred index appends skip ids the state already holds —
     *     only genuinely late rows land;
     *   - `--event-time-start/--event-time-end` reprocess exactly the
-    *     named window span (resume suppressed), same as microbatch
-    *     models.
+    *     named window span (resume suppressed). Unlike a plain
+    *     microbatch MODEL (which replaces the window), a pipeline
+    *     backfill is APPEND-ONLY: it admits genuinely new keys and
+    *     keeps the settled rows for keys the window already holds —
+    *     the persisted dedup indexes hold those docs as settled, so a
+    *     delete+rewrite would drop the reprocessed rows as duplicates
+    *     of themselves. When existing keys are skipped, a [warn] names
+    *     the count and prescribes --full-refresh for a true rewrite.
     *
     * `unique_key` is required (the idempotence guard needs it);
     * `concurrent_batches` is rejected — index batches are

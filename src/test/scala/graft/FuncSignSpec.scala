@@ -285,6 +285,25 @@ class FuncSignSpec extends AnyFunSuite {
         "{{ modules.datetime.timedelta(days=3, hours=2) }}" +
         "{{ run_started_at.strftime('%Y%m%d') }}")
     assert(clean.isEmpty, clean.mkString("; "))
+    // strftime diagnostics fire ONLY for receivers statically traceable
+    // to a datetime producer — a user macro object exposing its own
+    // differently-shaped strftime must not hard-fail under
+    // funcsign-severity: error (the r14 advice case)
+    val userObj = diags(
+      "{{ my_formatter.strftime('%Q', 'extra') }}" +
+        "{{ ns.helper.strftime() }}")
+    assert(userObj.isEmpty, userObj.mkString("; "))
+    // ...while traceable receivers keep both the arity and format checks
+    val dtArity = diags("{{ run_started_at.strftime() }}")
+    assert(dtArity.exists(_.contains("exactly 1 argument")),
+      dtArity.mkString("; "))
+    val dtNow = diags(
+      "{{ modules.datetime.datetime.now().strftime('%Y-%Q') }}")
+    assert(dtNow.exists(_.contains("%Q")), dtNow.mkString("; "))
+    val dtArith = diags(
+      "{{ (run_started_at - modules.datetime.timedelta(days=1))" +
+        ".strftime('%Y-%Q') }}")
+    assert(dtArith.exists(_.contains("%Q")), dtArith.mkString("; "))
   }
 
   test("an UNANNOTATED project override clears a builtin signature " +

@@ -939,6 +939,54 @@ class PipelineFrozenSpec extends AnyFunSuite {
       e3.getMessage.contains("--full-refresh"), e3.getMessage)
   }
 
+  test("explicit backfill is append-only: a gate-only windowed pipeline " +
+      "skips existing keys with changed values and NAMES the skip") {
+    import spark.implicits._
+    val a = freshAdapter("mb_backfill_warn")
+    val rel = Relation(a.defaultSchema, "gated")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a pure gate chain: the window guard's unique_key anti-join is the
+    // ONLY idempotence mechanism — exactly where a silent skip would
+    // masquerade as a successful rewrite
+    val cfg = NodeConfig(materialized = "pipeline",
+      uniqueKey = Seq("doc_id"),
+      eventTime = Some("ts"), batchSize = Some(BatchSize.Day),
+      begin = Some("2025-01-01 00:00:00"),
+      extra = Map(
+        "steps" -> Vector(Map[String, Any]("op" -> "token_count",
+          "text_col" -> "text")),
+        "incremental" -> "true"))
+    val day1 = Seq(
+      (1L, "alpha beta gamma", ts("2025-01-01 03:00:00")),
+      (2L, "delta epsilon", ts("2025-01-01 05:00:00")))
+      .toDF("doc_id", "text", "ts")
+    PipelineMat.run(MatContext(a, node(rel.identifier, cfg), rel,
+      () => day1, now = ts("2025-01-02 00:00:00")))
+    assert(a.read(rel).count() == 2)
+    // the source rewrote doc 1's text AND a novel key 9 arrived; an
+    // explicit backfill of day 1 admits ONLY key 9 — and says so
+    val rewritten = Seq(
+      (1L, "rewritten body for doc one", ts("2025-01-01 03:00:00")),
+      (2L, "delta epsilon", ts("2025-01-01 05:00:00")),
+      (9L, "late novel", ts("2025-01-01 07:00:00")))
+      .toDF("doc_id", "text", "ts")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try PipelineMat.run(MatContext(a, node(rel.identifier, cfg), rel,
+      () => rewritten, fullRefresh = false,
+      now = ts("2025-01-02 00:00:00"), explicitBackfill = true))
+    finally System.setErr(oldErr)
+    assert(a.read(rel).count() == 3, "only the novel key lands")
+    val text1 = a.read(rel).filter(col("doc_id") === 1L)
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(text1 == Seq("alpha beta gamma"),
+      "append-only backfill must keep the settled row's text")
+    assert(errBuf.toString.contains("admits only genuinely new keys") &&
+      errBuf.toString.contains("2 surviving row"),
+      s"the skipped rewrite must be named: <${errBuf.toString.take(300)}>")
+  }
+
   test("--empty-trained fuzzy gram-frequency order fails a REAL run " +
       "loudly (the frozen order is a trained artifact)") {
     import spark.implicits._
