@@ -180,6 +180,76 @@ object BenchGrowth {
         f""""build_${mult}x":$bM%.2f,"batch_${mult}x":$tM%.2f,""" +
         f""""batch_ratio":${tM / t1}%.2f}"""
     }
+    // ---- windowed (microbatch × incremental pipeline) row ----------------
+    // The composed window loop adds two costs the per-family batch rows
+    // don't measure: the target-slice unique_key anti-join (the
+    // index-less idempotence guard reads the target's OWN window slice)
+    // and the per-window input recompile/filter. Shape: a settled
+    // minhash corpus over days 1-28 at 1× and 10×, then THREE separate
+    // single-window runs (days 31-33, fixed batch content at both
+    // scales, `now` advancing a day per run so each invocation is one
+    // new window + the lookback reopen of the settled previous day).
+    // Per-WINDOW wall time near-flat across 1×→10× is the evidence the
+    // window machinery touches history only through pruned index scans
+    // and the (window-sized) target slice.
+    if (famFilter.forall(_.contains("windowed"))) {
+      // 1-based day index → timestamp (day 31 = Jan 31, day 32 = Feb 1)
+      def dayTs(d: Int, hour: Int = 3) = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2025, 1, 1).plusDays(d - 1).atTime(hour, 0))
+      def withTs(df: DataFrame, dayOfId: Long => Int): DataFrame = {
+        val dayUdf = org.apache.spark.sql.functions.udf(
+          (id: Long) => dayTs(dayOfId(id)))
+        df.withColumn("ts", dayUdf($"doc_id"))
+      }
+      val wTimes = Seq(1, mult).map { m =>
+        val n = base * m
+        val schema = s"g_growth_windowed_$m"
+        spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+        val a = new SparkAdapter(spark, schema,
+          Some(Files.createTempDirectory("graft_growth_w").toString))
+        val rel = Relation(schema, "corpus")
+        val cfg = NodeConfig(materialized = "pipeline",
+          uniqueKey = Seq("doc_id"), eventTime = Some("ts"),
+          batchSize = Some(BatchSize.Day),
+          begin = Some("2025-01-01 00:00:00"),
+          extra = Map(
+            "steps" -> Vector(Map[String, Any]("op" -> "minhash_dedup")),
+            "incremental" -> "true"))
+        def run(df: DataFrame, now: java.sql.Timestamp): Unit =
+          PipelineMat.run(MatContext(a,
+            Node(uniqueId = s"model.bench.${rel.identifier}",
+              name = rel.identifier, packageName = "bench",
+              kind = NodeKind.Model, config = cfg),
+            rel, () => df, now = now))
+        val corpus = withTs(textGen(n, 0L, 11 + m),
+          id => 1 + (id % 28).toInt)
+        val build = timed(run(corpus, dayTs(29, hour = 0)))
+        // three windows, IDENTICAL content at both scales; the input of
+        // window w is corpus ∪ batches ≤ w (a real source grows), which
+        // also charges the per-window recompile honestly
+        var input = corpus
+        val winSecs = (0 until 3).map { w =>
+          val batch = withTs(textGen(batchN, 10000000L * (w + 1), 99 + w),
+            _ => 31 + w)
+          input = input.unionByName(batch)
+          val in = input
+          timed(run(in, dayTs(32 + w, hour = 0)))
+        }
+        System.err.println(f"[growth] windowed  ${m}x: corpus=$n%7d " +
+          f"build=$build%7.2fs windows=" +
+          winSecs.map(s => f"$s%5.2f").mkString("[", ",", "]s"))
+        spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+        (build, winSecs)
+      }
+      val Seq((b1, w1), (bM, wM)) = wTimes
+      val ratios = w1.zip(wM).map { case (a1, aM) => aM / a1 }
+      out("windowed_minhash") =
+        f"""{"build_1x":$b1%.2f,"build_${mult}x":$bM%.2f,""" +
+          s""""windows_1x":[${w1.map(s => f"$s%.2f").mkString(",")}],""" +
+          s""""windows_${mult}x":[${wM.map(s => f"$s%.2f").mkString(",")}],""" +
+          s""""window_ratios":[${ratios.map(r => f"$r%.2f").mkString(",")}]}"""
+    }
+
     val fams = out.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"write_growth","base_docs":$base,"mult":$mult,""" +

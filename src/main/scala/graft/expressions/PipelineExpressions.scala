@@ -457,6 +457,21 @@ object PipelineExpressions {
       copy(child = c)
   }
 
+  /** [[graft.ops.Phash.phash64]] — the DCT perceptual hash — as a native
+    * expression: the media near-dup signature computes inside the same
+    * projection pass as the validity gate, no per-row ScalaUDF plumbing.
+    * Undecodable payloads yield 0L, which the step's [[graft.ops
+    * .Multimodal.isGrft]] gate keeps out of the banded branch (same
+    * sentinel contract as [[MediaChecksum]]). */
+  case class MediaPhash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      graft.ops.Phash.phash64(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Count of lowercase space-split tokens that appear in `words` — the
     * stopword-hit primitive (same contract as
     * `size(filter(split(lower(text),' '), t -> t IN (...)))`). */
@@ -712,6 +727,8 @@ object PipelineExpressions {
     wrap(TokenHitCount(expression(c), words))
   def media_checksum(c: Column): Column =
     wrap(MediaChecksum(expression(c)))
+  def media_phash(c: Column): Column =
+    wrap(MediaPhash(expression(c)))
   def subword_count(c: Column): Column =
     wrap(SubwordCount(expression(c)))
   def repetition_stats(c: Column): Column =

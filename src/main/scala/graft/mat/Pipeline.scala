@@ -261,15 +261,46 @@ object PipelineMat extends Materialization {
           "or rebuild with --full-refresh")
     val windows = MicrobatchRunner.batches(begin, ctx.now, size,
       cfg.lookback, lastEnd)
-    windows.foreach { b =>
+    // ONE presence pass over the compiled input before the loop: each
+    // window's rows are counted under the SAME `>= start && < end`
+    // predicate the per-window filter uses (identical literal form, so
+    // the type coercion for TIMESTAMP/NTZ/DATE event times cannot
+    // drift), and windows with zero rows skip the per-window job
+    // ladder entirely — processBatch on an empty slice appends nothing
+    // and flushes nothing, it just costs ~a dozen Spark jobs, so a
+    // sparse backfill over a long range (365 day-windows, most empty)
+    // pays one scan instead of hundreds of empty step chains. A
+    // batch-aware compiled input (compiledBatch) is parameterized per
+    // window — there is no single frame to scan — so every window
+    // runs. Skipped windows also skip per-step param checks; the next
+    // non-empty window still performs them.
+    val nonEmpty: Seq[MicrobatchRunner.Batch] =
+      if (ctx.compiledBatch.isDefined) windows
+      else {
+        val src = ctx.compiled()
+        windows.grouped(512).flatMap { group =>
+          val exprs = group.zipWithIndex.map { case (b, i) =>
+            sum(when(col(s"`$et`") >= lit(b.start) &&
+              col(s"`$et`") < lit(b.end), 1)).as(s"__w$i")
+          }
+          val counts = src.agg(exprs.head, exprs.tail: _*).head
+          group.zipWithIndex.collect {
+            case (b, i) if !counts.isNullAt(i) => b
+          }
+        }.toSeq
+      }
+    nonEmpty.foreach { b =>
       val input = ctx.compiledBatch.fold(ctx.compiled())(f =>
           f(b.start, b.end))
         .filter(col(s"`$et`") >= lit(b.start) && col(s"`$et`") < lit(b.end))
       processBatch(ctx, steps, input, incremental = true, incrRun = true,
         window = Some((b.start, b.end)))
     }
-    s"pipeline microbatch: ${windows.length} windows of ${size.name}: " +
-      steps.map(_.op).mkString(" -> ")
+    s"pipeline microbatch: ${nonEmpty.length} windows of ${size.name}" +
+      (if (nonEmpty.length < windows.length)
+         s" (${windows.length - nonEmpty.length} empty skipped)"
+       else "") +
+      s": ${steps.map(_.op).mkString(" -> ")}"
   }
 }
 
@@ -597,23 +628,26 @@ object PipelineSteps {
       // columns — the multimodal corpus dedups through the SAME
       // pipeline surface as text. `method: exact` (default) merges
       // identical payload bodies via the (n_bytes, body-checksum) key;
-      // `method: simhash` bands a 64-bit stub perceptual bit-signature
-      // through the same 4-chunk pigeonhole core as text simhash_dedup
-      // and merges hamming ≤ `max_hamming:` components (min-id keep,
-      // or the `priority_col:` max). Payloads failing the GRFT header
-      // check are ALWAYS kept (a corrupt file must not merge into the
-      // checksum-0 garbage group); the codec itself stays the
-      // documented StubCodec boundary. Column-neutral.
+      // `method: simhash` bands a 64-bit token bit-signature of the
+      // body text, `method: phash` the REAL DCT perceptual hash of the
+      // decoded gray pixels (graft.ops.Phash — resize/brightness
+      // re-encodes of one image merge) — both through the same 4-chunk
+      // pigeonhole core as text simhash_dedup, merging hamming ≤
+      // `max_hamming:` components (min-id keep, or the `priority_col:`
+      // max). Payloads failing the GRFT header check are ALWAYS kept
+      // (a corrupt file must not merge into the checksum-0 garbage
+      // group); only container-format decode stays the documented
+      // StubCodec boundary. Column-neutral.
       case "media_dedup" =>
         val idCol = str(m, "id_col", "doc_id")
         val payloadCol = str(m, "payload_col", "payload")
         val method = str(m, "method", "exact")
         val maxHamming = int(m, "max_hamming", 3)
         val priorityCol = m.get("priority_col").map(String.valueOf)
-        if (method != "exact" && method != "simhash")
+        if (method != "exact" && method != "simhash" && method != "phash")
           throw new IllegalArgumentException(
-            "pipeline step `media_dedup`: `method:` must be exact or " +
-              s"simhash, got `$method`")
+            "pipeline step `media_dedup`: `method:` must be exact, " +
+              s"simhash, or phash, got `$method`")
         df => method match {
           case "exact" =>
             val ck = Multimodal.withChecksum(df, payloadCol)
@@ -626,8 +660,15 @@ object PipelineSteps {
             df.join(keepIds, df(s"`$idCol`") === col("__keep_id"),
               "left_semi")
           case _ =>
-            val pairs = Multimodal.mediaNearDups(df, idCol, payloadCol,
-              maxHamming)
+            // simhash: token bit-votes over the body text; phash: the
+            // real DCT perceptual hash over the decoded gray pixels —
+            // both band through the same 4-chunk pigeonhole core
+            val pairs =
+              if (method == "phash")
+                Multimodal.mediaNearDupsPhash(df, idCol, payloadCol,
+                  maxHamming)
+              else Multimodal.mediaNearDups(df, idCol, payloadCol,
+                maxHamming)
             val kept = priorityCol match {
               case Some(p) => Dedup.canonicalCorpusBy(df, pairs, idCol, p)
               case None => Dedup.canonicalCorpus(df, pairs, idCol)
@@ -1973,12 +2014,13 @@ object PipelineModels {
     * checksum) key set of every VALID payload seen, range-sorted by
     * checksum; a batch row whose body was EVER seen drops, within-batch
     * dups keep the canonical, corrupt payloads are always kept and
-    * never enter the state. `method: simhash`: the state is the same
-    * 5-int signature table + banded twin as text simhash (signatures
-    * from the payload BODY via the stub perceptual hash), running
-    * through [[incrementalSimhashCore]] — corrupt payloads have no
-    * signature, never cluster, and are always kept. Method is a
-    * recorded train param: the two state FORMATS are incompatible. */
+    * never enter the state. `method: simhash` / `method: phash`: the
+    * state is the same 5-int signature table + banded twin as text
+    * simhash (signatures from the body tokens, or from the decoded
+    * pixels via the DCT pHash), running through
+    * [[incrementalSimhashCore]] — corrupt payloads have no signature,
+    * never cluster, and are always kept. Method is a recorded train
+    * param: the state formats (and hash functions) are incompatible. */
   private def incrementalMedia(ctx: MatContext, s: Step, suffix: String,
       df: DataFrame, incrRun: Boolean,
       deferred: scala.collection.mutable.ArrayBuffer[() => Unit])
@@ -1986,13 +2028,19 @@ object PipelineModels {
     val idCol = str(s.raw, "id_col", "doc_id")
     val payloadCol = str(s.raw, "payload_col", "payload")
     val method = str(s.raw, "method", "exact")
-    if (method == "simhash") {
+    if (method == "simhash" || method == "phash") {
+      // both persist the same 5-int signature format; which hash filled
+      // it is a recorded train param, so the formats can never mix
+      val sigsOf: DataFrame => DataFrame =
+        if (method == "phash")
+          d => Multimodal.phashSignatures(d, idCol, payloadCol)
+        else
+          d => Dedup.simhashSignatures(
+            d.filter(Multimodal.isGrft(payloadCol))
+              .withColumn("__body", Multimodal.bodyText(payloadCol)),
+            idCol, "__body")
       incrementalSimhashCore(ctx, s, suffix, df, incrRun, deferred,
-        idCol, int(s.raw, "max_hamming", 3),
-        d => Dedup.simhashSignatures(
-          d.filter(Multimodal.isGrft(payloadCol))
-            .withColumn("__body", Multimodal.bodyText(payloadCol)),
-          idCol, "__body"))
+        idCol, int(s.raw, "max_hamming", 3), sigsOf)
     } else {
       val rel = stateRel(ctx, suffix)
       def keysOf(d: DataFrame): DataFrame =
@@ -2356,7 +2404,13 @@ object StreamingTableMat extends Materialization {
     // compiled relation to per-run throwaway dirs
     val (srcDir, checkpoint) = landingDir match {
       case Some(ld) =>
-        if (!new java.io.File(ld).isDirectory)
+        // Hadoop FS, not java.io.File: a real deployment's landing dir
+        // and checkpoint are object-store/HDFS URIs as often as local
+        // paths, and the same calls serve both
+        val hconf = spark.sessionState.newHadoopConf()
+        val ldPath = new org.apache.hadoop.fs.Path(ld)
+        val ldFs = ldPath.getFileSystem(hconf)
+        if (!ldFs.exists(ldPath) || !ldFs.getFileStatus(ldPath).isDirectory)
           throw new IllegalArgumentException(
             s"stream_op: curate `landing_dir:` is not a directory: $ld")
         val cp = cfg.get("checkpoint_dir").map(String.valueOf).getOrElse {
@@ -2368,7 +2422,11 @@ object StreamingTableMat extends Materialization {
         // --full-refresh reprocesses the WHOLE landing history: the
         // rebuild starts from scratch, so the old checkpoint's
         // committed-files log must go with the old target rows
-        if (ctx.fullRefresh) deleteDir(java.nio.file.Paths.get(cp))
+        if (ctx.fullRefresh) {
+          val cpPath = new org.apache.hadoop.fs.Path(cp)
+          val cpFs = cpPath.getFileSystem(hconf)
+          if (cpFs.exists(cpPath)) cpFs.delete(cpPath, true)
+        }
         (ld, cp)
       case None =>
         val nBatches = cfg.get("stream_batches")
@@ -2412,6 +2470,12 @@ object StreamingTableMat extends Materialization {
       .option("maxFilesPerTrigger", mfpt).parquet(srcDir)
     val maxBatches = cfg.get("max_batches_per_run")
       .map(v => String.valueOf(v).toInt)
+    maxBatches.filter(_ < 1).foreach(n =>
+      throw new IllegalArgumentException(
+        s"stream_op: curate `max_batches_per_run:` must be >= 1, got $n " +
+          "— a zero-batch drain would report success while processing " +
+          "nothing (and under --full-refresh would leave the stale " +
+          "target in place)"))
     // fault injection for the restart spec: process the (N+1)-th
     // micro-batch FULLY, then die before its checkpoint commit — the
     // restart must replay it and append nothing (index unseenById +

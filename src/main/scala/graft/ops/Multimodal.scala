@@ -11,10 +11,14 @@ import org.apache.spark.sql.types._
   * (and by Spark's own `binaryFile` source). The Spark-side machinery here
   * is real and tested: schema, partition-friendly batch processing via
   * mapPartitions over an iterator (the Scala analogue of the mapInPandas
-  * batch shape), and deterministic metadata extraction. The actual codec
-  * work is STUBBED — this container has no image/audio libraries — behind
-  * [[StubCodec]], which parses a tiny deterministic fake header instead of
-  * invoking a decoder. Swap `StubCodec.decode` for a real JNI/lib call and
+  * batch shape), and deterministic metadata extraction. The GRFT raw-gray
+  * format is handled END-TO-END for real: pixel decode (channel-averaged
+  * gray), resize/re-encode ([[graft.ops.Phash.reencodeGray]]), and a
+  * genuine DCT perceptual hash ([[graft.ops.Phash.phash64]]) feeding the
+  * near-dup core. The only remaining STUB is container-format decode —
+  * this environment has no JPEG/PNG/audio codec libraries — behind
+  * [[StubCodec]], which parses the deterministic GRFT header instead of
+  * invoking libjpeg. Swap `StubCodec.decode` for a real JNI/lib call and
   * nothing else changes.
   */
 object Multimodal {
@@ -73,10 +77,66 @@ object Multimodal {
   /** Build a deterministic media table from the documents table: the text
     * bytes become the "pixels". Stands in for `spark.read.format
     * ("binaryFile")` against a real media lake. */
-  def syntheticMedia(docs: DataFrame): DataFrame = {
+  def syntheticMedia(docs: DataFrame, channels: Int = 3): DataFrame = {
     val enc = udf { (docId: Long, text: String) =>
       val body = text.getBytes("UTF-8")
-      StubCodec.encode((docId % 640).toInt + 1, (docId % 480).toInt + 1, 3, body)
+      StubCodec.encode((docId % 640).toInt + 1, (docId % 480).toInt + 1,
+        channels, body)
+    }
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("media_type"),
+      enc(col("doc_id"), col("text")).as("payload"))
+  }
+
+  /** A 2-D synthetic image corpus for the PERCEPTUAL paths: the text is
+    * split into 64 segments, each FNV-hashed to one gray level in
+    * [30, 220], and the resulting 8×8 mosaic is rendered at the doc's
+    * w×h. Design constraints, all load-bearing for a pHash fixture:
+    * the mosaic's bandwidth is exactly the DCT low-frequency block (so
+    * every image carries genuine 2-D signal — [[syntheticMedia]]'s
+    * row-major wrap can collapse to a 1-D strip that correctly lands in
+    * [[Phash.phash64]]'s no-signal sentinel, useless as a merge
+    * fixture); segment hashing gives avalanche, so texts differing by
+    * even one byte render decorrelated images (a plain byte-stretch
+    * leaves near-collisions between unrelated texts — measured hamming
+    * 2 — because a shared mod-wrap sawtooth dominates every doc), while
+    * EQUAL texts render identical images; the [30, 220] range keeps
+    * moderate brightness shifts clip-free; and a single channel means
+    * [[Phash.reencodeGray]] variants decode to exactly the original
+    * gray values plus the shift. */
+  def syntheticMedia2D(docs: DataFrame): DataFrame = {
+    val enc = udf { (docId: Long, text: String) =>
+      val t = text.getBytes("UTF-8")
+      val cells = new Array[Byte](64)
+      var ci = 0
+      while (ci < 64) {
+        val from = ci * t.length / 64
+        val to = math.max(from + 1, (ci + 1) * t.length / 64)
+        var fnv = 1469598103934665603L
+        var i = from
+        while (i < math.min(to, t.length)) {
+          fnv = (fnv ^ t(i)) * 1099511628211L; i += 1
+        }
+        cells(ci) = (30 + java.lang.Long.remainderUnsigned(fnv, 191L).toInt)
+          .toByte
+        ci += 1
+      }
+      val w = (docId % 640).toInt + 1
+      val h = (docId % 480).toInt + 1
+      val body = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          body(y * w + x) = cells(by * 8 + x * 8 / w)
+          x += 1
+        }
+        y += 1
+      }
+      StubCodec.encode(w, h, 1, body)
     }
     docs.select(col("doc_id"),
       when(col("doc_id") % 3 === 0, lit("image"))
@@ -168,6 +228,39 @@ object Multimodal {
     Dedup.simhashNearDupsFromSigs(sigs, maxHamming,
       Dedup.maxBandBucket(media))
   }
+
+  /** Perceptual-hash signature table (id, c0..c3): [[Phash.phash64]] —
+    * the real DCT pHash over the decoded gray image, NOT the token
+    * simhash — split into the same 4×16-bit chunk layout the text
+    * simhash core bands, so persisted indexes, banding, and the hamming
+    * verify are shared verbatim. Map-side only; invalid payloads are
+    * filtered before hashing, and the 0L no-signal sentinel (undecodable
+    * OR perceptually flat — see [[Phash.phash64]]) never enters banding,
+    * so signal-less rows are always kept, like corrupt ones. */
+  def phashSignatures(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.filter(isGrft(payloadCol))
+      .select(col(s"`$idCol`").as("id"),
+        graft.expressions.PipelineExpressions
+          .media_phash(col(s"`$payloadCol`")).as("__ph"))
+      .filter(col("__ph") =!= 0L)
+      .select(col("id"),
+        expr("cast((__ph >> 48) & 65535 AS INT)").as("c0"),
+        expr("cast((__ph >> 32) & 65535 AS INT)").as("c1"),
+        expr("cast((__ph >> 16) & 65535 AS INT)").as("c2"),
+        expr("cast(__ph & 65535 AS INT)").as("c3"))
+
+  /** Perceptual near-dup pairs via the DCT pHash: signatures from
+    * [[phashSignatures]], banded and verified by the SAME 4-chunk
+    * pigeonhole core as text simhash (one bucket-pair shuffle, exact
+    * hamming ≤ maxHamming ≤ 3 verify, perfect recall by pigeonhole).
+    * Two re-encoded variants of one image (resize, brightness) land
+    * within a few bits and merge; unrelated images sit at the ~32-bit
+    * background distance. Output: (id_a, id_b, hamming). */
+  def mediaNearDupsPhash(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", maxHamming: Int = 3): DataFrame =
+    Dedup.simhashNearDupsFromSigs(phashSignatures(media, idCol, payloadCol),
+      maxHamming, Dedup.maxBandBucket(media))
 
   /** Frame-sample stub: pick every `stride`-th byte offset as a "frame"
     * marker — exercises the explode-to-frames shape (one media row → N

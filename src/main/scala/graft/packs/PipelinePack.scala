@@ -1441,6 +1441,39 @@ object PipelinePack extends QueryPack {
         .select("doc_id", "media_type").orderBy("doc_id")
     }),
 
+    // media perceptual near-dup dedup through the media_dedup STEP
+    // closure, `method: phash` — the REAL DCT pHash (graft.ops.Phash)
+    // over the decoded gray pixels, banded through the same 4-chunk
+    // pigeonhole core. Fixture: the syntheticMedia2D mosaic corpus
+    // (equal texts → identical images; any byte difference →
+    // decorrelated images, measured min cross hamming 14 at sf0.1),
+    // plus TWO re-encoded variants of every 2nd/3rd image — a 2×
+    // pixel-replication upscale with a +9 brightness shift, and a 3×
+    // upscale — whose hashes equal the original's exactly (box-filter
+    // + AC-median invariances), so each variant merges into its
+    // original and the min-id keep retains exactly one row per text.
+    "q_media_dedup_phash" -> ((s, dir) => {
+      // dims ≥ 8×8 (the builder derives w/h from the id): 1-pixel
+      // strips are the no-signal sentinel's domain, not a merge fixture
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 0 && length(col("text")) >= 60 &&
+          col("doc_id") % 640 >= 7 && col("doc_id") % 480 >= 7)
+        .select("doc_id", "text")
+      val media = Multimodal.syntheticMedia2D(docs)
+      val re = udf((p: Array[Byte], sc: Int, b: Int) =>
+        graft.ops.Phash.reencodeGray(p, sc, b))
+      val v1 = media.filter(col("doc_id") % 12 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("payload", re(col("payload"), lit(2), lit(9)))
+      val v2 = media.filter(col("doc_id") % 18 === 0)
+        .withColumn("doc_id", col("doc_id") + 600000L)
+        .withColumn("payload", re(col("payload"), lit(3), lit(0)))
+      val step = graft.mat.PipelineSteps.parse(Some(Seq(Map(
+        "op" -> "media_dedup", "method" -> "phash")))).head
+      step.apply(media.unionByName(v1).unionByName(v2))
+        .select("doc_id", "media_type").orderBy("doc_id")
+    }),
+
     // CDC SCD-1 compaction: events as a per-user changelog ('error' =
     // account deletion, anything else upserts) — latest surviving row
     // per key from one window shuffle, no per-group buffers
@@ -4881,6 +4914,24 @@ object PipelinePack extends QueryPack {
          |FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id
          |WHERE cc.id IS NULL OR cc.id = cc.component_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    // phash merge components are exactly text-equality groups plus each
+    // image's re-encoded variants: the mosaic fixture renders EQUAL
+    // texts identically and any byte difference decorrelated (min cross
+    // hamming 14 measured), and the DCT hash is exactly invariant to
+    // the variants' transforms — so the kept set is min-id per text,
+    // which SQL states without recomputing the hash
+    "q_media_dedup_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 6 = 0 AND length(text) >= 60
+        |    AND doc_id % 640 >= 7 AND doc_id % 480 >= 7),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+        |    AS media_type
+        |FROM keep ORDER BY doc_id""".stripMargin,
 
     "q_cdc_compact" ->
       """WITH log AS (

@@ -329,5 +329,159 @@ class RandomizedParitySpec extends AnyFunSuite {
         "id_col" -> "doc_id", "max_hamming" -> maxHamming)),
       "doc_id", Multimodal.syntheticMedia(oldDf2),
       Multimodal.syntheticMedia(newDf2), pairs)
+
+    // phash: the REAL DCT perceptual hash through the same incremental
+    // core — re-encoded variants (2× pixel-replication upscale + a
+    // brightness shift, hamming 0 from their originals) randomly split
+    // from their originals are the guaranteed cross-split pairs; the
+    // reference pair set is MEASURED by the full-corpus operator, so
+    // whatever the mosaic corpus additionally merges (exact-dup texts
+    // render identical images) flows into the same contract
+    val rnd3 = new scala.util.Random(41009)
+    val (all3, _, _) = textCorpus(seed = 41009, n = 30)
+    val based = all3.withColumn("doc_id", col("doc_id") + 100L)
+    val baseMedia = Multimodal.syntheticMedia2D(based)
+    val reUdf = udf((p: Array[Byte], sc: Int, b: Int) =>
+      graft.ops.Phash.reencodeGray(p, sc, b))
+    val variants = baseMedia.filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000L)
+      .withColumn("payload", reUdf(col("payload"), lit(2), lit(7)))
+    val corpus = baseMedia.unionByName(variants)
+    val allIds = corpus.select("doc_id").collect().map(_.getLong(0))
+    val newIds3 = allIds.filter(_ => rnd3.nextBoolean()).toSet
+    val phashPairs = pairSet(
+      Multimodal.mediaNearDupsPhash(corpus, "doc_id", "payload"))
+    parityCase("rp_media_phash",
+      Seq(Map[String, Any]("op" -> "media_dedup", "method" -> "phash",
+        "id_col" -> "doc_id", "max_hamming" -> 3)),
+      "doc_id", corpus.filter(!col("doc_id").isin(newIds3.toSeq: _*)),
+      corpus.filter(col("doc_id").isin(newIds3.toSeq: _*)), phashPairs)
+  }
+
+  // ---- windowed (microbatch × incremental pipeline) parity ---------------
+
+  /** The WINDOWED composition under a random corpus: run 1 full-builds
+    * over the early slice; run 2 sees the whole input (late rows
+    * included) and windows it by event time — each window is one
+    * sequential index batch. The reference model FOLDS the same
+    * settled-keep contract chronologically: window N's unseen ids form
+    * the batch, a component touching any already-seen id drops its new
+    * members, a pure-new component keeps its min id, and the batch then
+    * joins `seen`. The fold — not a flat two-slice split — is the
+    * point: settled-keep is ORDER-dependent (a day-4 doc drops against
+    * a settled day-3 doc even when the day-4 id is smaller, where a
+    * single-batch model would keep the min id), and only the window
+    * loop exercises that. Then the SAME windowed run repeats and
+    * neither the target nor any state relation may change. */
+  private def windowedParityCase(name: String,
+      steps: Seq[Map[String, Any]], seed: Int,
+      pairsOf: DataFrame => Set[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lookback = 1 + rnd.nextInt(2)
+    val (all, _, _) = textCorpus(seed, n = 60)
+    val texts = all.collect().map(r => (r.getLong(0), r.getString(1)))
+    // early docs land on days 1-2 (one pinned to day 2 so the resume
+    // point reopens day 2 for any lookback >= 1); late docs land on
+    // days 2-4 — day-2 lates are the "late re-delivery into an
+    // already-written window" case, days 3-4 are genuinely new windows
+    val docs = texts.map { case (id, t) =>
+      val early = id == 0L || rnd.nextInt(5) < 3
+      val day = if (id == 0L) 2 else if (early) 1 + rnd.nextInt(2)
+        else 2 + rnd.nextInt(3)
+      (id, t, ts(f"2025-01-0$day%d 0${1 + rnd.nextInt(8)}%d:00:00"), early)
+    }
+    val allDf = docs.toSeq.map(d => (d._1, d._2, d._3))
+      .toDF("doc_id", "text", "ts")
+    val earlyDf = docs.toSeq.filter(_._4).map(d => (d._1, d._2, d._3))
+      .toDF("doc_id", "text", "ts")
+    val pairs = pairsOf(allDf)
+
+    // reference fold
+    val dayOf: ((Long, String, java.sql.Timestamp, Boolean)) => Int =
+      d => d._3.toLocalDateTime.getDayOfMonth
+    val earlyIds = docs.filter(_._4).map(_._1).toSet
+    val earlyEdges = pairs.filter(p => earlyIds(p._1) && earlyIds(p._2))
+    var kept = earlyIds.groupBy(components(earlyIds, earlyEdges))
+      .values.map(_.min).toSet
+    val seen = scala.collection.mutable.Set.empty[Long] ++ earlyIds
+    var lateLanded = 0
+    var lateDropped = 0
+    for (day <- 1 to 4) {
+      val batch = docs.filter(d => dayOf(d) == day && !seen(d._1))
+        .map(_._1).toSet
+      if (batch.nonEmpty) {
+        val edges = pairs.filter(p =>
+          (seen(p._1) || batch(p._1)) && (seen(p._2) || batch(p._2)) &&
+            (batch(p._1) || batch(p._2)))
+        val nodes = batch ++ edges.flatMap(e => Seq(e._1, e._2))
+        val comp = components(nodes, edges)
+        val keptHere = nodes.groupBy(comp).values.collect {
+          case m if !m.exists(seen) => m.min
+        }.toSet intersect batch
+        kept ++= keptHere
+        lateLanded += keptHere.size
+        lateDropped += batch.size - (batch intersect keptHere).size
+        seen ++= batch
+      }
+    }
+    assert(lateLanded > 0 && lateDropped > 0,
+      s"$name: degenerate seed (landed=$lateLanded dropped=$lateDropped) — re-seed")
+
+    val a = freshAdapter(name)
+    val rel = Relation(a.defaultSchema, "corpus")
+    val cfg = NodeConfig(materialized = "pipeline",
+      uniqueKey = Seq("doc_id"), eventTime = Some("ts"),
+      batchSize = Some(BatchSize.Day), begin = Some("2025-01-01 00:00:00"),
+      lookback = lookback,
+      extra = Map("steps" -> steps.toVector, "incremental" -> "true"))
+    def run(df: DataFrame, now: java.sql.Timestamp): Unit =
+      PipelineMat.run(MatContext(a,
+        Node(uniqueId = s"model.spec.${rel.identifier}",
+          name = rel.identifier, packageName = "spec",
+          kind = NodeKind.Model, config = cfg),
+        rel, () => df, now = now))
+    def ids(): Set[Long] =
+      a.read(rel).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    run(earlyDf, ts("2025-01-03 00:00:00")) // full build (target absent)
+    run(allDf, ts("2025-01-05 00:00:00"))   // windowed: reopen + days 3-4
+    val got = ids()
+    assert(got == kept,
+      s"$name windowed parity: extra=${(got diff kept).toSeq.sorted} " +
+        s"missing=${(kept diff got).toSeq.sorted}")
+
+    // the same windowed run again: nothing may change or grow
+    val stateRels = a.listRelationsWithoutCaching(a.defaultSchema)
+      .filter(_.identifier.contains("__state"))
+    val before = stateRels.map(r => r.identifier -> a.read(r).count()).toMap
+    run(allDf, ts("2025-01-05 00:00:00"))
+    assert(ids() == kept, s"$name: windowed re-run changed the target")
+    stateRels.foreach { r =>
+      assert(a.read(r).count() == before(r.identifier),
+        s"$name: ${r.identifier} grew on a windowed re-run")
+    }
+  }
+
+  test("windowed microbatch parity: exact_dedup under random event " +
+      "times, lookback, and late rows") {
+    windowedParityCase("rpw_exact",
+      Seq(Map[String, Any]("op" -> "exact_dedup", "id_col" -> "doc_id")),
+      seed = 41010,
+      df => {
+        val groups = df.collect().map(r => (r.getLong(0), r.getString(1)))
+          .groupBy(_._2).values.map(_.map(_._1).toSeq)
+        cliquePairs(groups)
+      })
+  }
+
+  test("windowed microbatch parity: minhash_dedup under random event " +
+      "times, lookback, and late rows") {
+    windowedParityCase("rpw_minhash",
+      Seq(Map[String, Any]("op" -> "minhash_dedup", "id_col" -> "doc_id",
+        "text_col" -> "text")),
+      seed = 41011,
+      df => pairSet(Dedup.minhashNearDups(df, "doc_id", "text")))
   }
 }
