@@ -188,18 +188,30 @@ object BenchGrowth {
     // minhash corpus over days 1-28 at 1× and 10×, then THREE separate
     // single-window runs (days 31-33, fixed batch content at both
     // scales, `now` advancing a day per run so each invocation is one
-    // new window + the lookback reopen of the settled previous day).
-    // Per-WINDOW wall time near-flat across 1×→10× is the evidence the
-    // window machinery touches history only through pruned index scans
-    // and the (window-sized) target slice.
+    // new window + the lookback reopen of the settled previous day) —
+    // in the DEPLOYMENT shape: a DATE event-time column, the target
+    // PARTITIONED by it (the window guard's slice read prunes to the
+    // window's partitions; etBound keeps the predicate cast-free), and
+    // the input narrowed per run the way a real model's
+    // is_incremental() SELECT narrows it. The first, unpartitioned
+    // full-input run of this rehearsal measured window ratios
+    // 1.4-2.3× under a 10× corpus — the whole-target slice scan and
+    // the full-input per-window rescan are exactly what this shape
+    // removes. Per-WINDOW wall time near-flat across 1×→10× (modulo
+    // the lookback reopen, whose slice is inherently
+    // corpus-per-window-sized on the FIRST run after a gap) is the
+    // evidence the window machinery touches history only through
+    // pruned scans.
     if (famFilter.forall(_.contains("windowed"))) {
-      // 1-based day index → timestamp (day 31 = Jan 31, day 32 = Feb 1)
-      def dayTs(d: Int, hour: Int = 3) = java.sql.Timestamp.valueOf(
-        java.time.LocalDate.of(2025, 1, 1).plusDays(d - 1).atTime(hour, 0))
-      def withTs(df: DataFrame, dayOfId: Long => Int): DataFrame = {
+      // 1-based day index (day 31 = Jan 31, day 32 = Feb 1)
+      def dayDate(d: Int) = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2025, 1, 1).plusDays(d - 1))
+      def dayTs(d: Int) = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2025, 1, 1).plusDays(d - 1).atStartOfDay)
+      def withDt(df: DataFrame, dayOfId: Long => Int): DataFrame = {
         val dayUdf = org.apache.spark.sql.functions.udf(
-          (id: Long) => dayTs(dayOfId(id)))
-        df.withColumn("ts", dayUdf($"doc_id"))
+          (id: Long) => dayDate(dayOfId(id)))
+        df.withColumn("dt", dayUdf($"doc_id"))
       }
       val wTimes = Seq(1, mult).map { m =>
         val n = base * m
@@ -209,9 +221,10 @@ object BenchGrowth {
           Some(Files.createTempDirectory("graft_growth_w").toString))
         val rel = Relation(schema, "corpus")
         val cfg = NodeConfig(materialized = "pipeline",
-          uniqueKey = Seq("doc_id"), eventTime = Some("ts"),
+          uniqueKey = Seq("doc_id"), eventTime = Some("dt"),
           batchSize = Some(BatchSize.Day),
           begin = Some("2025-01-01 00:00:00"),
+          partitionBy = Seq("dt"),
           extra = Map(
             "steps" -> Vector(Map[String, Any]("op" -> "minhash_dedup")),
             "incremental" -> "true"))
@@ -221,19 +234,20 @@ object BenchGrowth {
               name = rel.identifier, packageName = "bench",
               kind = NodeKind.Model, config = cfg),
             rel, () => df, now = now))
-        val corpus = withTs(textGen(n, 0L, 11 + m),
+        val corpus = withDt(textGen(n, 0L, 11 + m),
           id => 1 + (id % 28).toInt)
-        val build = timed(run(corpus, dayTs(29, hour = 0)))
+        val build = timed(run(corpus, dayTs(29)))
         // three windows, IDENTICAL content at both scales; the input of
-        // window w is corpus ∪ batches ≤ w (a real source grows), which
-        // also charges the per-window recompile honestly
-        var input = corpus
+        // window w is the is_incremental()-narrowed source — the
+        // settled corpus's resume-adjacent tail plus the new files —
+        // exactly what a real model's batch SELECT compiles to
         val winSecs = (0 until 3).map { w =>
-          val batch = withTs(textGen(batchN, 10000000L * (w + 1), 99 + w),
+          val batch = withDt(textGen(batchN, 10000000L * (w + 1), 99 + w),
             _ => 31 + w)
-          input = input.unionByName(batch)
-          val in = input
-          timed(run(in, dayTs(32 + w, hour = 0)))
+          val in = corpus.filter(
+              $"dt" >= org.apache.spark.sql.functions.lit(dayDate(28)))
+            .unionByName(batch)
+          timed(run(in, dayTs(32 + w)))
         }
         System.err.println(f"[growth] windowed  ${m}x: corpus=$n%7d " +
           f"build=$build%7.2fs windows=" +

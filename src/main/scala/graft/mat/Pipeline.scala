@@ -142,8 +142,10 @@ object PipelineMat extends Materialization {
         case Some((ws, we)) =>
           val et = ctx.config.eventTime.get
           val keys = ctx.config.uniqueKey
-          val slice = ctx.adapter.read(ctx.target)
-            .filter(col(s"`$et`") >= lit(ws) && col(s"`$et`") < lit(we))
+          val tgt = ctx.adapter.read(ctx.target)
+          val slice = tgt
+            .filter(col(s"`$et`") >= etBound(tgt, et, ws) &&
+              col(s"`$et`") < etBound(tgt, et, we))
             .select(keys.map(k => col(s"`$k`")): _*)
           // an EXPLICIT backfill (--event-time-start) is APPEND-ONLY:
           // keys already in the window slice keep their settled rows —
@@ -185,6 +187,28 @@ object PipelineMat extends Materialization {
     // still sees the PRE-batch upstream state its kept-rows pass saw.
     deferred.reverseIterator.foreach(_.apply())
   }
+
+  /** Window-boundary literal matched to the event-time column's type.
+    * A DATE event-time column on a date-partitioned target is THE
+    * deployment shape for a microbatch pipeline at scale (the window
+    * guard's slice read and the per-window input filter prune straight
+    * to the window's partitions) — but comparing a DATE column against
+    * a TIMESTAMP literal makes Spark cast the column, and a
+    * cast(dt AS TIMESTAMP) >= lit predicate does NOT partition-prune:
+    * the guard would scan the WHOLE target every window (measured: the
+    * windowed growth rehearsal's per-window cost grew ~1.5× under a
+    * 10× corpus from exactly this). Day-or-coarser windows are
+    * midnight-aligned, so the DATE literal is exact; sub-day boundaries
+    * (degenerate over a DATE column anyway) keep the timestamp literal
+    * and its cast semantics. */
+  private def etBound(df: DataFrame, et: String,
+      t: java.sql.Timestamp): Column =
+    df.schema.fields.find(_.name == et).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.DateType)
+          if t.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT =>
+        lit(java.sql.Date.valueOf(t.toLocalDateTime.toLocalDate))
+      case _ => lit(t)
+    }
 
   /** Microbatch × incremental pipeline (the continuous-ingestion shape
     * a 100 TB curation pipeline runs — reference microbatch config:
@@ -280,8 +304,8 @@ object PipelineMat extends Materialization {
         val src = ctx.compiled()
         windows.grouped(512).flatMap { group =>
           val exprs = group.zipWithIndex.map { case (b, i) =>
-            sum(when(col(s"`$et`") >= lit(b.start) &&
-              col(s"`$et`") < lit(b.end), 1)).as(s"__w$i")
+            sum(when(col(s"`$et`") >= etBound(src, et, b.start) &&
+              col(s"`$et`") < etBound(src, et, b.end), 1)).as(s"__w$i")
           }
           val counts = src.agg(exprs.head, exprs.tail: _*).head
           group.zipWithIndex.collect {
@@ -290,9 +314,11 @@ object PipelineMat extends Materialization {
         }.toSeq
       }
     nonEmpty.foreach { b =>
-      val input = ctx.compiledBatch.fold(ctx.compiled())(f =>
+      val raw = ctx.compiledBatch.fold(ctx.compiled())(f =>
           f(b.start, b.end))
-        .filter(col(s"`$et`") >= lit(b.start) && col(s"`$et`") < lit(b.end))
+      val input = raw
+        .filter(col(s"`$et`") >= etBound(raw, et, b.start) &&
+          col(s"`$et`") < etBound(raw, et, b.end))
       processBatch(ctx, steps, input, incremental = true, incrRun = true,
         window = Some((b.start, b.end)))
     }

@@ -2995,6 +2995,92 @@ object EnginePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // DURABLE continuous curation (landing_dir + persistent checkpoint)
+    // through the engine surface: three parquet files land in arrival
+    // order; invocation 1 is drain-limited to 2 micro-batches (an
+    // interrupted run), invocation 2 drains the remaining file from the
+    // durable checkpoint, invocation 3 finds nothing new. doc_id is
+    // ascending across files, so first-seen = min doc_id and the final
+    // target must equal the plain full-corpus exact dedup — a re-append
+    // across either resume boundary breaks the row hash.
+    "q_engine_curate_resume" -> ((s, dir) => {
+      val landing = Files.createTempDirectory("graft_curate_land")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      def land(name: String, lo: Long, hi: Long, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_curate_land_tmp")
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = landing.resolve(s"$name.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      land("f1", 0L, 200L, 1700000000000L)
+      land("f2", 200L, 400L, 1700000060000L)
+      land("f3", 400L, 600L, 1700000120000L)
+      val proj = Files.createTempDirectory("graft_curate_rs_proj")
+      write(proj, "dbt_project.yml",
+        """name: curateresume
+          |model-paths: ["models"]
+          |""".stripMargin)
+      write(proj, "models/sources.yml",
+        s"""version: 2
+           |sources:
+           |  - name: lake
+           |    tables:
+           |      - name: documents
+           |        external:
+           |          location: "$dir/documents.parquet"
+           |""".stripMargin)
+      // durable mode reads the landing directory; the model SELECT is
+      // the node's declared lineage (never executed by runCurate)
+      write(proj, "models/curated.sql",
+        """select doc_id, source, text
+          |from {{ source('lake', 'documents') }}
+          |""".stripMargin)
+      write(proj, "models/schema.yml",
+        s"""version: 2
+           |models:
+           |  - name: curated
+           |    config:
+           |      materialized: streaming_table
+           |      stream_op: curate
+           |      landing_dir: "${landing.toString}"
+           |      max_batches_per_run: 2
+           |      unique_key: doc_id
+           |      steps:
+           |        - op: exact_dedup
+           |          text_col: text
+           |          id_col: doc_id
+           |        - op: token_count
+           |          text_col: text
+           |          out_col: n_tok
+           |""".stripMargin)
+      val schema = "g_engine_curate_rs"
+      s.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val loc = Files.createTempDirectory("graft_curate_rs_wh").toString
+      def runOnce(expectMsg: String): Runner = {
+        val runner = new Runner(s, ProjectLoader.load(proj.toString),
+          targetSchema = schema, warehouseLocation = Some(loc))
+        val results = runner.run()
+        val bad = results.filter(_.status != "success")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          bad.map(r => s"${r.uniqueId}: ${r.message}").mkString(" | "))
+        val msg = results.map(_.message).mkString(" | ")
+        if (!msg.contains(expectMsg)) throw new IllegalStateException(
+          s"expected `$expectMsg` in: $msg")
+        runner
+      }
+      runOnce("2 micro-batches")  // drain-limited: f1 (full build) + f2
+      runOnce("1 micro-batches")  // durable checkpoint resumes at f3
+      val runner = runOnce("0 micro-batches") // drained: no-op
+      runner.adapter.read(graft.core.Relation(schema, "curated"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     "q_engine_streaming_table" -> ((s, dir) => {
       val proj = Files.createTempDirectory("graft_stbl_proj")
       write(proj, "dbt_project.yml",
@@ -3297,6 +3383,18 @@ object EnginePack extends QueryPack {
     "q_engine_curate_stream" ->
       """WITH base AS (
         |  SELECT doc_id, source, text FROM documents WHERE doc_id < 500),
+        |k AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text)
+        |SELECT b.doc_id, b.source,
+        |  CAST(len(string_split(b.text, ' ')) AS INT) AS n_tok
+        |FROM base b JOIN k USING (doc_id)
+        |ORDER BY doc_id, source, n_tok""".stripMargin,
+
+    // durable resume ≡ the uninterrupted drain ≡ the full-corpus exact
+    // dedup: doc_id ascends across the landed files, so first-seen =
+    // min doc_id per text; both resume boundaries sit inside the corpus
+    "q_engine_curate_resume" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id < 600),
         |k AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text)
         |SELECT b.doc_id, b.source,
         |  CAST(len(string_split(b.text, ' ')) AS INT) AS n_tok

@@ -252,6 +252,76 @@ class PlanCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("DATE event-time on a dt-partitioned target: the window guard's " +
+      "slice predicate stays a PARTITION filter (no cast)") {
+    // THE deployment shape for a microbatch pipeline at scale: a DATE
+    // event-time column with the target partitioned by it. The guard's
+    // boundary literals must be DATE (etBound) — a TIMESTAMP literal
+    // casts the partition column and the predicate falls out of
+    // PartitionFilters, silently scanning the whole target every
+    // window (the windowed growth rehearsal measured exactly that).
+    import spark.implicits._
+    import graft.adapter.SparkAdapter
+    import graft.core.{BatchSize, Node, NodeConfig, NodeKind, Relation}
+    import graft.mat.{MatContext, PipelineMat}
+
+    val loc = java.nio.file.Files.createTempDirectory("graft_plandt").toString
+    spark.sql("DROP DATABASE IF EXISTS g_plandt CASCADE")
+    val a = new SparkAdapter(spark, "g_plandt", Some(loc))
+    val rel = Relation("g_plandt", "windowed_dt")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val cfg = NodeConfig(materialized = "pipeline",
+      uniqueKey = Seq("doc_id"), eventTime = Some("dt"),
+      batchSize = Some(BatchSize.Day), begin = Some("2025-01-01 00:00:00"),
+      partitionBy = Seq("dt"),
+      extra = Map("incremental" -> "true",
+        "steps" -> Vector(Map("op" -> "exact_dedup", "id_col" -> "doc_id"))))
+    def run(df: org.apache.spark.sql.DataFrame, now: String): Unit =
+      PipelineMat.run(MatContext(a, Node(uniqueId = "model.spec.wdt",
+        name = "windowed_dt", packageName = "spec", kind = NodeKind.Model,
+        config = cfg), rel, () => df,
+        now = java.sql.Timestamp.valueOf(now)))
+    val day1 = (0L until 8L).map(i => (i, s"text $i", d("2025-01-01")))
+      .toDF("doc_id", "text", "dt")
+    run(day1, "2025-01-02 00:00:00") // full build
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.synchronized {
+        plans += qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try run(day1.unionByName(
+        (10L until 16L).map(i => (i, s"text $i", d("2025-01-02")))
+          .toDF("doc_id", "text", "dt")), "2025-01-03 00:00:00")
+    finally {
+      def snapshot() = plans.synchronized { plans.toVector }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def pruned() = snapshot().exists { p =>
+        p.contains("g_plandt.windowed_dt") && p.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("dt") &&
+            l.contains(">="))
+      }
+      while (!pruned() && System.nanoTime() < deadline) Thread.sleep(100)
+      spark.listenerManager.unregister(listener)
+      assert(pruned(),
+        "no target scan carries the window bounds as PARTITION filters " +
+          "— the DATE guard predicate degraded to a cast:\n" +
+          snapshot().filter(_.contains("windowed_dt")).take(2).mkString("\n"))
+      // and the run itself must stay correct: settled day-1 rows kept
+      // once, day-2 rows landed
+      val got = a.read(rel).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == ((0L until 8L) ++ (10L until 16L)).toSet)
+    }
+  }
+
   test("codegenSpans sees through the AQE root instead of reporting 0") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "true")
