@@ -484,4 +484,13 @@ class RandomizedParitySpec extends AnyFunSuite {
       seed = 41011,
       df => pairSet(Dedup.minhashNearDups(df, "doc_id", "text")))
   }
+
+  test("windowed microbatch parity: simhash_dedup under random event " +
+      "times, lookback, and late rows") {
+    windowedParityCase("rpw_simhash",
+      Seq(Map[String, Any]("op" -> "simhash_dedup", "id_col" -> "doc_id",
+        "text_col" -> "text")),
+      seed = 41012,
+      df => pairSet(Dedup.simhashNearDups(df, "doc_id", "text")))
+  }
 }
