@@ -670,10 +670,21 @@ object PipelineSteps {
         val method = str(m, "method", "exact")
         val maxHamming = int(m, "max_hamming", 3)
         val priorityCol = m.get("priority_col").map(String.valueOf)
-        if (method != "exact" && method != "simhash" && method != "phash")
+        if (method != "exact" && method != "simhash" && method != "phash" &&
+            method != "frames")
           throw new IllegalArgumentException(
             "pipeline step `media_dedup`: `method:` must be exact, " +
-              s"simhash, or phash, got `$method`")
+              s"simhash, phash, or frames, got `$method`")
+        // frames: clip/re-mux detection — frame-signature sets through
+        // the n-gram containment machinery (see Multimodal.frameSets)
+        val frameLen = int(m, "frame_len", 64)
+        val stride = int(m, "stride", 32)
+        val threshold = dbl(m, "threshold", 0.5)
+        val measure = str(m, "measure", "containment")
+        if (method == "frames" && (frameLen < 1 || stride < 1))
+          throw new IllegalArgumentException(
+            "pipeline step `media_dedup`: `frame_len:`/`stride:` must " +
+              s"be >= 1, got $frameLen/$stride")
         df => method match {
           case "exact" =>
             val ck = Multimodal.withChecksum(df, payloadCol)
@@ -688,11 +699,20 @@ object PipelineSteps {
           case _ =>
             // simhash: token bit-votes over the body text; phash: the
             // real DCT perceptual hash over the decoded gray pixels —
-            // both band through the same 4-chunk pigeonhole core
+            // both band through the same 4-chunk pigeonhole core;
+            // frames: frame-signature sets through the n-gram
+            // containment machinery (clip-of / re-muxed-copy relation)
             val pairs =
               if (method == "phash")
                 Multimodal.mediaNearDupsPhash(df, idCol, payloadCol,
                   maxHamming)
+              else if (method == "frames")
+                Dedup.ngramNearDupsFromSets(
+                  Multimodal.frameSets(df, idCol, payloadCol, frameLen,
+                    stride),
+                  threshold, measure,
+                  df.sparkSession.conf
+                    .get("spark.graft.maxShingleDf", "1000").toInt)
               else Multimodal.mediaNearDups(df, idCol, payloadCol,
                 maxHamming)
             val kept = priorityCol match {
@@ -1366,13 +1386,21 @@ object PipelineModels {
         "max_dist" -> int(s.raw, "max_dist", 2).toString,
         "id_col" -> str(s.raw, "id_col", "doc_id"),
         "str_col" -> str(s.raw, "str_col", "text"))
-      // method IS a train param: the exact method's (nb, ck) key set
-      // and the simhash method's signature table are incompatible
-      // state formats; max_hamming stays apply-time like text simhash
-      case "media_dedup" => Seq(
-        "method" -> str(s.raw, "method", "exact"),
-        "id_col" -> str(s.raw, "id_col", "doc_id"),
-        "payload_col" -> str(s.raw, "payload_col", "payload"))
+      // method IS a train param: the exact method's (nb, ck) key set,
+      // the simhash/phash signature tables, and the frames postings
+      // are incompatible state formats; max_hamming/threshold/measure
+      // stay apply-time; frame_len/stride define the frames postings'
+      // element grid, so they train-record too
+      case "media_dedup" =>
+        val base = Seq(
+          "method" -> str(s.raw, "method", "exact"),
+          "id_col" -> str(s.raw, "id_col", "doc_id"),
+          "payload_col" -> str(s.raw, "payload_col", "payload"))
+        if (str(s.raw, "method", "exact") == "frames")
+          base ++ Seq(
+            "frame_len" -> int(s.raw, "frame_len", 64).toString,
+            "stride" -> int(s.raw, "stride", 32).toString)
+        else base
       // max_hamming stays apply-time: the index stores signatures, a
       // pure function of the text — valid under any later threshold
       case "simhash_dedup" => Seq(
@@ -1973,14 +2001,34 @@ object PipelineModels {
     val idCol = str(s.raw, "id_col", "doc_id")
     val textCol = str(s.raw, "text_col", "text")
     val k = int(s.raw, "k", 3)
-    val threshold = dbl(s.raw, "threshold", 0.8)
-    val measure = str(s.raw, "measure", "jaccard")
+    incrementalSetsCore(ctx, s, suffix, df, incrRun, deferred, idCol,
+      dbl(s.raw, "threshold", 0.8), str(s.raw, "measure", "jaccard"),
+      d => Dedup.shingleSets(d, idCol, textCol, k))
+  }
+
+  /** Shared sets-postings incremental core for the n-gram-MEASURE family
+    * — word shingles (`ngram_dedup`) and media frame signatures
+    * (`media_dedup` method: frames): the state is the (id, shh) set
+    * table plus the narrow (id, s) postings twin range-sorted by `s`;
+    * a batch pairs against history through postings pruned to the
+    * batch's own element values, verifies the exact measure, applies
+    * settled-keep, and defers unseenById appends. `threshold`/`measure`
+    * stay apply-time (the sets are a pure function of the content,
+    * valid under any later threshold); whatever parameterizes `setsOf`
+    * (k, frame_len, stride) must be a RECORDED train param at the call
+    * site — the persisted postings are only comparable under the same
+    * element definition. */
+  private def incrementalSetsCore(ctx: MatContext, s: Step, suffix: String,
+      df: DataFrame, incrRun: Boolean,
+      deferred: scala.collection.mutable.ArrayBuffer[() => Unit],
+      idCol: String, threshold: Double, measure: String,
+      setsOf: DataFrame => DataFrame): DataFrame = {
     val maxDf = ctx.spark.conf
       .get("spark.graft.maxShingleDf", "1000").toInt
     val rel = stateRel(ctx, suffix)
     val gramsRel = rel.copy(identifier = s"${rel.identifier}_grams")
     if (!incrRun) {
-      val sets = Dedup.shingleSets(df, idCol, textCol, k)
+      val sets = setsOf(df)
       ctx.adapter.writeTableAtomic(sets, rel)
       recordParams(ctx, rel, s)
       ctx.adapter.writeTableAtomic(
@@ -1991,16 +2039,16 @@ object PipelineModels {
       keepInputColumns(df.columns)(Dedup.canonicalCorpus(df, pairs, idCol))
     } else {
       if (!ctx.adapter.relationExists(rel)) throw new IllegalStateException(
-        s"${rel.fqn}: n-gram shingle index missing on an incremental " +
-          "batch run — the state was lost; rebuild with --full-refresh")
+        s"${rel.fqn}: element-set index (shingles / frame signatures) " +
+          "missing on an incremental batch run — the state was lost; " +
+          "rebuild with --full-refresh")
       checkParams(ctx, rel, s)
       val index = ctx.adapter.read(rel)
       val gramsExist = ctx.adapter.relationExists(gramsRel)
       val postingsIdx =
         if (gramsExist) ctx.adapter.read(gramsRel)
         else Dedup.shinglePostings(index)
-      val newSets = Dedup.maybeCache(
-        Dedup.shingleSets(df, idCol, textCol, k))
+      val newSets = Dedup.maybeCache(setsOf(df))
       val pairs = Dedup.ngramNearDupsIncrementalFromSets(newSets, index,
         postingsIdx, threshold, measure, maxDf)
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -2054,7 +2102,16 @@ object PipelineModels {
     val idCol = str(s.raw, "id_col", "doc_id")
     val payloadCol = str(s.raw, "payload_col", "payload")
     val method = str(s.raw, "method", "exact")
-    if (method == "simhash" || method == "phash") {
+    if (method == "frames") {
+      // clip/re-mux detection over a persisted frame-signature index —
+      // the n-gram sets-postings core with frames as the elements;
+      // frame_len/stride are recorded train params (the postings are
+      // only comparable under the same frame grid)
+      incrementalSetsCore(ctx, s, suffix, df, incrRun, deferred, idCol,
+        dbl(s.raw, "threshold", 0.5), str(s.raw, "measure", "containment"),
+        d => Multimodal.frameSets(d, idCol, payloadCol,
+          int(s.raw, "frame_len", 64), int(s.raw, "stride", 32)))
+    } else if (method == "simhash" || method == "phash") {
       // both persist the same 5-int signature format; which hash filled
       // it is a recorded train param, so the formats can never mix
       val sigsOf: DataFrame => DataFrame =

@@ -262,6 +262,38 @@ object Multimodal {
     Dedup.simhashNearDupsFromSigs(phashSignatures(media, idCol, payloadCol),
       maxHamming, Dedup.maxBandBucket(media))
 
+  /** Frame-signature SETS (id, shh: array of distinct frame digests) —
+    * the video-level near-dup primitive: a payload's body sliced into
+    * `frameLen`-byte windows every `stride` bytes, each digested with
+    * md5. Two clips cut from the same source share the frames of their
+    * overlap byte-for-byte (windows align because cuts at stride
+    * multiples preserve the frame grid), so frame-set CONTAINMENT
+    * |A∩B|/min(|A|,|B|) is the "clip of / re-muxed copy of" relation —
+    * and the whole n-gram dedup machinery (postings, bucket-pair
+    * banding with the hot-gram guard, exact containment/jaccard
+    * verify, the persisted incremental index) applies verbatim with
+    * frames in place of word shingles. Digests are full md5 hex so an
+    * external engine reproduces them from the same bytes; a deployment
+    * wanting narrower postings can hash them to longs downstream.
+    * Bodies shorter than `frameLen` contribute their whole body as one
+    * frame; empty bodies (and non-GRFT payloads) emit nothing and are
+    * always kept by the step. */
+  def frameSets(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", frameLen: Int = 64,
+      stride: Int = 32): DataFrame = {
+    require(frameLen >= 1 && stride >= 1,
+      s"frameSets: frame_len/stride must be >= 1, got $frameLen/$stride")
+    media.filter(isGrft(payloadCol))
+      .select(col(s"`$idCol`").as("id"), col(s"`$payloadCol`").as("__p"))
+      .filter(expr("length(__p) > 16"))
+      .select(col("id"), expr(
+        s"""array_distinct(transform(
+           |  sequence(0, greatest(CAST(floor(
+           |    (length(__p) - 16 - $frameLen) / $stride) AS INT), 0)),
+           |  f -> md5(substring(__p, 17 + f * $stride, $frameLen))))"""
+          .stripMargin).as("shh"))
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte offset as a "frame"
     * marker — exercises the explode-to-frames shape (one media row → N
     * frame rows) used by video pipelines. */

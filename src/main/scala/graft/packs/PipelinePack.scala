@@ -1474,6 +1474,39 @@ object PipelinePack extends QueryPack {
         .select("doc_id", "media_type").orderBy("doc_id")
     }),
 
+    // media frame-overlap dedup through the media_dedup STEP closure,
+    // `method: frames` — clip/re-mux detection: the payload body slices
+    // into 64-byte frames every 32 bytes, digested with md5, and
+    // frame-set CONTAINMENT >= 0.5 components collapse (min-id keep)
+    // via the same n-gram postings machinery as text. Fixture: every
+    // 2nd long-enough doc re-appears as a CLIP (body minus its first
+    // 64 bytes — a stride-aligned cut, so the clip's frame set is a
+    // subset of the original's and containment is exactly 1). The
+    // oracle recomputes the ENTIRE chain in SQL (frames are md5s of
+    // text substrings — the corpus is all-ASCII, so char offsets are
+    // byte offsets), including transitive closure — no fixture
+    // assumptions about which texts merge.
+    "q_media_dedup_frames" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 9 === 0).select("doc_id", "text")
+      val media = Multimodal.syntheticMedia(docs)
+      val clip = udf { (p: Array[Byte]) =>
+        Multimodal.StubCodec.encode(320, 240, 1, p.drop(16 + 64))
+      }
+      val clips = media
+        .filter(col("doc_id") % 18 === 0 && length(col("payload")) >= 166)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("payload", clip(col("payload")))
+        .withColumn("media_type",
+          when(col("doc_id") % 3 === 0, lit("image"))
+            .when(col("doc_id") % 3 === 1, lit("audio"))
+            .otherwise(lit("video")))
+      val step = graft.mat.PipelineSteps.parse(Some(Seq(Map(
+        "op" -> "media_dedup", "method" -> "frames")))).head
+      step.apply(media.unionByName(clips))
+        .select("doc_id", "media_type").orderBy("doc_id")
+    }),
+
     // CDC SCD-1 compaction: events as a per-user changelog ('error' =
     // account deletion, anything else upserts) — latest surviving row
     // per key from one window shuffle, no per-group buffers
@@ -4914,6 +4947,51 @@ object PipelinePack extends QueryPack {
          |FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id
          |WHERE cc.id IS NULL OR cc.id = cc.component_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    // frames: the oracle recomputes the WHOLE chain — frame digests
+    // (md5 of 64-byte windows every 32 bytes; the body IS the text and
+    // the corpus is all-ASCII so char offsets are byte offsets),
+    // pairwise containment over distinct-frame sets, >= 0.5 filter,
+    // transitive closure, min-id keep
+    "q_media_dedup_frames" ->
+      """WITH RECURSIVE corpus AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
+        |aug AS MATERIALIZED (
+        |  SELECT doc_id, text FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id + 500000, substring(text, 65) FROM corpus
+        |  WHERE doc_id % 18 = 0 AND length(text) >= 150),
+        |frames AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, md5(substring(text, 1 + f * 32, 64)) AS s
+        |  FROM aug, LATERAL (SELECT unnest(range(0,
+        |    greatest(CAST(floor((length(text) - 64) / 32.0) AS INT), 0)
+        |      + 1)) AS f) t
+        |  WHERE length(text) > 0),
+        |counts AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n FROM frames GROUP BY doc_id),
+        |shared AS MATERIALIZED (
+        |  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+        |  FROM frames a JOIN frames b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS MATERIALIZED (
+        |  SELECT u, v FROM shared
+        |  JOIN counts cu ON cu.doc_id = shared.u
+        |  JOIN counts cv ON cv.doc_id = shared.v
+        |  WHERE c * 1.0 / least(cu.n, cv.n) >= 0.5),
+        |edges AS MATERIALIZED (
+        |  SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+        |cc AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id)
+        |SELECT a.doc_id,
+        |  CASE WHEN a.doc_id % 3 = 0 THEN 'image'
+        |       WHEN a.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+        |    AS media_type
+        |FROM aug a LEFT JOIN cc ON cc.id = a.doc_id
+        |WHERE cc.id IS NULL OR cc.id = cc.component_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     // phash merge components are exactly text-equality groups plus each
     // image's re-encoded variants: the mosaic fixture renders EQUAL

@@ -64,6 +64,40 @@ class PipelineMatSpec extends AnyFunSuite {
       && kept.contains(99L) && kept.contains(98L), kept.toString)
   }
 
+  test("media_dedup frames: stride-aligned clips merge into their " +
+      "source, unrelated and corrupt payloads are kept, params checked") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, udf}
+    val longText = (1 to 60).map(i => f"token$i%02d").mkString(" ")
+    val base = Seq(
+      (3L, longText),
+      (9L, "totally different content with nothing shared at all here " +
+        "padded out to a few frames of length for the slicing"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(base)
+    // a clip: body minus its first 64 bytes — a stride-aligned cut, so
+    // every clip frame is one of the source's frames (containment 1)
+    val clipUdf = udf { (p: Array[Byte]) =>
+      Multimodal.StubCodec.encode(8, 8, 1, p.drop(16 + 64))
+    }
+    val clip = media.filter($"doc_id" === 3L)
+      .withColumn("doc_id", lit(1003L))
+      .withColumn("payload", clipUdf($"payload"))
+    val corrupt = Seq((99L, "audio", Array[Byte](7, 7)))
+      .toDF("doc_id", "media_type", "payload")
+    val out = steps(Seq(Map("op" -> "media_dedup", "method" -> "frames")))
+      .head.apply(media.unionByName(clip).unionByName(corrupt))
+    assert(out.columns.toSeq == media.columns.toSeq, "column-neutral")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(3L, 9L, 99L),
+      "clip merges into its source; unrelated doc and corrupt kept")
+    // bad params fail at parse time by name
+    val e = intercept[IllegalArgumentException](
+      steps(Seq(Map("op" -> "media_dedup", "method" -> "frames",
+        "stride" -> 0))))
+    assert(e.getMessage.contains("stride"), e.getMessage)
+  }
+
   test("exact_dedup keeps the min-id row WITH its own fields") {
     import spark.implicits._
     val docs = Seq(

@@ -356,6 +356,34 @@ class RandomizedParitySpec extends AnyFunSuite {
         "id_col" -> "doc_id", "max_hamming" -> 3)),
       "doc_id", corpus.filter(!col("doc_id").isin(newIds3.toSeq: _*)),
       corpus.filter(col("doc_id").isin(newIds3.toSeq: _*)), phashPairs)
+
+    // frames: clip/re-mux detection through the sets-postings
+    // incremental core — exact-dup bodies (containment 1) and
+    // 64-byte-aligned text clips (every clip frame is a source frame)
+    // are the pair sources; the reference pair set is MEASURED by the
+    // full-corpus operator over the same frame sets
+    val rnd5 = new scala.util.Random(41013)
+    def sent5(len: Int) =
+      Seq.fill(len)(vocab(rnd5.nextInt(vocab.length))).mkString(" ")
+    val bases5 = Vector.fill(8)(sent5(30 + rnd5.nextInt(10)))
+    val docs5 = (0L until 30L).map { i =>
+      val t = rnd5.nextInt(3) match {
+        case 0 => bases5(rnd5.nextInt(bases5.length))
+        case 1 => bases5(rnd5.nextInt(bases5.length)).drop(64)
+        case _ => sent5(25 + rnd5.nextInt(10))
+      }
+      (i + 200L, t, rnd5.nextBoolean())
+    }
+    val mediaOf: Seq[(Long, String)] => DataFrame =
+      ds => Multimodal.syntheticMedia(ds.toDF("doc_id", "text"))
+    val framePairs = pairSet(Dedup.ngramNearDupsFromSets(
+      Multimodal.frameSets(mediaOf(docs5.map(d => (d._1, d._2)))),
+      0.5, "containment", 1000))
+    parityCase("rp_media_frames",
+      Seq(Map[String, Any]("op" -> "media_dedup", "method" -> "frames",
+        "id_col" -> "doc_id")),
+      "doc_id", mediaOf(docs5.filter(!_._3).map(d => (d._1, d._2))),
+      mediaOf(docs5.filter(_._3).map(d => (d._1, d._2))), framePairs)
   }
 
   // ---- windowed (microbatch × incremental pipeline) parity ---------------
