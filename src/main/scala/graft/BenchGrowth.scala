@@ -150,7 +150,10 @@ object BenchGrowth {
       // ~0.7% of a 120k corpus in EVERY bucket
       ("fuzzy", step("fuzzy_dedup", "str_col" -> "title", "q" -> 3),
         titleGen),
-      ("media", step("media_dedup"), mediaGen))
+      ("media", step("media_dedup"), mediaGen),
+      // frames: clip/re-mux containment through the sets-postings core
+      // — the media twin of the ngram family's growth row
+      ("frames", step("media_dedup", "method" -> "frames"), mediaGen))
 
     // comma-separated family filter for partial re-runs
     val famFilter = sys.env.get("SPARK_GRAFT_GROWTH_FAMILIES")

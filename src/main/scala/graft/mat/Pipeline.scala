@@ -2581,14 +2581,19 @@ object StreamingTableMat extends Materialization {
         if (!b.isEmpty) {
           // foreachBatch hands a frame bound to the stream's CLONED
           // session; the curation plans join it against state relations
-          // read through the adapter's ORIGINAL session. Re-stage the
-          // micro-batch (batch-sized, never corpus-sized) so one
-          // session owns every plan — cross-session plan mixing is
-          // where survivors silently vanish.
-          val slice = Files.createTempDirectory("graft_curate_b")
+          // read through the adapter's ORIGINAL session — cross-session
+          // plan mixing is where survivors silently vanish. Hand off
+          // through the session-agnostic InternalRow RDD instead of a
+          // disk re-stage: pin the micro-batch ONCE (eager
+          // localCheckpoint, batch-sized blocks) and rebuild a frame
+          // over those rows in the adapter's session, so the many
+          // downstream actions re-read block-manager blocks and the
+          // batch never writes scratch parquet.
+          val pinned = b.localCheckpoint(true)
           try {
-            b.write.mode("overwrite").parquet(slice.toString)
-            val staged = ctx.spark.read.parquet(slice.toString)
+            val staged = org.apache.spark.sql.GraftSqlBridge
+              .dataFrameFromRdd(ctx.spark,
+                pinned.queryExecution.toRdd, pinned.schema)
             // target existence decides full-build vs incremental — exactly
             // the PipelineMat contract, so replay and batch runs compose
             val incrRun = (!ctx.fullRefresh || rebuilt) &&
@@ -2623,7 +2628,7 @@ object StreamingTableMat extends Materialization {
               incrRun = incrRun, window = window)
             rebuilt = true
             batches += 1
-          } finally deleteDir(slice)
+          } finally pinned.unpersist() // release the batch's pinned blocks
           if (crashAfter.exists(_ < batches))
             throw new IllegalStateException(
               "graft.curate.crashAfterBatches fault injection: dying " +

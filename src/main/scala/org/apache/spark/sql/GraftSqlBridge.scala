@@ -12,6 +12,23 @@ object GraftSqlBridge {
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Rebuild a DataFrame over another frame's ALREADY-MATERIALIZED rows
+    * in a different SparkSession — the session handoff for foreachBatch:
+    * the stream hands frames bound to its CLONED session, and mixing
+    * their plans with the adapter session's catalog reads silently
+    * loses rows. The InternalRow RDD itself is session-agnostic, so a
+    * LogicalRDD leaf over it in the TARGET session is a clean handoff
+    * with no disk round-trip. Call with the rows pinned (eager
+    * localCheckpoint) so each downstream action re-reads block-manager
+    * blocks instead of re-running the source plan.
+    * `internalCreateDataFrame` is private[sql], hence this bridge. */
+  def dataFrameFromRdd(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Drop every cache entry whose plan depends on this table — WITHOUT
     * recomputing it. `catalog.refreshTable` eagerly re-materializes
     * dependent entries from their captured physical plans, whose file
