@@ -2452,7 +2452,11 @@ object StreamingTableMat extends Materialization {
     * event-time slice (partition-prunable) instead of the whole target
     * key set — late re-delivery of a settled window drops exactly as
     * the microbatch pipeline drops it, and only genuinely novel rows
-    * land. */
+    * land. NULL event times are outside every window and never
+    * process (the microbatch convention — runWindows never admits
+    * them either); keeping them would leave the replay guard's window
+    * slice unable to see them, so a re-delivered null-et row would
+    * silently duplicate. */
   private def runCurate(ctx: MatContext): MatResult = {
     val spark = ctx.spark
     val cfg = ctx.config.extra
@@ -2603,10 +2607,20 @@ object StreamingTableMat extends Materialization {
             // partition-prunable) instead of the whole target key set —
             // late re-delivery of a settled window drops exactly as the
             // microbatch pipeline drops it
+            // event-time mode drops NULL-event-time rows up front: a
+            // null is outside every window (the microbatch pipeline's
+            // runWindows filter never admits them either — the dbt
+            // convention), and keeping them here would leave the
+            // replay guard's window slice unable to see them — a
+            // re-delivered null-et row would silently duplicate.
+            val etStaged =
+              if (et.isDefined && keyGuard.nonEmpty && incrRun)
+                staged.filter(col(s"`${et.get}`").isNotNull)
+              else staged
             val window: Option[(java.sql.Timestamp, java.sql.Timestamp)] =
               if (et.isDefined && keyGuard.nonEmpty && incrRun) {
                 val e = et.get
-                val r = staged.agg(
+                val r = etStaged.agg(
                   min(col(s"`$e`")).cast("timestamp"),
                   max(col(s"`$e`")).cast("timestamp")).head
                 if (r.isNullAt(0)) None
@@ -2621,9 +2635,9 @@ object StreamingTableMat extends Materialization {
                 val tgtKeys = ctx.adapter.read(ctx.target)
                   .select(keyGuard.map(k => col(s"`$k`")): _*)
                 val cond = keyGuard.map(k =>
-                  staged(s"`$k`") <=> tgtKeys(s"`$k`")).reduce(_ && _)
-                staged.join(tgtKeys, cond, "left_anti")
-              } else staged
+                  etStaged(s"`$k`") <=> tgtKeys(s"`$k`")).reduce(_ && _)
+                etStaged.join(tgtKeys, cond, "left_anti")
+              } else etStaged
             PipelineMat.processBatch(ctx, steps, local, incremental = true,
               incrRun = incrRun, window = window)
             rebuilt = true

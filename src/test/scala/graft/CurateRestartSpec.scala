@@ -231,6 +231,23 @@ class CurateRestartSpec extends AnyFunSuite {
     assert(ids(a, rel) == Set(1L, 2L, 3L, 9L),
       "re-delivered settled keys must drop; the late novel row must land")
     assert(a.read(rel).count() == 4, "no duplicate rows for keys 1/2")
+    // a NULL event time is outside every window (the microbatch
+    // convention — runWindows never admits such rows either): it never
+    // lands, and a mixed batch's window guard stays consistent — a
+    // kept null-et row would be invisible to the replay guard's slice
+    // and duplicate on re-delivery
+    landEt("d3_null", Seq(
+      (20L, "null stamped", null.asInstanceOf[String]),
+      (21L, "real late row", "2024-01-02 18:00:00")))
+    run(a, rel, cfgEt())
+    assert(ids(a, rel) == Set(1L, 2L, 3L, 9L, 21L),
+      "null-event-time rows never process; the stamped row lands")
+    landEt("d3_null_redelivery", Seq(
+      (20L, "null stamped", null.asInstanceOf[String]),
+      (21L, "real late row", "2024-01-02 18:00:00")))
+    run(a, rel, cfgEt())
+    assert(a.read(rel).count() == 5,
+      "re-delivery of the mixed null/real batch appended nothing")
   }
 
   test("bounded replay: --full-refresh with an all-empty staged input " +
