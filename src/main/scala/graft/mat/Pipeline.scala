@@ -188,27 +188,8 @@ object PipelineMat extends Materialization {
     deferred.reverseIterator.foreach(_.apply())
   }
 
-  /** Window-boundary literal matched to the event-time column's type.
-    * A DATE event-time column on a date-partitioned target is THE
-    * deployment shape for a microbatch pipeline at scale (the window
-    * guard's slice read and the per-window input filter prune straight
-    * to the window's partitions) — but comparing a DATE column against
-    * a TIMESTAMP literal makes Spark cast the column, and a
-    * cast(dt AS TIMESTAMP) >= lit predicate does NOT partition-prune:
-    * the guard would scan the WHOLE target every window (measured: the
-    * windowed growth rehearsal's per-window cost grew ~1.5× under a
-    * 10× corpus from exactly this). Day-or-coarser windows are
-    * midnight-aligned, so the DATE literal is exact; sub-day boundaries
-    * (degenerate over a DATE column anyway) keep the timestamp literal
-    * and its cast semantics. */
   private def etBound(df: DataFrame, et: String,
-      t: java.sql.Timestamp): Column =
-    df.schema.fields.find(_.name == et).map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.DateType)
-          if t.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT =>
-        lit(java.sql.Date.valueOf(t.toLocalDateTime.toLocalDate))
-      case _ => lit(t)
-    }
+      t: java.sql.Timestamp): Column = MicrobatchRunner.etBound(df, et, t)
 
   /** Microbatch × incremental pipeline (the continuous-ingestion shape
     * a 100 TB curation pipeline runs — reference microbatch config:
