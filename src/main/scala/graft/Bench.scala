@@ -191,8 +191,17 @@ object Bench {
     val endLoad = loadAvg1m()
     // subset (dev-loop) runs skip calibration — OMIT the fields rather
     // than emit 0.0, so a normalizing consumer can't divide by zero
+    // alongside the raw total, a BOX-NORMALIZED total: raw seconds
+    // divided by the mean of the two calibration timings (the pinned
+    // hash-agg+sort workload, same protocol as the queries). Round-over-
+    // round, the normalized number moves only when PLANS change — a
+    // slower/contended box inflates raw and calib together (r15: a 46%
+    // phantom raw regression cost a full two-commit bisection to refute;
+    // its calib had degraded 2.27→3.52 in the same run).
     val calibJson = (calibStart, calibEnd) match {
-      case (Some(a), Some(b)) => s""","calib_sec":$a,"calib_sec_end":$b"""
+      case (Some(a), Some(b)) =>
+        val norm = total / ((a + b) / 2.0)
+        s""","calib_sec":$a,"calib_sec_end":$b,"total_per_calib":$norm"""
       case _ => ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$calibJson,"noisy_requeried":${noisy.size},"loadavg_start":$startLoad,"loadavg_end":$endLoad}""")

@@ -508,13 +508,24 @@ object MicrobatchRunner {
     * this). Day-or-coarser windows are midnight-aligned, so the DATE
     * literal is exact; sub-day boundaries (degenerate over a DATE
     * column anyway) keep the timestamp literal and its cast
-    * semantics. */
+    * semantics. The midnight check and the derived calendar date use
+    * the SESSION timezone (the same zone Spark's own cast(dt AS
+    * TIMESTAMP) applies on the fallback path), not the JVM default —
+    * on a box whose JVM zone differs from `spark.sql.session.timeZone`
+    * the two would disagree by up to a day about which literal form is
+    * chosen; the literal itself is a `LocalDate` (tz-free Catalyst
+    * conversion), never a `java.sql.Date` (whose Catalyst conversion
+    * re-reads the JVM zone). */
   private[mat] def etBound(df: org.apache.spark.sql.DataFrame, et: String,
       t: java.sql.Timestamp): org.apache.spark.sql.Column =
     df.schema.fields.find(_.name == et).map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.DateType)
-          if t.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT =>
-        lit(java.sql.Date.valueOf(t.toLocalDateTime.toLocalDate))
+      case Some(org.apache.spark.sql.types.DateType) =>
+        val zone = java.time.ZoneId.of(
+          df.sparkSession.sessionState.conf.sessionLocalTimeZone)
+        val ldt = t.toInstant.atZone(zone).toLocalDateTime
+        if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          lit(ldt.toLocalDate)
+        else lit(t)
       case _ => lit(t)
     }
 

@@ -274,28 +274,42 @@ object PipelineMat extends Materialization {
     // ladder entirely — processBatch on an empty slice appends nothing
     // and flushes nothing, it just costs ~a dozen Spark jobs, so a
     // sparse backfill over a long range (365 day-windows, most empty)
-    // pays one scan instead of hundreds of empty step chains. A
-    // batch-aware compiled input (compiledBatch) is parameterized per
+    // pays one scan instead of hundreds of empty step chains. The scan
+    // is FILTERED to the windows' overall [first.start, last.end) span
+    // with the same etBound literals, so it partition-prunes to exactly
+    // the slices the windows would read — an unfiltered agg would
+    // re-add the full-history scan the etBound literals exist to
+    // avoid. The common steady-state run (lookback+1 windows, all
+    // non-empty) BYPASSES the pass entirely: a scan that can skip at
+    // most a window or two costs more than the empty ladders it saves.
+    // A batch-aware compiled input (compiledBatch) is parameterized per
     // window — there is no single frame to scan — so every window
     // runs. Skipped windows also skip per-step param checks; the next
-    // non-empty window still performs them.
+    // non-empty window still performs them. (Presence counts and the
+    // per-window filters are separate scans of the same plan — as with
+    // any multi-scan query, the source is assumed snapshot-stable
+    // within one invocation.)
+    lazy val src = ctx.compiled()
     val nonEmpty: Seq[MicrobatchRunner.Batch] =
-      if (ctx.compiledBatch.isDefined) windows
+      if (ctx.compiledBatch.isDefined ||
+          windows.length <= math.max(2, cfg.lookback + 1)) windows
       else {
-        val src = ctx.compiled()
+        val spanned = src.filter(
+          col(s"`$et`") >= etBound(src, et, windows.head.start) &&
+            col(s"`$et`") < etBound(src, et, windows.last.end))
         windows.grouped(512).flatMap { group =>
           val exprs = group.zipWithIndex.map { case (b, i) =>
             sum(when(col(s"`$et`") >= etBound(src, et, b.start) &&
               col(s"`$et`") < etBound(src, et, b.end), 1)).as(s"__w$i")
           }
-          val counts = src.agg(exprs.head, exprs.tail: _*).head
+          val counts = spanned.agg(exprs.head, exprs.tail: _*).head
           group.zipWithIndex.collect {
             case (b, i) if !counts.isNullAt(i) => b
           }
         }.toSeq
       }
     nonEmpty.foreach { b =>
-      val raw = ctx.compiledBatch.fold(ctx.compiled())(f =>
+      val raw = ctx.compiledBatch.fold(src)(f =>
           f(b.start, b.end))
       val input = raw
         .filter(col(s"`$et`") >= etBound(raw, et, b.start) &&
@@ -638,13 +652,14 @@ object PipelineSteps {
       // `method: simhash` bands a 64-bit token bit-signature of the
       // body text, `method: phash` the REAL DCT perceptual hash of the
       // decoded gray pixels (graft.ops.Phash — resize/brightness
-      // re-encodes of one image merge) — both through the same 4-chunk
-      // pigeonhole core as text simhash_dedup, merging hamming ≤
-      // `max_hamming:` components (min-id keep, or the `priority_col:`
-      // max). Payloads failing the GRFT header check are ALWAYS kept
-      // (a corrupt file must not merge into the checksum-0 garbage
-      // group); only container-format decode stays the documented
-      // StubCodec boundary. Column-neutral.
+      // re-encodes of one image merge; decodes GRFT raw-gray AND the
+      // standard still-image containers via the JDK's ImageIO) — both
+      // through the same 4-chunk pigeonhole core as text simhash_dedup,
+      // merging hamming ≤ `max_hamming:` components (min-id keep, or
+      // the `priority_col:` max). Payloads failing the container check
+      // are ALWAYS kept (a corrupt file must not merge into the
+      // checksum-0 garbage group); only audio/video container decode
+      // stays the documented StubCodec boundary. Column-neutral.
       case "media_dedup" =>
         val idCol = str(m, "id_col", "doc_id")
         val payloadCol = str(m, "payload_col", "payload")
@@ -2594,8 +2609,14 @@ object StreamingTableMat extends Materialization {
             // convention), and keeping them here would leave the
             // replay guard's window slice unable to see them — a
             // re-delivered null-et row would silently duplicate.
+            // Applied WHENEVER event-time mode is configured, full
+            // build included: were the drop gated on incrRun, the
+            // first micro-batch of a --full-refresh would keep
+            // null-et rows while batches 2+ drop them, making the
+            // rebuilt target depend on maxFilesPerTrigger file
+            // grouping.
             val etStaged =
-              if (et.isDefined && keyGuard.nonEmpty && incrRun)
+              if (et.isDefined && keyGuard.nonEmpty)
                 staged.filter(col(s"`${et.get}`").isNotNull)
               else staged
             val window: Option[(java.sql.Timestamp, java.sql.Timestamp)] =
@@ -2623,7 +2644,14 @@ object StreamingTableMat extends Materialization {
               incrRun = incrRun, window = window)
             rebuilt = true
             batches += 1
-          } finally pinned.unpersist() // release the batch's pinned blocks
+          } finally {
+            // release the batch's pinned blocks: Dataset.unpersist is a
+            // no-op for a local checkpoint (no CacheManager entry) — the
+            // LogicalRDD's rdd must be unpersisted directly, or every
+            // batch of a long drain leaks its blocks until GC
+            org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(pinned)
+              .foreach(_.unpersist(blocking = false))
+          }
           if (crashAfter.exists(_ < batches))
             throw new IllegalStateException(
               "graft.curate.crashAfterBatches fault injection: dying " +

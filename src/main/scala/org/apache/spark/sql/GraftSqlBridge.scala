@@ -29,6 +29,21 @@ object GraftSqlBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** The block-manager-pinned RDD behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only consults the CacheManager, and a local
+    * checkpoint pins its rows via `RDD.persist` WITHOUT registering a
+    * cache entry — so releasing a checkpointed micro-batch's blocks
+    * needs the LogicalRDD leaf's rdd unpersisted directly (otherwise
+    * every batch of a long drain leaks its blocks until the
+    * ContextCleaner happens to GC the RDD). LogicalRDD is
+    * private[sql], hence this bridge. */
+  def checkpointedRdd(df: Dataset[_]): Option[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Drop every cache entry whose plan depends on this table — WITHOUT
     * recomputing it. `catalog.refreshTable` eagerly re-materializes
     * dependent entries from their captured physical plans, whose file
