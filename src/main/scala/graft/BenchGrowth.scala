@@ -2,7 +2,7 @@ package graft
 
 import graft.adapter.SparkAdapter
 import graft.core._
-import graft.mat.{MatContext, PipelineMat}
+import graft.mat.{MatContext, PipelineMat, StreamingTableMat}
 import graft.ops.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -265,6 +265,68 @@ object BenchGrowth {
           s""""windows_1x":[${w1.map(s => f"$s%.2f").mkString(",")}],""" +
           s""""windows_${mult}x":[${wM.map(s => f"$s%.2f").mkString(",")}],""" +
           s""""window_ratios":[${ratios.map(r => f"$r%.2f").mkString(",")}]}"""
+    }
+
+    // ---- durable continuous-curation row --------------------------------
+    // The per-batch claim for `stream_op: curate` + `landing_dir:`: a
+    // micro-batch's cost is the batch plus NARROW probes (the persisted
+    // exact-dedup index AND the bucketed unique-key replay guard under
+    // the checkpoint) — never a target-sized scan per landed file. The
+    // r15 shape scanned the full target key column per micro-batch; this
+    // row is the regression fence for its replacement. Protocol: drain a
+    // corpus file into a fresh durable checkpoint (the full build), then
+    // land 3 FIXED-content batch files and time their drain at
+    // max_files_per_trigger=1 (3 micro-batches, each paying seal + guard
+    // + index batch). per_batch_10x / per_batch_1x near 1 under a 10×
+    // settled corpus is the bounded-guard evidence.
+    if (famFilter.forall(_.contains("durable_curate"))) {
+      val cTimes = Seq(1, mult).map { m =>
+        val n = base * m
+        val schema = s"g_growth_curate_$m"
+        spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+        val a = new SparkAdapter(spark, schema,
+          Some(Files.createTempDirectory("graft_growth_cur").toString))
+        val rel = Relation(schema, "corpus")
+        val landing = Files.createTempDirectory("graft_growth_land")
+        val cp = Files.createTempDirectory("graft_growth_cp")
+          .resolve("cp").toString
+        def landFile(name: String, df: DataFrame): Unit = {
+          val tmp = Files.createTempDirectory("graft_growth_land_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          java.nio.file.Files.move(part.toPath,
+            landing.resolve(s"$name.parquet"))
+        }
+        def cfgC(mfpt: Int) = NodeConfig(materialized = "streaming_table",
+          uniqueKey = Seq("doc_id"),
+          extra = Map[String, Any]("stream_op" -> "curate",
+            "landing_dir" -> landing.toString, "checkpoint_dir" -> cp,
+            "max_files_per_trigger" -> mfpt,
+            "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup",
+              "id_col" -> "doc_id"))))
+        def runC(mfpt: Int): Unit = StreamingTableMat.run(MatContext(a,
+          Node(uniqueId = s"model.bench.${rel.identifier}",
+            name = rel.identifier, packageName = "bench",
+            kind = NodeKind.Model, config = cfgC(mfpt)),
+          rel, () => spark.range(0)
+            .selectExpr("id AS doc_id", "'x' AS text")))
+        landFile("corpus", textGen(n, 0L, 11 + m))
+        val build = timed(runC(100))
+        (0 until 3).foreach(i =>
+          landFile(s"b$i", textGen(batchN, 10000000L * (i + 1), 99 + i)))
+        val drain = timed(runC(1))
+        System.err.println(
+          f"[growth] durable_curate ${m}x: corpus=$n%7d build=$build%7.2fs " +
+            f"drain(3x$batchN)=$drain%6.2fs per_batch=${drain / 3}%5.2fs")
+        spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+        (build, drain / 3)
+      }
+      val Seq((cb1, cp1), (cbM, cpM)) = cTimes
+      out("durable_curate") =
+        f"""{"build_1x":$cb1%.2f,"per_batch_1x":$cp1%.2f,""" +
+          f""""build_${mult}x":$cbM%.2f,"per_batch_${mult}x":$cpM%.2f,""" +
+          f""""batch_ratio":${cpM / cp1}%.2f}"""
     }
 
     val fams = out.map { case (k, v) => "\"" + k + "\":" + v }

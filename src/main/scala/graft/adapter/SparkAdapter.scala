@@ -551,6 +551,13 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         .iterator().asScala.foreach(Files.delete)
     }
 
+  /** The relation's storage root URI from the catalog — the `basePath`
+    * a raw-file read needs to recover partition-directory columns
+    * (durable curate's key-index seal reads target data files
+    * directly). */
+  def relationLocationUri(rel: Relation): Option[String] =
+    tableMeta(rel).toOption.map(_.location.toString)
+
   /** Table-level comment from the catalog (persist_docs / catalog.json). */
   def tableComment(rel: Relation): Option[String] =
     tableMeta(rel).toOption.flatMap(m =>

@@ -1,0 +1,153 @@
+package graft.mat
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BUCKETED unique-key index bounding the durable-curate
+  * replay guard (`stream_op: curate` without `event_time`).
+  *
+  * The guard's contract is "drop batch rows whose unique_key the target
+  * already holds anywhere" — target-as-truth exactly-once under
+  * checkpoint replay. Anti-joining each micro-batch against the RAW
+  * target key column satisfies it but scans the full target per batch:
+  * with `max_files_per_trigger: 1`, draining N landed files against a
+  * 100 TB target is N corpus-sized scans — the per-batch term this
+  * index removes.
+  *
+  * Layout, under the stream's checkpoint dir (so `--full-refresh`'s
+  * checkpoint delete resets the index with the target, and object-store
+  * checkpoint URIs work unchanged):
+  *
+  *   <cp>/_graft_key_index/__kb=<b>/…parquet   key columns, partitioned
+  *                                             by `pmod(hash(keys), B)`
+  *   <cp>/_graft_sealed/…parquet               target data-file paths
+  *                                             whose keys the index holds
+  *   <cp>/_graft_key_index_params.json         {buckets, keys} — recorded
+  *                                             once, verified every run
+  *
+  * The index is DERIVED STATE, synchronized from target files at each
+  * batch start ([[seal]]): list the target's data files, read the key
+  * columns of just the not-yet-sealed ones (in steady state, the single
+  * previous batch's files), append them under their hash buckets, log
+  * the files as sealed. Deriving from files — rather than flushing keys
+  * after each append — closes every crash window by construction: a
+  * batch that appended to the target but never committed its checkpoint
+  * leaves unsealed files, and the replay's own seal() indexes them
+  * before the guard runs. There is no moment where the target holds a
+  * key the (sealed ∪ unsealed-about-to-seal) index cannot see.
+  *
+  * [[guard]] then anti-joins the batch against ONLY the index buckets
+  * the batch's own keys hash into (`__kb IN (…)` partition-prunes the
+  * read): per-batch cost is the batch itself plus
+  * (touched-buckets / B) of a key-only table — flat in target size for
+  * bounded batches, the same bounded shape as the event_time slice
+  * guard. A changed `key_index_buckets:` or `unique_key` is refused by
+  * name ([[checkParams]]): bucket membership is hash-determined, and an
+  * index laid out under different params would silently miss keys.
+  *
+  * Reference spec: dbt-fusion's microbatch/incremental idempotence
+  * contracts (crates/dbt-schemas/src/schemas/common.rs:523 batch
+  * sizing, model_config.rs:79-82 event_time) — the durable landing-dir
+  * drain itself is this engine's continuous-deployment extension.
+  */
+private[graft] object CurateKeyIndex {
+
+  final case class Handle(spark: SparkSession, checkpoint: String,
+      keys: Seq[String], buckets: Int) {
+    def indexDir: String = s"$checkpoint/_graft_key_index"
+    def sealedDir: String = s"$checkpoint/_graft_sealed"
+    def paramsPath: String = s"$checkpoint/_graft_key_index_params.json"
+  }
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    fsOf(spark, p).exists(p)
+  }
+
+  /** Deterministic bucket of a key tuple: murmur3 `hash` (stable across
+    * sessions/JVMs — the same function Spark's own hash partitioning
+    * uses) mod `buckets`. NULL keys hash like any value. */
+  def bucketOf(keys: Seq[String], buckets: Int): Column =
+    pmod(hash(keys.map(k => col(s"`$k`")): _*), lit(buckets))
+
+  /** Record {buckets, keys} on first use; refuse a drifted config by
+    * name afterwards — an index laid out under different params would
+    * silently miss keys (wrong bucket), turning the exactly-once guard
+    * into a sometimes guard. */
+  def checkParams(h: Handle): Unit = {
+    val p = new Path(h.paramsPath)
+    val fs = fsOf(h.spark, p)
+    val want = s"""{"buckets":${h.buckets},"keys":[${h.keys
+      .map(k => "\"" + k + "\"").mkString(",")}]}"""
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (got.trim != want)
+        throw new IllegalStateException(
+          s"stream_op: curate durable key index at ${h.indexDir} was " +
+            s"built under $got but this run configures $want — bucket " +
+            "membership is hash-determined, so a changed " +
+            "key_index_buckets/unique_key cannot reuse the index; " +
+            "rebuild with --full-refresh")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def sealedPaths(h: Handle): Set[String] =
+    if (!exists(h.spark, h.sealedDir)) Set.empty
+    else h.spark.read.parquet(h.sealedDir)
+      .collect().map(_.getString(0)).toSet
+
+  /** Synchronize the index with the target's CURRENT data files: index
+    * the key columns of files not yet sealed, then log them sealed. In
+    * steady state the unsealed set is the previous micro-batch's files;
+    * after a full build (or rows landed by other writers) it is a
+    * one-time catch-up of the new files. `basePath` is the table root,
+    * so partition-directory columns survive the raw-file read when a
+    * key column is also a partition column. */
+  def seal(h: Handle, target: DataFrame, basePath: Option[String]): Unit = {
+    val files = target.inputFiles.toSeq
+    val already = sealedPaths(h)
+    val unsealed = files.filterNot(already)
+    if (unsealed.isEmpty) return
+    checkParams(h)
+    val reader = basePath.foldLeft(h.spark.read)(
+      (r, bp) => r.option("basePath", bp))
+    reader.parquet(unsealed: _*)
+      .select(h.keys.map(k => col(s"`$k`")): _*)
+      .withColumn("__kb", bucketOf(h.keys, h.buckets))
+      .write.mode("append").partitionBy("__kb").parquet(h.indexDir)
+    // the sealed log is append-only file names; written AFTER the index
+    // append so a crash between the two re-reads the files as unsealed
+    // — the guard-style anti-join below in the NEXT seal is not needed
+    // because duplicate index rows cannot change an anti-join's verdict
+    import h.spark.implicits._
+    h.spark.createDataset(unsealed).toDF("path")
+      .coalesce(1).write.mode("append").parquet(h.sealedDir)
+  }
+
+  /** Drop batch rows whose key tuple the index holds — reading ONLY the
+    * hash buckets the batch's own keys occupy (`__kb IN …` prunes the
+    * partitioned read). Null-safe key equality, like every unique_key
+    * guard in the engine. */
+  def guard(h: Handle, batch: DataFrame): DataFrame = {
+    if (!exists(h.spark, h.indexDir)) return batch
+    checkParams(h)
+    val touched = batch
+      .select(bucketOf(h.keys, h.buckets).as("__kb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return batch
+    val idx = h.spark.read.parquet(h.indexDir)
+      .filter(col("__kb").isin(touched: _*))
+    val cond = h.keys.map(k => batch(s"`$k`") <=> idx(s"`$k`"))
+      .reduce(_ && _)
+    batch.join(idx, cond, "left_anti")
+  }
+}

@@ -3,7 +3,7 @@ package graft.mat
 import graft.core.{BatchSize, Relation, RelationType}
 import graft.ops.{Bpe, Dedup, FuzzyJoin, Multimodal, Packing, Sampling,
   Stats, TextAnalysis}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** `materialized='pipeline'`: the LLM-curation operator library surfaced
@@ -2437,16 +2437,29 @@ object StreamingTableMat extends Materialization {
     * only files the last invocation had not committed, and a killed
     * run resumes at the first uncommitted micro-batch. Durable mode
     * requires `unique_key`: a crash can land BETWEEN the target append
-    * and the deferred index flush, and only the target-key anti-join
-    * makes the checkpoint's replay of that micro-batch exactly-once at
-    * the target (the `unseenById` guard already makes it exactly-once
-    * at the indexes). `max_batches_per_run:` bounds one invocation's
+    * and the deferred index flush, and only the target-key replay
+    * guard makes the checkpoint's replay of that micro-batch
+    * exactly-once at the target (the `unseenById` guard already makes
+    * it exactly-once at the indexes). The guard's membership probe is
+    * the persisted BUCKETED key index under the checkpoint
+    * ([[CurateKeyIndex]]: synced from the target's own data files at
+    * each batch start, read pruned to the batch's hash buckets) — NOT
+    * a full target key scan per micro-batch, which at deployment scale
+    * would be a corpus-sized term per landed file;
+    * `key_index_buckets:` sizes the bucket layout (recorded, verified,
+    * default 64). The stream schema is PINNED under the checkpoint on
+    * the first invocation; a landed file that adds/drops/retypes
+    * columns fails by name instead of silently shifting the contract
+    * (`--full-refresh` re-pins). A sibling `<checkpoint>.lock` file
+    * rejects a second concurrent invocation by name — overlapping
+    * drains of one checkpoint would race on the committed-files log.
+    * `max_batches_per_run:` bounds one invocation's
     * drain (ops lever; also the restart-test lever) — the limit-hit
     * batch is NOT processed and NOT committed, so the next run resumes
     * exactly there. With `event_time` + `unique_key` configured, each
     * micro-batch anti-joins its survivors against the target's OWN
-    * event-time slice (partition-prunable) instead of the whole target
-    * key set — late re-delivery of a settled window drops exactly as
+    * event-time slice (partition-prunable) instead of the key index —
+    * late re-delivery of a settled window drops exactly as
     * the microbatch pipeline drops it, and only genuinely novel rows
     * land. NULL event times are outside every window and never
     * process (the microbatch convention — runWindows never admits
@@ -2502,9 +2515,20 @@ object StreamingTableMat extends Materialization {
           s"$base/_graft_checkpoints/" +
             s"${ctx.target.schema}.${ctx.target.identifier}"
         }
+        // concurrent-invocation guard BEFORE anything mutates: two
+        // overlapping drains of one checkpoint (the cron-overlap ops
+        // reality of max_batches_per_run) race on the committed-files
+        // log and double-append at the target. The lock is a SIBLING of
+        // the checkpoint dir so --full-refresh's checkpoint delete
+        // cannot drop our own lock mid-run. Released in the finally;
+        // a kill -9 leaves it behind, and the error text names the
+        // file to delete after confirming that process is dead.
+        acquireCurateLock(spark, cp)
         // --full-refresh reprocesses the WHOLE landing history: the
         // rebuild starts from scratch, so the old checkpoint's
-        // committed-files log must go with the old target rows
+        // committed-files log must go with the old target rows (and
+        // with it the pinned stream schema + durable key index, which
+        // re-derive from the post-refresh state)
         if (ctx.fullRefresh) {
           val cpPath = new org.apache.hadoop.fs.Path(cp)
           val cpFs = cpPath.getFileSystem(hconf)
@@ -2534,16 +2558,30 @@ object StreamingTableMat extends Materialization {
           f.setLastModified(1700000000000L + i * 60000L) }
         (dir, Files.createTempDirectory("graft_curate_cp").toString)
     }
-    val schema =
-      try spark.read.parquet(srcDir).schema
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if landingDir.isDefined =>
-          throw new IllegalStateException(
-            s"stream_op: curate landing_dir `$srcDir` holds no readable " +
-              "parquet yet — the first invocation needs at least one " +
-              s"landed file to infer the stream schema (${e.getMessage})")
-      }
+    try curateDrain(ctx, steps, cfg, landingDir, srcDir, checkpoint,
+      keyGuard)
+    finally if (landingDir.isDefined) releaseCurateLock(spark, checkpoint)
+  }
+
+  /** The drain itself — everything after checkpoint/lock resolution, so
+    * [[runCurate]]'s single try/finally releases the durable-mode lock
+    * on EVERY exit path (schema drift, param errors, stream failure,
+    * the post-drain empty rebuild). */
+  private def curateDrain(ctx: MatContext, steps: Seq[PipelineSteps.Step],
+      cfg: Map[String, Any], landingDir: Option[String], srcDir: String,
+      checkpoint: String, keyGuard: Seq[String]): MatResult = {
+    val spark = ctx.spark
+    val schema = try {
+      if (landingDir.isDefined) curateStreamSchema(spark, srcDir, checkpoint)
+      else spark.read.parquet(srcDir).schema
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if landingDir.isDefined =>
+        throw new IllegalStateException(
+          s"stream_op: curate landing_dir `$srcDir` holds no readable " +
+            "parquet yet — the first invocation needs at least one " +
+            s"landed file to infer the stream schema (${e.getMessage})")
+    }
     val mfpt =
       if (landingDir.isDefined)
         cfg.get("max_files_per_trigger")
@@ -2571,11 +2609,33 @@ object StreamingTableMat extends Materialization {
     // this recovery), later micro-batches go incremental as usual
     var rebuilt = false
     val et = ctx.config.eventTime
+    // bucketed key index for the index-less replay guard: lives under
+    // the checkpoint (durable mode persists it across invocations;
+    // bounded mode's per-run temp checkpoint rebuilds it from the
+    // target's files on the first batch — one key-only catch-up read
+    // per RUN instead of a full target scan per BATCH)
+    val idxBuckets = cfg.get("key_index_buckets")
+      .map(v => String.valueOf(v).toInt).getOrElse(64)
+    if (idxBuckets < 1)
+      throw new IllegalArgumentException(
+        s"stream_op: curate `key_index_buckets:` must be >= 1, got " +
+          s"$idxBuckets")
+    val keyIdx = CurateKeyIndex.Handle(spark, checkpoint, keyGuard,
+      idxBuckets)
+    // refuse a drifted bucket layout AT INVOCATION, not at the first
+    // batch — a drained landing dir (zero batches) must not report
+    // success under a config the persisted index cannot serve
+    if (landingDir.isDefined && keyGuard.nonEmpty && et.isEmpty)
+      CurateKeyIndex.checkParams(keyIdx)
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         // the limit-hit batch is NOT processed and NOT committed, so
         // the next invocation's checkpoint resumes exactly here
         if (maxBatches.exists(batches >= _)) throw new DrainLimitReached
+        // test-only pacing hook: the concurrent-lock spec needs run A
+        // still draining while run B attempts the lock
+        spark.conf.getOption("graft.curate.sleepPerBatchMillis")
+          .foreach(ms => Thread.sleep(ms.toLong))
         // an empty slice (a skewed range partition) must not become the
         // FULL BUILD and train artifacts on nothing
         if (!b.isEmpty) {
@@ -2631,14 +2691,21 @@ object StreamingTableMat extends Materialization {
               } else None
             // index-less chains (no event_time): drop keys the target
             // already holds anywhere, so a replay (or late re-delivery)
-            // cannot append a row twice
+            // cannot append a row twice. The membership probe is the
+            // persisted BUCKETED key index under the checkpoint — NOT
+            // the raw target key column: with max_files_per_trigger: 1
+            // a long drain against the raw target is one corpus-sized
+            // scan PER LANDED FILE. seal() first syncs the index with
+            // the target's current data files (steady state: just the
+            // previous batch's files; crash replay: the uncommitted
+            // batch's files — which is exactly what makes the replay
+            // exactly-once), then guard() reads only the hash buckets
+            // this batch's keys touch.
             val local =
-              if (keyGuard.nonEmpty && incrRun && window.isEmpty) {
-                val tgtKeys = ctx.adapter.read(ctx.target)
-                  .select(keyGuard.map(k => col(s"`$k`")): _*)
-                val cond = keyGuard.map(k =>
-                  etStaged(s"`$k`") <=> tgtKeys(s"`$k`")).reduce(_ && _)
-                etStaged.join(tgtKeys, cond, "left_anti")
+              if (keyGuard.nonEmpty && incrRun && et.isEmpty) {
+                CurateKeyIndex.seal(keyIdx, ctx.adapter.read(ctx.target),
+                  ctx.adapter.relationLocationUri(ctx.target))
+                CurateKeyIndex.guard(keyIdx, etStaged)
               } else etStaged
             PipelineMat.processBatch(ctx, steps, local, incremental = true,
               incrRun = incrRun, window = window)
@@ -2703,6 +2770,117 @@ object StreamingTableMat extends Materialization {
          else "") +
         landingDir.map(ld =>
           s" [landing: $ld, checkpoint: $checkpoint]").getOrElse(""))
+  }
+
+  private def curateLockPath(checkpoint: String) =
+    new org.apache.hadoop.fs.Path(
+      checkpoint.stripSuffix("/") + ".lock")
+
+  /** Claim the durable checkpoint for this invocation: create-if-absent
+    * of a SIBLING `<checkpoint>.lock` file (atomic on HDFS; a
+    * check-then-create on local/object-store FS — the guard is against
+    * the scheduled-overlap case, not byzantine racers). Fails by name
+    * when held: two drains of one checkpoint race on the
+    * committed-files log and double-append at the target. */
+  private def acquireCurateLock(spark: SparkSession, checkpoint: String)
+      : Unit = {
+    val lp = curateLockPath(checkpoint)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (lp.getParent != null) fs.mkdirs(lp.getParent)
+    val out =
+      try fs.create(lp, false)
+      catch {
+        case e: java.io.IOException =>
+          val holder =
+            if (!fs.exists(lp)) throw e // a genuine IO failure, not contention
+            else
+              try {
+                val in = fs.open(lp)
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              } catch { case _: Throwable => "(unreadable lock content)" }
+          throw new IllegalStateException(
+            s"stream_op: curate: another invocation holds this " +
+              s"checkpoint's lock ($lp, held by $holder) — concurrent " +
+              "drains of one checkpoint race on the committed-files log " +
+              "and double-append at the target. Wait for that run to " +
+              "finish, or delete the lock file after confirming its " +
+              "process is dead (a kill -9 leaves it behind)")
+      }
+    val info = s"""{"pid":${ProcessHandle.current().pid()},""" +
+      s""""host":"${java.net.InetAddress.getLocalHost.getHostName}",""" +
+      s""""started_epoch_ms":${System.currentTimeMillis()}}"""
+    try out.write(info.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def releaseCurateLock(spark: SparkSession, checkpoint: String)
+      : Unit = {
+    val lp = curateLockPath(checkpoint)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(lp)) fs.delete(lp, false)
+  }
+
+  /** Durable-mode stream schema: pinned under the checkpoint on the
+    * FIRST invocation (from the landing dir's merged parquet schema),
+    * then every later invocation re-derives the landing schema and
+    * FAILS BY NAME on drift — a landed file with added/missing/retyped
+    * columns must not silently shift the stream contract between
+    * invocations (missing columns would read as nulls, extra ones would
+    * silently drop, retyped ones would fail deep inside the parquet
+    * reader). `--full-refresh` deletes the checkpoint, so the pin
+    * re-derives with the rebuild — the prescribed recovery for an
+    * INTENTIONAL schema change. */
+  private def curateStreamSchema(spark: SparkSession, srcDir: String,
+      checkpoint: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val inferred =
+      try spark.read.option("mergeSchema", "true").parquet(srcDir).schema
+      catch {
+        case e: Throwable
+            if e.getMessage != null &&
+              (e.getMessage.contains("MERGE_SCHEMAS") ||
+                e.getMessage.contains("Failed to merge")) =>
+          throw new IllegalStateException(
+            s"stream_op: curate landing_dir `$srcDir` holds files with " +
+              "INCOMPATIBLE schemas — a landed file retyped a column. " +
+              "Remove or fix the drifted file (the stream schema is a " +
+              s"contract): ${e.getMessage}")
+      }
+    val pin = new org.apache.hadoop.fs.Path(
+      s"$checkpoint/_graft_stream_schema.json")
+    val fs = pin.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pin)) {
+      fs.mkdirs(pin.getParent)
+      val out = fs.create(pin, true)
+      try out.write(inferred.json.getBytes("UTF-8")) finally out.close()
+      inferred
+    } else {
+      val in = fs.open(pin)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val pinned = DataType.fromJson(json).asInstanceOf[StructType]
+      val p = pinned.fields.map(f => f.name -> f.dataType).toMap
+      val c = inferred.fields.map(f => f.name -> f.dataType).toMap
+      val missing = pinned.fields.map(_.name).filterNot(c.contains)
+      val added = inferred.fields.map(_.name).filterNot(p.contains)
+      val retyped = pinned.fields.map(_.name)
+        .filter(n => c.contains(n) && c(n) != p(n))
+      if (missing.nonEmpty || added.nonEmpty || retyped.nonEmpty)
+        throw new IllegalStateException(
+          s"stream_op: curate landing_dir `$srcDir` drifted from the " +
+            s"pinned stream schema ($pin):" +
+            (if (added.nonEmpty)
+               s" added [${added.mkString(", ")}]" else "") +
+            (if (missing.nonEmpty)
+               s" missing [${missing.mkString(", ")}]" else "") +
+            (if (retyped.nonEmpty)
+               retyped.map(n => s" $n retyped " +
+                 s"${p(n).catalogString} -> ${c(n).catalogString}")
+                 .mkString(" ") else "") +
+            " — remove or fix the drifted landed file, or rebuild with " +
+            "--full-refresh to re-pin the contract")
+      pinned
+    }
   }
 
   /** Thrown by the curate foreachBatch when `max_batches_per_run` is

@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * format is handled END-TO-END for real: pixel decode (channel-averaged
   * gray), resize/re-encode ([[graft.ops.Phash.reencodeGray]]), and a
   * genuine DCT perceptual hash ([[graft.ops.Phash.phash64]]) feeding the
-  * near-dup core. The only remaining STUB is container-format decode —
-  * this environment has no JPEG/PNG/audio codec libraries — behind
-  * [[StubCodec]], which parses the deterministic GRFT header instead of
-  * invoking libjpeg. Swap `StubCodec.decode` for a real JNI/lib call and
-  * nothing else changes.
+  * near-dup core. Standard STILL-IMAGE containers (PNG/JPEG/GIF/BMP/
+  * TIFF) also decode for real on the pHash path, via the JDK's own
+  * `javax.imageio` — zero added dependencies. The only remaining STUB
+  * is AUDIO/VIDEO container decode — no such codec libraries ship in
+  * the JDK — behind [[StubCodec]], which parses the deterministic GRFT
+  * header instead of invoking ffmpeg. Swap `StubCodec.decode` for a
+  * real JNI/lib call and nothing else changes.
   */
 object Multimodal {
 
@@ -187,6 +189,24 @@ object Multimodal {
         s"CAST(substring(`$payloadCol`, 1, 4) AS STRING) = 'GRFT'"),
       lit(false))
 
+  /** pHash participation gate: GRFT raw-gray OR a standard still-image
+    * container the JDK's ImageIO decodes (PNG/JPEG/GIF/BMP/TIFF —
+    * magic-byte sniff, the column twin of [[Phash.looksLikeImage]]).
+    * A payload passing the sniff but failing actual decode still hashes
+    * to the 0L sentinel and is kept; payloads failing the sniff
+    * (audio/video/arbitrary binary) never pay a decode attempt.
+    * NULL-safe like [[isGrft]]. */
+  def isPhashable(payloadCol: String): Column =
+    isGrft(payloadCol) || coalesce(
+      expr(s"length(`$payloadCol`) >= 8 AND (" +
+        s"substring(`$payloadCol`, 1, 4) = X'89504E47' OR " +   // PNG
+        s"substring(`$payloadCol`, 1, 3) = X'FFD8FF' OR " +     // JPEG
+        s"substring(`$payloadCol`, 1, 4) = X'47494638' OR " +   // GIF8
+        s"substring(`$payloadCol`, 1, 2) = X'424D' OR " +       // BMP
+        s"substring(`$payloadCol`, 1, 4) = X'49492A00' OR " +   // TIFF LE
+        s"substring(`$payloadCol`, 1, 4) = X'4D4D002A')"),      // TIFF BE
+      lit(false))
+
   /** The payload BODY (bytes past the 16-byte header) decoded as a
     * string. The stub codec's "pixels" ARE text bytes (syntheticMedia),
     * which is what makes the DuckDB oracle able to recompute media
@@ -233,13 +253,15 @@ object Multimodal {
     * the real DCT pHash over the decoded gray image, NOT the token
     * simhash — split into the same 4×16-bit chunk layout the text
     * simhash core bands, so persisted indexes, banding, and the hamming
-    * verify are shared verbatim. Map-side only; invalid payloads are
-    * filtered before hashing, and the 0L no-signal sentinel (undecodable
-    * OR perceptually flat — see [[Phash.phash64]]) never enters banding,
-    * so signal-less rows are always kept, like corrupt ones. */
+    * verify are shared verbatim. Map-side only; payloads failing the
+    * container sniff ([[isPhashable]] — GRFT or a JDK-decodable
+    * still-image format) are filtered before hashing, and the 0L
+    * no-signal sentinel (undecodable OR perceptually flat — see
+    * [[Phash.phash64]]) never enters banding, so signal-less rows are
+    * always kept, like corrupt ones. */
   def phashSignatures(media: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "payload"): DataFrame =
-    media.filter(isGrft(payloadCol))
+    media.filter(isPhashable(payloadCol))
       .select(col(s"`$idCol`").as("id"),
         graft.expressions.PipelineExpressions
           .media_phash(col(s"`$payloadCol`")).as("__ph"))

@@ -21,10 +21,14 @@ package graft.ops
   *
   * Everything here is per-row compute with O(32×32) state — the source
   * image is never materialized, pixels stream through the accumulator —
-  * so the expression runs map-side at any corpus scale. Closes the codec
-  * boundary documented in [[Multimodal.StubCodec]] for the raw-gray GRFT
-  * format; decoding real JPEG/PNG containers to pixels remains the only
-  * stubbed step (no codec libs in this environment).
+  * so the expression runs map-side at any corpus scale. Two container
+  * formats decode for real: the raw-gray GRFT fixture format (closing
+  * the codec boundary documented in [[Multimodal.StubCodec]]), and the
+  * standard still-image containers the JDK's own `javax.imageio`
+  * decodes with zero added dependencies (PNG/JPEG/GIF/BMP/TIFF,
+  * luminance-converted via a TYPE_BYTE_GRAY raster). Anything else —
+  * audio/video containers — stays behind the StubCodec boundary and
+  * hashes to the 0L no-signal sentinel (always kept, never banded).
   *
   * Reference spec: dbt-fusion has no media operators — this family comes
   * from the large-scale training-data-pipeline mandate (near-dup images
@@ -70,13 +74,72 @@ object Phash {
     s.toDouble / c
   }
 
+  /** Decoded gray accessor: (width, height, gray(x, y) in 0..255). */
+  private type GrayView = (Int, Int, (Int, Int) => Double)
+
+  /** GRFT raw-gray decode (header + channel-average accessor), or the
+    * JDK ImageIO decode for standard containers, or None. */
+  private def decodeAny(p: Array[Byte]): Option[GrayView] = {
+    val (w, h, c) = header(p)
+    if (w > 0) {
+      val len = p.length - 16
+      Some((w, h, (x, y) => gray(p, w, c, len, x, y)))
+    } else imageIoGray(p)
+  }
+
+  /** PNG / JPEG / GIF / BMP / TIFF magic-byte sniff — the formats the
+    * JDK's built-in ImageIO readers decode. Cheap pre-gate so arbitrary
+    * binary (audio, video, text) never pays a reader probe. */
+  private[ops] def looksLikeImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 8 && {
+      def at(i: Int) = p(i) & 0xff
+      (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') ||
+      (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) ||
+      (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') ||
+      (at(0) == 'B' && at(1) == 'M') ||
+      (at(0) == 'I' && at(1) == 'I' && at(2) == 0x2a && at(3) == 0) ||
+      (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 0x2a)
+    }
+
+  /** Real still-image decode via `javax.imageio` (in the JDK — zero new
+    * dependencies): any container ImageIO can read becomes a
+    * TYPE_BYTE_GRAY raster (the standard luminance conversion), served
+    * through the same accessor shape as GRFT. Undecodable or corrupt
+    * payloads return None → the 0L sentinel. The ImageIO disk cache is
+    * disabled once per JVM: executor threads must not contend on temp
+    * files for in-memory byte arrays. */
+  private def imageIoGray(p: Array[Byte]): Option[GrayView] = {
+    if (!looksLikeImage(p)) return None
+    imageIoInit
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grayImg = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = grayImg.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        val data = grayImg.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        Some((w, h, (x, y) => (data(y * w + x) & 0xff).toDouble))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private lazy val imageIoInit: Unit = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
   /** Box-filter the w×h gray image onto the N×N grid, streaming one
     * source pixel at a time into the (up to 4, or a span when w < N)
     * destination cells it overlaps. Exact fractional coverage — this is
     * what buys pixel-replication invariance. Returns row-major N×N. */
-  private def downsample(p: Array[Byte], w: Int, h: Int, c: Int)
+  private def downsample(get: (Int, Int) => Double, w: Int, h: Int)
       : Array[Double] = {
-    val len = p.length - 16
     val acc = new Array[Double](N * N)
     var y = 0
     while (y < h) {
@@ -90,7 +153,7 @@ object Phash {
         val xs1 = (x + 1).toDouble * N / w
         val cx0 = xs0.toInt
         val cx1 = math.min(N - 1, math.ceil(xs1).toInt - 1)
-        val g = gray(p, w, c, len, x, y)
+        val g = get(x, y)
         var cy = cy0
         while (cy <= cy1) {
           val wy = math.min(ys1, cy + 1.0) - math.max(ys0, cy.toDouble)
@@ -150,17 +213,18 @@ object Phash {
     out
   }
 
-  /** 64-bit pHash of a GRFT payload; 0L for undecodable payloads (the
-    * callers gate on [[Multimodal.isGrft]] so the zero sentinel never
-    * clusters — same contract as the body checksum). Bit (u·8+v) is set
-    * iff DCT coefficient (u, v) exceeds the median of the 63 AC
-    * coefficients; the DC coefficient competes against the same median
-    * (deterministic; brightness moves only DC and real images keep
-    * DC ≫ median either way). */
+  /** 64-bit pHash of a GRFT or standard still-image payload; 0L for
+    * undecodable payloads (the callers filter the zero sentinel out of
+    * banding so it never clusters — same contract as the body
+    * checksum). Bit (u·8+v) is set iff DCT coefficient (u, v) exceeds
+    * the median of the 63 AC coefficients; the DC coefficient competes
+    * against the same median (deterministic; brightness moves only DC
+    * and real images keep DC ≫ median either way). */
   def phash64(p: Array[Byte]): Long = {
-    val (w, h, c) = header(p)
-    if (w == 0) return 0L
-    val coef = dctLowFreq(downsample(p, w, h, c))
+    val view = decodeAny(p)
+    if (view.isEmpty) return 0L
+    val (w, h, get) = view.get
+    val coef = dctLowFreq(downsample(get, w, h))
     // flat-image guard: a (near-)constant image has every AC coefficient
     // at float-noise scale — the median threshold would emit pure noise
     // bits (the documented unstable case of pHash). No perceptual signal

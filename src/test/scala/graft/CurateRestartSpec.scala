@@ -250,6 +250,123 @@ class CurateRestartSpec extends AnyFunSuite {
       "re-delivery of the mixed null/real batch appended nothing")
   }
 
+  test("durable replay guard is the persisted bucketed key index, not " +
+      "a full target scan: the index materializes under the checkpoint " +
+      "and the guard's read partition-prunes to the batch's buckets") {
+    import graft.mat.CurateKeyIndex
+    val a = freshAdapter("g_curate_idx")
+    val rel = Relation("g_curate_idx", "cur")
+    val landing = Files.createTempDirectory("graft_landing_idx")
+    val cp = Files.createTempDirectory("graft_cp_idx").resolve("cp").toString
+    landAll(landing)
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel) == expectedIds)
+    // the index artifacts live under the checkpoint: bucketed key dirs,
+    // the sealed-files log, the recorded params
+    val idxDir = new java.io.File(s"$cp/_graft_key_index")
+    assert(idxDir.isDirectory, "key index missing under the checkpoint")
+    assert(idxDir.listFiles().exists(_.getName.startsWith("__kb=")),
+      "key index is not laid out in __kb= hash buckets")
+    assert(new java.io.File(s"$cp/_graft_sealed").isDirectory)
+    assert(new java.io.File(s"$cp/_graft_key_index_params.json").isFile)
+    // the guard reads ONLY the buckets the probe batch's keys hash into
+    import spark.implicits._
+    val h = CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), 64)
+    val probe = Seq((1L, "x"), (999L, "y")).toDF("doc_id", "text")
+    val guarded = CurateKeyIndex.guard(h, probe)
+    val planStr = guarded.queryExecution.sparkPlan.toString
+    assert(planStr.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("__kb")),
+      s"guard scan does not partition-prune on __kb:\n$planStr")
+    assert(guarded.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(999L), "guard must drop settled key 1 and pass novel 999")
+    // a changed bucket layout cannot silently reuse the index
+    val e = intercept[IllegalStateException](run(a, rel,
+      cfg(landing.toString, "checkpoint_dir" -> cp,
+        "key_index_buckets" -> 128)))
+    assert(e.getMessage.contains("key_index_buckets"), e.getMessage)
+    assert(e.getMessage.contains("--full-refresh"), e.getMessage)
+  }
+
+  test("durable stream schema is pinned on the first invocation; a " +
+      "landed file that adds or retypes a column fails by name") {
+    import spark.implicits._
+    val a = freshAdapter("g_curate_schema")
+    val rel = Relation("g_curate_schema", "cur")
+    val landing = Files.createTempDirectory("graft_landing_sch")
+    land(landing, "f1", Seq((1L, t1)))
+    run(a, rel, cfg(landing.toString))
+    // an extra column drifts the contract
+    val tmp = Files.createTempDirectory("graft_land_drift")
+    Seq((5L, t2, 3.14)).toDF("doc_id", "text", "extra_score")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val drifted = landing.resolve("f2_drift.parquet")
+    Files.move(part.toPath, drifted)
+    val e1 = intercept[IllegalStateException](run(a, rel, cfg(landing.toString)))
+    assert(e1.getMessage.contains("drifted from the pinned stream schema"),
+      e1.getMessage)
+    assert(e1.getMessage.contains("extra_score"), e1.getMessage)
+    // removing the drifted file heals the run (nothing was committed)
+    Files.delete(drifted)
+    land(landing, "f3", Seq((3L, t2)))
+    run(a, rel, cfg(landing.toString))
+    assert(ids(a, rel) == Set(1L, 3L))
+    // a retyped column is refused too (incompatible footer merge)
+    val tmp2 = Files.createTempDirectory("graft_land_retype")
+    Seq(("not-a-long", t3)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    val part2 = tmp2.toFile.listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val retyped = landing.resolve("f4_retyped.parquet")
+    Files.move(part2.toPath, retyped)
+    val e2 = intercept[IllegalStateException](run(a, rel, cfg(landing.toString)))
+    assert(e2.getMessage.contains("INCOMPATIBLE") ||
+      e2.getMessage.contains("drifted from the pinned stream schema"),
+      e2.getMessage)
+    Files.delete(retyped)
+  }
+
+  test("two concurrent invocations on one checkpoint: the second fails " +
+      "by name while the first drains; the lock releases afterwards") {
+    val a = freshAdapter("g_curate_lock")
+    val rel = Relation("g_curate_lock", "cur")
+    val landing = Files.createTempDirectory("graft_landing_lock")
+    val cp = Files.createTempDirectory("graft_cp_lock").resolve("cp").toString
+    landAll(landing)
+    spark.conf.set("graft.curate.sleepPerBatchMillis", "800")
+    val runA = scala.concurrent.Future {
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      // wait for A to take the lock, then B must be refused by name
+      val lock = new java.io.File(s"$cp.lock")
+      val deadline = System.currentTimeMillis() + 30000
+      while (!lock.exists() && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(lock.exists(), "run A never created the checkpoint lock")
+      val e = intercept[IllegalStateException](
+        run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+      assert(e.getMessage.contains("lock"), e.getMessage)
+      assert(e.getMessage.contains("concurrent") ||
+        e.getMessage.contains("another invocation"), e.getMessage)
+    } finally spark.conf.unset("graft.curate.sleepPerBatchMillis")
+    scala.concurrent.Await.result(runA,
+      scala.concurrent.duration.Duration(120, "s"))
+    assert(ids(a, rel) == expectedIds)
+    assert(!new java.io.File(s"$cp.lock").exists(),
+      "the lock must release when the drain finishes")
+    // a stale lock left by a kill -9 is also refused by name, and the
+    // error names the file to delete
+    new java.io.File(s"$cp.lock").createNewFile()
+    val e2 = intercept[IllegalStateException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+    assert(e2.getMessage.contains(s"$cp.lock"), e2.getMessage)
+    assert(e2.getMessage.contains("kill -9"), e2.getMessage)
+    new java.io.File(s"$cp.lock").delete()
+  }
+
   test("bounded replay: --full-refresh with an all-empty staged input " +
       "rebuilds target AND per-step state schema-only — stale rows gone") {
     import spark.implicits._

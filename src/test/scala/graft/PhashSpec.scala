@@ -148,4 +148,94 @@ class PhashSpec extends AnyFunSuite {
     assert(kept == expected,
       s"extra=${kept diff expected} missing=${expected diff kept}")
   }
+
+  // ---- real image containers via the JDK's ImageIO ----
+
+  /** The [[fixture]] gray content rendered into a real AWT image. */
+  private def awtFixture(w: Int, h: Int, seed: Int)
+      : java.awt.image.BufferedImage = {
+    val grft = fixture(w, h, seed)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, grft(16 + y * w + x) & 0xff)
+    img
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Integer pixel-replication upscale + brightness — the same
+    * re-encode transform [[Phash.reencodeGray]] applies to GRFT, on a
+    * real raster. */
+  private def rescale(img: java.awt.image.BufferedImage, scale: Int,
+      brightness: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth * scale
+    val h = img.getHeight * scale
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val in = img.getRaster
+    val o = out.getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = in.getSample(x / scale, y / scale, 0) + brightness
+      o.setSample(x, y, 0, math.max(0, math.min(255, v)))
+    }
+    out
+  }
+
+  test("real PNG containers decode via ImageIO: a PNG re-encode pair " +
+      "hashes within the pigeonhole threshold, PNG and GRFT renderings " +
+      "of the same pixels hash identically") {
+    val img = awtFixture(48, 36, seed = 4100)
+    val png = encodePng(img)
+    assert(Multimodal.StubCodec.decode(png).valid == false,
+      "a PNG must not parse as GRFT")
+    val base = Phash.phash64(png)
+    assert(base != 0L, "PNG decode produced the no-signal sentinel")
+    // identical pixels through either container → identical hash (both
+    // decode paths feed the same downsample/DCT core)
+    assert(base == Phash.phash64(fixture(48, 36, seed = 4100)),
+      "PNG and GRFT decodes of the same gray pixels disagree")
+    // upscale + brightness re-encode (saved-at-a-different-resolution)
+    val variant = encodePng(rescale(img, 2, 6))
+    val d = Phash.hamming(base, Phash.phash64(variant))
+    assert(d <= 2, s"PNG re-encode drifted $d bits")
+    // a lossy JPEG re-encode of the same image stays within threshold
+    val dJpeg = Phash.hamming(base, Phash.phash64(encodeJpeg(img)))
+    assert(dJpeg <= 3, s"JPEG re-encode drifted $dJpeg bits")
+    // unrelated PNGs sit at background distance
+    val other = Phash.phash64(encodePng(awtFixture(40, 50, seed = 4777)))
+    assert(Phash.hamming(base, other) > 3, "unrelated PNGs within threshold")
+  }
+
+  test("method: phash accepts a mixed GRFT + PNG/JPEG corpus — " +
+      "cross-container variants of one image merge") {
+    import spark.implicits._
+    val img = awtFixture(44, 33, seed = 4200)
+    val rows = Seq(
+      (1L, fixture(44, 33, seed = 4200)),          // GRFT original
+      (2L, encodePng(img)),                        // PNG of the same pixels
+      (3L, encodeJpeg(rescale(img, 2, 4))),        // lossy rescaled JPEG
+      (4L, encodePng(awtFixture(30, 41, seed = 4300))), // unrelated PNG
+      (5L, "mp3-ish arbitrary binary".getBytes("ASCII"))) // non-image
+    val media = rows.toDF("doc_id", "payload")
+      .withColumn("media_type", lit("image"))
+    val step = graft.mat.PipelineSteps.parse(Some(Seq(Map(
+      "op" -> "media_dedup", "method" -> "phash")))).head
+    val kept = step.apply(media).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L),
+      s"cross-container variants must merge into doc 1; non-image and " +
+        s"unrelated rows stay (got $kept)")
+  }
 }
