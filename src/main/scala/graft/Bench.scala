@@ -109,6 +109,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogTuning.quietBenignWindowWarning()
 
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

@@ -329,6 +329,63 @@ object BenchGrowth {
           f""""batch_ratio":${cpM / cp1}%.2f}"""
     }
 
+    // ---- media payload-size throughput row ------------------------------
+    // The growth rows above measure STATE growth on text-sized payloads;
+    // real images are 10^5-10^6 bytes and pHash is O(pixels) per row, so
+    // the media family's scale story is BANDWIDTH, not state. This row
+    // measures map-side pHash throughput (MB/s through phashSignatures →
+    // noop) at ~100 KB and ~1 MB per image on a pre-materialized cached
+    // corpus (generation excluded from the clock). per_mb_ratio near 1
+    // means cost per byte is flat across payload sizes — the decode +
+    // box-filter stream is the whole cost, with no per-row or per-size
+    // superlinear term.
+    if (famFilter.forall(_.contains("media_payload"))) {
+      val mkBody = org.apache.spark.sql.functions.udf { (id: Long, edge: Int) =>
+        val body = new Array[Byte](edge * edge)
+        var y = 0
+        while (y < edge) {
+          var x = 0
+          while (x < edge) {
+            // gradient + per-image phase: genuine low-frequency signal,
+            // cheap to generate
+            body(y * edge + x) =
+              ((x * 255 / edge + y * 97 / edge + id * 13) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Multimodal.StubCodec.encode(edge, edge, 1, body)
+      }
+      // SAME total bytes at both sizes: what varies is payload size, so
+      // a flat per-MB cost isolates "bandwidth, not per-row/state terms"
+      val mTimes = Seq(("100KB", 316, 3000), ("1MB", 1000, 300))
+        .map { case (label, edge, nImgs) =>
+        val media = spark.range(0, nImgs, 1, cpus.toInt)
+          .select($"id".as("doc_id"), org.apache.spark.sql.functions
+            .lit("image").as("media_type"),
+            mkBody($"id", org.apache.spark.sql.functions.lit(edge))
+              .as("payload"))
+          .cache()
+        media.count() // materialize generation off the clock
+        val totalMb = nImgs.toDouble * edge * edge / 1e6
+        def once() = timed(Multimodal.phashSignatures(media)
+          .write.format("noop").mode("overwrite").save())
+        once() // warmup: JIT + codegen of the hash path, off the clock
+        val sec = math.min(once(), once())
+        media.unpersist()
+        val mbs = totalMb / sec
+        System.err.println(
+          f"[growth] media_payload $label%-5s: ${totalMb}%7.1f MB in " +
+            f"$sec%6.2fs = $mbs%7.1f MB/s")
+        (label, sec, mbs)
+      }
+      val Seq((_, s1, t1), (_, s2, t2)) = mTimes
+      out("media_payload") =
+        f"""{"sec_100kb":$s1%.2f,"mb_per_s_100kb":$t1%.1f,""" +
+          f""""sec_1mb":$s2%.2f,"mb_per_s_1mb":$t2%.1f,""" +
+          f""""per_mb_ratio":${t1 / t2}%.2f}"""
+    }
+
     val fams = out.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"write_growth","base_docs":$base,"mult":$mult,""" +

@@ -42,6 +42,7 @@ object BenchWrite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogTuning.quietBenignWindowWarning()
 
     // the write queries build their own schemas/tables; the noop sink only
     // drains the returned verification frame

@@ -22,6 +22,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogTuning.quietBenignWindowWarning()
     new java.io.File(outDir).mkdirs()
     // Session TZ is UTC, so TIMESTAMP → TIMESTAMP_NTZ preserves the wall
     // clock; combined with the micros pin above, parquet gets naive

@@ -71,7 +71,7 @@ object BuiltinMacros {
       |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
       |SELECT digit, n FROM (
       |  SELECT digit, n,
-      |    n / CAST(sum(n) OVER (PARTITION BY 0) AS DOUBLE) AS share,
+      |    n / CAST(sum(n) OVER () AS DOUBLE) AS share,
       |    log10(1.0 + 1.0 / digit) AS expected
       |  FROM cnt) t
       |WHERE abs(share - expected) > {{ tolerance }}

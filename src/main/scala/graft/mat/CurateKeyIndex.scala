@@ -102,8 +102,17 @@ private[graft] object CurateKeyIndex {
 
   private def sealedPaths(h: Handle): Set[String] =
     if (!exists(h.spark, h.sealedDir)) Set.empty
-    else h.spark.read.parquet(h.sealedDir)
-      .collect().map(_.getString(0)).toSet
+    else
+      // a dir torn by a killed write (only _temporary/_SUCCESS inside)
+      // reads as UNABLE_TO_INFER_SCHEMA — treat it as empty: the files
+      // it would have sealed stay unsealed and this very call's caller
+      // re-indexes them (duplicate index rows cannot change an
+      // anti-join's verdict, so the re-seal is idempotent)
+      try h.spark.read.parquet(h.sealedDir)
+        .collect().map(_.getString(0)).toSet
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Set.empty
+      }
 
   /** Synchronize the index with the target's CURRENT data files: index
     * the key columns of files not yet sealed, then log them sealed. In
@@ -144,8 +153,15 @@ private[graft] object CurateKeyIndex {
       .select(bucketOf(h.keys, h.buckets).as("__kb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return batch
-    val idx = h.spark.read.parquet(h.indexDir)
-      .filter(col("__kb").isin(touched: _*))
+    // a dataless index dir (torn first write) holds no keys to drop —
+    // and anything the target actually holds was just re-indexed by
+    // this batch's own seal() before guard() runs
+    val idx =
+      try h.spark.read.parquet(h.indexDir)
+        .filter(col("__kb").isin(touched: _*))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => return batch
+      }
     val cond = h.keys.map(k => batch(s"`$k`") <=> idx(s"`$k`"))
       .reduce(_ && _)
     batch.join(idx, cond, "left_anti")

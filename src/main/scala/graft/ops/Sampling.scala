@@ -123,10 +123,9 @@ object Sampling {
       .cast("long")
     val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
     val pri = round(exp(log(u) / col(weightCol).cast("double")), 9)
-    // the rank window runs over the limit(k) winners only; the constant
-    // partitionBy keeps WindowExec's single-partition warning out of logs
+    // the rank window runs over the limit(k) winners only
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("priority").desc, col(keyCol))
+      .orderBy(col("priority").desc, col(keyCol))
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("priority", pri)
       .orderBy(col("priority").desc, col(keyCol))

@@ -653,10 +653,10 @@ object TextAnalysis {
       .orderBy(col("__score").desc, col(idCol))
       .limit(topK)
     // rank over the already-limit(topK)'d rows — k rows on one
-    // partition is the point; the constant partitionBy keeps WindowExec
-    // from logging a single-partition warning on every run
+    // partition is the point (see Sessions.gapRegularity on the
+    // WindowExec warning for audited post-limit sites)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("__score").desc, col(idCol))
+      .orderBy(col("__score").desc, col(idCol))
     top.withColumn("rank", row_number().over(w))
       .select(col(idCol), round(col("__score"), 6).as("bm25"), col("rank"))
   }
@@ -752,9 +752,9 @@ object TextAnalysis {
         (col("__N") * col("__tf")).cast("double"), 6)
     val scored = st.crossJoin(broadcast(n)).withColumn("vmr", vmr)
     val top = scored.orderBy(col("vmr").desc, col("__t")).limit(k)
-    // post-limit(k) rank — see the bm25 note on the constant partitionBy
+    // post-limit(k) rank — see the bm25 note
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("vmr").desc, col("__t"))
+      .orderBy(col("vmr").desc, col("__t"))
     top.withColumn("rank", row_number().over(w))
       .select(col("__t").as("term"), col("df"),
         col("__tf").cast("bigint").as("tf"), col("vmr"), col("rank"))
