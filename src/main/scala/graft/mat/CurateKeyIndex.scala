@@ -40,11 +40,16 @@ import org.apache.spark.sql.functions._
   * [[guard]] then anti-joins the batch against ONLY the index buckets
   * the batch's own keys hash into (`__kb IN (…)` partition-prunes the
   * read): per-batch cost is the batch itself plus
-  * (touched-buckets / B) of a key-only table — flat in target size for
-  * bounded batches, the same bounded shape as the event_time slice
-  * guard. A changed `key_index_buckets:` or `unique_key` is refused by
-  * name ([[checkParams]]): bucket membership is hash-determined, and an
-  * index laid out under different params would silently miss keys.
+  * (touched-buckets / B) of a key-only table. Sizing: pruning bites
+  * when the batch's distinct keys ≲ B (a batch with many more keys
+  * than buckets touches them all — size `key_index_buckets:` to the
+  * expected per-file key count in durable mode); the floor is a full
+  * scan of the NARROW key-only index — the same accepted floor as the
+  * settled exact-dedup index the growth rows already fence — never a
+  * scan of the wide target. A changed `key_index_buckets:` or
+  * `unique_key` is refused by name ([[checkParams]]): bucket
+  * membership is hash-determined, and an index laid out under
+  * different params would silently miss keys.
   *
   * Reference spec: dbt-fusion's microbatch/incremental idempotence
   * contracts (crates/dbt-schemas/src/schemas/common.rs:523 batch
@@ -58,6 +63,11 @@ private[graft] object CurateKeyIndex {
     def indexDir: String = s"$checkpoint/_graft_key_index"
     def sealedDir: String = s"$checkpoint/_graft_sealed"
     def paramsPath: String = s"$checkpoint/_graft_key_index_params.json"
+    /** Sealed-file names, loaded from the log ONCE per invocation and
+      * maintained in memory as seals append — the lock guarantees a
+      * single writer, so re-reading the (file-count-sized) log every
+      * micro-batch would be pure per-batch overhead. */
+    private[CurateKeyIndex] var sealedCache: Set[String] = _
   }
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -100,19 +110,23 @@ private[graft] object CurateKeyIndex {
     }
   }
 
-  private def sealedPaths(h: Handle): Set[String] =
-    if (!exists(h.spark, h.sealedDir)) Set.empty
-    else
-      // a dir torn by a killed write (only _temporary/_SUCCESS inside)
-      // reads as UNABLE_TO_INFER_SCHEMA — treat it as empty: the files
-      // it would have sealed stay unsealed and this very call's caller
-      // re-indexes them (duplicate index rows cannot change an
-      // anti-join's verdict, so the re-seal is idempotent)
-      try h.spark.read.parquet(h.sealedDir)
-        .collect().map(_.getString(0)).toSet
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => Set.empty
-      }
+  private def sealedPaths(h: Handle): Set[String] = {
+    if (h.sealedCache != null) return h.sealedCache
+    h.sealedCache =
+      if (!exists(h.spark, h.sealedDir)) Set.empty
+      else
+        // a dir torn by a killed write (only _temporary/_SUCCESS inside)
+        // reads as UNABLE_TO_INFER_SCHEMA — treat it as empty: the files
+        // it would have sealed stay unsealed and this very call's caller
+        // re-indexes them (duplicate index rows cannot change an
+        // anti-join's verdict, so the re-seal is idempotent)
+        try h.spark.read.parquet(h.sealedDir)
+          .collect().map(_.getString(0)).toSet
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => Set.empty
+        }
+    h.sealedCache
+  }
 
   /** Synchronize the index with the target's CURRENT data files: index
     * the key columns of files not yet sealed, then log them sealed. In
@@ -132,6 +146,12 @@ private[graft] object CurateKeyIndex {
     reader.parquet(unsealed: _*)
       .select(h.keys.map(k => col(s"`$k`")): _*)
       .withColumn("__kb", bucketOf(h.keys, h.buckets))
+      // shuffle each bucket into ONE task before the partitioned write:
+      // a raw partitionBy write emits one file per (task, bucket) pair —
+      // up to tasks×buckets small files PER SEAL; this caps it at one
+      // file per bucket per seal while the big post-full-build catch-up
+      // still writes with full cluster parallelism (min(buckets, cores))
+      .repartition(col("__kb"))
       .write.mode("append").partitionBy("__kb").parquet(h.indexDir)
     // the sealed log is append-only file names; written AFTER the index
     // append so a crash between the two re-reads the files as unsealed
@@ -140,6 +160,7 @@ private[graft] object CurateKeyIndex {
     import h.spark.implicits._
     h.spark.createDataset(unsealed).toDF("path")
       .coalesce(1).write.mode("append").parquet(h.sealedDir)
+    h.sealedCache = already ++ unsealed
   }
 
   /** Drop batch rows whose key tuple the index holds — reading ONLY the
