@@ -472,6 +472,19 @@ object PipelineExpressions {
       copy(child = c)
   }
 
+  /** [[graft.ops.AudioHash.audioHash64]] — the envelope-spectrum audio
+    * fingerprint — as a native expression (same shape and sentinel
+    * contract as [[MediaPhash]]: undecodable or signal-less payloads
+    * yield 0L and stay out of banding). */
+  case class MediaAudioHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      graft.ops.AudioHash.audioHash64(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Count of lowercase space-split tokens that appear in `words` — the
     * stopword-hit primitive (same contract as
     * `size(filter(split(lower(text),' '), t -> t IN (...)))`). */
@@ -729,6 +742,8 @@ object PipelineExpressions {
     wrap(MediaChecksum(expression(c)))
   def media_phash(c: Column): Column =
     wrap(MediaPhash(expression(c)))
+  def media_audio_hash(c: Column): Column =
+    wrap(MediaAudioHash(expression(c)))
   def subword_count(c: Column): Column =
     wrap(SubwordCount(expression(c)))
   def repetition_stats(c: Column): Column =

@@ -656,7 +656,11 @@ object PipelineSteps {
       // standard still-image containers via the JDK's ImageIO) — both
       // through the same 4-chunk pigeonhole core as text simhash_dedup,
       // merging hamming ≤ `max_hamming:` components (min-id keep, or
-      // the `priority_col:` max). Payloads failing the container check
+      // the `priority_col:` max); `method: audio` the envelope-spectrum
+      // fingerprint over DECODED PCM (graft.ops.AudioHash — WAV/AIFF/AU
+      // via the JDK's javax.sound.sampled; gain-scaled, resampled, and
+      // re-quantized copies of one recording merge), through the same
+      // banding core. Payloads failing the container check
       // are ALWAYS kept (a corrupt file must not merge into the
       // checksum-0 garbage group); only audio/video container decode
       // stays the documented StubCodec boundary. Column-neutral.
@@ -667,10 +671,10 @@ object PipelineSteps {
         val maxHamming = int(m, "max_hamming", 3)
         val priorityCol = m.get("priority_col").map(String.valueOf)
         if (method != "exact" && method != "simhash" && method != "phash" &&
-            method != "frames")
+            method != "frames" && method != "audio")
           throw new IllegalArgumentException(
             "pipeline step `media_dedup`: `method:` must be exact, " +
-              s"simhash, phash, or frames, got `$method`")
+              s"simhash, phash, frames, or audio, got `$method`")
         // frames: clip/re-mux detection — frame-signature sets through
         // the n-gram containment machinery (see Multimodal.frameSets)
         val frameLen = int(m, "frame_len", 64)
@@ -701,6 +705,9 @@ object PipelineSteps {
             val pairs =
               if (method == "phash")
                 Multimodal.mediaNearDupsPhash(df, idCol, payloadCol,
+                  maxHamming)
+              else if (method == "audio")
+                Multimodal.mediaNearDupsAudio(df, idCol, payloadCol,
                   maxHamming)
               else if (method == "frames")
                 Dedup.ngramNearDupsFromSets(
@@ -2089,7 +2096,9 @@ object PipelineModels {
     * simhash (signatures from the body tokens, or from the decoded
     * pixels via the DCT pHash), running through
     * [[incrementalSimhashCore]] — corrupt payloads have no signature,
-    * never cluster, and are always kept. Method is a recorded train
+    * never cluster, and are always kept. `method: audio` runs the
+    * envelope-spectrum fingerprint ([[graft.ops.AudioHash]]) through
+    * the identical core. Method is a recorded train
     * param: the state formats (and hash functions) are incompatible. */
   private def incrementalMedia(ctx: MatContext, s: Step, suffix: String,
       df: DataFrame, incrRun: Boolean,
@@ -2107,12 +2116,15 @@ object PipelineModels {
         dbl(s.raw, "threshold", 0.5), str(s.raw, "measure", "containment"),
         d => Multimodal.frameSets(d, idCol, payloadCol,
           int(s.raw, "frame_len", 64), int(s.raw, "stride", 32)))
-    } else if (method == "simhash" || method == "phash") {
-      // both persist the same 5-int signature format; which hash filled
-      // it is a recorded train param, so the formats can never mix
+    } else if (method == "simhash" || method == "phash" ||
+        method == "audio") {
+      // all three persist the same 5-int signature format; which hash
+      // filled it is a recorded train param, so the formats can never mix
       val sigsOf: DataFrame => DataFrame =
         if (method == "phash")
           d => Multimodal.phashSignatures(d, idCol, payloadCol)
+        else if (method == "audio")
+          d => Multimodal.audioSignatures(d, idCol, payloadCol)
         else
           d => Dedup.simhashSignatures(
             d.filter(Multimodal.isGrft(payloadCol))
@@ -2528,12 +2540,17 @@ object StreamingTableMat extends Materialization {
         // rebuild starts from scratch, so the old checkpoint's
         // committed-files log must go with the old target rows (and
         // with it the pinned stream schema + durable key index, which
-        // re-derive from the post-refresh state)
-        if (ctx.fullRefresh) {
-          val cpPath = new org.apache.hadoop.fs.Path(cp)
-          val cpFs = cpPath.getFileSystem(hconf)
-          if (cpFs.exists(cpPath)) cpFs.delete(cpPath, true)
-        }
+        // re-derive from the post-refresh state). Failures here happen
+        // AFTER lock acquisition but BEFORE the drain's try/finally —
+        // release explicitly or the lock leaks.
+        if (ctx.fullRefresh)
+          try {
+            val cpPath = new org.apache.hadoop.fs.Path(cp)
+            val cpFs = cpPath.getFileSystem(hconf)
+            if (cpFs.exists(cpPath)) cpFs.delete(cpPath, true)
+          } catch {
+            case e: Throwable => releaseCurateLock(spark, cp); throw e
+          }
         (ld, cp)
       case None =>
         val nBatches = cfg.get("stream_batches")

@@ -284,6 +284,101 @@ object Multimodal {
     Dedup.simhashNearDupsFromSigs(phashSignatures(media, idCol, payloadCol),
       maxHamming, Dedup.maxBandBucket(media))
 
+  /** Audio-container sniff as a pure column expression — WAV
+    * (`RIFF…WAVE`), AIFF/AIFC (`FORM…AIF`), AU (`.snd`): the formats
+    * the JDK's own `javax.sound.sampled` decodes ([[AudioHash]]'s
+    * column twin). NULL-safe like [[isGrft]]; payloads passing the
+    * sniff but failing actual decode hash to the 0L sentinel and are
+    * always kept. */
+  def isAudioContainer(payloadCol: String): Column =
+    coalesce(
+      expr(s"length(`$payloadCol`) >= 12 AND (" +
+        s"(substring(`$payloadCol`, 1, 4) = X'52494646' AND " +       // RIFF
+        s" substring(`$payloadCol`, 9, 4) = X'57415645') OR " +       // WAVE
+        s"(substring(`$payloadCol`, 1, 4) = X'464F524D' AND " +       // FORM
+        s" substring(`$payloadCol`, 9, 3) = X'414946') OR " +         // AIF
+        s"substring(`$payloadCol`, 1, 4) = X'2E736E64')"),            // .snd
+      lit(false))
+
+  /** Audio fingerprint signature table (id, c0..c3):
+    * [[AudioHash.audioHash64]] — the envelope-spectrum hash over the
+    * DECODED PCM — split into the same 4×16-bit chunk layout as text
+    * simhash and image pHash, so persisted indexes, banding, and the
+    * hamming verify are shared verbatim. Map-side only; payloads
+    * failing the container sniff are filtered before hashing and the
+    * 0L no-signal sentinel (undecodable OR silent/flat) never enters
+    * banding, so signal-less rows are always kept. */
+  def audioSignatures(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.filter(isAudioContainer(payloadCol))
+      .select(col(s"`$idCol`").as("id"),
+        graft.expressions.PipelineExpressions
+          .media_audio_hash(col(s"`$payloadCol`")).as("__ph"))
+      .filter(col("__ph") =!= 0L)
+      .select(col("id"),
+        expr("cast((__ph >> 48) & 65535 AS INT)").as("c0"),
+        expr("cast((__ph >> 32) & 65535 AS INT)").as("c1"),
+        expr("cast((__ph >> 16) & 65535 AS INT)").as("c2"),
+        expr("cast(__ph & 65535 AS INT)").as("c3"))
+
+  /** Audio near-dup pairs via the envelope fingerprint: gain-scaled,
+    * resampled, or re-quantized copies of one recording land within a
+    * few bits and merge; unrelated recordings sit at the ~32-bit
+    * background distance. Output: (id_a, id_b, hamming). */
+  def mediaNearDupsAudio(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", maxHamming: Int = 3): DataFrame =
+    Dedup.simhashNearDupsFromSigs(audioSignatures(media, idCol, payloadCol),
+      maxHamming, Dedup.maxBandBucket(media))
+
+  /** A WAV fixture corpus for the audio fingerprint path: the text is
+    * split into 32 segments, each FNV-hashed to one amplitude level in
+    * [0.12, 0.92], rendered as a sign-alternating square carrier
+    * (|sample| ≡ the segment amplitude, zero DC) playing that 32-step
+    * gain staircase over ~0.4 s of 8 kHz 16-bit mono PCM. Same design
+    * constraints as [[syntheticMedia2D]]: the staircase's bandwidth
+    * sits inside the DCT's kept 64 coefficients (every clip carries
+    * genuine envelope signal), segment hashing gives avalanche (texts
+    * differing by one byte render decorrelated envelopes) while EQUAL
+    * texts render identical audio, the amplitude range keeps moderate
+    * gain scaling clip-free, and the constant-|amplitude| carrier
+    * makes the envelope EXACT under any keep-1-in-k decimation (a
+    * sine carrier would alias — its per-cell mean |amplitude| depends
+    * on which phases the decimation keeps). */
+  def syntheticAudioWav(docs: DataFrame): DataFrame = {
+    val enc = udf { (docId: Long, text: String) =>
+      val t = text.getBytes("UTF-8")
+      val amps = new Array[Double](32)
+      var ci = 0
+      while (ci < 32) {
+        val from = ci * t.length / 32
+        val to = math.max(from + 1, (ci + 1) * t.length / 32)
+        var fnv = 1469598103934665603L
+        var i = from
+        while (i < math.min(to, t.length)) {
+          fnv = (fnv ^ t(i)) * 1099511628211L; i += 1
+        }
+        amps(ci) = 0.12 +
+          java.lang.Long.remainderUnsigned(fnv, 801L) / 1000.0
+        ci += 1
+      }
+      val rate = 8000f
+      val n = 3200 // 0.4 s
+      val pcm = new Array[Byte](n * 2)
+      var f = 0
+      while (f < n) {
+        val amp = amps(f * 32 / n)
+        val sign = if (f % 2 == 0) 1 else -1
+        val v = math.rint(sign * amp * 30000.0).toInt
+        pcm(f * 2) = (v & 0xff).toByte
+        pcm(f * 2 + 1) = ((v >> 8) & 0xff).toByte
+        f += 1
+      }
+      AudioHash.pcm16ToWav(pcm, rate)
+    }
+    docs.select(col("doc_id"), lit("audio").as("media_type"),
+      enc(col("doc_id"), col("text")).as("payload"))
+  }
+
   /** Frame-signature SETS (id, shh: array of distinct frame digests) —
     * the video-level near-dup primitive: a payload's body sliced into
     * `frameLen`-byte windows every `stride` bytes, each digested with

@@ -224,24 +224,34 @@ object Phash {
     val view = decodeAny(p)
     if (view.isEmpty) return 0L
     val (w, h, get) = view.get
-    val coef = dctLowFreq(downsample(get, w, h))
-    // flat-image guard: a (near-)constant image has every AC coefficient
-    // at float-noise scale — the median threshold would emit pure noise
-    // bits (the documented unstable case of pHash). No perceptual signal
-    // means no near-dup claim: emit the same 0L no-signal sentinel as an
-    // undecodable payload, and the callers keep the row out of banding.
+    thresholdBits(dctLowFreq(downsample(get, w, h)))
+  }
+
+  /** 64 DCT coefficients → 64 bits against the AC median, with the flat
+    * and weak-signal sentinels. Shared by the image hash and the audio
+    * envelope hash ([[AudioHash]]) — the same spectral-sign scheme, so
+    * the 4×16-bit chunk banding and hamming verify apply verbatim.
+    *
+    * Flat guard: a (near-)constant input has every AC coefficient at
+    * float-noise scale — the median threshold would emit pure noise
+    * bits (the documented unstable case of pHash). No perceptual signal
+    * means no near-dup claim: emit the same 0L no-signal sentinel as an
+    * undecodable payload, and the callers keep the row out of banding.
+    * Sub-float-noise coefficients snap to EXACT zero (an input constant
+    * along one axis has most coefficients at 0 in exact arithmetic but
+    * ±1e-14·maxAc in floats — those noise signs would destroy re-encode
+    * invariance; 1e-9 relative is orders above float noise and orders
+    * below any real signal coefficient), and fewer than 16 live AC
+    * coefficients is the weak-signal sentinel — too few meaningful bits
+    * to band at hamming ≤ 3. */
+  private[ops] def thresholdBits(coef: Array[Double]): Long = {
+    require(coef.length == 64, s"thresholdBits expects 64 coefficients")
     var maxAc = 0.0
     var j = 1
     while (j < coef.length) {
       val a = math.abs(coef(j)); if (a > maxAc) maxAc = a; j += 1
     }
     if (maxAc < 1e-6 * math.max(1.0, math.abs(coef(0)))) return 0L
-    // snap sub-float-noise coefficients to EXACT zero: an image constant
-    // along one axis (h=1 strips, uniform columns) has most coefficients
-    // at 0 in exact arithmetic but ±1e-14·maxAc in floats — without the
-    // snap those noise signs become nondeterministic-looking bits that
-    // destroy re-encode invariance. 1e-9 relative is orders above float
-    // noise and orders below any byte-image signal coefficient.
     val snap = 1e-9 * maxAc
     var nSignal = 0
     j = 1
@@ -249,10 +259,6 @@ object Phash {
       if (math.abs(coef(j)) < snap) coef(j) = 0.0 else nSignal += 1
       j += 1
     }
-    // weak-signal guard: with fewer than 16 live AC coefficients the
-    // hash has too few meaningful bits to band at hamming ≤ 3 (two
-    // unrelated one-row strips would sit ~3 bits apart) — same
-    // no-signal sentinel, the row is always kept
     if (nSignal < 16) return 0L
     val ac = java.util.Arrays.copyOfRange(coef, 1, coef.length)
     java.util.Arrays.sort(ac)

@@ -1474,6 +1474,42 @@ object PipelinePack extends QueryPack {
         .select("doc_id", "media_type").orderBy("doc_id")
     }),
 
+    // audio near-dup dedup through the media_dedup STEP closure,
+    // `method: audio` — the envelope-spectrum fingerprint over DECODED
+    // PCM (real WAV containers via the JDK's javax.sound.sampled):
+    // gain-scaled and resampled (keep-1-in-k, header rate follows)
+    // re-encodes of one recording merge into its
+    // min-id; unrelated recordings sit at the ~32-bit background
+    // distance. Fixture: syntheticAudioWav renders each text as a
+    // 32-step amplitude staircase (segment-FNV avalanche — equal texts
+    // identical audio, any byte difference decorrelated), and every
+    // 2nd/3rd original re-appears as a re-mastered variant. Oracle =
+    // min-id per text, exactly the audio components.
+    "q_media_dedup_audio" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 32)
+        .select("doc_id", "text")
+      val media = Multimodal.syntheticAudioWav(docs)
+      val re = udf((p: Array[Byte], g: Double, dec: Int, q8: Boolean) =>
+        graft.ops.AudioHash.reencode(p, g, dec, q8))
+      val v1 = media.filter(col("doc_id") % 14 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("payload",
+          re(col("payload"), lit(0.7), lit(1), lit(false)))
+      // gain and resampling are EXACT invariances of the envelope
+      // hash; 8-bit quantization is approximate (noise can flip
+      // near-median coefficients past the pigeonhole-3 guarantee — see
+      // AudioHashSpec) and stays out of the oracle fixture
+      val v2 = media.filter(col("doc_id") % 21 === 0)
+        .withColumn("doc_id", col("doc_id") + 600000L)
+        .withColumn("payload",
+          re(col("payload"), lit(0.85), lit(2), lit(false)))
+      val step = graft.mat.PipelineSteps.parse(Some(Seq(Map(
+        "op" -> "media_dedup", "method" -> "audio")))).head
+      step.apply(media.unionByName(v1).unionByName(v2))
+        .select("doc_id", "media_type").orderBy("doc_id")
+    }),
+
     // media frame-overlap dedup through the media_dedup STEP closure,
     // `method: frames` — clip/re-mux detection: the payload body slices
     // into 64-byte frames every 32 bytes, digested with md5, and
@@ -4999,6 +5035,14 @@ object PipelinePack extends QueryPack {
     // hamming 14 measured), and the DCT hash is exactly invariant to
     // the variants' transforms — so the kept set is min-id per text,
     // which SQL states without recomputing the hash
+    "q_media_dedup_audio" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND length(text) >= 32),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text)
+        |SELECT doc_id, 'audio' AS media_type
+        |FROM keep ORDER BY doc_id""".stripMargin,
+
     "q_media_dedup_phash" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

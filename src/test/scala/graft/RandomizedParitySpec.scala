@@ -384,6 +384,32 @@ class RandomizedParitySpec extends AnyFunSuite {
         "id_col" -> "doc_id")),
       "doc_id", mediaOf(docs5.filter(!_._3).map(d => (d._1, d._2))),
       mediaOf(docs5.filter(_._3).map(d => (d._1, d._2))), framePairs)
+
+    // audio: the envelope-spectrum fingerprint through the same
+    // incremental core — gain-scaled re-encodes (an EXACT invariance,
+    // hamming 0 from their originals) randomly split from their
+    // originals are the guaranteed cross-split pairs; the reference
+    // pair set is MEASURED by the full-corpus operator, so whatever the
+    // staircase corpus additionally merges (exact-dup texts render
+    // identical audio) flows into the same contract
+    val rnd6 = new scala.util.Random(41017)
+    val (all6, _, _) = textCorpus(seed = 41017, n = 30)
+    val audioBase = Multimodal.syntheticAudioWav(
+      all6.withColumn("doc_id", col("doc_id") + 300L))
+    val reA = udf((p: Array[Byte]) => graft.ops.AudioHash.reencode(p, 0.7))
+    val audioVar = audioBase.filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000L)
+      .withColumn("payload", reA(col("payload")))
+    val audioCorpus = audioBase.unionByName(audioVar)
+    val audioIds = audioCorpus.select("doc_id").collect().map(_.getLong(0))
+    val newIds6 = audioIds.filter(_ => rnd6.nextBoolean()).toSet
+    val audioPairs = pairSet(
+      Multimodal.mediaNearDupsAudio(audioCorpus, "doc_id", "payload"))
+    parityCase("rp_media_audio",
+      Seq(Map[String, Any]("op" -> "media_dedup", "method" -> "audio",
+        "id_col" -> "doc_id", "max_hamming" -> 3)),
+      "doc_id", audioCorpus.filter(!col("doc_id").isin(newIds6.toSeq: _*)),
+      audioCorpus.filter(col("doc_id").isin(newIds6.toSeq: _*)), audioPairs)
   }
 
   // ---- windowed (microbatch × incremental pipeline) parity ---------------
