@@ -153,7 +153,13 @@ object BenchGrowth {
       ("media", step("media_dedup"), mediaGen),
       // frames: clip/re-mux containment through the sets-postings core
       // — the media twin of the ngram family's growth row
-      ("frames", step("media_dedup", "method" -> "frames"), mediaGen))
+      ("frames", step("media_dedup", "method" -> "frames"), mediaGen),
+      // audio: the envelope-spectrum fingerprint through the shared
+      // simhash signature core — per-row decode+DCT is the map-side
+      // cost, the persisted index the only state
+      ("audio", step("media_dedup", "method" -> "audio"),
+        (n, s, seed) => Multimodal.syntheticAudioWav(
+          texts(n, s, seed).toDF("doc_id", "text"))))
 
     // comma-separated family filter for partial re-runs
     val famFilter = sys.env.get("SPARK_GRAFT_GROWTH_FAMILIES")
