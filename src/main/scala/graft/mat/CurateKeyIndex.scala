@@ -163,6 +163,32 @@ private[graft] object CurateKeyIndex {
     h.sealedCache = already ++ unsealed
   }
 
+  /** Reset the index when its accreted small files outnumber
+    * `maxFiles` — the per-seal appends (≤ one file per bucket) grow
+    * linearly in batch count, and past a point listing/footer overhead
+    * dominates the key data. The index is DERIVED state: deletion IS
+    * compaction, because the next [[seal]] re-derives it from the
+    * target's files in one bucketed pass. Delete order is load-bearing:
+    * sealed log FIRST — a crash between the two deletes must leave
+    * "nothing sealed" (full re-derive, correct), never "sealed but
+    * unindexed" (guard misses keys → duplicates). */
+  def compactIfNeeded(h: Handle, maxFiles: Int): Unit = {
+    if (!exists(h.spark, h.indexDir)) return
+    val idxPath = new Path(h.indexDir)
+    val fs = fsOf(h.spark, idxPath)
+    var count = 0
+    val it = fs.listFiles(idxPath, true)
+    while (count <= maxFiles && it.hasNext) {
+      if (it.next().isFile) count += 1
+    }
+    if (count > maxFiles) {
+      val sealedPath = new Path(h.sealedDir)
+      if (fs.exists(sealedPath)) fs.delete(sealedPath, true)
+      fs.delete(idxPath, true)
+      h.sealedCache = null // force a re-read (now empty) on next seal
+    }
+  }
+
   /** Drop batch rows whose key tuple the index holds — reading ONLY the
     * hash buckets the batch's own keys occupy (`__kb IN …` prunes the
     * partitioned read). Null-safe key equality, like every unique_key

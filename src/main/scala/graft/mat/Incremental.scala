@@ -509,20 +509,25 @@ object MicrobatchRunner {
     * literal is exact; sub-day boundaries (degenerate over a DATE
     * column anyway) keep the timestamp literal and its cast
     * semantics. The midnight check and the derived calendar date use
-    * the SESSION timezone (the same zone Spark's own cast(dt AS
-    * TIMESTAMP) applies on the fallback path), not the JVM default —
-    * on a box whose JVM zone differs from `spark.sql.session.timeZone`
-    * the two would disagree by up to a day about which literal form is
-    * chosen; the literal itself is a `LocalDate` (tz-free Catalyst
+    * UTC — the SAME zone [[batches]] aligns every window boundary to —
+    * never the JVM default (a box whose JVM zone differs would disagree
+    * by up to a day about which literal form is chosen) and not the
+    * session zone either (day windows are UTC-midnight instants by
+    * construction, so a non-UTC session zone would see NO boundary as
+    * midnight and silently lose DATE partition pruning on every
+    * window). The literal itself is a `LocalDate` (tz-free Catalyst
     * conversion), never a `java.sql.Date` (whose Catalyst conversion
-    * re-reads the JVM zone). */
+    * re-reads the JVM zone). Note the microbatch engine's DATE
+    * semantics are fully coherent under the engine-pinned
+    * `spark.sql.session.timeZone = UTC`: the fallback path's
+    * cast(dt AS TIMESTAMP) reads the session zone, and only UTC makes
+    * it agree with the UTC-aligned windows. */
   private[mat] def etBound(df: org.apache.spark.sql.DataFrame, et: String,
       t: java.sql.Timestamp): org.apache.spark.sql.Column =
     df.schema.fields.find(_.name == et).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.DateType) =>
-        val zone = java.time.ZoneId.of(
-          df.sparkSession.sessionState.conf.sessionLocalTimeZone)
-        val ldt = t.toInstant.atZone(zone).toLocalDateTime
+        val ldt = t.toInstant.atZone(java.time.ZoneOffset.UTC)
+          .toLocalDateTime
         if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
           lit(ldt.toLocalDate)
         else lit(t)

@@ -286,14 +286,14 @@ object PipelineMat extends Materialization {
     // window — there is no single frame to scan — so every window
     // runs. Skipped windows also skip per-step param checks; the next
     // non-empty window still performs them. (Presence counts and the
-    // per-window filters are separate scans of the same plan — as with
-    // any multi-scan query, the source is assumed snapshot-stable
-    // within one invocation.)
-    lazy val src = ctx.compiled()
+    // per-window filters are separate scans — as with any multi-scan
+    // query, the source is assumed snapshot-stable within one
+    // invocation.)
     val nonEmpty: Seq[MicrobatchRunner.Batch] =
       if (ctx.compiledBatch.isDefined ||
           windows.length <= math.max(2, cfg.lookback + 1)) windows
       else {
+        val src = ctx.compiled()
         val spanned = src.filter(
           col(s"`$et`") >= etBound(src, et, windows.head.start) &&
             col(s"`$et`") < etBound(src, et, windows.last.end))
@@ -309,7 +309,11 @@ object PipelineMat extends Materialization {
         }.toSeq
       }
     nonEmpty.foreach { b =>
-      val raw = ctx.compiledBatch.fold(src)(f =>
+      // PER-WINDOW compile, not one shared plan: a model whose SELECT
+      // reads its own target (`{{ this }}` is_incremental SQL) must see
+      // window N's appends in window N+1 — a shared analyzed plan
+      // would freeze the first window's file listing for the whole run
+      val raw = ctx.compiledBatch.fold(ctx.compiled())(f =>
           f(b.start, b.end))
       val input = raw
         .filter(col(s"`$et`") >= etBound(raw, et, b.start) &&
@@ -2642,8 +2646,25 @@ object StreamingTableMat extends Materialization {
     // refuse a drifted bucket layout AT INVOCATION, not at the first
     // batch — a drained landing dir (zero batches) must not report
     // success under a config the persisted index cannot serve
-    if (landingDir.isDefined && keyGuard.nonEmpty && et.isEmpty)
+    if (landingDir.isDefined && keyGuard.nonEmpty && et.isEmpty) {
       CurateKeyIndex.checkParams(keyIdx)
+      // COMPACTION: every seal appends up to one file per bucket, so a
+      // long drain accretes small parquet files linearly in batch count
+      // — eventually the listing/footer overhead, not the data, is the
+      // per-batch cost. The index is DERIVED state, so compaction is a
+      // reset: drop the sealed log FIRST (a crash between the deletes
+      // must leave "nothing sealed", never "sealed but unindexed"),
+      // then the index — the first batch's seal() re-derives both from
+      // the target's files in one bucketed pass (≤ one file per
+      // bucket). `key_index_compact_files:` tunes the trigger.
+      val compactAt = cfg.get("key_index_compact_files")
+        .map(v => String.valueOf(v).toInt).getOrElse(1024)
+      if (compactAt < 1)
+        throw new IllegalArgumentException(
+          "stream_op: curate `key_index_compact_files:` must be >= 1, " +
+            s"got $compactAt")
+      CurateKeyIndex.compactIfNeeded(keyIdx, compactAt)
+    }
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         // the limit-hit batch is NOT processed and NOT committed, so
@@ -2896,6 +2917,40 @@ object StreamingTableMat extends Materialization {
                  .mkString(" ") else "") +
             " — remove or fix the drifted landed file, or rebuild with " +
             "--full-refresh to re-pin the contract")
+      // a file that DROPS a pinned column is invisible to the MERGED
+      // schema (older files still contribute the column, so `missing`
+      // above never fires while they remain) — yet its rows would read
+      // as NULLs under the pinned schema, silently vanishing in
+      // event-time mode (null-et drop) or landing null keys in the
+      // replay guard. Check each footer's FIELD NAMES against the pin;
+      // this is one more footer pass, the same cost class as the
+      // mergeSchema inference itself (which also reads every footer).
+      val pinnedNames = pinned.fields.map(_.name).toSet
+      val ldConf = spark.sessionState.newHadoopConf()
+      val ldPath = new org.apache.hadoop.fs.Path(srcDir)
+      val ldFs = ldPath.getFileSystem(ldConf)
+      val dataFiles = ldFs.listStatus(ldPath).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      import scala.jdk.CollectionConverters._
+      dataFiles.foreach { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, ldConf))
+        val names =
+          try reader.getFooter.getFileMetaData.getSchema.getFields
+            .asScala.map(_.getName).toSet
+          finally reader.close()
+        val dropped = pinnedNames -- names
+        if (dropped.nonEmpty)
+          throw new IllegalStateException(
+            s"stream_op: curate landed file `${st.getPath}` drifted " +
+              s"from the pinned stream schema ($pin): missing " +
+              s"[${dropped.toSeq.sorted.mkString(", ")}] — its rows " +
+              "would read as NULLs, not fail; remove or fix the file, " +
+              "or rebuild with --full-refresh to re-pin the contract")
+      }
       pinned
     }
   }

@@ -64,18 +64,20 @@ object AudioHash {
       (at(0) == '.' && at(1) == 's' && at(2) == 'n' && at(3) == 'd')
     }
 
-  /** Decode to mono |amplitude| box-filtered onto the M-cell envelope;
-    * None for undecodable payloads. */
-  private def envelope(p: Array[Byte]): Option[Array[Double]] = {
+  /** Decode any supported container to (signed-16 LE PCM bytes,
+    * channels, sample rate) — any encoding (U-law, 8-bit unsigned,
+    * big-endian …) normalized at the SOURCE rate (the JDK converts
+    * between these without resampling); None for undecodable payloads.
+    * The decoded buffer is payload-sized, freed per row — the same
+    * contract as the image path's ImageIO raster. */
+  private def decodePcm(p: Array[Byte])
+      : Option[(Array[Byte], Int, Float)] = {
     if (!looksLikeAudio(p)) return None
     try {
       val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(p))
       try {
         val src = ais.getFormat
-        // normalize any encoding (U-law, 8-bit unsigned, big-endian …)
-        // to signed 16-bit little-endian PCM at the SOURCE rate — the
-        // JDK converts between these without resampling
         val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
           src.getSampleRate, 16, src.getChannels,
           src.getChannels * 2, src.getSampleRate, false)
@@ -83,44 +85,53 @@ object AudioHash {
           if (src.matches(target)) ais
           else AudioSystem.getAudioInputStream(target, ais)
         val bytes = pcm.readAllBytes()
-        val ch = target.getChannels
-        val frameBytes = ch * 2
-        val n = bytes.length / frameBytes
-        if (n <= 0) return None
-        val acc = new Array[Double](M)
-        var f = 0
-        while (f < n) {
-          // channel-average the signed 16-bit LE samples of frame f
-          var s = 0.0
-          var c = 0
-          while (c < ch) {
-            val o = f * frameBytes + c * 2
-            s += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
-            c += 1
-          }
-          val amp = math.abs(s / ch) / 32768.0
-          // exact fractional coverage of the cells frame f spans — the
-          // 1-D twin of Phash.downsample, and what buys duration
-          // normalization (a resampled copy covers the same cells)
-          val x0 = f.toDouble * M / n
-          val x1 = (f + 1).toDouble * M / n
-          var cell = x0.toInt
-          val last = math.min(M - 1, math.ceil(x1).toInt - 1)
-          while (cell <= last) {
-            val w = math.min(x1, cell + 1.0) - math.max(x0, cell.toDouble)
-            acc(cell) += w * amp
-            cell += 1
-          }
-          f += 1
-        }
-        // normalize each cell's total coverage (n/M frames) to a mean
-        val scale = M.toDouble / n
-        var i = 0
-        while (i < M) { acc(i) *= scale; i += 1 }
-        Some(acc)
+        if (bytes.length < target.getChannels * 2) None
+        else Some((bytes, target.getChannels, target.getSampleRate))
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Channel-averaged signed-16 LE sample of frame `f`. */
+  private def frameAvg(bytes: Array[Byte], ch: Int, f: Int): Double = {
+    var s = 0.0
+    var c = 0
+    while (c < ch) {
+      val o = f * ch * 2 + c * 2
+      s += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+      c += 1
+    }
+    s / ch
+  }
+
+  /** Decode to mono |amplitude| box-filtered onto the M-cell envelope;
+    * None for undecodable payloads. */
+  private def envelope(p: Array[Byte]): Option[Array[Double]] =
+    decodePcm(p).map { case (bytes, ch, _) =>
+      val n = bytes.length / (ch * 2)
+      val acc = new Array[Double](M)
+      var f = 0
+      while (f < n) {
+        val amp = math.abs(frameAvg(bytes, ch, f)) / 32768.0
+        // exact fractional coverage of the cells frame f spans — the
+        // 1-D twin of Phash.downsample, and what buys duration
+        // normalization (a resampled copy covers the same cells)
+        val x0 = f.toDouble * M / n
+        val x1 = (f + 1).toDouble * M / n
+        var cell = x0.toInt
+        val last = math.min(M - 1, math.ceil(x1).toInt - 1)
+        while (cell <= last) {
+          val w = math.min(x1, cell + 1.0) - math.max(x0, cell.toDouble)
+          acc(cell) += w * amp
+          cell += 1
+        }
+        f += 1
+      }
+      // normalize each cell's total coverage (n/M frames) to a mean
+      val scale = M.toDouble / n
+      var i = 0
+      while (i < M) { acc(i) *= scale; i += 1 }
+      acc
+    }
 
   /** First K coefficients of the envelope's DCT-II (unnormalized — a
     * fixed positive per-coefficient scale cannot move a median
@@ -147,8 +158,9 @@ object AudioHash {
       case Some(env) => Phash.thresholdBits(dctLow(env))
     }
 
-  /** Hamming distance (test/debug helper). */
-  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  /** Hamming distance (test/debug helper — same bits as the image
+    * hash, same distance). */
+  def hamming(a: Long, b: Long): Int = Phash.hamming(a, b)
 
   // ---- fixture/re-encode helpers (the transforms a real duplicate
   // has undergone; also used by the oracle fixtures) ----
@@ -174,43 +186,27 @@ object AudioHash {
   def reencode(p: Array[Byte], gain: Double, decimate: Int = 1,
       quantize8: Boolean = false): Array[Byte] = {
     require(decimate >= 1, s"reencode: decimate must be >= 1, got $decimate")
-    if (!looksLikeAudio(p)) return p
-    val ais = AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(p))
-    try {
-      val src = ais.getFormat
-      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-        src.getSampleRate, 16, src.getChannels,
-        src.getChannels * 2, src.getSampleRate, false)
-      val pcm =
-        if (src.matches(target)) ais
-        else AudioSystem.getAudioInputStream(target, ais)
-      val bytes = pcm.readAllBytes()
-      val ch = target.getChannels
-      val n = bytes.length / (ch * 2)
-      val kept = (n + decimate - 1) / decimate
-      val out = new Array[Byte](kept * 2)
-      var i = 0
-      var f = 0
-      while (f < n) {
-        if (f % decimate == 0) {
-          var s = 0.0
-          var c = 0
-          while (c < ch) {
-            val o = f * ch * 2 + c * 2
-            s += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
-            c += 1
+    decodePcm(p) match {
+      case None => p
+      case Some((bytes, ch, rate)) =>
+        val n = bytes.length / (ch * 2)
+        val kept = (n + decimate - 1) / decimate
+        val out = new Array[Byte](kept * 2)
+        var i = 0
+        var f = 0
+        while (f < n) {
+          if (f % decimate == 0) {
+            var v = frameAvg(bytes, ch, f) * gain
+            if (quantize8) v = math.rint(v / 256.0) * 256.0
+            val q = math.max(-32768.0,
+              math.min(32767.0, math.rint(v))).toInt
+            out(i) = (q & 0xff).toByte
+            out(i + 1) = ((q >> 8) & 0xff).toByte
+            i += 2
           }
-          var v = s / ch * gain
-          if (quantize8) v = math.rint(v / 256.0) * 256.0
-          val q = math.max(-32768.0, math.min(32767.0, math.rint(v))).toInt
-          out(i) = (q & 0xff).toByte
-          out(i + 1) = ((q >> 8) & 0xff).toByte
-          i += 2
+          f += 1
         }
-        f += 1
-      }
-      pcm16ToWav(out, target.getSampleRate / decimate)
-    } finally ais.close()
+        pcm16ToWav(out, rate / decimate)
+    }
   }
 }

@@ -17,11 +17,13 @@ import org.apache.spark.sql.types._
   * genuine DCT perceptual hash ([[graft.ops.Phash.phash64]]) feeding the
   * near-dup core. Standard STILL-IMAGE containers (PNG/JPEG/GIF/BMP/
   * TIFF) also decode for real on the pHash path, via the JDK's own
-  * `javax.imageio` — zero added dependencies. The only remaining STUB
-  * is AUDIO/VIDEO container decode — no such codec libraries ship in
-  * the JDK — behind [[StubCodec]], which parses the deterministic GRFT
-  * header instead of invoking ffmpeg. Swap `StubCodec.decode` for a
-  * real JNI/lib call and nothing else changes.
+  * `javax.imageio`, and AUDIO containers (WAV/AIFF/AU) decode for real
+  * on the [[AudioHash]] fingerprint path via `javax.sound.sampled` —
+  * both zero added dependencies. The only remaining STUB is VIDEO (and
+  * compressed-audio, e.g. MP3) container decode — no such codec ships
+  * in the JDK — behind [[StubCodec]], which parses the deterministic
+  * GRFT header instead of invoking ffmpeg. Swap `StubCodec.decode` for
+  * a real JNI/lib call and nothing else changes.
   */
 object Multimodal {
 
@@ -345,7 +347,7 @@ object Multimodal {
     * sine carrier would alias — its per-cell mean |amplitude| depends
     * on which phases the decimation keeps). */
   def syntheticAudioWav(docs: DataFrame): DataFrame = {
-    val enc = udf { (docId: Long, text: String) =>
+    val enc = udf { (text: String) =>
       val t = text.getBytes("UTF-8")
       val amps = new Array[Double](32)
       var ci = 0
@@ -376,7 +378,7 @@ object Multimodal {
       AudioHash.pcm16ToWav(pcm, rate)
     }
     docs.select(col("doc_id"), lit("audio").as("media_type"),
-      enc(col("doc_id"), col("text")).as("payload"))
+      enc(col("text")).as("payload"))
   }
 
   /** Frame-signature SETS (id, shh: array of distinct frame digests) —

@@ -326,6 +326,49 @@ class CurateRestartSpec extends AnyFunSuite {
       e2.getMessage.contains("drifted from the pinned stream schema"),
       e2.getMessage)
     Files.delete(retyped)
+    // a file that DROPS a pinned column is invisible to the MERGED
+    // schema (older files still contribute it) — the per-footer check
+    // must fail by name, naming the file and the column, instead of
+    // letting its rows read as NULLs
+    val tmp3 = Files.createTempDirectory("graft_land_drop")
+    Seq(Tuple1(77L)).toDF("doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(tmp3.toString)
+    val part3 = tmp3.toFile.listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val droppedF = landing.resolve("f5_dropped.parquet")
+    Files.move(part3.toPath, droppedF)
+    val e3 = intercept[IllegalStateException](run(a, rel, cfg(landing.toString)))
+    assert(e3.getMessage.contains("f5_dropped"), e3.getMessage)
+    assert(e3.getMessage.contains("missing [text]"), e3.getMessage)
+    Files.delete(droppedF)
+  }
+
+  test("key index compaction: past the file threshold the derived " +
+      "index resets and re-derives from the target — exactly-once holds") {
+    val a = freshAdapter("g_curate_compact")
+    val rel = Relation("g_curate_compact", "cur")
+    val landing = Files.createTempDirectory("graft_landing_cmp")
+    val cp = Files.createTempDirectory("graft_cp_cmp").resolve("cp").toString
+    landAll(landing)
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel) == expectedIds)
+    val idxDir = new java.io.File(s"$cp/_graft_key_index")
+    assert(idxDir.isDirectory)
+    // threshold 1: the accreted per-seal files exceed it, so the next
+    // invocation drops sealed log + index up front; the new landed
+    // file's batch re-derives the index from the target's files and
+    // the guard still drops every settled key
+    land(landing, "f5", Seq((1L, t1), (30L, "a genuinely new body")))
+    val r = run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp,
+      "key_index_compact_files" -> 1))
+    assert(r.message.contains("1 micro-batches"), r.message)
+    assert(ids(a, rel) == expectedIds + 30L,
+      "settled key 1 must drop against the re-derived index; 30 lands")
+    assert(idxDir.isDirectory, "index must re-derive after compaction")
+    // the re-derived index stays exactly-once: a full no-op re-run
+    val before = a.read(rel).count()
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(a.read(rel).count() == before)
   }
 
   test("two concurrent invocations on one checkpoint: the second fails " +
