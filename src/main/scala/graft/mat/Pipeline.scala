@@ -191,6 +191,23 @@ object PipelineMat extends Materialization {
   private def etBound(df: DataFrame, et: String,
       t: java.sql.Timestamp): Column = MicrobatchRunner.etBound(df, et, t)
 
+  /** Does the compiled plan read the model's OWN target (`{{ this }}`
+    * SQL)? Decides per-window recompilation and presence-pass safety in
+    * [[runWindows]] — a self-reading model's input changes as windows
+    * append. Inspects the ANALYZED plan's catalog relations, so views
+    * and CTE aliases over the target count too. */
+  private[graft] def readsOwnTarget(ctx: MatContext, df: DataFrame): Boolean = {
+    val ids = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.catalogTable.map(_.identifier).toSeq
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        Seq(h.tableMeta.identifier)
+    }.flatten
+    ids.exists(id =>
+      id.table.equalsIgnoreCase(ctx.target.identifier) &&
+        id.database.exists(_.equalsIgnoreCase(ctx.target.schema)))
+  }
+
   /** Microbatch × incremental pipeline (the continuous-ingestion shape
     * a 100 TB curation pipeline runs — reference microbatch config:
     * model_config.rs:79-82,209-210, DbtBatchSize common.rs:523): an
@@ -285,15 +302,24 @@ object PipelineMat extends Materialization {
     // A batch-aware compiled input (compiledBatch) is parameterized per
     // window — there is no single frame to scan — so every window
     // runs. Skipped windows also skip per-step param checks; the next
-    // non-empty window still performs them. (Presence counts and the
-    // per-window filters are separate scans — as with any multi-scan
-    // query, the source is assumed snapshot-stable within one
-    // invocation.)
+    // non-empty window still performs them.
+    //
+    // SELF-READING models (`{{ this }}` in the SELECT) opt out of BOTH
+    // the shared plan and the presence pass: their input changes as
+    // windows append to the target, so window N+1 must recompile to
+    // see window N's appends, and a pre-run presence count could wrongly
+    // skip a window whose rows only materialize later. Everything else
+    // compiles ONCE and runs the whole invocation against that snapshot
+    // — consistent corpus-per-run semantics; upstream rows arriving
+    // mid-run are late data, which the next run's lookback reopens.
+    lazy val sharedSrc = ctx.compiled()
+    val selfReading =
+      ctx.compiledBatch.isEmpty && readsOwnTarget(ctx, sharedSrc)
     val nonEmpty: Seq[MicrobatchRunner.Batch] =
-      if (ctx.compiledBatch.isDefined ||
+      if (ctx.compiledBatch.isDefined || selfReading ||
           windows.length <= math.max(2, cfg.lookback + 1)) windows
       else {
-        val src = ctx.compiled()
+        val src = sharedSrc
         val spanned = src.filter(
           col(s"`$et`") >= etBound(src, et, windows.head.start) &&
             col(s"`$et`") < etBound(src, et, windows.last.end))
@@ -309,11 +335,8 @@ object PipelineMat extends Materialization {
         }.toSeq
       }
     nonEmpty.foreach { b =>
-      // PER-WINDOW compile, not one shared plan: a model whose SELECT
-      // reads its own target (`{{ this }}` is_incremental SQL) must see
-      // window N's appends in window N+1 — a shared analyzed plan
-      // would freeze the first window's file listing for the whole run
-      val raw = ctx.compiledBatch.fold(ctx.compiled())(f =>
+      val raw = ctx.compiledBatch.fold(
+          if (selfReading) ctx.compiled() else sharedSrc)(f =>
           f(b.start, b.end))
       val input = raw
         .filter(col(s"`$et`") >= etBound(raw, et, b.start) &&
@@ -2888,6 +2911,12 @@ object StreamingTableMat extends Materialization {
       s"$checkpoint/_graft_stream_schema.json")
     val fs = pin.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(pin)) {
+      // the first invocation (and the post---full-refresh re-pin) must
+      // not pin a contract some landed file ALREADY violates: a file
+      // missing a column of the merged schema would stream NULLs into
+      // the very first build. Same per-footer check as later runs.
+      checkLandedFields(spark, srcDir, checkpoint,
+        inferred.fields.map(_.name).toSet, pin)
       fs.mkdirs(pin.getParent)
       val out = fs.create(pin, true)
       try out.write(inferred.json.getBytes("UTF-8")) finally out.close()
@@ -2922,37 +2951,64 @@ object StreamingTableMat extends Materialization {
       // above never fires while they remain) — yet its rows would read
       // as NULLs under the pinned schema, silently vanishing in
       // event-time mode (null-et drop) or landing null keys in the
-      // replay guard. Check each footer's FIELD NAMES against the pin;
-      // this is one more footer pass, the same cost class as the
-      // mergeSchema inference itself (which also reads every footer).
-      val pinnedNames = pinned.fields.map(_.name).toSet
-      val ldConf = spark.sessionState.newHadoopConf()
-      val ldPath = new org.apache.hadoop.fs.Path(srcDir)
-      val ldFs = ldPath.getFileSystem(ldConf)
-      val dataFiles = ldFs.listStatus(ldPath).filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-      import scala.jdk.CollectionConverters._
-      dataFiles.foreach { st =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, ldConf))
-        val names =
-          try reader.getFooter.getFileMetaData.getSchema.getFields
-            .asScala.map(_.getName).toSet
-          finally reader.close()
-        val dropped = pinnedNames -- names
-        if (dropped.nonEmpty)
-          throw new IllegalStateException(
-            s"stream_op: curate landed file `${st.getPath}` drifted " +
-              s"from the pinned stream schema ($pin): missing " +
-              s"[${dropped.toSeq.sorted.mkString(", ")}] — its rows " +
-              "would read as NULLs, not fail; remove or fix the file, " +
-              "or rebuild with --full-refresh to re-pin the contract")
-      }
+      // replay guard.
+      checkLandedFields(spark, srcDir, checkpoint,
+        pinned.fields.map(_.name).toSet, pin)
       pinned
     }
+  }
+
+  /** Per-footer FIELD-NAME check of landed files against the pinned
+    * columns, O(NEW files) per invocation: files that passed once are
+    * recorded in a `_graft_schema_checked` log under the checkpoint and
+    * never re-opened (landed files are immutable by the arriving-files
+    * contract; `--full-refresh` resets the log with the checkpoint). A
+    * torn log reads as empty and the re-check is idempotent. */
+  private def checkLandedFields(spark: SparkSession, srcDir: String,
+      checkpoint: String, pinnedNames: Set[String],
+      pin: org.apache.hadoop.fs.Path): Unit = {
+    val ldConf = spark.sessionState.newHadoopConf()
+    val ldPath = new org.apache.hadoop.fs.Path(srcDir)
+    val ldFs = ldPath.getFileSystem(ldConf)
+    val dataFiles = ldFs.listStatus(ldPath).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    val logDir = s"$checkpoint/_graft_schema_checked"
+    val logPath = new org.apache.hadoop.fs.Path(logDir)
+    val logFs = logPath.getFileSystem(ldConf)
+    val already: Set[String] =
+      if (!logFs.exists(logPath)) Set.empty
+      else
+        try spark.read.parquet(logDir).collect().map(_.getString(0)).toSet
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => Set.empty
+        }
+    val fresh = dataFiles.filterNot(st => already(st.getPath.toString))
+    if (fresh.isEmpty) return
+    import scala.jdk.CollectionConverters._
+    fresh.foreach { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, ldConf))
+      val names =
+        try reader.getFooter.getFileMetaData.getSchema.getFields
+          .asScala.map(_.getName).toSet
+        finally reader.close()
+      val dropped = pinnedNames -- names
+      if (dropped.nonEmpty)
+        throw new IllegalStateException(
+          s"stream_op: curate landed file `${st.getPath}` drifted " +
+            s"from the pinned stream schema ($pin): missing " +
+            s"[${dropped.toSeq.sorted.mkString(", ")}] — its rows " +
+            "would read as NULLs, not fail; remove or fix the file, " +
+            "or rebuild with --full-refresh to re-pin the contract")
+    }
+    // log only AFTER every fresh file passed: a failing run must
+    // re-check the offender (and the user may fix the file in place)
+    import spark.implicits._
+    spark.createDataset(fresh.map(_.getPath.toString).toSeq).toDF("path")
+      .coalesce(1).write.mode("append").parquet(logDir)
   }
 
   /** Thrown by the curate foreachBatch when `max_batches_per_run` is

@@ -70,24 +70,31 @@ object AudioHash {
     * between these without resampling); None for undecodable payloads.
     * The decoded buffer is payload-sized, freed per row — the same
     * contract as the image path's ImageIO raster. */
+  /** Raw decode — THROWS on a sniff-passing but undecodable payload
+    * (the hashing path catches and sentinels; [[reencode]] must fail
+    * loudly instead, or fixture breakage would silently hand the input
+    * back and invariance tests would compare a hash against itself). */
+  private def decodePcmRaw(p: Array[Byte]): (Array[Byte], Int, Float) = {
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(p))
+    try {
+      val src = ais.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        src.getChannels * 2, src.getSampleRate, false)
+      val pcm =
+        if (src.matches(target)) ais
+        else AudioSystem.getAudioInputStream(target, ais)
+      (pcm.readAllBytes(), target.getChannels, target.getSampleRate)
+    } finally ais.close()
+  }
+
   private def decodePcm(p: Array[Byte])
       : Option[(Array[Byte], Int, Float)] = {
     if (!looksLikeAudio(p)) return None
     try {
-      val ais = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(p))
-      try {
-        val src = ais.getFormat
-        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-          src.getSampleRate, 16, src.getChannels,
-          src.getChannels * 2, src.getSampleRate, false)
-        val pcm =
-          if (src.matches(target)) ais
-          else AudioSystem.getAudioInputStream(target, ais)
-        val bytes = pcm.readAllBytes()
-        if (bytes.length < target.getChannels * 2) None
-        else Some((bytes, target.getChannels, target.getSampleRate))
-      } finally ais.close()
+      val (bytes, ch, rate) = decodePcmRaw(p)
+      if (bytes.length < ch * 2) None else Some((bytes, ch, rate))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -186,27 +193,27 @@ object AudioHash {
   def reencode(p: Array[Byte], gain: Double, decimate: Int = 1,
       quantize8: Boolean = false): Array[Byte] = {
     require(decimate >= 1, s"reencode: decimate must be >= 1, got $decimate")
-    decodePcm(p) match {
-      case None => p
-      case Some((bytes, ch, rate)) =>
-        val n = bytes.length / (ch * 2)
-        val kept = (n + decimate - 1) / decimate
-        val out = new Array[Byte](kept * 2)
-        var i = 0
-        var f = 0
-        while (f < n) {
-          if (f % decimate == 0) {
-            var v = frameAvg(bytes, ch, f) * gain
-            if (quantize8) v = math.rint(v / 256.0) * 256.0
-            val q = math.max(-32768.0,
-              math.min(32767.0, math.rint(v))).toInt
-            out(i) = (q & 0xff).toByte
-            out(i + 1) = ((q >> 8) & 0xff).toByte
-            i += 2
-          }
-          f += 1
-        }
-        pcm16ToWav(out, rate / decimate)
+    if (!looksLikeAudio(p)) return p // non-audio passes through unchanged
+    // sniff-passing but undecodable THROWS (decodePcmRaw) — a silent
+    // identity here would mask fixture breakage
+    val (bytes, ch, rate) = decodePcmRaw(p)
+    val n = bytes.length / (ch * 2)
+    val kept = (n + decimate - 1) / decimate
+    val out = new Array[Byte](kept * 2)
+    var i = 0
+    var f = 0
+    while (f < n) {
+      if (f % decimate == 0) {
+        var v = frameAvg(bytes, ch, f) * gain
+        if (quantize8) v = math.rint(v / 256.0) * 256.0
+        val q = math.max(-32768.0,
+          math.min(32767.0, math.rint(v))).toInt
+        out(i) = (q & 0xff).toByte
+        out(i + 1) = ((q >> 8) & 0xff).toByte
+        i += 2
+      }
+      f += 1
     }
+    pcm16ToWav(out, rate / decimate)
   }
 }

@@ -341,6 +341,48 @@ class CurateRestartSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("f5_dropped"), e3.getMessage)
     assert(e3.getMessage.contains("missing [text]"), e3.getMessage)
     Files.delete(droppedF)
+    // the FIRST invocation must not pin a contract a landed file
+    // already violates: a fresh landing dir holding both a full file
+    // and a column-dropping file fails before anything streams
+    val a2 = freshAdapter("g_curate_schema2")
+    val landing2 = Files.createTempDirectory("graft_landing_sch2")
+    land(landing2, "g1", Seq((1L, t1)))
+    val tmp4 = Files.createTempDirectory("graft_land_drop2")
+    Seq(Tuple1(78L)).toDF("doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(tmp4.toString)
+    Files.move(tmp4.toFile.listFiles()
+      .filter(_.getName.startsWith("part-")).head.toPath,
+      landing2.resolve("g2_dropped.parquet"))
+    val e4 = intercept[IllegalStateException](
+      run(a2, Relation("g_curate_schema2", "cur"), cfg(landing2.toString)))
+    assert(e4.getMessage.contains("g2_dropped"), e4.getMessage)
+    assert(e4.getMessage.contains("missing [text]"), e4.getMessage)
+  }
+
+  test("readsOwnTarget: a plan over the model's own table is detected; " +
+      "plans over other tables are not") {
+    import spark.implicits._
+    val a = freshAdapter("g_self_read")
+    val rel = Relation("g_self_read", "tgt")
+    a.writeTableAtomic(Seq((1L, "x")).toDF("doc_id", "text"), rel)
+    val other = Relation("g_self_read", "other")
+    a.writeTableAtomic(Seq((2L, "y")).toDF("doc_id", "text"), other)
+    val ctx = MatContext(a,
+      Node(uniqueId = "model.spec.tgt", name = "tgt",
+        packageName = "spec", kind = NodeKind.Model,
+        config = NodeConfig(materialized = "pipeline")),
+      rel, () => spark.range(0).toDF("id"))
+    assert(graft.mat.PipelineMat.readsOwnTarget(ctx,
+      a.read(rel).filter($"doc_id" > 0)),
+      "a filter over the target itself must count as self-reading")
+    assert(graft.mat.PipelineMat.readsOwnTarget(ctx,
+      a.read(other).join(a.read(rel), "doc_id")),
+      "a join touching the target must count as self-reading")
+    assert(!graft.mat.PipelineMat.readsOwnTarget(ctx, a.read(other)),
+      "a plan over a different table must not count")
+    assert(!graft.mat.PipelineMat.readsOwnTarget(ctx,
+      Seq((3L, "z")).toDF("doc_id", "text")),
+      "a local relation must not count")
   }
 
   test("key index compaction: past the file threshold the derived " +
