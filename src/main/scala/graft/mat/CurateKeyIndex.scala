@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *                                             by `pmod(hash(keys), B)`
   *   <cp>/_graft_sealed/…parquet               target data-file paths
   *                                             whose keys the index holds
-  *   <cp>/_graft_key_index_params.json         {buckets, keys} — recorded
-  *                                             once, verified every run
+  *   <cp>/_graft_key_index_params.json         {buckets, keys, types} —
+  *                                             recorded at the FIRST
+  *                                             seal, verified every run
   *
   * The index is DERIVED STATE, synchronized from target files at each
   * batch start ([[seal]]): list the target's data files, read the key
@@ -41,15 +42,25 @@ import org.apache.spark.sql.functions._
   * the batch's own keys hash into (`__kb IN (…)` partition-prunes the
   * read): per-batch cost is the batch itself plus
   * (touched-buckets / B) of a key-only table. Sizing: pruning bites
-  * when the batch's distinct keys ≲ B (a batch with many more keys
-  * than buckets touches them all — size `key_index_buckets:` to the
-  * expected per-file key count in durable mode); the floor is a full
-  * scan of the NARROW key-only index — the same accepted floor as the
-  * settled exact-dedup index the growth rows already fence — never a
-  * scan of the wide target. A changed `key_index_buckets:` or
-  * `unique_key` is refused by name ([[checkParams]]): bucket
-  * membership is hash-determined, and an index laid out under
+  * when the batch's distinct keys ≲ B, so the DEFAULT derives B from
+  * the first seal's own evidence — the per-file key count of the files
+  * it indexes (a landed file IS a batch in durable mode) — rounded to
+  * a power of two and clamped to [16, 4096]; `key_index_buckets:`
+  * overrides it. The floor is a full scan of the NARROW key-only index
+  * — the same accepted floor as the settled exact-dedup index the
+  * growth rows already fence — never a scan of the wide target. A
+  * changed `key_index_buckets:`/`unique_key`, or a RETYPED key column,
+  * is refused by name ([[checkParams]]/[[resolveParams]]): bucket
+  * membership is hash-determined over the column's TYPE as much as its
+  * value (`hash(1L)` ≠ `hash("1")`), so an index laid out under
   * different params would silently miss keys.
+  *
+  * Failure posture: a torn FIRST write (the index/sealed dir exists but
+  * holds no data files) reads as empty and self-heals by re-seal; any
+  * OTHER unreadable-index state fails BY NAME prescribing
+  * `--full-refresh` — a guard that silently skipped would let duplicate
+  * rows append with no error, the one outcome the index exists to
+  * prevent.
   *
   * Reference spec: dbt-fusion's microbatch/incremental idempotence
   * contracts (crates/dbt-schemas/src/schemas/common.rs:523 batch
@@ -58,8 +69,15 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object CurateKeyIndex {
 
+  /** Recorded index layout: bucket count, key column names, and the key
+    * columns' catalog type strings (types recorded since r17; a params
+    * file written before that carries none and type drift is then
+    * caught at the first seal/guard that sees typed columns). */
+  final case class Params(buckets: Int, keys: Seq[String],
+      types: Seq[String])
+
   final case class Handle(spark: SparkSession, checkpoint: String,
-      keys: Seq[String], buckets: Int) {
+      keys: Seq[String], bucketsConfig: Option[Int]) {
     def indexDir: String = s"$checkpoint/_graft_key_index"
     def sealedDir: String = s"$checkpoint/_graft_sealed"
     def paramsPath: String = s"$checkpoint/_graft_key_index_params.json"
@@ -68,6 +86,9 @@ private[graft] object CurateKeyIndex {
       * single writer, so re-reading the (file-count-sized) log every
       * micro-batch would be pure per-batch overhead. */
     private[CurateKeyIndex] var sealedCache: Set[String] = _
+    /** Params resolved once per invocation (from the params file, the
+      * explicit config, or the first seal's auto-sizing). */
+    private[CurateKeyIndex] var paramsCache: Option[Params] = None
   }
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -78,52 +99,151 @@ private[graft] object CurateKeyIndex {
     fsOf(spark, p).exists(p)
   }
 
+  /** Does `dir` hold any DATA file (recursively; `_`/`.`-prefixed
+    * metadata like _SUCCESS/_temporary excluded)? Distinguishes the
+    * benign torn-first-write (dir exists, nothing visible — safe to
+    * read as empty) from a genuinely unreadable index (data present
+    * but the read fails — must fail loudly, never skip the guard). */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        return true
+    }
+    false
+  }
+
   /** Deterministic bucket of a key tuple: murmur3 `hash` (stable across
     * sessions/JVMs — the same function Spark's own hash partitioning
     * uses) mod `buckets`. NULL keys hash like any value. */
   def bucketOf(keys: Seq[String], buckets: Int): Column =
     pmod(hash(keys.map(k => col(s"`$k`")): _*), lit(buckets))
 
-  /** Record {buckets, keys} on first use; refuse a drifted config by
-    * name afterwards — an index laid out under different params would
-    * silently miss keys (wrong bucket), turning the exactly-once guard
-    * into a sometimes guard. */
-  def checkParams(h: Handle): Unit = {
+  private def paramsJson(p: Params): String =
+    s"""{"buckets":${p.buckets},"keys":[${p.keys
+      .map(k => "\"" + k + "\"").mkString(",")}],"types":[${p.types
+      .map(t => "\"" + t + "\"").mkString(",")}]}"""
+
+  private def readParamsFile(h: Handle): Option[Params] = {
     val p = new Path(h.paramsPath)
     val fs = fsOf(h.spark, p)
-    val want = s"""{"buckets":${h.buckets},"keys":[${h.keys
-      .map(k => "\"" + k + "\"").mkString(",")}]}"""
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      if (got.trim != want)
-        throw new IllegalStateException(
-          s"stream_op: curate durable key index at ${h.indexDir} was " +
-            s"built under $got but this run configures $want — bucket " +
-            "membership is hash-determined, so a changed " +
-            "key_index_buckets/unique_key cannot reuse the index; " +
-            "rebuild with --full-refresh")
-    } else {
-      val out = fs.create(p, true)
-      try out.write(want.getBytes("UTF-8")) finally out.close()
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def strList(field: String): Seq[String] =
+      (raw""""$field":\[([^\]]*)\]""".r.findFirstMatchIn(got) match {
+        case Some(m) if m.group(1).trim.nonEmpty =>
+          m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+            .stripSuffix("\""))
+        case _ => Seq.empty
+      })
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(got)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"stream_op: curate durable key index params at ${h.paramsPath} " +
+          s"are unreadable ($got) — rebuild with --full-refresh"))
+    Some(Params(buckets, strList("keys"), strList("types")))
+  }
+
+  /** Refuse a drifted layout by name: recorded vs configured buckets,
+    * key names, and (when both sides know them) key column types. An
+    * index laid out under different params would silently miss keys
+    * (wrong bucket / different hash), turning the exactly-once guard
+    * into a sometimes guard. */
+  private def verifyAgainst(h: Handle, rec: Params,
+      types: Option[Seq[String]]): Params = {
+    def refuse(what: String): Nothing =
+      throw new IllegalStateException(
+        s"stream_op: curate durable key index at ${h.indexDir} was " +
+          s"built under ${paramsJson(rec)} but this run $what — bucket " +
+          "membership is hash-determined over the key's type and value, " +
+          "so a changed key_index_buckets/unique_key/key type cannot " +
+          "reuse the index; rebuild with --full-refresh")
+    h.bucketsConfig.filter(_ != rec.buckets).foreach(b =>
+      refuse(s"configures key_index_buckets=$b"))
+    if (h.keys != rec.keys)
+      refuse(s"configures unique_key=[${h.keys.mkString(", ")}]")
+    types.foreach { t =>
+      if (rec.types.nonEmpty && rec.types != t)
+        refuse(s"reads key columns typed [${t.mkString(", ")}] " +
+          s"(recorded [${rec.types.mkString(", ")}])")
+    }
+    rec
+  }
+
+  /** Default bucket count from the first seal's own evidence: the
+    * per-file key count of the files it indexes (a landed file IS a
+    * micro-batch in durable mode, so pruning bites exactly when
+    * B ≳ batch keys), next power of two, clamped to [16, 4096]. */
+  private[graft] def autoBuckets(keyRows: Long, files: Int): Int = {
+    val perFile = math.max(1L, keyRows / math.max(1, files))
+    val pow = java.lang.Long.highestOneBit(math.max(1L, perFile - 1)) * 2
+    math.min(4096L, math.max(16L, pow)).toInt
+  }
+
+  /** Resolve the effective params: the recorded file wins (verified
+    * against the config and, when known, the live key types); absent a
+    * file, `record` writes one — explicit config or auto-sizing. */
+  private def resolveParams(h: Handle, types: Option[Seq[String]],
+      record: Option[() => Params]): Params = {
+    val cached = h.paramsCache
+    if (cached.isDefined) return verifyAgainst(h, cached.get, types)
+    readParamsFile(h) match {
+      case Some(rec) =>
+        val p = verifyAgainst(h, rec, types)
+        h.paramsCache = Some(p)
+        p
+      case None =>
+        val mk = record.getOrElse(throw new IllegalStateException(
+          s"stream_op: curate durable key index at ${h.indexDir} holds " +
+            s"data but its params file (${h.paramsPath}) is missing — " +
+            "the layout cannot be verified; rebuild with --full-refresh"))
+        val p = mk()
+        val path = new Path(h.paramsPath)
+        val fs = fsOf(h.spark, path)
+        val out = fs.create(path, true)
+        try out.write(paramsJson(p).getBytes("UTF-8")) finally out.close()
+        h.paramsCache = Some(p)
+        p
     }
   }
+
+  /** Invocation-time layout check: verify the recorded params against
+    * the configuration BEFORE any batch runs — a drained run (zero
+    * batches) must not report success under a config the persisted
+    * index cannot serve. Nothing recorded yet is fine: recording
+    * happens at the first [[seal]], which also knows the key TYPES and
+    * the auto-sizing evidence. */
+  def checkParams(h: Handle): Unit =
+    readParamsFile(h).foreach { rec =>
+      h.paramsCache = Some(verifyAgainst(h, rec, None))
+    }
 
   private def sealedPaths(h: Handle): Set[String] = {
     if (h.sealedCache != null) return h.sealedCache
     h.sealedCache =
       if (!exists(h.spark, h.sealedDir)) Set.empty
+      else if (!hasDataFiles(h.spark, h.sealedDir)) Set.empty
+      // a dir torn by a killed write (only _temporary/_SUCCESS inside)
+      // reads as empty above: the files it would have sealed stay
+      // unsealed and this very call's caller re-indexes them (duplicate
+      // index rows cannot change an anti-join's verdict, so the re-seal
+      // is idempotent). DATA present but unreadable is NOT benign —
+      // treating it as empty would silently re-derive over corruption.
       else
-        // a dir torn by a killed write (only _temporary/_SUCCESS inside)
-        // reads as UNABLE_TO_INFER_SCHEMA — treat it as empty: the files
-        // it would have sealed stay unsealed and this very call's caller
-        // re-indexes them (duplicate index rows cannot change an
-        // anti-join's verdict, so the re-seal is idempotent)
         try h.spark.read.parquet(h.sealedDir)
           .collect().map(_.getString(0)).toSet
         catch {
-          case _: org.apache.spark.sql.AnalysisException => Set.empty
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"stream_op: curate durable key index sealed-file log at " +
+                s"${h.sealedDir} holds data but cannot be read — rebuild " +
+                s"with --full-refresh (${e.getMessage})", e)
         }
     h.sealedCache
   }
@@ -134,18 +254,27 @@ private[graft] object CurateKeyIndex {
     * after a full build (or rows landed by other writers) it is a
     * one-time catch-up of the new files. `basePath` is the table root,
     * so partition-directory columns survive the raw-file read when a
-    * key column is also a partition column. */
+    * key column is also a partition column. The FIRST seal records the
+    * params file: explicit config, or buckets auto-sized from the
+    * per-file key count it observes. */
   def seal(h: Handle, target: DataFrame, basePath: Option[String]): Unit = {
     val files = target.inputFiles.toSeq
     val already = sealedPaths(h)
     val unsealed = files.filterNot(already)
     if (unsealed.isEmpty) return
-    checkParams(h)
     val reader = basePath.foldLeft(h.spark.read)(
       (r, bp) => r.option("basePath", bp))
-    reader.parquet(unsealed: _*)
+    val keyFrame = reader.parquet(unsealed: _*)
       .select(h.keys.map(k => col(s"`$k`")): _*)
-      .withColumn("__kb", bucketOf(h.keys, h.buckets))
+    val types = keyFrame.schema.fields.map(_.dataType.catalogString).toSeq
+    val params = resolveParams(h, Some(types), Some(() =>
+      Params(h.bucketsConfig.getOrElse {
+        // one count over the key-only columns of the unsealed files —
+        // a first-seal-only bootstrap cost, not a per-batch term
+        autoBuckets(keyFrame.count(), unsealed.size)
+      }, h.keys, types)))
+    keyFrame
+      .withColumn("__kb", bucketOf(h.keys, params.buckets))
       // shuffle each bucket into ONE task before the partitioned write:
       // a raw partitionBy write emits one file per (task, bucket) pair —
       // up to tasks×buckets small files PER SEAL; this caps it at one
@@ -171,7 +300,9 @@ private[graft] object CurateKeyIndex {
     * target's files in one bucketed pass. Delete order is load-bearing:
     * sealed log FIRST — a crash between the two deletes must leave
     * "nothing sealed" (full re-derive, correct), never "sealed but
-    * unindexed" (guard misses keys → duplicates). */
+    * unindexed" (guard misses keys → duplicates). The params file is
+    * KEPT: bucket layout survives compaction, so re-derived buckets
+    * match every index row ever written. */
   def compactIfNeeded(h: Handle, maxFiles: Int): Unit = {
     if (!exists(h.spark, h.indexDir)) return
     val idxPath = new Path(h.indexDir)
@@ -192,22 +323,37 @@ private[graft] object CurateKeyIndex {
   /** Drop batch rows whose key tuple the index holds — reading ONLY the
     * hash buckets the batch's own keys occupy (`__kb IN …` prunes the
     * partitioned read). Null-safe key equality, like every unique_key
-    * guard in the engine. */
+    * guard in the engine. The batch's key TYPES are verified against
+    * the recorded params (the durable stream-schema pin fences retypes
+    * upstream, but bounded mode's per-run checkpoint and direct Handle
+    * use have no such fence — a retyped key hashes to different
+    * buckets, which must refuse by name, never silently miss). */
   def guard(h: Handle, batch: DataFrame): DataFrame = {
     if (!exists(h.spark, h.indexDir)) return batch
-    checkParams(h)
+    val batchTypes = h.keys
+      .map(k => batch.schema(k).dataType.catalogString)
+    val params = resolveParams(h, Some(batchTypes), None)
     val touched = batch
-      .select(bucketOf(h.keys, h.buckets).as("__kb"))
+      .select(bucketOf(h.keys, params.buckets).as("__kb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return batch
     // a dataless index dir (torn first write) holds no keys to drop —
     // and anything the target actually holds was just re-indexed by
-    // this batch's own seal() before guard() runs
+    // this batch's own seal() before guard() runs. Data present but
+    // unreadable REFUSES: returning the batch unguarded would append
+    // duplicates with no error — the exact failure the index prevents.
     val idx =
       try h.spark.read.parquet(h.indexDir)
         .filter(col("__kb").isin(touched: _*))
       catch {
-        case _: org.apache.spark.sql.AnalysisException => return batch
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (!hasDataFiles(h.spark, h.indexDir)) return batch
+          throw new IllegalStateException(
+            s"stream_op: curate durable key index at ${h.indexDir} " +
+              "holds data but cannot be read — the replay guard cannot " +
+              "run, and skipping it would append duplicate rows " +
+              s"silently; rebuild with --full-refresh (${e.getMessage})",
+            e)
       }
     val cond = h.keys.map(k => batch(s"`$k`") <=> idx(s"`$k`"))
       .reduce(_ && _)

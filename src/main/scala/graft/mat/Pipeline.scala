@@ -195,17 +195,55 @@ object PipelineMat extends Materialization {
     * SQL)? Decides per-window recompilation and presence-pass safety in
     * [[runWindows]] — a self-reading model's input changes as windows
     * append. Inspects the ANALYZED plan's catalog relations, so views
-    * and CTE aliases over the target count too. */
+    * and CTE aliases over the target count too; PATH-BASED reads (a
+    * `spark.read.parquet(<target location>)` reaching the compiled
+    * plan) and DSv2 relations match by storage location / identifier.
+    * The check is CONSERVATIVE: a relation it cannot classify (a DSv2
+    * table with no identifier, a non-file V1 relation without catalog
+    * metadata) counts as self-reading — a missed self-reader would
+    * silently run every window against a stale snapshot of the target,
+    * while a false positive only costs per-window recompiles. */
   private[graft] def readsOwnTarget(ctx: MatContext, df: DataFrame): Boolean = {
-    val ids = df.queryExecution.analyzed.collect {
+    // normalized storage root of the target, for path-based matching
+    val targetLoc: Option[String] = ctx.adapter
+      .relationLocationUri(ctx.target)
+      .map(u => new org.apache.hadoop.fs.Path(u).toUri.toString
+        .stripSuffix("/"))
+    def underTarget(p: org.apache.hadoop.fs.Path): Boolean =
+      targetLoc.exists { t =>
+        val s = p.toUri.toString.stripSuffix("/")
+        s == t || s.startsWith(t + "/")
+      }
+    var inconclusive = false
+    val hits = df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.catalogTable.map(_.identifier).toSeq
+        l.catalogTable.map(_.identifier) match {
+          case Some(id) =>
+            id.table.equalsIgnoreCase(ctx.target.identifier) &&
+              id.database.exists(_.equalsIgnoreCase(ctx.target.schema))
+          case None => l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              // path-based read: self iff a root path is the target's
+              // storage root or a file/partition under it; an unknown
+              // target location cannot rule the read out
+              targetLoc.isEmpty || f.location.rootPaths.exists(underTarget)
+            case _ => inconclusive = true; false
+          }
+        }
       case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
-        Seq(h.tableMeta.identifier)
-    }.flatten
-    ids.exists(id =>
-      id.table.equalsIgnoreCase(ctx.target.identifier) &&
-        id.database.exists(_.equalsIgnoreCase(ctx.target.schema)))
+        h.tableMeta.identifier.table
+          .equalsIgnoreCase(ctx.target.identifier) &&
+          h.tableMeta.identifier.database
+            .exists(_.equalsIgnoreCase(ctx.target.schema))
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        d.identifier match {
+          case Some(id) =>
+            id.name.equalsIgnoreCase(ctx.target.identifier) &&
+              id.namespace.exists(_.equalsIgnoreCase(ctx.target.schema))
+          case None => inconclusive = true; false
+        }
+    }
+    hits.exists(identity) || inconclusive
   }
 
   /** Microbatch × incremental pipeline (the continuous-ingestion shape
@@ -2514,6 +2552,19 @@ object StreamingTableMat extends Materialization {
         "stream_op: curate needs a non-empty `steps:` config (the " +
           "incremental-pipeline step chain each micro-batch runs)")
     steps.foreach(PipelineModels.checkIncrementalLegal)
+    // curate targets are parquet BY CONTRACT, refused by name up front:
+    // the replay guard's key index derives from the target's own data
+    // files read as parquet (CurateKeyIndex.seal), and the durable
+    // landing-dir/per-footer schema machinery is parquet throughout —
+    // an orc/json/csv target would build fine and then die mid-drain
+    // inside the seal's raw parquet read with an unnamed decode error
+    if (ctx.config.fileFormat != "parquet")
+      throw new IllegalArgumentException(
+        s"stream_op: curate requires file_format: parquet, got " +
+          s"`${ctx.config.fileFormat}` — the exactly-once replay guard " +
+          "derives its key index from the target's own data files and " +
+          "reads them as parquet, so a non-parquet target would fail " +
+          "mid-drain, after rows were already appended")
     val landingDir = cfg.get("landing_dir").map(String.valueOf)
     // a re-run of the model REPLAYS the whole staged input; idempotence
     // comes from an index-backed dedup step (every doc it sees settles)
@@ -2659,11 +2710,13 @@ object StreamingTableMat extends Materialization {
     // target's files on the first batch — one key-only catch-up read
     // per RUN instead of a full target scan per BATCH)
     val idxBuckets = cfg.get("key_index_buckets")
-      .map(v => String.valueOf(v).toInt).getOrElse(64)
-    if (idxBuckets < 1)
+      .map(v => String.valueOf(v).toInt)
+    idxBuckets.filter(_ < 1).foreach(n =>
       throw new IllegalArgumentException(
-        s"stream_op: curate `key_index_buckets:` must be >= 1, got " +
-          s"$idxBuckets")
+        s"stream_op: curate `key_index_buckets:` must be >= 1, got $n"))
+    // buckets default to None: the first seal auto-sizes from the
+    // per-file key count it observes (CurateKeyIndex.autoBuckets) and
+    // records the choice in the params file
     val keyIdx = CurateKeyIndex.Handle(spark, checkpoint, keyGuard,
       idxBuckets)
     // refuse a drifted bucket layout AT INVOCATION, not at the first
@@ -2838,36 +2891,74 @@ object StreamingTableMat extends Materialization {
       checkpoint.stripSuffix("/") + ".lock")
 
   /** Claim the durable checkpoint for this invocation: create-if-absent
-    * of a SIBLING `<checkpoint>.lock` file (atomic on HDFS; a
-    * check-then-create on local/object-store FS — the guard is against
-    * the scheduled-overlap case, not byzantine racers). Fails by name
-    * when held: two drains of one checkpoint race on the
-    * committed-files log and double-append at the target. */
+    * of a SIBLING `<checkpoint>.lock` file. Atomicity is the store's:
+    * HDFS `create(overwrite=false)` is atomic; on the local FS and most
+    * object stores it is check-then-create, so two invocations started
+    * at the same INSTANT can in principle both acquire — the guard is
+    * against the scheduled-overlap case (a cron drain still running
+    * when the next fires, seconds-to-minutes apart), not byzantine
+    * same-millisecond racers. Fails by name when held: two drains of
+    * one checkpoint race on the committed-files log and double-append
+    * at the target.
+    *
+    * SELF-HEALING for the kill -9 case: the lock content records
+    * pid/host, so when the holder is THIS host and `ProcessHandle`
+    * proves the pid dead, the stale lock is broken and re-claimed
+    * without human intervention (a scheduled deployment whose run
+    * crashed must not stay wedged until someone deletes a file). A
+    * live holder, a cross-host holder (no liveness oracle from here),
+    * or unreadable lock content still refuses by name — breaking on a
+    * guess would reintroduce the double-append the lock exists to
+    * prevent. */
   private def acquireCurateLock(spark: SparkSession, checkpoint: String)
       : Unit = {
     val lp = curateLockPath(checkpoint)
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
     if (lp.getParent != null) fs.mkdirs(lp.getParent)
-    val out =
-      try fs.create(lp, false)
+    def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
+      try Some(fs.create(lp, false))
       catch {
         case e: java.io.IOException =>
-          val holder =
-            if (!fs.exists(lp)) throw e // a genuine IO failure, not contention
-            else
-              try {
-                val in = fs.open(lp)
-                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-              } catch { case _: Throwable => "(unreadable lock content)" }
-          throw new IllegalStateException(
-            s"stream_op: curate: another invocation holds this " +
-              s"checkpoint's lock ($lp, held by $holder) — concurrent " +
-              "drains of one checkpoint race on the committed-files log " +
-              "and double-append at the target. Wait for that run to " +
-              "finish, or delete the lock file after confirming its " +
-              "process is dead (a kill -9 leaves it behind)")
+          if (!fs.exists(lp)) throw e // a genuine IO failure, not contention
+          None
       }
+    def readHolder(): String =
+      try {
+        val in = fs.open(lp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: Throwable => "(unreadable lock content)" }
+    def provablyDeadHere(holder: String): Boolean = {
+      val pid = """"pid":(\d+)""".r.findFirstMatchIn(holder)
+        .map(_.group(1).toLong)
+      val host = """"host":"([^"]*)"""".r.findFirstMatchIn(holder)
+        .map(_.group(1))
+      val here = java.net.InetAddress.getLocalHost.getHostName
+      // same host AND the pid provably absent; a recycled pid reads as
+      // alive and refuses — the safe direction
+      pid.isDefined && host.contains(here) &&
+        !ProcessHandle.of(pid.get).isPresent
+    }
+    val out = tryCreate().orElse {
+      val holder = readHolder()
+      if (provablyDeadHere(holder)) {
+        System.err.println(
+          s"[graft] breaking stale curate lock $lp: recorded holder " +
+            s"$holder is this host and its pid is dead")
+        fs.delete(lp, false)
+        tryCreate() // a concurrent re-claimer may win; refuse below then
+      } else None
+    }.getOrElse {
+      throw new IllegalStateException(
+        s"stream_op: curate: another invocation holds this " +
+          s"checkpoint's lock ($lp, held by ${readHolder()}) — " +
+          "concurrent drains of one checkpoint race on the " +
+          "committed-files log and double-append at the target. Wait " +
+          "for that run to finish, or delete the lock file after " +
+          "confirming its process is dead (a kill -9 on ANOTHER host " +
+          "leaves it behind; a same-host dead holder is reclaimed " +
+          "automatically)")
+    }
     val info = s"""{"pid":${ProcessHandle.current().pid()},""" +
       s""""host":"${java.net.InetAddress.getLocalHost.getHostName}",""" +
       s""""started_epoch_ms":${System.currentTimeMillis()}}"""
@@ -2894,6 +2985,33 @@ object StreamingTableMat extends Materialization {
   private def curateStreamSchema(spark: SparkSession, srcDir: String,
       checkpoint: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{DataType, StructType}
+    // the landing-dir layout contract is FLAT arrival, refused by name
+    // BEFORE schema inference (a partition-style subdirectory would
+    // otherwise surface as spurious schema drift, a plain one as a
+    // conflicting-structure error): the per-footer schema check lists
+    // top-level files only, while the file-stream source's discovery
+    // has its own (partition-aware) recursion rules — a file landed
+    // under a subdirectory could be streamed without ever being
+    // field-checked, or silently ignored, depending on discovery.
+    // Neither is acceptable as UNDEFINED behavior.
+    locally {
+      val ldPath = new org.apache.hadoop.fs.Path(srcDir)
+      val ldFs = ldPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val subdirs = ldFs.listStatus(ldPath).filter(st =>
+        st.isDirectory && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      if (subdirs.nonEmpty)
+        throw new IllegalStateException(
+          s"stream_op: curate landing_dir `$srcDir` contains " +
+            s"subdirectories [${subdirs.map(_.getPath.getName).sorted
+              .mkString(", ")}] — the landing contract is a FLAT " +
+            "directory of immutable files (the stream schema check and " +
+            "the file-stream source must discover exactly the same " +
+            "files); land files at the top level, or point landing_dir: " +
+            "at the subdirectory itself")
+    }
     val inferred =
       try spark.read.option("mergeSchema", "true").parquet(srcDir).schema
       catch {

@@ -271,7 +271,7 @@ class CurateRestartSpec extends AnyFunSuite {
     assert(new java.io.File(s"$cp/_graft_key_index_params.json").isFile)
     // the guard reads ONLY the buckets the probe batch's keys hash into
     import spark.implicits._
-    val h = CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), 64)
+    val h = CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None)
     val probe = Seq((1L, "x"), (999L, "y")).toDF("doc_id", "text")
     val guarded = CurateKeyIndex.guard(h, probe)
     val planStr = guarded.queryExecution.sparkPlan.toString
@@ -383,6 +383,21 @@ class CurateRestartSpec extends AnyFunSuite {
     assert(!graft.mat.PipelineMat.readsOwnTarget(ctx,
       Seq((3L, "z")).toDF("doc_id", "text")),
       "a local relation must not count")
+    // PATH-BASED self-reads count too: a spark.read.parquet(<target
+    // location>) has no catalog identifier, but its root path IS the
+    // target's storage root — missing it would run every window
+    // against a stale snapshot
+    val targetLoc = a.relationLocationUri(rel).get
+    assert(graft.mat.PipelineMat.readsOwnTarget(ctx,
+      spark.read.parquet(targetLoc)),
+      "a path-based read of the target's location must count")
+    assert(graft.mat.PipelineMat.readsOwnTarget(ctx,
+      a.read(other).unionByName(spark.read.parquet(targetLoc))),
+      "a union touching the target's path must count")
+    val otherLoc = a.relationLocationUri(other).get
+    assert(!graft.mat.PipelineMat.readsOwnTarget(ctx,
+      spark.read.parquet(otherLoc)),
+      "a path-based read of a DIFFERENT location must not count")
   }
 
   test("key index compaction: past the file threshold the derived " +
@@ -450,6 +465,194 @@ class CurateRestartSpec extends AnyFunSuite {
     assert(e2.getMessage.contains(s"$cp.lock"), e2.getMessage)
     assert(e2.getMessage.contains("kill -9"), e2.getMessage)
     new java.io.File(s"$cp.lock").delete()
+  }
+
+  test("curate refuses a non-parquet target by name at config time — " +
+      "the key index reads the target's own data files as parquet") {
+    val a = freshAdapter("g_curate_ff")
+    val landing = Files.createTempDirectory("graft_landing_ff")
+    land(landing, "f1", Seq((1L, t1)))
+    val c = cfg(landing.toString).copy(fileFormat = "orc")
+    val e = intercept[IllegalArgumentException](
+      run(a, Relation("g_curate_ff", "cur"), c))
+    assert(e.getMessage.contains("file_format: parquet"), e.getMessage)
+    assert(e.getMessage.contains("orc"), e.getMessage)
+  }
+
+  test("landing_dir with a nested subdirectory is refused by name — " +
+      "the layout contract is a flat directory of immutable files") {
+    val a = freshAdapter("g_curate_nest")
+    val rel = Relation("g_curate_nest", "cur")
+    val landing = Files.createTempDirectory("graft_landing_nest")
+    land(landing, "f1", Seq((1L, t1)))
+    run(a, rel, cfg(landing.toString))
+    assert(ids(a, rel) == Set(1L))
+    // a producer lands a file under a date subdirectory
+    land(landing.resolve("dt=2024-01-01"), "f2", Seq((2L, t2)))
+    val e = intercept[IllegalStateException](run(a, rel, cfg(landing.toString)))
+    assert(e.getMessage.contains("subdirectories"), e.getMessage)
+    assert(e.getMessage.contains("dt=2024-01-01"), e.getMessage)
+    assert(e.getMessage.contains("FLAT"), e.getMessage)
+    // hidden/metadata dirs (_/. prefixed) stay ignored, like Spark does
+    Files.delete(landing.resolve("dt=2024-01-01").resolve("f2.parquet"))
+    Files.delete(landing.resolve("dt=2024-01-01"))
+    Files.createDirectories(landing.resolve("_landing_tmp"))
+    land(landing, "f3", Seq((3L, t2)))
+    run(a, rel, cfg(landing.toString))
+    assert(ids(a, rel) == Set(1L, 3L))
+  }
+
+  test("a stale lock whose recorded holder is a DEAD pid on this host " +
+      "is broken and re-claimed automatically; a live holder refuses") {
+    val a = freshAdapter("g_curate_heal")
+    val rel = Relation("g_curate_heal", "cur")
+    val landing = Files.createTempDirectory("graft_landing_heal")
+    val cp = Files.createTempDirectory("graft_cp_heal").resolve("cp").toString
+    land(landing, "f1", Seq((1L, t1)))
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel) == Set(1L))
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // a provably dead pid: spawn a process and wait for it to exit
+    val dead = new ProcessBuilder("true").start()
+    val deadPid = dead.pid()
+    dead.waitFor()
+    val deadline = System.currentTimeMillis() + 10000
+    while (ProcessHandle.of(deadPid).isPresent &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(!ProcessHandle.of(deadPid).isPresent, "spawned pid never died")
+    def writeLock(pid: Long): Unit = {
+      val w = new java.io.FileWriter(s"$cp.lock")
+      try w.write(s"""{"pid":$pid,"host":"$host","started_epoch_ms":1}""")
+      finally w.close()
+    }
+    // kill -9 shape: lock present, holder dead on THIS host → the next
+    // scheduled run self-heals and drains the newly landed file
+    writeLock(deadPid)
+    land(landing, "f2", Seq((3L, t2)))
+    val r = run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(r.message.contains("1 micro-batches"), r.message)
+    assert(ids(a, rel) == Set(1L, 3L))
+    assert(!new java.io.File(s"$cp.lock").exists(),
+      "the re-claimed lock must release on exit")
+    // a LIVE same-host holder still refuses by name (this very process)
+    writeLock(ProcessHandle.current().pid())
+    val e = intercept[IllegalStateException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+    assert(e.getMessage.contains("another invocation"), e.getMessage)
+    // a cross-host holder refuses too, dead pid or not
+    val w = new java.io.FileWriter(s"$cp.lock")
+    try w.write(s"""{"pid":$deadPid,"host":"not-this-host","started_epoch_ms":1}""")
+    finally w.close()
+    val e2 = intercept[IllegalStateException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+    assert(e2.getMessage.contains("another invocation"), e2.getMessage)
+    new java.io.File(s"$cp.lock").delete()
+  }
+
+  test("key_index_buckets auto-sizes from the first seal's per-file " +
+      "key count, records the choice with key TYPES, and the guard's " +
+      "probe partition-prunes under the derived layout") {
+    import graft.mat.CurateKeyIndex
+    // the sizing rule itself, pinned: per-file keys → next pow2 in
+    // [16, 4096]
+    assert(CurateKeyIndex.autoBuckets(300, 1) == 512)
+    assert(CurateKeyIndex.autoBuckets(300, 2) == 256)
+    assert(CurateKeyIndex.autoBuckets(256, 1) == 256)
+    assert(CurateKeyIndex.autoBuckets(5, 1) == 16)
+    assert(CurateKeyIndex.autoBuckets(10000000, 1) == 4096)
+    assert(CurateKeyIndex.autoBuckets(0, 0) == 16)
+    val a = freshAdapter("g_curate_auto")
+    val rel = Relation("g_curate_auto", "cur")
+    val landing = Files.createTempDirectory("graft_landing_auto")
+    val cp = Files.createTempDirectory("graft_cp_auto").resolve("cp").toString
+    // high-key-count corpus: 300 distinct keys in one landed file
+    land(landing, "f1", (0L until 300L).map(i => (i, s"body $i")))
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    // first invocation: full build only — no seal ran yet, no params
+    land(landing, "f2", Seq((1000L, "novel"), (5L, "body 5")))
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel).size == 301, "novel row lands, settled key drops")
+    val params = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$cp/_graft_key_index_params.json")), "UTF-8")
+    // 300 keys over however many files the build wrote — a derived
+    // power of two well above the old fixed 64, recorded with types
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(params)
+      .get.group(1).toInt
+    assert(buckets >= 128 && buckets <= 512, params)
+    assert((buckets & (buckets - 1)) == 0, s"not a power of two: $params")
+    assert(params.contains(""""types":["bigint"]"""), params)
+    // the guard's probe under the derived layout still partition-prunes
+    import spark.implicits._
+    val h = CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None)
+    val probe = Seq((5L, "x"), (99999L, "y")).toDF("doc_id", "text")
+    val guarded = CurateKeyIndex.guard(h, probe)
+    val planStr = guarded.queryExecution.sparkPlan.toString
+    assert(planStr.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("__kb")),
+      s"auto-sized guard scan does not partition-prune:\n$planStr")
+    assert(guarded.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(99999L))
+  }
+
+  test("a RETYPED key column is refused by name against the recorded " +
+      "params — bucket membership hashes the type as much as the value") {
+    import graft.mat.CurateKeyIndex
+    import spark.implicits._
+    val a = freshAdapter("g_curate_retype")
+    val rel = Relation("g_curate_retype", "cur")
+    val landing = Files.createTempDirectory("graft_landing_rt")
+    val cp = Files.createTempDirectory("graft_cp_rt").resolve("cp").toString
+    landAll(landing)
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    val h = CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None)
+    val probe = Seq((1L, "x")).toDF("doc_id", "text")
+      .withColumn("doc_id", col("doc_id").cast("string"))
+    val e = intercept[IllegalStateException](CurateKeyIndex.guard(h, probe))
+    assert(e.getMessage.contains("string"), e.getMessage)
+    assert(e.getMessage.contains("bigint"), e.getMessage)
+    assert(e.getMessage.contains("--full-refresh"), e.getMessage)
+  }
+
+  test("an unreadable key index REFUSES instead of silently skipping " +
+      "the replay guard; a dataless (torn first write) index stays benign") {
+    import graft.mat.CurateKeyIndex
+    import spark.implicits._
+    val a = freshAdapter("g_curate_corrupt")
+    val rel = Relation("g_curate_corrupt", "cur")
+    val landing = Files.createTempDirectory("graft_landing_cor")
+    val cp = Files.createTempDirectory("graft_cp_cor").resolve("cp").toString
+    landAll(landing)
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    val idxDir = java.nio.file.Paths.get(s"$cp/_graft_key_index")
+    // corrupt the index: replace the bucketed layout with a stray
+    // parquet of unrelated columns at the index root — the read then
+    // fails analysis while data files ARE present
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    rmTree(idxDir)
+    Files.createDirectories(idxDir)
+    val tmp = Files.createTempDirectory("graft_cor_stray")
+    Seq(Tuple1(1)).toDF("zz").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(tmp.toFile.listFiles()
+      .filter(_.getName.startsWith("part-")).head.toPath,
+      idxDir.resolve("stray.parquet"))
+    val h = CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None)
+    val probe = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException](CurateKeyIndex.guard(h, probe))
+    assert(e.getMessage.contains("cannot be read"), e.getMessage)
+    assert(e.getMessage.contains("--full-refresh"), e.getMessage)
+    // benign shape: params recorded, index dir present but DATALESS
+    // (only a _SUCCESS marker) — reads as empty, batch passes unguarded
+    rmTree(idxDir)
+    Files.createDirectories(idxDir)
+    Files.createFile(idxDir.resolve("_SUCCESS"))
+    val out = CurateKeyIndex.guard(h, probe)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
+      "a dataless index must pass the batch through unguarded")
   }
 
   test("bounded replay: --full-refresh with an all-empty staged input " +
