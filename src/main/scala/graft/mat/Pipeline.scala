@@ -2428,12 +2428,20 @@ object StreamingTableMat extends Materialization {
           stream.select(col(s"`$userCol`"), col(s"`$typeCol`"),
             usOf(schemaSource, tsCol)).as[(Long, String, Long)],
           steps, cap = str("cap", "10000").toInt, ttl = ttl)
+      case "media_dedup" =>
+        // EXACT-invariance media dedup (first class occurrence wins);
+        // hamming-ball near-dup merging stays with the batch/
+        // incremental media_dedup step — see mediaDedupStream scaladoc
+        StreamingOps.mediaDedupStream(stream,
+          method = str("method", "phash"),
+          idCol = str("id_col", "doc_id"),
+          payloadCol = str("payload_col", "payload"), ttl = ttl)
       case "" => throw new IllegalArgumentException(
         "streaming_table requires `stream_op:` " +
-          "(sessionize | dedup | funnel | curate)")
+          "(sessionize | dedup | media_dedup | funnel | curate)")
       case other => throw new IllegalArgumentException(
         s"unknown stream_op `$other` " +
-          "(known: sessionize, dedup, funnel, curate)")
+          "(known: sessionize, dedup, media_dedup, funnel, curate)")
     }
   }
 

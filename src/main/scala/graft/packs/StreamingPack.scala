@@ -128,6 +128,35 @@ object StreamingPack extends QueryPack {
         .orderBy("from_state", "to_state")
     }),
 
+    // streaming media dedup (stream_op: media_dedup, method: audio):
+    // per-payload envelope-spectrum fingerprint map-side, one boolean
+    // of state per fingerprint class, min-id-per-class on the bounded
+    // one-batch replay. Fixture mirrors q_media_dedup_audio's EXACT
+    // invariances: every 2nd/3rd recording re-appears gain-scaled /
+    // resampled under a high id — bit-identical fingerprints, so each
+    // variant merges into its original; the near-dup (hamming-ball)
+    // cases stay with the batch op by the documented boundary.
+    "q_stream_media_dedup" -> ((s, dir) => {
+      import graft.ops.Multimodal
+      val docs = graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 32)
+        .select("doc_id", "text")
+      val media = Multimodal.syntheticAudioWav(docs)
+      val re = udf((p: Array[Byte], g: Double, dec: Int) =>
+        graft.ops.AudioHash.reencode(p, g, dec))
+      val v1 = media.filter(col("doc_id") % 14 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("payload", re(col("payload"), lit(0.7), lit(1)))
+      val v2 = media.filter(col("doc_id") % 21 === 0)
+        .withColumn("doc_id", col("doc_id") + 600000L)
+        .withColumn("payload", re(col("payload"), lit(0.85), lit(2)))
+      val corpus = media.unionByName(v1).unionByName(v2)
+        .select("doc_id", "payload")
+      StreamingOps.boundedReplay(corpus)(
+        StreamingOps.mediaDedupStream(_, method = "audio"))
+        .orderBy("doc_id")
+    }),
+
     // incremental ordered funnel with bounded per-key state — same
     // two-day slice and depth distribution as the batch q_funnel, so it
     // shares that oracle verbatim (streaming == batch on bounded input)
@@ -425,6 +454,19 @@ object StreamingPack extends QueryPack {
     // the streaming funnel's contract is batch-equivalence on bounded
     // input, so it shares the batch operator's oracle verbatim
     "q_stream_funnel" -> PipelinePack.oracles("q_funnel"),
+
+    // the stream twin keeps min-id per fingerprint class; the fixture's
+    // classes are exactly text-equality groups (equal texts render
+    // identical WAVs, the gain/resample variants hash bit-identically
+    // to their originals and carry strictly higher ids, unrelated
+    // recordings sit at the ~32-bit background distance) — so SQL
+    // states the kept set without recomputing the hash
+    "q_stream_media_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND length(text) >= 32)
+        |SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
 
     // per-day HLL with the q_stream_window append-mode cutoff (windows
     // whose end the closing watermark passed) — estimate constants are

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -341,6 +341,125 @@ object StreamingOps {
           }
       }
       .toDF("event_id", "user_id", "event_type")
+  }
+
+  /** Streaming media dedup — the streaming twin of the batch
+    * `media_dedup` step for its EXACT-invariance dup classes: each
+    * payload maps to a 64-bit fingerprint through the SAME native
+    * expressions the batch op uses (`phash` = DCT image hash over the
+    * decoded pixels, `audio` = envelope-spectrum hash over the decoded
+    * PCM, `exact` = body checksum, each paired with the payload length
+    * as a collision backstop), and one boolean of state per fingerprint
+    * class keeps the FIRST occurrence. "First" is deterministic: the
+    * MIN id within a micro-batch, the earliest batch across batches —
+    * so a bounded single-batch replay emits exactly min-id per class,
+    * which is what the oracle pins. Payloads the method cannot decode,
+    * and decodable payloads with no perceptual signal (the 0L
+    * sentinel), are ALWAYS KEPT and bypass the stateful operator
+    * entirely (no state, no key-0 hot partition) — the batch step's
+    * exact contract for the same rows.
+    *
+    * BOUNDARY (the batch/incremental ops keep it): hamming-ball
+    * near-dup merging — re-encodes within ≤3 bits that are NOT exact
+    * invariances, e.g. lossy JPEG or 8-bit audio re-quantization —
+    * does not stream here. It would need banded multi-key state (4
+    * band keys per doc) plus a cross-key verify join per batch; the
+    * incremental pipeline already provides exactly that against
+    * persisted indexes. The EXACT invariances (identical pixels across
+    * PNG/JPEG-lossless/GRFT containers, gain scaling and resampling
+    * for audio — see PhashSpec/AudioHashSpec) DO merge here, because
+    * the fingerprints are bit-identical.
+    *
+    * State per class is one boolean; the class count is unbounded on a
+    * continuous stream — `ttl` arms the standard processing-time
+    * timeout (a dup arriving after the horizon re-emits, the bounded-
+    * state trade every stream twin documents). Bounded AvailableNow
+    * replays leave it unset. */
+  def mediaDedupStream(stream: DataFrame, method: String = "phash",
+      idCol: String = "doc_id", payloadCol: String = "payload",
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.expressions.PipelineExpressions
+    import graft.ops.Multimodal
+    import stream.sparkSession.implicits._
+    val pay = col(s"`$payloadCol`")
+    // (fingerprint, length) class key + the always-keep flag; fp is
+    // NULL (→ flagged) when the container sniff fails or the hash is
+    // the 0L no-signal sentinel
+    val fp: Column = method match {
+      case "phash" =>
+        when(Multimodal.isPhashable(payloadCol),
+          PipelineExpressions.media_phash(pay)).otherwise(lit(null))
+      case "audio" =>
+        when(Multimodal.isAudioContainer(payloadCol),
+          PipelineExpressions.media_audio_hash(pay)).otherwise(lit(null))
+      case "exact" =>
+        when(Multimodal.isGrft(payloadCol),
+          PipelineExpressions.media_checksum(pay)).otherwise(lit(null))
+      case other => throw new IllegalArgumentException(
+        s"media_dedup stream method must be phash|audio|exact: $other")
+    }
+    // the class key pairs the checksum with the payload LENGTH only for
+    // `exact` (the batch op's (n_bytes, checksum) key); the perceptual
+    // hashes must NOT carry it — equal pixels/PCM in different
+    // containers hash identically but differ in container bytes, and
+    // splitting on length would undo exactly those merges
+    val lenKey: Column =
+      if (method == "exact") length(pay).cast("long") else lit(0L)
+    val tagged = stream.select(
+      fp.as("__fp"), lenKey.as("__len"),
+      col(s"`$idCol`").cast("long").as("__id"))
+    val pass = tagged
+      .filter(col("__fp").isNull || col("__fp") === 0L)
+      .select(col("__id").as(idCol))
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val deduped = tagged
+      .filter(col("__fp").isNotNull && col("__fp") =!= 0L)
+      .as[(Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, Long](
+        OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else {
+            state.update(true)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            // min id of THIS batch's class members — group-sized
+            Iterator.single(rows.map(_._3).min)
+          }
+      }
+      .toDF(idCol)
+    deduped.unionByName(pass)
+  }
+
+  /** Drive a streaming transform over a bounded ONE-BATCH replay of
+    * `batch`: stage to a throwaway dir, readStream it whole (no
+    * maxFilesPerTrigger ⇒ AvailableNow processes everything as one
+    * micro-batch), run `transform`, drain to a parquet sink, read the
+    * sink back. The single-batch shape is what makes min-id-per-class
+    * stream ops deterministic and oracle-checkable. */
+  def boundedReplay(batch: DataFrame)
+      (transform: DataFrame => DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val srcDir = Files.createTempDirectory("graft_breplay_src").toString
+    val sink = Files.createTempDirectory("graft_breplay_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_breplay_cp").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val out = transform(spark.readStream.schema(schema).parquet(srcDir))
+    val q = out.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    q.awaitTermination()
+    spark.read.parquet(sink)
   }
 
   /** Streaming CDC compaction: maintain each key's LATEST change (by

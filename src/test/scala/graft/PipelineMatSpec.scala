@@ -663,6 +663,48 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(n == 1, s"one closed session, open tail unemitted: $n")
   }
 
+  test("stream_op media_dedup: first class occurrence wins across " +
+      "micro-batches (min id within a batch); undecodable payloads " +
+      "always pass; unknown method refused by name") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Multimodal
+    val bodyA = "the first shared body".getBytes("UTF-8")
+    val bodyB = "a different second body".getBytes("UTF-8")
+    val bodyC = "novel third body, batch two".getBytes("UTF-8")
+    def grft(b: Array[Byte]) = Multimodal.StubCodec.encode(8, 8, 1, b)
+    val junk = Array[Byte](9, 9, 9, 9) // fails the container sniff
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val cfg = Map[String, Any]("stream_op" -> "media_dedup",
+      "method" -> "exact", "id_col" -> "doc_id",
+      "payload_col" -> "payload")
+    val stream = mem.toDS().toDF("doc_id", "payload")
+    val out = StreamingTableMat.buildStream(cfg, stream, stream,
+      armTtl = false)
+    val q = out.writeStream.format("memory").queryName("mat_media_dedup")
+      .outputMode("append").start()
+    try {
+      def got() = spark.table("mat_media_dedup")
+        .collect().map(_.getLong(0)).toSet
+      // batch 1: 1≈2 dup (min id 1 kept), 3 distinct, 4 undecodable
+      mem.addData((2L, grft(bodyA)), (1L, grft(bodyA)),
+        (3L, grft(bodyB)), (4L, junk))
+      q.processAllAvailable()
+      assert(got() == Set(1L, 3L, 4L), got())
+      // batch 2: 10 re-delivers a SETTLED body (drops against state),
+      // 11 is novel, 12 undecodable (always passes, even repeated)
+      mem.addData((10L, grft(bodyA)), (11L, grft(bodyC)), (12L, junk))
+      q.processAllAvailable()
+      assert(got() == Set(1L, 3L, 4L, 11L, 12L), got())
+    } finally q.stop()
+    val e = intercept[IllegalArgumentException](
+      StreamingTableMat.buildStream(
+        Map[String, Any]("stream_op" -> "media_dedup",
+          "method" -> "nope"), stream, stream, armTtl = false)
+        .queryExecution.analyzed)
+    assert(e.getMessage.contains("phash|audio|exact"), e.getMessage)
+  }
+
   test("stream_op curate: micro-batches run as incremental index " +
       "batches; a full re-replay appends nothing; contracts are named") {
     import spark.implicits._
