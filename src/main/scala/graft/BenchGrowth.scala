@@ -335,6 +335,77 @@ object BenchGrowth {
           f""""batch_ratio":${cpM / cp1}%.2f}"""
     }
 
+    // ---- durable-curate DRAIN-LENGTH row ---------------------------------
+    // The corpus axis is fenced above; this row fences the OTHER axis:
+    // per-batch cost across a LONG drain at max_files_per_trigger=1,
+    // through in-drain key-index compactions. The suspected growth terms
+    // are the accreted per-seal index files (the guard's read lists the
+    // index tree each batch) and the sealed log; compaction-by-
+    // re-derivation is the designed relief, now triggered mid-drain from
+    // an in-memory accrual estimate. Protocol: build once, land 24
+    // fixed-content files, drain them in 3 invocations of 8 batches
+    // each, and compare per-batch wall across the thirds — flat
+    // (ratio ≈ 1 between the 2nd and 3rd thirds; the 1st pays the
+    // one-time post-build catch-up seal) is the evidence.
+    if (famFilter.forall(_.contains("durable_curate_drain"))) {
+      val schema = "g_growth_curate_drain"
+      spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val a = new SparkAdapter(spark, schema,
+        Some(Files.createTempDirectory("graft_growth_curd").toString))
+      val rel = Relation(schema, "corpus")
+      val landing = Files.createTempDirectory("graft_growth_curd_land")
+      val cp = Files.createTempDirectory("graft_growth_curd_cp")
+        .resolve("cp").toString
+      def landFile(name: String, df: DataFrame): Unit = {
+        val tmp = Files.createTempDirectory("graft_growth_curd_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          landing.resolve(s"$name.parquet"))
+      }
+      val perFile = math.max(100, batchN / 4)
+      def cfgD(mfpt: Int, maxB: Option[Int]) = NodeConfig(
+        materialized = "streaming_table",
+        uniqueKey = Seq("doc_id"),
+        extra = Map[String, Any]("stream_op" -> "curate",
+          "landing_dir" -> landing.toString, "checkpoint_dir" -> cp,
+          "max_files_per_trigger" -> mfpt,
+          // threshold chosen to force ~2 mid-drain compactions over the
+          // 24 seals (accrual ≈ touched-buckets per seal, ≤ B ≈ 16 at
+          // 500-key batches) — the row must cross the boundary it
+          // fences; the default (16 seals' accrual) would compact less
+          // often by design
+          "key_index_compact_files" -> 200,
+          "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup",
+            "id_col" -> "doc_id"))) ++
+          maxB.map(n => "max_batches_per_run" -> (n: Any)).toMap)
+      def runD(mfpt: Int, maxB: Option[Int] = None): Unit =
+        StreamingTableMat.run(MatContext(a,
+          Node(uniqueId = s"model.bench.${rel.identifier}",
+            name = rel.identifier, packageName = "bench",
+            kind = NodeKind.Model, config = cfgD(mfpt, maxB)),
+          rel, () => spark.range(0)
+            .selectExpr("id AS doc_id", "'x' AS text")))
+      landFile("corpus", textGen(base, 0L, 23))
+      val build = timed(runD(100))
+      (0 until 24).foreach(i =>
+        landFile(f"d$i%02d", textGen(perFile, 20000000L + i * 100000L, 301 + i)))
+      val thirds = (0 until 3).map { t =>
+        timed(runD(1, Some(8))) / 8
+      }
+      val ratio = thirds(2) / thirds(1)
+      System.err.println(
+        f"[growth] durable_curate_drain: build=$build%6.2fs per_batch=" +
+          thirds.map(s => f"$s%5.2f").mkString("[", ",", "]s") +
+          f" ratio(3rd/2nd)=$ratio%.2f")
+      spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      out("durable_curate_drain") =
+        f"""{"build":$build%.2f,"per_batch_thirds":[${thirds
+          .map(s => f"$s%.2f").mkString(",")}],""" +
+          f""""drain_ratio":$ratio%.2f}"""
+    }
+
     // ---- media payload-size throughput row ------------------------------
     // The growth rows above measure STATE growth on text-sized payloads;
     // real images are 10^5-10^6 bytes and pHash is O(pixels) per row, so

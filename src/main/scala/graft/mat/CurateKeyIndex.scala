@@ -89,6 +89,17 @@ private[graft] object CurateKeyIndex {
     /** Params resolved once per invocation (from the params file, the
       * explicit config, or the first seal's auto-sizing). */
     private[CurateKeyIndex] var paramsCache: Option[Params] = None
+    /** Estimated file count under [[indexDir]], maintained in memory so
+      * the per-batch compaction check costs no listing: initialized by
+      * ONE capped listing the first time it is needed, advanced by each
+      * seal's (bounded) append estimate, reset by compaction. -1 =
+      * not yet initialized. */
+    private[CurateKeyIndex] var estFiles: Long = -1L
+    /** Touched-bucket count of the LAST guard probe — a tight zero-job
+      * upper bound on the files the NEXT seal appends (the next seal
+      * indexes the previous batch's survivors, whose buckets ⊆ the
+      * previous probe's). -1 = no probe yet this invocation. */
+    private[CurateKeyIndex] var lastProbe: Int = -1
   }
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -176,15 +187,37 @@ private[graft] object CurateKeyIndex {
     rec
   }
 
-  /** Default bucket count from the first seal's own evidence: the
-    * per-file key count of the files it indexes (a landed file IS a
-    * micro-batch in durable mode, so pruning bites exactly when
-    * B ≳ batch keys), next power of two, clamped to [16, 4096]. */
-  private[graft] def autoBuckets(keyRows: Long, files: Int): Int = {
-    val perFile = math.max(1L, keyRows / math.max(1, files))
-    val pow = java.lang.Long.highestOneBit(math.max(1L, perFile - 1)) * 2
+  /** Default bucket count from the first seal's evidence: the KEY
+    * COUNT OF THE BATCH being drained (a landed file IS a micro-batch
+    * in durable mode), divided by 32, next power of two, clamped to
+    * [16, 4096]. The /32 is the churn/pruning balance: every seal
+    * writes ~one file per TOUCHED bucket — B(1−e^(−K/B)) ≈ B files for
+    * a K ≥ B key batch — so an OVERSIZED B pays ~K small files per
+    * seal (measured 8× per-batch regression when a 12k-key full-build
+    * file sized B to 2048) while an UNDERSIZED B only weakens pruning
+    * toward the accepted floor (one narrow key-only index scan per
+    * batch). Hence the evidence is the batch, never the target's own
+    * (few, large) files, and the bias is low: B ≈ K/32 caps seal churn
+    * at ~K/32 files, keeps compaction re-derives B-way parallel, and
+    * SMALL probes (replay of a file fraction, skewed re-delivery)
+    * still prune. The compaction default scales with the same B
+    * ([[defaultCompactAt]]) so re-derives amortize to ≤ 1/16 of
+    * seals regardless of sizing. */
+  private[graft] def autoBuckets(batchKeys: Long): Int = {
+    val target = math.max(1L, batchKeys / 32)
+    val pow = java.lang.Long.highestOneBit(math.max(1L, target - 1)) * 2
     math.min(4096L, math.max(16L, pow)).toInt
   }
+
+  /** Default `key_index_compact_files`: 16 compaction-free seals'
+    * worth of accrual at ~B files per seal (floored at 1024 for small
+    * layouts) — each compaction's price is one full re-derive of the
+    * index from the target's files, so the threshold must scale WITH
+    * the bucket count or a large-B layout would re-derive every
+    * couple of batches. Resolved from the recorded params when known
+    * (first batch of a fresh checkpoint: the pre-auto-size floor). */
+  private[graft] def defaultCompactAt(h: Handle): Int =
+    math.max(1024, 16 * h.paramsCache.map(_.buckets).getOrElse(64))
 
   /** Resolve the effective params: the recorded file wins (verified
     * against the config and, when known, the live key types); absent a
@@ -256,8 +289,13 @@ private[graft] object CurateKeyIndex {
     * so partition-directory columns survive the raw-file read when a
     * key column is also a partition column. The FIRST seal records the
     * params file: explicit config, or buckets auto-sized from the
-    * per-file key count it observes. */
-  def seal(h: Handle, target: DataFrame, basePath: Option[String]): Unit = {
+    * BATCH key count (`batchKeysHint`, supplied by the drain from the
+    * micro-batch it is about to guard — the target's own files are few
+    * and large after a full build, the WRONG churn evidence; see
+    * [[autoBuckets]]). Without a hint the unsealed key count stands
+    * in. */
+  def seal(h: Handle, target: DataFrame, basePath: Option[String],
+      batchKeysHint: Option[() => Long] = None): Unit = {
     val files = target.inputFiles.toSeq
     val already = sealedPaths(h)
     val unsealed = files.filterNot(already)
@@ -269,9 +307,8 @@ private[graft] object CurateKeyIndex {
     val types = keyFrame.schema.fields.map(_.dataType.catalogString).toSeq
     val params = resolveParams(h, Some(types), Some(() =>
       Params(h.bucketsConfig.getOrElse {
-        // one count over the key-only columns of the unsealed files —
-        // a first-seal-only bootstrap cost, not a per-batch term
-        autoBuckets(keyFrame.count(), unsealed.size)
+        // one count job — a first-seal-only bootstrap cost
+        autoBuckets(batchKeysHint.map(_()).getOrElse(keyFrame.count()))
       }, h.keys, types)))
     keyFrame
       .withColumn("__kb", bucketOf(h.keys, params.buckets))
@@ -290,6 +327,15 @@ private[graft] object CurateKeyIndex {
     h.spark.createDataset(unsealed).toDF("path")
       .coalesce(1).write.mode("append").parquet(h.sealedDir)
     h.sealedCache = already ++ unsealed
+    // advance the in-memory accrual estimate: this seal wrote one file
+    // per distinct bucket of the indexed keys — bounded by the LAST
+    // guard probe's touched-bucket count (the indexed rows are the
+    // previous batch's survivors) when one exists, by the bucket count
+    // otherwise. An overestimate only compacts earlier — safe direction.
+    if (h.estFiles >= 0)
+      h.estFiles +=
+        (if (h.lastProbe >= 0) math.min(h.lastProbe.toLong, params.buckets)
+         else params.buckets.toLong)
   }
 
   /** Reset the index when its accreted small files outnumber
@@ -304,19 +350,33 @@ private[graft] object CurateKeyIndex {
     * KEPT: bucket layout survives compaction, so re-derived buckets
     * match every index row ever written. */
   def compactIfNeeded(h: Handle, maxFiles: Int): Unit = {
-    if (!exists(h.spark, h.indexDir)) return
+    if (!exists(h.spark, h.indexDir)) {
+      if (h.estFiles < 0) h.estFiles = 0
+      return
+    }
     val idxPath = new Path(h.indexDir)
     val fs = fsOf(h.spark, idxPath)
-    var count = 0
-    val it = fs.listFiles(idxPath, true)
-    while (count <= maxFiles && it.hasNext) {
-      if (it.next().isFile) count += 1
+    // ONE capped listing initializes the estimate; afterwards seal()
+    // advances it in memory — the check is called per MICRO-BATCH (a
+    // long drain must compact mid-run, not only at the next
+    // invocation: each seal appends up to touched-buckets files, and
+    // without in-drain relief the guard's per-batch index read would
+    // pay an ever-growing file listing), so it must not itself list
+    // the tree it exists to keep small
+    if (h.estFiles < 0) {
+      var count = 0L
+      val it = fs.listFiles(idxPath, true)
+      while (count <= maxFiles && it.hasNext) {
+        if (it.next().isFile) count += 1
+      }
+      h.estFiles = count
     }
-    if (count > maxFiles) {
+    if (h.estFiles > maxFiles) {
       val sealedPath = new Path(h.sealedDir)
       if (fs.exists(sealedPath)) fs.delete(sealedPath, true)
       fs.delete(idxPath, true)
       h.sealedCache = null // force a re-read (now empty) on next seal
+      h.estFiles = 0
     }
   }
 
@@ -336,6 +396,7 @@ private[graft] object CurateKeyIndex {
     val touched = batch
       .select(bucketOf(h.keys, params.buckets).as("__kb"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    h.lastProbe = touched.length
     if (touched.isEmpty) return batch
     // a dataless index dir (torn first write) holds no keys to drop —
     // and anything the target actually holds was just re-indexed by

@@ -2727,26 +2727,34 @@ object StreamingTableMat extends Materialization {
     // records the choice in the params file
     val keyIdx = CurateKeyIndex.Handle(spark, checkpoint, keyGuard,
       idxBuckets)
+    // COMPACTION: every seal appends up to one file per touched bucket,
+    // so a long drain accretes small parquet files linearly in batch
+    // count — eventually the listing/footer overhead, not the data, is
+    // the per-batch cost. The index is DERIVED state, so compaction is
+    // a reset: drop the sealed log FIRST (a crash between the deletes
+    // must leave "nothing sealed", never "sealed but unindexed"), then
+    // the index — the next seal() re-derives both from the target's
+    // files in one bucketed pass (≤ one file per bucket).
+    // `key_index_compact_files:` tunes the trigger; the default scales
+    // with the resolved bucket count (16 seals' worth of accrual,
+    // CurateKeyIndex.defaultCompactAt) so each compaction's full
+    // re-derive amortizes over ≥ ~16 batches. The check runs per
+    // MICRO-BATCH on an in-memory accrual estimate (one capped listing
+    // initializes it), so a 1000-batch drain compacts MID-RUN instead
+    // of accreting until the next invocation.
+    val compactCfg = cfg.get("key_index_compact_files")
+      .map(v => String.valueOf(v).toInt)
+    compactCfg.filter(_ < 1).foreach(n =>
+      throw new IllegalArgumentException(
+        "stream_op: curate `key_index_compact_files:` must be >= 1, " +
+          s"got $n"))
+    def compactAt: Int =
+      compactCfg.getOrElse(CurateKeyIndex.defaultCompactAt(keyIdx))
     // refuse a drifted bucket layout AT INVOCATION, not at the first
     // batch — a drained landing dir (zero batches) must not report
     // success under a config the persisted index cannot serve
     if (landingDir.isDefined && keyGuard.nonEmpty && et.isEmpty) {
       CurateKeyIndex.checkParams(keyIdx)
-      // COMPACTION: every seal appends up to one file per bucket, so a
-      // long drain accretes small parquet files linearly in batch count
-      // — eventually the listing/footer overhead, not the data, is the
-      // per-batch cost. The index is DERIVED state, so compaction is a
-      // reset: drop the sealed log FIRST (a crash between the deletes
-      // must leave "nothing sealed", never "sealed but unindexed"),
-      // then the index — the first batch's seal() re-derives both from
-      // the target's files in one bucketed pass (≤ one file per
-      // bucket). `key_index_compact_files:` tunes the trigger.
-      val compactAt = cfg.get("key_index_compact_files")
-        .map(v => String.valueOf(v).toInt).getOrElse(1024)
-      if (compactAt < 1)
-        throw new IllegalArgumentException(
-          "stream_op: curate `key_index_compact_files:` must be >= 1, " +
-            s"got $compactAt")
       CurateKeyIndex.compactIfNeeded(keyIdx, compactAt)
     }
     val q = stream.writeStream
@@ -2825,8 +2833,15 @@ object StreamingTableMat extends Materialization {
             // this batch's keys touch.
             val local =
               if (keyGuard.nonEmpty && incrRun && et.isEmpty) {
+                // in-drain compaction relief BEFORE the seal: the next
+                // seal then re-derives the reset index in one bucketed
+                // pass and the guard below sees the full key set
+                CurateKeyIndex.compactIfNeeded(keyIdx, compactAt)
                 CurateKeyIndex.seal(keyIdx, ctx.adapter.read(ctx.target),
-                  ctx.adapter.relationLocationUri(ctx.target))
+                  ctx.adapter.relationLocationUri(ctx.target),
+                  // first-seal auto-sizing evidence: THIS batch's rows
+                  // (pinned blocks — the count is block-manager cheap)
+                  batchKeysHint = Some(() => etStaged.count()))
                 CurateKeyIndex.guard(keyIdx, etStaged)
               } else etStaged
             PipelineMat.processBatch(ctx, steps, local, incremental = true,

@@ -426,6 +426,26 @@ class CurateRestartSpec extends AnyFunSuite {
     val before = a.read(rel).count()
     run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
     assert(a.read(rel).count() == before)
+    // MID-DRAIN compaction: a single invocation draining several files
+    // past the threshold compacts between micro-batches (in-memory
+    // accrual estimate, no per-batch listing) and exactly-once still
+    // holds — including for a settled key re-delivered AFTER the
+    // in-drain reset
+    val a2 = freshAdapter("g_curate_compact2")
+    val rel2 = Relation("g_curate_compact2", "cur")
+    val landing2 = Files.createTempDirectory("graft_landing_cmp2")
+    val cp2 = Files.createTempDirectory("graft_cp_cmp2").resolve("cp").toString
+    landAll(landing2) // 4 files; threshold 1 → compaction before most seals
+    land(landing2, "f5", Seq((1L, t1), (40L, "another fresh body")))
+    val r2 = run(a2, rel2, cfg(landing2.toString, "checkpoint_dir" -> cp2,
+      "key_index_compact_files" -> 1))
+    assert(r2.message.contains("5 micro-batches"), r2.message)
+    assert(ids(a2, rel2) == expectedIds + 40L,
+      "mid-drain compaction must not lose the replay guard")
+    val before2 = a2.read(rel2).count()
+    run(a2, rel2, cfg(landing2.toString, "checkpoint_dir" -> cp2,
+      "key_index_compact_files" -> 1))
+    assert(a2.read(rel2).count() == before2)
   }
 
   test("two concurrent invocations on one checkpoint: the second fails " +
@@ -553,14 +573,14 @@ class CurateRestartSpec extends AnyFunSuite {
       "key count, records the choice with key TYPES, and the guard's " +
       "probe partition-prunes under the derived layout") {
     import graft.mat.CurateKeyIndex
-    // the sizing rule itself, pinned: per-file keys → next pow2 in
-    // [16, 4096]
-    assert(CurateKeyIndex.autoBuckets(300, 1) == 512)
-    assert(CurateKeyIndex.autoBuckets(300, 2) == 256)
-    assert(CurateKeyIndex.autoBuckets(256, 1) == 256)
-    assert(CurateKeyIndex.autoBuckets(5, 1) == 16)
-    assert(CurateKeyIndex.autoBuckets(10000000, 1) == 4096)
-    assert(CurateKeyIndex.autoBuckets(0, 0) == 16)
+    // the sizing rule itself, pinned: batch keys / 32 → next pow2 in
+    // [16, 4096] (the /32 caps per-seal file churn while keeping
+    // compaction re-derives B-way parallel — see autoBuckets scaladoc)
+    assert(CurateKeyIndex.autoBuckets(2000) == 64)
+    assert(CurateKeyIndex.autoBuckets(300) == 16)
+    assert(CurateKeyIndex.autoBuckets(8192) == 256)
+    assert(CurateKeyIndex.autoBuckets(1000000) == 4096)
+    assert(CurateKeyIndex.autoBuckets(0) == 16)
     val a = freshAdapter("g_curate_auto")
     val rel = Relation("g_curate_auto", "cur")
     val landing = Files.createTempDirectory("graft_landing_auto")
@@ -574,11 +594,11 @@ class CurateRestartSpec extends AnyFunSuite {
     assert(ids(a, rel).size == 301, "novel row lands, settled key drops")
     val params = new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$cp/_graft_key_index_params.json")), "UTF-8")
-    // 300 keys over however many files the build wrote — a derived
-    // power of two well above the old fixed 64, recorded with types
+    // sized from the DRAIN BATCH's keys (f2: 2 rows → the clamp floor),
+    // never from the target's few large build files, recorded with types
     val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(params)
       .get.group(1).toInt
-    assert(buckets >= 128 && buckets <= 512, params)
+    assert(buckets == 16, params)
     assert((buckets & (buckets - 1)) == 0, s"not a power of two: $params")
     assert(params.contains(""""types":["bigint"]"""), params)
     // the guard's probe under the derived layout still partition-prunes
