@@ -147,11 +147,16 @@ private[graft] object CurateKeyIndex {
     val in = fs.open(p)
     val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    // elements are the QUOTED strings inside the bracket — never split
+    // on bare commas: a catalog type string carries its own
+    // (decimal(10,2), struct<a:int,b:string>, map<string,int>), and a
+    // comma-split would mangle it into two elements that can never
+    // verify again, --full-refresh included
     def strList(field: String): Seq[String] =
       (raw""""$field":\[([^\]]*)\]""".r.findFirstMatchIn(got) match {
-        case Some(m) if m.group(1).trim.nonEmpty =>
-          m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
-            .stripSuffix("\""))
+        case Some(m) =>
+          """"([^"]*)"""".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSeq
         case _ => Seq.empty
       })
     val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(got)
@@ -232,10 +237,19 @@ private[graft] object CurateKeyIndex {
         h.paramsCache = Some(p)
         p
       case None =>
-        val mk = record.getOrElse(throw new IllegalStateException(
-          s"stream_op: curate durable key index at ${h.indexDir} holds " +
-            s"data but its params file (${h.paramsPath}) is missing — " +
-            "the layout cannot be verified; rebuild with --full-refresh"))
+        // recording fresh params is only legal over an EMPTY index: a
+        // missing params file with surviving index data (partial
+        // checkpoint restore, manual cleanup) is unverifiable — writing
+        // a new layout over old-layout files would prune the guard's
+        // probe into the wrong buckets and re-delivered rows would
+        // append as silent duplicates. seal() hits this path too, so
+        // the refusal cannot be bypassed by call order.
+        val mk = record.filter(_ =>
+          !hasDataFiles(h.spark, h.indexDir)).getOrElse(
+          throw new IllegalStateException(
+            s"stream_op: curate durable key index at ${h.indexDir} holds " +
+              s"data but its params file (${h.paramsPath}) is missing — " +
+              "the layout cannot be verified; rebuild with --full-refresh"))
         val p = mk()
         val path = new Path(h.paramsPath)
         val fs = fsOf(h.spark, path)
@@ -249,12 +263,22 @@ private[graft] object CurateKeyIndex {
   /** Invocation-time layout check: verify the recorded params against
     * the configuration BEFORE any batch runs — a drained run (zero
     * batches) must not report success under a config the persisted
-    * index cannot serve. Nothing recorded yet is fine: recording
-    * happens at the first [[seal]], which also knows the key TYPES and
-    * the auto-sizing evidence. */
+    * index cannot serve, and a params file MISSING over surviving
+    * index data must refuse HERE (named, before the lock and the
+    * stream) rather than from inside the first batch's seal. Nothing
+    * recorded and nothing indexed is fine: recording happens at the
+    * first [[seal]], which also knows the key TYPES and the
+    * auto-sizing evidence. */
   def checkParams(h: Handle): Unit =
-    readParamsFile(h).foreach { rec =>
-      h.paramsCache = Some(verifyAgainst(h, rec, None))
+    readParamsFile(h) match {
+      case Some(rec) => h.paramsCache = Some(verifyAgainst(h, rec, None))
+      case None =>
+        if (hasDataFiles(h.spark, h.indexDir))
+          throw new IllegalStateException(
+            s"stream_op: curate durable key index at ${h.indexDir} " +
+              s"holds data but its params file (${h.paramsPath}) is " +
+              "missing — the layout cannot be verified; rebuild with " +
+              "--full-refresh")
     }
 
   private def sealedPaths(h: Handle): Set[String] = {
@@ -302,8 +326,15 @@ private[graft] object CurateKeyIndex {
     if (unsealed.isEmpty) return
     val reader = basePath.foldLeft(h.spark.read)(
       (r, bp) => r.option("basePath", bp))
+    // key columns CAST to the target's DECLARED types: the raw-file
+    // read type-INFERS partition-directory columns ('42' → int,
+    // '2024-01-01' → date), and murmur3 hashes the type as much as the
+    // value — an int-inferred seal and a bigint-declared guard would
+    // bucket the same key differently and the anti-join would silently
+    // miss. The declared schema is the one truth both sides share.
     val keyFrame = reader.parquet(unsealed: _*)
-      .select(h.keys.map(k => col(s"`$k`")): _*)
+      .select(h.keys.map(k =>
+        col(s"`$k`").cast(target.schema(k).dataType).as(k)): _*)
     val types = keyFrame.schema.fields.map(_.dataType.catalogString).toSeq
     val params = resolveParams(h, Some(types), Some(() =>
       Params(h.bucketsConfig.getOrElse {
@@ -377,6 +408,10 @@ private[graft] object CurateKeyIndex {
       fs.delete(idxPath, true)
       h.sealedCache = null // force a re-read (now empty) on next seal
       h.estFiles = 0
+      // the NEXT seal is a full re-derive over all target files (up to
+      // one file per bucket), not the previous batch's survivors — a
+      // stale probe count would undercount its accrual by up to B
+      h.lastProbe = -1
     }
   }
 

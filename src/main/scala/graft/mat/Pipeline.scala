@@ -204,14 +204,19 @@ object PipelineMat extends Materialization {
     * silently run every window against a stale snapshot of the target,
     * while a false positive only costs per-window recompiles. */
   private[graft] def readsOwnTarget(ctx: MatContext, df: DataFrame): Boolean = {
-    // normalized storage root of the target, for path-based matching
+    // normalized storage root of the target, for path-based matching.
+    // Compare the PATH COMPONENT only: scheme/authority spellings vary
+    // for one filesystem (hdfs://nn:8020 vs hdfs://nn, file:/ vs
+    // file:///), and a missed self-read silently runs windows against
+    // a stale snapshot while a path collision across filesystems only
+    // costs conservative per-window recompiles — the cheap direction.
     val targetLoc: Option[String] = ctx.adapter
       .relationLocationUri(ctx.target)
-      .map(u => new org.apache.hadoop.fs.Path(u).toUri.toString
+      .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath
         .stripSuffix("/"))
     def underTarget(p: org.apache.hadoop.fs.Path): Boolean =
       targetLoc.exists { t =>
-        val s = p.toUri.toString.stripSuffix("/")
+        val s = p.toUri.getPath.stripSuffix("/")
         s == t || s.startsWith(t + "/")
       }
     var inconclusive = false
@@ -2964,7 +2969,13 @@ object StreamingTableMat extends Materialization {
     }
     val out = tryCreate().orElse {
       val holder = readHolder()
-      if (provablyDeadHere(holder)) {
+      // RE-READ immediately before the break: between the first read
+      // and here, another self-healer may have broken the stale lock
+      // and claimed it with its own LIVE pid — deleting that would
+      // remove a live holder's lock. (The remaining read-delete window
+      // is closed by the read-back verify below: whoever's content
+      // survives in the file proceeds, everyone else refuses.)
+      if (provablyDeadHere(holder) && readHolder() == holder) {
         System.err.println(
           s"[graft] breaking stale curate lock $lp: recorded holder " +
             s"$holder is this host and its pid is dead")
@@ -2986,6 +2997,17 @@ object StreamingTableMat extends Materialization {
       s""""host":"${java.net.InetAddress.getLocalHost.getHostName}",""" +
       s""""started_epoch_ms":${System.currentTimeMillis()}}"""
     try out.write(info.getBytes("UTF-8")) finally out.close()
+    // read-back verify: on stores where create(overwrite=false) is
+    // check-then-create, two racers can both think they created the
+    // file — whoever's content is NOT the one that survived must step
+    // back WITHOUT deleting (the file is the winner's now). This
+    // narrows every remaining race to "both wrote and one read back
+    // the other's pid", which refuses by name.
+    if (readHolder() != info)
+      throw new IllegalStateException(
+        s"stream_op: curate: lost the lock-creation race for $lp to " +
+          s"${readHolder()} — that invocation proceeds, this one " +
+          "refuses; re-run after it finishes")
   }
 
   private def releaseCurateLock(spark: SparkSession, checkpoint: String)

@@ -154,7 +154,7 @@ object StreamingPack extends QueryPack {
         .select("doc_id", "payload")
       StreamingOps.boundedReplay(corpus)(
         StreamingOps.mediaDedupStream(_, method = "audio"))
-        .orderBy("doc_id")
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // incremental ordered funnel with bounded per-key state — same

@@ -399,6 +399,15 @@ object StreamingOps {
       case other => throw new IllegalArgumentException(
         s"media_dedup stream method must be phash|audio|exact: $other")
     }
+    // the min-id keep needs an ordered id — refuse anything else by
+    // name (a cast would silently NULL non-numeric ids), exactly like
+    // the batch step's numeric min-id contract
+    val idType = stream.schema(idCol).dataType
+    if (!Set[org.apache.spark.sql.types.DataType](LongType, IntegerType,
+        ShortType, ByteType).contains(idType))
+      throw new IllegalArgumentException(
+        s"media_dedup stream `id_col` ($idCol) must be an integral " +
+          s"type for the min-id keep, got ${idType.catalogString}")
     // the class key pairs the checksum with the payload LENGTH only for
     // `exact` (the batch op's (n_bytes, checksum) key); the perceptual
     // hashes must NOT carry it — equal pixels/PCM in different
@@ -406,22 +415,31 @@ object StreamingOps {
     // splitting on length would undo exactly those merges
     val lenKey: Column =
       if (method == "exact") length(pay).cast("long") else lit(0L)
-    val tagged = stream.select(
-      fp.as("__fp"), lenKey.as("__len"),
-      col(s"`$idCol`").cast("long").as("__id"))
+    // output keeps the FULL ROW of each kept occurrence (the batch
+    // step is column-neutral; dropping payload/metadata here would
+    // leave a streaming_table target holding a bare id list)
+    val tagged = stream
+      .withColumn("__fp", fp).withColumn("__len", lenKey)
     val pass = tagged
       .filter(col("__fp").isNull || col("__fp") === 0L)
-      .select(col("__id").as(idCol))
+      .drop("__fp", "__len")
     val timeoutConf =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    val deduped = tagged
-      .filter(col("__fp").isNotNull && col("__fp") =!= 0L)
-      .as[(Long, Long, Long)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Boolean, Long](
+    val dedupIn = tagged.filter(col("__fp").isNotNull && col("__fp") =!= 0L)
+    val fpIdx = dedupIn.schema.fieldIndex("__fp")
+    val lenIdx = dedupIn.schema.fieldIndex("__len")
+    val iIdx = dedupIn.schema.fieldIndex(idCol)
+    implicit val keyEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    val rowEnc = org.apache.spark.sql.Encoders.row(dedupIn.schema)
+    val deduped = dedupIn
+      .groupByKey(r => (r.getLong(fpIdx), r.getLong(lenIdx)))
+      .flatMapGroupsWithState[Boolean, org.apache.spark.sql.Row](
         OutputMode.Append(), timeoutConf) {
-        case (_, rows, state: GroupState[Boolean]) =>
+        (_, rows, state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else if (state.exists) {
             ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
@@ -429,11 +447,12 @@ object StreamingOps {
           } else {
             state.update(true)
             ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
-            // min id of THIS batch's class members — group-sized
-            Iterator.single(rows.map(_._3).min)
+            // min-id row of THIS batch's class members — group-sized
+            Iterator.single(rows.minBy(
+              _.getAs[Number](iIdx).longValue()))
           }
-      }
-      .toDF(idCol)
+      }(implicitly, rowEnc)
+      .drop("__fp", "__len")
     deduped.unionByName(pass)
   }
 
@@ -449,17 +468,32 @@ object StreamingOps {
     val srcDir = Files.createTempDirectory("graft_breplay_src").toString
     val sink = Files.createTempDirectory("graft_breplay_sink").toString
     val checkpoint = Files.createTempDirectory("graft_breplay_cp").toString
-    batch.write.mode("overwrite").parquet(srcDir)
-    val schema = spark.read.parquet(srcDir).schema
-    val out = transform(spark.readStream.schema(schema).parquet(srcDir))
-    val q = out.writeStream
-      .format("parquet")
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start(sink)
-    q.awaitTermination()
-    spark.read.parquet(sink)
+    // the staged corpus copy and the checkpoint are per-run throwaways
+    // — deleted ALSO on a failing stream, or repeated gate runs fill
+    // /tmp with full media-corpus copies. The SINK must outlive this
+    // call: the returned DataFrame reads it lazily.
+    try {
+      batch.write.mode("overwrite").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val out = transform(spark.readStream.schema(schema).parquet(srcDir))
+      val q = out.writeStream
+        .format("parquet")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(sink)
+      q.awaitTermination()
+      spark.read.parquet(sink)
+    } finally {
+      def rm(dir: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => Files.deleteIfExists(f))
+      }
+      rm(srcDir); rm(checkpoint)
+    }
   }
 
   /** Streaming CDC compaction: maintain each key's LATEST change (by

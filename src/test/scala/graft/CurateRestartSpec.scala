@@ -673,6 +673,102 @@ class CurateRestartSpec extends AnyFunSuite {
     val out = CurateKeyIndex.guard(h, probe)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
       "a dataless index must pass the batch through unguarded")
+    // a MISSING params file over surviving index data refuses from the
+    // SEAL path too — re-recording fresh auto-sized params over an
+    // old-layout index would prune the guard into the wrong buckets
+    val a3 = freshAdapter("g_curate_noparams")
+    val rel3 = Relation("g_curate_noparams", "cur")
+    val landing3 = Files.createTempDirectory("graft_landing_np")
+    val cp3 = Files.createTempDirectory("graft_cp_np").resolve("cp").toString
+    landAll(landing3)
+    run(a3, rel3, cfg(landing3.toString, "checkpoint_dir" -> cp3))
+    Files.delete(java.nio.file.Paths.get(
+      s"$cp3/_graft_key_index_params.json"))
+    land(landing3, "f9", Seq((90L, "fresh body for the no-params case")))
+    val e2 = intercept[IllegalStateException](
+      run(a3, rel3, cfg(landing3.toString, "checkpoint_dir" -> cp3)))
+    assert(e2.getMessage.contains("params file"), e2.getMessage)
+    assert(e2.getMessage.contains("--full-refresh"), e2.getMessage)
+  }
+
+  test("key types carrying commas (decimal/struct catalog strings) " +
+      "round-trip through the params file; only a REAL drift refuses") {
+    import graft.mat.CurateKeyIndex
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft_dec_target")
+    Seq((1L, "1.50"), (2L, "2.25")).toDF("doc_id", "amt")
+      .withColumn("amt", col("amt").cast("decimal(10,2)"))
+      .write.mode("overwrite").parquet(loc.toString)
+    val target = spark.read.parquet(loc.toString)
+    val cp = Files.createTempDirectory("graft_cp_dec").resolve("cp").toString
+    val h = CurateKeyIndex.Handle(spark, cp, Seq("doc_id", "amt"), None)
+    CurateKeyIndex.seal(h, target, None)
+    val params = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$cp/_graft_key_index_params.json")), "UTF-8")
+    assert(params.contains("decimal(10,2)"), params)
+    // a FRESH handle (new invocation) re-parses the recorded types and
+    // must accept the identical layout — a comma-split parse would
+    // mangle decimal(10,2) into two elements and refuse forever
+    val h2 = CurateKeyIndex.Handle(spark, cp, Seq("doc_id", "amt"), None)
+    val probe = Seq((1L, "1.50"), (9L, "9.99")).toDF("doc_id", "amt")
+      .withColumn("amt", col("amt").cast("decimal(10,2)"))
+    assert(CurateKeyIndex.guard(h2, probe)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(9L))
+    // an actually-retyped key still refuses by name
+    val h3 = CurateKeyIndex.Handle(spark, cp, Seq("doc_id", "amt"), None)
+    val drift = Seq((1L, "1.50")).toDF("doc_id", "amt")
+      .withColumn("amt", col("amt").cast("decimal(12,4)"))
+    val e = intercept[IllegalStateException](CurateKeyIndex.guard(h3, drift))
+    assert(e.getMessage.contains("decimal(12,4)"), e.getMessage)
+  }
+
+  test("a unique_key column that is ALSO a partition column guards " +
+      "correctly: the seal casts the partition-inferred type to the " +
+      "declared one, so seal and guard hash identical buckets") {
+    import spark.implicits._
+    val a = freshAdapter("g_curate_part")
+    val rel = Relation("g_curate_part", "cur")
+    val landing = Files.createTempDirectory("graft_landing_part")
+    val cp = Files.createTempDirectory("graft_cp_part").resolve("cp").toString
+    // grp is a STRING that partition inference would read back as DATE
+    def landP(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_land_part_tmp")
+      rows.toDF("doc_id", "text", "grp").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.move(tmp.toFile.listFiles()
+        .filter(_.getName.startsWith("part-")).head.toPath,
+        landing.resolve(s"$name.parquet"))
+    }
+    def cfgP(extra: (String, Any)*) = NodeConfig(
+      materialized = "streaming_table",
+      uniqueKey = Seq("doc_id", "grp"),
+      partitionBy = Seq("grp"),
+      extra = Map[String, Any](
+        "stream_op" -> "curate",
+        "landing_dir" -> landing.toString,
+        "checkpoint_dir" -> cp,
+        "steps" -> Vector(Map[String, Any]("op" -> "token_count",
+          "text_col" -> "text"))) ++ extra.toMap)
+    landP("f1", Seq((1L, "alpha beta", "2024-01-01"),
+      (2L, "gamma delta", "2024-01-02")))
+    run(a, rel, cfgP())
+    assert(ids(a, rel) == Set(1L, 2L))
+    // re-delivery of settled (doc_id, grp) keys + one novel row: the
+    // guard must DROP the settled keys — before the declared-type cast,
+    // the seal hashed grp as an inferred DATE while the guard hashed
+    // the batch's STRING, bucketing the same key differently and
+    // silently duplicating exactly this shape
+    landP("f2", Seq((1L, "alpha beta", "2024-01-01"),
+      (2L, "gamma delta", "2024-01-02"),
+      (3L, "novel row", "2024-01-03")))
+    run(a, rel, cfgP())
+    assert(ids(a, rel) == Set(1L, 2L, 3L),
+      "settled partition-column keys must drop on re-delivery")
+    assert(a.read(rel).count() == 3, "no duplicate rows for keys 1/2")
+    // the recorded types are the DECLARED ones
+    val params = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$cp/_graft_key_index_params.json")), "UTF-8")
+    assert(params.contains(""""types":["bigint","string"]"""), params)
   }
 
   test("bounded replay: --full-refresh with an all-empty staged input " +

@@ -684,6 +684,10 @@ class PipelineMatSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("mat_media_dedup")
       .outputMode("append").start()
     try {
+      // output is COLUMN-NEUTRAL like the batch step: the kept rows
+      // carry every original column, not a bare id list
+      assert(spark.table("mat_media_dedup").schema.fieldNames.toSeq
+        == Seq("doc_id", "payload"))
       def got() = spark.table("mat_media_dedup")
         .collect().map(_.getLong(0)).toSet
       // batch 1: 1≈2 dup (min id 1 kept), 3 distinct, 4 undecodable
@@ -691,6 +695,10 @@ class PipelineMatSpec extends AnyFunSuite {
         (3L, grft(bodyB)), (4L, junk))
       q.processAllAvailable()
       assert(got() == Set(1L, 3L, 4L), got())
+      // the kept row for the in-batch dup class is id 1's, payload intact
+      val keptA = spark.table("mat_media_dedup")
+        .collect().find(_.getLong(0) == 1L).get
+      assert(keptA.getAs[Array[Byte]](1).sameElements(grft(bodyA)))
       // batch 2: 10 re-delivers a SETTLED body (drops against state),
       // 11 is novel, 12 undecodable (always passes, even repeated)
       mem.addData((10L, grft(bodyA)), (11L, grft(bodyC)), (12L, junk))
@@ -703,6 +711,15 @@ class PipelineMatSpec extends AnyFunSuite {
           "method" -> "nope"), stream, stream, armTtl = false)
         .queryExecution.analyzed)
     assert(e.getMessage.contains("phash|audio|exact"), e.getMessage)
+    // a non-integral id is refused by name, never silently null-cast
+    val strIdStream = mem.toDS().toDF("doc_id", "payload")
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id").cast("string"))
+    val e2 = intercept[IllegalArgumentException](
+      StreamingTableMat.buildStream(cfg, strIdStream, strIdStream,
+        armTtl = false))
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    assert(e2.getMessage.contains("string"), e2.getMessage)
   }
 
   test("stream_op curate: micro-batches run as incremental index " +
