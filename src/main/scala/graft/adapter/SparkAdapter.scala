@@ -546,10 +546,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       scala.util.Try(java.nio.file.Paths.get(m.location)).toOption)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+    graft.core.FsUtil.deleteRecursively(p)
 
   /** The relation's storage root URI from the catalog — the `basePath`
     * a raw-file read needs to recover partition-directory columns

@@ -324,17 +324,29 @@ private[graft] object CurateKeyIndex {
     val already = sealedPaths(h)
     val unsealed = files.filterNot(already)
     if (unsealed.isEmpty) return
-    val reader = basePath.foldLeft(h.spark.read)(
+    // the raw-file read happens UNDER THE TARGET'S DECLARED SCHEMA for
+    // the key columns: partition-directory values would otherwise be
+    // type-INFERRED ('42' → int, '2024-01-01' → date) and murmur3
+    // hashes the type as much as the value — an int-inferred seal and
+    // a bigint-declared guard would bucket the same key differently
+    // and the anti-join would silently miss. A post-hoc CAST is not
+    // enough either: inference is lossy before the cast ever runs (a
+    // string partition value '007' infers int 7, casting back yields
+    // '7' ≠ '007'), so the declared type must reach the PARSER.
+    // Key fields resolve case-insensitively, like every col() lookup
+    // on the analysis path (spark.sql.caseSensitive=false default).
+    val keyFields = h.keys.map(k =>
+      target.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"stream_op: curate unique_key column `$k` does not exist " +
+            s"on the target (columns: ${target.schema.fieldNames
+              .mkString(", ")})")))
+    val reader = basePath.foldLeft(
+      h.spark.read.schema(
+        org.apache.spark.sql.types.StructType(keyFields)))(
       (r, bp) => r.option("basePath", bp))
-    // key columns CAST to the target's DECLARED types: the raw-file
-    // read type-INFERS partition-directory columns ('42' → int,
-    // '2024-01-01' → date), and murmur3 hashes the type as much as the
-    // value — an int-inferred seal and a bigint-declared guard would
-    // bucket the same key differently and the anti-join would silently
-    // miss. The declared schema is the one truth both sides share.
     val keyFrame = reader.parquet(unsealed: _*)
-      .select(h.keys.map(k =>
-        col(s"`$k`").cast(target.schema(k).dataType).as(k)): _*)
+      .select(h.keys.map(k => col(s"`$k`")): _*)
     val types = keyFrame.schema.fields.map(_.dataType.catalogString).toSeq
     val params = resolveParams(h, Some(types), Some(() =>
       Params(h.bucketsConfig.getOrElse {
@@ -425,8 +437,13 @@ private[graft] object CurateKeyIndex {
     * buckets, which must refuse by name, never silently miss). */
   def guard(h: Handle, batch: DataFrame): DataFrame = {
     if (!exists(h.spark, h.indexDir)) return batch
-    val batchTypes = h.keys
-      .map(k => batch.schema(k).dataType.catalogString)
+    // case-insensitive, like every col() lookup on the analysis path
+    val batchTypes = h.keys.map(k =>
+      batch.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"stream_op: curate unique_key column `$k` does not exist " +
+            s"on the batch (columns: ${batch.schema.fieldNames
+              .mkString(", ")})")).dataType.catalogString)
     val params = resolveParams(h, Some(batchTypes), None)
     val touched = batch
       .select(bucketOf(h.keys, params.buckets).as("__kb"))

@@ -210,14 +210,25 @@ object PipelineMat extends Materialization {
     // file:///), and a missed self-read silently runs windows against
     // a stale snapshot while a path collision across filesystems only
     // costs conservative per-window recompiles — the cheap direction.
-    val targetLoc: Option[String] = ctx.adapter
+    val targetUri: Option[java.net.URI] = ctx.adapter
       .relationLocationUri(ctx.target)
-      .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath
-        .stripSuffix("/"))
+      .map(u => new org.apache.hadoop.fs.Path(u).toUri)
+    val targetLoc: Option[String] =
+      targetUri.map(_.getPath.stripSuffix("/"))
     def underTarget(p: org.apache.hadoop.fs.Path): Boolean =
       targetLoc.exists { t =>
-        val s = p.toUri.getPath.stripSuffix("/")
-        s == t || s.startsWith(t + "/")
+        if (t.nonEmpty) {
+          val s = p.toUri.getPath.stripSuffix("/")
+          s == t || s.startsWith(t + "/")
+        } else {
+          // bucket/filesystem-ROOT located table: the path component is
+          // empty and would prefix-match every absolute path — fall
+          // back to the full URI (scheme + authority), the only
+          // discriminating part left
+          val tf = targetUri.get.toString.stripSuffix("/")
+          val s = p.toUri.toString.stripSuffix("/")
+          s == tf || s.startsWith(tf + "/")
+        }
       }
     var inconclusive = false
     val hits = df.queryExecution.analyzed.collect {
@@ -2969,18 +2980,22 @@ object StreamingTableMat extends Materialization {
     }
     val out = tryCreate().orElse {
       val holder = readHolder()
-      // RE-READ immediately before the break: between the first read
-      // and here, another self-healer may have broken the stale lock
-      // and claimed it with its own LIVE pid — deleting that would
-      // remove a live holder's lock. (The remaining read-delete window
-      // is closed by the read-back verify below: whoever's content
-      // survives in the file proceeds, everyone else refuses.)
-      if (provablyDeadHere(holder) && readHolder() == holder) {
-        System.err.println(
-          s"[graft] breaking stale curate lock $lp: recorded holder " +
-            s"$holder is this host and its pid is dead")
-        fs.delete(lp, false)
-        tryCreate() // a concurrent re-claimer may win; refuse below then
+      if (provablyDeadHere(holder)) {
+        // break via RENAME, not delete: rename is the one mutation
+        // only ONE racer can win (the loser's rename fails, source
+        // gone) — a delete-then-create break would let a second
+        // self-healer delete the first's freshly CLAIMED live lock.
+        // The tombstone keeps the dead holder's content for the log
+        // and is removed after the claim.
+        val tomb = new org.apache.hadoop.fs.Path(
+          lp.toString + s".broken.${ProcessHandle.current().pid()}")
+        if (fs.rename(lp, tomb)) {
+          System.err.println(
+            s"[graft] breaking stale curate lock $lp: recorded holder " +
+              s"$holder is this host and its pid is dead")
+          fs.delete(tomb, false)
+          tryCreate() // a racer may claim the gap first; refuse below
+        } else None // another self-healer won the rename
       } else None
     }.getOrElse {
       throw new IllegalStateException(
@@ -3000,21 +3015,44 @@ object StreamingTableMat extends Materialization {
     // read-back verify: on stores where create(overwrite=false) is
     // check-then-create, two racers can both think they created the
     // file — whoever's content is NOT the one that survived must step
-    // back WITHOUT deleting (the file is the winner's now). This
-    // narrows every remaining race to "both wrote and one read back
-    // the other's pid", which refuses by name.
-    if (readHolder() != info)
+    // back WITHOUT deleting (the file is the winner's now). Retried:
+    // a TRANSIENT read failure must not make the sole legitimate
+    // holder refuse and leave its own lock wedging the checkpoint.
+    val back = Iterator.range(0, 3).map { i =>
+      if (i > 0) Thread.sleep(200L * i)
+      readHolder()
+    }.find(c => c == info || !c.startsWith("(unreadable"))
+      .getOrElse("(unreadable lock content)")
+    if (back != info)
       throw new IllegalStateException(
         s"stream_op: curate: lost the lock-creation race for $lp to " +
-          s"${readHolder()} — that invocation proceeds, this one " +
-          "refuses; re-run after it finishes")
+          s"$back — that invocation proceeds, this one refuses; " +
+          "re-run after it finishes")
   }
 
+  /** Release is OWNERSHIP-CHECKED: delete only a lock recording OUR
+    * pid — if a racer's self-heal replaced the file mid-run, deleting
+    * it would admit a third invocation while the racer still drains.
+    * (We only reach here having won the read-back verify, so a foreign
+    * pid means the lock changed hands after acquisition — log, don't
+    * touch.) */
   private def releaseCurateLock(spark: SparkSession, checkpoint: String)
       : Unit = {
     val lp = curateLockPath(checkpoint)
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(lp)) fs.delete(lp, false)
+    if (!fs.exists(lp)) return
+    val content =
+      try {
+        val in = fs.open(lp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: Throwable => "" }
+    if (content.contains(s""""pid":${ProcessHandle.current().pid()},"""))
+      fs.delete(lp, false)
+    else
+      System.err.println(
+        s"[graft] curate lock $lp no longer records this invocation " +
+          s"($content) — leaving it in place")
   }
 
   /** Durable-mode stream schema: pinned under the checkpoint on the
@@ -3184,10 +3222,6 @@ object StreamingTableMat extends Materialization {
     if (t == null) Nil
     else t :: (if (t.getCause ne t) causeChain(t.getCause) else Nil)
 
-  private def deleteDir(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => Files.deleteIfExists(f))
-  }
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    graft.core.FsUtil.deleteRecursively(p)
 }

@@ -152,9 +152,13 @@ object StreamingPack extends QueryPack {
         .withColumn("payload", re(col("payload"), lit(0.85), lit(2)))
       val corpus = media.unionByName(v1).unionByName(v2)
         .select("doc_id", "payload")
-      StreamingOps.boundedReplay(corpus)(
-        StreamingOps.mediaDedupStream(_, method = "audio"))
-        .select("doc_id").orderBy("doc_id")
+      // project INSIDE the transform: the replay's parquet sink must
+      // outlive this call (the result reads it lazily), so narrowing
+      // before the sink keeps it an id list instead of a kept-media copy
+      StreamingOps.boundedReplay(corpus)(s =>
+        StreamingOps.mediaDedupStream(s, method = "audio")
+          .select("doc_id"))
+        .orderBy("doc_id")
     }),
 
     // incremental ordered funnel with bounded per-key state — same

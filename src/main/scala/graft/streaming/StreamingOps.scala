@@ -399,15 +399,22 @@ object StreamingOps {
       case other => throw new IllegalArgumentException(
         s"media_dedup stream method must be phash|audio|exact: $other")
     }
-    // the min-id keep needs an ordered id — refuse anything else by
-    // name (a cast would silently NULL non-numeric ids), exactly like
-    // the batch step's numeric min-id contract
-    val idType = stream.schema(idCol).dataType
+    // id column resolves case-insensitively (like every col() lookup)
+    // and must exist, named; the min-id keep then needs an ordered id —
+    // refuse anything else by name (a cast would silently NULL
+    // non-numeric ids), exactly like the batch step's contract
+    val idField = stream.schema.fields
+      .find(_.name.equalsIgnoreCase(idCol)).getOrElse(
+        throw new IllegalArgumentException(
+          s"media_dedup stream `id_col` ($idCol) does not exist on " +
+            s"the stream (columns: ${stream.schema.fieldNames
+              .mkString(", ")})"))
+    val idName = idField.name
     if (!Set[org.apache.spark.sql.types.DataType](LongType, IntegerType,
-        ShortType, ByteType).contains(idType))
+        ShortType, ByteType).contains(idField.dataType))
       throw new IllegalArgumentException(
         s"media_dedup stream `id_col` ($idCol) must be an integral " +
-          s"type for the min-id keep, got ${idType.catalogString}")
+          s"type for the min-id keep, got ${idField.dataType.catalogString}")
     // the class key pairs the checksum with the payload LENGTH only for
     // `exact` (the batch op's (n_bytes, checksum) key); the perceptual
     // hashes must NOT carry it — equal pixels/PCM in different
@@ -420,16 +427,19 @@ object StreamingOps {
     // leave a streaming_table target holding a bare id list)
     val tagged = stream
       .withColumn("__fp", fp).withColumn("__len", lenKey)
-    val pass = tagged
-      .filter(col("__fp").isNull || col("__fp") === 0L)
-      .drop("__fp", "__len")
+    // NULL ids pass through with the sentinels: an id-less row cannot
+    // participate in a min-id keep, and silently crashing the state
+    // function on it (minBy over null) is the one wrong answer
+    val keep = col("__fp").isNull || col("__fp") === 0L ||
+      col(s"`$idName`").isNull
+    val pass = tagged.filter(keep).drop("__fp", "__len")
     val timeoutConf =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    val dedupIn = tagged.filter(col("__fp").isNotNull && col("__fp") =!= 0L)
+    val dedupIn = tagged.filter(!keep)
     val fpIdx = dedupIn.schema.fieldIndex("__fp")
     val lenIdx = dedupIn.schema.fieldIndex("__len")
-    val iIdx = dedupIn.schema.fieldIndex(idCol)
+    val iIdx = dedupIn.schema.fieldIndex(idName)
     implicit val keyEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -485,14 +495,9 @@ object StreamingOps {
       q.awaitTermination()
       spark.read.parquet(sink)
     } finally {
-      def rm(dir: String): Unit = {
-        import scala.jdk.CollectionConverters._
-        val p = java.nio.file.Paths.get(dir)
-        if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => Files.deleteIfExists(f))
-      }
-      rm(srcDir); rm(checkpoint)
+      graft.core.FsUtil.deleteRecursively(java.nio.file.Paths.get(srcDir))
+      graft.core.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(checkpoint))
     }
   }
 
