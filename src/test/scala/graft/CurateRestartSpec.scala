@@ -749,22 +749,28 @@ class CurateRestartSpec extends AnyFunSuite {
         "checkpoint_dir" -> cp,
         "steps" -> Vector(Map[String, Any]("op" -> "token_count",
           "text_col" -> "text"))) ++ extra.toMap)
+    // '007' is the LOSSY-inference canary: a partition dir grp=007
+    // inferred as int 7 and cast back to string would index '7',
+    // which can never match the re-delivered '007'
     landP("f1", Seq((1L, "alpha beta", "2024-01-01"),
-      (2L, "gamma delta", "2024-01-02")))
+      (2L, "gamma delta", "2024-01-02"),
+      (4L, "zero padded", "007")))
     run(a, rel, cfgP())
-    assert(ids(a, rel) == Set(1L, 2L))
+    assert(ids(a, rel) == Set(1L, 2L, 4L))
     // re-delivery of settled (doc_id, grp) keys + one novel row: the
-    // guard must DROP the settled keys — before the declared-type cast,
-    // the seal hashed grp as an inferred DATE while the guard hashed
-    // the batch's STRING, bucketing the same key differently and
-    // silently duplicating exactly this shape
+    // guard must DROP the settled keys — reading the raw files WITHOUT
+    // the declared schema, the seal hashed grp as an inferred
+    // DATE/INT while the guard hashed the batch's STRING, bucketing
+    // the same key differently and silently duplicating exactly this
+    // shape
     landP("f2", Seq((1L, "alpha beta", "2024-01-01"),
       (2L, "gamma delta", "2024-01-02"),
+      (4L, "zero padded", "007"),
       (3L, "novel row", "2024-01-03")))
     run(a, rel, cfgP())
-    assert(ids(a, rel) == Set(1L, 2L, 3L),
+    assert(ids(a, rel) == Set(1L, 2L, 3L, 4L),
       "settled partition-column keys must drop on re-delivery")
-    assert(a.read(rel).count() == 3, "no duplicate rows for keys 1/2")
+    assert(a.read(rel).count() == 4, "no duplicate rows for keys 1/2/4")
     // the recorded types are the DECLARED ones
     val params = new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$cp/_graft_key_index_params.json")), "UTF-8")
