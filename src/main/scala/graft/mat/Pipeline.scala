@@ -3178,12 +3178,29 @@ object StreamingTableMat extends Materialization {
     val logDir = s"$checkpoint/_graft_schema_checked"
     val logPath = new org.apache.hadoop.fs.Path(logDir)
     val logFs = logPath.getFileSystem(ldConf)
+    // benign torn first write (dir exists, no data files) reads as
+    // empty — every landed file just re-checks, which is idempotent;
+    // a log that HOLDS DATA but cannot be read fails by name like the
+    // key index's sealed log (silently re-deriving over corruption is
+    // the posture this engine refuses everywhere else)
     val already: Set[String] =
       if (!logFs.exists(logPath)) Set.empty
       else
         try spark.read.parquet(logDir).collect().map(_.getString(0)).toSet
         catch {
-          case _: org.apache.spark.sql.AnalysisException => Set.empty
+          case e: org.apache.spark.sql.AnalysisException =>
+            val it = logFs.listFiles(logPath, true)
+            var hasData = false
+            while (!hasData && it.hasNext) {
+              val st = it.next()
+              val n = st.getPath.getName
+              hasData = st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+            if (!hasData) Set.empty
+            else throw new IllegalStateException(
+              s"stream_op: curate schema-check log at $logDir holds " +
+                "data but cannot be read — rebuild with --full-refresh " +
+                s"(${e.getMessage})", e)
         }
     val fresh = dataFiles.filterNot(st => already(st.getPath.toString))
     if (fresh.isEmpty) return

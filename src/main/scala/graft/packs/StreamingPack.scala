@@ -161,6 +161,36 @@ object StreamingPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // streaming media dedup, method: phash — the DCT image hash over
+    // DECODED pixels through the stream twin. Fixture mirrors
+    // q_media_dedup_phash's EXACT invariances: pixel-replication
+    // upscale (+brightness) re-encodes hash IDENTICALLY to their
+    // originals (box-filter + AC-median invariances, measured hamming
+    // 0), so exact-fingerprint state merges each variant into its
+    // original; unrelated mosaics sit at ≥14 bits and never merge.
+    "q_stream_media_dedup_phash" -> ((s, dir) => {
+      import graft.ops.Multimodal
+      val docs = graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 0 && length(col("text")) >= 60 &&
+          col("doc_id") % 640 >= 7 && col("doc_id") % 480 >= 7)
+        .select("doc_id", "text")
+      val media = Multimodal.syntheticMedia2D(docs)
+      val re = udf((p: Array[Byte], sc: Int, b: Int) =>
+        graft.ops.Phash.reencodeGray(p, sc, b))
+      val v1 = media.filter(col("doc_id") % 12 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("payload", re(col("payload"), lit(2), lit(9)))
+      val v2 = media.filter(col("doc_id") % 18 === 0)
+        .withColumn("doc_id", col("doc_id") + 600000L)
+        .withColumn("payload", re(col("payload"), lit(3), lit(0)))
+      val corpus = media.unionByName(v1).unionByName(v2)
+        .select("doc_id", "payload")
+      StreamingOps.boundedReplay(corpus)(s2 =>
+        StreamingOps.mediaDedupStream(s2, method = "phash")
+          .select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // incremental ordered funnel with bounded per-key state — same
     // two-day slice and depth distribution as the batch q_funnel, so it
     // shares that oracle verbatim (streaming == batch on bounded input)
@@ -469,6 +499,17 @@ object StreamingPack extends QueryPack {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  WHERE doc_id % 7 = 0 AND length(text) >= 32)
+        |SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
+
+    // same kept-set statement as the batch phash oracle: the mosaic
+    // fixture's classes are text-equality groups plus EXACT-invariant
+    // re-encodes carrying strictly higher ids
+    "q_stream_media_dedup_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 6 = 0 AND length(text) >= 60
+        |    AND doc_id % 640 >= 7 AND doc_id % 480 >= 7)
         |SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
         |ORDER BY doc_id""".stripMargin,
 

@@ -722,6 +722,51 @@ class PipelineMatSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("string"), e2.getMessage)
   }
 
+  test("stream_op media_dedup armed state_ttl: an expired class frees " +
+      "its state so a late re-arrival re-emits; in-horizon dups stay " +
+      "suppressed") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Multimodal
+    val bodyA = "ttl shared media body".getBytes("UTF-8")
+    def grft(b: Array[Byte]) = Multimodal.StubCodec.encode(8, 8, 1, b)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val cfg = Map[String, Any]("stream_op" -> "media_dedup",
+      "method" -> "exact", "state_ttl" -> "PT6S")
+    val stream = mem.toDS().toDF("doc_id", "payload")
+    val out = StreamingTableMat.buildStream(cfg, stream, stream,
+      armTtl = true)
+    val q = out.writeStream.format("memory").queryName("mat_media_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("150 milliseconds"))
+      .start()
+    try {
+      def got() = spark.table("mat_media_ttl")
+        .collect().map(_.getLong(0)).toSet
+      def awaitIds(want: Set[Long]): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline && got() != want)
+          Thread.sleep(100)
+      }
+      mem.addData((1L, grft(bodyA)))
+      awaitIds(Set(1L))
+      assert(got() == Set(1L), got())
+      // in-horizon duplicate: suppressed (and its arrival re-arms)
+      mem.addData((2L, grft(bodyA)))
+      Thread.sleep(1500)
+      assert(got() == Set(1L), s"in-horizon dup must stay suppressed: ${got()}")
+      // past the 6 s horizon the class state expires; a late
+      // re-arrival starts fresh and re-emits — the documented
+      // bounded-state trade of every stream twin
+      Thread.sleep(8000)
+      mem.addData((3L, grft(bodyA)))
+      awaitIds(Set(1L, 3L))
+      assert(got() == Set(1L, 3L),
+        s"post-horizon re-arrival must re-emit: ${got()}")
+    } finally q.stop()
+  }
+
   test("stream_op curate: micro-batches run as incremental index " +
       "batches; a full re-replay appends nothing; contracts are named") {
     import spark.implicits._
