@@ -191,6 +191,27 @@ object StreamingPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // streaming media dedup, method: exact — the (body checksum,
+    // length) class through the stream twin. Fixture mirrors
+    // q_media_dedup_exact: every 4th media doc re-appears under a high
+    // id with GRFT header dims derived from the NEW id but an
+    // identical BODY (the checksum covers body bytes only and the
+    // header is fixed-width, so the class key matches exactly).
+    "q_stream_media_dedup_exact" -> ((s, dir) => {
+      import graft.ops.Multimodal
+      val docs = graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+      val media = Multimodal.syntheticMedia(corpus)
+        .select("doc_id", "payload")
+      StreamingOps.boundedReplay(media)(s2 =>
+        StreamingOps.mediaDedupStream(s2, method = "exact")
+          .select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // incremental ordered funnel with bounded per-key state — same
     // two-day slice and depth distribution as the batch q_funnel, so it
     // shares that oracle verbatim (streaming == batch on bounded input)
@@ -499,6 +520,18 @@ object StreamingPack extends QueryPack {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  WHERE doc_id % 7 = 0 AND length(text) >= 32)
+        |SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
+
+    // same kept-set statement as the batch exact oracle (the stub
+    // body IS the text bytes, so checksum classes are text classes;
+    // cross-header copies carry strictly higher ids)
+    "q_stream_media_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 4 = 0)
         |SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
         |ORDER BY doc_id""".stripMargin,
 
