@@ -449,12 +449,21 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       writer(rel)
     } else if (isExternal(rel)) {
       // Recovered (external) tables: RENAME moves only metadata, so the
-      // swap protocol would collide with the old files. Replace by delete:
-      // drop metadata, remove the directory, write managed in place.
+      // full swap protocol would collide with the old files. Replace by
+      // delete — but stage the WRITE first: the incoming plan may scan
+      // the target itself (compact rewrites a table from its own rows),
+      // and a drop-then-write order would execute that scan against a
+      // table already gone. Write to the managed intermediate while the
+      // source is still alive, then drop metadata + old directory and
+      // rename the staged table into place (metadata + managed-dir
+      // move, no second data write).
+      val tmp = rel.intermediate
+      dropRelation(tmp)
+      writer(tmp)
       val loc = tableLocation(rel)
       dropRelation(rel)
       loc.foreach(deleteRecursively)
-      writer(rel)
+      renameRelation(tmp, rel)
     } else {
       val tmp = rel.intermediate
       val bak = rel.backup

@@ -428,6 +428,30 @@ object DbtContext {
             .apply(args, kwargs)
         }
       })
+      case "compact" => Some(JFunc { (a, kw) =>
+        // table compaction as a run-operation maintenance op (Delta
+        // OPTIMIZE / Iceberg rewrite_data_files on plain parquet):
+        // adapter.compact(schema, identifier, partition_by=[...],
+        // target_files=N) → [files_before, files_after]. Incremental
+        // appends and streaming sinks accrete small files; at 100 TB
+        // unbounded file counts dominate scan/listing cost.
+        def usage = JinjaError(
+          "compact(schema, identifier[, partition_by=[...], target_files=N])")
+        val schema = kw.get("schema").map(_.toString)
+          .orElse(a.lift(0).map(_.toString)).getOrElse(throw usage)
+        val ident = kw.get("identifier").map(_.toString)
+          .orElse(a.lift(1).map(_.toString)).getOrElse(throw usage)
+        val parts = kw.get("partition_by").orElse(a.lift(2)) match {
+          case Some(s: Seq[_]) => s.map(_.toString)
+          case Some(other) => Seq(other.toString)
+          case None => Nil
+        }
+        val tf = kw.get("target_files").orElse(a.lift(3))
+          .map(_.toString.toInt).getOrElse(1)
+        val (before, after) = adapter.compact(
+          graft.core.Relation(schema, ident), parts, tf)
+        Vector(before, after)
+      })
       case "type" => Some(JFunc((_, _) => "spark"))
       case _ => None
     }

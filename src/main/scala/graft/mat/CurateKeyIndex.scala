@@ -71,8 +71,10 @@ private[graft] object CurateKeyIndex {
 
   /** Recorded index layout: bucket count, key column names, and the key
     * columns' catalog type strings (types recorded since r17; a params
-    * file written before that carries none and type drift is then
-    * caught at the first seal/guard that sees typed columns). */
+    * file written before that carries none — the FIRST typed
+    * seal/guard backfills them in place, a one-time upgrade, so a
+    * later retype on a legacy checkpoint is fenced exactly like a
+    * born-typed one). */
   final case class Params(buckets: Int, keys: Seq[String],
       types: Seq[String])
 
@@ -224,16 +226,43 @@ private[graft] object CurateKeyIndex {
   private[graft] def defaultCompactAt(h: Handle): Int =
     math.max(1024, 16 * h.paramsCache.map(_.buckets).getOrElse(64))
 
+  private def writeParamsFile(h: Handle, p: Params): Unit = {
+    val path = new Path(h.paramsPath)
+    val fs = fsOf(h.spark, path)
+    val out = fs.create(path, true)
+    try out.write(paramsJson(p).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** A record whose `types` are empty predates typed params (pre-r17
+    * checkpoint): the first verify that KNOWS the live types backfills
+    * them into the file — without the rewrite, the legacy checkpoint
+    * would stay unfenced forever (every later run would again see
+    * empty recorded types and skip the drift check), and a retyped key
+    * would hash into wrong buckets silently. */
+  private def upgradeTypes(h: Handle, rec: Params,
+      types: Option[Seq[String]]): Params =
+    types.filter(t => rec.types.isEmpty && t.nonEmpty) match {
+      case Some(t) =>
+        val up = rec.copy(types = t)
+        writeParamsFile(h, up)
+        up
+      case None => rec
+    }
+
   /** Resolve the effective params: the recorded file wins (verified
     * against the config and, when known, the live key types); absent a
     * file, `record` writes one — explicit config or auto-sizing. */
   private def resolveParams(h: Handle, types: Option[Seq[String]],
       record: Option[() => Params]): Params = {
     val cached = h.paramsCache
-    if (cached.isDefined) return verifyAgainst(h, cached.get, types)
+    if (cached.isDefined) {
+      val p = upgradeTypes(h, verifyAgainst(h, cached.get, types), types)
+      h.paramsCache = Some(p)
+      return p
+    }
     readParamsFile(h) match {
       case Some(rec) =>
-        val p = verifyAgainst(h, rec, types)
+        val p = upgradeTypes(h, verifyAgainst(h, rec, types), types)
         h.paramsCache = Some(p)
         p
       case None =>
@@ -251,10 +280,7 @@ private[graft] object CurateKeyIndex {
               s"data but its params file (${h.paramsPath}) is missing — " +
               "the layout cannot be verified; rebuild with --full-refresh"))
         val p = mk()
-        val path = new Path(h.paramsPath)
-        val fs = fsOf(h.spark, path)
-        val out = fs.create(path, true)
-        try out.write(paramsJson(p).getBytes("UTF-8")) finally out.close()
+        writeParamsFile(h, p)
         h.paramsCache = Some(p)
         p
     }
@@ -414,17 +440,34 @@ private[graft] object CurateKeyIndex {
       }
       h.estFiles = count
     }
-    if (h.estFiles > maxFiles) {
-      val sealedPath = new Path(h.sealedDir)
-      if (fs.exists(sealedPath)) fs.delete(sealedPath, true)
-      fs.delete(idxPath, true)
-      h.sealedCache = null // force a re-read (now empty) on next seal
-      h.estFiles = 0
-      // the NEXT seal is a full re-derive over all target files (up to
-      // one file per bucket), not the previous batch's survivors — a
-      // stale probe count would undercount its accrual by up to B
-      h.lastProbe = -1
-    }
+    if (h.estFiles > maxFiles) reset(h)
+  }
+
+  /** Drop the index + sealed log (params KEPT — the bucket layout must
+    * survive so re-derived buckets match any row ever written); the
+    * next [[seal]] re-derives both from the target's current files in
+    * one bucketed pass. Called by [[compactIfNeeded]] past the file
+    * threshold, and by the drain after a TARGET compaction: the
+    * rewritten target's files all have new names, so the sealed log
+    * holds only dead entries and the old index only rows under dead
+    * files — the re-derive is the SAME one-time bucketed catch-up the
+    * post-rewrite seal would do anyway, minus the dead-name log and
+    * the duplicate index rows it would otherwise drag forever. Delete
+    * order is load-bearing: sealed log FIRST — a crash between the two
+    * deletes must leave "nothing sealed" (full re-derive, correct),
+    * never "sealed but unindexed" (guard misses keys → duplicates). */
+  def reset(h: Handle): Unit = {
+    val idxPath = new Path(h.indexDir)
+    val fs = fsOf(h.spark, idxPath)
+    val sealedPath = new Path(h.sealedDir)
+    if (fs.exists(sealedPath)) fs.delete(sealedPath, true)
+    if (fs.exists(idxPath)) fs.delete(idxPath, true)
+    h.sealedCache = null // force a re-read (now empty) on next seal
+    h.estFiles = 0
+    // the NEXT seal is a full re-derive over all target files (up to
+    // one file per bucket), not the previous batch's survivors — a
+    // stale probe count would undercount its accrual by up to B
+    h.lastProbe = -1
   }
 
   /** Drop batch rows whose key tuple the index holds — reading ONLY the
@@ -444,6 +487,14 @@ private[graft] object CurateKeyIndex {
           s"stream_op: curate unique_key column `$k` does not exist " +
             s"on the batch (columns: ${batch.schema.fieldNames
               .mkString(", ")})")).dataType.catalogString)
+    // an index dir that exists but holds neither data nor params is the
+    // torn FIRST write (or a manual cleanup that removed both): nothing
+    // is indexed, so there is nothing to drop — the guard no-ops and
+    // the next seal records fresh params. Only params-missing-over-
+    // SURVIVING-DATA refuses (inside resolveParams), because that
+    // layout is unverifiable.
+    if (h.paramsCache.isEmpty && readParamsFile(h).isEmpty &&
+        !hasDataFiles(h.spark, h.indexDir)) return batch
     val params = resolveParams(h, Some(batchTypes), None)
     val touched = batch
       .select(bucketOf(h.keys, params.buckets).as("__kb"))

@@ -2766,6 +2766,45 @@ object StreamingTableMat extends Materialization {
           s"got $n"))
     def compactAt: Int =
       compactCfg.getOrElse(CurateKeyIndex.defaultCompactAt(keyIdx))
+    // TARGET-side relief, opt-in (`target_compact_files:`): the drain
+    // appends ~one parquet file per micro-batch to the TARGET forever —
+    // a max_files_per_trigger: 1 deployment draining thousands of
+    // landed files leaves thousands of target files, and the seal's
+    // per-batch file listing plus the sealed-log size grow linearly
+    // with them (the index's own accrual is already bounded above).
+    // Past the threshold the drain rewrites the target in place
+    // (SparkAdapter.compact — a FULL target rewrite, so the threshold
+    // is the amortization lever; it runs UNDER the already-held lock,
+    // single writer by construction) and resets the derived key index:
+    // the rewritten files all have new names, so the sealed log would
+    // hold only dead entries and the next seal would re-index the full
+    // rewritten set anyway — resetting first is the same one-time
+    // bucketed catch-up without dragging the dead-name log and
+    // duplicate index rows forever. Duplicate index rows could never
+    // flip an anti-join verdict, so the rewrite is SAFE by
+    // construction even mid-sequence; opt-in only because the rewrite
+    // cost is the operator's to schedule. Event-time mode has no key
+    // index to synchronize — run-operation compact covers it
+    // out-of-band with no interaction to pin.
+    val targetCompactCfg = cfg.get("target_compact_files")
+      .map(v => String.valueOf(v).toInt)
+    targetCompactCfg.filter(_ < 2).foreach(n =>
+      throw new IllegalArgumentException(
+        "stream_op: curate `target_compact_files:` must be >= 2, got " +
+          s"$n — the target always holds at least one file, so a lower " +
+          "threshold would rewrite the full target every micro-batch"))
+    // how small to compact TO: files per partition value (partitioned
+    // targets) or total files (unpartitioned); the default leaves ~7/8
+    // of the threshold as headroom before the next rewrite
+    val targetCompactTo = cfg.get("target_compact_to")
+      .map(v => String.valueOf(v).toInt)
+      .getOrElse(
+        if (ctx.config.partitionBy.nonEmpty) 1
+        else math.max(1, targetCompactCfg.getOrElse(8) / 8))
+    if (targetCompactTo < 1)
+      throw new IllegalArgumentException(
+        s"stream_op: curate `target_compact_to:` must be >= 1, got " +
+          s"$targetCompactTo")
     // refuse a drifted bucket layout AT INVOCATION, not at the first
     // batch — a drained landing dir (zero batches) must not report
     // success under a config the persisted index cannot serve
@@ -2782,6 +2821,11 @@ object StreamingTableMat extends Materialization {
         // still draining while run B attempts the lock
         spark.conf.getOption("graft.curate.sleepPerBatchMillis")
           .foreach(ms => Thread.sleep(ms.toLong))
+        // the flat-landing contract holds for the WHOLE drain: a
+        // subdirectory created mid-drain fails by name before this
+        // batch commits (invocation-time enforcement alone would leave
+        // the rest of a long drain in the undefined zone)
+        landingDir.foreach(ld => assertFlatLanding(spark, ld))
         // an empty slice (a skewed range partition) must not become the
         // FULL BUILD and train artifacts on nothing
         if (!b.isEmpty) {
@@ -2853,11 +2897,36 @@ object StreamingTableMat extends Materialization {
                 // seal then re-derives the reset index in one bucketed
                 // pass and the guard below sees the full key set
                 CurateKeyIndex.compactIfNeeded(keyIdx, compactAt)
-                CurateKeyIndex.seal(keyIdx, ctx.adapter.read(ctx.target),
+                // ONE DataFrame instance for the file-count check and
+                // the seal: its resolved FileIndex caches the listing,
+                // so the opt-in check adds no second listing RPC
+                var targetDf = ctx.adapter.read(ctx.target)
+                targetCompactCfg.foreach { thr =>
+                  val n = targetDf.inputFiles.length
+                  if (n > thr) {
+                    val (before, after) = ctx.adapter.compact(ctx.target,
+                      ctx.config.partitionBy, targetCompactTo)
+                    System.err.println(
+                      s"[graft] curate target compaction at batch " +
+                        s"$batches: $before -> $after files " +
+                        s"(threshold $thr); key index reset for " +
+                        "re-derive over the rewritten file set")
+                    CurateKeyIndex.reset(keyIdx)
+                    targetDf = ctx.adapter.read(ctx.target)
+                  }
+                }
+                CurateKeyIndex.seal(keyIdx, targetDf,
                   ctx.adapter.relationLocationUri(ctx.target),
-                  // first-seal auto-sizing evidence: THIS batch's rows
-                  // (pinned blocks — the count is block-manager cheap)
-                  batchKeysHint = Some(() => etStaged.count()))
+                  // first-seal auto-sizing evidence: THIS batch's
+                  // DISTINCT key count — autoBuckets' contract is keys,
+                  // not rows, and a replay/duplicate-heavy first batch
+                  // would otherwise oversize B, the expensive direction
+                  // (oversizing explodes per-seal file churn; see
+                  // autoBuckets). One first-seal-only distinct job over
+                  // pinned blocks — a bootstrap cost, never per-batch.
+                  batchKeysHint = Some(() => etStaged
+                    .select(keyGuard.map(k => col(s"`$k`")): _*)
+                    .distinct().count()))
                 CurateKeyIndex.guard(keyIdx, etStaged)
               } else etStaged
             PipelineMat.processBatch(ctx, steps, local, incremental = true,
@@ -2929,6 +2998,46 @@ object StreamingTableMat extends Materialization {
     new org.apache.hadoop.fs.Path(
       checkpoint.stripSuffix("/") + ".lock")
 
+  /** Stable MACHINE identity for the lock's self-heal gate. Bare
+    * hostnames are not identity: containerized deployments commonly
+    * produce colliding generic hostnames across machines, and two such
+    * hosts sharing an object-store checkpoint would let host B break
+    * host A's LIVE lock whenever A's pid number happens to be absent
+    * on B — reintroducing the double-drain the lock prevents. Source:
+    * `/etc/machine-id` (systemd's per-machine id) when readable; else
+    * a random nonce persisted at a LOCAL per-machine path (the JVM's
+    * tmpdir — NOT the warehouse, which is commonly a SHARED object
+    * store where every machine would read one nonce and the gate would
+    * pass vacuously); else a per-process nonce, under which self-heal
+    * simply never fires — the safe direction (refuse, don't break).
+    * `private[graft]` so the lock specs can forge same/other-machine
+    * holders. */
+  private[graft] lazy val machineId: String = {
+    def read(p: java.nio.file.Path): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim).filter(_.nonEmpty)
+      catch { case _: Throwable => None }
+    read(java.nio.file.Paths.get("/etc/machine-id")).getOrElse {
+      val p = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_machine_id")
+      read(p).getOrElse {
+        val nonce = java.util.UUID.randomUUID().toString
+        try {
+          val tmp = java.nio.file.Files.createTempFile(
+            p.getParent, "graft_machine_id", ".tmp")
+          java.nio.file.Files.writeString(tmp, nonce)
+          if (!java.nio.file.Files.exists(p))
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          else java.nio.file.Files.deleteIfExists(tmp)
+          // re-read: a same-instant racer's nonce may have won the
+          // move — both processes must then agree on the FILE's value
+          read(p).getOrElse(nonce)
+        } catch { case _: Throwable => nonce }
+      }
+    }
+  }
+
   /** Claim the durable checkpoint for this invocation: create-if-absent
     * of a SIBLING `<checkpoint>.lock` file. Atomicity is the store's:
     * HDFS `create(overwrite=false)` is atomic; on the local FS and most
@@ -2941,14 +3050,16 @@ object StreamingTableMat extends Materialization {
     * at the target.
     *
     * SELF-HEALING for the kill -9 case: the lock content records
-    * pid/host, so when the holder is THIS host and `ProcessHandle`
-    * proves the pid dead, the stale lock is broken and re-claimed
-    * without human intervention (a scheduled deployment whose run
-    * crashed must not stay wedged until someone deletes a file). A
-    * live holder, a cross-host holder (no liveness oracle from here),
-    * or unreadable lock content still refuses by name — breaking on a
-    * guess would reintroduce the double-append the lock exists to
-    * prevent. */
+    * pid/host/machine-id, so when the holder is THIS MACHINE
+    * ([[machineId]] equality — hostname alone is not identity;
+    * containers commonly collide on generic hostnames across machines)
+    * and `ProcessHandle` proves the pid dead, the stale lock is broken
+    * and re-claimed without human intervention (a scheduled deployment
+    * whose run crashed must not stay wedged until someone deletes a
+    * file). A live holder, a cross-machine holder (no liveness oracle
+    * from here), unreadable lock content, or a lock with no recorded
+    * machine id still refuses by name — breaking on a guess would
+    * reintroduce the double-append the lock exists to prevent. */
   private def acquireCurateLock(spark: SparkSession, checkpoint: String)
       : Unit = {
     val lp = curateLockPath(checkpoint)
@@ -2970,12 +3081,16 @@ object StreamingTableMat extends Materialization {
     def provablyDeadHere(holder: String): Boolean = {
       val pid = """"pid":(\d+)""".r.findFirstMatchIn(holder)
         .map(_.group(1).toLong)
-      val host = """"host":"([^"]*)"""".r.findFirstMatchIn(holder)
+      val mid = """"machine":"([^"]*)"""".r.findFirstMatchIn(holder)
         .map(_.group(1))
-      val here = java.net.InetAddress.getLocalHost.getHostName
-      // same host AND the pid provably absent; a recycled pid reads as
-      // alive and refuses — the safe direction
-      pid.isDefined && host.contains(here) &&
+      // same MACHINE (machine-id, not hostname — containers/pods
+      // commonly collide on generic hostnames across machines, and a
+      // hostname-gated break would kill a LIVE cross-machine holder
+      // whenever its pid number is absent here) AND the pid provably
+      // absent; a recycled pid reads as alive and refuses, and a lock
+      // with no recorded machine id (a pre-r18 writer) also refuses —
+      // both the safe direction
+      pid.isDefined && mid.contains(machineId) &&
         !ProcessHandle.of(pid.get).isPresent
     }
     val out = tryCreate().orElse {
@@ -2992,24 +3107,38 @@ object StreamingTableMat extends Materialization {
         if (fs.rename(lp, tomb)) {
           System.err.println(
             s"[graft] breaking stale curate lock $lp: recorded holder " +
-              s"$holder is this host and its pid is dead")
+              s"$holder is this machine and its pid is dead")
           fs.delete(tomb, false)
           tryCreate() // a racer may claim the gap first; refuse below
         } else None // another self-healer won the rename
       } else None
     }.getOrElse {
+      val holder = readHolder()
+      // staleness guidance: two same-instant racers on a
+      // check-then-create store can interleave their writes into
+      // content matching NEITHER — both refuse at read-back and the
+      // garbage lock has no live holder, so the pid-gated self-heal
+      // never fires. The recorded start time (when parseable) plus the
+      // operator's own drain cadence is the evidence for safely
+      // clearing such a lock by hand.
+      val age = """"started_epoch_ms":(\d+)""".r.findFirstMatchIn(holder)
+        .map(m => (System.currentTimeMillis() - m.group(1).toLong) / 1000L)
       throw new IllegalStateException(
         s"stream_op: curate: another invocation holds this " +
-          s"checkpoint's lock ($lp, held by ${readHolder()}) — " +
+          s"checkpoint's lock ($lp, held by $holder" +
+          age.map(s => s", started ${s}s ago").getOrElse("") + ") — " +
           "concurrent drains of one checkpoint race on the " +
           "committed-files log and double-append at the target. Wait " +
           "for that run to finish, or delete the lock file after " +
-          "confirming its process is dead (a kill -9 on ANOTHER host " +
-          "leaves it behind; a same-host dead holder is reclaimed " +
-          "automatically)")
+          "confirming its process is dead (a kill -9 on ANOTHER " +
+          "machine leaves it behind; a same-machine dead holder is " +
+          "reclaimed automatically). A lock whose content is garbage " +
+          "or far older than your drain cadence has no live holder — " +
+          "safe to delete by hand")
     }
     val info = s"""{"pid":${ProcessHandle.current().pid()},""" +
       s""""host":"${java.net.InetAddress.getLocalHost.getHostName}",""" +
+      s""""machine":"$machineId",""" +
       s""""started_epoch_ms":${System.currentTimeMillis()}}"""
     try out.write(info.getBytes("UTF-8")) finally out.close()
     // read-back verify: on stores where create(overwrite=false) is
@@ -3068,33 +3197,7 @@ object StreamingTableMat extends Materialization {
   private def curateStreamSchema(spark: SparkSession, srcDir: String,
       checkpoint: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{DataType, StructType}
-    // the landing-dir layout contract is FLAT arrival, refused by name
-    // BEFORE schema inference (a partition-style subdirectory would
-    // otherwise surface as spurious schema drift, a plain one as a
-    // conflicting-structure error): the per-footer schema check lists
-    // top-level files only, while the file-stream source's discovery
-    // has its own (partition-aware) recursion rules — a file landed
-    // under a subdirectory could be streamed without ever being
-    // field-checked, or silently ignored, depending on discovery.
-    // Neither is acceptable as UNDEFINED behavior.
-    locally {
-      val ldPath = new org.apache.hadoop.fs.Path(srcDir)
-      val ldFs = ldPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val subdirs = ldFs.listStatus(ldPath).filter(st =>
-        st.isDirectory && {
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
-      if (subdirs.nonEmpty)
-        throw new IllegalStateException(
-          s"stream_op: curate landing_dir `$srcDir` contains " +
-            s"subdirectories [${subdirs.map(_.getPath.getName).sorted
-              .mkString(", ")}] — the landing contract is a FLAT " +
-            "directory of immutable files (the stream schema check and " +
-            "the file-stream source must discover exactly the same " +
-            "files); land files at the top level, or point landing_dir: " +
-            "at the subdirectory itself")
-    }
+    assertFlatLanding(spark, srcDir)
     val inferred =
       try spark.read.option("mergeSchema", "true").parquet(srcDir).schema
       catch {
@@ -3157,6 +3260,39 @@ object StreamingTableMat extends Materialization {
         pinned.fields.map(_.name).toSet, pin)
       pinned
     }
+  }
+
+  /** The landing-dir layout contract is FLAT arrival, refused by name
+    * (a partition-style subdirectory would otherwise surface as
+    * spurious schema drift, a plain one as a conflicting-structure
+    * error): the per-footer schema check lists top-level files only,
+    * while the file-stream source's discovery has its own
+    * (partition-aware) recursion rules — a file landed under a
+    * subdirectory could be streamed without ever being field-checked,
+    * or silently ignored, depending on discovery. Neither is
+    * acceptable as UNDEFINED behavior. Enforced at invocation (before
+    * schema inference) AND per micro-batch (one top-level listStatus —
+    * metadata-sized): a producer that creates a subdirectory MID-drain
+    * must fail by name before the next batch commits, not re-enter the
+    * undefined zone until the next invocation. */
+  private def assertFlatLanding(spark: SparkSession, srcDir: String)
+      : Unit = {
+    val ldPath = new org.apache.hadoop.fs.Path(srcDir)
+    val ldFs = ldPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val subdirs = ldFs.listStatus(ldPath).filter(st =>
+      st.isDirectory && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    if (subdirs.nonEmpty)
+      throw new IllegalStateException(
+        s"stream_op: curate landing_dir `$srcDir` contains " +
+          s"subdirectories [${subdirs.map(_.getPath.getName).sorted
+            .mkString(", ")}] — the landing contract is a FLAT " +
+          "directory of immutable files (the stream schema check and " +
+          "the file-stream source must discover exactly the same " +
+          "files); land files at the top level, or point landing_dir: " +
+          "at the subdirectory itself")
   }
 
   /** Per-footer FIELD-NAME check of landed files against the pinned

@@ -540,13 +540,16 @@ class CurateRestartSpec extends AnyFunSuite {
     while (ProcessHandle.of(deadPid).isPresent &&
         System.currentTimeMillis() < deadline) Thread.sleep(20)
     assert(!ProcessHandle.of(deadPid).isPresent, "spawned pid never died")
-    def writeLock(pid: Long): Unit = {
+    val machine = graft.mat.StreamingTableMat.machineId
+    def writeLock(pid: Long, mid: Option[String] = Some(machine)): Unit = {
       val w = new java.io.FileWriter(s"$cp.lock")
-      try w.write(s"""{"pid":$pid,"host":"$host","started_epoch_ms":1}""")
+      try w.write(s"""{"pid":$pid,"host":"$host"""" +
+        mid.map(m => s""","machine":"$m"""").getOrElse("") +
+        ""","started_epoch_ms":1}""")
       finally w.close()
     }
-    // kill -9 shape: lock present, holder dead on THIS host → the next
-    // scheduled run self-heals and drains the newly landed file
+    // kill -9 shape: lock present, holder dead on THIS machine → the
+    // next scheduled run self-heals and drains the newly landed file
     writeLock(deadPid)
     land(landing, "f2", Seq((3L, t2)))
     val r = run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
@@ -554,18 +557,33 @@ class CurateRestartSpec extends AnyFunSuite {
     assert(ids(a, rel) == Set(1L, 3L))
     assert(!new java.io.File(s"$cp.lock").exists(),
       "the re-claimed lock must release on exit")
-    // a LIVE same-host holder still refuses by name (this very process)
+    // a LIVE same-machine holder still refuses by name (this very process)
     writeLock(ProcessHandle.current().pid())
     val e = intercept[IllegalStateException](
       run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
     assert(e.getMessage.contains("another invocation"), e.getMessage)
-    // a cross-host holder refuses too, dead pid or not
-    val w = new java.io.FileWriter(s"$cp.lock")
-    try w.write(s"""{"pid":$deadPid,"host":"not-this-host","started_epoch_ms":1}""")
-    finally w.close()
+    // the container-collision forgery: a holder recording THIS hostname
+    // but a DIFFERENT machine-id must refuse, dead pid or not —
+    // hostname equality is not machine identity (two pods with generic
+    // hostnames share a name without sharing a pid namespace; breaking
+    // on it would kill a LIVE cross-machine holder's lock)
+    val wf = new java.io.FileWriter(s"$cp.lock")
+    try wf.write(s"""{"pid":$deadPid,"host":"$host",""" +
+      """"machine":"00000000000000000000000000000000",""" +
+      """"started_epoch_ms":1}""")
+    finally wf.close()
+    val ef = intercept[IllegalStateException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+    assert(ef.getMessage.contains("another invocation"), ef.getMessage)
+    // a legacy lock with NO machine id also refuses (pre-r18 writer:
+    // no identity to verify → never break on a guess); the message
+    // carries the staleness guidance for clearing it by hand
+    writeLock(deadPid, mid = None)
     val e2 = intercept[IllegalStateException](
       run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
     assert(e2.getMessage.contains("another invocation"), e2.getMessage)
+    assert(e2.getMessage.contains("started"), e2.getMessage)
+    assert(e2.getMessage.contains("safe to delete by hand"), e2.getMessage)
     new java.io.File(s"$cp.lock").delete()
   }
 
@@ -673,6 +691,18 @@ class CurateRestartSpec extends AnyFunSuite {
     val out = CurateKeyIndex.guard(h, probe)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
       "a dataless index must pass the batch through unguarded")
+    // index dir present but holding NEITHER data NOR params (torn
+    // first write, or a manual cleanup that removed both): nothing is
+    // indexed, so the guard no-ops — the 'holds data but its params
+    // file is missing' refusal would be FALSE here (nothing survives
+    // to be unverifiable); the next seal records fresh params
+    val cpTorn = Files.createTempDirectory("graft_cp_torn")
+      .resolve("cp").toString
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$cpTorn/_graft_key_index"))
+    val hTorn = CurateKeyIndex.Handle(spark, cpTorn, Seq("doc_id"), None)
+    assert(CurateKeyIndex.guard(hTorn, probe).count() == 1,
+      "a torn dir with no params must read as an empty index, not throw")
     // a MISSING params file over surviving index data refuses from the
     // SEAL path too — re-recording fresh auto-sized params over an
     // old-layout index would prune the guard into the wrong buckets
@@ -775,6 +805,128 @@ class CurateRestartSpec extends AnyFunSuite {
     val params = new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$cp/_graft_key_index_params.json")), "UTF-8")
     assert(params.contains(""""types":["bigint","string"]"""), params)
+  }
+
+  test("target_compact_files: past the threshold the drain rewrites the " +
+      "TARGET under the held lock, resets the derived key index, and " +
+      "exactly-once holds across the compaction boundary") {
+    val a = freshAdapter("g_curate_tcomp")
+    val rel = Relation("g_curate_tcomp", "cur")
+    val landing = Files.createTempDirectory("graft_landing_tc")
+    val cp = Files.createTempDirectory("graft_cp_tc").resolve("cp").toString
+    landAll(landing) // 4 files
+    land(landing, "f5", Seq((50L, "fifth novel body standing alone")))
+    land(landing, "f6", Seq((60L, "sixth novel body also alone")))
+    val c = cfg(landing.toString, "checkpoint_dir" -> cp,
+      "target_compact_files" -> 2, "target_compact_to" -> 1)
+    val r = run(a, rel, c)
+    assert(r.message.contains("6 micro-batches"), r.message)
+    assert(ids(a, rel) == expectedIds ++ Set(50L, 60L))
+    assert(a.read(rel).count() == 6,
+      "no duplicates across the compaction boundary")
+    // the relief is real: six appends without compaction leave >= 6
+    // target files; with threshold 2 the drain must end well below
+    val files = a.read(rel).inputFiles.length
+    assert(files < 6, s"target file count must drop, got $files")
+    // exactly-once across a fresh invocation AFTER a mid-drain target
+    // rewrite: the sealed log was reset with the index, so the next
+    // seal re-derives from the REWRITTEN file set — a settled key must
+    // still drop, a fresh one lands
+    land(landing, "f7", Seq((1L, t1), (70L, "seventh fresh body")))
+    run(a, rel, c)
+    assert(ids(a, rel) == expectedIds ++ Set(50L, 60L, 70L),
+      "settled key 1 must drop against the re-derived index")
+    assert(a.read(rel).count() == 7)
+    // and a full no-op re-run stays a no-op
+    run(a, rel, c)
+    assert(a.read(rel).count() == 7)
+    // config validation: a threshold that would rewrite every batch is
+    // refused by name
+    val bad = intercept[IllegalArgumentException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp,
+        "target_compact_files" -> 1)))
+    assert(bad.getMessage.contains("target_compact_files"), bad.getMessage)
+  }
+
+  test("a subdirectory created MID-drain fails by name before the next " +
+      "batch commits — the flat contract holds for the whole drain, " +
+      "not just at invocation") {
+    val a = freshAdapter("g_curate_middir")
+    val rel = Relation("g_curate_middir", "cur")
+    val landing = Files.createTempDirectory("graft_landing_mid")
+    val cp = Files.createTempDirectory("graft_cp_mid").resolve("cp").toString
+    landAll(landing) // 4 batches, ~1s apart under the pacing hook
+    spark.conf.set("graft.curate.sleepPerBatchMillis", "1000")
+    val fut = scala.concurrent.Future {
+      intercept[Exception](
+        run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      // wait for the FIRST batch to commit — the invocation-time flat
+      // check has long passed by then, so the failure below can only
+      // come from the per-batch check
+      val firstCommit = new java.io.File(s"$cp/commits/0")
+      val deadline = System.currentTimeMillis() + 60000
+      while (!firstCommit.exists() &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(firstCommit.exists(), "first micro-batch never committed")
+      Files.createDirectories(landing.resolve("dt=2099-01-01"))
+      val e = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(120, "s"))
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil
+        else t :: (if (t.getCause ne t) chain(t.getCause) else Nil)
+      val msgs = chain(e).map(x => String.valueOf(x.getMessage))
+        .mkString(" | ")
+      assert(msgs.contains("subdirectories"), msgs)
+      assert(msgs.contains("dt=2099-01-01"), msgs)
+    } finally spark.conf.unset("graft.curate.sleepPerBatchMillis")
+    assert(!new java.io.File(s"$cp.lock").exists(),
+      "the failing drain must still release the lock")
+    // committed batches stay committed; removing the subdirectory lets
+    // the next invocation resume at the first unprocessed file
+    graft.core.FsUtil.deleteRecursively(landing.resolve("dt=2099-01-01"))
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel) == expectedIds)
+  }
+
+  test("a legacy params file without recorded types is backfilled on " +
+      "the first typed verify (one-time upgrade); a retype on the " +
+      "once-legacy checkpoint then refuses by name") {
+    import graft.mat.CurateKeyIndex
+    import spark.implicits._
+    val a = freshAdapter("g_curate_bf")
+    val rel = Relation("g_curate_bf", "cur")
+    val landing = Files.createTempDirectory("graft_landing_bf")
+    val cp = Files.createTempDirectory("graft_cp_bf").resolve("cp").toString
+    landAll(landing)
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    val pf = java.nio.file.Paths.get(s"$cp/_graft_key_index_params.json")
+    val orig = new String(Files.readAllBytes(pf), "UTF-8")
+    assert(orig.contains(""""types":["bigint"]"""), orig)
+    // forge the pre-r17 shape: same buckets/keys, no types recorded
+    // (drop the Hadoop checksum sidecar too — the raw java.nio rewrite
+    // would otherwise trip ChecksumFileSystem; a REAL legacy file was
+    // written through Hadoop and carries a consistent crc)
+    Files.write(pf, orig.replaceAll(
+      ""","types":\[[^\]]*\]""", ""","types":[]""").getBytes("UTF-8"))
+    Files.deleteIfExists(
+      pf.getParent.resolve("._graft_key_index_params.json.crc"))
+    // the first typed guard against the legacy record still guards
+    // (settled key 1 drops) AND backfills the observed types
+    val h = CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None)
+    val probe = Seq((1L, "x"), (99L, "y")).toDF("doc_id", "text")
+    assert(CurateKeyIndex.guard(h, probe).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(99L))
+    val upgraded = new String(Files.readAllBytes(pf), "UTF-8")
+    assert(upgraded.contains(""""types":["bigint"]"""),
+      s"legacy params must gain the observed types: $upgraded")
+    // the retype fence now bites where it silently missed before
+    val h2 = CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None)
+    val drift = probe.withColumn("doc_id", col("doc_id").cast("string"))
+    val e = intercept[IllegalStateException](CurateKeyIndex.guard(h2, drift))
+    assert(e.getMessage.contains("bigint"), e.getMessage)
+    assert(e.getMessage.contains("string"), e.getMessage)
   }
 
   test("bounded replay: --full-refresh with an all-empty staged input " +

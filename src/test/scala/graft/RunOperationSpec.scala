@@ -133,6 +133,53 @@ class RunOperationSpec extends AnyFunSuite {
     assert(spark.sql("select * from g_runop_audit.audit").count() == 3)
   }
 
+  test("run-operation reaches adapter.compact: a partitioned target's " +
+      "accreted small files rewrite down, rows and partitions identical") {
+    val proj = Files.createTempDirectory("graft_compact_op")
+    write(proj, "dbt_project.yml",
+      """name: cdemo
+        |model-paths: ["models"]
+        |""".stripMargin)
+    write(proj, "macros/maint.sql",
+      """{% macro compact_table(schema_name, table_name, parts=[]) %}
+        |  {% set r = adapter.compact(schema_name, table_name,
+        |       partition_by=parts) %}
+        |  {{ return(r[0] ~ '->' ~ r[1]) }}
+        |{% endmacro %}
+        |""".stripMargin)
+    val schema = "g_compact_op"
+    spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+    val loc = Files.createTempDirectory("graft_cop_wh").toString
+    val r = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema, warehouseLocation = Some(loc))
+    // the incremental-append reality: a partitioned table accreting one
+    // small file per append
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`")
+    spark.sql(s"CREATE TABLE `$schema`.acc (id BIGINT, v STRING) " +
+      "USING parquet PARTITIONED BY (grp STRING) " +
+      s"LOCATION '$loc/acc'")
+    (1 to 6).foreach(i => spark.sql(
+      s"INSERT INTO `$schema`.acc PARTITION (grp='g${i % 2}') " +
+        s"VALUES ($i, 'v$i')"))
+    def snap() = spark.table(s"`$schema`.acc")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val rowsBefore = snap()
+    val filesBefore = spark.table(s"`$schema`.acc").inputFiles.length
+    assert(filesBefore >= 6, s"expected accreted small files: $filesBefore")
+    val out = r.runOperation("compact_table", Map(
+      "schema_name" -> schema, "table_name" -> "acc",
+      "parts" -> Vector("grp"))).trim
+    val Array(b, a) = out.split("->").map(_.trim.toLong)
+    assert(b == filesBefore, s"macro reported $out")
+    assert(a < b, s"compaction must reduce the file count: $out")
+    val filesAfter = spark.table(s"`$schema`.acc").inputFiles.length
+    assert(filesAfter.toLong == a && filesAfter <= 2,
+      s"one file per partition value expected, got $filesAfter")
+    // row identity + the partition column survives the rewrite
+    assert(snap().toSeq == rowsBefore.toSeq)
+    assert(spark.sql(s"SHOW PARTITIONS `$schema`.acc").count() == 2)
+  }
+
   test("show --inline compiles ad-hoc Jinja-SQL with macros in scope") {
     val r = runner()
     val sql = r.compileInline(
