@@ -130,12 +130,34 @@ object Bench {
     // the queries — the minimum discards whichever run a burst landed in).
     // Subset runs skip it: calib exists to normalize DRIVER round-over-
     // round comparisons, and a dev loop shouldn't pay ~8 s for it.
+    // Samples are ALSO interleaved mid-run (one every ~10 queries, below):
+    // endpoint-only calibration measured the box at two instants that can
+    // both miss mid-run contention — r17's driver run read per-query
+    // median 0.84 vs r16 (faster) yet total_per_calib 45.9 vs 37.6
+    // ("slower") because its two calib anchors ran anomalously fast while
+    // the queries saw load 12. The MEDIAN of the interleaved samples sees
+    // the same box states the queries saw; `total_per_calib_median` is
+    // the contention-robust comparator (BASELINE.md documents the
+    // adjudication order).
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val calibStart: Option[Double] =
       if (only.nonEmpty) None
       else {
         calibration(spark)
-        Some(math.min(calibration(spark), calibration(spark)))
+        calibSamples += calibration(spark)
+        calibSamples += calibration(spark)
+        Some(calibSamples.min)
       }
+    var sinceCalib = 0
+    def interleaveCalib(): Unit = if (only.isEmpty) {
+      sinceCalib += 1
+      if (sinceCalib >= 10) {
+        sinceCalib = 0
+        val c = calibration(spark)
+        calibSamples += c
+        System.err.println(f"[bench] calib sample $c%6.2f s")
+      }
+    }
 
     // named non-headline queries are benchable locally too (one-off
     // measurements of oracle-only ops); driver runs keep the headline set
@@ -153,6 +175,7 @@ object Bench {
         // operators cache intermediates (spread/signature reuse); drop them
         // between queries so later timings don't pay eviction/GC pressure
         spark.catalog.clearCache()
+        interleaveCalib()
         name -> secs
       }
 
@@ -185,7 +208,13 @@ object Bench {
       k -> math.min(math.min(v, p2(k)), p3.getOrElse(k, Double.MaxValue)) }
     val calibEnd: Option[Double] =
       if (only.nonEmpty) None
-      else Some(math.min(calibration(spark), calibration(spark)))
+      else {
+        val a = calibration(spark)
+        val b = calibration(spark)
+        calibSamples += a
+        calibSamples += b
+        Some(math.min(a, b))
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -202,7 +231,18 @@ object Bench {
     val calibJson = (calibStart, calibEnd) match {
       case (Some(a), Some(b)) =>
         val norm = total / ((a + b) / 2.0)
-        s""","calib_sec":$a,"calib_sec_end":$b,"total_per_calib":$norm"""
+        // median of ALL samples (endpoints + one per ~10 queries): the
+        // denominator then reflects the box states the queries actually
+        // ran under, not just the two instants at the edges
+        val sorted = calibSamples.sorted
+        val med =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        val normMed = total / med
+        s""","calib_sec":$a,"calib_sec_end":$b""" +
+          s""","calib_samples":[${calibSamples.map(c => f"$c%.3f")
+            .mkString(",")}]""" +
+          s""","total_per_calib":$norm,"total_per_calib_median":$normMed"""
       case _ => ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$calibJson,"noisy_requeried":${noisy.size},"loadavg_start":$startLoad,"loadavg_end":$endLoad}""")
