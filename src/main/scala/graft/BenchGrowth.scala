@@ -406,6 +406,74 @@ object BenchGrowth {
           f""""drain_ratio":$ratio%.2f}"""
     }
 
+    // ---- durable-curate TARGET-compaction row ----------------------------
+    // The drain row above bounds the INDEX's accrual; this row fences the
+    // TARGET's: one parquet file per micro-batch forever, plus the seal's
+    // per-batch inputFiles listing and the sealed-log size growing with
+    // them. `target_compact_files:` is the opt-in relief (full target
+    // rewrite under the held lock + key-index reset/re-derive). Protocol:
+    // same 24-file drain in 3 invocations of 8, threshold sized so the
+    // 2nd AND 3rd thirds each cross one compaction boundary — per-batch
+    // ratio(3rd/2nd) ≈ 1 AND a final target file count at ~the compacted
+    // floor (not 25) is the evidence that the rewrite amortizes and the
+    // relief is real.
+    if (famFilter.forall(_.contains("durable_curate_target_compact"))) {
+      val schema = "g_growth_curate_tc"
+      spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      val a = new SparkAdapter(spark, schema,
+        Some(Files.createTempDirectory("graft_growth_curtc").toString))
+      val rel = Relation(schema, "corpus")
+      val landing = Files.createTempDirectory("graft_growth_curtc_land")
+      val cp = Files.createTempDirectory("graft_growth_curtc_cp")
+        .resolve("cp").toString
+      def landFile(name: String, df: DataFrame): Unit = {
+        val tmp = Files.createTempDirectory("graft_growth_curtc_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          landing.resolve(s"$name.parquet"))
+      }
+      val perFile = math.max(100, batchN / 4)
+      def cfgT(mfpt: Int, maxB: Option[Int]) = NodeConfig(
+        materialized = "streaming_table",
+        uniqueKey = Seq("doc_id"),
+        extra = Map[String, Any]("stream_op" -> "curate",
+          "landing_dir" -> landing.toString, "checkpoint_dir" -> cp,
+          "max_files_per_trigger" -> mfpt,
+          // ~1 appended file per batch → compactions near batches 10
+          // and 20: one in the 2nd third, one in the 3rd — the ratio
+          // compares thirds of EQUAL compaction load
+          "target_compact_files" -> 10,
+          "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup",
+            "id_col" -> "doc_id"))) ++
+          maxB.map(n => "max_batches_per_run" -> (n: Any)).toMap)
+      def runT(mfpt: Int, maxB: Option[Int] = None): Unit =
+        StreamingTableMat.run(MatContext(a,
+          Node(uniqueId = s"model.bench.${rel.identifier}",
+            name = rel.identifier, packageName = "bench",
+            kind = NodeKind.Model, config = cfgT(mfpt, maxB)),
+          rel, () => spark.range(0)
+            .selectExpr("id AS doc_id", "'x' AS text")))
+      landFile("corpus", textGen(base, 0L, 29))
+      val build = timed(runT(100))
+      (0 until 24).foreach(i =>
+        landFile(f"t$i%02d", textGen(perFile, 40000000L + i * 100000L, 601 + i)))
+      val thirds = (0 until 3).map { _ => timed(runT(1, Some(8))) / 8 }
+      val ratio = thirds(2) / thirds(1)
+      val files = a.read(rel).inputFiles.length
+      System.err.println(
+        f"[growth] durable_curate_target_compact: build=$build%6.2fs " +
+          "per_batch=" + thirds.map(s => f"$s%5.2f")
+            .mkString("[", ",", "]s") +
+          f" ratio(3rd/2nd)=$ratio%.2f target_files=$files")
+      spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
+      out("durable_curate_target_compact") =
+        f"""{"build":$build%.2f,"per_batch_thirds":[${thirds
+          .map(s => f"$s%.2f").mkString(",")}],""" +
+          f""""drain_ratio":$ratio%.2f,"target_files":$files}"""
+    }
+
     // ---- media payload-size throughput row ------------------------------
     // The growth rows above measure STATE growth on text-sized payloads;
     // real images are 10^5-10^6 bytes and pHash is O(pixels) per row, so
