@@ -2805,6 +2805,18 @@ object StreamingTableMat extends Materialization {
       throw new IllegalArgumentException(
         s"stream_op: curate `target_compact_to:` must be >= 1, got " +
           s"$targetCompactTo")
+    // fail loud, never ignore: the config only takes effect on the
+    // key-index guard path, so accepting it elsewhere would let an
+    // operator believe a drain is compacting when it never does
+    if (targetCompactCfg.isDefined &&
+        (keyGuard.isEmpty || ctx.config.eventTime.isDefined))
+      throw new IllegalArgumentException(
+        "stream_op: curate `target_compact_files:` applies only to the " +
+          "key-index replay-guard path (unique_key WITHOUT event_time) " +
+          "— the rewrite must reset and re-derive the key index it " +
+          "invalidates. For event-time or index-less chains run " +
+          "adapter.compact via run-operation out-of-band instead " +
+          "(safe there: no index to synchronize)")
     // refuse a drifted bucket layout AT INVOCATION, not at the first
     // batch — a drained landing dir (zero batches) must not report
     // success under a config the persisted index cannot serve

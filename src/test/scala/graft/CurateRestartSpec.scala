@@ -846,6 +846,15 @@ class CurateRestartSpec extends AnyFunSuite {
       run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp,
         "target_compact_files" -> 1)))
     assert(bad.getMessage.contains("target_compact_files"), bad.getMessage)
+    // fail loud, never ignore: the config only acts on the key-index
+    // guard path — configured alongside event_time it must refuse, not
+    // silently never compact
+    val badEt = intercept[IllegalArgumentException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp,
+        "target_compact_files" -> 5, "event_time" -> "ts")
+        .copy(eventTime = Some("ts"))))
+    assert(badEt.getMessage.contains("event_time"), badEt.getMessage)
+    assert(badEt.getMessage.contains("run-operation"), badEt.getMessage)
   }
 
   test("a subdirectory created MID-drain fails by name before the next " +
