@@ -239,8 +239,12 @@ object Bench {
           if (sorted.size % 2 == 1) sorted(sorted.size / 2)
           else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
         val normMed = total / med
+        // Double.toString, never the f interpolator: %f is
+        // default-locale-sensitive (de_DE renders "8,412") and this
+        // line is machine-parsed JSON
         s""","calib_sec":$a,"calib_sec_end":$b""" +
-          s""","calib_samples":[${calibSamples.map(c => f"$c%.3f")
+          s""","calib_samples":[${calibSamples
+            .map(c => (math.round(c * 1000) / 1000.0).toString)
             .mkString(",")}]""" +
           s""","total_per_calib":$norm,"total_per_calib_median":$normMed"""
       case _ => ""

@@ -273,6 +273,39 @@ object BenchGrowth {
           s""""window_ratios":[${ratios.map(r => f"$r%.2f").mkString(",")}]}"""
     }
 
+    // ---- shared durable-curate scaffolding -------------------------------
+    // One landed file per named slice — the arriving-files lake shape
+    // every durable-curate row drains (three rows share this; a landing
+    // protocol change must happen in exactly one place).
+    def landPart(landing: java.nio.file.Path, name: String,
+        df: DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("graft_growth_land_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        landing.resolve(s"$name.parquet"))
+    }
+    // One durable-curate invocation over a (doc_id, text) landing dir:
+    // exact-dedup chain + unique_key replay guard, row-specific knobs
+    // via `extra`.
+    def runCurate(a: SparkAdapter, rel: Relation,
+        landing: java.nio.file.Path, cp: String, mfpt: Int,
+        extra: (String, Any)*): Unit =
+      StreamingTableMat.run(MatContext(a,
+        Node(uniqueId = s"model.bench.${rel.identifier}",
+          name = rel.identifier, packageName = "bench",
+          kind = NodeKind.Model,
+          config = NodeConfig(materialized = "streaming_table",
+            uniqueKey = Seq("doc_id"),
+            extra = Map[String, Any]("stream_op" -> "curate",
+              "landing_dir" -> landing.toString, "checkpoint_dir" -> cp,
+              "max_files_per_trigger" -> mfpt,
+              "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup",
+                "id_col" -> "doc_id"))) ++ extra.toMap)),
+        rel, () => spark.range(0)
+          .selectExpr("id AS doc_id", "'x' AS text")))
+
     // ---- durable continuous-curation row --------------------------------
     // The per-batch claim for `stream_op: curate` + `landing_dir:`: a
     // micro-batch's cost is the batch plus NARROW probes (the persisted
@@ -296,32 +329,11 @@ object BenchGrowth {
         val landing = Files.createTempDirectory("graft_growth_land")
         val cp = Files.createTempDirectory("graft_growth_cp")
           .resolve("cp").toString
-        def landFile(name: String, df: DataFrame): Unit = {
-          val tmp = Files.createTempDirectory("graft_growth_land_tmp")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.toFile.listFiles()
-            .filter(_.getName.startsWith("part-")).head
-          java.nio.file.Files.move(part.toPath,
-            landing.resolve(s"$name.parquet"))
-        }
-        def cfgC(mfpt: Int) = NodeConfig(materialized = "streaming_table",
-          uniqueKey = Seq("doc_id"),
-          extra = Map[String, Any]("stream_op" -> "curate",
-            "landing_dir" -> landing.toString, "checkpoint_dir" -> cp,
-            "max_files_per_trigger" -> mfpt,
-            "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup",
-              "id_col" -> "doc_id"))))
-        def runC(mfpt: Int): Unit = StreamingTableMat.run(MatContext(a,
-          Node(uniqueId = s"model.bench.${rel.identifier}",
-            name = rel.identifier, packageName = "bench",
-            kind = NodeKind.Model, config = cfgC(mfpt)),
-          rel, () => spark.range(0)
-            .selectExpr("id AS doc_id", "'x' AS text")))
-        landFile("corpus", textGen(n, 0L, 11 + m))
-        val build = timed(runC(100))
+        landPart(landing, "corpus", textGen(n, 0L, 11 + m))
+        val build = timed(runCurate(a, rel, landing, cp, 100))
         (0 until 3).foreach(i =>
-          landFile(s"b$i", textGen(batchN, 10000000L * (i + 1), 99 + i)))
-        val drain = timed(runC(1))
+          landPart(landing, s"b$i", textGen(batchN, 10000000L * (i + 1), 99 + i)))
+        val drain = timed(runCurate(a, rel, landing, cp, 1))
         System.err.println(
           f"[growth] durable_curate ${m}x: corpus=$n%7d build=$build%7.2fs " +
             f"drain(3x$batchN)=$drain%6.2fs per_batch=${drain / 3}%5.2fs")
@@ -356,43 +368,22 @@ object BenchGrowth {
       val landing = Files.createTempDirectory("graft_growth_curd_land")
       val cp = Files.createTempDirectory("graft_growth_curd_cp")
         .resolve("cp").toString
-      def landFile(name: String, df: DataFrame): Unit = {
-        val tmp = Files.createTempDirectory("graft_growth_curd_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        java.nio.file.Files.move(part.toPath,
-          landing.resolve(s"$name.parquet"))
-      }
       val perFile = math.max(100, batchN / 4)
-      def cfgD(mfpt: Int, maxB: Option[Int]) = NodeConfig(
-        materialized = "streaming_table",
-        uniqueKey = Seq("doc_id"),
-        extra = Map[String, Any]("stream_op" -> "curate",
-          "landing_dir" -> landing.toString, "checkpoint_dir" -> cp,
-          "max_files_per_trigger" -> mfpt,
-          // threshold chosen to force ~2 mid-drain compactions over the
-          // 24 seals (accrual ≈ touched-buckets per seal, ≤ B ≈ 16 at
-          // 500-key batches) — the row must cross the boundary it
-          // fences; the default (16 seals' accrual) would compact less
-          // often by design
-          "key_index_compact_files" -> 200,
-          "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup",
-            "id_col" -> "doc_id"))) ++
-          maxB.map(n => "max_batches_per_run" -> (n: Any)).toMap)
-      def runD(mfpt: Int, maxB: Option[Int] = None): Unit =
-        StreamingTableMat.run(MatContext(a,
-          Node(uniqueId = s"model.bench.${rel.identifier}",
-            name = rel.identifier, packageName = "bench",
-            kind = NodeKind.Model, config = cfgD(mfpt, maxB)),
-          rel, () => spark.range(0)
-            .selectExpr("id AS doc_id", "'x' AS text")))
-      landFile("corpus", textGen(base, 0L, 23))
-      val build = timed(runD(100))
+      // key_index_compact_files 200: threshold chosen to force ~2
+      // mid-drain compactions over the 24 seals (accrual ≈
+      // touched-buckets per seal, ≤ B ≈ 16 at 500-key batches) — the
+      // row must cross the boundary it fences; the default (16 seals'
+      // accrual) would compact less often by design
+      landPart(landing, "corpus", textGen(base, 0L, 23))
+      val build = timed(runCurate(a, rel, landing, cp, 100,
+        "key_index_compact_files" -> 200))
       (0 until 24).foreach(i =>
-        landFile(f"d$i%02d", textGen(perFile, 20000000L + i * 100000L, 301 + i)))
-      val thirds = (0 until 3).map { t =>
-        timed(runD(1, Some(8))) / 8
+        landPart(landing, f"d$i%02d",
+          textGen(perFile, 20000000L + i * 100000L, 301 + i)))
+      val thirds = (0 until 3).map { _ =>
+        timed(runCurate(a, rel, landing, cp, 1,
+          "key_index_compact_files" -> 200,
+          "max_batches_per_run" -> 8)) / 8
       }
       val ratio = thirds(2) / thirds(1)
       System.err.println(
@@ -426,40 +417,20 @@ object BenchGrowth {
       val landing = Files.createTempDirectory("graft_growth_curtc_land")
       val cp = Files.createTempDirectory("graft_growth_curtc_cp")
         .resolve("cp").toString
-      def landFile(name: String, df: DataFrame): Unit = {
-        val tmp = Files.createTempDirectory("graft_growth_curtc_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        java.nio.file.Files.move(part.toPath,
-          landing.resolve(s"$name.parquet"))
-      }
       val perFile = math.max(100, batchN / 4)
-      def cfgT(mfpt: Int, maxB: Option[Int]) = NodeConfig(
-        materialized = "streaming_table",
-        uniqueKey = Seq("doc_id"),
-        extra = Map[String, Any]("stream_op" -> "curate",
-          "landing_dir" -> landing.toString, "checkpoint_dir" -> cp,
-          "max_files_per_trigger" -> mfpt,
-          // ~1 appended file per batch → compactions near batches 10
-          // and 20: one in the 2nd third, one in the 3rd — the ratio
-          // compares thirds of EQUAL compaction load
-          "target_compact_files" -> 10,
-          "steps" -> Vector(Map[String, Any]("op" -> "exact_dedup",
-            "id_col" -> "doc_id"))) ++
-          maxB.map(n => "max_batches_per_run" -> (n: Any)).toMap)
-      def runT(mfpt: Int, maxB: Option[Int] = None): Unit =
-        StreamingTableMat.run(MatContext(a,
-          Node(uniqueId = s"model.bench.${rel.identifier}",
-            name = rel.identifier, packageName = "bench",
-            kind = NodeKind.Model, config = cfgT(mfpt, maxB)),
-          rel, () => spark.range(0)
-            .selectExpr("id AS doc_id", "'x' AS text")))
-      landFile("corpus", textGen(base, 0L, 29))
-      val build = timed(runT(100))
+      // target_compact_files 10 at ~1 appended file per batch →
+      // compactions near batches 10 and 20: one in the 2nd third, one
+      // in the 3rd — the ratio compares thirds of EQUAL compaction load
+      landPart(landing, "corpus", textGen(base, 0L, 29))
+      val build = timed(runCurate(a, rel, landing, cp, 100,
+        "target_compact_files" -> 10))
       (0 until 24).foreach(i =>
-        landFile(f"t$i%02d", textGen(perFile, 40000000L + i * 100000L, 601 + i)))
-      val thirds = (0 until 3).map { _ => timed(runT(1, Some(8))) / 8 }
+        landPart(landing, f"t$i%02d",
+          textGen(perFile, 40000000L + i * 100000L, 601 + i)))
+      val thirds = (0 until 3).map { _ =>
+        timed(runCurate(a, rel, landing, cp, 1,
+          "target_compact_files" -> 10, "max_batches_per_run" -> 8)) / 8
+      }
       val ratio = thirds(2) / thirds(1)
       val files = a.read(rel).inputFiles.length
       System.err.println(

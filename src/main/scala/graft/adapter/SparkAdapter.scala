@@ -344,22 +344,42 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
 
   /** Table compaction — the small-files maintenance op (Delta OPTIMIZE /
     * Iceberg rewrite_data_files on plain parquet): rewrite each partition
-    * into ~ceil(rows/rowsPerFile) files via the atomic swap (or dynamic
-    * partition overwrite per partition for partitioned tables). Incremental
-    * appends and streaming sinks accrete small files; at 100 TB unbounded
-    * file counts dominate scan/listing cost, so compaction is a first-class
-    * maintenance op (exposed to projects via run-operation). Returns
+    * into ~targetFiles files via the atomic swap. Incremental appends and
+    * streaming sinks accrete small files; at 100 TB unbounded file counts
+    * dominate scan/listing cost, so compaction is a first-class
+    * maintenance op (exposed to projects via run-operation and wired into
+    * the durable-curate drain). LAYOUT IS PRESERVED, not an argument the
+    * caller may get wrong: the partition spec and bucket spec come from
+    * the CATALOG (the authoritative record of how the table is laid out —
+    * a forgotten partition_by must not silently rewrite a partitioned
+    * table flat); a caller-supplied `partitionBy` is a cross-check,
+    * refused by name on mismatch. sort_by/zorder_by are write-time-only
+    * layout the catalog cannot recover — callers that know them (the
+    * curate drain knows its model config) pass them through. File counts
+    * are metadata-only (`inputFiles` listing), never a scan. Returns
     * (filesBefore, filesAfter). */
   def compact(rel: Relation, partitionBy: Seq[String] = Nil,
-      targetFiles: Int = 1): (Long, Long) = {
-    import org.apache.spark.sql.functions.input_file_name
-    def fileCount: Long =
-      read(rel).select(input_file_name()).distinct().count()
+      targetFiles: Int = 1, sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil, layoutCurve: String = "morton")
+      : (Long, Long) = {
+    val meta = tableMeta(rel).getOrElse(throw new IllegalArgumentException(
+      s"compact: ${rel.fqn} is not a catalog table"))
+    val catalogParts = meta.partitionColumnNames
+    if (partitionBy.nonEmpty && partitionBy != catalogParts)
+      throw new IllegalArgumentException(
+        s"compact: ${rel.fqn} is partitioned by " +
+          s"[${catalogParts.mkString(", ")}] but the call named " +
+          s"[${partitionBy.mkString(", ")}] — compaction preserves " +
+          "layout, it never changes it; drop the argument (the catalog " +
+          "is authoritative) or fix it")
+    val parts = catalogParts
+    val bucketSpec = meta.bucketSpec
+    def fileCount: Long = read(rel).inputFiles.length.toLong
     val before = fileCount
     val df = read(rel)
     import org.apache.spark.sql.functions.{col, rand}
     val compacted =
-      if (partitionBy.nonEmpty) {
+      if (parts.nonEmpty) {
         // repartition by (partition cols, salt): each partition-value's
         // rows spread over ~targetFiles tasks → ~targetFiles files per
         // partition, and the rewrite parallelizes across partitions
@@ -367,11 +387,14 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         // partition-value through a single task)
         val salted = df.withColumn("__graft_compact_salt",
           (rand(42) * targetFiles).cast("int"))
-        salted.repartition((partitionBy.map(c => col(s"`$c`")) :+
+        salted.repartition((parts.map(c => col(s"`$c`")) :+
           col("__graft_compact_salt")): _*)
           .drop("__graft_compact_salt")
       } else df.repartition(targetFiles)
-    writeTableAtomic(compacted, rel, partitionBy)
+    writeTableAtomic(compacted, rel, parts, sortBy = sortBy,
+      clusteredBy = bucketSpec.map(_.bucketColumnNames).getOrElse(Nil),
+      buckets = bucketSpec.map(_.numBuckets).getOrElse(0),
+      zorderBy = zorderBy, layoutCurve = layoutCurve)
     (before, fileCount)
   }
 

@@ -2796,15 +2796,31 @@ object StreamingTableMat extends Materialization {
     // how small to compact TO: files per partition value (partitioned
     // targets) or total files (unpartitioned); the default leaves ~7/8
     // of the threshold as headroom before the next rewrite
-    val targetCompactTo = cfg.get("target_compact_to")
+    val targetCompactToCfg = cfg.get("target_compact_to")
       .map(v => String.valueOf(v).toInt)
-      .getOrElse(
-        if (ctx.config.partitionBy.nonEmpty) 1
-        else math.max(1, targetCompactCfg.getOrElse(8) / 8))
+    if (targetCompactToCfg.isDefined && targetCompactCfg.isEmpty)
+      throw new IllegalArgumentException(
+        "stream_op: curate `target_compact_to:` is set but " +
+          "`target_compact_files:` is not — the sizing has no threshold " +
+          "to act on and would be silently inert")
+    val targetCompactTo = targetCompactToCfg.getOrElse(
+      if (ctx.config.partitionBy.nonEmpty) 1
+      else math.max(1, targetCompactCfg.getOrElse(8) / 8))
     if (targetCompactTo < 1)
       throw new IllegalArgumentException(
         s"stream_op: curate `target_compact_to:` must be >= 1, got " +
           s"$targetCompactTo")
+    // a compaction that cannot land under the threshold degenerates to
+    // a full target rewrite EVERY batch — refuse the provably-wrong
+    // shape up front (partitioned targets multiply `to` by a partition
+    // count only the runtime knows; the post-compaction count check in
+    // the drain is the backstop for that case)
+    targetCompactCfg.filter(_ <= targetCompactTo).foreach(thr =>
+      throw new IllegalArgumentException(
+        s"stream_op: curate `target_compact_to: $targetCompactTo` >= " +
+          s"`target_compact_files: $thr` — every compaction would land " +
+          "at-or-above the threshold and the drain would rewrite the " +
+          "full target every micro-batch"))
     // fail loud, never ignore: the config only takes effect on the
     // key-index guard path, so accepting it elsewhere would let an
     // operator believe a drain is compacting when it never does
@@ -2823,6 +2839,33 @@ object StreamingTableMat extends Materialization {
     if (landingDir.isDefined && keyGuard.nonEmpty && et.isEmpty) {
       CurateKeyIndex.checkParams(keyIdx)
       CurateKeyIndex.compactIfNeeded(keyIdx, compactAt)
+    }
+    // a checkpoint with COMMITTED batches whose target relation is GONE
+    // must refuse, never resume: the resumed drain would treat the first
+    // uncommitted file as the FULL BUILD and report success while every
+    // previously drained row is lost. Reachable via a crash inside the
+    // target compaction's staged swap (the rows survive as
+    // `<identifier>__dbt_tmp`/`__dbt_backup` — restore one) or a manual
+    // DROP; `--full-refresh` (which deletes the checkpoint and replays
+    // the whole landing history) is the from-scratch recovery.
+    if (landingDir.isDefined && !ctx.adapter.relationExists(ctx.target)) {
+      val commitsPath =
+        new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+      val cfs = commitsPath.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val hasCommits = cfs.exists(commitsPath) &&
+        cfs.listStatus(commitsPath).exists(st =>
+          st.isFile && !st.getPath.getName.startsWith("."))
+      if (hasCommits)
+        throw new IllegalStateException(
+          s"stream_op: curate checkpoint $checkpoint records committed " +
+            s"micro-batches but the target ${ctx.target.fqn} does not " +
+            "exist — resuming would rebuild from only the uncommitted " +
+            "files and silently lose every previously drained row. " +
+            "Restore the target (a crash during target compaction " +
+            s"leaves the rows as ${ctx.target.identifier}__dbt_tmp or " +
+            s"${ctx.target.identifier}__dbt_backup), or rebuild from " +
+            "the full landing history with --full-refresh")
     }
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -2916,13 +2959,29 @@ object StreamingTableMat extends Materialization {
                 targetCompactCfg.foreach { thr =>
                   val n = targetDf.inputFiles.length
                   if (n > thr) {
+                    // partition/bucket specs derive from the catalog
+                    // inside compact; sort/zorder are write-time layout
+                    // only the config knows — pass them through so the
+                    // rewrite preserves the model's declared layout
                     val (before, after) = ctx.adapter.compact(ctx.target,
-                      ctx.config.partitionBy, targetCompactTo)
+                      targetFiles = targetCompactTo,
+                      sortBy = ctx.config.sortBy,
+                      zorderBy = ctx.config.zorderBy,
+                      layoutCurve = ctx.config.layoutCurve)
                     System.err.println(
                       s"[graft] curate target compaction at batch " +
                         s"$batches: $before -> $after files " +
                         s"(threshold $thr); key index reset for " +
                         "re-derive over the rewritten file set")
+                    if (after > thr)
+                      throw new IllegalStateException(
+                        "stream_op: curate target compaction landed at " +
+                          s"$after files, still above target_compact_" +
+                          s"files: $thr — the next batch would rewrite " +
+                          "the full target again, every batch. Raise " +
+                          "target_compact_files above the compacted " +
+                          "floor (partitioned targets: at least the " +
+                          "partition count × target_compact_to)")
                     CurateKeyIndex.reset(keyIdx)
                     targetDf = ctx.adapter.read(ctx.target)
                   }
@@ -3029,6 +3088,38 @@ object StreamingTableMat extends Materialization {
       try Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         .trim).filter(_.nonEmpty)
       catch { case _: Throwable => None }
+    machineIdRead(read)
+  }
+
+  /** The scope within which a pid NUMBER is meaningful liveness
+    * evidence: boot id (random per boot — distinct across cloned VMs
+    * whose images bake one machine-id, the classic misconfig) plus the
+    * pid-namespace id (distinct across containers on one host, whose
+    * shared kernel gives them one boot id but separate pid tables — a
+    * sibling container would otherwise read a LIVE holder's pid as
+    * absent and break its lock). Self-heal fires only when machine-id
+    * AND this scope both match: same machine, same boot, same pid
+    * namespace — exactly where `ProcessHandle.of(pid)` is
+    * authoritative. The cost: a containerized scheduler that launches
+    * each run in a FRESH container never self-heals (new namespace) —
+    * it refuses with the manual-clearing guidance instead, which is the
+    * safe direction (its pid check was never meaningful there). Both
+    * reads empty on non-Linux → the gate degrades to machine-id
+    * equality, correct where namespaces don't exist. */
+  private[graft] lazy val livenessScope: String = {
+    def read(p: String): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8").trim
+      catch { case _: Throwable => "" }
+    val ns =
+      try java.nio.file.Files.readSymbolicLink(
+        java.nio.file.Paths.get("/proc/self/ns/pid")).toString
+      catch { case _: Throwable => "" }
+    read("/proc/sys/kernel/random/boot_id") + "#" + ns
+  }
+
+  private def machineIdRead(
+      read: java.nio.file.Path => Option[String]): String = {
     read(java.nio.file.Paths.get("/etc/machine-id")).getOrElse {
       val p = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_machine_id")
@@ -3062,16 +3153,19 @@ object StreamingTableMat extends Materialization {
     * at the target.
     *
     * SELF-HEALING for the kill -9 case: the lock content records
-    * pid/host/machine-id, so when the holder is THIS MACHINE
-    * ([[machineId]] equality — hostname alone is not identity;
+    * pid/host/machine-id/liveness-scope, so when the holder is THIS
+    * MACHINE ([[machineId]] equality — hostname alone is not identity;
     * containers commonly collide on generic hostnames across machines)
-    * and `ProcessHandle` proves the pid dead, the stale lock is broken
-    * and re-claimed without human intervention (a scheduled deployment
-    * whose run crashed must not stay wedged until someone deletes a
-    * file). A live holder, a cross-machine holder (no liveness oracle
-    * from here), unreadable lock content, or a lock with no recorded
-    * machine id still refuses by name — breaking on a guess would
-    * reintroduce the double-append the lock exists to prevent. */
+    * in THIS boot + pid namespace ([[livenessScope]] — where a pid
+    * check is actually authoritative) and `ProcessHandle` proves the
+    * pid dead, the stale lock is broken and re-claimed without human
+    * intervention (a host-scheduled deployment whose run crashed must
+    * not stay wedged until someone deletes a file). A live holder, a
+    * cross-machine/cross-boot/cross-namespace holder (no liveness
+    * oracle from here), unreadable lock content, or a lock with no
+    * recorded machine id/scope still refuses by name — breaking on a
+    * guess would reintroduce the double-append the lock exists to
+    * prevent. */
   private def acquireCurateLock(spark: SparkSession, checkpoint: String)
       : Unit = {
     val lp = curateLockPath(checkpoint)
@@ -3095,14 +3189,21 @@ object StreamingTableMat extends Materialization {
         .map(_.group(1).toLong)
       val mid = """"machine":"([^"]*)"""".r.findFirstMatchIn(holder)
         .map(_.group(1))
+      val scope = """"scope":"([^"]*)"""".r.findFirstMatchIn(holder)
+        .map(_.group(1))
       // same MACHINE (machine-id, not hostname — containers/pods
       // commonly collide on generic hostnames across machines, and a
       // hostname-gated break would kill a LIVE cross-machine holder
-      // whenever its pid number is absent here) AND the pid provably
-      // absent; a recycled pid reads as alive and refuses, and a lock
-      // with no recorded machine id (a pre-r18 writer) also refuses —
-      // both the safe direction
+      // whenever its pid number is absent here), same LIVENESS SCOPE
+      // (boot id + pid namespace: cloned-image VMs share a baked
+      // machine-id across distinct machines, and sibling containers on
+      // one host share machine-id + boot but not pid tables — in both,
+      // "pid absent here" says nothing about the holder), AND the pid
+      // provably absent. A recycled pid reads as alive and refuses; a
+      // lock with no recorded machine/scope (a pre-r18 writer) also
+      // refuses — all the safe direction.
       pid.isDefined && mid.contains(machineId) &&
+        scope.contains(livenessScope) &&
         !ProcessHandle.of(pid.get).isPresent
     }
     val out = tryCreate().orElse {
@@ -3143,14 +3244,15 @@ object StreamingTableMat extends Materialization {
           "committed-files log and double-append at the target. Wait " +
           "for that run to finish, or delete the lock file after " +
           "confirming its process is dead (a kill -9 on ANOTHER " +
-          "machine leaves it behind; a same-machine dead holder is " +
-          "reclaimed automatically). A lock whose content is garbage " +
+          "machine leaves it behind; a dead holder from this machine, " +
+          "boot, and pid namespace is reclaimed automatically). A " +
+          "lock whose content is garbage " +
           "or far older than your drain cadence has no live holder — " +
           "safe to delete by hand")
     }
     val info = s"""{"pid":${ProcessHandle.current().pid()},""" +
       s""""host":"${java.net.InetAddress.getLocalHost.getHostName}",""" +
-      s""""machine":"$machineId",""" +
+      s""""machine":"$machineId","scope":"$livenessScope",""" +
       s""""started_epoch_ms":${System.currentTimeMillis()}}"""
     try out.write(info.getBytes("UTF-8")) finally out.close()
     // read-back verify: on stores where create(overwrite=false) is

@@ -541,10 +541,13 @@ class CurateRestartSpec extends AnyFunSuite {
         System.currentTimeMillis() < deadline) Thread.sleep(20)
     assert(!ProcessHandle.of(deadPid).isPresent, "spawned pid never died")
     val machine = graft.mat.StreamingTableMat.machineId
-    def writeLock(pid: Long, mid: Option[String] = Some(machine)): Unit = {
+    val scope = graft.mat.StreamingTableMat.livenessScope
+    def writeLock(pid: Long, mid: Option[String] = Some(machine),
+        scp: Option[String] = Some(scope)): Unit = {
       val w = new java.io.FileWriter(s"$cp.lock")
       try w.write(s"""{"pid":$pid,"host":"$host"""" +
         mid.map(m => s""","machine":"$m"""").getOrElse("") +
+        scp.map(s => s""","scope":"$s"""").getOrElse("") +
         ""","started_epoch_ms":1}""")
       finally w.close()
     }
@@ -575,10 +578,18 @@ class CurateRestartSpec extends AnyFunSuite {
     val ef = intercept[IllegalStateException](
       run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
     assert(ef.getMessage.contains("another invocation"), ef.getMessage)
+    // the cloned-image / sibling-container forgery: same machine-id
+    // but a DIFFERENT liveness scope (other boot, or other pid
+    // namespace) — the local pid check says nothing about that holder,
+    // so it must refuse even with the pid dead here
+    writeLock(deadPid, scp = Some("other-boot#pid:[999]"))
+    val es = intercept[IllegalStateException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+    assert(es.getMessage.contains("another invocation"), es.getMessage)
     // a legacy lock with NO machine id also refuses (pre-r18 writer:
     // no identity to verify → never break on a guess); the message
     // carries the staleness guidance for clearing it by hand
-    writeLock(deadPid, mid = None)
+    writeLock(deadPid, mid = None, scp = None)
     val e2 = intercept[IllegalStateException](
       run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
     assert(e2.getMessage.contains("another invocation"), e2.getMessage)
@@ -855,6 +866,33 @@ class CurateRestartSpec extends AnyFunSuite {
         .copy(eventTime = Some("ts"))))
     assert(badEt.getMessage.contains("event_time"), badEt.getMessage)
     assert(badEt.getMessage.contains("run-operation"), badEt.getMessage)
+  }
+
+  test("a checkpoint with COMMITTED batches whose target is GONE " +
+      "refuses to resume — a resumed drain would full-build from the " +
+      "first uncommitted file and silently lose every drained row") {
+    val a = freshAdapter("g_curate_lost")
+    val rel = Relation("g_curate_lost", "cur")
+    val landing = Files.createTempDirectory("graft_landing_lost")
+    val cp = Files.createTempDirectory("graft_cp_lost").resolve("cp").toString
+    land(landing, "f1", Seq((1L, t1)))
+    land(landing, "f2", Seq((3L, t2)))
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel) == Set(1L, 3L))
+    // the crash-inside-target-compaction shape (or a manual DROP):
+    // committed history in the checkpoint, no target relation
+    a.dropRelation(rel)
+    land(landing, "f3", Seq((11L, t3)))
+    val e = intercept[IllegalStateException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+    assert(e.getMessage.contains("committed micro-batches"), e.getMessage)
+    assert(e.getMessage.contains("__dbt_backup"), e.getMessage)
+    assert(e.getMessage.contains("--full-refresh"), e.getMessage)
+    // --full-refresh IS the from-scratch recovery: checkpoint deleted,
+    // whole landing history replayed
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp),
+      fullRefresh = true)
+    assert(ids(a, rel) == Set(1L, 3L, 11L))
   }
 
   test("a subdirectory created MID-drain fails by name before the next " +

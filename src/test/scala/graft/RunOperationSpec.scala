@@ -166,9 +166,11 @@ class RunOperationSpec extends AnyFunSuite {
     val rowsBefore = snap()
     val filesBefore = spark.table(s"`$schema`.acc").inputFiles.length
     assert(filesBefore >= 6, s"expected accreted small files: $filesBefore")
+    // NO partition_by argument: the partition spec derives from the
+    // catalog — a maintenance op must not depend on the caller
+    // restating layout it could get wrong
     val out = r.runOperation("compact_table", Map(
-      "schema_name" -> schema, "table_name" -> "acc",
-      "parts" -> Vector("grp"))).trim
+      "schema_name" -> schema, "table_name" -> "acc")).trim
     val Array(b, a) = out.split("->").map(_.trim.toLong)
     assert(b == filesBefore, s"macro reported $out")
     assert(a < b, s"compaction must reduce the file count: $out")
@@ -178,6 +180,12 @@ class RunOperationSpec extends AnyFunSuite {
     // row identity + the partition column survives the rewrite
     assert(snap().toSeq == rowsBefore.toSeq)
     assert(spark.sql(s"SHOW PARTITIONS `$schema`.acc").count() == 2)
+    // a partition_by that CONTRADICTS the catalog refuses by name —
+    // compaction preserves layout, it never changes it
+    val e = intercept[Exception](r.runOperation("compact_table", Map(
+      "schema_name" -> schema, "table_name" -> "acc",
+      "parts" -> Vector("id"))))
+    assert(e.getMessage.contains("preserves"), e.getMessage)
   }
 
   test("show --inline compiles ad-hoc Jinja-SQL with macros in scope") {
