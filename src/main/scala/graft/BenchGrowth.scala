@@ -123,6 +123,14 @@ object BenchGrowth {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // locale-safe fixed-point for the machine-parsed JSON line: the f
+    // interpolator formats %f with the JVM DEFAULT locale (de_DE
+    // renders decimal COMMAS, corrupting the array arities); round +
+    // Double.toString is locale-independent. stderr progress lines keep
+    // %f — they are for humans.
+    def j2(x: Double): String = (math.round(x * 100) / 100.0).toString
+    def j1(x: Double): String = (math.round(x * 10) / 10.0).toString
+
     // family name → (steps, corpus generator, batch generator)
     type Gen = (Int, Long, Int) => DataFrame
     val textGen: Gen = (n, s, seed) => texts(n, s, seed).toDF("doc_id", "text")
@@ -185,9 +193,9 @@ object BenchGrowth {
         (build, batch)
       }
       val Seq((b1, t1), (bM, tM)) = times
-      out(fam) = f"""{"build_1x":$b1%.2f,"batch_1x":$t1%.2f,""" +
-        f""""build_${mult}x":$bM%.2f,"batch_${mult}x":$tM%.2f,""" +
-        f""""batch_ratio":${tM / t1}%.2f}"""
+      out(fam) = s"""{"build_1x":${j2(b1)},"batch_1x":${j2(t1)},""" +
+        s""""build_${mult}x":${j2(bM)},"batch_${mult}x":${j2(tM)},""" +
+        s""""batch_ratio":${j2(tM / t1)}}"""
     }
     // ---- windowed (microbatch × incremental pipeline) row ----------------
     // The composed window loop adds two costs the per-family batch rows
@@ -267,10 +275,10 @@ object BenchGrowth {
       val Seq((b1, w1), (bM, wM)) = wTimes
       val ratios = w1.zip(wM).map { case (a1, aM) => aM / a1 }
       out("windowed_minhash") =
-        f"""{"build_1x":$b1%.2f,"build_${mult}x":$bM%.2f,""" +
-          s""""windows_1x":[${w1.map(s => f"$s%.2f").mkString(",")}],""" +
-          s""""windows_${mult}x":[${wM.map(s => f"$s%.2f").mkString(",")}],""" +
-          s""""window_ratios":[${ratios.map(r => f"$r%.2f").mkString(",")}]}"""
+        s"""{"build_1x":${j2(b1)},"build_${mult}x":${j2(bM)},""" +
+          s""""windows_1x":[${w1.map(j2).mkString(",")}],""" +
+          s""""windows_${mult}x":[${wM.map(j2).mkString(",")}],""" +
+          s""""window_ratios":[${ratios.map(j2).mkString(",")}]}"""
     }
 
     // ---- shared durable-curate scaffolding -------------------------------
@@ -342,9 +350,9 @@ object BenchGrowth {
       }
       val Seq((cb1, cp1), (cbM, cpM)) = cTimes
       out("durable_curate") =
-        f"""{"build_1x":$cb1%.2f,"per_batch_1x":$cp1%.2f,""" +
-          f""""build_${mult}x":$cbM%.2f,"per_batch_${mult}x":$cpM%.2f,""" +
-          f""""batch_ratio":${cpM / cp1}%.2f}"""
+        s"""{"build_1x":${j2(cb1)},"per_batch_1x":${j2(cp1)},""" +
+          s""""build_${mult}x":${j2(cbM)},"per_batch_${mult}x":${j2(cpM)},""" +
+          s""""batch_ratio":${j2(cpM / cp1)}}"""
     }
 
     // ---- durable-curate DRAIN-LENGTH row ---------------------------------
@@ -392,9 +400,9 @@ object BenchGrowth {
           f" ratio(3rd/2nd)=$ratio%.2f")
       spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
       out("durable_curate_drain") =
-        f"""{"build":$build%.2f,"per_batch_thirds":[${thirds
-          .map(s => f"$s%.2f").mkString(",")}],""" +
-          f""""drain_ratio":$ratio%.2f}"""
+        s"""{"build":${j2(build)},"per_batch_thirds":[${thirds
+          .map(j2).mkString(",")}],""" +
+          s""""drain_ratio":${j2(ratio)}}"""
     }
 
     // ---- durable-curate TARGET-compaction row ----------------------------
@@ -440,9 +448,9 @@ object BenchGrowth {
           f" ratio(3rd/2nd)=$ratio%.2f target_files=$files")
       spark.sql(s"DROP DATABASE IF EXISTS `$schema` CASCADE")
       out("durable_curate_target_compact") =
-        f"""{"build":$build%.2f,"per_batch_thirds":[${thirds
-          .map(s => f"$s%.2f").mkString(",")}],""" +
-          f""""drain_ratio":$ratio%.2f,"target_files":$files}"""
+        s"""{"build":${j2(build)},"per_batch_thirds":[${thirds
+          .map(j2).mkString(",")}],""" +
+          s""""drain_ratio":${j2(ratio)},"target_files":$files}"""
     }
 
     // ---- media payload-size throughput row ------------------------------
@@ -497,9 +505,9 @@ object BenchGrowth {
       }
       val Seq((_, s1, t1), (_, s2, t2)) = mTimes
       out("media_payload") =
-        f"""{"sec_100kb":$s1%.2f,"mb_per_s_100kb":$t1%.1f,""" +
-          f""""sec_1mb":$s2%.2f,"mb_per_s_1mb":$t2%.1f,""" +
-          f""""per_mb_ratio":${t1 / t2}%.2f}"""
+        s"""{"sec_100kb":${j2(s1)},"mb_per_s_100kb":${j1(t1)},""" +
+          s""""sec_1mb":${j2(s2)},"mb_per_s_1mb":${j1(t2)},""" +
+          s""""per_mb_ratio":${j2(t1 / t2)}}"""
     }
 
     val fams = out.map { case (k, v) => "\"" + k + "\":" + v }

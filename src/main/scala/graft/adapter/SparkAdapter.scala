@@ -365,7 +365,11 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     val meta = tableMeta(rel).getOrElse(throw new IllegalArgumentException(
       s"compact: ${rel.fqn} is not a catalog table"))
     val catalogParts = meta.partitionColumnNames
-    if (partitionBy.nonEmpty && partitionBy != catalogParts)
+    // case-insensitive cross-check, like every column resolution on the
+    // analysis path — a case variant Spark itself would resolve must
+    // not read as a layout mismatch
+    if (partitionBy.nonEmpty &&
+        partitionBy.map(_.toLowerCase) != catalogParts.map(_.toLowerCase))
       throw new IllegalArgumentException(
         s"compact: ${rel.fqn} is partitioned by " +
           s"[${catalogParts.mkString(", ")}] but the call named " +
@@ -378,8 +382,52 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     val before = fileCount
     val df = read(rel)
     import org.apache.spark.sql.functions.{col, rand}
+    def cols(names: Seq[String]) = names.map(c => col(s"`$c`"))
+    // The partitioning of `compacted` IS the file-count contract:
+    // writeTableAtomic must receive it pre-shaped and add no shuffle of
+    // its own (sort/zorder are therefore applied HERE with an explicit
+    // task count, never forwarded — its sortBy branch re-shuffles at
+    // spark.sql.shuffle.partitions, which would un-compact the write).
+    val totalFiles = (math.max(1, targetFiles).toLong *
+      (if (parts.isEmpty) 1L else math.max(1L, partitionCount(rel))))
+      .min(Int.MaxValue.toLong).toInt
     val compacted =
-      if (parts.nonEmpty) {
+      if (bucketSpec.isDefined) {
+        // bucketed layout: one task per bucket → bucketBy writes exactly
+        // one file per bucket (per partition value); targetFiles is
+        // moot — the bucket count IS the file-count contract. A plain
+        // repartition(n) here would write ~n files PER BUCKET. The read
+        // goes through the RAW data files, not the catalog relation: a
+        // catalog read of a bucketed table lets the planner judge the
+        // bucket-aligning repartition redundant and ELIDE it (measured:
+        // the write then fans out per scan-task per bucket — 7 files
+        // from a 4-bucket table), while the raw read carries no
+        // partitioning claim, so the exchange survives. basePath keeps
+        // partition-directory columns for partitioned+bucketed tables
+        // (the key-index seal's own technique).
+        val bs = bucketSpec.get
+        val fmt = meta.provider.map(_.toLowerCase)
+          .filter(Set("parquet", "orc", "json", "csv")).getOrElse("parquet")
+        val rawReader = spark.read.schema(df.schema).format(fmt)
+        val raw = scala.util.Try(meta.location.toString).toOption
+          .foldLeft(rawReader)((r, bp) => r.option("basePath", bp))
+          .load(df.inputFiles.toIndexedSeq: _*)
+        raw.repartition(bs.numBuckets, cols(bs.bucketColumnNames): _*)
+      } else if (zorderBy.nonEmpty) {
+        // the curve layout range-shuffles internally; coalesce merges
+        // ADJACENT sorted ranges without a shuffle, so files stay
+        // disjoint curve spans at the compacted count
+        (if (layoutCurve == "hilbert")
+           graft.ops.Zorder.layoutHilbert(df, zorderBy)
+         else graft.ops.Zorder.layout(df, zorderBy)).coalesce(totalFiles)
+      } else if (sortBy.nonEmpty) {
+        // clustering layout at the compacted task count: range-partition
+        // on (partition cols, sort keys) so each partition value's rows
+        // cluster into ~targetFiles contiguous sorted ranges
+        val keys = cols(parts ++ sortBy)
+        df.repartitionByRange(totalFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      } else if (parts.nonEmpty) {
         // repartition by (partition cols, salt): each partition-value's
         // rows spread over ~targetFiles tasks → ~targetFiles files per
         // partition, and the rewrite parallelizes across partitions
@@ -387,14 +435,13 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         // partition-value through a single task)
         val salted = df.withColumn("__graft_compact_salt",
           (rand(42) * targetFiles).cast("int"))
-        salted.repartition((parts.map(c => col(s"`$c`")) :+
+        salted.repartition((cols(parts) :+
           col("__graft_compact_salt")): _*)
           .drop("__graft_compact_salt")
       } else df.repartition(targetFiles)
-    writeTableAtomic(compacted, rel, parts, sortBy = sortBy,
+    writeTableAtomic(compacted, rel, parts,
       clusteredBy = bucketSpec.map(_.bucketColumnNames).getOrElse(Nil),
-      buckets = bucketSpec.map(_.numBuckets).getOrElse(0),
-      zorderBy = zorderBy, layoutCurve = layoutCurve)
+      buckets = bucketSpec.map(_.numBuckets).getOrElse(0))
     (before, fileCount)
   }
 
@@ -564,6 +611,13 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     InteractionLog.log(spark, "drop_partition", s"${rel.fqn} ($specSql)")
     spark.sql(s"ALTER TABLE ${rel.fqn} DROP IF EXISTS PARTITION ($specSql)")
   }
+
+  /** Partition-value count from the catalog (metadata only, no file
+    * listing); 0 for unpartitioned or non-catalog relations. */
+  def partitionCount(rel: Relation): Long =
+    scala.util.Try(spark.sessionState.catalog.listPartitionNames(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        rel.identifier, Some(rel.schema))).size.toLong).getOrElse(0L)
 
   private def tableMeta(rel: Relation) =
     scala.util.Try(spark.sessionState.catalog.getTableMetadata(

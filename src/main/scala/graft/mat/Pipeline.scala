@@ -2865,7 +2865,9 @@ object StreamingTableMat extends Materialization {
             "Restore the target (a crash during target compaction " +
             s"leaves the rows as ${ctx.target.identifier}__dbt_tmp or " +
             s"${ctx.target.identifier}__dbt_backup), or rebuild from " +
-            "the full landing history with --full-refresh")
+            "the full landing history with --full-refresh. (If every " +
+            "committed batch was EMPTY — zero-row landed files — no " +
+            "rows ever existed and --full-refresh loses nothing)")
     }
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -2959,6 +2961,23 @@ object StreamingTableMat extends Materialization {
                 targetCompactCfg.foreach { thr =>
                   val n = targetDf.inputFiles.length
                   if (n > thr) {
+                    // refuse BEFORE paying the rewrite when the floor is
+                    // provably unreachable: a partitioned target lands at
+                    // ≥ partitionCount × target_compact_to files, and a
+                    // post-rewrite failure would re-pay a full target
+                    // rewrite on every retry (one catalog call, only on
+                    // the about-to-compact path)
+                    val floor = ctx.config.partitionBy.headOption.map(_ =>
+                      ctx.adapter.partitionCount(ctx.target) *
+                        targetCompactTo.toLong)
+                    floor.filter(_ > thr).foreach(f =>
+                      throw new IllegalStateException(
+                        "stream_op: curate target compaction cannot land " +
+                          s"under target_compact_files: $thr — the target " +
+                          s"has ${f / targetCompactTo} partition values × " +
+                          s"target_compact_to: $targetCompactTo ≥ $f " +
+                          "files. Raise target_compact_files above that " +
+                          "floor"))
                     // partition/bucket specs derive from the catalog
                     // inside compact; sort/zorder are write-time layout
                     // only the config knows — pass them through so the

@@ -147,6 +147,46 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(a.read(rel).orderBy("id").collect().map(_.getLong(0)).toSeq == rows)
   }
 
+  test("compact preserves a SORTED layout at the compacted file count " +
+      "and keeps a BUCKETED table at one file per bucket") {
+    import spark.implicits._
+    val a = freshAdapter("compact_layout")
+    // sorted: the sortBy pass must not fall into writeTableAtomic's
+    // range-shuffle (spark.sql.shuffle.partitions files = un-compacted)
+    val relS = Relation(a.defaultSchema, "t_sorted")
+    val cfgS = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some(IncrementalStrategy.Append))
+    (0 until 5).foreach { i =>
+      run(a, relS, cfgS,
+        Seq((i.toLong, s"v$i"), (i + 100L, s"w$i")).toDF("id", "v"))
+    }
+    val rowsS = a.read(relS).orderBy("id").collect().map(_.getLong(0)).toSeq
+    val (bS, aS) = a.compact(relS, targetFiles = 2, sortBy = Seq("id"))
+    assert(bS >= 5L)
+    assert(aS <= 2L, s"sorted compaction must land at targetFiles: $aS")
+    assert(a.read(relS).orderBy("id").collect().map(_.getLong(0)).toSeq
+      == rowsS)
+    // bucketed: one file per bucket, never targetFiles × buckets
+    val relB = Relation(a.defaultSchema, "t_bucketed")
+    a.writeTableAtomic(
+      (0 until 64).map(i => (i.toLong, s"v$i")).toDF("id", "v"), relB,
+      clusteredBy = Seq("id"), buckets = 4)
+    a.appendToTable(Seq((1000L, "x")).toDF("id", "v"), relB)
+    val rowsB = a.read(relB).count()
+    val (_, aB) = a.compact(relB, targetFiles = 8)
+    assert(aB <= 4L, s"bucketed compaction must land at <= numBuckets: $aB")
+    assert(a.read(relB).count() == rowsB)
+    // the bucket spec survives the rewrite (catalog-derived, not lost)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        relB.identifier, Some(relB.schema))).bucketSpec.exists(
+      _.numBuckets == 4))
+    // a partition_by contradicting the catalog refuses by name
+    val e = intercept[IllegalArgumentException](
+      a.compact(relS, partitionBy = Seq("v")))
+    assert(e.getMessage.contains("preserves layout"), e.getMessage)
+  }
+
   test("merge drops a touched partition whose rows all moved away") {
     import spark.implicits._
     val a = freshAdapter("prune_empty")
