@@ -362,6 +362,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       targetFiles: Int = 1, sortBy: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil, layoutCurve: String = "morton")
       : (Long, Long) = {
+    require(Set("morton", "hilbert")(layoutCurve),
+      s"layout_curve must be morton or hilbert: $layoutCurve")
     val meta = tableMeta(rel).getOrElse(throw new IllegalArgumentException(
       s"compact: ${rel.fqn} is not a catalog table"))
     val catalogParts = meta.partitionColumnNames
@@ -414,12 +416,21 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
           .load(df.inputFiles.toIndexedSeq: _*)
         raw.repartition(bs.numBuckets, cols(bs.bucketColumnNames): _*)
       } else if (zorderBy.nonEmpty) {
-        // the curve layout range-shuffles internally; coalesce merges
-        // ADJACENT sorted ranges without a shuffle, so files stay
-        // disjoint curve spans at the compacted count
-        (if (layoutCurve == "hilbert")
-           graft.ops.Zorder.layoutHilbert(df, zorderBy)
-         else graft.ops.Zorder.layout(df, zorderBy)).coalesce(totalFiles)
+        // curve layout at the compacted task count, PREFIXED by the
+        // partition columns (like the sortBy branch below): the curve
+        // key alone would scatter each partition value across every
+        // task, and the partitioned write would then fan out to
+        // tasks × values files — the compaction would GROW the file
+        // count and trip the post-compaction threshold check after
+        // paying the full rewrite. Range-partitioning on
+        // (partition cols, curve key) clusters each value's rows into
+        // ~targetFiles contiguous curve spans instead.
+        val (withKey, keyCol) =
+          graft.ops.Zorder.withCurveKey(df, zorderBy, layoutCurve)
+        val keys = cols(parts) :+ col(keyCol)
+        withKey.repartitionByRange(totalFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop(keyCol)
       } else if (sortBy.nonEmpty) {
         // clustering layout at the compacted task count: range-partition
         // on (partition cols, sort keys) so each partition value's rows
@@ -441,7 +452,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       } else df.repartition(targetFiles)
     writeTableAtomic(compacted, rel, parts,
       clusteredBy = bucketSpec.map(_.bucketColumnNames).getOrElse(Nil),
-      buckets = bucketSpec.map(_.numBuckets).getOrElse(0))
+      buckets = bucketSpec.map(_.numBuckets).getOrElse(0),
+      bucketSortBy = bucketSpec.map(_.sortColumnNames).getOrElse(Nil))
     (before, fileCount)
   }
 
@@ -455,7 +467,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
       clusteredBy: Seq[String] = Nil, buckets: Int = 0,
       zorderBy: Seq[String] = Nil, layoutCurve: String = "morton",
-      fileFormat: String = "parquet"): Unit = {
+      fileFormat: String = "parquet",
+      bucketSortBy: Seq[String] = Nil): Unit = {
     require(Set("morton", "hilbert")(layoutCurve),
       s"layout_curve must be morton or hilbert: $layoutCurve")
     require(Set("parquet", "orc", "json", "csv")(fileFormat),
@@ -510,7 +523,15 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         if (clusteredBy.nonEmpty && buckets > 0)
           w1.bucketBy(buckets, clusteredBy.head, clusteredBy.tail: _*)
         else w1
-      w2.saveAsTable(target.fqn)
+      // SORTED BY on a bucketed table (per-bucket-file ordering — the
+      // writer sorts inside each bucket): graft never declares it, but
+      // compact meets it on recovered external tables and must carry
+      // it through — layout preservation is the contract
+      val w3 =
+        if (bucketSortBy.nonEmpty && clusteredBy.nonEmpty && buckets > 0)
+          w2.sortBy(bucketSortBy.head, bucketSortBy.tail: _*)
+        else w2
+      w3.saveAsTable(target.fqn)
     }
     if (!relationExists(rel)) {
       // First build: nothing to protect, create in place (same as the

@@ -436,7 +436,9 @@ object DbtContext {
         // appends and streaming sinks accrete small files; at 100 TB
         // unbounded file counts dominate scan/listing cost.
         def usage = JinjaError(
-          "compact(schema, identifier[, partition_by=[...], target_files=N])")
+          "compact(schema, identifier[, partition_by=[...], " +
+            "target_files=N, sort_by=[...], zorder_by=[...], " +
+            "layout_curve='morton'|'hilbert'])")
         val schema = kw.get("schema").map(_.toString)
           .orElse(a.lift(0).map(_.toString)).getOrElse(throw usage)
         val ident = kw.get("identifier").map(_.toString)
@@ -448,8 +450,22 @@ object DbtContext {
         }
         val tf = kw.get("target_files").orElse(a.lift(3))
           .map(_.toString.toInt).getOrElse(1)
+        // write-time-only clustering layout the catalog cannot recover
+        // (partition/bucket specs it CAN — those come from the catalog
+        // inside compact): a sorted or zordered model compacted without
+        // naming its layout would be silently rewritten unclustered,
+        // breaking min/max skipping with no error. Callers pass the
+        // model's own sort_by/zorder_by through.
+        def strList(key: String): Seq[String] = kw.get(key) match {
+          case Some(s: Seq[_]) => s.map(_.toString)
+          case Some(other) => Seq(other.toString)
+          case None => Nil
+        }
         val (before, after) = adapter.compact(
-          graft.core.Relation(schema, ident), parts, tf)
+          graft.core.Relation(schema, ident), parts, tf,
+          sortBy = strList("sort_by"), zorderBy = strList("zorder_by"),
+          layoutCurve = kw.get("layout_curve").map(_.toString)
+            .getOrElse("morton"))
         Vector(before, after)
       })
       case "type" => Some(JFunc((_, _) => "spark"))

@@ -226,11 +226,28 @@ private[graft] object CurateKeyIndex {
   private[graft] def defaultCompactAt(h: Handle): Int =
     math.max(1024, 16 * h.paramsCache.map(_.buckets).getOrElse(64))
 
+  /** Stage-then-rename, never truncate-in-place: the legacy type
+    * backfill REWRITES this file over an established checkpoint, and a
+    * crash between `fs.create(path, true)` (which truncates
+    * immediately) and the content write would leave a torn params file
+    * over surviving index data — bricking the checkpoint into a
+    * full-refresh for a one-time metadata upgrade. Staging moves the
+    * content write out of the window; the residual crash slot is the
+    * delete→rename metadata pair, which at worst leaves the file
+    * MISSING (the named params-missing-over-data refusal) or the
+    * stale-but-valid original, never garbage. The `.tmp` name keeps
+    * the underscore prefix, so data-file listings ignore it. */
   private def writeParamsFile(h: Handle, p: Params): Unit = {
     val path = new Path(h.paramsPath)
     val fs = fsOf(h.spark, path)
-    val out = fs.create(path, true)
+    val tmp = new Path(h.paramsPath + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(paramsJson(p).getBytes("UTF-8")) finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new IllegalStateException(
+        s"stream_op: curate could not move staged params $tmp into " +
+          s"place at $path — the store refused the rename")
   }
 
   /** A record whose `types` are empty predates typed params (pre-r17
@@ -286,6 +303,27 @@ private[graft] object CurateKeyIndex {
     }
   }
 
+  /** A sealed log with entries but NO live index data is partial
+    * manual cleanup — the engine can never produce the state: [[seal]]
+    * writes index data BEFORE sealed names, and [[reset]] deletes the
+    * sealed log FIRST, so a crash anywhere leaves at worst index data
+    * without its log (harmlessly re-indexed). If the state were waved
+    * through, the next seal would trust the log, skip re-indexing
+    * every listed file, and the guard would pass replays through as
+    * silent duplicates — the exact failure the index exists to
+    * prevent. Refuse by name instead. */
+  private def assertNoOrphanSealedLog(h: Handle): Unit = {
+    val logged = sealedPaths(h)
+    if (logged.nonEmpty)
+      throw new IllegalStateException(
+        s"stream_op: curate sealed-file log at ${h.sealedDir} records " +
+          s"${logged.size} sealed files but the key index at " +
+          s"${h.indexDir} holds no data — the index was removed " +
+          "without its log (partial cleanup), so neither can be " +
+          "trusted and the replay guard cannot run; rebuild with " +
+          "--full-refresh")
+  }
+
   /** Invocation-time layout check: verify the recorded params against
     * the configuration BEFORE any batch runs — a drained run (zero
     * batches) must not report success under a config the persisted
@@ -295,7 +333,7 @@ private[graft] object CurateKeyIndex {
     * recorded and nothing indexed is fine: recording happens at the
     * first [[seal]], which also knows the key TYPES and the
     * auto-sizing evidence. */
-  def checkParams(h: Handle): Unit =
+  def checkParams(h: Handle): Unit = {
     readParamsFile(h) match {
       case Some(rec) => h.paramsCache = Some(verifyAgainst(h, rec, None))
       case None =>
@@ -306,6 +344,11 @@ private[graft] object CurateKeyIndex {
               "missing — the layout cannot be verified; rebuild with " +
               "--full-refresh")
     }
+    // surface partial cleanup (sealed log without index data) HERE —
+    // named, before the lock and the stream — not from inside the
+    // first batch's guard
+    if (!hasDataFiles(h.spark, h.indexDir)) assertNoOrphanSealedLog(h)
+  }
 
   private def sealedPaths(h: Handle): Set[String] = {
     if (h.sealedCache != null) return h.sealedCache
@@ -479,7 +522,14 @@ private[graft] object CurateKeyIndex {
     * use have no such fence — a retyped key hashes to different
     * buckets, which must refuse by name, never silently miss). */
   def guard(h: Handle, batch: DataFrame): DataFrame = {
-    if (!exists(h.spark, h.indexDir)) return batch
+    if (!exists(h.spark, h.indexDir)) {
+      // a missing index is only benign while the sealed log is ALSO
+      // empty — see assertNoOrphanSealedLog (and sealedPaths
+      // short-circuits on a missing log dir, so the fresh-start and
+      // bounded-mode paths pay one exists() probe)
+      assertNoOrphanSealedLog(h)
+      return batch
+    }
     // case-insensitive, like every col() lookup on the analysis path
     val batchTypes = h.keys.map(k =>
       batch.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
@@ -494,7 +544,13 @@ private[graft] object CurateKeyIndex {
     // SURVIVING-DATA refuses (inside resolveParams), because that
     // layout is unverifiable.
     if (h.paramsCache.isEmpty && readParamsFile(h).isEmpty &&
-        !hasDataFiles(h.spark, h.indexDir)) return batch
+        !hasDataFiles(h.spark, h.indexDir)) {
+      // ...unless the sealed log still lists files: then this is not a
+      // torn first write but a partially cleaned index, and no-opping
+      // would let the next seal trust the log and skip re-indexing
+      assertNoOrphanSealedLog(h)
+      return batch
+    }
     val params = resolveParams(h, Some(batchTypes), None)
     val touched = batch
       .select(bucketOf(h.keys, params.buckets).as("__kb"))
@@ -511,7 +567,10 @@ private[graft] object CurateKeyIndex {
         .filter(col("__kb").isin(touched: _*))
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
-          if (!hasDataFiles(h.spark, h.indexDir)) return batch
+          if (!hasDataFiles(h.spark, h.indexDir)) {
+            assertNoOrphanSealedLog(h)
+            return batch
+          }
           throw new IllegalStateException(
             s"stream_op: curate durable key index at ${h.indexDir} " +
               "holds data but cannot be read — the replay guard cannot " +

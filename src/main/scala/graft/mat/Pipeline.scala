@@ -2856,7 +2856,7 @@ object StreamingTableMat extends Materialization {
       val hasCommits = cfs.exists(commitsPath) &&
         cfs.listStatus(commitsPath).exists(st =>
           st.isFile && !st.getPath.getName.startsWith("."))
-      if (hasCommits)
+      if (hasCommits && !committedDrainProvablyEmpty(spark, checkpoint))
         throw new IllegalStateException(
           s"stream_op: curate checkpoint $checkpoint records committed " +
             s"micro-batches but the target ${ctx.target.fqn} does not " +
@@ -2865,9 +2865,11 @@ object StreamingTableMat extends Materialization {
             "Restore the target (a crash during target compaction " +
             s"leaves the rows as ${ctx.target.identifier}__dbt_tmp or " +
             s"${ctx.target.identifier}__dbt_backup), or rebuild from " +
-            "the full landing history with --full-refresh. (If every " +
-            "committed batch was EMPTY — zero-row landed files — no " +
-            "rows ever existed and --full-refresh loses nothing)")
+            "the full landing history with --full-refresh. (A committed " +
+            "history that provably drained ZERO rows — every landed " +
+            "file a committed batch read still present and empty — " +
+            "resumes without this error; seeing it means at least one " +
+            "committed file held rows, or the evidence is gone)")
     }
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -3082,6 +3084,69 @@ object StreamingTableMat extends Materialization {
          else "") +
         landingDir.map(ld =>
           s" [landing: $ld, checkpoint: $checkpoint]").getOrElse(""))
+  }
+
+  /** Can the committed history be PROVEN row-free? The target-gone
+    * refusal above exists to prevent silent row loss, but a drain
+    * whose committed batches all read EMPTY landed files never creates
+    * the target (an empty slice must not become the full build), so a
+    * death before the end-of-drain schema-only rebuild — e.g. a
+    * mid-drain flat-landing violation — leaves commits + no target
+    * with nothing actually lost, and the refusal would force a
+    * needless full-refresh. Evidence, not assumption: the file
+    * source's metadata log under `sources/0` records exactly which
+    * landed files each batch read (`{"path":…,"batchId":N}` JSON
+    * lines, batch-N files plus periodic `.compact` rollups); if every
+    * file a COMMITTED batch references still exists and holds zero
+    * rows, the history drained nothing. Any parse failure, missing
+    * file, or live row keeps the refusal — the fail-safe direction.
+    * Cost sits entirely on the already-fatal path: nothing is read
+    * unless the refusal was about to fire. */
+  private def committedDrainProvablyEmpty(spark: SparkSession,
+      checkpoint: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val commits = new Path(s"$checkpoint/commits")
+      val cfs = commits.getFileSystem(conf)
+      val committed = cfs.listStatus(commits).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .toSet
+      if (committed.isEmpty) return false
+      val srcDir = new Path(s"$checkpoint/sources/0")
+      val sfs = srcDir.getFileSystem(conf)
+      if (!sfs.exists(srcDir)) return false
+      val pathRe = """"path":"((?:[^"\\]|\\.)*)"""".r
+      val batchRe = """"batchId":(-?\d+)""".r
+      val referenced = scala.collection.mutable.Set.empty[String]
+      for (st <- sfs.listStatus(srcDir).toSeq
+             if st.isFile && !st.getPath.getName.startsWith(".")) {
+        val fileBatch = scala.util.Try(
+          st.getPath.getName.stripSuffix(".compact").toLong).toOption
+        val in = sfs.open(st.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        for (line <- text.split('\n') if line.startsWith("{")) {
+          // each entry carries its own batchId (a .compact rollup holds
+          // every batch's entries); the file name is the fallback
+          val bid = batchRe.findFirstMatchIn(line).map(_.group(1).toLong)
+            .orElse(fileBatch)
+          if (bid.exists(committed))
+            pathRe.findFirstMatchIn(line).foreach(m =>
+              referenced +=
+                m.group(1).replace("\\/", "/").replace("\\\\", "\\"))
+        }
+      }
+      // committed batches that referenced no files read no rows
+      if (referenced.isEmpty) return true
+      val uris = referenced.toSeq.sorted
+      uris.forall { u =>
+        val p = new Path(new java.net.URI(u))
+        p.getFileSystem(conf).exists(p)
+      } && spark.read.parquet(uris: _*).isEmpty
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   private def curateLockPath(checkpoint: String) =

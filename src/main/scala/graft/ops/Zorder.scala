@@ -102,6 +102,32 @@ object Zorder {
       .drop("__graft_hkey")
   }
 
+  /** Attach the curve key as a derived column and return (frame, key
+    * column name) — for callers that must compose the curve with OTHER
+    * partitioning keys (compaction of a partitioned + zordered table
+    * range-partitions on (partition cols, curve key) at an explicit
+    * task count; the plain [[layout]]/[[layoutHilbert]] shuffle on the
+    * curve alone would scatter partition values across every task and
+    * the partitioned write would fan out to tasks × values files). The
+    * caller drops the column after shaping. */
+  def withCurveKey(df: DataFrame, columns: Seq[String],
+      curve: String): (DataFrame, String) = {
+    val keyCol = "__graft_curve_key"
+    val bounds = boundaries(df, columns)
+    val keys = columns.zip(bounds).map { case (c, b) => bucketOf(c, b) }
+    val key =
+      if (curve == "hilbert") {
+        require(columns.size == 2,
+          s"hilbert layout takes exactly 2 columns, got ${columns.size}")
+        hilbertKey(keys(0), keys(1))
+      } else {
+        require(columns.size >= 2 && columns.size <= 4,
+          s"zorder_by takes 2-4 columns, got ${columns.size}")
+        mortonKey(keys)
+      }
+    (df.withColumn(keyCol, key), keyCol)
+  }
+
   /** Rewrite `df` into Z-order: derived z-key → range partition → in-file
     * sort → key dropped. The caller writes the result with no further
     * ordering. */

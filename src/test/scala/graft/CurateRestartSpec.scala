@@ -694,11 +694,29 @@ class CurateRestartSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](CurateKeyIndex.guard(h, probe))
     assert(e.getMessage.contains("cannot be read"), e.getMessage)
     assert(e.getMessage.contains("--full-refresh"), e.getMessage)
-    // benign shape: params recorded, index dir present but DATALESS
-    // (only a _SUCCESS marker) — reads as empty, batch passes unguarded
+    // a dataless index with the sealed log still LISTING files is
+    // partial cleanup, not a torn write (the engine can't produce it:
+    // seal writes data before log, reset deletes log first) — waving
+    // it through would let the next seal trust the log and skip
+    // re-indexing every listed file, so it refuses by name
     rmTree(idxDir)
     Files.createDirectories(idxDir)
     Files.createFile(idxDir.resolve("_SUCCESS"))
+    val orphan = intercept[IllegalStateException](
+      CurateKeyIndex.guard(
+        CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None), probe))
+    assert(orphan.getMessage.contains("sealed-file log"), orphan.getMessage)
+    assert(orphan.getMessage.contains("--full-refresh"), orphan.getMessage)
+    // ...and the invocation-time checkParams surfaces the same state
+    // before the lock and the stream
+    val orphan2 = intercept[IllegalStateException](
+      CurateKeyIndex.checkParams(
+        CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None)))
+    assert(orphan2.getMessage.contains("sealed-file log"), orphan2.getMessage)
+    // benign shape: params recorded, index dir present but DATALESS
+    // and nothing sealed (the true torn-write state) — reads as
+    // empty, batch passes unguarded
+    rmTree(java.nio.file.Paths.get(s"$cp/_graft_sealed"))
     val out = CurateKeyIndex.guard(h, probe)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
       "a dataless index must pass the batch through unguarded")
@@ -893,6 +911,37 @@ class CurateRestartSpec extends AnyFunSuite {
     run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp),
       fullRefresh = true)
     assert(ids(a, rel) == Set(1L, 3L, 11L))
+  }
+
+  test("commits + missing target refuses ONLY when rows were drained: " +
+      "an all-empty committed history provably lost nothing and " +
+      "resumes without --full-refresh") {
+    val a = freshAdapter("g_curate_empty_hist")
+    val rel = Relation("g_curate_empty_hist", "cur")
+    val landing = Files.createTempDirectory("graft_landing_eh")
+    val cp = Files.createTempDirectory("graft_cp_eh").resolve("cp").toString
+    // only EMPTY files land: every micro-batch commits without creating
+    // the target (an empty slice must not become the full build)
+    land(landing, "e1", Seq.empty)
+    land(landing, "e2", Seq.empty)
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    // the end-of-drain schema-only rebuild created an empty target;
+    // dropping it reproduces the death-BEFORE-rebuild state (e.g. a
+    // mid-drain flat-landing violation): committed batches, no target
+    assert(a.read(rel).count() == 0)
+    a.dropRelation(rel)
+    land(landing, "f1", Seq((1L, t1), (3L, t2)))
+    // must NOT refuse: the source log proves the committed batches
+    // read only zero-row files, so nothing was lost — the drain
+    // resumes and the first real batch becomes the full build
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel) == Set(1L, 3L))
+    // and the refusal stays armed once real rows HAVE drained
+    a.dropRelation(rel)
+    land(landing, "f2", Seq((5L, t3)))
+    val e = intercept[IllegalStateException](
+      run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
+    assert(e.getMessage.contains("committed micro-batches"), e.getMessage)
   }
 
   test("a subdirectory created MID-drain fails by name before the next " +

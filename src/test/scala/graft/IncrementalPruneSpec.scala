@@ -187,6 +187,41 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(e.getMessage.contains("preserves layout"), e.getMessage)
   }
 
+  test("compact of a PARTITIONED + ZORDERED table groups the curve by " +
+      "partition value — never tasks × values files") {
+    import spark.implicits._
+    val a = freshAdapter("compact_zp")
+    val rel = Relation(a.defaultSchema, "t_zp")
+    val mk = (lo: Int, hi: Int) => (lo until hi)
+      .map(i => (i.toLong, i % 4, i.toLong, (399 - i).toLong))
+      .toDF("id", "p", "x", "y")
+    a.writeTableAtomic(mk(0, 200), rel, partitionBy = Seq("p"))
+    (0 until 4).foreach(k =>
+      a.appendToTable(mk(200 + k * 50, 250 + k * 50), rel))
+    val rows = a.read(rel).count()
+    val (before, after) = a.compact(rel, targetFiles = 2,
+      zorderBy = Seq("x", "y"))
+    assert(before >= 16L, s"appends must have fragmented the table: $before")
+    // totalFiles = targetFiles × 4 partition values = 8 range tasks on
+    // (p, curve key); only a range-boundary task can straddle two
+    // partition values, so files ≤ tasks + values − 1 = 11. A curve
+    // shuffle that ignored p would scatter every value into every task
+    // → up to 8 × 4 = 32 files, MORE than before compaction.
+    assert(after <= 11L, s"partitioned zorder compaction fanned out: $after")
+    assert(a.read(rel).count() == rows)
+    // curve clustering survives per partition value: within one value,
+    // the per-file x ranges must not all span the full domain — at
+    // least one pair of files is disjoint in x
+    import org.apache.spark.sql.functions.{col => c, input_file_name,
+      min => fmin, max => fmax}
+    val spans = a.read(rel).filter(c("p") === 0)
+      .groupBy(input_file_name()).agg(fmin("x").as("lo"), fmax("x").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.length >= 2 && spans.exists(s1 => spans.exists(s2 =>
+      s1._2 < s2._1 || s2._2 < s1._1)),
+      s"curve layout lost inside a partition: ${spans.mkString(", ")}")
+  }
+
   test("merge drops a touched partition whose rows all moved away") {
     import spark.implicits._
     val a = freshAdapter("prune_empty")

@@ -186,6 +186,37 @@ class RunOperationSpec extends AnyFunSuite {
       "schema_name" -> schema, "table_name" -> "acc",
       "parts" -> Vector("id"))))
     assert(e.getMessage.contains("preserves"), e.getMessage)
+    // sort_by reaches the rewrite through the macro surface: write-time
+    // clustering is layout the CATALOG cannot recover, so a sorted
+    // model compacted without naming it would silently lose min/max
+    // skipping — the binding must pass it through
+    write(proj, "macros/maint_sorted.sql",
+      """{% macro compact_sorted(schema_name, table_name) %}
+        |  {% set r = adapter.compact(schema_name, table_name,
+        |       target_files=2, sort_by=['id']) %}
+        |  {{ return(r[0] ~ '->' ~ r[1]) }}
+        |{% endmacro %}
+        |""".stripMargin)
+    spark.sql(s"CREATE TABLE `$schema`.srt (id BIGINT, v STRING) " +
+      s"USING parquet LOCATION '$loc/srt'")
+    (1 to 6).foreach(i => spark.sql(
+      s"INSERT INTO `$schema`.srt VALUES ($i, 'v$i'), (${i + 100}, 'w$i')"))
+    val r2 = new Runner(spark, ProjectLoader.load(proj.toString),
+      targetSchema = schema, warehouseLocation = Some(loc))
+    val out2 = r2.runOperation("compact_sorted", Map(
+      "schema_name" -> schema, "table_name" -> "srt")).trim
+    val Array(b2, a2) = out2.split("->").map(_.trim.toLong)
+    assert(b2 >= 6 && a2 <= 2, s"sorted compaction must land at " +
+      s"target_files: $out2")
+    // the clustering is real: per-file id ranges are disjoint
+    import org.apache.spark.sql.functions.{input_file_name,
+      min => fmin, max => fmax}
+    val spans = spark.table(s"`$schema`.srt")
+      .groupBy(input_file_name())
+      .agg(fmin("id").as("lo"), fmax("id").as("hi"))
+      .collect().map(rr => (rr.getLong(1), rr.getLong(2))).sortBy(_._1)
+    assert(spans.length == 2 && spans(0)._2 < spans(1)._1,
+      s"sorted layout lost: ${spans.mkString(", ")}")
   }
 
   test("show --inline compiles ad-hoc Jinja-SQL with macros in scope") {
