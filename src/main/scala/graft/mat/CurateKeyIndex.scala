@@ -416,6 +416,17 @@ private[graft] object CurateKeyIndex {
       (r, bp) => r.option("basePath", bp))
     val keyFrame = reader.parquet(unsealed: _*)
       .select(h.keys.map(k => col(s"`$k`")): _*)
+    // unsealed files with ZERO rows between them (the schema-only
+    // rebuild's empty target file) must not enter the sealed log: the
+    // partitioned write of an empty key frame emits no data files, so
+    // logging them would MANUFACTURE the orphan sealed-log-over-
+    // dataless-index state the guard refuses as partial cleanup —
+    // bricking a healthy checkpoint at its first real batch. Leave
+    // them unsealed: re-examined per seal at one limit-1 read, and a
+    // zero-key re-seal is trivially idempotent. (A MIX of empty and
+    // live files seals normally — the index write then has data, and
+    // a zero-key file in the log is harmless.)
+    if (keyFrame.isEmpty) return
     val types = keyFrame.schema.fields.map(_.dataType.catalogString).toSeq
     val params = resolveParams(h, Some(types), Some(() =>
       Params(h.bucketsConfig.getOrElse {

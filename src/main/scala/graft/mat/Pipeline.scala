@@ -3117,11 +3117,26 @@ object StreamingTableMat extends Materialization {
       val srcDir = new Path(s"$checkpoint/sources/0")
       val sfs = srcDir.getFileSystem(conf)
       if (!sfs.exists(srcDir)) return false
+      val logFiles = sfs.listStatus(srcDir).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      // absence of evidence is NOT evidence of an empty drain: every
+      // committed batch's log record must be PRESENT — either its own
+      // sources/0/<id> file, or a `.compact` rollup at-or-after it
+      // (compaction subsumes and deletes the per-batch files). A
+      // partially restored checkpoint whose commits survived but whose
+      // source log did not must refuse, exactly like a missing dir.
+      val names = logFiles.map(_.getPath.getName)
+      val compactIds = names.filter(_.endsWith(".compact"))
+        .flatMap(n => scala.util.Try(
+          n.stripSuffix(".compact").toLong).toOption)
+      val plainIds = names
+        .flatMap(n => scala.util.Try(n.toLong).toOption).toSet
+      if (!committed.forall(id =>
+        plainIds(id) || compactIds.exists(_ >= id))) return false
       val pathRe = """"path":"((?:[^"\\]|\\.)*)"""".r
       val batchRe = """"batchId":(-?\d+)""".r
       val referenced = scala.collection.mutable.Set.empty[String]
-      for (st <- sfs.listStatus(srcDir).toSeq
-             if st.isFile && !st.getPath.getName.startsWith(".")) {
+      for (st <- logFiles) {
         val fileBatch = scala.util.Try(
           st.getPath.getName.stripSuffix(".compact").toLong).toOption
         val in = sfs.open(st.getPath)
@@ -3130,16 +3145,20 @@ object StreamingTableMat extends Materialization {
           finally in.close()
         for (line <- text.split('\n') if line.startsWith("{")) {
           // each entry carries its own batchId (a .compact rollup holds
-          // every batch's entries); the file name is the fallback
+          // every batch's entries); the file name is the fallback. An
+          // entry we cannot attribute OR whose path we cannot extract
+          // might hide a committed row-bearing file — unparseable
+          // evidence keeps the refusal (return false), never skips.
           val bid = batchRe.findFirstMatchIn(line).map(_.group(1).toLong)
             .orElse(fileBatch)
+          val path = pathRe.findFirstMatchIn(line).map(_.group(1))
+          if (bid.isEmpty || path.isEmpty) return false
           if (bid.exists(committed))
-            pathRe.findFirstMatchIn(line).foreach(m =>
-              referenced +=
-                m.group(1).replace("\\/", "/").replace("\\\\", "\\"))
+            referenced +=
+              path.get.replace("\\/", "/").replace("\\\\", "\\")
         }
       }
-      // committed batches that referenced no files read no rows
+      // all committed batches' records seen, none referenced a file
       if (referenced.isEmpty) return true
       val uris = referenced.toSeq.sorted
       uris.forall { u =>

@@ -92,14 +92,10 @@ object Zorder {
     * quantile-bucket + range-partition + in-file-sort shape as
     * [[layout]], with the Hilbert key replacing Morton. */
   def layoutHilbert(df: DataFrame, columns: Seq[String]): DataFrame = {
-    require(columns.size == 2,
-      s"hilbert layout takes exactly 2 columns, got ${columns.size}")
-    val bounds = boundaries(df, columns)
-    val keys = columns.zip(bounds).map { case (c, b) => bucketOf(c, b) }
-    df.withColumn("__graft_hkey", hilbertKey(keys(0), keys(1)))
-      .repartitionByRange(col("__graft_hkey"))
-      .sortWithinPartitions(col("__graft_hkey"))
-      .drop("__graft_hkey")
+    val (withKey, keyCol) = withCurveKey(df, columns, "hilbert")
+    withKey.repartitionByRange(col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .drop(keyCol)
   }
 
   /** Attach the curve key as a derived column and return (frame, key
@@ -112,19 +108,21 @@ object Zorder {
     * caller drops the column after shaping. */
   def withCurveKey(df: DataFrame, columns: Seq[String],
       curve: String): (DataFrame, String) = {
+    // arity checks BEFORE the quantile pass — boundaries() is a full
+    // sketch scan of the input, far too expensive to pay for a
+    // misconfiguration that can fail here for free
+    if (curve == "hilbert")
+      require(columns.size == 2,
+        s"hilbert layout takes exactly 2 columns, got ${columns.size}")
+    else
+      require(columns.size >= 2 && columns.size <= 4,
+        s"zorder_by takes 2-4 columns, got ${columns.size}")
     val keyCol = "__graft_curve_key"
     val bounds = boundaries(df, columns)
     val keys = columns.zip(bounds).map { case (c, b) => bucketOf(c, b) }
     val key =
-      if (curve == "hilbert") {
-        require(columns.size == 2,
-          s"hilbert layout takes exactly 2 columns, got ${columns.size}")
-        hilbertKey(keys(0), keys(1))
-      } else {
-        require(columns.size >= 2 && columns.size <= 4,
-          s"zorder_by takes 2-4 columns, got ${columns.size}")
-        mortonKey(keys)
-      }
+      if (curve == "hilbert") hilbertKey(keys(0), keys(1))
+      else mortonKey(keys)
     (df.withColumn(keyCol, key), keyCol)
   }
 
@@ -132,15 +130,9 @@ object Zorder {
     * sort → key dropped. The caller writes the result with no further
     * ordering. */
   def layout(df: DataFrame, columns: Seq[String]): DataFrame = {
-    require(columns.size >= 2 && columns.size <= 4,
-      s"zorder_by takes 2-4 columns, got ${columns.size}")
-    val bounds = boundaries(df, columns)
-    val zkey = mortonKey(columns.zip(bounds).map {
-      case (c, b) => bucketOf(c, b)
-    })
-    df.withColumn("__graft_zkey", zkey)
-      .repartitionByRange(col("__graft_zkey"))
-      .sortWithinPartitions(col("__graft_zkey"))
-      .drop("__graft_zkey")
+    val (withKey, keyCol) = withCurveKey(df, columns, "morton")
+    withKey.repartitionByRange(col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .drop(keyCol)
   }
 }

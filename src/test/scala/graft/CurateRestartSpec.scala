@@ -944,6 +944,32 @@ class CurateRestartSpec extends AnyFunSuite {
     assert(e.getMessage.contains("committed micro-batches"), e.getMessage)
   }
 
+  test("a zero-row target file never enters the sealed log: the first " +
+      "REAL batch after a completed all-empty drain seals cleanly " +
+      "instead of tripping the orphan refusal") {
+    val a = freshAdapter("g_curate_zr_seal")
+    val rel = Relation("g_curate_zr_seal", "cur")
+    val landing = Files.createTempDirectory("graft_landing_zr")
+    val cp = Files.createTempDirectory("graft_cp_zr").resolve("cp").toString
+    land(landing, "e1", Seq.empty)
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    // the end-of-drain schema-only rebuild left an EMPTY target behind
+    assert(a.read(rel).count() == 0)
+    // first real batch: seal() meets the zero-row target file — were it
+    // logged sealed, the partitioned index write of an empty key frame
+    // would emit no data files and the sealed log would orphan over a
+    // dataless index, bricking the healthy checkpoint by the engine's
+    // own partial-cleanup refusal
+    land(landing, "f1", Seq((1L, t1), (2L, t1)))
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel) == Set(1L), "within-batch dup keeps the min id")
+    // and the replay guard is LIVE across the boundary: a settled text
+    // re-delivered drops, a fresh one lands
+    land(landing, "f2", Seq((9L, t1), (10L, t3)))
+    run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp))
+    assert(ids(a, rel) == Set(1L, 10L))
+  }
+
   test("a subdirectory created MID-drain fails by name before the next " +
       "batch commits — the flat contract holds for the whole drain, " +
       "not just at invocation") {
