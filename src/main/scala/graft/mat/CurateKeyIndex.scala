@@ -417,16 +417,19 @@ private[graft] object CurateKeyIndex {
     val keyFrame = reader.parquet(unsealed: _*)
       .select(h.keys.map(k => col(s"`$k`")): _*)
     // unsealed files with ZERO rows between them (the schema-only
-    // rebuild's empty target file) must not enter the sealed log: the
-    // partitioned write of an empty key frame emits no data files, so
-    // logging them would MANUFACTURE the orphan sealed-log-over-
-    // dataless-index state the guard refuses as partial cleanup —
-    // bricking a healthy checkpoint at its first real batch. Leave
-    // them unsealed: re-examined per seal at one limit-1 read, and a
-    // zero-key re-seal is trivially idempotent. (A MIX of empty and
-    // live files seals normally — the index write then has data, and
-    // a zero-key file in the log is harmless.)
-    if (keyFrame.isEmpty) return
+    // rebuild's empty target file) must not enter the sealed log WHILE
+    // THE INDEX IS DATALESS: the partitioned write of an empty key
+    // frame emits no data files, so logging them would MANUFACTURE the
+    // orphan sealed-log-over-dataless-index state the guard refuses as
+    // partial cleanup — bricking a healthy checkpoint at its first
+    // real batch. The probe is gated on the in-memory accrual signal:
+    // `estFiles > 0` means the index provably holds data (initialized
+    // from a real listing, advanced only by seals that wrote files,
+    // zeroed by reset), so the orphan state is impossible and a
+    // zero-key file may seal harmlessly — steady-state seals pay no
+    // extra job. Only the dataless/unknown window (first seals of a
+    // fresh or just-reset index) runs the limit-1 read.
+    if (h.estFiles <= 0 && keyFrame.isEmpty) return
     val types = keyFrame.schema.fields.map(_.dataType.catalogString).toSeq
     val params = resolveParams(h, Some(types), Some(() =>
       Params(h.bucketsConfig.getOrElse {

@@ -3137,18 +3137,27 @@ object StreamingTableMat extends Materialization {
       val batchRe = """"batchId":(-?\d+)""".r
       val referenced = scala.collection.mutable.Set.empty[String]
       for (st <- logFiles) {
-        val fileBatch = scala.util.Try(
-          st.getPath.getName.stripSuffix(".compact").toLong).toOption
+        // the filename is a valid batch-id fallback ONLY for a plain
+        // per-batch file (its entries ARE that batch); a `.compact`
+        // rollup holds EVERY batch's entries, so attributing them all
+        // to the rollup's own id would misfile earlier batches' files
+        // — e.g. under an uncommitted rollup id, committed row-bearing
+        // paths would silently escape the emptiness proof
+        val name = st.getPath.getName
+        val fileBatch =
+          if (name.endsWith(".compact")) None
+          else scala.util.Try(name.toLong).toOption
         val in = sfs.open(st.getPath)
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         for (line <- text.split('\n') if line.startsWith("{")) {
           // each entry carries its own batchId (a .compact rollup holds
-          // every batch's entries); the file name is the fallback. An
-          // entry we cannot attribute OR whose path we cannot extract
-          // might hide a committed row-bearing file — unparseable
-          // evidence keeps the refusal (return false), never skips.
+          // every batch's entries); the file name is the fallback for
+          // plain files only. An entry we cannot attribute OR whose
+          // path we cannot extract might hide a committed row-bearing
+          // file — unparseable evidence keeps the refusal (return
+          // false), never skips.
           val bid = batchRe.findFirstMatchIn(line).map(_.group(1).toLong)
             .orElse(fileBatch)
           val path = pathRe.findFirstMatchIn(line).map(_.group(1))
