@@ -380,6 +380,18 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
           "is authoritative) or fix it")
     val parts = catalogParts
     val bucketSpec = meta.bucketSpec
+    // the STORAGE FORMAT is layout too: the rewrite must write the
+    // catalog's own provider, never the parquet default — an ORC model
+    // compacted via run-operation silently converting to parquet would
+    // break every reader that names the format. Providers outside the
+    // engine's write set (hive, delta, text, ...) refuse by name.
+    val storageFmt = meta.provider.map(_.toLowerCase).getOrElse("parquet")
+    if (!Set("parquet", "orc", "json", "csv")(storageFmt))
+      throw new IllegalArgumentException(
+        s"compact: ${rel.fqn} uses table provider '$storageFmt' — only " +
+          "parquet/orc/json/csv tables can be compacted (the rewrite " +
+          "preserves the storage format, and this one is outside the " +
+          "engine's write set)")
     def fileCount: Long = read(rel).inputFiles.length.toLong
     val before = fileCount
     val df = read(rel)
@@ -408,9 +420,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         // partition-directory columns for partitioned+bucketed tables
         // (the key-index seal's own technique).
         val bs = bucketSpec.get
-        val fmt = meta.provider.map(_.toLowerCase)
-          .filter(Set("parquet", "orc", "json", "csv")).getOrElse("parquet")
-        val rawReader = spark.read.schema(df.schema).format(fmt)
+        val rawReader = spark.read.schema(df.schema).format(storageFmt)
         val raw = scala.util.Try(meta.location.toString).toOption
           .foldLeft(rawReader)((r, bp) => r.option("basePath", bp))
           .load(df.inputFiles.toIndexedSeq: _*)
@@ -453,6 +463,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     writeTableAtomic(compacted, rel, parts,
       clusteredBy = bucketSpec.map(_.bucketColumnNames).getOrElse(Nil),
       buckets = bucketSpec.map(_.numBuckets).getOrElse(0),
+      fileFormat = storageFmt,
       bucketSortBy = bucketSpec.map(_.sortColumnNames).getOrElse(Nil))
     (before, fileCount)
   }

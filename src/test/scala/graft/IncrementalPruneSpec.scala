@@ -187,6 +187,35 @@ class IncrementalPruneSpec extends AnyFunSuite {
     assert(e.getMessage.contains("preserves layout"), e.getMessage)
   }
 
+  test("compact preserves the STORAGE FORMAT: an ORC table rewrites as " +
+      "ORC files, and an unsupported provider refuses by name") {
+    import spark.implicits._
+    val a = freshAdapter("compact_fmt")
+    val rel = Relation(a.defaultSchema, "t_orc")
+    a.writeTableAtomic(
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      rel, fileFormat = "orc")
+    (0 until 3).foreach(i =>
+      a.appendToTable(Seq((100L + i, "x")).toDF("id", "v"), rel))
+    val rows = a.read(rel).count()
+    val (b, c) = a.compact(rel)
+    assert(c < b, s"compaction must reduce files: $b -> $c")
+    assert(a.read(rel).count() == rows)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        rel.identifier, Some(rel.schema)))
+    assert(meta.provider.exists(_.equalsIgnoreCase("orc")),
+      s"provider must survive the rewrite: ${meta.provider}")
+    assert(a.read(rel).inputFiles.forall(_.contains("orc")),
+      "data files must be ORC, not the parquet default")
+    // a provider outside the engine's write set refuses before any work
+    spark.sql(s"CREATE TABLE ${a.defaultSchema}.t_text (v STRING) USING text")
+    spark.sql(s"INSERT INTO ${a.defaultSchema}.t_text VALUES ('a'), ('b')")
+    val e = intercept[IllegalArgumentException](
+      a.compact(Relation(a.defaultSchema, "t_text")))
+    assert(e.getMessage.contains("provider 'text'"), e.getMessage)
+  }
+
   test("compact of a PARTITIONED + ZORDERED table groups the curve by " +
       "partition value — never tasks × values files") {
     import spark.implicits._
