@@ -942,6 +942,26 @@ class CurateRestartSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](
       run(a, rel, cfg(landing.toString, "checkpoint_dir" -> cp)))
     assert(e.getMessage.contains("committed micro-batches"), e.getMessage)
+    // absence of evidence is NOT evidence of an empty drain: a
+    // partially restored checkpoint whose commits survived but whose
+    // source log did not must refuse even when the history WAS empty
+    val a2 = freshAdapter("g_curate_purged_log")
+    val rel2 = Relation("g_curate_purged_log", "cur")
+    val landing2 = Files.createTempDirectory("graft_landing_pl")
+    val cp2 = Files.createTempDirectory("graft_cp_pl").resolve("cp").toString
+    land(landing2, "e1", Seq.empty)
+    run(a2, rel2, cfg(landing2.toString, "checkpoint_dir" -> cp2))
+    a2.dropRelation(rel2)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    rmTree(java.nio.file.Paths.get(s"$cp2/sources"))
+    land(landing2, "f1", Seq((1L, t1)))
+    val e2 = intercept[IllegalStateException](
+      run(a2, rel2, cfg(landing2.toString, "checkpoint_dir" -> cp2)))
+    assert(e2.getMessage.contains("committed micro-batches"), e2.getMessage)
   }
 
   test("a zero-row target file never enters the sealed log: the first " +
