@@ -386,12 +386,18 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     // break every reader that names the format. Providers outside the
     // engine's write set (hive, delta, text, ...) refuse by name.
     val storageFmt = meta.provider.map(_.toLowerCase).getOrElse("parquet")
-    if (!Set("parquet", "orc", "json", "csv")(storageFmt))
+    if (!SparkAdapter.WritableFormats(storageFmt))
       throw new IllegalArgumentException(
         s"compact: ${rel.fqn} uses table provider '$storageFmt' — only " +
-          "parquet/orc/json/csv tables can be compacted (the rewrite " +
-          "preserves the storage format, and this one is outside the " +
-          "engine's write set)")
+          s"${SparkAdapter.WritableFormats.toSeq.sorted.mkString("/")} " +
+          "tables can be compacted (the rewrite preserves the storage " +
+          "format, and this one is outside the engine's write set)")
+    // format OPTIONS are layout too (csv header/sep, a pinned
+    // compression codec): the rewrite must carry them or external
+    // readers that name them misparse every rewritten file. `path` is
+    // stripped — forwarding it would redirect the staged write onto
+    // the live location and break the swap protocol.
+    val storageOpts = meta.storage.properties - "path"
     def fileCount: Long = read(rel).inputFiles.length.toLong
     val before = fileCount
     val df = read(rel)
@@ -421,6 +427,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         // (the key-index seal's own technique).
         val bs = bucketSpec.get
         val rawReader = spark.read.schema(df.schema).format(storageFmt)
+          .options(storageOpts)
         val raw = scala.util.Try(meta.location.toString).toOption
           .foldLeft(rawReader)((r, bp) => r.option("basePath", bp))
           .load(df.inputFiles.toIndexedSeq: _*)
@@ -464,7 +471,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       clusteredBy = bucketSpec.map(_.bucketColumnNames).getOrElse(Nil),
       buckets = bucketSpec.map(_.numBuckets).getOrElse(0),
       fileFormat = storageFmt,
-      bucketSortBy = bucketSpec.map(_.sortColumnNames).getOrElse(Nil))
+      bucketSortBy = bucketSpec.map(_.sortColumnNames).getOrElse(Nil),
+      formatOptions = storageOpts)
     (before, fileCount)
   }
 
@@ -479,10 +487,11 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
       clusteredBy: Seq[String] = Nil, buckets: Int = 0,
       zorderBy: Seq[String] = Nil, layoutCurve: String = "morton",
       fileFormat: String = "parquet",
-      bucketSortBy: Seq[String] = Nil): Unit = {
+      bucketSortBy: Seq[String] = Nil,
+      formatOptions: Map[String, String] = Map.empty): Unit = {
     require(Set("morton", "hilbert")(layoutCurve),
       s"layout_curve must be morton or hilbert: $layoutCurve")
-    require(Set("parquet", "orc", "json", "csv")(fileFormat),
+    require(SparkAdapter.WritableFormats(fileFormat),
       s"file_format must be parquet/orc/json/csv: $fileFormat")
     InteractionLog.log(spark, "write_table",
       s"${rel.fqn} schema=${df.schema.simpleString}" +
@@ -525,7 +534,7 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         relationCache.put(target.key, RelationType.Table)
         return
       }
-      val w0 = sorted.write.format(fileFormat)
+      val w0 = sorted.write.format(fileFormat).options(formatOptions)
       val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
       // clustered_by + buckets → Spark bucketed table: same-key same-count
       // bucketed sides join without exchanges (bucket spec survives the
@@ -712,6 +721,12 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
 }
 
 object SparkAdapter {
+  /** The storage formats the engine can WRITE — one definition shared
+    * by writeTableAtomic's validation and compact's preserve-format
+    * guard, so the two sets cannot drift. */
+  final val WritableFormats: Set[String] =
+    Set("parquet", "orc", "json", "csv")
+
   /** `true` ⇒ offline replay: control plane live, data plane never
     * touched (see [[SparkAdapter.offlineReplay]]). */
   final val OfflineKey = "spark.graft.replay.offline"

@@ -493,7 +493,16 @@ private[graft] object CurateKeyIndex {
       var count = 0L
       val it = fs.listFiles(idxPath, true)
       while (count <= maxFiles && it.hasNext) {
-        if (it.next().isFile) count += 1
+        // DATA files only, the same name rule as hasDataFiles: counting
+        // `_SUCCESS`/`_temporary` would (a) inflate the compaction
+        // estimate and (b) let a dataless dir holding only markers read
+        // as estFiles > 0 — which seal's zero-key gate trusts as "index
+        // provably holds data", re-opening the orphan-sealed-log window
+        // the gate exists to close
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          count += 1
       }
       h.estFiles = count
     }

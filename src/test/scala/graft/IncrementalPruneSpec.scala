@@ -206,8 +206,31 @@ class IncrementalPruneSpec extends AnyFunSuite {
         rel.identifier, Some(rel.schema)))
     assert(meta.provider.exists(_.equalsIgnoreCase("orc")),
       s"provider must survive the rewrite: ${meta.provider}")
-    assert(a.read(rel).inputFiles.forall(_.contains("orc")),
+    assert(a.read(rel).inputFiles.forall(_.endsWith(".orc")),
       "data files must be ORC, not the parquet default")
+    // format OPTIONS are layout too: a ;-separated headered CSV must
+    // stay readable under its declared contract — a rewrite that
+    // dropped the options would emit comma-separated headerless files
+    // and the catalog read (and every external reader naming the
+    // contract) would misparse every row
+    spark.sql(
+      s"CREATE TABLE ${a.defaultSchema}.t_csv (id BIGINT, v STRING) " +
+        "USING csv OPTIONS (header 'true', sep ';')")
+    (1 to 4).foreach(i => spark.sql(
+      s"INSERT INTO ${a.defaultSchema}.t_csv VALUES ($i, 'v;$i')"))
+    val relC = Relation(a.defaultSchema, "t_csv")
+    val rowsC = a.read(relC).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (bc, cc) = a.compact(relC)
+    assert(cc < bc, s"csv compaction must reduce files: $bc -> $cc")
+    assert(a.read(relC).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == rowsC,
+      "csv header/sep options must survive the rewrite")
+    val metaC = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        relC.identifier, Some(relC.schema)))
+    assert(metaC.storage.properties.get("sep").contains(";"),
+      s"options must reach the new catalog entry: ${metaC.storage.properties}")
     // a provider outside the engine's write set refuses before any work
     spark.sql(s"CREATE TABLE ${a.defaultSchema}.t_text (v STRING) USING text")
     spark.sql(s"INSERT INTO ${a.defaultSchema}.t_text VALUES ('a'), ('b')")
