@@ -395,9 +395,12 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     // format OPTIONS are layout too (csv header/sep, a pinned
     // compression codec): the rewrite must carry them or external
     // readers that name them misparse every rewritten file. `path` is
-    // stripped — forwarding it would redirect the staged write onto
-    // the live location and break the swap protocol.
-    val storageOpts = meta.storage.properties - "path"
+    // stripped CASE-INSENSITIVELY (the catalog stores option keys
+    // verbatim but the writer resolves them case-insensitively, so a
+    // surviving `PATH` would redirect the staged write onto the live
+    // location — which the external-swap branch then deletes).
+    val storageOpts = meta.storage.properties
+      .filterNot(_._1.equalsIgnoreCase("path"))
     def fileCount: Long = read(rel).inputFiles.length.toLong
     val before = fileCount
     val df = read(rel)
@@ -492,7 +495,8 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
     require(Set("morton", "hilbert")(layoutCurve),
       s"layout_curve must be morton or hilbert: $layoutCurve")
     require(SparkAdapter.WritableFormats(fileFormat),
-      s"file_format must be parquet/orc/json/csv: $fileFormat")
+      s"file_format must be ${SparkAdapter.WritableFormats.toSeq.sorted
+        .mkString("/")}: $fileFormat")
     InteractionLog.log(spark, "write_table",
       s"${rel.fqn} schema=${df.schema.simpleString}" +
         (if (partitionBy.nonEmpty) s" partitionBy=${partitionBy.mkString(",")}" else "") +
@@ -528,9 +532,18 @@ class SparkAdapter(val spark: SparkSession, val defaultSchema: String,
         val partDdl =
           if (partitionBy.isEmpty) ""
           else s" PARTITIONED BY (${partitionBy.map(c => s"`$c`").mkString(", ")})"
+        // formatOptions must reach the replayed catalog entry too, or a
+        // replayed compact of an optioned table (csv header/sep, codec)
+        // diverges from the recorded run's metadata
+        def q1(s: String) = "'" + s.replace("'", "''") + "'"
+        val optDdl =
+          if (formatOptions.isEmpty) ""
+          else formatOptions.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${q1(k)} ${q1(v)}" }
+            .mkString(" OPTIONS (", ", ", ")")
         spark.sql(
           s"CREATE TABLE ${target.fqn} (${df.schema.toDDL}) " +
-            s"USING $fileFormat$partDdl")
+            s"USING $fileFormat$optDdl$partDdl")
         relationCache.put(target.key, RelationType.Table)
         return
       }

@@ -117,16 +117,38 @@ private[graft] object CurateKeyIndex {
     * benign torn-first-write (dir exists, nothing visible — safe to
     * read as empty) from a genuinely unreadable index (data present
     * but the read fails — must fail loudly, never skip the guard). */
+  /** Is this listed file a DATA file under `root`? The rule Spark's own
+    * readers apply (InMemoryFileIndex): a path component starting with
+    * `_`/`.` is metadata UNLESS it contains `=` (partition directories
+    * like the index's own `__kb=3/` are data), and the rule covers the
+    * file name AND every directory component below the root — a part
+    * file nested under a crashed write's `_temporary/` tree is NOT
+    * data (the parquet read excludes it), and counting it would let a
+    * dataless dir read as populated. ONE definition shared by
+    * [[hasDataFiles]] and [[compactIfNeeded]]'s counter, so the
+    * estFiles signal and the guard's data probe can never disagree. */
+  private def isDataFile(root: Path,
+      st: org.apache.hadoop.fs.LocatedFileStatus): Boolean = {
+    if (!st.isFile) return false
+    var p = st.getPath
+    val rootUri = root.toUri.getPath
+    while (p != null && p.toUri.getPath != rootUri) {
+      val n = p.getName
+      if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("="))
+        return false
+      p = p.getParent
+    }
+    true
+  }
+
   private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return false
+    val root = fs.makeQualified(p)
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-        return true
+      if (isDataFile(root, it.next())) return true
     }
     false
   }
@@ -491,18 +513,16 @@ private[graft] object CurateKeyIndex {
     // the tree it exists to keep small
     if (h.estFiles < 0) {
       var count = 0L
+      // DATA files only, the same shared rule as hasDataFiles (incl.
+      // `_temporary` ancestors): counting markers or crashed-write
+      // leftovers would (a) inflate the compaction estimate and (b)
+      // let a dataless dir read as estFiles > 0 — which seal's
+      // zero-key gate trusts as "index provably holds data",
+      // re-opening the orphan-sealed-log window the gate closes
+      val root = fs.makeQualified(idxPath)
       val it = fs.listFiles(idxPath, true)
       while (count <= maxFiles && it.hasNext) {
-        // DATA files only, the same name rule as hasDataFiles: counting
-        // `_SUCCESS`/`_temporary` would (a) inflate the compaction
-        // estimate and (b) let a dataless dir holding only markers read
-        // as estFiles > 0 — which seal's zero-key gate trusts as "index
-        // provably holds data", re-opening the orphan-sealed-log window
-        // the gate exists to close
-        val st = it.next()
-        val n = st.getPath.getName
-        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-          count += 1
+        if (isDataFile(root, it.next())) count += 1
       }
       h.estFiles = count
     }

@@ -720,6 +720,21 @@ class CurateRestartSpec extends AnyFunSuite {
     val out = CurateKeyIndex.guard(h, probe)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
       "a dataless index must pass the batch through unguarded")
+    // a part file stranded under `_temporary/` (crashed mid-write) is
+    // NOT data — Spark's own read excludes the tree, and the data-file
+    // rule must agree or a dataless dir reads as populated
+    val tempDir = idxDir.resolve("_temporary").resolve("0")
+    Files.createDirectories(tempDir)
+    val tmp2 = Files.createTempDirectory("graft_cor_stray2")
+    Seq(Tuple1(7L)).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(tmp2.toString)
+    Files.move(tmp2.toFile.listFiles()
+      .filter(_.getName.startsWith("part-")).head.toPath,
+      tempDir.resolve("part-stranded.parquet"))
+    val out2 = CurateKeyIndex.guard(
+      CurateKeyIndex.Handle(spark, cp, Seq("doc_id"), None), probe)
+    assert(out2.count() == 1,
+      "a _temporary-only index must stay a benign torn write")
     // index dir present but holding NEITHER data NOR params (torn
     // first write, or a manual cleanup that removed both): nothing is
     // indexed, so the guard no-ops — the 'holds data but its params
