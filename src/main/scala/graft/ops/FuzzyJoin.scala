@@ -138,15 +138,44 @@ object FuzzyJoin {
       .select(col("__lid").as(leftId), col("__rid").as(rightId), col("dist"))
   }
 
-  /** Self-join variant: unordered within-set pairs (id_a < id_b). */
+  /** Self-join variant: unordered within-set pairs (id_a < id_b).
+    *
+    * Dedicated path, not a delegation to [[editDistanceJoin]] with the
+    * same table on both sides: that shape paid everything twice — two
+    * cached copies of the identical exploded-gram table, two identical
+    * prefix-ranking windows, a doubled gram-frequency bag (2f preserves
+    * the (f asc, gram asc) order, so prefix selection is unchanged), and
+    * exact-levenshtein verification of BOTH orientations of every pair
+    * before the id_a < id_b cut. Here the explode, the frequency
+    * aggregate, and the ranking window run once, and the orientation cut
+    * happens BEFORE the distinct + string joins + levenshtein, halving
+    * the verify stage. Output is identical by the blocking-independence
+    * contract (exact verification; the prefix lemma covers unordered
+    * pairs, and every candidate pair still forms in at least one
+    * orientation of the single prefix table's self-join). */
   def editDistanceSelfJoin(
       df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, q: Int = 2): DataFrame =
-    editDistanceJoin(df, idCol, strCol,
-        df.select(col(idCol).as("__r_id"), col(strCol).as("__r_str")),
-        "__r_id", "__r_str", maxDist, q)
-      .filter(col(idCol) < col("__r_id"))
-      .select(col(idCol).as("id_a"), col("__r_id").as("id_b"), col("dist"))
+      maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q must be >= 2")
+    val s = df.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("str"))
+      .filter(col("str").isNotNull)
+    val exp = Dedup.maybeCache(
+      s.select(col("id"), explode(gramsArray(col("str"), q)).as("gram")))
+    val freq = exp.groupBy("gram").agg(count(lit(1)).as("f"))
+    val p = prefixGrams(exp, freq, q, maxDist)
+    val candidates = p.withColumnRenamed("id", "__lid")
+      .join(p.withColumnRenamed("id", "__rid"), "gram")
+      .filter(col("__lid") < col("__rid"))
+      .select("__lid", "__rid").distinct()
+    candidates
+      .join(s.select(col("id").as("__lid"), col("str").as("__ls")), "__lid")
+      .join(s.select(col("id").as("__rid"), col("str").as("__rs")), "__rid")
+      .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("__lid").as("id_a"), col("__rid").as("id_b"), col("dist"))
+  }
 
   /** Edit-distance near-dup collapse: the title/surface-form dedup pass —
     * within-maxDist pairs become components (typo chains A~B~C merge even

@@ -138,9 +138,10 @@ object Similarity {
     *
     * Scale shape: assignment is one map-side pass against broadcast
     * centroids (k·dim doubles ride inside the expression); the update
-    * shuffles only k×dim partial decimal sums per partition (posexplode +
-    * hash partial-agg on (cid, d)), never vectors; the driver holds k×dim
-    * doubles per round. Empty clusters keep their previous centroid. */
+    * shuffles only k rows × dim decimal-sum columns of partial-agg state
+    * per partition (one wide hash agg keyed by cid), never vectors; the
+    * driver holds k×dim doubles per round. Empty clusters keep their
+    * previous centroid. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Array[Array[Double]] =
     // the decimal-exact distance loop is CPU-heavy (k×dim BigDecimal ops
@@ -153,31 +154,45 @@ object Similarity {
     var centroids: Array[Array[Double]] = c
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (centroids.isEmpty) return centroids
+    val dim = centroids(0).length
     for (_ <- 0 until iters) {
-      // The cache() is a correctness-of-cost boundary, not a crutch:
-      // posexplode over a projected expression lets CollapseProject pull
-      // the assignment ABOVE the Generate, re-evaluating the k×dim
-      // distance loop once per exploded element (64× the work — measured
-      // 5 s/iteration vs 0.3 s for one honest pass). InMemoryRelation is
-      // a leaf the rule can't cross, so each row is assigned exactly once.
-      val assigned = c.select(col(vecCol).as("__v"),
+      // ONE wide aggregate per iteration: group by the assignment and sum
+      // each dimension as its own DECIMAL(38,18) column (dim is the
+      // centroid width — a model constant, never corpus-sized). Decimal
+      // addition is exact and order-independent, so per-(cid, d) sums are
+      // bit-identical to the former posexplode + groupBy(cid, d) pass;
+      // an earlier shape needed a cache() boundary because CollapseProject
+      // pulled the k×dim assignment loop above the Generate and re-ran it
+      // once per exploded element — with no Generate the assignment is
+      // the grouping key, evaluated once per row, and the iteration does
+      // ONE pass with no corpus-sized cache churn (guide §1.2: remove
+      // passes before tuning them).
+      val assigned = c.select(
         PipelineExpressions
-          .nearest_centroids(col(vecCol), centroids, 1)(0).as("cid"))
-        .cache()
-      try {
-        val sums = assigned
-          .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
-          .groupBy("cid", "d")
-          .agg(sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))")).as("s"),
-            count(lit(1)).as("n"))
-          .collect()
-        val next = centroids.map(_.clone())
-        sums.foreach { r =>
-          val (cid, d) = (r.getInt(0), r.getInt(1))
-          next(cid)(d) = r.getDecimal(2).doubleValue() / r.getLong(3)
+          .nearest_centroids(col(vecCol), centroids, 1)(0).as("cid"),
+        col(vecCol).as("__v"))
+      val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
+        sum(expr(s"CAST(CAST(element_at(__v, ${d + 1}) AS DOUBLE) " +
+          "AS DECIMAL(38,18))")).as(s"s$d"))
+      val rows = assigned.groupBy("cid").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = centroids.map(_.clone())
+      rows.foreach { r =>
+        val cid = r.getInt(0)
+        val n = r.getLong(1)
+        var d = 0
+        while (d < dim) {
+          // a null sum can only arise from rows shorter than the model
+          // dim (element_at past the end) — keep the previous coordinate,
+          // matching the empty-contribution behavior of the old per-(cid,
+          // d) grouping
+          if (!r.isNullAt(2 + d))
+            next(cid)(d) = r.getDecimal(2 + d).doubleValue() / n
+          d += 1
         }
-        centroids = next
-      } finally { assigned.unpersist(); () }
+      }
+      centroids = next
     }
     centroids
   }

@@ -97,13 +97,19 @@ object Sketch {
     val maxCells = df.sparkSession.conf
       .get("spark.graft.sketchMaxLiteralCells", (1L << 20).toString).toLong
     if (width.toLong * depth <= maxCells) {
-      val cells = countMin(df, itemCol, width, depth).collect()
-        .map(r => (r.getInt(0) * width.toLong + r.getLong(1)) -> r.getLong(2))
-        .toMap
-      val m = typedLit(cells)
+      // DENSE array literal, not a map literal: element_at on a map
+      // Literal is a linear scan of all d·w entries per probe (GetMapValue
+      // has no hash index), which made each row pay d·(d·w) comparisons —
+      // an array Literal indexes in O(1). Empty cells are real zeros, so
+      // the map path's coalesce disappears too.
+      val cells = new Array[Long](depth * width)
+      countMin(df, itemCol, width, depth).collect().foreach(r =>
+        cells(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+      val m = typedLit(cells.toSeq)
       val probes = (0 until depth).map(i =>
-        coalesce(element_at(m,
-          lit(i * width.toLong) + bucket(i, col(itemCol), width)), lit(0L)))
+        element_at(m,
+          (lit(i * width.toLong) + bucket(i, col(itemCol), width) + lit(1L))
+            .cast("int")))
       val est = if (depth == 1) probes.head else least(probes: _*)
       df.filter(est >= minCount)
         .groupBy(col(itemCol))

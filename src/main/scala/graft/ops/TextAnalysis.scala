@@ -262,9 +262,9 @@ object TextAnalysis {
       // DESCENDING [1, 0], not empty, so a 1-token doc would index past
       // its array instead of contributing no bigrams
       .filter(size(col("__w")) >= 2)
-    // cache boundary: four aggregates (bigram counts, prefix counts,
-    // vocab, the final per-doc join) consume `pairs` — without it each
-    // one re-scans and re-explodes the whole corpus (the kmeansOnSpread
+    // cache boundary: two corpus-sized consumers remain (the bigram-count
+    // aggregate and the final per-doc join probe) — without it each
+    // re-scans and re-explodes the whole corpus (the kmeansOnSpread
     // lesson applied to a query-shaped op)
     val pairs = Dedup.maybeCache(base
       .select(col(idCol), explode(expr(
@@ -273,9 +273,16 @@ object TextAnalysis {
           |              element_at(__w, i + 1) AS w2))""".stripMargin))
         .as("__bg"))
       .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2")))
+    // prefix counts and vocabulary DERIVE from the bigram-count table
+    // (exact-integer identities: C(w1·) = Σ_w2 C(w1,w2); V = |{w1}| =
+    // row count of the prefix table) instead of re-aggregating the full
+    // exploded corpus — two corpus-sized passes become vocabulary-bounded
+    // re-aggregations, and under AQE the bigram partial-agg exchange is
+    // shared between the join probe and the derivation (guide §2.3/§2.4:
+    // aggregate the smallest sufficient table, share the exchange).
     val big = pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
-    val uni = pairs.groupBy("__w1").agg(count(lit(1)).as("__c1"))
-    val vocab = pairs.agg(countDistinct(col("__w1")).as("__v"))
+    val uni = big.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
     val surprise = log(
       (col("__c1").cast("double") + col("__v").cast("double")) /
         (col("__c12").cast("double") + lit(1.0)))
@@ -318,12 +325,15 @@ object TextAnalysis {
     * trainer; vocab is a 1-row relation. */
   def lmCounts(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val pairs = Dedup.maybeCache(bigramPairs(docs, idCol, textCol))
-    (pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("c12"))
-       .select(col("__w1").as("w1"), col("__w2").as("w2"), col("c12")),
-     pairs.groupBy("__w1").agg(count(lit(1)).as("c1"))
-       .select(col("__w1").as("w1"), col("c1")),
-     pairs.agg(countDistinct(col("__w1")).cast("long").as("v")))
+    // same derived-aggregate shape as [[lmSurprise]]: prefixes and vocab
+    // fold the bigram-count table (vocabulary-bounded), not the corpus
+    val pairs = bigramPairs(docs, idCol, textCol)
+    val big = Dedup.maybeCache(
+      pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("c12")))
+    val uni = big.groupBy("__w1").agg(sum(col("c12")).as("c1"))
+    (big.select(col("__w1").as("w1"), col("__w2").as("w2"), col("c12")),
+     uni.select(col("__w1").as("w1"), col("c1")),
+     uni.agg(count(lit(1)).cast("long").as("v")))
   }
 
   /** Score documents under a FROZEN bigram LM from [[lmCounts]]: the
@@ -380,21 +390,28 @@ object TextAnalysis {
     * TakeOrdered for the cut. */
   def collocations(docs: DataFrame, textCol: String, minCount: Int = 5,
       topK: Int = 50): DataFrame = {
-    val pairs = Dedup.maybeCache(
-      Dedup.spread(docs.select(col(textCol)))
-        .select(split(col(textCol), " ").as("__w"))
-        .filter(size(col("__w")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(__w) - 1),
-            |  i -> struct(element_at(__w, i) AS w1,
-            |              element_at(__w, i + 1) AS w2))""".stripMargin))
-          .as("__bg"))
-        .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2")))
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("__c1"))
-    val c2 = pairs.groupBy("w2").agg(count(lit(1)).as("__c2"))
-    val n = pairs.agg(count(lit(1)).as("__n"))
+    // exploded pairs have exactly ONE consumer now (the pair-count
+    // aggregate below) — the cache boundary moved to the much narrower
+    // count table
+    val pairs = Dedup.spread(docs.select(col(textCol)))
+      .select(split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(__w) - 1),
+          |  i -> struct(element_at(__w, i) AS w1,
+          |              element_at(__w, i + 1) AS w2))""".stripMargin))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    // c1/c2/N derive from the UNFILTERED pair-count table (the lmSurprise
+    // derived-aggregate shape): Σ counts over the bigram vocabulary equal
+    // the corpus totals exactly, so three corpus-sized passes become
+    // vocabulary-bounded folds of one shared aggregate
+    val pc = Dedup.maybeCache(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")))
+    val big = pc.filter(col("n_pair") >= minCount)
+    val c1 = pc.groupBy("w1").agg(sum(col("n_pair")).as("__c1"))
+    val c2 = pc.groupBy("w2").agg(sum(col("n_pair")).as("__c2"))
+    val n = pc.agg(sum(col("n_pair")).as("__n"))
     val pmi = round(
       log(col("n_pair").cast("double")) + log(col("__n").cast("double")) -
         log(col("__c1").cast("double")) - log(col("__c2").cast("double")),
