@@ -223,10 +223,17 @@ object Sampling {
   def temperatureMixByTokens(df: DataFrame, keyCol: String,
       stratumCol: String, tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    // cache the totals: wsum folds IT, not a re-derivation of the
+    // caller's whole upstream plan — without the boundary the weight-sum
+    // chain re-evaluated the input corpus a second time (a third,
+    // counting the probe join below). Unconditional (not the maybeCache
+    // local-mode policy): the table is strata-bounded — a handful of
+    // rows at any corpus size — so the cache is safe on a cluster too.
     val totals = df.groupBy(col(stratumCol))
       .agg(sum(col(tokensCol)).cast("decimal(38,0)").as("__total"))
       .withColumn("__wgt",
         floor(sqrt(col("__total").cast("double"))).cast("decimal(38,0)"))
+      .cache()
     val wsum = totals.agg(sum(col("__wgt")).cast("decimal(38,0)").as("__wsum"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     df.join(broadcast(totals), Seq(stratumCol))

@@ -1028,13 +1028,16 @@ object PipelinePack extends QueryPack {
       val kept = TextAnalysis.gopherFilter(docs, "text")
         .filter(col("keep"))
         .select("doc_id", "source", "text")
-      val deduped = kept
+      // cache boundary: the mixer consumes the deduped corpus twice
+      // (stratum totals + the acceptance probe) — without it the whole
+      // gate + groupBy(text) chain re-evaluates per consumer
+      val deduped = graft.ops.Dedup.maybeCache(kept
         .groupBy(col("text"))
         // lexicographic struct min = the (unique) min-doc_id row WITH
         // its own source — never fields mixed from different rows
         .agg(min(struct(col("doc_id"), col("source"))).as("m"))
         .select(col("m.doc_id").as("doc_id"), col("m.source").as("source"),
-          size(split(col("text"), " ")).as("n_tok"))
+          size(split(col("text"), " ")).as("n_tok")))
       graft.ops.Sampling.temperatureMixByTokens(deduped, "doc_id",
         "source", "n_tok", budget = 5000L)
         .groupBy("source")
