@@ -458,12 +458,15 @@ object TextAnalysis {
   def tokenKlDrift(docs: DataFrame, groupCol: String,
       textCol: String, maxVocab: Option[Int] = None): DataFrame = {
     maxVocab.foreach(v => require(v > 0, s"maxVocab must be positive: $v"))
-    // cache boundary: four aggregates consume `toks` (see lmSurprise)
-    val toksAll = Dedup.maybeCache(
-      Dedup.spread(docs.select(col(groupCol), col(textCol)))
-        .select(col(groupCol), explode(split(col(textCol), " ")).as("__t")))
+    // uncapped: the exploded tokens have exactly ONE consumer (the
+    // (group, token) count aggregate) — a cache boundary here would pay
+    // a corpus-sized materialization for zero reuse; the capped path
+    // below has two consumers and caches
+    val toksAll0 = Dedup.spread(docs.select(col(groupCol), col(textCol)))
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("__t"))
+    lazy val toksAll = Dedup.maybeCache(toksAll0)
     val toks = maxVocab match {
-      case None => toksAll
+      case None => toksAll0
       case Some(v) =>
         // top-v tokens via TakeOrdered (orderBy+limit never globally
         // sorts); the kept-vocab table is ≤ v rows — AQE broadcasts the
