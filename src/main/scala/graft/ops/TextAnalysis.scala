@@ -280,7 +280,13 @@ object TextAnalysis {
     // re-aggregations, and under AQE the bigram partial-agg exchange is
     // shared between the join probe and the derivation (guide §2.3/§2.4:
     // aggregate the smallest sufficient table, share the exchange).
-    val big = pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    // the cache boundary on the COUNT table is what makes the derivation
+    // real: without it Catalyst re-derives big's whole subtree (another
+    // pairs scan + aggregate) under uni and vocab — the join's notnull
+    // pushdown makes those exchanges canonically different, so AQE stage
+    // reuse cannot fold them either
+    val big = Dedup.maybeCache(
+      pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12")))
     val uni = big.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
     val surprise = log(
