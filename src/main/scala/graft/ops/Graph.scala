@@ -72,6 +72,36 @@ object Graph {
       "damping must satisfy 0 < dampNum < dampDen")
     checkpointEvery.foreach(k =>
       require(k > 0, s"checkpointEvery must be positive: $k"))
+    // Small-graph fast path (the connectedComponents rationale): the
+    // recurrence is EXACT integer arithmetic (micro-unit ranks, floor
+    // divisions, rational damping), so a driver-side BigInt mirror is
+    // bit-identical to the distributed fixpoint — and each distributed
+    // iteration costs two joins + an aggregate of scheduler latency,
+    // which dominates on the small authority graphs (state-transition
+    // graphs, domain graphs) this op often runs on. Graphs whose edge
+    // AND node lists fit under `spark.graft.prLocalMaxEdges` (default
+    // 2¹⁹ rows; <= 0 disables) collect in one limit-probe each and
+    // iterate on the driver; bigger graphs (or null ids / duplicate
+    // node rows, whose join semantics the distributed path owns) fall
+    // through unchanged.
+    locally {
+      val spark = edges.sparkSession
+      val cap = spark.conf
+        .get("spark.graft.prLocalMaxEdges", (1 << 19).toString).toInt
+      if (cap > 0) {
+        val eProbe = edges.select(col(srcCol), col(dstCol),
+          col(wCol).cast(d38)).limit(cap + 1).collect()
+        if (eProbe.length <= cap &&
+            !eProbe.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
+          val nProbe = nodes.select(col(idCol)).limit(cap + 1).collect()
+          val nIds = nProbe.map(_.get(0))
+          if (nProbe.length <= cap && !nIds.contains(null) &&
+              nIds.distinct.length == nIds.length && nIds.nonEmpty)
+            return localPageRank(spark, eProbe, nIds,
+              nodes.schema(idCol).dataType, iters, dampNum, dampDen, unit)
+        }
+      }
+    }
     // Persist the iteration-invariant tables: every iteration re-reads
     // the edge list and the out-weights, and without a materialization
     // boundary Catalyst re-derives the caller's whole edge-building plan
@@ -112,6 +142,54 @@ object Graph {
         r = r.localCheckpoint()
     }
     r
+  }
+
+  /** Driver-side exact mirror of the distributed [[pageRank]] recurrence
+    * — BigInt micro-unit ranks, the same floor divisions in the same
+    * order, so the output is bit-identical (every distributed
+    * intermediate is a DECIMAL(38,0) integer; BigInt is a superset).
+    * Join semantics mirrored: edges whose src has no rank row drop;
+    * inflow to a dst outside the node list drops; nodes without inflow
+    * coalesce to 0. */
+  private def localPageRank(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row], nodeIds: Array[Any],
+      idType: org.apache.spark.sql.types.DataType, iters: Int,
+      dampNum: Int, dampDen: Int, unit: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val edgesL = edgeRows.map(r => (r.get(0), r.get(1),
+      BigInt(r.getDecimal(2).toBigInteger)))
+    val outw = new java.util.HashMap[Any, BigInt]()
+    edgesL.foreach { case (s, _, w) =>
+      outw.put(s, Option(outw.get(s)).getOrElse(BigInt(0)) + w) }
+    val nn = BigInt(nodeIds.length)
+    val uu = BigInt(unit)
+    val num = BigInt(dampNum); val den = BigInt(dampDen)
+    val tele = (den - num) * uu / (den * nn) // floor: operands >= 0
+    var r = new java.util.HashMap[Any, BigInt]()
+    nodeIds.foreach(id => r.put(id, uu / nn))
+    for (_ <- 1 to iters) {
+      val s = new java.util.HashMap[Any, BigInt]()
+      edgesL.foreach { case (src, dst, w) =>
+        val ru = r.get(src)
+        if (ru != null) { // mirror: e ⋈ r inner join on src
+          val c = ru * w / outw.get(src)
+          s.put(dst, Option(s.get(dst)).getOrElse(BigInt(0)) + c)
+        }
+      }
+      val next = new java.util.HashMap[Any, BigInt]()
+      nodeIds.foreach { id => // mirror: n left join inflow
+        val in = Option(s.get(id)).getOrElse(BigInt(0))
+        next.put(id, tele + num * in / den)
+      }
+      r = next
+    }
+    val out = new java.util.ArrayList[Row](nodeIds.length)
+    nodeIds.foreach(id =>
+      out.add(Row(id, new java.math.BigDecimal(r.get(id).bigInteger))))
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", idType, nullable = true),
+      StructField("ru", d38, nullable = true))))
   }
 
   /** Per-node triangle counts over an undirected graph — the clustering
