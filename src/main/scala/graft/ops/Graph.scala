@@ -213,11 +213,38 @@ object Graph {
     * Returns (id, n_triangles) for nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
-    val und = Dedup.maybeCache(edges.select(
+    val spark = edges.sparkSession
+    val canon = edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct())
+      .distinct()
+    // Small-graph fast path (the connectedComponents / pageRank
+    // rationale): everything here is exact integer counting over the
+    // canonical edge list, so a driver-side count is result-identical,
+    // while the distributed DAG pays three joins + an explode + an
+    // aggregate of scheduler latency. The canonicalized DISTINCT edges
+    // collect in one limit-probe (canonicalization itself — least/
+    // greatest under Spark ordering — happens in the probe's plan, so
+    // string order semantics are Spark's). Cap default 2¹⁶ edges: the
+    // local wedge count is O(m^1.5) worst-case, which at 65k edges is
+    // ~1.7e7 driver steps; bigger graphs go distributed.
+    val cap = spark.conf
+      .get("spark.graft.triLocalMaxEdges", (1 << 16).toString).toInt
+    val idType = canon.schema("a").dataType
+    val eligible = cap > 0 && (idType match {
+      case _: org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+    if (eligible) {
+      val probe = canon.limit(cap + 1).collect()
+      if (probe.length <= cap) return localTriangles(spark, probe, idType)
+    }
+    val und = Dedup.maybeCache(canon)
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // rank = (deg, id): a total order, so orientation is acyclic
@@ -248,5 +275,67 @@ object Graph {
       Seq("__v1", "__v2"))
     tri.select(explode(array(col("u"), col("__v1"), col("__v2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Driver-side exact mirror of the distributed [[triangleCounts]]
+    * tail: same degree-based orientation (total order (deg, id) with
+    * Spark's string ordering), same once-per-triangle counting —
+    * integer counts, so result-identical. Input is the already
+    * canonicalized distinct undirected edge list. */
+  private def localTriangles(spark: org.apache.spark.sql.SparkSession,
+      canonRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def less(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        x.longValue < y.longValue
+      case _ => throw new IllegalStateException(
+        s"localTriangles: unsupported id type ${a.getClass.getName}")
+    }
+    val deg = new java.util.HashMap[Any, Long]()
+    canonRows.foreach { r =>
+      deg.merge(r.get(0), 1L, (x, y) => x + y)
+      deg.merge(r.get(1), 1L, (x, y) => x + y)
+    }
+    def rankLess(x: Any, y: Any): Boolean = {
+      val dx = deg.get(x); val dy = deg.get(y)
+      dx < dy || (dx == dy && less(x, y))
+    }
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    val adjSet = new java.util.HashMap[Any, java.util.HashSet[Any]]()
+    canonRows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      val (u, v) = if (rankLess(a, b)) (a, b) else (b, a)
+      adj.computeIfAbsent(u, _ => new java.util.ArrayList[Any]()).add(v)
+      adjSet.computeIfAbsent(u, _ => new java.util.HashSet[Any]()).add(v)
+    }
+    val tri = new java.util.HashMap[Any, Long]()
+    adj.forEach { (u, vs) =>
+      var i = 0
+      while (i < vs.size) {
+        var j = i + 1
+        while (j < vs.size) {
+          val x = vs.get(i); val y = vs.get(j)
+          val (v1, v2) = if (rankLess(x, y)) (x, y) else (y, x)
+          val s = adjSet.get(v1)
+          if (s != null && s.contains(v2)) {
+            tri.merge(u, 1L, (p, q) => p + q)
+            tri.merge(v1, 1L, (p, q) => p + q)
+            tri.merge(v2, 1L, (p, q) => p + q)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val out = new java.util.ArrayList[Row](tri.size)
+    tri.forEach((id, n) => out.add(Row(id, n)))
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", idType, nullable = true),
+      StructField("n_triangles", LongType, nullable = true))))
   }
 }

@@ -95,6 +95,20 @@ class GraphSpec extends AnyFunSuite {
       Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("triangleCounts small-graph fast path matches the distributed DAG") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(500)((rnd.nextInt(60), rnd.nextInt(60)))
+      .toDF("src", "dst")
+    def run() = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val local = run()
+    spark.conf.set("spark.graft.triLocalMaxEdges", "0")
+    try assert(run() === local)
+    finally spark.conf.unset("spark.graft.triLocalMaxEdges")
+    assert(local.nonEmpty) // a 60-node/500-edge graph has triangles
+  }
+
   test("pageRank small-graph fast path matches the distributed fixpoint") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
