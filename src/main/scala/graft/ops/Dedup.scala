@@ -847,56 +847,11 @@ object Dedup {
     * frontier uses RELIABLE `checkpoint()` (survives executor loss, the
     * only safe mode mid-iteration on a real cluster); otherwise it falls
     * back to `localCheckpoint()`, fine for single-JVM runs. Convergence
-    * is detected with a `limit(1)` existence probe, not a full count.
-    *
-    * Small graphs (≤ `spark.graft.ccLocalMaxPairs` pairs, default 2¹⁹)
-    * skip the iterative machinery entirely: the pairs collect in ONE
-    * probe and a driver-side union-find produces the identical
-    * min-label output — the fixpoint costs ~6 Spark jobs PER ROUND in
-    * scheduler latency, which dominates when the pair graph is small
-    * (and near-dup graphs usually are). `maxIterations` bounds only the
-    * distributed rounds; the local path is exact. */
+    * is detected with a `limit(1)` existence probe, not a full count. */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
       maxIterations: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    // Small-graph fast path: the pair table is a near-dup graph — tiny
-    // relative to the corpus BY CONSTRUCTION (the banded LSH / prefix
-    // blocking emits verified near-dup pairs, a sliver of the row count),
-    // while the distributed fixpoint costs ~6 Spark jobs PER ITERATION
-    // (two joins, an aggregate, a localCheckpoint materialization, a
-    // convergence probe) — measured 3.8 s on a 256-pair graph at sf0.1,
-    // all scheduler latency. Probe with limit(cap+1): if the whole pair
-    // set arrives (ONE evaluation of the pair plan — no separate count
-    // pass), solve union-find driver-side; otherwise fall through to the
-    // iterative path. Driver state is bounded by the cap (same
-    // legitimacy class as the k-means centroid / count-min cell
-    // collects); results are IDENTICAL — each node labeled by the
-    // minimum id in its component under Spark's ordering (UTF8String
-    // binary order for strings). `spark.graft.ccLocalMaxPairs` tunes the
-    // cap; <= 0 disables the fast path.
-    val localCap = spark.conf
-      .get("spark.graft.ccLocalMaxPairs", (1 << 19).toString).toInt
-    val idType = pairs.schema(idACol).dataType
-    val localEligible = localCap > 0 &&
-      pairs.schema(idBCol).dataType == idType &&
-      (idType match {
-        case _: org.apache.spark.sql.types.LongType => true
-        case _: org.apache.spark.sql.types.IntegerType => true
-        case _: org.apache.spark.sql.types.ShortType => true
-        case _: org.apache.spark.sql.types.ByteType => true
-        case _: org.apache.spark.sql.types.StringType => true
-        case _ => false
-      })
-    if (localEligible) {
-      val probe = pairs.select(col(idACol), col(idBCol))
-        .limit(localCap + 1).collect()
-      if (probe.length <= localCap && !probe.exists(r => r.isNullAt(0) || r.isNullAt(1)))
-        return localComponents(spark, probe, idType)
-      // else: graph larger than the cap (or null endpoints — the
-      // distributed path's SQL semantics own those); fall through
-    }
-    val confDir = spark.conf.get("spark.graft.checkpointDir", "")
+    val sc = pairs.sparkSession.sparkContext
+    val confDir = pairs.sparkSession.conf.get("spark.graft.checkpointDir", "")
     if (confDir.nonEmpty && sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(confDir)
     val reliable = sc.getCheckpointDir.isDefined
     def save(df: DataFrame): DataFrame =
@@ -935,56 +890,6 @@ object Dedup {
       iter += 1
     }
     labels.select(col("id"), col("label").as("component_id"))
-  }
-
-  /** Driver-side union-find over a collected pair list — the
-    * [[connectedComponents]] small-graph fast path. Labels every node
-    * appearing in the pairs with the MINIMUM id of its component under
-    * Spark's ordering (numeric order; UTF8String binary order for
-    * strings) — exactly the fixpoint the distributed path converges to,
-    * so the two paths are result-identical. Path-halving find + union
-    * by smaller root; O(pairs · α) time, O(nodes) driver memory
-    * (bounded by the caller's collect cap). */
-  private def localComponents(spark: org.apache.spark.sql.SparkSession,
-      pairRows: Array[org.apache.spark.sql.Row],
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructField, StructType}
-    def less(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: String, y: String) =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(x)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        x.longValue < y.longValue
-      case _ => throw new IllegalStateException(
-        s"localComponents: unsupported id type ${a.getClass.getName}")
-    }
-    val parent = new java.util.HashMap[Any, Any]()
-    def find(x0: Any): Any = {
-      var x = x0
-      var p = parent.get(x)
-      while (p != null && p != x) {
-        val gp = parent.get(p)
-        if (gp != null && gp != p) { parent.put(x, gp); x = gp } // halving
-        else x = p
-        p = parent.get(x)
-      }
-      x
-    }
-    pairRows.foreach { r =>
-      val a = r.get(0); val b = r.get(1)
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        if (less(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
-      }
-    }
-    val out = new java.util.ArrayList[Row](parent.size)
-    parent.keySet.forEach(n => out.add(Row(n, find(n))))
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("id", idType, nullable = true),
-      StructField("component_id", idType, nullable = true))))
   }
 
   /** Corpus-level near-dup removal: given the corpus and a near-dup pair

@@ -72,36 +72,6 @@ object Graph {
       "damping must satisfy 0 < dampNum < dampDen")
     checkpointEvery.foreach(k =>
       require(k > 0, s"checkpointEvery must be positive: $k"))
-    // Small-graph fast path (the connectedComponents rationale): the
-    // recurrence is EXACT integer arithmetic (micro-unit ranks, floor
-    // divisions, rational damping), so a driver-side BigInt mirror is
-    // bit-identical to the distributed fixpoint — and each distributed
-    // iteration costs two joins + an aggregate of scheduler latency,
-    // which dominates on the small authority graphs (state-transition
-    // graphs, domain graphs) this op often runs on. Graphs whose edge
-    // AND node lists fit under `spark.graft.prLocalMaxEdges` (default
-    // 2¹⁹ rows; <= 0 disables) collect in one limit-probe each and
-    // iterate on the driver; bigger graphs (or null ids / duplicate
-    // node rows, whose join semantics the distributed path owns) fall
-    // through unchanged.
-    locally {
-      val spark = edges.sparkSession
-      val cap = spark.conf
-        .get("spark.graft.prLocalMaxEdges", (1 << 19).toString).toInt
-      if (cap > 0) {
-        val eProbe = edges.select(col(srcCol), col(dstCol),
-          col(wCol).cast(d38)).limit(cap + 1).collect()
-        if (eProbe.length <= cap &&
-            !eProbe.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
-          val nProbe = nodes.select(col(idCol)).limit(cap + 1).collect()
-          val nIds = nProbe.map(_.get(0))
-          if (nProbe.length <= cap && !nIds.contains(null) &&
-              nIds.distinct.length == nIds.length && nIds.nonEmpty)
-            return localPageRank(spark, eProbe, nIds,
-              nodes.schema(idCol).dataType, iters, dampNum, dampDen, unit)
-        }
-      }
-    }
     // Persist the iteration-invariant tables: every iteration re-reads
     // the edge list and the out-weights, and without a materialization
     // boundary Catalyst re-derives the caller's whole edge-building plan
@@ -144,54 +114,6 @@ object Graph {
     r
   }
 
-  /** Driver-side exact mirror of the distributed [[pageRank]] recurrence
-    * — BigInt micro-unit ranks, the same floor divisions in the same
-    * order, so the output is bit-identical (every distributed
-    * intermediate is a DECIMAL(38,0) integer; BigInt is a superset).
-    * Join semantics mirrored: edges whose src has no rank row drop;
-    * inflow to a dst outside the node list drops; nodes without inflow
-    * coalesce to 0. */
-  private def localPageRank(spark: org.apache.spark.sql.SparkSession,
-      edgeRows: Array[org.apache.spark.sql.Row], nodeIds: Array[Any],
-      idType: org.apache.spark.sql.types.DataType, iters: Int,
-      dampNum: Int, dampDen: Int, unit: Long): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructField, StructType}
-    val edgesL = edgeRows.map(r => (r.get(0), r.get(1),
-      BigInt(r.getDecimal(2).toBigInteger)))
-    val outw = new java.util.HashMap[Any, BigInt]()
-    edgesL.foreach { case (s, _, w) =>
-      outw.put(s, Option(outw.get(s)).getOrElse(BigInt(0)) + w) }
-    val nn = BigInt(nodeIds.length)
-    val uu = BigInt(unit)
-    val num = BigInt(dampNum); val den = BigInt(dampDen)
-    val tele = (den - num) * uu / (den * nn) // floor: operands >= 0
-    var r = new java.util.HashMap[Any, BigInt]()
-    nodeIds.foreach(id => r.put(id, uu / nn))
-    for (_ <- 1 to iters) {
-      val s = new java.util.HashMap[Any, BigInt]()
-      edgesL.foreach { case (src, dst, w) =>
-        val ru = r.get(src)
-        if (ru != null) { // mirror: e ⋈ r inner join on src
-          val c = ru * w / outw.get(src)
-          s.put(dst, Option(s.get(dst)).getOrElse(BigInt(0)) + c)
-        }
-      }
-      val next = new java.util.HashMap[Any, BigInt]()
-      nodeIds.foreach { id => // mirror: n left join inflow
-        val in = Option(s.get(id)).getOrElse(BigInt(0))
-        next.put(id, tele + num * in / den)
-      }
-      r = next
-    }
-    val out = new java.util.ArrayList[Row](nodeIds.length)
-    nodeIds.foreach(id =>
-      out.add(Row(id, new java.math.BigDecimal(r.get(id).bigInteger))))
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("id", idType, nullable = true),
-      StructField("ru", d38, nullable = true))))
-  }
-
   /** Per-node triangle counts over an undirected graph — the clustering
     * /community signal (a node's triangle count is the numerator of its
     * local clustering coefficient; spam/bot subgraphs and topical
@@ -213,38 +135,11 @@ object Graph {
     * Returns (id, n_triangles) for nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
-    val spark = edges.sparkSession
-    val canon = edges.select(
+    val und = Dedup.maybeCache(edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct()
-    // Small-graph fast path (the connectedComponents / pageRank
-    // rationale): everything here is exact integer counting over the
-    // canonical edge list, so a driver-side count is result-identical,
-    // while the distributed DAG pays three joins + an explode + an
-    // aggregate of scheduler latency. The canonicalized DISTINCT edges
-    // collect in one limit-probe (canonicalization itself — least/
-    // greatest under Spark ordering — happens in the probe's plan, so
-    // string order semantics are Spark's). Cap default 2¹⁶ edges: the
-    // local wedge count is O(m^1.5) worst-case, which at 65k edges is
-    // ~1.7e7 driver steps; bigger graphs go distributed.
-    val cap = spark.conf
-      .get("spark.graft.triLocalMaxEdges", (1 << 16).toString).toInt
-    val idType = canon.schema("a").dataType
-    val eligible = cap > 0 && (idType match {
-      case _: org.apache.spark.sql.types.LongType => true
-      case _: org.apache.spark.sql.types.IntegerType => true
-      case _: org.apache.spark.sql.types.ShortType => true
-      case _: org.apache.spark.sql.types.ByteType => true
-      case _: org.apache.spark.sql.types.StringType => true
-      case _ => false
-    })
-    if (eligible) {
-      val probe = canon.limit(cap + 1).collect()
-      if (probe.length <= cap) return localTriangles(spark, probe, idType)
-    }
-    val und = Dedup.maybeCache(canon)
+      .distinct())
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // rank = (deg, id): a total order, so orientation is acyclic
@@ -275,67 +170,5 @@ object Graph {
       Seq("__v1", "__v2"))
     tri.select(explode(array(col("u"), col("__v1"), col("__v2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-  }
-
-  /** Driver-side exact mirror of the distributed [[triangleCounts]]
-    * tail: same degree-based orientation (total order (deg, id) with
-    * Spark's string ordering), same once-per-triangle counting —
-    * integer counts, so result-identical. Input is the already
-    * canonicalized distinct undirected edge list. */
-  private def localTriangles(spark: org.apache.spark.sql.SparkSession,
-      canonRows: Array[org.apache.spark.sql.Row],
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    def less(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: String, y: String) =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(x)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        x.longValue < y.longValue
-      case _ => throw new IllegalStateException(
-        s"localTriangles: unsupported id type ${a.getClass.getName}")
-    }
-    val deg = new java.util.HashMap[Any, Long]()
-    canonRows.foreach { r =>
-      deg.merge(r.get(0), 1L, (x, y) => x + y)
-      deg.merge(r.get(1), 1L, (x, y) => x + y)
-    }
-    def rankLess(x: Any, y: Any): Boolean = {
-      val dx = deg.get(x); val dy = deg.get(y)
-      dx < dy || (dx == dy && less(x, y))
-    }
-    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
-    val adjSet = new java.util.HashMap[Any, java.util.HashSet[Any]]()
-    canonRows.foreach { r =>
-      val (a, b) = (r.get(0), r.get(1))
-      val (u, v) = if (rankLess(a, b)) (a, b) else (b, a)
-      adj.computeIfAbsent(u, _ => new java.util.ArrayList[Any]()).add(v)
-      adjSet.computeIfAbsent(u, _ => new java.util.HashSet[Any]()).add(v)
-    }
-    val tri = new java.util.HashMap[Any, Long]()
-    adj.forEach { (u, vs) =>
-      var i = 0
-      while (i < vs.size) {
-        var j = i + 1
-        while (j < vs.size) {
-          val x = vs.get(i); val y = vs.get(j)
-          val (v1, v2) = if (rankLess(x, y)) (x, y) else (y, x)
-          val s = adjSet.get(v1)
-          if (s != null && s.contains(v2)) {
-            tri.merge(u, 1L, (p, q) => p + q)
-            tri.merge(v1, 1L, (p, q) => p + q)
-            tri.merge(v2, 1L, (p, q) => p + q)
-          }
-          j += 1
-        }
-        i += 1
-      }
-    }
-    val out = new java.util.ArrayList[Row](tri.size)
-    tri.forEach((id, n) => out.add(Row(id, n)))
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("id", idType, nullable = true),
-      StructField("n_triangles", LongType, nullable = true))))
   }
 }

@@ -314,9 +314,6 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ccckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
-    // force the DISTRIBUTED path: this test pins the checkpoint
-    // machinery, which the small-graph union-find fast path skips
-    spark.conf.set("spark.graft.ccLocalMaxPairs", "0")
     val plain = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     spark.conf.set("spark.graft.checkpointDir", dir)
@@ -330,43 +327,7 @@ class DedupSpec extends AnyFunSuite {
       def fileCount(f: java.io.File): Int =
         if (f.isDirectory) f.listFiles().map(fileCount).sum else 1
       assert(fileCount(new java.io.File(dir)) > 0)
-    } finally {
-      spark.conf.unset("spark.graft.checkpointDir")
-      spark.conf.unset("spark.graft.ccLocalMaxPairs")
-    }
-  }
-
-  test("CC small-graph fast path matches the distributed fixpoint (randomized)") {
-    import spark.implicits._
-    val rnd = new scala.util.Random(42)
-    val pairs = Seq.fill(400)(
-      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).toDF("id_a", "id_b")
-    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    spark.conf.set("spark.graft.ccLocalMaxPairs", "0")
-    try {
-      val dist = Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(local == dist)
-    } finally spark.conf.unset("spark.graft.ccLocalMaxPairs")
-  }
-
-  test("CC fast path handles string ids (Spark ordering) and the cap fallback") {
-    import spark.implicits._
-    val pairs = Seq(("beta", "alpha"), ("alpha", "zeta"), ("x", "y"))
-      .toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(cc == Map("alpha" -> "alpha", "beta" -> "alpha",
-      "zeta" -> "alpha", "x" -> "x", "y" -> "x"))
-    // a cap smaller than the pair count falls through to the
-    // distributed path and produces the same labels
-    spark.conf.set("spark.graft.ccLocalMaxPairs", "2")
-    try {
-      val dist = Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(dist == cc)
-    } finally spark.conf.unset("spark.graft.ccLocalMaxPairs")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
   test("connected components label every cluster with its minimum id") {

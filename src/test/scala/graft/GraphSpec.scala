@@ -95,51 +95,10 @@ class GraphSpec extends AnyFunSuite {
       Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
   }
 
-  test("triangleCounts small-graph fast path matches the distributed DAG") {
-    import spark.implicits._
-    val rnd = new scala.util.Random(13)
-    val edges = Seq.fill(500)((rnd.nextInt(60), rnd.nextInt(60)))
-      .toDF("src", "dst")
-    def run() = Graph.triangleCounts(edges, "src", "dst")
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val local = run()
-    spark.conf.set("spark.graft.triLocalMaxEdges", "0")
-    try assert(run() === local)
-    finally spark.conf.unset("spark.graft.triLocalMaxEdges")
-    assert(local.nonEmpty) // a 60-node/500-edge graph has triangles
-  }
-
-  test("pageRank small-graph fast path matches the distributed fixpoint") {
-    import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val edges = Seq.fill(300)((rnd.nextInt(40), rnd.nextInt(40),
-      (rnd.nextInt(9) + 1).toLong)).toDF("src", "dst", "w")
-    val nodes = (0 until 40).toDF("id")
-    def run() = Graph.pageRank(edges, "src", "dst", "w", nodes, "id",
-        iters = 5).collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
-    val local = run()
-    spark.conf.set("spark.graft.prLocalMaxEdges", "0")
-    try assert(run() === local)
-    finally spark.conf.unset("spark.graft.prLocalMaxEdges")
-  }
-
-  test("pageRank fast path: duplicate node rows fall back to the distributed path") {
-    import spark.implicits._
-    val edges = Seq((1, 2, 1L)).toDF("src", "dst", "w")
-    // duplicate node id: the distributed join semantics own this shape;
-    // the fast path must decline (it would otherwise dedupe the row)
-    val withDup = Graph.pageRank(edges, "src", "dst", "w",
-      Seq(1, 2, 2).toDF("id"), "id", iters = 1)
-    assert(withDup.count() === 3)
-  }
-
   test("checkpointEvery: 25 iterations, values unchanged, lineage bounded") {
     import spark.implicits._
     val edges = Seq((1, 2, 1L), (2, 3, 1L), (3, 1, 1L), (1, 3, 2L))
     val nodes = Seq(1, 2, 3)
-    // pin the DISTRIBUTED path: this test asserts plan-lineage shape,
-    // which the small-graph driver fast path never builds
-    spark.conf.set("spark.graft.prLocalMaxEdges", "0")
     def rank(cp: Option[Int]) =
       Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
           nodes.toDF("id"), "id", iters = 25, checkpointEvery = cp)
@@ -158,6 +117,5 @@ class GraphSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       rank(Some(0))
     }.getMessage.contains("checkpointEvery"))
-    spark.conf.unset("spark.graft.prLocalMaxEdges")
   }
 }
