@@ -80,16 +80,22 @@ object FuzzyJoin {
     * ONCE per side and shared with the frequency aggregate; gramsArray is
     * distinct per id, so the per-id row count IS the gram-set size. */
   private def prefixGrams(exploded: DataFrame, freq: DataFrame,
-      q: Int, k: Int): DataFrame = {
+      q: Int, k: Int, carry: Seq[String] = Nil): DataFrame = {
+    // `carry`: per-id payload columns (constant within an id, e.g. the
+    // string length) threaded through so candidate pairs can be
+    // length-banded BEFORE the pair distinct — they ride the window
+    // and the small-set aggregate unchanged (grouping on a per-id
+    // constant splits nothing).
     val ranked = exploded.join(freq, "gram")
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("f").asc, col("gram").asc)))
       .filter(col("rn") <= q * k + 1)
-      .select("id", "gram")
+      .select("id", ("gram" +: carry): _*)
     val smallRows = exploded
-      .groupBy("id").agg(count(lit(1)).as("__ng"))
+      .groupBy("id", carry: _*).agg(count(lit(1)).as("__ng"))
       .filter(col("__ng") <= q * k)
-      .select(col("id"), lit(shortSentinel(q)).as("gram"))
+      .select(col("id") +: lit(shortSentinel(q)).as("gram") +:
+        carry.map(col): _*)
     ranked.unionByName(smallRows)
   }
 
@@ -113,21 +119,32 @@ object FuzzyJoin {
     // each side's exploded gram table is built once and reused three
     // ways (frequency bag, prefix ranking, gram-set size); maybeCache
     // keeps the reuse from recomputing the explode in local runs while
-    // leaving cluster runs streaming (Dedup's signature-cache policy)
+    // leaving cluster runs streaming (Dedup's signature-cache policy).
+    // The string length rides along (one int per exploded row): the
+    // Ed-Join length band |len(a)−len(b)| ≤ maxDist is a NECESSARY
+    // condition for ed ≤ maxDist, so applying it at candidate
+    // generation prunes pairs BEFORE the distinct's shuffle and the
+    // two string joins instead of after them.
     val lexp = Dedup.maybeCache(
-      l.select(col("id"), explode(gramsArray(col("str"), q)).as("gram")))
+      l.select(col("id"), explode(gramsArray(col("str"), q)).as("gram"),
+        length(col("str")).as("__len")))
     val rexp = Dedup.maybeCache(
-      r.select(col("id"), explode(gramsArray(col("str"), q)).as("gram")))
+      r.select(col("id"), explode(gramsArray(col("str"), q)).as("gram"),
+        length(col("str")).as("__len")))
 
     // one global gram-frequency table spanning both sides
     val freq = lexp.select("gram").unionByName(rexp.select("gram"))
       .groupBy("gram").agg(count(lit(1)).as("f"))
 
-    val lp = prefixGrams(lexp, freq, q, maxDist)
+    val lp = prefixGrams(lexp, freq, q, maxDist, carry = Seq("__len"))
       .withColumnRenamed("id", "__lid")
-    val rp = prefixGrams(rexp, freq, q, maxDist)
+      .withColumnRenamed("__len", "__llen")
+    val rp = prefixGrams(rexp, freq, q, maxDist, carry = Seq("__len"))
       .withColumnRenamed("id", "__rid")
-    val candidates = lp.join(rp, "gram").select("__lid", "__rid").distinct()
+      .withColumnRenamed("__len", "__rlen")
+    val candidates = lp.join(rp, "gram")
+      .filter(abs(col("__llen") - col("__rlen")) <= maxDist)
+      .select("__lid", "__rid").distinct()
 
     candidates
       .join(l.select(col("id").as("__lid"), col("str").as("__ls")), "__lid")
@@ -161,12 +178,19 @@ object FuzzyJoin {
     val s = df.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("str"))
       .filter(col("str").isNotNull)
     val exp = Dedup.maybeCache(
-      s.select(col("id"), explode(gramsArray(col("str"), q)).as("gram")))
-    val freq = exp.groupBy("gram").agg(count(lit(1)).as("f"))
-    val p = prefixGrams(exp, freq, q, maxDist)
+      s.select(col("id"), explode(gramsArray(col("str"), q)).as("gram"),
+        length(col("str")).as("__len")))
+    val freq = exp.select("gram").groupBy("gram").agg(count(lit(1)).as("f"))
+    val p = prefixGrams(exp, freq, q, maxDist, carry = Seq("__len"))
+    // same Ed-Join length band as the two-sided path: necessary for
+    // ed ≤ maxDist, so pruning here (before the pair distinct and the
+    // string joins) never loses a pair
     val candidates = p.withColumnRenamed("id", "__lid")
-      .join(p.withColumnRenamed("id", "__rid"), "gram")
-      .filter(col("__lid") < col("__rid"))
+      .withColumnRenamed("__len", "__llen")
+      .join(p.withColumnRenamed("id", "__rid")
+        .withColumnRenamed("__len", "__rlen"), "gram")
+      .filter(col("__lid") < col("__rid") &&
+        abs(col("__llen") - col("__rlen")) <= maxDist)
       .select("__lid", "__rid").distinct()
     candidates
       .join(s.select(col("id").as("__lid"), col("str").as("__ls")), "__lid")

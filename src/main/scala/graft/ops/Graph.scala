@@ -26,9 +26,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale shape: each iteration is ONE equi-join of the rank table onto the
   * edge list (shuffle on src — or broadcast, AQE's call, when the rank
-  * table is small) plus ONE partial-agg'd groupBy(dst); the out-weight
-  * table is computed once. Driver state: none — the node count rides a
-  * 1-row broadcast (the BM25 corpus-stats pattern). Lineage grows
+  * table is small) plus ONE partial-agg'd groupBy(dst); the per-source
+  * out-weight is attached to the cached edge list once, by a
+  * whole-partition window sum in the materializing pass, so no iteration
+  * re-joins it. Driver state: none — the node count rides a 1-row
+  * broadcast (the BM25 corpus-stats pattern). Lineage grows
   * per-iteration; past ~20 iterations callers should checkpoint between
   * calls.
   *
@@ -80,16 +82,30 @@ object Graph {
     // MEMORY_AND_DISK, so oversized edge lists spill rather than OOM —
     // the same trade Pregel-style graph engines make (edges are
     // materialized once, iterated many times).
+    //
+    // The per-source out-weight is ALSO iteration-invariant, so it is
+    // attached to the edge list ONCE here rather than re-joined every
+    // iteration: a whole-partition window sum (no ORDER BY → one value
+    // per src) computes it in the SAME pass that materializes the cache
+    // — one shuffle by src, no self-join, the caller's edge plan
+    // evaluated exactly once. Each iteration then pays a single
+    // rank⋈edge join instead of rank⋈edge⋈outw — one less edge-sized
+    // shuffle join per iteration at any scale, for one extra
+    // DECIMAL(38,0) column in the cached edge table. Values are
+    // untouched (the same ⌊ru·w/ow⌋ from the same operands; decimal
+    // addition is exact and order-independent).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast(d38).as("w")).cache()
+        col(wCol).cast(d38).as("w"))
+      .withColumn("ow", sum(col("w"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("src"))
+        .cast(d38))
+      .cache()
     // the node list is read by the init rank, the count, and every
     // iteration's rebuild — when it derives from a non-trivial plan
     // (e.g. the transition-graph composition, where it carries the
     // corpus window), leaving it un-cached re-derives that plan once
     // per REFERENCE; same MEMORY_AND_DISK trade as the edge list
     val n = nodes.select(col(idCol).as("id")).cache()
-    val outw = e.groupBy("src").agg(sum(col("w")).cast(d38).as("ow"))
-      .cache()
     val nn = n.agg(count(lit(1)).cast(d38).as("nn"))
     val uu = lit(unit).cast(d38)
     val tele = fdiv(lit(dampDen - dampNum).cast(d38) * uu,
@@ -99,7 +115,6 @@ object Graph {
       .select(col("id"), fdiv(uu, col("nn")).as("ru"))
     for (it <- 1 to iters) {
       val inflow = e.join(r, col("src") === col("id"))
-        .join(outw, "src")
         .select(col("dst"), fdiv(col("ru") * col("w"), col("ow")).as("c"))
         .groupBy("dst").agg(sum(col("c")).cast(d38).as("s"))
       r = n.crossJoin(broadcast(nn))
