@@ -895,23 +895,25 @@ object Dedup {
   /** Corpus-level near-dup removal: given the corpus and a near-dup pair
     * set, keep ONE canonical document per duplicate cluster (the minimum
     * id) and every unclustered document, annotated with the cluster size
-    * (`n_dups` = 1 for documents with no near-duplicate). The loser set
-    * (clustered non-canonical ids) is tiny relative to the corpus, so the
-    * final anti-join broadcasts at scale — the corpus itself never
-    * shuffles. */
+    * (`n_dups` = 1 for documents with no near-duplicate). The paired
+    * subset (every id in some pair) is tiny relative to the corpus, so
+    * its per-id verdict table broadcasts at scale — the corpus pays ONE
+    * left join + filter and never shuffles (previously two passes: a
+    * loser anti-join, then a canonical left join). */
   def canonicalCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
       idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
     val cc = connectedComponents(pairs, idACol, idBCol)
     val sizes = cc.groupBy("component_id").agg(count(lit(1)).as("__n"))
-    val canon = cc.filter(col("id") === col("component_id"))
-      .join(sizes, "component_id")
-      .select(col("id").as("__cid"), col("__n"))
-    val losers = cc.filter(col("id") =!= col("component_id"))
-      .select(col("id").as("__lid"))
-    docs.join(losers, docs(idCol) === col("__lid"), "left_anti")
-      .join(canon, docs(idCol) === col("__cid"), "left")
+    // per-paired-id verdict: __n non-null iff the id is its component's
+    // canonical (minimum) member — one component-bounded join; unpaired
+    // corpus ids simply miss the verdict table
+    val verdict = cc.join(sizes, "component_id")
+      .select(col("id").as("__vid"),
+        when(col("id") === col("component_id"), col("__n")).as("__n"))
+    docs.join(verdict, docs(idCol) === col("__vid"), "left")
+      .filter(col("__vid").isNull || col("__n").isNotNull)
       .withColumn("n_dups", coalesce(col("__n"), lit(1L)))
-      .drop("__cid", "__n")
+      .drop("__vid", "__n")
   }
 
   /** Quality-priority near-dup removal: like [[canonicalCorpus]], but the
@@ -923,11 +925,14 @@ object Dedup {
     * paired document.
     *
     * Same scale shape as [[canonicalCorpus]]: components and the argmax
-    * run over the paired subset only (tiny relative to the corpus), the
-    * corpus itself joins on id twice (anti for losers, inner for
-    * keepers) — AQE broadcasts both small sides, the corpus never
-    * shuffles. The argmax is `min(struct(-priority, id))` — one partial
-    * agg, no per-cluster window. */
+    * run over the paired subset only (tiny relative to the corpus); the
+    * per-paired-id verdict table broadcasts at scale, so the corpus pays
+    * ONE left join + filter — previously it was scanned twice (an
+    * anti-join pass for unpaired survivors, an inner join for keepers)
+    * and unioned. The priority lookup is the only other corpus read and
+    * stays column-pruned to (id, priority). The argmax is
+    * `min(struct(-priority, id))` — one partial agg, no per-cluster
+    * window. */
   def canonicalCorpusBy(docs: DataFrame, pairs: DataFrame, idCol: String,
       priorityCol: String, idACol: String = "id_a",
       idBCol: String = "id_b"): DataFrame = {
@@ -937,17 +942,16 @@ object Dedup {
     val best = cc.join(pri, col("id") === col("__pid"))
       .groupBy("component_id")
       .agg(min(struct((-col("__p")).as("np"), col("id").as("id"))).as("__b"))
-      .select(col("__b.id").as("__keep_id"), col("component_id"))
-      .join(sizes, "component_id")
-      .select(col("__keep_id"), col("__n"))
-    val anyPaired = cc.select(col("id").as("__anyid"))
-    val unpaired = docs
-      .join(anyPaired, docs(idCol) === col("__anyid"), "left_anti")
-      .withColumn("n_dups", lit(1L))
-    val keptPaired = docs.join(best, docs(idCol) === col("__keep_id"))
-      .withColumn("n_dups", col("__n"))
-      .drop("__keep_id", "__n")
-    unpaired.unionByName(keptPaired)
+      .select(col("component_id"), col("__b.id").as("__keep_id"))
+    // per-paired-id verdict: __n non-null iff this id is its component's
+    // argmax keeper — component-bounded joins only
+    val verdict = cc.join(best, "component_id").join(sizes, "component_id")
+      .select(col("id").as("__vid"),
+        when(col("id") === col("__keep_id"), col("__n")).as("__n"))
+    docs.join(verdict, docs(idCol) === col("__vid"), "left")
+      .filter(col("__vid").isNull || col("__n").isNotNull)
+      .withColumn("n_dups", coalesce(col("__n"), lit(1L)))
+      .drop("__vid", "__n")
   }
 
   /** Banded-LSH embedding near-dups — the sub-quadratic scale path for

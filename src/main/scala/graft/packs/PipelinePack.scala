@@ -1030,14 +1030,24 @@ object PipelinePack extends QueryPack {
         .select("doc_id", "source", "text")
       // cache boundary: the mixer consumes the deduped corpus twice
       // (stratum totals + the acceptance probe) — without it the whole
-      // gate + groupBy(text) chain re-evaluates per consumer
+      // gate + dedup chain re-evaluates per consumer.
+      // The dedup keys on md5(text), not text (the Dedup.exact
+      // convention, ops/Dedup.scala): the output needs only
+      // (doc_id, source, n_tok), so with n_tok computed map-side the
+      // aggregate shuffles a constant-width digest per row instead of
+      // document bytes, and the min(struct) SortAggregate sorts 32-char
+      // keys instead of documents
       val deduped = graft.ops.Dedup.maybeCache(kept
-        .groupBy(col("text"))
+        .select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .groupBy(col("__h"))
         // lexicographic struct min = the (unique) min-doc_id row WITH
         // its own source — never fields mixed from different rows
-        .agg(min(struct(col("doc_id"), col("source"))).as("m"))
+        // (n_tok is constant within a group: identical text)
+        .agg(min(struct(col("doc_id"), col("source"), col("n_tok")))
+          .as("m"))
         .select(col("m.doc_id").as("doc_id"), col("m.source").as("source"),
-          size(split(col("text"), " ")).as("n_tok")))
+          col("m.n_tok").as("n_tok")))
       graft.ops.Sampling.temperatureMixByTokens(deduped, "doc_id",
         "source", "n_tok", budget = 5000L)
         .groupBy("source")

@@ -381,6 +381,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L, 8L -> 1L))
   }
 
+  test("canonical keep is one corpus pass — no anti-join, no union") {
+    import spark.implicits._
+    // r18 shape pin: the per-paired-id verdict table makes the corpus
+    // pay ONE left join + filter; the old two-pass shape (loser
+    // anti-join, keeper inner join + union) must not come back
+    val docs = (1L to 50L).map(i => (i, i % 7)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val p1 = Dedup.canonicalCorpus(docs, pairs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("LeftAnti"), p1.take(2000))
+    assert(!p1.contains("Union"), p1.take(2000))
+    val p2 = Dedup.canonicalCorpusBy(docs, pairs, "doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("LeftAnti"), p2.take(2000))
+    assert(!p2.contains("Union"), p2.take(2000))
+  }
+
   test("canonicalCorpusBy keeps the max-priority doc per cluster, tie->min id") {
     import spark.implicits._
     val docs = Seq(
