@@ -856,8 +856,19 @@ object Dedup {
     val reliable = sc.getCheckpointDir.isDefined
     def save(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // mirror each pair in ONE pass (explode of the two orientations),
+    // not a self-union: the union's two branches differ in their final
+    // projection, so the caller's pair plan — typically a banded
+    // candidate join + an exact verify, the expensive part of any
+    // near-dup operator — would evaluate TWICE inside this checkpoint
+    // (stage reuse cannot dedupe subtrees with different projections).
+    // Measured on q_engine_semantic_incremental: the pair-bearing
+    // localCheckpoint actions dominated the run.
     val p = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
-    val edges = save(p.union(p.select(col("v").as("u"), col("u").as("v")))
+    val edges = save(p.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .distinct())
     // init: label(v) = min(v, min direct neighbor)
     var labels = save(edges.groupBy("u").agg(min(col("v")).as("mn"))
