@@ -19,6 +19,116 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PipelineExpressions {
 
+  /** Exact DECIMAL(38,18)-sum accumulator in 128-bit fixed point — the
+    * hot-loop replacement for `new BigDecimal(t).setScale(18, HALF_UP)`
+    * summed with `BigDecimal.add`, which costs an exact-binary-expansion
+    * allocation plus a BigInteger division PER TERM (the expansion of a
+    * small double runs to hundreds of digits). The contract is identical:
+    * each term contributes round-half-up(t · 10^18) as an exact integer,
+    * the integer sum is exact, and one conversion happens at the end —
+    * decimal addition is associative and exact, so regrouping terms
+    * between the fast 128-bit path and the rare BigDecimal fallback
+    * cannot change the result. Parity with the reference formulation is
+    * pinned by ExpressionPropertySpec across magnitudes, signs,
+    * subnormals and exact-tie cases.
+    *
+    * Fast path: t = ±m·2^e (IEEE bits); scaled = m·10^18 (< 2^113, two
+    * longs via multiplyHigh) shifted by e with half-up rounding on the
+    * dropped bits, accumulated into a signed 128-bit (hi, lo) pair.
+    * Terms with |t| ≥ 2^53 (e > 0) and non-finite values take the
+    * BigDecimal path (the latter throws NumberFormatException exactly
+    * like the reference). The accumulator spills to BigDecimal long
+    * before 128-bit overflow (|hi| > 2^62 with per-term growth < 2^50). */
+  private[graft] final class Dec18Acc {
+    private var hi = 0L // signed high 64 bits of Σ round(t·10^18)
+    private var lo = 0L // low 64 bits (unsigned)
+    private var slow: java.math.BigDecimal = null
+    private final val Ten18 = 1000000000000000000L
+
+    def add(t: Double): Unit = {
+      if (t == 0.0) return
+      val bits = java.lang.Double.doubleToRawLongBits(t)
+      val rawExp = ((bits >>> 52) & 0x7FF).toInt
+      if (rawExp == 0x7FF) { addSlow(t); return } // NaN/Inf: reference throws
+      val frac = bits & 0x000FFFFFFFFFFFFFL
+      var m = 0L
+      var e = 0
+      if (rawExp == 0) { m = frac; e = -1074 }
+      else { m = frac | (1L << 52); e = rawExp - 1075 }
+      if (e > 0) { addSlow(t); return } // |t| ≥ 2^53 — outside the fast range
+      // t128 = m · 10^18  (m < 2^53, 10^18 < 2^60 ⇒ t128 < 2^113)
+      var thi = java.lang.Math.multiplyHigh(m, Ten18)
+      var tlo = m * Ten18
+      val s = -e
+      if (s > 113) { thi = 0L; tlo = 0L } // half = 2^(s-1) ≥ 2^113 > t128 ⇒ 0
+      else if (s > 0) {
+        // round-half-up on the magnitude: increment iff bit (s-1) is set
+        val roundUp =
+          if (s <= 64) (tlo >>> (s - 1)) & 1L
+          else (thi >>> (s - 65)) & 1L
+        if (s < 64) {
+          tlo = (tlo >>> s) | (thi << (64 - s))
+          thi = thi >>> s
+        } else {
+          tlo = thi >>> (s - 64) // s ≥ 64: low word comes from the high word
+          thi = 0L
+        }
+        if (roundUp == 1L) {
+          tlo += 1L
+          if (tlo == 0L) thi += 1L
+        }
+      }
+      if (bits < 0) { // negate (two's complement) — HALF_UP is sign-symmetric
+        thi = ~thi
+        tlo = ~tlo + 1L
+        if (tlo == 0L) thi += 1L
+      }
+      val nlo = lo + tlo
+      // unsigned-add carry detection
+      val carry = if (java.lang.Long.compareUnsigned(nlo, lo) < 0) 1L else 0L
+      lo = nlo
+      hi = hi + thi + carry
+      if (hi > (1L << 62) || hi < -(1L << 62)) spill()
+    }
+
+    private def addSlow(t: Double): Unit = {
+      val term = new java.math.BigDecimal(t)
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+      slow = if (slow == null) term else slow.add(term)
+    }
+
+    private def spill(): Unit = {
+      val cur = fastValue
+      slow = if (slow == null) cur else slow.add(cur)
+      hi = 0L
+      lo = 0L
+    }
+
+    private def fastValue: java.math.BigDecimal = {
+      val unsignedLo =
+        if (lo >= 0L) java.math.BigInteger.valueOf(lo)
+        else java.math.BigInteger.valueOf(lo & Long.MaxValue).setBit(63)
+      val total = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+        .add(unsignedLo)
+      new java.math.BigDecimal(total, 18)
+    }
+
+    def toBigDecimal: java.math.BigDecimal = {
+      val f = fastValue
+      if (slow == null) f else f.add(slow)
+    }
+
+    def toDouble: Double = toBigDecimal.doubleValue()
+
+    /** Numeric comparison; the long-pair compare is exact when neither
+      * side spilled (signed 128-bit order IS numeric order). */
+    def compareTo(o: Dec18Acc): Int =
+      if (slow == null && o.slow == null) {
+        val c = java.lang.Long.compare(hi, o.hi)
+        if (c != 0) c else java.lang.Long.compareUnsigned(lo, o.lo)
+      } else toBigDecimal.compareTo(o.toBigDecimal)
+  }
+
   /** Distinct word-k-shingle hashes of a text column: split on single
     * spaces, join k consecutive words with ' ', xxhash64(seed 42 — same as
     * Spark's SQL xxhash64) over the UTF-8 bytes. */
@@ -289,16 +399,14 @@ object PipelineExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData].toFloatArray()
       val b = r.asInstanceOf[ArrayData].toFloatArray()
-      var sum = java.math.BigDecimal.ZERO
+      val sum = new Dec18Acc
       var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) {
-        val prod = new java.math.BigDecimal(a(i).toDouble * b(i).toDouble)
-          .setScale(18, java.math.RoundingMode.HALF_UP)
-        sum = sum.add(prod)
+        sum.add(a(i).toDouble * b(i).toDouble)
         i += 1
       }
-      sum.doubleValue()
+      sum.toDouble
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -310,15 +418,13 @@ object PipelineExpressions {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData].toFloatArray()
-      var sum = java.math.BigDecimal.ZERO
+      val sum = new Dec18Acc
       var i = 0
       while (i < a.length) {
-        val prod = new java.math.BigDecimal(a(i).toDouble * a(i).toDouble)
-          .setScale(18, java.math.RoundingMode.HALF_UP)
-        sum = sum.add(prod)
+        sum.add(a(i).toDouble * a(i).toDouble)
         i += 1
       }
-      math.sqrt(sum.doubleValue())
+      math.sqrt(sum.toDouble)
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -658,25 +764,26 @@ object PipelineExpressions {
       centroids.map(_.toArray).toArray
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData].toFloatArray()
-      val dists = new Array[java.math.BigDecimal](cs.length)
+      val dists = new Array[Dec18Acc](cs.length)
       var c = 0
       while (c < cs.length) {
         val cd = cs(c)
-        var sum = java.math.BigDecimal.ZERO
+        val sum = new Dec18Acc
         val n = math.min(v.length, cd.length)
         var d = 0
         while (d < n) {
           val diff = v(d).toDouble - cd(d)
-          sum = sum.add(new java.math.BigDecimal(diff * diff)
-            .setScale(18, java.math.RoundingMode.HALF_UP))
+          sum.add(diff * diff)
           d += 1
         }
         dists(c) = sum
         c += 1
       }
-      val order = (0 until cs.length).sortBy(i => (dists(i), i))(
-        Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal](identity),
-          Ordering.Int))
+      val order = (0 until cs.length).sortBy(identity)(Ordering.fromLessThan {
+        (i, j) =>
+          val cmp = dists(i).compareTo(dists(j))
+          cmp < 0 || (cmp == 0 && i < j)
+      })
       new GenericArrayData(order.take(nprobe).toArray)
     }
     override protected def withNewChildInternal(c: Expression): Expression =
@@ -703,16 +810,15 @@ object PipelineExpressions {
       var c = 0
       while (c < cs.length) {
         val cd = cs(c)
-        var sum = java.math.BigDecimal.ZERO
+        val sum = new Dec18Acc
         val n = math.min(v.length, cd.length)
         var d = 0
         while (d < n) {
           val diff = v(d).toDouble - cd(d)
-          sum = sum.add(new java.math.BigDecimal(diff * diff)
-            .setScale(18, java.math.RoundingMode.HALF_UP))
+          sum.add(diff * diff)
           d += 1
         }
-        out(c) = org.apache.spark.sql.types.Decimal(sum, 38, 18)
+        out(c) = org.apache.spark.sql.types.Decimal(sum.toBigDecimal, 38, 18)
         c += 1
       }
       new GenericArrayData(out)

@@ -190,6 +190,66 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Dec18Acc ≡ BigDecimal setScale(18, HALF_UP) sum, bit for bit") {
+    def reference(ts: Seq[Double]): java.math.BigDecimal =
+      ts.foldLeft(java.math.BigDecimal.ZERO)((acc, t) =>
+        acc.add(new java.math.BigDecimal(t)
+          .setScale(18, java.math.RoundingMode.HALF_UP)))
+    def fast(ts: Seq[Double]): java.math.BigDecimal = {
+      val a = new PipelineExpressions.Dec18Acc
+      ts.foreach(a.add)
+      a.toBigDecimal
+    }
+    def check(ts: Seq[Double], label: String): Unit = {
+      val r = reference(ts)
+      val f = fast(ts)
+      assert(r.compareTo(f) == 0 && r.scale >= 18,
+        s"$label: reference=$r fast=$f inputs=${ts.take(8)}")
+      // doubleValue must match bit-for-bit too (the DotExact output)
+      assert(java.lang.Double.doubleToLongBits(r.doubleValue()) ==
+        java.lang.Double.doubleToLongBits(f.doubleValue()), label)
+    }
+    val rnd = new scala.util.Random(20260819L)
+    // magnitudes from subnormal to slow-path (|t| ≥ 2^53), both signs
+    (0 until 200).foreach { i =>
+      val ts = (0 until 64).map { _ =>
+        val m = rnd.nextLong() & ((1L << 52) - 1) | (1L << 52)
+        val e = rnd.nextInt(160) - 130 // 2^-130 .. 2^29 around the mantissa
+        val mag = m.toDouble * math.pow(2.0, e - 52)
+        if (rnd.nextBoolean()) mag else -mag
+      }
+      check(ts, s"random-$i")
+    }
+    // exact .5 ties at scale 18: odd m · 2^-19 makes t·10^18 end in .5
+    val ties = (0 until 64).map { _ =>
+      val m = (rnd.nextLong() & ((1L << 52) - 1)) | (1L << 52) | 1L
+      val v = m.toDouble / (1L << 19).toDouble
+      if (rnd.nextBoolean()) v else -v
+    }
+    check(ties, "half-up ties")
+    // subnormals round to zero at scale 18
+    check(Seq(java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE,
+      2.5e-19, -2.5e-19, 4.9999e-19, 5.0001e-19), "tiny")
+    // slow-path terms (≥ 2^53) mixed with fast ones
+    check(Seq(1.23456789e18, -9.87e15, 3.14159, -2.71828e17, 1e-18),
+      "mixed slow/fast")
+    // spill: many large-magnitude terms exceed the 2^62 hi threshold
+    check((0 until 20000).map(j =>
+      (if (j % 2 == 0) 1 else -1) * 4.4e15 + j), "spill")
+    // float products — the DotExact input shape
+    check((0 until 64).map(_ =>
+      rnd.nextFloat().toDouble * rnd.nextFloat().toDouble), "float products")
+    // non-finite terms throw exactly like the reference
+    intercept[NumberFormatException] {
+      val a = new PipelineExpressions.Dec18Acc
+      a.add(Double.NaN)
+    }
+    intercept[NumberFormatException] {
+      val a = new PipelineExpressions.Dec18Acc
+      a.add(Double.PositiveInfinity)
+    }
+  }
+
   test("count-min double hashing: estimates never undercount random data") {
     import graft.ops.Sketch
     import spark.implicits._
