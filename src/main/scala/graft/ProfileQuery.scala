@@ -91,6 +91,12 @@ object ProfileQuery {
         f"sum(job)=${jobSecs.sum}%.2f s, driver-gap=${wall - jobSecs.sum}%.2f s")
       bySite.take(25).foreach { case (s, t, n) =>
         println(f"[profile]   $t%7.3f s  x$n%-4d $s") }
+      // individual slow jobs, in start order — shows whether a hot site
+      // is one big job or many serial small ones
+      done.sortBy(_.t0).filter(j => (j.t1 - j.t0) / 1e9 > 0.15)
+        .foreach { j =>
+          println(f"[profile]   job ${j.id}%-4d ${(j.t1 - j.t0) / 1e9}%6.3f s  ${j.site.takeRight(60)}")
+        }
       import scala.jdk.CollectionConverters._
       val byAct = acts.asScala.toSeq.groupBy(a => (a.fn, a.node))
         .map { case ((fn, node), as) => (fn, node, as.map(_.secs).sum, as.size) }

@@ -827,7 +827,10 @@ object Dedup {
   /** Connected components over a near-dup pair graph: labels every node
     * with the MINIMUM id reachable from it, so each duplicate cluster gets
     * a stable canonical representative. Input is the (id_a, id_b) pair
-    * output of any near-dup operator; output is (id, component_id).
+    * output of any near-dup operator — expected DEDUPLICATED, which every
+    * engine pair operator guarantees (duplicate pairs would not change the
+    * result, only inflate per-iteration shuffle volume); output is
+    * (id, component_id).
     *
     * Algorithm: iterative min-label propagation with pointer jumping
     * (label ← label(label) each round), the DataFrame form of the
@@ -854,6 +857,14 @@ object Dedup {
     val confDir = pairs.sparkSession.conf.get("spark.graft.checkpointDir", "")
     if (confDir.nonEmpty && sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(confDir)
     val reliable = sc.getCheckpointDir.isDefined
+    // label each checkpoint/probe job (guide §1.5) so profilers can split
+    // "the pair plan is expensive" from "the iteration machinery is" —
+    // appended to (not replacing) the caller's own description
+    val outerDesc = Option(sc.getLocalProperty("spark.job.description"))
+    def labeled[T](phase: String)(f: => T): T = {
+      sc.setJobDescription(outerDesc.fold(s"cc: $phase")(o => s"$o | cc: $phase"))
+      try f finally sc.setJobDescription(outerDesc.orNull)
+    }
     def save(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // mirror each pair in ONE pass (explode of the two orientations),
@@ -864,16 +875,25 @@ object Dedup {
     // (stage reuse cannot dedupe subtrees with different projections).
     // Measured on q_engine_semantic_incremental: the pair-bearing
     // localCheckpoint actions dominated the run.
+    // No distinct() on the mirrored edges: every engine pair operator
+    // already emits a deduplicated (id_a < id_b) pair set (bucketPairs
+    // ends in dropDuplicates; the fuzzy paths distinct() their
+    // candidates), and the mirror of a duplicate-free ordered pair set
+    // is duplicate-free, so the global dedup here was a pure extra
+    // exchange + aggregate of the whole edge set inside the checkpoint.
+    // Duplicate edges would be semantically harmless anyway (min-label
+    // propagation is idempotent); a caller with a duplicate-heavy pair
+    // source should dedupe before calling, not pay it here every time.
     val p = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
-    val edges = save(p.select(explode(array(
+    val edges = labeled("edges")(save(p.select(explode(array(
         struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("__e"))
-      .select(col("__e.u").as("u"), col("__e.v").as("v"))
-      .distinct())
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))))
     // init: label(v) = min(v, min direct neighbor)
-    var labels = save(edges.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u").as("id"), least(col("u"), col("mn")).as("label")))
-    var converged = labels.isEmpty
+    var labels = labeled("init")(save(edges.groupBy("u")
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))))
+    var converged = labeled("probe0")(labels.isEmpty)
     var iter = 0
     while (!converged && iter < maxIterations) {
       // candidate per node: min label among neighbors
@@ -890,12 +910,13 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jumping: labels form a decreasing forest over node ids, so
       // label(label) is always defined and never leaves the component
-      val jumped = save(propagated
+      val jumped = labeled(s"iter$iter")(save(propagated
         .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
           col("label") === col("pid"), "left")
         .select(col("id"), col("__old"),
-          coalesce(col("plabel"), col("label")).as("label")))
-      converged = jumped.filter(col("label") =!= col("__old")).limit(1).isEmpty
+          coalesce(col("plabel"), col("label")).as("label"))))
+      converged = labeled(s"probe$iter")(
+        jumped.filter(col("label") =!= col("__old")).limit(1).isEmpty)
       labels.unpersist()
       labels = jumped.select(col("id"), col("label"))
       iter += 1
