@@ -172,23 +172,30 @@ object Similarity {
         PipelineExpressions
           .nearest_centroids(col(vecCol), centroids, 1)(0).as("cid"),
         col(vecCol).as("__v"))
-      val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
-        sum(expr(s"CAST(CAST(element_at(__v, ${d + 1}) AS DOUBLE) " +
-          "AS DECIMAL(38,18))")).as(s"s$d"))
+      // per-dimension divisor: count only rows that HAVE element d (the
+      // semantics of the former posexplode + groupBy(cid, d) pass — a
+      // short row must not dilute dimensions it never contributed to),
+      // and try_element_at so a ragged corpus aggregates instead of
+      // tripping ANSI's array-index error. On fixed-dim corpora every
+      // c$d equals the cluster count and the division operands are
+      // identical, so results stay bit-for-bit unchanged.
+      val aggs = (0 until dim).flatMap(d => Seq(
+        sum(expr(s"CAST(CAST(try_element_at(__v, ${d + 1}) AS DOUBLE) " +
+          "AS DECIMAL(38,18))")).as(s"s$d"),
+        count(when(size(col("__v")) > d, lit(1))).as(s"c$d")))
       val rows = assigned.groupBy("cid").agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = centroids.map(_.clone())
       rows.foreach { r =>
         val cid = r.getInt(0)
-        val n = r.getLong(1)
         var d = 0
         while (d < dim) {
-          // a null sum can only arise from rows shorter than the model
-          // dim (element_at past the end) — keep the previous coordinate,
-          // matching the empty-contribution behavior of the old per-(cid,
-          // d) grouping
-          if (!r.isNullAt(2 + d))
-            next(cid)(d) = r.getDecimal(2 + d).doubleValue() / n
+          // a null sum (no row in the cluster reaches dimension d) keeps
+          // the previous coordinate, matching the empty-contribution
+          // behavior of the old per-(cid, d) grouping
+          if (!r.isNullAt(1 + 2 * d))
+            next(cid)(d) = r.getDecimal(1 + 2 * d).doubleValue() /
+              r.getLong(2 + 2 * d)
           d += 1
         }
       }

@@ -145,6 +145,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("k-means ragged-dim corpus: each dimension divides by the rows " +
+      "that carry it, not the cluster size") {
+    import spark.implicits._
+    // model dim = 3 (from the smallest id); shorter rows contribute to
+    // the leading dimensions only — the per-(cid, d) divisor semantics
+    // of the original posexplode + groupBy(cid, d) update pass
+    val df = Seq(
+      (0L, Array(2.0f, 4.0f, 8.0f)),
+      (1L, Array(4.0f, 6.0f)),
+      (2L, Array(6.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 1, iters = 1)
+    assert(c.length == 1)
+    // d0: (2+4+6)/3, d1: (4+6)/2 — NOT /3 —, d2: 8/1
+    assert(c(0).toSeq == Seq(4.0, 5.0, 8.0),
+      s"ragged-dim centroid wrong: ${c(0).toSeq}")
+  }
+
   test("ivfTopK recall vs brute force on clustered data") {
     import spark.implicits._
     val rows = (0 until 120).map { i =>
