@@ -70,12 +70,19 @@ object Classify {
       (nChars - length(regexp_replace(col(textCol), "[.,!?;:]", "")))
         .cast("double") / nChars)
       .otherwise(lit(0.0))
-    Dedup.maybeCache(g.select(col(idCol) +: carry :+
+    val sel = g.select(col(idCol) +: carry :+
       (col("n_tokens").cast("double") / lit(100.0)).as("x1") :+
       (meanWordLen / lit(10.0)).as("x2") :+
       stopRatio.as("x3") :+
       punctRatio.as("x4") :+
-      when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"): _*))
+      when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"): _*)
+    // lazy localCheckpoint, not cache(): both materialize once under the
+    // policy, but the checkpoint also truncates the LOGICAL plan — the
+    // gate's large regex/marker expression trees otherwise re-enter
+    // analysis + optimization for every one of the training loop's
+    // serial aggregates (driver-side, measured ~100 ms per pass)
+    if (Dedup.cacheSignaturesOn(docs.sparkSession)) sel.localCheckpoint(false)
+    else sel
   }
 
   /** The linear score w₀ + Σ wⱼ·xⱼ as a pinned left-associated
@@ -165,6 +172,9 @@ object Classify {
       val v = ex2 - mu(j) * mu(j)
       if (v <= 0.0) 1.0 else math.sqrt(v)
     }
+    // the per-iteration standardization is a 5-column map over `feat`,
+    // which gateFeatures hands over lineage-truncated — each iteration's
+    // agg() plans against a leaf, not the gate's expression forest
     val gdFeat =
       if (!standardize) feat
       else feat.select(col(yCol) +: xCols.zipWithIndex.map { case (c, j) =>

@@ -64,12 +64,17 @@ object Dedup {
     * but can be set independently: a cluster job may want streaming scans
     * (spreadInput=false) while still caching the — much narrower —
     * signature projection (cacheSignatures=true). */
-  private[graft] def maybeCache(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
+  private[graft] def maybeCache(df: DataFrame): DataFrame =
+    if (!cacheSignaturesOn(df.sparkSession)) df else df.cache()
+
+  /** The [[maybeCache]] policy bit, exposed for operators that gate a
+    * different materialization (e.g. a lineage-truncating
+    * localCheckpoint) on the same "may this run hold a corpus-sized
+    * intermediate" decision. */
+  private[graft] def cacheSignaturesOn(spark: SparkSession): Boolean = {
     val dflt = spark.conf.get("spark.graft.spreadInput",
       spark.sparkContext.isLocal.toString)
-    if (!spark.conf.get("spark.graft.cacheSignatures", dflt).toBoolean) df
-    else df.cache()
+    spark.conf.get("spark.graft.cacheSignatures", dflt).toBoolean
   }
 
   /** Band-bucket guard for the LSH candidate joins: a bucket holding f
