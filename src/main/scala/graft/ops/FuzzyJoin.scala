@@ -142,17 +142,26 @@ object FuzzyJoin {
     val rp = prefixGrams(rexp, freq, q, maxDist, carry = Seq("__len"))
       .withColumnRenamed("id", "__rid")
       .withColumnRenamed("__len", "__rlen")
+    // No pair-level distinct before verification: a candidate pair forms
+    // once per SHARED prefix gram — multiplicity is bounded by the prefix
+    // size (q·maxDist+1) and is ~1 for the non-matching majority — so
+    // deduplicating the full candidate set cost an exchange of EVERY
+    // candidate just to save a few threshold-limited levenshtein calls.
+    // The dedup now runs after the verify filter, where only the
+    // surviving pairs (orders of magnitude fewer at any real selectivity)
+    // shuffle; `dist` is a function of the pair, so dropDuplicates on the
+    // pair ids alone leaves the output set unchanged.
     val candidates = lp.join(rp, "gram")
       .filter(abs(col("__llen") - col("__rlen")) <= maxDist)
-      .select("__lid", "__rid").distinct()
+      .select("__lid", "__rid")
 
     candidates
       .join(l.select(col("id").as("__lid"), col("str").as("__ls")), "__lid")
       .join(r.select(col("id").as("__rid"), col("str").as("__rs")), "__rid")
-      .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
       .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("__lid").as(leftId), col("__rid").as(rightId), col("dist"))
+      .dropDuplicates(leftId, rightId)
   }
 
   /** Self-join variant: unordered within-set pairs (id_a < id_b).
@@ -185,20 +194,23 @@ object FuzzyJoin {
     // same Ed-Join length band as the two-sided path: necessary for
     // ed ≤ maxDist, so pruning here (before the pair distinct and the
     // string joins) never loses a pair
+    // dedup AFTER the verify filter, like the two-sided path: only the
+    // surviving pairs shuffle, and duplicate candidates (≤ one per shared
+    // prefix gram) just repeat a threshold-limited levenshtein
     val candidates = p.withColumnRenamed("id", "__lid")
       .withColumnRenamed("__len", "__llen")
       .join(p.withColumnRenamed("id", "__rid")
         .withColumnRenamed("__len", "__rlen"), "gram")
       .filter(col("__lid") < col("__rid") &&
         abs(col("__llen") - col("__rlen")) <= maxDist)
-      .select("__lid", "__rid").distinct()
+      .select("__lid", "__rid")
     candidates
       .join(s.select(col("id").as("__lid"), col("str").as("__ls")), "__lid")
       .join(s.select(col("id").as("__rid"), col("str").as("__rs")), "__rid")
-      .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
       .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("__lid").as("id_a"), col("__rid").as("id_b"), col("dist"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Edit-distance near-dup collapse: the title/surface-form dedup pass —
@@ -268,12 +280,14 @@ object FuzzyJoin {
       prefixGramsFrozen(n, "id", "str", frozenFreq, maxDist, q))
     val ip = indexPrefix.select(col("id"), col("gram"))
       .join(np.select("gram").distinct(), Seq("gram"), "left_semi")
+    // same post-verify dedup as the batch operators (batch×batch pairs
+    // can additionally form in both orientations before the
+    // least/greatest normalization, so multiplicity is ≤ 2·(q·k+1) here)
     val cand = np.withColumnRenamed("id", "__lid")
       .join(np.unionByName(ip).withColumnRenamed("id", "__rid"), "gram")
       .filter(col("__lid") =!= col("__rid"))
       .select(least(col("__lid"), col("__rid")).as("id_a"),
         greatest(col("__lid"), col("__rid")).as("id_b"))
-      .distinct()
     val allStr = n.unionByName(index.select(col("id"), col("str")))
     cand
       .join(allStr.select(col("id").as("id_a"), col("str").as("__sa")),
@@ -284,5 +298,6 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
