@@ -159,18 +159,31 @@ object Bench {
       }
     }
 
+    // per-query Spark-JOB counts (additive `jobs` JSON field): at sf0.1
+    // most queries are job-latency-bound, so the job count — not the
+    // seconds — is the signal a plan-shape change actually moves. Each
+    // query runs under its own job group; the status tracker then counts
+    // that group's jobs (recorded on pass 1 — counts are plan-determined
+    // and pass-invariant modulo AQE ±1).
+    val jobCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+
     // named non-headline queries are benchable locally too (one-off
     // measurements of oracle-only ops); driver runs keep the headline set
-    def pass(): Seq[(String, Double)] =
+    def pass(passId: Int): Seq[(String, Double)] =
       (headline ++ only.toSeq.sorted.filterNot(headline.contains))
         .filter(SparkEntry.queries.contains)
         .filter(n => only.isEmpty || only(n)).map { name =>
+        val group = s"bench-p$passId-$name"
+        spark.sparkContext.setJobGroup(group, name)
         val t0 = System.nanoTime()
         try exec(name)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val secs = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        if (passId == 1) jobCounts(name) =
+          spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
         System.err.println(f"[bench] $name%-24s $secs%8.2f s")
         // operators cache intermediates (spread/signature reuse); drop them
         // between queries so later timings don't pay eviction/GC pressure
@@ -183,9 +196,9 @@ object Bench {
     // contention that begins mid-run (r3: a concurrent oracle process
     // inflated q_ann_bruteforce 2.7 s → 63 s); min-of-2 discards whichever
     // pass a burst landed in, and the second pass is fully warm anyway.
-    val p1 = pass()
+    val p1 = pass(1)
     System.err.println("[bench] --- pass 2 ---")
-    val p2 = pass().toMap
+    val p2 = pass(2).toMap
     // queries whose two passes still disagree badly (>40%) get a THIRD
     // run: with pass-to-pass swings of 2–3× on a contended box (r7),
     // min-of-2 can retain a burst that hit BOTH passes of one query
@@ -249,7 +262,9 @@ object Bench {
           s""","total_per_calib":$norm,"total_per_calib_median":$normMed"""
       case _ => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$calibJson,"noisy_requeried":${noisy.size},"loadavg_start":$startLoad,"loadavg_end":$endLoad}""")
+    val jobsJson = jobCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$jobsJson,"sf":"$sfDir"$calibJson,"noisy_requeried":${noisy.size},"loadavg_start":$startLoad,"loadavg_end":$endLoad}""")
     spark.stop()
   }
 }

@@ -344,12 +344,18 @@ object Dedup {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
     require(maxDupFracDen > 0 && maxDupFracNum >= 0,
       s"threshold must be a nonnegative fraction: $maxDupFracNum/$maxDupFracDen")
-    val fps = spread(df.select(col(idCol), col(textCol)))
+    // the fingerprint table has TWO consumers (the document-frequency
+    // aggregate and the per-doc recount join), and the normalize +
+    // winnow projection sits ABOVE the spread cache — without a boundary
+    // here both consumers re-run the regex + O(len) winnowing pass over
+    // the corpus. The cached rows are (id, fp) longs, far narrower than
+    // the text the spread cache holds.
+    val fps = maybeCache(spread(df.select(col(idCol), col(textCol)))
       .withColumn("__norm",
         lower(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")))
       .select(col(idCol),
         explode(PipelineExpressions.winnowed_fingerprints(
-          col("__norm"), k, w)).as("__fp"))
+          col("__norm"), k, w)).as("__fp")))
     // fingerprints are distinct per doc by construction, so the count per
     // __fp IS the document frequency
     val hot = fps.groupBy("__fp").agg(count(lit(1)).as("__df"))
