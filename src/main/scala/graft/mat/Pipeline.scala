@@ -1383,6 +1383,20 @@ object PipelineModels {
   private def stateRel(ctx: MatContext, suffix: String) =
     ctx.target.copy(identifier = s"${ctx.target.identifier}__state$suffix")
 
+  /** Output-file sizing for the UNSORTED persisted-index writes (guide
+    * §6): the index frames inherit the compute partitioning of their
+    * derivation — locally the spread repartition (2×cores), on a cluster
+    * the input splits — so every build/append wrote one file PER
+    * PARTITION (measured: 64 tiny files per build at sf0.1, 128 after
+    * one append) and every later batch pays the listing + open cost on
+    * a table it re-reads several times per run. A REBALANCE hint lets
+    * AQE size the write adaptively — one file for a tiny local index,
+    * advisory-sized files at scale — for one extra exchange of bytes
+    * that are about to be written anyway. The range-sorted twins keep
+    * their repartitionByRange layout (their file count is already
+    * AQE-coalesced and the sort IS their read contract). */
+  private def sized(df: DataFrame): DataFrame = df.hint("rebalance")
+
   /** Idempotence guard for deferred index appends: only rows whose `id`
     * the index has never recorded get appended. A microbatch `lookback`
     * re-run feeds already-settled docs through the batch path again —
@@ -1820,7 +1834,7 @@ object PipelineModels {
       // full build: persist first, pair from the PERSISTED index (the
       // bytes later batches will join against), then canonical keep
       val sigs = Dedup.minhashSignatures(df, idCol, textCol, k, perms)
-      ctx.adapter.writeTableAtomic(sigs, rel)
+      ctx.adapter.writeTableAtomic(sized(sigs), rel)
       recordParams(ctx, rel, s)
       ctx.adapter.writeTableAtomic(
         Dedup.bandedRows(ctx.adapter.read(rel), perms, bands), bandsRel,
@@ -1867,7 +1881,7 @@ object PipelineModels {
         // landed and see their own rows as already-settled (an eager
         // localCheckpoint pins batch-sized blocks — never corpus-sized)
         val freshSigs = unseenById(newSigs, index).localCheckpoint(true)
-        ctx.adapter.appendToTable(freshSigs, rel)
+        ctx.adapter.appendToTable(sized(freshSigs), rel)
         if (bandsExist)
           ctx.adapter.appendToTable(
             Dedup.bandedRows(freshSigs, perms, bands)
@@ -1919,7 +1933,7 @@ object PipelineModels {
     }
     if (!incrRun) {
       val vecs = Dedup.embeddingVectors(df, idCol, vecCol)
-      ctx.adapter.writeTableAtomic(vecs, rel)
+      ctx.adapter.writeTableAtomic(sized(vecs), rel)
       recordParams(ctx, rel, s)
       ctx.adapter.writeTableAtomic(
         Dedup.embeddingBandedRows(ctx.adapter.read(rel), bands, rpb),
@@ -1956,7 +1970,7 @@ object PipelineModels {
       deferred += (() => {
         // see incrementalMinhash: materialize pre-append, once
         val freshVecs = unseenById(newVecs, index).localCheckpoint(true)
-        ctx.adapter.appendToTable(freshVecs, rel)
+        ctx.adapter.appendToTable(sized(freshVecs), rel)
         if (bandsExist) {
           val nb = Dedup.embeddingBandedRows(freshVecs, bands, rpb)
           ctx.adapter.appendToTable(
@@ -2010,7 +2024,7 @@ object PipelineModels {
     val bandsRel = rel.copy(identifier = s"${rel.identifier}_bands")
     if (!incrRun) {
       val sigs = sigsOf(df)
-      ctx.adapter.writeTableAtomic(sigs, rel)
+      ctx.adapter.writeTableAtomic(sized(sigs), rel)
       recordParams(ctx, rel, s)
       ctx.adapter.writeTableAtomic(
         Dedup.simhashBandedRows(ctx.adapter.read(rel)), bandsRel,
@@ -2045,7 +2059,7 @@ object PipelineModels {
       deferred += (() => {
         // see incrementalMinhash: materialize pre-append, once
         val freshSigs = unseenById(newSigs, index).localCheckpoint(true)
-        ctx.adapter.appendToTable(freshSigs, rel)
+        ctx.adapter.appendToTable(sized(freshSigs), rel)
         if (bandsExist)
           ctx.adapter.appendToTable(
             Dedup.simhashBandedRows(freshSigs)
@@ -2113,7 +2127,7 @@ object PipelineModels {
     val gramsRel = rel.copy(identifier = s"${rel.identifier}_grams")
     if (!incrRun) {
       val sets = setsOf(df)
-      ctx.adapter.writeTableAtomic(sets, rel)
+      ctx.adapter.writeTableAtomic(sized(sets), rel)
       recordParams(ctx, rel, s)
       ctx.adapter.writeTableAtomic(
         Dedup.shinglePostings(ctx.adapter.read(rel)), gramsRel,
@@ -2149,7 +2163,7 @@ object PipelineModels {
       deferred += (() => {
         // see incrementalMinhash: materialize pre-append, once
         val freshSets = unseenById(newSets, index).localCheckpoint(true)
-        ctx.adapter.appendToTable(freshSets, rel)
+        ctx.adapter.appendToTable(sized(freshSets), rel)
         if (gramsExist)
           ctx.adapter.appendToTable(
             Dedup.shinglePostings(freshSets)
@@ -2279,7 +2293,7 @@ object PipelineModels {
       d.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("str"))
         .filter(col("str").isNotNull)
     if (!incrRun) {
-      ctx.adapter.writeTableAtomic(stringsOf(df), rel)
+      ctx.adapter.writeTableAtomic(sized(stringsOf(df)), rel)
       // markEmpty: the FROZEN gram-frequency order is a trained
       // artifact — built on an empty input it degenerates (every gram
       // "rarest", prefix buckets inflate toward the quadratic Ed-Join
@@ -2287,7 +2301,7 @@ object PipelineModels {
       // frozen trainers
       recordParams(ctx, rel, s, markEmpty = ctx.emptyMode || df.isEmpty)
       ctx.adapter.writeTableAtomic(
-        FuzzyJoin.gramFrequencies(df, strCol, q), freqRel)
+        sized(FuzzyJoin.gramFrequencies(df, strCol, q)), freqRel)
       ctx.adapter.writeTableAtomic(
         FuzzyJoin.prefixGramsFrozen(ctx.adapter.read(rel), "id", "str",
           ctx.adapter.read(freqRel), maxDist, q),
@@ -2327,7 +2341,7 @@ object PipelineModels {
       deferred += (() => {
         // see incrementalMinhash: materialize pre-append, once
         val freshStrs = unseenById(stringsOf(df), index).localCheckpoint(true)
-        ctx.adapter.appendToTable(freshStrs, rel)
+        ctx.adapter.appendToTable(sized(freshStrs), rel)
         ctx.adapter.appendToTable(
           FuzzyJoin.prefixGramsFrozen(freshStrs, "id", "str",
               frozenFreq, maxDist, q)
