@@ -172,30 +172,50 @@ object Similarity {
         PipelineExpressions
           .nearest_centroids(col(vecCol), centroids, 1)(0).as("cid"),
         col(vecCol).as("__v"))
-      // per-dimension divisor: count only rows that HAVE element d (the
-      // semantics of the former posexplode + groupBy(cid, d) pass — a
-      // short row must not dilute dimensions it never contributed to),
-      // and try_element_at so a ragged corpus aggregates instead of
-      // tripping ANSI's array-index error. On fixed-dim corpora every
-      // c$d equals the cluster count and the division operands are
-      // identical, so results stay bit-for-bit unchanged.
-      val aggs = (0 until dim).flatMap(d => Seq(
-        sum(expr(s"CAST(CAST(try_element_at(__v, ${d + 1}) AS DOUBLE) " +
-          "AS DECIMAL(38,18))")).as(s"s$d"),
-        count(when(size(col("__v")) > d, lit(1))).as(s"c$d")))
+      // per-dimension divisor semantics (the former posexplode +
+      // groupBy(cid, d) pass): dimension d divides by the number of rows
+      // that HAVE element d — a short row must not dilute dimensions it
+      // never contributed to. Computing dim count columns inline doubles
+      // the aggregate past whole-stage codegen's field limit (measured:
+      // q_ann_ivf 2.7→4.3 s on the interpreted fallback), so the hot
+      // aggregate stays at dim sums + n + the size range, and only
+      // clusters that are ACTUALLY ragged (min size ≠ max size) pay a
+      // second per-dim count pass. Uniform-length clusters have
+      // c_d = n exactly for every dimension their rows reach (a null sum
+      // marks the rest), so the division operands — and results — are
+      // bit-identical. try_element_at keeps ragged corpora off ANSI's
+      // array-index error.
+      val aggs = count(lit(1)).as("n") +:
+        min(size(col("__v"))).as("mn") +: max(size(col("__v"))).as("mx") +:
+        (0 until dim).map(d =>
+          sum(expr(s"CAST(CAST(try_element_at(__v, ${d + 1}) AS DOUBLE) " +
+            "AS DECIMAL(38,18))")).as(s"s$d"))
       val rows = assigned.groupBy("cid").agg(aggs.head, aggs.tail: _*)
         .collect()
+      val raggedCids = rows.filter(r => r.getInt(2) != r.getInt(3))
+        .map(_.getInt(0)).toSet
+      val raggedCounts: Map[Int, Array[Long]] =
+        if (raggedCids.isEmpty) Map.empty
+        else assigned.filter(col("cid").isin(raggedCids.toSeq: _*))
+          .groupBy("cid")
+          .agg(count(when(size(col("__v")) > 0, lit(1))).as("c0"),
+            (1 until dim).map(d =>
+              count(when(size(col("__v")) > d, lit(1))).as(s"c$d")): _*)
+          .collect()
+          .map(r => r.getInt(0) -> Array.tabulate(dim)(d => r.getLong(1 + d)))
+          .toMap
       val next = centroids.map(_.clone())
       rows.foreach { r =>
         val cid = r.getInt(0)
+        val n = r.getLong(1)
         var d = 0
         while (d < dim) {
           // a null sum (no row in the cluster reaches dimension d) keeps
           // the previous coordinate, matching the empty-contribution
           // behavior of the old per-(cid, d) grouping
-          if (!r.isNullAt(1 + 2 * d))
-            next(cid)(d) = r.getDecimal(1 + 2 * d).doubleValue() /
-              r.getLong(2 + 2 * d)
+          if (!r.isNullAt(4 + d))
+            next(cid)(d) = r.getDecimal(4 + d).doubleValue() /
+              raggedCounts.get(cid).map(_(d)).getOrElse(n)
           d += 1
         }
       }
